@@ -1,0 +1,455 @@
+package graft
+
+import graft.functions.Converters
+import graft.operators.{CdcOps, DedupOps, SimilarityOps, TextOps}
+import graft.schema.SchemaEvolution
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The declared query inventory (SURVEY §2.10 + training-data ops).
+  *
+  * Every query is written for oracle parity with DuckDB:
+  *  - doubles are never summed directly — 2-decimal columns are cast to
+  *    DECIMAL first (exact, order-independent), and final aggregates cast
+  *    back to double (both engines produce identical bits);
+  *  - every output is deterministically ordered with full tie-breaks;
+  *  - output column names/types match the oracle SQL exactly.
+  */
+object Queries {
+  private type Q = (SparkSession, String) => DataFrame
+  private val D2 = DecimalType(12, 2)
+  private def d2(c: Column): Column = c.cast(D2)
+  private val one = lit(1).cast(D2)
+
+  /** (name, spark query, oracle sql — None for approximate/non-SQL ops). */
+  val all: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- relational core ---------------------------------------------------
+
+    ("q01_filter_project", (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") < 24 && col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity < 24 AND l_shipdate <= TIMESTAMP '1998-09-02'
+ORDER BY l_orderkey, l_linenumber""")),
+
+    ("q02_agg_pricing", (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val disc = d2(col("l_extendedprice")) * (one - d2(col("l_discount")))
+      val charge = disc * (one + d2(col("l_tax")))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(d2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          sum(d2(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+          sum(disc).cast(DoubleType).as("sum_disc_price"),
+          sum(charge).cast(DoubleType).as("sum_charge"),
+          (sum(d2(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          (sum(d2(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
+          (sum(d2(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+      Some("""SELECT l_returnflag, l_linestatus,
+CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    ("q03_join_agg_topk", (s, d) => {
+      val cut = lit("1998-07-01").cast(TimestampType)
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(d2(col("l_extendedprice")) * (one - d2(col("l_discount")))).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+      Some("""SELECT l_orderkey, o_orderdate,
+CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-07-01' AND l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    ("q04_multijoin_sort", (s, d) =>
+      Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"), col("r_name"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        .limit(100),
+      Some("""SELECT s_suppkey, s_name, s_acctbal, n_name, r_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+ORDER BY s_acctbal DESC, s_suppkey LIMIT 100""")),
+
+    ("q05_anti_join", (s, d) => {
+      val o = Tables.orders(s, d)
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+      Some("""SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""")),
+
+    ("q06_semi_join", (s, d) => {
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      Tables.customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey""")),
+
+    ("q07_window_latest", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+ORDER BY o_custkey""")),
+
+    // ---- CDC operators -----------------------------------------------------
+
+    ("q08_cdc_lastwins", (s, d) =>
+      CdcOps.lastWins(Tables.events(s, d), Seq("user_id"), Seq(col("event_id")))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"),
+          col("props").as("last_props"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+value AS last_value, props AS last_props FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1 ORDER BY user_id""")),
+
+    ("q09_cdc_merge_hard", (s, d) => mergeReplay(s, d, soft = false),
+      Some(mergeReplaySql(soft = false))),
+
+    ("q10_cdc_merge_soft", (s, d) => mergeReplay(s, d, soft = true),
+      Some(mergeReplaySql(soft = true))),
+
+    ("q11_cdc_toast_inherit", (s, d) => {
+      val k = get_json_object(col("props"), "$.k").cast(LongType)
+      val ev = Tables.events(s, d)
+        .withColumn("props_t",
+          when(pmod(k, lit(7)) === 0, lit(Constants.ToastPlaceholder)).otherwise(col("props")))
+        .select(col("user_id"), col("event_id"), col("props_t"))
+      val healed = CdcOps.toastInherit(ev, Seq("user_id"), Seq(col("event_id")), Seq("props_t"))
+      CdcOps.lastWins(healed, Seq("user_id"), Seq(col("event_id")))
+        .select(col("user_id"), col("event_id").as("last_event_id"), col("props_t").as("props_final"))
+        .orderBy(col("user_id"))
+    },
+      Some(s"""SELECT user_id, event_id AS last_event_id,
+COALESCE(last_value(CASE WHEN CAST(json_extract_string(props, '$$.k') AS BIGINT) % 7 = 0 THEN NULL ELSE props END IGNORE NULLS)
+  OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  '${Constants.ToastPlaceholder}') AS props_final
+FROM events QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1 ORDER BY user_id""")),
+
+    ("q12_setops", (s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_totalprice") > 400000).select(col("o_orderkey"))
+      val b = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      a.except(b).withColumn("side", lit("hi_only"))
+        .union(b.except(a).withColumn("side", lit("urgent_only")))
+        .orderBy(col("side"), col("o_orderkey"))
+    },
+      Some("""SELECT o_orderkey, 'hi_only' AS side FROM
+(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+ EXCEPT SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT o_orderkey, 'urgent_only' AS side FROM
+(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+ EXCEPT SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+ORDER BY side, o_orderkey""")),
+
+    ("q13_rollup", (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderpriority"), year(col("o_orderdate")).as("order_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(d2(col("o_totalprice"))).cast(DoubleType).as("total_price"))
+        .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("order_year")),
+      Some("""SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS order_year,
+COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, CAST(year(o_orderdate) AS INT))
+ORDER BY o_orderpriority NULLS FIRST, order_year NULLS FIRST""")),
+
+    ("q14_schema_evolution", (s, d) => {
+      val ev = Tables.events(s, d)
+      val split = broadcast(ev.agg(expr("max(event_id) div 2").as("split")))
+      val withSplit = ev.crossJoin(split)
+      val old = withSplit.filter(col("event_id") < col("split"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val newer = withSplit.filter(col("event_id") >= col("split"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      SchemaEvolution.unionEvolve(old, newer).orderBy(col("event_id"))
+    },
+      Some("""WITH s AS (SELECT max(event_id) // 2 AS split FROM events)
+SELECT event_id, user_id, event_type, value,
+CASE WHEN event_id >= split THEN CAST(json_extract_string(props, '$.k') AS BIGINT) ELSE NULL END AS k
+FROM events, s ORDER BY event_id""")),
+
+    ("q15_string_transforms", (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        sha2(col("c_name"), 256).as("name_sha256"),
+        Converters.cappedString(col("c_name"), 12).as("name_capped"),
+        upper(col("c_mktsegment")).as("segment_u"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("concat_meta"))
+        .orderBy(col("c_custkey")),
+      Some(s"""SELECT c_custkey, sha256(c_name) AS name_sha256,
+CASE WHEN length(c_name) > 12 THEN '${Constants.ExceededValuePlaceholder}' ELSE c_name END AS name_capped,
+upper(c_mktsegment) AS segment_u, concat_ws('|', c_name, c_mktsegment) AS concat_meta
+FROM customer ORDER BY c_custkey""")),
+
+    ("q16_history_mode", (s, d) => {
+      val op = when(col("event_type") === "signup", "c")
+        .when(col("event_type") === "error", "d").otherwise("u")
+      CdcOps.historyProjection(Tables.events(s, d), op)
+        .select(col("event_id"), col("user_id"), col(Constants.OperationCol),
+          col("value"), col("props"))
+        .orderBy(col("event_id"))
+    },
+      Some(s"""SELECT event_id, user_id,
+CASE WHEN event_type = 'signup' THEN 'c' WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS ${Constants.OperationCol},
+value, props FROM events ORDER BY event_id""")),
+
+    ("q17_windowed_agg", (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(d2(col("value"))).cast(DoubleType).as("total_value"))
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    ("q18_scalar_datetime", (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        Converters.epochDaysToDate(pmod(col("event_id"), lit(20000))).as("d_date"),
+        Converters.epochMillisToTs(pmod(col("event_id") * 86400123L, lit(4102444800000L))).as("ts_ms"),
+        Converters.epochMicrosToTs(pmod(col("event_id") * 86400123456L, lit(4102444800000000L))).as("ts_us"),
+        Converters.timeMillis(pmod(col("event_id") * 9973L, lit(86400000L))).as("tod"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_int"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+DATE '1970-01-01' + CAST(event_id % 20000 AS INT) AS d_date,
+epoch_ms(event_id * 86400123 % 4102444800000) AS ts_ms,
+make_timestamp(event_id * 86400123456 % 4102444800000000) AS ts_us,
+strftime(epoch_ms(event_id * 9973 % 86400000), '%H:%M:%S.%g') AS tod,
+CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+FROM events ORDER BY event_id""")),
+
+    ("q19_debezium_decimal", (s, d) => {
+      val cents = round(col("l_extendedprice") * 100).cast(LongType) - 5000000L
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        Converters.debeziumDecimal(Converters.twosComplementBytes(cents), 18, 2).as("amount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+      Some("""SELECT l_orderkey, l_linenumber,
+CAST((CAST(round(l_extendedprice * 100) AS BIGINT) - 5000000) / 100.0 AS DECIMAL(18,2)) AS amount
+FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- training-data pipeline ops ---------------------------------------
+
+    ("q20_dedup_exact", (s, d) =>
+      DedupOps.exactDuplicates(Tables.documents(s, d), "doc_id", "text")
+        .select(col("keep_id"), col("n_dups"))
+        .orderBy(col("keep_id")),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
+
+    ("q21_dedup_jaccard", (s, d) =>
+      DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.6)
+        .orderBy(col("ia"), col("ib")),
+      Some(jaccardSql(0.6))),
+
+    ("q22_dedup_minhash_lsh", (s, d) =>
+      DedupOps.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.7)
+        .orderBy(col("ia"), col("ib")),
+      Some(jaccardSql(0.7))),
+
+    ("q23_dedup_simhash", (s, d) =>
+      DedupOps.simhashPairs(Tables.documents(s, d), "doc_id", "text", 10)
+        .orderBy(col("ia"), col("ib")),
+      None),
+
+    ("q24_ann_cosine_topk", (s, d) =>
+      SimilarityOps.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding", col("vid") < 8, 5)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy(col("q_id"), col("rank")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+pairs AS (SELECT q_id, e.vec_id AS neighbor_id,
+  floor(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) * 10000.0) / 10000.0 AS sim
+  FROM q JOIN e ON e.vec_id != q.q_id)
+SELECT q_id, neighbor_id, sim, rank FROM
+(SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM pairs)
+WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    ("q25_ann_ivf", (s, d) =>
+      SimilarityOps.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding", col("vid") < 8, 5)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy(col("q_id"), col("rank")),
+      None),
+
+    ("q26_lang_id", (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("pred_lang"),
+        col("lang").as("labeled_lang"))
+        .withColumn("is_match", col("pred_lang") === col("labeled_lang"))
+        .orderBy(col("doc_id")),
+      Some(langIdSql)),
+
+    ("q27_quality_score", (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.wordCount(col("text")).cast(LongType).as("n_words"),
+        TextOps.qualityScore(col("text"), col("n_chars")).as("quality"))
+        .orderBy(col("doc_id")),
+      Some("""WITH base AS (
+SELECT doc_id, n_chars,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+  CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) AS cnt_the
+FROM documents)
+SELECT doc_id, words AS n_words,
+  least(words, 50) * 10
+  + CAST(floor(least(CAST(floor(((n_chars - words + 1) * 1000) / words) AS BIGINT), 8000) * 3 / 80) AS BIGINT)
+  + CAST(least(CAST(floor((cnt_the * 2000) / words) AS BIGINT), 200) AS BIGINT) AS quality
+FROM base ORDER BY doc_id""")),
+
+    ("q28_token_counts", (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.whitespaceTokens(col("text")).cast(LongType).as("n_ws_tokens"),
+        TextOps.subwordTokens(col("text")).cast(LongType).as("n_subwords"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast(LongType).as("n_alpha_tokens"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+len(string_split(text, ' ')) AS n_ws_tokens,
+len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS n_subwords,
+len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens
+FROM documents ORDER BY doc_id""")),
+
+    ("q29_fingerprint", (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), Converters.fingerprint64(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+list_reduce(list_prepend(CAST(0 AS BIGINT),
+  list_transform(range(1, length(text) + 1), i -> CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+  (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+FROM documents ORDER BY doc_id""")),
+
+    ("q30_multimodal_binary", (s, d) => {
+      val bin = col("text").cast(BinaryType)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(bin).cast(LongType).as("byte_len"),
+        lower(hex(substring(col("text"), 1, 8).cast(BinaryType))).as("head_hex"),
+        sha2(bin, 256).as("content_sha256"),
+        floor(length(bin) / lit(64)).cast(LongType).as("n_frames"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""SELECT doc_id,
+octet_length(encode(text)) AS byte_len,
+lower(hex(encode(substring(text, 1, 8)))) AS head_hex,
+sha256(text) AS content_sha256,
+octet_length(encode(text)) // 64 AS n_frames
+FROM documents ORDER BY doc_id""")),
+  )
+
+  // ---- shared builders -----------------------------------------------------
+
+  /** Replay the second half of `events` as a CDC change set into the
+    * snapshot produced by the first half (op mapping: error=delete, others
+    * upsert). Exercises CdcOps.mergeApply end-to-end.
+    */
+  private def mergeReplay(s: SparkSession, d: String, soft: Boolean): DataFrame = {
+    val ev = Tables.events(s, d)
+    val split = broadcast(ev.agg(expr("max(event_id) div 2").as("split")))
+    val withSplit = ev.crossJoin(split)
+    val base = CdcOps.lastWins(
+      withSplit.filter(col("event_id") < col("split")), Seq("user_id"), Seq(col("event_id")))
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    val changes = withSplit.filter(col("event_id") >= col("split"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        (col("event_type") === "error").as(Constants.DeleteCol))
+    val merged = CdcOps.mergeApply(base, changes, Seq("user_id"), Seq(col("event_id")), softDelete = soft)
+    val cols = Seq(col("user_id"), col("event_id"), col("event_type"), col("value")) ++
+      (if (soft) Seq(col(Constants.DeleteCol)) else Nil)
+    merged.select(cols: _*).orderBy(col("user_id"))
+  }
+
+  private def mergeReplaySql(soft: Boolean): String = {
+    val head = s"""WITH s AS (SELECT max(event_id) // 2 AS split FROM events),
+base AS (SELECT user_id, event_id, event_type, value FROM events, s WHERE event_id < split
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+base2 AS (SELECT * FROM base WHERE event_type <> 'error'),
+chg AS (SELECT user_id, event_id, event_type, value FROM events, s WHERE event_id >= split
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+merged AS (SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+  COALESCE(c.event_id, b.event_id) AS event_id,
+  COALESCE(c.event_type, b.event_type) AS event_type,
+  COALESCE(c.value, b.value) AS value,
+  (c.user_id IS NOT NULL AND c.event_type = 'error') AS del
+FROM base2 b FULL OUTER JOIN chg c ON b.user_id = c.user_id)"""
+    if (soft)
+      head + s"\nSELECT user_id, event_id, event_type, value, del AS ${Constants.DeleteCol} FROM merged ORDER BY user_id"
+    else
+      head + "\nSELECT user_id, event_id, event_type, value FROM merged WHERE NOT del ORDER BY user_id"
+  }
+
+  /** Brute-force word-3gram Jaccard pairs >= tau (oracle for q21/q22). */
+  private def jaccardSql(tau: Double): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM
+  (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s FROM toks)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT ia, ib, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $tau ORDER BY ia, ib"""
+
+  /** Language-ID oracle generated from the same marker lists as
+    * TextOps.langId so the two can never drift apart.
+    */
+  private def langIdSql: String = {
+    def cnt(w: String) =
+      s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) / ${w.length + 2}"
+    val scoreExprs = TextOps.LangMarkers.map { case (lang, ms) =>
+      s"(${ms.map(cnt).mkString(" + ")}) AS s_$lang"
+    }
+    val langs = TextOps.LangMarkers.map(_._1)
+    val arms = langs.zipWithIndex.dropRight(1).map { case (lang, i) =>
+      val conds = langs.drop(i + 1).map(l2 => s"s_$lang >= s_$l2").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }
+    s"""WITH scored AS (SELECT doc_id, lang, ${scoreExprs.mkString(",\n  ")} FROM documents)
+SELECT doc_id, CASE ${arms.mkString(" ")} ELSE '${langs.last}' END AS pred_lang,
+lang AS labeled_lang,
+(CASE ${arms.mkString(" ")} ELSE '${langs.last}' END) = lang AS is_match
+FROM scored ORDER BY doc_id"""
+  }
+}

@@ -1,0 +1,178 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static helpers shared between interpreted eval and generated code. */
+object DebeziumCodec {
+  /** Big-endian two's-complement bytes + scale -> Decimal.
+    * Semantics of the reference's Kafka Connect decimal decode
+    * (lib/debezium/converters/decimal.go:150-219): unscaled =
+    * BigInteger(bytes), value = BigDecimal(unscaled, scale).
+    */
+  def decode(bytes: Array[Byte], precision: Int, scale: Int): Decimal = {
+    val bi =
+      if (bytes == null || bytes.isEmpty) java.math.BigInteger.ZERO
+      else new java.math.BigInteger(bytes)
+    Decimal(new java.math.BigDecimal(bi, scale), precision, scale)
+  }
+
+  /** Long -> minimal big-endian two's-complement bytes (encode side,
+    * decimal.go:16-118). */
+  def encodeLong(v: Long): Array[Byte] =
+    java.math.BigInteger.valueOf(v).toByteArray
+
+  def gunzip(in: Array[Byte]): Array[Byte] = {
+    val gz = new GZIPInputStream(new ByteArrayInputStream(in))
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = gz.read(buf)
+    while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = gz.read(buf) }
+    gz.close()
+    out.toByteArray
+  }
+
+  def gzip(in: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos)
+    gz.write(in); gz.close()
+    bos.toByteArray
+  }
+
+  def hmacSha256(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data)
+  }
+
+  private val mapper = new ObjectMapper()
+
+  private def sortNode(n: JsonNode): JsonNode = n match {
+    case o: ObjectNode =>
+      val sorted = mapper.createObjectNode()
+      val names = new java.util.ArrayList[String]()
+      o.fieldNames().forEachRemaining(f => names.add(f))
+      java.util.Collections.sort(names)
+      names.forEach(f => sorted.set(f, sortNode(o.get(f))): Unit)
+      sorted
+    case a: ArrayNode =>
+      val out = mapper.createArrayNode()
+      a.forEach(e => out.add(sortNode(e)): Unit)
+      out
+    case other => other
+  }
+
+  /** Canonical JSON: parse (duplicate keys -> last wins, as Jackson does),
+    * recursively sort object keys, re-serialize compactly. Mirrors the
+    * reference's json re-marshal canonicalization (lib/jsonutil). Returns
+    * null for unparseable input.
+    */
+  def canonicalJson(s: String): String =
+    try mapper.writeValueAsString(sortNode(mapper.readTree(s)))
+    catch { case _: Exception => null }
+
+  /** Deterministic 64-bit rolling fingerprint over unicode code points:
+    * acc = (acc * 31 + cp) mod 1_000_000_007. Kept within int64 and simple
+    * enough to reproduce in any engine (the DuckDB oracle replays it with
+    * list_reduce).
+    */
+  def fingerprint64(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** Decode a Debezium/Kafka-Connect `Decimal`: big-endian two's-complement
+  * bytes at a fixed scale. Codegen-friendly (stays inside whole-stage
+  * codegen); ref: lib/debezium/converters/decimal.go:150-219.
+  */
+case class DebeziumDecimalDecode(child: Expression, precision: Int, scale: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = DecimalType(precision, scale)
+  override def nullSafeEval(input: Any): Any =
+    DebeziumCodec.decode(input.asInstanceOf[Array[Byte]], precision, scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.DebeziumCodec.decode($b, $precision, $scale)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Encode a long as minimal big-endian two's-complement bytes (the inverse
+  * of [[DebeziumDecimalDecode]] for integral cents-style values).
+  */
+case class TwosComplementEncode(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    DebeziumCodec.encodeLong(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.DebeziumCodec.encodeLong($v)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Gunzip a binary column (custom `compressed` Debezium flag,
+  * lib/debezium/types.go:156-184). Not on the hot path -> CodegenFallback.
+  */
+case class Gunzip(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    try DebeziumCodec.gunzip(input.asInstanceOf[Array[Byte]])
+    catch { case _: Exception => null }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** HMAC-SHA256(key, data) -> binary. Column-hashing transform with salt
+  * (ref: models/event/event_util.go:146-150 + lib/cryptography).
+  */
+case class HmacSha256(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(key: Any, data: Any): Any =
+    DebeziumCodec.hmacSha256(key.asInstanceOf[Array[Byte]], data.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Canonicalize a JSON string: duplicate keys last-wins, keys sorted,
+  * compact serialization (ref: lib/jsonutil + converters/basic.go:14-31).
+  */
+case class CanonicalJson(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any = {
+    val out = DebeziumCodec.canonicalJson(input.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit rolling document fingerprint (SURVEY §2 text-analysis ops). */
+case class Fingerprint64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    DebeziumCodec.fingerprint64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.DebeziumCodec.fingerprint64($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

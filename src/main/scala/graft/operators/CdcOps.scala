@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.Constants
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's core stateful operators, re-expressed as shuffle-partitioned
+  * window/join stages (no driver collection, scales with the PK hash
+  * partitioning):
+  *
+  *  - last-wins PK dedup (ref: lib/optimization/table_data.go:169-222)
+  *  - TOAST/delete column inheritance (table_data.go:177-208)
+  *  - MERGE apply semantics, incl. soft-delete / only-set-delete / TOAST
+  *    arms (ref: clients/iceberg/dialect/dialect.go:103-178)
+  *  - history-mode projection (models/event/event.go:82-94)
+  */
+object CdcOps {
+
+  /** Last event per PK wins, ordered by `ord` (Kafka offset analog).
+    * One shuffle on the PK columns; row_number+filter stays in a single
+    * window stage so it scales linearly with partition count.
+    */
+  def lastWins(df: DataFrame, pks: Seq[String], ord: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(pks.map(col): _*).orderBy(ord.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Within-buffer TOAST inheritance: a column whose value is the Debezium
+    * unavailable-placeholder inherits the most recent real value for the
+    * same PK (transitively), matching InsertRow's row-merge
+    * (table_data.go:195-208). `NULL` is preserved as a real value; only the
+    * sentinel triggers inheritance.
+    */
+  def toastInherit(df: DataFrame, pks: Seq[String], ordAsc: Seq[Column],
+                   toastCols: Seq[String],
+                   sentinel: String = Constants.ToastPlaceholder): DataFrame = {
+    val w = Window.partitionBy(pks.map(col): _*).orderBy(ordAsc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toastCols.foldLeft(df) { (acc, name) =>
+      val healed = last(when(col(name) =!= lit(sentinel), col(name)), ignoreNulls = true).over(w)
+      // all-toast prefix keeps the sentinel (nothing to inherit yet)
+      acc.withColumn(name, coalesce(healed, col(name)))
+    }
+  }
+
+  /** Delete-event column inheritance (table_data.go:180-194): Debezium
+    * deletes may carry nulls for non-PK columns when REPLICA IDENTITY is not
+    * FULL; inherit the previous buffered row's values for those columns.
+    */
+  def deleteInherit(df: DataFrame, pks: Seq[String], ordAsc: Seq[Column],
+                    deleteCol: String, dataCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(pks.map(col): _*).orderBy(ordAsc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dataCols.foldLeft(df) { (acc, name) =>
+      val inherited = last(when(!col(deleteCol), col(name)), ignoreNulls = true).over(w)
+      acc.withColumn(name, when(col(deleteCol), coalesce(inherited, col(name))).otherwise(col(name)))
+    }
+  }
+
+  /** MERGE a deduped change set into a base snapshot. DataFrame-native
+    * equivalent of the reference's single MERGE statement
+    * (iceberg/dialect.go:103-178):
+    *
+    *  - matched + delete (and not only-set-delete)  -> drop (hard) / flag (soft)
+    *  - matched + only-set-delete                   -> keep target values, set flag
+    *  - matched otherwise                           -> source values, except TOAST
+    *    sentinel columns keep the target value (lib/sql/columns.go:42-59)
+    *  - not matched + not delete                    -> insert
+    *
+    * `changes` must carry boolean `__artie_delete` (and optionally
+    * `__artie_only_set_delete`). Both sides shuffle once on the PK.
+    */
+  def mergeApply(base: DataFrame, changes: DataFrame, pks: Seq[String],
+                 ord: Seq[Column], softDelete: Boolean = false,
+                 toastCols: Seq[String] = Nil): DataFrame = {
+    val del = Constants.DeleteCol
+    val osd = Constants.OnlySetDeleteCol
+    val hasOsd = changes.columns.contains(osd)
+    val latest0 = lastWins(changes, pks, ord)
+    val latest = if (hasOsd) latest0 else latest0.withColumn(osd, lit(false))
+
+    val t = base.alias("t")
+    val s = latest.alias("s")
+    val joinCond = pks.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val joined = t.join(s, joinCond, "full_outer")
+
+    val matched = col(s"s.${pks.head}").isNotNull && col(s"t.${pks.head}").isNotNull
+    val sOnly = col(s"t.${pks.head}").isNull
+    val onlySet = coalesce(col(s"s.$osd"), lit(false))
+    val dataCols = base.columns.filterNot(c => pks.contains(c) || c == del || c == osd)
+
+    val pkOut = pks.map(k => coalesce(col(s"t.$k"), col(s"s.$k")).as(k))
+    val valueOut = dataCols.toSeq.map { cname =>
+      val sv = col(s"s.$cname")
+      val tv = col(s"t.$cname")
+      val fromSource =
+        if (toastCols.contains(cname))
+          when(sv === lit(Constants.ToastPlaceholder), tv).otherwise(sv)
+        else sv
+      when(sOnly, sv)
+        .when(matched && onlySet, tv)
+        .when(matched, fromSource)
+        .otherwise(tv)
+        .as(cname)
+    }
+    val deleted = coalesce(col(s"s.$del"), lit(false))
+
+    val projected = joined.select(pkOut ++ valueOut :+ deleted.as(del): _*)
+    if (softDelete) projected
+    else projected.filter(!col(del)).drop(del)
+  }
+
+  /** History-mode projection (P9): append-only audit stream with the
+    * operation column, delete markers dropped.
+    */
+  def historyProjection(df: DataFrame, opCol: Column): DataFrame =
+    df.withColumn(Constants.OperationCol, opCol)
+      .drop(Constants.DeleteCol, Constants.OnlySetDeleteCol)
+
+  /** P12: soft-partition routing suffix from a timestamp column, e.g.
+    * `_2024_01` (models/event/soft_partition.go:13-47). Events with a future
+    * timestamp (vs processing time) route to `_default`.
+    */
+  def softPartitionSuffix(ts: Column, pattern: String = "_yyyy_MM"): Column =
+    when(ts > current_timestamp(), lit("_default"))
+      .otherwise(date_format(ts, pattern))
+
+  /** P6: standard metadata columns injected at ingest
+    * (models/event/event_util.go:217-232).
+    */
+  def withMetadataColumns(df: DataFrame, op: Column, sourceMeta: Column,
+                          fullTableName: String): DataFrame =
+    df.withColumn(Constants.OperationCol, op)
+      .withColumn(Constants.UpdatedAtCol, current_timestamp())
+      .withColumn(Constants.SourceMetadataCol, sourceMeta)
+      .withColumn(Constants.FullSourceTableCol, lit(fullTableName))
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data pipelines:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash. All are expressed as
+  * joins/aggregations over an inverted shingle index — never a driver-side
+  * pairwise loop — so they scale with shuffle partitions at 100 TB.
+  */
+object DedupOps {
+  /** Word n-gram shingle array of a text column (space tokenized). */
+  def shingleArray(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    val cnt = size(toks) - (n - 1)
+    when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exploded distinct (id, shingle) pairs — the inverted-index relation. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingleArray(col(textCol), n)).as("shingle"))
+      .distinct()
+
+  /** Exact duplicate groups by content hash: (keep_id, n_dups). */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** All-pairs n-gram Jaccard >= tau via inverted-index self-join.
+    * Output: (ia, ib, jaccard) with ia < ib. The shingle join bounds the
+    * candidate space to docs sharing at least one shingle; at scale,
+    * high-frequency shingles should be capped (see [[minhashNearDupPairs]]
+    * for the scale path).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, tau: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ia"), col("b.id").as("ib"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.as("ca"), col("ia") === col("ca.id"))
+      .join(counts.as("cb"), col("ib") === col("cb.id"))
+      .select(col("ia"), col("ib"),
+        (col("inter").cast("double") /
+          (col("ca.n_sh") + col("cb.n_sh") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  private val MinhashPrime = 2147483647L // 2^31 - 1; keeps a*h+b within int64
+
+  /** Deterministic (a, b) permutation coefficients via a plain LCG —
+    * stable across JVM/Scala versions (unlike util.Random).
+    */
+  private def coeffs(k: Int): (Array[Long], Array[Long]) = {
+    var state = 42L
+    def next(): Long = {
+      state = (state * 6364136223846793005L + 1442695040888963407L)
+      (state >>> 33) % (MinhashPrime - 1)
+    }
+    val as = Array.fill(k)(next() + 1) // a in [1, P-1]
+    val bs = Array.fill(k)(next())
+    (as, bs)
+  }
+
+  /** MinHash signature per id: k permutations of xxhash64(shingle) via
+    * (a*h + b) mod P, all computed in one map-side-combinable aggregation.
+    */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val (as, bs) = coeffs(k)
+    val h = pmod(xxhash64(col("shingle")), lit(MinhashPrime))
+    val aggs = (0 until k).map(i => min((lit(as(i)) * h + lit(bs(i))) % MinhashPrime).as(s"mh$i"))
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: ids sharing any band signature become candidate pairs.
+    * Band self-join replaces the quadratic all-pairs comparison.
+    */
+  def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until rowsPerBand).map(j => col(s"mh${b * rowsPerBand + j}").as(s"r$j")): _*)
+    }
+    val exploded = sig.select(col("id"), explode(array(bandStructs: _*)).as("bsig"))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.bsig") === col("b.bsig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs with exact Jaccard verification of the
+    * candidates (the standard candidate-then-verify pipeline). With
+    * bands=64 x rows=2 (k=128) recall at tau>=0.7 is ~1-1e-10, so the
+    * verified output equals the brute-force >= tau pair set.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, tau: Double,
+                          k: Int = 128, bands: Int = 64): DataFrame = {
+    val rowsPerBand = k / bands
+    val sh = shingles(df, idCol, textCol, n)
+    val cands = lshCandidatePairs(minhashSignatures(sh, k), bands, rowsPerBand)
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // verify: intersection size restricted to candidate pairs
+    val inter = cands
+      .join(sh.as("sa"), col("ia") === col("sa.id"))
+      .join(sh.as("sb"), col("ib") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.as("ca"), col("ia") === col("ca.id"))
+      .join(counts.as("cb"), col("ib") === col("cb.id"))
+      .select(col("ia"), col("ib"),
+        (col("inter").cast("double") /
+          (col("ca.n_sh") + col("cb.n_sh") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** 64-bit SimHash per document over word unigrams. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+    val h = xxhash64(col("w"))
+    val bitAggs = (0 until 64).map { j =>
+      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val sums = words.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sig = (0 until 64).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs within `maxDist` Hamming distance.
+    * Pigeonhole blocking on 4x16-bit chunks guarantees recall for
+    * maxDist <= 3; larger distances are best-effort (approximate operator).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int): DataFrame = {
+    val sig = simhash64(df, idCol, textCol)
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("c"), shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("v")))
+    val exploded = sig.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("chunk"))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k with the query side broadcast — the
+  * candidate side streams through executors, so the operator scales to any
+  * corpus size as long as the query batch is broadcastable. Scale path: IVF
+  * partitioning (coarse quantizer -> per-cell search) cuts the scanned
+  * fraction to ~nprobe/ncells.
+  */
+object SimilarityOps {
+  /** Cast to double once; all distance math stays in codegen'd
+    * higher-order functions (no UDF).
+    */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k: for every query vector (filter `queryPred`),
+    * the k nearest other vectors. Similarity is rounded to `roundDigits`
+    * before ranking so results are reproducible across engines; ties break
+    * on neighbor id.
+    */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 queryPred: Column, k: Int, roundDigits: Int = 4): DataFrame = {
+    val base = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val q = base.filter(queryPred)
+      .select(col("vid").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val joined = base.join(broadcast(q), col("vid") =!= col("q_id"))
+    val factor = math.pow(10, roundDigits)
+    val sim = floor(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * factor) / factor
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    joined.select(col("q_id"), col("vid").as("neighbor_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style approximate search: assign every vector to its nearest
+    * coarse centroid (deterministically chosen as ids divisible by
+    * `centroidEvery`), then search only within the query's own cell.
+    * Approximate: neighbors in other cells are missed — that is the
+    * recall/cost trade the operator buys.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, centroidEvery: Int = 25): DataFrame = {
+    val base = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val cents = base.filter(col("vid") % centroidEvery === 0)
+      .select(col("vid").as("c_id"), col("v").as("cv"))
+    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val assigned = base.join(broadcast(cents), lit(true))
+      .withColumn("d2", d2)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vid")).orderBy(col("d2"), col("c_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("vid"), col("v"), col("nrm"), col("c_id").as("cell"))
+    val q = assigned.filter(queryPred)
+      .select(col("vid").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+    val joined = assigned.join(broadcast(q), Seq("cell")).filter(col("vid") =!= col("q_id"))
+    val sim = floor(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * 10000.0) / 10000.0
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    joined.select(col("q_id"), col("vid").as("neighbor_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

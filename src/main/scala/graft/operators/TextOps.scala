@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. Every formula is
+  * deliberately engine-portable (length/replace/regex arithmetic) so a SQL
+  * oracle can replay it bit-for-bit.
+  */
+object TextOps {
+  /** Occurrences of `needle` in `hay` (non-overlapping), via
+    * length-difference — identical semantics in any SQL engine.
+    */
+  def countOccurrences(hay: Column, needle: String): Column =
+    (length(hay) - length(call_function("replace", hay, lit(needle), lit("")))) / needle.length
+
+  /** Space-padded word occurrence count (whole-word match). */
+  def countWord(text: Column, word: String): Column =
+    countOccurrences(concat(lit(" "), text, lit(" ")), s" $word ")
+
+  /** Marker words per language for the n-gram-heuristic language ID. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "bu", "le"),
+  )
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(w => countWord(text, w)).reduce(_ + _)
+
+  /** Predicted language = argmax of marker scores, ties resolved in
+    * LangMarkers declaration order.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> langScore(text, ms) }
+    // arm i fires when score_i >= every later score -> first maximum wins
+    val arms = scores.zipWithIndex.dropRight(1).map { case ((lang, s), i) =>
+      (scores.drop(i + 1).map(_._2).map(s >= _).reduce(_ && _), lang)
+    }
+    arms.foldRight(lit(scores.last._1): Column) {
+      case ((cond, lang), acc) => when(cond, lang).otherwise(acc)
+    }
+  }
+
+  def wordCount(text: Column): Column = size(split(text, " "))
+
+  /** Composite quality score in [0,1000] from length / avg-word-length /
+    * stopword-ratio components, integer arithmetic end-to-end: float sums
+    * of products can differ across engines (fused multiply-add), so each
+    * component quantizes with a single small-int division, where floor()
+    * of an IEEE quotient is engine-independent.
+    */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val words = wordCount(text).cast("long")
+    val cntThe = countWord(text, "the").cast("long")
+    val awlX1000 = floor(((nChars.cast("long") - words + 1) * 1000).cast("double") / words)
+    val compLen = least(words, lit(50L)) * 10
+    val compAwl = floor(least(awlX1000, lit(8000.0)) * 3 / 80)
+    val compStop = least(floor((cntThe * 2000).cast("double") / words), lit(200.0)).cast("long")
+    compLen + compAwl + compStop
+  }
+
+  /** Whitespace token count and a BPE-ish subword count (greedy <=4-char
+    * lowercase chunks) — both plain regex counts.
+    */
+  def whitespaceTokens(text: Column): Column = size(split(text, " "))
+  def subwordTokens(text: Column): Column = size(regexp_extract_all(text, lit("[a-z0-9]{1,4}"), lit(0)))
+}

@@ -1,0 +1,77 @@
+package graft.schema
+
+import java.time.Instant
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+/** Schema inference/evolution driver logic (ref: lib/typing/columns/diff.go,
+  * clients/shared/table.go:109-162, lib/destination/types/
+  * destination_table_config.go:103-129).
+  */
+object SchemaEvolution {
+  /** Columns never materialized to a destination (diff.go:16-19). */
+  private val transientCols = Set(graft.Constants.OnlySetDeleteCol)
+
+  case class Diff(toAdd: Seq[StructField], toDrop: Seq[StructField])
+
+  /** Source-vs-destination diff, keeping artie metadata columns off the
+    * drop list (diff.go:29-82).
+    */
+  def diff(source: StructType, destination: StructType): Diff = {
+    val srcNames = source.fieldNames.toSet
+    val dstNames = destination.fieldNames.toSet
+    Diff(
+      toAdd = source.fields.toSeq.filterNot(f => dstNames.contains(f.name) || transientCols.contains(f.name)),
+      toDrop = destination.fields.toSeq.filterNot(f => srcNames.contains(f.name) || f.name.startsWith("__artie")),
+    )
+  }
+
+  /** Union two frames whose schemas may have diverged: the result carries
+    * every column (first-appearance order), missing columns backfilled with
+    * typed nulls — the batch analog of ADD COLUMN + NULL backfill.
+    */
+  def unionEvolve(a: DataFrame, b: DataFrame): DataFrame = {
+    val fields = a.schema.fields.toSeq ++
+      b.schema.fields.toSeq.filterNot(f => a.schema.fieldNames.contains(f.name))
+    def align(df: DataFrame) = df.select(fields.map { f =>
+      if (df.schema.fieldNames.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    align(a).unionByName(align(b))
+  }
+
+  /** Destination-is-source-of-truth type reconciliation
+    * (MergeColumnsFromDestination, table_data.go:317-381): in-memory
+    * inferred kinds are overwritten by the destination's.
+    */
+  def mergeFromDestination(inMemory: StructType, destination: StructType): StructType = {
+    val dst = destination.fields.map(f => f.name -> f).toMap
+    StructType(inMemory.fields.map(f => dst.getOrElse(f.name, f)))
+  }
+
+  /** Column-drop confidence state machine (D3): a column may only be
+    * dropped after staying absent for the full grace window, and never off
+    * the back of a delete-only batch (table.go:130-162, constants.go:26).
+    */
+  case class DropCandidate(column: String, absentSince: Instant)
+
+  class DropConfidence(graceHours: Long = 4) {
+    private var candidates = Map.empty[String, Instant]
+
+    /** Record one batch's observation; returns columns now safe to drop. */
+    def observe(absentCols: Set[String], batchTime: Instant,
+                containsOtherOperations: Boolean): Seq[String] = {
+      if (!containsOtherOperations) return Nil // delete-only batch: no evidence
+      candidates = candidates.filter { case (c, _) => absentCols.contains(c) } ++
+        absentCols.filterNot(candidates.contains).map(_ -> batchTime)
+      candidates.collect {
+        case (c, since) if batchTime.isAfter(since.plusSeconds(graceHours * 3600)) => c
+      }.toSeq.sorted
+    }
+
+    def reset(column: String): Unit = candidates -= column
+    def pending: Map[String, Instant] = candidates
+  }
+}
