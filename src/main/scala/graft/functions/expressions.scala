@@ -61,11 +61,11 @@ object DebeziumCodec {
       val names = new java.util.ArrayList[String]()
       o.fieldNames().forEachRemaining(f => names.add(f))
       java.util.Collections.sort(names)
-      names.forEach(f => sorted.set(f, sortNode(o.get(f))): Unit)
+      names.forEach { f => sorted.set[JsonNode](f, sortNode(o.get(f))); () }
       sorted
     case a: ArrayNode =>
       val out = mapper.createArrayNode()
-      a.forEach(e => out.add(sortNode(e)): Unit)
+      a.forEach { e => out.add(sortNode(e)); () }
       out
     case other => other
   }
@@ -77,7 +77,10 @@ object DebeziumCodec {
     */
   def canonicalJson(s: String): String =
     try mapper.writeValueAsString(sortNode(mapper.readTree(s)))
-    catch { case _: Exception => null }
+    catch { case e: Exception =>
+      if (sys.props.contains("graft.debug")) e.printStackTrace()
+      null
+    }
 
   /** Deterministic 64-bit rolling fingerprint over unicode code points:
     * acc = (acc * 31 + cp) mod 1_000_000_007. Kept within int64 and simple

@@ -40,9 +40,13 @@ object CdcOps {
     val w = Window.partitionBy(pks.map(col): _*).orderBy(ordAsc: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toastCols.foldLeft(df) { (acc, name) =>
-      val healed = last(when(col(name) =!= lit(sentinel), col(name)), ignoreNulls = true).over(w)
-      // all-toast prefix keeps the sentinel (nothing to inherit yet)
-      acc.withColumn(name, coalesce(healed, col(name)))
+      // struct-wrap so a real NULL value is inheritable (distinguishable
+      // from "no prior real row"); only the sentinel triggers inheritance
+      val isReal = col(name).isNull || col(name) =!= lit(sentinel)
+      val lastReal = last(when(isReal, struct(col(name).as("v"))), ignoreNulls = true).over(w)
+      acc.withColumn(name,
+        when(col(name) === lit(sentinel) && lastReal.isNotNull, lastReal.getField("v"))
+          .otherwise(col(name))) // all-toast prefix keeps the sentinel
     }
   }
 

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{DedupOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupTextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash-LSH verified pairs equal brute-force jaccard pairs (recall check)") {
+    val docs = Tables.documents(spark, sf)
+    val brute = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.7)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashNearDupPairs(docs, "doc_id", "text", 3, 0.7)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute)
+    assert(brute.nonEmpty) // the testdata plants near-dups; empty would be vacuous
+  }
+
+  test("exact duplicates: synthetic dup collapses to one keeper") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.exactDuplicates(df, "doc_id", "text")
+      .orderBy("keep_id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("simhash: identical docs get identical signatures, near-dups small hamming") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words describing some other topic entirely here"),
+    ).toDF("doc_id", "text")
+    val sig = DedupOps.simhash64(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) > 8)
+    val pairs = DedupOps.simhashPairs(df, "doc_id", "text", 3)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("cosineTopK: self-similar planted vector ranks first") {
+    val base = (0 until 30).map(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 37 + j * 11) % 31) * 0.1f + 0.1f)))
+    // vec 30 = scaled near-copy of vec 0 (same direction -> cosine 1)
+    val rows = base :+ (30L, base.head._2.map(x => x * 1.5f))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = SimilarityOps.cosineTopK(df, "vec_id", "embedding", col("vid") === 0, 3)
+    val top = got.orderBy("rank").collect()
+    assert(top.head.getLong(1) == 30L) // nearest neighbor of 0 is its copy
+    assert(top.head.getDouble(2) >= 0.9999)
+  }
+
+  test("langId follows marker-count argmax with declaration-order ties") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"), // en markers dominate
+      (2L, "el perro de la casa que ladra"),    // es markers
+      (3L, "xyz qqq www"),                      // no markers: tie -> first lang (en)
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(got.toSeq == Seq("en", "es", "en"))
+  }
+
+  test("qualityScore is integer-valued in [0,1000] and favors longer docs") {
+    val df = Seq(
+      (1L, "a b", 3L),
+      (2L, ("the word " * 60).trim, 599L),
+    ).toDF("doc_id", "text", "n_chars")
+    val got = df.select(TextOps.qualityScore(col("text"), col("n_chars")).as("q"))
+      .collect().map(_.getLong(0))
+    assert(got.forall(q => q >= 0 && q <= 1000))
+    assert(got(1) > got(0))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.cdc.Envelope
+import graft.streaming.CdcPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end replay in the spirit of the reference's e2e test
+  * (e2e_tests/postgres/test.go:23-80): Debezium-envelope JSON -> stream ->
+  * decode -> micro-batch merge -> final table contents asserted.
+  */
+class StreamingCdcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rowSchema = StructType(Seq(
+    StructField("id", LongType), StructField("first_name", StringType),
+    StructField("email", StringType)))
+
+  private def env(op: String, id: Long, name: String, email: String): String = {
+    val row = s"""{"id":$id,"first_name":"$name","email":"$email"}"""
+    val (before, after) = if (op == "d") (row, "null") else ("null", row)
+    s"""{"payload":{"before":$before,"after":$after,"source":{"table":"customers"},"op":"$op","ts_ms":0}}"""
+  }
+
+  test("envelope decode: create/update/delete, tombstone skip, struct-string key") {
+    val df = Seq(
+      (env("c", 1, "sally", "s@x.com"), 0L),
+      (env("u", 1, "sally2", "s@x.com"), 1L),
+      (env("d", 2, "gone", "g@x.com"), 2L),
+      ("", 3L), // tombstone
+    ).toDF("value", "offset")
+    val out = Envelope.decodeRelational(df, rowSchema).orderBy("offset").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[String]("first_name") == "sally" && !out(0).getAs[Boolean](Constants.DeleteCol))
+    assert(out(1).getAs[String]("first_name") == "sally2")
+    // delete rows take `before` values
+    assert(out(2).getAs[Long]("id") == 2 && out(2).getAs[Boolean](Constants.DeleteCol))
+
+    val keys = Seq("Struct{id=1001}").toDF("key")
+      .select(Envelope.parseStructStringKey(col("key"), "id").as("id")).head
+    assert(keys.getString(0) == "1001")
+  }
+
+  test("streamed micro-batch merge reaches the reference e2e final state") {
+    val target = Files.createTempDirectory("graft_tgt").toString + "/customers"
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val decoded = Envelope.decodeRelational(ms.toDF().toDF("value", "offset"), rowSchema)
+    val cfg = CdcPipeline.Config(primaryKeys = Seq("id"), flushInterval = "1 seconds")
+    val q = CdcPipeline.start(decoded, cfg, target, ckpt)
+
+    // batch 1: three inserts
+    ms.addData(("", 0L), (env("c", 1, "sally", "s@x.com"), 1L),
+      (env("c", 2, "bob", "b@x.com"), 2L), (env("c", 3, "eve", "e@x.com"), 3L))
+    q.processAllAvailable()
+    // batch 2: update sally (twice - last wins), delete bob, insert dan
+    ms.addData((env("u", 1, "sally_mid", "s@x.com"), 4L),
+      (env("u", 1, "sally_new", "s2@x.com"), 5L),
+      (env("d", 2, "bob", "b@x.com"), 6L), (env("c", 4, "dan", "d@x.com"), 7L))
+    q.processAllAvailable()
+    q.stop()
+
+    val finalState = spark.read.parquet(target)
+      .select("id", "first_name").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(finalState.toSeq == Seq((1L, "sally_new"), (3L, "eve"), (4L, "dan")))
+  }
+
+  test("history mode appends every operation instead of merging") {
+    val target = Files.createTempDirectory("graft_hist").toString + "/t"
+    val batch = Seq(
+      (env("c", 1, "a", "a@x"), 0L), (env("u", 1, "b", "a@x"), 1L), (env("d", 1, "b", "a@x"), 2L),
+    ).toDF("value", "offset")
+    val decoded = Envelope.decodeRelational(batch, rowSchema)
+    CdcPipeline.applyBatch(decoded, CdcPipeline.Config(Seq("id"), historyMode = true), target)
+    val out = spark.read.parquet(target)
+    assert(out.count() == 3)
+    assert(out.columns.contains(Constants.OperationCol))
+    assert(!out.columns.contains(Constants.DeleteCol))
+  }
+
+  test("row transforms: skip ops, exclude and hash columns") {
+    val batch = Seq(
+      (env("c", 1, "a", "secret@x"), 0L), (env("d", 1, "a", "secret@x"), 1L),
+    ).toDF("value", "offset")
+    val decoded = Envelope.decodeRelational(batch, rowSchema)
+    val cfg = CdcPipeline.Config(Seq("id"), skippedOperations = Set("d"),
+      columnsToExclude = Seq("first_name"), columnsToHash = Seq("email"))
+    val out = CdcPipeline.applyRowTransforms(decoded, cfg).collect()
+    assert(out.length == 1)
+    assert(!out.head.schema.fieldNames.contains("first_name"))
+    assert(out.head.getAs[String]("email").matches("[0-9a-f]{64}"))
+  }
+}
