@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * pairwise loop — so they scale with shuffle partitions at 100 TB.
   */
 object DedupOps {
-  /** Word n-gram shingle array of a text column (space tokenized). */
-  def shingleArray(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
+  /** Word n-gram shingle array over a pre-materialized token array. The
+    * token array must be a bound column, not an expression — an expression
+    * would be re-evaluated per lambda element (n per shingle).
+    */
+  def shingleArrayFromTokens(toks: Column, n: Int): Column = {
     val cnt = size(toks) - (n - 1)
     when(cnt >= 1,
       transform(sequence(lit(1), cnt), i =>
@@ -19,9 +21,22 @@ object DedupOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Exploded distinct (id, shingle) pairs — the inverted-index relation. */
+  /** Word n-gram shingle array of a text column (space tokenized).
+    * Convenience form; prefer [[shingles]] for bulk work.
+    */
+  def shingleArray(text: Column, n: Int): Column =
+    shingleArrayFromTokens(split(text, " "), n)
+
+  /** Exploded distinct (id, shingle) pairs — the inverted-index relation.
+    * Repartitions on the id first: small document corpora arrive as one
+    * parquet split, and the explode is the CPU-heavy stage — it must fan
+    * out across executors. The id partitioning is then reused for free by
+    * downstream groupBy(id) aggregations (minhash signatures, counts).
+    */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), explode(shingleArray(col(textCol), n)).as("shingle"))
+    df.repartition(col(idCol))
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .select(col("id"), explode(shingleArrayFromTokens(col("__toks"), n)).as("shingle"))
       .distinct()
 
   /** Exact duplicate groups by content hash: (keep_id, n_dups). */
@@ -73,9 +88,12 @@ object DedupOps {
     */
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
     val (as, bs) = coeffs(k)
-    val h = pmod(xxhash64(col("shingle")), lit(MinhashPrime))
+    // materialize the base hash once per shingle; the k permutations are
+    // then one mul+add+mod each inside the map-side partial min
+    val hashed = sh.withColumn("__h", pmod(xxhash64(col("shingle")), lit(MinhashPrime)))
+    val h = col("__h")
     val aggs = (0 until k).map(i => min((lit(as(i)) * h + lit(bs(i))) % MinhashPrime).as(s"mh$i"))
-    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: ids sharing any band signature become candidate pairs.
@@ -95,12 +113,13 @@ object DedupOps {
 
   /** MinHash-LSH near-dup pairs with exact Jaccard verification of the
     * candidates (the standard candidate-then-verify pipeline). With
-    * bands=64 x rows=2 (k=128) recall at tau>=0.7 is ~1-1e-10, so the
-    * verified output equals the brute-force >= tau pair set.
+    * bands=48 x rows=2 (k=96) the per-pair miss probability at tau>=0.7 is
+    * (1-0.49)^48 ~ 1e-14, so the verified output equals the brute-force
+    * >= tau pair set.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int, tau: Double,
-                          k: Int = 128, bands: Int = 64): DataFrame = {
+                          k: Int = 96, bands: Int = 48): DataFrame = {
     val rowsPerBand = k / bands
     val sh = shingles(df, idCol, textCol, n)
     val cands = lshCandidatePairs(minhashSignatures(sh, k), bands, rowsPerBand)
@@ -121,7 +140,8 @@ object DedupOps {
 
   /** 64-bit SimHash per document over word unigrams. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+    val words = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
     val h = xxhash64(col("w"))
     val bitAggs = (0 until 64).map { j =>
       sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")

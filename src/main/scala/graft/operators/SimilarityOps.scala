@@ -60,12 +60,13 @@ object SimilarityOps {
       .select(col("vid").as("c_id"), col("v").as("cv"))
     val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
+    // argmin over broadcast centroids via min_by: map-side combinable, no
+    // window shuffle; ties break on centroid id for determinism
     val assigned = base.join(broadcast(cents), lit(true))
       .withColumn("d2", d2)
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("vid")).orderBy(col("d2"), col("c_id"))))
-      .filter(col("rnk") === 1)
-      .select(col("vid"), col("v"), col("nrm"), col("c_id").as("cell"))
+      .groupBy(col("vid"))
+      .agg(min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("cell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
     val q = assigned.filter(queryPred)
       .select(col("vid").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
     val joined = assigned.join(broadcast(q), Seq("cell")).filter(col("vid") =!= col("q_id"))
