@@ -68,4 +68,53 @@ object Envelope {
   /** `Struct{id=1001}` -> value of `field` as string (keys.go:76-96). */
   def parseStructStringKey(key: Column, field: String): Column =
     regexp_extract(key.cast(StringType), s"[{,]\\s*$field=([^,}]*)", 1)
+
+  /** S4: MongoDB Debezium envelope — before/after arrive as extended-JSON
+    * *strings* (lib/cdc/mongo/debezium.go:24-97). Normalizes extended JSON
+    * to plain JSON, surfaces `_id` as the PK column (the reference's
+    * id -> _id rename), keeps the document as a JSON string column
+    * (Struct kind semantics, §1.2).
+    */
+  def decodeMongo(df: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("payload", StructType(Seq(
+        StructField("before", StringType),
+        StructField("after", StringType),
+        StructField("updateDescription", StringType),
+        StructField("source", MapType(StringType, StringType)),
+        StructField("op", StringType),
+        StructField("ts_ms", LongType),
+      )))))
+    val decoded = df
+      .filter(col("value").isNotNull && length(col("value")) > 0)
+      .withColumn("__p", from_json(col("value").cast(StringType), schema).getField("payload"))
+    val isDelete = col("__p.op") === "d"
+    val rawDoc = when(isDelete, col("__p.before")).otherwise(col("__p.after"))
+    val doc = graft.functions.Converters.mongoExtJson(rawDoc)
+    val carried = Seq("offset", "partition", "timestamp")
+      .filter(df.columns.contains).map(col)
+    decoded.select(Seq(
+      get_json_object(doc, "$._id").as("_id"),
+      doc.as("document"),
+      col("__p.op").as(Constants.OperationCol),
+      isDelete.as(Constants.DeleteCol),
+      col("__p.ts_ms").as("__source_ts_ms"),
+      to_json(col("__p.source")).as(Constants.SourceMetadataCol),
+    ) ++ carried: _*)
+  }
+}
+
+/** S2: CDC format registry (lib/cdc/format/format.go:14-29) — label ->
+  * envelope decoder.
+  */
+object FormatRegistry {
+  /** Decoders take (kafka frame df, row schema); Mongo ignores the schema
+    * (documents are schemaless JSON strings).
+    */
+  def decoder(label: String): (DataFrame, StructType) => DataFrame = label match {
+    case "debezium.relational" => Envelope.decodeRelational
+    case "debezium.mongodb" => (df, _) => Envelope.decodeMongo(df)
+    case other => throw new IllegalArgumentException(
+      s"unsupported CDC format label: $other (expected debezium.relational | debezium.mongodb)")
+  }
 }

@@ -80,6 +80,36 @@ object Converters {
     when(year(ts).between(1, 9999), ts)
   }
 
+  /** F4: "HH:mm:ss.SSSSSS+TZ" time-with-timezone parse -> canonical
+    * offset-preserving string (converters/time.go:96-118).
+    */
+  def timeWithTimezone(s: Column): Column =
+    date_format(to_timestamp(concat(lit("1970-01-01T"), s)), "HH:mm:ss.SSSSSSXXX")
+
+  /** F10: EWKB geometry (b64 in Debezium payloads) -> GeoJSON Feature. */
+  def ewkbGeoJson(wkbB64: Column): Column =
+    c(EwkbToGeoJson(e(unbase64(wkbB64))))
+
+  /** F10 Point variant: x/y fields -> GeoJSON Feature (geometry.go:40-70). */
+  def pointGeoJson(x: Column, y: Column): Column =
+    concat(lit("""{"type":"Feature","geometry":{"type":"Point","coordinates":["""),
+      x.cast(StringType), lit(","), y.cast(StringType), lit("]}}"))
+
+  /** S4: Mongo extended JSON -> plain JSON string. */
+  def mongoExtJson(s: Column): Column = c(MongoExtJson(e(s)))
+
+  /** F9: bits/bytes passthrough as base64 (basic.go:50-64). */
+  def bitsToBase64(b: Column): Column = base64(b)
+
+  /** P4: AES-GCM column encryption (non-deterministic; never applied to
+    * PKs — enforced in CdcPipeline.Config, ref topic.go:297-314).
+    */
+  def encryptColumn(data: Column, key: Column): Column =
+    base64(call_function("aes_encrypt", data.cast(BinaryType), key.cast(BinaryType), lit("GCM")))
+
+  def decryptColumn(dataB64: Column, key: Column): Column =
+    call_function("aes_decrypt", unbase64(dataB64), key.cast(BinaryType), lit("GCM")).cast(StringType)
+
   /** F13: float with "NaN" -> null (basic.go:67-96). */
   def float64NanNull(s: Column): Column =
     when(s === lit("NaN"), lit(null)).otherwise(s.cast(DoubleType))

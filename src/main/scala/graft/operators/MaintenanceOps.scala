@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.Constants
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Maintenance operators (SURVEY §2.8): full-table dedupe (D5), temp-name
+  * TTL sweep (D6), default-value backfill (D7).
+  */
+object MaintenanceOps {
+  /** D5: remove full duplicates keeping the first row per PK by the order
+    * columns — the frame-level twin of MergeSqlBuilder.buildDedupe
+    * (clients/iceberg/dialect/dialect.go:61-101).
+    */
+  def dedupeTable(df: DataFrame, pks: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(pks.map(col): _*)
+      .orderBy((pks ++ orderCols).map(c => col(c).asc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private val TempTableSuffix = "__artie"
+  /** Temp-object TTL is 6 h in the reference (constants.go:39). */
+  val DefaultTtlSeconds: Long = 6 * 3600
+
+  /** D6: TTL-encoded staging name `base__artie_<rand>_<expiryUnix>`
+    * (clients/shared/temp_table.go:20-43).
+    */
+  def tempName(base: String, nowEpochS: Long, ttlSeconds: Long = DefaultTtlSeconds,
+               salt: String = "stg"): String =
+    s"$base${TempTableSuffix}_${salt}_${nowEpochS + ttlSeconds}"
+
+  /** D6: should a staging object be swept? (expiry encoded in the name,
+    * lib/destination/ddl/expiry.go:12).
+    */
+  def shouldSweep(name: String, nowEpochS: Long): Boolean = {
+    val m = s".*${TempTableSuffix}_[^_]+_(\\d{9,12})$$".r
+    name match {
+      case m(expiry) => expiry.toLong < nowEpochS
+      case _ => false
+    }
+  }
+
+  /** D7: backfill columns that are NULL with their source-declared default
+    * (clients/shared/default_value.go + merge.go:109-144). Frame-level
+    * twin of `UPDATE t SET c = default WHERE c IS NULL`.
+    */
+  def backfillDefaults(df: DataFrame, defaults: Map[String, Column]): DataFrame =
+    defaults.foldLeft(df) { case (acc, (name, default)) =>
+      if (acc.columns.contains(name))
+        acc.withColumn(name, coalesce(col(name), default))
+      else acc.withColumn(name, default)
+    }
+
+  /** Merge-assertion (clients/shared/merge.go:194-209): the merged frame
+    * must account for at least the buffered row count (rows can only be
+    * net-added or replaced, never silently lost). Returns the merged count.
+    */
+  def assertMergeCovered(mergedCount: Long, baseCount: Long, deletedCount: Long,
+                         insertedCount: Long): Unit = {
+    val expectedMin = baseCount - deletedCount
+    require(mergedCount >= expectedMin,
+      s"merge assertion failed: merged=$mergedCount < base=$baseCount - deletes=$deletedCount")
+    require(mergedCount <= baseCount + insertedCount,
+      s"merge assertion failed: merged=$mergedCount > base=$baseCount + inserts=$insertedCount")
+  }
+}

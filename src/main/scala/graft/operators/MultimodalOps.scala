@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines: media rides as
+  * an opaque `binary` column + typed metadata struct; decode /
+  * frame-sample / feature-extract are per-partition batch stages.
+  *
+  * The actual codec call is STUBBED (no image/audio libraries in this
+  * environment): `decodeStub` derives deterministic fake pixel batches
+  * from the bytes. Everything around it — the schema contract, the
+  * id-partitioned batch shape, the Dataset encoders, the explode of frames
+  * — is the real pipeline and is what a production codec would drop into.
+  */
+object MultimodalOps {
+  /** Canonical media column schema: binary payload + typed metadata. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+  ))
+
+  def packMedia(content: Column, mime: Column, width: Column, height: Column,
+                durationMs: Column): Column =
+    struct(mime.as("mime"), width.cast(IntegerType).as("width"),
+      height.cast(IntegerType).as("height"), durationMs.cast(LongType).as("duration_ms"))
+
+  case class Frame(media_id: Long, frame_idx: Int, width: Int, height: Int,
+                   pixels: Array[Byte])
+
+  /** The stubbed codec: a real implementation would hand `bytes` to an
+    * image/video library here. The stub emits `nFrames` deterministic
+    * 8x8 "frames" derived from a rolling hash of the payload, preserving
+    * the batch shape (one media item -> N frame rows).
+    */
+  private[operators] def decodeStub(id: Long, bytes: Array[Byte], nFrames: Int): Seq[Frame] = {
+    val side = 8
+    (0 until nFrames).map { f =>
+      val px = new Array[Byte](side * side)
+      var acc = id * 31 + f
+      var i = 0
+      while (i < px.length) {
+        val b = if (bytes.isEmpty) 0 else bytes(((acc % bytes.length) + bytes.length).toInt % bytes.length)
+        acc = acc * 6364136223846793005L + b
+        px(i) = (acc >>> 56).toByte
+        i += 1
+      }
+      Frame(id, f, side, side, px)
+    }
+  }
+
+  /** Frame-sample stage: (id, binary) -> Dataset[Frame]. Repartitions on
+    * the media id so codec CPU fans out across executors, then runs the
+    * decoder per partition — the shape a JNI/native codec needs (batch
+    * init amortized per partition, not per row).
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+                   framesPerItem: Int = 4): Dataset[Frame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.repartition(col(idCol))
+      .select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec init would go here
+        it.flatMap { case (id, bytes) => decodeStub(id, bytes, framesPerItem) }
+      }
+  }
+
+  case class FrameFeatures(media_id: Long, frame_idx: Int, mean_px: Double,
+                           min_px: Int, max_px: Int)
+
+  /** Feature-extract stage over decoded frames. Pixel buffers are binary
+    * (no higher-order functions apply), so features come from a typed map
+    * in the same partition-local pass a real extractor would use.
+    */
+  def frameFeatures(frames: Dataset[Frame]): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.map { f =>
+      var sum = 0L; var mn = 255; var mx = 0
+      f.pixels.foreach { b =>
+        val u = b & 0xFF
+        sum += u; if (u < mn) mn = u; if (u > mx) mx = u
+      }
+      val n = math.max(f.pixels.length, 1)
+      FrameFeatures(f.media_id, f.frame_idx, sum.toDouble / n, mn min mx, mx)
+    }.toDF()
+  }
+}

@@ -1,12 +1,12 @@
 package graft.streaming
 
 import graft.Constants
+import graft.functions.Converters
 import graft.operators.CdcOps
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming orchestration (SURVEY §3.1): Kafka source -> envelope decode ->
   * foreachBatch { dedupe -> merge } with checkpoint-based at-least-once +
@@ -16,7 +16,9 @@ import org.apache.spark.sql.types.StructType
   */
 object CdcPipeline {
   /** Per-pipeline knobs (subset of the reference's ~30-knob TopicConfig,
-    * lib/kafkalib/topic.go:170-227).
+    * lib/kafkalib/topic.go:170-227). `msmSteps` > 1 enables multi-step
+    * merge (D8): N flushes accumulate into a staging snapshot before one
+    * final merge into the target (clients/shared/multi_step_merge.go).
     */
   case class Config(
       primaryKeys: Seq[String],
@@ -28,7 +30,18 @@ object CdcPipeline {
       skippedOperations: Set[String] = Set.empty,
       columnsToExclude: Seq[String] = Nil,
       columnsToHash: Seq[String] = Nil,
-  )
+      columnsToEncrypt: Seq[String] = Nil,
+      encryptionKey: Option[String] = None,
+      staticColumns: Map[String, String] = Map.empty,
+      msmSteps: Int = 1,
+  ) {
+    // encryption is non-deterministic (AES-GCM) and would break PK joins —
+    // banned on primary keys like the reference (topic.go:297-314)
+    require(!primaryKeys.exists(columnsToEncrypt.contains),
+      s"primary keys cannot be encrypted: ${primaryKeys.intersect(columnsToEncrypt)}")
+    require(columnsToEncrypt.isEmpty || encryptionKey.nonEmpty,
+      "columnsToEncrypt requires encryptionKey")
+  }
 
   /** Kafka source (S1). Requires the kafka connector on the classpath; the
     * decode/merge stages below are source-agnostic and are tested with
@@ -43,46 +56,79 @@ object CdcPipeline {
       .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value",
         "offset", "partition", "timestamp")
 
-  /** P1-P3: operation skip filter, column exclusion, column hashing. */
+  /** P1-P5: operation skip filter, column exclusion, hashing, encryption,
+    * static column injection.
+    */
   def applyRowTransforms(df: DataFrame, cfg: Config): DataFrame = {
     val skipped =
       if (cfg.skippedOperations.isEmpty) df
       else df.filter(!col(Constants.OperationCol).isin(cfg.skippedOperations.toSeq: _*))
     val excluded = cfg.columnsToExclude.foldLeft(skipped)(_ drop _)
-    cfg.columnsToHash.foldLeft(excluded) { (acc, c) =>
+    val hashed = cfg.columnsToHash.foldLeft(excluded) { (acc, c) =>
       if (acc.columns.contains(c)) acc.withColumn(c, sha2(col(c).cast("string"), 256)) else acc
+    }
+    val encrypted = cfg.columnsToEncrypt.foldLeft(hashed) { (acc, c) =>
+      if (acc.columns.contains(c))
+        acc.withColumn(c, Converters.encryptColumn(col(c), lit(cfg.encryptionKey.get)))
+      else acc
+    }
+    cfg.staticColumns.foldLeft(encrypted) { case (acc, (name, value)) =>
+      acc.withColumn(name, lit(value))
     }
   }
 
-  /** One micro-batch flush: dedupe the batch last-wins, then merge into the
-    * parquet snapshot at `targetPath` (write-new-then-swap keeps readers
-    * consistent; a MERGE-capable catalog would run
-    * MergeSqlBuilder.buildMerge instead).
+  /** Merge a change frame into the parquet snapshot at `path`
+    * (write-new-then-swap keeps readers consistent; a MERGE-capable
+    * catalog would run MergeSqlBuilder.buildMerge instead).
     */
-  def applyBatch(batch: DataFrame, cfg: Config, targetPath: String): Unit = {
+  private def mergeIntoSnapshot(changes: DataFrame, cfg: Config, path: String,
+                                soft: Boolean): Unit = {
+    val spark = changes.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseCols = changes.columns.filterNot(c =>
+      c == Constants.DeleteCol || c == Constants.OnlySetDeleteCol)
+    val base =
+      if (fs.exists(new Path(path))) spark.read.parquet(path)
+      else {
+        val cols = if (soft) baseCols :+ Constants.DeleteCol else baseCols
+        changes.select(cols.distinct.map(col).toSeq: _*).limit(0)
+      }
+    val merged = CdcOps.mergeApply(base, changes, cfg.primaryKeys,
+      Seq(col(cfg.orderCol)), soft, cfg.toastCols)
+    val tmp = new Path(path + "__staging")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val dst = new Path(path)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(tmp, dst)
+  }
+
+  /** One micro-batch flush. With msmSteps > 1, batches accumulate in a
+    * soft-merged staging snapshot (delete markers preserved); every Nth
+    * batch the staging set merges into the target and the staging snapshot
+    * resets (D8).
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, cfg: Config, targetPath: String): Unit = {
     if (batch.isEmpty) return
-    val spark = batch.sparkSession
     val transformed = applyRowTransforms(batch, cfg)
     if (cfg.historyMode) {
       CdcOps.historyProjection(transformed, col(Constants.OperationCol))
         .write.mode("append").parquet(targetPath)
       return
     }
-    val changes = transformed
-    val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val baseCols = changes.columns.filterNot(c =>
-      c == Constants.DeleteCol || c == Constants.OnlySetDeleteCol || c == Constants.OperationCol)
-    val base =
-      if (fs.exists(new Path(targetPath))) spark.read.parquet(targetPath)
-      else changes.select(baseCols.map(col).toSeq: _*).limit(0)
-    val merged = CdcOps.mergeApply(
-      base, changes.drop(Constants.OperationCol), cfg.primaryKeys,
-      Seq(col(cfg.orderCol)), cfg.softDelete, cfg.toastCols)
-    val tmp = new Path(targetPath + "__staging")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val dst = new Path(targetPath)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(tmp, dst)
+    val changes = transformed.drop(Constants.OperationCol)
+    if (cfg.msmSteps <= 1) {
+      mergeIntoSnapshot(changes, cfg, targetPath, cfg.softDelete)
+    } else {
+      val stagingPath = targetPath + "__msm"
+      mergeIntoSnapshot(changes, cfg, stagingPath, soft = true)
+      if ((batchId + 1) % cfg.msmSteps == 0) {
+        val spark = batch.sparkSession
+        val staged = spark.read.parquet(stagingPath)
+        mergeIntoSnapshot(staged, cfg, targetPath, cfg.softDelete)
+        val fs = new Path(stagingPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(stagingPath), true)
+      }
+    }
   }
 
   /** Wire a decoded change stream into the micro-batch merge sink. The
@@ -94,6 +140,6 @@ object CdcPipeline {
     decoded.writeStream
       .trigger(Trigger.ProcessingTime(cfg.flushInterval))
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) => applyBatch(batch, cfg, targetPath) }
+      .foreachBatch { (batch: DataFrame, id: Long) => applyBatch(batch, id, cfg, targetPath) }
       .start()
 }

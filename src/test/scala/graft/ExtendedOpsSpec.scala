@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.cdc.{Envelope, FormatRegistry}
+import graft.functions.{Converters, GeoMongoCodec}
+import graft.operators.{MaintenanceOps, MultimodalOps}
+import graft.streaming.CdcPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtendedOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- geometry (F10) ------------------------------------------------------
+
+  test("EWKB point (little-endian, with SRID) decodes to GeoJSON Feature") {
+    // POINT(1 2) EWKB with SRID=4326: 01 01000020 E6100000 x y
+    val bb = java.nio.ByteBuffer.allocate(25).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(0x20000001).putInt(4326).putDouble(1.0).putDouble(2.0)
+    val out = GeoMongoCodec.ewkbToGeoJson(bb.array())
+    assert(out == """{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]}}""")
+  }
+
+  test("EWKB linestring decodes; unknown geometry type yields null") {
+    val bb = java.nio.ByteBuffer.allocate(1 + 4 + 4 + 32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(2).putInt(2).putDouble(0).putDouble(0).putDouble(3).putDouble(4)
+    assert(GeoMongoCodec.ewkbToGeoJson(bb.array())
+      == """{"type":"Feature","geometry":{"type":"LineString","coordinates":[[0,0],[3,4]]}}""")
+    val bad = java.nio.ByteBuffer.allocate(5).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.put(1.toByte).putInt(99)
+    assert(GeoMongoCodec.ewkbToGeoJson(bad.array()) == null)
+  }
+
+  test("point x/y column converter emits the reference GeoJSON shape") {
+    val out = Seq((1.5, -2.25)).toDF("x", "y")
+      .select(Converters.pointGeoJson(col("x"), col("y")).as("g")).head.getString(0)
+    assert(out == """{"type":"Feature","geometry":{"type":"Point","coordinates":[1.5,-2.25]}}""")
+  }
+
+  // ---- mongo extended JSON (S4) -------------------------------------------
+
+  test("mongo extended JSON normalizes $oid/$date/$numberLong wrappers") {
+    val ext = """{"_id":{"$oid":"65d3a9f0c8b4f01234567890"},"n":{"$numberLong":"42"},
+      "at":{"$date":{"$numberLong":"1700000000000"}},"nested":{"d":{"$numberDouble":"1.5"}},"s":"plain"}"""
+    val plain = GeoMongoCodec.mongoExtJsonToPlain(ext)
+    assert(plain.contains(""""_id":"65d3a9f0c8b4f01234567890""""))
+    assert(plain.contains(""""n":42"""))
+    assert(plain.contains(""""at":"2023-11-14T22:13:20Z""""))
+    assert(plain.contains(""""d":1.5"""))
+  }
+
+  test("decodeMongo surfaces _id, normalized document, delete markers") {
+    val after = """{\"_id\":{\"$oid\":\"abc123\"},\"name\":\"sally\"}"""
+    val value = s"""{"payload":{"before":null,"after":"$after","source":{"db":"x"},"op":"c","ts_ms":5}}"""
+    val df = Seq((value, 0L)).toDF("value", "offset")
+    val out = Envelope.decodeMongo(df).head
+    assert(out.getAs[String]("_id") == "abc123")
+    assert(out.getAs[String]("document") == """{"_id":"abc123","name":"sally"}""")
+    assert(!out.getAs[Boolean](Constants.DeleteCol))
+  }
+
+  test("format registry dispatches by label and rejects unknown") {
+    assert(FormatRegistry.decoder("debezium.relational") != null)
+    assert(FormatRegistry.decoder("debezium.mongodb") != null)
+    intercept[IllegalArgumentException](FormatRegistry.decoder("artie.unknown"))
+  }
+
+  // ---- converters (F4, P4) -------------------------------------------------
+
+  test("time-with-timezone parses offset times") {
+    val out = Seq("10:01:02.123456+05:00").toDF("s")
+      .select(Converters.timeWithTimezone(col("s")).as("t")).head.getString(0)
+    // normalized to session TZ (UTC) with offset rendered
+    assert(out == "05:01:02.123456Z")
+  }
+
+  test("aes-gcm encrypt/decrypt round-trips and is non-deterministic") {
+    val key = "0123456789abcdef"
+    def encryptOnce(): String = Seq("secret-value").toDF("v")
+      .select(Converters.encryptColumn(col("v"), lit(key)).as("e")).head.getString(0)
+    // separate queries: within one projection Spark CSEs identical exprs
+    val e1 = encryptOnce()
+    val e2 = encryptOnce()
+    assert(e1 != e2) // GCM random IV
+    val dec = Seq(e1).toDF("e")
+      .select(Converters.decryptColumn(col("e"), lit(key)).as("d")).head.getString(0)
+    assert(dec == "secret-value")
+  }
+
+  test("config bans encrypting primary keys") {
+    intercept[IllegalArgumentException](
+      CdcPipeline.Config(Seq("id"), columnsToEncrypt = Seq("id"), encryptionKey = Some("k")))
+  }
+
+  // ---- maintenance (D5-D7) -------------------------------------------------
+
+  test("dedupeTable keeps first row per PK by order cols") {
+    val df = Seq((1L, "2024-01-02", "late"), (1L, "2024-01-01", "early"), (2L, "2024-01-01", "only"))
+      .toDF("id", "at", "v")
+    val got = MaintenanceOps.dedupeTable(df, Seq("id"), Seq("at"))
+      .orderBy("id").collect().map(_.getString(2))
+    assert(got.toSeq == Seq("early", "only"))
+  }
+
+  test("temp names encode TTL; sweep detects expiry") {
+    val name = MaintenanceOps.tempName("db.orders", nowEpochS = 1700000000L)
+    assert(name == s"db.orders__artie_stg_${1700000000L + 6 * 3600}")
+    assert(!MaintenanceOps.shouldSweep(name, 1700000000L))
+    assert(MaintenanceOps.shouldSweep(name, 1700000000L + 7 * 3600))
+    assert(!MaintenanceOps.shouldSweep("db.orders", 1700000000L))
+  }
+
+  test("backfillDefaults fills nulls and adds missing columns") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "set")).toDF("id", "v")
+    val got = MaintenanceOps.backfillDefaults(df,
+      Map("v" -> lit("dflt"), "extra" -> lit(9)))
+      .orderBy("id").collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("dflt", "set"))
+    assert(got.map(_.getInt(2)).toSeq == Seq(9, 9))
+  }
+
+  // ---- multimodal ----------------------------------------------------------
+
+  test("multimodal frame sampling preserves batch shape; features are codegen exprs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    val frames = MultimodalOps.sampleFrames(docs, "doc_id", "content", framesPerItem = 3)
+    assert(frames.count() == 60) // 20 items x 3 frames
+    val feats = MultimodalOps.frameFeatures(frames)
+    assert(feats.columns.toSeq == Seq("media_id", "frame_idx", "mean_px", "min_px", "max_px"))
+    val r = feats.filter(col("media_id") === 0 && col("frame_idx") === 0).head
+    assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 255)
+    // determinism: same input -> same stub frames
+    val again = MultimodalOps.frameFeatures(
+      MultimodalOps.sampleFrames(docs, "doc_id", "content", 3))
+      .filter(col("media_id") === 0 && col("frame_idx") === 0).head
+    assert(again.getDouble(2) == r.getDouble(2))
+  }
+
+  test("packMedia produces the canonical metadata struct") {
+    val df = Seq(("img", 640, 480, 0L)).toDF("m", "w", "h", "d")
+      .select(MultimodalOps.packMedia(lit(Array[Byte](1, 2)), col("m"), col("w"), col("h"), col("d")).as("meta"))
+    assert(df.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("mime", "width", "height", "duration_ms"))
+  }
+
+  // ---- MSM (D8) ------------------------------------------------------------
+
+  test("multi-step merge accumulates batches in staging, flushes every Nth") {
+    val target = Files.createTempDirectory("graft_msm").toString + "/t"
+    val cfg = CdcPipeline.Config(Seq("id"), orderCol = "off", msmSteps = 2)
+    def batch(rows: (Long, String, Long, Boolean)*) =
+      rows.toDF("id", "name", "off", Constants.DeleteCol)
+        .withColumn(Constants.OperationCol, lit("u"))
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    CdcPipeline.applyBatch(batch((1L, "a", 1L, false)), 0L, cfg, target)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(target))) // staged only
+    assert(fs.exists(new org.apache.hadoop.fs.Path(target + "__msm")))
+
+    CdcPipeline.applyBatch(batch((1L, "a2", 2L, false), (2L, "b", 3L, false)), 1L, cfg, target)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(target))) // flushed
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(target + "__msm"))) // staging reset
+    val got = spark.read.parquet(target).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name")))
+    assert(got.toSeq == Seq((1L, "a2"), (2L, "b")))
+  }
+}

@@ -78,7 +78,7 @@ class StreamingCdcSpec extends AnyFunSuite {
       (env("c", 1, "a", "a@x"), 0L), (env("u", 1, "b", "a@x"), 1L), (env("d", 1, "b", "a@x"), 2L),
     ).toDF("value", "offset")
     val decoded = Envelope.decodeRelational(batch, rowSchema)
-    CdcPipeline.applyBatch(decoded, CdcPipeline.Config(Seq("id"), historyMode = true), target)
+    CdcPipeline.applyBatch(decoded, 0L, CdcPipeline.Config(Seq("id"), historyMode = true), target)
     val out = spark.read.parquet(target)
     assert(out.count() == 3)
     assert(out.columns.contains(Constants.OperationCol))
