@@ -94,14 +94,16 @@ FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionke
 ORDER BY s_acctbal DESC, s_suppkey LIMIT 100""")),
 
     ("q05_anti_join", (s, d) => {
-      val o = Tables.orders(s, d)
+      val early = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1996-01-01").cast(TimestampType))
       Tables.customer(s, d)
-        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(early, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
     },
       Some("""SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""")),
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate < TIMESTAMP '1996-01-01')
+ORDER BY c_custkey""")),
 
     ("q06_semi_join", (s, d) => {
       val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
@@ -374,6 +376,60 @@ octet_length(encode(text)) AS byte_len,
 lower(hex(encode(substring(text, 1, 8)))) AS head_hex,
 sha256(text) AS content_sha256,
 octet_length(encode(text)) // 64 AS n_frames
+FROM documents ORDER BY doc_id""")),
+    ("q31_dedup_embedding", (s, d) =>
+      SimilarityOps.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
+        .orderBy(col("ia"), col("ib")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS ia, b.vec_id AS ib,
+floor(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000.0) / 10000.0 AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE floor(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000.0) / 10000.0 >= 0.45
+ORDER BY ia, ib""")),
+
+    ("q32_window_analytics", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(d2(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("running_spend"),
+        lag(col("o_orderdate"), 1).over(w).as("prev_order_date"),
+        row_number().over(w).cast(LongType).as("order_seq"))
+        .orderBy(col("o_custkey"), col("order_seq"))
+    },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_spend,
+lag(o_orderdate, 1) OVER w AS prev_order_date,
+ROW_NUMBER() OVER w AS order_seq
+FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, order_seq""")),
+
+    ("q33_dedupe_maintenance", (s, d) =>
+      graft.operators.MaintenanceOps.dedupeTable(
+        Tables.events(s, d), Seq("user_id", "event_type"), Seq("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("event_type")),
+      Some("""SELECT user_id, event_type, event_id, value FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY user_id, event_type, event_id) = 1
+ORDER BY user_id, event_type""")),
+
+    ("q34_multimodal_frames", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("content"))
+      graft.operators.MultimodalOps.frameFeatures(
+        graft.operators.MultimodalOps.sampleFrames(docs, "doc_id", "content", 4))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+      None),
+
+    ("q35_mongo_extjson", (s, d) => {
+      val ext = concat(lit("""{"_id":{"$numberLong":""""), col("doc_id"),
+        lit(""""},"lang":""""), col("lang"), lit(""""}"""))
+      Tables.documents(s, d).select(
+        col("doc_id"), Converters.mongoExtJson(ext).as("document"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""SELECT doc_id, '{"_id":' || doc_id || ',"lang":"' || lang || '"}' AS document
 FROM documents ORDER BY doc_id""")),
   )
 

@@ -179,3 +179,40 @@ case class Fingerprint64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Allocation-free dot product over two array<double> columns. The
+  * higher-order `aggregate(zip_with(...))` formulation materializes a
+  * zipped array per row; this expression is a tight codegen'd loop —
+  * the hot kernel of the similarity-search operators. Accumulation is
+  * strictly left-to-right (IEEE-deterministic, matching a sequential
+  * oracle implementation).
+  */
+case class DoubleArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += $a.getDouble($i) * $b.getDouble($i);
+        }
+        ${ev.value} = $s;
+      """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -18,11 +18,13 @@ object SimilarityOps {
     */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def l2Norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
-
+  /** Codegen'd allocation-free kernel (graft.functions.DoubleArrayDot). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftBridge.column(graft.functions.DoubleArrayDot(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
@@ -44,6 +46,23 @@ object SimilarityOps {
     joined.select(col("q_id"), col("vid").as("neighbor_id"), sim.as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs with similarity >=
+    * tau (quantized with engine-stable floor). Brute-force form — one side
+    * broadcast, candidate side streams; at corpus scale the LSH/IVF
+    * bucketing above bounds the candidate set instead.
+    */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         tau: Double): DataFrame = {
+    val base = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val a = base.select(col("vid").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("vid").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    val sim = floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 10000.0) / 10000.0
+    a.join(broadcast(b), col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), sim.as("cosine"))
+      .filter(col("cosine") >= tau)
   }
 
   /** IVF-style approximate search: assign every vector to its nearest
