@@ -127,7 +127,7 @@ object Converters {
       case TimestampType => date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       case TimestampNTZType => date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
       case DateType => date_format(col, "yyyy-MM-dd")
-      case BooleanType => when(col, "true").otherwise("false")
+      case BooleanType => when(col, "true").when(!col, "false") // null stays null
       case BinaryType => base64(col)
       case _: ArrayType | _: StructType | _: MapType => to_json(col)
       case _ => col.cast(StringType)

@@ -1,0 +1,56 @@
+package graft.sink
+
+import graft.Constants
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Non-MERGE sinks (SURVEY §2.2). */
+object Sinks {
+  /** K2: append sink — create-if-missing then insert
+    * (clients/shared/append.go:14-85). For parquet paths this is a plain
+    * append write; for catalog tables use `df.writeTo(t).append()`.
+    */
+  def appendParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** K3: S3/GCS-style partitioned parquet sink with the reference's
+    * date-partitioned layout `prefix/db.schema.table/date=YYYY-MM-DD/`
+    * (clients/s3/s3.go:95-219). Compression matches the reference (gzip).
+    */
+  def partitionedParquet(df: DataFrame, basePrefix: String, fqTableName: String,
+                         tsCol: String): Unit =
+    df.withColumn("date", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write
+      .mode("append")
+      .option("compression", "gzip")
+      .partitionBy("date")
+      .parquet(s"$basePrefix/$fqTableName")
+
+  /** K7/K8 shape: key/value fan-out to an external system (Redis SET /
+    * SQS publish in the reference). `clientFactory` runs once per
+    * partition (connection amortized), `send` once per row — the
+    * foreachPartition idiom the reference's row-loop maps onto.
+    */
+  def foreachPartitionSink[C](df: DataFrame, keyCols: Seq[String])
+                             (clientFactory: () => C)
+                             (send: (C, String, Row) => Unit)
+                             (close: C => Unit = (_: C) => ()): Unit = {
+    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val client = clientFactory()
+      try rows.foreach { r =>
+        val key = keyIdx.map(i => String.valueOf(r.get(i))).mkString(":")
+        send(client, key, r)
+      } finally close(client)
+    }
+  }
+
+  /** Canonical-string projection used for file/KV sinks: every column to
+    * its reference string form, NULL -> placeholder
+    * (lib/typing/converters/string_converter.go:33-68).
+    */
+  def canonicalStrings(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.toSeq.map { f =>
+      graft.functions.Converters.canonicalString(col(f.name), f.dataType).as(f.name)
+    }: _*)
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.CdcOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for dedup-buffer invariants (SURVEY §5: last-wins,
+  * inheritance idempotency, batch-splitting equivalence). ScalaCheck
+  * generators driven directly with fixed seeds (scalatestplus is not on
+  * the offline classpath) — deterministic and reproducible.
+  */
+object PropertySpec {
+  case class Ev(pk: Long, off: Long, v: String, del: Boolean)
+}
+
+class PropertySpec extends AnyFunSuite {
+  import PropertySpec.Ev
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val T = Constants.ToastPlaceholder
+
+  private val evGen: Gen[List[Ev]] = for {
+    n <- Gen.choose(0, 30)
+    evs <- Gen.listOfN(n, for {
+      pk <- Gen.choose(1L, 5L)
+      v <- Gen.oneOf(Gen.alphaStr.map(_.take(4)), Gen.const(T), Gen.const(null: String))
+      del <- Gen.prob(0.2)
+    } yield (pk, v, del))
+  } yield evs.zipWithIndex.map { case ((pk, v, del), i) => Ev(pk, i.toLong, v, del) }
+
+  private def samples(count: Int): Seq[List[Ev]] =
+    (0 until count).flatMap(i =>
+      evGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("property: lastWins equals a sequential map replay") {
+    for (evs <- samples(15) if evs.nonEmpty) {
+      val df = evs.toDF()
+      val got = CdcOps.lastWins(df, Seq("pk"), Seq(col("off")))
+        .collect().map(r => r.getAs[Long]("pk") -> r.getAs[Long]("off")).toMap
+      val expect = evs.groupBy(_.pk).map { case (pk, es) => pk -> es.map(_.off).max }
+      assert(got == expect, s"events: $evs")
+    }
+  }
+
+  test("property: toastInherit is idempotent and matches buffered replay") {
+    for (evs <- samples(15) if evs.nonEmpty) {
+      val df = evs.toDF()
+      def run(d: org.apache.spark.sql.DataFrame) =
+        CdcOps.toastInherit(d, Seq("pk"), Seq(col("off")), Seq("v"))
+      val once = run(df).orderBy("pk", "off").collect()
+        .map(r => (r.getAs[Long]("pk"), r.getAs[Long]("off"), r.getAs[String]("v")))
+      val twice = run(run(df)).orderBy("pk", "off").collect()
+        .map(r => (r.getAs[Long]("pk"), r.getAs[Long]("off"), r.getAs[String]("v")))
+      assert(once.toSeq == twice.toSeq, s"idempotency broke on: $evs")
+      // buffered replay: InsertRow semantics (table_data.go:195-208)
+      val expect = evs.groupBy(_.pk).flatMap { case (pk, es) =>
+        var buf: Option[String] = None
+        es.sortBy(_.off).map { e =>
+          val healed = if (e.v == T && buf.isDefined) buf.get else e.v
+          buf = if (healed == T) buf else Some(healed)
+          (pk, e.off, healed)
+        }
+      }.toSet
+      assert(once.toSet == expect, s"replay mismatch on: $evs")
+    }
+  }
+
+  test("property: merging batch-by-batch equals one merged batch (hard delete)") {
+    for (evs <- samples(15) if evs.size >= 2) {
+      val empty = Seq.empty[(Long, Long, String)].toDF("pk", "off", "v")
+      def asChanges(es: Seq[Ev]) =
+        es.toDF().withColumnRenamed("del", Constants.DeleteCol)
+      def merge(base: org.apache.spark.sql.DataFrame, es: Seq[Ev]) =
+        CdcOps.mergeApply(base, asChanges(es), Seq("pk"), Seq(col("off")))
+      val (b1, b2) = evs.splitAt(evs.size / 2)
+      val stepwise = merge(merge(empty, b1), b2)
+        .collect().map(r => (r.getAs[Long]("pk"), r.getAs[String]("v"))).toSet
+      val oneShot = merge(empty, evs)
+        .collect().map(r => (r.getAs[Long]("pk"), r.getAs[String]("v"))).toSet
+      assert(stepwise == oneShot, s"batch-split equivalence broke on: $evs")
+    }
+  }
+
+  test("property: fingerprint64 is stable and in [0, 1e9+7)") {
+    val strs = (0 until 20).flatMap(i =>
+      Gen.asciiPrintableStr.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val out = strs.toDF("s")
+      .select(col("s"), graft.functions.Converters.fingerprint64(col("s")).as("fp"))
+      .collect()
+    val again = strs.toDF("s")
+      .select(graft.functions.Converters.fingerprint64(col("s"))).collect().map(_.getLong(0))
+    out.map(_.getLong(1)).zip(again).foreach { case (a, b) => assert(a == b) }
+    out.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < 1000000007L))
+  }
+}

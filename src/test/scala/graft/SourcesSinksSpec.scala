@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import graft.sink.Sinks
+import graft.sources.{Sources, TableConfigCache}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesSinksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("csv staging view round-trips with null placeholder (S6)") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Files.writeString(java.nio.file.Path.of(dir, "part.tsv"),
+      s"1\talice\t__artie_null_value\n2\tbob\t9.5\n")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val df = Sources.csvStagingView(spark, "stg_test", s"$dir/part.tsv", schema)
+    val rows = spark.table("stg_test").orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 9.5)
+    assert(df.columns.toSeq == Seq("id", "name", "score"))
+  }
+
+  test("table config cache honors TTL and invalidation (S7)") {
+    val dir = Files.createTempDirectory("graft_cache").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir)
+    var now = Instant.parse("2024-01-01T00:00:00Z")
+    var fetches = 0
+    val cache = new TableConfigCache(spark, ttlSeconds = 3600, clock = () => now) {
+      override protected def fetch(t: String): StructType = { fetches += 1; super.fetch(t) }
+    }
+    cache.schemaOf(dir); cache.schemaOf(dir)
+    assert(fetches == 1) // cached
+    now = now.plusSeconds(7200)
+    cache.schemaOf(dir)
+    assert(fetches == 2) // TTL expired
+    cache.invalidate(dir)
+    cache.schemaOf(dir)
+    assert(fetches == 3) // explicit invalidation after DDL
+  }
+
+  test("partitioned parquet sink writes the reference's date layout (K3)") {
+    val base = Files.createTempDirectory("graft_k3").toString
+    val df = Seq((1L, "2024-01-15 10:00:00"), (2L, "2024-01-16 11:00:00"))
+      .toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    Sinks.partitionedParquet(df, base, "db.schema.orders", "ts")
+    val dirs = new java.io.File(s"$base/db.schema.orders").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("date=2024-01-15", "date=2024-01-16"))
+    val back = spark.read.parquet(s"$base/db.schema.orders")
+    assert(back.count() == 2 && back.columns.contains("date"))
+  }
+
+  test("foreachPartition KV sink amortizes the client per partition (K7/K8 shape)") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").repartition(2)
+    Sinks.foreachPartitionSink(df, Seq("id"))(() => KvProbe.newClient()) {
+      (c, key, row) => KvProbe.record(c, key, row.getAs[String]("v"))
+    }()
+    assert(KvProbe.entries().toMap == Map("1" -> "a", "2" -> "b", "3" -> "c"))
+    assert(KvProbe.clients() >= 1 && KvProbe.clients() <= 2) // per-partition, not per-row
+  }
+
+  test("canonicalStrings renders every type with the null placeholder") {
+    val df = Seq((1L, Some(2.5), Some(true)), (2L, None, None))
+      .toDF("id", "score", "flag")
+    val out = Sinks.canonicalStrings(df).orderBy("id").collect()
+    assert(out(0).getString(2) == "true")
+    assert(out(1).getString(1) == Constants.NullValuePlaceholder)
+    assert(out(1).getString(2) == Constants.NullValuePlaceholder)
+  }
+}
+
+/** JVM-static probe for the KV sink test (executors share the JVM in
+  * local mode).
+  */
+object KvProbe {
+  private val map = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val clientCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  def newClient(): java.util.Map[String, String] = { clientCount.incrementAndGet(); map }
+  def record(c: java.util.Map[String, String], k: String, v: String): Unit = { c.put(k, v); () }
+  def entries(): scala.collection.mutable.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    map.asScala
+  }
+  def clients(): Int = clientCount.get()
+}
