@@ -1,0 +1,84 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import graft.Constants
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Cross-batch stateful operators (SURVEY §2.4, physical plan 2): the
+  * reference's in-memory buffer resets at every flush, so the windowed
+  * per-batch dedup covers its semantics — this module is the *extension*
+  * that carries last-wins state and TOAST inheritance across micro-batches
+  * via the Structured Streaming state store.
+  */
+object StatefulOps {
+  /** Schema-agnostic keyed change row: the payload rides as JSON so one
+    * state operator serves every table shape.
+    */
+  case class KeyedChange(pk: String, off: Long, payload: String, deleted: Boolean)
+
+  private lazy val mapper = new ObjectMapper()
+
+  /** Merge `next` over `prev` field-wise: TOAST-sentinel fields in `next`
+    * inherit the previous value (InsertRow's row merge,
+    * table_data.go:195-208, but across batches).
+    */
+  private[graft] def mergePayload(prev: String, next: String): String = {
+    try {
+      val p = mapper.readTree(prev).asInstanceOf[ObjectNode]
+      val n = mapper.readTree(next).asInstanceOf[ObjectNode]
+      val out = mapper.createObjectNode()
+      // keep all previous fields, overlay next's non-sentinel fields
+      p.fields().forEachRemaining { e => out.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue); () }
+      n.fields().forEachRemaining { e =>
+        val v = e.getValue
+        val isToast = v.isTextual && v.asText() == Constants.ToastPlaceholder
+        if (!isToast || !out.has(e.getKey)) out.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, v)
+        ()
+      }
+      mapper.writeValueAsString(out)
+    } catch { case _: Exception => next }
+  }
+
+  private def updateKey(pk: String, rows: Iterator[KeyedChange],
+                        state: GroupState[KeyedChange]): KeyedChange = {
+    val ordered = rows.toSeq.sortBy(_.off)
+    var cur = state.getOption.orNull
+    ordered.foreach { r =>
+      cur =
+        if (cur == null || r.off >= cur.off)
+          r.copy(payload = if (cur == null) r.payload else mergePayload(cur.payload, r.payload))
+        else cur // late/out-of-order event older than state: ignore
+    }
+    state.update(cur)
+    cur
+  }
+
+  /** Streaming last-wins with cross-batch TOAST inheritance. Emits the
+    * current state of every touched key each micro-batch (Update mode).
+    */
+  def lastWinsStream(ds: Dataset[KeyedChange]): Dataset[KeyedChange] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.pk)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateKey)
+  }
+
+  /** Watermarked windowed aggregation (SURVEY §2.9 — event-time windows
+    * are an extension beyond the reference's offset-ordered semantics).
+    */
+  def windowedCounts(events: DataFrame, tsCol: String,
+                     windowLen: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  val UpdateMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the properties SCALE.md claims must stay
+  * visible in the physical plan.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: filters reach the parquet scan and columns are pruned") {
+    val p = plan("q01_filter_project")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("LessThan(l_quantity,24.0)"))
+    assert(p.contains("LessThanOrEqual(l_shipdate,"))
+    // projection pruning: untouched columns never leave the scan
+    assert(!p.contains("l_comment") && !p.contains("l_tax"))
+  }
+
+  test("q03: dimension sides broadcast, no sort-merge join on small dims") {
+    val p = plan("q03_join_agg_topk")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)")) // filter pushed below join
+  }
+
+  test("q19: custom decimal expressions inline in the projection over the scan") {
+    val df = SparkEntry.queries("q19_debezium_decimal")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // decode(encode(...)) must live inside the single Project over the
+    // batched scan (codegen-resident), with the scan pruned to 3 columns
+    assert(p.contains("debeziumdecimaldecode(twoscomplementencode"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double>"))
+  }
+
+  test("q24: similarity kernel runs over the broadcast query side") {
+    val p = plan("q24_ann_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+}

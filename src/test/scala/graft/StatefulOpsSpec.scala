@@ -1,0 +1,68 @@
+package graft
+
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.KeyedChange
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatefulOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val T = Constants.ToastPlaceholder
+
+  test("mergePayload: toast fields inherit, real fields overwrite") {
+    val prev = """{"a":"x","b":"y"}"""
+    val next = s"""{"a":"$T","b":"z","c":1}"""
+    assert(StatefulOps.mergePayload(prev, next) == """{"a":"x","b":"z","c":1}""")
+  }
+
+  test("cross-batch stateful last-wins inherits TOAST values over batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedChange]
+    val q = StatefulOps.lastWinsStream(ms.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Update()).start()
+
+    // batch 1: key A gets a real doc value
+    ms.addData(KeyedChange("A", 1L, """{"doc":"original","n":1}""", deleted = false))
+    q.processAllAvailable()
+    // batch 2 (separate flush window!): toast update — the reference's
+    // per-flush buffer could NOT heal this; the state store does
+    ms.addData(KeyedChange("A", 2L, s"""{"doc":"$T","n":2}""", deleted = false))
+    // stale out-of-order event must not regress the state
+    ms.addData(KeyedChange("A", 0L, """{"doc":"stale","n":0}""", deleted = false))
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("state_out").as[KeyedChange].collect()
+      .filter(_.pk == "A").maxBy(_.off)
+    assert(last.off == 2L)
+    assert(last.payload == """{"doc":"original","n":2}""")
+  }
+
+  test("watermarked windowed aggregation closes windows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = ms.toDF().toDF("ts", "event_type", "value")
+    val q = StatefulOps.windowedCounts(df, "ts", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    ms.addData((ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:45:00"), "click", 2.0),
+      (ts("2024-01-01 10:50:00"), "view", 5.0))
+    q.processAllAvailable()
+    // advance event time far past the watermark -> hour-10 windows close
+    ms.addData((ts("2024-01-01 13:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L, 5.0)))
+  }
+}
