@@ -377,6 +377,27 @@ lower(hex(encode(substring(text, 1, 8)))) AS head_hex,
 sha256(text) AS content_sha256,
 octet_length(encode(text)) // 64 AS n_frames
 FROM documents ORDER BY doc_id""")),
+    ("q36_distinct_agg", (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    ("q37_cube", (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(d2(col("l_quantity"))).cast(DoubleType).as("total_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
     ("q31_dedup_embedding", (s, d) =>
       SimilarityOps.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
         .orderBy(col("ia"), col("ib")),

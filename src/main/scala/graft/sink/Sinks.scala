@@ -45,6 +45,19 @@ object Sinks {
     }
   }
 
+  /** Bucketed table write: pre-shuffles once on the bucket columns so
+    * later equi-joins/aggregations on those columns are co-located
+    * (no Exchange in the join plan). The table lands in the session
+    * warehouse via saveAsTable — bucketing metadata needs a catalog.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
   /** Canonical-string projection used for file/KV sinks: every column to
     * its reference string form, NULL -> placeholder
     * (lib/typing/converters/string_converter.go:33-68).
