@@ -398,6 +398,33 @@ CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
+    ("q38_scalar_subquery", (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("g_customer")
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql("""SELECT c_custkey, c_name, c_acctbal FROM g_customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM g_customer)
+AND EXISTS (SELECT 1 FROM g_orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey""")
+    },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey""")),
+
+    ("q39_nullsafe_join", (s, d) => {
+      val n = Tables.nation(s, d)
+      val a = n.select(nullif(col("n_regionkey"), lit(1)).as("rk_a"), col("n_nationkey").as("na"))
+      val b = n.select(nullif(col("n_regionkey"), lit(1)).as("rk_b"), col("n_nationkey").as("nb"))
+      a.join(b, col("rk_a") <=> col("rk_b") && col("na") < col("nb"))
+        .select(col("na"), col("nb"))
+        .orderBy(col("na"), col("nb"))
+    },
+      Some("""SELECT a.n_nationkey AS na, b.n_nationkey AS nb
+FROM nation a JOIN nation b
+ON NULLIF(a.n_regionkey, 1) IS NOT DISTINCT FROM NULLIF(b.n_regionkey, 1)
+AND a.n_nationkey < b.n_nationkey
+ORDER BY na, nb""")),
+
     ("q31_dedup_embedding", (s, d) =>
       SimilarityOps.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
         .orderBy(col("ia"), col("ib")),
