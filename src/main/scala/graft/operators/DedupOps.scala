@@ -89,10 +89,13 @@ object DedupOps {
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
     val (as, bs) = coeffs(k)
     // materialize the base hash once per shingle; the k permutations are
-    // then one mul+add+mod each inside the map-side partial min
+    // then one mul+add+mod each inside the map-side partial min. The
+    // shingle count rides along in the same aggregation (saves the
+    // verification stage a full shingle-index recompute).
     val hashed = sh.withColumn("__h", pmod(xxhash64(col("shingle")), lit(MinhashPrime)))
     val h = col("__h")
-    val aggs = (0 until k).map(i => min((lit(as(i)) * h + lit(bs(i))) % MinhashPrime).as(s"mh$i"))
+    val aggs = (0 until k).map(i => min((lit(as(i)) * h + lit(bs(i))) % MinhashPrime).as(s"mh$i")) :+
+      count(lit(1)).as("n_sh")
     hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -122,7 +125,9 @@ object DedupOps {
                           k: Int = 96, bands: Int = 48): DataFrame = {
     val rowsPerBand = k / bands
     val sh = shingles(df, idCol, textCol, n)
-    val cands = lshCandidatePairs(minhashSignatures(sh, k), bands, rowsPerBand)
+    val cands = lshCandidatePairs(minhashSignatures(sh, k).drop("n_sh"), bands, rowsPerBand)
+    // cheap dedicated count branch: recomputing the 96-min signature agg
+    // just for counts would cost more than one extra shingle pass
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     // verify: intersection size restricted to candidate pairs
     val inter = cands
