@@ -52,7 +52,11 @@ object DedupOps {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, tau: Double): DataFrame = {
+    // the shingle index feeds three consumers (counts + both join sides):
+    // without a persistence boundary Spark recomputes the explode per
+    // branch. ContextCleaner reclaims the block once unreferenced.
     val sh = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -124,7 +128,9 @@ object DedupOps {
                           n: Int, tau: Double,
                           k: Int = 96, bands: Int = 48): DataFrame = {
     val rowsPerBand = k / bands
+    // four consumers (signatures, counts, both verify sides) -> persist
     val sh = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidatePairs(minhashSignatures(sh, k).drop("n_sh"), bands, rowsPerBand)
     // cheap dedicated count branch: recomputing the 96-min signature agg
     // just for counts would cost more than one extra shingle pass
