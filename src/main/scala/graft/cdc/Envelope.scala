@@ -39,6 +39,10 @@ object Envelope {
       .filter(col("value").isNotNull && length(col("value")) > 0)
       .withColumn("__env", env)
       .withColumn("__p", col("__env.payload"))
+      // malformed JSON parses to a null envelope; dropping it here keeps
+      // phantom all-null rows (with null PK and null delete flag) out of
+      // the dedup/merge stages
+      .filter(col("__p").isNotNull && col("__p.op").isNotNull)
     val isDelete = col("__p.op") === "d"
     val rowCols = rowSchema.fieldNames.toSeq.map { f =>
       when(isDelete, col(s"__p.before.$f")).otherwise(col(s"__p.after.$f")).as(f)

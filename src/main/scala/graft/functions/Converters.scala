@@ -80,11 +80,19 @@ object Converters {
     when(year(ts).between(1, 9999), ts)
   }
 
-  /** F4: "HH:mm:ss.SSSSSS+TZ" time-with-timezone parse -> canonical
-    * offset-preserving string (converters/time.go:96-118).
+  /** F4: "HH:mm:ss.SSSSSS+TZ" time-with-timezone parse -> canonical string
+    * that PRESERVES the input's offset (converters/time.go:96-118) —
+    * rendering through the session zone would silently rewrite it.
     */
-  def timeWithTimezone(s: Column): Column =
-    date_format(to_timestamp(concat(lit("1970-01-01T"), s)), "HH:mm:ss.SSSSSSXXX")
+  def timeWithTimezone(s: Column): Column = {
+    val instant = to_timestamp(concat(lit("1970-01-01T"), s))
+    val off = regexp_extract(s, "([+-]\\d{2}:?\\d{2}|Z)$", 1)
+    val zone = when(off === "Z" || off === "", "UTC").otherwise(off)
+    concat(
+      date_format(from_utc_timestamp(to_utc_timestamp(instant, current_timezone()), zone),
+        "HH:mm:ss.SSSSSS"),
+      when(off === "", "Z").otherwise(off))
+  }
 
   /** F10: EWKB geometry (b64 in Debezium payloads) -> GeoJSON Feature. */
   def ewkbGeoJson(wkbB64: Column): Column =

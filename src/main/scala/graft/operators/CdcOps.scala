@@ -50,17 +50,23 @@ object CdcOps {
     }
   }
 
-  /** Delete-event column inheritance (table_data.go:180-194): Debezium
-    * deletes may carry nulls for non-PK columns when REPLICA IDENTITY is not
-    * FULL; inherit the previous buffered row's values for those columns.
+  /** Delete-event column inheritance (table_data.go:180-189): Debezium
+    * deletes may carry zero/default values when REPLICA IDENTITY is not
+    * FULL, so the previous buffered row's value WINS over the delete
+    * event's payload for every data column — including real NULLs
+    * (struct-wrapped so they are inheritable). Edge deviation: a delete
+    * preceded only by deletes keeps its own payload (the reference would
+    * chain through the buffered delete).
     */
   def deleteInherit(df: DataFrame, pks: Seq[String], ordAsc: Seq[Column],
                     deleteCol: String, dataCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(pks.map(col): _*).orderBy(ordAsc: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dataCols.foldLeft(df) { (acc, name) =>
-      val inherited = last(when(!col(deleteCol), col(name)), ignoreNulls = true).over(w)
-      acc.withColumn(name, when(col(deleteCol), coalesce(inherited, col(name))).otherwise(col(name)))
+      val lastReal = last(when(!col(deleteCol), struct(col(name).as("v"))), ignoreNulls = true).over(w)
+      acc.withColumn(name,
+        when(col(deleteCol) && lastReal.isNotNull, lastReal.getField("v"))
+          .otherwise(col(name)))
     }
   }
 
@@ -86,13 +92,17 @@ object CdcOps {
     val latest0 = lastWins(changes, pks, ord)
     val latest = if (hasOsd) latest0 else latest0.withColumn(osd, lit(false))
 
-    val t = base.alias("t")
-    val s = latest.alias("s")
+    // explicit presence markers: PK columns can legitimately be null under
+    // the null-safe <=> join, so pk.isNotNull cannot detect match arms
+    val t = base.withColumn("__t_present", lit(true)).alias("t")
+    val s = latest.withColumn("__s_present", lit(true)).alias("s")
     val joinCond = pks.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
     val joined = t.join(s, joinCond, "full_outer")
 
-    val matched = col(s"s.${pks.head}").isNotNull && col(s"t.${pks.head}").isNotNull
-    val sOnly = col(s"t.${pks.head}").isNull
+    val sPresent = coalesce(col("s.__s_present"), lit(false))
+    val tPresent = coalesce(col("t.__t_present"), lit(false))
+    val matched = sPresent && tPresent
+    val sOnly = !tPresent
     val onlySet = coalesce(col(s"s.$osd"), lit(false))
     val dataCols = base.columns.filterNot(c => pks.contains(c) || c == del || c == osd)
 
@@ -110,7 +120,12 @@ object CdcOps {
         .otherwise(tv)
         .as(cname)
     }
-    val deleted = coalesce(col(s"s.$del"), lit(false))
+    // an untouched base row must keep its existing tombstone (soft-delete
+    // pipelines carry the flag in the snapshot); only rows the batch
+    // touches take the staged flag
+    val tDel =
+      if (base.columns.contains(del)) coalesce(col(s"t.$del"), lit(false)) else lit(false)
+    val deleted = when(sPresent, coalesce(col(s"s.$del"), lit(false))).otherwise(tDel)
 
     val projected = joined.select(pkOut ++ valueOut :+ deleted.as(del): _*)
     if (softDelete) projected

@@ -52,11 +52,11 @@ object DedupOps {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, tau: Double): DataFrame = {
-    // the shingle index feeds three consumers (counts + both join sides):
-    // without a persistence boundary Spark recomputes the explode per
-    // branch. ContextCleaner reclaims the block once unreferenced.
-    val sh = shingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the shingle index feeds three consumers (counts + both join sides).
+    // localCheckpoint (not persist): CacheManager would hold a persisted
+    // relation for the session's lifetime, leaking one cache entry per
+    // call; checkpoint blocks are reclaimed when the RDD is GC'd.
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint()
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -93,13 +93,10 @@ object DedupOps {
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
     val (as, bs) = coeffs(k)
     // materialize the base hash once per shingle; the k permutations are
-    // then one mul+add+mod each inside the map-side partial min. The
-    // shingle count rides along in the same aggregation (saves the
-    // verification stage a full shingle-index recompute).
+    // then one mul+add+mod each inside the map-side partial min
     val hashed = sh.withColumn("__h", pmod(xxhash64(col("shingle")), lit(MinhashPrime)))
     val h = col("__h")
-    val aggs = (0 until k).map(i => min((lit(as(i)) * h + lit(bs(i))) % MinhashPrime).as(s"mh$i")) :+
-      count(lit(1)).as("n_sh")
+    val aggs = (0 until k).map(i => min((lit(as(i)) * h + lit(bs(i))) % MinhashPrime).as(s"mh$i"))
     hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -128,12 +125,10 @@ object DedupOps {
                           n: Int, tau: Double,
                           k: Int = 96, bands: Int = 48): DataFrame = {
     val rowsPerBand = k / bands
-    // four consumers (signatures, counts, both verify sides) -> persist
-    val sh = shingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidatePairs(minhashSignatures(sh, k).drop("n_sh"), bands, rowsPerBand)
-    // cheap dedicated count branch: recomputing the 96-min signature agg
-    // just for counts would cost more than one extra shingle pass
+    // four consumers (signatures, counts, both verify sides); checkpointed
+    // once for the same reason as jaccardPairs
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint()
+    val cands = lshCandidatePairs(minhashSignatures(sh, k), bands, rowsPerBand)
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     // verify: intersection size restricted to candidate pairs
     val inter = cands

@@ -34,7 +34,9 @@ object MaintenanceOps {
     * lib/destination/ddl/expiry.go:12).
     */
   def shouldSweep(name: String, nowEpochS: Long): Boolean = {
-    val m = s".*${TempTableSuffix}_[^_]+_(\\d{9,12})$$".r
+    // greedy .+ so salts containing underscores still leave the trailing
+    // expiry segment matchable
+    val m = s".*${TempTableSuffix}_.+_(\\d{9,12})$$".r
     name match {
       case m(expiry) => expiry.toLong < nowEpochS
       case _ => false

@@ -77,9 +77,28 @@ object CdcPipeline {
     }
   }
 
-  /** Merge a change frame into the parquet snapshot at `path`
-    * (write-new-then-swap keeps readers consistent; a MERGE-capable
-    * catalog would run MergeSqlBuilder.buildMerge instead).
+  /** Resolve the live snapshot dir, recovering from a crash that happened
+    * mid-swap (live dir renamed away but the new one not yet promoted).
+    */
+  private[streaming] def resolveSnapshot(spark: SparkSession, path: String): Option[Path] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(path)
+    val prev = new Path(path + "__prev")
+    if (fs.exists(dst)) {
+      if (fs.exists(prev)) fs.delete(prev, true) // completed swap, old copy left over
+      Some(dst)
+    } else if (fs.exists(prev)) {
+      fs.rename(prev, dst) // crashed between demote and promote: roll back
+      Some(dst)
+    } else None
+  }
+
+  /** Merge a change frame into the parquet snapshot at `path` using a
+    * backup-rename swap: write new -> demote live to `__prev` -> promote
+    * new -> drop `__prev`. Every crash window leaves either the old or the
+    * new snapshot recoverable (see [[resolveSnapshot]]); a MERGE-capable
+    * catalog would run MergeSqlBuilder.buildMerge and get atomicity from
+    * the table format instead.
     */
   private def mergeIntoSnapshot(changes: DataFrame, cfg: Config, path: String,
                                 soft: Boolean): Unit = {
@@ -87,19 +106,22 @@ object CdcPipeline {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val baseCols = changes.columns.filterNot(c =>
       c == Constants.DeleteCol || c == Constants.OnlySetDeleteCol)
-    val base =
-      if (fs.exists(new Path(path))) spark.read.parquet(path)
-      else {
+    val live = resolveSnapshot(spark, path)
+    val base = live match {
+      case Some(p) => spark.read.parquet(p.toString)
+      case None =>
         val cols = if (soft) baseCols :+ Constants.DeleteCol else baseCols
         changes.select(cols.distinct.map(col).toSeq: _*).limit(0)
-      }
+    }
     val merged = CdcOps.mergeApply(base, changes, cfg.primaryKeys,
       Seq(col(cfg.orderCol)), soft, cfg.toastCols)
     val tmp = new Path(path + "__staging")
     merged.write.mode("overwrite").parquet(tmp.toString)
     val dst = new Path(path)
-    if (fs.exists(dst)) fs.delete(dst, true)
+    val prev = new Path(path + "__prev")
+    if (fs.exists(dst)) fs.rename(dst, prev)
     fs.rename(tmp, dst)
+    if (fs.exists(prev)) fs.delete(prev, true)
   }
 
   /** One micro-batch flush. With msmSteps > 1, batches accumulate in a

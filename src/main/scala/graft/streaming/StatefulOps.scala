@@ -43,8 +43,13 @@ object StatefulOps {
     } catch { case _: Exception => next }
   }
 
-  private def updateKey(pk: String, rows: Iterator[KeyedChange],
-                        state: GroupState[KeyedChange]): KeyedChange = {
+  private def updateKey(ttlMs: Long)(pk: String, rows: Iterator[KeyedChange],
+                                     state: GroupState[KeyedChange]): KeyedChange = {
+    if (state.hasTimedOut) {
+      val last = state.get
+      state.remove()
+      return last
+    }
     val ordered = rows.toSeq.sortBy(_.off)
     var cur = state.getOption.orNull
     ordered.foreach { r =>
@@ -53,18 +58,32 @@ object StatefulOps {
           r.copy(payload = if (cur == null) r.payload else mergePayload(cur.payload, r.payload))
         else cur // late/out-of-order event older than state: ignore
     }
-    state.update(cur)
+    // deleted keys leave the state store (the emitted row still carries the
+    // tombstone for the sink); otherwise state would grow with every key
+    // ever seen
+    if (cur.deleted) state.remove()
+    else {
+      state.update(cur)
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+    }
     cur
   }
 
   /** Streaming last-wins with cross-batch TOAST inheritance. Emits the
     * current state of every touched key each micro-batch (Update mode).
+    * Deleted keys are evicted immediately; `stateTtl` (processing-time)
+    * bounds retention for idle keys — 0 disables the timeout.
     */
-  def lastWinsStream(ds: Dataset[KeyedChange]): Dataset[KeyedChange] = {
+  def lastWinsStream(ds: Dataset[KeyedChange],
+                     stateTtl: java.time.Duration = java.time.Duration.ZERO): Dataset[KeyedChange] = {
     val spark = ds.sparkSession
     import spark.implicits._
+    val ttlMs = stateTtl.toMillis
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     ds.groupByKey(_.pk)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateKey)
+      .mapGroupsWithState(timeout)(updateKey(ttlMs))
   }
 
   /** Watermarked windowed aggregation (SURVEY §2.9 — event-time windows

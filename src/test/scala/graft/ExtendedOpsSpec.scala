@@ -69,11 +69,11 @@ class ExtendedOpsSpec extends AnyFunSuite {
 
   // ---- converters (F4, P4) -------------------------------------------------
 
-  test("time-with-timezone parses offset times") {
-    val out = Seq("10:01:02.123456+05:00").toDF("s")
-      .select(Converters.timeWithTimezone(col("s")).as("t")).head.getString(0)
-    // normalized to session TZ (UTC) with offset rendered
-    assert(out == "05:01:02.123456Z")
+  test("time-with-timezone preserves the input's offset") {
+    val out = Seq("10:01:02.123456+05:00", "10:01:02.123456Z").toDF("s")
+      .select(Converters.timeWithTimezone(col("s")).as("t")).collect().map(_.getString(0))
+    assert(out(0) == "10:01:02.123456+05:00") // NOT rewritten into session TZ
+    assert(out(1) == "10:01:02.123456Z")
   }
 
   test("aes-gcm encrypt/decrypt round-trips and is non-deterministic") {
@@ -104,12 +104,14 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("early", "only"))
   }
 
-  test("temp names encode TTL; sweep detects expiry") {
+  test("temp names encode TTL; sweep detects expiry (incl. underscore salts)") {
     val name = MaintenanceOps.tempName("db.orders", nowEpochS = 1700000000L)
     assert(name == s"db.orders__artie_stg_${1700000000L + 6 * 3600}")
     assert(!MaintenanceOps.shouldSweep(name, 1700000000L))
     assert(MaintenanceOps.shouldSweep(name, 1700000000L + 7 * 3600))
     assert(!MaintenanceOps.shouldSweep("db.orders", 1700000000L))
+    val salted = MaintenanceOps.tempName("db.orders", 1700000000L, salt = "my_stg")
+    assert(MaintenanceOps.shouldSweep(salted, 1700000000L + 7 * 3600))
   }
 
   test("backfillDefaults fills nulls and adds missing columns") {

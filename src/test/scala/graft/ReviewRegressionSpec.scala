@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.cdc.Envelope
+import graft.operators.CdcOps
+import graft.streaming.{CdcPipeline, StatefulOps}
+import graft.streaming.StatefulOps.KeyedChange
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression tests for the round-1 review findings. */
+class ReviewRegressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("soft-deleted base rows untouched by a batch keep their tombstone") {
+    val base = Seq((1L, "gone", true), (2L, "live", false))
+      .toDF("pk", "name", Constants.DeleteCol)
+    val changes = Seq((2L, "live2", 1L, false))
+      .toDF("pk", "name", "off", Constants.DeleteCol)
+    val got = CdcOps.mergeApply(base, changes, Seq("pk"), Seq(col("off")), softDelete = true)
+      .orderBy("pk").collect()
+      .map(r => (r.getAs[Long]("pk"), r.getAs[String]("name"), r.getAs[Boolean](Constants.DeleteCol)))
+    // pk=1 was not in the batch: its soft-delete flag must NOT reset
+    assert(got.toSeq == Seq((1L, "gone", true), (2L, "live2", false)))
+  }
+
+  test("delete events inherit the previous row's values even over their own payload") {
+    // reference table_data.go:180-189: Debezium may send zero/default (not
+    // null) values on deletes -> previous buffered values win
+    val df = Seq(
+      (1L, 1L, "real", false), (1L, 2L, "zero-default", true),
+    ).toDF("pk", "off", "v", "del")
+    val got = CdcOps.deleteInherit(df, Seq("pk"), Seq(col("off")), "del", Seq("v"))
+      .orderBy("off").collect().map(_.getString(2))
+    assert(got.toSeq == Seq("real", "real"))
+  }
+
+  test("malformed envelope JSON is dropped, not decoded into phantom rows") {
+    val rowSchema = StructType(Seq(StructField("id", LongType)))
+    val df = Seq(
+      ("""{"payload":{"before":null,"after":{"id":1},"source":{},"op":"c","ts_ms":0}}""", 0L),
+      ("""{"payload":""", 1L),   // truncated
+      ("""not json at all""", 2L),
+      ("""{"something":"else"}""", 3L), // parses but no op
+    ).toDF("value", "offset")
+    val out = Envelope.decodeRelational(df, rowSchema).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("id") == 1L)
+  }
+
+  test("snapshot swap recovers when a crash left only the demoted copy") {
+    val target = Files.createTempDirectory("graft_swap").toString + "/t"
+    val cfg = CdcPipeline.Config(Seq("id"), orderCol = "off")
+    def batch(rows: (Long, String, Long, Boolean)*) =
+      rows.toDF("id", "name", "off", Constants.DeleteCol)
+        .withColumn(Constants.OperationCol, lit("u"))
+    CdcPipeline.applyBatch(batch((1L, "a", 1L, false)), 0L, cfg, target)
+    // simulate a crash between demote and promote: live dir renamed away
+    val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new Path(target), new Path(target + "__prev"))
+    assert(!fs.exists(new Path(target)))
+    // next batch must recover the demoted snapshot, not restart from scratch
+    CdcPipeline.applyBatch(batch((2L, "b", 2L, false)), 1L, cfg, target)
+    val got = spark.read.parquet(target).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name")))
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("stateful dedup evicts deleted keys from the state store") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedChange]
+    val q = StatefulOps.lastWinsStream(ms.toDS())
+      .writeStream.format("memory").queryName("evict_out")
+      .outputMode(OutputMode.Update()).start()
+    ms.addData(KeyedChange("A", 1L, """{"v":1}""", deleted = false))
+    q.processAllAvailable()
+    ms.addData(KeyedChange("A", 2L, """{"v":2}""", deleted = true))
+    q.processAllAvailable()
+    // after eviction, a re-insert must NOT merge with the deleted payload
+    ms.addData(KeyedChange("A", 3L, s"""{"v":"${Constants.ToastPlaceholder}"}""", deleted = false))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("evict_out").as[KeyedChange].collect().maxBy(_.off)
+    // state was removed at off=2, so the toast value has nothing to inherit
+    assert(last.off == 3L && last.payload.contains(Constants.ToastPlaceholder))
+  }
+
+  test("mergeApply handles null PK values via presence markers") {
+    val base = Seq((Some(1L), "a"), (None, "null-pk-row")).toDF("pk", "name")
+    val changes = Seq((Option.empty[Long], "updated", 1L, false))
+      .toDF("pk", "name", "off", Constants.DeleteCol)
+    val got = CdcOps.mergeApply(base, changes, Seq("pk"), Seq(col("off")))
+      .orderBy(asc_nulls_first("pk")).collect().map(_.getAs[String]("name"))
+    // the null-PK base row is MATCHED (null-safe join) and updated,
+    // not duplicated as a spurious insert
+    assert(got.toSeq == Seq("updated", "a"))
+  }
+}
