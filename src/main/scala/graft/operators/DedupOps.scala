@@ -52,11 +52,14 @@ object DedupOps {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, tau: Double): DataFrame = {
-    // the shingle index feeds three consumers (counts + both join sides).
-    // localCheckpoint (not persist): CacheManager would hold a persisted
-    // relation for the session's lifetime, leaking one cache entry per
-    // call; checkpoint blocks are reclaimed when the RDD is GC'd.
-    val sh = shingles(df, idCol, textCol, n).localCheckpoint()
+    // the shingle index feeds three consumers (counts + both join sides):
+    // persist so Spark doesn't recompute the explode per branch (measured
+    // faster than localCheckpoint). CacheManager dedupes identical plans,
+    // so repeated calls on the same input reuse one entry; long-lived
+    // sessions processing many distinct corpora should clearCache()
+    // periodically.
+    val sh = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -125,9 +128,10 @@ object DedupOps {
                           n: Int, tau: Double,
                           k: Int = 96, bands: Int = 48): DataFrame = {
     val rowsPerBand = k / bands
-    // four consumers (signatures, counts, both verify sides); checkpointed
-    // once for the same reason as jaccardPairs
-    val sh = shingles(df, idCol, textCol, n).localCheckpoint()
+    // four consumers (signatures, counts, both verify sides); persisted
+    // for the same reason as in jaccardPairs
+    val sh = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidatePairs(minhashSignatures(sh, k), bands, rowsPerBand)
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     // verify: intersection size restricted to candidate pairs

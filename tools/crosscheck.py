@@ -36,6 +36,11 @@ def main(sf_dir, out_dir):
         gc, gr = canon(got, False)
         if ec != gc:
             print(f"FAIL {name}: columns {gc} != {ec}"); bad += 1; continue
+        edt = {c: str(exp.dtypes[c]) for c in exp.columns}
+        gdt = {c: str(got.dtypes[c]) for c in got.columns}
+        if edt != gdt:
+            diff = {c: (gdt[c], edt[c]) for c in edt if edt[c] != gdt[c]}
+            print(f"FAIL {name}: dtypes differ (spark, oracle): {diff}"); bad += 1; continue
         if len(er) != len(gr):
             print(f"FAIL {name}: rows {len(gr)} != {len(er)}"); bad += 1; continue
         if er != gr:
