@@ -425,6 +425,26 @@ ON NULLIF(a.n_regionkey, 1) IS NOT DISTINCT FROM NULLIF(b.n_regionkey, 1)
 AND a.n_nationkey < b.n_nationkey
 ORDER BY na, nb""")),
 
+    ("q40_range_join", (s, d) => {
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      o.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left")
+        .groupBy(col("o_orderkey"))
+        .agg(count(col("l_orderkey")).as("n_shipped_30d"),
+          sum(d2(col("l_quantity"))).cast(DoubleType).as("qty_30d"))
+        .orderBy(col("o_orderkey"))
+    },
+      Some("""SELECT o_orderkey, COUNT(l_orderkey) AS n_shipped_30d,
+CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_30d
+FROM orders LEFT JOIN lineitem
+ON o_orderkey = l_orderkey AND l_shipdate >= o_orderdate
+AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderkey ORDER BY o_orderkey""")),
+
     ("q31_dedup_embedding", (s, d) =>
       SimilarityOps.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
         .orderBy(col("ia"), col("ib")),

@@ -21,6 +21,11 @@ class SessionSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 11.0)
   }
 
+  test("driver entry smoke: flagship query returns rows on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
   test("micro-batch merge is idempotent: replaying a batch is a no-op") {
     val target = java.nio.file.Files.createTempDirectory("graft_idem").toString + "/t"
     val cfg = CdcPipeline.Config(Seq("id"), orderCol = "off")
