@@ -104,14 +104,33 @@ object CdcOps {
     val matched = sPresent && tPresent
     val sOnly = !tPresent
     val onlySet = coalesce(col(s"s.$osd"), lit(false))
-    val dataCols = base.columns.filterNot(c => pks.contains(c) || c == del || c == osd)
+    // schema evolution (D2/D4): the union of both sides' data columns.
+    // A column only in the changes = ADD COLUMN (base rows backfill null);
+    // a column only in the base = batch doesn't carry it (target value
+    // kept, like the reference's destination-merged schema). The ordering
+    // columns are transport metadata, not data — they only evolve into the
+    // target if the base already carries them.
+    // plain col("x") stringifies to its name; complex ord expressions just
+    // never match a column name, which is the safe default
+    val ordNames = ord.map(_.toString).toSet
+    val baseData = base.columns.filterNot(c => pks.contains(c) || c == del || c == osd)
+    val newData = latest.columns.filterNot(c =>
+      pks.contains(c) || c == del || c == osd || c == "__s_present" ||
+        baseData.contains(c) || ordNames.contains(c))
+    val dataCols = baseData ++ newData
+    val sHas = latest.columns.toSet
+    val tHas = base.columns.toSet
+    val sTypes = latest.schema.fields.map(f => f.name -> f.dataType).toMap
 
     val pkOut = pks.map(k => coalesce(col(s"t.$k"), col(s"s.$k")).as(k))
     val valueOut = dataCols.toSeq.map { cname =>
-      val sv = col(s"s.$cname")
-      val tv = col(s"t.$cname")
+      val sv = if (sHas(cname)) col(s"s.$cname")
+               else lit(null).cast(base.schema(cname).dataType)
+      val tv = if (tHas(cname)) col(s"t.$cname")
+               else lit(null).cast(sTypes(cname))
       val fromSource =
-        if (toastCols.contains(cname))
+        if (!sHas(cname)) tv // column absent from this batch: keep target
+        else if (toastCols.contains(cname))
           when(sv === lit(Constants.ToastPlaceholder), tv).otherwise(sv)
         else sv
       when(sOnly, sv)

@@ -90,6 +90,21 @@ class ReviewRegressionSpec extends AnyFunSuite {
     assert(last.off == 3L && last.payload.contains(Constants.ToastPlaceholder))
   }
 
+  test("mergeApply evolves schema: new column adds, missing column keeps target") {
+    val base = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("pk", "name", "score")
+    // batch carries a NEW column `email` and LACKS `score`
+    val changes = Seq((1L, "a2", "a@x.com", 1L, false), (3L, "c", "c@x.com", 2L, false))
+      .toDF("pk", "name", "email", "off", Constants.DeleteCol)
+    val got = CdcOps.mergeApply(base, changes, Seq("pk"), Seq(col("off")))
+      .orderBy("pk").collect()
+      .map(r => (r.getAs[Long]("pk"), r.getAs[String]("name"),
+        Option(r.getAs[java.lang.Double]("score")), Option(r.getAs[String]("email"))))
+    assert(got.toSeq == Seq(
+      (1L, "a2", Some(1.5), Some("a@x.com")), // updated; score kept from target
+      (2L, "b", Some(2.5), None),             // untouched; new col backfills null
+      (3L, "c", None, Some("c@x.com"))))      // inserted; score null
+  }
+
   test("mergeApply handles null PK values via presence markers") {
     val base = Seq((Some(1L), "a"), (None, "null-pk-row")).toDF("pk", "name")
     val changes = Seq((Option.empty[Long], "updated", 1L, false))
