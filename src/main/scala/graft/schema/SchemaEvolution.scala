@@ -57,8 +57,35 @@ object SchemaEvolution {
     */
   case class DropCandidate(column: String, absentSince: Instant)
 
+  object DropConfidence {
+    /** Restore persisted candidate state (SURVEY §7.4: the grace window
+      * must survive restarts or every restart resets the clock).
+      */
+    def load(path: java.nio.file.Path, graceHours: Long = 4): DropConfidence = {
+      val dc = new DropConfidence(graceHours)
+      if (java.nio.file.Files.exists(path)) {
+        java.nio.file.Files.readAllLines(path).forEach { line =>
+          line.split('\t') match {
+            case Array(c, ts) => dc.candidates += (c -> Instant.ofEpochMilli(ts.toLong))
+            case _ => ()
+          }
+        }
+      }
+      dc
+    }
+  }
+
   class DropConfidence(graceHours: Long = 4) {
     private var candidates = Map.empty[String, Instant]
+
+    /** Persist candidate state to a sidecar file (tab-separated). */
+    def save(path: java.nio.file.Path): Unit = {
+      val lines = candidates.toSeq.sortBy(_._1)
+        .map { case (c, t) => s"$c\t${t.toEpochMilli}" }
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.write(path,
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+    }
 
     /** Record one batch's observation; returns columns now safe to drop. */
     def observe(absentCols: Set[String], batchTime: Instant,

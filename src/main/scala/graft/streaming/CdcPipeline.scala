@@ -124,6 +124,31 @@ object CdcPipeline {
     if (fs.exists(prev)) fs.delete(prev, true)
   }
 
+  /** Marker recording the highest applied batch id next to the snapshot:
+    * replays after checkpoint recovery become true no-ops (the merge is
+    * idempotent anyway — the marker just skips the work, the
+    * at-least-once + idempotent-merge contract of flush.go:67-147).
+    */
+  private def lastAppliedBatch(spark: SparkSession, targetPath: String): Long = {
+    val p = new Path(targetPath + "__batch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      catch { case _: Exception => -1L }
+      finally in.close()
+    }
+  }
+
+  private def recordBatch(spark: SparkSession, targetPath: String, batchId: Long): Unit = {
+    val p = new Path(targetPath + "__batch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(batchId.toString.getBytes("UTF-8"))
+    out.close()
+  }
+
   /** One micro-batch flush. With msmSteps > 1, batches accumulate in a
     * soft-merged staging snapshot (delete markers preserved); every Nth
     * batch the staging set merges into the target and the staging snapshot
@@ -131,10 +156,14 @@ object CdcPipeline {
     */
   def applyBatch(batch: DataFrame, batchId: Long, cfg: Config, targetPath: String): Unit = {
     if (batch.isEmpty) return
+    if (batchId <= lastAppliedBatch(batch.sparkSession, targetPath)) return // replay: no-op
     val transformed = applyRowTransforms(batch, cfg)
     if (cfg.historyMode) {
       CdcOps.historyProjection(transformed, col(Constants.OperationCol))
         .write.mode("append").parquet(targetPath)
+      // append is NOT naturally idempotent — the marker is what makes
+      // history-mode replays safe
+      recordBatch(batch.sparkSession, targetPath, batchId)
       return
     }
     val changes = transformed.drop(Constants.OperationCol)
@@ -151,6 +180,7 @@ object CdcPipeline {
         fs.delete(new Path(stagingPath), true)
       }
     }
+    recordBatch(batch.sparkSession, targetPath, batchId)
   }
 
   /** Wire a decoded change stream into the micro-batch merge sink. The

@@ -90,6 +90,40 @@ class ReviewRegressionSpec extends AnyFunSuite {
     assert(last.off == 3L && last.payload.contains(Constants.ToastPlaceholder))
   }
 
+  test("batch markers: stale replays skip, history mode does not duplicate") {
+    val target = Files.createTempDirectory("graft_marker").toString + "/t"
+    val cfg = CdcPipeline.Config(Seq("id"), orderCol = "off")
+    def batch(rows: (Long, String, Long)*) =
+      rows.toDF("id", "name", "off")
+        .withColumn(Constants.DeleteCol, lit(false))
+        .withColumn(Constants.OperationCol, lit("u"))
+    CdcPipeline.applyBatch(batch((1L, "a", 1L)), 0L, cfg, target)
+    // a DIFFERENT payload replayed under the same batch id must be ignored
+    CdcPipeline.applyBatch(batch((1L, "CORRUPTING-REPLAY", 2L)), 0L, cfg, target)
+    assert(spark.read.parquet(target).head.getAs[String]("name") == "a")
+
+    val hist = Files.createTempDirectory("graft_hist2").toString + "/h"
+    val hcfg = CdcPipeline.Config(Seq("id"), historyMode = true)
+    CdcPipeline.applyBatch(batch((1L, "x", 1L)), 0L, hcfg, hist)
+    CdcPipeline.applyBatch(batch((1L, "x", 1L)), 0L, hcfg, hist) // replay
+    assert(spark.read.parquet(hist).count() == 1) // no duplicate append
+  }
+
+  test("drop-confidence state survives a restart via sidecar persistence") {
+    import graft.schema.SchemaEvolution
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val dc = new SchemaEvolution.DropConfidence(graceHours = 4)
+    assert(dc.observe(Set("col_a"), t0, containsOtherOperations = true).isEmpty)
+    val sidecar = Files.createTempDirectory("graft_dc").resolve("state.tsv")
+    dc.save(sidecar)
+    // restart: reload; the original absent-since timestamp must be kept,
+    // so the grace window doesn't reset
+    val dc2 = SchemaEvolution.DropConfidence.load(sidecar, graceHours = 4)
+    assert(dc2.pending.keySet == Set("col_a"))
+    assert(dc2.observe(Set("col_a"), t0.plusSeconds(5 * 3600),
+      containsOtherOperations = true) == Seq("col_a"))
+  }
+
   test("mergeApply evolves schema: new column adds, missing column keeps target") {
     val base = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("pk", "name", "score")
     // batch carries a NEW column `email` and LACKS `score`
