@@ -294,7 +294,7 @@ FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
       None),
 
     ("q24_ann_cosine_topk", (s, d) =>
-      SimilarityOps.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding", col("vid") < 8, 5)
+      SimilarityOps.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding", col("vec_id") < 8, 5)
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy(col("q_id"), col("rank")),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -307,7 +307,7 @@ SELECT q_id, neighbor_id, sim, rank FROM
 WHERE rank <= 5 ORDER BY q_id, rank""")),
 
     ("q25_ann_ivf", (s, d) =>
-      SimilarityOps.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding", col("vid") < 8, 5)
+      SimilarityOps.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding", col("vec_id") < 8, 5)
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy(col("q_id"), col("rank")),
       None),

@@ -97,8 +97,21 @@ object Envelope {
     val doc = graft.functions.Converters.mongoExtJson(rawDoc)
     val carried = Seq("offset", "partition", "timestamp")
       .filter(df.columns.contains).map(col)
+    // delete events carry no before-image unless pre-images are enabled,
+    // so the PK must come from the Kafka key (mongo/debezium.go
+    // GetPrimaryKey + the id -> _id rename); the document body is the
+    // fallback for insert/update
+    val keyId =
+      if (df.columns.contains("key")) {
+        val keyJson = graft.functions.Converters.mongoExtJson(col("key").cast(StringType))
+        coalesce(
+          get_json_object(keyJson, "$.payload.id"),
+          get_json_object(keyJson, "$.id"),
+          get_json_object(keyJson, "$.payload._id"),
+          get_json_object(keyJson, "$._id"))
+      } else lit(null).cast(StringType)
     decoded.select(Seq(
-      get_json_object(doc, "$._id").as("_id"),
+      coalesce(get_json_object(doc, "$._id"), keyId).as("_id"),
       doc.as("document"),
       col("__p.op").as(Constants.OperationCol),
       isDelete.as(Constants.DeleteCol),

@@ -22,16 +22,12 @@ object Converters {
   /** Inverse of [[debeziumDecimal]] for integral unscaled values. */
   def twosComplementBytes(v: Column): Column = c(TwosComplementEncode(e(v)))
 
-  /** F7: variable-scale decimal struct {scale, value: bytes} -> plain string
-    * (reference stores variable NUMERIC as TEXT, decimal.go:156-198).
-    * Decoded at a fixed max scale then trimmed.
+  /** F7: variable-scale decimal struct {scale, value: bytes} -> plain
+    * string at the payload's own scale (reference stores variable NUMERIC
+    * as TEXT, decimal.go:156-198).
     */
-  def variableScaleDecimal(valueBytes: Column, scale: Column): Column = {
-    // decode unscaled big-int, then scale as decimal string: unscaled / 10^scale
-    val unscaled = c(DebeziumDecimalDecode(e(valueBytes), 38, 0))
-    (unscaled.cast(DecimalType(38, 18)) / pow(lit(10.0), scale).cast(DecimalType(38, 18)))
-      .cast(DecimalType(38, 18)).cast(StringType)
-  }
+  def variableScaleDecimal(valueBytes: Column, scale: Column): Column =
+    c(VariableScaleDecimalText(e(valueBytes), e(scale)))
 
   /** F15: gunzip(binary) (types.go:156-184). */
   def gunzip(bin: Column): Column = c(Gunzip(e(bin)))

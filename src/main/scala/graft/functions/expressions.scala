@@ -106,6 +106,10 @@ object DebeziumCodec {
   */
 case class DebeziumDecimalDecode(child: Expression, precision: Int, scale: Int)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"debezium_decimal needs BINARY input, got ${child.dataType.sql}")
   override def dataType: DataType = DecimalType(precision, scale)
   override def nullSafeEval(input: Any): Any =
     DebeziumCodec.decode(input.asInstanceOf[Array[Byte]], precision, scale)
@@ -120,6 +124,10 @@ case class DebeziumDecimalDecode(child: Expression, precision: Int, scale: Int)
   */
 case class TwosComplementEncode(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"twos_complement_bytes needs BIGINT input, got ${child.dataType.sql}")
   override def dataType: DataType = BinaryType
   override def nullSafeEval(input: Any): Any =
     DebeziumCodec.encodeLong(input.asInstanceOf[Long])
@@ -171,6 +179,10 @@ case class CanonicalJson(child: Expression)
 /** 64-bit rolling document fingerprint (SURVEY §2 text-analysis ops). */
 case class Fingerprint64(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"fingerprint64 needs STRING input, got ${child.dataType.sql}")
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     DebeziumCodec.fingerprint64(input.asInstanceOf[UTF8String])
@@ -189,6 +201,16 @@ case class Fingerprint64(child: Expression)
   */
 case class DoubleArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true // containsNull-agnostic
+      case _ => false
+    })
+    // getDouble over non-double slots would return silent garbage
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"array_dot needs two ARRAY<DOUBLE> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -213,6 +235,25 @@ case class DoubleArrayDot(left: Expression, right: Expression)
         ${ev.value} = $s;
       """
     })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** F7: variable-scale decimal {scale, value: bytes} -> exact-scale plain
+  * text (the reference stores variable NUMERIC as TEXT at the payload's
+  * own scale, decimal.go:156-198 — a fixed render scale would pad or
+  * truncate).
+  */
+case class VariableScaleDecimalText(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(bytes: Any, scale: Any): Any = {
+    val bi =
+      if (bytes.asInstanceOf[Array[Byte]].isEmpty) java.math.BigInteger.ZERO
+      else new java.math.BigInteger(bytes.asInstanceOf[Array[Byte]])
+    val s = scale.asInstanceOf[Number].intValue()
+    UTF8String.fromString(new java.math.BigDecimal(bi, s).toPlainString)
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

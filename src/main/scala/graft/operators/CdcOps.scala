@@ -4,6 +4,7 @@ import graft.Constants
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 /** The engine's core stateful operators, re-expressed as shuffle-partitioned
   * window/join stages (no driver collection, scales with the PK hash
@@ -130,9 +131,13 @@ object CdcOps {
                else lit(null).cast(sTypes(cname))
       val fromSource =
         if (!sHas(cname)) tv // column absent from this batch: keep target
-        else if (toastCols.contains(cname))
-          when(sv === lit(Constants.ToastPlaceholder), tv).otherwise(sv)
-        else sv
+        else if (toastCols.contains(cname)) {
+          // reference MERGE arm (iceberg/dialect.go:56-59): CAST AS STRING
+          // NOT LIKE '%sentinel%' — works for arrays/structs serialized
+          // with the sentinel inside, and a staged NULL keeps the target
+          val isNotToast = sv.cast(StringType).contains(Constants.ToastPlaceholder) === false
+          when(coalesce(isNotToast, lit(false)), sv).otherwise(tv)
+        } else sv
       when(sOnly, sv)
         .when(matched && onlySet, tv)
         .when(matched, fromSource)

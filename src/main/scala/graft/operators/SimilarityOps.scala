@@ -35,11 +35,14 @@ object SimilarityOps {
     */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  queryPred: Column, k: Int, roundDigits: Int = 4): DataFrame = {
-    val base = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    // evaluate queryPred against the caller's own columns, before the
+    // internal renames
+    val base = emb.withColumn("__is_q", queryPred)
+      .select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"), col("__is_q"))
       .withColumn("nrm", l2Norm(col("v")))
-    val q = base.filter(queryPred)
+    val q = base.filter(col("__is_q"))
       .select(col("vid").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val joined = base.join(broadcast(q), col("vid") =!= col("q_id"))
+    val joined = base.drop("__is_q").join(broadcast(q), col("vid") =!= col("q_id"))
     val factor = math.pow(10, roundDigits)
     val sim = floor(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * factor) / factor
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
@@ -73,7 +76,8 @@ object SimilarityOps {
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, centroidEvery: Int = 25): DataFrame = {
-    val base = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val base = emb.withColumn("__is_q", queryPred)
+      .select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"), col("__is_q"))
       .withColumn("nrm", l2Norm(col("v")))
     val cents = base.filter(col("vid") % centroidEvery === 0)
       .select(col("vid").as("c_id"), col("v").as("cv"))
@@ -85,10 +89,11 @@ object SimilarityOps {
       .withColumn("d2", d2)
       .groupBy(col("vid"))
       .agg(min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("cell"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-    val q = assigned.filter(queryPred)
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        first(col("__is_q")).as("__is_q"))
+    val q = assigned.filter(col("__is_q"))
       .select(col("vid").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
-    val joined = assigned.join(broadcast(q), Seq("cell")).filter(col("vid") =!= col("q_id"))
+    val joined = assigned.drop("__is_q").join(broadcast(q), Seq("cell")).filter(col("vid") =!= col("q_id"))
     val sim = floor(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * 10000.0) / 10000.0
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
     joined.select(col("q_id"), col("vid").as("neighbor_id"), sim.as("sim"))

@@ -28,15 +28,49 @@ object SchemaEvolution {
     )
   }
 
+  /** Type reconciliation for a column seen with two different types across
+    * batches, via the Kind lattice (lib/typing semantics): invalid upgrades,
+    * ints widen, int+float -> float, conflicts degrade to string.
+    */
+  def resolveType(a: DataType, b: DataType): DataType = {
+    import graft.types.Kind
+    if (a == b) a
+    else {
+      def toKind(dt: DataType): Kind = dt match {
+        case NullType => Kind.Invalid
+        case BooleanType => Kind.Bool
+        case ShortType => Kind.Int(16)
+        case IntegerType => Kind.Int(32)
+        case LongType => Kind.Int(64)
+        case FloatType | DoubleType => Kind.Float
+        case d: DecimalType => Kind.Dec(d.precision, d.scale)
+        case BinaryType => Kind.Bytes
+        case DateType => Kind.Date
+        case TimestampType => Kind.TimestampTz
+        case TimestampNTZType => Kind.TimestampNtz
+        case _ => Kind.Str()
+      }
+      (toKind(a), toKind(b)) match {
+        // same-kind decimals with different precision: widest wins
+        case (Kind.Dec(p1, s1), Kind.Dec(p2, s2)) =>
+          DecimalType(math.max(p1, p2), math.max(s1, s2))
+        case (ka, kb) => Kind.merge(ka, kb).sparkType
+      }
+    }
+  }
+
   /** Union two frames whose schemas may have diverged: the result carries
-    * every column (first-appearance order), missing columns backfilled with
-    * typed nulls — the batch analog of ADD COLUMN + NULL backfill.
+    * every column (first-appearance order), missing columns backfilled
+    * with typed nulls and type conflicts resolved through the Kind
+    * lattice — the batch analog of ADD COLUMN + NULL backfill.
     */
   def unionEvolve(a: DataFrame, b: DataFrame): DataFrame = {
-    val fields = a.schema.fields.toSeq ++
-      b.schema.fields.toSeq.filterNot(f => a.schema.fieldNames.contains(f.name))
+    val bTypes = b.schema.fields.map(f => f.name -> f.dataType).toMap
+    val fields = a.schema.fields.toSeq.map { f =>
+      StructField(f.name, bTypes.get(f.name).map(resolveType(f.dataType, _)).getOrElse(f.dataType))
+    } ++ b.schema.fields.toSeq.filterNot(f => a.schema.fieldNames.contains(f.name))
     def align(df: DataFrame) = df.select(fields.map { f =>
-      if (df.schema.fieldNames.contains(f.name)) col(f.name)
+      if (df.schema.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
     align(a).unionByName(align(b))
@@ -78,13 +112,19 @@ object SchemaEvolution {
   class DropConfidence(graceHours: Long = 4) {
     private var candidates = Map.empty[String, Instant]
 
-    /** Persist candidate state to a sidecar file (tab-separated). */
+    /** Persist candidate state to a sidecar file (tab-separated).
+      * Write-temp-then-atomic-move: a torn sidecar could fabricate an
+      * ancient absent-since timestamp and trigger a premature DROP.
+      */
     def save(path: java.nio.file.Path): Unit = {
       val lines = candidates.toSeq.sortBy(_._1)
         .map { case (c, t) => s"$c\t${t.toEpochMilli}" }
       java.nio.file.Files.createDirectories(path.getParent)
-      java.nio.file.Files.write(path,
-        String.join("\n", lines: _*).getBytes("UTF-8"))
+      val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, String.join("\n", lines: _*).getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, path,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
 
     /** Record one batch's observation; returns columns now safe to drop. */

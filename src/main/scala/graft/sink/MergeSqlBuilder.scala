@@ -13,13 +13,15 @@ import graft.Constants
 object MergeSqlBuilder {
   private def q(s: String) = s"`$s`"
 
-  /** Toast-aware UPDATE fragment (lib/sql/columns.go:42-59): a staged TOAST
-    * sentinel keeps the target's value.
+  /** Toast-aware UPDATE fragment (lib/sql/columns.go:42-59 + the Iceberg
+    * is-not-toast form, iceberg/dialect.go:56-59): substring match after a
+    * string cast (covers arrays/structs carrying the sentinel); a staged
+    * NULL keeps the target's value.
     */
   private def updateFragment(cols: Seq[String], toastCols: Set[String]): String =
     cols.map { c =>
       if (toastCols.contains(c))
-        s"${q(c)} = CASE WHEN stg.${q(c)} != '${Constants.ToastPlaceholder}' THEN stg.${q(c)} ELSE tgt.${q(c)} END"
+        s"${q(c)} = CASE WHEN CAST(stg.${q(c)} AS STRING) NOT LIKE '%${Constants.ToastPlaceholder}%' THEN stg.${q(c)} ELSE tgt.${q(c)} END"
       else s"${q(c)} = stg.${q(c)}"
     }.mkString(", ")
 

@@ -159,12 +159,13 @@ object CdcPipeline {
     if (batchId <= lastAppliedBatch(batch.sparkSession, targetPath)) return // replay: no-op
     val transformed = applyRowTransforms(batch, cfg)
     if (cfg.historyMode) {
+      // idempotent append: each batch owns a partition dir it OVERWRITES,
+      // so a replay rewrites the same files instead of duplicating them
+      // (a plain append + marker would leave a crash window between the
+      // two writes)
       CdcOps.historyProjection(transformed, col(Constants.OperationCol))
-        .write.mode("append").parquet(targetPath)
-      // append is NOT naturally idempotent — the marker is what makes
-      // history-mode replays safe
-      recordBatch(batch.sparkSession, targetPath, batchId)
-      return
+        .write.mode("overwrite").parquet(s"$targetPath/batch=$batchId")
+      return // no marker needed: the per-batch overwrite IS the idempotency
     }
     val changes = transformed.drop(Constants.OperationCol)
     if (cfg.msmSteps <= 1) {

@@ -49,7 +49,7 @@ class DedupTextSpec extends AnyFunSuite {
     // vec 30 = scaled near-copy of vec 0 (same direction -> cosine 1)
     val rows = base :+ (30L, base.head._2.map(x => x * 1.5f))
     val df = rows.toDF("vec_id", "embedding")
-    val got = SimilarityOps.cosineTopK(df, "vec_id", "embedding", col("vid") === 0, 3)
+    val got = SimilarityOps.cosineTopK(df, "vec_id", "embedding", col("vec_id") === 0, 3)
     val top = got.orderBy("rank").collect()
     assert(top.head.getLong(1) == 30L) // nearest neighbor of 0 is its copy
     assert(top.head.getDouble(2) >= 0.9999)

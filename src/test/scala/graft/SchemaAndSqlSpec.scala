@@ -31,6 +31,17 @@ class SchemaAndSqlSpec extends AnyFunSuite {
     assert(out(0).isNullAt(2) && out(1).getDouble(2) == 9.5)
   }
 
+  test("unionEvolve resolves type conflicts through the Kind lattice") {
+    val a = Seq((1L, 5)).toDF("id", "v")          // v: int
+    val b = Seq((2L, 7.5)).toDF("id", "v")        // v: double
+    val out = SchemaEvolution.unionEvolve(a, b)
+    assert(out.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(out.orderBy("id").collect().map(_.getDouble(1)).toSeq == Seq(5.0, 7.5))
+    val c = Seq((1L, true)).toDF("id", "v")       // bool vs double: degrade
+    val out2 = SchemaEvolution.unionEvolve(c, b)
+    assert(out2.schema("v").dataType == org.apache.spark.sql.types.StringType)
+  }
+
   test("mergeFromDestination: destination type wins") {
     val mem = StructType(Seq(StructField("id", IntegerType), StructField("v", NullType)))
     val dst = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
@@ -60,7 +71,7 @@ class SchemaAndSqlSpec extends AnyFunSuite {
     assert(sql.contains("WHEN MATCHED AND stg.`__artie_delete` THEN DELETE"))
     assert(sql.contains("WHEN MATCHED AND IFNULL(stg.`__artie_delete`, false) = false THEN UPDATE SET"))
     assert(sql.contains(
-      s"`name` = CASE WHEN stg.`name` != '${Constants.ToastPlaceholder}' THEN stg.`name` ELSE tgt.`name` END"))
+      s"`name` = CASE WHEN CAST(stg.`name` AS STRING) NOT LIKE '%${Constants.ToastPlaceholder}%' THEN stg.`name` ELSE tgt.`name` END"))
     assert(sql.contains("WHEN NOT MATCHED AND IFNULL(stg.`__artie_delete`, false) = false THEN INSERT (`id`,`name`) VALUES (stg.`id`,stg.`name`)"))
   }
 
