@@ -61,6 +61,15 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(!out.getAs[Boolean](Constants.DeleteCol))
   }
 
+  test("decodeMongo: delete events take _id from the Kafka key (no before-image)") {
+    val value = """{"payload":{"before":null,"after":null,"source":{"db":"x"},"op":"d","ts_ms":9}}"""
+    val key = """{"id":{"$oid":"deadbeef01"}}"""
+    val df = Seq((key, value, 7L)).toDF("key", "value", "offset")
+    val out = Envelope.decodeMongo(df).head
+    assert(out.getAs[String]("_id") == "deadbeef01")
+    assert(out.getAs[Boolean](Constants.DeleteCol))
+  }
+
   test("format registry dispatches by label and rejects unknown") {
     assert(FormatRegistry.decoder("debezium.relational") != null)
     assert(FormatRegistry.decoder("debezium.mongodb") != null)
