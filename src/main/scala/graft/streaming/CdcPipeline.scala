@@ -168,6 +168,7 @@ object CdcPipeline {
       return // no marker needed: the per-batch overwrite IS the idempotency
     }
     val changes = transformed.drop(Constants.OperationCol)
+    observeColumnDrops(transformed, batchId, cfg, targetPath)
     if (cfg.msmSteps <= 1) {
       mergeIntoSnapshot(changes, cfg, targetPath, cfg.softDelete)
     } else {
@@ -182,6 +183,38 @@ object CdcPipeline {
       }
     }
     recordBatch(batch.sparkSession, targetPath, batchId)
+  }
+
+  /** D3 wired end-to-end: per batch, record which snapshot columns the
+    * change set no longer carries; a column absent for the full grace
+    * window (and never off the back of a delete-only batch) is reported
+    * droppable. State lives in a sidecar next to the snapshot so the
+    * window survives restarts. Returns the columns safe to drop now —
+    * the caller (or a catalog integration) issues the actual DROP.
+    */
+  def observeColumnDrops(batch: DataFrame, batchId: Long, cfg: Config,
+                         targetPath: String,
+                         now: java.time.Instant = java.time.Instant.now(),
+                         graceHours: Long = 4): Seq[String] = {
+    val spark = batch.sparkSession
+    val live = resolveSnapshot(spark, targetPath).getOrElse(return Nil)
+    val snapshotCols = spark.read.parquet(live.toString).columns.toSet
+    val batchCols = batch.columns.toSet
+    val absent = snapshotCols.diff(batchCols)
+      .filterNot(c => c.startsWith("__artie") || cfg.primaryKeys.contains(c))
+    val containsOtherOps =
+      !batch.columns.contains(Constants.DeleteCol) ||
+        batch.filter(!col(Constants.DeleteCol)).limit(1).count() > 0
+    // local-fs sidecar; an object-store deployment would keep this state
+    // in a catalog table instead
+    val sidecar = java.nio.file.Paths.get(
+      new Path(targetPath + "__dropstate").toUri.getPath)
+    val dc = graft.schema.SchemaEvolution.DropConfidence.load(sidecar, graceHours)
+    val droppable = dc.observe(absent, now, containsOtherOps)
+    dc.save(sidecar)
+    if (droppable.nonEmpty)
+      System.err.println(s"[graft] columns past drop-confidence for $targetPath: ${droppable.mkString(", ")}")
+    droppable
   }
 
   /** Wire a decoded change stream into the micro-batch merge sink. The

@@ -109,6 +109,27 @@ class ReviewRegressionSpec extends AnyFunSuite {
     assert(spark.read.parquet(hist).count() == 1) // no duplicate append
   }
 
+  test("pipeline-wired drop confidence: absent column becomes droppable after grace") {
+    val target = Files.createTempDirectory("graft_drop").toString + "/t"
+    val cfg = CdcPipeline.Config(Seq("id"), orderCol = "off")
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val wide = Seq((1L, "a", 9.5, 1L, false)).toDF("id", "name", "score", "off", Constants.DeleteCol)
+      .withColumn(Constants.OperationCol, lit("u"))
+    CdcPipeline.applyBatch(wide, 0L, cfg, target) // snapshot has `score`
+    val narrow = Seq((1L, "b", 2L, false)).toDF("id", "name", "off", Constants.DeleteCol)
+    // first narrow observation starts the clock
+    assert(CdcPipeline.observeColumnDrops(narrow, 1L, cfg, target, t0).isEmpty)
+    // still inside grace
+    assert(CdcPipeline.observeColumnDrops(narrow, 2L, cfg, target, t0.plusSeconds(3600)).isEmpty)
+    // past grace -> droppable (state survived across the separate calls)
+    assert(CdcPipeline.observeColumnDrops(narrow, 3L, cfg, target,
+      t0.plusSeconds(5 * 3600)) == Seq("score"))
+    // delete-only batch provides no drop evidence
+    val delOnly = Seq((1L, "x", 3L, true)).toDF("id", "name", "off", Constants.DeleteCol)
+    assert(CdcPipeline.observeColumnDrops(delOnly, 4L, cfg, target,
+      t0.plusSeconds(6 * 3600)).isEmpty)
+  }
+
   test("drop-confidence state survives a restart via sidecar persistence") {
     import graft.schema.SchemaEvolution
     val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
