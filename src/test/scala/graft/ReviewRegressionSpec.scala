@@ -109,6 +109,22 @@ class ReviewRegressionSpec extends AnyFunSuite {
     assert(spark.read.parquet(hist).count() == 1) // no duplicate append
   }
 
+  test("pipeline evolves the snapshot when a column appears mid-stream") {
+    val target = Files.createTempDirectory("graft_evolve").toString + "/t"
+    val cfg = CdcPipeline.Config(Seq("id"), orderCol = "off")
+    val v1 = Seq((1L, "a", 1L, false)).toDF("id", "name", "off", Constants.DeleteCol)
+      .withColumn(Constants.OperationCol, lit("u"))
+    CdcPipeline.applyBatch(v1, 0L, cfg, target)
+    // connector restarts with a wider schema: `email` appears
+    val v2 = Seq((2L, "b", "b@x.com", 2L, false))
+      .toDF("id", "name", "email", "off", Constants.DeleteCol)
+      .withColumn(Constants.OperationCol, lit("u"))
+    CdcPipeline.applyBatch(v2, 1L, cfg, target)
+    val out = spark.read.parquet(target).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), Option(r.getAs[String]("email"))))
+    assert(out.toSeq == Seq((1L, "a", None), (2L, "b", Some("b@x.com"))))
+  }
+
   test("pipeline-wired drop confidence: absent column becomes droppable after grace") {
     val target = Files.createTempDirectory("graft_drop").toString + "/t"
     val cfg = CdcPipeline.Config(Seq("id"), orderCol = "off")
