@@ -453,6 +453,22 @@ GROUP BY o_orderkey ORDER BY o_orderkey""")),
     },
       None),
 
+    ("q42_canonical_strings", (s, d) => {
+      val priceWithNulls = when(col("o_orderkey") % 7 === 0, lit(null))
+        .otherwise(col("o_totalprice"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        Converters.canonicalString(col("o_orderdate"), TimestampNTZType).as("date_c"),
+        Converters.canonicalString(priceWithNulls, DoubleType).as("price_c"),
+        Converters.canonicalString(col("o_custkey") % 2 === 0, BooleanType).as("flag_c"))
+        .orderBy(col("o_orderkey"))
+    },
+      Some(s"""SELECT o_orderkey,
+strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS date_c,
+CASE WHEN o_orderkey % 7 = 0 THEN '${Constants.NullValuePlaceholder}' ELSE CAST(o_totalprice AS VARCHAR) END AS price_c,
+CASE WHEN o_custkey % 2 = 0 THEN 'true' ELSE 'false' END AS flag_c
+FROM orders ORDER BY o_orderkey""")),
+
     ("q31_dedup_embedding", (s, d) =>
       SimilarityOps.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
         .orderBy(col("ia"), col("ib")),
