@@ -262,11 +262,15 @@ FROM events ORDER BY event_id""")),
       val cents = round(col("l_extendedprice") * 100).cast(LongType) - 5000000L
       Tables.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
-        Converters.debeziumDecimal(Converters.twosComplementBytes(cents), 18, 2).as("amount"))
+        Converters.debeziumDecimal(Converters.twosComplementBytes(cents), 18, 2)
+          .cast(StringType).as("amount"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
+      // Canonical plain-text output on both sides: decimal columns round-trip
+      // through pandas as Decimal vs float64 depending on the reader, so the
+      // value-identical result can still hash-mismatch. Strings are stable.
       Some("""SELECT l_orderkey, l_linenumber,
-CAST((CAST(round(l_extendedprice * 100) AS BIGINT) - 5000000) / 100.0 AS DECIMAL(18,2)) AS amount
+CAST(CAST((CAST(round(l_extendedprice * 100) AS BIGINT) - 5000000) / 100.0 AS DECIMAL(18,2)) AS VARCHAR) AS amount
 FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
 
     // ---- training-data pipeline ops ---------------------------------------
@@ -289,9 +293,9 @@ FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
       Some(jaccardSql(0.7))),
 
     ("q23_dedup_simhash", (s, d) =>
-      DedupOps.simhashPairs(Tables.documents(s, d), "doc_id", "text", 10)
+      DedupOps.simhashExactPairs(Tables.documents(s, d), "doc_id", "text", 3)
         .orderBy(col("ia"), col("ib")),
-      None),
+      Some(simhashSql(3))),
 
     ("q24_ann_cosine_topk", (s, d) =>
       SimilarityOps.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding", col("vec_id") < 8, 5)
@@ -310,7 +314,7 @@ WHERE rank <= 5 ORDER BY q_id, rank""")),
       SimilarityOps.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding", col("vec_id") < 8, 5)
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy(col("q_id"), col("rank")),
-      None),
+      Some(s"WITH $annIvfCtes\nSELECT q_id, neighbor_id, sim, rank FROM approx ORDER BY q_id, rank")),
 
     ("q26_lang_id", (s, d) =>
       Tables.documents(s, d).select(
@@ -451,7 +455,13 @@ GROUP BY o_orderkey ORDER BY o_orderkey""")),
       val approx = SimilarityOps.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 8, 5)
       SimilarityOps.recallAtK(exact, approx).orderBy(col("q_id"))
     },
-      None),
+      Some(s"""WITH $annExactCtes,
+$annIvfCtes,
+hits AS (SELECT e.q_id, count(*) AS n_hit FROM exact e
+  JOIN approx a ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id GROUP BY 1),
+tot AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY 1)
+SELECT t.q_id AS q_id, CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_exact AS recall
+FROM tot t LEFT JOIN hits h ON h.q_id = t.q_id ORDER BY t.q_id""")),
 
     ("q42_canonical_strings", (s, d) => {
       val priceWithNulls = when(col("o_orderkey") % 7 === 0, lit(null))
@@ -510,9 +520,15 @@ ORDER BY user_id, event_type""")),
         .select(col("doc_id"), col("text").cast(BinaryType).as("content"))
       graft.operators.MultimodalOps.frameFeatures(
         graft.operators.MultimodalOps.sampleFrames(docs, "doc_id", "content", 4))
+        .select(col("media_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+          col("mean_px"), col("min_px").cast(LongType).as("min_px"),
+          col("max_px").cast(LongType).as("max_px"))
         .orderBy(col("media_id"), col("frame_idx"))
     },
-      None),
+      // The stub codec is a deterministic 64-bit LCG over the payload bytes
+      // (documents are ASCII, so byte == code point); the oracle replays it
+      // step-for-step in a recursive CTE with HUGEINT mod-2^64 arithmetic.
+      Some(frameStubSql(4))),
 
     ("q35_mongo_extjson", (s, d) => {
       val ext = concat(lit("""{"_id":{"$numberLong":""""), col("doc_id"),
@@ -579,6 +595,87 @@ inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
 SELECT ia, ib, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
 FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
 WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $tau ORDER BY ia, ib"""
+
+  /** Brute-force 30-bit bigram-SimHash Hamming pairs (exact oracle for
+    * q23): replays DedupOps.simhashFp30 bit-for-bit — same rolling word
+    * fingerprint, same bit-sum sign rule — then scans all pairs.
+    */
+  private def simhashSql(maxDist: Int): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+feats AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1])) AS f FROM toks),
+hw AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(f) + 1), i -> CAST(unicode(substring(f, CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM feats),
+bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hw, range(30) t(j) GROUP BY 1, 2),
+sig AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS sh
+  FROM bits GROUP BY 1)
+SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= $maxDist ORDER BY ia, ib"""
+
+  /** Exact cosine top-5 CTE chain (base table aliased `xe` so it can be
+    * concatenated with [[annIvfCtes]] in one WITH clause).
+    */
+  private def annExactCtes: String =
+    """xe AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qx AS (SELECT vid AS q_id, v AS qv FROM xe WHERE vid < 8),
+xpairs AS (SELECT q_id, xe.vid AS neighbor_id,
+  floor(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) * 10000.0) / 10000.0 AS sim
+  FROM qx JOIN xe ON xe.vid != qx.q_id),
+exact AS (SELECT q_id, neighbor_id, sim, rank FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM xpairs)
+  WHERE rank <= 5)"""
+
+  /** IVF top-5 CTE chain replaying SimilarityOps.ivfTopK exactly: the same
+    * md5-ordered 16-centroid sample, the same left-to-right squared-L2
+    * fold for assignment (ties on centroid id), the same cell-local search.
+    */
+  private def annIvfCtes: String =
+    """e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vid AS c_id, v AS cv FROM e ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT 16),
+asg AS (SELECT vid, v, c_id,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list_transform(range(1, len(v) + 1), i -> (v[CAST(i AS INT)] - cv[CAST(i AS INT)]) * (v[CAST(i AS INT)] - cv[CAST(i AS INT)]))),
+    (a, x) -> a + x) AS d2
+  FROM e CROSS JOIN cents),
+cell AS (SELECT vid, v, c_id AS cell FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, c_id) AS rn FROM asg) WHERE rn = 1),
+qi AS (SELECT vid AS q_id, v AS qv, cell FROM cell WHERE vid < 8),
+ipairs AS (SELECT q_id, c.vid AS neighbor_id,
+  floor(list_dot_product(qv, c.v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))) * 10000.0) / 10000.0 AS sim
+  FROM qi JOIN cell c ON c.cell = qi.cell AND c.vid != qi.q_id),
+approx AS (SELECT q_id, neighbor_id, sim, rank FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM ipairs)
+  WHERE rank <= 5)"""
+
+  /** Replay of MultimodalOps.decodeStub + frameFeatures: a 64-step LCG per
+    * (doc, frame) in a recursive CTE; HUGEINT carries the unsigned 64-bit
+    * accumulator (mod 2^64 after each step), with a signed reinterpretation
+    * for the byte-index step exactly like the JVM's signed Long `%`.
+    */
+  private def frameStubSql(nFrames: Int): String =
+    s"""WITH RECURSIVE st AS (
+  SELECT doc_id, CAST(f AS INT) AS fi, 0 AS i, CAST(doc_id * 31 + f AS HUGEINT) AS acc,
+         CAST(0 AS BIGINT) AS sm, 255 AS mn, 0 AS mx, text
+  FROM documents, range($nFrames) t(f)
+  UNION ALL
+  SELECT doc_id, fi, i + 1, nacc,
+    sm + CAST(nacc >> 56 AS BIGINT),
+    least(mn, CAST(nacc >> 56 AS INT)), greatest(mx, CAST(nacc >> 56 AS INT)), text
+  FROM (
+    SELECT *, (acc * 6364136223846793005 +
+      CASE WHEN length(text) = 0 THEN 0
+           ELSE unicode(substring(text,
+             CAST(((CASE WHEN acc >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN acc - CAST(18446744073709551616 AS HUGEINT) ELSE acc END)
+               % length(text) + length(text)) % length(text) + 1 AS INT), 1))
+      END) % CAST(18446744073709551616 AS HUGEINT) AS nacc
+    FROM st WHERE i < 64))
+SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx, sm / 64.0 AS mean_px,
+  CAST(least(mn, mx) AS BIGINT) AS min_px, CAST(mx AS BIGINT) AS max_px
+FROM st WHERE i = 64 ORDER BY media_id, frame_idx"""
 
   /** Language-ID oracle generated from the same marker lists as
     * TextOps.langId so the two can never drift apart.

@@ -179,4 +179,51 @@ object DedupOps {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** 30-bit SimHash over word-bigram features, hashed with the
+    * engine-portable rolling fingerprint (`fingerprint64`, value < 2^30)
+    * instead of xxhash64. Every arithmetic step can be replayed bit-for-bit
+    * by an external SQL engine, so — unlike [[simhash64]] — the signature
+    * itself is exactly oracle-checkable. Bigrams (not unigrams) because a
+    * shared vocabulary makes unigram bit-sums converge across documents;
+    * bigram features keep the signature discriminative.
+    */
+  def simhashFp30(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val feats = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .select(col("id"), explode(shingleArrayFromTokens(col("__toks"), 2)).as("w"))
+    val h = graft.functions.Converters.fingerprint64(col("w"))
+    val bitAggs = (0 until 30).map { j =>
+      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val sums = feats.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sig = (0 until 30).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Exact SimHash near-dup pairs within `maxDist` (<= 3) Hamming distance
+    * over the [[simhashFp30]] signature. Pigeonhole blocking on 4 chunks
+    * (8/8/8/6 bits) guarantees full recall for maxDist <= 3: 3 differing
+    * bits cannot touch all 4 chunks, so every qualifying pair collides on
+    * at least one chunk. The output therefore equals a brute-force
+    * all-pairs Hamming scan while the join only compares candidates.
+    */
+  def simhashExactPairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, s"pigeonhole recall guarantee holds only for maxDist <= 3, got $maxDist")
+    val sig = simhashFp30(df, idCol, textCol)
+    val chunkSpec = Seq((0, 8), (8, 8), (16, 8), (24, 6))
+    val chunks = chunkSpec.zipWithIndex.map { case ((off, w), c) =>
+      struct(lit(c).as("c"),
+        shiftrightunsigned(col("simhash"), off).bitwiseAND(lit((1L << w) - 1)).as("v"))
+    }
+    val exploded = sig.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("chunk"))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
 }

@@ -52,19 +52,37 @@ object SimilarityOps {
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs with similarity >=
-    * tau (quantized with engine-stable floor). Brute-force form — one side
-    * broadcast, candidate side streams; at corpus scale the LSH/IVF
-    * bucketing above bounds the candidate set instead.
+    * tau (quantized with engine-stable floor). Exact all-pairs at a low
+    * threshold is inherently O(n^2) *compute* — no metric pruning exists at
+    * tau ~ 0.45 — so the scale lever is distributing that compute with
+    * bounded memory: a triangle-blocked self-join. Vectors hash into
+    * `nBlocks` blocks; the (bi <= bj) block-pair grid is broadcast (it is
+    * B^2/2 tiny rows), and each of the ~B^2/2 tasks compares one
+    * (n/B)x(n/B) tile. No full-corpus broadcast, shuffle keyed on block id,
+    * per-task memory ~ 2n/B vectors. Pick nBlocks ~ sqrt(2 * parallelism)
+    * at scale; for approximate-but-subquadratic dedup at high tau use
+    * [[rpLshNearDupPairs]] instead.
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                         tau: Double): DataFrame = {
+                         tau: Double, nBlocks: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val base = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    val a = base.select(col("vid").as("ia"), col("v").as("va"), col("nrm").as("na"))
-    val b = base.select(col("vid").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+      .withColumn("blk", pmod(hash(col("vid")), lit(nBlocks)))
+    val blockPairs = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
+      .toDF("bi", "bj")
+    val a = base.select(col("vid").as("ida"), col("v").as("va"), col("nrm").as("na"), col("blk").as("ba"))
+    val b = base.select(col("vid").as("idb"), col("v").as("vb"), col("nrm").as("nb"), col("blk").as("bb"))
+    // same-block tiles order by id; cross-block tiles take every (a, b) pair
+    // once (bi < bj) and normalize the id order afterwards — dot products
+    // commute term-by-term, so the swap is float-exact.
+    val cands = a.join(broadcast(blockPairs), col("ba") === col("bi"))
+      .join(b, col("bb") === col("bj") && (col("bi") < col("bj") || col("ida") < col("idb")))
     val sim = floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 10000.0) / 10000.0
-    a.join(broadcast(b), col("ia") < col("ib"))
-      .select(col("ia"), col("ib"), sim.as("cosine"))
+    cands
+      .select(least(col("ida"), col("idb")).as("ia"),
+        greatest(col("ida"), col("idb")).as("ib"), sim.as("cosine"))
       .filter(col("cosine") >= tau)
   }
 
@@ -125,17 +143,25 @@ object SimilarityOps {
   }
 
   /** IVF-style approximate search: assign every vector to its nearest
-    * coarse centroid (deterministically chosen as ids divisible by
-    * `centroidEvery`), then search only within the query's own cell.
+    * coarse centroid, then search only within the query's own cell.
+    * Centroids are a fixed-size (`nCentroids`) deterministic pseudo-random
+    * sample — ordered by md5 of the id — so the coarse quantizer stays
+    * constant-size as the corpus grows: the assignment join is n * k with
+    * k fixed (and the centroid table always broadcastable), never n^2/c.
     * Approximate: neighbors in other cells are missed — that is the
     * recall/cost trade the operator buys.
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              queryPred: Column, k: Int, centroidEvery: Int = 25): DataFrame = {
+              queryPred: Column, k: Int, nCentroids: Int = 16): DataFrame = {
     val base = emb.withColumn("__is_q", queryPred)
       .select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"), col("__is_q"))
       .withColumn("nrm", l2Norm(col("v")))
-    val cents = base.filter(col("vid") % centroidEvery === 0)
+    // md5-of-id ordering = a seedless deterministic shuffle both this
+    // engine and an external SQL oracle can reproduce; TakeOrderedAndProject
+    // keeps the global sort-limit cheap.
+    val cents = base
+      .orderBy(md5(col("vid").cast("string").cast("binary")), col("vid"))
+      .limit(nCentroids)
       .select(col("vid").as("c_id"), col("v").as("cv"))
     val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)

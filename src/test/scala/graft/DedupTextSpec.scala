@@ -43,6 +43,50 @@ class DedupTextSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("simhashExactPairs equals brute-force Hamming scan over simhashFp30") {
+    val docs = Tables.documents(spark, sf)
+    val sigs = DedupOps.simhashFp30(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val got = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty) // testdata plants exact dups -> hamming-0 pairs exist
+  }
+
+  test("blocked cosineNearDupPairs covers every block-pair tile exactly once") {
+    // ids chosen hash-arbitrarily; nBlocks > 1 forces same-block AND
+    // cross-block tiles, including pairs where the lower id hashes to the
+    // HIGHER block (the order-normalization arm)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j + 1).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def pairsWith(b: Int) = SimilarityOps.cosineNearDupPairs(df, "vec_id", "embedding", 0.3, b)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairsWith(1) // single block = plain all-pairs reference
+    assert(pairsWith(4) == one)
+    assert(pairsWith(7) == one)
+    assert(one.nonEmpty)
+    assert(one.forall { case (a, b) => a < b })
+  }
+
+  test("ivfTopK: fixed centroid count independent of corpus size; cell-local results") {
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j + 1).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = SimilarityOps.ivfTopK(df, "vec_id", "embedding", col("vec_id") < 4, 3, nCentroids = 8)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // every q_id emits at most k ranked rows, ranks contiguous from 1
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
   test("cosineTopK: self-similar planted vector ranks first") {
     val base = (0 until 30).map(i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 37 + j * 11) % 31) * 0.1f + 0.1f)))
