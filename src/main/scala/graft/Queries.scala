@@ -512,7 +512,7 @@ ORDER BY o_custkey, order_seq""")),
         .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
         .orderBy(col("user_id"), col("event_type")),
       Some("""SELECT user_id, event_type, event_id, value FROM events
-QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY user_id, event_type, event_id) = 1
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY user_id DESC, event_type DESC, event_id DESC) = 1
 ORDER BY user_id, event_type""")),
 
     ("q34_multimodal_frames", (s, d) => {
@@ -572,9 +572,9 @@ base2 AS (SELECT * FROM base WHERE event_type <> 'error'),
 chg AS (SELECT user_id, event_id, event_type, value FROM events, s WHERE event_id >= split
   QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
 merged AS (SELECT COALESCE(c.user_id, b.user_id) AS user_id,
-  COALESCE(c.event_id, b.event_id) AS event_id,
-  COALESCE(c.event_type, b.event_type) AS event_type,
-  COALESCE(c.value, b.value) AS value,
+  CASE WHEN c.user_id IS NOT NULL THEN c.event_id ELSE b.event_id END AS event_id,
+  CASE WHEN c.user_id IS NOT NULL THEN c.event_type ELSE b.event_type END AS event_type,
+  CASE WHEN c.user_id IS NOT NULL THEN c.value ELSE b.value END AS value,
   (c.user_id IS NOT NULL AND c.event_type = 'error') AS del
 FROM base2 b FULL OUTER JOIN chg c ON b.user_id = c.user_id)"""
     if (soft)

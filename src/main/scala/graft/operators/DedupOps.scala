@@ -44,27 +44,68 @@ object DedupOps {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** All-pairs n-gram Jaccard >= tau via inverted-index self-join.
-    * Output: (ia, ib, jaccard) with ia < ib. The shingle join bounds the
-    * candidate space to docs sharing at least one shingle; at scale,
-    * high-frequency shingles should be capped (see [[minhashNearDupPairs]]
-    * for the scale path).
+  /** All-pairs n-gram Jaccard >= tau via inverted-index self-join,
+    * candidate-then-verify. Output: (ia, ib, jaccard) with ia < ib.
+    * Candidates come from the index with shingles above `dfCap` document
+    * frequency removed (a hot shingle in m docs otherwise creates m^2 join
+    * rows — the scale killer); verification computes the exact jaccard
+    * over the full sets. See the cap soundness note inside.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, tau: Double): DataFrame = {
-    // the shingle index feeds three consumers (counts + both join sides):
-    // persist so Spark doesn't recompute the explode per branch (measured
-    // faster than localCheckpoint). CacheManager dedupes identical plans,
-    // so repeated calls on the same input reuse one entry; long-lived
-    // sessions processing many distinct corpora should clearCache()
-    // periodically.
+                   n: Int, tau: Double, dfCap: Int = 64): DataFrame =
+    jaccardPairsReleasable(df, idCol, textCol, n, tau, dfCap).df
+
+  /** A pair result whose backing persisted index can be released once the
+    * caller has materialized `df` — the deterministic unpersist lifecycle
+    * for long-lived sessions processing many corpora (otherwise cached
+    * shingle indexes accumulate until executor storage fills).
+    */
+  final case class Releasable(df: DataFrame, release: () => Unit)
+
+  def jaccardPairsReleasable(df: DataFrame, idCol: String, textCol: String,
+                             n: Int, tau: Double, dfCap: Int = 64): Releasable = {
+    // the shingle index feeds four consumers (counts, candidate generation,
+    // both verify sides): persist so Spark doesn't recompute the explode
+    // per branch (measured faster than localCheckpoint). CacheManager
+    // dedupes identical plans, so repeated calls on the same input reuse
+    // one entry; call release() when done with the result.
     val sh = shingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // Candidate generation drops shingles whose document frequency exceeds
+    // dfCap: one shingle shared by m docs creates m^2 join rows, so one
+    // hot template phrase turns the self-join quadratic. A >= tau pair can
+    // only be missed if EVERY shingle it shares is hotter than dfCap —
+    // at 3-gram granularity that means pure boilerplate, and at tau = 0.6
+    // most of both documents would have to be that boilerplate. For pairs
+    // that do surface, the hot-shingle intersection contribution is added
+    // back from a second (bounded) pass, so the reported jaccard is exact.
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(freq.filter(col("df") <= dfCap).select(col("shingle")), Seq("shingle"))
+    val hot = sh.join(freq.filter(col("df") > dfCap).select(col("shingle")), Seq("shingle"))
+    // one-pass partial intersection over the capped index (identical to the
+    // uncapped plan when no shingle is hot)
+    val interRare = rare.as("a").join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("ia"), col("b.id").as("ib"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter_r"))
+    // hot contribution only for pairs already candidates: bounded by
+    // |candidates| x hot-shingles-per-doc, never by hot df^2
+    val interHot = interRare.select(col("ia"), col("ib"))
+      .join(hot.as("ha"), col("ia") === col("ha.id"))
+      .join(hot.as("hb"), col("ib") === col("hb.id") && col("ha.shingle") === col("hb.shingle"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter_h"))
+    val inter = interRare.join(interHot, Seq("ia", "ib"), "left")
+      .select(col("ia"), col("ib"),
+        (col("inter_r") + coalesce(col("inter_h"), lit(0L))).as("inter"))
+    Releasable(jaccardFromIntersections(inter, counts, tau), () => { sh.unpersist(); () })
+  }
+
+  /** (ia, ib, inter) + per-doc shingle counts -> exact jaccard >= tau —
+    * shared tail of the capped-index and MinHash-LSH pipelines.
+    */
+  private def jaccardFromIntersections(inter: DataFrame, counts: DataFrame,
+                                       tau: Double): DataFrame =
     inter
       .join(counts.as("ca"), col("ia") === col("ca.id"))
       .join(counts.as("cb"), col("ib") === col("cb.id"))
@@ -72,7 +113,6 @@ object DedupOps {
         (col("inter").cast("double") /
           (col("ca.n_sh") + col("cb.n_sh") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= tau)
-  }
 
   private val MinhashPrime = 2147483647L // 2^31 - 1; keeps a*h+b within int64
 
@@ -126,10 +166,15 @@ object DedupOps {
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int, tau: Double,
-                          k: Int = 96, bands: Int = 48): DataFrame = {
+                          k: Int = 96, bands: Int = 48): DataFrame =
+    minhashNearDupPairsReleasable(df, idCol, textCol, n, tau, k, bands).df
+
+  def minhashNearDupPairsReleasable(df: DataFrame, idCol: String, textCol: String,
+                                    n: Int, tau: Double,
+                                    k: Int = 96, bands: Int = 48): Releasable = {
     val rowsPerBand = k / bands
     // four consumers (signatures, counts, both verify sides); persisted
-    // for the same reason as in jaccardPairs
+    // for the same reason as in jaccardPairsReleasable
     val sh = shingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidatePairs(minhashSignatures(sh, k), bands, rowsPerBand)
@@ -139,13 +184,7 @@ object DedupOps {
       .join(sh.as("sa"), col("ia") === col("sa.id"))
       .join(sh.as("sb"), col("ib") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.as("ca"), col("ia") === col("ca.id"))
-      .join(counts.as("cb"), col("ib") === col("cb.id"))
-      .select(col("ia"), col("ib"),
-        (col("inter").cast("double") /
-          (col("ca.n_sh") + col("cb.n_sh") - col("inter")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+    Releasable(jaccardFromIntersections(inter, counts, tau), () => { sh.unpersist(); () })
   }
 
   /** 64-bit SimHash per document over word unigrams. */

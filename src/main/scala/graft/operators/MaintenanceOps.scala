@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   * TTL sweep (D6), default-value backfill (D7).
   */
 object MaintenanceOps {
-  /** D5: remove full duplicates keeping the first row per PK by the order
-    * columns — the frame-level twin of MergeSqlBuilder.buildDedupe
+  /** D5: remove full duplicates keeping the LATEST row per PK by the order
+    * columns (DESC, matching the reference's dedupe ordering) — the
+    * frame-level twin of MergeSqlBuilder.buildDedupe
     * (clients/iceberg/dialect/dialect.go:61-101).
     */
   def dedupeTable(df: DataFrame, pks: Seq[String], orderCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(pks.map(col): _*)
-      .orderBy((pks ++ orderCols).map(c => col(c).asc): _*)
+      .orderBy((pks ++ orderCols).map(c => col(c).desc): _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

@@ -57,16 +57,26 @@ WHEN NOT MATCHED AND IFNULL($del, false) = false THEN INSERT ($insertCols) VALUE
     }
   }
 
-  /** Full-table dedupe keeping the first row per PK by ordering columns —
-    * the reference's own Spark SQL dedupe (dialect.go:61-101).
+  /** Full-table dedupe keeping the LATEST row per PK (order DESC) — the
+    * reference's own Spark SQL dedupe (iceberg/dialect.go:61-101). A real
+    * staging TABLE (not a view) is required because open-source Spark SQL
+    * has no QUALIFY, no SELECT EXCEPT, and cannot drop a column from a
+    * temporary view; and INSERT OVERWRITE cannot read the table it
+    * overwrites, so the staging table also breaks the self-read cycle.
+    * The final INSERT OVERWRITE is atomic — on failure the target keeps
+    * its original rows. Caller drops the staging table afterwards.
     */
-  def buildDedupe(target: String, primaryKeys: Seq[String], orderCols: Seq[String]): Seq[String] = {
+  def buildDedupe(target: String, stagingTable: String, primaryKeys: Seq[String],
+                  orderCols: Seq[String]): Seq[String] = {
     val pkCsv = primaryKeys.map(q).mkString(", ")
-    val ordCsv = (primaryKeys ++ orderCols).map(c => s"${q(c)} ASC").mkString(", ")
+    val ordCsv = (primaryKeys ++ orderCols).map(c => s"${q(c)} DESC").mkString(", ")
+    val rn = "__artie_rn"
     Seq(
-      s"""CREATE OR REPLACE TEMPORARY VIEW ${target.replace('.', '_')}_dedupe AS
-SELECT * FROM $target QUALIFY ROW_NUMBER() OVER (PARTITION BY $pkCsv ORDER BY $ordCsv) = 1""",
-      s"INSERT OVERWRITE $target SELECT * FROM ${target.replace('.', '_')}_dedupe",
+      s"""CREATE OR REPLACE TABLE $stagingTable AS SELECT * FROM (
+SELECT *, ROW_NUMBER() OVER (PARTITION BY $pkCsv ORDER BY $ordCsv) AS $rn FROM $target) WHERE $rn = 1""",
+      s"ALTER TABLE $stagingTable DROP COLUMN $rn",
+      s"INSERT OVERWRITE $target TABLE $stagingTable",
+      s"DROP TABLE IF EXISTS $stagingTable",
     )
   }
 

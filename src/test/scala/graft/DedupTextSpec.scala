@@ -43,6 +43,36 @@ class DedupTextSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("frequency-capped jaccardPairs equals the uncapped scan; release() unpersists") {
+    val docs = Tables.documents(spark, sf)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = toSet(DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.6, Int.MaxValue))
+    val rel = DedupOps.jaccardPairsReleasable(docs, "doc_id", "text", 3, 0.6, 64)
+    assert(toSet(rel.df) == uncapped)
+    assert(uncapped.nonEmpty)
+    rel.release() // must not throw; cache entry dropped
+  }
+
+  test("dfCap: hot-shingle intersections still counted exactly; all-hot pairs are the documented miss") {
+    // docs 1,2: share 3 rare + 3 hot shingles -> must surface with EXACT
+    // jaccard 6/7 (hot contribution added back). filler docs pairwise share
+    // ONLY hot shingles -> the documented miss under the cap.
+    val filler = (10L until 18L).map(i => (i, s"filler$i the quick brown fox jumps"))
+    val corpus = Seq(
+      (1L, "u1 u2 u3 the quick brown fox jumps"),
+      (2L, "u1 u2 u3 the quick brown fox jumps extra")) ++ filler
+    val df = corpus.toDF("doc_id", "text")
+    val capped = DedupOps.jaccardPairs(df, "doc_id", "text", 3, 0.6, dfCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = DedupOps.jaccardPairs(df, "doc_id", "text", 3, 0.6, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped.contains((1L, 2L, 6.0 / 7.0)))
+    assert(capped.forall { case (a, b, _) => (a, b) == ((1L, 2L)) }) // filler pairs missed by design
+    assert(uncapped.count { case (a, b, _) => a >= 10L && b >= 10L } > 0) // they DO qualify uncapped
+    assert((capped -- uncapped).isEmpty) // cap never invents pairs or distorts values
+  }
+
   test("simhashExactPairs equals brute-force Hamming scan over simhashFp30") {
     val docs = Tables.documents(spark, sf)
     val sigs = DedupOps.simhashFp30(docs, "doc_id", "text").collect()

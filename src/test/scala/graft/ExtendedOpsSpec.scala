@@ -105,12 +105,12 @@ class ExtendedOpsSpec extends AnyFunSuite {
 
   // ---- maintenance (D5-D7) -------------------------------------------------
 
-  test("dedupeTable keeps first row per PK by order cols") {
+  test("dedupeTable keeps latest row per PK by order cols (reference DESC ordering)") {
     val df = Seq((1L, "2024-01-02", "late"), (1L, "2024-01-01", "early"), (2L, "2024-01-01", "only"))
       .toDF("id", "at", "v")
     val got = MaintenanceOps.dedupeTable(df, Seq("id"), Seq("at"))
       .orderBy("id").collect().map(_.getString(2))
-    assert(got.toSeq == Seq("early", "only"))
+    assert(got.toSeq == Seq("late", "only"))
   }
 
   test("temp names encode TTL; sweep detects expiry (incl. underscore salts)") {

@@ -83,10 +83,18 @@ class SchemaAndSqlSpec extends AnyFunSuite {
     assert(!sql.contains("INSERT (`id`,`name`,`__artie_delete`,`__artie_only_set_delete`)"))
   }
 
-  test("dedupe SQL mirrors the reference's row_number/insert-overwrite shape") {
-    val stmts = MergeSqlBuilder.buildDedupe("db.t", Seq("id"), Seq("__artie_updated_at"))
-    assert(stmts.head.contains("ROW_NUMBER() OVER (PARTITION BY `id` ORDER BY `id` ASC, `__artie_updated_at` ASC) = 1"))
-    assert(stmts(1).startsWith("INSERT OVERWRITE db.t"))
+  test("dedupe SQL mirrors the reference's staging-table row_number/insert-overwrite shape") {
+    val stmts = MergeSqlBuilder.buildDedupe("db.t", "db.t_stg", Seq("id"), Seq("__artie_updated_at"))
+    // no QUALIFY (Spark SQL has no such token) and no self-read overwrite:
+    // staging table created from a ROW_NUMBER subquery, marker dropped,
+    // then the atomic overwrite reads only the staging table
+    assert(stmts.head.startsWith("CREATE OR REPLACE TABLE db.t_stg AS SELECT * FROM ("))
+    assert(stmts.head.contains("ROW_NUMBER() OVER (PARTITION BY `id` ORDER BY `id` DESC, `__artie_updated_at` DESC) AS __artie_rn"))
+    assert(stmts.head.contains("WHERE __artie_rn = 1"))
+    assert(!stmts.head.contains("QUALIFY"))
+    assert(stmts(1) == "ALTER TABLE db.t_stg DROP COLUMN __artie_rn")
+    assert(stmts(2) == "INSERT OVERWRITE db.t TABLE db.t_stg")
+    assert(stmts(3) == "DROP TABLE IF EXISTS db.t_stg")
   }
 
   test("kind lattice: parse + merge") {
