@@ -28,4 +28,10 @@ object Constants {
 
   /** History-mode table suffix (models/event/event.go:82-94). */
   val HistoryTableSuffix = "__history"
+
+  /** Debezium logical-table-router marker injected into keys of
+    * multi-partition-routed topics — never a real PK column; stripped
+    * during key parsing (constants.go:11-14, keys.go:50-139).
+    */
+  val DebeziumTopicRoutingKey = "__dbz__physicalTableIdentifier"
 }

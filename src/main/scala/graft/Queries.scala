@@ -539,7 +539,47 @@ ORDER BY user_id, event_type""")),
     },
       Some("""SELECT doc_id, '{"_id":' || doc_id || ',"lang":"' || lang || '"}' AS document
 FROM documents ORDER BY doc_id""")),
+
+    ("q43_debezium_autodispatch", (s, d) => {
+      // Round-trip: events rows -> schema-enabled Debezium JSON envelopes
+      // -> SchemaDispatch.decodeAuto (schema block chooses every converter:
+      // Kafka-Connect decimal, MicroTimestamp, Date, canonical Json). The
+      // oracle computes the same outputs straight from the table, so a
+      // wrong converter choice or wire schema shows up as a hash mismatch.
+      val ev = Tables.events(s, d)
+      val cents = when(col("value").isNotNull,
+        round(col("value") * 100).cast(LongType) - 500L)
+      val k = get_json_object(col("props"), "$.k").cast(LongType)
+      val after = struct(
+        col("event_id").as("id"),
+        base64(Converters.twosComplementBytes(cents)).as("amount"),
+        pmod(col("event_id") * 86400123456L, lit(4102444800000000L)).as("ts_us"),
+        pmod(col("event_id"), lit(20000)).cast(IntegerType).as("d_days"),
+        concat(lit("""{"z":2,"a":"""), k, lit("}")).as("doc"))
+      val frames = ev.select(to_json(struct(
+        struct(after.as("after"), lit("c").as("op"),
+          (col("event_id") * 1000L).as("ts_ms")).as("payload"))).as("value"))
+      graft.cdc.SchemaDispatch.decodeAuto(frames, q43SchemaSample)
+        .select(col("id"), col("amount").cast(StringType).as("amount"),
+          col("ts_us"), col("d_days").as("d_date"), col("doc"))
+        .orderBy(col("id"))
+    },
+      Some("""SELECT event_id AS id,
+CASE WHEN value IS NOT NULL THEN CAST(CAST((CAST(round(value * 100) AS BIGINT) - 500) / 100.0 AS DECIMAL(18,2)) AS VARCHAR) END AS amount,
+make_timestamp(event_id * 86400123456 % 4102444800000000) AS ts_us,
+DATE '1970-01-01' + CAST(event_id % 20000 AS INT) AS d_date,
+'{"a":' || CAST(json_extract_string(props, '$.k') AS BIGINT) || ',"z":2}' AS doc
+FROM events ORDER BY id""")),
   )
+
+  /** Schema block driving q43's auto-dispatch (shape: schema.go:14-69). */
+  private def q43SchemaSample: String =
+    """{"schema":{"type":"struct","fields":[{"type":"struct","field":"after","fields":[
+      {"type":"int64","optional":false,"field":"id"},
+      {"type":"bytes","optional":true,"field":"amount","name":"org.apache.kafka.connect.data.Decimal","parameters":{"scale":"2","connect.decimal.precision":"18"}},
+      {"type":"int64","optional":true,"field":"ts_us","name":"io.debezium.time.MicroTimestamp"},
+      {"type":"int32","optional":true,"field":"d_days","name":"io.debezium.time.Date"},
+      {"type":"string","optional":true,"field":"doc","name":"io.debezium.data.Json"}]}]},"payload":null}"""
 
   // ---- shared builders -----------------------------------------------------
 

@@ -60,12 +60,17 @@ object Envelope {
 
   /** S5: Kafka key -> PK columns. JSON keys (with or without the
     * schema/payload wrapper) via from_json; `Struct{k=v,...}` string keys
-    * via regex (lib/debezium/keys.go:50-139).
+    * via regex (lib/debezium/keys.go:50-139). The logical-table-router
+    * marker `__dbz__physicalTableIdentifier` is never a PK — it is dropped
+    * from the parse schema so routed topics cannot mis-key
+    * (keys.go: `delete(retMap, constants.DebeziumTopicRoutingKey)`).
     */
   def parseJsonKey(key: Column, keySchema: StructType): Column = {
+    val cleaned = StructType(
+      keySchema.fields.filterNot(_.name == Constants.DebeziumTopicRoutingKey))
     val wrapped = from_json(key.cast(StringType),
-      StructType(Seq(StructField("payload", keySchema))))
-    val bare = from_json(key.cast(StringType), keySchema)
+      StructType(Seq(StructField("payload", cleaned))))
+    val bare = from_json(key.cast(StringType), cleaned)
     when(wrapped("payload").isNotNull, wrapped("payload")).otherwise(bare)
   }
 

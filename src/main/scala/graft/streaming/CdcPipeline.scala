@@ -29,16 +29,29 @@ object CdcPipeline {
       flushInterval: String = "10 seconds", // reference default (config.go:18-26)
       skippedOperations: Set[String] = Set.empty,
       columnsToExclude: Seq[String] = Nil,
+      columnsToInclude: Seq[String] = Nil, // non-empty = allow-list (event_util.go:56-83)
       columnsToHash: Seq[String] = Nil,
       columnsToEncrypt: Seq[String] = Nil,
       encryptionKey: Option[String] = None,
       staticColumns: Map[String, String] = Map.empty,
+      // config PKs take precedence over key-derived ones (topic.go:170-227)
+      primaryKeysOverride: Seq[String] = Nil,
+      includeArtieUpdatedAt: Boolean = false, // inject __artie_updated_at (P6)
+      includeDatabaseUpdatedAt: Boolean = false, // inject __artie_db_updated_at (P6)
       msmSteps: Int = 1,
+      // > 0: snapshot is split into PK-hash buckets and a flush rewrites
+      // only the buckets its rows land in — merge I/O scales with batch
+      // size, not table size
+      numBuckets: Int = 0,
   ) {
+    /** PK override wins over (key-derived) primaryKeys — topic.go:170-227. */
+    def effectivePrimaryKeys: Seq[String] =
+      if (primaryKeysOverride.nonEmpty) primaryKeysOverride else primaryKeys
+
     // encryption is non-deterministic (AES-GCM) and would break PK joins —
     // banned on primary keys like the reference (topic.go:297-314)
-    require(!primaryKeys.exists(columnsToEncrypt.contains),
-      s"primary keys cannot be encrypted: ${primaryKeys.intersect(columnsToEncrypt)}")
+    require(!effectivePrimaryKeys.exists(columnsToEncrypt.contains),
+      s"primary keys cannot be encrypted: ${effectivePrimaryKeys.intersect(columnsToEncrypt)}")
     require(columnsToEncrypt.isEmpty || encryptionKey.nonEmpty,
       "columnsToEncrypt requires encryptionKey")
   }
@@ -56,15 +69,25 @@ object CdcPipeline {
       .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value",
         "offset", "partition", "timestamp")
 
-  /** P1-P5: operation skip filter, column exclusion, hashing, encryption,
-    * static column injection.
+  /** P1-P6: operation skip filter, column exclusion, include allow-list,
+    * hashing, encryption, static column injection, updated-at markers.
     */
   def applyRowTransforms(df: DataFrame, cfg: Config): DataFrame = {
     val skipped =
       if (cfg.skippedOperations.isEmpty) df
       else df.filter(!col(Constants.OperationCol).isin(cfg.skippedOperations.toSeq: _*))
     val excluded = cfg.columnsToExclude.foldLeft(skipped)(_ drop _)
-    val hashed = cfg.columnsToHash.foldLeft(excluded) { (acc, c) =>
+    // include allow-list keeps artie/meta columns, static columns, and the
+    // PK/order machinery regardless (event_util.go:60-83)
+    val included =
+      if (cfg.columnsToInclude.isEmpty) excluded
+      else {
+        val keep = (cfg.columnsToInclude ++ cfg.staticColumns.keys ++
+          cfg.effectivePrimaryKeys ++ Seq(cfg.orderCol, "__source_ts_ms")).toSet
+        excluded.select(excluded.columns.filter(c =>
+          keep.contains(c) || c.startsWith("__artie")).map(col).toSeq: _*)
+      }
+    val hashed = cfg.columnsToHash.foldLeft(included) { (acc, c) =>
       if (acc.columns.contains(c)) acc.withColumn(c, sha2(col(c).cast("string"), 256)) else acc
     }
     val encrypted = cfg.columnsToEncrypt.foldLeft(hashed) { (acc, c) =>
@@ -72,9 +95,20 @@ object CdcPipeline {
         acc.withColumn(c, Converters.encryptColumn(col(c), lit(cfg.encryptionKey.get)))
       else acc
     }
-    cfg.staticColumns.foldLeft(encrypted) { case (acc, (name, value)) =>
+    val withStatic = cfg.staticColumns.foldLeft(encrypted) { case (acc, (name, value)) =>
       acc.withColumn(name, lit(value))
     }
+    // P6 metadata markers (models/event/event.go + event_util.go:217-232):
+    // __artie_updated_at = processing time; __artie_db_updated_at = the
+    // source event time already decoded into __source_ts_ms
+    val withUpdatedAt =
+      if (cfg.includeArtieUpdatedAt)
+        withStatic.withColumn(Constants.UpdatedAtCol, current_timestamp())
+      else withStatic
+    if (cfg.includeDatabaseUpdatedAt && withUpdatedAt.columns.contains("__source_ts_ms"))
+      withUpdatedAt.withColumn(Constants.DbUpdatedAtCol,
+        timestamp_millis(col("__source_ts_ms")))
+    else withUpdatedAt
   }
 
   /** Resolve the live snapshot dir, recovering from a crash that happened
@@ -113,7 +147,7 @@ object CdcPipeline {
         val cols = if (soft) baseCols :+ Constants.DeleteCol else baseCols
         changes.select(cols.distinct.map(col).toSeq: _*).limit(0)
     }
-    val merged = CdcOps.mergeApply(base, changes, cfg.primaryKeys,
+    val merged = CdcOps.mergeApply(base, changes, cfg.effectivePrimaryKeys,
       Seq(col(cfg.orderCol)), soft, cfg.toastCols)
     val tmp = new Path(path + "__staging")
     merged.write.mode("overwrite").parquet(tmp.toString)
@@ -122,6 +156,49 @@ object CdcPipeline {
     if (fs.exists(dst)) fs.rename(dst, prev)
     fs.rename(tmp, dst)
     if (fs.exists(prev)) fs.delete(prev, true)
+  }
+
+  /** PK-hash bucket id — deterministic across runs (murmur3). */
+  private[streaming] def bucketId(pks: Seq[String], n: Int): org.apache.spark.sql.Column =
+    pmod(hash(pks.map(col): _*), lit(n))
+
+  private def bucketDir(path: String, b: Int) = s"$path/bucket$b/live"
+
+  /** Bucketed merge: route batch rows to their PK-hash bucket and run the
+    * snapshot swap ONLY for touched buckets — per-flush I/O is
+    * O(batch x table/numBuckets), not O(table). Each bucket is its own
+    * crash-safe snapshot (same swap + [[resolveSnapshot]] recovery, one
+    * level down at `path/bucket<i>/live`); a replayed batch re-merges
+    * idempotently. The touched-bucket collect is bounded by numBuckets.
+    */
+  private def mergeIntoBucketedSnapshot(changes: DataFrame, cfg: Config,
+                                        path: String, soft: Boolean): Unit = {
+    val pks = cfg.effectivePrimaryKeys
+    val withB = changes.withColumn("__bucket", bucketId(pks, cfg.numBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = withB.select("__bucket").distinct().collect()
+        .map(_.getInt(0)).sorted
+      touched.foreach { b =>
+        mergeIntoSnapshot(withB.filter(col("__bucket") === b).drop("__bucket"),
+          cfg, bucketDir(path, b), soft)
+      }
+    } finally { withB.unpersist(); () }
+  }
+
+  /** Read a bucketed snapshot: resolve any crashed per-bucket swaps, then
+    * scan all live bucket dirs (mergeSchema because schema evolution only
+    * rewrites touched buckets).
+    */
+  def readBucketedSnapshot(spark: SparkSession, path: String): Option[DataFrame] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val lives = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket"))
+      .flatMap(s => resolveSnapshot(spark, s.getPath.toString + "/live"))
+    if (lives.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true").parquet(lives.map(_.toString): _*))
   }
 
   /** Marker recording the highest applied batch id next to the snapshot:
@@ -169,15 +246,21 @@ object CdcPipeline {
     }
     val changes = transformed.drop(Constants.OperationCol)
     observeColumnDrops(transformed, batchId, cfg, targetPath)
+    // bucketed mode touches only the buckets the batch lands in
+    def dispatch(chg: DataFrame, soft: Boolean): Unit =
+      if (cfg.numBuckets > 0) mergeIntoBucketedSnapshot(chg, cfg, targetPath, soft)
+      else mergeIntoSnapshot(chg, cfg, targetPath, soft)
     if (cfg.msmSteps <= 1) {
-      mergeIntoSnapshot(changes, cfg, targetPath, cfg.softDelete)
+      dispatch(changes, cfg.softDelete)
     } else {
+      // the msm staging snapshot stays un-bucketed: it holds at most
+      // msmSteps flushes, so rewriting it whole is already O(batch)
       val stagingPath = targetPath + "__msm"
-      mergeIntoSnapshot(changes, cfg, stagingPath, soft = true)
+      mergeIntoSnapshot(changes, cfg.copy(numBuckets = 0), stagingPath, soft = true)
       if ((batchId + 1) % cfg.msmSteps == 0) {
         val spark = batch.sparkSession
         val staged = spark.read.parquet(stagingPath)
-        mergeIntoSnapshot(staged, cfg, targetPath, cfg.softDelete)
+        dispatch(staged, cfg.softDelete)
         val fs = new Path(stagingPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(new Path(stagingPath), true)
       }
@@ -197,11 +280,19 @@ object CdcPipeline {
                          now: java.time.Instant = java.time.Instant.now(),
                          graceHours: Long = 4): Seq[String] = {
     val spark = batch.sparkSession
-    val live = resolveSnapshot(spark, targetPath).getOrElse(return Nil)
-    val snapshotCols = spark.read.parquet(live.toString).columns.toSet
+    val snapshotCols =
+      if (cfg.numBuckets > 0)
+        readBucketedSnapshot(spark, targetPath) match {
+          case Some(df) => df.columns.toSet
+          case None => return Nil
+        }
+      else {
+        val live = resolveSnapshot(spark, targetPath).getOrElse(return Nil)
+        spark.read.parquet(live.toString).columns.toSet
+      }
     val batchCols = batch.columns.toSet
     val absent = snapshotCols.diff(batchCols)
-      .filterNot(c => c.startsWith("__artie") || cfg.primaryKeys.contains(c))
+      .filterNot(c => c.startsWith("__artie") || cfg.effectivePrimaryKeys.contains(c))
     val containsOtherOps =
       !batch.columns.contains(Constants.DeleteCol) ||
         batch.filter(!col(Constants.DeleteCol)).limit(1).count() > 0
@@ -227,5 +318,49 @@ object CdcPipeline {
       .trigger(Trigger.ProcessingTime(cfg.flushInterval))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) => applyBatch(batch, id, cfg, targetPath) }
+      .start()
+
+  /** Source table name from the decoded source-metadata JSON — the routing
+    * id for multi-table topics (processes/consumer/process.go:28-102 keys
+    * its in-memory buffers the same way).
+    */
+  def sourceTableName: org.apache.spark.sql.Column =
+    get_json_object(col(Constants.SourceMetadataCol), "$.table")
+
+  /** One micro-batch of a MIXED multi-table stream: split by table id and
+    * merge each slice into its own target under `targetRoot/<table>`.
+    * The distinct-table collect is bounded by the table count (the
+    * reference buffers per table in memory the same way); the batch is
+    * persisted once so the per-table filters don't rescan the source.
+    */
+  def applyMultiTableBatch(batch: DataFrame, batchId: Long,
+                           cfgFor: String => Config, targetRoot: String): Unit = {
+    if (batch.isEmpty) return
+    val withTable = batch.withColumn("__table", sourceTableName)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tables = withTable.select("__table").distinct().collect()
+        .map(_.getString(0)).filter(_ != null).sorted
+      tables.foreach { t =>
+        applyBatch(withTable.filter(col("__table") === t).drop("__table"),
+          batchId, cfgFor(t), s"$targetRoot/$t")
+      }
+    } finally { withTable.unpersist(); () }
+  }
+
+  /** S1+demux: route one decoded stream carrying many tables into
+    * per-table snapshots (ref processes/consumer/process.go:28-102,
+    * models/memory.go:53-104 — per-table buffering/flush collapsed into
+    * the per-table micro-batch merge).
+    */
+  def startMultiTable(decoded: DataFrame, cfgFor: String => Config,
+                      targetRoot: String, checkpoint: String,
+                      flushInterval: String = "10 seconds"): StreamingQuery =
+    decoded.writeStream
+      .trigger(Trigger.ProcessingTime(flushInterval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyMultiTableBatch(batch, id, cfgFor, targetRoot)
+      }
       .start()
 }

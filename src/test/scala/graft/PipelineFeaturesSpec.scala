@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.cdc.{Envelope, SchemaDispatch}
+import graft.streaming.CdcPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-2 pipeline features: bucketed snapshot sink, multi-table topic
+  * demux, and the TopicConfig parity knobs (include-list, PK override,
+  * updated-at markers, routing-key strip, schema defaults -> backfill).
+  */
+class PipelineFeaturesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fileHashes(rootStr: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(rootStr)
+    if (!Files.exists(root)) Map.empty
+    else Files.walk(root).iterator().asScala.filter(Files.isRegularFile(_)).map { p =>
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(Files.readAllBytes(p))
+      root.relativize(p).toString -> java.util.Base64.getEncoder.encodeToString(md5)
+    }.toMap
+  }
+
+  test("bucketed sink rewrites only touched buckets; untouched files stay byte-identical") {
+    val root = Files.createTempDirectory("graft_bucket").toString + "/t"
+    val cfg = CdcPipeline.Config(Seq("id"), orderCol = "off", numBuckets = 4)
+    def batch(rows: (Long, String, Long, Boolean)*) =
+      rows.toDF("id", "name", "off", Constants.DeleteCol)
+    CdcPipeline.applyBatch(batch(
+      (1L, "a", 1L, false), (2L, "b", 1L, false), (3L, "c", 1L, false), (4L, "d", 1L, false),
+      (5L, "e", 1L, false), (6L, "f", 1L, false), (7L, "g", 1L, false), (8L, "h", 1L, false)),
+      0L, cfg, root)
+    val touched = Seq(1L).toDF("id")
+      .select(pmod(hash(col("id")), lit(4)).as("b")).head.getInt(0)
+    val before = fileHashes(root)
+    assert(before.keys.exists(_.startsWith(s"bucket$touched/")))
+    assert(before.keys.exists(k => !k.startsWith(s"bucket$touched/"))) // >1 bucket seeded
+
+    CdcPipeline.applyBatch(batch((1L, "a2", 2L, false)), 1L, cfg, root)
+    val after = fileHashes(root)
+    val untouchedBefore = before.filterNot(_._1.startsWith(s"bucket$touched/"))
+    untouchedBefore.foreach { case (k, v) =>
+      assert(after.get(k).contains(v), s"untouched file $k changed")
+    }
+    assert(after.view.filterKeys(_.startsWith(s"bucket$touched/")).toMap !=
+      before.view.filterKeys(_.startsWith(s"bucket$touched/")).toMap)
+
+    val all = CdcPipeline.readBucketedSnapshot(spark, root).get
+    assert(all.count() == 8)
+    assert(all.filter(col("id") === 1).head.getAs[String]("name") == "a2")
+    // replay of batch 1 is a no-op (marker)
+    val snap = fileHashes(root)
+    CdcPipeline.applyBatch(batch((1L, "CORRUPT", 3L, false)), 1L, cfg, root)
+    assert(fileHashes(root) == snap)
+  }
+
+  test("one MemoryStream carrying two tables lands in two correct snapshots") {
+    val rowSchema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    def env(table: String, op: String, id: Long, v: String) =
+      s"""{"payload":{"before":null,"after":{"id":$id,"v":"$v"},"source":{"table":"$table"},"op":"$op","ts_ms":0}}"""
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val decoded = Envelope.decodeRelational(ms.toDF().toDF("value", "offset"), rowSchema)
+    val root = Files.createTempDirectory("graft_demux").toString
+    val ckpt = Files.createTempDirectory("graft_demux_ckpt").toString
+    val q = CdcPipeline.startMultiTable(decoded,
+      _ => CdcPipeline.Config(Seq("id"), flushInterval = "1 seconds"), root, ckpt)
+    try {
+      ms.addData((env("users", "c", 1, "u1"), 0L), (env("orders", "c", 1, "o1"), 1L),
+        (env("users", "u", 1, "u2"), 2L), (env("orders", "c", 2, "o2"), 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val users = spark.read.parquet(s"$root/users")
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val orders = spark.read.parquet(s"$root/orders")
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(users == Set((1L, "u2"))) // last-wins across the batch
+    assert(orders == Set((1L, "o1"), (2L, "o2")))
+  }
+
+  test("columnsToInclude keeps allow-list + artie/static/pk/order columns only") {
+    val df = Seq((1L, "x", "y", 5L, "c", false))
+      .toDF("id", "keep", "dropme", "offset", Constants.OperationCol, Constants.DeleteCol)
+    val cfg = CdcPipeline.Config(Seq("id"),
+      columnsToInclude = Seq("keep"), staticColumns = Map("src" -> "s1"))
+    val out = CdcPipeline.applyRowTransforms(df, cfg)
+    assert(out.columns.toSet ==
+      Set("id", "keep", "offset", Constants.OperationCol, Constants.DeleteCol, "src"))
+    assert(out.select("src").head.getString(0) == "s1")
+  }
+
+  test("primaryKeysOverride wins over key-derived keys; encryption ban follows it") {
+    val cfg = CdcPipeline.Config(Seq("key_id"), primaryKeysOverride = Seq("real_id"))
+    assert(cfg.effectivePrimaryKeys == Seq("real_id"))
+    assertThrows[IllegalArgumentException] {
+      CdcPipeline.Config(Seq("key_id"), primaryKeysOverride = Seq("real_id"),
+        columnsToEncrypt = Seq("real_id"), encryptionKey = Some("0123456789abcdef"))
+    }
+    // the non-overridden key may be encrypted once the override is active
+    CdcPipeline.Config(Seq("key_id"), primaryKeysOverride = Seq("real_id"),
+      columnsToEncrypt = Seq("key_id"), encryptionKey = Some("0123456789abcdef"))
+  }
+
+  test("__artie_updated_at / __artie_db_updated_at injected when configured") {
+    val df = Seq((1L, "a", 123456789L, "c"))
+      .toDF("id", "v", "__source_ts_ms", Constants.OperationCol)
+    val out = CdcPipeline.applyRowTransforms(df,
+      CdcPipeline.Config(Seq("id"), includeArtieUpdatedAt = true, includeDatabaseUpdatedAt = true))
+    assert(out.columns.contains(Constants.UpdatedAtCol))
+    val dbTs = out.select(Constants.DbUpdatedAtCol).head.getTimestamp(0)
+    assert(dbTs.toInstant.toEpochMilli == 123456789L)
+    // off by default
+    val plain = CdcPipeline.applyRowTransforms(df, CdcPipeline.Config(Seq("id")))
+    assert(!plain.columns.contains(Constants.UpdatedAtCol))
+    assert(!plain.columns.contains(Constants.DbUpdatedAtCol))
+  }
+
+  test("__dbz__physicalTableIdentifier is stripped from JSON key parsing") {
+    val keySchema = StructType(Seq(StructField("id", LongType),
+      StructField(Constants.DebeziumTopicRoutingKey, StringType)))
+    val keys = Seq(
+      s"""{"id": 7, "${Constants.DebeziumTopicRoutingKey}": "server1.db.t"}""",
+      s"""{"payload": {"id": 8, "${Constants.DebeziumTopicRoutingKey}": "server1.db.t"}}""",
+    ).toDF("key").select(Envelope.parseJsonKey(col("key"), keySchema).as("k"))
+    assert(keys.select("k.*").columns.toSeq == Seq("id"))
+    assert(keys.select(col("k.id")).collect().map(_.getLong(0)).toSeq == Seq(7L, 8L))
+  }
+
+  test("envelope schema defaults feed backfillDefaults with wire-typed columns") {
+    val fields = SchemaDispatch.parseAfterFields(
+      """{"schema":{"fields":[{"field":"after","fields":[
+         {"type":"int32","field":"id","default":0},
+         {"type":"string","field":"status","default":"active"},
+         {"type":"string","field":"name"}]}]}}""")
+    assert(SchemaDispatch.schemaDefaults(fields) == Map("id" -> "0", "status" -> "active"))
+    val filled = graft.operators.MaintenanceOps.backfillDefaults(
+      Seq((1, null.asInstanceOf[String], "n")).toDF("id", "status", "name"),
+      SchemaDispatch.defaultColumns(fields))
+    assert(filled.select("status").head.getString(0) == "active")
+    assert(filled.select("id").head.getInt(0) == 1) // non-null untouched
+  }
+}

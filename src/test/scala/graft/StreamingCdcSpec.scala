@@ -46,6 +46,56 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(keys.getString(0) == "1001")
   }
 
+  test("schema auto-dispatch replays the reference's own postgres e2e fixture") {
+    // The real Debezium envelopes the reference asserts against
+    // (e2e_tests/postgres/testdata/dbserver1.inventory.customers.json,
+    // asserted like e2e_tests/postgres/test.go:23-56): schema block drives
+    // the StructType + converter choice, no hand-authored schema.
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import scala.jdk.CollectionConverters._
+    val raw = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/e2e_tests/postgres/testdata/dbserver1.inventory.customers.json")))
+    val envs = new ObjectMapper().readTree(raw).elements().asScala.map(_.toString).toSeq
+    assert(envs.length == 4)
+
+    val fields = cdc.SchemaDispatch.parseAfterFields(envs.head)
+    assert(fields.map(_.name) == Seq("id", "first_name", "last_name", "email"))
+    assert(cdc.SchemaDispatch.schemaDefaults(fields) == Map("id" -> "0"))
+
+    val df = envs.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("value", "offset")
+    val out = cdc.SchemaDispatch.decodeAuto(df, envs.head).orderBy("id").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getAs[Int]("id")).toSeq == Seq(1001, 1002, 1003, 1004))
+    assert(out.map(_.getAs[String]("first_name")).toSeq ==
+      Seq("Sally", "George", "Edward", "Anne"))
+    assert(out.forall(_.getAs[String](Constants.OperationCol) == "r"))
+    assert(out.forall(!_.getAs[Boolean](Constants.DeleteCol)))
+  }
+
+  test("schema auto-dispatch picks logical converters: micro-ts, kafka decimal, date, json") {
+    val sample = """{"schema":{"type":"struct","fields":[
+      {"type":"struct","field":"after","fields":[
+        {"type":"int64","optional":false,"field":"id"},
+        {"type":"bytes","optional":true,"field":"price",
+         "name":"org.apache.kafka.connect.data.Decimal",
+         "parameters":{"scale":"2","connect.decimal.precision":"10"}},
+        {"type":"int64","optional":true,"field":"created_at",
+         "name":"io.debezium.time.MicroTimestamp"},
+        {"type":"int32","optional":true,"field":"d","name":"io.debezium.time.Date"},
+        {"type":"string","optional":true,"field":"meta","name":"io.debezium.data.Json"}]}]},
+      "payload":null}"""
+    // price 12345 cents = b64(two's complement 0x3039) = "MDk="
+    val value =
+      """{"payload":{"after":{"id":7,"price":"MDk=","created_at":1700000000000000,
+        |"d":19000,"meta":"{\"b\":1,\"a\":2}"},"op":"c","ts_ms":1}}""".stripMargin.replace("\n", "")
+    val out = cdc.SchemaDispatch.decodeAuto(Seq((value, 0L)).toDF("value", "offset"), sample).head
+    assert(out.getAs[java.math.BigDecimal]("price").toPlainString == "123.45")
+    assert(out.getAs[java.sql.Timestamp]("created_at").toInstant.toString == "2023-11-14T22:13:20Z")
+    assert(out.getAs[java.sql.Date]("d").toLocalDate.toString ==
+      java.time.LocalDate.ofEpochDay(19000).toString)
+    assert(out.getAs[String]("meta") == """{"a":2,"b":1}""") // canonical: sorted keys
+  }
+
   test("streamed micro-batch merge reaches the reference e2e final state") {
     val target = Files.createTempDirectory("graft_tgt").toString + "/customers"
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
