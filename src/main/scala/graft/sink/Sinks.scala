@@ -66,4 +66,50 @@ object Sinks {
     df.select(df.schema.fields.toSeq.map { f =>
       graft.functions.Converters.canonicalString(col(f.name), f.dataType).as(f.name)
     }: _*)
+
+  /** P12 wired to a sink: route each row to `base<suffix>` by the
+    * soft-partition suffix of its timestamp (`_yyyy_MM`, future ->
+    * `_default`) — the reference routes to suffixed TABLES, not partition
+    * dirs (models/event/soft_partition.go:13-47), so each suffix gets its
+    * own append target. The distinct-suffix collect is bounded by the
+    * batch's month span.
+    */
+  def softPartitionedAppend(df: DataFrame, base: String, tsCol: String): Seq[String] = {
+    val withSfx = df.withColumn("__sfx",
+      graft.operators.CdcOps.softPartitionSuffix(col(tsCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val suffixes = withSfx.select("__sfx").distinct().collect().map(_.getString(0)).sorted
+      suffixes.foreach { sfx =>
+        appendParquet(withSfx.filter(col("__sfx") === sfx).drop("__sfx"), base + sfx)
+      }
+      suffixes.map(base + _).toSeq
+    } finally { withSfx.unpersist(); () }
+  }
+}
+
+/** K9: destination registry — the sink-side twin of `cdc.FormatRegistry`
+  * (ref lib/destination/utils/load.go:29-66 switches cfg.Output over the
+  * same label space). Warehouse wire protocols (Snowflake/BigQuery/...)
+  * are out of scope per SURVEY §7.5 — their capability here is the
+  * MERGE-snapshot path plus MergeSqlBuilder text against a catalog.
+  */
+object SinkRegistry {
+  /** A sink applies one micro-batch DataFrame to a target path/name. */
+  type Sink = (DataFrame, String) => Unit
+
+  def sink(label: String, cfg: graft.streaming.CdcPipeline.Config,
+           batchId: Long = 0L, softPartitionTsCol: String = "ts"): Sink = label match {
+    case "merge" | "snapshot" =>
+      (df, target) => graft.streaming.CdcPipeline.applyBatch(df, batchId, cfg, target)
+    case "append" =>
+      (df, target) => Sinks.appendParquet(df, target)
+    case "history" =>
+      (df, target) => graft.streaming.CdcPipeline.applyBatch(
+        df, batchId, cfg.copy(historyMode = true), target)
+    case "soft-partitioned" =>
+      (df, target) => { Sinks.softPartitionedAppend(df, target, softPartitionTsCol); () }
+    case other => throw new IllegalArgumentException(
+      s"unsupported sink label: $other (expected merge | snapshot | append | history | soft-partitioned)")
+  }
 }

@@ -73,6 +73,34 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(out(1).getString(1) == Constants.NullValuePlaceholder)
     assert(out(1).getString(2) == Constants.NullValuePlaceholder)
   }
+
+  test("soft-partition routed append lands rows in suffixed targets (P12 wired)") {
+    val base = Files.createTempDirectory("graft_softpart").toString + "/t"
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-15 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2099-01-01 00:00:00")), // future -> _default
+    ).toDF("id", "ts")
+    val targets = Sinks.softPartitionedAppend(df, base, "ts")
+    assert(targets.toSet == Set(s"${base}_2024_01", s"${base}_2024_02", s"${base}_default"))
+    assert(spark.read.parquet(s"${base}_2024_01").select("id").head.getLong(0) == 1L)
+    assert(spark.read.parquet(s"${base}_default").select("id").head.getLong(0) == 3L)
+  }
+
+  test("sink registry dispatches by label and rejects unknown (K9)") {
+    import graft.sink.SinkRegistry
+    import graft.streaming.CdcPipeline
+    val cfg = CdcPipeline.Config(Seq("id"), orderCol = "off")
+    val target = Files.createTempDirectory("graft_reg").toString + "/t"
+    val batch = Seq((1L, "a", 1L, false, "c"))
+      .toDF("id", "name", "off", Constants.DeleteCol, Constants.OperationCol)
+    SinkRegistry.sink("merge", cfg)(batch, target)
+    assert(spark.read.parquet(target).count() == 1)
+    val app = Files.createTempDirectory("graft_reg2").toString + "/a"
+    SinkRegistry.sink("append", cfg)(batch.drop(Constants.OperationCol), app)
+    assert(spark.read.parquet(app).count() == 1)
+    assertThrows[IllegalArgumentException] { SinkRegistry.sink("snowpipe", cfg) }
+  }
 }
 
 /** JVM-static probe for the KV sink test (executors share the JVM in
