@@ -570,6 +570,30 @@ make_timestamp(event_id * 86400123456 % 4102444800000000) AS ts_us,
 DATE '1970-01-01' + CAST(event_id % 20000 AS INT) AS d_date,
 '{"a":' || CAST(json_extract_string(props, '$.k') AS BIGINT) || ',"z":2}' AS doc
 FROM events ORDER BY id""")),
+
+    ("q44_dedup_groups", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)
+      DedupOps.nearDupGroups(docs.select(col("doc_id")), "doc_id", pairs)
+        .orderBy(col("id"))
+    },
+      Some(nearDupGroupsSql(3))),
+
+    ("q45_stratified_sample", (s, d) =>
+      graft.operators.SamplingOps.sampleByStrata(
+        Tables.documents(s, d), "doc_id", "lang",
+        Map("en" -> 50, "es" -> 25), defaultPct = 10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some("""WITH b AS (SELECT doc_id, lang,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+      i -> CAST(unicode(substring(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007) % 100 AS bkt
+  FROM documents)
+SELECT doc_id, lang FROM b
+WHERE bkt < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 25 ELSE 10 END
+ORDER BY doc_id""")),
   )
 
   /** Schema block driving q43's auto-dispatch (shape: schema.go:14-69). */
@@ -636,12 +660,12 @@ SELECT ia, ib, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
 FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
 WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $tau ORDER BY ia, ib"""
 
-  /** Brute-force 30-bit bigram-SimHash Hamming pairs (exact oracle for
-    * q23): replays DedupOps.simhashFp30 bit-for-bit — same rolling word
-    * fingerprint, same bit-sum sign rule — then scans all pairs.
+  /** 30-bit bigram-SimHash signature CTE chain: replays
+    * DedupOps.simhashFp30 bit-for-bit — same rolling word fingerprint,
+    * same bit-sum sign rule. Shared by the q23 and q44 oracles.
     */
-  private def simhashSql(maxDist: Int): String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  private def simhashSigCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 feats AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
     i -> w[i] || ' ' || w[i + 1])) AS f FROM toks),
 hw AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -650,10 +674,28 @@ hw AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
 bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
   FROM hw, range(30) t(j) GROUP BY 1, 2),
 sig AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS sh
-  FROM bits GROUP BY 1)
+  FROM bits GROUP BY 1)"""
+
+  /** Brute-force SimHash Hamming pairs (exact oracle for q23). */
+  private def simhashSql(maxDist: Int): String =
+    s"""WITH $simhashSigCtes
 SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= $maxDist ORDER BY ia, ib"""
+
+  /** q44 oracle: transitive closure over the same near-dup pairs, canonical
+    * id = min reachable node (recursive-CTE twin of min-label propagation).
+    */
+  private def nearDupGroupsSql(maxDist: Int): String =
+    s"""WITH RECURSIVE $simhashSigCtes,
+pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= $maxDist),
+edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+SELECT a AS id, min(b) AS canonical_id FROM reach GROUP BY a ORDER BY id"""
 
   /** Exact cosine top-5 CTE chain (base table aliased `xe` so it can be
     * concatenated with [[annIvfCtes]] in one WITH clause).

@@ -241,6 +241,43 @@ object DedupOps {
     sums.select(col("id"), sig.as("simhash"))
   }
 
+  /** Near-dup GROUPS from a pair list: connected components by iterative
+    * min-label propagation, so an entire duplicate cluster collapses to one
+    * canonical id (the smallest member) — the step after pair detection in
+    * a dedup pipeline (keep one doc per component, drop the rest).
+    * Each round is two shuffles (neighbor min + label join) and the loop
+    * ends when no label changes; rounds needed = component diameter.
+    * Training-corpus dup clusters are shallow (near-clique), so this
+    * converges in 2-3 rounds; for adversarially long chains at 100 TB the
+    * large-star/small-star variant halves the diameter per round — same
+    * join shapes, more bookkeeping. lineage is truncated per round so the
+    * plan does not grow with iterations.
+    */
+  def nearDupGroups(ids: DataFrame, idCol: String, pairs: DataFrame,
+                    maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+      .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val updated = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = updated.as("u")
+        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = updated
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("canonical_id"))
+  }
+
   /** Exact SimHash near-dup pairs within `maxDist` (<= 3) Hamming distance
     * over the [[simhashFp30]] signature. Pigeonhole blocking on 4 chunks
     * (8/8/8/6 bits) guarantees full recall for maxDist <= 3: 3 differing

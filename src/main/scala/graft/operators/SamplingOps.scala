@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.functions.Converters
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic sampling / data-mixing operators for training-corpus
+  * assembly. `sample()`-style RNG sampling is irreproducible across runs,
+  * partitionings, and engines; these derive the keep decision from a
+  * content-independent hash of the row id, so a sample is stable under
+  * re-partitioning, retries, and re-runs — and exactly replayable by an
+  * external SQL engine (the same rolling fingerprint as q29's oracle).
+  */
+object SamplingOps {
+  /** Stable per-id bucket in [0, 100): rolling fingerprint of the id's
+    * decimal string, mod 100. Pure column arithmetic — codegen'd, no RNG,
+    * no shuffle.
+    */
+  def deterministicBucket(id: Column): Column =
+    pmod(Converters.fingerprint64(id.cast(StringType)), lit(100L))
+
+  /** Keep ~pct% of rows, deterministically by id. */
+  def sampleByPct(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(deterministicBucket(col(idCol)) < pct)
+
+  /** Stratified mixing: per-stratum keep percentages (domain mixing for
+    * training data — e.g. downsample boilerplate-heavy domains). Strata
+    * absent from the map keep `defaultPct`. One codegen'd CASE chain; no
+    * shuffle, no per-stratum pass.
+    */
+  def sampleByStrata(df: DataFrame, idCol: String, strataCol: String,
+                     pctByStratum: Map[String, Int], defaultPct: Int): DataFrame = {
+    val threshold = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(col(strataCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(deterministicBucket(col(idCol)) < threshold)
+  }
+
+  /** Deterministic train/validation split tag: same id -> same split,
+    * forever, on any cluster.
+    */
+  def splitTag(id: Column, trainPct: Int): Column =
+    when(deterministicBucket(id) < trainPct, "train").otherwise("holdout")
+}

@@ -117,6 +117,34 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDupGroups: components collapse to min id; singletons self-canonical") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // chain 1-2-3, pair 5-6, singletons 4 and 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("ia", "ib")
+    val got = DedupOps.nearDupGroups(ids, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("deterministic sampling: stable across runs, strata thresholds respected") {
+    import graft.operators.SamplingOps
+    val docs = Tables.documents(spark, sf)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = ids(SamplingOps.sampleByPct(docs, "doc_id", 50))
+    val s2 = ids(SamplingOps.sampleByPct(docs, "doc_id", 50).repartition(7))
+    assert(s1 == s2) // stable under re-partitioning / re-runs
+    assert(s1.nonEmpty && s1.size < 500)
+    // monotone: a smaller pct is a subset of a larger one
+    assert(ids(SamplingOps.sampleByPct(docs, "doc_id", 10)).subsetOf(s1))
+    val tagged = docs.select(col("doc_id"),
+      SamplingOps.splitTag(col("doc_id"), 90).as("split"))
+    val counts = tagged.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "holdout"))
+    assert(counts("train") > counts("holdout"))
+  }
+
   test("cosineTopK: self-similar planted vector ranks first") {
     val base = (0 until 30).map(i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 37 + j * 11) % 31) * 0.1f + 0.1f)))

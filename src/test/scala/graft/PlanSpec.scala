@@ -42,4 +42,28 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q24_ann_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("q25: IVF quantizer is a broadcast of fixed-k centroids, cell search is an equi-join") {
+    val p = plan("q25_ann_ivf")
+    // the only nested-loop join is vectors x 16 broadcast centroids; the
+    // per-cell search must be a hash join on the cell id, never all-pairs
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject")) // centroid sample is a sort-limit, not a full sort
+  }
+
+  test("q31: blocked all-pairs has no full-corpus broadcast nested loop") {
+    val p = plan("q31_dedup_embedding")
+    // old shape: corpus broadcast + BroadcastNestedLoopJoin(ia < ib).
+    // new shape: broadcast of the tiny block-pair grid, then equi-joins
+    // keyed on block ids
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q21: capped jaccard keeps equi-joins only (no cartesian candidate scan)") {
+    val p = plan("q21_dedup_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
