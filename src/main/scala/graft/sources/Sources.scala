@@ -40,7 +40,8 @@ object Sources {
   */
 class TableConfigCache(spark: SparkSession,
                        ttlSeconds: Long = 24 * 3600,
-                       clock: () => Instant = () => Instant.now()) {
+                       clock: () => Instant = () => Instant.now(),
+                       fetcher: Option[String => StructType] = None) {
   private case class Entry(schema: StructType, fetchedAt: Instant)
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Entry]
 
@@ -56,9 +57,12 @@ class TableConfigCache(spark: SparkSession,
     }
   }
 
-  protected def fetch(tableOrPath: String): StructType =
-    if (tableOrPath.contains("/")) spark.read.parquet(tableOrPath).schema
-    else spark.table(tableOrPath).schema
+  protected def fetch(tableOrPath: String): StructType = fetcher match {
+    case Some(f) => f(tableOrPath)
+    case None =>
+      if (tableOrPath.contains("/")) spark.read.parquet(tableOrPath).schema
+      else spark.table(tableOrPath).schema
+  }
 
   /** Flush after DDL (the reference wipes on ALTER, table.go:77-128). */
   def invalidate(tableOrPath: String): Unit = cache.remove(tableOrPath)

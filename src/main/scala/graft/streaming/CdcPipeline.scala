@@ -201,6 +201,30 @@ object CdcPipeline {
     else Some(spark.read.option("mergeSchema", "true").parquet(lives.map(_.toString): _*))
   }
 
+  /** S7 wired: snapshot-schema lookups go through the 24 h TTL
+    * TableConfigCache (one per session) instead of re-listing parquet
+    * footers every micro-batch — the reference caches destination schemas
+    * the same way (destination_table_config.go:13-31). Invalidated when a
+    * batch introduces columns the cached schema lacks (= the merge will
+    * evolve the snapshot), mirroring the reference's wipe-on-ALTER.
+    */
+  private val snapshotSchemaCaches =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, graft.sources.TableConfigCache]
+
+  private[streaming] def snapshotSchemaCache(spark: SparkSession): graft.sources.TableConfigCache =
+    snapshotSchemaCaches.getOrElseUpdate(spark,
+      new graft.sources.TableConfigCache(spark, fetcher = Some { path =>
+        // bucketed layout first: its root exists as a dir of bucket<i>/live
+        // subdirs, which a plain parquet read cannot infer
+        readBucketedSnapshot(spark, path) match {
+          case Some(df) => df.schema
+          case None => resolveSnapshot(spark, path) match {
+            case Some(p) => spark.read.parquet(p.toString).schema
+            case None => org.apache.spark.sql.types.StructType(Nil)
+          }
+        }
+      }))
+
   /** Marker recording the highest applied batch id next to the snapshot:
     * replays after checkpoint recovery become true no-ops (the merge is
     * idempotent anyway — the marker just skips the work, the
@@ -266,6 +290,12 @@ object CdcPipeline {
       }
     }
     recordBatch(batch.sparkSession, targetPath, batchId)
+    // drop the cached snapshot schema when this merge created the snapshot
+    // or evolved it with new columns; otherwise the TTL entry stays valid
+    val cache = snapshotSchemaCache(batch.sparkSession)
+    val cached = cache.schemaOf(targetPath).fieldNames.toSet
+    if (cached.isEmpty || !changes.columns.forall(cached.contains))
+      cache.invalidate(targetPath)
   }
 
   /** D3 wired end-to-end: per batch, record which snapshot columns the
@@ -280,16 +310,9 @@ object CdcPipeline {
                          now: java.time.Instant = java.time.Instant.now(),
                          graceHours: Long = 4): Seq[String] = {
     val spark = batch.sparkSession
-    val snapshotCols =
-      if (cfg.numBuckets > 0)
-        readBucketedSnapshot(spark, targetPath) match {
-          case Some(df) => df.columns.toSet
-          case None => return Nil
-        }
-      else {
-        val live = resolveSnapshot(spark, targetPath).getOrElse(return Nil)
-        spark.read.parquet(live.toString).columns.toSet
-      }
+    val snapshotSchema = snapshotSchemaCache(spark).schemaOf(targetPath)
+    if (snapshotSchema.isEmpty) return Nil
+    val snapshotCols = snapshotSchema.fieldNames.toSet
     val batchCols = batch.columns.toSet
     val absent = snapshotCols.diff(batchCols)
       .filterNot(c => c.startsWith("__artie") || cfg.effectivePrimaryKeys.contains(c))

@@ -132,6 +132,26 @@ class PipelineFeaturesSpec extends AnyFunSuite {
     assert(keys.select(col("k.id")).collect().map(_.getLong(0)).toSeq == Seq(7L, 8L))
   }
 
+  test("cached snapshot schema still observes columns added by an evolving merge") {
+    // drop-observation reads the snapshot schema through the TTL cache;
+    // a merge that evolves the schema must invalidate it, or a later
+    // batch would diff against the stale column set and miss the drop
+    val target = Files.createTempDirectory("graft_cache_evo").toString + "/t"
+    val cfg = CdcPipeline.Config(Seq("id"), orderCol = "off")
+    CdcPipeline.applyBatch(
+      Seq((1L, "a", 1L, false)).toDF("id", "name", "off", Constants.DeleteCol),
+      0L, cfg, target)
+    CdcPipeline.applyBatch(
+      Seq((2L, "b", 9.5, 2L, false)).toDF("id", "name", "score", "off", Constants.DeleteCol),
+      1L, cfg, target) // evolves snapshot with `score`
+    val narrow = Seq((3L, "c", 3L, false)).toDF("id", "name", "off", Constants.DeleteCol)
+    val t0 = java.time.Instant.now()
+    assert(CdcPipeline.observeColumnDrops(narrow, 2L, cfg, target, now = t0).isEmpty)
+    val droppable = CdcPipeline.observeColumnDrops(narrow, 3L, cfg, target,
+      now = t0.plusSeconds(5 * 3600))
+    assert(droppable == Seq("score")) // cache served the EVOLVED schema
+  }
+
   test("envelope schema defaults feed backfillDefaults with wire-typed columns") {
     val fields = SchemaDispatch.parseAfterFields(
       """{"schema":{"fields":[{"field":"after","fields":[
