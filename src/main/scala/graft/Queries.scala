@@ -241,20 +241,25 @@ value, props FROM events ORDER BY event_id""")),
 COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
-    ("q18_scalar_datetime", (s, d) =>
+    ("q18_scalar_datetime", (s, d) => {
+      // bound the id before multiplying: BIGINT * 86400123456 overflows
+      // past id ~1.07e8, where Spark wraps silently but a checked engine
+      // (and the oracle) errors — keep both sides in range at any SF
+      val m = pmod(col("event_id"), lit(100000000L))
       Tables.events(s, d).select(
         col("event_id"),
         Converters.epochDaysToDate(pmod(col("event_id"), lit(20000))).as("d_date"),
-        Converters.epochMillisToTs(pmod(col("event_id") * 86400123L, lit(4102444800000L))).as("ts_ms"),
-        Converters.epochMicrosToTs(pmod(col("event_id") * 86400123456L, lit(4102444800000000L))).as("ts_us"),
-        Converters.timeMillis(pmod(col("event_id") * 9973L, lit(86400000L))).as("tod"),
+        Converters.epochMillisToTs(pmod(m * 86400123L, lit(4102444800000L))).as("ts_ms"),
+        Converters.epochMicrosToTs(pmod(m * 86400123456L, lit(4102444800000000L))).as("ts_us"),
+        Converters.timeMillis(pmod(m * 9973L, lit(86400000L))).as("tod"),
         get_json_object(col("props"), "$.k").cast(LongType).as("k_int"))
-        .orderBy(col("event_id")),
+        .orderBy(col("event_id"))
+    },
       Some("""SELECT event_id,
 DATE '1970-01-01' + CAST(event_id % 20000 AS INT) AS d_date,
-epoch_ms(event_id * 86400123 % 4102444800000) AS ts_ms,
-make_timestamp(event_id * 86400123456 % 4102444800000000) AS ts_us,
-strftime(epoch_ms(event_id * 9973 % 86400000), '%H:%M:%S.%g') AS tod,
+epoch_ms((event_id % 100000000) * 86400123 % 4102444800000) AS ts_ms,
+make_timestamp((event_id % 100000000) * 86400123456 % 4102444800000000) AS ts_us,
+strftime(epoch_ms((event_id % 100000000) * 9973 % 86400000), '%H:%M:%S.%g') AS tod,
 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
 FROM events ORDER BY event_id""")),
 
@@ -553,7 +558,9 @@ FROM documents ORDER BY doc_id""")),
       val after = struct(
         col("event_id").as("id"),
         base64(Converters.twosComplementBytes(cents)).as("amount"),
-        pmod(col("event_id") * 86400123456L, lit(4102444800000000L)).as("ts_us"),
+        // bounded before the multiply — see q18's overflow note
+        pmod(pmod(col("event_id"), lit(100000000L)) * 86400123456L,
+          lit(4102444800000000L)).as("ts_us"),
         pmod(col("event_id"), lit(20000)).cast(IntegerType).as("d_days"),
         concat(lit("""{"z":2,"a":"""), k, lit("}")).as("doc"))
       val frames = ev.select(to_json(struct(
@@ -566,7 +573,7 @@ FROM documents ORDER BY doc_id""")),
     },
       Some("""SELECT event_id AS id,
 CASE WHEN value IS NOT NULL THEN CAST(CAST((CAST(round(value * 100) AS BIGINT) - 500) / 100.0 AS DECIMAL(18,2)) AS VARCHAR) END AS amount,
-make_timestamp(event_id * 86400123456 % 4102444800000000) AS ts_us,
+make_timestamp((event_id % 100000000) * 86400123456 % 4102444800000000) AS ts_us,
 DATE '1970-01-01' + CAST(event_id % 20000 AS INT) AS d_date,
 '{"a":' || CAST(json_extract_string(props, '$.k') AS BIGINT) || ',"z":2}' AS doc
 FROM events ORDER BY id""")),

@@ -148,12 +148,17 @@ object SchemaDispatch {
   def schemaDefaults(fields: Seq[DbzField]): Map[String, String] =
     fields.flatMap(f => f.default.map(f.name -> _)).toMap
 
-  /** Same defaults as typed Columns (cast to each field's wire type) —
-    * ready to hand to MaintenanceOps.backfillDefaults
+  /** Same defaults as typed Columns — each default rides the wire in the
+    * field's wire representation and is pushed through the SAME logical
+    * converter as the data column, so the result always matches the
+    * decoded column's type (a raw wire-typed default against a converted
+    * DateType/DecimalType column would fail coalesce resolution). Ready to
+    * hand to MaintenanceOps.backfillDefaults
     * (clients/shared/merge.go:109-144 backfill path).
     */
   def defaultColumns(fields: Seq[DbzField]): Map[String, Column] =
-    fields.flatMap(f => f.default.map(d => f.name -> lit(d).cast(wireType(f)))).toMap
+    fields.flatMap(f =>
+      f.default.map(d => f.name -> converter(f)(lit(d).cast(wireType(f))))).toMap
 
   /** Auto-dispatched relational decode: schema block in, typed+converted
     * change rows out. The first envelope of a topic (or any sample with

@@ -255,8 +255,12 @@ object DedupOps {
     */
   def nearDupGroups(ids: DataFrame, idCol: String, pairs: DataFrame,
                     maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
-      .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+    // persist the pair list FIRST: the union below consumes it twice, and
+    // upstream pair producers (simhash/minhash pipelines) are expensive
+    val p = pairs.select(col("ia"), col("ib"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("ia").as("src"), col("ib").as("dst"))
+      .union(p.select(col("ib").as("src"), col("ia").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("lbl"))
       .localCheckpoint(true)
@@ -275,6 +279,12 @@ object DedupOps {
       i += 1
     }
     edges.unpersist()
+    p.unpersist()
+    // wrong-but-plausible labels are worse than failing: a component whose
+    // diameter exceeds maxIter would report an intermediate id as canonical
+    require(changed == 0,
+      s"nearDupGroups did not converge in $maxIter rounds — component diameter " +
+        s"exceeds maxIter; raise maxIter (or use a star-contraction variant for deep chains)")
     labels.select(col("id"), col("lbl").as("canonical_id"))
   }
 

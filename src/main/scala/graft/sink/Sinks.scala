@@ -75,8 +75,10 @@ object Sinks {
     * batch's month span.
     */
   def softPartitionedAppend(df: DataFrame, base: String, tsCol: String): Seq[String] = {
+    // a NULL timestamp routes to the default partition (same bucket the
+    // reference uses for out-of-range events) instead of NPE-ing the batch
     val withSfx = df.withColumn("__sfx",
-      graft.operators.CdcOps.softPartitionSuffix(col(tsCol)))
+      coalesce(graft.operators.CdcOps.softPartitionSuffix(col(tsCol)), lit("_default")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val suffixes = withSfx.select("__sfx").distinct().collect().map(_.getString(0)).sorted
@@ -95,20 +97,22 @@ object Sinks {
   * MERGE-snapshot path plus MergeSqlBuilder text against a catalog.
   */
 object SinkRegistry {
-  /** A sink applies one micro-batch DataFrame to a target path/name. */
-  type Sink = (DataFrame, String) => Unit
+  /** A sink applies one micro-batch DataFrame (with its batch id — needed
+    * by the replay marker and history partitioning) to a target path.
+    */
+  type Sink = (DataFrame, Long, String) => Unit
 
   def sink(label: String, cfg: graft.streaming.CdcPipeline.Config,
-           batchId: Long = 0L, softPartitionTsCol: String = "ts"): Sink = label match {
+           softPartitionTsCol: String = "ts"): Sink = label match {
     case "merge" | "snapshot" =>
-      (df, target) => graft.streaming.CdcPipeline.applyBatch(df, batchId, cfg, target)
+      (df, batchId, target) => graft.streaming.CdcPipeline.applyBatch(df, batchId, cfg, target)
     case "append" =>
-      (df, target) => Sinks.appendParquet(df, target)
+      (df, _, target) => Sinks.appendParquet(df, target)
     case "history" =>
-      (df, target) => graft.streaming.CdcPipeline.applyBatch(
+      (df, batchId, target) => graft.streaming.CdcPipeline.applyBatch(
         df, batchId, cfg.copy(historyMode = true), target)
     case "soft-partitioned" =>
-      (df, target) => { Sinks.softPartitionedAppend(df, target, softPartitionTsCol); () }
+      (df, _, target) => { Sinks.softPartitionedAppend(df, target, softPartitionTsCol); () }
     case other => throw new IllegalArgumentException(
       s"unsupported sink label: $other (expected merge | snapshot | append | history | soft-partitioned)")
   }

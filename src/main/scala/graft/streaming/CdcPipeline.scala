@@ -174,6 +174,23 @@ object CdcPipeline {
   private def mergeIntoBucketedSnapshot(changes: DataFrame, cfg: Config,
                                         path: String, soft: Boolean): Unit = {
     val pks = cfg.effectivePrimaryKeys
+    // the bucket count is part of the on-disk layout: changing it would
+    // route a PK to a different bucket and leave its old row stranded, so
+    // it is recorded on first write and enforced afterwards
+    val spark0 = changes.sparkSession
+    val marker = new Path(path + "/__nbuckets")
+    val fs0 = marker.getFileSystem(spark0.sparkContext.hadoopConfiguration)
+    if (fs0.exists(marker)) {
+      val in = fs0.open(marker)
+      val recorded = try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+      require(recorded == cfg.numBuckets,
+        s"snapshot at $path was written with numBuckets=$recorded; " +
+          s"refusing to merge with numBuckets=${cfg.numBuckets} (would strand rows in stale buckets)")
+    } else {
+      val out = fs0.create(marker, true)
+      out.write(cfg.numBuckets.toString.getBytes("UTF-8"))
+      out.close()
+    }
     val withB = changes.withColumn("__bucket", bucketId(pks, cfg.numBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -291,10 +308,13 @@ object CdcPipeline {
     }
     recordBatch(batch.sparkSession, targetPath, batchId)
     // drop the cached snapshot schema when this merge created the snapshot
-    // or evolved it with new columns; otherwise the TTL entry stays valid
+    // or evolved it with new columns; otherwise the TTL entry stays valid.
+    // __artie markers are excluded: hard-delete snapshots never store
+    // __artie_delete, so counting it would invalidate on every batch.
     val cache = snapshotSchemaCache(batch.sparkSession)
     val cached = cache.schemaOf(targetPath).fieldNames.toSet
-    if (cached.isEmpty || !changes.columns.forall(cached.contains))
+    val dataCols = changes.columns.filterNot(_.startsWith("__artie"))
+    if (cached.isEmpty || !dataCols.forall(cached.contains))
       cache.invalidate(targetPath)
   }
 
@@ -363,10 +383,17 @@ object CdcPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val tables = withTable.select("__table").distinct().collect()
-        .map(_.getString(0)).filter(_ != null).sorted
-      tables.foreach { t =>
-        applyBatch(withTable.filter(col("__table") === t).drop("__table"),
-          batchId, cfgFor(t), s"$targetRoot/$t")
+        .map(_.getString(0)).sorted(Ordering[String].on[String](s => if (s == null) "" else s))
+      tables.foreach {
+        case null =>
+          // rows without a source table id cannot be routed — dead-letter
+          // them per batch (idempotent overwrite) instead of silently
+          // dropping data the marker would never let a replay recover
+          withTable.filter(col("__table").isNull).drop("__table")
+            .write.mode("overwrite").parquet(s"$targetRoot/__unrouted/batch=$batchId")
+        case t =>
+          applyBatch(withTable.filter(col("__table") === t).drop("__table"),
+            batchId, cfgFor(t), s"$targetRoot/$t")
       }
     } finally { withTable.unpersist(); () }
   }

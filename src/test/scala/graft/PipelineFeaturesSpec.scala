@@ -132,6 +132,43 @@ class PipelineFeaturesSpec extends AnyFunSuite {
     assert(keys.select(col("k.id")).collect().map(_.getLong(0)).toSeq == Seq(7L, 8L))
   }
 
+  test("bucketed sink refuses a numBuckets change that would strand rows") {
+    val root = Files.createTempDirectory("graft_bucket_n").toString + "/t"
+    def batch(rows: (Long, String, Long, Boolean)*) =
+      rows.toDF("id", "name", "off", Constants.DeleteCol)
+    CdcPipeline.applyBatch(batch((1L, "a", 1L, false)), 0L,
+      CdcPipeline.Config(Seq("id"), orderCol = "off", numBuckets = 4), root)
+    val e = intercept[IllegalArgumentException] {
+      CdcPipeline.applyBatch(batch((2L, "b", 2L, false)), 1L,
+        CdcPipeline.Config(Seq("id"), orderCol = "off", numBuckets = 8), root)
+    }
+    assert(e.getMessage.contains("numBuckets=4"))
+  }
+
+  test("rows with a null table id dead-letter instead of vanishing") {
+    val root = Files.createTempDirectory("graft_deadletter").toString
+    val batch = Seq(
+      (1L, "a", """{"table":"users"}""", 0L, false),
+      (2L, "b", null.asInstanceOf[String], 1L, false),
+    ).toDF("id", "v", Constants.SourceMetadataCol, "offset", Constants.DeleteCol)
+      .withColumn(Constants.OperationCol, lit("c"))
+    CdcPipeline.applyMultiTableBatch(batch, 0L,
+      _ => CdcPipeline.Config(Seq("id")), root)
+    assert(spark.read.parquet(s"$root/users").select("id").head.getLong(0) == 1L)
+    assert(spark.read.parquet(s"$root/__unrouted/batch=0").select("id").head.getLong(0) == 2L)
+  }
+
+  test("defaultColumns pass through the logical converter (typed like the data column)") {
+    val fields = SchemaDispatch.parseAfterFields(
+      """{"schema":{"fields":[{"field":"after","fields":[
+         {"type":"int32","field":"d","name":"io.debezium.time.Date","default":19000}]}]}}""")
+    val defaults = SchemaDispatch.defaultColumns(fields)
+    val got = spark.range(1).select(defaults("d").as("d")).head
+    // converter applied: DateType out, not a raw wire int
+    assert(got.getAs[java.sql.Date]("d").toLocalDate ==
+      java.time.LocalDate.ofEpochDay(19000))
+  }
+
   test("cached snapshot schema still observes columns added by an evolving merge") {
     // drop-observation reads the snapshot schema through the TTL cache;
     // a merge that evolves the schema must invalidate it, or a later

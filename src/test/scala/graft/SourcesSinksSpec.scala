@@ -85,6 +85,11 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(targets.toSet == Set(s"${base}_2024_01", s"${base}_2024_02", s"${base}_default"))
     assert(spark.read.parquet(s"${base}_2024_01").select("id").head.getLong(0) == 1L)
     assert(spark.read.parquet(s"${base}_default").select("id").head.getLong(0) == 3L)
+    // a NULL timestamp routes to _default instead of failing the batch
+    val withNull = Seq((4L, null.asInstanceOf[java.sql.Timestamp])).toDF("id", "ts")
+    Sinks.softPartitionedAppend(withNull, base, "ts")
+    assert(spark.read.parquet(s"${base}_default").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 4L))
   }
 
   test("sink registry dispatches by label and rejects unknown (K9)") {
@@ -94,10 +99,15 @@ class SourcesSinksSpec extends AnyFunSuite {
     val target = Files.createTempDirectory("graft_reg").toString + "/t"
     val batch = Seq((1L, "a", 1L, false, "c"))
       .toDF("id", "name", "off", Constants.DeleteCol, Constants.OperationCol)
-    SinkRegistry.sink("merge", cfg)(batch, target)
+    val merge = SinkRegistry.sink("merge", cfg)
+    merge(batch, 0L, target)
     assert(spark.read.parquet(target).count() == 1)
+    // the same Sink instance must honor later batch ids (replay marker)
+    merge(Seq((2L, "b", 2L, false, "c"))
+      .toDF("id", "name", "off", Constants.DeleteCol, Constants.OperationCol), 1L, target)
+    assert(spark.read.parquet(target).count() == 2)
     val app = Files.createTempDirectory("graft_reg2").toString + "/a"
-    SinkRegistry.sink("append", cfg)(batch.drop(Constants.OperationCol), app)
+    SinkRegistry.sink("append", cfg)(batch.drop(Constants.OperationCol), 0L, app)
     assert(spark.read.parquet(app).count() == 1)
     assertThrows[IllegalArgumentException] { SinkRegistry.sink("snowpipe", cfg) }
   }
