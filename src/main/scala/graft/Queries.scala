@@ -290,7 +290,9 @@ FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
     ("q21_dedup_jaccard", (s, d) =>
       DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.6)
         .orderBy(col("ia"), col("ib")),
-      Some(jaccardSql(0.6))),
+      // oracle models the default dfCap so the gate stays exact even on a
+      // corpus whose hot shingles exceed the cap
+      Some(cappedJaccardSql(0.6, 64))),
 
     ("q22_dedup_minhash_lsh", (s, d) =>
       DedupOps.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.7)
@@ -654,7 +656,31 @@ FROM base2 b FULL OUTER JOIN chg c ON b.user_id = c.user_id)"""
       head + "\nSELECT user_id, event_id, event_type, value FROM merged WHERE NOT del ORDER BY user_id"
   }
 
-  /** Brute-force word-3gram Jaccard pairs >= tau (oracle for q21/q22). */
+  /** Word-3gram Jaccard pairs >= tau replicating jaccardPairs' document-
+    * frequency cap: candidates need one shared shingle with df <= cap, but
+    * the jaccard itself is computed over the FULL shingle sets (q21
+    * oracle — mirrors DedupOps.jaccardPairsReleasable exactly).
+    */
+  private def cappedJaccardSql(tau: Double, cap: Int): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM
+  (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s FROM toks)),
+dfq AS (SELECT s, count(*) AS d FROM sh GROUP BY s),
+rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s) WHERE d <= $cap),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM rare a JOIN rare b USING (s) WHERE a.doc_id < b.doc_id),
+inter AS (SELECT c.ia, c.ib, count(*) AS i FROM cand c
+  JOIN sh x ON x.doc_id = c.ia JOIN sh y ON y.doc_id = c.ib AND y.s = x.s
+  GROUP BY 1, 2)
+SELECT ia, ib, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $tau ORDER BY ia, ib"""
+
+  /** Brute-force word-3gram Jaccard pairs >= tau (oracle for q22 — the
+    * MinHash path is uncapped).
+    */
   private def jaccardSql(tau: Double): String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, s FROM

@@ -157,8 +157,15 @@ object SchemaDispatch {
     * (clients/shared/merge.go:109-144 backfill path).
     */
   def defaultColumns(fields: Seq[DbzField]): Map[String, Column] =
-    fields.flatMap(f =>
-      f.default.map(d => f.name -> converter(f)(lit(d).cast(wireType(f))))).toMap
+    fields.flatMap { f =>
+      wireType(f) match {
+        // object-valued defaults (variable decimals, geometry, arrays) have
+        // no string-literal wire form — Jackson's asText() flattens them to
+        // "" anyway, so emitting a cast would only fail analysis later
+        case _: StructType | _: ArrayType | _: MapType => None
+        case wt => f.default.map(d => f.name -> converter(f)(lit(d).cast(wt)))
+      }
+    }.toMap
 
   /** Auto-dispatched relational decode: schema block in, typed+converted
     * change rows out. The first envelope of a topic (or any sample with

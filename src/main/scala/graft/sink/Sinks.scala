@@ -107,12 +107,18 @@ object SinkRegistry {
     case "merge" | "snapshot" =>
       (df, batchId, target) => graft.streaming.CdcPipeline.applyBatch(df, batchId, cfg, target)
     case "append" =>
-      (df, _, target) => Sinks.appendParquet(df, target)
+      (df, batchId, target) =>
+        graft.streaming.CdcPipeline.runOncePerBatch(df.sparkSession, target, batchId) {
+          Sinks.appendParquet(df, target)
+        }
     case "history" =>
       (df, batchId, target) => graft.streaming.CdcPipeline.applyBatch(
         df, batchId, cfg.copy(historyMode = true), target)
     case "soft-partitioned" =>
-      (df, _, target) => { Sinks.softPartitionedAppend(df, target, softPartitionTsCol); () }
+      (df, batchId, target) =>
+        graft.streaming.CdcPipeline.runOncePerBatch(df.sparkSession, target, batchId) {
+          Sinks.softPartitionedAppend(df, target, softPartitionTsCol); ()
+        }
     case other => throw new IllegalArgumentException(
       s"unsupported sink label: $other (expected merge | snapshot | append | history | soft-partitioned)")
   }

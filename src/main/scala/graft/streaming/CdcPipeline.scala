@@ -164,6 +164,23 @@ object CdcPipeline {
 
   private def bucketDir(path: String, b: Int) = s"$path/bucket$b/live"
 
+  /** Recorded bucket count of a bucketed snapshot, None if absent or
+    * unreadable (a crash mid-create is treated as absent — the marker is
+    * written atomically via temp+rename, so this only covers legacy/
+    * corrupted files).
+    */
+  private[streaming] def recordedNumBuckets(spark: SparkSession, path: String): Option[Int] = {
+    val marker = new Path(path + "/__nbuckets")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
+      catch { case _: Exception => None }
+      finally in.close()
+    }
+  }
+
   /** Bucketed merge: route batch rows to their PK-hash bucket and run the
     * snapshot swap ONLY for touched buckets — per-flush I/O is
     * O(batch x table/numBuckets), not O(table). Each bucket is its own
@@ -178,18 +195,25 @@ object CdcPipeline {
     // route a PK to a different bucket and leave its old row stranded, so
     // it is recorded on first write and enforced afterwards
     val spark0 = changes.sparkSession
-    val marker = new Path(path + "/__nbuckets")
-    val fs0 = marker.getFileSystem(spark0.sparkContext.hadoopConfiguration)
-    if (fs0.exists(marker)) {
-      val in = fs0.open(marker)
-      val recorded = try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
-      require(recorded == cfg.numBuckets,
-        s"snapshot at $path was written with numBuckets=$recorded; " +
-          s"refusing to merge with numBuckets=${cfg.numBuckets} (would strand rows in stale buckets)")
-    } else {
-      val out = fs0.create(marker, true)
-      out.write(cfg.numBuckets.toString.getBytes("UTF-8"))
-      out.close()
+    recordedNumBuckets(spark0, path) match {
+      case Some(recorded) =>
+        require(recorded == cfg.numBuckets,
+          s"snapshot at $path was written with numBuckets=$recorded; " +
+            s"refusing to merge with numBuckets=${cfg.numBuckets} (would strand rows in stale buckets)")
+      case None =>
+        // mode transition guard: an existing UN-bucketed snapshot here would
+        // become invisible to bucketed reads — rows silently stranded
+        require(resolveSnapshot(spark0, path).isEmpty,
+          s"snapshot at $path exists un-bucketed; refusing to merge with " +
+            s"numBuckets=${cfg.numBuckets} (rebuild the snapshot to change layout)")
+        val marker = new Path(path + "/__nbuckets")
+        val fs0 = marker.getFileSystem(spark0.sparkContext.hadoopConfiguration)
+        // temp + rename so a crash never leaves a half-written marker
+        val tmp = new Path(path + "/__nbuckets.tmp")
+        val out = fs0.create(tmp, true)
+        out.write(cfg.numBuckets.toString.getBytes("UTF-8"))
+        out.close()
+        fs0.rename(tmp, marker)
     }
     val withB = changes.withColumn("__bucket", bucketId(pks, cfg.numBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -228,7 +252,9 @@ object CdcPipeline {
   private val snapshotSchemaCaches =
     scala.collection.concurrent.TrieMap.empty[SparkSession, graft.sources.TableConfigCache]
 
-  private[streaming] def snapshotSchemaCache(spark: SparkSession): graft.sources.TableConfigCache =
+  private[streaming] def snapshotSchemaCache(spark: SparkSession): graft.sources.TableConfigCache = {
+    // drop caches of stopped sessions so session churn can't leak them
+    snapshotSchemaCaches.filterInPlace((s, _) => !s.sparkContext.isStopped)
     snapshotSchemaCaches.getOrElseUpdate(spark,
       new graft.sources.TableConfigCache(spark, fetcher = Some { path =>
         // bucketed layout first: its root exists as a dir of bucket<i>/live
@@ -241,6 +267,7 @@ object CdcPipeline {
           }
         }
       }))
+  }
 
   /** Marker recording the highest applied batch id next to the snapshot:
     * replays after checkpoint recovery become true no-ops (the merge is
@@ -257,6 +284,20 @@ object CdcPipeline {
       catch { case _: Exception => -1L }
       finally in.close()
     }
+  }
+
+  /** At-most-once-per-batch guard for non-idempotent sinks (plain
+    * appends): replayed batch ids after checkpoint recovery become no-ops
+    * via the same marker the merge path uses. A crash between the sink
+    * write and the marker still duplicates that one batch — append has no
+    * idempotent form without a transactional format; this narrows the
+    * window to the same one the reference's append path has.
+    */
+  def runOncePerBatch(spark: SparkSession, targetPath: String, batchId: Long)
+                     (body: => Unit): Unit = {
+    if (batchId <= lastAppliedBatch(spark, targetPath)) return
+    body
+    recordBatch(spark, targetPath, batchId)
   }
 
   private def recordBatch(spark: SparkSession, targetPath: String, batchId: Long): Unit = {
@@ -290,7 +331,14 @@ object CdcPipeline {
     // bucketed mode touches only the buckets the batch lands in
     def dispatch(chg: DataFrame, soft: Boolean): Unit =
       if (cfg.numBuckets > 0) mergeIntoBucketedSnapshot(chg, cfg, targetPath, soft)
-      else mergeIntoSnapshot(chg, cfg, targetPath, soft)
+      else {
+        // reverse mode-transition guard: an un-bucketed merge over a
+        // bucketed root would misread the bucket dirs as a plain snapshot
+        require(recordedNumBuckets(batch.sparkSession, targetPath).isEmpty,
+          s"snapshot at $targetPath is bucketed; refusing un-bucketed merge " +
+            "(set numBuckets to the recorded value or rebuild the snapshot)")
+        mergeIntoSnapshot(chg, cfg, targetPath, soft)
+      }
     if (cfg.msmSteps <= 1) {
       dispatch(changes, cfg.softDelete)
     } else {
@@ -393,9 +441,19 @@ object CdcPipeline {
             .write.mode("overwrite").parquet(s"$targetRoot/__unrouted/batch=$batchId")
         case t =>
           applyBatch(withTable.filter(col("__table") === t).drop("__table"),
-            batchId, cfgFor(t), s"$targetRoot/$t")
+            batchId, cfgFor(t), s"$targetRoot/${tableDirName(t)}")
       }
     } finally { withTable.unpersist(); () }
+  }
+
+  /** Filesystem-safe directory name for a routed table id: P7 sanitization
+    * (strips '/', quoting, case) plus a suffix when the sanitized name
+    * would collide with the pipeline's sidecar suffixes (`users__batch`
+    * the table vs `users` the table's replay marker).
+    */
+  private[graft] def tableDirName(t: String): String = {
+    val s = Converters.sanitizeName(t)
+    if (s.matches(".*__(batch|msm|prev|staging|dropstate|nbuckets|unrouted)$")) s + "_t" else s
   }
 
   /** S1+demux: route one decoded stream carrying many tables into

@@ -145,6 +145,34 @@ class PipelineFeaturesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("numBuckets=4"))
   }
 
+  test("bucketed sink refuses layout mode transitions in both directions") {
+    def batch(rows: (Long, String, Long, Boolean)*) =
+      rows.toDF("id", "name", "off", Constants.DeleteCol)
+    // un-bucketed -> bucketed: existing plain rows would become invisible
+    val plain = Files.createTempDirectory("graft_mode1").toString + "/t"
+    CdcPipeline.applyBatch(batch((1L, "a", 1L, false)), 0L,
+      CdcPipeline.Config(Seq("id"), orderCol = "off"), plain)
+    assert(intercept[IllegalArgumentException] {
+      CdcPipeline.applyBatch(batch((2L, "b", 2L, false)), 1L,
+        CdcPipeline.Config(Seq("id"), orderCol = "off", numBuckets = 4), plain)
+    }.getMessage.contains("un-bucketed"))
+    // bucketed -> un-bucketed: the bucket dirs would be misread
+    val bucketed = Files.createTempDirectory("graft_mode2").toString + "/t"
+    CdcPipeline.applyBatch(batch((1L, "a", 1L, false)), 0L,
+      CdcPipeline.Config(Seq("id"), orderCol = "off", numBuckets = 4), bucketed)
+    assert(intercept[IllegalArgumentException] {
+      CdcPipeline.applyBatch(batch((2L, "b", 2L, false)), 1L,
+        CdcPipeline.Config(Seq("id"), orderCol = "off"), bucketed)
+    }.getMessage.contains("bucketed"))
+  }
+
+  test("routed table ids sanitize to safe dirs; sidecar-suffix collisions avoided") {
+    assert(CdcPipeline.tableDirName("users") == "users")
+    assert(CdcPipeline.tableDirName("a/b") == "a_b") // cannot escape the root
+    assert(CdcPipeline.tableDirName("users__batch") == "users__batch_t")
+    assert(CdcPipeline.tableDirName("t__msm") == "t__msm_t")
+  }
+
   test("rows with a null table id dead-letter instead of vanishing") {
     val root = Files.createTempDirectory("graft_deadletter").toString
     val batch = Seq(
