@@ -58,16 +58,22 @@ object CdcPipeline {
 
   /** Kafka source (S1). Requires the kafka connector on the classpath; the
     * decode/merge stages below are source-agnostic and are tested with
-    * MemoryStream.
+    * MemoryStream. `maxRecordsPerFlush` bounds the records admitted per
+    * trigger (maxOffsetsPerTrigger) — Spark's rate-based analog of the
+    * reference's byte/row flush thresholds (config.go:18-26): the flush
+    * unit is capped at the source instead of by buffer accounting.
     */
-  def fromKafka(spark: SparkSession, servers: String, topics: String): DataFrame =
-    spark.readStream.format("kafka")
+  def fromKafka(spark: SparkSession, servers: String, topics: String,
+                maxRecordsPerFlush: Option[Long] = None): DataFrame = {
+    val base = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", servers)
       .option("subscribe", topics)
       .option("startingOffsets", "earliest")
+    maxRecordsPerFlush.foldLeft(base)((b, n) => b.option("maxOffsetsPerTrigger", n))
       .load()
       .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value",
         "offset", "partition", "timestamp")
+  }
 
   /** P1-P6: operation skip filter, column exclusion, include allow-list,
     * hashing, encryption, static column injection, updated-at markers.
