@@ -32,12 +32,15 @@ object DedupOps {
     * parquet split, and the explode is the CPU-heavy stage — it must fan
     * out across executors. The id partitioning is then reused for free by
     * downstream groupBy(id) aggregations (minhash signatures, counts).
+    * Per-document dedup happens with array_distinct BEFORE the explode —
+    * a row-local operation — so no (id, shingle) distinct shuffle of the
+    * exploded index is ever needed.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.repartition(col(idCol))
       .select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
-      .select(col("id"), explode(shingleArrayFromTokens(col("__toks"), n)).as("shingle"))
-      .distinct()
+      .select(col("id"),
+        explode(array_distinct(shingleArrayFromTokens(col("__toks"), n))).as("shingle"))
 
   /** Exact duplicate groups by content hash: (keep_id, n_dups). */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
