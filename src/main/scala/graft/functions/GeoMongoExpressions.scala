@@ -110,6 +110,12 @@ object GeoMongoCodec {
   def mongoExtJsonToPlain(s: String): String =
     try mapper.writeValueAsString(unwrap(mapper.readTree(s)))
     catch { case _: Exception => null }
+
+  /** Codegen entry point for [[MongoExtJson]]. */
+  def mongoExtJsonUtf8(s: UTF8String): UTF8String = {
+    val out = mongoExtJsonToPlain(s.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
 }
 
 /** EWKB binary -> GeoJSON Feature string (F10). */
@@ -124,14 +130,23 @@ case class EwkbToGeoJson(child: Expression)
     copy(child = newChild)
 }
 
-/** Mongo extended JSON string -> plain JSON string (S4). */
+/** Mongo extended JSON string -> plain JSON string (S4). Real codegen —
+  * this runs per record in the Mongo decode projection, and a fallback
+  * would break that stage's whole-stage span (unparseable input -> null,
+  * re-checked after the call).
+  */
 case class MongoExtJson(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def nullSafeEval(input: Any): Any = {
-    val out = GeoMongoCodec.mongoExtJsonToPlain(input.toString)
-    if (out == null) null else UTF8String.fromString(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    GeoMongoCodec.mongoExtJsonUtf8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.GeoMongoCodec.mongoExtJsonUtf8($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

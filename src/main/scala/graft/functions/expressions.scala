@@ -82,6 +82,14 @@ object DebeziumCodec {
       null
     }
 
+  /** Codegen entry point for [[graft.functions.CanonicalJson]] (null =
+    * unparseable input).
+    */
+  def canonicalJsonUtf8(s: UTF8String): UTF8String = {
+    val out = canonicalJson(s.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+
   /** Deterministic 64-bit rolling fingerprint over unicode code points:
     * acc = (acc * 31 + cp) mod 1_000_000_007. Kept within int64 and simple
     * enough to reproduce in any engine (the DuckDB oracle replays it with
@@ -166,12 +174,19 @@ case class HmacSha256(left: Expression, right: Expression)
   * compact serialization (ref: lib/jsonutil + converters/basic.go:14-31).
   */
 case class CanonicalJson(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def nullSafeEval(input: Any): Any = {
-    val out = DebeziumCodec.canonicalJson(input.toString)
-    if (out == null) null else UTF8String.fromString(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    DebeziumCodec.canonicalJsonUtf8(input.asInstanceOf[UTF8String])
+  // real codegen (not CodegenFallback): a fallback here would break the
+  // whole-stage span of every projection that canonicalizes JSON (the q43
+  // decode path runs this per row). Unparseable input yields null, so the
+  // generated code re-checks nullness after the call.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.DebeziumCodec.canonicalJsonUtf8($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
