@@ -34,28 +34,34 @@ object Envelope {
     * present (the ordering column for last-wins dedup).
     */
   def decodeRelational(df: DataFrame, rowSchema: StructType): DataFrame = {
-    val env = from_json(col("value").cast(StringType), envelopeSchema(rowSchema))
-    val decoded = df
-      .filter(col("value").isNotNull && length(col("value")) > 0)
-      .withColumn("__env", env)
-      .withColumn("__p", col("__env.payload"))
-      // malformed JSON parses to a null envelope; dropping it here keeps
-      // phantom all-null rows (with null PK and null delete flag) out of
-      // the dedup/merge stages
-      .filter(col("__p").isNotNull && col("__p.op").isNotNull)
-    val isDelete = col("__p.op") === "d"
+    // ALL envelope references live in ONE projection so whole-stage
+    // codegen's subexpression elimination can parse the JSON once per row
+    // (references split across Filter/Project operators are not
+    // CSE-eligible together); the guard filter below runs on the extracted
+    // attribute, not the parse expression
+    val p = from_json(col("value").cast(StringType), envelopeSchema(rowSchema))
+      .getField("payload")
+    val op = p.getField("op")
+    val isDelete = op === "d"
     val rowCols = rowSchema.fieldNames.toSeq.map { f =>
-      when(isDelete, col(s"__p.before.$f")).otherwise(col(s"__p.after.$f")).as(f)
+      when(isDelete, p.getField("before").getField(f))
+        .otherwise(p.getField("after").getField(f)).as(f)
     }
     val metaCols = Seq(
-      col("__p.op").as(Constants.OperationCol),
+      op.as(Constants.OperationCol),
       isDelete.as(Constants.DeleteCol),
-      col("__p.ts_ms").as("__source_ts_ms"),
-      to_json(col("__p.source")).as(Constants.SourceMetadataCol),
+      p.getField("ts_ms").as("__source_ts_ms"),
+      to_json(p.getField("source")).as(Constants.SourceMetadataCol),
     )
     val carried = Seq("offset", "partition", "timestamp")
       .filter(df.columns.contains).map(col)
-    decoded.select(rowCols ++ metaCols ++ carried: _*)
+    df.filter(col("value").isNotNull && length(col("value")) > 0)
+      .select(rowCols ++ metaCols ++ carried: _*)
+      // malformed JSON parses to a null envelope -> null op after the
+      // projection; dropping here keeps phantom all-null rows (null PK,
+      // null delete flag) out of the dedup/merge stages. The predicate is
+      // on the EXTRACTED attribute, not the parse expression.
+      .filter(col(Constants.OperationCol).isNotNull)
   }
 
   /** S5: Kafka key -> PK columns. JSON keys (with or without the
