@@ -9,4 +9,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function builder on an EXISTING session (the
+    * FunctionRegistry lives behind `private[sql] sessionState`; new
+    * sessions should prefer `spark.sql.extensions=graft.GraftExtensions`).
+    */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
 }
