@@ -265,7 +265,14 @@ object DedupOps {
     val edges = p.select(col("ia").as("src"), col("ib").as("dst"))
       .union(p.select(col("ib").as("src"), col("ia").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("lbl"))
+    // only nodes that appear in a pair need propagation — in a dedup
+    // corpus that is a small fraction of the table; everything else is a
+    // singleton (canonical = self) and skips the loop entirely
+    val allIds = ids.select(col(idCol).as("id"))
+    val paired = allIds.join(edges.select(col("src").as("id")), Seq("id"), "left_semi")
+    val singletons = allIds.join(edges.select(col("src").as("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("lbl"))
+    var labels = paired.select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
     var changed = 1L
     var i = 0
@@ -281,14 +288,16 @@ object DedupOps {
       labels = updated
       i += 1
     }
-    edges.unpersist()
-    p.unpersist()
     // wrong-but-plausible labels are worse than failing: a component whose
     // diameter exceeds maxIter would report an intermediate id as canonical
     require(changed == 0,
       s"nearDupGroups did not converge in $maxIter rounds — component diameter " +
         s"exceeds maxIter; raise maxIter (or use a star-contraction variant for deep chains)")
-    labels.select(col("id"), col("lbl").as("canonical_id"))
+    val out = labels.union(singletons).select(col("id"), col("lbl").as("canonical_id"))
+      .localCheckpoint(true) // materialize before releasing the inputs below
+    edges.unpersist()
+    p.unpersist()
+    out
   }
 
   /** Exact SimHash near-dup pairs within `maxDist` (<= 3) Hamming distance

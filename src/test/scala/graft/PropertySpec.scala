@@ -84,6 +84,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: nearDupGroups equals driver-side union-find on random graphs") {
+    val pairGen = for {
+      n <- Gen.choose(2, 14) // node ids 0..n
+      m <- Gen.choose(0, 12)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (n, es.distinct)
+    (0 until 8).foreach { seed =>
+      val (n, es) = pairGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      // reference implementation: plain union-find
+      val parent = scala.collection.mutable.Map((0L to n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      es.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val expected = (0L to n.toLong).map { i =>
+        i -> (0L to n.toLong).filter(j => find(j) == find(i)).min
+      }.toMap
+      val got = graft.operators.DedupOps.nearDupGroups(
+        (0L to n.toLong).toDF("doc_id"), "doc_id",
+        if (es.isEmpty) Seq.empty[(Long, Long)].toDF("ia", "ib") else es.toDF("ia", "ib"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed edges=$es")
+    }
+  }
+
   test("property: fingerprint64 is stable and in [0, 1e9+7)") {
     val strs = (0 until 20).flatMap(i =>
       Gen.asciiPrintableStr.apply(Gen.Parameters.default, Seed(i.toLong)))
