@@ -4,31 +4,32 @@ import graft.functions._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SQL surface for the engine's custom Catalyst expressions: a
   * `SparkSessionExtensions` hook (`spark.sql.extensions=graft.GraftExtensions`
   * at session build) so `spark.sql("SELECT graft_fingerprint64(text) ...")`
   * works without touching the DataFrame API — the registration mechanism
   * SURVEY §7.3 calls for when built-ins can't express an operator.
+  * This table is the single source of truth; `GraftSession` re-registers
+  * the same builders under legacy unprefixed aliases.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftExtensions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft", name), asFunctionBuilder(name, builder)))
+        new ExpressionInfo("graft", name), builder))
     }
-
-  private def asFunctionBuilder(name: String, b: Seq[Expression] => Expression)
-      : Seq[Expression] => Expression = b
 }
 
 object GraftExtensions {
-  private def intLit(e: Expression, what: String): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case other => throw new IllegalArgumentException(
-      s"$what must be an INT literal, got $other")
+  private def intLit(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be an integer literal, got $e")
+    e.eval(null) match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
   }
 
   private def arity(n: Int, name: String)(b: Seq[Expression] => Expression)
@@ -46,6 +47,8 @@ object GraftExtensions {
     "graft_debezium_decimal" -> arity(3, "graft_debezium_decimal")(es =>
       DebeziumDecimalDecode(es.head,
         intLit(es(1), "precision"), intLit(es(2), "scale"))),
+    "graft_twos_complement_bytes" -> arity(1, "graft_twos_complement_bytes")(es =>
+      TwosComplementEncode(es.head)),
     "graft_variable_scale_decimal" -> arity(2, "graft_variable_scale_decimal")(es =>
       VariableScaleDecimalText(es(0), es(1))),
     "graft_mongo_ext_json" -> arity(1, "graft_mongo_ext_json")(es => MongoExtJson(es.head)),
@@ -58,5 +61,14 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>
       org.apache.spark.sql.GraftBridge.registerFunction(spark, name, builder)
+    }
+
+  /** Same builders under the unprefixed legacy names GraftSession always
+    * exposed (`debezium_decimal`, `fingerprint64`, ...).
+    */
+  def registerUnprefixedAliases(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      org.apache.spark.sql.GraftBridge.registerFunction(
+        spark, name.stripPrefix("graft_"), builder)
     }
 }

@@ -121,7 +121,12 @@ object GeoMongoCodec {
 /** EWKB binary -> GeoJSON Feature string (F10). */
 case class EwkbToGeoJson(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ewkb_geojson needs BINARY input, got ${child.dataType.sql}")
   override def dataType: DataType = StringType
+  override def nullable: Boolean = true // unknown geometry types yield null
   override def nullSafeEval(input: Any): Any = {
     val out = GeoMongoCodec.ewkbToGeoJson(input.asInstanceOf[Array[Byte]])
     if (out == null) null else UTF8String.fromString(out)
@@ -137,7 +142,13 @@ case class EwkbToGeoJson(child: Expression)
   */
 case class MongoExtJson(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"mongo_ext_json needs STRING input, got ${child.dataType.sql}")
   override def dataType: DataType = StringType
+  // unparseable (non-null) input yields null — see CanonicalJson.nullable
+  override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
     GeoMongoCodec.mongoExtJsonUtf8(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,

@@ -150,7 +150,12 @@ case class TwosComplementEncode(child: Expression)
   */
 case class Gunzip(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"gunzip needs BINARY input, got ${child.dataType.sql}")
   override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // invalid gzip payloads yield null
   override def nullSafeEval(input: Any): Any =
     try DebeziumCodec.gunzip(input.asInstanceOf[Array[Byte]])
     catch { case _: Exception => null }
@@ -163,6 +168,10 @@ case class Gunzip(child: Expression)
   */
 case class HmacSha256(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hmac_sha256 needs (BINARY, BINARY) input, got (${left.dataType.sql}, ${right.dataType.sql})")
   override def dataType: DataType = BinaryType
   override protected def nullSafeEval(key: Any, data: Any): Any =
     DebeziumCodec.hmacSha256(key.asInstanceOf[Array[Byte]], data.asInstanceOf[Array[Byte]])
@@ -175,7 +184,16 @@ case class HmacSha256(left: Expression, right: Expression)
   */
 case class CanonicalJson(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"canonical_json needs STRING input, got ${child.dataType.sql}")
   override def dataType: DataType = StringType
+  // unparseable (non-null) input yields null — without this override
+  // NullPropagation would fold `IS NULL` to false over a non-nullable
+  // child, and nullSafeCodeGen would not declare the isNull slot the
+  // generated code assigns
+  override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
     DebeziumCodec.canonicalJsonUtf8(input.asInstanceOf[UTF8String])
   // real codegen (not CodegenFallback): a fallback here would break the
@@ -261,6 +279,15 @@ case class DoubleArrayDot(left: Expression, right: Expression)
   */
 case class VariableScaleDecimalText(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val scaleOk = right.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (left.dataType == BinaryType && scaleOk) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"variable_scale_decimal needs (BINARY, INT) input, got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
   override def dataType: DataType = StringType
   override protected def nullSafeEval(bytes: Any, scale: Any): Any = {
     val bi =

@@ -34,7 +34,10 @@ object DedupOps {
     * downstream groupBy(id) aggregations (minhash signatures, counts).
     * Per-document dedup happens with array_distinct BEFORE the explode —
     * a row-local operation — so no (id, shingle) distinct shuffle of the
-    * exploded index is ever needed.
+    * exploded index is ever needed. PRECONDITION: `idCol` is unique (one
+    * row per document, as for every operator in this library); duplicate
+    * id rows would double-count shingles and inflate jaccard scores —
+    * collapse them with [[exactDuplicates]]/dropDuplicates first.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.repartition(col(idCol))

@@ -51,6 +51,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("hmac_ok"))
   }
 
+  test("unparseable input yields a REAL null even over non-nullable children") {
+    // nullable=true matters: over a literal (non-nullable) child,
+    // NullPropagation would otherwise fold IS NULL to false and codegen
+    // would not allocate the null slot the expression assigns
+    val r = spark.sql("""
+      SELECT graft_canonical_json('not json') IS NULL AS cj_null,
+             graft_mongo_ext_json('nope') IS NULL AS mongo_null,
+             graft_gunzip(CAST('junk' AS BINARY)) IS NULL AS gz_null""").head
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+  }
+
+  test("wrong input types fail at analysis time, not mid-query") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_gunzip('not binary')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("binary"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_canonical_json(123)").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("string"))
+  }
+
   test("non-literal precision is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_debezium_decimal(CAST('x' AS BINARY), id, 2) FROM range(1)").collect()
