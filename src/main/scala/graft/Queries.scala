@@ -603,6 +603,39 @@ FROM events ORDER BY id""")),
 SELECT doc_id, lang FROM b
 WHERE bkt < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 25 ELSE 10 END
 ORDER BY doc_id""")),
+
+    ("q46_kmv_distinct_sketch", (s, d) => {
+      // distinct-word cardinality per language via the bounded KMV sketch
+      // (custom TypedImperativeAggregate; k entries of state per group).
+      // The estimate is an exact function of the k min order statistics of
+      // the fingerprint hash, so the oracle replays it bit-for-bit.
+      val words = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      graft.operators.SketchOps.kmvDistinct(words, Seq("lang"), "word", k = 64)
+        .orderBy(col("lang"))
+    },
+      Some("""WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+h AS (SELECT DISTINCT lang,
+  ((636413622 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+     list_transform(range(1, length(word) + 1), i -> CAST(unicode(substring(word, CAST(i AS INT), 1)) AS BIGINT))),
+     (acc, x) -> (acc * 31 + x) % 1000000007) + 528402381) % 1000000007 + 1) / 1000000007.0 AS hv
+  FROM w),
+mk AS (SELECT lang, list_slice(list_sort(list(hv)), 1, 64) AS hs FROM h GROUP BY lang)
+SELECT lang,
+  CASE WHEN len(hs) < 64 THEN CAST(len(hs) AS DOUBLE)
+       ELSE (CAST(len(hs) AS DOUBLE) - 1.0) / hs[len(hs)] END AS distinct_est
+FROM mk ORDER BY lang""")),
+
+    ("q47_corpus_percentiles", (s, d) =>
+      graft.operators.SketchOps.exactPercentiles(
+        Tables.documents(s, d), "n_chars", "doc_id", Seq(0.5, 0.9, 0.99))
+        .orderBy(col("q")),
+      Some("""WITH r AS (SELECT n_chars,
+  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS rn,
+  COUNT(*) OVER () AS n FROM documents)
+SELECT q, n_chars AS value FROM r
+JOIN (VALUES (0.5), (0.9), (0.99)) t(q) ON rn = floor((n - 1) * q)
+ORDER BY q""")),
   )
 
   /** Schema block driving q43's auto-dispatch (shape: schema.go:14-69). */

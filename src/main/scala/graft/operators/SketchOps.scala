@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.Converters
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sketch/statistics operators for corpus profiling at scale. Unlike
+  * `approx_count_distinct`/`approx_percentile` these are DETERMINISTIC and
+  * engine-portable (built on the rolling fingerprint and exact order
+  * statistics), so the same sketch computed by an external engine is
+  * bit-identical — which makes them oracle-checkable and stable across
+  * retries/partitionings.
+  */
+object SketchOps {
+  /** K-minimum-values distinct-count estimate of `valueCol` per group.
+    * The k smallest normalized hashes h_1..h_k of the distinct values give
+    * estimate = (k-1) / h_k (the classic KMV estimator): one shuffle on
+    * the group keys, sketch size k per group regardless of cardinality —
+    * the mergeable-sketch shape a 100 TB profile job needs. Exact count
+    * returned alongside when `withExact` (costs a distinct aggregation;
+    * turn off at scale).
+    */
+  /** The raw min-k sketch as a Column (custom TypedImperativeAggregate —
+    * bounded k-entry state, map-side combinable, mergeable across
+    * partitions).
+    */
+  def kmvSketch(normalizedHash: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.KmvMinK(
+        org.apache.spark.sql.GraftBridge.expression(normalizedHash), k)
+        .toAggregateExpression())
+
+  /** Normalized (0, 1] hash of a value — the KMV input. The rolling
+    * fingerprint alone is NOT KMV-grade: similar strings ("doc1","doc2")
+    * fingerprint to CONSECUTIVE integers, clustering the min-k order
+    * statistics and wrecking the estimate. A universal-hash finalizer
+    * (a*fp + b) mod p equidistributes those runs across [0, p) while
+    * staying a one-line replay for an external engine (a*fp < 2^63, no
+    * overflow in checked BIGINT arithmetic either).
+    */
+  def normalizedHash(value: Column): Column = {
+    val p = 1000000007L
+    val mixed = pmod(lit(636413622L) * Converters.fingerprint64(value.cast(StringType))
+      + lit(528402381L), lit(p))
+    (mixed + lit(1L)).cast(DoubleType) / lit(p.toDouble)
+  }
+
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int = 64): DataFrame = {
+    // duplicate values share a hash and the sketch dedupes, so min-k over
+    // all rows = min-k over distinct values: no distinct pre-shuffle
+    val grouped = df.withColumn("__h", normalizedHash(col(valueCol)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(kmvSketch(col("__h"), k).as("__hs"))
+    val nMin = size(col("__hs")).cast(DoubleType)
+    val kth = element_at(col("__hs"), size(col("__hs")))
+    // fewer than k distinct hashes -> the sketch IS the exact value set
+    val estimate = when(size(col("__hs")) < k, nMin)
+      .otherwise((nMin - 1.0) / kth)
+    grouped.select(groupCols.map(col) :+ estimate.as("distinct_est"): _*)
+  }
+
+  /** Exact order-statistic percentiles of `valueCol` (deterministic
+    * lower-index convention: value at row floor((n-1) * q) of the sorted
+    * column, ties broken by `tieCol`). One sort-shuffle; at 100 TB swap in
+    * the same formula over a range-partitioned sort. Returns one row per
+    * requested quantile.
+    */
+  def exactPercentiles(df: DataFrame, valueCol: String, tieCol: String,
+                       qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(valueCol), col(tieCol))
+    val ranked = df.select(col(valueCol), col(tieCol))
+      .withColumn("__rn", row_number().over(w) - 1)
+    val n = count(lit(1)).over(org.apache.spark.sql.expressions.Window
+      .partitionBy())
+    val withN = ranked.withColumn("__n", n)
+    val quantiles = qs.toDF("q")
+    withN.join(broadcast(quantiles),
+        col("__rn") === floor((col("__n") - 1) * col("q")))
+      .select(col("q"), col(valueCol).as("value"))
+  }
+}

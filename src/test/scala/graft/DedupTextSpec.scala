@@ -145,6 +145,32 @@ class DedupTextSpec extends AnyFunSuite {
     assert(counts("train") > counts("holdout"))
   }
 
+  test("KMV sketch: partitioning-invariant, exact under k, ~10% accurate over k") {
+    import graft.operators.SketchOps
+    // 40 distinct values < k=64 -> estimate is EXACT
+    val small = (0 until 120).map(i => ("g", s"v${i % 40}")).toDF("g", "v")
+    val exact = SketchOps.kmvDistinct(small, Seq("g"), "v", k = 64)
+      .head.getDouble(1)
+    assert(exact == 40.0)
+    // 2000 distinct values >> k -> estimator within ~3/sqrt(k) relative error
+    val big = (0 until 2000).map(i => ("g", s"value$i")).toDF("g", "v")
+    val est = SketchOps.kmvDistinct(big, Seq("g"), "v", k = 64).head.getDouble(1)
+    assert(math.abs(est - 2000.0) / 2000.0 < 3.0 / math.sqrt(64.0), s"est=$est")
+    // deterministic under re-partitioning (merge path exercised)
+    val est7 = SketchOps.kmvDistinct(big.repartition(7), Seq("g"), "v", k = 64)
+      .head.getDouble(1)
+    assert(est == est7)
+  }
+
+  test("exactPercentiles returns the order statistics at floor((n-1)q)") {
+    import graft.operators.SketchOps
+    val df = (1L to 100L).map(i => (i, i * 10)).toDF("id", "len")
+    val got = SketchOps.exactPercentiles(df, "len", "id", Seq(0.0, 0.5, 1.0))
+      .orderBy("q").collect().map(r => (r.getDouble(0), r.getLong(1)))
+    // sorted lens are 10..1000; index floor(99*q): 0 -> 10, 49 -> 500, 99 -> 1000
+    assert(got.toSeq == Seq((0.0, 10L), (0.5, 500L), (1.0, 1000L)))
+  }
+
   test("cosineTopK: self-similar planted vector ranks first") {
     val base = (0 until 30).map(i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 37 + j * 11) % 31) * 0.1f + 0.1f)))
