@@ -633,7 +633,7 @@ FROM mk ORDER BY lang""")),
       Some("""WITH r AS (SELECT n_chars,
   ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS rn,
   COUNT(*) OVER () AS n FROM documents)
-SELECT q, n_chars AS value FROM r
+SELECT CAST(q AS DOUBLE) AS q, n_chars AS value FROM r
 JOIN (VALUES (0.5), (0.9), (0.99)) t(q) ON rn = floor((n - 1) * q)
 ORDER BY q""")),
   )

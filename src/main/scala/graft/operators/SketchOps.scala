@@ -13,14 +13,6 @@ import org.apache.spark.sql.types._
   * retries/partitionings.
   */
 object SketchOps {
-  /** K-minimum-values distinct-count estimate of `valueCol` per group.
-    * The k smallest normalized hashes h_1..h_k of the distinct values give
-    * estimate = (k-1) / h_k (the classic KMV estimator): one shuffle on
-    * the group keys, sketch size k per group regardless of cardinality —
-    * the mergeable-sketch shape a 100 TB profile job needs. Exact count
-    * returned alongside when `withExact` (costs a distinct aggregation;
-    * turn off at scale).
-    */
   /** The raw min-k sketch as a Column (custom TypedImperativeAggregate —
     * bounded k-entry state, map-side combinable, mergeable across
     * partitions).
@@ -46,6 +38,12 @@ object SketchOps {
     (mixed + lit(1L)).cast(DoubleType) / lit(p.toDouble)
   }
 
+  /** K-minimum-values distinct-count estimate of `valueCol` per group.
+    * The k smallest normalized hashes h_1..h_k of the distinct values give
+    * estimate = (k-1) / h_k (the classic KMV estimator): one shuffle on
+    * the group keys, sketch size k per group regardless of cardinality —
+    * the mergeable-sketch shape a 100 TB profile job needs.
+    */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Int = 64): DataFrame = {
     // duplicate values share a hash and the sketch dedupes, so min-k over
@@ -74,7 +72,8 @@ object SketchOps {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col(valueCol), col(tieCol))
     val ranked = df.select(col(valueCol), col(tieCol))
-      .withColumn("__rn", row_number().over(w) - 1)
+      // long, not int: row_number() wraps past 2^31-1 rows
+      .withColumn("__rn", row_number().over(w).cast("long") - 1L)
     val n = count(lit(1)).over(org.apache.spark.sql.expressions.Window
       .partitionBy())
     val withN = ranked.withColumn("__n", n)
