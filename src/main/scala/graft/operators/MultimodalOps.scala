@@ -70,6 +70,32 @@ object MultimodalOps {
       }
   }
 
+  /** Resize stage: nearest-neighbor downscale/upscale of the pixel buffer
+    * (grayscale byte-per-pixel). Deterministic integer index math — the
+    * same partition-local typed map a native resizer (libvips/ffmpeg)
+    * would slot into, with the Dataset/encoder plumbing unchanged.
+    */
+  def resizeFrames(frames: Dataset[Frame], outW: Int, outH: Int): Dataset[Frame] = {
+    require(outW > 0 && outH > 0, s"resize target must be positive, got ${outW}x$outH")
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.map { f =>
+      val px = new Array[Byte](outW * outH)
+      var y = 0
+      while (y < outH) {
+        val sy = y * f.height / outH
+        var x = 0
+        while (x < outW) {
+          val sx = x * f.width / outW
+          px(y * outW + x) = f.pixels(sy * f.width + sx)
+          x += 1
+        }
+        y += 1
+      }
+      Frame(f.media_id, f.frame_idx, outW, outH, px)
+    }
+  }
+
   case class FrameFeatures(media_id: Long, frame_idx: Int, mean_px: Double,
                            min_px: Int, max_px: Int)
 

@@ -150,6 +150,28 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(again.getDouble(2) == r.getDouble(2))
   }
 
+  test("resizeFrames: nearest-neighbor downscale keeps source pixels, shape, extremes bound") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(4)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    val frames = MultimodalOps.sampleFrames(docs, "doc_id", "content", framesPerItem = 2)
+    val original = frames.collect().map(f => (f.media_id, f.frame_idx) -> f).toMap
+    val resized = MultimodalOps.resizeFrames(frames, 4, 4).collect()
+    assert(resized.length == 8)
+    resized.foreach { f =>
+      assert(f.width == 4 && f.height == 4 && f.pixels.length == 16)
+      val src = original((f.media_id, f.frame_idx))
+      // nearest-neighbor: every output pixel is the exact source pixel at
+      // the scaled index (8x8 -> 4x4 samples even rows/cols)
+      (0 until 4).foreach { y => (0 until 4).foreach { x =>
+        assert(f.pixels(y * 4 + x) == src.pixels(y * 2 * 8 + x * 2))
+      }}
+    }
+    // upscale round-trips the same source pixels
+    val up = MultimodalOps.resizeFrames(MultimodalOps.resizeFrames(frames, 4, 4), 8, 8)
+      .filter(_.media_id >= 0).head()
+    assert(up.width == 8 && up.pixels.length == 64)
+  }
+
   test("packMedia produces the canonical metadata struct") {
     val df = Seq(("img", 640, 480, 0L)).toDF("m", "w", "h", "d")
       .select(MultimodalOps.packMedia(lit(Array[Byte](1, 2)), col("m"), col("w"), col("h"), col("d")).as("meta"))
