@@ -65,6 +65,32 @@ object Envelope {
       .filter(col(Constants.OperationCol).isNotNull)
   }
 
+  /** Value-based schema inference for schema-disabled Debezium topics —
+    * the Spark-native analog of the reference's per-value kind inference
+    * (lib/typing/parse.go:23-67): run Spark's JSON schema inference over a
+    * bounded sample of before/after documents (one driver-side job, once
+    * per topic), instead of re-inferring per value per row.
+    */
+  def inferRowSchema(df: DataFrame, sampleRows: Int = 1000): StructType = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs = df.filter(col("value").isNotNull && length(col("value")) > 0)
+      .select(explode(array(
+        get_json_object(col("value").cast(StringType), "$.payload.after"),
+        get_json_object(col("value").cast(StringType), "$.payload.before"))).as("doc"))
+      .filter(col("doc").isNotNull)
+      .limit(sampleRows)
+      .as[String]
+    spark.read.json(docs).schema
+  }
+
+  /** Schemaless decode: infer the row schema from the data, then decode.
+    * For a streaming source, run the inference on a bounded batch read of
+    * the same topic first and pass the schema to [[decodeRelational]].
+    */
+  def decodeInferred(df: DataFrame, sampleRows: Int = 1000): DataFrame =
+    decodeRelational(df, inferRowSchema(df, sampleRows))
+
   /** S5: Kafka key -> PK columns. JSON keys (with or without the
     * schema/payload wrapper) via from_json; `Struct{k=v,...}` string keys
     * via regex (lib/debezium/keys.go:50-139). The logical-table-router

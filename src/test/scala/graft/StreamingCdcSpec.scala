@@ -46,6 +46,25 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(keys.getString(0) == "1001")
   }
 
+  test("schemaless decode infers row types by value (ParseValue analog)") {
+    // no schema block anywhere: types must come from the data itself
+    val envs = Seq(
+      ("""{"payload":{"before":null,"after":{"id":1,"name":"a","score":9.5},"source":{},"op":"c","ts_ms":0}}""", 0L),
+      ("""{"payload":{"before":null,"after":{"id":2,"name":"b","score":0.25},"source":{},"op":"c","ts_ms":1}}""", 1L),
+      ("""{"payload":{"before":{"id":3,"name":"gone","score":1.0},"after":null,"source":{},"op":"d","ts_ms":2}}""", 2L),
+    ).toDF("value", "offset")
+    val out = Envelope.decodeInferred(envs).orderBy("offset")
+    val schema = out.schema
+    assert(schema("id").dataType == LongType)
+    assert(schema("name").dataType == StringType)
+    assert(schema("score").dataType == DoubleType)
+    val rows = out.collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Long]("id") == 1L && rows(0).getAs[Double]("score") == 9.5)
+    // delete takes the before-image, inferred schema included it
+    assert(rows(2).getAs[Long]("id") == 3L && rows(2).getAs[Boolean](Constants.DeleteCol))
+  }
+
   test("schema auto-dispatch replays the reference's own postgres e2e fixture") {
     // The real Debezium envelopes the reference asserts against
     // (e2e_tests/postgres/testdata/dbserver1.inventory.customers.json,
