@@ -33,15 +33,29 @@ object Envelope {
     * Input needs `value` (string/binary); `offset` is carried through when
     * present (the ordering column for last-wins dedup).
     */
-  def decodeRelational(df: DataFrame, rowSchema: StructType): DataFrame = {
+  def decodeRelational(df: DataFrame, rowSchema: StructType): DataFrame =
+    decodeWithPayload(df, rowSchema,
+      from_json(col("value").cast(StringType), envelopeSchema(rowSchema))
+        .getField("payload"))
+
+  /** Schema-disabled topics (JsonConverter schemas.enable=false) emit the
+    * envelope WITHOUT the payload wrapper: {"before":...,"after":...,
+    * "op":...}. Same decode, parsing the bare shape.
+    */
+  def decodeBareRelational(df: DataFrame, rowSchema: StructType): DataFrame =
+    decodeWithPayload(df, rowSchema,
+      from_json(col("value").cast(StringType),
+        envelopeSchema(rowSchema)("payload").dataType.asInstanceOf[StructType]))
+
+  private def decodeWithPayload(df: DataFrame, rowSchema: StructType,
+                                payload: Column): DataFrame = {
     // ALL envelope references live in ONE projection, leaving the planner
     // free to either share one parse (subexpression elimination) or prune
     // a smaller per-column schema for each reference (OptimizeJsonExprs) —
     // measured equal to the aliased two-stage form at sf0.1. The guard
     // filter below runs on the extracted attribute, not the parse
     // expression.
-    val p = from_json(col("value").cast(StringType), envelopeSchema(rowSchema))
-      .getField("payload")
+    val p = payload
     val op = p.getField("op")
     val isDelete = op === "d"
     val rowCols = rowSchema.fieldNames.toSeq.map { f =>
@@ -74,22 +88,34 @@ object Envelope {
   def inferRowSchema(df: DataFrame, sampleRows: Int = 1000): StructType = {
     val spark = df.sparkSession
     import spark.implicits._
+    val v = col("value").cast(StringType)
+    // wrapped ($.payload.after) and bare ($.after) envelope shapes both
+    // occur in the wild — schemas.enable=false drops the payload wrapper
     val docs = df.filter(col("value").isNotNull && length(col("value")) > 0)
       .select(explode(array(
-        get_json_object(col("value").cast(StringType), "$.payload.after"),
-        get_json_object(col("value").cast(StringType), "$.payload.before"))).as("doc"))
+        coalesce(get_json_object(v, "$.payload.after"), get_json_object(v, "$.after")),
+        coalesce(get_json_object(v, "$.payload.before"), get_json_object(v, "$.before"))))
+        .as("doc"))
       .filter(col("doc").isNotNull)
       .limit(sampleRows)
       .as[String]
     spark.read.json(docs).schema
   }
 
-  /** Schemaless decode: infer the row schema from the data, then decode.
-    * For a streaming source, run the inference on a bounded batch read of
-    * the same topic first and pass the schema to [[decodeRelational]].
+  /** Schemaless decode: infer the row schema from the data, detect whether
+    * the envelope carries the payload wrapper (one driver-side sample
+    * probe), then decode with the matching shape. For a streaming source,
+    * run this on a bounded batch read of the same topic first and pass the
+    * schema to [[decodeRelational]]/[[decodeBareRelational]].
     */
-  def decodeInferred(df: DataFrame, sampleRows: Int = 1000): DataFrame =
-    decodeRelational(df, inferRowSchema(df, sampleRows))
+  def decodeInferred(df: DataFrame, sampleRows: Int = 1000): DataFrame = {
+    val schema = inferRowSchema(df, sampleRows)
+    val wrapped = df
+      .filter(col("value").isNotNull && length(col("value")) > 0)
+      .filter(get_json_object(col("value").cast(StringType), "$.payload.op").isNotNull)
+      .limit(1).count() > 0
+    if (wrapped) decodeRelational(df, schema) else decodeBareRelational(df, schema)
+  }
 
   /** S5: Kafka key -> PK columns. JSON keys (with or without the
     * schema/payload wrapper) via from_json; `Struct{k=v,...}` string keys

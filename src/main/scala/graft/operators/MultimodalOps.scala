@@ -77,6 +77,8 @@ object MultimodalOps {
     */
   def resizeFrames(frames: Dataset[Frame], outW: Int, outH: Int): Dataset[Frame] = {
     require(outW > 0 && outH > 0, s"resize target must be positive, got ${outW}x$outH")
+    require(outW.toLong * outH <= Int.MaxValue,
+      s"resize target ${outW}x$outH overflows the pixel buffer")
     val spark = frames.sparkSession
     import spark.implicits._
     frames.map { f =>

@@ -166,10 +166,21 @@ class ExtendedOpsSpec extends AnyFunSuite {
         assert(f.pixels(y * 4 + x) == src.pixels(y * 2 * 8 + x * 2))
       }}
     }
-    // upscale round-trips the same source pixels
-    val up = MultimodalOps.resizeFrames(MultimodalOps.resizeFrames(frames, 4, 4), 8, 8)
-      .filter(_.media_id >= 0).head()
-    assert(up.width == 8 && up.pixels.length == 64)
+    // upscale: each 2x2 output block replicates its 4x4-source pixel
+    val small = MultimodalOps.resizeFrames(frames, 4, 4)
+    val smallByKey = small.collect().map(f => (f.media_id, f.frame_idx) -> f).toMap
+    val up = MultimodalOps.resizeFrames(small, 8, 8).collect()
+    up.foreach { f =>
+      assert(f.width == 8 && f.pixels.length == 64)
+      val src = smallByKey((f.media_id, f.frame_idx))
+      (0 until 8).foreach { y => (0 until 8).foreach { x =>
+        assert(f.pixels(y * 8 + x) == src.pixels((y / 2) * 4 + (x / 2)))
+      }}
+    }
+    // overflow guard
+    assertThrows[IllegalArgumentException] {
+      MultimodalOps.resizeFrames(frames, 65536, 65536)
+    }
   }
 
   test("packMedia produces the canonical metadata struct") {

@@ -65,6 +65,18 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(rows(2).getAs[Long]("id") == 3L && rows(2).getAs[Boolean](Constants.DeleteCol))
   }
 
+  test("schemaless decode handles the BARE envelope schemas.enable=false actually emits") {
+    // real schema-disabled JsonConverter output has no payload wrapper at all
+    val envs = Seq(
+      ("""{"before":null,"after":{"id":10,"name":"x"},"source":{},"op":"c","ts_ms":0}""", 0L),
+      ("""{"before":{"id":11,"name":"y"},"after":null,"source":{},"op":"d","ts_ms":1}""", 1L),
+    ).toDF("value", "offset")
+    val out = Envelope.decodeInferred(envs).orderBy("offset").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("id") == 10L && out(0).getAs[String]("name") == "x")
+    assert(out(1).getAs[Long]("id") == 11L && out(1).getAs[Boolean](Constants.DeleteCol))
+  }
+
   test("schema auto-dispatch replays the reference's own postgres e2e fixture") {
     // The real Debezium envelopes the reference asserts against
     // (e2e_tests/postgres/testdata/dbserver1.inventory.customers.json,
