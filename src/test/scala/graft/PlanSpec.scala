@@ -66,4 +66,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q46: KMV sketch aggregates map-side before the group-key exchange") {
+    val p = plan("q46_kmv_distinct_sketch")
+    // the custom TypedImperativeAggregate must show a partial phase: the
+    // bounded sketch state combines before shuffling, so exchange volume
+    // is k doubles per group per partition, not the word stream
+    assert(p.contains("partial_kmvmink"))
+    assert(p.contains("kmvmink"))
+  }
 }
