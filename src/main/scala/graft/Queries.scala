@@ -626,6 +626,23 @@ SELECT lang,
        ELSE (CAST(len(hs) AS DOUBLE) - 1.0) / hs[len(hs)] END AS distinct_est
 FROM mk ORDER BY lang""")),
 
+    ("q48_sequence_packing", (s, d) => {
+      // concat-then-chunk packing: every doc's span of 2048-token training
+      // sequences, from one prefix-sum window — all integer arithmetic
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+      graft.operators.SamplingOps.packSequences(toks, "doc_id", "n_toks", 2048)
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e FROM t)
+SELECT doc_id, n_tokens, e - n_tokens AS global_start,
+  (e - n_tokens) // 2048 AS start_seq,
+  (e - n_tokens) % 2048 AS start_off,
+  (e - 1) // 2048 AS end_seq
+FROM c WHERE n_tokens > 0 ORDER BY doc_id""")),
+
     ("q47_corpus_percentiles", (s, d) =>
       graft.operators.SketchOps.exactPercentiles(
         Tables.documents(s, d), "n_chars", "doc_id", Seq(0.5, 0.9, 0.99))

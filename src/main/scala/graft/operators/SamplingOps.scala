@@ -42,4 +42,33 @@ object SamplingOps {
     */
   def splitTag(id: Column, trainPct: Int): Column =
     when(deterministicBucket(id) < trainPct, "train").otherwise("holdout")
+
+  /** Concat-then-chunk sequence packing: documents are laid out
+    * back-to-back in `orderCol` order and cut into fixed `seqLen`-token
+    * training sequences (documents straddle boundaries, as LLM pre-training
+    * packing does). Each document maps to its span: global start offset,
+    * first/last sequence index, and offset within the first sequence — all
+    * from ONE prefix-sum window, so the layout is deterministic and
+    * identical on any cluster. For 100 TB, replace the single global window
+    * with per-partition sums + a broadcast of partition-prefix totals
+    * (same arithmetic, two passes).
+    */
+  def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
+                    seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val end = sum(col(tokenCol)).over(w) // cumulative tokens through this doc
+    df.select(col(orderCol), col(tokenCol).cast(LongType).as("n_tokens"),
+        (end - col(tokenCol)).cast(LongType).as("global_start"),
+        end.cast(LongType).as("__end"))
+      .filter(col("n_tokens") > 0)
+      // integer `div`, never double `/`: float division loses exactness
+      // past 2^53 total tokens — well inside 100 TB territory
+      .select(col(orderCol), col("n_tokens"), col("global_start"),
+        expr(s"global_start div ${seqLen}L").as("start_seq"),
+        pmod(col("global_start"), lit(seqLen.toLong)).as("start_off"),
+        expr(s"(__end - 1) div ${seqLen}L").as("end_seq"))
+  }
 }

@@ -145,6 +145,22 @@ class DedupTextSpec extends AnyFunSuite {
     assert(counts("train") > counts("holdout"))
   }
 
+  test("packSequences: concat-then-chunk spans with exact boundary straddling") {
+    import graft.operators.SamplingOps
+    val docs = Seq((1L, 3L), (2L, 5L), (3L, 4L)).toDF("doc_id", "n_toks")
+    val got = SamplingOps.packSequences(docs, "doc_id", "n_toks", 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // cumsum 3, 8, 12 over seqLen=4:
+    //  doc1: starts at 0 in seq 0, ends in seq 0
+    //  doc2: starts at offset 3 of seq 0, straddles into seq 1
+    //  doc3: starts exactly at seq 2's boundary, fills it
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 0L),
+      (2L, 3L, 0L, 3L, 1L),
+      (3L, 8L, 2L, 0L, 2L)))
+  }
+
   test("KMV sketch: partitioning-invariant, exact under k, ~10% accurate over k") {
     import graft.operators.SketchOps
     // 40 distinct values < k=64 -> estimate is EXACT
