@@ -626,6 +626,17 @@ SELECT lang,
        ELSE (CAST(len(hs) AS DOUBLE) - 1.0) / hs[len(hs)] END AS distinct_est
 FROM mk ORDER BY lang""")),
 
+    ("q47_corpus_percentiles", (s, d) =>
+      graft.operators.SketchOps.exactPercentiles(
+        Tables.documents(s, d), "n_chars", "doc_id", Seq(0.5, 0.9, 0.99))
+        .orderBy(col("q")),
+      Some("""WITH r AS (SELECT n_chars,
+  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS rn,
+  COUNT(*) OVER () AS n FROM documents)
+SELECT CAST(q AS DOUBLE) AS q, n_chars AS value FROM r
+JOIN (VALUES (0.5), (0.9), (0.99)) t(q) ON rn = floor((n - 1) * q)
+ORDER BY q""")),
+
     ("q48_sequence_packing", (s, d) => {
       // concat-then-chunk packing: every doc's span of 2048-token training
       // sequences, from one prefix-sum window — all integer arithmetic
@@ -642,17 +653,6 @@ SELECT doc_id, n_tokens, e - n_tokens AS global_start,
   (e - n_tokens) % 2048 AS start_off,
   (e - 1) // 2048 AS end_seq
 FROM c WHERE n_tokens > 0 ORDER BY doc_id""")),
-
-    ("q47_corpus_percentiles", (s, d) =>
-      graft.operators.SketchOps.exactPercentiles(
-        Tables.documents(s, d), "n_chars", "doc_id", Seq(0.5, 0.9, 0.99))
-        .orderBy(col("q")),
-      Some("""WITH r AS (SELECT n_chars,
-  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS rn,
-  COUNT(*) OVER () AS n FROM documents)
-SELECT CAST(q AS DOUBLE) AS q, n_chars AS value FROM r
-JOIN (VALUES (0.5), (0.9), (0.99)) t(q) ON rn = floor((n - 1) * q)
-ORDER BY q""")),
   )
 
   /** Schema block driving q43's auto-dispatch (shape: schema.go:14-69). */

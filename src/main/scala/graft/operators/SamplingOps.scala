@@ -49,26 +49,31 @@ object SamplingOps {
     * packing does). Each document maps to its span: global start offset,
     * first/last sequence index, and offset within the first sequence — all
     * from ONE prefix-sum window, so the layout is deterministic and
-    * identical on any cluster. For 100 TB, replace the single global window
-    * with per-partition sums + a broadcast of partition-prefix totals
-    * (same arithmetic, two passes).
+    * identical on any cluster. PRECONDITION: `orderCol` is a UNIQUE key
+    * (a doc id) — duplicate order values make the running sum's tie order
+    * partition-dependent, voiding the determinism contract. For 100 TB,
+    * replace the single global window with per-partition sums + a
+    * broadcast of partition-prefix totals (same arithmetic, two passes).
     */
   def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
                     seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val reserved = Seq("n_tokens", "global_start", "__pack_end")
+    require(!reserved.contains(orderCol) && !reserved.contains(tokenCol),
+      s"orderCol/tokenCol may not use the reserved output names ${reserved.mkString(", ")}")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col(orderCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val end = sum(col(tokenCol)).over(w) // cumulative tokens through this doc
     df.select(col(orderCol), col(tokenCol).cast(LongType).as("n_tokens"),
         (end - col(tokenCol)).cast(LongType).as("global_start"),
-        end.cast(LongType).as("__end"))
+        end.cast(LongType).as("__pack_end"))
       .filter(col("n_tokens") > 0)
       // integer `div`, never double `/`: float division loses exactness
       // past 2^53 total tokens — well inside 100 TB territory
       .select(col(orderCol), col("n_tokens"), col("global_start"),
         expr(s"global_start div ${seqLen}L").as("start_seq"),
         pmod(col("global_start"), lit(seqLen.toLong)).as("start_off"),
-        expr(s"(__end - 1) div ${seqLen}L").as("end_seq"))
+        expr(s"(__pack_end - 1) div ${seqLen}L").as("end_seq"))
   }
 }

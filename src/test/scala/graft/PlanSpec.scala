@@ -73,6 +73,8 @@ class PlanSpec extends AnyFunSuite {
     // bounded sketch state combines before shuffling, so exchange volume
     // is k doubles per group per partition, not the word stream
     assert(p.contains("partial_kmvmink"))
-    assert(p.contains("kmvmink"))
+    // the FINAL phase must also exist (a bare substring check would be
+    // satisfied by "partial_kmvmink" alone)
+    assert("kmvmink\\(".r.findAllIn(p).length > "partial_kmvmink\\(".r.findAllIn(p).length)
   }
 }
