@@ -19,7 +19,12 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Seq("lineitem", "orders", "customer", "documents", "embeddings")
       .foreach(t => Tables.load(spark, sfDir, t).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-loop filter: SPARK_GRAFT_ONLY=q21,q43 runs a subset (unset = all)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink fully materializes every column/row (count() would let
       // Spark prune most of the query away)
@@ -31,7 +36,12 @@ object Bench {
         }
       // a failed query reports the sentinel -1, never a near-zero duration
       // that would make the benchmark silently look faster
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // isolation: a query that persists intermediates must not tax the
+      // queries after it (operators release their own caches, this is the
+      // backstop); cleanup happens outside the timed window
+      spark.catalog.clearCache()
+      (name, elapsed)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -287,16 +287,26 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
       Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
 
-    ("q21_dedup_jaccard", (s, d) =>
-      DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.6)
-        .orderBy(col("ia"), col("ib")),
+    ("q21_dedup_jaccard", (s, d) => {
+      // materialize-then-release: the tiny pair result is checkpointed
+      // eagerly so the persisted shingle index can be unpersisted HERE —
+      // otherwise every corpus processed in a long session leaves its
+      // index squatting on executor storage (the round-2 bench leak)
+      val r = DedupOps.jaccardPairsReleasable(Tables.documents(s, d), "doc_id", "text", 3, 0.6)
+      val out = r.df.orderBy(col("ia"), col("ib")).localCheckpoint(true)
+      r.release()
+      out
+    },
       // oracle models the default dfCap so the gate stays exact even on a
       // corpus whose hot shingles exceed the cap
       Some(cappedJaccardSql(0.6, 64))),
 
-    ("q22_dedup_minhash_lsh", (s, d) =>
-      DedupOps.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.7)
-        .orderBy(col("ia"), col("ib")),
+    ("q22_dedup_minhash_lsh", (s, d) => {
+      val r = DedupOps.minhashNearDupPairsReleasable(Tables.documents(s, d), "doc_id", "text", 3, 0.7)
+      val out = r.df.orderBy(col("ia"), col("ib")).localCheckpoint(true)
+      r.release()
+      out
+    },
       Some(jaccardSql(0.7))),
 
     ("q23_dedup_simhash", (s, d) =>
@@ -553,7 +563,12 @@ FROM documents ORDER BY doc_id""")),
       // Kafka-Connect decimal, MicroTimestamp, Date, canonical Json). The
       // oracle computes the same outputs straight from the table, so a
       // wrong converter choice or wire schema shows up as a hash mismatch.
-      val ev = Tables.events(s, d)
+      // Repartition first: the events table arrives as ONE parquet split,
+      // and everything downstream (to_json encode, from_json decode, the
+      // per-row Jackson canonicalJson) is CPU-bound — without the fan-out
+      // the whole round-trip runs serially on a single core (measured 64 s
+      // vs ~2 s at sf0.1 on 32 cores).
+      val ev = Tables.events(s, d).repartition(s.sparkContext.defaultParallelism)
       val cents = when(col("value").isNotNull,
         round(col("value") * 100).cast(LongType) - 500L)
       val k = get_json_object(col("props"), "$.k").cast(LongType)

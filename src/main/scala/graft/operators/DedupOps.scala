@@ -86,9 +86,20 @@ object DedupOps {
     // most of both documents would have to be that boilerplate. For pairs
     // that do surface, the hot-shingle intersection contribution is added
     // back from a second (bounded) pass, so the reported jaccard is exact.
-    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val rare = sh.join(freq.filter(col("df") <= dfCap).select(col("shingle")), Seq("shingle"))
-    val hot = sh.join(freq.filter(col("df") > dfCap).select(col("shingle")), Seq("shingle"))
+    // Only the HOT side of the document-frequency split is ever
+    // materialized as a set: its size is bounded by
+    // total-shingle-instances / dfCap (each hot shingle needs > dfCap
+    // occurrences), so it is orders of magnitude smaller than the index
+    // and broadcastable far past the point where the index itself is not.
+    // The split is then two broadcast anti/semi joins — the full index is
+    // never shuffled on the shingle key just to be partitioned into
+    // rare/hot. (If the hot set ever outgrows the broadcast threshold,
+    // drop the hint and AQE picks the join side from runtime sizes.)
+    val hotShingles = broadcast(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).select(col("shingle")))
+    val rare = sh.join(hotShingles, Seq("shingle"), "left_anti")
+    val hot = sh.join(hotShingles, Seq("shingle"), "left_semi")
     // one-pass partial intersection over the capped index (identical to the
     // uncapped plan when no shingle is hot)
     val interRare = rare.as("a").join(rare.as("b"),

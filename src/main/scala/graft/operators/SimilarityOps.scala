@@ -130,16 +130,17 @@ object SimilarityOps {
 
   /** Recall@k of an approximate top-k result against the exact one —
     * the evaluation harness for the IVF/LSH operators. Both inputs are
-    * (q_id, neighbor_id, rank<=k) shaped.
+    * (q_id, neighbor_id, rank<=k) shaped. Single-pass: one left join + one
+    * aggregation, so each (potentially expensive) input pipeline executes
+    * exactly once — a hit-semi-join + a separate totals aggregation would
+    * re-execute the whole exact pipeline per consumer.
     */
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
-    val hits = exact.select(col("q_id"), col("neighbor_id"))
-      .join(approx.select(col("q_id"), col("neighbor_id")), Seq("q_id", "neighbor_id"), "left_semi")
-      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-    val totals = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
-    totals.join(hits, Seq("q_id"), "left")
-      .select(col("q_id"),
-        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact")).as("recall"))
+    val marked = exact.select(col("q_id"), col("neighbor_id"))
+      .join(approx.select(col("q_id"), col("neighbor_id")).withColumn("__hit", lit(1)),
+        Seq("q_id", "neighbor_id"), "left")
+    marked.groupBy(col("q_id"))
+      .agg((count(col("__hit")).cast("double") / count(lit(1))).as("recall"))
   }
 
   /** IVF-style approximate search: assign every vector to its nearest
