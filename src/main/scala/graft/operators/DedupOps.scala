@@ -293,13 +293,16 @@ object DedupOps {
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      // ONE action per round: the change flag rides the label-update
+      // projection (no join back against the previous labels), the
+      // checkpoint is lazy, and the convergence count both materializes
+      // it and reads the flag from the freshly stored blocks.
+      val newLbl = least(col("lbl"), coalesce(col("nlbl"), col("lbl")))
       val updated = labels.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      changed = updated.as("u")
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = updated
+        .select(col("id"), newLbl.as("lbl"), (newLbl =!= col("lbl")).as("__chg"))
+        .localCheckpoint(false)
+      changed = updated.filter(col("__chg")).count()
+      labels = updated.select(col("id"), col("lbl"))
       i += 1
     }
     // wrong-but-plausible labels are worse than failing: a component whose

@@ -47,28 +47,54 @@ object SamplingOps {
     * back-to-back in `orderCol` order and cut into fixed `seqLen`-token
     * training sequences (documents straddle boundaries, as LLM pre-training
     * packing does). Each document maps to its span: global start offset,
-    * first/last sequence index, and offset within the first sequence — all
-    * from ONE prefix-sum window, so the layout is deterministic and
-    * identical on any cluster. PRECONDITION: `orderCol` is a UNIQUE key
-    * (a doc id) — duplicate order values make the running sum's tie order
-    * partition-dependent, voiding the determinism contract. For 100 TB,
-    * replace the single global window with per-partition sums + a
-    * broadcast of partition-prefix totals (same arithmetic, two passes).
+    * first/last sequence index, and offset within the first sequence.
+    *
+    * The global prefix sum is TWO-PASS, never a single unpartitioned
+    * window (which moves every row to one partition — an OOM at scale):
+    * rows are range-partitioned by the order key, each partition computes
+    * its local running sum under a PARTITIONED window, and the
+    * per-partition token totals (one row per partition — driver-bounded)
+    * become broadcast exclusive-prefix offsets added to the local sums.
+    * The partitioned frame is locally checkpointed so the offset table and
+    * the output job see the SAME partition assignment; blocks are freed by
+    * the context cleaner when the result is released.
+    *
+    * PRECONDITIONS: `orderCol` is a UNIQUE key (a doc id) — duplicate
+    * order values make the running-sum tie order partition-dependent,
+    * voiding the determinism contract. Rows with `tokenCol` <= 0 are
+    * excluded BEFORE any summing, so a corrupt negative token count
+    * cannot silently shift the span of every later document.
     */
   def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
                     seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val reserved = Seq("n_tokens", "global_start", "__pack_end")
+    val reserved = Seq("n_tokens", "global_start", "__pack_end", "__pid")
     require(!reserved.contains(orderCol) && !reserved.contains(tokenCol),
       s"orderCol/tokenCol may not use the reserved output names ${reserved.mkString(", ")}")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(orderCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val end = sum(col(tokenCol)).over(w) // cumulative tokens through this doc
-    df.select(col(orderCol), col(tokenCol).cast(LongType).as("n_tokens"),
-        (end - col(tokenCol)).cast(LongType).as("global_start"),
-        end.cast(LongType).as("__pack_end"))
+    val sorted = df
+      .select(col(orderCol), col(tokenCol).cast(LongType).as("n_tokens"))
       .filter(col("n_tokens") > 0)
+      .repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false) // materialized once by the totals job below
+    // pass 1: per-partition totals -> driver (#partitions rows) ->
+    // exclusive prefix offsets, shipped back as a broadcast map literal
+    val totals = sorted.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      totals.map { case (pid, t) => val entry = (pid, acc); acc += t; entry }.toMap
+    }
+    val offset =
+      if (offsets.isEmpty) lit(0L) else element_at(typedlit(offsets), col("__pid"))
+    // pass 2: local running sum under a PARTITIONED window + the offset
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val end = sum(col("n_tokens")).over(w) + offset
+    sorted.select(col(orderCol), col("n_tokens"),
+        (end - col("n_tokens")).cast(LongType).as("global_start"),
+        end.cast(LongType).as("__pack_end"))
       // integer `div`, never double `/`: float division loses exactness
       // past 2^53 total tokens — well inside 100 TB territory
       .select(col(orderCol), col("n_tokens"), col("global_start"),

@@ -61,25 +61,51 @@ object SketchOps {
 
   /** Exact order-statistic percentiles of `valueCol` (deterministic
     * lower-index convention: value at row floor((n-1) * q) of the sorted
-    * column, ties broken by `tieCol`). One sort-shuffle; at 100 TB swap in
-    * the same formula over a range-partitioned sort. Returns one row per
-    * requested quantile.
+    * column, ties broken by `tieCol`). Returns one row per requested
+    * quantile.
+    *
+    * Scale-safe rank computation: rows are range-partitioned on
+    * (value, tie) so partitions are ordered slices of the global sort;
+    * per-partition row counts (one row per partition — driver-bounded)
+    * give each partition's exclusive rank offset and the global n, the
+    * target global ranks floor((n-1) * q) resolve on the driver to
+    * (partition, local rank), and the final pass ranks WITHIN partitions
+    * only (partitioned window + broadcast target join). No stage ever
+    * moves all rows to a single partition.
     */
   def exactPercentiles(df: DataFrame, valueCol: String, tieCol: String,
                        qs: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(valueCol), col(tieCol))
-    val ranked = df.select(col(valueCol), col(tieCol))
-      // long, not int: row_number() wraps past 2^31-1 rows
-      .withColumn("__rn", row_number().over(w).cast("long") - 1L)
-    val n = count(lit(1)).over(org.apache.spark.sql.expressions.Window
-      .partitionBy())
-    val withN = ranked.withColumn("__n", n)
+    val sorted = df.select(col(valueCol), col(tieCol))
+      .repartitionByRange(col(valueCol), col(tieCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false) // one materialization; both jobs below share it
+    val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
     val quantiles = qs.toDF("q")
-    withN.join(broadcast(quantiles),
-        col("__rn") === floor((col("__n") - 1) * col("q")))
+    if (n == 0) return quantiles.join(sorted.select(col(valueCol).as("value")), lit(false))
+      .select(col("q"), col("value"))
+    // exclusive prefix offsets per partition, then each target rank maps
+    // to exactly one (partition, local rank) — all driver-side arithmetic
+    // over #partitions-sized arrays
+    var acc = 0L
+    val slices = counts.map { case (pid, c) => val s = (pid, acc, c); acc += c; s }
+    val targets = qs.map { q =>
+      val rank = math.floor((n - 1) * q).toLong
+      val (pid, off, _) = slices
+        .find { case (_, off, c) => rank >= off && rank < off + c }
+        .getOrElse(throw new IllegalStateException(
+          s"target rank $rank outside all partition slices (n=$n)"))
+      (q, pid, rank - off)
+    }.toDF("q", "__tpid", "__lrn")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col(valueCol), col(tieCol))
+    // long, not int: row_number() wraps past 2^31-1 rows per partition
+    sorted.withColumn("__rn", row_number().over(w).cast("long") - 1L)
+      .join(broadcast(targets),
+        col("__pid") === col("__tpid") && col("__rn") === col("__lrn"))
       .select(col("q"), col(valueCol).as("value"))
   }
 }

@@ -109,6 +109,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: two-pass packSequences equals a single global prefix sum") {
+    import graft.operators.SamplingOps
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      toks <- Gen.listOfN(n, Gen.choose(0L, 9L))
+    } yield toks
+    (0 until 10).foreach { seed =>
+      val toks = gen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      // arbitrary input partitioning: the range-partitioned two-pass form
+      // must produce the same layout regardless of how rows arrive
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "n_toks").repartition(1 + seed % 5)
+      val got = SamplingOps.packSequences(df, "doc_id", "n_toks", 4)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      var acc = 0L
+      val expect = toks.zipWithIndex.flatMap { case (t, i) =>
+        val start = acc
+        acc += t
+        if (t > 0) Some((i.toLong, t, start, start / 4, start % 4, (acc - 1) / 4)) else None
+      }
+      assert(got.toSeq == expect, s"seed=$seed toks=$toks")
+    }
+  }
+
+  test("property: range-partitioned exactPercentiles equals global order statistics") {
+    import graft.operators.SketchOps
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 50L)) // heavy ties stress the tie-break
+    } yield vs
+    (0 until 10).foreach { seed =>
+      val vs = gen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "len").repartition(1 + seed % 7)
+      val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+      val got = SketchOps.exactPercentiles(df, "len", "id", qs)
+        .orderBy("q").collect().map(r => (r.getDouble(0), r.getLong(1)))
+      val sorted = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }.sorted.map(_._1)
+      val expect = qs.map(q => (q, sorted(math.floor((vs.size - 1) * q).toInt)))
+      assert(got.toSeq == expect, s"seed=$seed vs=$vs")
+    }
+  }
+
   test("property: fingerprint64 is stable and in [0, 1e9+7)") {
     val strs = (0 until 20).flatMap(i =>
       Gen.asciiPrintableStr.apply(Gen.Parameters.default, Seed(i.toLong)))
