@@ -79,6 +79,25 @@ object Envelope {
       .filter(col(Constants.OperationCol).isNotNull)
   }
 
+  /** Raw frames whose (non-tombstone) value fails to decode as a
+    * relational envelope — malformed JSON, or JSON that is not a change
+    * envelope (no `op`). [[decodeRelational]] drops these rows to keep
+    * phantom all-null records out of the merge; a pipeline that must not
+    * lose poison messages writes THIS complement to a dead-letter target
+    * (the reference surfaces per-record processing errors instead of
+    * skipping them — processes/consumer/process.go). The parse here prunes
+    * to just the `op` field (OptimizeJsonExprs), so the check is far
+    * cheaper than the full decode.
+    */
+  def malformedRelational(df: DataFrame, rowSchema: StructType): DataFrame = {
+    val out = df.columns.map(col)
+    df.filter(col("value").isNotNull && length(col("value")) > 0)
+      .withColumn("__op", from_json(col("value").cast(StringType),
+        envelopeSchema(rowSchema)).getField("payload").getField("op"))
+      .filter(col("__op").isNull)
+      .select(out.toIndexedSeq: _*)
+  }
+
   /** Value-based schema inference for schema-disabled Debezium topics —
     * the Spark-native analog of the reference's per-value kind inference
     * (lib/typing/parse.go:23-67): run Spark's JSON schema inference over a
@@ -127,6 +146,12 @@ object Envelope {
   def parseJsonKey(key: Column, keySchema: StructType): Column = {
     val cleaned = StructType(
       keySchema.fields.filterNot(_.name == Constants.DebeziumTopicRoutingKey))
+    // a key schema that contains ONLY the routing marker would clean to an
+    // empty struct, which from_json satisfies for ANY json — every caller
+    // would silently get zero PK columns; fail fast instead
+    require(cleaned.fields.nonEmpty,
+      s"key schema contains no PK fields after stripping " +
+        s"${Constants.DebeziumTopicRoutingKey} — set primaryKeysOverride for this topic")
     val wrapped = from_json(key.cast(StringType),
       StructType(Seq(StructField("payload", cleaned))))
     val bare = from_json(key.cast(StringType), cleaned)
@@ -186,16 +211,19 @@ object Envelope {
 }
 
 /** S2: CDC format registry (lib/cdc/format/format.go:14-29) — label ->
-  * envelope decoder.
+  * envelope decoder. Three parsers like the reference: relational
+  * Debezium, Mongo Debezium, and `artie.trackevents` event tracking.
   */
 object FormatRegistry {
-  /** Decoders take (kafka frame df, row schema); Mongo ignores the schema
-    * (documents are schemaless JSON strings).
+  /** Decoders take (kafka frame df, row schema); Mongo and event tracking
+    * ignore the schema (documents/events are schemaless JSON).
     */
   def decoder(label: String): (DataFrame, StructType) => DataFrame = label match {
     case "debezium.relational" => Envelope.decodeRelational
     case "debezium.mongodb" => (df, _) => Envelope.decodeMongo(df)
+    case EventTracking.Label => (df, _) => EventTracking.decodeTrackEvents(df)
     case other => throw new IllegalArgumentException(
-      s"unsupported CDC format label: $other (expected debezium.relational | debezium.mongodb)")
+      s"unsupported CDC format label: $other (expected debezium.relational " +
+        s"| debezium.mongodb | ${EventTracking.Label})")
   }
 }

@@ -74,7 +74,8 @@ object Sinks {
     * own append target. The distinct-suffix collect is bounded by the
     * batch's month span.
     */
-  def softPartitionedAppend(df: DataFrame, base: String, tsCol: String): Seq[String] = {
+  def softPartitionedAppend(df: DataFrame, base: String, tsCol: String,
+                            batchId: Option[Long] = None): Seq[String] = {
     // a NULL timestamp routes to the default partition (same bucket the
     // reference uses for out-of-range events) instead of NPE-ing the batch
     val withSfx = df.withColumn("__sfx",
@@ -83,7 +84,17 @@ object Sinks {
     try {
       val suffixes = withSfx.select("__sfx").distinct().collect().map(_.getString(0)).sorted
       suffixes.foreach { sfx =>
-        appendParquet(withSfx.filter(col("__sfx") === sfx).drop("__sfx"), base + sfx)
+        val slice = withSfx.filter(col("__sfx") === sfx).drop("__sfx")
+        batchId match {
+          // the replay marker is PER SUFFIX TARGET: one marker for the
+          // whole loop would re-append every suffix on a replayed batch
+          // that crashed mid-loop, duplicating the targets written before
+          // the crash — per-target markers narrow the duplication window
+          // to the single append the plain-append sink already has
+          case Some(id) => graft.streaming.CdcPipeline
+            .runOncePerBatch(df.sparkSession, base + sfx, id)(appendParquet(slice, base + sfx))
+          case None => appendParquet(slice, base + sfx)
+        }
       }
       suffixes.map(base + _).toSeq
     } finally { withSfx.unpersist(); () }
@@ -115,10 +126,10 @@ object SinkRegistry {
       (df, batchId, target) => graft.streaming.CdcPipeline.applyBatch(
         df, batchId, cfg.copy(historyMode = true), target)
     case "soft-partitioned" =>
+      // per-suffix replay markers live INSIDE the append loop — see
+      // softPartitionedAppend; no outer whole-batch marker
       (df, batchId, target) =>
-        graft.streaming.CdcPipeline.runOncePerBatch(df.sparkSession, target, batchId) {
-          Sinks.softPartitionedAppend(df, target, softPartitionTsCol); ()
-        }
+        { Sinks.softPartitionedAppend(df, target, softPartitionTsCol, Some(batchId)); () }
     case other => throw new IllegalArgumentException(
       s"unsupported sink label: $other (expected merge | snapshot | append | history | soft-partitioned)")
   }

@@ -417,6 +417,42 @@ object CdcPipeline {
       .foreachBatch { (batch: DataFrame, id: Long) => applyBatch(batch, id, cfg, targetPath) }
       .start()
 
+  /** Single-table micro-batch with poison-message dead-lettering: frames
+    * whose envelope fails to decode land under `deadLetterDir/batch=<id>`
+    * (idempotent per-batch overwrite, same shape as the multi-table
+    * `__unrouted` sidecar) instead of being silently dropped by the decode
+    * filter; the batch's decodable rows still merge. Mirrors the
+    * reference's surfaced per-record processing errors
+    * (processes/consumer/process.go).
+    */
+  def applyBatchWithDeadLetter(frames: DataFrame, batchId: Long,
+                               rowSchema: org.apache.spark.sql.types.StructType,
+                               cfg: Config, targetPath: String,
+                               deadLetterDir: String): Unit = {
+    if (frames.isEmpty) return
+    val dead = graft.cdc.Envelope.malformedRelational(frames, rowSchema)
+    if (!dead.isEmpty)
+      dead.write.mode("overwrite").parquet(s"$deadLetterDir/batch=$batchId")
+    applyBatch(graft.cdc.Envelope.decodeRelational(frames, rowSchema),
+      batchId, cfg, targetPath)
+  }
+
+  /** [[start]] over RAW frames with dead-lettering: decode happens inside
+    * the batch (where the raw value is still available to preserve), not
+    * upstream in the stream plan.
+    */
+  def startWithDeadLetter(frames: DataFrame,
+                          rowSchema: org.apache.spark.sql.types.StructType,
+                          cfg: Config, targetPath: String, checkpoint: String,
+                          deadLetterDir: String): StreamingQuery =
+    frames.writeStream
+      .trigger(Trigger.ProcessingTime(cfg.flushInterval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBatchWithDeadLetter(batch, id, rowSchema, cfg, targetPath, deadLetterDir)
+      }
+      .start()
+
   /** Source table name from the decoded source-metadata JSON — the routing
     * id for multi-table topics (processes/consumer/process.go:28-102 keys
     * its in-memory buffers the same way).

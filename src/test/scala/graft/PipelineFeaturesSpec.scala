@@ -217,6 +217,79 @@ class PipelineFeaturesSpec extends AnyFunSuite {
     assert(droppable == Seq("score")) // cache served the EVOLVED schema
   }
 
+  test("trackevents: decode + validation + flatten follow the reference's event semantics") {
+    import graft.cdc.EventTracking
+    val good = """{"event":"signup","timestamp":"2024-03-05T12:30:45Z","messageID":"m1",
+      "properties":{"user_id":"u1","amount":"9.5","dup":"from_props","event":"shadow"},
+      "extraFields":{"src":"web","logged_at":"2024-03-05T12:31:00Z","dup":"from_extra"}}"""
+    val missingEvent = """{"timestamp":"2024-03-05T12:30:45Z","messageID":"m2","properties":{}}"""
+    val noProps = """{"event":"e","timestamp":"2024-03-05T12:30:45Z","messageID":"m3"}"""
+    val frames = Seq(good, missingEvent, noProps, "NOT JSON", "").toDF("value")
+    val dec = graft.cdc.FormatRegistry.decoder(EventTracking.Label)(frames, StructType(Nil))
+    assert(dec.count() == 1) // only the valid, non-tombstone frame survives
+    val r = dec.head
+    assert(r.getAs[String]("id") == "m1")
+    assert(r.getAs[String]("event") == "signup")
+    assert(r.getAs[String](Constants.OperationCol) == "c") // always an upsert
+    assert(!r.getAs[Boolean](Constants.DeleteCol))
+    assert(r.getAs[String](Constants.SourceMetadataCol) == "{}")
+    // the three invalid non-tombstone frames are the dead-letter complement
+    assert(graft.cdc.EventTracking.malformedTrackEvents(frames).count() == 3)
+    val keys = EventTracking.inferPropertyKeys(dec)
+    assert(keys == Seq("amount", "dup", "event", "logged_at", "src", "user_id"))
+    val f = EventTracking.flattenTrackEvents(dec, keys).head()
+    assert(f.getAs[String]("user_id") == "u1")
+    assert(f.getAs[String]("src") == "web")
+    // maps.Copy order in GetData: extraFields overwrite properties
+    assert(f.getAs[String]("dup") == "from_extra")
+    // reserved collision surfaces as <name>__property, metadata untouched
+    assert(f.getAs[String]("event__property") == "shadow")
+    assert(f.getAs[String]("event") == "signup")
+    // _at suffix inferred as timestamp (event.go:100-113)
+    assert(f.getAs[java.sql.Timestamp]("logged_at") != null)
+  }
+
+  test("poison envelope dead-letters; the batch's decodable rows still merge") {
+    val root = Files.createTempDirectory("graft_dlq").toString
+    val rowSchema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    def env(op: String, id: Long, v: String) =
+      s"""{"payload":{"before":null,"after":{"id":$id,"v":"$v"},"op":"$op","ts_ms":1}}"""
+    val frames = Seq((env("c", 1L, "a"), 1L), ("""{"not":"an envelope"}""", 2L),
+      ("NOT JSON", 3L), ("", 4L)).toDF("value", "offset")
+    val cfg = CdcPipeline.Config(Seq("id"), orderCol = "offset")
+    CdcPipeline.applyBatchWithDeadLetter(frames, 0L, rowSchema, cfg,
+      s"$root/t", s"$root/dlq")
+    val snap = spark.read.parquet(s"$root/t")
+    assert(snap.count() == 1 && snap.head.getAs[Long]("id") == 1L)
+    // poison frames preserved verbatim; the tombstone is NOT dead-lettered
+    val dead = spark.read.parquet(s"$root/dlq/batch=0")
+    assert(dead.select("value").as[String].collect().toSet ==
+      Set("""{"not":"an envelope"}""", "NOT JSON"))
+  }
+
+  test("parseJsonKey fails fast when the key schema holds only the routing marker") {
+    val sch = StructType(Seq(StructField(Constants.DebeziumTopicRoutingKey, StringType)))
+    val e = intercept[IllegalArgumentException](Envelope.parseJsonKey(col("k"), sch))
+    assert(e.getMessage.contains("primaryKeysOverride"))
+  }
+
+  test("soft-partitioned append: per-suffix markers make replays skip written targets") {
+    val root = Files.createTempDirectory("graft_soft").toString + "/t"
+    val df = Seq((1L, "2024-01-05 00:00:00"), (2L, "2024-02-05 00:00:00"))
+      .toDF("id", "ts").withColumn("ts", col("ts").cast(TimestampType))
+    val targets = graft.sink.Sinks.softPartitionedAppend(df, root, "ts", Some(0L))
+    assert(targets.size == 2)
+    def counts = targets.map(t => spark.read.parquet(t).count())
+    assert(counts == Seq(1L, 1L))
+    // full replay of batch 0: every suffix skips
+    graft.sink.Sinks.softPartitionedAppend(df, root, "ts", Some(0L))
+    assert(counts == Seq(1L, 1L))
+    // crash window: first suffix's marker lost mid-loop -> only IT re-appends
+    Files.delete(Paths.get(targets.head + "__batch"))
+    graft.sink.Sinks.softPartitionedAppend(df, root, "ts", Some(0L))
+    assert(counts == Seq(2L, 1L))
+  }
+
   test("envelope schema defaults feed backfillDefaults with wire-typed columns") {
     val fields = SchemaDispatch.parseAfterFields(
       """{"schema":{"fields":[{"field":"after","fields":[
