@@ -595,6 +595,37 @@ DATE '1970-01-01' + CAST(event_id % 20000 AS INT) AS d_date,
 '{"a":' || CAST(json_extract_string(props, '$.k') AS BIGINT) || ',"z":2}' AS doc
 FROM events ORDER BY id""")),
 
+    ("q49_trackevents_decode", (s, d) => {
+      // Round-trip: events rows -> artie.trackevents JSON payloads ->
+      // EventTracking decode + flatten. Every ~97th payload is emitted
+      // WITHOUT messageID/timestamp, so the reference's required-field
+      // validation (format.go:27-40) is part of the oracle check: the
+      // oracle drops exactly those rows.
+      val ev = Tables.events(s, d).repartition(s.sparkContext.defaultParallelism)
+      val secs = pmod(pmod(col("event_id"), lit(100000000L)) * 7919L, lit(4102444800L))
+      val tsStr = date_format(timestamp_seconds(secs), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+      val k = get_json_object(col("props"), "$.k")
+      val good = to_json(struct(
+        col("event_type").as("event"),
+        tsStr.as("timestamp"),
+        concat(lit("m"), col("event_id")).as("messageID"),
+        map(lit("user_id"), col("user_id").cast(StringType),
+          lit("plan"), col("event_type")).as("properties"),
+        map(lit("k"), k).as("extraFields")))
+      val value = when(pmod(col("event_id"), lit(97)) === 0,
+        lit("""{"event":"broken","properties":{}}""")).otherwise(good)
+      val dec = graft.cdc.EventTracking.decodeTrackEvents(ev.select(value.as("value")))
+      graft.cdc.EventTracking.flattenTrackEvents(dec, Seq("user_id", "plan", "k"))
+        .select(col("id"), col("timestamp"), col("event"), col("user_id"),
+          col("plan"), col("k").cast(LongType).as("k"))
+        .orderBy(col("id"))
+    },
+      Some("""SELECT 'm' || event_id AS id,
+epoch_ms((event_id % 100000000) * 7919 % 4102444800 * 1000) AS timestamp,
+event_type AS event, CAST(user_id AS VARCHAR) AS user_id, event_type AS plan,
+CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events WHERE event_id % 97 <> 0 ORDER BY id""")),
+
     ("q44_dedup_groups", (s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)
