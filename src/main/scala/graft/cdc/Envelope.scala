@@ -85,15 +85,24 @@ object Envelope {
     * phantom all-null records out of the merge; a pipeline that must not
     * lose poison messages writes THIS complement to a dead-letter target
     * (the reference surfaces per-record processing errors instead of
-    * skipping them — processes/consumer/process.go). The parse here prunes
-    * to just the `op` field (OptimizeJsonExprs), so the check is far
-    * cheaper than the full decode.
+    * skipping them — processes/consumer/process.go). `bare` selects the
+    * schemas.enable=false envelope shape and MUST match the decoder used
+    * on the topic ([[decodeRelational]] vs [[decodeBareRelational]]) — a
+    * mismatched shape would classify the whole stream malformed. The
+    * parse here prunes to just the `op` field (OptimizeJsonExprs), so the
+    * check is far cheaper than the full decode.
     */
-  def malformedRelational(df: DataFrame, rowSchema: StructType): DataFrame = {
+  def malformedRelational(df: DataFrame, rowSchema: StructType,
+                          bare: Boolean = false): DataFrame = {
     val out = df.columns.map(col)
+    val op =
+      if (bare) from_json(col("value").cast(StringType),
+        envelopeSchema(rowSchema)("payload").dataType.asInstanceOf[StructType])
+        .getField("op")
+      else from_json(col("value").cast(StringType), envelopeSchema(rowSchema))
+        .getField("payload").getField("op")
     df.filter(col("value").isNotNull && length(col("value")) > 0)
-      .withColumn("__op", from_json(col("value").cast(StringType),
-        envelopeSchema(rowSchema)).getField("payload").getField("op"))
+      .withColumn("__op", op)
       .filter(col("__op").isNull)
       .select(out.toIndexedSeq: _*)
   }

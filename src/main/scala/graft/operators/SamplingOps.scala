@@ -71,20 +71,12 @@ object SamplingOps {
     val reserved = Seq("n_tokens", "global_start", "__pack_end", "__pid")
     require(!reserved.contains(orderCol) && !reserved.contains(tokenCol),
       s"orderCol/tokenCol may not use the reserved output names ${reserved.mkString(", ")}")
-    val sorted = df
-      .select(col(orderCol), col(tokenCol).cast(LongType).as("n_tokens"))
-      .filter(col("n_tokens") > 0)
-      .repartitionByRange(col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false) // materialized once by the totals job below
-    // pass 1: per-partition totals -> driver (#partitions rows) ->
-    // exclusive prefix offsets, shipped back as a broadcast map literal
-    val totals = sorted.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      totals.map { case (pid, t) => val entry = (pid, acc); acc += t; entry }.toMap
-    }
+    // pass 1 (RangePrefix): per-partition totals -> driver (#partitions
+    // rows) -> exclusive prefix offsets, shipped back as a map literal
+    val (sorted, offsets, _) = RangePrefix.withOffsets(
+      df.select(col(orderCol), col(tokenCol).cast(LongType).as("n_tokens"))
+        .filter(col("n_tokens") > 0),
+      Seq(col(orderCol)), col("n_tokens"))
     val offset =
       if (offsets.isEmpty) lit(0L) else element_at(typedlit(offsets), col("__pid"))
     // pass 2: local running sum under a PARTITIONED window + the offset

@@ -136,8 +136,13 @@ object SimilarityOps {
     * re-execute the whole exact pipeline per consumer.
     */
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    // distinct on the probe side: a duplicate (q_id, neighbor_id) in
+    // approx would fan the left join out and inflate BOTH recall terms
+    // (top-k producers are duplicate-free, but raw candidate lists are
+    // not); the result stays exactly |exact ∩ approx| / |exact|
     val marked = exact.select(col("q_id"), col("neighbor_id"))
-      .join(approx.select(col("q_id"), col("neighbor_id")).withColumn("__hit", lit(1)),
+      .join(approx.select(col("q_id"), col("neighbor_id")).distinct()
+        .withColumn("__hit", lit(1)),
         Seq("q_id", "neighbor_id"), "left")
     marked.groupBy(col("q_id"))
       .agg((count(col("__hit")).cast("double") / count(lit(1))).as("recall"))

@@ -77,25 +77,22 @@ object SketchOps {
                        qs: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sorted = df.select(col(valueCol), col(tieCol))
-      .repartitionByRange(col(valueCol), col(tieCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false) // one materialization; both jobs below share it
-    val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val n = counts.map(_._2).sum
+    val reserved = Seq(RangePrefix.PidCol, "__rn", "__tpid", "__lrn", "q", "value")
+    require(!reserved.contains(valueCol) && !reserved.contains(tieCol),
+      s"valueCol/tieCol may not use the reserved names ${reserved.mkString(", ")}")
+    // exclusive prefix row-counts per partition (RangePrefix), then each
+    // target rank maps to exactly one (partition, local rank) — all
+    // driver-side arithmetic over #partitions-sized arrays
+    val (sorted, offsets, n) = RangePrefix.withOffsets(
+      df.select(col(valueCol), col(tieCol)),
+      Seq(col(valueCol), col(tieCol)), lit(1L))
     val quantiles = qs.toDF("q")
     if (n == 0) return quantiles.join(sorted.select(col(valueCol).as("value")), lit(false))
       .select(col("q"), col("value"))
-    // exclusive prefix offsets per partition, then each target rank maps
-    // to exactly one (partition, local rank) — all driver-side arithmetic
-    // over #partitions-sized arrays
-    var acc = 0L
-    val slices = counts.map { case (pid, c) => val s = (pid, acc, c); acc += c; s }
+    val bounds = offsets.toSeq.sorted // (pid, exclusive start), ascending
     val targets = qs.map { q =>
       val rank = math.floor((n - 1) * q).toLong
-      val (pid, off, _) = slices
-        .find { case (_, off, c) => rank >= off && rank < off + c }
+      val (pid, off) = bounds.takeWhile(_._2 <= rank).lastOption
         .getOrElse(throw new IllegalStateException(
           s"target rank $rank outside all partition slices (n=$n)"))
       (q, pid, rank - off)

@@ -428,28 +428,41 @@ object CdcPipeline {
   def applyBatchWithDeadLetter(frames: DataFrame, batchId: Long,
                                rowSchema: org.apache.spark.sql.types.StructType,
                                cfg: Config, targetPath: String,
-                               deadLetterDir: String): Unit = {
-    if (frames.isEmpty) return
-    val dead = graft.cdc.Envelope.malformedRelational(frames, rowSchema)
-    if (!dead.isEmpty)
-      dead.write.mode("overwrite").parquet(s"$deadLetterDir/batch=$batchId")
-    applyBatch(graft.cdc.Envelope.decodeRelational(frames, rowSchema),
-      batchId, cfg, targetPath)
+                               deadLetterDir: String,
+                               bare: Boolean = false): Unit = {
+    // the batch feeds three consumers (dead-letter probe + write, decode +
+    // merge) — persist once so each pass reads blocks instead of
+    // re-scanning the source and re-running from_json
+    val pinned = frames.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (pinned.isEmpty) return
+      val dead = graft.cdc.Envelope.malformedRelational(pinned, rowSchema, bare)
+      if (!dead.isEmpty)
+        dead.write.mode("overwrite").parquet(s"$deadLetterDir/batch=$batchId")
+      val decoded =
+        if (bare) graft.cdc.Envelope.decodeBareRelational(pinned, rowSchema)
+        else graft.cdc.Envelope.decodeRelational(pinned, rowSchema)
+      applyBatch(decoded, batchId, cfg, targetPath)
+    } finally { pinned.unpersist(); () }
   }
 
   /** [[start]] over RAW frames with dead-lettering: decode happens inside
     * the batch (where the raw value is still available to preserve), not
-    * upstream in the stream plan.
+    * upstream in the stream plan. `bare` must match the topic's envelope
+    * shape (schemas.enable=false drops the payload wrapper) — probe with
+    * Envelope.decodeInferred's sample logic when unknown.
     */
   def startWithDeadLetter(frames: DataFrame,
                           rowSchema: org.apache.spark.sql.types.StructType,
                           cfg: Config, targetPath: String, checkpoint: String,
-                          deadLetterDir: String): StreamingQuery =
+                          deadLetterDir: String,
+                          bare: Boolean = false): StreamingQuery =
     frames.writeStream
       .trigger(Trigger.ProcessingTime(cfg.flushInterval))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBatchWithDeadLetter(batch, id, rowSchema, cfg, targetPath, deadLetterDir)
+        applyBatchWithDeadLetter(batch, id, rowSchema, cfg, targetPath,
+          deadLetterDir, bare)
       }
       .start()
 

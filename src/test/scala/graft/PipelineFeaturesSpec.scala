@@ -265,6 +265,17 @@ class PipelineFeaturesSpec extends AnyFunSuite {
     val dead = spark.read.parquet(s"$root/dlq/batch=0")
     assert(dead.select("value").as[String].collect().toSet ==
       Set("""{"not":"an envelope"}""", "NOT JSON"))
+
+    // bare (schemas.enable=false) topics use the matching shape: good bare
+    // envelopes merge, only true poison dead-letters
+    val bareFrames = Seq(
+      ("""{"before":null,"after":{"id":9,"v":"z"},"op":"c","ts_ms":1}""", 1L),
+      ("NOT JSON", 2L)).toDF("value", "offset")
+    CdcPipeline.applyBatchWithDeadLetter(bareFrames, 0L, rowSchema, cfg,
+      s"$root/t_bare", s"$root/dlq_bare", bare = true)
+    assert(spark.read.parquet(s"$root/t_bare").head.getAs[Long]("id") == 9L)
+    assert(spark.read.parquet(s"$root/dlq_bare/batch=0")
+      .select("value").as[String].collect().toSeq == Seq("NOT JSON"))
   }
 
   test("parseJsonKey fails fast when the key schema holds only the routing marker") {
