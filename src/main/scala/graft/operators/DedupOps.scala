@@ -317,6 +317,76 @@ object DedupOps {
     out
   }
 
+  /** Large-star round: every node connects its strictly-larger neighbors
+    * to the minimum of its neighborhood (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", two-phase alternating algorithm).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val und = e.select(col("a"), col("b"))
+      .union(e.select(col("b").as("a"), col("a").as("b")))
+    val mins = und.groupBy(col("a")).agg(min(col("b")).as("mb"))
+      .select(col("a"), least(col("a"), col("mb")).as("m"))
+    und.join(mins, "a").filter(col("b") > col("a"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+  }
+
+  /** Small-star round: every node rewires its smaller-or-equal neighbors
+    * (edges directed larger -> smaller) to their minimum.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+    val mins = dir.groupBy(col("a")).agg(min(col("b")).as("m"))
+    dir.join(mins, "a")
+      .select(col("b").as("a"), col("m").as("b"))
+      .union(mins.select(col("a"), col("m").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+  }
+
+  /** Connected components by alternating large-star/small-star rounds —
+    * the deep-chain scale path next to [[nearDupGroups]]: min-label
+    * propagation needs diameter rounds (fine for near-clique dup
+    * clusters), star contraction converges in O(log^2 n) rounds even on
+    * adversarial path graphs, with the same join/groupBy shapes. Output
+    * matches nearDupGroups: (id, canonical_id = component minimum).
+    * Convergence is detected by an (edge-count, hash-sum) fingerprint —
+    * one tiny aggregation per round instead of a set-difference join.
+    */
+  def nearDupGroupsStar(ids: DataFrame, idCol: String, pairs: DataFrame,
+                        maxIter: Int = 40): DataFrame = {
+    var edges = pairs.select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(false)
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(hash(col("a"), col("b")).cast("long")), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var fp = fingerprint(edges) // materializes the checkpoint too
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val nfp = fingerprint(next)
+      // fingerprint equality is a candidate signal; the (rarely-run)
+      // set-difference confirms it so a hash collision can never declare
+      // false convergence and return wrong-but-plausible components
+      converged = nfp == fp && next.except(edges).isEmpty
+      edges = next
+      fp = nfp
+      i += 1
+    }
+    require(converged,
+      s"nearDupGroupsStar did not converge in $maxIter rounds (pathological input?)")
+    // converged edges are stars (node -> component min); everything else
+    // is a singleton
+    val labels = edges.select(col("a").as("id"), col("b").as("lbl"))
+      .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+    val allIds = ids.select(col(idCol).as("id"))
+    allIds.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("canonical_id"))
+  }
+
   /** Exact SimHash near-dup pairs within `maxDist` (<= 3) Hamming distance
     * over the [[simhashFp30]] signature. Pigeonhole blocking on 4 chunks
     * (8/8/8/6 bits) guarantees full recall for maxDist <= 3: 3 differing

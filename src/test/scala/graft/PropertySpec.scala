@@ -109,6 +109,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: nearDupGroupsStar equals union-find; handles deep chains") {
+    import graft.operators.DedupOps
+    val pairGen = for {
+      n <- Gen.choose(2, 14)
+      m <- Gen.choose(0, 12)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (n, es.distinct)
+    (0 until 6).foreach { seed =>
+      val (n, es) = pairGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val parent = scala.collection.mutable.Map((0L to n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      es.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val expected = (0L to n.toLong).map { i =>
+        i -> (0L to n.toLong).filter(j => find(j) == find(i)).min
+      }.toMap
+      val got = DedupOps.nearDupGroupsStar(
+        (0L to n.toLong).toDF("doc_id"), "doc_id",
+        if (es.isEmpty) Seq.empty[(Long, Long)].toDF("ia", "ib") else es.toDF("ia", "ib"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed edges=$es")
+    }
+    // a 120-node path: diameter 119 >> label-prop's default round budget,
+    // but star contraction collapses it in O(log) rounds
+    val path = (0L until 119L).map(i => (i, i + 1))
+    val got = DedupOps.nearDupGroupsStar(
+      (0L to 119L).toDF("doc_id"), "doc_id", path.toDF("ia", "ib"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.forall(_._2 == 0L))
+  }
+
   test("property: two-pass packSequences equals a single global prefix sum") {
     import graft.operators.SamplingOps
     val gen = for {
