@@ -18,6 +18,18 @@ class ReviewRegressionSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("q21/q22 release their persisted shingle index (round-2 bench leak)") {
+    val sf = "/root/testdata/sf0.001"
+    SparkEntry.queries("q21_dedup_jaccard")(spark, sf).count()
+    SparkEntry.queries("q22_dedup_minhash_lsh")(spark, sf).count()
+    // the materialize-then-release lifecycle must leave the CacheManager
+    // empty: a leaked MEMORY_AND_DISK index squats on executor storage for
+    // every later query in the session (localCheckpoint blocks are NOT
+    // CacheManager entries and are GC-reclaimed, so this stays precise)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "persisted intermediate leaked out of the q21/q22 query path")
+  }
+
   test("soft-deleted base rows untouched by a batch keep their tombstone") {
     val base = Seq((1L, "gone", true), (2L, "live", false))
       .toDF("pk", "name", Constants.DeleteCol)

@@ -166,6 +166,31 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(!out.columns.contains(Constants.DeleteCol))
   }
 
+  test("trackevents stream end-to-end: decode, validation drop, last-wins merge") {
+    val target = Files.createTempDirectory("graft_te").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_te_ck").toString
+    def te(mid: String, event: String, ts: String, uid: String) =
+      s"""{"event":"$event","timestamp":"$ts","messageID":"$mid","properties":{"user_id":"$uid"}}"""
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val decoded = graft.cdc.EventTracking.decodeTrackEvents(
+      ms.toDF().toDF("value", "offset"))
+    val q = CdcPipeline.start(decoded,
+      CdcPipeline.Config(Seq("id"), flushInterval = "1 seconds"), target, ckpt)
+    ms.addData(
+      (te("m1", "click", "2024-01-01T00:00:00Z", "u1"), 1L),
+      (te("m1", "click", "2024-01-01T00:05:00Z", "u2"), 2L), // same id: last wins
+      ("""{"event":"x","properties":{}}""", 3L), // missing required fields: dropped
+      ("", 4L), // tombstone: skipped
+      (te("m2", "view", "2024-01-02T00:00:00Z", "u3"), 5L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(target).orderBy("id").collect()
+    assert(out.map(_.getAs[String]("id")).toSeq == Seq("m1", "m2"))
+    assert(out(0).getAs[Map[String, String]]("properties")("user_id") == "u2")
+    assert(out(0).getAs[java.sql.Timestamp]("timestamp") != null)
+  }
+
   test("row transforms: skip ops, exclude and hash columns") {
     val batch = Seq(
       (env("c", 1, "a", "secret@x"), 0L), (env("d", 1, "a", "secret@x"), 1L),
