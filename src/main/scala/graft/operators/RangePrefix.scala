@@ -32,7 +32,10 @@ private[operators] object RangePrefix {
     val parted = df.repartitionByRange(sortCols: _*)
       .withColumn(PidCol, spark_partition_id())
       .localCheckpoint(false)
-    val totals = parted.groupBy(col(PidCol)).agg(sum(weight).as("t"))
+    // null weights count as zero (explicitly, so an all-null partition
+    // yields offset arithmetic instead of a driver-side NPE on getLong);
+    // callers wanting strictness filter/validate before calling
+    val totals = parted.groupBy(col(PidCol)).agg(sum(coalesce(weight, lit(0L))).as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = totals.map { case (pid, t) =>

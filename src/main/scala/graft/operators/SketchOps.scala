@@ -80,6 +80,10 @@ object SketchOps {
     val reserved = Seq(RangePrefix.PidCol, "__rn", "__tpid", "__lrn", "q", "value")
     require(!reserved.contains(valueCol) && !reserved.contains(tieCol),
       s"valueCol/tieCol may not use the reserved names ${reserved.mkString(", ")}")
+    // out-of-range quantiles would resolve to the last partition and
+    // silently vanish from the join output — reject them loudly instead
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0, 1], got ${qs.filterNot(q => q >= 0.0 && q <= 1.0).mkString(", ")}")
     // exclusive prefix row-counts per partition (RangePrefix), then each
     // target rank maps to exactly one (partition, local rank) — all
     // driver-side arithmetic over #partitions-sized arrays

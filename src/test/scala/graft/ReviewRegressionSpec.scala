@@ -20,6 +20,10 @@ class ReviewRegressionSpec extends AnyFunSuite {
 
   test("q21/q22 release their persisted shingle index (round-2 bench leak)") {
     val sf = "/root/testdata/sf0.001"
+    // other suites share this session and may legitimately leave cache
+    // entries (e.g. DedupTextSpec's non-releasable wrappers) — start from
+    // a clean slate so the assertion is about THESE query paths only
+    spark.catalog.clearCache()
     SparkEntry.queries("q21_dedup_jaccard")(spark, sf).count()
     SparkEntry.queries("q22_dedup_minhash_lsh")(spark, sf).count()
     // the materialize-then-release lifecycle must leave the CacheManager
