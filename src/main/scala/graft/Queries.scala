@@ -683,6 +683,26 @@ SELECT CAST(q AS DOUBLE) AS q, n_chars AS value FROM r
 JOIN (VALUES (0.5), (0.9), (0.99)) t(q) ON rn = floor((n - 1) * q)
 ORDER BY q""")),
 
+    ("q50_hist_quantile_sketch", (s, d) =>
+      // mergeable log-histogram quantiles (bounded 256-bucket state, one
+      // combinable pass, no sort) — the oracle replays bucket assignment,
+      // cumulative counts, and the lower-bound read-out bit-for-bit
+      graft.operators.SketchOps.histogramQuantiles(
+        Tables.documents(s, d), "n_chars", Seq(0.5, 0.9, 0.99))
+        .orderBy(col("q")),
+      Some("""WITH b AS (SELECT CAST((length(bin(CAST(n_chars AS BIGINT))) - 1) * 4
+    + ((CAST(n_chars AS BIGINT) >> greatest(length(bin(CAST(n_chars AS BIGINT))) - 3, 0)) & 3) AS INT) AS bucket
+  FROM documents WHERE n_chars >= 0),
+c AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+w AS (SELECT bucket, c, SUM(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) - c AS off FROM c),
+n AS (SELECT SUM(c) AS n FROM c)
+SELECT CAST(q AS DOUBLE) AS q,
+  CAST(CASE WHEN bucket // 4 <= 1 THEN bucket % 4
+       ELSE (4 + bucket % 4) << (bucket // 4 - 2) END AS BIGINT) AS est
+FROM w, n, (VALUES (0.5), (0.9), (0.99)) t(q)
+WHERE floor((n - 1) * q) >= off AND floor((n - 1) * q) < off + c
+ORDER BY q""")),
+
     ("q48_sequence_packing", (s, d) => {
       // concat-then-chunk packing: every doc's span of 2048-token training
       // sequences, from one prefix-sum window — all integer arithmetic

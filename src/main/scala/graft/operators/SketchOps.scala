@@ -59,6 +59,52 @@ object SketchOps {
     grouped.select(groupCols.map(col) :+ estimate.as("distinct_est"): _*)
   }
 
+  /** Mergeable log-histogram quantile sketch over a NON-NEGATIVE integer
+    * column — the bounded-state approximate complement to
+    * [[exactPercentiles]] for 100 TB profiling: ONE map-side-combinable
+    * groupBy pass (no sort anywhere), sketch state <= 256 bucket counts
+    * regardless of n, histograms merge by addition (partials, retries,
+    * cross-day unions all compose). Buckets are base-2 octaves with 4
+    * linear sub-bins — pure integer bit arithmetic (`length(bin(v))`,
+    * `>>`, `&`), so the sketch and its quantile read-out are exactly
+    * replayable by an external SQL engine, unlike t-digest/KLL whose
+    * float centroids drift per merge order. The estimate returns the
+    * containing bucket's lower bound: deterministic, with <= 25 %
+    * relative error by construction (bucket width / 4). The bounded
+    * bucket table is resolved on the driver (<= 256 rows) — the same
+    * driver-bounded pattern as [[RangePrefix]].
+    */
+  def histogramQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0, 1], got ${qs.filterNot(q => q >= 0.0 && q <= 1.0).mkString(", ")}")
+    val v = s"CAST($valueCol AS BIGINT)"
+    // octave m = floor(log2(v)) as length(bin(v)) - 1; sub-bin = next 2
+    // bits below the msb; v in {0, 1} and {2, 3} fill buckets 0-7 exactly
+    val bucket = expr(
+      s"CAST((length(bin($v)) - 1) * 4 + (($v >> greatest(length(bin($v)) - 3, 0)) & 3) AS INT)")
+    val counts = df.filter(expr(s"$v >= 0"))
+      .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    if (n == 0) return qs.toDF("q").filter(lit(false)).withColumn("est", lit(0L))
+    var acc = 0L
+    val cum = counts.map { case (b, c) => val e = (b, acc, c); acc += c; e }
+    def lowerBound(b: Int): Long = {
+      val m = b / 4
+      val sub = b % 4
+      if (m <= 1) sub.toLong else (4L + sub) << (m - 2)
+    }
+    qs.map { q =>
+      val rank = math.floor((n - 1) * q).toLong
+      val b = cum.find { case (_, off, c) => rank >= off && rank < off + c }
+        .getOrElse(throw new IllegalStateException(
+          s"rank $rank outside the cumulative histogram (n=$n)"))._1
+      (q, lowerBound(b))
+    }.toDF("q", "est")
+  }
+
   /** Exact order-statistic percentiles of `valueCol` (deterministic
     * lower-index convention: value at row floor((n-1) * q) of the sorted
     * column, ties broken by `tieCol`). Returns one row per requested

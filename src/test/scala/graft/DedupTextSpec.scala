@@ -187,6 +187,26 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0.0, 10L), (0.5, 500L), (1.0, 1000L)))
   }
 
+  test("histogramQuantiles: partition-invariant, lower-bound within bucket error") {
+    import graft.operators.SketchOps
+    val vals = (1L to 1000L).map(i => (i, (i * i) % 5000))
+    val df = vals.toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SketchOps.histogramQuantiles(d, "v", Seq(0.5, 0.9)).orderBy("q")
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val got = run(df)
+    assert(got.toSeq == run(df.repartition(7)).toSeq) // merge-order invariant
+    val sorted = vals.map(_._2).sorted
+    got.foreach { case (q, est) =>
+      val exact = sorted(math.floor((sorted.size - 1) * q).toInt)
+      // the estimate is the containing bucket's LOWER bound, and octave
+      // buckets have width <= lower/4: est <= exact < est * 1.25 (+slack
+      // for the tiny linear buckets)
+      assert(est <= exact, s"q=$q: lower bound $est exceeds exact $exact")
+      assert(exact < est.toDouble * 1.25 + 4, s"q=$q: est $est too far below exact $exact")
+    }
+  }
+
   test("cosineTopK: self-similar planted vector ranks first") {
     val base = (0 until 30).map(i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 37 + j * 11) % 31) * 0.1f + 0.1f)))
