@@ -683,6 +683,24 @@ SELECT CAST(q AS DOUBLE) AS q, n_chars AS value FROM r
 JOIN (VALUES (0.5), (0.9), (0.99)) t(q) ON rn = floor((n - 1) * q)
 ORDER BY q""")),
 
+    ("q51_skew_salted_agg", (s, d) => {
+      // skew-safe two-phase aggregation over a HOT key space (event_type
+      // has a handful of distinct values — exactly the shape that melts a
+      // single reducer at scale). The salted partial/final decomposition
+      // must be value-identical to the plain GROUP BY, which is the
+      // oracle: decimal partials make the two-phase sum order-exact.
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), d2(col("value")).as("v2"))
+      graft.operators.SkewOps.saltedSumCount(ev, Seq("event_type"), "v2", saltBuckets = 16)
+        .select(col("event_type"), col("sum_v2").cast(DoubleType).as("total_value"),
+          col("n_rows"))
+        .orderBy(col("event_type"))
+    },
+      Some("""SELECT event_type,
+CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+COUNT(*) AS n_rows
+FROM events GROUP BY event_type ORDER BY event_type""")),
+
     ("q50_hist_quantile_sketch", (s, d) =>
       // mergeable log-histogram quantiles (bounded 256-bucket state, one
       // combinable pass, no sort) — the oracle replays bucket assignment,
