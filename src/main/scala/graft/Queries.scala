@@ -721,6 +721,27 @@ FROM w, n, (VALUES (0.5), (0.9), (0.99)) t(q)
 WHERE floor((n - 1) * q) >= off AND floor((n - 1) * q) < off + c
 ORDER BY q""")),
 
+    ("q52_hist_quantiles_by_group", (s, d) =>
+      // per-group histogram quantiles: distributed read-out (group-
+      // partitioned windows over <=256 bucket rows each + broadcast
+      // quantile join) — the shape that survives millions of groups
+      graft.operators.SketchOps.histogramQuantilesByGroup(
+        Tables.documents(s, d), Seq("lang"), "n_chars", Seq(0.5, 0.9))
+        .orderBy(col("lang"), col("q")),
+      Some("""WITH b AS (SELECT lang, CAST((length(bin(CAST(n_chars AS BIGINT))) - 1) * 4
+    + ((CAST(n_chars AS BIGINT) >> greatest(length(bin(CAST(n_chars AS BIGINT))) - 3, 0)) & 3) AS INT) AS bucket
+  FROM documents WHERE n_chars >= 0),
+c AS (SELECT lang, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+w AS (SELECT lang, bucket, c,
+  SUM(c) OVER (PARTITION BY lang ORDER BY bucket ROWS UNBOUNDED PRECEDING) - c AS off,
+  SUM(c) OVER (PARTITION BY lang) AS n FROM c)
+SELECT lang, CAST(q AS DOUBLE) AS q,
+  CAST(CASE WHEN bucket // 4 <= 1 THEN bucket % 4
+       ELSE (4 + bucket % 4) << (bucket // 4 - 2) END AS BIGINT) AS est
+FROM w, (VALUES (0.5), (0.9)) t(q)
+WHERE floor((n - 1) * q) >= off AND floor((n - 1) * q) < off + c
+ORDER BY lang, q""")),
+
     ("q48_sequence_packing", (s, d) => {
       // concat-then-chunk packing: every doc's span of 2048-token training
       // sequences, from one prefix-sum window — all integer arithmetic

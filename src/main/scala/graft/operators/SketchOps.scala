@@ -105,6 +105,43 @@ object SketchOps {
     }.toDF("q", "est")
   }
 
+  /** Per-group [[histogramQuantiles]] with a FULLY DISTRIBUTED read-out:
+    * unlike the global form (whose <=256-bucket table fits on the driver),
+    * a per-group sketch can have millions of groups — so the cumulative
+    * counts and the quantile pick run as windows PARTITIONED on the group
+    * key (each window partition is one group's <=256 bucket rows) plus a
+    * broadcast join against the quantile list. One combinable groupBy
+    * pass over the data, no global window, no driver-side state.
+    */
+  def histogramQuantilesByGroup(df: DataFrame, groupCols: Seq[String],
+                                valueCol: String, qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(groupCols.nonEmpty, "use histogramQuantiles for the global form")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0, 1], got ${qs.filterNot(q => q >= 0.0 && q <= 1.0).mkString(", ")}")
+    val v = s"CAST($valueCol AS BIGINT)"
+    val bucket = expr(
+      s"CAST((length(bin($v)) - 1) * 4 + (($v >> greatest(length(bin($v)) - 3, 0)) & 3) AS INT)")
+    val counts = df.filter(expr(s"$v >= 0"))
+      .groupBy(groupCols.map(col) :+ bucket.as("bucket"): _*)
+      .agg(count(lit(1)).as("c"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val cum = counts
+      .withColumn("__off", sum(col("c")).over(wOrd) - col("c"))
+      .withColumn("__n", sum(col("c")).over(wAll))
+    val rank = floor((col("__n") - 1) * col("q"))
+    val est = expr("CAST(CASE WHEN bucket div 4 <= 1 THEN bucket % 4 " +
+      "ELSE shiftleft(CAST(4 + bucket % 4 AS BIGINT), CAST(bucket div 4 - 2 AS INT)) END AS BIGINT)")
+    cum.join(broadcast(qs.toDF("q")),
+        rank >= col("__off") && rank < col("__off") + col("c"))
+      .select(groupCols.map(col) ++ Seq(col("q"), est.as("est")): _*)
+  }
+
   /** Exact order-statistic percentiles of `valueCol` (deterministic
     * lower-index convention: value at row floor((n-1) * q) of the sorted
     * column, ties broken by `tieCol`). Returns one row per requested

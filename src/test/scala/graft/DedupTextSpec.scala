@@ -207,6 +207,21 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("histogramQuantilesByGroup matches the global form per group") {
+    import graft.operators.SketchOps
+    val vals = (1L to 600L).map(i => (i, s"g${i % 3}", (i * 37) % 4000))
+    val df = vals.toDF("id", "g", "v")
+    val grouped = SketchOps.histogramQuantilesByGroup(df, Seq("g"), "v", Seq(0.5, 0.9))
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getLong(2))).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val global = SketchOps.histogramQuantiles(
+        df.filter(col("g") === g), "v", Seq(0.5, 0.9))
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+      for (q <- Seq(0.5, 0.9))
+        assert(grouped((g, q)) == global(q), s"group $g q=$q")
+    }
+  }
+
   test("cosineTopK: self-similar planted vector ranks first") {
     val base = (0 until 30).map(i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 37 + j * 11) % 31) * 0.1f + 0.1f)))
