@@ -626,6 +626,35 @@ event_type AS event, CAST(user_id AS VARCHAR) AS user_id, event_type AS plan,
 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events WHERE event_id % 97 <> 0 ORDER BY id""")),
 
+    ("q53_incremental_exact_dedup", (s, d) => {
+      // admit only documents whose content is genuinely new vs the "seen"
+      // corpus (even doc_ids): the incremental-ingest dedup step
+      val docs = Tables.documents(s, d)
+      DedupOps.exactNewDocuments(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""SELECT d1.doc_id FROM documents d1
+WHERE d1.doc_id % 2 = 1 AND NOT EXISTS
+  (SELECT 1 FROM documents d2 WHERE d2.doc_id % 2 = 0 AND md5(d2.text) = md5(d1.text))
+ORDER BY d1.doc_id""")),
+
+    ("q54_crosscorpus_minhash", (s, d) => {
+      // near-dup pairs of the odd half AGAINST the even half via the
+      // cross-corpus LSH join (verified exact jaccard), with the brute
+      // cross-jaccard as oracle — the batch-vs-corpus incremental path
+      val docs = Tables.documents(s, d)
+      val r = DedupOps.minhashNearDupJoinReleasable(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 3, 0.7)
+      val out = r.df.orderBy(col("ia"), col("ib")).localCheckpoint(true)
+      r.release()
+      out
+    },
+      Some(crossJaccardSql(0.7))),
+
     ("q44_dedup_groups", (s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)
@@ -844,6 +873,22 @@ sh AS (SELECT DISTINCT doc_id, s FROM
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
   FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT ia, ib, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $tau ORDER BY ia, ib"""
+
+  /** Brute-force CROSS-corpus word-3gram Jaccard (ia odd, ib even) —
+    * oracle for q54's LSH join.
+    */
+  private def crossJaccardSql(tau: Double): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM
+  (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s FROM toks)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+  FROM sh a JOIN sh b USING (s)
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2)
 SELECT ia, ib, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
 FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
 WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $tau ORDER BY ia, ib"""

@@ -115,17 +115,19 @@ object DedupOps {
     val inter = interRare.join(interHot, Seq("ia", "ib"), "left")
       .select(col("ia"), col("ib"),
         (col("inter_r") + coalesce(col("inter_h"), lit(0L))).as("inter"))
-    Releasable(jaccardFromIntersections(inter, counts, tau), () => { sh.unpersist(); () })
+    Releasable(jaccardFromIntersections(inter, counts, counts, tau), () => { sh.unpersist(); () })
   }
 
   /** (ia, ib, inter) + per-doc shingle counts -> exact jaccard >= tau —
-    * shared tail of the capped-index and MinHash-LSH pipelines.
+    * shared tail of the capped-index, MinHash-LSH, and cross-corpus
+    * pipelines. `countsA`/`countsB` are the same frame for self-joins.
     */
-  private def jaccardFromIntersections(inter: DataFrame, counts: DataFrame,
+  private def jaccardFromIntersections(inter: DataFrame,
+                                       countsA: DataFrame, countsB: DataFrame,
                                        tau: Double): DataFrame =
     inter
-      .join(counts.as("ca"), col("ia") === col("ca.id"))
-      .join(counts.as("cb"), col("ib") === col("cb.id"))
+      .join(countsA.as("ca"), col("ia") === col("ca.id"))
+      .join(countsB.as("cb"), col("ib") === col("cb.id"))
       .select(col("ia"), col("ib"),
         (col("inter").cast("double") /
           (col("ca.n_sh") + col("cb.n_sh") - col("inter")).cast("double")).as("jaccard"))
@@ -160,15 +162,20 @@ object DedupOps {
     hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: ids sharing any band signature become candidate pairs.
-    * Band self-join replaces the quadratic all-pairs comparison.
-    */
-  def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  /** (id, band signature) exploded relation — the LSH bucketing key. */
+  private def bandSignatures(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band") +:
         (0 until rowsPerBand).map(j => col(s"mh${b * rowsPerBand + j}").as(s"r$j")): _*)
     }
-    val exploded = sig.select(col("id"), explode(array(bandStructs: _*)).as("bsig"))
+    sig.select(col("id"), explode(array(bandStructs: _*)).as("bsig"))
+  }
+
+  /** LSH banding: ids sharing any band signature become candidate pairs.
+    * Band self-join replaces the quadratic all-pairs comparison.
+    */
+  def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val exploded = bandSignatures(sig, bands, rowsPerBand)
     exploded.as("a").join(exploded.as("b"),
         col("a.bsig") === col("b.bsig") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ia"), col("b.id").as("ib"))
@@ -201,7 +208,60 @@ object DedupOps {
       .join(sh.as("sa"), col("ia") === col("sa.id"))
       .join(sh.as("sb"), col("ib") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
-    Releasable(jaccardFromIntersections(inter, counts, tau), () => { sh.unpersist(); () })
+    Releasable(jaccardFromIntersections(inter, counts, counts, tau), () => { sh.unpersist(); () })
+  }
+
+  /** Incremental exact dedup: rows of `newDf` whose content hash does NOT
+    * appear in `seenDf` — the "admit only genuinely new documents" step of
+    * a continuously-growing corpus, as a hash anti-join (one shuffle on
+    * the content hash; at extreme scale put a bloom filter of seen hashes
+    * in front to skip the shuffle for the obvious misses).
+    */
+  def exactNewDocuments(newDf: DataFrame, seenDf: DataFrame,
+                        textCol: String): DataFrame = {
+    require(!newDf.columns.contains("__h"),
+      "newDf may not already carry the internal column __h")
+    newDf.withColumn("__h", md5(col(textCol)))
+      .join(seenDf.select(md5(col(textCol)).as("__h")).distinct(), Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
+  /** Cross-corpus MinHash-LSH near-dup pairs: (ia from `dfA`, ib from
+    * `dfB`) with exact-verified jaccard >= tau — incremental near-dedup of
+    * a new batch against an existing corpus without re-running the
+    * self-join over their union. Same banding/recall math as
+    * [[minhashNearDupPairs]]; candidates come from an A-bands x B-bands
+    * equality join instead of a self-join. At 100 TB the B-side index and
+    * signatures are computed ONCE per corpus generation and reused across
+    * every incoming batch (persist or write them out); the per-batch cost
+    * is then proportional to the batch, not the corpus.
+    */
+  def minhashNearDupJoin(dfA: DataFrame, dfB: DataFrame, idCol: String,
+                         textCol: String, n: Int, tau: Double,
+                         k: Int = 96, bands: Int = 48): DataFrame =
+    minhashNearDupJoinReleasable(dfA, dfB, idCol, textCol, n, tau, k, bands).df
+
+  def minhashNearDupJoinReleasable(dfA: DataFrame, dfB: DataFrame, idCol: String,
+                                   textCol: String, n: Int, tau: Double,
+                                   k: Int = 96, bands: Int = 48): Releasable = {
+    val rowsPerBand = k / bands
+    val shA = shingles(dfA, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shB = shingles(dfB, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = bandSignatures(minhashSignatures(shA, k), bands, rowsPerBand).as("a")
+      .join(bandSignatures(minhashSignatures(shB, k), bands, rowsPerBand).as("b"),
+        col("a.bsig") === col("b.bsig"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+      .distinct()
+    val countsA = shA.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val countsB = shB.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(shA.as("sa"), col("ia") === col("sa.id"))
+      .join(shB.as("sb"), col("ib") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+    Releasable(jaccardFromIntersections(inter, countsA, countsB, tau),
+      () => { shA.unpersist(); shB.unpersist(); () })
   }
 
   /** 64-bit SimHash per document over word unigrams. */
