@@ -744,8 +744,8 @@ c AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
 w AS (SELECT bucket, c, SUM(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) - c AS off FROM c),
 n AS (SELECT SUM(c) AS n FROM c)
 SELECT CAST(q AS DOUBLE) AS q,
-  CAST(CASE WHEN bucket // 4 <= 1 THEN bucket % 4
-       ELSE (4 + bucket % 4) << (bucket // 4 - 2) END AS BIGINT) AS est
+  CASE WHEN bucket // 4 <= 1 THEN CAST(bucket % 4 AS BIGINT)
+       ELSE CAST(4 + bucket % 4 AS BIGINT) << (bucket // 4 - 2) END AS est
 FROM w, n, (VALUES (0.5), (0.9), (0.99)) t(q)
 WHERE floor((n - 1) * q) >= off AND floor((n - 1) * q) < off + c
 ORDER BY q""")),
@@ -765,8 +765,8 @@ w AS (SELECT lang, bucket, c,
   SUM(c) OVER (PARTITION BY lang ORDER BY bucket ROWS UNBOUNDED PRECEDING) - c AS off,
   SUM(c) OVER (PARTITION BY lang) AS n FROM c)
 SELECT lang, CAST(q AS DOUBLE) AS q,
-  CAST(CASE WHEN bucket // 4 <= 1 THEN bucket % 4
-       ELSE (4 + bucket % 4) << (bucket // 4 - 2) END AS BIGINT) AS est
+  CASE WHEN bucket // 4 <= 1 THEN CAST(bucket % 4 AS BIGINT)
+       ELSE CAST(4 + bucket % 4 AS BIGINT) << (bucket // 4 - 2) END AS est
 FROM w, (VALUES (0.5), (0.9)) t(q)
 WHERE floor((n - 1) * q) >= off AND floor((n - 1) * q) < off + c
 ORDER BY lang, q""")),
@@ -862,36 +862,31 @@ SELECT ia, ib, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
 FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
 WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $tau ORDER BY ia, ib"""
 
-  /** Brute-force word-3gram Jaccard pairs >= tau (oracle for q22 — the
-    * MinHash path is uncapped).
+  /** Brute-force word-3gram Jaccard pairs >= tau under `pairPred` — one
+    * CTE chain shared by the self-join (q22) and cross-corpus (q54)
+    * oracles, so the tokenization can never drift between them.
     */
-  private def jaccardSql(tau: Double): String =
+  private def jaccardSqlFor(tau: Double, pairPred: String): String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, s FROM
   (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s FROM toks)),
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
-  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+  FROM sh a JOIN sh b USING (s) WHERE $pairPred GROUP BY 1, 2)
 SELECT ia, ib, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
 FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
 WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $tau ORDER BY ia, ib"""
+
+  /** Oracle for q22 — the MinHash self-join path is uncapped. */
+  private def jaccardSql(tau: Double): String =
+    jaccardSqlFor(tau, "a.doc_id < b.doc_id")
 
   /** Brute-force CROSS-corpus word-3gram Jaccard (ia odd, ib even) —
     * oracle for q54's LSH join.
     */
   private def crossJaccardSql(tau: Double): String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT DISTINCT doc_id, s FROM
-  (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
-     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s FROM toks)),
-cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
-  FROM sh a JOIN sh b USING (s)
-  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2)
-SELECT ia, ib, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
-FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
-WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $tau ORDER BY ia, ib"""
+    jaccardSqlFor(tau, "a.doc_id % 2 = 1 AND b.doc_id % 2 = 0")
 
   /** 30-bit bigram-SimHash signature CTE chain: replays
     * DedupOps.simhashFp30 bit-for-bit — same rolling word fingerprint,

@@ -74,17 +74,26 @@ object SketchOps {
     * bucket table is resolved on the driver (<= 256 rows) — the same
     * driver-bounded pattern as [[RangePrefix]].
     */
+  /** Shared octave/sub-bin bucket assignment: m = floor(log2(v)) as
+    * length(bin(v)) - 1; sub-bin = next 2 bits below the msb; v in {0, 1}
+    * and {2, 3} fill buckets 0-7 exactly. Single source of truth for the
+    * global and per-group sketch forms (and their oracles' replay).
+    */
+  private def histBucketExpr(valueCol: String): Column = {
+    val v = s"CAST($valueCol AS BIGINT)"
+    expr(s"CAST((length(bin($v)) - 1) * 4 + (($v >> greatest(length(bin($v)) - 3, 0)) & 3) AS INT)")
+  }
+
+  private def requireQuantiles(qs: Seq[Double]): Unit =
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0, 1], got ${qs.filterNot(q => q >= 0.0 && q <= 1.0).mkString(", ")}")
+
   def histogramQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    require(qs.forall(q => q >= 0.0 && q <= 1.0),
-      s"quantiles must lie in [0, 1], got ${qs.filterNot(q => q >= 0.0 && q <= 1.0).mkString(", ")}")
-    val v = s"CAST($valueCol AS BIGINT)"
-    // octave m = floor(log2(v)) as length(bin(v)) - 1; sub-bin = next 2
-    // bits below the msb; v in {0, 1} and {2, 3} fill buckets 0-7 exactly
-    val bucket = expr(
-      s"CAST((length(bin($v)) - 1) * 4 + (($v >> greatest(length(bin($v)) - 3, 0)) & 3) AS INT)")
-    val counts = df.filter(expr(s"$v >= 0"))
+    requireQuantiles(qs)
+    val bucket = histBucketExpr(valueCol)
+    val counts = df.filter(expr(s"CAST($valueCol AS BIGINT) >= 0"))
       .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = counts.map(_._2).sum
@@ -118,12 +127,12 @@ object SketchOps {
     val spark = df.sparkSession
     import spark.implicits._
     require(groupCols.nonEmpty, "use histogramQuantiles for the global form")
-    require(qs.forall(q => q >= 0.0 && q <= 1.0),
-      s"quantiles must lie in [0, 1], got ${qs.filterNot(q => q >= 0.0 && q <= 1.0).mkString(", ")}")
-    val v = s"CAST($valueCol AS BIGINT)"
-    val bucket = expr(
-      s"CAST((length(bin($v)) - 1) * 4 + (($v >> greatest(length(bin($v)) - 3, 0)) & 3) AS INT)")
-    val counts = df.filter(expr(s"$v >= 0"))
+    requireQuantiles(qs)
+    val reserved = Seq("bucket", "c", "q", "est", "__off", "__n")
+    require(!(groupCols :+ valueCol).exists(reserved.contains),
+      s"group/value columns may not use the reserved names ${reserved.mkString(", ")}")
+    val bucket = histBucketExpr(valueCol)
+    val counts = df.filter(expr(s"CAST($valueCol AS BIGINT) >= 0"))
       .groupBy(groupCols.map(col) :+ bucket.as("bucket"): _*)
       .agg(count(lit(1)).as("c"))
     val wOrd = org.apache.spark.sql.expressions.Window

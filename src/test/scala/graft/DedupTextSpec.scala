@@ -187,6 +187,32 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0.0, 10L), (0.5, 500L), (1.0, 1000L)))
   }
 
+  test("cross-corpus minhash join equals brute cross-jaccard; exact admission drops seen content") {
+    def doc(k: Int) = (0 until 25).map(j => s"w${(k + j) % 50}").mkString(" ")
+    // even ids = the "seen" corpus; odd ids = the incoming batch with two
+    // planted near-dups of even docs (one mutated, one verbatim)
+    val evens = (0 until 5).map(k => (2L * k, doc(5 * k)))
+    val mutated = doc(10).split(" ").dropRight(1).mkString(" ") + " zz" // ~ doc id 4
+    val odds = Seq((11L, mutated), (13L, doc(15)), (15L, doc(40)))
+    val df = (evens ++ odds).toDF("doc_id", "text")
+    val a = df.filter(col("doc_id") % 2 === 1)
+    val b = df.filter(col("doc_id") % 2 === 0)
+    val got = DedupOps.minhashNearDupJoin(a, b, "doc_id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val all = (evens ++ odds).map { case (i, t) => (i, sh(t)) }
+    val expect = (for {
+      (ia, sa) <- all if ia % 2 == 1
+      (ib, sb) <- all if ib % 2 == 0
+      inter = sa.intersect(sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter) if j >= 0.7
+    } yield (ia, ib, j)).toSet
+    assert(expect.nonEmpty && got == expect) // both planted dups, nothing else
+    val admitted = DedupOps.exactNewDocuments(a, b, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(11L, 15L)) // 13 is a verbatim copy of seen doc 6
+  }
+
   test("histogramQuantiles: partition-invariant, lower-bound within bucket error") {
     import graft.operators.SketchOps
     val vals = (1L to 1000L).map(i => (i, (i * i) % 5000))
