@@ -29,9 +29,13 @@ object Sinks {
   /** K7/K8 shape: key/value fan-out to an external system (Redis SET /
     * SQS publish in the reference). `clientFactory` runs once per
     * partition (connection amortized), `send` once per row — the
-    * foreachPartition idiom the reference's row-loop maps onto.
+    * foreachPartition idiom the reference's row-loop maps onto. Each
+    * publish runs under the reference's jittered-retry envelope
+    * (lib/retry: 15 attempts, full jitter) so one transient broker error
+    * doesn't fail the whole Spark task; pass maxAttempts = 1 to disable.
     */
-  def foreachPartitionSink[C](df: DataFrame, keyCols: Seq[String])
+  def foreachPartitionSink[C](df: DataFrame, keyCols: Seq[String],
+                              retry: graft.Retries.RetryConfig = graft.Retries.RetryConfig())
                              (clientFactory: () => C)
                              (send: (C, String, Row) => Unit)
                              (close: C => Unit = (_: C) => ()): Unit = {
@@ -40,7 +44,7 @@ object Sinks {
       val client = clientFactory()
       try rows.foreach { r =>
         val key = keyIdx.map(i => String.valueOf(r.get(i))).mkString(":")
-        send(client, key, r)
+        graft.Retries.withRetries(retry)(send(client, key, r))
       } finally close(client)
     }
   }

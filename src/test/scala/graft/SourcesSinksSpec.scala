@@ -65,6 +65,46 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(KvProbe.clients() >= 1 && KvProbe.clients() <= 2) // per-partition, not per-row
   }
 
+  test("withRetries: full-jitter envelope retries transient failures only") {
+    import graft.Retries._
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val cfg = RetryConfig(baseMs = 100, maxMs = 3500, maxAttempts = 15,
+      sleep = sleeps += _, seed = Some(42L))
+    val out = withRetries(cfg) {
+      calls += 1
+      if (calls < 4) throw new RuntimeException("flaky")
+      "ok"
+    }
+    assert(out == "ok" && calls == 4)
+    // sleep_n < min(cap, base * 2^n) — the reference's jitter bound
+    assert(sleeps.toSeq.zipWithIndex.forall { case (s, i) =>
+      s >= 0 && s < math.min(3500L, 100L << i)
+    })
+    calls = 0
+    intercept[RuntimeException](withRetries(cfg.copy(maxAttempts = 3)) {
+      calls += 1; throw new RuntimeException("down")
+    })
+    assert(calls == 3) // terminal failure after exactly maxAttempts
+    calls = 0
+    intercept[IllegalArgumentException](
+      withRetries(cfg.copy(isRetryable = !_.isInstanceOf[IllegalArgumentException])) {
+        calls += 1; throw new IllegalArgumentException("bad")
+      })
+    assert(calls == 1) // non-retryable: no second attempt
+  }
+
+  test("KV sink publishes survive transient per-row failures via the retry envelope") {
+    val df = Seq((7L, "x")).toDF("id", "v").repartition(1)
+    KvProbe.failNextSends(2) // first two attempts throw, third lands
+    Sinks.foreachPartitionSink(df, Seq("id"),
+      graft.Retries.RetryConfig(baseMs = 1, maxMs = 2, seed = Some(1L)))(
+      () => KvProbe.newClient()) {
+      (c, key, row) => KvProbe.recordFlaky(c, key, row.getAs[String]("v"))
+    }()
+    assert(KvProbe.entries()("7") == "x")
+  }
+
   test("canonicalStrings renders every type with the null placeholder") {
     val df = Seq((1L, Some(2.5), Some(true)), (2L, None, None))
       .toDF("id", "score", "flag")
@@ -126,4 +166,12 @@ object KvProbe {
     map.asScala
   }
   def clients(): Int = clientCount.get()
+
+  private val failuresLeft = new java.util.concurrent.atomic.AtomicInteger(0)
+  def failNextSends(n: Int): Unit = failuresLeft.set(n)
+  def recordFlaky(c: java.util.Map[String, String], k: String, v: String): Unit = {
+    if (failuresLeft.getAndDecrement() > 0) throw new RuntimeException("transient publish error")
+    c.put(k, v)
+    ()
+  }
 }
