@@ -712,6 +712,30 @@ SELECT CAST(q AS DOUBLE) AS q, n_chars AS value FROM r
 JOIN (VALUES (0.5), (0.9), (0.99)) t(q) ON rn = floor((n - 1) * q)
 ORDER BY q""")),
 
+    ("q55_sessionization", (s, d) => {
+      // gap-based sessionization of the event stream: a >30-minute silence
+      // starts a new session. Two user-partitioned windows (lag + running
+      // sum of session starts) — no global window, scales with users.
+      // microsecond resolution on BOTH sides: the oracle engine reads the
+      // parquet TIMESTAMP(NANOS) column truncated to µs, so sub-µs nanos
+      // would hash-mismatch (and could flip a gap right at the threshold)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val gapUs = col("ts_us") - lag(col("ts_us"), 1).over(w)
+      val isStart = when(gapUs.isNull || gapUs > lit(1800L * 1000000L), 1L).otherwise(0L)
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("session_seq"))
+        .orderBy(col("event_id"))
+    },
+      Some("""WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+l AS (SELECT event_id, user_id, ts_us,
+  lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts FROM t)
+SELECT event_id, user_id, ts_us,
+CAST(SUM(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END)
+  OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+FROM l ORDER BY event_id""")),
+
     ("q51_skew_salted_agg", (s, d) => {
       // skew-safe two-phase aggregation over a HOT key space (event_type
       // has a handful of distinct values — exactly the shape that melts a
