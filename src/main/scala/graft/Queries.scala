@@ -645,10 +645,7 @@ ORDER BY d1.doc_id""")),
       // near-dup pairs of the odd half AGAINST the even half via the
       // cross-corpus LSH join (verified exact jaccard), with the brute
       // cross-jaccard as oracle — the batch-vs-corpus incremental path
-      val docs = Tables.documents(s, d)
-      val r = DedupOps.minhashNearDupJoinReleasable(
-        docs.filter(col("doc_id") % 2 === 1),
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 3, 0.7)
+      val r = q54CrossCorpusReleasable(s, d)
       val out = r.df.orderBy(col("ia"), col("ib")).localCheckpoint(true)
       r.release()
       out
@@ -911,6 +908,17 @@ WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $tau ORDER BY ia, ib"""
     */
   private def crossJaccardSql(tau: Double): String =
     jaccardSqlFor(tau, "a.doc_id % 2 = 1 AND b.doc_id % 2 = 0")
+
+  /** q54's exact construction, shared with the plan audit (graft.Plans)
+    * so the explained plan can never drift from the shipped query.
+    */
+  private[graft] def q54CrossCorpusReleasable(
+      s: SparkSession, d: String): graft.operators.DedupOps.Releasable = {
+    val docs = Tables.documents(s, d)
+    graft.operators.DedupOps.minhashNearDupJoinReleasable(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 3, 0.7)
+  }
 
   /** 30-bit bigram-SimHash signature CTE chain: replays
     * DedupOps.simhashFp30 bit-for-bit — same rolling word fingerprint,

@@ -38,19 +38,25 @@ object Retries {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
   }
 
-  /** Run `body`, retrying retryable failures with backoff; the terminal
-    * failure (or a non-retryable one) propagates to the caller
-    * (retry.go:79-101 WithRetries).
+  /** Run `body`, retrying retryable NON-FATAL failures with backoff; the
+    * terminal failure (or a non-retryable one) propagates to the caller
+    * (retry.go:79-101 WithRetries). Fatal errors and interrupts are NEVER
+    * retried — a cancelled Spark task must die on its interrupt, not keep
+    * publishing through 14 more jittered sleeps. The RNG is allocated
+    * lazily on the first failure, so the happy path (one call per
+    * published row on sink hot loops) allocates nothing.
     */
   def withRetries[T](cfg: RetryConfig = RetryConfig())(body: => T): T = {
-    val rng = cfg.seed.map(new scala.util.Random(_)).getOrElse(new scala.util.Random())
+    var rng: scala.util.Random = null
     var attempt = 0
     while (true) {
       try return body
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           attempt += 1
           if (attempt >= cfg.maxAttempts || !cfg.isRetryable(e)) throw e
+          if (rng == null)
+            rng = cfg.seed.map(new scala.util.Random(_)).getOrElse(new scala.util.Random())
           cfg.sleep(jitterMs(cfg.baseMs, cfg.maxMs, attempt - 1, rng))
       }
     }

@@ -29,13 +29,20 @@ object Sinks {
   /** K7/K8 shape: key/value fan-out to an external system (Redis SET /
     * SQS publish in the reference). `clientFactory` runs once per
     * partition (connection amortized), `send` once per row — the
-    * foreachPartition idiom the reference's row-loop maps onto. Each
-    * publish runs under the reference's jittered-retry envelope
-    * (lib/retry: 15 attempts, full jitter) so one transient broker error
-    * doesn't fail the whole Spark task; pass maxAttempts = 1 to disable.
+    * foreachPartition idiom the reference's row-loop maps onto. Publishes
+    * run under a jittered-retry envelope when the caller passes one
+    * (lib/retry shape: full-jitter backoff, retryable-error predicate) so
+    * a transient broker error doesn't fail the whole Spark task. The
+    * DEFAULT is NO retry (maxAttempts = 1): retrying is opt-in because a
+    * deterministic poison row would otherwise burn the full backoff
+    * budget times Spark's own task retries, and a non-idempotent send
+    * that errors after its side effect would duplicate per attempt —
+    * callers who opt in should pass an isRetryable that recognizes their
+    * client's transient errors.
     */
   def foreachPartitionSink[C](df: DataFrame, keyCols: Seq[String],
-                              retry: graft.Retries.RetryConfig = graft.Retries.RetryConfig())
+                              retry: graft.Retries.RetryConfig =
+                                graft.Retries.RetryConfig(maxAttempts = 1))
                              (clientFactory: () => C)
                              (send: (C, String, Row) => Unit)
                              (close: C => Unit = (_: C) => ()): Unit = {
