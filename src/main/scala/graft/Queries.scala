@@ -652,6 +652,29 @@ ORDER BY d1.doc_id""")),
     },
       Some(crossJaccardSql(0.7))),
 
+    ("q56_web_text_cleanup", (s, d) => {
+      // wrap every document in crawl-shaped markup (tags + entities), then
+      // run the cleanup chain; the oracle replays tag-strip, entity
+      // decode, and whitespace normalization step for step
+      val html = concat(
+        lit("""<div id=""""), col("doc_id"), lit(""""><p class="body">"""),
+        col("text"), lit("""</p><br/>&quot;tail&quot; &amp;&nbsp;end</div>"""))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.cleanWebText(html).as("clean"))
+        .orderBy(col("doc_id"))
+    },
+      Some {
+        val decoded = TextOps.HtmlEntities.foldLeft(
+          "regexp_replace(h, '<[^>]*>', ' ', 'g')") { case (acc, (ent, ch)) =>
+          s"replace($acc, '$ent', '${ch.replace("'", "''")}')"
+        }
+        s"""WITH src AS (SELECT doc_id,
+  '<div id="' || doc_id || '"><p class="body">' || text ||
+  '</p><br/>&quot;tail&quot; &amp;&nbsp;end</div>' AS h FROM documents)
+SELECT doc_id, trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS clean
+FROM src ORDER BY doc_id"""
+      }),
+
     ("q44_dedup_groups", (s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)

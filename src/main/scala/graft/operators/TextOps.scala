@@ -19,6 +19,36 @@ object TextOps {
   def countWord(text: Column, word: String): Column =
     countOccurrences(concat(lit(" "), text, lit(" ")), s" $word ")
 
+  /** Common HTML entities a web corpus actually contains, decoded in the
+    * standard order (`&amp;` LAST so freshly produced ampersands are not
+    * double-decoded).
+    */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** Strip markup tags (replaced by a space so `a</p><p>b` never fuses
+    * into one word).
+    */
+  def stripHtml(text: Column): Column =
+    regexp_replace(text, "<[^>]*>", " ")
+
+  /** Collapse whitespace runs and trim. */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Web-corpus text cleanup — the step-1 preprocessing of an HTML crawl:
+    * strip tags, decode the common entities, normalize whitespace. Every
+    * step is a plain regex/replace, so an external SQL engine replays it
+    * exactly (and the whole chain stays in one codegen'd projection).
+    */
+  def cleanWebText(text: Column): Column = {
+    val decoded = HtmlEntities.foldLeft(stripHtml(text)) { case (c, (ent, ch)) =>
+      call_function("replace", c, lit(ent), lit(ch))
+    }
+    normalizeWhitespace(decoded)
+  }
+
   /** Marker words per language for the n-gram-heuristic language ID. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to"),

@@ -187,6 +187,17 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0.0, 10L), (0.5, 500L), (1.0, 1000L)))
   }
 
+  test("cleanWebText strips tags, decodes entities once, never double-decodes") {
+    import graft.operators.TextOps
+    val got = Seq(
+      "<p>a</p><p>b</p>", // tag boundary must not fuse words
+      "x &amp;lt; y", // literal "&lt;" after ONE decode, not "<"
+      "  a\t\tb&nbsp;&nbsp;c  ",
+      "&quot;q&quot; &amp; &#39;s&#39;")
+      .toDF("t").select(TextOps.cleanWebText(col("t"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("a b", "x &lt; y", "a b c", "\"q\" & 's'"))
+  }
+
   test("cross-corpus minhash join equals brute cross-jaccard; exact admission drops seen content") {
     def doc(k: Int) = (0 until 25).map(j => s"w${(k + j) % 50}").mkString(" ")
     // even ids = the "seen" corpus; odd ids = the incoming batch with two
