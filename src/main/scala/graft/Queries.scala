@@ -675,6 +675,22 @@ SELECT doc_id, trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS clean
 FROM src ORDER BY doc_id"""
       }),
 
+    ("q57_pii_redaction", (s, d) => {
+      // plant a deterministic email + phone in every document, then scrub;
+      // the oracle replays both regex passes (patterns restricted to the
+      // Java-regex/RE2-identical subset)
+      val dirty = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or call +1 (555) 01"),
+        col("doc_id"), lit("2345 now"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.redactPii(dirty).as("redacted"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""SELECT doc_id, regexp_replace(regexp_replace(
+  text || ' contact user' || doc_id || '@example.com or call +1 (555) 01' || doc_id || '2345 now',
+  '${TextOps.EmailPattern}', '[EMAIL]', 'g'), '${TextOps.PhonePattern}', '[PHONE]', 'g') AS redacted
+FROM documents ORDER BY doc_id""")),
+
     ("q44_dedup_groups", (s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)

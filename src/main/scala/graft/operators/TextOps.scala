@@ -49,6 +49,25 @@ object TextOps {
     normalizeWhitespace(decoded)
   }
 
+  /** Conservative PII patterns shared by the Spark side and the SQL
+    * oracle. Kept to the regex subset with identical semantics in Java
+    * regex and RE2 (character classes, +, {m,}, alternation — no
+    * lookaround, no backreferences) so redaction replays exactly in an
+    * external engine.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PhonePattern = "[+]?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** PII redaction — scrub emails and phone-shaped numbers before a
+    * corpus ships to training. Two regexp_replace steps in one codegen'd
+    * projection; emails first so a redacted address cannot leave a
+    * phone-shaped local part behind.
+    */
+  def redactPii(text: Column, emailTag: String = "[EMAIL]",
+                phoneTag: String = "[PHONE]"): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, emailTag),
+      PhonePattern, phoneTag)
+
   /** Marker words per language for the n-gram-heuristic language ID. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to"),

@@ -198,6 +198,21 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("a b", "x &lt; y", "a b c", "\"q\" & 's'"))
   }
 
+  test("redactPii scrubs emails and phone shapes, leaves prose alone") {
+    import graft.operators.TextOps
+    val got = Seq(
+      "mail a.b+c@sub.example.org now",
+      "call +1 (555) 867-5309 today",
+      "short 12345 id and year 2024 stay",
+      "both x@y.io and 555 123 4567 here")
+      .toDF("t").select(TextOps.redactPii(col("t"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq(
+      "mail [EMAIL] now",
+      "call [PHONE] today",
+      "short 12345 id and year 2024 stay",
+      "both [EMAIL] and [PHONE] here"))
+  }
+
   test("cross-corpus minhash join equals brute cross-jaccard; exact admission drops seen content") {
     def doc(k: Int) = (0 until 25).map(j => s"w${(k + j) % 50}").mkString(" ")
     // even ids = the "seen" corpus; odd ids = the incoming batch with two
