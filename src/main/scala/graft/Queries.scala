@@ -671,7 +671,7 @@ ORDER BY d1.doc_id""")),
         s"""WITH src AS (SELECT doc_id,
   '<div id="' || doc_id || '"><p class="body">' || text ||
   '</p><br/>&quot;tail&quot; &amp;&nbsp;end</div>' AS h FROM documents)
-SELECT doc_id, trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS clean
+SELECT doc_id, trim(regexp_replace($decoded, '${TextOps.WhitespaceClass}+', ' ', 'g')) AS clean
 FROM src ORDER BY doc_id"""
       }),
 

@@ -6,7 +6,12 @@ package graft
   * already retried by the scheduler; this envelope is for DRIVER-side sink
   * I/O (snapshot fs ops against an object store) and per-row external
   * publishes inside foreachPartition (Redis/SQS-style fan-out), where a
-  * transient error would otherwise fail the whole batch.
+  * transient error would otherwise fail the whole batch. Unlike the
+  * reference it is OPT-IN at the sinks (foreachPartitionSink defaults to
+  * maxAttempts = 1): callers who enable it should pass an `isRetryable`
+  * that recognizes their client's transient errors, because retrying a
+  * deterministic failure burns the backoff budget times Spark's own task
+  * retries, and a non-idempotent send duplicates per attempt.
   */
 object Retries {
   /** sleep = random_between(0, min(maxMs, baseMs * 2^attempt)) — AWS

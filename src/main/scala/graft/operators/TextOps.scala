@@ -33,9 +33,16 @@ object TextOps {
   def stripHtml(text: Column): Column =
     regexp_replace(text, "<[^>]*>", " ")
 
+  /** The whitespace class spelled out explicitly: Java-regex `\s` matches
+    * vertical tab (\x0B) but RE2's does not, so `\s+` silently breaks the
+    * replays-exactly contract on crawl text containing one — the explicit
+    * class means the same thing in both engines.
+    */
+  val WhitespaceClass = "[ \\t\\n\\x0B\\f\\r]"
+
   /** Collapse whitespace runs and trim. */
   def normalizeWhitespace(text: Column): Column =
-    trim(regexp_replace(text, "\\s+", " "))
+    trim(regexp_replace(text, WhitespaceClass + "+", " "))
 
   /** Web-corpus text cleanup — the step-1 preprocessing of an HTML crawl:
     * strip tags, decode the common entities, normalize whitespace. Every
