@@ -259,6 +259,25 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("empty-input edges: packing, percentiles, and sketches return empty, not errors") {
+    import graft.operators.{SamplingOps, SketchOps}
+    val emptyDocs = Seq.empty[(Long, Long)].toDF("doc_id", "n_toks")
+    assert(SamplingOps.packSequences(emptyDocs, "doc_id", "n_toks", 4).count() == 0)
+    val emptyVals = Seq.empty[(Long, Long)].toDF("id", "len")
+    val pct = SketchOps.exactPercentiles(emptyVals, "len", "id", Seq(0.5))
+    assert(pct.count() == 0 && pct.columns.toSeq == Seq("q", "value"))
+    val hist = SketchOps.histogramQuantiles(emptyVals, "len", Seq(0.5))
+    assert(hist.count() == 0 && hist.columns.toSeq == Seq("q", "est"))
+    // all-zero tokens: every row excluded before the prefix sum
+    val zeros = Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "n_toks")
+    assert(SamplingOps.packSequences(zeros, "doc_id", "n_toks", 4).count() == 0)
+    // out-of-range quantiles rejected loudly, not silently dropped
+    intercept[IllegalArgumentException](
+      SketchOps.exactPercentiles(Seq((1L, 2L)).toDF("id", "len"), "len", "id", Seq(1.5)))
+    intercept[IllegalArgumentException](
+      SketchOps.histogramQuantiles(Seq((1L, 2L)).toDF("id", "len"), "len", Seq(-0.1)))
+  }
+
   test("histogramQuantilesByGroup matches the global form per group") {
     import graft.operators.SketchOps
     val vals = (1L to 600L).map(i => (i, s"g${i % 3}", (i * 37) % 4000))
