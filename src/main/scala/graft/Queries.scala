@@ -675,6 +675,40 @@ SELECT doc_id, trim(regexp_replace($decoded, '${TextOps.WhitespaceClass}+', ' ',
 FROM src ORDER BY doc_id"""
       }),
 
+    ("q59_column_profile", (s, d) =>
+      // snapshot QA profile: nulls + canonical min/max per column in one
+      // aggregation pass (row-per-column unpivot)
+      graft.operators.MaintenanceOps.profileColumns(
+        Tables.events(s, d), Seq("event_id", "event_type", "value"))
+        .orderBy(col("col_name")),
+      Some("""SELECT 'event_id' AS col_name, COUNT(*) - COUNT(event_id) AS n_null,
+  COUNT(event_id) AS n_nonnull, CAST(MIN(event_id) AS VARCHAR) AS min_str,
+  CAST(MAX(event_id) AS VARCHAR) AS max_str FROM events
+UNION ALL
+SELECT 'event_type', COUNT(*) - COUNT(event_type), COUNT(event_type),
+  MIN(event_type), MAX(event_type) FROM events
+UNION ALL
+SELECT 'value', COUNT(*) - COUNT(value), COUNT(value),
+  CAST(MIN(value) AS VARCHAR), CAST(MAX(value) AS VARCHAR) FROM events
+ORDER BY col_name""")),
+
+    ("q58_repetition_filter", (s, d) =>
+      // Gopher-style repetition quality gate: duplicate-token permille per
+      // document, plus the keep/drop verdict at a 400 permille threshold —
+      // integer arithmetic end-to-end
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.duplicateTokenCount(col("text")).cast(LongType).as("n_dup_tokens"),
+        TextOps.repetitionPermille(col("text")).as("rep_permille"))
+        .withColumn("keep", col("rep_permille") < 400)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+  CAST(len(w) - len(list_distinct(w)) AS BIGINT) AS n_dup_tokens,
+  (CAST(len(w) - len(list_distinct(w)) AS BIGINT) * 1000) // len(w) AS rep_permille,
+  (CAST(len(w) - len(list_distinct(w)) AS BIGINT) * 1000) // len(w) < 400 AS keep
+FROM t ORDER BY doc_id""")),
+
     ("q57_pii_redaction", (s, d) => {
       // plant a deterministic email + phone in every document, then scrub;
       // the oracle replays both regex passes (patterns restricted to the

@@ -55,6 +55,29 @@ object MaintenanceOps {
       else acc.withColumn(name, default)
     }
 
+  /** Column profile for destination-table / corpus QA: null counts and
+    * canonical-string min/max per column, computed in ONE map-side-
+    * combinable aggregation pass over the table (never one job per
+    * column), then unpivoted row-per-column. The profile is the drift/
+    * sanity check a merge pipeline runs against its snapshot — cheap at
+    * any scale because the shuffle carries 4 values per column total.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"__n_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map(c => struct(
+      lit(c).as("col_name"),
+      (col("__rows") - col(s"__n_$c")).as("n_null"),
+      col(s"__n_$c").as("n_nonnull"),
+      col(s"__min_$c").as("min_str"),
+      col(s"__max_$c").as("max_str")))
+    row.select(explode(array(structs: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Merge-assertion (clients/shared/merge.go:194-209): the merged frame
     * must account for at least the buffered row count (rows can only be
     * net-added or replaced, never silently lost). Returns the merged count.

@@ -56,6 +56,26 @@ object TextOps {
     normalizeWhitespace(decoded)
   }
 
+  /** Repetition metrics for quality filtering (the Gopher-style
+    * "fraction of duplicate n-grams" family): duplicated-token count and
+    * the permille ratio as INTEGER arithmetic (a float division would
+    * break oracle parity — rule 2 of the parity notes). A document whose
+    * tokens are mostly repeats of a few phrases scores high and gets
+    * filtered before training.
+    */
+  def duplicateTokenCount(text: Column): Column = {
+    val toks = split(text, " ")
+    size(toks) - size(array_distinct(toks))
+  }
+
+  /** Duplicate-token ratio in permille (0-1000), integer-exact (`div`,
+    * never float division).
+    */
+  def repetitionPermille(text: Column): Column = {
+    val toks = split(text, " ")
+    call_function("div", duplicateTokenCount(text).cast("long") * 1000, size(toks).cast("long"))
+  }
+
   /** Conservative PII patterns shared by the Spark side and the SQL
     * oracle. Kept to the regex subset with identical semantics in Java
     * regex and RE2 (character classes, +, {m,}, alternation — no
