@@ -675,6 +675,32 @@ SELECT doc_id, trim(regexp_replace($decoded, '${TextOps.WhitespaceClass}+', ' ',
 FROM src ORDER BY doc_id"""
       }),
 
+    ("q60_asof_join", (s, d) => {
+      // point-in-time lookup: for every order, the customer's latest event
+      // at or before the order date — the union+window as-of composition
+      // (one key shuffle, no range-join explosion). DuckDB's native ASOF
+      // JOIN is the oracle.
+      // o_orderdate is TIMESTAMP_NTZ; the UTC session makes the cast a
+      // wall-clock identity, matching DuckDB's epoch_us on the naive value
+      val left = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("o_us"))
+      val right = Tables.events(s, d).select(col("user_id").as("k"),
+        expr("ts_ns div 1000").as("e_us"), col("event_id"), col("event_type"))
+      graft.operators.AsofOps.asofJoin(left, right, "k",
+        col("o_us"), col("e_us"), "event_id", Seq("event_id", "event_type"))
+        .select(col("o_orderkey"), col("k").as("o_custkey"),
+          col("event_id").as("last_event_id"), col("event_type").as("last_event_type"))
+        .orderBy(col("o_orderkey"))
+    },
+      Some("""WITH e AS (SELECT user_id AS k, epoch_us(ts) AS e_us, event_id, event_type FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) = 1),
+o AS (SELECT o_orderkey, o_custkey AS k, epoch_us(o_orderdate) AS o_us FROM orders)
+SELECT o.o_orderkey, o.k AS o_custkey, e.event_id AS last_event_id,
+  e.event_type AS last_event_type
+FROM o ASOF LEFT JOIN e ON o.k = e.k AND e.e_us <= o.o_us
+ORDER BY o_orderkey""")),
+
     ("q59_column_profile", (s, d) =>
       // snapshot QA profile: nulls + canonical min/max per column in one
       // aggregation pass (row-per-column unpivot)

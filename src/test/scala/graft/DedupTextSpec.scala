@@ -259,6 +259,25 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin: inclusive point-in-time lookup, tuple-consistent null payloads") {
+    import graft.operators.AsofOps
+    val left = Seq((101L, 1L, 10L), (102L, 1L, 20L), (103L, 1L, 4L), (104L, 2L, 50L))
+      .toDF("oid", "k", "t")
+    val right = Seq(
+      (1L, 5L, 7L, "a"), // k=1 t=5
+      (1L, 20L, 8L, null.asInstanceOf[String]), // equal-time inclusive; null member
+      (1L, 20L, 9L, "dup"), // same (k, t): max tie-break (9) must win
+      (3L, 1L, 1L, "other")).toDF("k", "t2", "eid", "v")
+    val got = AsofOps.asofJoin(left, right, "k", col("t"), col("t2"), "eid", Seq("eid", "v"))
+      .select(col("oid"), col("eid"), col("v")).orderBy("oid").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]), Option(r.getString(2))))
+    assert(got.toSeq == Seq(
+      (101L, Some(7L), Some("a")), // latest at/before 10 is t=5
+      (102L, Some(9L), Some("dup")), // t=20 inclusive; (k,t) dedup keeps eid 9
+      (103L, None, None), // nothing at/before 4
+      (104L, None, None))) // key with no right rows
+  }
+
   test("empty-input edges: packing, percentiles, and sketches return empty, not errors") {
     import graft.operators.{SamplingOps, SketchOps}
     val emptyDocs = Seq.empty[(Long, Long)].toDF("doc_id", "n_toks")
