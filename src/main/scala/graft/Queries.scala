@@ -715,7 +715,8 @@ SELECT 'event_type', COUNT(*) - COUNT(event_type), COUNT(event_type),
   MIN(event_type), MAX(event_type) FROM events
 UNION ALL
 SELECT 'value', COUNT(*) - COUNT(value), COUNT(value),
-  CAST(MIN(value) AS VARCHAR), CAST(MAX(value) AS VARCHAR) FROM events
+  CAST(CAST(MIN(value) AS DECIMAL(30,6)) AS VARCHAR),
+  CAST(CAST(MAX(value) AS DECIMAL(30,6)) AS VARCHAR) FROM events
 ORDER BY col_name""")),
 
     ("q58_repetition_filter", (s, d) =>

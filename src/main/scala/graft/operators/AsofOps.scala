@@ -10,15 +10,20 @@ import org.apache.spark.sql.functions._
   * native operator; the naive range join explodes to one row per
   * (left, earlier-right) pair and then filters. This implementation is
   * the scalable composition: UNION both sides tagged, ONE window
-  * partitioned by key and ordered by (time, tag) carrying the right
+  * partitioned by key and ordered by (time, tag, tie) carrying the right
   * payload forward with `last(ignoreNulls)`, then keep the left rows.
-  * Cost: one shuffle on the key, state per partition = one payload row —
+  * Cost: ONE shuffle on the key, state per partition = one payload row —
   * linear at any scale, no join explosion, AQE-skew-safe.
   *
-  * Determinism: right rows that share (key, time) are collapsed to the
-  * one with the highest tie-break BEFORE the window (`rightTieCol`), so
-  * the carried payload is unique; right rows sort before left rows at
-  * equal time (tag 0 < 1), giving inclusive <= semantics.
+  * Semantics match a true join:
+  *  - right rows sort before left rows at equal time (tag 0 < 1), giving
+  *    inclusive <= matching;
+  *  - right rows sharing (key, time) resolve to the HIGHEST `rightTieCol`
+  *    (they sort by the tie-break under the same window — no separate
+  *    dedup shuffle);
+  *  - right rows with a NULL key or NULL time are dropped up front: an
+  *    equality/<= predicate never matches NULL, but a window would
+  *    happily group and carry them.
   */
 object AsofOps {
   /** @param leftTime/rightTime integer-comparable time columns (same unit)
@@ -29,26 +34,30 @@ object AsofOps {
                leftTime: Column, rightTime: Column,
                rightTieCol: String, payload: Seq[String]): DataFrame = {
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
-    val reserved = Seq("__t", "__tag")
-    require(!(payload :+ keyCol :+ rightTieCol).exists(reserved.contains),
+    val reserved = Seq("__t", "__tag", "__tie", "__pl")
+    val allNames = left.columns.toSeq ++ payload ++ Seq(keyCol, rightTieCol)
+    require(!allNames.exists(reserved.contains),
       s"columns may not use the reserved names ${reserved.mkString(", ")}")
-    // collapse equal-time right rows to the max tie-break row (one window
-    // partitioned by (key, time) — no global ordering anywhere)
-    val dedupW = Window.partitionBy(col(keyCol), rightTime)
-      .orderBy(col(rightTieCol).desc)
+    val collisions = payload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"payload columns collide with left columns: ${collisions.mkString(", ")} — " +
+        "rename one side before joining")
     val r = right
-      .withColumn("__rn", row_number().over(dedupW)).filter(col("__rn") === 1)
+      .filter(col(keyCol).isNotNull && rightTime.isNotNull)
       .select(col(keyCol) +: rightTime.as("__t") +: lit(0).as("__tag") +:
-        payload.map(col): _*)
+        col(rightTieCol).as("__tie") +: payload.map(col): _*)
     val l = left.select(
-      left.columns.map(col) :+ leftTime.as("__t") :+ lit(1).as("__tag"): _*)
+      left.columns.map(col) :+ leftTime.as("__t") :+ lit(1).as("__tag") :+
+        lit(null).cast(right.schema(rightTieCol).dataType).as("__tie"): _*)
     val lWithNullPayload = payload.foldLeft(l)((acc, p) =>
       acc.withColumn(p, lit(null).cast(r.schema(p).dataType)))
     val rWithNullLeft = left.columns.filterNot(_ == keyCol)
       .foldLeft(r)((acc, c) => acc.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     val unioned = lWithNullPayload.unionByName(rWithNullLeft)
+    // equal-(key, time) right rows sort by the tie-break, so `last` picks
+    // the highest one — the dedup rides the SAME (and only) shuffle
     val carryW = Window.partitionBy(col(keyCol))
-      .orderBy(col("__t"), col("__tag"))
+      .orderBy(col("__t"), col("__tag"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, 0)
     // the payload rides as ONE struct (non-null exactly on right rows):
     // carrying columns independently with last(ignoreNulls) would tear the

@@ -64,17 +64,29 @@ object MaintenanceOps {
     */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")
+    // backtick-quote every reference so a column name containing '.' is
+    // profiled instead of parsed as nested-field access
+    def q(name: String) = col("`" + name.replace("`", "``") + "`")
+    // float min/max render via a fixed-scale decimal: raw double-to-string
+    // flips to scientific notation at 1e7 on the JVM (and spells NaN/Inf
+    // differently) where other engines print plain digits — decimal text
+    // is the one float format engines agree on
+    def canonical(c: Column, name: String): Column = df.schema(name).dataType match {
+      case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+        c.cast(org.apache.spark.sql.types.DecimalType(30, 6)).cast("string")
+      case _ => c.cast("string")
+    }
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
-      count(col(c)).as(s"__n_$c"),
-      min(col(c)).cast("string").as(s"__min_$c"),
-      max(col(c)).cast("string").as(s"__max_$c")))
+      count(q(c)).as(s"__n_$c"),
+      canonical(min(q(c)), c).as(s"__min_$c"),
+      canonical(max(q(c)), c).as(s"__max_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*)
     val structs = cols.map(c => struct(
       lit(c).as("col_name"),
-      (col("__rows") - col(s"__n_$c")).as("n_null"),
-      col(s"__n_$c").as("n_nonnull"),
-      col(s"__min_$c").as("min_str"),
-      col(s"__max_$c").as("max_str")))
+      (q("__rows") - q(s"__n_$c")).as("n_null"),
+      q(s"__n_$c").as("n_nonnull"),
+      q(s"__min_$c").as("min_str"),
+      q(s"__max_$c").as("max_str")))
     row.select(explode(array(structs: _*)).as("p")).select(col("p.*"))
   }
 

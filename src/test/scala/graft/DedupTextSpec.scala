@@ -264,18 +264,23 @@ class DedupTextSpec extends AnyFunSuite {
     val left = Seq((101L, 1L, 10L), (102L, 1L, 20L), (103L, 1L, 4L), (104L, 2L, 50L))
       .toDF("oid", "k", "t")
     val right = Seq(
-      (1L, 5L, 7L, "a"), // k=1 t=5
-      (1L, 20L, 8L, null.asInstanceOf[String]), // equal-time inclusive; null member
-      (1L, 20L, 9L, "dup"), // same (k, t): max tie-break (9) must win
-      (3L, 1L, 1L, "other")).toDF("k", "t2", "eid", "v")
+      (1L, Some(5L), 7L, "a"), // k=1 t=5
+      (1L, Some(20L), 8L, null.asInstanceOf[String]), // equal-time inclusive; null member
+      (1L, Some(20L), 9L, "dup"), // same (k, t): max tie-break (9) must win
+      (2L, None, 99L, "nullt"), // NULL time never matches (dropped up front)
+      (3L, Some(1L), 1L, "other")).toDF("k", "t2", "eid", "v")
     val got = AsofOps.asofJoin(left, right, "k", col("t"), col("t2"), "eid", Seq("eid", "v"))
       .select(col("oid"), col("eid"), col("v")).orderBy("oid").collect()
       .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]), Option(r.getString(2))))
     assert(got.toSeq == Seq(
       (101L, Some(7L), Some("a")), // latest at/before 10 is t=5
-      (102L, Some(9L), Some("dup")), // t=20 inclusive; (k,t) dedup keeps eid 9
+      (102L, Some(9L), Some("dup")), // t=20 inclusive; tie-break keeps eid 9
       (103L, None, None), // nothing at/before 4
-      (104L, None, None))) // key with no right rows
+      (104L, None, None))) // only a NULL-time right row for this key
+    // payload names colliding with left columns are rejected, not nulled
+    intercept[IllegalArgumentException](
+      AsofOps.asofJoin(left.withColumnRenamed("oid", "v"), right, "k",
+        col("t"), col("t2"), "eid", Seq("eid", "v")))
   }
 
   test("empty-input edges: packing, percentiles, and sketches return empty, not errors") {
