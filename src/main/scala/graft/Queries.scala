@@ -736,6 +736,27 @@ SELECT doc_id,
   (CAST(len(w) - len(list_distinct(w)) AS BIGINT) * 1000) // len(w) < 400 AS keep
 FROM t ORDER BY doc_id""")),
 
+    ("q61_sequence_assignments", (s, d) => {
+      // data-loader view of the q48 packing: docs per training sequence
+      // (row-local explode of each doc's sequence span, then one groupBy)
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+      val packed = graft.operators.SamplingOps.packSequences(toks, "doc_id", "n_toks", 2048)
+      graft.operators.SamplingOps.sequenceAssignments(packed, "doc_id")
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("seq_id"))
+    },
+      Some("""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e FROM t),
+spans AS (SELECT doc_id, (e - n_tokens) // 2048 AS s0, (e - 1) // 2048 AS s1
+  FROM c WHERE n_tokens > 0),
+a AS (SELECT doc_id, unnest(range(s0, s1 + 1)) AS seq_id FROM spans)
+SELECT seq_id, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM a GROUP BY seq_id ORDER BY seq_id""")),
+
     ("q57_pii_redaction", (s, d) => {
       // plant a deterministic email + phone in every document, then scrub;
       // the oracle replays both regex passes (patterns restricted to the

@@ -94,4 +94,14 @@ object SamplingOps {
         pmod(col("global_start"), lit(seqLen.toLong)).as("start_off"),
         expr(s"(__pack_end - 1) div ${seqLen}L").as("end_seq"))
   }
+
+  /** Materialize the packing layout from [[packSequences]] as one row per
+    * (training sequence, contributing document) — the assignment a data
+    * loader actually consumes. A doc contributes to every sequence in its
+    * [start_seq, end_seq] span, so this is a row-local explode (no
+    * shuffle); boundary-straddling docs appear once per touched sequence.
+    */
+  def sequenceAssignments(packed: DataFrame, orderCol: String): DataFrame =
+    packed.select(col(orderCol),
+      explode(sequence(col("start_seq"), col("end_seq"))).as("seq_id"))
 }
