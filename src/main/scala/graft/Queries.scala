@@ -707,7 +707,7 @@ ORDER BY o_orderkey""")),
       graft.operators.MaintenanceOps.profileColumns(
         Tables.events(s, d), Seq("event_id", "event_type", "value"))
         .orderBy(col("col_name")),
-      Some("""SELECT 'event_id' AS col_name, COUNT(*) - COUNT(event_id) AS n_null,
+      Some(s"""SELECT 'event_id' AS col_name, COUNT(*) - COUNT(event_id) AS n_null,
   COUNT(event_id) AS n_nonnull, CAST(MIN(event_id) AS VARCHAR) AS min_str,
   CAST(MAX(event_id) AS VARCHAR) AS max_str FROM events
 UNION ALL
@@ -715,8 +715,7 @@ SELECT 'event_type', COUNT(*) - COUNT(event_type), COUNT(event_type),
   MIN(event_type), MAX(event_type) FROM events
 UNION ALL
 SELECT 'value', COUNT(*) - COUNT(value), COUNT(value),
-  CAST(CAST(MIN(value) AS DECIMAL(30,6)) AS VARCHAR),
-  CAST(CAST(MAX(value) AS DECIMAL(30,6)) AS VARCHAR) FROM events
+  ${doubleProfileSql("MIN(value)")}, ${doubleProfileSql("MAX(value)")} FROM events
 ORDER BY col_name""")),
 
     ("q58_repetition_filter", (s, d) =>
@@ -736,21 +735,15 @@ SELECT doc_id,
   (CAST(len(w) - len(list_distinct(w)) AS BIGINT) * 1000) // len(w) < 400 AS keep
 FROM t ORDER BY doc_id""")),
 
-    ("q61_sequence_assignments", (s, d) => {
-      // data-loader view of the q48 packing: docs per training sequence
-      // (row-local explode of each doc's sequence span, then one groupBy)
-      val toks = Tables.documents(s, d).select(col("doc_id"),
-        size(split(col("text"), " ")).cast(LongType).as("n_toks"))
-      val packed = graft.operators.SamplingOps.packSequences(toks, "doc_id", "n_toks", 2048)
-      graft.operators.SamplingOps.sequenceAssignments(packed, "doc_id")
+    ("q61_sequence_assignments", (s, d) =>
+      // data-loader view of the q48 packing (shared prep): docs per
+      // training sequence via a row-local span explode + one groupBy
+      graft.operators.SamplingOps.sequenceAssignments(packedDocs(s, d), "doc_id")
         .groupBy(col("seq_id"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
-        .orderBy(col("seq_id"))
-    },
-      Some("""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
-c AS (SELECT doc_id, n_tokens,
-  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e FROM t),
+        .orderBy(col("seq_id")),
+      Some(s"""WITH $packedSpansCtes,
 spans AS (SELECT doc_id, (e - n_tokens) // 2048 AS s0, (e - 1) // 2048 AS s1
   FROM c WHERE n_tokens > 0),
 a AS (SELECT doc_id, unnest(range(s0, s1 + 1)) AS seq_id FROM spans)
@@ -913,17 +906,11 @@ FROM w, (VALUES (0.5), (0.9)) t(q)
 WHERE floor((n - 1) * q) >= off AND floor((n - 1) * q) < off + c
 ORDER BY lang, q""")),
 
-    ("q48_sequence_packing", (s, d) => {
+    ("q48_sequence_packing", (s, d) =>
       // concat-then-chunk packing: every doc's span of 2048-token training
-      // sequences, from one prefix-sum window — all integer arithmetic
-      val toks = Tables.documents(s, d).select(col("doc_id"),
-        size(split(col("text"), " ")).cast(LongType).as("n_toks"))
-      graft.operators.SamplingOps.packSequences(toks, "doc_id", "n_toks", 2048)
-        .orderBy(col("doc_id"))
-    },
-      Some("""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
-c AS (SELECT doc_id, n_tokens,
-  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e FROM t)
+      // sequences — all integer arithmetic (prep shared with q61)
+      packedDocs(s, d).orderBy(col("doc_id")),
+      Some(s"""WITH $packedSpansCtes
 SELECT doc_id, n_tokens, e - n_tokens AS global_start,
   (e - n_tokens) // 2048 AS start_seq,
   (e - n_tokens) % 2048 AS start_off,
@@ -941,6 +928,30 @@ FROM c WHERE n_tokens > 0 ORDER BY doc_id""")),
       {"type":"string","optional":true,"field":"doc","name":"io.debezium.data.Json"}]}]},"payload":null}"""
 
   // ---- shared builders -----------------------------------------------------
+
+  /** q48/q61 shared prep: whitespace token counts -> 2048-token packing. */
+  private def packedDocs(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+    graft.operators.SamplingOps.packSequences(toks, "doc_id", "n_toks", 2048)
+  }
+
+  /** The oracle twin of [[packedDocs]] — token counts + prefix sums. */
+  private def packedSpansCtes: String =
+    """t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e FROM t)"""
+
+  /** Oracle twin of profileColumns' double canonicalization: sentinel
+    * strings for non-finite / out-of-decimal-range values, DECIMAL(30,6)
+    * text otherwise.
+    */
+  private def doubleProfileSql(a: String): String =
+    s"""CASE WHEN isnan($a) THEN 'NaN'
+ WHEN $a = CAST('inf' AS DOUBLE) THEN 'Infinity'
+ WHEN $a = CAST('-inf' AS DOUBLE) THEN '-Infinity'
+ WHEN abs($a) >= 1e24 THEN '__overflow'
+ ELSE CAST(CAST($a AS DECIMAL(30,6)) AS VARCHAR) END"""
 
   /** Replay the second half of `events` as a CDC change set into the
     * snapshot produced by the first half (op mapping: error=delete, others

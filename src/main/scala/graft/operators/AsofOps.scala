@@ -49,10 +49,14 @@ object AsofOps {
     val l = left.select(
       left.columns.map(col) :+ leftTime.as("__t") :+ lit(1).as("__tag") :+
         lit(null).cast(right.schema(rightTieCol).dataType).as("__tie"): _*)
-    val lWithNullPayload = payload.foldLeft(l)((acc, p) =>
-      acc.withColumn(p, lit(null).cast(r.schema(p).dataType)))
-    val rWithNullLeft = left.columns.filterNot(_ == keyCol)
-      .foldLeft(r)((acc, c) => acc.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    // pad each side's missing columns in ONE projection (a per-column
+    // withColumn chain costs an analysis pass per column — quadratic on
+    // the wide frames this operator targets)
+    val lWithNullPayload = l.select(l.columns.map(col) ++
+      payload.map(p => lit(null).cast(r.schema(p).dataType).as(p)): _*)
+    val rWithNullLeft = r.select(r.columns.map(col) ++
+      left.columns.filterNot(_ == keyCol)
+        .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val unioned = lWithNullPayload.unionByName(rWithNullLeft)
     // equal-(key, time) right rows sort by the tie-break, so `last` picks
     // the highest one — the dedup rides the SAME (and only) shuffle

@@ -70,10 +70,17 @@ object MaintenanceOps {
     // float min/max render via a fixed-scale decimal: raw double-to-string
     // flips to scientific notation at 1e7 on the JVM (and spells NaN/Inf
     // differently) where other engines print plain digits — decimal text
-    // is the one float format engines agree on
+    // is the one float format engines agree on. Non-finite values and
+    // magnitudes past DECIMAL(30,6)'s 1e24 range get explicit sentinels:
+    // a silent NULL (non-ANSI cast) would make a column full of Infinity
+    // artifacts — exactly what a profiler exists to catch — look all-null.
     def canonical(c: Column, name: String): Column = df.schema(name).dataType match {
       case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
-        c.cast(org.apache.spark.sql.types.DecimalType(30, 6)).cast("string")
+        when(isnan(c), lit("NaN"))
+          .when(c === Double.PositiveInfinity, lit("Infinity"))
+          .when(c === Double.NegativeInfinity, lit("-Infinity"))
+          .when(abs(c) >= 1e24, lit("__overflow"))
+          .otherwise(c.cast(org.apache.spark.sql.types.DecimalType(30, 6)).cast("string"))
       case _ => c.cast("string")
     }
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
