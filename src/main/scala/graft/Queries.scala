@@ -790,6 +790,24 @@ SELECT doc_id, lang FROM b
 WHERE bkt < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 25 ELSE 10 END
 ORDER BY doc_id""")),
 
+    ("q62_top_words_by_lang", (s, d) => {
+      // vocabulary report: 5 most frequent words per language — map-side-
+      // combinable (lang, word) counts, then a rank window partitioned on
+      // the language (bounded rows per partition after the aggregation)
+      val words = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      val counts = words.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("word"))
+      counts.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 5)
+        .orderBy(col("lang"), col("rank"))
+    },
+      Some("""WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT lang, word, COUNT(*) AS n FROM w GROUP BY 1, 2)
+SELECT lang, word, n, rank FROM (
+  SELECT lang, word, n, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rank FROM c)
+WHERE rank <= 5 ORDER BY lang, rank""")),
+
     ("q46_kmv_distinct_sketch", (s, d) => {
       // distinct-word cardinality per language via the bounded KMV sketch
       // (custom TypedImperativeAggregate; k entries of state per group).
