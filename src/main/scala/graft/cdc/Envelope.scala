@@ -49,13 +49,21 @@ object Envelope {
 
   private def decodeWithPayload(df: DataFrame, rowSchema: StructType,
                                 payload: Column): DataFrame = {
-    // ALL envelope references live in ONE projection, leaving the planner
-    // free to either share one parse (subexpression elimination) or prune
-    // a smaller per-column schema for each reference (OptimizeJsonExprs) —
-    // measured equal to the aliased two-stage form at sf0.1. The guard
-    // filter below runs on the extracted attribute, not the parse
-    // expression.
-    val p = payload
+    // The parsed payload is materialized ONCE per row as a generated
+    // attribute (`explode` of a 1-element array). Without the Generate
+    // barrier, OptimizeJsonExprs splits the parse into a schema-pruned
+    // copy per referenced column (each still scanning the full JSON text
+    // — N row columns = N parses), and predicate pushdown drags the final
+    // op-null guard below the projection and any repartition Exchange,
+    // re-running the parse chain on the source partitioning (one
+    // partition for a small file or micro-batch).
+    require(!df.columns.contains("__p"),
+      "relational decode: input must not contain reserved column __p")
+    val carriedIn = Seq("offset", "partition", "timestamp")
+      .filter(df.columns.contains).map(col)
+    val step1 = df.filter(col("value").isNotNull && length(col("value")) > 0)
+      .select(Seq(explode(array(payload)).as("__p")) ++ carriedIn: _*)
+    val p = col("__p")
     val op = p.getField("op")
     val isDelete = op === "d"
     val rowCols = rowSchema.fieldNames.toSeq.map { f =>
@@ -68,10 +76,8 @@ object Envelope {
       p.getField("ts_ms").as("__source_ts_ms"),
       to_json(p.getField("source")).as(Constants.SourceMetadataCol),
     )
-    val carried = Seq("offset", "partition", "timestamp")
-      .filter(df.columns.contains).map(col)
-    df.filter(col("value").isNotNull && length(col("value")) > 0)
-      .select(rowCols ++ metaCols ++ carried: _*)
+    val carried = step1.columns.filter(_ != "__p").map(col)
+    step1.select(rowCols ++ metaCols ++ carried: _*)
       // malformed JSON parses to a null envelope -> null op after the
       // projection; dropping here keeps phantom all-null rows (null PK,
       // null delete flag) out of the dedup/merge stages. The predicate is
@@ -101,9 +107,10 @@ object Envelope {
         .getField("op")
       else from_json(col("value").cast(StringType), envelopeSchema(rowSchema))
         .getField("payload").getField("op")
+    // filter on the expression directly — a helper column would shadow any
+    // pre-existing column of the same name and corrupt the dead-letter rows
     df.filter(col("value").isNotNull && length(col("value")) > 0)
-      .withColumn("__op", op)
-      .filter(col("__op").isNull)
+      .filter(op.isNull)
       .select(out.toIndexedSeq: _*)
   }
 
