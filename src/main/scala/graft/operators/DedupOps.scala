@@ -309,12 +309,24 @@ object DedupOps {
       .select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
       .select(col("id"), explode(shingleArrayFromTokens(col("__toks"), 2)).as("w"))
     val h = graft.functions.Converters.fingerprint64(col("w"))
-    val bitAggs = (0 until 30).map { j =>
-      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+    // the 30 per-bit counters ride in 15 longs (bits j and j+15 share one
+    // long, 32-bit lanes) + one count: half the aggregation-buffer slots
+    // and map-side update work of 30 separate sums, same signature — the
+    // ±1 sign test `sum(±1) > 0` is equivalent to `2*ones > n`. 32-bit
+    // lanes keep the packing overflow-safe to 2^32 features per document.
+    val packedCols = (0 until 15).map { g =>
+      (shiftright(h, g).bitwiseAND(1) +
+        shiftright(h, g + 15).bitwiseAND(1) * lit(1L << 32)).as(s"p$g")
     }
-    val sums = feats.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val sig = (0 until 30).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
+    val withPacked = feats.select(Seq(col("id")) ++ packedCols: _*)
+    val aggs = (0 until 15).map(g => sum(col(s"p$g")).as(s"sp$g")) :+ count(lit(1)).as("n")
+    val sums = withPacked.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val sig = (0 until 30).map { j =>
+      val g = j % 15
+      val ones = if (j >= 15) shiftright(col(s"sp$g"), 32)
+                 else col(s"sp$g").bitwiseAND(0xFFFFFFFFL)
+      when(ones * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
     sums.select(col("id"), sig.as("simhash"))
   }
 
@@ -350,26 +362,36 @@ object DedupOps {
       .localCheckpoint(true)
     var changed = 1L
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbrMin = edges.join(labels, col("dst") === col("id"))
+    // one propagation step: min over the neighborhood, carrying any extra
+    // columns (the round-start label rides along for the change flag)
+    def step(l: DataFrame): DataFrame = {
+      val nbrMin = edges.join(l.select(col("id"), col("lbl")), col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      // ONE action per round: the change flag rides the label-update
-      // projection (no join back against the previous labels), the
-      // checkpoint is lazy, and the convergence count both materializes
-      // it and reads the flag from the freshly stored blocks.
       val newLbl = least(col("lbl"), coalesce(col("nlbl"), col("lbl")))
-      val updated = labels.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"), newLbl.as("lbl"), (newLbl =!= col("lbl")).as("__chg"))
+      l.join(nbrMin, col("id") === col("src"), "left")
+        .select(Seq(col("id"), newLbl.as("lbl")) ++
+          l.columns.filter(c => c != "id" && c != "lbl").map(col): _*)
+    }
+    while (changed > 0 && i < maxIter) {
+      // TWO propagation steps per action: at bench scale the loop cost is
+      // dominated by per-round fixed overhead (job launch, checkpoint,
+      // codegen), not data volume, so halving the rounds halves the loop.
+      // The change flag compares the final label to the ROUND-START label
+      // (carried through both steps — no join back); labels only decrease
+      // (least), so "no change across the double step" <=> fixpoint.
+      val updated = step(step(labels.select(col("id"), col("lbl"), col("lbl").as("__lbl0"))))
+        .select(col("id"), col("lbl"), (col("lbl") =!= col("__lbl0")).as("__chg"))
         .localCheckpoint(false)
       changed = updated.filter(col("__chg")).count()
       labels = updated.select(col("id"), col("lbl"))
       i += 1
     }
     // wrong-but-plausible labels are worse than failing: a component whose
-    // diameter exceeds maxIter would report an intermediate id as canonical
+    // diameter exceeds the propagation budget would report an intermediate
+    // id as canonical
     require(changed == 0,
-      s"nearDupGroups did not converge in $maxIter rounds — component diameter " +
-        s"exceeds maxIter; raise maxIter (or use a star-contraction variant for deep chains)")
+      s"nearDupGroups did not converge in $maxIter double-rounds (${2 * maxIter} steps) — " +
+        s"raise maxIter (or use nearDupGroupsStar for deep chains)")
     val out = labels.union(singletons).select(col("id"), col("lbl").as("canonical_id"))
       .localCheckpoint(true) // materialize before releasing the inputs below
     edges.unpersist()
