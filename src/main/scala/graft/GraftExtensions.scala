@@ -55,6 +55,8 @@ object GraftExtensions {
     "graft_ewkb_geojson" -> arity(1, "graft_ewkb_geojson")(es => EwkbToGeoJson(es.head)),
     "graft_gunzip" -> arity(1, "graft_gunzip")(es => Gunzip(es.head)),
     "graft_hmac_sha256" -> arity(2, "graft_hmac_sha256")(es => HmacSha256(es(0), es(1))),
+    "graft_nfc_strip_accents" -> arity(1, "graft_nfc_strip_accents")(es =>
+      NfcStripAccents(es.head)),
   )
 
   /** Register on an already-built session (tests, REPLs). */

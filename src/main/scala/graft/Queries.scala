@@ -934,6 +934,101 @@ SELECT doc_id, n_tokens, e - n_tokens AS global_start,
   (e - n_tokens) % 2048 AS start_off,
   (e - 1) // 2048 AS end_seq
 FROM c WHERE n_tokens > 0 ORDER BY doc_id""")),
+
+    ("q63_contamination", (s, d) => {
+      // train/test decontamination: 3-gram overlap of every corpus doc
+      // (doc_id % 10 != 0) against the benchmark split (doc_id % 10 == 0);
+      // the benchmark shingle set broadcasts, the corpus is scanned once
+      val docs = Tables.documents(s, d)
+      DedupOps.ngramContamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 3)
+        .orderBy(col("id"))
+    },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM
+  (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s FROM toks)),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)
+SELECT c.doc_id AS id, count(*) AS n_shingles, count(b.s) AS n_hits,
+  (count(b.s) * 1000) // count(*) AS hit_permille
+FROM corpus c LEFT JOIN bench b ON b.s = c.s
+GROUP BY 1 ORDER BY id""")),
+
+    ("q64_doc_chunking", (s, d) =>
+      // context-window prep: overlapping 64-token chunks advancing by 48 —
+      // a map-only Generate, no shuffle
+      graft.operators.SamplingOps.chunkDocuments(
+        Tables.documents(s, d), "doc_id", "text", 64, 48)
+        .orderBy(col("id"), col("chunk_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+st AS (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 1, 0) + 1, 48)) AS s FROM toks)
+SELECT doc_id AS id, s // 48 AS chunk_id,
+  array_to_string(list_slice(w, s + 1, s + 64), ' ') AS chunk_text,
+  least(64, len(w) - s) AS n_tokens
+FROM st ORDER BY id, chunk_id""")),
+
+    ("q65_embed_quantize", (s, d) =>
+      // int8 storage quantization of the embedding corpus: per-row column
+      // math only (map-only at any scale); csv text form keeps the
+      // cross-engine compare exact
+      SimilarityOps.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy(col("id")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT vec_id AS id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e)
+SELECT id, CAST(floor(ma * 1000000.0) AS BIGINT) AS maxabs_e6,
+  CASE WHEN ma = 0 THEN array_to_string(list_transform(v, x -> 0), ',')
+       ELSE array_to_string(list_transform(v, x -> CAST(floor(x * 127.0 / ma + 0.5) AS INT)), ',')
+  END AS q_csv,
+  CAST(len(v) AS BIGINT) AS dim
+FROM m ORDER BY id""")),
+
+    ("q66_token_budget_sample", (s, d) => {
+      // per-language token quota: longest documents first until the 2000-
+      // token budget fills — one window partitioned on the group
+      val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars"), TextOps.wordCount(col("text")).cast(LongType).as("n_tokens"))
+      graft.operators.SamplingOps.sampleToTokenBudget(
+        t, "lang", "n_chars", "doc_id", "n_tokens", 2000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+      Some("""WITH t AS (SELECT doc_id, lang, n_chars,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+w AS (SELECT doc_id, lang, n_tokens,
+  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens
+  FROM t)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM w WHERE cum_tokens <= 2000
+ORDER BY lang, doc_id""")),
+
+    ("q67_unicode_normalize", (s, d) =>
+      // unicode canonicalization via the codegen'd NfcStripAccents
+      // expression, checked against DuckDB's independent strip_accents:
+      // accents are injected deterministically, then both engines must
+      // strip them back to the identical original
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.nfcStripAccents(
+          translate(col("text"), "aeo", "áéõ")).as("normalized"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+  strip_accents(translate(text, 'aeo', chr(225) || chr(233) || chr(245))) AS normalized
+FROM documents ORDER BY doc_id""")),
+
+    ("q68_distinctive_terms", (s, d) =>
+      // rarity-weighted top terms per doc (integer TF-IDF shape): two
+      // key-partitioned aggs + a term equi-join + per-doc rank window
+      TextOps.distinctiveTerms(Tables.documents(s, d), "doc_id", "text", 3)
+        .select(col("id"), col("term"), col("score"), col("rank"))
+        .orderBy(col("id"), col("rank")),
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id AS id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT id, term, (tf * n * 1000) // df AS score FROM tf JOIN dfq USING (term) CROSS JOIN n)
+SELECT id, term, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, term) AS rank FROM s)
+WHERE rank <= 3 ORDER BY id, rank""")),
   )
 
   /** Schema block driving q43's auto-dispatch (shape: schema.go:14-69). */

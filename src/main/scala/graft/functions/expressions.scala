@@ -225,6 +225,45 @@ case class Fingerprint64(child: Expression)
     copy(child = newChild)
 }
 
+/** Static helper for [[NfcStripAccents]], shared between interpreted
+  * eval and generated code.
+  */
+object TextCodec {
+  private val CombiningMarks = java.util.regex.Pattern.compile("\\p{Mn}+")
+
+  /** NFD → drop combining marks → NFC: "café" (precomposed or combining)
+    * → "cafe". The composition is the documented behavior of DuckDB's
+    * `strip_accents` for Latin-script accents, which is what the oracle
+    * replays.
+    */
+  def nfcStripAccents(s: UTF8String): UTF8String = {
+    val nfd = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFD)
+    val stripped = CombiningMarks.matcher(nfd).replaceAll("")
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(stripped, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Unicode canonicalization: NFC with combining marks stripped — the
+  * text-normalization step before exact/near dedup, so visually identical
+  * strings with different codepoint sequences collapse. Codegen'd call
+  * into the static helper (no UDF, stays inside whole-stage codegen).
+  */
+case class NfcStripAccents(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nfc_strip_accents needs STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextCodec.nfcStripAccents(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextCodec.nfcStripAccents($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Allocation-free dot product over two array<double> columns. The
   * higher-order `aggregate(zip_with(...))` formulation materializes a
   * zipped array per row; this expression is a tight codegen'd loop —

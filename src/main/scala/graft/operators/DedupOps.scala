@@ -493,4 +493,29 @@ object DedupOps {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Benchmark-contamination screen: per corpus document, how many of its
+    * distinct word n-gram shingles appear anywhere in a benchmark corpus —
+    * the train/test decontamination step of a training-data pipeline (the
+    * "13-gram overlap" family of checks). Output:
+    * (id, n_shingles, n_hits, hit_permille), integer arithmetic only.
+    *
+    * Scale shape: the benchmark side is tiny relative to a 100 TB corpus,
+    * so its deduplicated shingle set is BROADCAST and the membership probe
+    * is a map-side join; per-document counts partial-aggregate before the
+    * one shuffle on the document id. The corpus is scanned exactly once.
+    */
+  def ngramContamination(docs: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int): DataFrame = {
+    val docSh = shingles(docs, idCol, textCol, n)
+    val benchSh = broadcast(
+      shingles(bench, idCol, textCol, n).select(col("shingle")).distinct()
+        .withColumn("__hit", lit(1L)))
+    docSh.join(benchSh, Seq("shingle"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col("id"), col("n_shingles"), col("n_hits"),
+        call_function("div", col("n_hits") * 1000, col("n_shingles")).as("hit_permille"))
+  }
 }

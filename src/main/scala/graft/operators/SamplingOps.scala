@@ -104,4 +104,48 @@ object SamplingOps {
   def sequenceAssignments(packed: DataFrame, orderCol: String): DataFrame =
     packed.select(col(orderCol),
       explode(sequence(col("start_seq"), col("end_seq"))).as("seq_id"))
+
+  /** Overlapping fixed-size token chunks (chunkSize tokens, window
+    * advancing by stride): context-window preparation for documents longer
+    * than a model's sequence length. Pure per-row column work — one
+    * codegen'd projection plus a Generate, no shuffle and no state, so at
+    * 100 TB this is a map-only stage that scales with input splits.
+    * Output: (id, chunk_id, chunk_text, n_tokens); the last chunk of a
+    * document may be shorter than chunkSize.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val nToks = size(col("__toks"))
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      // chunk starts: every multiple of stride below the token count; the
+      // chunk index is start/stride, so no positional explode is needed
+      // (and the SQL replay is the identical expression)
+      .select(col("id"), col("__toks"),
+        explode(sequence(lit(0), greatest(nToks - 1, lit(0)), lit(stride))).as("__start"))
+      .select(col("id"),
+        (col("__start") / stride).cast(LongType).as("chunk_id"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkSize)), " ").as("chunk_text"),
+        least(lit(chunkSize), size(col("__toks")) - col("__start")).cast(LongType).as("n_tokens"))
+  }
+
+  /** Keep the best rows of each group until a per-group token budget is
+    * reached: ORDER each group by `orderCol` (descending, ties on
+    * `tieCol`) and admit rows while the running token total stays within
+    * `budget` — the data-mixing step that fills a per-language /
+    * per-domain quota from the top of the quality ranking.
+    *
+    * One window partitioned ON THE GROUP — work distributes across groups
+    * and no global sort or single partition appears at any scale.
+    */
+  def sampleToTokenBudget(df: DataFrame, groupCol: String, orderCol: String,
+                          tieCol: String, tokenCol: String, budget: Long): DataFrame = {
+    require(!df.columns.contains("cum_tokens"),
+      "sampleToTokenBudget: input must not contain reserved column cum_tokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol).desc, col(tieCol))
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

@@ -157,6 +157,28 @@ object SimilarityOps {
     * Approximate: neighbors in other cells are missed — that is the
     * recall/cost trade the operator buys.
     */
+  /** Per-vector symmetric int8 quantization — the storage/bandwidth step
+    * before shipping an embedding corpus to an ANN index: each component
+    * maps to round(x * 127 / max|x|), so a vector costs 1 byte/dim plus
+    * one scale. Pure per-row column math (transform/array_max — all
+    * codegen'd, no UDF, no shuffle); a 100 TB corpus quantizes as a
+    * map-only stage. The rounding is floor(x + 0.5) — identical in every
+    * IEEE engine, where round() half-even behavior differs — and the
+    * per-vector scale is reported as floor(max|x| * 1e6) (single-op
+    * quantization keeps the float→text step engine-exact). Zero vectors
+    * quantize to all zeros.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val xd = asDouble(col(vecCol))
+    val maxAbs = array_max(transform(xd, x => abs(x)))
+    val q = when(maxAbs === 0.0, transform(xd, _ => lit(0)))
+      .otherwise(transform(xd, x => floor(x * 127.0 / maxAbs + 0.5).cast("int")))
+    emb.select(col(idCol).as("id"),
+      floor(maxAbs * 1000000.0).cast("long").as("maxabs_e6"),
+      array_join(q, ",").as("q_csv"),
+      size(q).cast("long").as("dim"))
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, nCentroids: Int = 16): DataFrame = {
     val base = emb.withColumn("__is_q", queryPred)

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -144,4 +145,41 @@ object TextOps {
     */
   def whitespaceTokens(text: Column): Column = size(split(text, " "))
   def subwordTokens(text: Column): Column = size(regexp_extract_all(text, lit("[a-z0-9]{1,4}"), lit(0)))
+
+  /** Unicode canonicalization for dedup/matching: NFC-normalize, then
+    * strip combining marks (NFD → drop Mn → NFC) — "café" and "café"
+    * (precomposed vs combining) both become "cafe". Backed by the
+    * codegen'd [[graft.functions.NfcStripAccents]] expression; also
+    * registered as SQL function `nfc_strip_accents`.
+    */
+  def nfcStripAccents(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.NfcStripAccents(
+      org.apache.spark.sql.GraftBridge.expression(text)))
+
+  /** Most DISTINCTIVE terms per document: rank terms by a rarity-weighted
+    * frequency score — `tf * N_docs * 1000 / df` in integer arithmetic
+    * (the TF-IDF shape with a rational rarity weight instead of a float
+    * logarithm, so an external SQL engine replays the ranking exactly).
+    *
+    * Scale shape: one shuffle keyed on (doc, term) for term frequencies,
+    * one keyed on term for document frequencies, an equi-join on term
+    * (both sides already term-partitioned), and a rank window partitioned
+    * per document — no global window, no broadcast of corpus-sized state;
+    * the lone scalar (corpus size) broadcasts one row.
+    */
+  def distinctiveTerms(df: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    val words = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
+    val tf = words.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (id, term), so counting them per term IS the
+    // document frequency — no second pass over the corpus
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(docFreq, "term").crossJoin(broadcast(n))
+      .select(col("id"), col("term"),
+        call_function("div", col("tf") * col("__n") * 1000, col("df")).as("score"))
+    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.{DedupOps, SamplingOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 training-data pipeline operators: contamination screening,
+  * chunking, int8 quantization, token-budget sampling, unicode
+  * canonicalization, distinctive terms.
+  */
+class PipelineOpsR4Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ngramContamination counts benchmark-overlapping shingles exactly") {
+    // corpus doc 1 shares its full text with bench doc 10; doc 2 shares
+    // nothing; doc 3 shares one 3-gram ("c d e")
+    val corpus = Seq(
+      (1L, "a b c d"),
+      (2L, "x y z w"),
+      (3L, "q q c d e")).toDF("doc_id", "text")
+    val bench = Seq((10L, "a b c d"), (11L, "m c d e n")).toDF("doc_id", "text")
+    val got = DedupOps.ngramContamination(corpus, bench, "doc_id", "text", 3)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: shingles {a b c, b c d} both hit -> 1000 permille
+    // doc 2: {x y z, y z w} no hits
+    // doc 3: {q q c, q c d, c d e} -> only "c d e" hits
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, 1000L),
+      (2L, 2L, 0L, 0L),
+      (3L, 3L, 1L, 333L)))
+  }
+
+  test("chunkDocuments produces overlapping chunks with a short tail") {
+    val df = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val got = SamplingOps.chunkDocuments(df, "doc_id", "text", 4, 3)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, "t0 t1 t2 t3", 4L),
+      (1L, "t3 t4 t5 t6", 4L),
+      (2L, "t6 t7 t8 t9", 4L),
+      (3L, "t9", 1L)))
+  }
+
+  test("chunkDocuments rejects stride > chunkSize (tokens would be skipped)") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      SamplingOps.chunkDocuments(df, "doc_id", "text", 4, 5)
+    }
+  }
+
+  test("quantizeInt8: extremes map to +-127, zero vector to zeros") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // maxAbs = 1.0 -> scale rows: 0.5 -> 64 (floor(63.5+0.5)), -1 -> -127,
+    // 0.25 -> 32 (floor(31.75+0.5)), 0 -> 0
+    assert(got.toSeq == Seq(
+      (1L, 1000000L, "64,-127,32,0", 4L),
+      (2L, 0L, "0,0,0,0", 4L)))
+  }
+
+  test("sampleToTokenBudget admits top-ordered rows until the group budget") {
+    val df = Seq(
+      // (id, grp, quality, tokens): quality-desc order is c, b, a
+      (1L, "g", 3L, 60L), (2L, "g", 2L, 50L), (3L, "g", 1L, 40L),
+      (4L, "h", 9L, 100L), (5L, "h", 8L, 200L)).toDF("id", "grp", "qual", "toks")
+    val got = SamplingOps.sampleToTokenBudget(df, "grp", "qual", "id", "toks", 110L)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(4)))
+    // g: 60, then 110 (fits exactly), then 150 (over) -> ids 1,2
+    // h: 100, then 300 (over) -> id 4
+    assert(got.toSeq == Seq((1L, 60L), (2L, 110L), (4L, 100L)))
+  }
+
+  test("nfcStripAccents collapses precomposed and combining forms") {
+    // "café" precomposed (U+00E9) and with combining acute (e + U+0301)
+    val df = Seq(("caf\u00e9", "cafe\u0301")).toDF("pre", "comb")
+    val r = df.select(
+      TextOps.nfcStripAccents(col("pre")).as("a"),
+      TextOps.nfcStripAccents(col("comb")).as("b")).head
+    assert(r.getString(0) == "cafe" && r.getString(1) == "cafe")
+    // SQL surface
+    GraftExtensions.register(spark)
+    val sqlR = spark.sql("SELECT graft_nfc_strip_accents('sõb')").head.getString(0)
+    assert(sqlR == "sob")
+  }
+
+  test("distinctiveTerms ranks rare terms above corpus-wide ones") {
+    val df = Seq(
+      (1L, "shared shared rare1"),
+      (2L, "shared shared rare2"),
+      (3L, "shared unique3 unique3")).toDF("doc_id", "text")
+    val got = TextOps.distinctiveTerms(df, "doc_id", "text", 2)
+      .select("id", "term", "rank")
+      .orderBy("id", "rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // doc1: rare1 df=1 tf=1 -> 3000; shared df=3 tf=2 -> 2000
+    // doc3: unique3 df=1 tf=2 -> 6000; shared df=3 tf=1 -> 1000
+    assert(got.toSeq == Seq(
+      (1L, "rare1", 1L), (1L, "shared", 2L),
+      (2L, "rare2", 1L), (2L, "shared", 2L),
+      (3L, "unique3", 1L), (3L, "shared", 2L)))
+  }
+}
