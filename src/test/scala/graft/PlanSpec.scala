@@ -87,4 +87,47 @@ class PlanSpec extends AnyFunSuite {
     // satisfied by "partial_kmvmink" alone)
     assert("kmvmink\\(".r.findAllIn(p).length > "partial_kmvmink\\(".r.findAllIn(p).length)
   }
+
+  test("q49: exactly ONE json parse per row — the Generate barrier holds") {
+    val df = SparkEntry.queries("q49_trackevents_decode")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // regression guard for the round-3 shape: per-field schema-pruned
+    // re-parses (and the validation filter re-running the chain below the
+    // Exchange) each showed up as extra from_json instances
+    assert("from_json\\(".r.findAllIn(p).length == 1, p.take(500))
+  }
+
+  test("q63: benchmark shingle set broadcasts; corpus side never does") {
+    val p = plan("q63_contamination")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("BuildRight")) // the (small) benchmark side
+  }
+
+  test("q64: chunking is map-only — no Exchange anywhere in the plan") {
+    val p = plan("q64_doc_chunking")
+    // the final orderBy is the query's presentation sort; the operator
+    // itself must not shuffle
+    val df = graft.operators.SamplingOps.chunkDocuments(
+      Tables.documents(spark, sf), "doc_id", "text", 64, 48)
+    val op = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!op.contains("Exchange"))
+    assert(op.contains("Generate")) // the explode
+    assert(p.contains("Generate"))
+  }
+
+  test("q66: budget sampling uses a group-partitioned window, no global sort below it") {
+    val df = graft.operators.SamplingOps.sampleToTokenBudget(
+      Tables.documents(spark, sf)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.col("n_chars"),
+          org.apache.spark.sql.functions.lit(1L).as("n_tokens")),
+      "lang", "n_chars", "doc_id", "n_tokens", 2000L)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(lang"))     // partitioned, not global
+    assert(!p.contains("SinglePartition"))
+  }
 }
