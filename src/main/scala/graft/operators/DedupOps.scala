@@ -175,7 +175,11 @@ object DedupOps {
     * Band self-join replaces the quadratic all-pairs comparison.
     */
   def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val exploded = bandSignatures(sig, bands, rowsPerBand)
+    // the self-join consumes the band table twice and Spark does not reuse
+    // the identical subtree (no ReusedExchange across join children), so
+    // the k-way signature aggregation would execute twice; a lazy local
+    // checkpoint of the small (bands rows/doc) table caps it at once
+    val exploded = bandSignatures(sig, bands, rowsPerBand).localCheckpoint(false)
     exploded.as("a").join(exploded.as("b"),
         col("a.bsig") === col("b.bsig") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ia"), col("b.id").as("ib"))
@@ -287,7 +291,10 @@ object DedupOps {
     val sig = simhash64(df, idCol, textCol)
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("c"), shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("v")))
+    // lazy checkpoint: the chunk self-join consumes this twice, and without
+    // a barrier the whole signature aggregation executes once per side
     val exploded = sig.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("chunk"))
+      .localCheckpoint(false)
     exploded.as("a").join(exploded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ia"), col("b.id").as("ib"),
@@ -485,7 +492,10 @@ object DedupOps {
       struct(lit(c).as("c"),
         shiftrightunsigned(col("simhash"), off).bitwiseAND(lit((1L << w) - 1)).as("v"))
     }
+    // lazy checkpoint: the chunk self-join consumes this twice, and without
+    // a barrier the whole signature aggregation executes once per side
     val exploded = sig.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("chunk"))
+      .localCheckpoint(false)
     exploded.as("a").join(exploded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ia"), col("b.id").as("ib"),
