@@ -102,10 +102,15 @@ object DedupOps {
     val hot = sh.join(hotShingles, Seq("shingle"), "left_semi")
     // one-pass partial intersection over the capped index (identical to the
     // uncapped plan when no shingle is hot)
+    // lazy checkpoint: interRare feeds both the final intersection sum and
+    // the hot-pass candidate list — without a barrier the rare self-join
+    // (the expensive stage) executes once per consumer. The result is
+    // candidate-pair-sized, orders of magnitude smaller than the index.
     val interRare = rare.as("a").join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("ia"), col("b.id").as("ib"))
       .agg(count(lit(1)).as("inter_r"))
+      .localCheckpoint(false)
     // hot contribution only for pairs already candidates: bounded by
     // |candidates| x hot-shingles-per-doc, never by hot df^2
     val interHot = interRare.select(col("ia"), col("ib"))
