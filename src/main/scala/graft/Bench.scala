@@ -43,7 +43,10 @@ object Bench {
       spark.catalog.clearCache()
       (name, elapsed)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) precision keeps the one-line JSON under the ~2 KB
+    // stdout tail the driver captures — full nanosecond doubles pushed the
+    // line past it, and the driver's parse came back null every round
+    val qs = results.map { case (k, v) => f"""\"$k\":$v%.3f""" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")

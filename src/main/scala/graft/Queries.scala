@@ -23,6 +23,13 @@ object Queries {
   private def d2(c: Column): Column = c.cast(D2)
   private val one = lit(1).cast(D2)
 
+
+  /** Exactly 10 tokens — one full segment at the q69 chunk width, so the
+    * planted banner is removed as a unit.
+    */
+  private val BoilerplateBanner =
+    "begin auto generated site banner please ignore this text now"
+
   /** (name, spark query, oracle sql — None for approximate/non-SQL ops). */
   val all: Seq[(String, Q, Option[String])] = Seq(
 
@@ -1029,7 +1036,45 @@ s AS (SELECT id, term, (tf * n * 1000) // df AS score FROM tf JOIN dfq USING (te
 SELECT id, term, score, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, term) AS rank FROM s)
 WHERE rank <= 3 ORDER BY id, rank""")),
+
+    ("q69_boilerplate_segments", (s, d) => {
+      // C4-style boilerplate removal: a 10-token banner is prepended to
+      // EVERY doc (the planted boilerplate), docs are segmented into
+      // non-overlapping 10-token segments, segments appearing in > 2
+      // distinct docs are dropped, and each doc reassembles in order
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit(BoilerplateBanner), lit(" "), col("text")).as("text"))
+      val segs = graft.operators.SamplingOps
+        .chunkDocuments(docs, "doc_id", "text", 10, 10)
+        .select(col("id"), col("chunk_id").as("pos"), col("chunk_text").as("segment"))
+      TextOps.removeBoilerplateSegments(segs, maxDocFreq = 2)
+        .orderBy(col("id"))
+    },
+      Some(s"""WITH docs AS (SELECT doc_id, '$BoilerplateBanner' || ' ' || text AS text FROM documents),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+st AS (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 1, 0) + 1, 10)) AS s FROM toks),
+seg AS (SELECT doc_id AS id, s // 10 AS pos,
+  array_to_string(list_slice(w, s + 1, s + 10), ' ') AS segment FROM st),
+freq AS (SELECT segment FROM (SELECT segment, count(DISTINCT id) AS docfreq FROM seg GROUP BY 1)
+  WHERE docfreq > 2)
+SELECT id, string_agg(segment, ' ' ORDER BY pos) AS text, count(*) AS n_segments
+FROM seg ANTI JOIN freq USING (segment)
+GROUP BY id ORDER BY id""")),
+
+    ("q70_temperature_repeats", (s, d) =>
+      // low-resource upsampling: every doc repeats ceil(max-lang-count /
+      // lang-count) times capped at 4 — the materialized multi-epoch view
+      graft.operators.SamplingOps.temperatureRepeats(
+        Tables.documents(s, d), "doc_id", "lang", cap = 4)
+        .orderBy(col("doc_id"), col("epoch")),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+m AS (SELECT max(n) AS maxn FROM c)
+SELECT doc_id, lang, least(4, (maxn + n - 1) // n) AS repeat_factor,
+  unnest(generate_series(1, least(4, (maxn + n - 1) // n))) AS epoch
+FROM documents JOIN c USING (lang) CROSS JOIN m
+ORDER BY doc_id, epoch""")),
   )
+
 
   /** Schema block driving q43's auto-dispatch (shape: schema.go:14-69). */
   private def q43SchemaSample: String =

@@ -148,4 +148,30 @@ object SamplingOps {
     df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Temperature-style upsampling for low-resource groups: each row is
+    * repeated ceil(maxGroupCount / groupCount) times, capped at `cap` —
+    * the integer-exact stand-in for count^alpha mixing weights (a float
+    * pow would break cross-engine replay). Output rows carry
+    * (repeat_factor, epoch) with epoch in [1, repeat_factor]: the
+    * materialized multi-epoch view a data loader consumes.
+    *
+    * Scale shape: the per-group counts and their max are group-cardinality
+    * sized (languages/domains — tiny), so both broadcast; the expansion
+    * itself is a map-side Generate. One aggregation pass over the corpus,
+    * no skewed shuffle.
+    */
+  def temperatureRepeats(df: DataFrame, idCol: String, groupCol: String,
+                         cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val maxN = counts.agg(max(col("__n")).as("__maxn"))
+    val factor = least(lit(cap.toLong),
+      call_function("div", col("__maxn") + col("__n") - 1, col("__n")))
+    df.join(broadcast(counts), groupCol)
+      .crossJoin(broadcast(maxN))
+      .select(col(idCol), col(groupCol), factor.as("repeat_factor"))
+      .select(col(idCol), col(groupCol), col("repeat_factor"),
+        explode(sequence(lit(1L), col("repeat_factor"))).as("epoch"))
+  }
 }

@@ -156,6 +156,36 @@ object TextOps {
     org.apache.spark.sql.GraftBridge.column(graft.functions.NfcStripAccents(
       org.apache.spark.sql.GraftBridge.expression(text)))
 
+  /** C4/CCNet-style boilerplate removal over a segmented corpus: drop
+    * every segment whose content appears in more than `maxDocFreq`
+    * DISTINCT documents (navigation bars, cookie banners, license
+    * headers), then reassemble each document from its surviving segments
+    * in order. Input relation: (id, pos, segment) — produce it with
+    * [[SamplingOps.chunkDocuments]] (stride = chunkSize) or a real
+    * line/paragraph splitter.
+    *
+    * Scale shape: the set of ACTUAL boilerplate segments (doc frequency
+    * above the cap) is tiny relative to the corpus, so it broadcasts and
+    * the removal is a map-side anti-join — the full segment relation is
+    * never shuffled a second time, and no skewed hot-segment join exists.
+    * Reassembly is one groupBy(id) whose per-group state is bounded by
+    * document length. Documents whose every segment is boilerplate drop
+    * out entirely (the C4 behavior).
+    */
+  def removeBoilerplateSegments(segs: DataFrame, maxDocFreq: Int): DataFrame = {
+    val boiler = broadcast(
+      segs.groupBy(col("segment"))
+        .agg(countDistinct(col("id")).as("__docfreq"))
+        .filter(col("__docfreq") > maxDocFreq)
+        .select(col("segment")))
+    segs.join(boiler, Seq("segment"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("segment")))),
+          x => x.getField("segment")), " ").as("text"),
+        count(lit(1)).as("n_segments"))
+  }
+
   /** Most DISTINCTIVE terms per document: rank terms by a rarity-weighted
     * frequency score — `tf * N_docs * 1000 / df` in integer arithmetic
     * (the TF-IDF shape with a rational rarity weight instead of a float

@@ -91,6 +91,41 @@ class PipelineOpsR4Spec extends AnyFunSuite {
     assert(sqlR == "sob")
   }
 
+  test("removeBoilerplateSegments drops shared segments, reassembles in order") {
+    // segment "b b" appears in 3 docs -> boilerplate at maxDocFreq=2;
+    // doc 4 is ONLY boilerplate and must drop out entirely
+    val segs = Seq(
+      (1L, 0L, "x y"), (1L, 1L, "b b"), (1L, 2L, "z w"),
+      (2L, 0L, "b b"), (2L, 1L, "p q"),
+      (3L, 0L, "b b"), (3L, 1L, "r s"),
+      (4L, 0L, "b b")).toDF("id", "pos", "segment")
+    val got = TextOps.removeBoilerplateSegments(segs, maxDocFreq = 2)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "x y z w", 2L),
+      (2L, "p q", 1L),
+      (3L, "r s", 1L)))
+  }
+
+  test("temperatureRepeats upsamples small groups, capped") {
+    // group a: 4 rows (max), b: 2 rows -> factor 2, c: 1 row -> factor 4
+    // (ceil(4/1)=4, within cap 4)
+    val df = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (5L, "b"), (6L, "b"),
+      (7L, "c")).toDF("id", "grp")
+    val got = SamplingOps.temperatureRepeats(df, "id", "grp", cap = 4)
+    val byId = got.groupBy("id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byId == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 4L))
+    // epochs enumerate 1..factor
+    val e7 = got.filter(col("id") === 7L).select("epoch")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(e7 == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("distinctiveTerms ranks rare terms above corpus-wide ones") {
     val df = Seq(
       (1L, "shared shared rare1"),
