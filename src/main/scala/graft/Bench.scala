@@ -45,9 +45,11 @@ object Bench {
     }
     // 3-decimal (ms) precision keeps the one-line JSON under the ~2 KB
     // stdout tail the driver captures — full nanosecond doubles pushed the
-    // line past it, and the driver's parse came back null every round
-    val qs = results.map { case (k, v) => f"""\"$k\":$v%.3f""" }
-      .mkString("{", ",", "}")
+    // line past it, and the driver's parse came back null every round.
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -1067,11 +1067,13 @@ GROUP BY id ORDER BY id""")),
       graft.operators.SamplingOps.temperatureRepeats(
         Tables.documents(s, d), "doc_id", "lang", cap = 4)
         .orderBy(col("doc_id"), col("epoch")),
-      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      // IS NOT DISTINCT FROM mirrors the operator's null-safe group join
+      // (a NULL group repeats like any other instead of vanishing)
+      Some("""WITH c AS (SELECT lang AS grp, count(*) AS n FROM documents GROUP BY 1),
 m AS (SELECT max(n) AS maxn FROM c)
 SELECT doc_id, lang, least(4, (maxn + n - 1) // n) AS repeat_factor,
   unnest(generate_series(1, least(4, (maxn + n - 1) // n))) AS epoch
-FROM documents JOIN c USING (lang) CROSS JOIN m
+FROM documents JOIN c ON lang IS NOT DISTINCT FROM grp CROSS JOIN m
 ORDER BY doc_id, epoch""")),
   )
 

@@ -60,9 +60,16 @@ object Envelope {
     require(!df.columns.contains("__p"),
       "relational decode: input must not contain reserved column __p")
     val carriedIn = Seq("offset", "partition", "timestamp")
-      .filter(df.columns.contains).map(col)
+      .filter(df.columns.contains)
+    // a Kafka metadata column whose name collides with a ROW column rides
+    // through under a __kafka_ prefix (the rename decodeTrackEvents
+    // applies to `timestamp`) — emitting both unrenamed would make every
+    // downstream col("timestamp") reference ambiguous
+    val rowNames = rowSchema.fieldNames.toSet
+    val carriedOut = carriedIn.map(n => if (rowNames.contains(n)) s"__kafka_$n" else n)
+    val carriedCols = carriedIn.zip(carriedOut).map { case (n, o) => col(n).as(o) }
     val step1 = df.filter(col("value").isNotNull && length(col("value")) > 0)
-      .select(Seq(explode(array(payload)).as("__p")) ++ carriedIn: _*)
+      .select(Seq(explode(array(payload)).as("__p")) ++ carriedCols: _*)
     val p = col("__p")
     val op = p.getField("op")
     val isDelete = op === "d"
@@ -76,8 +83,7 @@ object Envelope {
       p.getField("ts_ms").as("__source_ts_ms"),
       to_json(p.getField("source")).as(Constants.SourceMetadataCol),
     )
-    val carried = step1.columns.filter(_ != "__p").map(col)
-    step1.select(rowCols ++ metaCols ++ carried: _*)
+    step1.select(rowCols ++ metaCols ++ carriedOut.map(col): _*)
       // malformed JSON parses to a null envelope -> null op after the
       // projection; dropping here keeps phantom all-null rows (null PK,
       // null delete flag) out of the dedup/merge stages. The predicate is

@@ -325,7 +325,9 @@ object DedupOps {
     // long, 32-bit lanes) + one count: half the aggregation-buffer slots
     // and map-side update work of 30 separate sums, same signature — the
     // ±1 sign test `sum(±1) > 0` is equivalent to `2*ones > n`. 32-bit
-    // lanes keep the packing overflow-safe to 2^32 features per document.
+    // lanes keep the packing overflow-safe to 2^31 features per document
+    // (the upper lane's scaled sum reaches the signed-long limit first;
+    // no real document has billions of distinct bigrams).
     val packedCols = (0 until 15).map { g =>
       (shiftright(h, g).bitwiseAND(1) +
         shiftright(h, g + 15).bitwiseAND(1) * lit(1L << 32)).as(s"p$g")

@@ -164,11 +164,13 @@ object SamplingOps {
   def temperatureRepeats(df: DataFrame, idCol: String, groupCol: String,
                          cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val counts = df.groupBy(col(groupCol).as("__grp")).agg(count(lit(1)).as("__n"))
     val maxN = counts.agg(max(col("__n")).as("__maxn"))
     val factor = least(lit(cap.toLong),
       call_function("div", col("__maxn") + col("__n") - 1, col("__n")))
-    df.join(broadcast(counts), groupCol)
+    // null-safe group match: a NULL group (unidentified language/domain)
+    // is a real group — an equi-join would silently drop its rows
+    df.join(broadcast(counts), col(groupCol) <=> col("__grp"))
       .crossJoin(broadcast(maxN))
       .select(col(idCol), col(groupCol), factor.as("repeat_factor"))
       .select(col(idCol), col(groupCol), col("repeat_factor"),

@@ -173,12 +173,17 @@ object TextOps {
     * out entirely (the C4 behavior).
     */
   def removeBoilerplateSegments(segs: DataFrame, maxDocFreq: Int): DataFrame = {
+    // lazy checkpoint: the frequency build side and the anti-join probe
+    // side both consume segs, and Spark does not reuse the identical
+    // subtree across join children — without a barrier an upstream
+    // segmentation (a full-corpus Generate) would run twice
+    val s = segs.localCheckpoint(false)
     val boiler = broadcast(
-      segs.groupBy(col("segment"))
+      s.groupBy(col("segment"))
         .agg(countDistinct(col("id")).as("__docfreq"))
         .filter(col("__docfreq") > maxDocFreq)
         .select(col("segment")))
-    segs.join(boiler, Seq("segment"), "left_anti")
+    s.join(boiler, Seq("segment"), "left_anti")
       .groupBy(col("id"))
       .agg(
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("segment")))),
@@ -200,7 +205,11 @@ object TextOps {
   def distinctiveTerms(df: DataFrame, idCol: String, textCol: String,
                        k: Int): DataFrame = {
     val words = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
+    // lazy checkpoint: tf feeds both the document-frequency aggregation
+    // and the scoring join — without a barrier the corpus-wide token
+    // explode + aggregation would execute once per consumer
     val tf = words.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     // tf rows are distinct (id, term), so counting them per term IS the
     // document frequency — no second pass over the corpus
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

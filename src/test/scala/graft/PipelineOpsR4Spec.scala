@@ -126,6 +126,30 @@ class PipelineOpsR4Spec extends AnyFunSuite {
     assert(e7 == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("temperatureRepeats keeps NULL-group rows (factor like any group)") {
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
+      .toDF("id", "grp")
+    val got = SamplingOps.temperatureRepeats(df, "id", "grp", cap = 4)
+      .groupBy("id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // null group has 1 row vs max 2 -> factor 2, not silently dropped
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("relational decode renames a colliding Kafka timestamp column") {
+    import org.apache.spark.sql.types._
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("timestamp", StringType)))
+    val df = Seq(
+      ("""{"payload":{"after":{"id":1,"timestamp":"t-row"},"op":"c","ts_ms":5}}""", "t-kafka"))
+      .toDF("value", "timestamp")
+    val out = graft.cdc.Envelope.decodeRelational(df, rowSchema)
+    assert(out.columns.count(_ == "timestamp") == 1)
+    assert(out.columns.contains("__kafka_timestamp"))
+    val r = out.select("timestamp", "__kafka_timestamp").head
+    assert(r.getString(0) == "t-row" && r.getString(1) == "t-kafka")
+  }
+
   test("distinctiveTerms ranks rare terms above corpus-wide ones") {
     val df = Seq(
       (1L, "shared shared rare1"),
