@@ -1075,6 +1075,17 @@ SELECT doc_id, lang, least(4, (maxn + n - 1) // n) AS repeat_factor,
   unnest(generate_series(1, least(4, (maxn + n - 1) // n))) AS epoch
 FROM documents JOIN c ON lang IS NOT DISTINCT FROM grp CROSS JOIN m
 ORDER BY doc_id, epoch""")),
+
+    ("q71_dedup_groups_star", (s, d) => {
+      // the star-contraction connected-components variant (O(log) rounds
+      // on deep chains) against the SAME transitive-closure oracle as q44
+      // — both algorithms must produce identical canonical assignments
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)
+      DedupOps.nearDupGroupsStar(docs.select(col("doc_id")), "doc_id", pairs)
+        .orderBy(col("id"))
+    },
+      Some(nearDupGroupsSql(3))),
   )
 
 
