@@ -99,5 +99,27 @@ object StatefulOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact-dedup admission for corpus ingestion — the streaming
+    * counterpart of DedupOps.exactNewDocuments: only the FIRST document
+    * with a given content hash within the watermark horizon passes.
+    * Built on `dropDuplicatesWithinWatermark`, so the per-key state Spark
+    * keeps is bounded by the horizon instead of growing with the corpus
+    * (the unbounded-state failure mode of plain dropDuplicates on an
+    * infinite stream). Exactly-once admission across the whole history
+    * needs the batch path (periodic compaction against the seen-corpus
+    * hash index); this operator is the low-latency front gate.
+    */
+  def streamingNewDocuments(stream: DataFrame, textCol: String,
+                            eventTimeCol: String,
+                            watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(!stream.columns.contains("__content_hash"),
+      "streamingNewDocuments: input must not contain reserved column __content_hash")
+    stream
+      .withColumn("__content_hash", md5(col(textCol).cast("binary")))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash")
+  }
+
   val UpdateMode: OutputMode = OutputMode.Update()
 }

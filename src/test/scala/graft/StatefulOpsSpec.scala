@@ -65,4 +65,29 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
     assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L, 5.0)))
   }
+
+  test("streaming exact-dedup admits only the first copy within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = ms.toDF().toDF("ts", "doc_id", "text")
+    val q = StatefulOps.streamingNewDocuments(df, "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    ms.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "alpha"),
+      (ts("2024-01-01 10:00:30"), 2L, "alpha"), // same content, same batch
+      (ts("2024-01-01 10:01:00"), 3L, "beta"))
+    q.processAllAvailable()
+    ms.addData((ts("2024-01-01 10:02:00"), 4L, "alpha")) // dup, next batch
+    q.processAllAvailable()
+    q.stop()
+
+    val admitted = spark.table("dedup_out").collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(admitted == Set((1L, "alpha"), (3L, "beta")))
+    // schema passthrough: internal hash column must not leak
+    assert(!spark.table("dedup_out").columns.contains("__content_hash"))
+  }
 }
