@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scratch profiling main (not part of the library surface). */
 object Prof {
@@ -23,12 +24,26 @@ object Prof {
     }
     val docs = Tables.documents(spark, sfDir)
     docs.write.format("noop").mode("overwrite").save()
-    for (q <- Seq("q21_dedup_jaccard", "q21_dedup_jaccard", "q22_dedup_minhash_lsh")) {
-      time(q) {
-        SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      }
-      spark.catalog.clearCache()
+    import graft.operators.DedupOps
+    val sh = DedupOps.shingles(docs, "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("shingle index materialize") {
+      sh.write.format("noop").mode("overwrite").save()
     }
+    time("minhash signatures (96 perms)") {
+      DedupOps.minhashSignatures(sh, 96).write.format("noop").mode("overwrite").save()
+    }
+    time("lsh candidates") {
+      DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(sh, 96), 48, 2)
+        .write.format("noop").mode("overwrite").save()
+    }
+    sh.unpersist()
+    spark.catalog.clearCache()
+    time("q22 full") {
+      SparkEntry.queries("q22_dedup_minhash_lsh")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.catalog.clearCache()
     spark.stop()
   }
 }

@@ -1086,6 +1086,41 @@ ORDER BY doc_id, epoch""")),
         .orderBy(col("id"))
     },
       Some(nearDupGroupsSql(3))),
+
+    ("q72_url_canonicalize", (s, d) => {
+      // crawl-URL dedup prep: messy synthesized URLs (upper-case host,
+      // default port, www, utm params, fragments, trailing slashes)
+      // collapse to canonical form; both engines run the same regex chain
+      val url = concat(
+        lit("HTTPS://WWW.Example"), pmod(col("doc_id"), lit(7)),
+        lit(".COM:443/Docs/"), col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&utm_id="), col("doc_id"),
+        lit("&id="), col("doc_id"), lit("#sec"))
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.canonicalizeUrl(url).as("canonical_url"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH u AS (SELECT doc_id,
+  'HTTPS://WWW.Example' || (doc_id % 7) || '.COM:443/Docs/' || doc_id ||
+  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+  '?utm_source=feed&utm_id=' || doc_id || '&id=' || doc_id || '#sec' AS url FROM documents),
+parts AS (SELECT doc_id,
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+  regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+    '/+$', '') AS path,
+  regexp_extract(url, '[?]([^#]*)', 1) AS q0 FROM u),
+p2 AS (SELECT doc_id, scheme,
+  regexp_replace(CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+       WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+       ELSE hostport END, '^www[.]', '') AS host,
+  path,
+  regexp_replace(regexp_replace(q0, 'utm_[A-Za-z0-9_]*=[^&]*&?', '', 'g'), '&$', '') AS q
+  FROM parts)
+SELECT doc_id, scheme || '://' || host || path ||
+  CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+FROM p2 ORDER BY doc_id""")),
   )
 
 

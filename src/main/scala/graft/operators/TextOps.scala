@@ -156,6 +156,31 @@ object TextOps {
     org.apache.spark.sql.GraftBridge.column(graft.functions.NfcStripAccents(
       org.apache.spark.sql.GraftBridge.expression(text)))
 
+  /** URL canonicalization for crawl-corpus URL dedup: lowercase the
+    * scheme and host, strip a default port (:443 https / :80 http), drop
+    * a leading `www.`, strip trailing path slashes, remove `utm_*`
+    * tracking params, and drop the fragment — so trivially distinct
+    * spellings of one resource collapse before a URL-level dedup or join.
+    * Path case is preserved (paths are case-sensitive). One codegen'd
+    * chain of regex/string ops, every step in the Java/RE2-identical
+    * regex subset, so a SQL engine replays it exactly.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val hostNoPort = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .otherwise(hostPort)
+    val host = regexp_replace(hostNoPort, "^www[.]", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val query0 = regexp_extract(url, "[?]([^#]*)", 1)
+    val query = regexp_replace(
+      regexp_replace(query0, "utm_[A-Za-z0-9_]*=[^&]*&?", ""), "&$", "")
+    concat(scheme, lit("://"), host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+  }
+
   /** C4/CCNet-style boilerplate removal over a segmented corpus: drop
     * every segment whose content appears in more than `maxDocFreq`
     * DISTINCT documents (navigation bars, cookie banners, license

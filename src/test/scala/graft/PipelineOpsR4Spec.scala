@@ -150,6 +150,24 @@ class PipelineOpsR4Spec extends AnyFunSuite {
     assert(r.getString(0) == "t-row" && r.getString(1) == "t-kafka")
   }
 
+  test("canonicalizeUrl collapses equivalent spellings, preserves path case") {
+    val urls = Seq(
+      "HTTPS://WWW.Site.COM:443/A/B/?utm_source=x&id=9#frag",
+      "https://site.com/A/B?id=9",
+      "http://site.com:80/A/B?id=9",       // http default port
+      "https://other.com/p?utm_a=1&utm_b=2", // all params are tracking
+      "ftp://Host.com:443/x")               // non-http: port kept
+      .toDF("url")
+    val got = urls.select(TextOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "https://site.com/A/B?id=9",
+      "https://site.com/A/B?id=9",
+      "http://site.com/A/B?id=9",
+      "https://other.com/p",
+      "ftp://host.com:443/x"))
+  }
+
   test("distinctiveTerms ranks rare terms above corpus-wide ones") {
     val df = Seq(
       (1L, "shared shared rare1"),
