@@ -43,12 +43,13 @@ object Bench {
       spark.catalog.clearCache()
       (name, elapsed)
     }
-    // 3-decimal (ms) precision keeps the one-line JSON under the ~2 KB
-    // stdout tail the driver captures — full nanosecond doubles pushed the
-    // line past it, and the driver's parse came back null every round.
-    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
+    // 2-decimal (10 ms) per-query precision keeps the one-line JSON inside
+    // the ~2.3 KB stdout tail the driver captures — full nanosecond
+    // doubles pushed the line past it, and the driver's parse came back
+    // null every round. Locale.ROOT: a comma-decimal default locale would
+    // emit invalid JSON.
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
