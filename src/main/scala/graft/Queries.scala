@@ -1116,7 +1116,8 @@ p2 AS (SELECT doc_id, scheme,
        WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
        ELSE hostport END, '^www[.]', '') AS host,
   path,
-  regexp_replace(regexp_replace(q0, 'utm_[A-Za-z0-9_]*=[^&]*&?', '', 'g'), '&$', '') AS q
+  regexp_replace(regexp_replace(q0, '(^|&)utm_[A-Za-z0-9_]*=[^&]*', '', 'g'),
+    '^&+|&+$', '', 'g') AS q
   FROM parts)
 SELECT doc_id, scheme || '://' || host || path ||
   CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url

@@ -164,8 +164,8 @@ object SamplingOps {
   def temperatureRepeats(df: DataFrame, idCol: String, groupCol: String,
                          cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
-    require(!df.columns.contains("__grp"),
-      "temperatureRepeats: input must not contain reserved column __grp")
+    Seq("__grp", "__n", "__maxn").foreach(c => require(!df.columns.contains(c),
+      s"temperatureRepeats: input must not contain reserved column $c"))
     val counts = df.groupBy(col(groupCol).as("__grp")).agg(count(lit(1)).as("__n"))
     val maxN = counts.agg(max(col("__n")).as("__maxn"))
     val factor = least(lit(cap.toLong),

@@ -175,10 +175,17 @@ object TextOps {
     val path = regexp_replace(
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/+$", "")
     val query0 = regexp_extract(url, "[?]([^#]*)", 1)
+    // (^|&)-anchored so a parameter NAMED xutm_* or a VALUE containing
+    // "utm_...=" is never mangled; the boundary '&' is removed with the
+    // param, so only a leading/trailing separator needs cleanup
     val query = regexp_replace(
-      regexp_replace(query0, "utm_[A-Za-z0-9_]*=[^&]*&?", ""), "&$", "")
-    concat(scheme, lit("://"), host, path,
+      regexp_replace(query0, "(^|&)utm_[A-Za-z0-9_]*=[^&]*", ""), "^&+|&+$", "")
+    val canonical = concat(scheme, lit("://"), host, path,
       when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+    // schemeless / protocol-relative input has no parseable structure here
+    // — pass it through untouched rather than collapsing every such URL
+    // to the identical "://" (which a URL-level dedup would then merge)
+    when(scheme === "", url).otherwise(canonical)
   }
 
   /** C4/CCNet-style boilerplate removal over a segmented corpus: drop

@@ -100,8 +100,13 @@ object StatefulOps {
         col("n_events"), col("total_value"))
 
   /** Streaming exact-dedup admission for corpus ingestion — the streaming
-    * counterpart of DedupOps.exactNewDocuments: only the FIRST document
-    * with a given content hash within the watermark horizon passes.
+    * counterpart of DedupOps.exactNewDocuments: exactly ONE document per
+    * content hash within the watermark horizon passes. Across batches the
+    * earlier-arriving copy wins; for duplicates inside one micro-batch the
+    * surviving row is whichever the shuffle delivers first (content is
+    * identical by definition — only metadata like doc_id/timestamp can
+    * differ; pre-aggregate with min_by per hash first if that choice must
+    * be deterministic).
     * Built on `dropDuplicatesWithinWatermark`, so the per-key state Spark
     * keeps is bounded by the horizon instead of growing with the corpus
     * (the unbounded-state failure mode of plain dropDuplicates on an

@@ -156,7 +156,11 @@ class PipelineOpsR4Spec extends AnyFunSuite {
       "https://site.com/A/B?id=9",
       "http://site.com:80/A/B?id=9",       // http default port
       "https://other.com/p?utm_a=1&utm_b=2", // all params are tracking
-      "ftp://Host.com:443/x")               // non-http: port kept
+      "ftp://Host.com:443/x",               // non-http: port kept
+      "https://a.com/p?xutm_source=f&id=2", // utm_ INSIDE a name: untouched
+      "https://a.com/p?next=utm_x%3D1&id=3", // utm_ inside a value: untouched
+      "//cdn.example.com/asset.js",         // protocol-relative: passthrough
+      "example.com/plain")                  // schemeless: passthrough
       .toDF("url")
     val got = urls.select(TextOps.canonicalizeUrl(col("url")).as("c"))
       .collect().map(_.getString(0)).toSeq
@@ -165,7 +169,11 @@ class PipelineOpsR4Spec extends AnyFunSuite {
       "https://site.com/A/B?id=9",
       "http://site.com/A/B?id=9",
       "https://other.com/p",
-      "ftp://host.com:443/x"))
+      "ftp://host.com:443/x",
+      "https://a.com/p?xutm_source=f&id=2",
+      "https://a.com/p?next=utm_x%3D1&id=3",
+      "//cdn.example.com/asset.js",
+      "example.com/plain"))
   }
 
   test("distinctiveTerms ranks rare terms above corpus-wide ones") {
