@@ -15,6 +15,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
   }
   import spark.implicits._
 
+  test("every expression in the registry resolves under both name surfaces") {
+    GraftExtensions.registerUnprefixedAliases(spark)
+    GraftExtensions.all.foreach { case (name, _) =>
+      assert(spark.catalog.functionExists(name), s"missing SQL function: $name")
+      assert(spark.catalog.functionExists(name.stripPrefix("graft_")),
+        s"missing unprefixed alias: ${name.stripPrefix("graft_")}")
+    }
+  }
+
   test("registered SQL functions agree with their Column-API twins") {
     Seq((1L, """{"b":2,"a":1}""", "hello world"))
       .toDF("id", "j", "t").createOrReplaceTempView("sql_surface")
