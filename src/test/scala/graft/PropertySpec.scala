@@ -196,4 +196,96 @@ class PropertySpec extends AnyFunSuite {
     out.map(_.getLong(1)).zip(again).foreach { case (a, b) => assert(a == b) }
     out.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < 1000000007L))
   }
+
+  // ---- round-4 operators --------------------------------------------------
+
+  private val docGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 12)
+    docs <- Gen.listOfN(n, for {
+      words <- Gen.choose(1, 40)
+      toks <- Gen.listOfN(words, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff"))
+    } yield toks.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private def docSamples(count: Int): Seq[List[(Long, String)]] =
+    (0 until count).flatMap(i => docGen.apply(Gen.Parameters.default, Seed(1000L + i)))
+
+  test("property: non-overlapping chunks reconstruct the document exactly") {
+    import graft.operators.SamplingOps
+    for (docs <- docSamples(10)) {
+      val df = docs.toDF("doc_id", "text")
+      val rebuilt = SamplingOps.chunkDocuments(df, "doc_id", "text", 7, 7)
+        .groupBy("id")
+        .agg(array_join(transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          x => x.getField("chunk_text")), " ").as("re"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      docs.foreach { case (id, t) => assert(rebuilt(id) == t, s"doc $id") }
+    }
+  }
+
+  test("property: canonicalizeUrl is idempotent") {
+    import graft.operators.TextOps
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "ftp", "")
+      www <- Gen.oneOf("", "WWW.", "www.")
+      host <- Gen.oneOf("Site.com", "a.b.ORG")
+      port <- Gen.oneOf("", ":443", ":80", ":8080")
+      path <- Gen.oneOf("", "/X", "/X/Y/", "//")
+      q <- Gen.oneOf("", "?id=1", "?utm_s=2", "?utm_s=2&id=1", "?id=1&utm_s=2&utm_t=3")
+      frag <- Gen.oneOf("", "#f")
+    } yield (if (scheme.isEmpty) "" else scheme + "://") + www + host + port + path + q + frag
+    val urls = (0 until 120).flatMap(i => urlGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val df = urls.toDF("url")
+    val out = df.select(
+      TextOps.canonicalizeUrl(col("url")).as("c1"),
+      TextOps.canonicalizeUrl(TextOps.canonicalizeUrl(col("url"))).as("c2"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"not idempotent: ${r.getString(0)} -> ${r.getString(1)}"))
+  }
+
+  test("property: quantizeInt8 bounds and extreme mapping") {
+    import graft.operators.SimilarityOps
+    val vecGen: Gen[Seq[Float]] = Gen.listOfN(6, Gen.choose(-8.0f, 8.0f)).map(_.toSeq)
+    val vecs = (0 until 40).flatMap(i => vecGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val out = SimilarityOps.quantizeInt8(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect()
+    out.foreach { r =>
+      val q = r.getString(2).split(",").map(_.toInt)
+      assert(q.forall(x => x >= -127 && x <= 127), r.getString(2))
+      val (_, v) = vecs(r.getLong(0).toInt)
+      if (v.exists(_ != 0f)) {
+        val maxAbs = v.map(math.abs).max
+        // the max-magnitude component maps to +-127 exactly
+        val i = v.indexWhere(x => math.abs(x) == maxAbs)
+        assert(math.abs(q(i)) == 127, s"v=$v q=${q.toSeq}")
+      }
+    }
+  }
+
+  test("property: token-budget sample takes a quality-prefix within budget") {
+    import graft.operators.SamplingOps
+    for (docs <- docSamples(8)) {
+      val df = docs.toDF("id", "text")
+        .withColumn("grp", (col("id") % 2).cast("string"))
+        .withColumn("qual", length(col("text")).cast("long"))
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      val kept = SamplingOps.sampleToTokenBudget(df, "grp", "qual", "id", "toks", 30L)
+        .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"), r.getAs[Long]("toks")))
+      // per-group token sum within budget
+      kept.groupBy(_._1).foreach { case (g, rows) =>
+        assert(rows.map(_._3).sum <= 30L, s"group $g over budget")
+      }
+      // admitted set is a PREFIX of the (qual desc, id) ordering per group
+      val full = df.collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"),
+        r.getAs[Long]("qual"), r.getAs[Long]("toks")))
+      full.groupBy(_._1).foreach { case (g, rows) =>
+        val order = rows.sortBy(r => (-r._3, r._2)).map(_._2)
+        val keptIds = kept.filter(_._1 == g).map(_._2).toSet
+        val prefixLen = order.takeWhile(keptIds.contains).length
+        assert(prefixLen == keptIds.size, s"group $g kept a non-prefix")
+      }
+    }
+  }
 }
