@@ -1076,6 +1076,57 @@ SELECT doc_id, lang, least(4, (maxn + n - 1) // n) AS repeat_factor,
 FROM documents JOIN c ON lang IS NOT DISTINCT FROM grp CROSS JOIN m
 ORDER BY doc_id, epoch""")),
 
+    ("q73_curation_funnel", (s, d) => {
+      // the full corpus-curation funnel in one query: exact dedup ->
+      // near-dup canonical only -> quality gate -> per-language token
+      // budget (best-quality first) — the composition a real pipeline
+      // runs, with every stage shape 100 TB-safe (hash agg; blocked
+      // simhash join + label prop; per-row scoring; group window)
+      val docs = Tables.documents(s, d)
+      val keepers = DedupOps.exactDuplicates(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val d1 = docs.join(keepers, "doc_id")
+      val pairs = DedupOps.simhashExactPairs(d1, "doc_id", "text", 3)
+      val groups = DedupOps.nearDupGroups(d1.select(col("doc_id")), "doc_id", pairs)
+      val canon = d1.join(groups.filter(col("id") === col("canonical_id"))
+        .select(col("id").as("doc_id")), "doc_id")
+      val scored = canon
+        .withColumn("quality", TextOps.qualityScore(col("text"), col("n_chars")))
+        .filter(col("quality") >= 300)
+      val t = scored.select(col("doc_id"), col("lang"), col("quality"),
+        TextOps.wordCount(col("text")).cast(LongType).as("n_tokens"))
+      graft.operators.SamplingOps.sampleToTokenBudget(
+        t, "lang", "quality", "doc_id", "n_tokens", 3000L)
+        .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+      Some(s"""WITH RECURSIVE keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+d1 AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+${simhashSigCtesOver("d1")},
+pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM d1
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+canon AS (SELECT a AS doc_id FROM (SELECT a, min(b) AS m FROM reach GROUP BY a) WHERE a = m),
+base AS (SELECT d1.doc_id, d1.lang, d1.n_chars,
+  CAST(len(string_split(d1.text, ' ')) AS BIGINT) AS words,
+  CAST((length(' ' || d1.text || ' ') - length(replace(' ' || d1.text || ' ', ' the ', ''))) / 5 AS BIGINT) AS cnt_the
+  FROM d1 JOIN canon USING (doc_id)),
+scored AS (SELECT doc_id, lang, words AS n_tokens,
+  least(words, 50) * 10
+  + CAST(floor(least(CAST(floor(((n_chars - words + 1) * 1000) / words) AS BIGINT), 8000) * 3 / 80) AS BIGINT)
+  + CAST(least(CAST(floor((cnt_the * 2000) / words) AS BIGINT), 200) AS BIGINT) AS quality
+  FROM base),
+sc2 AS (SELECT * FROM scored WHERE quality >= 300),
+w AS (SELECT doc_id, lang, quality, n_tokens,
+  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tokens
+  FROM sc2)
+SELECT doc_id, lang, quality, n_tokens, cum_tokens FROM w WHERE cum_tokens <= 3000
+ORDER BY lang, doc_id""")),
+
     ("q71_dedup_groups_star", (s, d) => {
       // the star-contraction connected-components variant (O(log) rounds
       // on deep chains) against the SAME transitive-closure oracle as q44
@@ -1263,8 +1314,13 @@ WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $tau ORDER BY ia, ib"""
     * DedupOps.simhashFp30 bit-for-bit — same rolling word fingerprint,
     * same bit-sum sign rule. Shared by the q23 and q44 oracles.
     */
-  private def simhashSigCtes: String =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  private def simhashSigCtes: String = simhashSigCtesOver("documents")
+
+  /** Same signature chain over an arbitrary base relation (q73 runs it
+    * over the exact-dedup survivors).
+    */
+  private def simhashSigCtesOver(base: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM $base),
 feats AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
     i -> w[i] || ' ' || w[i + 1])) AS f FROM toks),
 hw AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
