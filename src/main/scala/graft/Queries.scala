@@ -1085,7 +1085,10 @@ ORDER BY doc_id, epoch""")),
       val docs = Tables.documents(s, d)
       val keepers = DedupOps.exactDuplicates(docs, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
-      val d1 = docs.join(keepers, "doc_id")
+      // three consumers (pair generation, the id universe, the canonical
+      // join) — checkpoint the survivor set once, as a real pipeline
+      // would materialize its exact-dedup output anyway
+      val d1 = docs.join(keepers, "doc_id").localCheckpoint(false)
       val pairs = DedupOps.simhashExactPairs(d1, "doc_id", "text", 3)
       val groups = DedupOps.nearDupGroups(d1.select(col("doc_id")), "doc_id", pairs)
       val canon = d1.join(groups.filter(col("id") === col("canonical_id"))
