@@ -116,6 +116,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"))
   }
 
+  test("q69: boilerplate set broadcasts; no cartesian/nested-loop join forms") {
+    val p = plan("q69_boilerplate_segments")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q73: funnel composes without a cartesian product or global window") {
+    val df = SparkEntry.queries("q73_curation_funnel")(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"))
+    // the token-budget window must be lang-partitioned, never global
+    assert(p.contains("hashpartitioning(lang"))
+  }
+
   test("q66: budget sampling uses a group-partitioned window, no global sort below it") {
     val df = graft.operators.SamplingOps.sampleToTokenBudget(
       Tables.documents(spark, sf)
