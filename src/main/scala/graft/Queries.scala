@@ -1176,6 +1176,25 @@ p2 AS (SELECT doc_id, scheme,
 SELECT doc_id, scheme || '://' || host || path ||
   CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
 FROM p2 ORDER BY doc_id""")),
+
+    ("q74_length_batches", (s, d) => {
+      // padding-efficient batching: docs bucketed by token count
+      // (<=128 / <=256 / overflow), numbered into 16-doc batches within
+      // each bucket in (length, id) order — one bucket-partitioned window
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        TextOps.wordCount(col("text")).cast(LongType).as("n_tokens"))
+      graft.operators.SamplingOps.lengthBucketedBatches(
+        t, "doc_id", "n_tokens", Seq(128L, 256L), 16)
+        .orderBy(col("bucket"), col("batch_id"), col("batch_seq"))
+    },
+      Some("""WITH t AS (SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+b AS (SELECT doc_id, n_tokens,
+  CASE WHEN n_tokens <= 128 THEN 0 WHEN n_tokens <= 256 THEN 1 ELSE 2 END AS bucket FROM t),
+r AS (SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+  ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id) - 1 AS rn FROM b)
+SELECT doc_id, n_tokens, bucket, rn // 16 AS batch_id, rn % 16 AS batch_seq
+FROM r ORDER BY bucket, batch_id, batch_seq""")),
   )
 
 

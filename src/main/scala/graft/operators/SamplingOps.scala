@@ -149,6 +149,33 @@ object SamplingOps {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Length-bucketed batch assignment — the padding-efficiency prep for
+    * batched inference/training: rows are bucketed by token count
+    * (`bucketEdges` = inclusive upper bounds, rows above the last edge
+    * form the overflow bucket), then numbered into fixed-size batches
+    * within each bucket in (length, id) order, so one batch holds
+    * similar-length documents and padding waste stays bounded by the
+    * bucket width. One window PARTITIONED on the bucket — no global sort;
+    * work distributes across buckets at any scale.
+    */
+  def lengthBucketedBatches(df: DataFrame, idCol: String, tokenCol: String,
+                            bucketEdges: Seq[Long], batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(bucketEdges.nonEmpty && bucketEdges == bucketEdges.sorted,
+      s"bucketEdges must be non-empty and ascending, got $bucketEdges")
+    val bucket = bucketEdges.zipWithIndex.reverse
+      .foldLeft(lit(bucketEdges.size).cast(LongType)) { case (acc, (edge, i)) =>
+        when(col(tokenCol) <= edge, lit(i.toLong)).otherwise(acc)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(tokenCol), col(idCol))
+    df.select(col(idCol), col(tokenCol), bucket.as("bucket"))
+      .withColumn("__rn", row_number().over(w) - 1)
+      .select(col(idCol), col(tokenCol), col("bucket"),
+        call_function("div", col("__rn").cast(LongType), lit(batchSize.toLong)).as("batch_id"),
+        (col("__rn") % batchSize).cast(LongType).as("batch_seq"))
+  }
+
   /** Temperature-style upsampling for low-resource groups: each row is
     * repeated ceil(maxGroupCount / groupCount) times, capped at `cap` —
     * the integer-exact stand-in for count^alpha mixing weights (a float

@@ -176,6 +176,22 @@ class PipelineOpsR4Spec extends AnyFunSuite {
       "example.com/plain"))
   }
 
+  test("lengthBucketedBatches fills fixed batches within length buckets") {
+    // 5 short docs (bucket 0), 3 long (bucket 1), batchSize 2
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L),
+      (6L, 300L), (7L, 310L), (8L, 320L)).toDF("id", "toks")
+    val got = graft.operators.SamplingOps
+      .lengthBucketedBatches(df, "id", "toks", Seq(100L, 250L), 2)
+      .orderBy("bucket", "batch_id", "batch_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 0L), (2L, 0L, 0L, 1L),
+      (3L, 0L, 1L, 0L), (4L, 0L, 1L, 1L),
+      (5L, 0L, 2L, 0L),                     // short tail batch
+      (6L, 2L, 0L, 0L), (7L, 2L, 0L, 1L),   // > 250 -> overflow bucket 2
+      (8L, 2L, 1L, 0L)))
+  }
+
   test("distinctiveTerms ranks rare terms above corpus-wide ones") {
     val df = Seq(
       (1L, "shared shared rare1"),
