@@ -970,7 +970,8 @@ GROUP BY 1 ORDER BY id""")),
         Tables.documents(s, d), "doc_id", "text", 64, 48)
         .orderBy(col("id"), col("chunk_id")),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-st AS (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 1, 0) + 1, 48)) AS s FROM toks)
+st AS (SELECT doc_id, w,
+  unnest(range(0, ((greatest(len(w) - 64, 0) + 47) // 48) * 48 + 1, 48)) AS s FROM toks)
 SELECT doc_id AS id, s // 48 AS chunk_id,
   array_to_string(list_slice(w, s + 1, s + 64), ' ') AS chunk_text,
   least(64, len(w) - s) AS n_tokens
@@ -1004,7 +1005,8 @@ FROM m ORDER BY id""")),
       Some("""WITH t AS (SELECT doc_id, lang, n_chars,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
 w AS (SELECT doc_id, lang, n_tokens,
-  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens
+  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM t)
 SELECT doc_id, lang, n_tokens, cum_tokens FROM w WHERE cum_tokens <= 2000
 ORDER BY lang, doc_id""")),

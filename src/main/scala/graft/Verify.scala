@@ -15,7 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-loop filter, mirrors Bench: SPARK_GRAFT_ONLY=q64,q66 (unset = all)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
+    selected.foreach { case (name, fn) =>
+      // coalesce(1) is HARNESS-ONLY (tiny verification frames, one file for
+      // the DuckDB compare) — never copy this into an operator
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

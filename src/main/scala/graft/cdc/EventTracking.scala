@@ -150,11 +150,24 @@ object EventTracking {
 
   /** Distinct property/extraField keys over a bounded sample — one
     * driver-side job per topic, the GetColumns schema discovery.
+    * `maxKeys` caps the collected set: the sample bounds the ROWS but not
+    * the keys per row, so a pathological topic emitting unbounded dynamic
+    * key names (ids/timestamps as keys) would otherwise grow this
+    * driver-side collect — and the flattened schema — without limit. Past
+    * the cap this fails loudly; such a topic needs an explicit key list,
+    * not schema discovery.
     */
-  def inferPropertyKeys(decoded: DataFrame, sampleRows: Int = 1000): Seq[String] =
-    decoded.limit(sampleRows)
+  def inferPropertyKeys(decoded: DataFrame, sampleRows: Int = 1000,
+                        maxKeys: Int = 1024): Seq[String] = {
+    val keys = decoded.limit(sampleRows)
       .select(explode(concat(map_keys(col("properties")), map_keys(col("extraFields")))).as("k"))
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
+      .distinct().limit(maxKeys + 1).collect().map(_.getString(0))
+    require(keys.length <= maxKeys,
+      s"inferPropertyKeys found more than $maxKeys distinct property/extraField keys — " +
+        "this topic uses unbounded dynamic keys; pass an explicit key list to " +
+        "flattenTrackEvents instead of relying on schema discovery (or raise maxKeys)")
+    keys.sorted.toSeq
+  }
 
   /** Project the map columns into typed top-level columns (GetData's
     * flat row). Reserved output names (id/timestamp/event/markers) keep

@@ -7,6 +7,16 @@ import org.apache.spark.sql.functions._
   * exact, n-gram Jaccard, MinHash+LSH, SimHash. All are expressed as
   * joins/aggregations over an inverted shingle index — never a driver-side
   * pairwise loop — so they scale with shuffle partitions at 100 TB.
+  *
+  * Barrier trade-off: several pipelines use lazy `localCheckpoint()` to
+  * stop an expensive subtree executing once per consumer. Local checkpoint
+  * blocks are executor-local and NOT replicated — after one materializes,
+  * losing an executor fails the job instead of recomputing the lineage.
+  * That is the right default for bounded batch runs (recompute would cost
+  * more than a retry); for long multi-hour 100 TB runs on preemptible
+  * nodes, swap the `localCheckpoint(false)` barriers for reliable
+  * `checkpoint()` (HDFS-backed) or `persist(MEMORY_AND_DISK_2)` — same
+  * plan shape, replicated blocks.
   */
 object DedupOps {
   /** Word n-gram shingle array over a pre-materialized token array. The

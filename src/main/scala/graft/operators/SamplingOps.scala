@@ -118,12 +118,20 @@ object SamplingOps {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
     val nToks = size(col("__toks"))
+    // last start: the smallest stride multiple whose chunk reaches the end
+    // of the document — emitting starts past it would produce degenerate
+    // tail chunks fully contained in the previous window (when
+    // stride < chunkSize). ceil((nToks - chunkSize) / stride) in integer
+    // arithmetic; 0 when the whole document fits in one chunk.
+    val maxStart = (call_function("div",
+      greatest(nToks - chunkSize, lit(0)) + lit(stride - 1), lit(stride))
+      * stride).cast(IntegerType)
     df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
-      // chunk starts: every multiple of stride below the token count; the
-      // chunk index is start/stride, so no positional explode is needed
-      // (and the SQL replay is the identical expression)
+      // chunk starts: stride multiples up to maxStart; the chunk index is
+      // start/stride, so no positional explode is needed (and the SQL
+      // replay is the identical expression)
       .select(col("id"), col("__toks"),
-        explode(sequence(lit(0), greatest(nToks - 1, lit(0)), lit(stride))).as("__start"))
+        explode(sequence(lit(0), maxStart, lit(stride))).as("__start"))
       .select(col("id"),
         (col("__start") / stride).cast(LongType).as("chunk_id"),
         array_join(slice(col("__toks"), col("__start") + 1, lit(chunkSize)), " ").as("chunk_text"),
@@ -138,6 +146,11 @@ object SamplingOps {
     *
     * One window partitioned ON THE GROUP — work distributes across groups
     * and no global sort or single partition appears at any scale.
+    * Admission is row-at-a-time (ROWS frame, not the default RANGE frame):
+    * rows tied on (orderCol, tieCol) accumulate one by one instead of all
+    * receiving the combined sum and being rejected together — so the
+    * result is deterministic when (orderCol, tieCol) is unique and
+    * fills the budget maximally even when it is not.
     */
   def sampleToTokenBudget(df: DataFrame, groupCol: String, orderCol: String,
                           tieCol: String, tokenCol: String, budget: Long): DataFrame = {
@@ -145,6 +158,7 @@ object SamplingOps {
       "sampleToTokenBudget: input must not contain reserved column cum_tokens")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(orderCol).desc, col(tieCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
       .filter(col("cum_tokens") <= budget)
   }
@@ -163,6 +177,9 @@ object SamplingOps {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     require(bucketEdges.nonEmpty && bucketEdges == bucketEdges.sorted,
       s"bucketEdges must be non-empty and ascending, got $bucketEdges")
+    Seq("bucket", "__rn", "batch_id", "batch_seq").foreach(c =>
+      require(!df.columns.contains(c),
+        s"lengthBucketedBatches: input must not contain reserved column $c"))
     val bucket = bucketEdges.zipWithIndex.reverse
       .foldLeft(lit(bucketEdges.size).cast(LongType)) { case (acc, (edge, i)) =>
         when(col(tokenCol) <= edge, lit(i.toLong)).otherwise(acc)

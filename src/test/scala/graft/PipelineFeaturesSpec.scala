@@ -249,6 +249,24 @@ class PipelineFeaturesSpec extends AnyFunSuite {
     assert(f.getAs[java.sql.Timestamp]("logged_at") != null)
   }
 
+  test("trackevents: unbounded dynamic property keys fail key discovery loudly") {
+    import graft.cdc.EventTracking
+    // 12 distinct dynamic keys (key_0..key_11) across the sample — a topic
+    // shape that would grow the driver-side collect and the flattened
+    // schema without limit; the cap must reject it with a clear message
+    val frames = (0 until 12).map { i =>
+      s"""{"event":"e","timestamp":"2024-03-05T12:30:45Z","messageID":"m$i",
+        "properties":{"key_$i":"v"}}"""
+    }.toDF("value")
+    val dec = graft.cdc.FormatRegistry.decoder(EventTracking.Label)(frames, StructType(Nil))
+    val err = intercept[IllegalArgumentException] {
+      EventTracking.inferPropertyKeys(dec, maxKeys = 10)
+    }
+    assert(err.getMessage.contains("more than 10 distinct"))
+    // under the cap the same topic discovers normally
+    assert(EventTracking.inferPropertyKeys(dec, maxKeys = 12).size == 12)
+  }
+
   test("poison envelope dead-letters; the batch's decodable rows still merge") {
     val root = Files.createTempDirectory("graft_dlq").toString
     val rowSchema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))

@@ -84,9 +84,14 @@ class StatefulOpsSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
+    // the in-batch winner among the two same-batch 'alpha' copies is
+    // nondeterministic (whichever the shuffle delivers first) — assert on
+    // content membership, not on which doc_id survived
     val admitted = spark.table("dedup_out").collect()
-      .map(r => (r.getLong(1), r.getString(2))).toSet
-    assert(admitted == Set((1L, "alpha"), (3L, "beta")))
+      .map(r => (r.getLong(1), r.getString(2)))
+    assert(admitted.map(_._2).sorted.toSeq == Seq("alpha", "beta"))
+    assert(admitted.collect { case (id, "alpha") => id }.forall(Set(1L, 2L)))
+    assert(admitted.collect { case (id, "beta") => id }.toSeq == Seq(3L))
     // schema passthrough: internal hash column must not leak
     assert(!spark.table("dedup_out").columns.contains("__content_hash"))
   }
