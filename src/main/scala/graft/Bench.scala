@@ -26,7 +26,11 @@ object Bench {
     // (GC pauses, cold codegen); the minimum is the best estimator of the
     // plan's inherent cost. N=2 doubles suite time but makes round-over-
     // round comparison meaningful.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    val repsRaw = sys.env.getOrElse("SPARK_GRAFT_REPS", "2")
+    val reps = try repsRaw.toInt.max(1) catch {
+      case _: NumberFormatException =>
+        sys.error(s"SPARK_GRAFT_REPS must be an integer, got '$repsRaw'")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,7 +67,10 @@ object Bench {
         resetStorage(spark)
         elapsed
       }
-      val best = if (times.contains(-1.0)) -1.0 else times.min
+      // min over SUCCESSFUL reps: one transient failure shouldn't discard a
+      // valid timing; the sentinel -1 is reported only when every rep failed
+      val ok = times.filter(_ >= 0)
+      val best = if (ok.nonEmpty) ok.min else -1.0
       // full per-rep detail goes to stderr (human dev loop); stdout stays
       // reserved for the single compact JSON line the driver captures
       System.err.println(s"[bench] $name " +
@@ -77,12 +84,26 @@ object Bench {
     // whole line near 1 KB. Locale.ROOT: a comma-decimal default locale
     // would emit invalid JSON.
     def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // the qNN prefix must be unique per query or two timings would collapse
+    // into one JSON key with one silently overwriting the other
+    require(results.map(_._1.split("_")(0)).distinct.size == results.size,
+      "duplicate qNN prefixes among query names: " +
+        results.map(_._1).groupBy(_.split("_")(0)).filter(_._2.size > 1).values.flatten.mkString(", "))
     val qs = results.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k.split("_")(0) + "\"" }
       .mkString("[", ",", "]")
     val sf = sfDir.split("/").last.stripPrefix("sf")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sf"}""")
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sf"}"""
+    println(line)
+    // belt-and-braces for the driver's tail capture (parsed=null six rounds
+    // running): persist the line to a file, stop Spark so no late INFO noise
+    // can interleave, then print the bare JSON once more as the final
+    // stdout act
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    System.out.println(line)
+    System.out.flush()
   }
 }

@@ -299,14 +299,14 @@ FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
       // eagerly so the persisted shingle index can be unpersisted HERE —
       // otherwise every corpus processed in a long session leaves its
       // index squatting on executor storage (the round-2 bench leak)
-      val r = DedupOps.jaccardPairsReleasable(Tables.documents(s, d), "doc_id", "text", 3, 0.6)
+      val r = DedupOps.jaccardPairsPrefixReleasable(Tables.documents(s, d), "doc_id", "text", 3, 0.6)
       val out = r.df.orderBy(col("ia"), col("ib")).localCheckpoint(true)
       r.release()
       out
     },
-      // oracle models the default dfCap so the gate stays exact even on a
-      // corpus whose hot shingles exceed the cap
-      Some(cappedJaccardSql(0.6, 64))),
+      // prefix filtering is EXACT, so the oracle is the plain brute-force
+      // all-pairs jaccard — no cap modeling needed
+      Some(jaccardSql(0.6))),
 
     ("q22_dedup_minhash_lsh", (s, d) => {
       val r = DedupOps.minhashNearDupPairsReleasable(Tables.documents(s, d), "doc_id", "text", 3, 0.7)

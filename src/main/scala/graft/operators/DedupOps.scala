@@ -37,6 +37,20 @@ object DedupOps {
   def shingleArray(text: Column, n: Int): Column =
     shingleArrayFromTokens(split(text, " "), n)
 
+  /** HASHED word n-gram shingle array: xxhash64 seed-chained over the n
+    * token strings directly, skipping the `concat_ws` shingle-string
+    * construction (the allocation-heavy step of the exact pipeline).
+    * Token boundaries stay significant because each token re-seeds the
+    * chain with the accumulated hash — ("ab","c") and ("a","bc") diverge.
+    */
+  def hashedShingleArrayFromTokens(toks: Column, n: Int): Column = {
+    val cnt = size(toks) - (n - 1)
+    when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i =>
+        xxhash64((0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Exploded distinct (id, shingle) pairs — the inverted-index relation.
     * Repartitions on the id first: small document corpora arrive as one
     * parquet split, and the explode is the CPU-heavy stage — it must fan
@@ -134,6 +148,93 @@ object DedupOps {
       .select(col("ia"), col("ib"),
         (col("inter_r") + coalesce(col("inter_h"), lit(0L))).as("inter"))
     Releasable(jaccardFromIntersections(inter, counts, counts, tau), () => { sh.unpersist(); () })
+  }
+
+  /** EXACT all-pairs n-gram Jaccard >= tau via prefix filtering
+    * (AllPairs/PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08).
+    * Output: (ia, ib, jaccard) with ia < ib — equal to the brute-force
+    * inverted-index self-join, with no document-frequency cap heuristic.
+    *
+    * Candidate generation indexes only each document's PREFIX — its first
+    * ceil((1-tau)*n)+1 distinct shingles under a canonical global order
+    * (ascending document frequency, ties on the shingle text). Theorem: if
+    * jaccard(A,B) >= tau then |A∩B| >= ceil(tau*max(|A|,|B|)), and the
+    * smallest common shingle in the canonical order lies inside BOTH
+    * prefixes — so every qualifying pair collides on a prefix shingle and
+    * the exact verify pass makes the output identical to brute force.
+    * (Our prefix ceil((1-tau)n)+1 is >= the tight (n - ceil(tau*n) + 1),
+    * so float rounding can only lengthen it — the safe direction.)
+    *
+    * Scale shape vs the dfCap variant: rarest-first ordering puts hot
+    * boilerplate shingles LAST, so they enter a prefix only for documents
+    * made almost entirely of boilerplate — candidate volume collapses to
+    * rare-shingle collisions without giving up exactness. Two further
+    * provably-lossless filters prune inside the join: the length filter
+    * (min(na,nb) >= tau*max(na,nb), else jaccard < tau is impossible) and
+    * the PPJoin positional filter (for the smallest common shingle at
+    * per-doc ranks (ra, rb), overlap <= 1 + min(na-ra, nb-rb), which must
+    * reach ceil(tau/(1+tau)*(na+nb)); a qualifying pair always passes on
+    * its smallest-common-shingle row, and the pair survives if ANY row
+    * passes). Epsilons on the >= comparisons keep float rounding on the
+    * admit side.
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, tau: Double): DataFrame =
+    jaccardPairsPrefixReleasable(df, idCol, textCol, n, tau).df
+
+  def jaccardPairsPrefixReleasable(df: DataFrame, idCol: String, textCol: String,
+                                   n: Int, tau: Double): Releasable = {
+    import org.apache.spark.sql.expressions.Window
+    // per-doc distinct HASHED shingle array, materialized once (the
+    // concat-heavy shingle construction is the CPU cost — it must not
+    // re-run per consumer). Everything downstream — the frequency agg, the
+    // prefix join key, the row-local array_intersect verify — runs on
+    // 8-byte longs instead of shingle strings, which cuts shuffle bytes
+    // and comparison cost several-fold. The prefix theorem survives the
+    // hashing: shared shingles still share hashes, so the hashed overlap
+    // is >= the true overlap while hashed set sizes are <= true sizes —
+    // every qualifying pair still collides on a hashed prefix. A cross-doc
+    // xxhash64 collision (probability ~|pairs|*|shingles|^2/2^64 ~ 1e-15
+    // at any realistic corpus) is the only way the output can differ from
+    // the string-exact scan — the same trust already placed in the
+    // MinHash pipeline's base hash.
+    val docArr = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        array_distinct(hashedShingleArrayFromTokens(split(col(textCol), " "), n)).as("hs"))
+      .select(col("id"), col("hs"), size(col("hs")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shEx = docArr.select(col("id"), col("n"), explode(col("hs")).as("h"))
+    val dfreq = shEx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // canonical per-doc rank: one shuffle on the hash (df join), one on id
+    // (the window exchange)
+    val rankW = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val ranked = shEx.join(dfreq, "h")
+      .select(col("id"), col("h"), col("n"), row_number().over(rankW).as("rank"))
+    // the prefix relation feeds both self-join sides; barrier so the
+    // rank/df work runs once (prefix is ~(1-tau) of the index)
+    val prefix = ranked.filter(col("rank") <= ceil(lit(1 - tau) * col("n")) + 1)
+      .localCheckpoint(false)
+    val na = col("a.n"); val nb = col("b.n")
+    val minOverlap = ceil(lit(tau / (1 + tau)) * (na + nb) - lit(1e-9))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          least(na, nb).cast("double") >= lit(tau) * greatest(na, nb) - lit(1e-9) &&
+          (least(na - col("a.rank"), nb - col("b.rank")) + 1) >= minOverlap)
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+      .distinct()
+    // row-local exact verify: intersection via array_intersect of the two
+    // materialized hash arrays — no second pass over the inverted index
+    val out = cands
+      .join(docArr.as("da"), col("ia") === col("da.id"))
+      .join(docArr.as("db"), col("ib") === col("db.id"))
+      .select(col("ia"), col("ib"),
+        size(array_intersect(col("da.hs"), col("db.hs"))).as("inter"),
+        col("da.n").as("na"), col("db.n").as("nb"))
+      .select(col("ia"), col("ib"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+    Releasable(out, () => { docArr.unpersist(); () })
   }
 
   /** (ia, ib, inter) + per-doc shingle counts -> exact jaccard >= tau —

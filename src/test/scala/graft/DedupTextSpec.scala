@@ -54,6 +54,49 @@ class DedupTextSpec extends AnyFunSuite {
     rel.release() // must not throw; cache entry dropped
   }
 
+  test("prefix-filtered jaccard equals the uncapped brute-force scan on testdata") {
+    val docs = Tables.documents(spark, sf)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = toSet(DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.6, Int.MaxValue))
+    val rel = DedupOps.jaccardPairsPrefixReleasable(docs, "doc_id", "text", 3, 0.6)
+    assert(toSet(rel.df) == uncapped)
+    assert(uncapped.nonEmpty)
+    rel.release()
+  }
+
+  test("property: prefix-filtered jaccard equals brute force on generated corpora") {
+    // ScalaCheck generators driven with fixed seeds (same idiom as
+    // PropertySpec): small vocab + repeated phrases force shared shingles,
+    // hot shingles, and size-skewed pairs — the cases that stress the
+    // prefix/length/positional filters
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "boiler", "plate", "x")
+    val docGen = Gen.choose(3, 14).flatMap(len => Gen.listOfN(len, word).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(4, 12).flatMap(nd => Gen.listOfN(nd, docGen))
+    for (seedNo <- 1L to 8L) {
+      val corpus = corpusGen(Gen.Parameters.default, Seed(seedNo)).get
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val tau = if (seedNo % 2 == 0) 0.6 else 0.5
+      // brute force in plain Scala over distinct word-3-gram sets
+      def shingleSet(t: String): Set[String] =
+        t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val sets = corpus.map { case (i, t) => i -> shingleSet(t) }.toMap
+      val expected = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia < ib && sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= tau
+      } yield (ia, ib, j)).toSet
+      val got = DedupOps.jaccardPairsPrefix(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", 3, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, s"seed=$seedNo tau=$tau corpus=$corpus")
+    }
+  }
+
   test("dfCap: hot-shingle intersections still counted exactly; all-hot pairs are the documented miss") {
     // docs 1,2: share 3 rare + 3 hot shingles -> must surface with EXACT
     // jaccard 6/7 (hot contribution added back). filler docs pairwise share

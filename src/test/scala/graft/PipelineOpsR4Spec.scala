@@ -32,7 +32,9 @@ class PipelineOpsR4Spec extends AnyFunSuite {
       (3L, 3L, 1L, 333L)))
   }
 
-  test("chunkDocuments produces overlapping chunks with a short tail") {
+  test("chunkDocuments bounds starts: no degenerate tail fully inside the previous window") {
+    // 10 tokens, chunk 4, stride 3: start 9 would yield "t9" — already
+    // covered by chunk 2 — so the last start is 6
     val df = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
     val got = SamplingOps.chunkDocuments(df, "doc_id", "text", 4, 3)
       .orderBy("chunk_id")
@@ -40,8 +42,20 @@ class PipelineOpsR4Spec extends AnyFunSuite {
     assert(got.toSeq == Seq(
       (0L, "t0 t1 t2 t3", 4L),
       (1L, "t3 t4 t5 t6", 4L),
+      (2L, "t6 t7 t8 t9", 4L)))
+  }
+
+  test("chunkDocuments keeps a genuine short tail that adds new content") {
+    // 11 tokens: start 9 reaches t10, which no earlier chunk covers
+    val df = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
+    val got = SamplingOps.chunkDocuments(df, "doc_id", "text", 4, 3)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, "t0 t1 t2 t3", 4L),
+      (1L, "t3 t4 t5 t6", 4L),
       (2L, "t6 t7 t8 t9", 4L),
-      (3L, "t9", 1L)))
+      (3L, "t9 t10", 2L)))
   }
 
   test("chunkDocuments rejects stride > chunkSize (tokens would be skipped)") {

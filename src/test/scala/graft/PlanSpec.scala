@@ -61,9 +61,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q21: capped jaccard keeps equi-joins only (no cartesian candidate scan)") {
+  test("q21: prefix-filtered jaccard keeps equi-joins only (no cartesian candidate scan)") {
     // the q21 QUERY entry materializes-then-releases (checkpoint), so its
     // own plan is a block scan — assert on the underlying operator plan
+    val r = graft.operators.DedupOps.jaccardPairsPrefixReleasable(
+      Tables.documents(spark, sf), "doc_id", "text", 3, 0.6)
+    val p = r.df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    r.release()
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // (the prefix relation sits behind a lazy localCheckpoint, so its
+    // id-partitioned window does not appear in this explain — the window
+    // shape is pinned by the operator's construction: Window.partitionBy(id))
+  }
+
+  test("capped jaccard (library variant) keeps its broadcast rare/hot split") {
     val r = graft.operators.DedupOps.jaccardPairsReleasable(
       Tables.documents(spark, sf), "doc_id", "text", 3, 0.6)
     val p = r.df.queryExecution.explainString(
