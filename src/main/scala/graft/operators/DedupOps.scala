@@ -182,26 +182,47 @@ object DedupOps {
                          n: Int, tau: Double): DataFrame =
     jaccardPairsPrefixReleasable(df, idCol, textCol, n, tau).df
 
-  def jaccardPairsPrefixReleasable(df: DataFrame, idCol: String, textCol: String,
-                                   n: Int, tau: Double): Releasable = {
-    import org.apache.spark.sql.expressions.Window
-    // per-doc distinct HASHED shingle array, materialized once (the
-    // concat-heavy shingle construction is the CPU cost — it must not
-    // re-run per consumer). Everything downstream — the frequency agg, the
-    // prefix join key, the row-local array_intersect verify — runs on
-    // 8-byte longs instead of shingle strings, which cuts shuffle bytes
-    // and comparison cost several-fold. The prefix theorem survives the
-    // hashing: shared shingles still share hashes, so the hashed overlap
-    // is >= the true overlap while hashed set sizes are <= true sizes —
-    // every qualifying pair still collides on a hashed prefix. A cross-doc
-    // xxhash64 collision (probability ~|pairs|*|shingles|^2/2^64 ~ 1e-15
-    // at any realistic corpus) is the only way the output can differ from
-    // the string-exact scan — the same trust already placed in the
-    // MinHash pipeline's base hash.
-    val docArr = df.repartition(col(idCol))
+  /** Per-doc distinct HASHED shingle array (id, hs: array<long>, n),
+    * id-partitioned — the shared base relation of the exact-jaccard and
+    * MinHash pipelines. The concat-free token hashing runs ONCE here;
+    * everything downstream (frequency aggs, join keys, signatures, the
+    * row-local array_intersect verify) operates on 8-byte longs instead
+    * of shingle strings, cutting shuffle bytes and comparison cost
+    * several-fold. A cross-doc xxhash64 collision (probability
+    * ~|pairs|*|shingles|^2/2^64 ~ 1e-15 at any realistic corpus) is the
+    * only way hashed set arithmetic can differ from string-exact — the
+    * same trust already placed in the MinHash base hash.
+    */
+  private[graft] def hashedDocArray(df: DataFrame, idCol: String, textCol: String,
+                                    n: Int): DataFrame =
+    df.repartition(col(idCol))
       .select(col(idCol).as("id"),
         array_distinct(hashedShingleArrayFromTokens(split(col(textCol), " "), n)).as("hs"))
       .select(col("id"), col("hs"), size(col("hs")).as("n"))
+
+  /** Row-local exact verify shared by the candidate-then-verify
+    * pipelines: intersection via array_intersect of the two materialized
+    * hash arrays — no second pass over an inverted index.
+    */
+  private def verifyPairs(cands: DataFrame, docA: DataFrame, docB: DataFrame,
+                          tau: Double): DataFrame =
+    cands
+      .join(docA.as("da"), col("ia") === col("da.id"))
+      .join(docB.as("db"), col("ib") === col("db.id"))
+      .select(col("ia"), col("ib"),
+        size(array_intersect(col("da.hs"), col("db.hs"))).as("inter"),
+        col("da.n").as("na"), col("db.n").as("nb"))
+      .select(col("ia"), col("ib"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+
+  def jaccardPairsPrefixReleasable(df: DataFrame, idCol: String, textCol: String,
+                                   n: Int, tau: Double): Releasable = {
+    import org.apache.spark.sql.expressions.Window
+    // materialized once: the shingle hashing is the CPU cost — it must
+    // not re-run per consumer (see hashedDocArray for the exactness note)
+    val docArr = hashedDocArray(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shEx = docArr.select(col("id"), col("n"), explode(col("hs")).as("h"))
     val dfreq = shEx.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -222,19 +243,7 @@ object DedupOps {
           (least(na - col("a.rank"), nb - col("b.rank")) + 1) >= minOverlap)
       .select(col("a.id").as("ia"), col("b.id").as("ib"))
       .distinct()
-    // row-local exact verify: intersection via array_intersect of the two
-    // materialized hash arrays — no second pass over the inverted index
-    val out = cands
-      .join(docArr.as("da"), col("ia") === col("da.id"))
-      .join(docArr.as("db"), col("ib") === col("db.id"))
-      .select(col("ia"), col("ib"),
-        size(array_intersect(col("da.hs"), col("db.hs"))).as("inter"),
-        col("da.n").as("na"), col("db.n").as("nb"))
-      .select(col("ia"), col("ib"),
-        (col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= tau)
-    Releasable(out, () => { docArr.unpersist(); () })
+    Releasable(verifyPairs(cands, docArr, docArr, tau), () => { docArr.unpersist(); () })
   }
 
   /** (ia, ib, inter) + per-doc shingle counts -> exact jaccard >= tau —
@@ -252,12 +261,12 @@ object DedupOps {
           (col("ca.n_sh") + col("cb.n_sh") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= tau)
 
-  private val MinhashPrime = 2147483647L // 2^31 - 1; keeps a*h+b within int64
+  private[graft] val MinhashPrime = 2147483647L // 2^31 - 1; keeps a*h+b within int64
 
   /** Deterministic (a, b) permutation coefficients via a plain LCG —
     * stable across JVM/Scala versions (unlike util.Random).
     */
-  private def coeffs(k: Int): (Array[Long], Array[Long]) = {
+  private[graft] def coeffs(k: Int): (Array[Long], Array[Long]) = {
     var state = 42L
     def next(): Long = {
       state = (state * 6364136223846793005L + 1442695040888963407L)
@@ -270,15 +279,48 @@ object DedupOps {
 
   /** MinHash signature per id: k permutations of xxhash64(shingle) via
     * (a*h + b) mod P, all computed in one map-side-combinable aggregation.
+    * Delegates to the lane-packed kernel over a hashed index.
     */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
+    minhashSignaturesFromHashes(
+      sh.select(col("id"), xxhash64(col("shingle")).as("h")), k)
+
+  /** Lane-packed MinHash signatures from a hashed index (id, h: long).
+    * Each permutation value is the TOP 15 BITS of (a*h'+b) mod P (h' = h
+    * mod P) — small enough that four permutations pack into one long and
+    * the whole k-permutation signature aggregates through k/4
+    * [[graft.functions.PackedLaneMin]] buffer slots (4x fewer agg
+    * expressions and buffer writes than one `min` per permutation; the
+    * per-lane min is SWAR bit-twiddling inside the codegen'd update).
+    * min-then-truncate == truncate-then-min (>>16 is monotonic), so a
+    * lane value is exactly the 15-bit prefix of the unpacked minimum.
+    * 15-bit signatures only add a 2^-15 per-row false-collision term to
+    * the LSH banding math — absorbed by the exact verify pass — while
+    * halving signature bytes. Output: (id, mh0..mh{k-1}) with each mh in
+    * [0, 2^15).
+    */
+  private[graft] def minhashSignaturesFromHashes(hashedEx: DataFrame, k: Int): DataFrame = {
+    require(k % 4 == 0, s"lane packing needs k % 4 == 0, got $k")
     val (as, bs) = coeffs(k)
-    // materialize the base hash once per shingle; the k permutations are
-    // then one mul+add+mod each inside the map-side partial min
-    val hashed = sh.withColumn("__h", pmod(xxhash64(col("shingle")), lit(MinhashPrime)))
-    val h = col("__h")
-    val aggs = (0 until k).map(i => min((lit(as(i)) * h + lit(bs(i))) % MinhashPrime).as(s"mh$i"))
-    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val h = pmod(col("h"), lit(MinhashPrime))
+    // (a*h+b) fits int64: a,h < P = 2^31-1, so a*h < 2^62
+    def lane(i: Int): Column =
+      shiftrightunsigned((lit(as(i)) * h + lit(bs(i))) % MinhashPrime, 16)
+    def packedMin(c: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.PackedLaneMin(
+          org.apache.spark.sql.GraftBridge.expression(c)).toAggregateExpression())
+    val aggs = (0 until k / 4).map { g =>
+      val packed = (0 until 4).map(j => shiftleft(lane(4 * g + j), 16 * j))
+        .reduce(_ bitwiseOR _)
+      packedMin(packed).as(s"pm$g")
+    }
+    val unpacked = (0 until k).map { i =>
+      shiftrightunsigned(col(s"pm${i / 4}"), 16 * (i % 4))
+        .bitwiseAND(lit(0xFFFFL)).as(s"mh$i")
+    }
+    hashedEx.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id") +: unpacked: _*)
   }
 
   /** (id, band signature) exploded relation — the LSH bucketing key. */
@@ -320,18 +362,14 @@ object DedupOps {
                                     n: Int, tau: Double,
                                     k: Int = 96, bands: Int = 48): Releasable = {
     val rowsPerBand = k / bands
-    // four consumers (signatures, counts, both verify sides); persisted
-    // for the same reason as in jaccardPairsReleasable
-    val sh = shingles(df, idCol, textCol, n)
+    // two consumers (signature agg, verify); persisted so the shingle
+    // hashing runs once
+    val docArr = hashedDocArray(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidatePairs(minhashSignatures(sh, k), bands, rowsPerBand)
-    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    // verify: intersection size restricted to candidate pairs
-    val inter = cands
-      .join(sh.as("sa"), col("ia") === col("sa.id"))
-      .join(sh.as("sb"), col("ib") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
-    Releasable(jaccardFromIntersections(inter, counts, counts, tau), () => { sh.unpersist(); () })
+    val shEx = docArr.select(col("id"), explode(col("hs")).as("h"))
+    val cands = lshCandidatePairs(
+      minhashSignaturesFromHashes(shEx, k), bands, rowsPerBand)
+    Releasable(verifyPairs(cands, docArr, docArr, tau), () => { docArr.unpersist(); () })
   }
 
   /** Incremental exact dedup: rows of `newDf` whose content hash does NOT
@@ -368,23 +406,19 @@ object DedupOps {
                                    textCol: String, n: Int, tau: Double,
                                    k: Int = 96, bands: Int = 48): Releasable = {
     val rowsPerBand = k / bands
-    val shA = shingles(dfA, idCol, textCol, n)
+    val docA = hashedDocArray(dfA, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shB = shingles(dfB, idCol, textCol, n)
+    val docB = hashedDocArray(dfB, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = bandSignatures(minhashSignatures(shA, k), bands, rowsPerBand).as("a")
-      .join(bandSignatures(minhashSignatures(shB, k), bands, rowsPerBand).as("b"),
+    def sigs(d: DataFrame) = minhashSignaturesFromHashes(
+      d.select(col("id"), explode(col("hs")).as("h")), k)
+    val cands = bandSignatures(sigs(docA), bands, rowsPerBand).as("a")
+      .join(bandSignatures(sigs(docB), bands, rowsPerBand).as("b"),
         col("a.bsig") === col("b.bsig"))
       .select(col("a.id").as("ia"), col("b.id").as("ib"))
       .distinct()
-    val countsA = shA.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val countsB = shB.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val inter = cands
-      .join(shA.as("sa"), col("ia") === col("sa.id"))
-      .join(shB.as("sb"), col("ib") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
-    Releasable(jaccardFromIntersections(inter, countsA, countsB, tau),
-      () => { shA.unpersist(); shB.unpersist(); () })
+    Releasable(verifyPairs(cands, docA, docB, tau),
+      () => { docA.unpersist(); docB.unpersist(); () })
   }
 
   /** 64-bit SimHash per document over word unigrams. */

@@ -97,6 +97,52 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("lane-packed minhash signatures equal unpacked per-permutation mins") {
+    val docs = Tables.documents(spark, sf)
+    val k = 96
+    val hashed = docs.repartition(col("doc_id"))
+      .select(col("doc_id").as("id"), split(col("text"), " ").as("__toks"))
+      .select(col("id"),
+        explode(array_distinct(DedupOps.hashedShingleArrayFromTokens(col("__toks"), 3))).as("h"))
+    // reference: one plain `min` agg per permutation over the SAME
+    // 15-bit lane arithmetic the packed kernel uses
+    val (as, bs) = DedupOps.coeffs(k)
+    val p = DedupOps.MinhashPrime
+    val hh = pmod(col("h"), lit(p))
+    val refAggs = (0 until k).map(i =>
+      min(shiftrightunsigned((lit(as(i)) * hh + lit(bs(i))) % p, 16)).as(s"mh$i"))
+    val ref = hashed.groupBy(col("id")).agg(refAggs.head, refAggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong)).toMap
+    val packed = DedupOps.minhashSignaturesFromHashes(hashed, k)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong)).toMap
+    assert(packed.keySet == ref.keySet)
+    assert(packed.keySet.nonEmpty)
+    packed.foreach { case (id, sig) => assert(sig == ref(id), s"doc $id") }
+  }
+
+  test("PackedLaneMin: SWAR lane mins equal per-lane scala mins on random lanes") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val laneGen = Gen.choose(0L, 0x7FFEL) // 15-bit payloads
+    val rowGen = Gen.listOfN(4, laneGen).map(ls =>
+      ls.zipWithIndex.map { case (v, j) => v << (16 * j) }.reduce(_ | _))
+    val rowsGen = Gen.choose(1, 40).flatMap(m => Gen.listOfN(m, rowGen))
+    for (seedNo <- 1L to 10L) {
+      val rows = rowsGen(Gen.Parameters.default, Seed(seedNo)).get
+      val expected = (0 until 4).map(j =>
+        rows.map(v => (v >>> (16 * j)) & 0xFFFFL).min)
+      val got = rows.map(v => (1L, v)).toDF("id", "packed")
+        .groupBy(col("id"))
+        .agg(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.PackedLaneMin(
+            org.apache.spark.sql.GraftBridge.expression(col("packed")))
+            .toAggregateExpression()).as("pm"))
+        .head().getLong(1)
+      val gotLanes = (0 until 4).map(j => (got >>> (16 * j)) & 0xFFFFL)
+      assert(gotLanes == expected, s"seed=$seedNo rows=$rows")
+    }
+  }
+
   test("dfCap: hot-shingle intersections still counted exactly; all-hot pairs are the documented miss") {
     // docs 1,2: share 3 rare + 3 hot shingles -> must surface with EXACT
     // jaccard 6/7 (hot contribution added back). filler docs pairwise share
