@@ -1197,6 +1197,21 @@ r AS (SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
   ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id) - 1 AS rn FROM b)
 SELECT doc_id, n_tokens, bucket, rn // 16 AS batch_id, rn % 16 AS batch_seq
 FROM r ORDER BY bucket, batch_id, batch_seq""")),
+
+    ("q75_crosscorpus_index", (s, d) => {
+      // the amortized incremental path: the corpus (even docs) is
+      // materialized ONCE as a parquet MinHash index, then the batch
+      // (odd docs) joins against the saved artifact — same pair output
+      // as q54's recompute-both-sides form, so the same brute oracle
+      val docs = Tables.documents(s, d)
+      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_mh_index_${d.split("/").last}"
+      DedupOps.buildMinhashIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxPath)
+      DedupOps.joinAgainstMinhashIndex(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idxPath, 0.7)
+        .orderBy(col("ia"), col("ib"))
+    },
+      Some(crossJaccardSql(0.7))),
   )
 
 

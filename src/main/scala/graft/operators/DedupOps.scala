@@ -392,10 +392,11 @@ object DedupOps {
     * a new batch against an existing corpus without re-running the
     * self-join over their union. Same banding/recall math as
     * [[minhashNearDupPairs]]; candidates come from an A-bands x B-bands
-    * equality join instead of a self-join. At 100 TB the B-side index and
-    * signatures are computed ONCE per corpus generation and reused across
-    * every incoming batch (persist or write them out); the per-batch cost
-    * is then proportional to the batch, not the corpus.
+    * equality join instead of a self-join. This form recomputes both
+    * sides per call; at 100 TB, materialize the corpus side ONCE per
+    * corpus generation with [[buildMinhashIndex]] and run batches through
+    * [[joinAgainstMinhashIndex]] — per-batch cost proportional to the
+    * batch, not the corpus.
     */
   def minhashNearDupJoin(dfA: DataFrame, dfB: DataFrame, idCol: String,
                          textCol: String, n: Int, tau: Double,
@@ -419,6 +420,90 @@ object DedupOps {
       .distinct()
     Releasable(verifyPairs(cands, docA, docB, tau),
       () => { docA.unpersist(); docB.unpersist(); () })
+  }
+
+  /** Build a parquet-backed, REUSABLE MinHash corpus index at `path` —
+    * the "computed once per corpus generation" artifact of incremental
+    * near-dedup. Layout:
+    *   path/docs  (id, hs array<long>, n)  hashed shingle arrays (verify side)
+    *   path/bands (id, bsig struct)        LSH band table (candidate side)
+    *   path/meta  (n, k, bands)            parameters, enforced on reuse
+    * At 100 TB the index is written by one corpus-generation job and then
+    * every incoming batch joins against it via
+    * [[joinAgainstMinhashIndex]] — per-batch cost proportional to the
+    * batch, not the corpus. Both relations are plain parquet: partition
+    * pruning/pushdown apply, and the band table can be bucketed on bsig
+    * by the caller's writer if the corpus outgrows shuffle comfort.
+    */
+  def buildMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        path: String, n: Int = 3, k: Int = 96,
+                        bands: Int = 48): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val docArr = hashedDocArray(corpus, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docArr.write.mode("overwrite").parquet(s"$path/docs")
+    bandSignatures(
+      minhashSignaturesFromHashes(
+        docArr.select(col("id"), explode(col("hs")).as("h")), k),
+      bands, k / bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    Seq((n, k, bands)).toDF("n", "k", "bands")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    docArr.unpersist()
+    ()
+  }
+
+  /** Append documents to an existing [[buildMinhashIndex]] artifact —
+    * the incremental-growth path used by streaming admission (each
+    * micro-batch's ADMITTED docs join the corpus so later batches reject
+    * their near-dups). Parameters come from the saved meta, so appended
+    * rows are always signature-compatible. Appends only add parquet
+    * files (no rewrite); compact the index periodically on long-running
+    * streams (many small files + any replay-duplicated rows — duplicates
+    * only add redundant candidates, never wrong pairs).
+    */
+  def appendToMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                           path: String): Unit = {
+    val spark = docs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (n, k, bands) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    // two consumers (docs write, band build); batch-sized barrier
+    val docArr = hashedDocArray(docs, idCol, textCol, n).localCheckpoint(false)
+    docArr.write.mode("append").parquet(s"$path/docs")
+    bandSignatures(
+      minhashSignaturesFromHashes(
+        docArr.select(col("id"), explode(col("hs")).as("h")), k),
+      bands, k / bands)
+      .write.mode("append").parquet(s"$path/bands")
+    ()
+  }
+
+  /** Near-dup pairs (ia from `batch`, ib from the indexed corpus) with
+    * exact-verified jaccard >= tau, reading a prebuilt
+    * [[buildMinhashIndex]] artifact instead of recomputing the corpus
+    * side — the batch-vs-corpus incremental path with the corpus work
+    * amortized across batches. Only the BATCH is shingled/signed here;
+    * the corpus contributes two parquet scans (bands for candidates,
+    * docs for the row-local verify).
+    */
+  def joinAgainstMinhashIndex(batch: DataFrame, idCol: String, textCol: String,
+                              path: String, tau: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (n, k, bands) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val docB = spark.read.parquet(s"$path/docs")
+    val bandsB = spark.read.parquet(s"$path/bands")
+    val docA = hashedDocArray(batch, idCol, textCol, n)
+      .localCheckpoint(false) // feeds band build + verify; batch-sized
+    val bandsA = bandSignatures(
+      minhashSignaturesFromHashes(
+        docA.select(col("id"), explode(col("hs")).as("h")), k),
+      bands, k / bands)
+    val cands = bandsA.as("a").join(bandsB.as("b"), col("a.bsig") === col("b.bsig"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+      .distinct()
+    verifyPairs(cands, docA, docB, tau)
   }
 
   /** 64-bit SimHash per document over word unigrams. */

@@ -126,5 +126,54 @@ object StatefulOps {
       .drop("__content_hash")
   }
 
+  /** Streaming NEAR-dup admission — the banded twin of
+    * [[streamingNewDocuments]]: exact in-stream dedup first
+    * (watermark-bounded state), then each micro-batch is screened against
+    * a prebuilt parquet MinHash index
+    * ([[graft.operators.DedupOps.buildMinhashIndex]]) and only documents
+    * with NO verified near-dup (banded candidates, exact jaccard >= tau)
+    * are handed to `sink`. With `growIndex` (default), every admitted
+    * batch is appended to the index, so a near-dup of an EARLIER ADMITTED
+    * document is rejected in later batches too — the index is the
+    * cross-batch state, unbounded by the watermark, shared across
+    * restarts and readable by the batch pipelines.
+    *
+    * The per-batch screen runs inside foreachBatch: a rejected-vs-index
+    * decision needs candidate joins plus a batch-minus-rejected anti-join
+    * — a shape stream-static joins cannot express without a streaming
+    * re-aggregation, while inside foreachBatch it is the plain (and
+    * already-tested) batch path. Self-pairs (same id already in the
+    * index) are ignored so an at-least-once replay of a batch admits the
+    * same rows again instead of rejecting them against their own earlier
+    * append. Near-dups WITHIN one micro-batch both pass (the screen is
+    * batch-vs-index, as in the batch API); run the periodic self-dedup
+    * compaction if that matters. Returns the ready-to-`start()` writer.
+    */
+  def streamingNovelDocuments(stream: DataFrame, idCol: String, textCol: String,
+                              eventTimeCol: String, indexPath: String, tau: Double,
+                              watermarkDelay: String = "10 minutes",
+                              growIndex: Boolean = true)
+                             (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val deduped = streamingNewDocuments(stream, textCol, eventTimeCol, watermarkDelay)
+    deduped.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val dupIds = graft.operators.DedupOps
+          .joinAgainstMinhashIndex(batch.toDF(), idCol, textCol, indexPath, tau)
+          .filter(col("ia") =!= col("ib")) // replay tolerance (see scaladoc)
+          .select(col("ia")).distinct()
+        // materialize BEFORE the append below: the admission join must
+        // read the index as of the batch START, never its own append
+        val admitted = batch.join(dupIds, batch(idCol) === col("ia"), "left_anti")
+          .localCheckpoint(true)
+        // no-data micro-batches (watermark advancement) append nothing
+        if (growIndex && !admitted.isEmpty) {
+          graft.operators.DedupOps
+            .appendToMinhashIndex(admitted, idCol, textCol, indexPath)
+        }
+        sink(admitted, batchId)
+      }
+  }
+
   val UpdateMode: OutputMode = OutputMode.Update()
 }

@@ -143,6 +143,25 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash index round-trips through parquet; joinAgainstIndex equals direct cross join") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_idx_spec").toString
+    DedupOps.buildMinhashIndex(corpus, "doc_id", "text", path)
+    // artifact sanity: all three relations exist and the meta pins params
+    val meta = spark.read.parquet(s"$path/meta").head()
+    assert((meta.getInt(0), meta.getInt(1), meta.getInt(2)) == ((3, 96, 48)))
+    assert(spark.read.parquet(s"$path/docs").count() == corpus.count())
+    assert(spark.read.parquet(s"$path/bands").count() == 48 * spark.read.parquet(s"$path/docs").filter(size(col("hs")) > 0).count())
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaIndex = toSet(DedupOps.joinAgainstMinhashIndex(batch, "doc_id", "text", path, 0.7))
+    val direct = toSet(DedupOps.minhashNearDupJoin(batch, corpus, "doc_id", "text", 3, 0.7))
+    assert(viaIndex == direct)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("dfCap: hot-shingle intersections still counted exactly; all-hot pairs are the documented miss") {
     // docs 1,2: share 3 rare + 3 hot shingles -> must surface with EXACT
     // jaccard 6/7 (hot contribution added back). filler docs pairwise share

@@ -66,6 +66,56 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("streaming banded admission rejects index near-dups, grows the index with admissions") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // corpus: one 20-token document; τ=0.7 3-gram jaccard catches
+    // single-token edits (15 of 21 shingles shared ≈ 0.714)
+    val base = (0 until 20).map(i => s"w$i").mkString(" ")
+    def edited(tag: String) = ((0 until 20).map(i => s"w$i").updated(10, tag)).mkString(" ")
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_idx").toString
+    graft.operators.DedupOps.buildMinhashIndex(corpus, "doc_id", "text", path)
+
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = ms.toDF().toDF("ts", "doc_id", "text")
+    // batchId -> admitted doc ids (no-data micro-batches may interleave,
+    // so assert on the union rather than batch positions)
+    val admitted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = StatefulOps.streamingNovelDocuments(
+      df, "doc_id", "text", "ts", path, 0.7) { (adm, bid) =>
+        admitted ++= adm.collect().map(r => (bid, r.getLong(1)))
+        ()
+      }.start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val novel = "completely different content " + (0 until 16).map(i => s"x$i").mkString(" ")
+    // batch 1: near-dup of the CORPUS doc rejected; novel doc admitted
+    ms.addData(
+      (ts("2024-01-01 10:00:00"), 1L, edited("edit1")),
+      (ts("2024-01-01 10:00:10"), 2L, novel))
+    q.processAllAvailable()
+    // batch 2: exact copy of the admitted doc -> exact gate; near-dup of
+    // the corpus -> index; near-dup of batch-1's ADMITTED doc -> grown
+    // index; plus one genuinely new doc
+    val novel2 = "another unrelated document " + (0 until 16).map(i => s"y$i").mkString(" ")
+    ms.addData(
+      (ts("2024-01-01 10:01:00"), 3L, novel), // exact dup of doc 2
+      (ts("2024-01-01 10:01:10"), 4L, edited("edit2")), // corpus near-dup
+      (ts("2024-01-01 10:01:20"), 5L, novel.replace("x7", "zz")), // near-dup of admitted doc 2
+      (ts("2024-01-01 10:01:30"), 6L, novel2))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(admitted.map(_._2).sorted.toSeq == Seq(2L, 6L))
+    // doc 2 (batch 1) was admitted strictly before doc 6 (batch 2)
+    assert(admitted.find(_._2 == 2L).get._1 < admitted.find(_._2 == 6L).get._1)
+    // the grown index now holds corpus + admitted docs 2 and 6
+    val idxIds = spark.read.parquet(s"$path/docs").select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(idxIds == Set(100L, 2L, 6L))
+  }
+
   test("streaming exact-dedup admits only the first copy within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
