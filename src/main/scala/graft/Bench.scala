@@ -24,9 +24,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // min-of-N per query: single-shot timings swing 25%+ on a shared box
     // (GC pauses, cold codegen); the minimum is the best estimator of the
-    // plan's inherent cost. N=2 doubles suite time but makes round-over-
-    // round comparison meaningful.
-    val repsRaw = sys.env.getOrElse("SPARK_GRAFT_REPS", "2")
+    // plan's inherent cost. N=3 (round 6, was 2): the round-5 q67/q69
+    // "regressions" were min-of-2 catching a still-JIT-warming second rep
+    // — both return to round-4 times at rep 3. The extra suite time buys
+    // round-over-round numbers that reflect plans, not warm-up.
+    val repsRaw = sys.env.getOrElse("SPARK_GRAFT_REPS", "3")
     val reps = try repsRaw.toInt.max(1) catch {
       case _: NumberFormatException =>
         sys.error(s"SPARK_GRAFT_REPS must be an integer, got '$repsRaw'")
