@@ -1218,6 +1218,31 @@ FROM r ORDER BY bucket, batch_id, batch_seq""")),
         .orderBy(col("ia"), col("ib"))
     },
       Some(crossJaccardSql(0.7))),
+
+    ("q76_passage_winnowing", (s, d) =>
+      DedupOps.repeatedPassages(Tables.documents(s, d), "doc_id", "text", 6, 5)
+        .orderBy(col("id")),
+      // replays the winnowing chain step for step: per-token codepoint
+      // rolling hash, 6-token positional combine with the same
+      // (acc*31+x) mod 1e9+7 rule, 5-wide window minima,
+      // distinct-per-doc, shared = fingerprint in >= 2 docs. DuckDB
+      // bracket slicing tf[i:i+5]/hv[j:j+4] is 1-based inclusive and
+      // end-clamped — the same semantics as Spark's slice(arr, i, n)
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tf AS (SELECT doc_id, list_transform(w, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(t) + 1), i -> CAST(unicode(substring(t, CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007)) AS tf FROM toks),
+hv AS (SELECT doc_id, list_transform(range(1, greatest(len(tf) - 5, 0) + 1),
+    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), tf[i:i+5]),
+    (acc, x) -> (acc * 31 + x) % 1000000007)) AS hv FROM tf WHERE len(tf) >= 6),
+wm AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hv) - 4, 1) + 1),
+    j -> list_min(hv[j:j+4]))) AS fps FROM hv),
+ex AS (SELECT doc_id, unnest(fps) AS fp FROM wm),
+shared AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) >= 2),
+agg AS (SELECT e.doc_id, count(*) AS n_fp, count(s.fp) AS n_shared
+  FROM ex e LEFT JOIN shared s ON e.fp = s.fp GROUP BY e.doc_id)
+SELECT doc_id AS id, n_fp, n_shared, n_shared * 1000 // n_fp AS shared_permille
+FROM agg ORDER BY id""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

@@ -744,6 +744,73 @@ object DedupOps {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Duplicated-PASSAGE screen via winnowing fingerprints (the MOSS
+    * document-fingerprinting scheme: Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03)
+    * — catches long verbatim passages shared across documents that
+    * whole-document jaccard misses (two long articles quoting the same
+    * boilerplate paragraph sit far below any doc-level tau).
+    *
+    * Per document: hash every k-token shingle with the engine-portable
+    * rolling fingerprint, slide a w-wide window over consecutive shingle
+    * hashes, and keep the DISTINCT window minima as the document's
+    * passage fingerprints (winnowing-by-value). Guarantee: a verbatim
+    * run of >= k+w-1 shared tokens spans at least one full common hash
+    * window, so both documents keep its minimum — every sufficiently
+    * long shared passage is caught while only ~|shingles|/dup-run
+    * minima (distinct window minima collapse across overlapping
+    * windows) are ever indexed.
+    *
+    * Output: (id, n_fp, n_shared, shared_permille) per document with at
+    * least one shingle — n_shared counts fingerprints appearing in >= 2
+    * documents. Scale shape: fingerprint selection is map-only column
+    * arithmetic; the only shuffles are the fingerprint-frequency agg and
+    * the join back — both keyed on the winnowed minima, a small fraction
+    * of the shingle stream. Every arithmetic step is replayed bit-for-bit
+    * by the DuckDB oracle (q76).
+    */
+  def repeatedPassages(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 6, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    // two-stage rolling hash: each TOKEN is fingerprinted once (chars
+    // walked once per token), then each position combines k token
+    // fingerprints with the same (acc*31+x) mod 1e9+7 rule — k-times
+    // cheaper than hashing concatenated shingle strings (no string
+    // building, no re-walking shared characters) and still replayed
+    // step for step by the SQL oracle. acc < 2^30, so acc*31+x < 2^36
+    // — exact in int64.
+    val M = 1000000007L
+    val tokFp = transform(split(col(textCol), " "),
+      t => graft.functions.Converters.fingerprint64(t))
+    val cnt = size(col("__tfp")) - (k - 1)
+    val fpArr = when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i =>
+        aggregate(slice(col("__tfp"), i, lit(k)), lit(0L),
+          (acc, x) => (acc * 31 + x) % M)))
+      .otherwise(array().cast("array<bigint>"))
+    val L = size(col("__fp"))
+    // one window per start position; a doc with fewer than w shingles
+    // contributes its single overall minimum (slice clamps at the end)
+    val wins = transform(sequence(lit(1), greatest(L - (w - 1), lit(1))),
+      j => array_min(slice(col("__fp"), j, lit(w))))
+    val docFp = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), tokFp.as("__tfp"))
+      .select(col("id"), fpArr.as("__fp"))
+      .filter(L >= 1)
+      .select(col("id"), explode(array_distinct(wins)).as("fp"))
+      // two consumers (frequency agg + per-doc join); tiny winnowed set
+      .localCheckpoint(false)
+    // per-doc distinct fps, so count(*) counts documents
+    val shared = docFp.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("fp"), lit(1L).as("__hit"))
+    docFp.join(shared, Seq("fp"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      .select(col("id"), col("n_fp"), col("n_shared"),
+        call_function("div", col("n_shared") * 1000, col("n_fp")).as("shared_permille"))
+  }
+
   /** Benchmark-contamination screen: per corpus document, how many of its
     * distinct word n-gram shingles appear anywhere in a benchmark corpus —
     * the train/test decontamination step of a training-data pipeline (the

@@ -162,6 +162,31 @@ class DedupTextSpec extends AnyFunSuite {
     assert(viaIndex.nonEmpty)
   }
 
+  test("repeatedPassages: planted >= k+w-1 token passage always fingerprint-shared") {
+    // k=6, w=5: guarantee threshold is a 10-token verbatim run. Docs 1/2
+    // embed the same 10-token passage in unrelated contexts; doc 3 is
+    // disjoint vocabulary
+    val passage = (0 until 10).map(i => s"p$i").mkString(" ")
+    val df = Seq(
+      (1L, s"a0 a1 a2 a3 $passage a4 a5 a6 a7"),
+      (2L, s"b0 b1 b2 b3 b4 b5 $passage b6 b7"),
+      (3L, (0 until 25).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val got = DedupOps.repeatedPassages(df, "doc_id", "text", 6, 5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 >= 1, s"doc 1 must share a fingerprint: $byId")
+    assert(byId(2L)._3 >= 1, s"doc 2 must share a fingerprint: $byId")
+    assert(byId(3L)._3 == 0, s"doc 3 shares nothing: $byId")
+    // permille arithmetic: n_shared*1000 div n_fp
+    got.foreach { case (_, nfp, nsh, pm) => assert(pm == nsh * 1000 / nfp) }
+    // a doc shorter than one full window still fingerprints (single min)
+    val tiny = Seq((9L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text") // 2 shingles < w
+    val t = DedupOps.repeatedPassages(tiny, "doc_id", "text", 6, 5).collect()
+    assert(t.length == 1 && t.head.getLong(1) == 1L) // 2 hashes, 1 window-min set entry... n_fp >= 1
+  }
+
   test("dfCap: hot-shingle intersections still counted exactly; all-hot pairs are the documented miss") {
     // docs 1,2: share 3 rare + 3 hot shingles -> must surface with EXACT
     // jaccard 6/7 (hot contribution added back). filler docs pairwise share
