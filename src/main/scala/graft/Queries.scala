@@ -1243,6 +1243,72 @@ agg AS (SELECT e.doc_id, count(*) AS n_fp, count(s.fp) AS n_shared
   FROM ex e LEFT JOIN shared s ON e.fp = s.fp GROUP BY e.doc_id)
 SELECT doc_id AS id, n_fp, n_shared, n_shared * 1000 // n_fp AS shared_permille
 FROM agg ORDER BY id""")),
+
+    ("q77_within_doc_line_dedup", (s, d) => {
+      // wrap every document in crawl-shaped repeated lines (nav header
+      // appearing twice, share button twice); the cleanup keeps only the
+      // first occurrence of each line, preserving order
+      val lined = concat_ws("\n",
+        lit("HEADER NAV"), col("text"), lit("HEADER NAV"),
+        lit("SHARE"), lit("SHARE"), lit("FOOTER"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.dedupSegmentsWithin(lined, "\n").as("clean"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH src AS (SELECT doc_id,
+  'HEADER NAV' || chr(10) || text || chr(10) || 'HEADER NAV' || chr(10) ||
+  'SHARE' || chr(10) || 'SHARE' || chr(10) || 'FOOTER' AS t FROM documents),
+arr AS (SELECT doc_id, string_split(t, chr(10)) AS a FROM src),
+sel AS (SELECT doc_id, list_transform(
+    list_filter(range(1, len(a) + 1), j -> list_position(a, a[j]) = j),
+    j -> a[j]) AS kept FROM arr)
+SELECT doc_id, array_to_string(kept, chr(10)) AS clean
+FROM sel ORDER BY doc_id""")),
+
+    ("q78_vocab_top_ngrams", (s, d) =>
+      TextOps.topNgrams(Tables.documents(s, d), "doc_id", "text", 2, 100)
+        .orderBy(col("rank")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+   i -> w[i] || ' ' || w[i + 1])) AS ngram FROM toks),
+counted AS (SELECT ngram, count(*) AS freq FROM grams GROUP BY ngram
+  ORDER BY freq DESC, ngram LIMIT 100)
+SELECT ngram, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, ngram) AS rank
+FROM counted ORDER BY rank""")),
+
+    ("q79_interval_join", (s, d) => {
+      // lineitems shipped inside each premium order's 30-day window —
+      // a genuine many-to-many range join (NOT the order's own lines),
+      // bucketized to an equi-join + residual instead of the
+      // BroadcastNestedLoopJoin a theta join would plan. Bucket = 32
+      // days ≈ the window length, so each interval lands in ≤ 2 buckets
+      val epoch = lit("1970-01-01").cast(DateType)
+      val points = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), epoch).cast(LongType).as("ship_day"))
+      val intervals = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 470000)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), epoch).as("win_start"),
+          (datediff(col("o_orderdate"), epoch) + 30).as("win_end"))
+      graft.operators.IntervalOps.intervalJoin(
+        points, intervals, "ship_day", "win_start", "win_end", 32L)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_shipped"),
+          min(col("ship_day")).as("first_day"),
+          max(col("ship_day")).as("last_day"))
+        .orderBy(col("o_orderkey"))
+    },
+      Some("""WITH p AS (SELECT l_orderkey, l_linenumber,
+  CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS ship_day FROM lineitem),
+i AS (SELECT o_orderkey,
+  CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS win_start,
+  CAST(o_orderdate AS DATE) - DATE '1970-01-01' + 30 AS win_end
+  FROM orders WHERE o_totalprice > 470000)
+SELECT o_orderkey, count(*) AS n_shipped,
+  min(ship_day) AS first_day, max(ship_day) AS last_day
+FROM i JOIN p ON ship_day >= win_start AND ship_day <= win_end
+GROUP BY o_orderkey ORDER BY o_orderkey""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

@@ -223,6 +223,51 @@ object TextOps {
         count(lit(1)).as("n_segments"))
   }
 
+  /** Exact corpus-wide top-K n-gram frequencies — the vocabulary/merge
+    * table prep of tokenizer training and the "most common phrases"
+    * corpus diagnostic. Output: (ngram, freq, rank) with rank 1..topK,
+    * ties broken by the ngram text so the result is deterministic.
+    *
+    * Scale shape: the count is one map-side-combinable aggregation keyed
+    * on the n-gram, and the global top-K is Spark's TakeOrdered (per-
+    * partition heaps of K entries merged on the driver, K-bounded) — no
+    * global sort, no single-partition window, at any corpus size.
+    * Occurrence counting (not per-doc dedup): a phrase used twice in one
+    * document counts twice, as vocabulary building requires.
+    */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String,
+                n: Int, topK: Int): DataFrame = {
+    val grams = df.repartition(col(idCol))
+      .select(explode(DedupOps.shingleArray(col(textCol), n)).as("ngram"))
+    val counted = grams.groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("ngram")).limit(topK)
+    // rank AFTER the limit: this (necessarily global) window runs over
+    // topK driver-bounded rows, never the full vocabulary
+    counted.select(col("ngram"), col("freq"),
+      row_number().over(Window.orderBy(col("freq").desc, col("ngram")))
+        .cast("long").as("rank"))
+  }
+
+  /** WITHIN-document repeated-segment removal (the C4/CCNet line-dedup
+    * cleanup): split on `sep`, keep only the FIRST occurrence of each
+    * segment (order preserved), re-join — crawl pages repeat nav lines,
+    * cookie banners, and share buttons many times inside one page, and
+    * those repeats both waste tokens and skew repetition metrics.
+    * Cross-document boilerplate is the separate
+    * [[removeBoilerplateSegments]] pass.
+    *
+    * Pure per-row array work (one codegen'd projection, no shuffle, no
+    * state): first-occurrence membership via array_position(arr, x) ==
+    * own index — the same first-match semantics as SQL list_position, so
+    * the oracle replays it exactly. Per-row cost is O(segments^2) with
+    * tiny constants; pages have tens of lines, not thousands.
+    */
+  def dedupSegmentsWithin(text: Column, sep: String): Column = {
+    val arr = split(text, java.util.regex.Pattern.quote(sep))
+    array_join(
+      filter(arr, (x, i) => array_position(arr, x) === i + 1), sep)
+  }
+
   /** Most DISTINCTIVE terms per document: rank terms by a rarity-weighted
     * frequency score — `tf * N_docs * 1000 / df` in integer arithmetic
     * (the TF-IDF shape with a rational rarity weight instead of a float

@@ -13,6 +13,28 @@ class ExtendedOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("intervalJoin: exact inclusive bounds, multi-bucket spans, invalid intervals dropped") {
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 15L), (4L, 99L)).toDF("p_id", "t")
+    val intervals = Seq(
+      (10L, 5L, 10L),   // matches t=5 (start edge) and t=10 (end edge)
+      (20L, 11L, 14L),  // matches nothing (gap)
+      (30L, 0L, 95L),   // spans many 4-wide buckets; matches t=5,10,15
+      (40L, 50L, 40L),  // inverted -> dropped
+      (50L, 99L, 99L)). // single-point interval at t=99
+      toDF("i_id", "s", "e")
+    val got = graft.operators.IntervalOps
+      .intervalJoin(points, intervals, "t", "s", "e", 4L)
+      .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (p, t) <- Seq((1L, 5L), (2L, 10L), (3L, 15L), (4L, 99L))
+      (i, s, e) <- Seq((10L, 5L, 10L), (20L, 11L, 14L), (30L, 0L, 95L), (40L, 50L, 40L), (50L, 99L, 99L))
+      if s <= e && t >= s && t <= e
+    } yield (p, i)).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 10L)) && got.contains((2L, 10L)) && got.contains((4L, 50L)))
+    assert(!got.exists(_._2 == 40L))
+  }
+
   // ---- geometry (F10) ------------------------------------------------------
 
   test("EWKB point (little-endian, with SRID) decodes to GeoJSON Feature") {

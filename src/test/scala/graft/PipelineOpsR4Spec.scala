@@ -105,6 +105,20 @@ class PipelineOpsR4Spec extends AnyFunSuite {
     assert(sqlR == "sob")
   }
 
+  test("dedupSegmentsWithin keeps first occurrence of each line, preserves order") {
+    val df = Seq(
+      (1L, "nav\nbody one\nnav\nshare\nbody two\nshare\nfooter"),
+      (2L, "only\none of\neach"),
+      (3L, "x\nx\nx")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextOps.dedupSegmentsWithin(col("text"), "\n").as("clean"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      (1L, "nav\nbody one\nshare\nbody two\nfooter"),
+      (2L, "only\none of\neach"),
+      (3L, "x")))
+  }
+
   test("removeBoilerplateSegments drops shared segments, reassembles in order") {
     // segment "b b" appears in 3 docs -> boilerplate at maxDocFreq=2;
     // doc 4 is ONLY boilerplate and must drop out entirely

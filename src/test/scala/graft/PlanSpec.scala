@@ -90,6 +90,12 @@ class PlanSpec extends AnyFunSuite {
       (p.contains("LeftAnti") || p.contains("LeftSemi")))
   }
 
+  test("q79: interval join is a bucketized equi-join, never a nested-loop theta join") {
+    val p = plan("q79_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "theta join leaked:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q46: KMV sketch aggregates map-side before the group-key exchange") {
     val p = plan("q46_kmv_distinct_sketch")
     // the custom TypedImperativeAggregate must show a partial phase: the
