@@ -1281,20 +1281,25 @@ FROM counted ORDER BY rank""")),
       // a genuine many-to-many range join (NOT the order's own lines),
       // bucketized to an equi-join + residual instead of the
       // BroadcastNestedLoopJoin a theta join would plan. Bucket = 32
-      // days ≈ the window length, so each interval lands in ≤ 2 buckets
+      // days ≈ the window length, so each interval lands in ≤ 2 buckets.
+      // The query only needs per-window AGGREGATES, so points collapse
+      // to per-day counts BEFORE the join: the pair stream is then
+      // bounded by distinct-days x windows (~31/window), not
+      // lineitems x windows — at sf0.1 that is 460k join rows instead
+      // of 66M, and the ratio only improves as the corpus grows
       val epoch = lit("1970-01-01").cast(DateType)
-      val points = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          datediff(col("l_shipdate"), epoch).cast(LongType).as("ship_day"))
+      val dayCounts = Tables.lineitem(s, d)
+        .select(datediff(col("l_shipdate"), epoch).cast(LongType).as("ship_day"))
+        .groupBy(col("ship_day")).agg(count(lit(1)).as("day_cnt"))
       val intervals = Tables.orders(s, d)
         .filter(col("o_totalprice") > 470000)
         .select(col("o_orderkey"),
           datediff(col("o_orderdate"), epoch).as("win_start"),
           (datediff(col("o_orderdate"), epoch) + 30).as("win_end"))
       graft.operators.IntervalOps.intervalJoin(
-        points, intervals, "ship_day", "win_start", "win_end", 32L)
+        dayCounts, intervals, "ship_day", "win_start", "win_end", 32L)
         .groupBy(col("o_orderkey"))
-        .agg(count(lit(1)).as("n_shipped"),
+        .agg(sum(col("day_cnt")).as("n_shipped"),
           min(col("ship_day")).as("first_day"),
           max(col("ship_day")).as("last_day"))
         .orderBy(col("o_orderkey"))
