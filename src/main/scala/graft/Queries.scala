@@ -1397,28 +1397,6 @@ FROM base2 b FULL OUTER JOIN chg c ON b.user_id = c.user_id)"""
       head + "\nSELECT user_id, event_id, event_type, value FROM merged WHERE NOT del ORDER BY user_id"
   }
 
-  /** Word-3gram Jaccard pairs >= tau replicating jaccardPairs' document-
-    * frequency cap: candidates need one shared shingle with df <= cap, but
-    * the jaccard itself is computed over the FULL shingle sets (q21
-    * oracle — mirrors DedupOps.jaccardPairsReleasable exactly).
-    */
-  private def cappedJaccardSql(tau: Double, cap: Int): String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT DISTINCT doc_id, s FROM
-  (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
-     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s FROM toks)),
-dfq AS (SELECT s, count(*) AS d FROM sh GROUP BY s),
-rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s) WHERE d <= $cap),
-cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-  FROM rare a JOIN rare b USING (s) WHERE a.doc_id < b.doc_id),
-inter AS (SELECT c.ia, c.ib, count(*) AS i FROM cand c
-  JOIN sh x ON x.doc_id = c.ia JOIN sh y ON y.doc_id = c.ib AND y.s = x.s
-  GROUP BY 1, 2)
-SELECT ia, ib, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
-FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
-WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $tau ORDER BY ia, ib"""
-
   /** Brute-force word-3gram Jaccard pairs >= tau under `pairPred` — one
     * CTE chain shared by the self-join (q22) and cross-corpus (q54)
     * oracles, so the tokenization can never drift between them.
