@@ -39,7 +39,23 @@ object IntervalOps {
       s"points/intervals column names collide: ${dup.mkString(", ")} — rename one side")
     require(!(points.columns ++ intervals.columns).contains("__b"),
       "inputs may not carry the reserved column __b")
-    def bucketOf(c: org.apache.spark.sql.Column) = floor(c / bucketWidth)
+    // Exact floor-division bucketing. `floor(c / bucketWidth)` would divide
+    // as DOUBLE, which is no longer exactly rounded for |c| >= 2^53 (epoch
+    // micros/nanos — units this scaladoc explicitly invites), silently
+    // dropping pairs whose point and interval land in different buckets.
+    // Instead subtract the non-negative remainder (long arithmetic, exact)
+    // so the numerator is an exact multiple of bucketWidth, then integral-
+    // divide: floorDiv(c, w) = (c - pmod(c, w)) div w — exact at any
+    // magnitude and correct for negatives. (Only c within bucketWidth of
+    // Long.MinValue could underflow — not a representable epoch.)
+    def bucketOf(c: org.apache.spark.sql.Column) = {
+      val q = c.cast("long")
+      val exactMultiple = q - pmod(q, lit(bucketWidth))
+      org.apache.spark.sql.GraftBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftBridge.expression(exactMultiple),
+          org.apache.spark.sql.GraftBridge.expression(lit(bucketWidth))))
+    }
     val p = points.filter(col(pointCol).isNotNull)
       .withColumn("__b", bucketOf(col(pointCol)))
     val i = intervals
