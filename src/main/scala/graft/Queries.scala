@@ -1207,10 +1207,23 @@ FROM r ORDER BY bucket, batch_id, batch_seq""")),
       // across code changes); repeat executions measure what the
       // operator exists for — the per-batch join against a saved index
       val docs = Tables.documents(s, d)
-      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_mh_index_${d.split("/").last}"
+      // key the artifact on the FULL dataset path (hashed) + this process's
+      // pid: basename-only keying let two datasets with the same basename
+      // reuse each other's index, and concurrent bench/test JVMs on one
+      // machine could overwrite an index another run was reading
+      val idxKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_mh_index_${idxKey}_${ProcessHandle.current().pid()}"
       q75Built.getOrElseUpdate(idxPath, {
+        val t0 = System.nanoTime()
         DedupOps.buildMinhashIndex(
           docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxPath)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        // the bench artifact must self-describe the amortization: min-of-N
+        // reps reuses this once-per-JVM build, so the recorded query time is
+        // the per-batch join only — surface the one-off build cost too
+        q75BuildSeconds = Some(buildS)
+        System.err.println(f"[bench] q75 index build: $buildS%.2f s (once per JVM, excluded from per-rep join times)")
         true
       })
       DedupOps.joinAgainstMinhashIndex(
@@ -1314,12 +1327,42 @@ SELECT o_orderkey, count(*) AS n_shipped,
   min(ship_day) AS first_day, max(ship_day) AS last_day
 FROM i JOIN p ON ship_day >= win_start AND ship_day <= win_end
 GROUP BY o_orderkey ORDER BY o_orderkey""")),
+
+    ("q81_passage_pairs", (s, d) =>
+      DedupOps.repeatedPassagePairs(Tables.documents(s, d), "doc_id", "text", 6, 5, 64)
+        .orderBy(col("ia"), col("ib")),
+      // q76's winnowing replay (same CTE chain) extended with the pair
+      // attribution: fingerprints shared by 2..64 docs (the hot-fp
+      // boilerplate cap), then a self-join on fp with ia < ib and a
+      // distinct-fp count per pair. `ex` is distinct per doc by
+      // construction (wm list_distinct), so count(*) counts fingerprints
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tf AS (SELECT doc_id, list_transform(w, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(t) + 1), i -> CAST(unicode(substring(t, CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007)) AS tf FROM toks),
+hv AS (SELECT doc_id, list_transform(range(1, greatest(len(tf) - 5, 0) + 1),
+    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), tf[i:i+5]),
+    (acc, x) -> (acc * 31 + x) % 1000000007)) AS hv FROM tf WHERE len(tf) >= 6),
+wm AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hv) - 4, 1) + 1),
+    j -> list_min(hv[j:j+4]))) AS fps FROM hv),
+ex AS (SELECT doc_id, unnest(fps) AS fp FROM wm),
+eligible AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) BETWEEN 2 AND 64),
+ee AS (SELECT doc_id, fp FROM ex JOIN eligible USING (fp))
+SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n_shared_fp
+FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY ia, ib""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat
     * executions in one session, rebuilt in the next.
     */
   private val q75Built = scala.collection.concurrent.TrieMap[String, Boolean]()
+
+  /** One-off q75 index build cost in seconds (set the first time q75 runs
+    * in this JVM); Bench reports it as `build_s` so the artifact
+    * self-describes what the min-of-N per-rep times amortize away.
+    */
+  @volatile var q75BuildSeconds: Option[Double] = None
 
 
   /** Schema block driving q43's auto-dispatch (shape: schema.go:14-69). */

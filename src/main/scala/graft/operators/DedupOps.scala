@@ -204,17 +204,28 @@ object DedupOps {
     * pipelines: intersection via array_intersect of the two materialized
     * hash arrays — no second pass over an inverted index.
     */
+  /** docB is LEFT-joined: a candidate whose corpus doc row is missing can
+    * only arise from an interrupted [[appendToMinhashIndex]] (bands are
+    * written before docs, so a crash between the two leaves orphan band
+    * rows). An orphan band hit cannot be exactly verified, so it is
+    * treated as a CONFIRMED dup (jaccard 1.0) — the conservative
+    * direction for admission screening: a near-dup of a crashed-batch doc
+    * is rejected, never silently admitted. With a consistent index the
+    * left join returns exactly the inner-join rows (every band row has
+    * its doc), so batch-path callers (q21/q54/q75) are unaffected.
+    */
   private def verifyPairs(cands: DataFrame, docA: DataFrame, docB: DataFrame,
                           tau: Double): DataFrame =
     cands
       .join(docA.as("da"), col("ia") === col("da.id"))
-      .join(docB.as("db"), col("ib") === col("db.id"))
-      .select(col("ia"), col("ib"),
+      .join(docB.as("db"), col("ib") === col("db.id"), "left")
+      .select(col("ia"), col("ib"), col("db.id").isNull.as("orphan"),
         size(array_intersect(col("da.hs"), col("db.hs"))).as("inter"),
         col("da.n").as("na"), col("db.n").as("nb"))
       .select(col("ia"), col("ib"),
-        (col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+        when(col("orphan"), lit(1.0)).otherwise(
+          col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= tau)
 
   def jaccardPairsPrefixReleasable(df: DataFrame, idCol: String, textCol: String,
@@ -470,12 +481,20 @@ object DedupOps {
     val (n, k, bands) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     // two consumers (docs write, band build); batch-sized barrier
     val docArr = hashedDocArray(docs, idCol, textCol, n).localCheckpoint(false)
-    docArr.write.mode("append").parquet(s"$path/docs")
+    // the two appends are not atomic — write BANDS first. A crash between
+    // them leaves orphan band rows, which [[verifyPairs]] treats as
+    // confirmed dups (conservative: near-dups of a crashed batch are
+    // rejected). The reverse order (docs first) would leave doc rows with
+    // no bands — candidates never form and their near-dups are silently
+    // admitted on every later batch. Recovery: re-appending the same
+    // batch after restart is safe (dup rows only add redundant
+    // candidates); compact the index periodically on long-running streams.
     bandSignatures(
       minhashSignaturesFromHashes(
         docArr.select(col("id"), explode(col("hs")).as("h")), k),
       bands, k / bands)
       .write.mode("append").parquet(s"$path/bands")
+    docArr.write.mode("append").parquet(s"$path/docs")
     ()
   }
 
@@ -771,14 +790,34 @@ object DedupOps {
     */
   def repeatedPassages(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 6, w: Int = 5): DataFrame = {
+    val docFp = winnowedDocFp(df, idCol, textCol, k, w)
+    // per-doc distinct fps, so count(*) counts documents
+    val shared = docFp.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("fp"), lit(1L).as("__hit"))
+    docFp.join(shared, Seq("fp"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      .select(col("id"), col("n_fp"), col("n_shared"),
+        call_function("div", col("n_shared") * 1000, col("n_fp")).as("shared_permille"))
+  }
+
+  /** The winnowing fingerprint-selection stage shared by
+    * [[repeatedPassages]] and [[repeatedPassagePairs]]: one (id, fp) row
+    * per DISTINCT winnowed minimum per document. Checkpointed — every
+    * caller consumes it at least twice.
+    *
+    * Two-stage rolling hash: each TOKEN is fingerprinted once (chars
+    * walked once per token), then each position combines k token
+    * fingerprints with the same (acc*31+x) mod 1e9+7 rule — k-times
+    * cheaper than hashing concatenated shingle strings (no string
+    * building, no re-walking shared characters) and still replayed
+    * step for step by the SQL oracle. acc < 2^30, so acc*31+x < 2^36
+    * — exact in int64.
+    */
+  private def winnowedDocFp(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
-    // two-stage rolling hash: each TOKEN is fingerprinted once (chars
-    // walked once per token), then each position combines k token
-    // fingerprints with the same (acc*31+x) mod 1e9+7 rule — k-times
-    // cheaper than hashing concatenated shingle strings (no string
-    // building, no re-walking shared characters) and still replayed
-    // step for step by the SQL oracle. acc < 2^30, so acc*31+x < 2^36
-    // — exact in int64.
     val M = 1000000007L
     val tokFp = transform(split(col(textCol), " "),
       t => graft.functions.Converters.fingerprint64(t))
@@ -793,22 +832,50 @@ object DedupOps {
     // contributes its single overall minimum (slice clamps at the end)
     val wins = transform(sequence(lit(1), greatest(L - (w - 1), lit(1))),
       j => array_min(slice(col("__fp"), j, lit(w))))
-    val docFp = df.repartition(col(idCol))
+    df.repartition(col(idCol))
       .select(col(idCol).as("id"), tokFp.as("__tfp"))
       .select(col("id"), fpArr.as("__fp"))
       .filter(L >= 1)
       .select(col("id"), explode(array_distinct(wins)).as("fp"))
-      // two consumers (frequency agg + per-doc join); tiny winnowed set
+      // at least two consumers downstream; tiny winnowed set
       .localCheckpoint(false)
-    // per-doc distinct fps, so count(*) counts documents
-    val shared = docFp.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= 2).select(col("fp"), lit(1L).as("__hit"))
-    docFp.join(shared, Seq("fp"), "left")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_fp"),
-        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
-      .select(col("id"), col("n_fp"), col("n_shared"),
-        call_function("div", col("n_shared") * 1000, col("n_fp")).as("shared_permille"))
+  }
+
+  /** Passage-level ATTRIBUTION: which documents share which repeated
+    * passage. [[repeatedPassages]] scores each document's duplicated-
+    * passage fraction but never names the other side; this emits the
+    * actionable pair list (ia, ib, n_shared_fp) — every unordered
+    * document pair sharing at least one winnowed passage fingerprint,
+    * with the number of distinct fingerprints they share (ia < ib).
+    *
+    * Hot fingerprints (boilerplate shared by half the corpus — cookie
+    * banners, licence headers) would blow the pair stream up
+    * quadratically, so fingerprints in more than `maxDocsPerFp`
+    * documents are EXCLUDED, the same frequency cap the boilerplate-
+    * removal pass applies to hot lines: a fingerprint that common is
+    * corpus boilerplate, not a passage match worth attributing. The
+    * per-fp pair fan-out is therefore bounded by maxDocsPerFp², and the
+    * whole pair stream by |shared fps| x maxDocsPerFp² — never by
+    * corpus².
+    *
+    * Scale shape: fingerprint selection is map-only; the eligible-fp
+    * filter is one agg on fp; the self-join is an equi-join on fp over
+    * the capped fingerprint table; the final agg is keyed on the pair.
+    * No all-pairs stage anywhere.
+    */
+  def repeatedPassagePairs(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 6, w: Int = 5,
+                           maxDocsPerFp: Int = 64): DataFrame = {
+    require(maxDocsPerFp >= 2, s"need maxDocsPerFp >= 2, got $maxDocsPerFp")
+    val docFp = winnowedDocFp(df, idCol, textCol, k, w)
+    val eligible = docFp.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2 && col("n_docs") <= maxDocsPerFp)
+      .select(col("fp"))
+    val e = docFp.join(eligible, Seq("fp"))
+    e.as("a").join(e.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ia"), col("b.id").as("ib"))
+      .agg(count(lit(1)).as("n_shared_fp"))
   }
 
   /** Benchmark-contamination screen: per corpus document, how many of its

@@ -187,6 +187,33 @@ class DedupTextSpec extends AnyFunSuite {
     assert(t.length == 1 && t.head.getLong(1) == 1L) // 2 hashes, 1 window-min set entry... n_fp >= 1
   }
 
+  test("repeatedPassagePairs: planted shared paragraph surfaces as a pair; hot fps capped out") {
+    // docs 1/2 embed the same 10-token passage (>= k+w-1 with k=6, w=5) —
+    // they MUST surface as a pair. Docs 20..25 all share one boilerplate
+    // passage; with maxDocsPerFp=4 its fingerprints are in 6 > 4 docs, so
+    // NO boilerplate pairs may appear.
+    val passage = (0 until 10).map(i => s"p$i").mkString(" ")
+    val boiler = (0 until 10).map(i => s"h$i").mkString(" ")
+    val df = (Seq(
+      (1L, s"a0 a1 a2 a3 $passage a4 a5 a6 a7"),
+      (2L, s"b0 b1 b2 b3 b4 b5 $passage b6 b7"),
+      (3L, (0 until 25).map(i => s"c$i").mkString(" "))) ++
+      (20L until 26L).map(i => (i, s"x${i}a x${i}b $boiler x${i}c")))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.repeatedPassagePairs(df, "doc_id", "text", 6, 5, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (ia, ib, n) => ia == 1L && ib == 2L && n >= 1 },
+      s"planted passage pair (1,2) missing: ${pairs.toSeq}")
+    assert(pairs.forall { case (ia, ib, _) => ia < ib }, s"unordered pair: ${pairs.toSeq}")
+    assert(!pairs.exists { case (ia, _, _) => ia >= 20L },
+      s"boilerplate (6 docs > cap 4) must not pair: ${pairs.toSeq}")
+    // with the cap lifted the boilerplate group pairs all-vs-all
+    val uncapped = DedupOps.repeatedPassagePairs(df, "doc_id", "text", 6, 5, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert((20L until 26L).combinations(2).forall { c =>
+      uncapped.contains((c(0), c(1))) }, s"uncapped boilerplate pairs missing")
+  }
+
   test("dfCap: hot-shingle intersections still counted exactly; all-hot pairs are the documented miss") {
     // docs 1,2: share 3 rare + 3 hot shingles -> must surface with EXACT
     // jaccard 6/7 (hot contribution added back). filler docs pairwise share
