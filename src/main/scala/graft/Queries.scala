@@ -1351,6 +1351,37 @@ ee AS (SELECT doc_id, fp FROM ex JOIN eligible USING (fp))
 SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n_shared_fp
 FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 ORDER BY ia, ib""")),
+
+    ("q83_keep_best_doc", (s, d) => {
+      // canonical-doc selection: near-dup components (same pair source as
+      // q44), each keeping its HIGHEST-QUALITY member instead of min-id
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)
+      val groups = DedupOps.nearDupGroups(docs.select(col("doc_id")), "doc_id", pairs)
+      val scored = docs.select(col("doc_id"),
+        TextOps.qualityScore(col("text"), col("n_chars")).as("quality"))
+      DedupOps.keepBestPerGroup(groups, scored, "doc_id", Seq(col("quality").desc))
+        .orderBy(col("id"))
+    },
+      // q44's component chain + q27's quality arithmetic + one window:
+      // first_value over (quality DESC, id) per component = the kept doc
+      Some(s"""WITH RECURSIVE ${nearDupGroupsCtes(3)},
+qbase AS (SELECT doc_id, n_chars,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+  CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) AS cnt_the
+  FROM documents),
+qual AS (SELECT doc_id,
+  least(words, 50) * 10
+  + CAST(floor(least(CAST(floor(((n_chars - words + 1) * 1000) / words) AS BIGINT), 8000) * 3 / 80) AS BIGINT)
+  + CAST(least(CAST(floor((cnt_the * 2000) / words) AS BIGINT), 200) AS BIGINT) AS quality
+  FROM qbase),
+j AS (SELECT g.id, g.canonical_id, q.quality FROM grp g JOIN qual q ON q.doc_id = g.id)
+SELECT id, canonical_id, quality,
+  first_value(id) OVER w AS kept_id,
+  id = first_value(id) OVER w AS kept
+FROM j
+WINDOW w AS (PARTITION BY canonical_id ORDER BY quality DESC, id)
+ORDER BY id""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat
@@ -1508,16 +1539,23 @@ WHERE bit_count(xor(a.sh, b.sh)) <= $maxDist ORDER BY ia, ib"""
   /** q44 oracle: transitive closure over the same near-dup pairs, canonical
     * id = min reachable node (recursive-CTE twin of min-label propagation).
     */
-  private def nearDupGroupsSql(maxDist: Int): String =
-    s"""WITH RECURSIVE $simhashSigCtes,
+  /** The simhash-pair + connected-component chain shared by q44/q71/q83:
+    * ends with `grp(id, canonical_id)`.
+    */
+  private def nearDupGroupsCtes(maxDist: Int): String =
+    s"""$simhashSigCtes,
 pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM sig a JOIN sig b ON a.doc_id < b.doc_id
   WHERE bit_count(xor(a.sh, b.sh)) <= $maxDist),
 edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION ALL SELECT ib, ia FROM pairs),
 reach(a, b) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
-  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
-SELECT a AS id, min(b) AS canonical_id FROM reach GROUP BY a ORDER BY id"""
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+grp AS (SELECT a AS id, min(b) AS canonical_id FROM reach GROUP BY a)"""
+
+  private def nearDupGroupsSql(maxDist: Int): String =
+    s"""WITH RECURSIVE ${nearDupGroupsCtes(maxDist)}
+SELECT id, canonical_id FROM grp ORDER BY id"""
 
   /** Exact cosine top-5 CTE chain (base table aliased `xe` so it can be
     * concatenated with [[annIvfCtes]] in one WITH clause).

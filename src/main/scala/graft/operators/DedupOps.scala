@@ -665,6 +665,35 @@ object DedupOps {
     out
   }
 
+  /** Canonical-doc SELECTION policy over dedup groups: real pipelines keep
+    * the BEST document of each near-dup component (highest quality score,
+    * longest, most recent…), not the smallest id. Joins the
+    * [[nearDupGroups]]/[[nearDupGroupsStar]] output against a caller
+    * scoring relation and marks, per component, the winner under the
+    * caller's ordering (ties broken by ascending id so the choice is
+    * deterministic).
+    *
+    * Output: every (id, canonical_id) row of `groups`, plus the columns of
+    * `scored`, plus `kept_id` (the component's winner) and `kept`
+    * (id == kept_id). Exactly one row per component has kept = true.
+    *
+    * Scale shape: one equi-join on the id and ONE window partitioned by
+    * the component label — components are bounded (dup clusters), so no
+    * global sort and no skew beyond what the dup distribution itself
+    * carries; the same shuffle key the group table already has.
+    */
+  def keepBestPerGroup(groups: DataFrame, scored: DataFrame, idCol: String,
+                       ordering: Seq[Column]): DataFrame = {
+    require(ordering.nonEmpty, "keepBestPerGroup needs at least one ordering column")
+    import org.apache.spark.sql.expressions.Window
+    val joined = groups.join(scored.withColumnRenamed(idCol, "id"), Seq("id"))
+    val w = Window.partitionBy(col("canonical_id"))
+      .orderBy(ordering :+ col("id").asc: _*)
+    joined
+      .withColumn("kept_id", first(col("id")).over(w))
+      .withColumn("kept", col("id") === col("kept_id"))
+  }
+
   /** Large-star round: every node connects its strictly-larger neighbors
     * to the minimum of its neighborhood (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", two-phase alternating algorithm).

@@ -214,6 +214,36 @@ class DedupTextSpec extends AnyFunSuite {
       uncapped.contains((c(0), c(1))) }, s"uncapped boilerplate pairs missing")
   }
 
+  test("keepBestPerGroup: exactly one survivor per component, and it maximizes the ordering") {
+    // components from an explicit pair list: {1,2,3} and {10,11}; 20 is a
+    // singleton. Quality picks 2 (not min-id 1) and 11; singletons keep
+    // themselves.
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ia", "ib")
+    val scored = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 1L), (11L, 4L), (20L, 0L))
+      .toDF("doc_id", "quality")
+    val groups = DedupOps.nearDupGroups(ids, "doc_id", pairs)
+    val got = DedupOps.keepBestPerGroup(groups, scored, "doc_id",
+      Seq(col("quality").desc))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    // exactly one kept row per component
+    val byGroup = got.groupBy(_._2)
+    assert(byGroup.forall { case (_, rows) => rows.count(_._5) == 1 },
+      s"not exactly one survivor per component: ${got.toSeq}")
+    // every row agrees on its component's kept_id, and it maximizes
+    // (quality desc, id asc)
+    byGroup.foreach { case (_, rows) =>
+      val kept = rows.map(_._4).distinct
+      assert(kept.length == 1)
+      val best = rows.map(r => (r._1, r._3)).minBy { case (id, q) => (-q, id) }._1
+      assert(kept.head == best, s"kept ${kept.head} != best $best in ${rows.toSeq}")
+    }
+    // quality ties at 9 within {1,2,3} break to the smaller id 2
+    assert(got.find(_._1 == 2L).exists(_._5))
+    assert(got.find(_._1 == 20L).exists(r => r._4 == 20L && r._5))
+  }
+
   test("dfCap: hot-shingle intersections still counted exactly; all-hot pairs are the documented miss") {
     // docs 1,2: share 3 rare + 3 hot shingles -> must surface with EXACT
     // jaccard 6/7 (hot contribution added back). filler docs pairwise share
