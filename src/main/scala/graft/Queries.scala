@@ -1328,6 +1328,21 @@ SELECT o_orderkey, count(*) AS n_shipped,
 FROM i JOIN p ON ship_day >= win_start AND ship_day <= win_end
 GROUP BY o_orderkey ORDER BY o_orderkey""")),
 
+    ("q80_bpe_token_budget", (s, d) => {
+      // token budgeting in REAL subword tokens (greedy wordpiece over the
+      // fixture vocab, codegen'd) instead of q66's whitespace counts —
+      // same per-language quota shape: longest documents first until the
+      // budget fills, one window partitioned on the group
+      val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars"),
+        graft.functions.Converters.wordpieceTokens(col("text")).as("n_bpe"))
+      graft.operators.SamplingOps.sampleToTokenBudget(
+        t, "lang", "n_chars", "doc_id", "n_bpe", 5000L)
+        .select(col("doc_id"), col("lang"), col("n_bpe"), col("cum_tokens"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+      Some(bpeBudgetSql(5000L))),
+
     ("q81_passage_pairs", (s, d) =>
       DedupOps.repeatedPassagePairs(Tables.documents(s, d), "doc_id", "text", 6, 5, 64)
         .orderBy(col("ia"), col("ib")),
@@ -1539,6 +1554,38 @@ WHERE bit_count(xor(a.sh, b.sh)) <= $maxDist ORDER BY ia, ib"""
   /** q44 oracle: transitive closure over the same near-dup pairs, canonical
     * id = min reachable node (recursive-CTE twin of min-label propagation).
     */
+  /** q80 oracle: replays the greedy wordpiece tokenizer NON-recursively.
+    * Pieces are <= 4 chars, so the greedy longest-match walk is (a) a
+    * per-position step length via membership probes against the SAME
+    * vocab lists the Scala side uses (interpolated from [[graft.functions.Wordpiece]]
+    * — the two can never drift), probed per LENGTH so substring's
+    * end-clamp can't false-match a shorter piece, then (b) one
+    * list_reduce simulating the left-to-right consume with the state
+    * (tokens, chars-still-covered) packed as acc = tokens*8 + skip
+    * (skip <= 3 < 8). Distinct words only — the per-word count joins
+    * back to the doc rows.
+    */
+  private def bpeBudgetSql(budget: Long): String = {
+    def lst(v: Seq[String]) = v.map(p => s"'$p'").mkString("[", ", ", "]")
+    s"""WITH wx AS (SELECT doc_id, lang, n_chars, unnest(string_split(text, ' ')) AS wd FROM documents),
+dw AS (SELECT DISTINCT wd FROM wx WHERE wd != ''),
+steps AS (SELECT wd, list_transform(range(1, length(wd) + 1), i ->
+    CASE WHEN list_contains(${lst(graft.functions.Wordpiece.v4)}, substring(wd, CAST(i AS INT), 4)) THEN 4
+         WHEN list_contains(${lst(graft.functions.Wordpiece.v3)}, substring(wd, CAST(i AS INT), 3)) THEN 3
+         WHEN list_contains(${lst(graft.functions.Wordpiece.v2)}, substring(wd, CAST(i AS INT), 2)) THEN 2
+         ELSE 1 END) AS st FROM dw),
+cnt AS (SELECT wd, list_reduce(list_prepend(CAST(0 AS BIGINT), st),
+    (acc, x) -> CASE WHEN acc % 8 > 0 THEN acc - 1 ELSE acc + 8 + (x - 1) END) // 8 AS n
+  FROM steps),
+dt AS (SELECT w.doc_id, w.lang, w.n_chars, CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS n_bpe
+  FROM wx w LEFT JOIN cnt c ON w.wd = c.wd GROUP BY 1, 2, 3),
+w2 AS (SELECT doc_id, lang, n_bpe,
+  CAST(SUM(n_bpe) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM dt)
+SELECT doc_id, lang, n_bpe, cum_tokens FROM w2 WHERE cum_tokens <= $budget
+ORDER BY lang, doc_id"""
+  }
+
   /** The simhash-pair + connected-component chain shared by q44/q71/q83:
     * ends with `grp(id, canonical_id)`.
     */

@@ -42,6 +42,9 @@ object Converters {
   /** Rolling 64-bit document fingerprint. */
   def fingerprint64(s: Column): Column = c(Fingerprint64(e(s)))
 
+  /** Greedy wordpiece/BPE subword token count (see [[Wordpiece]]). */
+  def wordpieceTokens(s: Column): Column = c(WordpieceTokenCount(e(s)))
+
   // ---- temporal converters (F1-F5) ----------------------------------------
 
   /** F1: epoch days -> date (converters/date.go:17-31). */

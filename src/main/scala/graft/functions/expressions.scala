@@ -244,6 +244,26 @@ object TextCodec {
   }
 }
 
+/** Greedy wordpiece subword token count over the [[Wordpiece]] fixture
+  * vocabulary — codegen'd call into the static counter (sorted packed-key
+  * binary search per position, zero allocation), so BPE-token budgeting
+  * stays inside whole-stage codegen like every other text metric.
+  */
+case class WordpieceTokenCount(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_tokens needs STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Wordpiece.countTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.Wordpiece.countTokens($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Unicode canonicalization: NFC with combining marks stripped — the
   * text-normalization step before exact/near dedup, so visually identical
   * strings with different codepoint sequences collapse. Codegen'd call

@@ -288,4 +288,46 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: wordpiece expression equals a naive greedy reference") {
+    import graft.functions.Wordpiece
+    // independent reference: plain substring + Set membership, the
+    // textbook greedy longest-match — no packed keys, no binary search
+    val sets = Map(4 -> Wordpiece.v4.toSet, 3 -> Wordpiece.v3.toSet,
+      2 -> Wordpiece.v2.toSet)
+    def naiveWord(w: String): Long = {
+      var i = 0; var n = 0L
+      while (i < w.length) {
+        val step = (4 to 2 by -1).find(l =>
+          i + l <= w.length && sets(l)(w.substring(i, i + l))).getOrElse(1)
+        i += step; n += 1
+      }
+      n
+    }
+    def naive(text: String): Long = text.split(" ", -1).map(naiveWord).sum
+    // generator biased toward vocab-piece collisions: words stitched from
+    // pieces, plain chars, and junk — plus targeted edge strings
+    val pieceGen = Gen.oneOf(
+      Gen.oneOf(Wordpiece.v4 ++ Wordpiece.v3 ++ Wordpiece.v2),
+      Gen.alphaLowerStr.map(_.take(3)), Gen.oneOf("x", "q", "7", "_", "é"))
+    val wordGen = Gen.choose(0, 5).flatMap(k => Gen.listOfN(k, pieceGen).map(_.mkString))
+    val textGen = Gen.choose(0, 12).flatMap(k => Gen.listOfN(k, wordGen).map(_.mkString(" ")))
+    val texts = (0 until 300).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(i.toLong))) ++
+      Seq("", " ", "  ", "the", "thethe", "windowindow", "a  b", "sortsort")
+    // 1) static counter matches the naive reference
+    texts.foreach { t =>
+      assert(Wordpiece.countTokens(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)) == naive(t),
+        s"static counter diverges on '$t'")
+    }
+    // 2) the codegen expression path agrees too
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.functions.Converters.wordpieceTokens(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == naive(t), s"expression diverges on '$t'")
+    }
+  }
 }
