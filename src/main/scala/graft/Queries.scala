@@ -1367,6 +1367,26 @@ SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n_shared_fp
 FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 ORDER BY ia, ib""")),
 
+    ("q82_frame_phash_pairs", (s, d) => {
+      // perceptual-hash near-dup over the multimodal frame path: decode
+      // (stub codec), aHash each frame, and pair original frames against
+      // their single-pixel-perturbed re-encode twins via the pigeonhole
+      // Hamming machinery (exact recall for d <= 3). The twin set is the
+      // deterministic stand-in for a re-encoded copy; pairs surface
+      // exactly where a 1-pixel change keeps the hash within 3 bits —
+      // the robustness property a perceptual hash exists for
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("content"))
+      val frames = graft.operators.MultimodalOps.sampleFrames(docs, "doc_id", "content", 2)
+      val twins = graft.operators.MultimodalOps.perturbPixel(frames, 0, 255.toByte, 1000000000L)
+      val hashed = graft.operators.MultimodalOps.frameAHash(frames.union(twins))
+        .select((col("media_id") * 4 + col("frame_idx")).as("id"), col("ahash"))
+      DedupOps.hammingPairs64(hashed, "id", "ahash", 3)
+        .select(col("ia"), col("ib"), col("hamming").cast(LongType).as("hamming"))
+        .orderBy(col("ia"), col("ib"))
+    },
+      Some(framePhashSql(2))),
+
     ("q83_keep_best_doc", (s, d) => {
       // canonical-doc selection: near-dup components (same pair source as
       // q44), each keeping its HIGHEST-QUALITY member instead of min-id
@@ -1665,6 +1685,47 @@ approx AS (SELECT q_id, neighbor_id, sim, rank FROM
 SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx, sm / 64.0 AS mean_px,
   CAST(least(mn, mx) AS BIGINT) AS min_px, CAST(mx AS BIGINT) AS max_px
 FROM st WHERE i = 64 ORDER BY media_id, frame_idx"""
+
+  /** q82 oracle: the q34 LCG replay extended to carry the full pixel
+    * list, then aHash in HUGEINT (DuckDB's signed BIGINT shift errors on
+    * bit 63 overflow; HUGEINT carries the unsigned 64-bit hash, and the
+    * band mask / xor / bit_count are value-identical below 2^64), the
+    * same single-pixel twin construction, and the same 4x16-bit
+    * pigeonhole band join + row-local verify the Spark side runs.
+    */
+  private def framePhashSql(nFrames: Int): String =
+    s"""WITH RECURSIVE st AS (
+  SELECT doc_id, CAST(f AS INT) AS fi, 0 AS i, CAST(doc_id * 31 + f AS HUGEINT) AS acc,
+         CAST([] AS BIGINT[]) AS pxs, text
+  FROM documents, range($nFrames) t(f)
+  UNION ALL
+  SELECT doc_id, fi, i + 1, nacc, list_append(pxs, CAST(nacc >> 56 AS BIGINT)), text
+  FROM (
+    SELECT *, (acc * 6364136223846793005 +
+      CASE WHEN length(text) = 0 THEN 0
+           ELSE unicode(substring(text,
+             CAST(((CASE WHEN acc >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN acc - CAST(18446744073709551616 AS HUGEINT) ELSE acc END)
+               % length(text) + length(text)) % length(text) + 1 AS INT), 1))
+      END) % CAST(18446744073709551616 AS HUGEINT) AS nacc
+    FROM st WHERE i < 64)),
+fr AS (SELECT doc_id, fi, pxs FROM st WHERE i = 64),
+vr AS (
+  SELECT doc_id * 4 + fi AS id, pxs FROM fr
+  UNION ALL
+  SELECT (doc_id + 1000000000) * 4 + fi AS id,
+         list_concat([CAST(255 AS BIGINT)], pxs[2:64]) AS pxs FROM fr),
+hs AS (SELECT id, pxs,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), pxs), (a, x) -> a + x) AS s FROM vr),
+ah AS (SELECT id, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+    list_transform(range(1, 65), i -> CASE WHEN pxs[CAST(i AS INT)] * 64 > s
+      THEN (CAST(1 AS HUGEINT) << (CAST(i AS INT) - 1)) ELSE CAST(0 AS HUGEINT) END)),
+    (a, x) -> a | x) AS h FROM hs),
+bands AS (SELECT id, h, c, (h >> CAST(c * 16 AS INT)) & 65535 AS v FROM ah, range(4) t(c)),
+cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib, a.h AS ha, b.h AS hb
+  FROM bands a JOIN bands b ON a.c = b.c AND a.v = b.v AND a.id < b.id)
+SELECT ia, ib, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY ia, ib"""
 
   /** Language-ID oracle generated from the same marker lists as
     * TextOps.langId so the two can never drift apart.

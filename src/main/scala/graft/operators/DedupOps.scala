@@ -544,18 +544,30 @@ object DedupOps {
     * maxDist <= 3; larger distances are best-effort (approximate operator).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int): DataFrame = {
-    val sig = simhash64(df, idCol, textCol)
+                   maxDist: Int): DataFrame =
+    hammingPairs64(simhash64(df, idCol, textCol), "id", "simhash", maxDist)
+
+  /** Hamming-distance pairs over ANY 64-bit signature column (SimHash,
+    * perceptual frame hashes, …) via pigeonhole blocking on 4x16-bit
+    * chunks: a pair within distance <= 3 must agree on at least one chunk
+    * (4 chunks, at most 3 differing bits), so the chunk equi-join has
+    * guaranteed recall for maxDist <= 3; larger distances are
+    * best-effort. The verify step is row-local xor/popcount — never an
+    * all-pairs scan.
+    */
+  def hammingPairs64(sig: DataFrame, idCol: String, hashCol: String,
+                     maxDist: Int): DataFrame = {
     val chunks = (0 until 4).map(c =>
-      struct(lit(c).as("c"), shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("v")))
+      struct(lit(c).as("c"), shiftrightunsigned(col(hashCol), c * 16).bitwiseAND(0xFFFFL).as("v")))
     // lazy checkpoint: the chunk self-join consumes this twice, and without
-    // a barrier the whole signature aggregation executes once per side
-    val exploded = sig.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("chunk"))
+    // a barrier the whole signature computation executes once per side
+    val exploded = sig.select(col(idCol).as("id"), col(hashCol).as("__h"),
+        explode(array(chunks: _*)).as("chunk"))
       .localCheckpoint(false)
     exploded.as("a").join(exploded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ia"), col("b.id").as("ib"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.__h").bitwiseXOR(col("b.__h"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

@@ -98,6 +98,53 @@ object MultimodalOps {
     }
   }
 
+  /** 64-bit average perceptual hash (aHash) per frame: bit i is set iff
+    * pixel i is STRICTLY above the frame mean — compared in integers
+    * (px*n > sum), so the hash is exact with no float mean. Frames wider
+    * than 64 pixels hash their first 64 (run [[resizeFrames]] to 8x8
+    * first — the stub codec already emits 8x8). Near-identical frames
+    * (small pixel perturbations, re-encode noise) land within a few bits
+    * of Hamming distance, so the pairs machinery
+    * ([[DedupOps.hammingPairs64]], exact recall for d <= 3) turns this
+    * into image/frame near-dup detection — the visual counterpart of
+    * SimHash for text. Map-only typed pass, same codec-slot shape as
+    * [[frameFeatures]].
+    */
+  def frameAHash(frames: Dataset[Frame]): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.map { f =>
+      var sum = 0L
+      f.pixels.foreach(b => sum += (b & 0xFF))
+      val n = f.pixels.length
+      var h = 0L
+      var i = 0
+      val m = math.min(n, 64)
+      while (i < m) {
+        if ((f.pixels(i) & 0xFF).toLong * n > sum) h |= (1L << i)
+        i += 1
+      }
+      (f.media_id, f.frame_idx, h)
+    }.toDF("media_id", "frame_idx", "ahash")
+  }
+
+  /** Deterministic single-pixel perturbation with an id shift — the test
+    * double for a re-encoded/slightly-corrupted copy of the same media
+    * (the real slot would be a decode->re-encode round trip). Used to
+    * exercise the perceptual-hash near-dup path with pairs at small
+    * nonzero Hamming distance.
+    */
+  def perturbPixel(frames: Dataset[Frame], pos: Int, value: Byte,
+                   idOffset: Long): Dataset[Frame] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.map { f =>
+      val px = f.pixels.clone()
+      if (pos < px.length) px(pos) = value
+      Frame(f.media_id + idOffset, f.frame_idx, f.width, f.height, px)
+    }
+  }
+
   case class FrameFeatures(media_id: Long, frame_idx: Int, mean_px: Double,
                            min_px: Int, max_px: Int)
 

@@ -205,6 +205,44 @@ class ExtendedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("frameAHash: bit semantics exact; near-identical frames pair within d<=3, far ones don't") {
+    import spark.implicits._
+    // hand-built frames with a known hash: 32 high pixels (first half)
+    // over 32 low -> mean between them -> bits 0..31 set
+    def frame(id: Long, px: Array[Byte]) = MultimodalOps.Frame(id, 0, 8, 8, px)
+    val base = Array.tabulate(64)(i => if (i < 32) 200.toByte else 10.toByte)
+    // twin: 3 low pixels raised ABOVE the shifted mean -> exactly 3 extra
+    // bits; far: 8 raised -> distance 8
+    def raised(k: Int) = Array.tabulate(64)(i =>
+      if (i < 32) 200.toByte else if (i < 32 + k) 250.toByte else 10.toByte)
+    val frames = Seq(frame(1L, base), frame(2L, raised(3)), frame(3L, raised(8))).toDS()
+    val hashed = MultimodalOps.frameAHash(frames)
+    val hs = hashed.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hs(1L) == 0xFFFFFFFFL, f"base hash ${hs(1L)}%x")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(2L)) == 3)
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) == 8)
+    val pairs = graft.operators.DedupOps.hammingPairs64(
+      hashed.select(col("media_id").as("id"), col("ahash")), "id", "ahash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // recall guarantee: the d=3 pair MUST be found even though its
+    // differing bits could span 3 of the 4 chunks; d=8 pairs must not
+    assert(pairs == Set((1L, 2L, 3)), s"got $pairs")
+    // end-to-end twin path: identical content -> perturbed twin pairs at
+    // small distance with guaranteed recall when d <= 3
+    val docs = Seq((7L, "same content here")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    val fr = MultimodalOps.sampleFrames(docs, "doc_id", "content", 1)
+    val tw = MultimodalOps.perturbPixel(fr, 0, 255.toByte, 100L)
+    val h2 = MultimodalOps.frameAHash(fr.union(tw))
+      .select(col("media_id").as("id"), col("ahash"))
+    val d = java.lang.Long.bitCount(
+      h2.collect().map(_.getLong(1)).reduce(_ ^ _))
+    val got = graft.operators.DedupOps.hammingPairs64(h2, "id", "ahash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (d <= 3) assert(got.toSeq == Seq((7L, 107L)), s"d=$d got ${got.toSeq}")
+    else assert(got.isEmpty, s"d=$d got ${got.toSeq}")
+  }
+
   test("packMedia produces the canonical metadata struct") {
     val df = Seq(("img", 640, 480, 0L)).toDF("m", "w", "h", "d")
       .select(MultimodalOps.packMedia(lit(Array[Byte](1, 2)), col("m"), col("w"), col("h"), col("d")).as("meta"))
