@@ -1417,6 +1417,14 @@ SELECT id, canonical_id, quality,
 FROM j
 WINDOW w AS (PARTITION BY canonical_id ORDER BY quality DESC, id)
 ORDER BY id""")),
+
+    ("q84_semantic_dedup", (s, d) =>
+      // SemDeDup: cluster-then-pair embedding dedup — same tau as q31's
+      // full pair search, but the pair space is k cells instead of n²
+      SimilarityOps.semanticNearDupPairs(
+        Tables.embeddings(s, d), "vec_id", "embedding", 0.45, 16, 2)
+        .orderBy(col("ia"), col("ib")),
+      Some(semdedupSql(0.45, 16, 2, 64))),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat
@@ -1726,6 +1734,45 @@ cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib, a.h AS ha, b.h AS hb
   FROM bands a JOIN bands b ON a.c = b.c AND a.v = b.v AND a.id < b.id)
 SELECT ia, ib, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming FROM cand
 WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY ia, ib"""
+
+  /** q84 oracle: replays the scaled-integer k-means round for round —
+    * generated by the same loop count as the operator, so iteration
+    * structure can't drift. Every arithmetic step is integer (scaling
+    * floor, squared-L2, pmod-exact floor division), so the cluster
+    * assignment is bit-identical; the final cosine verify reuses q31's
+    * proven float kernel parity. DuckDB sums BIGINT into HUGEINT —
+    * value-identical, and the centroid lists only feed integer ops.
+    */
+  private def semdedupSql(tau: Double, k: Int, iters: Int, dim: Int): String = {
+    val d2 = (cv: String) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, $dim + 1), j -> (e.xs[CAST(j AS INT)] - $cv[CAST(j AS INT)]) * (e.xs[CAST(j AS INT)] - $cv[CAST(j AS INT)]))),
+      (acc, x) -> acc + x)"""
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v,
+  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS xs
+  FROM embeddings),
+c0 AS (SELECT vid AS c_id, xs AS cv FROM e ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT $k)"""
+    for (i <- 0 until iters) {
+      sb ++= s""",
+a$i AS (SELECT vid, xs, c_id AS cell FROM (
+  SELECT e.vid, e.xs, c.c_id, ROW_NUMBER() OVER (PARTITION BY e.vid ORDER BY ${d2("c.cv")}, c.c_id) AS rn
+  FROM e CROSS JOIN c$i c) WHERE rn = 1),
+s$i AS (SELECT cell, j AS pos, SUM(xs[CAST(j AS INT)]) AS sx, COUNT(*) AS n
+  FROM a$i, range(1, $dim + 1) t(j) GROUP BY 1, 2),
+c${i + 1} AS (SELECT cell AS c_id, list((sx - ((sx % n + n) % n)) // n ORDER BY pos) AS cv FROM s$i GROUP BY cell)"""
+    }
+    sb ++= s""",
+af AS (SELECT vid, v, cell FROM (
+  SELECT e.vid, e.v, c.c_id AS cell, ROW_NUMBER() OVER (PARTITION BY e.vid ORDER BY ${d2("c.cv")}, c.c_id) AS rn
+  FROM e CROSS JOIN c$iters c) WHERE rn = 1)
+SELECT a.vid AS ia, b.vid AS ib,
+floor(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000.0) / 10000.0 AS cosine
+FROM af a JOIN af b ON a.cell = b.cell AND a.vid < b.vid
+WHERE floor(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000.0) / 10000.0 >= $tau
+ORDER BY ia, ib"""
+    sb.toString
+  }
 
   /** Language-ID oracle generated from the same marker lists as
     * TextOps.langId so the two can never drift apart.

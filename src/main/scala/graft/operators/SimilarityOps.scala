@@ -157,6 +157,81 @@ object SimilarityOps {
     * Approximate: neighbors in other cells are missed — that is the
     * recall/cost trade the operator buys.
     */
+  /** Semantic dedup pairs (the SemDeDup recipe: Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding corpus, then search
+    * for near-duplicate pairs (cosine >= tau) ONLY within each cluster —
+    * the scale path for embedding dedup, replacing the corpus² pair space
+    * with k cells of ~n/k (grow `nCentroids` with the corpus to keep
+    * cells bounded). Approximate by design: cross-cluster pairs are the
+    * sacrificed recall, exactly as in the paper.
+    *
+    * The k-means is `iters` Lloyd rounds in SCALED-INTEGER space so every
+    * step is deterministic and engine-replayable: components are scaled
+    * by 2^20 and floored (exact — power-of-two scaling), centroid
+    * updates are integer sums + exact floor division (subtract pmod,
+    * then divide — no double rounding at any magnitude), and assignment
+    * is integer squared-L2 argmin with ties on centroid id. A float
+    * k-means would diverge across engines on aggregation order; this one
+    * cannot. Initial centroids are the md5-ordered deterministic sample
+    * (same seedless scheme as [[ivfTopK]]). The final cosine verify runs
+    * on the ORIGINAL doubles with the same left-to-right kernel and
+    * floor quantization as [[cosineNearDupPairs]].
+    *
+    * Scale shape: per round, one broadcast-centroid assignment (n x k
+    * rows, map-side-combinable argmin) and one (cell, pos)-keyed update
+    * shuffle; the pair join is an equi-join on the cell label. No
+    * all-pairs stage anywhere.
+    */
+  def semanticNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                           tau: Double, nCentroids: Int = 16,
+                           iters: Int = 2): DataFrame = {
+    require(nCentroids >= 1 && iters >= 0,
+      s"need nCentroids >= 1 and iters >= 0, got $nCentroids/$iters")
+    val base = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("xs", transform(col("v"), x => floor(x * 1048576.0).cast("long")))
+      // consumed by every assignment round and the pair join
+      .localCheckpoint(false)
+    var cents = base
+      .orderBy(md5(col("vid").cast("string").cast("binary")), col("vid"))
+      .limit(nCentroids)
+      .select(col("vid").as("c_id"), col("xs").as("cv"))
+    def assign(c: DataFrame): DataFrame = {
+      val d2 = aggregate(zip_with(col("xs"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      base.join(broadcast(c), lit(true))
+        .withColumn("d2", d2)
+        .groupBy(col("vid"))
+        .agg(min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("cell"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+          first(col("xs")).as("xs"))
+    }
+    for (_ <- 0 until iters) {
+      val sums = assign(cents)
+        .select(col("cell"), posexplode(col("xs")))
+        .toDF("cell", "pos", "x")
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      // exact floor division: the numerator is made an exact multiple of n
+      // first, so the integral divide is exact at any magnitude (the
+      // 2^53 double-division trap IntervalOps documents)
+      val mean = call_function("div", col("sx") - pmod(col("sx"), col("n")), col("n"))
+      cents = sums.groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), mean.as("c")))).as("ps"))
+        .select(col("cell").as("c_id"),
+          transform(col("ps"), p => p.getField("c")).as("cv"))
+    }
+    val fin = assign(cents).localCheckpoint(false)
+    val sim = floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 10000.0) / 10000.0
+    fin.as("a").join(fin.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("ia"), col("b.vid").as("ib"),
+        col("a.v").as("va"), col("b.v").as("vb"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .select(col("ia"), col("ib"), sim.as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
   /** Per-vector symmetric int8 quantization — the storage/bandwidth step
     * before shipping an embedding corpus to an ANN index: each component
     * maps to round(x * 127 / max|x|), so a vector costs 1 byte/dim plus

@@ -293,6 +293,33 @@ class DedupTextSpec extends AnyFunSuite {
     assert(one.forall { case (a, b) => a < b })
   }
 
+  test("semanticNearDupPairs: pairs are a subset of brute force; tight clusters fully recovered") {
+    // two tight clusters around orthogonal anchors + noise vectors: the
+    // within-cluster near-dup pairs must survive the cluster-then-pair
+    // path (they land in one cell — k-means separates orthogonal
+    // anchors), and everything reported must agree with brute force
+    val anchorA = Array.tabulate(8)(j => if (j < 4) 1.0f else 0.0f)
+    val anchorB = Array.tabulate(8)(j => if (j >= 4) 1.0f else 0.0f)
+    def jitter(base: Array[Float], id: Int) =
+      base.zipWithIndex.map { case (x, j) => x + 0.01f * ((id * 7 + j) % 5) }
+    val vecs = (0 until 6).map(i => (i.toLong, jitter(anchorA, i))) ++
+      (6 until 12).map(i => (i.toLong, jitter(anchorB, i))) ++
+      (12 until 40).map(i =>
+        (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j + 1).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val sem = SimilarityOps.semanticNearDupPairs(df, "vec_id", "embedding", 0.99, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = SimilarityOps.cosineNearDupPairs(df, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sem.toSet.subsetOf(brute), "semantic pairs must agree with brute force")
+    // the jittered clusters sit at cosine ~0.999+; all within-cluster
+    // pairs must be recovered (cross-cluster ones are the allowed miss)
+    val semSet = sem.map(p => (p._1, p._2)).toSet
+    for (g <- Seq(0L until 6L, 6L until 12L); a <- g; b <- g if a < b)
+      assert(semSet.contains((a, b)), s"cluster pair ($a,$b) missed: $semSet")
+    assert(sem.forall { case (a, b, c) => a < b && c >= 0.99 })
+  }
+
   test("ivfTopK: fixed centroid count independent of corpus size; cell-local results") {
     val vecs = (0 until 200).map(i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j + 1).toFloat)))

@@ -151,6 +151,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(lang"))
   }
 
+  test("q80: wordpiece counting inlines in the scan projection; budget window is group-partitioned") {
+    val p = plan("q80_bpe_token_budget")
+    // the codegen expression must not force a fallback or a UDF stage
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+    assert(p.contains("hashpartitioning(lang"))
+    assert(!p.contains("SinglePartition"))
+  }
+
+  test("q81: passage pairs are equi-joins on fingerprints, never cartesian") {
+    val p = plan("q81_passage_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "non-equi self-join leaked:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q82: frame phash pairs stay equi-join + row-local verify") {
+    val p = plan("q82_frame_phash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs scan leaked:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q83: keep-best adds one component-partitioned window, no global sort") {
+    val p = plan("q83_keep_best_doc")
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(canonical_id"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q66: budget sampling uses a group-partitioned window, no global sort below it") {
     val df = graft.operators.SamplingOps.sampleToTokenBudget(
       Tables.documents(spark, sf)

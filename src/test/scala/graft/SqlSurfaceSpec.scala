@@ -31,7 +31,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
       SELECT graft_fingerprint64(t) AS fp,
              graft_canonical_json(j) AS cj,
              graft_array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
-             graft_mongo_ext_json('{"_id":{"$numberLong":"7"}}') AS mongo
+             graft_mongo_ext_json('{"_id":{"$numberLong":"7"}}') AS mongo,
+             graft_wordpiece_tokens(t) AS wp
       FROM sql_surface""").head
     val twin = Seq("hello world").toDF("t")
       .select(graft.functions.Converters.fingerprint64(col("t"))).head.getLong(0)
@@ -39,6 +40,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(row.getAs[String]("cj") == """{"a":1,"b":2}""")
     assert(row.getAs[Double]("dot") == 11.0)
     assert(row.getAs[String]("mongo") == """{"_id":7}""")
+    assert(row.getAs[Long]("wp") == graft.functions.Wordpiece.countTokens(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
   }
 
   test("debezium decimal + gunzip + hmac callable from SQL") {
