@@ -1425,6 +1425,17 @@ ORDER BY id""")),
         Tables.embeddings(s, d), "vec_id", "embedding", 0.45, 16, 2)
         .orderBy(col("ia"), col("ib")),
       Some(semdedupSql(0.45, 16, 2, 64))),
+
+    ("q85_span_removal", (s, d) =>
+      // C4-style cross-doc exact span removal: 8-token spans seen in >= 2
+      // docs survive only in the first-seen doc; every other doc loses
+      // the covered tokens. n_tokens/n_removed cast long for the oracle's
+      // BIGINT len()
+      DedupOps.removeRepeatedSpans(Tables.documents(s, d), "doc_id", "text", 8)
+        .select(col("id"), col("n_tokens").cast(LongType).as("n_tokens"),
+          col("n_removed").cast(LongType).as("n_removed"), col("clean_text"))
+        .orderBy(col("id")),
+      Some(spanRemovalSql(8))),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat
@@ -1772,6 +1783,36 @@ FROM af a JOIN af b ON a.cell = b.cell AND a.vid < b.vid
 WHERE floor(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000.0) / 10000.0 >= $tau
 ORDER BY ia, ib"""
     sb.toString
+  }
+
+  /** q85 oracle: the q81 token-fingerprint chain (same per-token walk,
+    * same (acc*31+x) mod 1e9+7 k-token combine) → span ownership
+    * (min doc per hash with >= 2 distinct docs) → per-doc banned start
+    * list → token rebuild with a positions-covered filter, replaying
+    * [[graft.operators.DedupOps.removeRepeatedSpans]] exactly.
+    */
+  private def spanRemovalSql(k: Int): String = {
+    val km1 = k - 1
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tf AS (SELECT doc_id, list_transform(w, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(t) + 1), i -> CAST(unicode(substring(t, CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007)) AS tf FROM toks),
+hv AS (SELECT doc_id, list_transform(range(1, greatest(len(tf) - $km1, 0) + 1),
+    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), tf[i:i+$km1]),
+    (acc, x) -> (acc * 31 + x) % 1000000007)) AS hv FROM tf),
+ex AS (SELECT doc_id, CAST(p AS INT) AS pos, h FROM (
+  SELECT doc_id, unnest(range(1, len(hv) + 1)) AS p, unnest(hv) AS h FROM hv)),
+own AS (SELECT h, min(doc_id) AS owner FROM ex GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+ban AS (SELECT e.doc_id, list(e.pos ORDER BY e.pos) AS starts
+  FROM ex e JOIN own o ON e.h = o.h AND e.doc_id != o.owner GROUP BY 1),
+res AS (SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+  list_transform(list_filter(range(1, len(t.w) + 1),
+    p -> len(list_filter(COALESCE(b.starts, CAST([] AS INT[])),
+      s -> p >= s AND p <= s + $km1)) = 0), p -> t.w[CAST(p AS INT)]) AS kept
+  FROM toks t LEFT JOIN ban b ON t.doc_id = b.doc_id)
+SELECT doc_id AS id, n_tokens, n_tokens - CAST(len(kept) AS BIGINT) AS n_removed,
+  COALESCE(array_to_string(kept, ' '), '') AS clean_text
+FROM res ORDER BY id"""
   }
 
   /** Language-ID oracle generated from the same marker lists as

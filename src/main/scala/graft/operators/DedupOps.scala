@@ -943,4 +943,66 @@ object DedupOps {
       .select(col("id"), col("n_shingles"), col("n_hits"),
         call_function("div", col("n_hits") * 1000, col("n_shingles")).as("hit_permille"))
   }
+
+  /** Cross-document EXACT repeated-span removal (the C4 "any three-sentence
+    * span seen before is dropped" family, at k-token granularity): every
+    * k-token span whose fingerprint occurs in >= 2 distinct documents is
+    * kept only by its first-seen document (min id) and the covered tokens
+    * are REMOVED from every other document's text. Within-doc repeats in
+    * the owning document are untouched — this pass targets cross-document
+    * contamination, not local repetition ([[graft.operators.TextOps.dedupSegmentsWithin]]
+    * covers that). Output: (id, n_tokens, n_removed, clean_text).
+    *
+    * Span fingerprints reuse the winnowing two-stage rolling hash
+    * ([[winnowedDocFp]]): per-token fingerprint once, then a k-token
+    * combine with (acc*31+x) mod 1e9+7 — acc < 2^30 so int64-exact, and
+    * the SQL oracle replays it step for step.
+    *
+    * Scale shape: the exploded (id, pos, h) span index is the only big
+    * relation; it is localCheckpoint'd once (24 B/row — far smaller than
+    * the text it indexes) because two consumers need it (the owner
+    * aggregation and the banned-span join). Ownership is one groupBy(h);
+    * the banned join is an equi-join on h; the rebuild is a row-local
+    * lambda over the original text, re-read column-pruned from the
+    * source. No all-pairs stage, no global window, no driver loop.
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8): DataFrame = {
+    require(k >= 2, s"need span length k >= 2, got $k")
+    val M = 1000000007L
+    val tokFp = transform(split(col(textCol), " "),
+      t => graft.functions.Converters.fingerprint64(t))
+    val cnt = size(col("__tfp")) - (k - 1)
+    val spanArr = when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i =>
+        aggregate(slice(col("__tfp"), i, lit(k)), lit(0L),
+          (acc, x) => (acc * 31 + x) % M)))
+      .otherwise(array().cast("array<bigint>"))
+    // the span index: one (id, 1-based start, hash) row per span; the
+    // token hashing is the CPU cost, so it must not re-run per consumer
+    val ex = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), tokFp.as("__tfp"))
+      .select(col("id"), posexplode(spanArr))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+      .localCheckpoint(false)
+    val owners = ex.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("__nd"), min(col("id")).as("owner"))
+      .filter(col("__nd") >= 2)
+      .select(col("h"), col("owner"))
+    val banned = ex.join(owners, Seq("h"))
+      .filter(col("id") =!= col("owner"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("pos"))).as("__starts"))
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .join(banned, Seq("id"), "left")
+      .select(col("id"), col("__toks"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("__starts"))
+      .select(col("id"), size(col("__toks")).as("n_tokens"),
+        filter(col("__toks"), (_, i) =>
+          not(exists(col("__starts"),
+            s => i + 1 >= s && i + 1 <= s + lit(k) - 1))).as("__kept"))
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - size(col("__kept"))).as("n_removed"),
+        concat_ws(" ", col("__kept")).as("clean_text"))
+  }
 }

@@ -187,6 +187,38 @@ class DedupTextSpec extends AnyFunSuite {
     assert(t.length == 1 && t.head.getLong(1) == 1L) // 2 hashes, 1 window-min set entry... n_fp >= 1
   }
 
+  test("removeRepeatedSpans: later doc loses the shared span, owner keeps it; short docs untouched") {
+    // docs 1/2 share an 8-token span; doc 1 (min id) owns it and keeps
+    // every token, doc 2 loses exactly the 8 covered tokens. Doc 3 is
+    // shorter than k and must pass through whole. Doc 4 repeats a span
+    // WITHIN itself only — cross-doc pass must not touch it.
+    val span = (0 until 8).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, s"a0 a1 $span a2"),
+      (2L, s"b0 $span b1 b2"),
+      (3L, "t0 t1 t2"),
+      (4L, s"w0 $span w1 $span w2".replace("s", "z"))) // within-doc repeat, distinct tokens
+      .toDF("doc_id", "text")
+    val got = DedupOps.removeRepeatedSpans(df, "doc_id", "text", 8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got(0) == ((1L, 11, 0, s"a0 a1 $span a2")), s"owner changed: ${got(0)}")
+    assert(got(1) == ((2L, 11, 8, "b0 b1 b2")), s"later doc not cleaned: ${got(1)}")
+    assert(got(2) == ((3L, 3, 0, "t0 t1 t2")), s"short doc changed: ${got(2)}")
+    assert(got(3)._3 == 0 && got(3)._4.startsWith("w0"),
+      s"within-doc repeat must survive a cross-doc pass: ${got(3)}")
+    // overlapping shared spans in one doc: union of covered ranges removed
+    val df2 = Seq(
+      (1L, s"$span s8"),   // 9 tokens: spans at pos 1 and 2 both shared
+      (2L, s"x $span s8")) // same two spans, shifted
+      .toDF("doc_id", "text")
+    val got2 = DedupOps.removeRepeatedSpans(df2, "doc_id", "text", 8)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3)))
+    assert(got2(0)._2 == 0 && got2(1)._2 == 9,
+      s"overlap union: owner intact, doc 2 loses all 9 covered tokens: ${got2.toSeq}")
+    assert(got2(1)._3 == "x", s"doc 2 keeps only the unshared prefix: ${got2.toSeq}")
+  }
+
   test("repeatedPassagePairs: planted shared paragraph surfaces as a pair; hot fps capped out") {
     // docs 1/2 embed the same 10-token passage (>= k+w-1 with k=6, w=5) —
     // they MUST surface as a pair. Docs 20..25 all share one boilerplate
