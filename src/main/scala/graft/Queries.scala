@@ -1436,6 +1436,23 @@ ORDER BY id""")),
           col("n_removed").cast(LongType).as("n_removed"), col("clean_text"))
         .orderBy(col("id")),
       Some(spanRemovalSql(8))),
+
+    ("q86_bloom_incremental_dedup", (s, d) => {
+      // q53's incremental-admission semantics at the corpus-never-shuffled
+      // scale shape: broadcast Bloom bitset prefilter, join-free admission
+      // for bloom-negatives, broadcast exact verify for positives. Same
+      // oracle as q53 — the Bloom changes who pays, never the answer
+      val docs = Tables.documents(s, d)
+      DedupOps.bloomNewDocuments(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""SELECT d1.doc_id FROM documents d1
+WHERE d1.doc_id % 2 = 1 AND NOT EXISTS
+  (SELECT 1 FROM documents d2 WHERE d2.doc_id % 2 = 0 AND md5(d2.text) = md5(d1.text))
+ORDER BY d1.doc_id""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

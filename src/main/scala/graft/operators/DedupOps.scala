@@ -944,6 +944,75 @@ object DedupOps {
         call_function("div", col("n_hits") * 1000, col("n_shingles")).as("hit_permille"))
   }
 
+  /** Deterministic Bloom bitset of a corpus's content hashes, as ONE row
+    * with an (word-index -> 64-bit word) map — the broadcastable "seen"
+    * summary for [[bloomNewDocuments]]. kHashes bit positions per
+    * document via seed-varied xxhash64; the bitset build is a map-side-
+    * combinable bit_or aggregate over at most mBits/64 word keys, so the
+    * single assembled row is bounded by the FILTER SIZE (mBits/8 bytes —
+    * 128 KiB at the default 2^20 bits), never by the corpus. At 100 TB
+    * build it once per corpus generation and persist/broadcast it across
+    * batches (same amortization contract as [[buildMinhashIndex]]).
+    */
+  def bloomBitset(seen: DataFrame, textCol: String,
+                  mBits: Int = 1 << 20, kHashes: Int = 5): DataFrame = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64, got $mBits")
+    require(kHashes >= 1, s"need kHashes >= 1, got $kHashes")
+    val pos = array((0 until kHashes).map(j =>
+      pmod(xxhash64(col(textCol), lit(j)), lit(mBits.toLong))): _*)
+    seen.select(explode(pos).as("__p"))
+      .select((col("__p") / 64).cast("long").as("__w"),
+        call_function("shiftleft", lit(1L), (col("__p") % 64).cast("int")).as("__bit"))
+      .groupBy(col("__w")).agg(call_function("bit_or", col("__bit")).as("__word"))
+      .groupBy()
+      .agg(map_from_entries(sort_array(collect_list(struct(col("__w"), col("__word"))))).as("__bloom"))
+  }
+
+  /** Bloom-prefiltered incremental exact dedup — same RESULT as
+    * [[exactNewDocuments]] (rows of `newDf` whose content hash is not in
+    * `seenDf`), with the scale shape that function's scaladoc promises:
+    * the corpus is never shuffled. A Bloom probe (pure column
+    * arithmetic against the broadcast one-row bitset — no UDF) splits
+    * the batch:
+    *   - bloom-NEGATIVE rows have no false negatives, so they are
+    *     admitted immediately, join-free — at a growing corpus's typical
+    *     mostly-novel batch mix, that is most of the batch;
+    *   - bloom-POSITIVE rows (true dups + ~0.1 % false positives at the
+    *     default m=2^20/k=5 for corpora up to ~10^5 docs; size mBits for
+    *     the real corpus cardinality) are exactly verified: the corpus
+    *     is scanned map-side against the BROADCAST candidate hash set
+    *     (inner join, corpus side streamed, never shuffled), and the
+    *     surviving hits anti-join the candidates — both joins broadcast.
+    * Result is exact regardless of the false-positive rate; the Bloom
+    * only decides who pays for verification. The bitset itself is built
+    * here per call (one corpus scan); amortize with [[bloomBitset]] +
+    * a persisted/cached bitset row across batches.
+    */
+  def bloomNewDocuments(newDf: DataFrame, seenDf: DataFrame, textCol: String,
+                        mBits: Int = 1 << 20, kHashes: Int = 5): DataFrame = {
+    require(!newDf.columns.contains("__h"),
+      "newDf may not already carry the internal column __h")
+    val bits = bloomBitset(seenDf, textCol, mBits, kHashes)
+    val might = (0 until kHashes).map { j =>
+      val p = pmod(xxhash64(col(textCol), lit(j)), lit(mBits.toLong))
+      // try_element_at: ANSI-safe null (not an error) on a missing word key
+      (call_function("shiftright",
+        coalesce(try_element_at(col("__bloom"), (p / 64).cast("long")), lit(0L)),
+        (p % 64).cast("int")).bitwiseAND(lit(1L)) === 1L)
+    }.reduce(_ && _)
+    val probed = newDf.crossJoin(broadcast(bits))
+      .withColumn("__might", might).drop("__bloom")
+      .localCheckpoint(false) // two consumers (negative/positive split)
+    val definiteNew = probed.filter(!col("__might")).drop("__might")
+    val maybe = probed.filter(col("__might")).drop("__might")
+      .withColumn("__h", md5(col(textCol)))
+    val candidates = maybe.select(col("__h")).distinct()
+    val hits = seenDf.select(md5(col(textCol)).as("__h"))
+      .join(broadcast(candidates), Seq("__h")).distinct()
+    val trulyNew = maybe.join(broadcast(hits), Seq("__h"), "left_anti").drop("__h")
+    definiteNew.unionByName(trulyNew)
+  }
+
   /** Cross-document EXACT repeated-span removal (the C4 "any three-sentence
     * span seen before is dropped" family, at k-token granularity): every
     * k-token span whose fingerprint occurs in >= 2 distinct documents is

@@ -187,6 +187,23 @@ class DedupTextSpec extends AnyFunSuite {
     assert(t.length == 1 && t.head.getLong(1) == 1L) // 2 hashes, 1 window-min set entry... n_fp >= 1
   }
 
+  test("bloomNewDocuments == exactNewDocuments, even with a tiny saturated filter") {
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val seen = docs.filter(col("doc_id") % 2 === 0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = ids(DedupOps.exactNewDocuments(batch, seen, "text"))
+    assert(expect.nonEmpty)
+    assert(ids(DedupOps.bloomNewDocuments(batch, seen, "text")) == expect)
+    // 128-bit filter: nearly every probe is a false positive — the exact
+    // verify arm must still produce the identical admission set
+    assert(ids(DedupOps.bloomNewDocuments(batch, seen, "text", mBits = 128, kHashes = 2))
+      == expect)
+    // empty corpus: everything is novel, no false negatives possible
+    assert(ids(DedupOps.bloomNewDocuments(batch, seen.limit(0), "text")) == ids(batch))
+  }
+
   test("removeRepeatedSpans: later doc loses the shared span, owner keeps it; short docs untouched") {
     // docs 1/2 share an 8-token span; doc 1 (min id) owns it and keeps
     // every token, doc 2 loses exactly the 8 covered tokens. Doc 3 is
