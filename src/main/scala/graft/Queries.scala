@@ -1453,6 +1453,26 @@ ORDER BY id""")),
 WHERE d1.doc_id % 2 = 1 AND NOT EXISTS
   (SELECT 1 FROM documents d2 WHERE d2.doc_id % 2 = 0 AND md5(d2.text) = md5(d1.text))
 ORDER BY d1.doc_id""")),
+
+    ("q87_bigram_lm_score", (s, d) =>
+      // corpus-trained bigram LM fluency score (KenLM-style quality
+      // filter), integer-exact: floor-scaled MLE probabilities, so no
+      // float sum or libm log can drift between engines
+      TextOps.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+    i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS b FROM toks),
+eb AS (SELECT doc_id, b, count(*) AS m FROM bg GROUP BY 1, 2),
+cb AS (SELECT b, CAST(SUM(m) AS BIGINT) AS cb FROM eb GROUP BY b),
+cu AS (SELECT string_split(b, ' ')[1] AS u, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY 1),
+j AS (SELECT e.doc_id, e.m, (1000000 * c.cb) // u.cu AS p
+  FROM eb e JOIN cb c ON e.b = c.b JOIN cu u ON string_split(e.b, ' ')[1] = u.u),
+ds AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+  CAST(SUM(m * p) AS BIGINT) AS tot FROM j GROUP BY 1)
+SELECT d.doc_id AS id, COALESCE(ds.n_bigrams, 0) AS n_bigrams,
+  CASE WHEN ds.n_bigrams > 0 THEN ds.tot // ds.n_bigrams ELSE 0 END AS lm_score
+FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id ORDER BY id""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

@@ -298,4 +298,47 @@ object TextOps {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Corpus-trained bigram language-model quality score, integer-exact.
+    * Train: MLE bigram probabilities over the corpus itself —
+    * P(w2|w1) = c(w1 w2) / c(w1-as-bigram-start), floor-scaled to
+    * `scale` so every per-occurrence contribution is an int64 (no float
+    * sums, no libm log — bit-identical on any engine and partition
+    * order). Score: per document, the average scaled probability of its
+    * bigrams (0..scale; fluent in-domain text scores high, off-model
+    * token soup scores low — the KenLM-style quality-filter signal).
+    * Output: (id, n_bigrams, lm_score); documents with < 2 tokens score 0.
+    *
+    * Scale shape: per-doc (id, bigram, m) counts pre-aggregate map-side
+    * before any join; the bigram model is one groupBy over those rows
+    * (never over raw occurrences), and the start-token totals derive
+    * from the MODEL (sum of cb by first token) — the corpus is tokenized
+    * exactly once. The scoring joins are equi-joins on bigram/start
+    * keyed over the pre-aggregated relation; zipfian hot keys (common
+    * bigrams) are exactly what AQE skew-join splitting handles, and the
+    * per-doc final agg is keyed on the id. No windows, no driver state.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                    scale: Long = 1000000L): DataFrame = {
+    val bgArr = DedupOps.shingleArrayFromTokens(col("__toks"), 2)
+    val eb = df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .select(col("id"), explode(bgArr).as("bg"))
+      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("m"))
+      // two consumers: the model aggregation and the scoring join
+      .localCheckpoint(false)
+    val cb = eb.groupBy(col("bg")).agg(sum(col("m")).as("cb"))
+    val cu = cb.select(substring_index(col("bg"), " ", 1).as("u"), col("cb"))
+      .groupBy(col("u")).agg(sum(col("cb")).as("cu"))
+    val scored = eb
+      .join(cb, Seq("bg"))
+      .join(cu, substring_index(col("bg"), " ", 1) === col("u"))
+      .groupBy(col("id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * call_function("div", lit(scale) * col("cb"), col("cu"))).as("__tot"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          call_function("div", col("__tot"), col("n_bigrams")))
+          .otherwise(lit(0L)).as("lm_score"))
+  }
 }

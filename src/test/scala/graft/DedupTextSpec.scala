@@ -187,6 +187,21 @@ class DedupTextSpec extends AnyFunSuite {
     assert(t.length == 1 && t.head.getLong(1) == 1L) // 2 hashes, 1 window-min set entry... n_fp >= 1
   }
 
+  test("bigramLmScore: hand-computed MLE, shared-start discrimination, degenerate docs") {
+    // model: ab x3, ba x2, ac x1, xy x1; starts a=4, b=2, x=1
+    // P(ab)=750000 P(ba)=1000000 P(ac)=250000 P(xy)=1000000
+    val df = Seq(
+      (1L, "a b a b a b"), // (3*750000 + 2*1000000) / 5 = 850000
+      (2L, "x y"),         // 1000000
+      (3L, "a c"),         // 250000
+      (4L, ""))            // no bigrams -> 0
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramLmScore(df, "doc_id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 5L, 850000L), (2L, 1L, 1000000L),
+      (3L, 1L, 250000L), (4L, 0L, 0L)), got.toSeq.toString)
+  }
+
   test("bloomNewDocuments == exactNewDocuments, even with a tiny saturated filter") {
     val docs = Tables.documents(spark, sf)
     val batch = docs.filter(col("doc_id") % 2 === 1)
