@@ -1473,6 +1473,22 @@ ds AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
 SELECT d.doc_id AS id, COALESCE(ds.n_bigrams, 0) AS n_bigrams,
   CASE WHEN ds.n_bigrams > 0 THEN ds.tot // ds.n_bigrams ELSE 0 END AS lm_score
 FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id ORDER BY id""")),
+
+    ("q88_graph_pagerank", (s, d) => {
+      // integer-exact PageRank (3 rounds) over the undirected
+      // customer-supplier trade graph: suppliers offset into their own id
+      // space, both edge directions so every node has out-degree >= 1
+      val eb = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      val ed = eb.select(col("cust").as("src"), (col("supp") + 1000000L).as("dst"))
+        .unionByName(eb.select((col("supp") + 1000000L).as("src"), col("cust").as("dst")))
+      graft.operators.GraphOps.pageRankScaled(ed, "src", "dst", 3)
+        .orderBy(col("node"))
+    },
+      Some(pageRankSql(3))),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat
@@ -1850,6 +1866,32 @@ res AS (SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
 SELECT doc_id AS id, n_tokens, n_tokens - CAST(len(kept) AS BIGINT) AS n_removed,
   COALESCE(array_to_string(kept, ' '), '') AS clean_text
 FROM res ORDER BY id"""
+  }
+
+  /** q88 oracle: the scaled-integer PageRank rounds unrolled by the same
+    * loop count as [[graft.operators.GraphOps.pageRankScaled]] (iteration
+    * structure can't drift), every step `//` floor arithmetic so the
+    * ranks are bit-identical.
+    */
+  private def pageRankSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH eb AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+ed AS (SELECT cust AS src, supp + 1000000 AS dst FROM eb
+  UNION ALL SELECT supp + 1000000, cust FROM eb),
+nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    for (i <- 0 until iters) {
+      sb ++= s""",
+c$i AS (SELECT e.dst AS node, CAST(SUM((r.r * 85) // (d.deg * 100)) AS BIGINT) AS c
+  FROM ed e JOIN r$i r ON e.src = r.node JOIN deg d ON d.src = e.src GROUP BY 1),
+r${i + 1} AS (SELECT n.node, CAST(150000 + COALESCE(c.c, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)"""
+    }
+    sb ++= s"""
+SELECT node, r AS rank FROM r$iters ORDER BY node"""
+    sb.toString
   }
 
   /** Language-ID oracle generated from the same marker lists as

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation in the pregel join-aggregate shape: each
+  * round is one equi-join of the edge list against the current vertex
+  * state plus one aggregation on the destination — the form that scales
+  * with shuffle partitions and needs no driver-side adjacency. The edge
+  * relation is checkpointed once and reused by every round, and vertex
+  * state is checkpointed per round so the plan never accretes lineage
+  * (the same barrier discipline as [[DedupOps.nearDupGroups]]).
+  */
+object GraphOps {
+  /** Integer-exact PageRank with a fixed iteration count. Ranks are
+    * scaled longs (r0 = `scale`), the damping update is
+    *   r'(v) = div(scale * (dampDen - dampNum), dampDen)
+    *           + sum over in-edges (u,v) of div(r(u) * dampNum, dampDen * deg(u))
+    * — every step integer floor arithmetic, so the result is
+    * bit-identical on any engine, partition order, or parallelism (the
+    * oracle replays it in SQL with `//`). Dangling-node mass is dropped
+    * (the standard simplification); feed an undirected edge list (both
+    * directions) if every node must have out-degree >= 1.
+    *
+    * Scale shape: degree is one aggregation on src; each round is an
+    * equi-join on src (edge relation reused from its one checkpoint —
+    * for multi-hour runs on preemptible nodes swap for a replicated
+    * persist, see [[DedupOps]]) followed by a groupBy on dst; vertex
+    * state is node-sized. Hot hubs are AQE skew-join territory; no
+    * windows, no driver-side collect.
+    */
+  def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,
+                     iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
+                     scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(dampNum > 0 && dampDen > dampNum, s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    val base = scale * (dampDen - dampNum) / dampDen
+    val deg = edges.groupBy(col(srcCol).as("__src")).agg(count(lit(1)).as("__deg"))
+    val ed = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .join(deg, Seq("__src"))
+      .localCheckpoint(false) // reused by every round
+    val nodes = ed.select(col("__src").as("node"))
+      .union(ed.select(col("__dst"))).distinct()
+      .localCheckpoint(false) // reused by every round's rebase
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (_ <- 0 until iters) {
+      val contribs = ed.join(ranks, col("__src") === col("node"))
+        .select(col("__dst").as("node"),
+          call_function("div", col("rank") * dampNum, col("__deg") * dampDen).as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"), (lit(base) + coalesce(col("__in"), lit(0L))).as("rank"))
+        .localCheckpoint(false) // bound lineage across rounds
+    }
+    ranks
+  }
+}

@@ -187,6 +187,22 @@ class DedupTextSpec extends AnyFunSuite {
     assert(t.length == 1 && t.head.getLong(1) == 1L) // 2 hashes, 1 window-min set entry... n_fp >= 1
   }
 
+  test("pageRankScaled: hand-computed path graph, symmetry, exact integer ranks") {
+    // undirected path 1-2-3: deg 1,2,1. Two rounds by hand:
+    //   r1 = (575000, 1850000, 575000); r2 = (936250, 1127500, 936250)
+    val ed = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val got = graft.operators.GraphOps.pageRankScaled(ed, "src", "dst", 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 936250L), (2L, 1127500L), (3L, 936250L)),
+      got.toSeq.toString)
+    // center of a 5-point star dominates; leaves tie exactly
+    val star = (2L to 6L).flatMap(i => Seq((1L, i), (i, 1L))).toDF("src", "dst")
+    val s = graft.operators.GraphOps.pageRankScaled(star, "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((3L to 6L).forall(i => s(i) == s(2L)), s.toString)
+    assert(s(1L) > s(2L), s.toString)
+  }
+
   test("bigramLmScore: hand-computed MLE, shared-start discrimination, degenerate docs") {
     // model: ab x3, ba x2, ac x1, xy x1; starts a=4, b=2, x=1
     // P(ab)=750000 P(ba)=1000000 P(ac)=250000 P(xy)=1000000
