@@ -1489,6 +1489,24 @@ FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id ORDER BY id""")),
         .orderBy(col("node"))
     },
       Some(pageRankSql(3))),
+
+    ("q89_event_transitions", (s, d) =>
+      // first-order Markov transition matrix of per-user event journeys,
+      // integer-scaled MLE probabilities; ordering on the raw nanosecond
+      // timestamp (ts_ns) with event_id tie-break so Spark's micro-
+      // truncated ts can never reorder sub-microsecond neighbors
+      graft.operators.GraphOps.transitionMatrix(
+        Tables.events(s, d), "user_id", Seq(col("ts_ns"), col("event_id")),
+        "event_type", 1000L)
+        .orderBy(col("from_state"), col("to_state")),
+      Some("""WITH seq AS (SELECT user_id, event_type AS from_state,
+  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+  FROM events),
+n AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS tot FROM n GROUP BY 1)
+SELECT n.from_state, n.to_state, n.n, (n.n * 1000) // t.tot AS p_scaled
+FROM n JOIN t USING (from_state) ORDER BY from_state, to_state""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

@@ -54,4 +54,37 @@ object GraphOps {
     }
     ranks
   }
+
+  /** First-order Markov transition matrix of per-entity ordered event
+    * sequences — the trajectory/session-modeling statistic of an event
+    * stream: for every observed (from_state, to_state) step, its count
+    * and the integer-scaled MLE transition probability
+    * div(n * scale, total-steps-out-of-from_state). Integer floor
+    * arithmetic only, so the matrix is bit-identical across engines.
+    * Output: (from_state, to_state, n, p_scaled).
+    *
+    * Scale shape: one window partitioned by the ENTITY key (per-entity
+    * sequences are bounded; never a global sort), then count aggregation
+    * on the (from, to) pair; row totals derive from the pair counts —
+    * states x states rows, not event rows — so the raw stream is
+    * sequenced exactly once. `orderCols` must totally order each
+    * entity's events (tie-break with a unique id) or the lead() step is
+    * nondeterministic.
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String,
+                       orderCols: Seq[org.apache.spark.sql.Column],
+                       stateCol: String, scale: Long = 1000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val n = df
+      .select(col(keyCol), col(stateCol).as("from_state"),
+        lead(col(stateCol), 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // two consumers: row totals + probability join
+    val tot = n.groupBy(col("from_state")).agg(sum(col("n")).as("__tot"))
+    n.join(tot, Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        call_function("div", col("n") * scale, col("__tot")).as("p_scaled"))
+  }
 }

@@ -203,6 +203,20 @@ class DedupTextSpec extends AnyFunSuite {
     assert(s(1L) > s(2L), s.toString)
   }
 
+  test("transitionMatrix: hand-computed counts and floor probabilities; no cross-user steps") {
+    // user 1: a b a b -> steps ab, ba, ab; user 2: a c -> ac
+    // counts ab=2 ba=1 ac=1; out-totals a=3 b=1; p = 666, 1000, 333
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "c"))
+      .toDF("user_id", "seq", "state")
+    val got = graft.operators.GraphOps.transitionMatrix(
+      ev, "user_id", Seq(col("seq")), "state")
+      .orderBy("from_state", "to_state").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "b", 2L, 666L), ("a", "c", 1L, 333L),
+      ("b", "a", 1L, 1000L)), got.toSeq.toString)
+  }
+
   test("bigramLmScore: hand-computed MLE, shared-start discrimination, degenerate docs") {
     // model: ab x3, ba x2, ac x1, xy x1; starts a=4, b=2, x=1
     // P(ab)=750000 P(ba)=1000000 P(ac)=250000 P(xy)=1000000
