@@ -71,17 +71,28 @@ object GraphOps {
     * entity's events (tie-break with a unique id) or the lead() step is
     * nondeterministic.
     */
-  def transitionMatrix(df: DataFrame, keyCol: String,
-                       orderCols: Seq[org.apache.spark.sql.Column],
-                       stateCol: String, scale: Long = 1000L): DataFrame = {
+  /** The sequencing + pair-count stage of [[transitionMatrix]], exposed
+    * pre-barrier so plan guards can see the entity-partitioned window
+    * (the checkpoint snapshots lineage and hides upstream stages from
+    * explain).
+    */
+  private[graft] def transitionCounts(df: DataFrame, keyCol: String,
+                                      orderCols: Seq[org.apache.spark.sql.Column],
+                                      stateCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(orderCols: _*)
-    val n = df
-      .select(col(keyCol), col(stateCol).as("from_state"),
+    df.select(col(keyCol), col(stateCol).as("from_state"),
         lead(col(stateCol), 1).over(w).as("to_state"))
       .filter(col("to_state").isNotNull)
       .groupBy(col("from_state"), col("to_state")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(false) // two consumers: row totals + probability join
+  }
+
+  def transitionMatrix(df: DataFrame, keyCol: String,
+                       orderCols: Seq[org.apache.spark.sql.Column],
+                       stateCol: String, scale: Long = 1000L): DataFrame = {
+    // two consumers of the pair counts: row totals + probability join
+    val n = transitionCounts(df, keyCol, orderCols, stateCol)
+      .localCheckpoint(false)
     val tot = n.groupBy(col("from_state")).agg(sum(col("n")).as("__tot"))
     n.join(tot, Seq("from_state"))
       .select(col("from_state"), col("to_state"), col("n"),

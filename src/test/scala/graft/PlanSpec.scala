@@ -178,6 +178,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q85: span removal keeps equi-joins only; rebuild is row-local over a pruned scan") {
+    val p = plan("q85_span_removal")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "span join degraded:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"), "span removal must not need a window:\n" + p)
+  }
+
+  test("q86: bloom path broadcasts the bitset + candidates; corpus side never broadcasts or windows") {
+    val p = plan("q86_bloom_incremental_dedup")
+    assert(p.contains("BroadcastExchange"), "bitset/candidate broadcast missing:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled — the bloom path exists to avoid exactly this:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q88: pagerank rounds are equi-joins + hash aggregates, no nested loops") {
+    val p = plan("q88_graph_pagerank")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "rank join degraded:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"))
+  }
+
+  test("q89: transition window partitions on the entity key, never globally") {
+    // the checkpoint barrier hides the sequencing stage from the full
+    // query's explain, so guard the pre-barrier stage directly
+    val c = org.apache.spark.sql.functions.col _
+    val steps = graft.operators.GraphOps.transitionCounts(
+      Tables.events(spark, sf), "user_id", Seq(c("ts_ns"), c("event_id")), "event_type")
+    val p = steps.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(user_id"))
+    assert(!p.contains("SinglePartition"))
+    val full = plan("q89_event_transitions")
+    assert(!full.contains("CartesianProduct"))
+  }
+
   test("q66: budget sampling uses a group-partitioned window, no global sort below it") {
     val df = graft.operators.SamplingOps.sampleToTokenBudget(
       Tables.documents(spark, sf)
