@@ -1401,15 +1401,7 @@ GROUP BY 1, 2 ORDER BY ia, ib""")),
       // q44's component chain + q27's quality arithmetic + one window:
       // first_value over (quality DESC, id) per component = the kept doc
       Some(s"""WITH RECURSIVE ${nearDupGroupsCtes(3)},
-qbase AS (SELECT doc_id, n_chars,
-  CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
-  CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) AS cnt_the
-  FROM documents),
-qual AS (SELECT doc_id,
-  least(words, 50) * 10
-  + CAST(floor(least(CAST(floor(((n_chars - words + 1) * 1000) / words) AS BIGINT), 8000) * 3 / 80) AS BIGINT)
-  + CAST(least(CAST(floor((cnt_the * 2000) / words) AS BIGINT), 200) AS BIGINT) AS quality
-  FROM qbase),
+$qualitySqlCtes,
 j AS (SELECT g.id, g.canonical_id, q.quality FROM grp g JOIN qual q ON q.doc_id = g.id)
 SELECT id, canonical_id, quality,
   first_value(id) OVER w AS kept_id,
@@ -1507,6 +1499,63 @@ n AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
 t AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS tot FROM n GROUP BY 1)
 SELECT n.from_state, n.to_state, n.n, (n.n * 1000) // t.tot AS p_scaled
 FROM n JOIN t USING (from_state) ORDER BY from_state, to_state""")),
+
+    ("q90_pmi_collocations", (s, d) =>
+      // top-50 collocations by floor-scaled PMI ratio (min support 5):
+      // the word pairs most over-represented vs their marginals
+      TextOps.collocations(Tables.documents(s, d), "doc_id", "text", 5L, 50),
+      Some("""WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+bg AS (SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+    i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS b FROM toks),
+eb AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY b),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM eb),
+ca AS (SELECT string_split(b, ' ')[1] AS w1, CAST(SUM(n) AS BIGINT) AS ca FROM eb GROUP BY 1),
+cb AS (SELECT string_split(b, ' ')[2] AS w2, CAST(SUM(n) AS BIGINT) AS cb FROM eb GROUP BY 1),
+s AS (SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2, n
+  FROM eb WHERE n >= 5)
+SELECT s.w1, s.w2, s.n, (1000000 * s.n * t.nn) // (ca.ca * cb.cb) AS pmi_scaled
+FROM s JOIN ca ON s.w1 = ca.w1 JOIN cb ON s.w2 = cb.w2, tot t
+ORDER BY pmi_scaled DESC, s.w1, s.w2 LIMIT 50""")),
+
+    ("q91_calibrated_quality", (s, d) => {
+      // per-source percentile quality gate: admit each source's top 30 %
+      // by the integer quality score — one source's score distribution
+      // never moves another source's cut line
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text"), col("n_chars")).as("quality"))
+      TextOps.calibratedQualityAdmit(scored, "doc_id", "source", "quality", 300L)
+        .orderBy(col("id"))
+    },
+      Some(s"""WITH $qualitySqlCtes,
+r AS (SELECT d.doc_id AS id, d.source, q.quality,
+  CAST(ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY q.quality DESC, d.doc_id) AS BIGINT) AS rk,
+  COUNT(*) OVER (PARTITION BY d.source) AS cnt
+  FROM documents d JOIN qual q ON q.doc_id = d.doc_id)
+SELECT id, source, quality, rk, rk * 1000 <= 300 * cnt AS admitted
+FROM r ORDER BY id""")),
+
+    ("q92_centroid_outliers", (s, d) =>
+      // embedding mislabel/noise screen: top-5 vectors per label by exact
+      // integer distance to their own label centroid (q84 scaling rules)
+      SimilarityOps.centroidOutliers(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label", 5)
+        .orderBy(col("label"), col("rk")),
+      Some("""WITH e AS (SELECT vec_id AS vid, label,
+  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS xs
+  FROM embeddings),
+sums AS (SELECT label, p AS pos, CAST(SUM(x) AS BIGINT) AS sx, count(*) AS n FROM (
+  SELECT label, unnest(range(1, len(xs) + 1)) AS p, unnest(xs) AS x FROM e) GROUP BY 1, 2),
+cent AS (SELECT label, list((sx - ((sx % n + n) % n)) // n ORDER BY pos) AS cv
+  FROM sums GROUP BY label),
+d AS (SELECT e.vid, e.label,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, len(e.xs) + 1),
+      j -> (e.xs[CAST(j AS INT)] - c.cv[CAST(j AS INT)]) * (e.xs[CAST(j AS INT)] - c.cv[CAST(j AS INT)]))),
+    (a, x) -> a + x) AS d2
+  FROM e JOIN cent c ON e.label = c.label),
+r AS (SELECT label, vid, d2,
+  CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2 DESC, vid) AS BIGINT) AS rk FROM d)
+SELECT label, vid, d2, rk FROM r WHERE rk <= 5 ORDER BY label, rk""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat
@@ -1885,6 +1934,20 @@ SELECT doc_id AS id, n_tokens, n_tokens - CAST(len(kept) AS BIGINT) AS n_removed
   COALESCE(array_to_string(kept, ' '), '') AS clean_text
 FROM res ORDER BY id"""
   }
+
+  /** The q27/q83/q91 quality-score replay (TextOps.qualityScore arithmetic
+    * step for step): ends with `qual(doc_id, quality)`.
+    */
+  private def qualitySqlCtes: String =
+    """qbase AS (SELECT doc_id, n_chars,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+  CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) AS cnt_the
+  FROM documents),
+qual AS (SELECT doc_id,
+  least(words, 50) * 10
+  + CAST(floor(least(CAST(floor(((n_chars - words + 1) * 1000) / words) AS BIGINT), 8000) * 3 / 80) AS BIGINT)
+  + CAST(least(CAST(floor((cnt_the * 2000) / words) AS BIGINT), 200) AS BIGINT) AS quality
+  FROM qbase)"""
 
   /** q88 oracle: the scaled-integer PageRank rounds unrolled by the same
     * loop count as [[graft.operators.GraphOps.pageRankScaled]] (iteration

@@ -232,6 +232,47 @@ object SimilarityOps {
       .filter(col("cosine") >= tau)
   }
 
+  /** Per-label centroid outliers — the embedding-space mislabel/noise
+    * screen of a labeled corpus: each vector's squared L2 distance to its
+    * OWN label's centroid, ranked within the label, top `topK` flagged.
+    * All arithmetic integer-exact (the q84 conventions: components
+    * floor-scaled by 2^20, centroid means via the pmod-exact floor
+    * division), so ranks are bit-identical across engines.
+    * Output: (label, vid, d2, rk).
+    *
+    * Scale shape: centroid sums are one map-side-combinable aggregation
+    * over the posexploded components (label x dim keys); centroids
+    * broadcast (labels are few); the distance probe is row-local
+    * zip_with over the broadcast join — the corpus is never shuffled.
+    * The rank window partitions by label; with few, huge labels
+    * pre-filter by a sampled distance threshold before ranking.
+    */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val base = emb.select(col(idCol).as("vid"), col(labelCol).as("label"),
+        transform(asDouble(col(vecCol)),
+          x => floor(x * 1048576.0).cast("long")).as("xs"))
+      .localCheckpoint(false) // two consumers: centroid sums + distance probe
+    val sums = base.select(col("label"), posexplode(col("xs"))).toDF("label", "pos", "x")
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    // exact floor division at any magnitude/sign (see semanticNearDupPairs)
+    val mean = call_function("div", col("sx") - pmod(col("sx"), col("n")), col("n"))
+    val cents = sums.groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), mean.as("c")))).as("ps"))
+      .select(col("label"), transform(col("ps"), p => p.getField("c")).as("cv"))
+    val d2 = aggregate(zip_with(col("xs"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("d2").desc, col("vid"))
+    base.join(broadcast(cents), Seq("label"))
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("label"), col("vid"), col("d2"), col("rk"))
+  }
+
   /** Per-vector symmetric int8 quantization — the storage/bandwidth step
     * before shipping an embedding corpus to an ANN index: each component
     * maps to round(x * 127 / max|x|), so a vector costs 1 byte/dim plus

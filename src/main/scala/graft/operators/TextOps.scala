@@ -299,6 +299,79 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** Top-k collocations by integer-scaled PMI ratio: adjacent word pairs
+    * whose joint frequency most exceeds what their marginal frequencies
+    * predict — div(scale * c12 * N, cStart(w1) * cEnd(w2)), the
+    * exponential of pointwise mutual information, floor-scaled so the
+    * ranking needs no float log. Marginals count bigram STARTS and ENDS
+    * (both total N), so the probability model is self-consistent.
+    * `minCount` drops rare-pair noise (classic PMI failure mode) before
+    * scoring. Output: (w1, w2, n, pmi_scaled), top k by score.
+    *
+    * int64 bound: scale * n * N must stay below 2^63 — holds to ~3e6
+    * total bigrams at the default scale; for larger corpora lower
+    * `scale` (the ranking is scale-invariant) or shard by language.
+    * Both engines run ANSI integer arithmetic, so an overflow is a loud
+    * error, never a silent wrap.
+    *
+    * Scale shape: one corpus tokenization into pre-aggregated bigram
+    * counts (map-side combinable); marginals and the total derive from
+    * the MODEL relation (bigram-vocabulary-sized, not corpus-sized);
+    * the final ordering is a TakeOrdered top-k, never a global sort.
+    */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 5L, k: Int = 50,
+                   scale: Long = 1000000L): DataFrame = {
+    val eb = df.select(split(col(textCol), " ").as("__toks"))
+      .select(explode(DedupOps.shingleArrayFromTokens(col("__toks"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      // four consumers: starts, ends, total, scoring
+      .localCheckpoint(false)
+    val total = eb.agg(sum(col("n")).as("__N"))
+    val cA = eb.select(substring_index(col("bg"), " ", 1).as("w1"), col("n"))
+      .groupBy(col("w1")).agg(sum(col("n")).as("__ca"))
+    val cB = eb.select(substring_index(col("bg"), " ", -1).as("w2"), col("n"))
+      .groupBy(col("w2")).agg(sum(col("n")).as("__cb"))
+    eb.filter(col("n") >= minCount)
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"), col("n"))
+      .join(cA, Seq("w1")).join(cB, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n"),
+        call_function("div", lit(scale) * col("n") * col("__N"),
+          col("__ca") * col("__cb")).as("pmi_scaled"))
+      .orderBy(col("pmi_scaled").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Per-source calibrated quality admission (the "fineweb-style"
+    * percentile filter): within every source, rank documents by quality
+    * (desc, id tie-break) and admit the top `admitPermille`/1000
+    * fraction — rank * 1000 <= admitPermille * source-size, integer
+    * floor semantics, so a source's quality-score distribution never
+    * leaks into another source's cut line. Output: every document with
+    * (id, source, quality, rk, admitted).
+    *
+    * Scale shape: one window partitioned on the source (rank) — the
+    * source count rides the same partition as a partition-only window
+    * aggregate, so no second shuffle or join. Never a global sort.
+    */
+  def calibratedQualityAdmit(df: DataFrame, idCol: String, sourceCol: String,
+                             qualityCol: String,
+                             admitPermille: Long): DataFrame = {
+    require(admitPermille >= 0 && admitPermille <= 1000,
+      s"admitPermille must be in [0, 1000], got $admitPermille")
+    val byQ = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("id"))
+    val all = Window.partitionBy(col("source"))
+    df.select(col(idCol).as("id"), col(sourceCol).as("source"),
+        col(qualityCol).as("quality"))
+      .withColumn("rk", row_number().over(byQ).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(all))
+      .select(col("id"), col("source"), col("quality"), col("rk"),
+        (col("rk") * 1000 <= lit(admitPermille) * col("__cnt")).as("admitted"))
+  }
+
   /** Corpus-trained bigram language-model quality score, integer-exact.
     * Train: MLE bigram probabilities over the corpus itself —
     * P(w2|w1) = c(w1 w2) / c(w1-as-bigram-start), floor-scaled to

@@ -232,6 +232,38 @@ class DedupTextSpec extends AnyFunSuite {
       (3L, 1L, 250000L), (4L, 0L, 0L)), got.toSeq.toString)
   }
 
+  test("collocations: hand-computed PMI ratios and deterministic tie-break") {
+    // bigrams xy=2 yx=1 xz=1, N=4; starts x=3 y=1; ends y=2 x=1 z=1
+    // pmi(y,x)=4000000, pmi(x,y)=1333333, pmi(x,z)=1333333 (tie -> w2 order)
+    val df = Seq((1L, "x y x y"), (2L, "x z")).toDF("doc_id", "text")
+    val got = TextOps.collocations(df, "doc_id", "text", minCount = 1, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("y", "x", 1L, 4000000L), ("x", "y", 2L, 1333333L),
+      ("x", "z", 1L, 1333333L)), got.toSeq.toString)
+  }
+
+  test("calibratedQualityAdmit: per-source floor cut; tiny sources admit nothing below the bar") {
+    val df = Seq((1L, "A", 40L), (2L, "A", 30L), (3L, "A", 20L), (4L, "A", 10L),
+      (5L, "B", 99L))
+      .toDF("doc_id", "source", "quality")
+    val got = TextOps.calibratedQualityAdmit(df, "doc_id", "source", "quality", 500L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    // A admits top 2 of 4; B's single doc fails 1*1000 <= 500*1
+    assert(got.toSeq == Seq((1L, 1L, true), (2L, 2L, true), (3L, 3L, false),
+      (4L, 4L, false), (5L, 1L, false)), got.toSeq.toString)
+  }
+
+  test("centroidOutliers: exact integer distances to the label centroid, ranked") {
+    val df = Seq((1L, Array(0f, 0f), 7), (2L, Array(2f, 2f), 7), (3L, Array(10f, 10f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.centroidOutliers(df, "vec_id", "embedding", "label", 2)
+      .orderBy("rk").collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // centroid = (4194304, 4194304) exactly (scaled 2^20); d2 hand-computed
+    assert(got.toSeq == Seq((3L, 79164837199872L, 1L), (1L, 35184372088832L, 2L)),
+      got.toSeq.toString)
+  }
+
   test("bloomNewDocuments == exactNewDocuments, even with a tiny saturated filter") {
     val docs = Tables.documents(spark, sf)
     val batch = docs.filter(col("doc_id") % 2 === 1)

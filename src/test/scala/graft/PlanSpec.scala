@@ -215,6 +215,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!full.contains("CartesianProduct"))
   }
 
+  test("q90: collocation top-k is a TakeOrdered, never a global sort") {
+    val p = plan("q90_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"), "global sort leaked:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q91: per-source calibration windows partition on source, never globally") {
+    val p = plan("q91_calibrated_quality")
+    assert(p.contains("hashpartitioning(source"))
+    assert(!p.contains("SinglePartition"))
+  }
+
+  test("q92: centroids broadcast; distance probe is row-local over the corpus side") {
+    val p = plan("q92_centroid_outliers")
+    assert(p.contains("BroadcastExchange"), "centroid broadcast missing:\n" + p)
+    assert(p.contains("hashpartitioning(label"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q66: budget sampling uses a group-partitioned window, no global sort below it") {
     val df = graft.operators.SamplingOps.sampleToTokenBudget(
       Tables.documents(spark, sf)
