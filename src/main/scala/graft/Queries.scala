@@ -1556,6 +1556,25 @@ d AS (SELECT e.vid, e.label,
 r AS (SELECT label, vid, d2,
   CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2 DESC, vid) AS BIGINT) AS rk FROM d)
 SELECT label, vid, d2, rk FROM r WHERE rk <= 5 ORDER BY label, rk""")),
+
+    ("q93_rolling_spikes", (s, d) =>
+      // per-event-type daily volumes vs their trailing 7-day average:
+      // spike when today > 1.5x trailing mean, cross-multiplied so the
+      // comparison is integer-exact; RANGE window so gap days shrink the
+      // trailing window instead of stretching it
+      graft.operators.GraphOps.rollingSpikes(
+        Tables.events(s, d).withColumn("day", expr("ts_ns div 86400000000000")),
+        "event_type", "day", 7, 3L, 2L)
+        .orderBy(col("key"), col("day")),
+      Some("""WITH daily AS (SELECT event_type AS key, epoch_ns(ts) // 86400000000000 AS day,
+  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+r AS (SELECT key, day, n,
+  CAST(SUM(n) OVER w AS BIGINT) AS sum_w,
+  CAST(COUNT(*) OVER w AS BIGINT) AS cnt_w
+  FROM daily WINDOW w AS (PARTITION BY key ORDER BY day
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT key, day, n, sum_w, cnt_w, n * cnt_w * 2 > sum_w * 3 AS spike
+FROM r ORDER BY key, day""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

@@ -87,6 +87,38 @@ object GraphOps {
       .groupBy(col("from_state"), col("to_state")).agg(count(lit(1)).as("n"))
   }
 
+  /** Rolling time-window spike detection over a keyed event stream: per
+    * (key, day) counts, a trailing `windowDays`-day RANGE window (value
+    * range, not row count — gap days correctly shrink the window), and
+    * an integer-exact spike flag
+    *   n * cnt_w * spikeDen > sum_w * spikeNum
+    * i.e. today's count exceeds (spikeNum/spikeDen) x the trailing
+    * average, with the comparison cross-multiplied so no division
+    * happens at all. Output: (key, day, n, sum_w, cnt_w, spike).
+    *
+    * Scale shape: the raw stream collapses to (key, day) counts first —
+    * map-side combinable, keys x days rows — and the RANGE window
+    * partitions by the key, so no global sort ever forms. The trailing
+    * window is value-based (rangeBetween on the day number), the shape
+    * that stays correct under sparse/gappy keys.
+    */
+  def rollingSpikes(df: DataFrame, keyCol: String, dayCol: String,
+                    windowDays: Int, spikeNum: Long,
+                    spikeDen: Long): DataFrame = {
+    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    require(spikeNum > 0 && spikeDen > 0, s"need positive spike ratio, got $spikeNum/$spikeDen")
+    val daily = df.groupBy(col(keyCol).as("key"), col(dayCol).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily
+      .withColumn("sum_w", sum(col("n")).over(w))
+      .withColumn("cnt_w", count(lit(1)).over(w))
+      .select(col("key"), col("day"), col("n"), col("sum_w"), col("cnt_w"),
+        (col("n") * col("cnt_w") * spikeDen > col("sum_w") * spikeNum).as("spike"))
+  }
+
   def transitionMatrix(df: DataFrame, keyCol: String,
                        orderCols: Seq[org.apache.spark.sql.Column],
                        stateCol: String, scale: Long = 1000L): DataFrame = {

@@ -232,6 +232,27 @@ class DedupTextSpec extends AnyFunSuite {
       (3L, 1L, 250000L), (4L, 0L, 0L)), got.toSeq.toString)
   }
 
+  test("rollingSpikes: trailing range window flags the burst; gap days shrink the window") {
+    // key A: one event/day on days 1..7, ten on day 8 -> day 8 spikes
+    // (10*7*2=140 > 16*3=48); day 1 alone never spikes vs itself.
+    // key B: bursts on days 1 and 100 — the RANGE window must NOT span
+    // the gap, so day 100 compares against itself only (no spike).
+    val rows = (1L to 7L).map(dy => ("A", dy)) ++ Seq.fill(10)(("A", 8L)) ++
+      Seq.fill(3)(("B", 1L)) ++ Seq.fill(5)(("B", 100L))
+    val got = graft.operators.GraphOps.rollingSpikes(
+      rows.toDF("k", "day"), "k", "day", 7, 3L, 2L)
+      .orderBy("key", "day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.filter(_._1 == "A").map(_._6).toSeq ==
+      Seq(false, false, false, false, false, false, false, true), got.toSeq.toString)
+    val day8 = got.find(r => r._1 == "A" && r._2 == 8L).get
+    assert(day8 == (("A", 8L, 10L, 16L, 7L, true)), day8.toString)
+    val b100 = got.find(r => r._1 == "B" && r._2 == 100L).get
+    assert(b100 == (("B", 100L, 5L, 5L, 1L, false)),
+      s"gap must reset the trailing window: $b100")
+  }
+
   test("collocations: hand-computed PMI ratios and deterministic tie-break") {
     // bigrams xy=2 yx=1 xz=1, N=4; starts x=3 y=1; ends y=2 x=1 z=1
     // pmi(y,x)=4000000, pmi(x,y)=1333333, pmi(x,z)=1333333 (tie -> w2 order)

@@ -234,6 +234,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q93: rolling window partitions on the key and runs over pre-aggregated days") {
+    val p = plan("q93_rolling_spikes")
+    assert(p.contains("hashpartitioning(key"))
+    assert(!p.contains("SinglePartition"))
+    // the window must see (key, day) counts, not raw events: a HashAggregate
+    // below the Window (printed after it — formatted explain is root-first)
+    // proves the collapse happened before the window
+    val iw = p.indexOf("Window"); val ih = p.indexOf("HashAggregate")
+    assert(iw >= 0 && ih > iw, "window over raw events:\n" + p)
+  }
+
   test("q66: budget sampling uses a group-partitioned window, no global sort below it") {
     val df = graft.operators.SamplingOps.sampleToTokenBudget(
       Tables.documents(spark, sf)
