@@ -36,6 +36,11 @@ object Plans {
     "q76_passage_winnowing" -> "winnowed passage fingerprints: map-only selection, shuffles only over window minima",
     "q78_vocab_top_ngrams" -> "exact top-K vocabulary: map-side-combinable counts + TakeOrdered (no global sort)",
     "q79_interval_join" -> "bucketized range join: interval replicated per bucket, hash equi-join + exact residual",
+    "q85_span_removal" -> "cross-doc span dedup: equi-joins on span hashes, row-local rebuild over the pruned source scan",
+    "q86_bloom_incremental_dedup" -> "bloom-prefiltered admission: broadcast bitset probe + broadcast verify joins, corpus never shuffled",
+    "q88_graph_pagerank" -> "pregel join-agg rounds: checkpointed edges, per-round equi-join + dst aggregation",
+    "q90_pmi_collocations" -> "PMI top-k: vocabulary-sized model relations, TakeOrdered (no global sort)",
+    "q93_rolling_spikes" -> "trailing RANGE window over pre-aggregated daily counts, key-partitioned",
   )
 
   def main(args: Array[String]): Unit = {
