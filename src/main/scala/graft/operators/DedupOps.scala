@@ -958,8 +958,7 @@ object DedupOps {
                   mBits: Int = 1 << 20, kHashes: Int = 5): DataFrame = {
     require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64, got $mBits")
     require(kHashes >= 1, s"need kHashes >= 1, got $kHashes")
-    val pos = array((0 until kHashes).map(j =>
-      pmod(xxhash64(col(textCol), lit(j)), lit(mBits.toLong))): _*)
+    val pos = array(bloomPositions(col(textCol), mBits, kHashes): _*)
     seen.select(explode(pos).as("__p"))
       .select((col("__p") / 64).cast("long").as("__w"),
         call_function("shiftleft", lit(1L), (col("__p") % 64).cast("int")).as("__bit"))
@@ -988,18 +987,33 @@ object DedupOps {
     * here per call (one corpus scan); amortize with [[bloomBitset]] +
     * a persisted/cached bitset row across batches.
     */
+  /** The kHashes bit positions of one document in an mBits Bloom filter
+    * (seed-varied xxhash64) — shared by build and probe so they can
+    * never disagree.
+    */
+  private[graft] def bloomPositions(text: Column, mBits: Int, kHashes: Int): Seq[Column] =
+    (0 until kHashes).map(j => pmod(xxhash64(text, lit(j)), lit(mBits.toLong)))
+
+  /** Bloom membership probe as pure column arithmetic. `wordAt` maps a
+    * word index (0-based long) to the 64-bit word column — a map lookup
+    * for [[bloomBitset]] rows, an array element for a driver-held dense
+    * bitset (see StatefulOps.streamingExactNovelDocuments).
+    */
+  private[graft] def bloomMight(text: Column, wordAt: Column => Column,
+                                mBits: Int, kHashes: Int): Column =
+    bloomPositions(text, mBits, kHashes).map { p =>
+      (call_function("shiftright", wordAt((p / 64).cast("long")),
+        (p % 64).cast("int")).bitwiseAND(lit(1L)) === 1L)
+    }.reduce(_ && _)
+
   def bloomNewDocuments(newDf: DataFrame, seenDf: DataFrame, textCol: String,
                         mBits: Int = 1 << 20, kHashes: Int = 5): DataFrame = {
     require(!newDf.columns.contains("__h"),
       "newDf may not already carry the internal column __h")
     val bits = bloomBitset(seenDf, textCol, mBits, kHashes)
-    val might = (0 until kHashes).map { j =>
-      val p = pmod(xxhash64(col(textCol), lit(j)), lit(mBits.toLong))
-      // try_element_at: ANSI-safe null (not an error) on a missing word key
-      (call_function("shiftright",
-        coalesce(try_element_at(col("__bloom"), (p / 64).cast("long")), lit(0L)),
-        (p % 64).cast("int")).bitwiseAND(lit(1L)) === 1L)
-    }.reduce(_ && _)
+    // try_element_at: ANSI-safe null (not an error) on a missing word key
+    val might = bloomMight(col(textCol),
+      w => coalesce(try_element_at(col("__bloom"), w), lit(0L)), mBits, kHashes)
     val probed = newDf.crossJoin(broadcast(bits))
       .withColumn("__might", might).drop("__bloom")
       .localCheckpoint(false) // two consumers (negative/positive split)

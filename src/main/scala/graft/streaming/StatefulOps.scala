@@ -175,5 +175,95 @@ object StatefulOps {
       }
   }
 
+  /** Streaming EXACT-dup admission against the whole ingest history, with
+    * the corpus never shuffled: the cross-batch state is a driver-held
+    * dense Bloom bitset (mBits/8 bytes — 128 KiB at the default) plus a
+    * parquet (id, hash) index at `hashIndexPath`. Per micro-batch:
+    * within-batch hash dedup, then the Bloom probe (pure column
+    * arithmetic over the broadcast bitset) splits the batch —
+    * bloom-negatives admit join-free (no false negatives), positives
+    * verify exactly against the hash index via broadcast candidate joins
+    * (index side streamed, never shuffled). Admitted hashes append to
+    * the index and fold into the driver bitset, so an exact dup of ANY
+    * earlier admission — hours or millions of batches ago — is rejected,
+    * unbounded by a watermark ([[streamingNewDocuments]] is the
+    * watermark-bounded low-latency variant; this is its full-history
+    * big sibling, sized by the filter, not the corpus).
+    *
+    * Replay tolerance (at-least-once): index rows carry the doc id, and
+    * a verify hit on the SAME id is ignored, so a replayed batch admits
+    * its own rows again instead of rejecting them against their earlier
+    * append — the same contract as [[streamingNovelDocuments]]. On
+    * restart the bitset reseeds from the index, so driver loss never
+    * readmits dups (false negatives are impossible by reconstruction).
+    * Size mBits for the expected corpus cardinality: the result stays
+    * exact regardless, but an undersized saturated filter sends every
+    * row to the verify join.
+    */
+  def streamingExactNovelDocuments(stream: DataFrame, idCol: String,
+                                   textCol: String, hashIndexPath: String,
+                                   mBits: Int = 1 << 20, kHashes: Int = 5)
+                                  (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64, got $mBits")
+    val spark = stream.sparkSession
+    val bits = new Array[Long](mBits / 64)
+    var indexExists =
+      try { spark.read.parquet(hashIndexPath).isEmpty; true }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    // bit positions key off the md5 CONTENT HASH column `__h` everywhere
+    // in this operator (probe, fold, reseed) — the index persists __h,
+    // so a restart reconstructs the identical bitset
+    def foldWords(df: DataFrame): Unit = df
+      .select(explode(array(graft.operators.DedupOps
+        .bloomPositions(col("__h"), mBits, kHashes): _*)).as("__p"))
+      .select((col("__p") / 64).cast("long").as("__w"),
+        call_function("shiftleft", lit(1L), (col("__p") % 64).cast("int")).as("__bit"))
+      .groupBy(col("__w")).agg(call_function("bit_or", col("__bit")).as("__word"))
+      .collect() // bounded by the FILTER size (mBits/64 rows max)
+      .foreach(r => bits(r.getLong(0).toInt) |= r.getLong(1))
+    if (indexExists) foldWords(spark.read.parquet(hashIndexPath))
+    stream.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (rawBatch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = rawBatch.sparkSession
+        import sp.implicits._
+        // within-batch dedup on content: survivors' content is identical
+        // by definition (streamingNewDocuments documents the same pick)
+        val batch = rawBatch.toDF()
+          .withColumn("__h", md5(col(textCol)))
+          .dropDuplicates("__h")
+        val bitsDf = Seq(Tuple1(bits.toSeq)).toDF("__bloom")
+        val might = graft.operators.DedupOps.bloomMight(col("__h"),
+          w => element_at(col("__bloom"), (w + 1).cast("int")), mBits, kHashes)
+        val probed = batch.crossJoin(broadcast(bitsDf))
+          .withColumn("__might", might).drop("__bloom")
+          .localCheckpoint(false)
+        val maybe = probed.filter(col("__might")).drop("__might")
+        val dupHashes =
+          if (indexExists) {
+            val cands = maybe
+              .select(col("__h"), col(idCol).cast("long").as("__bid")).distinct()
+            // id-aware verify: a same-id hit is this batch's own earlier
+            // append (replay) and must not reject the row
+            sp.read.parquet(hashIndexPath)
+              .join(broadcast(cands), Seq("__h"))
+              .filter(col("id") =!= col("__bid"))
+              .select(col("__h")).distinct()
+          } else sp.emptyDataFrame.select(lit("").as("__h")).limit(0)
+        val admitted = probed.filter(!col("__might")).drop("__might")
+          .unionByName(maybe.join(broadcast(dupHashes), Seq("__h"), "left_anti"))
+          // materialize before the append: admission must read the index
+          // as of the batch start, never its own append
+          .localCheckpoint(true)
+        if (!admitted.isEmpty) {
+          admitted.select(col("__h"), col(idCol).cast("long").as("id"))
+            .write.mode("append").parquet(hashIndexPath)
+          indexExists = true
+          foldWords(admitted) // batch-bounded driver traffic
+        }
+        sink(admitted.drop("__h"), batchId)
+      }
+  }
+
   val UpdateMode: OutputMode = OutputMode.Update()
 }

@@ -145,4 +145,42 @@ class StatefulOpsSpec extends AnyFunSuite {
     // schema passthrough: internal hash column must not leak
     assert(!spark.table("dedup_out").columns.contains("__content_hash"))
   }
+
+  test("streaming bloom admission: full-history rejection; restart reseeds the bitset") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_bloomidx")
+      .toString + "/idx"
+    val admitted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val ms = MemoryStream[(Long, String)]
+    val q = StatefulOps.streamingExactNovelDocuments(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", path) { (adm, bid) =>
+        admitted ++= adm.collect().map(r => (bid, r.getAs[Long]("doc_id")))
+        ()
+      }.start()
+    ms.addData((1L, "alpha doc"), (2L, "beta doc"))
+    q.processAllAvailable()
+    // next batch: exact dup of an EARLIER BATCH (different id) rejected;
+    // within-batch twin copies collapse to one; novel admitted
+    ms.addData((3L, "alpha doc"), (4L, "gamma doc"), (5L, "gamma doc"))
+    q.processAllAvailable()
+    q.stop()
+    assert(admitted.map(_._2).sorted.toSeq.filterNot(_ == 5L) == Seq(1L, 2L, 4L)
+      && admitted.size == 3, admitted.toSeq.toString)
+    // restart against the same index: the driver bitset reseeds from the
+    // persisted hashes, so dups of pre-restart admissions still reject
+    val admitted2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val ms2 = MemoryStream[(Long, String)]
+    val q2 = StatefulOps.streamingExactNovelDocuments(
+      ms2.toDF().toDF("doc_id", "text"), "doc_id", "text", path) { (adm, _) =>
+        admitted2 ++= adm.collect().map(_.getAs[Long]("doc_id"))
+        ()
+      }.start()
+    ms2.addData((6L, "beta doc"), (7L, "delta doc"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(admitted2.toSeq == Seq(7L), admitted2.toSeq.toString)
+    // the index holds exactly the four admitted content hashes
+    assert(spark.read.parquet(path).count() == 4)
+    assert(spark.read.parquet(path).select("__h").distinct().count() == 4)
+  }
 }
