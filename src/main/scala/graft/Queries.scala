@@ -1575,6 +1575,31 @@ r AS (SELECT key, day, n,
     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
 SELECT key, day, n, sum_w, cnt_w, n * cnt_w * 2 > sum_w * 3 AS spike
 FROM r ORDER BY key, day""")),
+
+    ("q94_bm25_retrieval", (s, d) =>
+      // integer-exact BM25-family retrieval: two queries, top-10 each;
+      // ratio idf (log-free, per-term order-preserving), k1=6/5 b=3/4
+      // multiplied through so tf saturation is pure int64 arithmetic
+      TextOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        Seq((1, Seq("join", "vector")), (2, Seq("stream", "filter", "slow"))), 10)
+        .orderBy(col("query_id"), col("rk")),
+      Some("""WITH qt(query_id, term) AS (VALUES (1, 'join'), (1, 'vector'),
+  (2, 'stream'), (2, 'filter'), (2, 'slow')),
+toks AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+docs AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf,
+  CAST(any_value(dl) AS BIGINT) AS dl FROM (
+  SELECT id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks) GROUP BY 1, 2),
+stats AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n, CAST(SUM(tf) AS BIGINT) AS sumdl FROM docs),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM docs GROUP BY term),
+sc AS (SELECT q.query_id, d.id,
+  ((1000000 * (2 * (s.n - f.dfreq) + 1)) // (2 * f.dfreq + 1)
+   * ((1000000 * d.tf * 44 * s.sumdl) // (20 * s.sumdl * d.tf + 6 * s.sumdl + 18 * d.dl * s.n)))
+  // 1000000 AS c
+  FROM qt q JOIN docs d ON d.term = q.term JOIN dfq f ON f.term = q.term, stats s),
+agg AS (SELECT query_id, id, CAST(SUM(c) AS BIGINT) AS score FROM sc GROUP BY 1, 2),
+r AS (SELECT query_id, id, score,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS BIGINT) AS rk FROM agg)
+SELECT query_id, id, score, rk FROM r WHERE rk <= 10 ORDER BY query_id, rk""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

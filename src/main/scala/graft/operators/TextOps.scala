@@ -372,6 +372,70 @@ object TextOps {
         (col("rk") * 1000 <= lit(admitPermille) * col("__cnt")).as("admitted"))
   }
 
+  /** BM25-family ranked retrieval, integer-exact: per (query, document)
+    * score summed over query terms, every step floor arithmetic so the
+    * ranking is bit-identical across engines. The BM25 rational
+    * (k1 = 6/5, b = 3/4) is multiplied through by 20 * sumdl so the
+    * per-term tf saturation needs no floats:
+    *   tf_part = div(scale * tf * 44 * sumdl,
+    *                 20 * sumdl * tf + 6 * sumdl + 18 * dl * N)
+    * and the idf uses the probabilistic RATIO (N - df + 0.5)/(df + 0.5)
+    * floor-scaled as div(scale * (2(N - df) + 1), 2 df + 1) instead of
+    * its log — the log is monotone, so per-TERM ordering is preserved
+    * and the summed score stays deterministic and replayable (documented
+    * deviation from textbook BM25, which sums log-idf).
+    * Output: (query_id, id, score, rk), top k per query.
+    *
+    * int64 bound: scale * tf * 44 * sumdl below 2^63 — lower `scale` or
+    * shard for corpora past ~1e9 tokens at the defaults (ANSI arithmetic
+    * makes an overflow loud, never silent).
+    *
+    * Scale shape: (id, term, tf) pre-aggregates map-side; the query-term
+    * probe is a BROADCAST join that filters the corpus before anything
+    * else; document frequencies are model-relation aggregates, the ones
+    * needed re-broadcast after a semi-filter on the query terms. Corpus
+    * stats ride one broadcast row. The final rank window partitions per
+    * query over candidate docs only.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Int, Seq[String])], k: Int = 10,
+               scale: Long = 1000000L): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "need non-empty queries")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qt = broadcast(
+      queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+        .toDF("query_id", "term"))
+    val docs = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .select(col("id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      // three consumers: corpus stats, document frequencies, scoring probe
+      .localCheckpoint(false)
+    val stats = broadcast(docs.groupBy()
+      .agg(countDistinct(col("id")).as("__N"), sum(col("tf")).as("__sumdl")))
+    val dfq = broadcast(
+      docs.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+        .join(qt.select(col("term")).distinct(), Seq("term")))
+    val num = lit(scale) * col("tf") * 44L * col("__sumdl")
+    val den = col("tf") * 20L * col("__sumdl") + lit(6L) * col("__sumdl") +
+      lit(18L) * col("dl") * col("__N")
+    val idf = call_function("div",
+      lit(scale) * ((col("__N") - col("dfreq")) * 2L + 1L), col("dfreq") * 2L + 1L)
+    val contrib = call_function("div", idf * call_function("div", num, den), lit(scale))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id"))
+    docs.join(qt, Seq("term")) // broadcast probe: corpus filtered first
+      .join(dfq, Seq("term"))
+      .crossJoin(stats)
+      .select(col("query_id"), col("id"), contrib.as("__c"))
+      .groupBy(col("query_id"), col("id")).agg(sum(col("__c")).as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Corpus-trained bigram language-model quality score, integer-exact.
     * Train: MLE bigram probabilities over the corpus itself —
     * P(w2|w1) = c(w1 w2) / c(w1-as-bigram-start), floor-scaled to

@@ -217,6 +217,27 @@ class DedupTextSpec extends AnyFunSuite {
       ("b", "a", 1L, 1000L)), got.toSeq.toString)
   }
 
+  test("bm25TopK: hand-computed scores; rarer term outscores common term") {
+    // 3 docs, dl=2, sumdl=6, N=3; term x in d1,d2 (df=2), a in d1,d3
+    // idf = div(1e6*3, 5) = 600000; tf_part = div(264e6, 264) = 1e6
+    // -> every hit scores exactly 600000, rank ties break by id
+    val df = Seq((1L, "x a"), (2L, "x b"), (3L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(df, "doc_id", "text",
+      Seq((1, Seq("x")), (2, Seq("a"))), 10)
+      .orderBy("query_id", "rk").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, 1L, 600000L, 1L), (1, 2L, 600000L, 2L),
+      (2, 1L, 600000L, 1L), (2, 3L, 600000L, 2L)), got.toSeq.toString)
+    // rarer term beats common term for the same tf/dl: d1 holds both
+    val df2 = Seq((1L, "r c"), (2L, "c z"), (3L, "c y"), (4L, "c w"))
+      .toDF("doc_id", "text")
+    val s = TextOps.bm25TopK(df2, "doc_id", "text",
+      Seq((1, Seq("r")), (2, Seq("c"))), 10)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(s((1, 1L)) > s((2, 1L)),
+      s"idf must favor the rare term: ${s.toSeq.sorted}")
+  }
+
   test("bigramLmScore: hand-computed MLE, shared-start discrimination, degenerate docs") {
     // model: ab x3, ba x2, ac x1, xy x1; starts a=4, b=2, x=1
     // P(ab)=750000 P(ba)=1000000 P(ac)=250000 P(xy)=1000000

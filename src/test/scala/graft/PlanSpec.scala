@@ -245,6 +245,13 @@ class PlanSpec extends AnyFunSuite {
     assert(iw >= 0 && ih > iw, "window over raw events:\n" + p)
   }
 
+  test("q94: query terms broadcast-probe the corpus; rank window partitions per query") {
+    val p = plan("q94_bm25_retrieval")
+    assert(p.contains("BroadcastExchange"), "query-term broadcast missing:\n" + p)
+    assert(p.contains("hashpartitioning(query_id"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q66: budget sampling uses a group-partitioned window, no global sort below it") {
     val df = graft.operators.SamplingOps.sampleToTokenBudget(
       Tables.documents(spark, sf)
