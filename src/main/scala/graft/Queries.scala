@@ -1600,6 +1600,68 @@ agg AS (SELECT query_id, id, CAST(SUM(c) AS BIGINT) AS score FROM sc GROUP BY 1,
 r AS (SELECT query_id, id, score,
   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS BIGINT) AS rk FROM agg)
 SELECT query_id, id, score, rk FROM r WHERE rk <= 10 ORDER BY query_id, rk""")),
+
+    ("q95_dsir_weights", (s, d) => {
+      // DSIR-style target-resemblance weights: target = the English slice,
+      // features = portable-fingerprint unigram buckets, add-one smoothed
+      // scaled ratios (log-free)
+      val docs = Tables.documents(s, d)
+      TextOps.dsirWeights(docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), 256)
+        .orderBy(col("id"))
+    },
+      Some("""WITH tx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t, lang FROM documents),
+hb AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(t) + 1), i -> CAST(unicode(substring(t, CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007) % 256 AS b FROM tx),
+raw AS (SELECT b, CAST(count(*) AS BIGINT) AS craw FROM hb GROUP BY b),
+tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM hb WHERE lang = 'en' GROUP BY b),
+tots AS (SELECT (SELECT CAST(SUM(craw) AS BIGINT) FROM raw) AS traw,
+  (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tgt) AS tt),
+sc AS (SELECT hb.doc_id,
+  (1000000 * (COALESCE(tg.ct, 0) + 1) * (t.traw + 256)) // ((r.craw + 1) * (t.tt + 256)) AS c
+  FROM hb JOIN raw r ON hb.b = r.b LEFT JOIN tgt tg ON hb.b = tg.b, tots t),
+ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, CAST(SUM(c) AS BIGINT) AS s
+  FROM sc GROUP BY 1)
+SELECT d.doc_id AS id, COALESCE(ds.n_toks, 0) AS n_toks,
+  CASE WHEN ds.n_toks > 0 THEN ds.s // ds.n_toks ELSE 0 END AS dsir_score
+FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id ORDER BY id""")),
+
+    ("q96_funnel_conversion", (s, d) =>
+      // signup -> purchase within 7 days per user; out-of-window
+      // purchases leave the user present-but-unconverted. Microsecond
+      // arithmetic: DuckDB's TIMESTAMP truncates the parquet nanos, so
+      // micros (floor-divided from ts_ns) is the precision both engines
+      // share exactly
+      graft.operators.GraphOps.funnelConversion(
+        Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
+        "user_id", "ts_us", "event_type",
+        "signup", "purchase", 7L * 86400L * 1000000L)
+        .orderBy(col("key")),
+      Some("""WITH f AS (SELECT user_id AS key, min(epoch_us(ts)) AS from_t
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+n AS (SELECT user_id AS key, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+j AS (SELECT f.key, f.from_t, min(n.t) AS to_t
+  FROM f LEFT JOIN n ON n.key = f.key AND n.t >= f.from_t AND n.t <= f.from_t + 604800000000
+  GROUP BY 1, 2)
+SELECT key, from_t, to_t, to_t IS NOT NULL AS converted, to_t - from_t AS delta
+FROM j ORDER BY key""")),
+
+    ("q97_cohort_retention", (s, d) => {
+      // classic cohort retention: cohort = first-order month per customer,
+      // distinct active customers per (cohort, month offset)
+      val o = Tables.orders(s, d).select(col("o_custkey").as("c"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast(LongType).as("ym"))
+      val fo = o.groupBy(col("c")).agg(min(col("ym")).as("cohort"))
+      o.join(fo, Seq("c"))
+        .groupBy(col("cohort"), (col("ym") - col("cohort")).as("offset_m"))
+        .agg(countDistinct(col("c")).as("n_customers"))
+        .orderBy(col("cohort"), col("offset_m"))
+    },
+      Some("""WITH o AS (SELECT o_custkey AS c, year(o_orderdate) * 12 + month(o_orderdate) AS ym FROM orders),
+fo AS (SELECT c, min(ym) AS cohort FROM o GROUP BY c)
+SELECT fo.cohort, o.ym - fo.cohort AS offset_m, CAST(count(DISTINCT o.c) AS BIGINT) AS n_customers
+FROM o JOIN fo ON o.c = fo.c GROUP BY 1, 2 ORDER BY cohort, offset_m""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

@@ -55,6 +55,41 @@ object GraphOps {
     ranks
   }
 
+  /** Two-step funnel conversion per entity: the first `fromState` event,
+    * and whether a `toState` event follows within `horizon` (same time
+    * unit as `orderCol`, inclusive). Output one row per entity that
+    * reached the first step: (key, from_t, to_t, converted, delta) with
+    * to_t/delta null when unconverted. `toState` at the exact same
+    * instant counts (>=) — ties inside one tick are funnel progress,
+    * not time travel.
+    *
+    * Scale shape: the first-step relation is one aggregation on the
+    * key; the second step is an equi-join on the key over ONLY
+    * `toState` events (filter pushed to the scan) followed by a min
+    * aggregation — no window over raw events, no ordering of the full
+    * stream.
+    */
+  def funnelConversion(df: DataFrame, keyCol: String, orderCol: String,
+                       stateCol: String, fromState: String, toState: String,
+                       horizon: Long): DataFrame = {
+    require(horizon >= 0, s"need horizon >= 0, got $horizon")
+    val first = df.filter(col(stateCol) === fromState)
+      .groupBy(col(keyCol).as("key")).agg(min(col(orderCol)).as("from_t"))
+    val next = df.filter(col(stateCol) === toState)
+      .select(col(keyCol).as("nkey"), col(orderCol).as("__t"))
+    // the horizon lives IN the join condition: an out-of-window toState
+    // must leave the entity present-but-unconverted, not drop it
+    first.join(next,
+        col("key") === col("nkey") &&
+          col("__t") >= col("from_t") && col("__t") <= col("from_t") + horizon,
+        "left")
+      .groupBy(col("key"), col("from_t"))
+      .agg(min(col("__t")).as("to_t"))
+      .select(col("key"), col("from_t"), col("to_t"),
+        col("to_t").isNotNull.as("converted"),
+        (col("to_t") - col("from_t")).as("delta"))
+  }
+
   /** First-order Markov transition matrix of per-entity ordered event
     * sequences — the trajectory/session-modeling statistic of an event
     * stream: for every observed (from_state, to_state) step, its count

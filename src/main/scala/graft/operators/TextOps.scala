@@ -372,6 +372,52 @@ object TextOps {
         (col("rk") * 1000 <= lit(admitPermille) * col("__cnt")).as("admitted"))
   }
 
+  /** DSIR-style importance weights, integer-exact: score each document by
+    * how much its hashed-feature distribution resembles a TARGET corpus
+    * relative to the raw corpus. Features are unigram buckets under the
+    * portable rolling fingerprint (mod `nBuckets`), both distributions
+    * add-one smoothed, and each token contributes the floor-scaled ratio
+    *   div(scale * (ct(b)+1) * (Traw + nBuckets),
+    *       (craw(b)+1) * (Tt + nBuckets))
+    * — the per-doc score is the average contribution (documented
+    * deviation from DSIR, which sums LOG ratios: the ratio sum is
+    * log-free and bit-replayable; ordering differs only when a doc mixes
+    * extreme buckets). Output: (id, n_toks, dsir_score).
+    *
+    * Scale shape: both distributions are nBuckets-row aggregates
+    * (map-side combinable); their merged table broadcasts, so the
+    * corpus-side probe is map-only and the only shuffle is the per-doc
+    * aggregation on the id.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  target: DataFrame, nBuckets: Int = 256,
+                  scale: Long = 1000000L): DataFrame = {
+    require(nBuckets >= 2, s"need nBuckets >= 2, got $nBuckets")
+    def buckets(d: DataFrame): DataFrame =
+      d.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("__t"))
+        .select(col("id"),
+          pmod(graft.functions.Converters.fingerprint64(col("__t")), lit(nBuckets.toLong)).as("b"))
+    val ex = buckets(df).localCheckpoint(false) // raw counts + scoring probe
+    val raw = ex.groupBy(col("b")).agg(count(lit(1)).as("craw"))
+    val tgt = buckets(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val model = broadcast(raw.join(tgt, Seq("b"), "full")
+      .select(col("b"), coalesce(col("craw"), lit(0L)).as("craw"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+      .crossJoin(broadcast(raw.agg(sum(col("craw")).as("__traw"))))
+      .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("__tt")))))
+    val contrib = call_function("div",
+      lit(scale) * (col("ct") + 1L) * (col("__traw") + nBuckets),
+      (col("craw") + 1L) * (col("__tt") + nBuckets))
+    val scored = ex.join(model, Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"), sum(contrib).as("__s"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        when(coalesce(col("n_toks"), lit(0L)) > 0,
+          call_function("div", col("__s"), col("n_toks")))
+          .otherwise(lit(0L)).as("dsir_score"))
+  }
+
   /** BM25-family ranked retrieval, integer-exact: per (query, document)
     * score summed over query terms, every step floor arithmetic so the
     * ranking is bit-identical across engines. The BM25 rational

@@ -217,6 +217,36 @@ class DedupTextSpec extends AnyFunSuite {
       ("b", "a", 1L, 1000L)), got.toSeq.toString)
   }
 
+  test("funnelConversion: in-window converts, out-of-window stays present-unconverted, pre-step ignored") {
+    val ev = Seq(
+      (1L, 10L, "signup"), (1L, 15L, "purchase"),   // converts, delta 5
+      (2L, 10L, "signup"), (2L, 100L, "purchase"),  // out of horizon 20
+      (3L, 10L, "signup"),                          // never converts
+      (4L, 5L, "purchase"), (4L, 10L, "signup"),    // purchase BEFORE signup ignored
+      (5L, 10L, "purchase"))                        // no signup: not in funnel
+      .toDF("user_id", "t", "state")
+    val got = graft.operators.GraphOps.funnelConversion(
+      ev, "user_id", "t", "state", "signup", "purchase", 20L)
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 10L, true, 5L), (2L, 10L, false, -1L),
+      (3L, 10L, false, -1L), (4L, 10L, false, -1L)), got.toSeq.toString)
+  }
+
+  test("dsirWeights: target-like docs outscore off-target docs; averages are per-token") {
+    // target slice speaks only 'aa'; 'zz'/'yy' appear only off-target
+    val docs = Seq((1L, "aa aa aa", "t"), (2L, "aa aa aa", "t"),
+      (3L, "zz yy zz", "o"), (4L, "aa zz aa", "o"))
+      .toDF("doc_id", "text", "grp")
+    val got = TextOps.dsirWeights(docs, "doc_id", "text",
+      docs.filter(col("grp") === "t"), 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == got(2L)) // identical docs, identical score
+    assert(got(1L) > got(4L) && got(4L) > got(3L),
+      s"target-resemblance ordering broke: $got")
+  }
+
   test("bm25TopK: hand-computed scores; rarer term outscores common term") {
     // 3 docs, dl=2, sumdl=6, N=3; term x in d1,d2 (df=2), a in d1,d3
     // idf = div(1e6*3, 5) = 600000; tf_part = div(264e6, 264) = 1e6

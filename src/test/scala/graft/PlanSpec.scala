@@ -252,6 +252,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q95: the 256-bucket model broadcasts; the corpus probe never nested-loops") {
+    val p = plan("q95_dsir_weights")
+    assert(p.contains("BroadcastExchange"), "bucket-model broadcast missing:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q96: the horizon rides a key equi-join as residual, never a nested loop") {
+    val p = plan("q96_funnel_conversion")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "horizon join degraded:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q66: budget sampling uses a group-partitioned window, no global sort below it") {
     val df = graft.operators.SamplingOps.sampleToTokenBudget(
       Tables.documents(spark, sf)
