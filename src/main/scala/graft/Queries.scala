@@ -1662,6 +1662,16 @@ FROM j ORDER BY key""")),
 fo AS (SELECT c, min(ym) AS cohort FROM o GROUP BY c)
 SELECT fo.cohort, o.ym - fo.cohort AS offset_m, CAST(count(DISTINCT o.c) AS BIGINT) AS n_customers
 FROM o JOIN fo ON o.c = fo.c GROUP BY 1, 2 ORDER BY cohort, offset_m""")),
+
+    ("q98_basket_pairs", (s, d) =>
+      // frequently-bought-together: top-50 part pairs by co-ordered
+      // basket count; pair stream bounded by basket sizes, never corpus²
+      graft.operators.GraphOps.itemCooccurrence(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey", 2L, 50),
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem)
+SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS n
+FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY n DESC, i1, i2 LIMIT 50""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

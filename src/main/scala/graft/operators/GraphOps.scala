@@ -55,6 +55,32 @@ object GraphOps {
     ranks
   }
 
+  /** Market-basket co-occurrence: the top-k item pairs appearing together
+    * in the most baskets (the candidate-pair step of A-Priori / the
+    * "frequently bought together" signal). Within-basket duplicates
+    * collapse first, so a pair counts once per basket. Output:
+    * (i1, i2, n) with i1 < i2, top k by count (deterministic tie-break).
+    *
+    * Scale shape: the pair stream is an equi-self-join on the BASKET id,
+    * so it is bounded by sum(basket_size²) — basket-bounded, never
+    * corpus² (baskets are small by nature; cap pathological baskets
+    * upstream if a feed can produce them). Counts aggregate map-side on
+    * the pair; the top-k is a TakeOrdered, never a global sort.
+    */
+  def itemCooccurrence(df: DataFrame, basketCol: String, itemCol: String,
+                       minCount: Long = 2L, k: Int = 50): DataFrame = {
+    val items = df.select(col(basketCol).as("bk"), col(itemCol).as("item"))
+      .distinct()
+      .localCheckpoint(false) // both sides of the self-join
+    items.as("a").join(items.as("b"),
+        col("a.bk") === col("b.bk") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("i1"), col("b.item").as("i2"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("i1"), col("i2"))
+      .limit(k)
+  }
+
   /** Two-step funnel conversion per entity: the first `fromState` event,
     * and whether a `toState` event follows within `horizon` (same time
     * unit as `orderCol`, inclusive). Output one row per entity that

@@ -217,6 +217,18 @@ class DedupTextSpec extends AnyFunSuite {
       ("b", "a", 1L, 1000L)), got.toSeq.toString)
   }
 
+  test("itemCooccurrence: within-basket dups count once; ordered pairs; top-k tie-break") {
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "b"), // dup b collapses
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "b"), (3L, "c"),
+      (4L, "z")) // singleton basket -> no pairs
+      .toDF("bk", "item")
+    val got = graft.operators.GraphOps.itemCooccurrence(df, "bk", "item", 1L, 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", "b", 2L), ("b", "c", 2L), ("a", "c", 1L)),
+      got.toSeq.toString)
+  }
+
   test("funnelConversion: in-window converts, out-of-window stays present-unconverted, pre-step ignored") {
     val ev = Seq(
       (1L, 10L, "signup"), (1L, 15L, "purchase"),   // converts, delta 5
