@@ -1672,6 +1672,29 @@ FROM o JOIN fo ON o.c = fo.c GROUP BY 1, 2 ORDER BY cohort, offset_m""")),
 SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS n
 FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
 GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY n DESC, i1, i2 LIMIT 50""")),
+
+    ("q99_asof_forward", (s, d) => {
+      // q60's point-in-time lookup mirrored FORWARD: for every order, the
+      // customer's first event at or after the order date (same union+
+      // window composition over negated times — one key shuffle)
+      val left = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("o_us"))
+      val right = Tables.events(s, d).select(col("user_id").as("k"),
+        expr("ts_ns div 1000").as("e_us"), col("event_id"), col("event_type"))
+      graft.operators.AsofOps.asofJoinForward(left, right, "k",
+        col("o_us"), col("e_us"), "event_id", Seq("event_id", "event_type"))
+        .select(col("o_orderkey"), col("k").as("o_custkey"),
+          col("event_id").as("next_event_id"), col("event_type").as("next_event_type"))
+        .orderBy(col("o_orderkey"))
+    },
+      Some("""WITH e AS (SELECT user_id AS k, epoch_us(ts) AS e_us, event_id, event_type FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) = 1),
+o AS (SELECT o_orderkey, o_custkey AS k, epoch_us(o_orderdate) AS o_us FROM orders)
+SELECT o.o_orderkey, o.k AS o_custkey, e.event_id AS next_event_id,
+  e.event_type AS next_event_type
+FROM o ASOF LEFT JOIN e ON o.k = e.k AND e.e_us >= o.o_us
+ORDER BY o_orderkey""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

@@ -74,4 +74,20 @@ object AsofOps {
       .select(left.columns.map(col) ++
         payload.map(p => col("__pl").getField(p).as(p)): _*)
   }
+
+  /** FORWARD as-of join — for every left row, the single right row with
+    * the SMALLEST right-time >= left-time within the same key (the
+    * "next event after" lookup: next price tick, next retry, label at
+    * the end of an observation window). Implemented by running
+    * [[asofJoin]] over negated times, so it inherits the one-shuffle
+    * union+window plan and every edge-case contract verbatim: inclusive
+    * matching, equal-(key, time) right rows resolving to the highest
+    * `rightTieCol`, null keys/times dropped. Time columns must be
+    * integer-valued (negation of a float time would be exact too, but
+    * every caller here uses epoch integers).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+                      leftTime: Column, rightTime: Column,
+                      rightTieCol: String, payload: Seq[String]): DataFrame =
+    asofJoin(left, right, keyCol, -leftTime, -rightTime, rightTieCol, payload)
 }

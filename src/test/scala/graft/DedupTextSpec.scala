@@ -217,6 +217,21 @@ class DedupTextSpec extends AnyFunSuite {
       ("b", "a", 1L, 1000L)), got.toSeq.toString)
   }
 
+  test("asofJoinForward: smallest right >= left; inclusive; equal-time tie picks highest") {
+    val left = Seq((1L, "k", 10L), (2L, "k", 25L), (3L, "k", 100L))
+      .toDF("lid", "k", "lt")
+    val right = Seq(("k", 10L, 7L, "at10a"), ("k", 10L, 8L, "at10b"),
+      ("k", 30L, 9L, "at30"))
+      .toDF("k", "rt", "tie", "v")
+    val got = graft.operators.AsofOps.asofJoinForward(
+      left, right, "k", col("lt"), col("rt"), "tie", Seq("v"))
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)).getOrElse("-")))
+    // lid1: rt=10 inclusive, tie 8 wins; lid2: next is rt=30; lid3: none
+    assert(got.toSeq == Seq((1L, "at10b"), (2L, "at30"), (3L, "-")),
+      got.toSeq.toString)
+  }
+
   test("itemCooccurrence: within-basket dups count once; ordered pairs; top-k tie-break") {
     val df = Seq((1L, "a"), (1L, "b"), (1L, "b"), // dup b collapses
       (2L, "a"), (2L, "b"), (2L, "c"),
