@@ -1583,22 +1583,7 @@ FROM r ORDER BY key, day""")),
       TextOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         Seq((1, Seq("join", "vector")), (2, Seq("stream", "filter", "slow"))), 10)
         .orderBy(col("query_id"), col("rk")),
-      Some("""WITH qt(query_id, term) AS (VALUES (1, 'join'), (1, 'vector'),
-  (2, 'stream'), (2, 'filter'), (2, 'slow')),
-toks AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
-docs AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf,
-  CAST(any_value(dl) AS BIGINT) AS dl FROM (
-  SELECT id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks) GROUP BY 1, 2),
-stats AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n, CAST(SUM(tf) AS BIGINT) AS sumdl FROM docs),
-dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM docs GROUP BY term),
-sc AS (SELECT q.query_id, d.id,
-  ((1000000 * (2 * (s.n - f.dfreq) + 1)) // (2 * f.dfreq + 1)
-   * ((1000000 * d.tf * 44 * s.sumdl) // (20 * s.sumdl * d.tf + 6 * s.sumdl + 18 * d.dl * s.n)))
-  // 1000000 AS c
-  FROM qt q JOIN docs d ON d.term = q.term JOIN dfq f ON f.term = q.term, stats s),
-agg AS (SELECT query_id, id, CAST(SUM(c) AS BIGINT) AS score FROM sc GROUP BY 1, 2),
-r AS (SELECT query_id, id, score,
-  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS BIGINT) AS rk FROM agg)
+      Some(s"""WITH $bm25SqlCtes
 SELECT query_id, id, score, rk FROM r WHERE rk <= 10 ORDER BY query_id, rk""")),
 
     ("q95_dsir_weights", (s, d) => {
@@ -1695,6 +1680,70 @@ SELECT o.o_orderkey, o.k AS o_custkey, e.event_id AS next_event_id,
   e.event_type AS next_event_type
 FROM o ASOF LEFT JOIN e ON o.k = e.k AND e.e_us >= o.o_us
 ORDER BY o_orderkey""")),
+
+    ("q100_rrf_fusion", (s, d) => {
+      // hybrid retrieval: q94's BM25 rankings fused with a query-
+      // independent quality-prior ranking via reciprocal-rank fusion
+      val docs = Tables.documents(s, d)
+      val bm = TextOps.bm25TopK(docs, "doc_id", "text",
+        Seq((1, Seq("join", "vector")), (2, Seq("stream", "filter", "slow"))), 10)
+        .select(col("query_id"), col("id"), col("rk"))
+      val topQ = docs.select(col("doc_id").as("id"),
+          TextOps.qualityScore(col("text"), col("n_chars")).as("q"))
+        .orderBy(col("q").desc, col("id")).limit(10)
+      // rank window AFTER the limit: 10 rows, not a global corpus sort
+      val tqr = topQ.withColumn("rk", row_number()
+        .over(Window.orderBy(col("q").desc, col("id"))).cast(LongType))
+      import s.implicits._
+      val qr = Seq(1, 2).toDF("query_id").crossJoin(tqr.select(col("id"), col("rk")))
+      TextOps.rrfFuse(Seq(bm, qr), 60L, 10)
+        .orderBy(col("query_id"), col("rk"))
+    },
+      Some(s"""WITH $bm25SqlCtes,
+bm AS (SELECT query_id, id, rk FROM r WHERE rk <= 10),
+$qualitySqlCtes,
+tq AS (SELECT doc_id AS id, quality FROM qual ORDER BY quality DESC, id LIMIT 10),
+tqr AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, id) AS BIGINT) AS rk FROM tq),
+qr AS (SELECT q.query_id, t.id, t.rk FROM (SELECT DISTINCT query_id FROM qt) q CROSS JOIN tqr t),
+u AS (SELECT query_id, id, 1000000 // (60 + rk) AS c FROM bm
+  UNION ALL SELECT query_id, id, 1000000 // (60 + rk) FROM qr),
+f AS (SELECT query_id, id, CAST(SUM(c) AS BIGINT) AS rrf_score FROM u GROUP BY 1, 2),
+rr AS (SELECT query_id, id, rrf_score,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, id) AS BIGINT) AS rk FROM f)
+SELECT query_id, id, rrf_score, rk FROM rr WHERE rk <= 10 ORDER BY query_id, rk""")),
+
+    ("q101_dedup_cluster_sizes", (s, d) => {
+      // curation reporting: near-dup component size histogram — how much
+      // of the corpus is singleton vs clustered (q44's component chain)
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)
+      DedupOps.nearDupGroups(docs.select(col("doc_id")), "doc_id", pairs)
+        .groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz"))
+    },
+      Some(s"""WITH RECURSIVE ${nearDupGroupsCtes(3)},
+cs AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS sz FROM grp GROUP BY 1)
+SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM cs GROUP BY sz ORDER BY sz""")),
+
+    ("q102_ngram_novelty", (s, d) =>
+      // per-document temporal novelty: fraction of 3-gram shingles never
+      // seen in any lower-id document — the "new text added" metric
+      TextOps.ngramNovelty(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy(col("id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2])) AS s
+  FROM toks)),
+own AS (SELECT s, min(doc_id) AS o FROM sh GROUP BY s),
+cn AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(CASE WHEN own.o = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM sh JOIN own ON sh.s = own.s GROUP BY 1)
+SELECT d.doc_id AS id, COALESCE(cn.n_shingles, 0) AS n_shingles,
+  COALESCE(cn.n_novel, 0) AS n_novel,
+  CASE WHEN cn.n_shingles > 0 THEN (cn.n_novel * 1000) // cn.n_shingles ELSE 0 END AS novelty_permille
+FROM documents d LEFT JOIN cn ON d.doc_id = cn.doc_id ORDER BY id""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat
@@ -2073,6 +2122,28 @@ SELECT doc_id AS id, n_tokens, n_tokens - CAST(len(kept) AS BIGINT) AS n_removed
   COALESCE(array_to_string(kept, ' '), '') AS clean_text
 FROM res ORDER BY id"""
   }
+
+  /** The q94/q100 integer-BM25 replay (TextOps.bm25TopK arithmetic step
+    * for step): ends with `r(query_id, id, score, rk)`; `qt` holds the
+    * fixture queries.
+    */
+  private def bm25SqlCtes: String =
+    """qt(query_id, term) AS (VALUES (1, 'join'), (1, 'vector'),
+  (2, 'stream'), (2, 'filter'), (2, 'slow')),
+toks AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+docs AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf,
+  CAST(any_value(dl) AS BIGINT) AS dl FROM (
+  SELECT id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks) GROUP BY 1, 2),
+stats AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n, CAST(SUM(tf) AS BIGINT) AS sumdl FROM docs),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM docs GROUP BY term),
+sc AS (SELECT q.query_id, d.id,
+  ((1000000 * (2 * (s.n - f.dfreq) + 1)) // (2 * f.dfreq + 1)
+   * ((1000000 * d.tf * 44 * s.sumdl) // (20 * s.sumdl * d.tf + 6 * s.sumdl + 18 * d.dl * s.n)))
+  // 1000000 AS c
+  FROM qt q JOIN docs d ON d.term = q.term JOIN dfq f ON f.term = q.term, stats s),
+agg AS (SELECT query_id, id, CAST(SUM(c) AS BIGINT) AS score FROM sc GROUP BY 1, 2),
+r AS (SELECT query_id, id, score,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS BIGINT) AS rk FROM agg)"""
 
   /** The q27/q83/q91 quality-score replay (TextOps.qualityScore arithmetic
     * step for step): ends with `qual(doc_id, quality)`.

@@ -372,6 +372,67 @@ object TextOps {
         (col("rk") * 1000 <= lit(admitPermille) * col("__cnt")).as("admitted"))
   }
 
+  /** Reciprocal-rank fusion of N rankings, integer-exact: the standard
+    * hybrid-retrieval combiner (BM25 + dense + priors) — each ranking
+    * contributes div(scale, k0 + rank) per (query, doc), summed, then
+    * re-ranked. Integer floor terms make the fused score bit-replayable;
+    * k0 = 60 is the literature default. Inputs share the schema
+    * (query_id, id, rk); rankings that miss a doc simply contribute 0.
+    * Output: (query_id, id, rrf_score, rk), top `topK` per query.
+    *
+    * Scale shape: a union of ranking relations (each already top-k
+    * sized, tiny relative to the corpus), one aggregation on the
+    * (query, doc) pair, and a per-query rank window over fused
+    * candidates only.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Long = 60L, topK: Int = 10,
+              scale: Long = 1000000L): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k0 >= 0, s"need k0 >= 0, got $k0")
+    val contrib = call_function("div", lit(scale), lit(k0) + col("rk"))
+    val unioned = rankings
+      .map(_.select(col("query_id"), col("id"), contrib.as("__c")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("id"))
+    unioned.groupBy(col("query_id"), col("id"))
+      .agg(sum(col("__c")).as("rrf_score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+  }
+
+  /** Temporal n-gram novelty: for each document (in id order), the
+    * fraction of its DISTINCT n-gram shingles never seen in any
+    * lower-id document — the "how much genuinely new text does this
+    * contribution add" curation metric. First-occurrence ownership is
+    * one aggregation (min id per shingle); novelty is a row-count
+    * comparison, integer permille. Output:
+    * (id, n_shingles, n_novel, novelty_permille); docs shorter than n
+    * tokens report 0 shingles.
+    *
+    * Scale shape: the shingle index is the only corpus-sized relation
+    * (checkpointed once for its two consumers); ownership is a
+    * map-side-combinable min; the probe is an equi-join on the shingle
+    * hash; final counts aggregate on the id. No windows, no all-pairs.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val sh = DedupOps.shingles(df, idCol, textCol, n)
+      .localCheckpoint(false) // two consumers: ownership + probe
+    val owner = sh.groupBy(col("shingle")).agg(min(col("id")).as("__owner"))
+    val counted = sh.join(owner, Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__owner") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+    df.select(col(idCol).as("id")).join(counted, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          call_function("div", coalesce(col("n_novel"), lit(0L)) * 1000,
+            col("n_shingles")))
+          .otherwise(lit(0L)).as("novelty_permille"))
+  }
+
   /** DSIR-style importance weights, integer-exact: score each document by
     * how much its hashed-feature distribution resembles a TARGET corpus
     * relative to the raw corpus. Features are unigram buckets under the

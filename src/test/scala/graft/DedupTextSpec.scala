@@ -217,6 +217,27 @@ class DedupTextSpec extends AnyFunSuite {
       ("b", "a", 1L, 1000L)), got.toSeq.toString)
   }
 
+  test("rrfFuse: hand-computed reciprocal ranks; missing docs contribute zero") {
+    // c(1)=16393, c(2)=16129 -> B fused 32522, A 16393, C 16129
+    val ra = Seq((1, 10L, 1L), (1, 20L, 2L)).toDF("query_id", "id", "rk")
+    val rb = Seq((1, 20L, 1L), (1, 30L, 2L)).toDF("query_id", "id", "rk")
+    val got = TextOps.rrfFuse(Seq(ra, rb), 60L, 10)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((20L, 32522L, 1L), (10L, 16393L, 2L),
+      (30L, 16129L, 3L)), got.toSeq.toString)
+  }
+
+  test("ngramNovelty: first owner counts novel, repeats don't; short docs report zero") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c x"), (3L, "z z"))
+      .toDF("doc_id", "text")
+    val got = TextOps.ngramNovelty(df, "doc_id", "text", 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 2L, 1000L), (2L, 2L, 1L, 500L),
+      (3L, 0L, 0L, 0L)), got.toSeq.toString)
+  }
+
   test("asofJoinForward: smallest right >= left; inclusive; equal-time tie picks highest") {
     val left = Seq((1L, "k", 10L), (2L, "k", 25L), (3L, "k", 100L))
       .toDF("lid", "k", "lt")
