@@ -175,6 +175,26 @@ object StatefulOps {
       }
   }
 
+  /** Streaming gap sessionization: Spark's native `session_window` state
+    * operator — sessions per key close `gap` after their last event, and
+    * emit (append mode) once the WATERMARK passes the session end, so
+    * state is bounded by the watermark horizon plus open sessions. The
+    * streaming twin of the batch lag+running-sum sessionization (q32):
+    * same gap semantics, but incremental, with late events inside the
+    * watermark merging into (or bridging!) existing sessions instead of
+    * being recomputed. Output: (key, session_start, session_end,
+    * n_events, total_value).
+    */
+  def streamingSessions(stream: DataFrame, keyCol: String,
+                        eventTimeCol: String, valueCol: String,
+                        gap: String, watermarkDelay: String): DataFrame =
+    stream.withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(eventTimeCol), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total_value"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Streaming EXACT-dup admission against the whole ingest history, with
     * the corpus never shuffled: the cross-batch state is a driver-held
     * dense Bloom bitset (mBits/8 bytes — 128 KiB at the default) plus a

@@ -146,6 +146,35 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(!spark.table("dedup_out").columns.contains("__content_hash"))
   }
 
+  test("streaming session_window: gap splits sessions; bridging event merges them") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val q = StatefulOps.streamingSessions(
+      ms.toDF().toDF("ts", "user_id", "v"), "user_id", "ts", "v",
+      "5 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: two bursts 20 min apart -> two sessions; the second burst's
+    // events land within one gap of each other -> one merged session
+    ms.addData(
+      (ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (ts("2024-01-01 10:02:00"), 1L, 2.0),
+      (ts("2024-01-01 10:22:00"), 1L, 4.0),
+      (ts("2024-01-01 10:25:00"), 1L, 8.0))
+    q.processAllAvailable()
+    // watermark advances past both session ends -> both emit
+    ms.addData((ts("2024-01-01 11:00:00"), 2L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01 10:00:00.0", 2L, 3.0),
+      (1L, "2024-01-01 10:22:00.0", 2L, 12.0)), got.toSeq.toString)
+  }
+
   test("streaming bloom admission: full-history rejection; restart reseeds the bitset") {
     implicit val sqlCtx = spark.sqlContext
     val path = java.nio.file.Files.createTempDirectory("graft_bloomidx")
