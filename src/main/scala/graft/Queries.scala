@@ -1744,6 +1744,36 @@ SELECT d.doc_id AS id, COALESCE(cn.n_shingles, 0) AS n_shingles,
   COALESCE(cn.n_novel, 0) AS n_novel,
   CASE WHEN cn.n_shingles > 0 THEN (cn.n_novel * 1000) // cn.n_shingles ELSE 0 END AS novelty_permille
 FROM documents d LEFT JOIN cn ON d.doc_id = cn.doc_id ORDER BY id""")),
+
+    ("q103_group_median", (s, d) =>
+      // exact per-type LOWER median of event values (order statistic, no
+      // float averaging) with event_id as the total-order tie-break
+      graft.operators.SketchOps.exactGroupMedian(
+        Tables.events(s, d), "event_type", "value", "event_id")
+        .select(col("group"), col("n"), col("median_value"))
+        .orderBy(col("group")),
+      Some("""WITH r AS (SELECT event_type AS grp, value, CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+  CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn
+  FROM events)
+SELECT grp AS "group", n, value AS median_value FROM r
+WHERE rn = (n + 1) // 2 ORDER BY "group" """)),
+
+    ("q104_scene_cuts", (s, d) => {
+      // temporal frame dedup / scene-change detection within each media:
+      // aHash consecutive stub-decoded frames, Hamming distance per step
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("content"))
+      val frames = graft.operators.MultimodalOps.sampleFrames(docs, "doc_id", "content", 4)
+      val hashed = graft.operators.MultimodalOps.frameAHash(frames)
+      val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      hashed.withColumn("ph", lag(col("ahash"), 1).over(w))
+        .filter(col("ph").isNotNull)
+        .select(col("media_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+          bit_count(col("ahash").bitwiseXOR(col("ph"))).cast(LongType).as("hamming"))
+        .withColumn("is_cut", col("hamming") >= 33)
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+      Some(sceneCutSql(4, 33))),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat
@@ -2020,8 +2050,11 @@ FROM st WHERE i = 64 ORDER BY media_id, frame_idx"""
     * same single-pixel twin construction, and the same 4x16-bit
     * pigeonhole band join + row-local verify the Spark side runs.
     */
-  private def framePhashSql(nFrames: Int): String =
-    s"""WITH RECURSIVE st AS (
+  /** The q82/q104 shared frame-decode replay: the q34 LCG extended to
+    * carry the full pixel list — ends with `fr(doc_id, fi, pxs)`.
+    */
+  private def frameStubPixelCtes(nFrames: Int): String =
+    s"""st AS (
   SELECT doc_id, CAST(f AS INT) AS fi, 0 AS i, CAST(doc_id * 31 + f AS HUGEINT) AS acc,
          CAST([] AS BIGINT[]) AS pxs, text
   FROM documents, range($nFrames) t(f)
@@ -2036,7 +2069,10 @@ FROM st WHERE i = 64 ORDER BY media_id, frame_idx"""
                % length(text) + length(text)) % length(text) + 1 AS INT), 1))
       END) % CAST(18446744073709551616 AS HUGEINT) AS nacc
     FROM st WHERE i < 64)),
-fr AS (SELECT doc_id, fi, pxs FROM st WHERE i = 64),
+fr AS (SELECT doc_id, fi, pxs FROM st WHERE i = 64)"""
+
+  private def framePhashSql(nFrames: Int): String =
+    s"""WITH RECURSIVE ${frameStubPixelCtes(nFrames)},
 vr AS (
   SELECT doc_id * 4 + fi AS id, pxs FROM fr
   UNION ALL
@@ -2053,6 +2089,25 @@ cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib, a.h AS ha, b.h AS hb
   FROM bands a JOIN bands b ON a.c = b.c AND a.v = b.v AND a.id < b.id)
 SELECT ia, ib, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming FROM cand
 WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY ia, ib"""
+
+  /** q104 oracle: the shared frame replay -> aHash in HUGEINT (same bit
+    * semantics as q82) -> per-media LAG -> Hamming distance of
+    * consecutive frames.
+    */
+  private def sceneCutSql(nFrames: Int, thr: Int): String =
+    s"""WITH RECURSIVE ${frameStubPixelCtes(nFrames)},
+hs AS (SELECT doc_id, fi, pxs,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), pxs), (a, x) -> a + x) AS s FROM fr),
+ah AS (SELECT doc_id, fi, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+    list_transform(range(1, 65), i -> CASE WHEN pxs[CAST(i AS INT)] * 64 > s
+      THEN (CAST(1 AS HUGEINT) << (CAST(i AS INT) - 1)) ELSE CAST(0 AS HUGEINT) END)),
+    (a, x) -> a | x) AS h FROM hs),
+lg AS (SELECT doc_id AS media_id, fi, h,
+  LAG(h) OVER (PARTITION BY doc_id ORDER BY fi) AS ph FROM ah)
+SELECT media_id, CAST(fi AS BIGINT) AS frame_idx,
+  CAST(bit_count(xor(h, ph)) AS BIGINT) AS hamming,
+  bit_count(xor(h, ph)) >= $thr AS is_cut
+FROM lg WHERE ph IS NOT NULL ORDER BY media_id, frame_idx"""
 
   /** q84 oracle: replays the scaled-integer k-means round for round —
     * generated by the same loop count as the operator, so iteration

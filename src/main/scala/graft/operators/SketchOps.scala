@@ -201,4 +201,28 @@ object SketchOps {
         col("__pid") === col("__tpid") && col("__rn") === col("__lrn"))
       .select(col("q"), col(valueCol).as("value"))
   }
+
+  /** Exact per-group median as an order statistic — the LOWER median
+    * (element at rank ceil(n/2)), so no float averaging ever happens and
+    * the result is a value that actually occurs in the data (bit-exact
+    * on any engine; an even-count mean of two doubles would reopen the
+    * float-sum parity trap). One window per group carries both the rank
+    * and the group size. Output: (group, n, median_value).
+    *
+    * Scale shape: group-partitioned window only — for a handful of huge
+    * groups use [[exactPercentiles]]'s range-partitioned rank per group
+    * instead; for everything else the per-group sort IS the correct
+    * distribution of work.
+    */
+  def exactGroupMedian(df: DataFrame, groupCol: String, valueCol: String,
+                       tieCol: String): DataFrame = {
+    val byV = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("v"), col(tieCol))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(col("group"))
+    df.select(col(groupCol).as("group"), col(valueCol).as("v"), col(tieCol))
+      .withColumn("__rn", row_number().over(byV).cast("long"))
+      .withColumn("n", count(lit(1)).over(all))
+      .filter(col("__rn") === call_function("div", col("n") + 1L, lit(2L)))
+      .select(col("group"), col("n"), col("v").as("median_value"))
+  }
 }

@@ -217,6 +217,19 @@ class DedupTextSpec extends AnyFunSuite {
       ("b", "a", 1L, 1000L)), got.toSeq.toString)
   }
 
+  test("exactGroupMedian: lower median, no float averaging, per-group") {
+    val df = Seq(("a", 3.0, 1L), ("a", 1.0, 2L), ("a", 2.0, 3L),
+      ("b", 1.0, 4L), ("b", 2.0, 5L), ("b", 3.0, 6L), ("b", 4.0, 7L),
+      ("c", 9.0, 8L))
+      .toDF("g", "v", "tie")
+    val got = graft.operators.SketchOps.exactGroupMedian(df, "g", "v", "tie")
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // odd -> true median; even -> LOWER median (rank (n+1) div 2)
+    assert(got.toSeq == Seq(("a", 3L, 2.0), ("b", 4L, 2.0), ("c", 1L, 9.0)),
+      got.toSeq.toString)
+  }
+
   test("rrfFuse: hand-computed reciprocal ranks; missing docs contribute zero") {
     // c(1)=16393, c(2)=16129 -> B fused 32522, A 16393, C 16129
     val ra = Seq((1, 10L, 1L), (1, 20L, 2L)).toDF("query_id", "id", "rk")
