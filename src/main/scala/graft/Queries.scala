@@ -1758,6 +1758,42 @@ FROM documents d LEFT JOIN cn ON d.doc_id = cn.doc_id ORDER BY id""")),
 SELECT grp AS "group", n, value AS median_value FROM r
 WHERE rn = (n + 1) // 2 ORDER BY "group" """)),
 
+    ("q105_editdist_pairs", (s, d) =>
+      // character-level fuzzy dedup: SimHash pigeonhole candidates
+      // verified with EXACT Levenshtein (built-in DP in both engines),
+      // reported as permille of the longer text
+      DedupOps.editDistancePairs(Tables.documents(s, d), "doc_id", "text", 3, 500L)
+        .orderBy(col("ia"), col("ib")),
+      Some(s"""WITH $simhashSigCtes,
+pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+lv AS (SELECT p.ia, p.ib, CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+  CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS ln
+  FROM pairs p JOIN documents da ON p.ia = da.doc_id JOIN documents db ON p.ib = db.doc_id)
+SELECT ia, ib, lev, (lev * 1000) // ln AS lev_permille
+FROM lv WHERE ln > 0 AND (lev * 1000) // ln <= 500 ORDER BY ia, ib""")),
+
+    ("q106_mad_outliers", (s, d) =>
+      // robust per-type outliers: |v - median| > 3 * MAD, both medians
+      // exact order statistics — immune to the outliers it hunts
+      graft.operators.SketchOps.madOutliers(
+        Tables.events(s, d), "event_type", "value", "event_id", 3)
+        .orderBy(col("group"), col("id")),
+      Some("""WITH r1 AS (SELECT event_type AS grp, value, event_id,
+  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+  CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn FROM events),
+med AS (SELECT grp, value AS m FROM r1 WHERE rn = (n + 1) // 2),
+dev AS (SELECT e.event_type AS grp, e.event_id AS id, e.value AS v, med.m,
+  abs(e.value - med.m) AS dv FROM events e JOIN med ON e.event_type = med.grp),
+r2 AS (SELECT grp, id, dv,
+  CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n,
+  CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY dv, id) AS BIGINT) AS rn FROM dev),
+mad AS (SELECT grp, dv AS mad FROM r2 WHERE rn = (n + 1) // 2)
+SELECT d.grp AS "group", d.id, d.v, d.m AS group_median, mad.mad
+FROM dev d JOIN mad ON d.grp = mad.grp
+WHERE d.dv > 3 * mad.mad
+ORDER BY "group", id""")),
+
     ("q104_scene_cuts", (s, d) => {
       // temporal frame dedup / scene-change detection within each media:
       // aHash consecutive stub-decoded frames, Hamming distance per step

@@ -1027,6 +1027,37 @@ object DedupOps {
     definiteNew.unionByName(trulyNew)
   }
 
+  /** Edit-distance-verified fuzzy dedup: SimHash pigeonhole candidates
+    * (guaranteed recall at Hamming <= maxDist) verified with EXACT
+    * Levenshtein distance, reported as a permille of the longer text —
+    * the character-level near-dup screen that catches small edits
+    * n-gram Jaccard dilutes away. Output:
+    * (ia, ib, lev, lev_permille) for pairs at or under `maxPermille`.
+    *
+    * Levenshtein is quadratic per pair, so it NEVER runs on the corpus —
+    * only on the candidate pairs the banded screen emits (bounded by
+    * collisions, not corpus²); texts join onto candidates by id, and
+    * the verify itself is row-local codegen (`levenshtein` is built in,
+    * identical DP in every engine — exact oracle parity).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 3,
+                        maxPermille: Long = 200L): DataFrame = {
+    val cands = simhashExactPairs(df, idCol, textCol, maxDist)
+      .select(col("ia"), col("ib"))
+    val t = df.select(col(idCol).as("__id"), col(textCol).as("__tx"))
+    cands
+      .join(t.as("ta"), col("ia") === col("ta.__id"))
+      .join(t.as("tb"), col("ib") === col("tb.__id"))
+      .select(col("ia"), col("ib"),
+        levenshtein(col("ta.__tx"), col("tb.__tx")).cast("long").as("lev"),
+        greatest(length(col("ta.__tx")), length(col("tb.__tx"))).cast("long").as("__len"))
+      .filter(col("__len") > 0)
+      .select(col("ia"), col("ib"), col("lev"),
+        call_function("div", col("lev") * 1000, col("__len")).as("lev_permille"))
+      .filter(col("lev_permille") <= maxPermille)
+  }
+
   /** Cross-document EXACT repeated-span removal (the C4 "any three-sentence
     * span seen before is dropped" family, at k-token granularity): every
     * k-token span whose fingerprint occurs in >= 2 distinct documents is

@@ -214,6 +214,34 @@ object SketchOps {
     * instead; for everything else the per-group sort IS the correct
     * distribution of work.
     */
+  /** Robust per-group outliers by median absolute deviation: flag rows
+    * with |v - median| > k * MAD, both medians exact lower-median order
+    * statistics ([[exactGroupMedian]]). Every float step is a single
+    * IEEE operation (subtract, abs, one multiply, compare) — no sums,
+    * no averages — so the flag is bit-identical across engines. The
+    * robust alternative to mean/stddev z-scores, immune to the outliers
+    * it hunts. Output: (group, id, v, group_median, mad) for flagged
+    * rows only. Constant groups have MAD 0: any deviation flags, the
+    * standard convention.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  tieCol: String, k: Int = 3): DataFrame = {
+    val med = exactGroupMedian(df, groupCol, valueCol, tieCol)
+      .select(col("group"), col("median_value").as("__med"))
+    // two consumers: the MAD median and the final flag join
+    val dev = df.select(col(groupCol).as("group"), col(tieCol).as("id"),
+        col(valueCol).as("v"))
+      .join(med, Seq("group"))
+      .withColumn("__dev", abs(col("v") - col("__med")))
+      .localCheckpoint(false)
+    val mad = exactGroupMedian(dev, "group", "__dev", "id")
+      .select(col("group"), col("median_value").as("mad"))
+    dev.join(mad, Seq("group"))
+      .filter(col("__dev") > lit(k.toDouble) * col("mad"))
+      .select(col("group"), col("id"), col("v"),
+        col("__med").as("group_median"), col("mad"))
+  }
+
   def exactGroupMedian(df: DataFrame, groupCol: String, valueCol: String,
                        tieCol: String): DataFrame = {
     val byV = org.apache.spark.sql.expressions.Window

@@ -217,6 +217,29 @@ class DedupTextSpec extends AnyFunSuite {
       ("b", "a", 1L, 1000L)), got.toSeq.toString)
   }
 
+  test("editDistancePairs: planted dups verify with exact levenshtein; candidates bounded") {
+    val base = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // plant one verbatim copy of the first doc under a fresh id
+    val copy = base.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val got = DedupOps.editDistancePairs(base.unionByName(copy), "doc_id", "text", 3, 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty, "testdata plants near-dups; empty would be vacuous")
+    assert(got.forall { case (ia, ib, _, p) => ia < ib && p <= 500L })
+    assert(got.exists(t => t._2 == 100000L && t._3 == 0L),
+      s"the planted verbatim copy must verify at lev 0: ${got.toSeq}")
+  }
+
+  test("madOutliers: hand-computed MAD flags only the true outlier") {
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("a", 3.0, 3L), ("a", 100.0, 4L))
+      .toDF("g", "v", "tie")
+    // median = 2 (rank 2 of 4), devs 1,0,1,98 -> MAD = 1; only 100 flags
+    val got = graft.operators.SketchOps.madOutliers(df, "g", "v", "tie", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(("a", 4L, 100.0, 2.0, 1.0)), got.toSeq.toString)
+  }
+
   test("exactGroupMedian: lower median, no float averaging, per-group") {
     val df = Seq(("a", 3.0, 1L), ("a", 1.0, 2L), ("a", 2.0, 3L),
       ("b", 1.0, 4L), ("b", 2.0, 5L), ("b", 3.0, 6L), ("b", 4.0, 7L),
