@@ -1794,6 +1794,40 @@ FROM dev d JOIN mad ON d.grp = mad.grp
 WHERE d.dv > 3 * mad.mad
 ORDER BY "group", id""")),
 
+    ("q107_source_scorecard", (s, d) => {
+      // corpus-health dashboard: per source — volume, token mass, exact-
+      // dup share, integer average quality, language spread, in ONE pass
+      // over the corpus plus the hash-ownership aggregate
+      val base = Tables.documents(s, d).select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("toks"),
+        TextOps.qualityScore(col("text"), col("n_chars")).as("q"),
+        md5(col("text")).as("h"), col("lang"))
+      val owner = base.groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
+      base.join(owner, Seq("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          sum(when(col("doc_id") =!= col("keep"), 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(col("q")).as("__sq"),
+          countDistinct(col("lang")).as("n_langs"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_dup_docs"),
+          call_function("div", col("__sq"), col("n_docs")).as("avg_quality"),
+          col("n_langs"))
+        .orderBy(col("source"))
+    },
+      Some(s"""WITH $qualitySqlCtes,
+b AS (SELECT d.source, d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
+  q.quality AS q, md5(d.text) AS h, d.lang
+  FROM documents d JOIN qual q ON q.doc_id = d.doc_id),
+ow AS (SELECT h, min(doc_id) AS keep FROM b GROUP BY h),
+g AS (SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(b.toks) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN b.doc_id != ow.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+  CAST(SUM(b.q) AS BIGINT) AS sq, CAST(count(DISTINCT b.lang) AS BIGINT) AS n_langs
+  FROM b JOIN ow ON b.h = ow.h GROUP BY 1)
+SELECT source, n_docs, n_tokens, n_dup_docs, sq // n_docs AS avg_quality, n_langs
+FROM g ORDER BY source""")),
+
     ("q104_scene_cuts", (s, d) => {
       // temporal frame dedup / scene-change detection within each media:
       // aHash consecutive stub-decoded frames, Hamming distance per step

@@ -330,4 +330,30 @@ class PropertySpec extends AnyFunSuite {
       assert(got(i.toLong) == naive(t), s"expression diverges on '$t'")
     }
   }
+
+  test("property: bloomNewDocuments equals exactNewDocuments on random corpora, any filter size") {
+    import graft.operators.DedupOps
+    // tiny vocab -> heavy cross-corpus duplication; tiny filters -> heavy
+    // false-positive pressure on the verify arm
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val textGen = Gen.choose(1, 4).flatMap(k => Gen.listOfN(k, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, textGen))
+    for (i <- 0 until 10) {
+      val batch = corpusGen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+        .zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      val seen = corpusGen.apply(Gen.Parameters.default, Seed(1000L + i)).get
+        .zipWithIndex.map { case (t, j) => (10000L + j, t) }
+      if (batch.nonEmpty) {
+        val bdf = batch.toDF("doc_id", "text")
+        val sdf = seen.toDF("doc_id", "text")
+        def ids(d: org.apache.spark.sql.DataFrame) =
+          d.select("doc_id").collect().map(_.getLong(0)).toSet
+        val expect = ids(DedupOps.exactNewDocuments(bdf, sdf, "text"))
+        for ((m, k) <- Seq((64, 2), (1 << 12, 5))) {
+          val got = ids(DedupOps.bloomNewDocuments(bdf, sdf, "text", m, k))
+          assert(got == expect, s"seed=$i mBits=$m k=$k: $got != $expect")
+        }
+      }
+    }
+  }
 }
