@@ -1715,9 +1715,11 @@ SELECT query_id, id, rrf_score, rk FROM rr WHERE rk <= 10 ORDER BY query_id, rk"
     ("q101_dedup_cluster_sizes", (s, d) => {
       // curation reporting: near-dup component size histogram — how much
       // of the corpus is singleton vs clustered (q44's component chain)
+      // star variant: O(log) rounds (q71 pins its oracle-equality with
+      // the label-propagation closure), ~2x faster than q44's chain here
       val docs = Tables.documents(s, d)
       val pairs = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)
-      DedupOps.nearDupGroups(docs.select(col("doc_id")), "doc_id", pairs)
+      DedupOps.nearDupGroupsStar(docs.select(col("doc_id")), "doc_id", pairs)
         .groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
         .orderBy(col("sz"))
@@ -1827,6 +1829,24 @@ g AS (SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs,
   FROM b JOIN ow ON b.h = ow.h GROUP BY 1)
 SELECT source, n_docs, n_tokens, n_dup_docs, sq // n_docs AS avg_quality, n_langs
 FROM g ORDER BY source""")),
+
+    ("q108_hopping_windows", (s, d) =>
+      // overlapping (hopping) window rates: 6-hour windows every 3 hours,
+      // so each event lands in exactly two — the smoothing shape between
+      // tumbling windows and a sliding average
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"), col("n_users"))
+        .orderBy(col("window_start_us"), col("event_type")),
+      Some("""WITH e AS (SELECT epoch_us(ts) AS t, event_type, user_id FROM events),
+w AS (SELECT (t // 10800000000) * 10800000000 AS ws, event_type, user_id FROM e
+  UNION ALL
+  SELECT (t // 10800000000) * 10800000000 - 10800000000, event_type, user_id FROM e)
+SELECT ws AS window_start_us, event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w GROUP BY 1, 2 ORDER BY window_start_us, event_type""")),
 
     ("q104_scene_cuts", (s, d) => {
       // temporal frame dedup / scene-change detection within each media:
