@@ -1390,9 +1390,11 @@ GROUP BY 1, 2 ORDER BY ia, ib""")),
     ("q83_keep_best_doc", (s, d) => {
       // canonical-doc selection: near-dup components (same pair source as
       // q44), each keeping its HIGHEST-QUALITY member instead of min-id
+      // star components (oracle-equal canonical ids, q71): ~2x cheaper
+      // than the label-propagation chain at the same answer
       val docs = Tables.documents(s, d)
       val pairs = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)
-      val groups = DedupOps.nearDupGroups(docs.select(col("doc_id")), "doc_id", pairs)
+      val groups = DedupOps.nearDupGroupsStar(docs.select(col("doc_id")), "doc_id", pairs)
       val scored = docs.select(col("doc_id"),
         TextOps.qualityScore(col("text"), col("n_chars")).as("quality"))
       DedupOps.keepBestPerGroup(groups, scored, "doc_id", Seq(col("quality").desc))
@@ -1847,6 +1849,80 @@ w AS (SELECT (t // 10800000000) * 10800000000 AS ws, event_type, user_id FROM e
 SELECT ws AS window_start_us, event_type, CAST(count(*) AS BIGINT) AS n,
   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM w GROUP BY 1, 2 ORDER BY window_start_us, event_type""")),
+
+    ("q109_asof_nearest", (s, d) => {
+      // nearest-event lookup (before OR after, ties backward): one tagged
+      // union + one key sort carrying both directions, row-local pick
+      val left = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("o_us"))
+      val right = Tables.events(s, d).select(col("user_id").as("k"),
+        expr("ts_ns div 1000").as("e_us"), col("event_id"), col("event_type"))
+      graft.operators.AsofOps.asofJoinNearest(left, right, "k",
+        col("o_us"), col("e_us"), "event_id", Seq("event_id", "event_type"))
+        .select(col("o_orderkey"), col("k").as("o_custkey"),
+          col("event_id").as("near_event_id"),
+          col("event_type").as("near_event_type"), col("asof_dt"))
+        .orderBy(col("o_orderkey"))
+    },
+      Some("""WITH e AS (SELECT user_id AS k, epoch_us(ts) AS e_us, event_id, event_type FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) = 1),
+o AS (SELECT o_orderkey, o_custkey AS k, epoch_us(o_orderdate) AS o_us FROM orders),
+cand AS (SELECT o.o_orderkey, e.e_us, e.event_id, e.event_type,
+  abs(e.e_us - o.o_us) AS dist, CASE WHEN e.e_us <= o.o_us THEN 0 ELSE 1 END AS dir
+  FROM o JOIN e ON o.k = e.k),
+pick AS (SELECT * FROM cand
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY dist, dir) = 1)
+SELECT o.o_orderkey, o.k AS o_custkey, p.event_id AS near_event_id,
+  p.event_type AS near_event_type, p.e_us - o.o_us AS asof_dt
+FROM o LEFT JOIN pick p ON o.o_orderkey = p.o_orderkey
+ORDER BY o.o_orderkey""")),
+
+    ("q110_period_over_period", (s, d) => {
+      // month-over-month revenue change in exact cents and integer
+      // permille — the lag window runs over the MONTH aggregate (a
+      // months-sized relation), never the fact table
+      val m = Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast(LongType).as("ym"))
+        .agg((sum(d2(col("o_totalprice"))) * 100).cast(LongType).as("cents"))
+      val w = Window.orderBy(col("ym"))
+      m.withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        .filter(col("prev_cents").isNotNull)
+        .select(col("ym"), col("cents"), col("prev_cents"),
+          call_function("div", (col("cents") - col("prev_cents")) * 1000,
+            col("prev_cents")).as("change_permille"))
+        .orderBy(col("ym"))
+    },
+      Some("""WITH m AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+r AS (SELECT ym, cents, LAG(cents) OVER (ORDER BY ym) AS prev_cents FROM m)
+SELECT ym, cents, prev_cents, ((cents - prev_cents) * 1000) // prev_cents AS change_permille
+FROM r WHERE prev_cents IS NOT NULL ORDER BY ym""")),
+
+    ("q111_event_pattern", (s, d) => {
+      // CEP-style sequence detection: per user, 'error' followed by a
+      // 'purchase' within the next 3 events — lead columns over the
+      // entity-partitioned order, hit counts per user
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val nexts = array((1 to 3).map(i => lead(col("event_type"), i).over(w)): _*)
+      Tables.events(s, d)
+        .withColumn("__hit",
+          (col("event_type") === "error" && array_contains(nexts, "purchase"))
+            .cast("int"))
+        .groupBy(col("user_id")).agg(sum(col("__hit")).cast(LongType).as("n_hits"))
+        .filter(col("n_hits") > 0)
+        .orderBy(col("user_id"))
+    },
+      Some("""WITH s AS (SELECT user_id, event_type,
+  LEAD(event_type, 1) OVER w AS n1, LEAD(event_type, 2) OVER w AS n2,
+  LEAD(event_type, 3) OVER w AS n3 FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+h AS (SELECT user_id, CAST(SUM(CASE WHEN event_type = 'error'
+  AND ('purchase' IN (n1, n2, n3)) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM s GROUP BY 1)
+SELECT user_id, n_hits FROM h WHERE n_hits > 0 ORDER BY user_id""")),
 
     ("q104_scene_cuts", (s, d) => {
       // temporal frame dedup / scene-change detection within each media:

@@ -90,4 +90,75 @@ object AsofOps {
                       leftTime: Column, rightTime: Column,
                       rightTieCol: String, payload: Seq[String]): DataFrame =
     asofJoin(left, right, keyCol, -leftTime, -rightTime, rightTieCol, payload)
+
+  /** NEAREST as-of join — for every left row, the right row with the
+    * smallest |right-time - left-time| within the key; equal distance
+    * resolves BACKWARD (the at-or-before row), matching the common
+    * feature-store convention. Adds `asof_dt` (signed matched-minus-left
+    * time, null when the key has no right rows) to the [[asofJoin]]
+    * output contract.
+    *
+    * Same one-shuffle shape as [[asofJoin]]: right rows first dedup to
+    * one per (key, time) (highest tie — making both directions agree on
+    * duplicates), then ONE tagged union + ONE key-partitioned sort
+    * carries the latest preceding payload (`last` over the backward
+    * frame) and the earliest following payload (`first` over the
+    * forward frame); the pick is a row-local comparison. No range-join
+    * explosion at any scale.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCol: String,
+                      leftTime: Column, rightTime: Column,
+                      rightTieCol: String, payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "asofJoinNearest needs at least one payload column")
+    val reserved = Seq("__t", "__tag", "__tiebrk", "__pb", "__pf", "__pick", "asof_dt")
+    val allNames = left.columns.toSeq ++ payload ++ Seq(keyCol, rightTieCol)
+    require(!allNames.exists(reserved.contains),
+      s"columns may not use the reserved names ${reserved.mkString(", ")}")
+    require(payload.toSet.intersect(left.columns.toSet).isEmpty,
+      "payload columns collide with left columns — rename one side first")
+    val dedupW = Window.partitionBy(col(keyCol), col("__t"))
+      .orderBy(col("__tiebrk").desc)
+    val r = right
+      .filter(col(keyCol).isNotNull && rightTime.isNotNull)
+      // the tie-break rides under a reserved name: it need not be (but
+      // may be) one of the payload columns
+      .select(col(keyCol) +: rightTime.as("__t") +:
+        col(rightTieCol).as("__tiebrk") +: payload.map(col): _*)
+      .withColumn("__rn", row_number().over(dedupW))
+      .filter(col("__rn") === 1).drop("__rn", "__tiebrk")
+      .withColumn("__tag", lit(0))
+    val l = left.select(left.columns.map(col) :+ leftTime.as("__t") :+
+      lit(1).as("__tag"): _*)
+    val lPad = l.select(l.columns.map(col) ++
+      payload.map(p => lit(null).cast(r.schema(p).dataType).as(p)): _*)
+    val rPad = r.select(r.columns.map(col) ++
+      left.columns.filterNot(_ == keyCol)
+        .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val unioned = lPad.unionByName(rPad)
+    val order = Seq(col("__t"), col("__tag"))
+    val back = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    // the struct leads with the right TIME so the row-local pick can
+    // compare distances; null exactly on left rows
+    val pl = when(col("__tag") === 0,
+      struct(col("__t").as("__rt") +: payload.map(col): _*))
+    val prevC = last(pl, ignoreNulls = true).over(back)
+    val nextC = first(pl, ignoreNulls = true).over(fwd)
+    // an equal-time right row sorts BEFORE the left row, so it is seen
+    // by the backward frame only — distance 0 wins there regardless
+    val pick = when(col("__pf").isNull, col("__pb"))
+      .when(col("__pb").isNull, col("__pf"))
+      .when(col("__t") - col("__pb").getField("__rt") <=
+        col("__pf").getField("__rt") - col("__t"), col("__pb"))
+      .otherwise(col("__pf"))
+    unioned
+      .withColumn("__pb", prevC).withColumn("__pf", nextC)
+      .filter(col("__tag") === 1)
+      .withColumn("__pick", pick)
+      .select(left.columns.map(col) ++
+        payload.map(p => col("__pick").getField(p).as(p)) :+
+        (col("__pick").getField("__rt") - col("__t")).as("asof_dt"): _*)
+  }
 }

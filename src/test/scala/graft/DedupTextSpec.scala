@@ -274,6 +274,26 @@ class DedupTextSpec extends AnyFunSuite {
       (3L, 0L, 0L, 0L)), got.toSeq.toString)
   }
 
+  test("asofJoinNearest: picks the closer side; equal distance resolves backward; no-match nulls") {
+    val left = Seq((1L, "k", 10L), (2L, "k", 20L), (3L, "k", 100L),
+      (4L, "e", 5L), (5L, "t", 10L))
+      .toDF("lid", "k", "lt")
+    val right = Seq(("k", 7L, 1L, "r7"), ("k", 12L, 2L, "r12"), ("k", 30L, 3L, "r30"),
+      ("t", 8L, 4L, "t8"), ("t", 12L, 5L, "t12"))
+      .toDF("k", "rt", "tie", "v")
+    val got = graft.operators.AsofOps.asofJoinNearest(
+      left, right, "k", col("lt"), col("rt"), "tie", Seq("v"))
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)).getOrElse("-"),
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))
+    // lid1: 12 (d2) beats 7 (d3); lid2: 12 (d8) beats 30 (d10);
+    // lid3: 30 is nearest; lid4: key 'e' has no rights -> nulls;
+    // lid5: 8 and 12 both d2 -> backward (8) wins the tie
+    assert(got.toSeq == Seq((1L, "r12", 2L), (2L, "r12", -8L),
+      (3L, "r30", -70L), (4L, "-", Long.MinValue), (5L, "t8", -2L)),
+      got.toSeq.toString)
+  }
+
   test("asofJoinForward: smallest right >= left; inclusive; equal-time tie picks highest") {
     val left = Seq((1L, "k", 10L), (2L, "k", 25L), (3L, "k", 100L))
       .toDF("lid", "k", "lt")
