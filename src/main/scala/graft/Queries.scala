@@ -1924,6 +1924,36 @@ h AS (SELECT user_id, CAST(SUM(CASE WHEN event_type = 'error'
   FROM s GROUP BY 1)
 SELECT user_id, n_hits FROM h WHERE n_hits > 0 ORDER BY user_id""")),
 
+    ("q112_kmv_join_estimate", (s, d) =>
+      // planner-style join-size estimation: KMV sketch algebra over the
+      // lineitem partkey set vs the large-part subset — neither side
+      // ever shuffles against the other; combine is row-local list math
+      graft.operators.SketchOps.kmvOverlap(
+        Tables.lineitem(s, d).select(col("l_partkey")), "l_partkey",
+        Tables.part(s, d).filter(col("p_size") > 25).select(col("p_partkey")),
+        "p_partkey", 64),
+      Some("""WITH ha AS (SELECT DISTINCT ((636413622 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(CAST(l_partkey AS VARCHAR)) + 1),
+      i -> CAST(unicode(substring(CAST(l_partkey AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007) + 528402381) % 1000000007 + 1) / 1000000007.0 AS hv
+  FROM lineitem),
+ska AS (SELECT list_slice(list_sort(list(hv)), 1, 64) AS a FROM ha),
+hb AS (SELECT DISTINCT ((636413622 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(CAST(p_partkey AS VARCHAR)) + 1),
+      i -> CAST(unicode(substring(CAST(p_partkey AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007) + 528402381) % 1000000007 + 1) / 1000000007.0 AS hv
+  FROM part WHERE p_size > 25),
+skb AS (SELECT list_slice(list_sort(list(hv)), 1, 64) AS b FROM hb),
+c AS (SELECT a, b, list_slice(list_sort(list_distinct(list_concat(a, b))), 1, 64) AS u FROM ska, skb),
+m AS (SELECT a, b, u, CAST(len(u) AS BIGINT) AS k_union,
+  CAST(len(list_filter(u, x -> list_contains(a, x) AND list_contains(b, x))) AS BIGINT) AS mm,
+  u[len(u)] AS mx FROM c)
+SELECT k_union, (mm * 1000000) // k_union AS resemblance_ppm,
+  floor((CASE WHEN k_union < 64 THEN CAST(k_union AS DOUBLE) ELSE (k_union - 1.0) / mx END) * 10000) / 10000 AS union_est,
+  floor(((CAST(mm AS DOUBLE) / CAST(k_union AS DOUBLE)) *
+    (CASE WHEN k_union < 64 THEN CAST(k_union AS DOUBLE) ELSE (k_union - 1.0) / mx END)) * 10000) / 10000 AS intersect_est
+FROM m""")),
+
     ("q104_scene_cuts", (s, d) => {
       // temporal frame dedup / scene-change detection within each media:
       // aHash consecutive stub-decoded frames, Hamming distance per step

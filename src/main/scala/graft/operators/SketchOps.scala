@@ -59,6 +59,45 @@ object SketchOps {
     grouped.select(groupCols.map(col) :+ estimate.as("distinct_est"): _*)
   }
 
+  /** Sketch-based set-overlap (join-size) estimation from two KMV
+    * sketches — |A ∪ B|, |A ∩ B|, and the resemblance, WITHOUT shuffling
+    * either side against the other: each relation collapses to its own
+    * k-entry sketch, and the combine is row-local array math over the
+    * two broadcast one-row frames. The planner's classic use is join
+    * cardinality estimation before picking a strategy. KMV algebra:
+    * the k smallest of the union of the two sketches is a valid sketch
+    * of A ∪ B, and members of it present in both sketches estimate the
+    * resemblance. Every estimate is a deterministic function of the
+    * sketch order statistics (q46's bit-replayable contract), so the
+    * SQL oracle reproduces all four outputs exactly. Output one row:
+    * (k_union, resemblance_ppm, union_est, intersect_est) —
+    * resemblance integer ppm; the two _est doubles quantized with the
+    * single-op floor(x * 10^4) rule.
+    */
+  def kmvOverlap(dfA: DataFrame, keyA: String, dfB: DataFrame, keyB: String,
+                 k: Int = 64): DataFrame = {
+    def sketch(df: DataFrame, c: String, out: String) =
+      df.withColumn("__h", normalizedHash(col(c)))
+        .agg(kmvSketch(col("__h"), k).as(out))
+    val joined = sketch(dfA, keyA, "__a").crossJoin(broadcast(sketch(dfB, keyB, "__b")))
+    val unionK = slice(array_sort(array_distinct(concat(col("__a"), col("__b")))), 1, k)
+    val q4 = (c: Column) => floor(c * 10000.0) / 10000.0
+    joined.select(unionK.as("__u"), col("__a"), col("__b"))
+      .select(col("__u"), col("__a"), col("__b"),
+        size(col("__u")).cast("long").as("k_union"),
+        size(array_intersect(array_intersect(col("__u"), col("__a")), col("__b")))
+          .cast("long").as("__m"))
+      .select(col("k_union"),
+        call_function("div", col("__m") * 1000000L, col("k_union")).as("resemblance_ppm"),
+        q4(when(col("k_union") < k, col("k_union").cast("double"))
+          .otherwise((col("k_union").cast("double") - 1.0) /
+            element_at(col("__u"), size(col("__u"))))).as("union_est"),
+        q4((col("__m").cast("double") / col("k_union").cast("double")) *
+          when(col("k_union") < k, col("k_union").cast("double"))
+            .otherwise((col("k_union").cast("double") - 1.0) /
+              element_at(col("__u"), size(col("__u"))))).as("intersect_est"))
+  }
+
   /** Mergeable log-histogram quantile sketch over a NON-NEGATIVE integer
     * column — the bounded-state approximate complement to
     * [[exactPercentiles]] for 100 TB profiling: ONE map-side-combinable

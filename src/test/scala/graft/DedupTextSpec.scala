@@ -240,6 +240,22 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", 4L, 100.0, 2.0, 1.0)), got.toSeq.toString)
   }
 
+  test("kmvOverlap: estimates land near the true union/intersection; disjoint sets read zero") {
+    val a = (1L to 1000L).toDF("ka")
+    val b = (500L to 1500L).toDF("kb")
+    val r = graft.operators.SketchOps.kmvOverlap(a, "ka", b, "kb", 64).head()
+    val (ku, ppm, uEst, iEst) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(ku == 64L)
+    // truth: union 1500, intersect 501 — KMV at k=64 is well within 2x
+    assert(uEst > 750 && uEst < 3000, s"union_est $uEst")
+    assert(iEst > 170 && iEst < 1100, s"intersect_est $iEst")
+    assert(ppm > 100000L && ppm < 700000L, s"resemblance $ppm")
+    val d = graft.operators.SketchOps.kmvOverlap(
+      a, "ka", (5000L to 5999L).toDF("kb"), "kb", 64).head()
+    assert(d.getLong(1) == 0L && d.getDouble(3) == 0.0,
+      s"disjoint sets must read zero overlap: $d")
+  }
+
   test("exactGroupMedian: lower median, no float averaging, per-group") {
     val df = Seq(("a", 3.0, 1L), ("a", 1.0, 2L), ("a", 2.0, 3L),
       ("b", 1.0, 4L), ("b", 2.0, 5L), ("b", 3.0, 6L), ("b", 4.0, 7L),
