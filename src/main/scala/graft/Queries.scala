@@ -1970,6 +1970,109 @@ FROM m""")),
         .orderBy(col("media_id"), col("frame_idx"))
     },
       Some(sceneCutSql(4, 33))),
+
+    ("q113_snapshot_diff", (s, d) => {
+      // CDC bootstrap: recover an insert/update/delete change set from two
+      // snapshots of the same table — one full-outer PK join, row-local
+      // null-safe change detection, unchanged rows dropped in-operator
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val oldSnap = base.filter(col("c_custkey") % 7 =!= 0)
+      val newSnap = base.filter(col("c_custkey") % 3 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") + 1.0)
+            .otherwise(col("c_acctbal")))
+      CdcOps.snapshotDiff(oldSnap, newSnap, Seq("c_custkey"),
+          Seq("c_name", "c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+      Some("""WITH b AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+o AS (SELECT * FROM b WHERE c_custkey % 7 != 0),
+n AS (SELECT c_custkey, c_name,
+  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1.0 ELSE c_acctbal END AS c_acctbal
+  FROM b WHERE c_custkey % 3 != 0),
+j AS (SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+  CASE WHEN o.c_custkey IS NULL THEN 'insert'
+       WHEN n.c_custkey IS NULL THEN 'delete'
+       WHEN (o.c_name IS DISTINCT FROM n.c_name)
+         OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal) THEN 'update' END AS change_type,
+  o.c_name AS old_c_name, n.c_name AS new_c_name,
+  o.c_acctbal AS old_c_acctbal, n.c_acctbal AS new_c_acctbal
+  FROM o FULL JOIN n ON o.c_custkey = n.c_custkey)
+SELECT * FROM j WHERE change_type IS NOT NULL ORDER BY c_custkey""")),
+
+    ("q114_scd2_runs", (s, d) =>
+      // SCD Type-2 materialization: contiguous runs of each user's
+      // event_type become half-open validity intervals (gaps-and-islands
+      // via running change-flag sum — all windows key-partitioned)
+      graft.operators.TemporalOps.valueRuns(
+          Tables.events(s, d).select(col("user_id"),
+            expr("ts_ns div 1000").as("us"), col("event_id"), col("event_type")),
+          "user_id", col("us"), col("event_id"), "event_type")
+        .select(col("user_id"), col("event_type"),
+          col("valid_from").as("valid_from_us"), col("valid_to").as("valid_to_us"),
+          col("n_events"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from_us")),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+s AS (SELECT user_id, us, event_id, event_type,
+  CASE WHEN event_type IS DISTINCT FROM LAG(event_type) OVER w THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+r AS (SELECT user_id, us, event_type,
+  SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS run
+  FROM s),
+g AS (SELECT user_id, event_type, run, MIN(us) AS valid_from,
+  CAST(count(*) AS BIGINT) AS n_events FROM r GROUP BY 1, 2, 3),
+f AS (SELECT user_id, event_type, valid_from, n_events,
+  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to FROM g)
+SELECT user_id, event_type, valid_from AS valid_from_us, valid_to AS valid_to_us,
+  n_events, valid_to IS NULL AS is_current
+FROM f ORDER BY user_id, valid_from_us""")),
+
+    ("q115_decay_activity", (s, d) => {
+      // time-decayed engagement score: weight 2^(30 - age_days) in exact
+      // integer arithmetic (the global max is a broadcast single-row agg;
+      // the score aggregation is map-side combinable — one shuffle)
+      val e = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_ns div 1000").as("us"))
+      val ref = e.agg(max(col("us")).as("ref_us"))
+      e.crossJoin(broadcast(ref))
+        .withColumn("age_days", expr("(ref_us - us) div 86400000000"))
+        .filter(col("age_days") <= 30)
+        .groupBy(col("user_id"))
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - age_days AS INT))"))
+            .as("decay_score"),
+          count(lit(1)).as("n_recent"))
+        .orderBy(col("decay_score").desc, col("user_id"))
+    },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+m AS (SELECT MAX(us) AS ref_us FROM e),
+a AS (SELECT user_id, (ref_us - us) // 86400000000 AS age_days FROM e, m
+  WHERE (ref_us - us) // 86400000000 <= 30)
+SELECT user_id,
+  CAST(SUM(CAST(1 AS BIGINT) << CAST(30 - age_days AS INT)) AS BIGINT) AS decay_score,
+  CAST(count(*) AS BIGINT) AS n_recent
+FROM a GROUP BY 1 ORDER BY decay_score DESC, user_id""")),
+
+    ("q116_containment_pairs", (s, d) => {
+      // EXACT directional containment (quote/subset detection): one-sided
+      // rarest-prefix probe vs full inverted index, row-local verify —
+      // the oracle is plain brute force, no cap modeling
+      val r = DedupOps.containmentPairsReleasable(
+        Tables.documents(s, d), "doc_id", "text", 3, 0.8)
+      val out = r.df.orderBy(col("ia"), col("ib")).localCheckpoint(true)
+      r.release()
+      out
+    },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM
+  (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s FROM toks)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id != b.doc_id GROUP BY 1, 2)
+SELECT ia, ib, CAST(i AS DOUBLE) / ca.n AS containment
+FROM inter JOIN cnt ca ON ca.doc_id = ia
+WHERE CAST(i AS DOUBLE) / ca.n >= 0.8 ORDER BY ia, ib""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

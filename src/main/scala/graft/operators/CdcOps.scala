@@ -156,6 +156,37 @@ object CdcOps {
     else projected.filter(!col(del)).drop(del)
   }
 
+  /** Snapshot diff — the read-side inverse of [[mergeApply]]: classify
+    * every PK as insert / update / delete between two snapshots of the
+    * same table (CDC bootstrap / backfill reconciliation; the reference
+    * only ever sees the change stream, so recovering one from snapshots
+    * is how a user onboards a table that predates the pipeline).
+    *
+    * One full-outer shuffle join on the PK; change detection is a
+    * row-local null-safe comparison over `compareCols`. Unchanged rows
+    * are dropped inside the operator, so the output is bounded by the
+    * churn, not the table — at 100 TB the join is the unavoidable cost
+    * and everything downstream sees only the delta.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, pks: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    val o = oldSnap.withColumn("__o_present", lit(true)).alias("o")
+    val n = newSnap.withColumn("__n_present", lit(true)).alias("n")
+    val cond = pks.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
+    val oPresent = coalesce(col("o.__o_present"), lit(false))
+    val nPresent = coalesce(col("n.__n_present"), lit(false))
+    val changed = compareCols.map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)
+    val changeType = when(!oPresent, lit("insert"))
+      .when(!nPresent, lit("delete"))
+      .when(changed, lit("update")) // matched + unchanged -> NULL, filtered
+    val pkOut = pks.map(k => coalesce(col(s"o.$k"), col(s"n.$k")).as(k))
+    val valOut = compareCols.flatMap(c =>
+      Seq(col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c")))
+    o.join(n, cond, "full_outer")
+      .select((pkOut :+ changeType.as("change_type")) ++ valOut: _*)
+      .filter(col("change_type").isNotNull)
+  }
+
   /** History-mode projection (P9): append-only audit stream with the
     * operation column, delete markers dropped.
     */

@@ -182,6 +182,56 @@ object DedupOps {
                          n: Int, tau: Double): DataFrame =
     jaccardPairsPrefixReleasable(df, idCol, textCol, n, tau).df
 
+  /** EXACT directional set-containment pairs: C(A,B) = |A∩B| / |A| >= tau
+    * over word n-gram shingle sets — the quote/subset detector symmetric
+    * Jaccard misses (a short doc embedded verbatim in a long one has low
+    * Jaccard but containment 1.0). Output (ia = contained doc, ib =
+    * container, containment), both directions, ia != ib.
+    *
+    * One-sided prefix filter: C(A,B) >= tau forces |A∩B| >= ceil(tau*|A|)
+    * shared shingles, so B must hold one of A's (|A| - ceil(tau*|A|) + 1)
+    * globally-RAREST shingles (rarest-first canonical order, as in
+    * [[jaccardPairsPrefix]]). The contained side therefore probes only its
+    * rarest prefix; the container side indexes ALL its shingles
+    * (containment puts no lower bound on B's share of its own set, so no
+    * symmetric prefix exists — this is the standard set-containment-join
+    * asymmetry). Size filter |B| >= ceil(tau*|A|) prunes in-join; the
+    * row-local array_intersect verify makes the output identical to brute
+    * force. Hot shingles stay out of probe prefixes by the df ranking, so
+    * posting lists the probe touches stay short at corpus scale; epsilon
+    * on the ceil keeps float rounding on the admit side.
+    */
+  def containmentPairsReleasable(df: DataFrame, idCol: String, textCol: String,
+                                 n: Int, tau: Double): Releasable = {
+    import org.apache.spark.sql.expressions.Window
+    val docArr = hashedDocArray(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shEx = docArr.select(col("id"), col("n"), explode(col("hs")).as("h"))
+    val dfreq = shEx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val rankW = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val minOverlap = ceil(lit(tau) * col("n") - lit(1e-9))
+    // probe side: the rarest (n - ceil(tau*n) + 1) shingles per doc; tiny
+    // relation, checkpointed so the df/rank work never re-runs
+    val prefix = shEx.join(dfreq, "h")
+      .select(col("id"), col("h"), col("n"), row_number().over(rankW).as("rank"))
+      .filter(col("rank") <= col("n") - minOverlap + 1)
+      .localCheckpoint(false)
+    val cands = prefix.as("a")
+      .join(shEx.as("b"),
+        col("a.h") === col("b.h") && col("a.id") =!= col("b.id") &&
+          col("b.n") >= ceil(lit(tau) * col("a.n") - lit(1e-9)))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+      .distinct()
+    val pairs = cands
+      .join(docArr.as("da"), col("ia") === col("da.id"))
+      .join(docArr.as("db"), col("ib") === col("db.id"))
+      .select(col("ia"), col("ib"),
+        (size(array_intersect(col("da.hs"), col("db.hs"))).cast("double") /
+          col("da.n").cast("double")).as("containment"))
+      .filter(col("containment") >= tau)
+    Releasable(pairs, () => { docArr.unpersist(); () })
+  }
+
   /** Per-doc distinct HASHED shingle array (id, hs: array<long>, n),
     * id-partitioned — the shared base relation of the exact-jaccard and
     * MinHash pipelines. The concat-free token hashing runs ONCE here;

@@ -906,4 +906,51 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got.forall(q => q >= 0 && q <= 1000))
     assert(got(1) > got(0))
   }
+
+  test("snapshotDiff: classifies insert/update/delete, drops unchanged, null-safe values") {
+    val oldS = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, Some("c"), 30.0), (4L, None: Option[String], 40.0))
+      .toDF("pk", "name", "bal")
+    val newS = Seq((2L, Some("b"), 21.0), (3L, Some("c"), 30.0),
+      (4L, None: Option[String], 40.0), (5L, Some("e"), 50.0))
+      .toDF("pk", "name", "bal")
+    val got = graft.operators.CdcOps.snapshotDiff(
+        oldS, newS, Seq("pk"), Seq("name", "bal"))
+      .orderBy("pk").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // pk1 deleted, pk2 bal changed, pk3 unchanged (dropped),
+    // pk4 both-null name unchanged (null-safe — dropped), pk5 inserted
+    assert(got.toSeq == Seq((1L, "delete"), (2L, "update"), (5L, "insert")),
+      got.toSeq.toString)
+  }
+
+  test("containmentPairs: embedded quote detected directionally at containment 1.0") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val sub = (10 to 19).map(i => s"w$i").mkString(" ") // verbatim span of `long`
+    val other = (100 to 139).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, long), (2L, sub), (3L, other)).toDF("doc_id", "text")
+    val r = DedupOps.containmentPairsReleasable(df, "doc_id", "text", 3, 0.9)
+    val got = r.df.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    r.release()
+    // all 8 of doc2's 3-grams appear in doc1 -> (2 contained-in 1) at 1.0;
+    // the reverse direction is 8/38 and the unrelated doc never pairs —
+    // symmetric jaccard (8/38) would miss this quote entirely
+    assert(got == Set((2L, 1L, 1.0)), got.toString)
+  }
+
+  test("valueRuns: gaps-and-islands intervals, half-open valid_to, value revisits split runs") {
+    val df = Seq(("u", 1L, 1L, "x"), ("u", 2L, 2L, "x"), ("u", 3L, 3L, "y"),
+      ("u", 4L, 4L, "x"), ("v", 1L, 5L, "z"))
+      .toDF("k", "t", "tie", "v")
+    val got = graft.operators.TemporalOps.valueRuns(df, "k", col("t"), col("tie"), "v")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+    // u: x[1,3) n=2, y[3,4) n=1, x[4,-) n=1 current; v: z[1,-) current
+    assert(got.toSeq == Seq(
+      ("u", "x", 1L, 2L, 3L, false), ("u", "y", 3L, 1L, 4L, false),
+      ("u", "x", 4L, 1L, -1L, true), ("v", "z", 1L, 1L, -1L, true)),
+      got.toSeq.toString)
+  }
 }

@@ -264,6 +264,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q113: snapshot diff is one PK equi-join, never a nested loop") {
+    val p = plan("q113_snapshot_diff")
+    assert(p.contains("FullOuter"), "diff must be a full-outer PK join:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q114: run windows partition on the entity key, never globally") {
+    val p = plan("q114_scd2_runs")
+    assert(p.contains("hashpartitioning(user_id"))
+    assert(!p.contains("SinglePartition"))
+  }
+
+  test("q115: decay ref is a broadcast single-row agg; score agg combines map-side") {
+    val p = plan("q115_decay_activity")
+    assert(p.contains("BroadcastExchange"), "global-max broadcast missing:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+    // partial aggregate before the user_id exchange: map-side combine holds
+    assert(p.contains("partial_sum") || p.contains("Partial"), p.take(800))
+  }
+
+  test("q116: containment keeps equi-joins only (one-sided prefix, no cartesian)") {
+    val r = graft.operators.DedupOps.containmentPairsReleasable(
+      Tables.documents(spark, sf), "doc_id", "text", 3, 0.8)
+    val p = r.df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    r.release()
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q66: budget sampling uses a group-partitioned window, no global sort below it") {
     val df = graft.operators.SamplingOps.sampleToTokenBudget(
       Tables.documents(spark, sf)
