@@ -2073,6 +2073,51 @@ inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
 SELECT ia, ib, CAST(i AS DOUBLE) / ca.n AS containment
 FROM inter JOIN cnt ca ON ca.doc_id = ia
 WHERE CAST(i AS DOUBLE) / ca.n >= 0.8 ORDER BY ia, ib""")),
+
+    ("q117_cms_heavy_hitters", (s, d) =>
+      // count-min sketch (d=4 x w=1024 int64 buckets, deterministic
+      // fingerprint hashing) probed at the exact top-20 tokens: bounded
+      // mergeable state with one-sided error, cms_est >= exact_n always
+      graft.operators.SketchOps.cmsTokenEstimates(
+        Tables.documents(s, d), "text", 1024, 20),
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM toks WHERE t != '' GROUP BY t),
+fp AS (SELECT t, n, list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(t) + 1),
+      i -> CAST(unicode(substring(t, CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007) AS f FROM cnt),
+h AS (SELECT * FROM (VALUES (0, 911382323, 972663749), (1, 636413622, 528402381),
+  (2, 306674912, 877905225), (3, 700001363, 123456791)) AS v(r, a, b)),
+sk AS (SELECT h.r, ((h.a * fp.f + h.b) % 1000000007) % 1024 AS bkt,
+  CAST(SUM(fp.n) AS BIGINT) AS c FROM fp CROSS JOIN h GROUP BY 1, 2),
+top AS (SELECT t, n, f FROM fp ORDER BY n DESC, t LIMIT 20),
+est AS (SELECT top.t, top.n, MIN(sk.c) AS cms FROM top CROSS JOIN h
+  JOIN sk ON sk.r = h.r AND sk.bkt = ((h.a * top.f + h.b) % 1000000007) % 1024
+  GROUP BY 1, 2)
+SELECT t AS token, n AS exact_n, cms AS cms_est FROM est
+ORDER BY exact_n DESC, token""")),
+
+    ("q118_leakfree_split", (s, d) => {
+      // leakage-free train/val/test split: near-dup clusters are assigned
+      // as a UNIT (split hashed from the canonical id), so no near-copy of
+      // a training doc can land in eval — the contamination mode plain
+      // row-hash splits can't prevent
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)
+      val grp = DedupOps.nearDupGroupsStar(docs.select(col("doc_id")), "doc_id", pairs)
+      val bkt = pmod(Converters.fingerprint64(col("canonical_id").cast(StringType)), lit(100L))
+      grp.select(col("id").as("doc_id"), col("canonical_id"),
+          when(bkt < 80, "train").when(bkt < 90, "val").otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH RECURSIVE ${nearDupGroupsCtes(3)},
+b AS (SELECT id, canonical_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(CAST(canonical_id AS VARCHAR)) + 1),
+      i -> CAST(unicode(substring(CAST(canonical_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007) % 100 AS bkt FROM grp)
+SELECT id AS doc_id, canonical_id,
+  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+FROM b ORDER BY doc_id""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

@@ -281,6 +281,59 @@ object SketchOps {
         col("__med").as("group_median"), col("mad"))
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan '05) pairwise-hash rows:
+    * (row index, a, b) for bucket_r(x) = ((a_r*fp(x) + b_r) mod p) mod w.
+    * Fixed constants so any engine replays the sketch bit-for-bit.
+    */
+  private val CmsRows = Seq((0, 911382323L, 972663749L),
+    (1, 636413622L, 528402381L), (2, 306674912L, 877905225L),
+    (3, 700001363L, 123456791L))
+  private val CmsP = 1000000007L
+
+  private def cmsBucket(fp: Column, a: Long, b: Long, width: Int): Column =
+    pmod(pmod(lit(a) * fp + lit(b), lit(CmsP)), lit(width.toLong))
+
+  /** Count-min sketch over the whitespace token stream, probed at the
+    * exact top-K tokens: (token, exact_n, cms_est) with cms_est >= exact_n
+    * by construction (one-sided error). The sketch is d=4 rows x `width`
+    * buckets of int64 counts — bounded mergeable state, the shape that
+    * replaces an unbounded exact vocabulary count when only heavy hitters
+    * matter at 100 TB.
+    *
+    * Both the sketch and the probe derive from ONE exact (token, n)
+    * aggregation (map-side combinable; bucket counts are sums of
+    * per-token counts, identical to hashing the raw stream but the
+    * aggregate input is vocab-sized, not corpus-sized). The deterministic
+    * fingerprint hash keeps every bucket externally replayable.
+    */
+  def cmsTokenEstimates(df: DataFrame, textCol: String, width: Int = 1024,
+                        topK: Int = 20): DataFrame = {
+    val counts = df
+      .select(explode(split(col(textCol), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .withColumn("f", Converters.fingerprint64(col("t")))
+      .localCheckpoint(false) // feeds both the sketch and the probe side
+    val bucketed = counts.select(col("n"), explode(array(CmsRows.map {
+      case (r, a, b) => struct(lit(r).as("r"), cmsBucket(col("f"), a, b, width).as("bkt"))
+    }: _*)).as("rb"))
+    val sketch = bucketed
+      .groupBy(col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+      .agg(sum(col("n")).as("c"))
+    // TakeOrdered top-K (never a global sort), then a broadcast-sized
+    // probe relation of topK x d bucket keys joined against the sketch
+    val probes = counts
+      .orderBy(col("n").desc, col("t")).limit(topK)
+      .select(col("t"), col("n"), explode(array(CmsRows.map {
+        case (r, a, b) => struct(lit(r).as("r"), cmsBucket(col("f"), a, b, width).as("bkt"))
+      }: _*)).as("rb"))
+      .select(col("t"), col("n"), col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+    probes.join(sketch, Seq("r", "bkt"))
+      .groupBy(col("t").as("token"))
+      .agg(max(col("n")).as("exact_n"), min(col("c")).as("cms_est"))
+      .orderBy(col("exact_n").desc, col("token"))
+  }
+
   def exactGroupMedian(df: DataFrame, groupCol: String, valueCol: String,
                        tieCol: String): DataFrame = {
     val byV = org.apache.spark.sql.expressions.Window

@@ -939,6 +939,33 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got == Set((2L, 1L, 1.0)), got.toString)
   }
 
+  test("cmsTokenEstimates: one-sided error holds; tiny vocab reads exact") {
+    val df = Seq((1L, "a a a b b c"), (2L, "a b z")).toDF("doc_id", "text")
+    val got = graft.operators.SketchOps.cmsTokenEstimates(df, "text", 1024, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (_, n, est) => est >= n },
+      s"CMS must never undercount: ${got.toSeq}")
+    // 4 tokens in 1024 buckets x 4 rows: no row collides, estimates exact
+    assert(got.toSeq.map(x => (x._1, x._2)) ==
+      Seq(("a", 4L), ("b", 3L), ("c", 1L), ("z", 1L)), got.toSeq.toString)
+    assert(got.forall { case (_, n, est) => est == n }, got.toSeq.toString)
+  }
+
+  test("leak-free split: near-dup pair lands in the SAME split by construction") {
+    val base = ("the quick brown fox jumped over the lazy dog and ran far away " * 4).trim
+    val docs = Seq((1L, base), (2L, base + " extra"), (3L, "completely different text " * 8))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)
+    assert(pairs.count() >= 1, "planted near-dup must pair")
+    val grp = DedupOps.nearDupGroupsStar(docs.select(col("doc_id")), "doc_id", pairs)
+    val bkt = pmod(graft.functions.Converters.fingerprint64(
+      col("canonical_id").cast("string")), lit(100L))
+    val split = grp.select(col("id"), when(bkt < 80, "train")
+      .when(bkt < 90, "val").otherwise("test").as("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(split(1L) == split(2L), s"cluster split apart: $split")
+  }
+
   test("valueRuns: gaps-and-islands intervals, half-open valid_to, value revisits split runs") {
     val df = Seq(("u", 1L, 1L, "x"), ("u", 2L, 2L, "x"), ("u", 3L, 3L, "y"),
       ("u", 4L, 4L, "x"), ("v", 1L, 5L, "z"))

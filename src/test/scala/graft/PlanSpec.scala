@@ -295,6 +295,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q117: CMS top-K is a TakeOrdered; probe joins the sketch by hash, never nested-loop") {
+    val p = plan("q117_cms_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"), "global sort leaked:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q66: budget sampling uses a group-partitioned window, no global sort below it") {
     val df = graft.operators.SamplingOps.sampleToTokenBudget(
       Tables.documents(spark, sf)
