@@ -2118,6 +2118,74 @@ b AS (SELECT id, canonical_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
 SELECT id AS doc_id, canonical_id,
   CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
 FROM b ORDER BY doc_id""")),
+
+    ("q119_source_drift", (s, d) => {
+      // distribution drift per source: total-variation-style score in
+      // exact integer permille over the global top-50 tokens — the
+      // "did this crawl batch shift?" monitor. Token counts aggregate
+      // map-side once; the top-50 + global-permille relation (50 rows)
+      // broadcasts against the per-source grid, so no token-level shuffle
+      // happens twice
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "")
+      val st = toks.groupBy(col("source"), col("t")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // feeds global top-k, totals, and the probe
+      val totals = st.groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+      val global = st.groupBy(col("t")).agg(sum(col("n")).as("gn"))
+      val gTotal = global.agg(sum(col("gn")).as("gt"))
+      val top = global.crossJoin(broadcast(gTotal))
+        .orderBy(col("gn").desc, col("t")).limit(50)
+        .select(col("t"), call_function("div", col("gn") * 1000, col("gt")).as("g_pm"))
+      // full source x top-token grid (sources x 50 rows), zero-filled for
+      // tokens a source never emits — their g_pm still counts as drift
+      val grid = totals.crossJoin(broadcast(top))
+        .join(st, Seq("source", "t"), "left")
+        .select(col("source"), col("n_tokens"), col("g_pm"),
+          call_function("div", coalesce(col("n"), lit(0L)) * 1000, col("n_tokens")).as("o_pm"))
+      grid.groupBy(col("source"), col("n_tokens"))
+        .agg(sum(abs(col("o_pm") - col("g_pm"))).as("drift_score"))
+        .orderBy(col("drift_score").desc, col("source"))
+    },
+      Some("""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS n FROM toks WHERE t != '' GROUP BY 1, 2),
+totals AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens FROM st GROUP BY 1),
+gcnt AS (SELECT t, CAST(SUM(n) AS BIGINT) AS gn FROM st GROUP BY 1),
+gt AS (SELECT CAST(SUM(gn) AS BIGINT) AS gt FROM gcnt),
+top AS (SELECT t, (gn * 1000) // gt.gt AS g_pm FROM gcnt CROSS JOIN gt
+  ORDER BY gn DESC, t LIMIT 50),
+grid AS (SELECT totals.source, totals.n_tokens, top.g_pm,
+  (COALESCE(st.n, 0) * 1000) // totals.n_tokens AS o_pm
+  FROM totals CROSS JOIN top
+  LEFT JOIN st ON st.source = totals.source AND st.t = top.t)
+SELECT source, n_tokens, CAST(SUM(abs(o_pm - g_pm)) AS BIGINT) AS drift_score
+FROM grid GROUP BY 1, 2 ORDER BY drift_score DESC, source""")),
+
+    ("q120_sorted_neighborhood", (s, d) =>
+      // classic sorted-neighborhood blocking: one lang-partitioned window
+      // sort on the 5-token prefix, lead-distance <= 2 candidates, exact
+      // row-local jaccard verify — zero joins; the cheap heuristic
+      // pre-pass beside q21's exact prefix join
+      DedupOps.sortedNeighborhoodPairs(
+        Tables.documents(s, d), "doc_id", "text", "lang", 3, 2, 0.6)
+        .orderBy(col("ia"), col("ib")),
+      Some("""WITH toks AS (SELECT lang, doc_id, string_split(text, ' ') AS w FROM documents),
+d AS (SELECT lang, doc_id, array_to_string(w[1:5], ' ') AS sk,
+  list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS hs FROM toks),
+l AS (SELECT doc_id, hs,
+  LEAD(doc_id, 1) OVER win AS id1, LEAD(hs, 1) OVER win AS hs1,
+  LEAD(doc_id, 2) OVER win AS id2, LEAD(hs, 2) OVER win AS hs2
+  FROM d WINDOW win AS (PARTITION BY lang ORDER BY sk, doc_id)),
+cand AS (
+  SELECT doc_id AS ra, id1 AS rb, hs AS ha, hs1 AS hb FROM l WHERE id1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, id2, hs, hs2 FROM l WHERE id2 IS NOT NULL),
+j AS (SELECT least(ra, rb) AS ia, greatest(ra, rb) AS ib,
+  CAST(len(list_filter(ha, x -> list_contains(hb, x))) AS DOUBLE) /
+    (len(ha) + len(hb) - len(list_filter(ha, x -> list_contains(hb, x)))) AS jaccard
+  FROM cand)
+SELECT ia, ib, jaccard FROM j WHERE jaccard >= 0.6 ORDER BY ia, ib""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

@@ -232,6 +232,44 @@ object DedupOps {
     Releasable(pairs, () => { docArr.unpersist(); () })
   }
 
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo SIGMOD'95):
+    * sort each block by a cheap key (first-5-token prefix), slide a
+    * window of `windowSize`, verify only window-adjacent pairs with exact
+    * n-gram Jaccard — ZERO joins, one block-partitioned window sort, all
+    * verification row-local over lead() arrays. Candidate volume is
+    * windowSize * |docs| by construction, so the method costs one sort at
+    * any corpus size — the classic cheap pre-pass where PPJoin
+    * ([[jaccardPairsPrefix]]) is the exact-recall main pass. Recall is
+    * heuristic: only pairs whose prefixes sort near each other are seen
+    * (that asymmetry is the method, not a bug — callers wanting
+    * exactness use the prefix join).
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+                              blockCol: String, n: Int, windowSize: Int,
+                              tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksCol = split(col(textCol), " ")
+    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      array_join(slice(toksCol, 1, 5), " ").as("sk"),
+      array_distinct(hashedShingleArrayFromTokens(toksCol, n)).as("hs"))
+    val w = Window.partitionBy(col("blk")).orderBy(col("sk"), col("id"))
+    val withLeads = base.select(col("id") +: col("hs") +:
+      (1 to windowSize).flatMap(j => Seq(
+        lead(col("id"), j).over(w).as(s"id$j"),
+        lead(col("hs"), j).over(w).as(s"hs$j"))): _*)
+    val cands = (1 to windowSize).map(j =>
+        withLeads.filter(col(s"id$j").isNotNull)
+          .select(col("id").as("ra"), col(s"id$j").as("rb"),
+            col("hs").as("ha"), col(s"hs$j").as("hb")))
+      .reduce(_ unionByName _)
+    val inter = size(array_intersect(col("ha"), col("hb")))
+    cands.select(least(col("ra"), col("rb")).as("ia"),
+        greatest(col("ra"), col("rb")).as("ib"),
+        (inter.cast("double") /
+          (size(col("ha")) + size(col("hb")) - inter).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
   /** Per-doc distinct HASHED shingle array (id, hs: array<long>, n),
     * id-partitioned — the shared base relation of the exact-jaccard and
     * MinHash pipelines. The concat-free token hashing runs ONCE here;

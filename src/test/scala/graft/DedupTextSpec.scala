@@ -966,6 +966,21 @@ class DedupTextSpec extends AnyFunSuite {
     assert(split(1L) == split(2L), s"cluster split apart: $split")
   }
 
+  test("sortedNeighborhoodPairs: adjacent-sorting near-dups found; far-sorting ones missed (the documented heuristic)") {
+    val a = "alpha beta gamma delta epsilon " + ("shared tail words here now " * 6).trim
+    val b = "alpha beta gamma delta epsilon " + ("shared tail words here now " * 6).trim + " extra"
+    // same content as a but a prefix that sorts far away -> window never sees it
+    val c = "zulu yankee xray whiskey victor " + ("shared tail words here now " * 6).trim
+    val far = "totally unrelated content " * 8
+    val df = Seq((1L, a, "en"), (2L, b, "en"), (3L, c, "en"), (4L, far.trim, "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = DedupOps.sortedNeighborhoodPairs(df, "doc_id", "text", "lang", 3, 2, 0.5)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"adjacent near-dup missed: $got")
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)),
+      s"SNM should miss the far-sorting dup (heuristic recall): $got")
+  }
+
   test("valueRuns: gaps-and-islands intervals, half-open valid_to, value revisits split runs") {
     val df = Seq(("u", 1L, 1L, "x"), ("u", 2L, 2L, "x"), ("u", 3L, 3L, "y"),
       ("u", 4L, 4L, "x"), ("v", 1L, 5L, "z"))

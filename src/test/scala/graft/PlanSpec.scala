@@ -302,6 +302,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q119: drift grid rides broadcasts; token counts aggregate once, no cartesian blowup") {
+    val p = plan("q119_source_drift")
+    assert(p.contains("BroadcastExchange"), "top-token broadcast missing:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"), "top-50 must be a sort-limit:\n" + p)
+  }
+
+  test("q120: sorted neighborhood is join-free — one block-partitioned window, no Join operator") {
+    val df = graft.operators.DedupOps.sortedNeighborhoodPairs(
+      Tables.documents(spark, sf), "doc_id", "text", "lang", 3, 2, 0.6)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), "SNM must verify row-locally, never join:\n" + p)
+    assert(p.contains("hashpartitioning(blk"))
+    assert(!p.contains("SinglePartition"))
+  }
+
   test("q66: budget sampling uses a group-partitioned window, no global sort below it") {
     val df = graft.operators.SamplingOps.sampleToTokenBudget(
       Tables.documents(spark, sf)
