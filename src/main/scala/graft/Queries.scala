@@ -2186,6 +2186,33 @@ j AS (SELECT least(ra, rb) AS ia, greatest(ra, rb) AS ib,
     (len(ha) + len(hb) - len(list_filter(ha, x -> list_contains(hb, x)))) AS jaccard
   FROM cand)
 SELECT ia, ib, jaccard FROM j WHERE jaccard >= 0.6 ORDER BY ia, ib""")),
+
+    ("q121_dq_report", (s, d) => {
+      // Deequ-style declarative constraint suite: all predicate +
+      // uniqueness rules fold into ONE aggregate scan; the FK rule adds
+      // one anti-join with a single-row count — the report is rules-sized
+      import graft.operators.QualityOps._
+      report(Tables.customer(s, d), Seq(
+        PredicateRule("acctbal_nonneg", col("c_acctbal") < 0),
+        PredicateRule("mktsegment_nonempty",
+          length(col("c_mktsegment")) < 1),
+        UniqueRule("custkey_unique", Seq("c_custkey")),
+        ReferentialRule("nationkey_fk", "c_nationkey",
+          Tables.nation(s, d), "n_nationkey")))
+    },
+      Some("""WITH a AS (
+  SELECT 'acctbal_nonneg' AS rule, CAST(SUM(CASE WHEN c_acctbal IS NULL OR c_acctbal < 0
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM customer
+  UNION ALL
+  SELECT 'mktsegment_nonempty', CAST(SUM(CASE WHEN c_mktsegment IS NULL
+    OR length(c_mktsegment) < 1 THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+  UNION ALL
+  SELECT 'custkey_unique', CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+  UNION ALL
+  SELECT 'nationkey_fk', CAST(count(*) AS BIGINT) FROM customer
+  WHERE c_nationkey IS NOT NULL
+    AND c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+SELECT rule, n_violations, n_violations = 0 AS pass FROM a ORDER BY rule""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

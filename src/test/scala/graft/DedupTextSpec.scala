@@ -981,6 +981,22 @@ class DedupTextSpec extends AnyFunSuite {
       s"SNM should miss the far-sorting dup (heuristic recall): $got")
   }
 
+  test("QualityOps.report: nulls violate predicates; unique and FK rules count exactly") {
+    import graft.operators.QualityOps._
+    val df = Seq((1L, Some(5.0)), (2L, Some(-1.0)), (3L, None: Option[Double]),
+      (2L, Some(2.0))).toDF("k", "v")
+    val ref = Seq(1L, 2L).toDF("rk")
+    val got = report(df, Seq(
+      PredicateRule("v_nonneg", col("v") < 0),
+      UniqueRule("k_unique", Seq("k")),
+      ReferentialRule("k_fk", "k", ref, "rk")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    // v_nonneg: -1 violates AND the null row violates (unevaluable != pass);
+    // k_unique: 4 rows, 3 distinct; k_fk: k=3 missing from ref
+    assert(got.toSeq == Seq(("k_fk", 1L, false), ("k_unique", 1L, false),
+      ("v_nonneg", 2L, false)), got.toSeq.toString)
+  }
+
   test("valueRuns: gaps-and-islands intervals, half-open valid_to, value revisits split runs") {
     val df = Seq(("u", 1L, 1L, "x"), ("u", 2L, 2L, "x"), ("u", 3L, 3L, "y"),
       ("u", 4L, 4L, "x"), ("v", 1L, 5L, "z"))
