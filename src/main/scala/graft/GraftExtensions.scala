@@ -59,6 +59,8 @@ object GraftExtensions {
       NfcStripAccents(es.head)),
     "graft_wordpiece_tokens" -> arity(1, "graft_wordpiece_tokens")(es =>
       WordpieceTokenCount(es.head)),
+    "graft_zorder_key" -> arity(3, "graft_zorder_key")(es =>
+      ZOrderKey(es(0), es(1), intLit(es(2), "bits"))),
   )
 
   /** Register on an already-built session (tests, REPLs). */

@@ -2213,6 +2213,58 @@ SELECT ia, ib, jaccard FROM j WHERE jaccard >= 0.6 ORDER BY ia, ib""")),
   WHERE c_nationkey IS NOT NULL
     AND c_nationkey NOT IN (SELECT n_nationkey FROM nation))
 SELECT rule, n_violations, n_violations = 0 AS pass FROM a ORDER BY rule""")),
+
+    ("q122_zorder_layout", (s, d) =>
+      // lakehouse Z-ORDER layout audit: Morton-interleave (part, supp)
+      // into one clustering key (codegen expression, 12 shift/mask ops
+      // inline), bucket by fixed key ranges, report per-bucket dimension
+      // envelopes — narrow min/max spans on BOTH dims is the property
+      // that makes either-dimension predicates data-local after a
+      // z-sorted rewrite. One map-side-combinable aggregation, no sort
+      Tables.lineitem(s, d)
+        .select(Converters.zorderKey(col("l_partkey"), col("l_suppkey"), 21).as("zkey"),
+          col("l_partkey"), col("l_suppkey"))
+        .withColumn("zbucket", expr("zkey div 65536")) // 2^16-wide key ranges
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+        .orderBy(col("zbucket")),
+      Some("""WITH z AS (SELECT l_partkey, l_suppkey,
+  CAST(list_sum(list_transform(range(0, 21), i ->
+    (((l_partkey >> i) & 1) << (2 * i)) +
+    (((l_suppkey >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
+  FROM lineitem)
+SELECT zkey // 65536 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+  MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+FROM z GROUP BY 1 ORDER BY zbucket""")),
+
+    ("q123_incremental_agg", (s, d) => {
+      // incremental view maintenance: yesterday's materialized per-
+      // (priority, month) aggregate + today's delta partials, folded by
+      // MaintenanceOps.mergeAggState — the oracle recomputes from
+      // scratch, so the crosscheck IS the merge==recompute proof. Merge
+      // cost is aggregate-sized, never fact-table-sized
+      val cut = lit("1997-01-01").cast(TimestampType)
+      def partial(df: DataFrame): DataFrame = df
+        .groupBy(col("o_orderpriority"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast(LongType).as("ym"))
+        .agg(count(lit(1)).as("n"),
+          (sum(d2(col("o_totalprice"))) * 100).cast(LongType).as("cents"))
+      val o = Tables.orders(s, d)
+      graft.operators.MaintenanceOps.mergeAggState(
+          partial(o.filter(col("o_orderdate") < cut)),
+          partial(o.filter(col("o_orderdate") >= cut)),
+          Seq("o_orderpriority", "ym"), Seq("n", "cents"))
+        .orderBy(col("ym"), col("o_orderpriority"))
+    },
+      Some("""SELECT o_orderpriority,
+  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+FROM orders GROUP BY 1, 2 ORDER BY ym, o_orderpriority""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

@@ -45,6 +45,10 @@ object Converters {
   /** Greedy wordpiece/BPE subword token count (see [[Wordpiece]]). */
   def wordpieceTokens(s: Column): Column = c(WordpieceTokenCount(e(s)))
 
+  /** Z-order (Morton) clustering key over two long dimensions. */
+  def zorderKey(x: Column, y: Column, bits: Int): Column =
+    c(ZOrderKey(e(x), e(y), bits))
+
   // ---- temporal converters (F1-F5) ----------------------------------------
 
   /** F1: epoch days -> date (converters/date.go:17-31). */

@@ -62,6 +62,22 @@ object MaintenanceOps {
     * sanity check a merge pipeline runs against its snapshot — cheap at
     * any scale because the shuffle carries 4 values per column total.
     */
+  /** Incremental aggregate-view maintenance: fold a delta's partial
+    * aggregates into a materialized state table of the same shape
+    * (keys + additive measure columns). Because every measure is
+    * additive (counts, decimal-exact sums), union + re-aggregate is
+    * EXACTLY equal to recomputing from scratch — the property the q123
+    * oracle checks by recomputing from scratch. Cost is sized by
+    * |state| + |delta| (the already-aggregated relations), never by the
+    * fact table; one shuffle on the keys.
+    */
+  def mergeAggState(state: DataFrame, delta: DataFrame, keys: Seq[String],
+                    sumCols: Seq[String]): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(n => sum(col(n)).as(n)): _*)
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")
     // backtick-quote every reference so a column name containing '.' is

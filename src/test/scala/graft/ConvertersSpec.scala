@@ -124,4 +124,23 @@ class ConvertersSpec extends AnyFunSuite {
       .select(col("s"), Converters.fingerprint64(col("s")).as("fp"))
     df.collect().foreach(r => assert(r.getLong(1) == ref(r.getString(0))))
   }
+
+  test("zorderKey: magic-mask spread equals the bit-by-bit loop; SQL twin agrees") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    // morton(5, 3, 4): x=0101 even bits, y=0011 odd bits -> 27
+    assert(graft.functions.ZOrder.morton(5L, 3L, 4) == 27L)
+    val cases = Seq((5L, 3L), (0L, 0L), ((1L << 31) - 1, 12345L), (999999L, 1L))
+    cases.foreach { case (x, y) =>
+      assert(graft.functions.ZOrder.morton(x, y, 31) == ref(x, y, 31), s"($x,$y)")
+    }
+    // codegen path (DataFrame) and interpreted path agree
+    val got = cases.toDF("x", "y")
+      .select(Converters.zorderKey(col("x"), col("y"), 31).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map { case (x, y) => ref(x, y, 31) })
+    graft.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT graft_zorder_key(CAST(5 AS BIGINT), CAST(3 AS BIGINT), 4) AS z").head.getLong(0) == 27L)
+  }
 }

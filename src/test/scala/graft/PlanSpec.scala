@@ -319,6 +319,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"))
   }
 
+  test("q122: zorder key inlines in the scan projection; layout audit is one aggregation, no sort below it") {
+    val p = plan("q122_zorder_layout")
+    assert(p.contains("zorderkey"), "codegen expression missing from plan:\n" + p)
+    assert(!p.contains("Join"))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(600))
+  }
+
+  test("q123: incremental merge is union + one key aggregation, never a join") {
+    val p = plan("q123_incremental_agg")
+    assert(p.contains("Union"))
+    assert(!p.contains("Join"), "state merge must not join:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q66: budget sampling uses a group-partitioned window, no global sort below it") {
     val df = graft.operators.SamplingOps.sampleToTokenBudget(
       Tables.documents(spark, sf)
