@@ -2162,21 +2162,23 @@ SELECT source, n_tokens, CAST(SUM(abs(o_pm - g_pm)) AS BIGINT) AS drift_score
 FROM grid GROUP BY 1, 2 ORDER BY drift_score DESC, source""")),
 
     ("q120_sorted_neighborhood", (s, d) =>
-      // classic sorted-neighborhood blocking: one lang-partitioned window
-      // sort on the 5-token prefix, lead-distance <= 2 candidates, exact
-      // row-local jaccard verify — zero joins; the cheap heuristic
-      // pre-pass beside q21's exact prefix join
+      // classic sorted-neighborhood blocking: fine (lang, text-prefix)
+      // blocks so the window partitioning parallelizes AND the per-block
+      // sort stays tiny; lead-distance <= 2 candidates, exact row-local
+      // jaccard verify — zero joins; the cheap heuristic pre-pass beside
+      // q21's exact prefix join
       DedupOps.sortedNeighborhoodPairs(
-        Tables.documents(s, d), "doc_id", "text", "lang", 3, 2, 0.6)
+        Tables.documents(s, d), "doc_id", "text",
+        concat_ws("|", col("lang"), substring(col("text"), 1, 12)), 3, 2, 0.6)
         .orderBy(col("ia"), col("ib")),
-      Some("""WITH toks AS (SELECT lang, doc_id, string_split(text, ' ') AS w FROM documents),
-d AS (SELECT lang, doc_id, array_to_string(w[1:5], ' ') AS sk,
+      Some("""WITH toks AS (SELECT lang, doc_id, text, string_split(text, ' ') AS w FROM documents),
+d AS (SELECT lang || '|' || substring(text, 1, 12) AS blk, doc_id, array_to_string(w[1:5], ' ') AS sk,
   list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS hs FROM toks),
 l AS (SELECT doc_id, hs,
   LEAD(doc_id, 1) OVER win AS id1, LEAD(hs, 1) OVER win AS hs1,
   LEAD(doc_id, 2) OVER win AS id2, LEAD(hs, 2) OVER win AS hs2
-  FROM d WINDOW win AS (PARTITION BY lang ORDER BY sk, doc_id)),
+  FROM d WINDOW win AS (PARTITION BY blk ORDER BY sk, doc_id)),
 cand AS (
   SELECT doc_id AS ra, id1 AS rb, hs AS ha, hs1 AS hb FROM l WHERE id1 IS NOT NULL
   UNION ALL
@@ -2265,6 +2267,28 @@ FROM z GROUP BY 1 ORDER BY zbucket""")),
   CAST(count(*) AS BIGINT) AS n,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
 FROM orders GROUP BY 1, 2 ORDER BY ym, o_orderpriority""")),
+
+    ("q124_frame_activity_trim", (s, d) => {
+      // multimodal curation: low-energy (dark/silent) frame trim bounds
+      // per media — integer mean-luma flags, NULL bounds = drop the
+      // asset; pixel buffers never leave the map side
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("content"))
+      val frames = graft.operators.MultimodalOps.sampleFrames(docs, "doc_id", "content", 4)
+      graft.operators.MultimodalOps.frameActivityBounds(frames, 126)
+        .orderBy(col("media_id"))
+    },
+      Some(s"""WITH RECURSIVE ${frameStubPixelCtes(4)},
+e AS (SELECT doc_id, fi,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), pxs), (a, x) -> a + x) AS s FROM fr),
+f AS (SELECT doc_id, fi, (s < 126 * 64) AS low FROM e),
+g AS (SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_frames,
+  CAST(SUM(CASE WHEN low THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+  CAST(MIN(CASE WHEN NOT low THEN fi END) AS BIGINT) AS first_active,
+  CAST(MAX(CASE WHEN NOT low THEN fi END) AS BIGINT) AS last_active
+  FROM f GROUP BY 1)
+SELECT media_id, n_frames, n_low, first_active, last_active
+FROM g ORDER BY media_id""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

@@ -240,16 +240,20 @@ object DedupOps {
     * windowSize * |docs| by construction, so the method costs one sort at
     * any corpus size — the classic cheap pre-pass where PPJoin
     * ([[jaccardPairsPrefix]]) is the exact-recall main pass. Recall is
-    * heuristic: only pairs whose prefixes sort near each other are seen
-    * (that asymmetry is the method, not a bug — callers wanting
-    * exactness use the prefix join).
+    * heuristic: only pairs whose prefixes sort near each other AND share
+    * the caller's `block` key are seen (that asymmetry is the method,
+    * not a bug — callers wanting exactness use the prefix join). The
+    * block key is ALSO the parallelism dial: it becomes the window
+    * partitioning, so pick one fine enough that no block dominates a
+    * partition (e.g. lang + a text prefix, not lang alone — SNM's
+    * standard multi-key blocking).
     */
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
-                              blockCol: String, n: Int, windowSize: Int,
+                              block: Column, n: Int, windowSize: Int,
                               tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toksCol = split(col(textCol), " ")
-    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+    val base = df.select(block.as("blk"), col(idCol).as("id"),
       array_join(slice(toksCol, 1, 5), " ").as("sk"),
       array_distinct(hashedShingleArrayFromTokens(toksCol, n)).as("hs"))
     val w = Window.partitionBy(col("blk")).orderBy(col("sk"), col("id"))

@@ -98,6 +98,30 @@ object MultimodalOps {
     }
   }
 
+  /** Per-media activity envelope: flag low-energy (dark/silent) frames by
+    * integer mean luma (sum < threshold * n_px — no float mean), then
+    * report the trim bounds: first/last active frame index and the
+    * low-frame count per media (NULL bounds = the whole item is
+    * low-energy, the "drop this asset" signal). The energy fold is the
+    * same partition-local typed map the codec slot uses; the aggregation
+    * is one media-keyed shuffle of frame-count-sized rows — at 100 TB the
+    * pixel buffers never leave the map side.
+    */
+  def frameActivityBounds(frames: Dataset[Frame], lumaThreshold: Int): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames
+      .map(f => (f.media_id, f.frame_idx,
+        f.pixels.foldLeft(0L)((a, b) => a + (b & 0xFF)), f.pixels.length))
+      .toDF("media_id", "frame_idx", "luma_sum", "n_px")
+      .withColumn("low", col("luma_sum") < lit(lumaThreshold.toLong) * col("n_px"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("low").cast(LongType)).as("n_low"),
+        min(when(!col("low"), col("frame_idx"))).cast(LongType).as("first_active"),
+        max(when(!col("low"), col("frame_idx"))).cast(LongType).as("last_active"))
+  }
+
   /** 64-bit average perceptual hash (aHash) per frame: bit i is set iff
     * pixel i is STRICTLY above the frame mean — compared in integers
     * (px*n > sum), so the hash is exact with no float mean. Frames wider

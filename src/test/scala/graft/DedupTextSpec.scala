@@ -974,7 +974,7 @@ class DedupTextSpec extends AnyFunSuite {
     val far = "totally unrelated content " * 8
     val df = Seq((1L, a, "en"), (2L, b, "en"), (3L, c, "en"), (4L, far.trim, "en"))
       .toDF("doc_id", "text", "lang")
-    val got = DedupOps.sortedNeighborhoodPairs(df, "doc_id", "text", "lang", 3, 2, 0.5)
+    val got = DedupOps.sortedNeighborhoodPairs(df, "doc_id", "text", col("lang"), 3, 2, 0.5)
       .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((1L, 2L)), s"adjacent near-dup missed: $got")
     assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)),

@@ -205,6 +205,24 @@ class ExtendedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("frameActivityBounds: integer luma flags, trim bounds, all-low media reads NULL bounds") {
+    import spark.implicits._
+    def fr(id: Long, idx: Int, fill: Int) =
+      MultimodalOps.Frame(id, idx, 2, 2, Array.fill(4)(fill.toByte))
+    val frames = Seq(
+      fr(1L, 0, 0), fr(1L, 1, -1 /* 0xFF = 255 */), fr(1L, 2, 0),
+      fr(2L, 0, 10), fr(2L, 1, 20)).toDS()
+    val got = MultimodalOps.frameActivityBounds(frames, 126)
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    // media 1: dark, bright(255), dark -> bounds [1,1], 2 low frames;
+    // media 2: all below threshold -> NULL bounds (drop-asset signal)
+    assert(got.toSeq == Seq((1L, 3L, 2L, 1L, 1L), (2L, 2L, 2L, -1L, -1L)),
+      got.toSeq.toString)
+  }
+
   test("frameAHash: bit semantics exact; near-identical frames pair within d<=3, far ones don't") {
     import spark.implicits._
     // hand-built frames with a known hash: 32 high pixels (first half)

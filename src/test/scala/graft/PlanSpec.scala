@@ -311,7 +311,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("q120: sorted neighborhood is join-free — one block-partitioned window, no Join operator") {
     val df = graft.operators.DedupOps.sortedNeighborhoodPairs(
-      Tables.documents(spark, sf), "doc_id", "text", "lang", 3, 2, 0.6)
+      Tables.documents(spark, sf), "doc_id", "text",
+      org.apache.spark.sql.functions.concat_ws("|",
+        org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.col("text"), 1, 12)), 3, 2, 0.6)
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("Join"), "SNM must verify row-locally, never join:\n" + p)
