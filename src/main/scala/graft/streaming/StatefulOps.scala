@@ -285,5 +285,54 @@ object StatefulOps {
       }
   }
 
+  /** A keyed event entering the rate limiter (event-time millis). */
+  case class RateEvent(key: String, ts: Long, id: Long)
+
+  /** The limiter's verdict — every input event is emitted, tagged. */
+  case class RateDecision(key: String, ts: Long, id: Long, admitted: Boolean)
+
+  private[graft] case class BucketState(tokens: Long, lastRefill: Long)
+
+  private def bucketUpdate(rate: Long, periodMs: Long, burst: Long)
+                          (key: String, rows: Iterator[RateEvent],
+                           state: GroupState[BucketState]): Iterator[RateDecision] = {
+    val ordered = rows.toSeq.sortBy(r => (r.ts, r.id))
+    var st = state.getOption.getOrElse(
+      BucketState(burst, if (ordered.isEmpty) 0L else ordered.head.ts))
+    val out = ordered.map { r =>
+      val periods = math.max(0L, (r.ts - st.lastRefill) / periodMs)
+      if (periods > 0) st = BucketState(
+        math.min(burst, st.tokens + periods * rate),
+        st.lastRefill + periods * periodMs)
+      val admitted = st.tokens > 0
+      if (admitted) st = st.copy(tokens = st.tokens - 1)
+      RateDecision(r.key, r.ts, r.id, admitted)
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Per-key token-bucket admission screen: each key refills `rate`
+    * tokens per `periodMs` of EVENT time (deterministic — no wall
+    * clock), capped at `burst`; an event is admitted iff a token is
+    * available. State is two longs per key regardless of traffic — the
+    * bounded backpressure gate in front of an expensive per-event stage
+    * (codec decode, external sink call; the reference throttles its
+    * flush loop the same way, but against wall time). Every event is
+    * emitted with its verdict so the caller routes admitted/rejected
+    * without a second pass. Within a batch events apply in (ts, id)
+    * order; across batches the bucket state carries in the state store.
+    */
+  def rateLimitStream(ds: Dataset[RateEvent], rate: Long, periodMs: Long,
+                      burst: Long): Dataset[RateDecision] = {
+    require(rate > 0 && periodMs > 0 && burst > 0,
+      s"rate/period/burst must be positive, got $rate/$periodMs/$burst")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        bucketUpdate(rate, periodMs, burst))
+  }
+
   val UpdateMode: OutputMode = OutputMode.Update()
 }

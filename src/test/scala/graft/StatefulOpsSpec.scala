@@ -212,4 +212,27 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 4)
     assert(spark.read.parquet(path).select("__h").distinct().count() == 4)
   }
+
+  test("rateLimitStream: event-time token bucket — burst, starvation, refill, cross-batch state") {
+    implicit val sqlCtx = spark.sqlContext
+    import StatefulOps.{RateEvent, RateDecision}
+    val ms = MemoryStream[RateEvent]
+    // rate 1 token / 100 ms, burst 2
+    val q = StatefulOps.rateLimitStream(ms.toDS(), 1L, 100L, 2L)
+      .writeStream.format("memory").queryName("rate_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: t=0,10,20 — burst of 2 admits, third starves
+    ms.addData(RateEvent("k", 0L, 1L), RateEvent("k", 10L, 2L), RateEvent("k", 20L, 3L))
+    q.processAllAvailable()
+    // batch 2: t=120 refills ONE token (one full period since t=0) -> admit;
+    // t=130 starves again; other key has its own untouched bucket
+    ms.addData(RateEvent("k", 120L, 4L), RateEvent("k", 130L, 5L),
+      RateEvent("other", 0L, 6L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rate_out").as[RateDecision].collect()
+      .sortBy(r => (r.key, r.ts)).map(r => (r.key, r.id, r.admitted)).toSeq
+    assert(got == Seq(("k", 1L, true), ("k", 2L, true), ("k", 3L, false),
+      ("k", 4L, true), ("k", 5L, false), ("other", 6L, true)), got.toString)
+  }
 }
