@@ -2289,6 +2289,61 @@ g AS (SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_frames,
   FROM f GROUP BY 1)
 SELECT media_id, n_frames, n_low, first_active, last_active
 FROM g ORDER BY media_id""")),
+
+    ("q125_neyman_allocation", (s, d) => {
+      // survey-sampling budget split: Neyman allocation proportional to
+      // N_h * S_h per source. With population variance, N*S collapses to
+      // sqrt(n*Σx² - (Σx)²) — ONE sqrt of an exact integer, floored back
+      // to integer weight, so the cross-source sum stays order-free and
+      // engine-exact. One aggregate pass + a broadcast single-row total
+      val st = Tables.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+      val w = st.select(col("source"), col("n").as("n_docs"),
+        floor(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast(DoubleType))).cast(LongType).as("wgt"))
+      val tot = w.agg(sum(col("wgt")).as("tw"))
+      w.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("wgt"),
+          call_function("div", lit(10000L) * col("wgt"), col("tw")).as("alloc_bp"))
+        .orderBy(col("source"))
+    },
+      Some("""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(n_chars) AS BIGINT) AS sx,
+  CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx FROM documents GROUP BY 1),
+w AS (SELECT source, n AS n_docs,
+  CAST(floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS wgt FROM s),
+t AS (SELECT CAST(SUM(wgt) AS BIGINT) AS tw FROM w)
+SELECT source, n_docs, wgt, (10000 * wgt) // tw AS alloc_bp
+FROM w CROSS JOIN t ORDER BY source""")),
+
+    ("q126_embed_contamination", (s, d) => {
+      // eval-set contamination screen in EMBEDDING space (the semantic
+      // counterpart of q63's n-gram screen): the small eval side
+      // broadcasts, the training corpus is probed map-side — corpus never
+      // shuffles, output is bounded by true hits
+      val emb = Tables.embeddings(s, d)
+      val evalSet = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("eval_id"),
+          SimilarityOps.asDouble(col("embedding")).as("ev"))
+      val train = emb.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("train_id"),
+          SimilarityOps.asDouble(col("embedding")).as("tv"))
+      val sim = floor(SimilarityOps.dot(col("tv"), col("ev")) /
+        (SimilarityOps.l2Norm(col("tv")) * SimilarityOps.l2Norm(col("ev"))) * 10000.0) / 10000.0
+      train.join(broadcast(evalSet), sim >= 0.45)
+        .select(col("train_id"), col("eval_id"), sim.as("cosine"))
+        .orderBy(col("train_id"), col("eval_id"))
+    },
+      Some("""WITH xe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, v AS evec FROM xe WHERE vec_id % 10 = 0),
+tr AS (SELECT vec_id AS train_id, v AS tvec FROM xe WHERE vec_id % 10 != 0),
+p AS (SELECT train_id, eval_id,
+  floor(list_dot_product(tvec, evec) /
+    (sqrt(list_dot_product(tvec, tvec)) * sqrt(list_dot_product(evec, evec))) * 10000.0) / 10000.0 AS cosine
+  FROM tr CROSS JOIN ev)
+SELECT train_id, eval_id, cosine FROM p WHERE cosine >= 0.45
+ORDER BY train_id, eval_id""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

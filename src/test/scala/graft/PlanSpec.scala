@@ -337,6 +337,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q125: Neyman weights ride a broadcast single-row total; one aggregate pass") {
+    val p = plan("q125_neyman_allocation")
+    assert(p.contains("BroadcastExchange"), "total broadcast missing:\n" + p)
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q126: eval side broadcasts; the training corpus is never shuffled for the probe") {
+    val p = plan("q126_embed_contamination")
+    assert(p.contains("BroadcastExchange"), "eval-side broadcast missing:\n" + p)
+    // the probe is a theta join against the broadcast side by design;
+    // what must NEVER appear is a corpus shuffle
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled:\n" + p)
+    assert(!p.contains("ShuffledHashJoin"), "corpus shuffled:\n" + p)
+  }
+
   test("q66: budget sampling uses a group-partitioned window, no global sort below it") {
     val df = graft.operators.SamplingOps.sampleToTokenBudget(
       Tables.documents(spark, sf)
