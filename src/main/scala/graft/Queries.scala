@@ -2344,6 +2344,91 @@ p AS (SELECT train_id, eval_id,
   FROM tr CROSS JOIN ev)
 SELECT train_id, eval_id, cosine FROM p WHERE cosine >= 0.45
 ORDER BY train_id, eval_id""")),
+
+    ("q127_event_debounce", (s, d) => {
+      // telemetry debounce (client-retry / double-fire cleaner): keep an
+      // event iff the gap from the previous RAW event of the same
+      // (user, type) exceeds 10 min — the standard lag-gap debounce, one
+      // key-partitioned window, no state beyond the lag
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts_ns div 1000").as("us"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap_us").isNull || col("gap_us") > 600L * 1000000L)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_kept"), min(col("us")).as("first_us"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+      Some("""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+g AS (SELECT user_id, event_type, us,
+  us - LAG(us) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) AS gap_us
+  FROM e),
+k AS (SELECT * FROM g WHERE gap_us IS NULL OR gap_us > 600 * 1000000)
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_kept,
+  MIN(us) AS first_us
+FROM k GROUP BY 1, 2 ORDER BY user_id, event_type""")),
+
+    ("q128_pareto_concentration", (s, d) => {
+      // corpus concentration report: what share of each source's tokens
+      // sits in its longest 10% of documents (the Pareto skew a curation
+      // budget needs to know). Per-source windows over doc-sized rows,
+      // integer permille — no global window, no floats
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val ranked = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      val agg = ranked.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          sum(when(col("rk") * 10 <= col("n"), col("n_chars"))).as("top_chars"))
+      agg.select(col("source"), col("n_docs"),
+          call_function("div", coalesce(col("top_chars"), lit(0L)) * 1000,
+            col("total_chars")).as("top_decile_permille"))
+        .orderBy(col("source"))
+    },
+      Some("""WITH r AS (SELECT source, doc_id, n_chars,
+  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk,
+  COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+a AS (SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(COALESCE(SUM(CASE WHEN rk * 10 <= n THEN n_chars END), 0) AS BIGINT) AS top_chars
+  FROM r GROUP BY 1)
+SELECT source, n_docs, (top_chars * 1000) // total_chars AS top_decile_permille
+FROM a ORDER BY source""")),
+
+    ("q129_triangle_count", (s, d) => {
+      // graph analytics over the near-dup graph: per-node triangle counts
+      // (the local clustering signal that separates dense dup-farms from
+      // chains). Canonical a<b<c enumeration: one two-hop equi-join plus
+      // one closing-edge semi-check — never an all-pairs scan
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)
+        .select(least(col("ia"), col("ib")).as("a"),
+          greatest(col("ia"), col("ib")).as("b")).distinct()
+        .localCheckpoint(true)
+      val tri = pairs.as("e1")
+        .join(pairs.as("e2"), col("e1.b") === col("e2.a"))
+        .join(pairs.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"), "left_semi")
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val perNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+      perNode.orderBy(col("id"))
+    },
+      Some(s"""WITH RECURSIVE $simhashSigCtes,
+ed AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS a, greatest(a.doc_id, b.doc_id) AS b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+  WHERE EXISTS (SELECT 1 FROM ed e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+n AS (SELECT unnest([x, y, z]) AS id FROM tri)
+SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM n
+GROUP BY 1 ORDER BY id""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

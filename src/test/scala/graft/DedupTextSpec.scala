@@ -997,6 +997,21 @@ class DedupTextSpec extends AnyFunSuite {
       ("v_nonneg", 2L, false)), got.toSeq.toString)
   }
 
+  test("triangle enumeration: planted triangle counts once per node; open wedge counts zero") {
+    // edges: triangle {1,2,3} + wedge 3-4, 4-5 (no closing 3-5)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .join(edges.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"), "left_semi")
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val got = tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").count().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)), got.toSeq.toString)
+  }
+
   test("valueRuns: gaps-and-islands intervals, half-open valid_to, value revisits split runs") {
     val df = Seq(("u", 1L, 1L, "x"), ("u", 2L, 2L, "x"), ("u", 3L, 3L, "y"),
       ("u", 4L, 4L, "x"), ("v", 1L, 5L, "z"))

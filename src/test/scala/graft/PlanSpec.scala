@@ -353,6 +353,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ShuffledHashJoin"), "corpus shuffled:\n" + p)
   }
 
+  test("q127: debounce window partitions on (user, type), never globally") {
+    val p = plan("q127_event_debounce")
+    assert(p.contains("hashpartitioning(user_id"))
+    assert(!p.contains("SinglePartition"))
+  }
+
+  test("q128: concentration windows partition per source; no join, no global sort below the agg") {
+    val p = plan("q128_pareto_concentration")
+    assert(p.contains("hashpartitioning(source"))
+    assert(!p.contains("SinglePartition"))
+    assert(!p.contains("Join"))
+  }
+
+  test("q129: triangles enumerate via equi-joins and a semi closing check, no cartesian") {
+    val p = plan("q129_triangle_count")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LeftSemi"), "closing edge must be a semi-join:\n" + p)
+  }
+
   test("q66: budget sampling uses a group-partitioned window, no global sort below it") {
     val df = graft.operators.SamplingOps.sampleToTokenBudget(
       Tables.documents(spark, sf)
