@@ -41,6 +41,13 @@ object Plans {
     "q88_graph_pagerank" -> "pregel join-agg rounds: checkpointed edges, per-round equi-join + dst aggregation",
     "q90_pmi_collocations" -> "PMI top-k: vocabulary-sized model relations, TakeOrdered (no global sort)",
     "q93_rolling_spikes" -> "trailing RANGE window over pre-aggregated daily counts, key-partitioned",
+    "q113_snapshot_diff" -> "snapshot diff: ONE full-outer PK join, row-local null-safe change detection, churn-sized output",
+    "q116_containment_pairs" -> "exact directional containment: one-sided rarest-prefix probe vs full inverted index, row-local verify",
+    "q117_cms_heavy_hitters" -> "count-min sketch: one vocab aggregate feeds sketch AND TakeOrdered probe, broadcast probe join",
+    "q120_sorted_neighborhood" -> "sorted-neighborhood dedup: fine-blocked window sort, lead-distance candidates, ZERO joins",
+    "q122_zorder_layout" -> "z-order layout audit: codegen Morton key inline in the scan projection, one combinable aggregation",
+    "q126_embed_contamination" -> "embedding contamination: broadcast eval side, corpus probed map-side (never shuffled)",
+    "q129_triangle_count" -> "triangle counting: canonical two-hop equi-join + semi closing-edge check, no all-pairs",
   )
 
   def main(args: Array[String]): Unit = {
@@ -66,6 +73,10 @@ object Plans {
         (r.df, r.release)
       case "q54_crosscorpus_minhash" =>
         val r = Queries.q54CrossCorpusReleasable(spark, sfDir)
+        (r.df, r.release)
+      case "q116_containment_pairs" =>
+        val r = graft.operators.DedupOps
+          .containmentPairsReleasable(Tables.documents(spark, sfDir), "doc_id", "text", 3, 0.8)
         (r.df, r.release)
       case _ => (SparkEntry.queries(name)(spark, sfDir), () => ())
     }

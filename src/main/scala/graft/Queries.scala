@@ -2023,7 +2023,7 @@ r AS (SELECT user_id, us, event_type,
 g AS (SELECT user_id, event_type, run, MIN(us) AS valid_from,
   CAST(count(*) AS BIGINT) AS n_events FROM r GROUP BY 1, 2, 3),
 f AS (SELECT user_id, event_type, valid_from, n_events,
-  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to FROM g)
+  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run) AS valid_to FROM g)
 SELECT user_id, event_type, valid_from AS valid_from_us, valid_to AS valid_to_us,
   n_events, valid_to IS NULL AS is_current
 FROM f ORDER BY user_id, valid_from_us""")),

@@ -38,7 +38,10 @@ object TemporalOps {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(keyCol), col(valueCol), col("__run"))
       .agg(min(ordCol).as("valid_from"), count(lit(1)).as("n_events"))
-    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"))
+    // the run id tie-breaks the runs-level lead: two runs share a
+    // valid_from when the value changes within one ord tick, and the run
+    // id (monotone in event order) is the only deterministic order there
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"), col("__run"))
     runs
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
       .withColumn("is_current", col("valid_to").isNull)

@@ -97,6 +97,68 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("property: one-sided containment equals brute force on generated corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "boiler", "plate", "x")
+    val docGen = Gen.choose(3, 14).flatMap(len => Gen.listOfN(len, word).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(4, 12).flatMap(nd => Gen.listOfN(nd, docGen))
+    for (seedNo <- 1L to 8L) {
+      val corpus = corpusGen(Gen.Parameters.default, Seed(seedNo)).get
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val tau = if (seedNo % 2 == 0) 0.8 else 0.7
+      def shingleSet(t: String): Set[String] =
+        t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val sets = corpus.map { case (i, t) => i -> shingleSet(t) }.toMap
+      // brute-force DIRECTIONAL containment |A∩B| / |A|
+      val expected = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia != ib && sa.nonEmpty && sb.nonEmpty
+        c = (sa & sb).size.toDouble / sa.size
+        if c >= tau
+      } yield (ia, ib, c)).toSet
+      val r = DedupOps.containmentPairsReleasable(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", 3, tau)
+      val got = r.df.collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      r.release()
+      assert(got == expected, s"seed=$seedNo tau=$tau corpus=$corpus")
+    }
+  }
+
+  test("property: valueRuns partitions each key's timeline exactly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val evGen = Gen.choose(1, 24).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.oneOf("u", "v")
+      t <- Gen.choose(1L, 12L)
+      v <- Gen.oneOf("a", "b", "c")
+    } yield (k, t, v)))
+    for (seedNo <- 1L to 6L) {
+      val evs = evGen(Gen.Parameters.default, Seed(seedNo)).get
+        .zipWithIndex.map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+      val runs = graft.operators.TemporalOps.valueRuns(
+        evs.toDF("k", "t", "tie", "v"), "k", col("t"), col("tie"), "v")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), if (r.isNullAt(4)) Long.MaxValue else r.getLong(4),
+          r.getBoolean(5)))
+      // (1) event counts conserve per key; (2) exactly one current run per
+      // key; (3) the half-open chain closes: non-current valid_tos are
+      // exactly the valid_froms minus the chain head (multiset equality —
+      // robust to runs sharing a valid_from when values flip within one
+      // ord tick, which this generator produces)
+      evs.groupBy(_._1).foreach { case (k, kevs) =>
+        val kr = runs.filter(_._1 == k)
+        assert(kr.map(_._4).sum == kevs.size, s"seed=$seedNo key=$k count")
+        assert(kr.count(_._6) == 1, s"seed=$seedNo key=$k current")
+        val tos = kr.filter(!_._6).map(_._5).sorted.toSeq
+        val froms = kr.map(_._3).sorted.toSeq
+        assert(tos == froms.drop(1) || froms.isEmpty,
+          s"seed=$seedNo key=$k chain break: tos=$tos froms=$froms")
+      }
+    }
+  }
+
   test("lane-packed minhash signatures equal unpacked per-permutation mins") {
     val docs = Tables.documents(spark, sf)
     val k = 96
