@@ -2429,6 +2429,71 @@ tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
 n AS (SELECT unnest([x, y, z]) AS id FROM tri)
 SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM n
 GROUP BY 1 ORDER BY id""")),
+
+    ("q130_zonemap_prune", (s, d) => {
+      // file-skipping simulation: per-file (min,max) zone maps under a
+      // z-ordered layout vs the natural insertion order, prune rate for
+      // a suppkey range predicate. Fixed-width key ranges stand in for
+      // files (a real rewrite packs equal-row files along the sort key);
+      // the z layout fixes high suppkey bits per file -> most files
+      // prune, the natural layout interleaves suppkeys -> none do
+      val z = Converters.zorderKey(col("l_partkey"), col("l_suppkey"), 21)
+      val base = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), z.as("zkey"))
+      val files = base.select(lit("zorder").as("layout"),
+          expr("zkey div 256").as("file"), col("l_suppkey"))
+        .unionByName(base.select(lit("natural").as("layout"),
+          expr("l_orderkey div 4096").as("file"), col("l_suppkey")))
+      files.groupBy(col("layout"), col("file"))
+        .agg(min(col("l_suppkey")).as("mn"), max(col("l_suppkey")).as("mx"))
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_files"),
+          sum((col("mn") <= 44 && col("mx") >= 40).cast(LongType)).as("n_candidates"))
+        .select(col("layout"), col("n_files"), col("n_candidates"),
+          call_function("div", (col("n_files") - col("n_candidates")) * 1000,
+            col("n_files")).as("prune_permille"))
+        .orderBy(col("layout"))
+    },
+      Some("""WITH z AS (SELECT l_suppkey, l_orderkey,
+  CAST(list_sum(list_transform(range(0, 21), i ->
+    (((l_partkey >> i) & 1) << (2 * i)) +
+    (((l_suppkey >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
+  FROM lineitem),
+f AS (SELECT 'zorder' AS layout, zkey // 256 AS file, l_suppkey FROM z
+  UNION ALL SELECT 'natural', l_orderkey // 4096, l_suppkey FROM z),
+e AS (SELECT layout, file, MIN(l_suppkey) AS mn, MAX(l_suppkey) AS mx
+  FROM f GROUP BY 1, 2),
+a AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+  CAST(SUM(CASE WHEN mn <= 44 AND mx >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates
+  FROM e GROUP BY 1)
+SELECT layout, n_files, n_candidates,
+  ((n_files - n_candidates) * 1000) // n_files AS prune_permille
+FROM a ORDER BY layout""")),
+
+    ("q131_retrieval_mrr", (s, d) => {
+      // rank-aware ANN eval: where does the TRUE nearest neighbor land in
+      // the IVF list? MRR in integer ppm (1e6 // rank, 0 when missed) —
+      // the rank-position complement of q41's set-overlap recall
+      val emb = Tables.embeddings(s, d)
+      val truth = SimilarityOps.cosineTopK(emb, "vec_id", "embedding", col("vec_id") < 8, 1)
+        .select(col("q_id"), col("neighbor_id").as("true_nn"))
+      val approx = SimilarityOps.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 8, 5)
+        .select(col("q_id"), col("neighbor_id"), col("rank").cast(LongType).as("found_rank"))
+      truth.join(approx,
+          truth("q_id") === approx("q_id") && col("true_nn") === col("neighbor_id"), "left")
+        .select(truth("q_id"), col("true_nn"), col("found_rank"),
+          coalesce(call_function("div", lit(1000000L), col("found_rank")), lit(0L))
+            .as("mrr_ppm"))
+        .orderBy(truth("q_id"))
+    },
+      Some(s"""WITH $annExactCtes,
+$annIvfCtes,
+t AS (SELECT q_id, neighbor_id AS true_nn FROM exact WHERE rank = 1),
+j AS (SELECT t.q_id, t.true_nn, a.rank AS found_rank
+  FROM t LEFT JOIN approx a ON a.q_id = t.q_id AND a.neighbor_id = t.true_nn)
+SELECT q_id, true_nn, found_rank,
+  COALESCE(1000000 // found_rank, 0) AS mrr_ppm
+FROM j ORDER BY q_id""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

@@ -373,6 +373,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), "closing edge must be a semi-join:\n" + p)
   }
 
+  test("q130: zone-map audit is union + two aggregations, join-free") {
+    val p = plan("q130_zonemap_prune")
+    assert(p.contains("Union"))
+    assert(!p.contains("Join"), "layout audit must not join:\n" + p)
+    assert(p.contains("zorderkey"), "codegen key missing:\n" + p)
+  }
+
   test("q66: budget sampling uses a group-partitioned window, no global sort below it") {
     val df = graft.operators.SamplingOps.sampleToTokenBudget(
       Tables.documents(spark, sf)
