@@ -170,6 +170,8 @@ object CdcOps {
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, pks: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
+    require(pks.nonEmpty && compareCols.nonEmpty,
+      "snapshotDiff needs at least one PK and one compare column")
     val o = oldSnap.withColumn("__o_present", lit(true)).alias("o")
     val n = newSnap.withColumn("__n_present", lit(true)).alias("n")
     val cond = pks.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)

@@ -251,6 +251,7 @@ object DedupOps {
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
                               block: Column, n: Int, windowSize: Int,
                               tau: Double): DataFrame = {
+    require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
     import org.apache.spark.sql.expressions.Window
     val toksCol = split(col(textCol), " ")
     val base = df.select(block.as("blk"), col(idCol).as("id"),

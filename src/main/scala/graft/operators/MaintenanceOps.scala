@@ -72,11 +72,14 @@ object MaintenanceOps {
     * fact table; one shuffle on the keys.
     */
   def mergeAggState(state: DataFrame, delta: DataFrame, keys: Seq[String],
-                    sumCols: Seq[String]): DataFrame =
+                    sumCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && sumCols.nonEmpty,
+      "mergeAggState needs at least one key and one additive measure")
     state.unionByName(delta)
       .groupBy(keys.map(col): _*)
       .agg(sum(col(sumCols.head)).as(sumCols.head),
         sumCols.tail.map(n => sum(col(n)).as(n)): _*)
+  }
 
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")

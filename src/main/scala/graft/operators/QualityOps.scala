@@ -31,6 +31,7 @@ object QualityOps {
 
   /** (rule, n_violations, pass) — one row per rule, ordered by rule. */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "report needs at least one rule")
     val aggRules = rules.collect {
       case PredicateRule(n, v) =>
         n -> sum(when(coalesce(v, lit(true)), 1L).otherwise(0L))

@@ -308,6 +308,7 @@ object SketchOps {
     */
   def cmsTokenEstimates(df: DataFrame, textCol: String, width: Int = 1024,
                         topK: Int = 20): DataFrame = {
+    require(width > 0 && topK > 0, s"width/topK must be positive, got $width/$topK")
     val counts = df
       .select(explode(split(col(textCol), " ")).as("t"))
       .filter(col("t") =!= "")
