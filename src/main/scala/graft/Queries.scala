@@ -2494,6 +2494,35 @@ j AS (SELECT t.q_id, t.true_nn, a.rank AS found_rank
 SELECT q_id, true_nn, found_rank,
   COALESCE(1000000 // found_rank, 0) AS mrr_ppm
 FROM j ORDER BY q_id""")),
+
+    ("q132_weighted_sample", (s, d) => {
+      // probability-proportional-to-size Poisson sampling with
+      // Horvitz-Thompson weights: inclusion prob pi_i = min(1, n*w_i/Σw)
+      // in exact integer ppm, membership decided by a deterministic hash
+      // bucket (replayable, no RNG), HT weight 1e6/pi for unbiased
+      // estimators downstream. Map-only after one broadcast total
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val tot = docs.agg(sum(col("n_chars")).as("tw"))
+      docs.crossJoin(broadcast(tot))
+        .withColumn("pi_ppm", least(lit(1000000L),
+          call_function("div", lit(500L) * col("n_chars") * 1000000L, col("tw"))))
+        .withColumn("bkt", pmod(Converters.fingerprint64(
+          col("doc_id").cast(StringType)), lit(1000000L)))
+        .filter(col("bkt") < col("pi_ppm"))
+        .select(col("doc_id"), col("n_chars"), col("pi_ppm"),
+          call_function("div", lit(1000000000L), col("pi_ppm")).as("ht_permille"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tw FROM documents),
+p AS (SELECT doc_id, n_chars,
+  least(1000000, (500 * n_chars * 1000000) // tw) AS pi_ppm,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+      i -> CAST(unicode(substring(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007) % 1000000 AS bkt
+  FROM documents CROSS JOIN t)
+SELECT doc_id, n_chars, pi_ppm, 1000000000 // pi_ppm AS ht_permille
+FROM p WHERE bkt < pi_ppm ORDER BY doc_id""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat
