@@ -2523,6 +2523,43 @@ p AS (SELECT doc_id, n_chars,
   FROM documents CROSS JOIN t)
 SELECT doc_id, n_chars, pi_ppm, 1000000000 // pi_ppm AS ht_permille
 FROM p WHERE bkt < pi_ppm ORDER BY doc_id""")),
+
+    ("q133_universe_sample", (s, d) => {
+      // universe (join-consistent) sampling: BOTH fact tables filter on
+      // the same hash of the JOIN KEY, so a sampled order always arrives
+      // with all its lineitems — per-table Bernoulli would orphan
+      // children and bias any join estimate (the Quickr/BlinkDB
+      // universe-sample trick). 10% universe, scale-up by 10 in integer
+      // cents; deterministic fingerprint bucket, no RNG
+      def universe(k: Column): Column =
+        pmod(Converters.fingerprint64(k.cast(StringType)), lit(100L)) < 10
+      val o = Tables.orders(s, d).filter(universe(col("o_orderkey")))
+      val li = Tables.lineitem(s, d).filter(universe(col("l_orderkey")))
+      o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_sampled_lines"),
+          (sum(d2(col("l_extendedprice")) * (one - d2(col("l_discount"))))
+            * 10000).cast(LongType).as("revenue_c4_sampled"))
+        .select(col("o_orderpriority"), col("n_sampled_lines"),
+          (col("revenue_c4_sampled") * 10).as("revenue_c4_est"))
+        .orderBy(col("o_orderpriority"))
+    },
+      Some("""WITH u AS (SELECT o_orderkey, o_orderpriority FROM orders
+  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(CAST(o_orderkey AS VARCHAR)) + 1),
+      i -> CAST(unicode(substring(CAST(o_orderkey AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007) % 100 < 10),
+l AS (SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(CAST(l_orderkey AS VARCHAR)) + 1),
+      i -> CAST(unicode(substring(CAST(l_orderkey AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007) % 100 < 10),
+a AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_sampled_lines,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+    (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS c
+  FROM u JOIN l ON o_orderkey = l_orderkey GROUP BY 1)
+SELECT o_orderpriority, n_sampled_lines, c * 10 AS revenue_c4_est
+FROM a ORDER BY o_orderpriority""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat
