@@ -2560,6 +2560,50 @@ a AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_sampled_lines,
   FROM u JOIN l ON o_orderkey = l_orderkey GROUP BY 1)
 SELECT o_orderpriority, n_sampled_lines, c * 10 AS revenue_c4_est
 FROM a ORDER BY o_orderpriority""")),
+
+    ("q134_winsorized_mean", (s, d) => {
+      // robust group means: clip each order's price at the group's exact
+      // p10/p90 ORDER STATISTICS (ceil-rank, orderkey tie-break), then an
+      // integer-cents mean — outlier-robust without MAD's double pass
+      // over deviations. Group-partitioned windows + a groups-sized
+      // bounds join; everything integer after the one decimal cast
+      val base = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+          (d2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+      val w = Window.partitionBy(col("prio")).orderBy(col("cents"), col("o_orderkey"))
+      val ranked = base
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("prio"))))
+      val bounds = ranked
+        .filter(col("rk") === call_function("div", col("n") + 9, lit(10L)) ||
+          col("rk") === call_function("div", col("n") * 9 + 9, lit(10L)))
+        .groupBy(col("prio")).agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      ranked.join(bounds, Seq("prio"))
+        .select(col("prio"), col("n"),
+          least(greatest(col("cents"), col("lo")), col("hi")).as("clip"),
+          col("lo"), col("hi"))
+        .groupBy(col("prio"))
+        .agg(max(col("n")).as("n_orders"), max(col("lo")).as("p10_cents"),
+          max(col("hi")).as("p90_cents"), sum(col("clip")).as("clip_sum"))
+        .select(col("prio").as("o_orderpriority"), col("n_orders"),
+          col("p10_cents"), col("p90_cents"),
+          call_function("div", col("clip_sum"), col("n_orders")).as("wins_mean_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+      Some("""WITH b AS (SELECT o_orderpriority AS prio, o_orderkey,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM orders),
+r AS (SELECT prio, cents,
+  ROW_NUMBER() OVER (PARTITION BY prio ORDER BY cents, o_orderkey) AS rk,
+  COUNT(*) OVER (PARTITION BY prio) AS n FROM b),
+bd AS (SELECT prio, MIN(cents) AS lo, MAX(cents) AS hi FROM r
+  WHERE rk = (n + 9) // 10 OR rk = (n * 9 + 9) // 10 GROUP BY 1),
+c AS (SELECT r.prio, CAST(r.n AS BIGINT) AS n,
+  least(greatest(r.cents, bd.lo), bd.hi) AS clip, bd.lo, bd.hi
+  FROM r JOIN bd ON r.prio = bd.prio)
+SELECT prio AS o_orderpriority, MAX(n) AS n_orders,
+  CAST(MAX(lo) AS BIGINT) AS p10_cents, CAST(MAX(hi) AS BIGINT) AS p90_cents,
+  CAST(SUM(clip) AS BIGINT) // MAX(n) AS wins_mean_cents
+FROM c GROUP BY 1 ORDER BY o_orderpriority""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

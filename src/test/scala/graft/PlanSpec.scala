@@ -380,6 +380,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("zorderkey"), "codegen key missing:\n" + p)
   }
 
+  test("q134: winsorized mean rides group-partitioned windows, never a global one") {
+    val p = plan("q134_winsorized_mean")
+    assert(p.contains("hashpartitioning(prio"))
+    assert(!p.contains("SinglePartition"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q66: budget sampling uses a group-partitioned window, no global sort below it") {
     val df = graft.operators.SamplingOps.sampleToTokenBudget(
       Tables.documents(spark, sf)
