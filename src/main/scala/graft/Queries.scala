@@ -2604,6 +2604,49 @@ SELECT prio AS o_orderpriority, MAX(n) AS n_orders,
   CAST(MAX(lo) AS BIGINT) AS p10_cents, CAST(MAX(hi) AS BIGINT) AS p90_cents,
   CAST(SUM(clip) AS BIGINT) // MAX(n) AS wins_mean_cents
 FROM c GROUP BY 1 ORDER BY o_orderpriority""")),
+
+    ("q135_shard_rebalance", (s, d) => {
+      // shard-assignment stability audit: when a 16-shard layout grows to
+      // 17, mod-N reassigns ~15/16 of all keys, rendezvous (HRW) hashing
+      // moves only ~1/17 — the reason stateful sinks shard by HRW/ring,
+      // not modulo. HRW argmax over the (tiny) shard list is a row-local
+      // reduce: map-only over the keys, one aggregation at the end
+      // array_max over (w, sh) structs = lexicographic argmax — linear
+      // expression size (a naive when-chain reduce doubles the tree per
+      // shard: 2^16 nodes by shard 16, which stalls codegen)
+      def hrw(key: Column, n: Int): Column =
+        array_max(array((0 until n).map(sh => struct(
+          graft.operators.SketchOps.normalizedHash(
+            concat_ws("#", key.cast(StringType), lit(sh))).as("w"),
+          lit(sh.toLong).as("sh"))): _*)).getField("sh")
+      val keys = Tables.customer(s, d).select(col("c_custkey"))
+      keys.select(
+          (col("c_custkey") % 16 =!= col("c_custkey") % 17).cast(LongType).as("mod_moved"),
+          (hrw(col("c_custkey"), 16) =!= hrw(col("c_custkey"), 17))
+            .cast(LongType).as("hrw_moved"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("mod_moved")).as("mod_moved"), sum(col("hrw_moved")).as("hrw_moved"))
+        .select(col("n_keys"),
+          call_function("div", col("mod_moved") * 1000, col("n_keys")).as("mod_moved_permille"),
+          call_function("div", col("hrw_moved") * 1000, col("n_keys")).as("hrw_moved_permille"))
+    },
+      Some("""WITH k AS (SELECT c_custkey AS key FROM customer),
+h AS (SELECT key,
+  list_transform(range(0, 17), sh ->
+    ((636413622 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(CAST(key AS VARCHAR) || '#' || CAST(sh AS VARCHAR)) + 1),
+        i -> CAST(unicode(substring(CAST(key AS VARCHAR) || '#' || CAST(sh AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+      (acc, x) -> (acc * 31 + x) % 1000000007) + 528402381) % 1000000007 + 1) / 1000000007.0) AS ws
+  FROM k),
+a AS (SELECT key, ws,
+  list_position(ws, list_max(ws[1:16])) - 1 AS hrw16,
+  list_position(ws, list_max(ws)) - 1 AS hrw17 FROM h),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(SUM(CASE WHEN key % 16 != key % 17 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved,
+  CAST(SUM(CASE WHEN hrw16 != hrw17 THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved
+  FROM a)
+SELECT n_keys, (mod_moved * 1000) // n_keys AS mod_moved_permille,
+  (hrw_moved * 1000) // n_keys AS hrw_moved_permille FROM m""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat
