@@ -2647,6 +2647,78 @@ m AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
   FROM a)
 SELECT n_keys, (mod_moved * 1000) // n_keys AS mod_moved_permille,
   (hrw_moved * 1000) // n_keys AS hrw_moved_permille FROM m""")),
+
+    ("q136_fold_complements", (s, d) => {
+      // k-fold CV bookkeeping in ONE pass: per-fold held-out stats AND
+      // the training-complement stats from fold totals vs the broadcast
+      // grand total — no k scans, no self-join. Deterministic hash folds
+      val folds = Tables.documents(s, d)
+        .select(pmod(Converters.fingerprint64(col("doc_id").cast(StringType)),
+            lit(5L)).as("fold"),
+          col("n_chars"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      val tot = folds.agg(sum(col("n_docs")).as("tn"), sum(col("chars")).as("tc"))
+      folds.crossJoin(broadcast(tot))
+        .select(col("fold"), col("n_docs"),
+          call_function("div", col("chars"), col("n_docs")).as("heldout_mean_chars"),
+          (col("tn") - col("n_docs")).as("train_docs"),
+          call_function("div", col("tc") - col("chars"), col("tn") - col("n_docs"))
+            .as("train_mean_chars"))
+        .orderBy(col("fold"))
+    },
+      Some("""WITH f AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+      i -> CAST(unicode(substring(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007) % 5 AS fold, n_chars FROM documents),
+g AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS chars FROM f GROUP BY 1),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tn, CAST(SUM(chars) AS BIGINT) AS tc FROM g)
+SELECT fold, n_docs, chars // n_docs AS heldout_mean_chars,
+  tn - n_docs AS train_docs, (tc - chars) // (tn - n_docs) AS train_mean_chars
+FROM g CROSS JOIN t ORDER BY fold""")),
+
+    ("q137_source_similarity", (s, d) => {
+      // corpus-level diagnostics: which sources duplicate each other —
+      // one KMV sketch per source (bounded mergeable state), then the
+      // pairwise resemblance matrix as row-local list math over the
+      // sources-sized relation; the shingle stream shuffles ONCE
+      val sh = Tables.documents(s, d)
+        .select(col("source"),
+          explode(DedupOps.shingleArray(col("text"), 3)).as("sg"))
+      val sk = sh.groupBy(col("source"))
+        .agg(graft.operators.SketchOps.kmvSketch(
+          graft.operators.SketchOps.normalizedHash(col("sg")), 64).as("sk"))
+      val u = slice(array_sort(array_distinct(concat(col("a.sk"), col("b.sk")))), 1, 64)
+      sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("sa"), col("b.source").as("sb"),
+          u.as("__u"), col("a.sk").as("__a"), col("b.sk").as("__b"))
+        .select(col("sa"), col("sb"),
+          size(col("__u")).cast(LongType).as("k_union"),
+          size(array_intersect(array_intersect(col("__u"), col("__a")), col("__b")))
+            .cast(LongType).as("__m"))
+        .select(col("sa"), col("sb"),
+          call_function("div", col("__m") * 1000000L, col("k_union")).as("resemblance_ppm"))
+        .orderBy(col("sa"), col("sb"))
+    },
+      Some("""WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT source, s FROM
+  (SELECT source, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s FROM toks)),
+hv AS (SELECT DISTINCT source, ((636413622 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(s) + 1),
+      i -> CAST(unicode(substring(s, CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007) + 528402381) % 1000000007 + 1) / 1000000007.0 AS h
+  FROM sh),
+sk AS (SELECT source, list_slice(list_sort(list(h)), 1, 64) AS sk FROM hv GROUP BY 1),
+p AS (SELECT a.source AS sa, b.source AS sb, a.sk AS ska, b.sk AS skb,
+  list_slice(list_sort(list_distinct(list_concat(a.sk, b.sk))), 1, 64) AS u
+  FROM sk a JOIN sk b ON a.source < b.source),
+m AS (SELECT sa, sb, CAST(len(u) AS BIGINT) AS k_union,
+  CAST(len(list_filter(u, x -> list_contains(ska, x) AND list_contains(skb, x))) AS BIGINT) AS mm
+  FROM p)
+SELECT sa, sb, (mm * 1000000) // k_union AS resemblance_ppm
+FROM m ORDER BY sa, sb""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat
