@@ -366,6 +366,9 @@ SELECT doc_id, words AS n_words,
   + CAST(least(CAST(floor((cnt_the * 2000) / words) AS BIGINT), 200) AS BIGINT) AS quality
 FROM base ORDER BY doc_id""")),
 
+    // q28: regex-based token-count ESTIMATORS (cheap, vocabulary-free);
+    // the accurate vocabulary-driven counters are q80 (wordpiece) and
+    // q140 (merge-rule BPE)
     ("q28_token_counts", (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -2611,14 +2614,17 @@ FROM c GROUP BY 1 ORDER BY o_orderpriority""")),
       // moves only ~1/17 — the reason stateful sinks shard by HRW/ring,
       // not modulo. HRW argmax over the (tiny) shard list is a row-local
       // reduce: map-only over the keys, one aggregation at the end
-      // array_max over (w, sh) structs = lexicographic argmax — linear
+      // array_max over (w, -sh) structs = lexicographic argmax — linear
       // expression size (a naive when-chain reduce doubles the tree per
-      // shard: 2^16 nodes by shard 16, which stalls codegen)
+      // shard: 2^16 nodes by shard 16, which stalls codegen). The shard
+      // index is NEGATED inside the struct so a weight tie resolves to
+      // the LOWEST shard — matching the oracle's list_position (first
+      // occurrence of the max) exactly, bit-replayable even on ties
       def hrw(key: Column, n: Int): Column =
-        array_max(array((0 until n).map(sh => struct(
+        -array_max(array((0 until n).map(sh => struct(
           graft.operators.SketchOps.normalizedHash(
             concat_ws("#", key.cast(StringType), lit(sh))).as("w"),
-          lit(sh.toLong).as("sh"))): _*)).getField("sh")
+          lit(-sh.toLong).as("nsh"))): _*)).getField("nsh")
       val keys = Tables.customer(s, d).select(col("c_custkey"))
       keys.select(
           (col("c_custkey") % 16 =!= col("c_custkey") % 17).cast(LongType).as("mod_moved"),

@@ -110,7 +110,8 @@ object AsofOps {
                       leftTime: Column, rightTime: Column,
                       rightTieCol: String, payload: Seq[String]): DataFrame = {
     require(payload.nonEmpty, "asofJoinNearest needs at least one payload column")
-    val reserved = Seq("__t", "__tag", "__tiebrk", "__pb", "__pf", "__pick", "asof_dt")
+    val reserved = Seq("__t", "__tag", "__tiebrk", "__pb", "__pf", "__pick",
+      "__rn", "__rt", "asof_dt")
     val allNames = left.columns.toSeq ++ payload ++ Seq(keyCol, rightTieCol)
     require(!allNames.exists(reserved.contains),
       s"columns may not use the reserved names ${reserved.mkString(", ")}")

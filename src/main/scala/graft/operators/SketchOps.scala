@@ -88,14 +88,22 @@ object SketchOps {
         size(array_intersect(array_intersect(col("__u"), col("__a")), col("__b")))
           .cast("long").as("__m"))
       .select(col("k_union"),
-        call_function("div", col("__m") * 1000000L, col("k_union")).as("resemblance_ppm"),
-        q4(when(col("k_union") < k, col("k_union").cast("double"))
-          .otherwise((col("k_union").cast("double") - 1.0) /
-            element_at(col("__u"), size(col("__u"))))).as("union_est"),
-        q4((col("__m").cast("double") / col("k_union").cast("double")) *
-          when(col("k_union") < k, col("k_union").cast("double"))
+        // k_union = 0 (both inputs empty / all values sketch to nothing)
+        // must return a defined zero row, not an ANSI divide-by-zero
+        when(col("k_union") > 0L,
+          call_function("div", col("__m") * 1000000L, col("k_union")))
+          .otherwise(lit(0L)).as("resemblance_ppm"),
+        when(col("k_union") > 0L,
+          q4(when(col("k_union") < k, col("k_union").cast("double"))
             .otherwise((col("k_union").cast("double") - 1.0) /
-              element_at(col("__u"), size(col("__u"))))).as("intersect_est"))
+              element_at(col("__u"), size(col("__u"))))))
+          .otherwise(lit(0.0)).as("union_est"),
+        when(col("k_union") > 0L,
+          q4((col("__m").cast("double") / col("k_union").cast("double")) *
+            when(col("k_union") < k, col("k_union").cast("double"))
+              .otherwise((col("k_union").cast("double") - 1.0) /
+                element_at(col("__u"), size(col("__u"))))))
+          .otherwise(lit(0.0)).as("intersect_est"))
   }
 
   /** Mergeable log-histogram quantile sketch over a NON-NEGATIVE integer

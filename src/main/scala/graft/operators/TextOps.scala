@@ -141,7 +141,11 @@ object TextOps {
   }
 
   /** Whitespace token count and a BPE-ish subword count (greedy <=4-char
-    * lowercase chunks) — both plain regex counts.
+    * lowercase chunks) — both plain regex counts. [[subwordTokens]] is a
+    * fast ESTIMATOR (one regexp pass, no vocabulary); for accurate
+    * vocabulary-driven counts use the codegen'd wordpiece tokenizer
+    * (`graft_wordpiece_tokens`, [[graft.functions.WordpieceTokenCount]],
+    * q80) or the merge-rule BPE (`graft_bpe_tokens`, q140).
     */
   def whitespaceTokens(text: Column): Column = size(split(text, " "))
   def subwordTokens(text: Column): Column = size(regexp_extract_all(text, lit("[a-z0-9]{1,4}"), lit(0)))

@@ -5,6 +5,7 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 
 import graft.Constants
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -248,10 +249,16 @@ object StatefulOps {
         val sp = rawBatch.sparkSession
         import sp.implicits._
         // within-batch dedup on content: survivors' content is identical
-        // by definition (streamingNewDocuments documents the same pick)
+        // by definition, but the surviving ID must be DETERMINISTIC (min
+        // id per hash) — a replayed batch then re-selects the same
+        // survivor, so the id-aware verify below recognizes its own
+        // earlier append and re-admits instead of silently dropping
+        val survW = Window.partitionBy(col("__h"))
+          .orderBy(col(idCol).cast("long"))
         val batch = rawBatch.toDF()
           .withColumn("__h", md5(col(textCol)))
-          .dropDuplicates("__h")
+          .withColumn("__sn", row_number().over(survW))
+          .filter(col("__sn") === 1).drop("__sn")
         val bitsDf = Seq(Tuple1(bits.toSeq)).toDF("__bloom")
         val might = graft.operators.DedupOps.bloomMight(col("__h"),
           w => element_at(col("__bloom"), (w + 1).cast("int")), mBits, kHashes)
