@@ -2725,6 +2725,19 @@ m AS (SELECT sa, sb, CAST(len(u) AS BIGINT) AS k_union,
   FROM p)
 SELECT sa, sb, (mm * 1000000) // k_union AS resemblance_ppm
 FROM m ORDER BY sa, sb""")),
+
+    // q09/q10 replayed through the EXECUTED SQL path: the exact
+    // MergeSqlBuilder.buildMerge statement runs as `spark.sql(MERGE INTO
+    // ...)` against a live GraftCatalog table (the reference's production
+    // shape — statement text through a MERGE-capable catalog,
+    // clients/iceberg/store.go:170-233) instead of the frame-level
+    // CdcOps.mergeApply. Same oracle as q09/q10: the crosscheck IS the
+    // proof that the SQL path and the frame path agree.
+    ("q141_cdc_merge_sql_hard", (s, d) => sqlMergeReplay(s, d, soft = false),
+      Some(mergeReplaySql(soft = false))),
+
+    ("q142_cdc_merge_sql_soft", (s, d) => sqlMergeReplay(s, d, soft = true),
+      Some(mergeReplaySql(soft = true))),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat
@@ -2774,11 +2787,10 @@ c AS (SELECT doc_id, n_tokens,
  WHEN abs($a) >= 1e24 THEN '__overflow'
  ELSE CAST(CAST($a AS DECIMAL(30,6)) AS VARCHAR) END"""
 
-  /** Replay the second half of `events` as a CDC change set into the
-    * snapshot produced by the first half (op mapping: error=delete, others
-    * upsert). Exercises CdcOps.mergeApply end-to-end.
+  /** [[mergeReplay]]'s base/changes split, shared with the SQL-path
+    * replay so the two can never drift.
     */
-  private def mergeReplay(s: SparkSession, d: String, soft: Boolean): DataFrame = {
+  private def mergeReplayInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val ev = Tables.events(s, d)
     val split = broadcast(ev.agg(expr("max(event_id) div 2").as("split")))
     val withSplit = ev.crossJoin(split)
@@ -2789,6 +2801,53 @@ c AS (SELECT doc_id, n_tokens,
     val changes = withSplit.filter(col("event_id") >= col("split"))
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
         (col("event_type") === "error").as(Constants.DeleteCol))
+    (base, changes)
+  }
+
+  /** q141/q142: the [[mergeReplay]] scenario executed as REAL SQL — seed a
+    * GraftCatalog table with the base snapshot, register the last-wins
+    * deduped change batch as the staging view, run the verbatim
+    * `MergeSqlBuilder.buildMerge` statement through `spark.sql`, read the
+    * final table back. Table/view names are keyed on the dataset path so
+    * concurrent sf dirs in one session never collide; reps drop and
+    * reseed (the merge must always apply to the same base state).
+    */
+  private def sqlMergeReplay(s: SparkSession, d: String, soft: Boolean): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_exec",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val (base, changes) = mergeReplayInputs(s, d)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12) +
+      (if (soft) "_s" else "_h")
+    val t = s"graft_exec.cdc.merge_replay_$key"
+    val stg = s"stg_merge_replay_$key"
+    val del = Constants.DeleteCol
+    val dataDefs = base.schema.fields.map(f => f.name -> f.dataType.sql).toSeq
+    val colDefs = if (soft) dataDefs :+ (del -> "BOOLEAN") else dataDefs
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(graft.sink.MergeSqlBuilder.buildCreateTable(t, colDefs))
+    val baseSeed = if (soft) base.withColumn(del, lit(false)) else base
+    baseSeed.createOrReplaceTempView(s"${stg}_base")
+    s.sql(s"INSERT INTO $t SELECT * FROM ${stg}_base")
+    // MERGE needs unique staging PKs — last-wins dedupe, exactly like the
+    // reference dedupes each batch before flushing
+    val latest0 = CdcOps.lastWins(changes, Seq("user_id"), Seq(col("event_id")))
+    val latest = if (soft) latest0.withColumn(Constants.OnlySetDeleteCol, lit(false)) else latest0
+    latest.createOrReplaceTempView(stg)
+    val mergeCols = colDefs.map(_._1) ++ (if (soft) Seq(Constants.OnlySetDeleteCol) else Nil)
+    s.sql(graft.sink.MergeSqlBuilder.buildMerge(t, stg, Seq("user_id"), mergeCols,
+      softDelete = soft))
+    val outCols = Seq(col("user_id"), col("event_id"), col("event_type"), col("value")) ++
+      (if (soft) Seq(col(del)) else Nil)
+    s.table(t).select(outCols: _*).orderBy(col("user_id"))
+  }
+
+  /** Replay the second half of `events` as a CDC change set into the
+    * snapshot produced by the first half (op mapping: error=delete, others
+    * upsert). Exercises CdcOps.mergeApply end-to-end.
+    */
+  private def mergeReplay(s: SparkSession, d: String, soft: Boolean): DataFrame = {
+    val (base, changes) = mergeReplayInputs(s, d)
     val merged = CdcOps.mergeApply(base, changes, Seq("user_id"), Seq(col("event_id")), softDelete = soft)
     val cols = Seq(col("user_id"), col("event_id"), col("event_type"), col("value")) ++
       (if (soft) Seq(col(Constants.DeleteCol)) else Nil)
