@@ -1719,12 +1719,12 @@ SELECT query_id, id, rrf_score, rk FROM rr WHERE rk <= 10 ORDER BY query_id, rk"
 
     ("q101_dedup_cluster_sizes", (s, d) => {
       // curation reporting: near-dup component size histogram — how much
-      // of the corpus is singleton vs clustered (q44's component chain)
-      // star variant: O(log) rounds (q71 pins its oracle-equality with
-      // the label-propagation closure), ~2x faster than q44's chain here
-      val docs = Tables.documents(s, d)
-      val pairs = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)
-      DedupOps.nearDupGroupsStar(docs.select(col("doc_id")), "doc_id", pairs)
+      // of the corpus is singleton vs clustered. Reads the once-per-corpus
+      // [[dedupGraphPath]] artifact (star components, q71 pins their
+      // oracle-equality with the label-propagation closure) instead of
+      // re-hashing the corpus — at 100 TB the reporting query is a
+      // component-relation scan, not a signature rebuild
+      DedupOps.dedupGraphComponents(s, dedupGraphPath(s, d))
         .groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
         .orderBy(col("sz"))
@@ -2105,9 +2105,11 @@ ORDER BY exact_n DESC, token""")),
       // as a UNIT (split hashed from the canonical id), so no near-copy of
       // a training doc can land in eval — the contamination mode plain
       // row-hash splits can't prevent
-      val docs = Tables.documents(s, d)
-      val pairs = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)
-      val grp = DedupOps.nearDupGroupsStar(docs.select(col("doc_id")), "doc_id", pairs)
+      // components come from the shared [[dedupGraphPath]] artifact: split
+      // assignment over a 100 TB corpus is then a parquet scan + hash, and
+      // (critically) every consumer hashes the SAME frozen graph — a split
+      // computed today and a report computed tomorrow can't disagree
+      val grp = DedupOps.dedupGraphComponents(s, dedupGraphPath(s, d))
       val bkt = pmod(Converters.fingerprint64(col("canonical_id").cast(StringType)), lit(100L))
       grp.select(col("id").as("doc_id"), col("canonical_id"),
           when(bkt < 80, "train").when(bkt < 90, "val").otherwise("test").as("split"))
@@ -2408,8 +2410,10 @@ FROM a ORDER BY source""")),
       // (the local clustering signal that separates dense dup-farms from
       // chains). Canonical a<b<c enumeration: one two-hop equi-join plus
       // one closing-edge semi-check — never an all-pairs scan
-      val docs = Tables.documents(s, d)
-      val pairs = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)
+      // the near-dup edge relation comes from the shared [[dedupGraphPath]]
+      // artifact — graph analytics over a frozen pair table, not a corpus
+      // re-hash; eager checkpoint: three self-join consumers
+      val pairs = DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d))
         .select(least(col("ia"), col("ib")).as("a"),
           greatest(col("ia"), col("ib")).as("b")).distinct()
         .localCheckpoint(true)
@@ -2750,6 +2754,35 @@ FROM m ORDER BY sa, sb""")),
     * self-describes what the min-of-N per-rep times amortize away.
     */
   @volatile var q75BuildSeconds: Option[Double] = None
+
+  /** Dedup-graph artifacts built by THIS JVM (q101/q118/q129/q138). */
+  private val dedupGraphBuilt = scala.collection.concurrent.TrieMap[String, Boolean]()
+
+  /** One-off dedup-graph build cost (same contract as [[q75BuildSeconds]]). */
+  @volatile var dedupGraphBuildSeconds: Option[Double] = None
+
+  /** Once-per-JVM [[DedupOps.buildDedupGraph]] over `documents`, returning
+    * the artifact path — the "computed once per corpus generation"
+    * (pairs, components) relation that q101 (cluster sizes), q118 (split),
+    * q129 (triangles) and q138 (artifact stats) all read instead of each
+    * re-hashing the corpus. Keyed like q75: md5(full dataset path) + pid,
+    * so two datasets never share an index and concurrent JVMs never
+    * overwrite each other's.
+    */
+  private def dedupGraphPath(s: SparkSession, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ddg_${key}_${ProcessHandle.current().pid()}"
+    dedupGraphBuilt.getOrElseUpdate(path, {
+      val t0 = System.nanoTime()
+      DedupOps.buildDedupGraph(Tables.documents(s, d), "doc_id", "text", path, 3)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      dedupGraphBuildSeconds = Some(buildS)
+      System.err.println(f"[bench] dedup-graph build: $buildS%.2f s (once per JVM, shared by q101/q118/q129/q138)")
+      true
+    })
+    path
+  }
 
 
   /** Schema block driving q43's auto-dispatch (shape: schema.go:14-69). */

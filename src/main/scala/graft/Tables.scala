@@ -22,15 +22,25 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events` stores its `ts` column as parquet TIMESTAMP(NANOS), which the
-    * Spark parquet reader rejects outright. Read it as raw nanos via the
-    * legacy conf, then surface a microsecond `ts` TimestampType column
-    * (matching DuckDB's ns->us truncation) plus the raw `ts_ns` long.
+  /** `events` surfaces BOTH a microsecond `ts` TimestampType column and an
+    * epoch-nanos `ts_ns` long, whatever physical type the generator wrote:
+    *  - parquet TIMESTAMP(NANOS): the Spark reader rejects it outright, so
+    *    the legacy conf reads raw nanos -> `ts` is the us truncation
+    *    (matching DuckDB's ns->us behavior) and `ts_ns` the raw long;
+    *  - parquet timestamp[us] (isAdjustedToUTC=false, read as NTZ): cast to
+    *    TimestampType (value-preserving — every session pins UTC) and
+    *    derive `ts_ns` = unix_micros * 1000, matching DuckDB `epoch_ns`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 }
