@@ -2730,6 +2730,69 @@ m AS (SELECT sa, sb, CAST(len(u) AS BIGINT) AS k_union,
 SELECT sa, sb, (mm * 1000000) // k_union AS resemblance_ppm
 FROM m ORDER BY sa, sb""")),
 
+    ("q138_dedup_graph_stats", (s, d) => {
+      // artifact observability: per-Hamming-distance edge census of the
+      // frozen near-dup graph (how tight are the dup clusters this corpus
+      // generation admitted?) — pairs come from the [[dedupGraphPath]]
+      // artifact, so the report is an edge-relation scan, never a corpus
+      // re-hash; lazy checkpoint: two aggregation consumers below
+      val pairs = DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d))
+        .localCheckpoint(false)
+      val np = pairs.groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+      val nd = pairs.select(col("hamming"),
+          explode(array(col("ia"), col("ib"))).as("id"))
+        .groupBy(col("hamming")).agg(countDistinct(col("id")).as("n_docs"))
+      np.join(nd, Seq("hamming")).orderBy(col("hamming"))
+    },
+      Some(s"""WITH $simhashSigCtes,
+pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+np AS (SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs FROM pr GROUP BY 1),
+nd AS (SELECT hamming, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+  FROM (SELECT hamming, unnest([ia, ib]) AS id FROM pr) GROUP BY 1)
+SELECT np.hamming, np.n_pairs, nd.n_docs
+FROM np JOIN nd USING (hamming) ORDER BY hamming""")),
+
+    ("q139_repetition_metrics", (s, d) =>
+      // Gopher-style repetition filters: top-bigram and duplicated-bigram
+      // token fractions (ppm, integer-exact) — the boilerplate-loop signal
+      // the length/stopword quality score (q27) cannot see
+      TextOps.repetitionMetrics(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1])) AS b FROM toks),
+c AS (SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY 1, 2),
+a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams, MAX(cnt) AS mx,
+  COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0) AS dup FROM c GROUP BY 1)
+SELECT d.doc_id AS id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+  CAST(COALESCE((a.mx * 1000000) // a.n_bigrams, 0) AS BIGINT) AS top_bigram_ppm,
+  CAST(COALESCE((a.dup * 1000000) // a.n_bigrams, 0) AS BIGINT) AS dup_bigram_ppm
+FROM documents d LEFT JOIN a USING (doc_id) ORDER BY id""")),
+
+    ("q140_bpe_merge_tokens", (s, d) => {
+      // merge-rule BPE token budget (vs q80's greedy wordpiece): the
+      // codegen'd graft_bpe_tokens count plus how many merges fired
+      // (chars-sans-spaces minus surviving symbols) — the oracle replays
+      // the IDENTICAL framed replace chain, rule for rule
+      val nbpe = TextOps.bpeMergeTokens(col("text"))
+      // initial symbol count = chars sans spaces (translate strips them)
+      val nSym = length(translate(col("text"), " ", "")).cast(LongType)
+      Tables.documents(s, d).select(col("doc_id"), nbpe.as("n_bpe"),
+          (nSym - nbpe).as("n_merges"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH m AS (SELECT doc_id, length(text) AS lt,
+  length(text) - length(replace(text, ' ', '')) AS sp,
+  ${bpeOracleEncodeSql} AS enc FROM documents),
+t AS (SELECT doc_id, lt, sp,
+  length(enc) - length(replace(enc, '||', '#')) - 1 - sp AS n_bpe FROM m)
+SELECT doc_id, CAST(n_bpe AS BIGINT) AS n_bpe,
+  CAST(lt - sp - n_bpe AS BIGINT) AS n_merges
+FROM t ORDER BY doc_id""")),
+
     // q09/q10 replayed through the EXECUTED SQL path: the exact
     // MergeSqlBuilder.buildMerge statement runs as `spark.sql(MERGE INTO
     // ...)` against a live GraftCatalog table (the reference's production
@@ -2947,6 +3010,18 @@ WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $tau ORDER BY ia, ib"""
     * DedupOps.simhashFp30 bit-for-bit — same rolling word fingerprint,
     * same bit-sum sign rule. Shared by the q23 and q44 oracles.
     */
+  /** q140 oracle: the framed merge-rule replace chain, interpolated from
+    * the SAME ordered [[graft.functions.BpeMerges.rules]] table the
+    * Spark-side [[graft.functions.BpeTokenCount]] unfolds — one replace()
+    * per rule, so the two engines apply identical merges in identical
+    * order and can never drift.
+    */
+  private def bpeOracleEncodeSql: String =
+    graft.functions.BpeMerges.rules.foldLeft(
+      "'||' || regexp_replace(text, '(.)', '\\1||', 'g')") { case (c, (a, b)) =>
+      s"replace($c, '|$a||$b|', '|$a$b|')"
+    }
+
   private def simhashSigCtes: String = simhashSigCtesOver("documents")
 
   /** Same signature chain over an arbitrary base relation (q73 runs it

@@ -7,7 +7,8 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Concat, Expression, Length, Literal, RegExpReplace, RuntimeReplaceable, StringReplace, StringTranslate, Subtract, UnaryExpression}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -261,6 +262,42 @@ case class WordpieceTokenCount(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.functions.Wordpiece.countTokens($s)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Merge-rule BPE token count over the ordered [[BpeMerges]] fixture —
+  * the Sennrich-style counterpart to [[WordpieceTokenCount]]'s greedy
+  * longest-match. RuntimeReplaceable: the tokenizer IS a fold of builtin
+  * string expressions, so instead of bespoke eval/codegen this unfolds
+  * into that builtin chain and whole-stage codegen compiles it like a
+  * hand-written column. Symbols are framed with DOUBLED bars
+  * (`"ab"` -> `"||a||b||"`) and one merge rule is one non-regex
+  * `replace("|a||b|", "|ab|")` pass: the double separator donates one
+  * guard bar to each side, so a consecutive run of the same pair merges
+  * at every non-overlapping instance in a single pass — exactly the
+  * semantics of Sennrich's `apply_bpe` regex substitution, with the
+  * zero-width lookaround guards replaced by consumable bars (RE2-safe,
+  * so the DuckDB oracle of q140 replays the identical chain). Counting:
+  * a string of n symbols carries exactly n+1 double-bar separators, an
+  * invariant every replacement preserves.
+  */
+case class BpeTokenCount(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  private def str(s: String) = Literal(UTF8String.fromString(s), StringType)
+  override lazy val replacement: Expression = {
+    val encoded = Concat(Seq(str("||"),
+      RegExpReplace(child, str("(.)"), str("$1||"))))
+    val merged = BpeMerges.rules.foldLeft(encoded: Expression) { case (c, (a, b)) =>
+      StringReplace(c, str(s"|$a||$b|"), str(s"|$a$b|"))
+    }
+    // n symbols carry n+1 double-bar separators; replacing each "||" with
+    // one char shrinks the string by exactly that count — no division
+    val seps = Subtract(Length(merged),
+      Length(StringReplace(merged, str("||"), str("#"))))
+    val spaces = Subtract(Length(child), Length(StringTranslate(child, str(" "), str(""))))
+    Cast(Subtract(Subtract(seps, Literal(1)), spaces), LongType)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
     copy(child = newChild)
 }
 

@@ -77,6 +77,38 @@ object TextOps {
     call_function("div", duplicateTokenCount(text).cast("long") * 1000, size(toks).cast("long"))
   }
 
+  /** Gopher-style within-document repetition metrics over word bigrams
+    * (Rae et al. 2021 §A1.1: "fraction of characters in the most common
+    * n-gram" / "fraction in duplicated n-grams" — the filter family that
+    * catches boilerplate-looping and keyboard-mash documents that
+    * length/stopword quality scores miss). Token-count variant, integer-
+    * exact: per document, `top_bigram_ppm` = occurrences of the most
+    * frequent bigram over total bigrams (parts-per-million, floor), and
+    * `dup_bigram_ppm` = fraction of bigram slots whose bigram occurs
+    * more than once. Ties need no break — only the max COUNT is used.
+    * One explode + two aggregations, all shuffles keyed on the doc id;
+    * at 100 TB the bigram relation is map-side partial-aggregated before
+    * it ever shuffles, and no state beyond one doc's distinct bigrams
+    * exists anywhere. Docs with < 2 tokens surface with zero metrics
+    * (left join back to the id spine).
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df.select(col(idCol).as("id"),
+        explode(DedupOps.shingleArrayFromTokens(split(col(textCol), " "), 2)).as("b"))
+      .groupBy(col("id"), col("b")).agg(count(lit(1)).as("cnt"))
+    val agg = bg.groupBy(col("id")).agg(
+      sum(col("cnt")).as("n_bigrams"),
+      max(col("cnt")).as("mx"),
+      coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).as("dup"))
+    df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(call_function("div", col("mx") * 1000000L, col("n_bigrams")), lit(0L))
+          .as("top_bigram_ppm"),
+        coalesce(call_function("div", col("dup") * 1000000L, col("n_bigrams")), lit(0L))
+          .as("dup_bigram_ppm"))
+  }
+
   /** Conservative PII patterns shared by the Spark side and the SQL
     * oracle. Kept to the regex subset with identical semantics in Java
     * regex and RE2 (character classes, +, {m,}, alternation — no
@@ -149,6 +181,19 @@ object TextOps {
     */
   def whitespaceTokens(text: Column): Column = size(split(text, " "))
   def subwordTokens(text: Column): Column = size(regexp_extract_all(text, lit("[a-z0-9]{1,4}"), lit(0)))
+
+  /** Merge-rule BPE token count over the ordered
+    * [[graft.functions.BpeMerges]] fixture — applies each pair-merge
+    * rule as one framed non-regex replace pass, then counts surviving
+    * symbols. Backed by the RuntimeReplaceable
+    * [[graft.functions.BpeTokenCount]] (SQL: `graft_bpe_tokens`), which
+    * unfolds into builtin string expressions, so the whole tokenizer
+    * stays inside whole-stage codegen. Assumes the text alphabet avoids
+    * the `|` frame char (guaranteed for the corpus tables).
+    */
+  def bpeMergeTokens(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.BpeTokenCount(
+      org.apache.spark.sql.GraftBridge.expression(text)))
 
   /** Unicode canonicalization for dedup/matching: NFC-normalize, then
     * strip combining marks (NFD → drop Mn → NFC) — "café" and "café"

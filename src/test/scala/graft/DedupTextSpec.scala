@@ -1088,4 +1088,48 @@ class DedupTextSpec extends AnyFunSuite {
       ("u", "x", 4L, 1L, -1L, true), ("v", "z", 1L, 1L, -1L, true)),
       got.toSeq.toString)
   }
+
+  test("bpeMergeTokens replays the merge table by hand and via SQL") {
+    // "the": (t,h)->th, (th,e)->the = 1 token / 2 merges;
+    // "scan": (a,n), (s,c), (sc,an) = 1 token / 3 merges
+    val df = Seq(
+      (1L, "the the scan"), // 3 tokens, 10 symbols, 7 merges
+      (2L, "a a a a"),      // no rule touches bare "a": 4 tokens, 0 merges
+      (3L, ""),             // empty text: 0 tokens
+      (4L, "zzz")           // no applicable rule: 3 single-char tokens
+    ).toDF("id", "text")
+    val got = df.select(col("id"), TextOps.bpeMergeTokens(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 4L, 3L -> 0L, 4L -> 3L))
+    // SQL surface
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT graft_bpe_tokens('the the scan') AS n")
+      .head().getLong(0)
+    assert(viaSql == 3L)
+  }
+
+  test("bpeMergeTokens merges a run left-to-right like exhaustive BPE") {
+    // "ananan": (a,n) pass -> an an an (3 tokens); the run case where a
+    // naive overlapping replace would miscount
+    val got = Seq((1L, "ananan"), (2L, "ththe"))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.bpeMergeTokens(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // "ththe": (t,h) pass -> th th e; (th,e): th the -> 2 tokens
+    assert(got == Map(1L -> 3L, 2L -> 2L))
+  }
+
+  test("repetitionMetrics: exact ppm fractions and short-doc zeros") {
+    val df = Seq(
+      (1L, "x y x y x"), // bigrams xy,yx,xy,yx: top 2/4, dup 4/4
+      (2L, "solo"),      // < 2 tokens: no bigrams
+      (3L, "p q r")      // 2 distinct bigrams: top 1/2, dup 0
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionMetrics(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((4L, 500000L, 1000000L)),
+      2L -> ((0L, 0L, 0L)),
+      3L -> ((2L, 500000L, 0L))))
+  }
 }
