@@ -140,8 +140,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val rerun = results.collect { case (k, _, _, true) => "\"" + k.split("_")(0) + "\"" }
       .mkString("[", ",", "]")
-    val buildS = Queries.q75BuildSeconds
-      .map(b => s""","build_s":{"q75":${f2(b)}}""").getOrElse("")
+    val buildEntries =
+      Queries.q75BuildSeconds.map(b => "\"q75\":" + f2(b)).toSeq ++
+      Queries.dedupGraphBuildSeconds.map(b => "\"dedup_graph\":" + f2(b)).toSeq
+    val buildS =
+      if (buildEntries.isEmpty) ""
+      else s""","build_s":{${buildEntries.mkString(",")}}"""
     val detailLine = line.dropRight(1) +
       s""","reps_detail":$repsDetail,"rerun":$rerun$buildS}"""
     // belt-and-braces for the driver's tail capture (parsed=null six rounds
