@@ -262,11 +262,16 @@ object DedupOps {
       (1 to windowSize).flatMap(j => Seq(
         lead(col("id"), j).over(w).as(s"id$j"),
         lead(col("hs"), j).over(w).as(s"hs$j"))): _*)
-    val cands = (1 to windowSize).map(j =>
-        withLeads.filter(col(s"id$j").isNotNull)
-          .select(col("id").as("ra"), col(s"id$j").as("rb"),
-            col("hs").as("ha"), col(s"hs$j").as("hb")))
-      .reduce(_ unionByName _)
+    // ONE pass over the window output: explode the lead slots instead of
+    // unioning windowSize filtered branches (a union re-executes the
+    // whole window + shingle hashing once per branch)
+    val leadSlots = array((1 to windowSize).map(j =>
+      struct(col(s"id$j").as("rb"), col(s"hs$j").as("hb"))): _*)
+    val cands = withLeads
+      .select(col("id").as("ra"), col("hs").as("ha"),
+        explode(leadSlots).as("c"))
+      .filter(col("c.rb").isNotNull)
+      .select(col("ra"), col("c.rb").as("rb"), col("ha"), col("c.hb").as("hb"))
     val inter = size(array_intersect(col("ha"), col("hb")))
     cands.select(least(col("ra"), col("rb")).as("ia"),
         greatest(col("ra"), col("rb")).as("ib"),
