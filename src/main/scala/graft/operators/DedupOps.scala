@@ -1031,8 +1031,14 @@ object DedupOps {
     * by the DuckDB oracle (q76).
     */
   def repeatedPassages(df: DataFrame, idCol: String, textCol: String,
-                       k: Int = 6, w: Int = 5): DataFrame = {
-    val docFp = winnowedDocFp(df, idCol, textCol, k, w)
+                       k: Int = 6, w: Int = 5): DataFrame =
+    repeatedPassagesFromFp(winnowedDocFp(df, idCol, textCol, k, w))
+
+  /** [[repeatedPassages]] over a precomputed (id, fp) winnow relation —
+    * shared with the [[buildWinnowFpIndex]] artifact path so corpus
+    * fingerprints hash once per generation, not once per report.
+    */
+  private[graft] def repeatedPassagesFromFp(docFp: DataFrame): DataFrame = {
     // per-doc distinct fps, so count(*) counts documents
     val shared = docFp.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2).select(col("fp"), lit(1L).as("__hit"))
@@ -1043,6 +1049,30 @@ object DedupOps {
       .select(col("id"), col("n_fp"), col("n_shared"),
         call_function("div", col("n_shared") * 1000, col("n_fp")).as("shared_permille"))
   }
+
+  /** Parquet-backed winnow-fingerprint index at `path` — the passage-
+    * level sibling of [[buildDedupGraph]]: one corpus-generation job
+    * hashes every document's winnowed fingerprints ([[winnowedDocFp]]),
+    * and every consumer (repeated-passage scoring, pair attribution,
+    * contamination screens) is then a parquet scan of (id, fp) rows.
+    * Layout: path/fps (id, fp), path/meta (k, w).
+    */
+  def buildWinnowFpIndex(corpus: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int, path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    winnowedDocFp(corpus, idCol, textCol, k, w)
+      .write.mode("overwrite").parquet(s"$path/fps")
+    Seq((k, w)).toDF("k", "w").write.mode("overwrite").parquet(s"$path/meta")
+    ()
+  }
+
+  /** (id, fp) rows from a [[buildWinnowFpIndex]] artifact. distinct():
+    * replayed writes can duplicate rows; the relation is distinct by
+    * construction, so row-dedup restores it exactly.
+    */
+  def winnowFps(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/fps").distinct()
 
   /** The winnowing fingerprint-selection stage shared by
     * [[repeatedPassages]] and [[repeatedPassagePairs]]: one (id, fp) row
@@ -1107,9 +1137,15 @@ object DedupOps {
     */
   def repeatedPassagePairs(df: DataFrame, idCol: String, textCol: String,
                            k: Int = 6, w: Int = 5,
-                           maxDocsPerFp: Int = 64): DataFrame = {
+                           maxDocsPerFp: Int = 64): DataFrame =
+    repeatedPassagePairsFromFp(winnowedDocFp(df, idCol, textCol, k, w), maxDocsPerFp)
+
+  /** [[repeatedPassagePairs]] over a precomputed (id, fp) winnow relation
+    * (see [[buildWinnowFpIndex]]).
+    */
+  private[graft] def repeatedPassagePairsFromFp(docFp: DataFrame,
+                                                maxDocsPerFp: Int): DataFrame = {
     require(maxDocsPerFp >= 2, s"need maxDocsPerFp >= 2, got $maxDocsPerFp")
-    val docFp = winnowedDocFp(df, idCol, textCol, k, w)
     val eligible = docFp.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2 && col("n_docs") <= maxDocsPerFp)
       .select(col("fp"))

@@ -71,6 +71,30 @@ class DedupGraphSpec extends AnyFunSuite {
     assert(compSet(DedupOps.dedupGraphComponents(spark, path)) == expComp)
   }
 
+  test("winnow-fp index artifact reproduces the direct winnowing results") {
+    val docs = Tables.documents(spark, sf)
+    val path = tmp()
+    DedupOps.buildWinnowFpIndex(docs, "doc_id", "text", 6, 5, path)
+    val fps = DedupOps.winnowFps(spark, path)
+
+    val direct = DedupOps.repeatedPassages(docs, "doc_id", "text", 6, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaIdx = DedupOps.repeatedPassagesFromFp(fps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaIdx == direct)
+    assert(direct.nonEmpty)
+
+    val directPairs = DedupOps.repeatedPassagePairs(docs, "doc_id", "text", 6, 5, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaIdxPairs = DedupOps.repeatedPassagePairsFromFp(fps, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaIdxPairs == directPairs)
+
+    // meta records the fingerprint parameters
+    val meta = spark.read.parquet(s"$path/meta").head()
+    assert((meta.getInt(0), meta.getInt(1)) == ((6, 5)))
+  }
+
   test("replayed append is idempotent through the reader dedup") {
     val docs = Tables.documents(spark, sf).localCheckpoint(false)
     val mid = docs.agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY doc_id)"))
