@@ -2809,6 +2809,28 @@ SELECT doc_id, CAST(n_bpe AS BIGINT) AS n_bpe,
   CAST(lt - sp - n_bpe AS BIGINT) AS n_merges
 FROM t ORDER BY doc_id""")),
 
+    ("q143_bloom_contamination", (s, d) => {
+      // q63's decontamination at the scale where the benchmark shingle
+      // set can NO LONGER broadcast: native Bloom sketch prunes the
+      // corpus stream map-side, the exact join verifies only candidates
+      // — same oracle as q63 because pruning+verify is exact
+      val docs = Tables.documents(s, d)
+      DedupOps.bloomNgramContamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 3)
+        .orderBy(col("id"))
+    },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM
+  (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s FROM toks)),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)
+SELECT c.doc_id AS id, count(*) AS n_shingles, count(b.s) AS n_hits,
+  (count(b.s) * 1000) // count(*) AS hit_permille
+FROM corpus c LEFT JOIN bench b ON b.s = c.s
+GROUP BY 1 ORDER BY id""")),
+
     // q09/q10 replayed through the EXECUTED SQL path: the exact
     // MergeSqlBuilder.buildMerge statement runs as `spark.sql(MERGE INTO
     // ...)` against a live GraftCatalog table (the reference's production

@@ -1181,6 +1181,53 @@ object DedupOps {
         call_function("div", col("n_hits") * 1000, col("n_shingles")).as("hit_permille"))
   }
 
+  /** [[ngramContamination]] for benchmark sets TOO BIG TO BROADCAST as a
+    * shingle table: probe the corpus against Spark's native Bloom filter
+    * (the `BloomFilterAggregate` sketch the optimizer's runtime-filter
+    * injection uses), then EXACT-verify only the candidates with the
+    * real join. The bloom is a fixed-size binary (mBits bits however
+    * many shingles the benchmark has) built by a map-side-combinable
+    * aggregate; false positives cost verify work only and false
+    * negatives cannot happen, so the output is bit-identical to
+    * [[ngramContamination]] — approximate pruning, exact answer. The
+    * shuffled verify join then moves only `hits + epsilon` rows instead
+    * of every corpus shingle. (The hand-rolled [[bloomBitset]] family is
+    * the engine-portable doc-level variant; this one rides the native
+    * codegen'd sketch at shingle grain.)
+    */
+  def bloomNgramContamination(docs: DataFrame, bench: DataFrame,
+                              idCol: String, textCol: String, n: Int,
+                              expectedItems: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    // two consumers each: bloom build + verify join / denominator + probe
+    val benchSh = shingles(bench, idCol, textCol, n).select(col("shingle"))
+      .distinct().localCheckpoint(false)
+    val docSh = shingles(docs, idCol, textCol, n).localCheckpoint(false)
+    val agg = new BloomFilterAggregate(
+      GraftBridge.expression(xxhash64(col("shingle"))),
+      Literal(expectedItems), Literal(expectedItems * 8L))
+    val bloom = benchSh.agg(
+      GraftBridge.column(agg.toAggregateExpression()).as("__bf"))
+    // might_contain demands a constant/scalar-subquery bloom operand —
+    // the same wiring InjectRuntimeFilter uses; the subquery runs once
+    val candidates = docSh
+      .filter(GraftBridge.column(BloomFilterMightContain(
+        GraftBridge.scalarSubquery(bloom),
+        GraftBridge.expression(xxhash64(col("shingle"))))))
+      .select(col("id"), col("shingle"))
+    val hits = candidates.join(benchSh, Seq("shingle"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    docSh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        call_function("div", coalesce(col("n_hits"), lit(0L)) * 1000,
+          col("n_shingles")).as("hit_permille"))
+  }
+
   /** Deterministic Bloom bitset of a corpus's content hashes, as ONE row
     * with an (word-index -> 64-bit word) map — the broadcastable "seen"
     * summary for [[bloomNewDocuments]]. kHashes bit positions per

@@ -10,6 +10,15 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** A scalar-subquery expression over a 1-row/1-column Dataset — the
+    * shape the optimizer's runtime-filter injection uses to hand a
+    * Bloom-filter binary to `might_contain` (which rejects plain joined
+    * columns). The subquery executes once and its result is shared.
+    */
+  def scalarSubquery(df: Dataset[_]): Expression =
+    catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed)
+
   /** Register a function builder on an EXISTING session (the
     * FunctionRegistry lives behind `private[sql] sessionState`; new
     * sessions should prefer `spark.sql.extensions=graft.GraftExtensions`).

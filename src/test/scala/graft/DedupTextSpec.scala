@@ -1119,6 +1119,22 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("bloomNgramContamination equals the broadcast-exact contamination") {
+    // approximate pruning + exact verify must be bit-identical to the
+    // broadcast path, whatever the bloom's false-positive rate — force a
+    // tiny, collision-prone filter to make that claim earn its keep
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exact = rows(DedupOps.ngramContamination(corpus, bench, "doc_id", "text", 3))
+    val viaBloom = rows(DedupOps.bloomNgramContamination(
+      corpus, bench, "doc_id", "text", 3, expectedItems = 64))
+    assert(viaBloom == exact)
+    assert(exact.exists(_._3 > 0)) // hits exist, or the test is vacuous
+  }
+
   test("repetitionMetrics: exact ppm fractions and short-doc zeros") {
     val df = Seq(
       (1L, "x y x y x"), // bigrams xy,yx,xy,yx: top 2/4, dup 4/4
