@@ -1782,10 +1782,12 @@ SELECT grp AS "group", n, value AS median_value FROM r
 WHERE rn = (n + 1) // 2 ORDER BY "group" """)),
 
     ("q105_editdist_pairs", (s, d) =>
-      // character-level fuzzy dedup: SimHash pigeonhole candidates
-      // verified with EXACT Levenshtein (built-in DP in both engines),
-      // reported as permille of the longer text
-      DedupOps.editDistancePairs(Tables.documents(s, d), "doc_id", "text", 3, 500L)
+      // character-level fuzzy dedup: the [[dedupGraphPath]] artifact's
+      // pigeonhole candidates verified with EXACT Levenshtein (built-in
+      // DP in both engines), reported as permille of the longer text —
+      // the verify is the operator here, candidates come from the graph
+      DedupOps.editDistancePairsFromCands(Tables.documents(s, d),
+        DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d)), "doc_id", "text", 500L)
         .orderBy(col("ia"), col("ib")),
       Some(s"""WITH $simhashSigCtes,
 pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM sig a JOIN sig b ON a.doc_id < b.doc_id

@@ -1326,9 +1326,20 @@ object DedupOps {
     */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         maxDist: Int = 3,
-                        maxPermille: Long = 200L): DataFrame = {
-    val cands = simhashExactPairs(df, idCol, textCol, maxDist)
-      .select(col("ia"), col("ib"))
+                        maxPermille: Long = 200L): DataFrame =
+    editDistancePairsFromCands(df,
+      simhashExactPairs(df, idCol, textCol, maxDist).select(col("ia"), col("ib")),
+      idCol, textCol, maxPermille)
+
+  /** The Levenshtein-verify half of [[editDistancePairs]] over a
+    * precomputed (ia, ib) candidate relation — e.g. the pair table of a
+    * [[buildDedupGraph]] artifact, so admission-time fuzzy screens skip
+    * the signature rebuild.
+    */
+  private[graft] def editDistancePairsFromCands(df: DataFrame, cands0: DataFrame,
+                                                idCol: String, textCol: String,
+                                                maxPermille: Long): DataFrame = {
+    val cands = cands0.select(col("ia"), col("ib"))
     val t = df.select(col(idCol).as("__id"), col(textCol).as("__tx"))
     cands
       .join(t.as("ta"), col("ia") === col("ta.__id"))
