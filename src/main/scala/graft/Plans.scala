@@ -33,7 +33,7 @@ object Plans {
     "q64_doc_chunking" -> "overlapping token chunks: map-only projection + Generate, zero shuffles",
     "q66_token_budget_sample" -> "per-group token quota: one group-partitioned window, no global sort",
     "q68_distinctive_terms" -> "integer TF-IDF ranking: key-partitioned aggs, term equi-join, per-doc rank window",
-    "q76_passage_winnowing" -> "winnowed passage fingerprints: map-only selection, shuffles only over window minima",
+    "q76_passage_winnowing" -> "repeated-passage scoring over the winnow-fp parquet artifact: (id, fp) scan + two keyed aggregations, text never re-hashed",
     "q78_vocab_top_ngrams" -> "exact top-K vocabulary: map-side-combinable counts + TakeOrdered (no global sort)",
     "q79_interval_join" -> "bucketized range join: interval replicated per bucket, hash equi-join + exact residual",
     "q85_span_removal" -> "cross-doc span dedup: equi-joins on span hashes, row-local rebuild over the pruned source scan",
@@ -48,6 +48,8 @@ object Plans {
     "q122_zorder_layout" -> "z-order layout audit: codegen Morton key inline in the scan projection, one combinable aggregation",
     "q126_embed_contamination" -> "embedding contamination: broadcast eval side, corpus probed map-side (never shuffled)",
     "q129_triangle_count" -> "triangle counting: canonical two-hop equi-join + semi closing-edge check, no all-pairs",
+    "q140_bpe_merge_tokens" -> "merge-rule BPE inline in the scan projection: one codegen'd framed-replace chain per row, no shuffle before the output sort",
+    "q143_bloom_contamination" -> "bloom-pruned decontamination: scalar-subquery bloom probe filters the corpus map-side, exact verify join sees candidates only",
   )
 
   def main(args: Array[String]): Unit = {

@@ -401,4 +401,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(lang"))     // partitioned, not global
     assert(!p.contains("SinglePartition"))
   }
+
+  test("q140: BPE chain inlines in the scan projection — no join, no aggregate") {
+    val p = plan("q140_bpe_merge_tokens")
+    assert(p.contains("replace("))  // the unfolded merge chain
+    assert(!p.contains("Join"))
+    assert(!p.contains("HashAggregate"))
+    // only the presentation orderBy may shuffle
+    assert(!p.contains("hashpartitioning"))
+  }
+
+  test("q143: bloom probe prunes map-side; the exact verify join stays equi") {
+    val p = plan("q143_bloom_contamination")
+    assert(p.contains("might_contain")) // scalar-subquery bloom filter probe
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoop"))
+  }
 }
