@@ -356,4 +356,78 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: BPE expression equals a naive Sennrich apply_bpe reference") {
+    import graft.functions.BpeMerges
+    // independent reference: explicit symbol lists, one leftmost-first
+    // non-overlapping pass per rule in table order — the textbook
+    // apply_bpe semantics the framed replace chain claims to reproduce
+    def naiveWord(w: String): Long = {
+      var syms: List[String] = w.map(_.toString).toList
+      for ((a, b) <- BpeMerges.rules) {
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toList
+      }
+      syms.length.toLong
+    }
+    def naive(text: String): Long = text.split(" ", -1).map(naiveWord).sum
+    // generator biased toward rule collisions: corpus words (fully
+    // mergeable), rule-side fragments, and junk — plus run/cascade edges
+    val frag = BpeMerges.rules.flatMap { case (a, b) => Seq(a, b, a + b) }.distinct
+    val wordGen = Gen.oneOf(
+      Gen.oneOf("the", "scan", "batch", "query", "window", "stream", "hash"),
+      Gen.choose(1, 4).flatMap(k => Gen.listOfN(k, Gen.oneOf(frag)).map(_.mkString)),
+      Gen.alphaLowerStr.map(_.take(5)))
+    val textGen = Gen.choose(0, 10).flatMap(k => Gen.listOfN(k, wordGen).map(_.mkString(" ")))
+    val texts = (0 until 250).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(1000L + i))) ++
+      Seq("", " ", "a  b", "ananan", "aaaa", "ththe", "thethethe",
+        "windowindow", "scanscan", "strstrstream")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.operators.TextOps.bpeMergeTokens(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == naive(t), s"BPE diverges on '$t': got ${got(i.toLong)}, want ${naive(t)}")
+    }
+  }
+
+  test("property: dedup-graph multi-batch append equals a one-shot build") {
+    import graft.operators.DedupOps
+    // small vocab + planted exact dups straddling batch boundaries, so
+    // appends must both find cross-batch pairs and bridge components
+    val wordGen = Gen.oneOf("the", "quick", "brown", "fox", "jumps", "over")
+    val textGen = Gen.choose(8, 14).flatMap(k => Gen.listOfN(k, wordGen).map(_.mkString(" ")))
+    for (seed <- 0 until 3) {
+      val texts = (0 until 18).flatMap(i =>
+        textGen.apply(Gen.Parameters.default, Seed(seed * 100L + i)))
+      // plant dups across future batch boundaries (batches split by index % 3)
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, if (i % 5 == 0 && i >= 3) texts(i - 3) else t)
+      }
+      val full = docs.toDF("doc_id", "text").localCheckpoint(false)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_ddg_prop$seed").toString
+      DedupOps.buildDedupGraph(
+        docs.filter(_._1 % 3 == 0).toDF("doc_id", "text"), "doc_id", "text", dir, 3)
+      for (b <- 1 to 2)
+        DedupOps.appendToDedupGraph(
+          docs.filter(_._1 % 3 == b).toDF("doc_id", "text"), "doc_id", "text", dir)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def comps(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expPairs = pairs(DedupOps.simhashExactPairs(full, "doc_id", "text", 3))
+      assert(pairs(DedupOps.dedupGraphPairs(spark, dir)) == expPairs, s"seed=$seed pairs")
+      val expComps = comps(DedupOps.nearDupGroupsStar(
+        full.select(col("doc_id")), "doc_id",
+        DedupOps.simhashExactPairs(full, "doc_id", "text", 3)))
+      assert(comps(DedupOps.dedupGraphComponents(spark, dir)) == expComps, s"seed=$seed comps")
+    }
+  }
 }
