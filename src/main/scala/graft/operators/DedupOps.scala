@@ -904,6 +904,25 @@ object DedupOps {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Cross-relation pigeonhole collisions: every (batch id, corpus id)
+    * pair within `maxDist` Hamming distance between two (id, simhash)
+    * relations — the admission-time probe of the dedup-graph family.
+    * Same recall guarantee as [[simhashExactPairsFromSigs]]; ids may
+    * coincide across the two sides (the caller decides whether a
+    * same-id hit counts — replay tolerance hangs on excluding it).
+    */
+  private[graft] def crossSigCollisions(batchSigs: DataFrame,
+                                        corpusSigs: DataFrame,
+                                        maxDist: Int): DataFrame = {
+    require(maxDist <= 3, s"pigeonhole recall guarantee holds only for maxDist <= 3, got $maxDist")
+    explodeSigChunks(batchSigs).as("a")
+      .join(explodeSigChunks(corpusSigs).as("b"), col("a.chunk") === col("b.chunk"))
+      .select(col("a.id").as("bid"), col("b.id").as("cid"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** (id, simhash, chunk) pigeonhole rows for the 30-bit signature:
     * 4 chunks of 8/8/8/6 bits — 3 differing bits cannot touch all 4
     * chunks, so every pair within Hamming distance 3 collides on >= 1.

@@ -292,6 +292,69 @@ object StatefulOps {
       }
   }
 
+  /** Streaming NEAR-dup admission against a [[graft.operators.DedupOps.buildDedupGraph]]
+    * artifact — the SimHash sibling of [[streamingExactNovelDocuments]]:
+    * per micro-batch, reject documents within Hamming `max_dist` (the
+    * artifact's parameter) of ANY prior admission, collapse within-batch
+    * near-dup components to their min-id canonical, and grow the
+    * artifact with exactly the admitted documents, so the next batch —
+    * or the next corpus-generation report reading the same graph — sees
+    * them. Per-batch cost is batch-proportional: only batch text is
+    * hashed; the corpus side contributes its SAVED signatures through
+    * the pigeonhole chunk join (never a corpus re-hash, never a corpus
+    * shuffle beyond the bounded collision candidates).
+    *
+    * Admission policy is component-canonical (deterministic): a batch
+    * doc is admitted iff it has no cross-corpus collision AND it is the
+    * minimum id of its within-batch near-dup component among
+    * corpus-clean docs. Transitive within-batch near-dups are rejected
+    * with their component — the conservative arm, consistent with the
+    * graph's own transitive component semantics.
+    *
+    * Replay tolerance (at-least-once): the corpus probe ignores same-id
+    * hits, so a replayed batch matches its own earlier signature append
+    * and re-admits the identical set (the within-batch half is a pure
+    * function of the batch); the artifact append is replay-safe by the
+    * graph readers' row-dedup contract. The artifact at `graphPath`
+    * must exist ([[graft.operators.DedupOps.buildDedupGraph]], possibly
+    * over an empty corpus) — the meta table carries max_dist.
+    */
+  def streamingNearDupAdmission(stream: DataFrame, idCol: String,
+                                textCol: String, graphPath: String)
+                               (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.DedupOps
+    stream.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (rawBatch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = rawBatch.sparkSession
+        val batch = rawBatch.toDF()
+        val maxDist = sp.read.parquet(s"$graphPath/meta").head().getInt(0)
+        // eager: three consumers below, and the probe must see the
+        // artifact as of the batch START, never its own append
+        val batchSigs = DedupOps.simhashFp30(batch, idCol, textCol)
+          .localCheckpoint(true)
+        val corpusSigs = sp.read.parquet(s"$graphPath/sigs").distinct()
+        // id-aware probe: same-id hits are this batch's own earlier
+        // append (replay) and must not reject the row
+        val corpusHit = DedupOps.crossSigCollisions(batchSigs, corpusSigs, maxDist)
+          .filter(col("bid") =!= col("cid"))
+          .select(col("bid").as("id")).distinct()
+        val cleanSigs = batchSigs.join(corpusHit, Seq("id"), "left_anti")
+          .localCheckpoint(false) // pair join consumes twice + component spine
+        val comps = DedupOps.nearDupGroupsStar(cleanSigs.select(col("id")), "id",
+          DedupOps.simhashExactPairsFromSigs(cleanSigs, maxDist))
+        val admittedIds = comps.filter(col("id") === col("canonical_id"))
+          .select(col("id").as("__adm"))
+        val admitted = batch
+          .join(admittedIds, batch(idCol).cast("long") === col("__adm"))
+          .drop("__adm")
+          .localCheckpoint(true) // materialize before the artifact grows
+        if (!admitted.isEmpty)
+          DedupOps.appendToDedupGraph(admitted, idCol, textCol, graphPath)
+        sink(admitted, batchId)
+      }
+  }
+
   /** A keyed event entering the rate limiter (event-time millis). */
   case class RateEvent(key: String, ts: Long, id: Long)
 

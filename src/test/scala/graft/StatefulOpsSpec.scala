@@ -213,6 +213,52 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).select("__h").distinct().count() == 4)
   }
 
+  test("streaming near-dup admission: corpus + within-batch rejection, artifact grows with admissions") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndadm").toString + "/graph"
+    val tX = "alpha beta gamma delta epsilon zeta eta theta"
+    val tY = "spark window merge batch filter column vector order"
+    val tZ = "one two three four five six seven eight nine ten"
+    val tW = "red green blue yellow purple orange pink black white"
+    // seed corpus: one admitted doc X
+    DedupOps.buildDedupGraph(Seq((100L, tX)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 3)
+    val admitted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val ms = MemoryStream[(Long, String)]
+    val q = StatefulOps.streamingNearDupAdmission(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", dir) { (adm, bid) =>
+        admitted ++= adm.collect().map(r => (bid, r.getAs[Long]("doc_id")))
+        ()
+      }.start()
+    // batch 1: corpus dup rejects (1 ~ X); within-batch twins collapse to
+    // the min id (2 over 3); fresh doc admits (4)
+    ms.addData((1L, tX), (2L, tY), (3L, tY), (4L, tZ))
+    q.processAllAvailable()
+    // batch 2: dup of a PRIOR BATCH admission rejects (5 ~ 2's text);
+    // fresh admits (6)
+    ms.addData((5L, tY), (6L, tW))
+    q.processAllAvailable()
+    q.stop()
+    assert(admitted.map(_._2).sorted.toSeq == Seq(2L, 4L, 6L), admitted.toSeq.toString)
+    // the artifact grew with exactly the admissions; components cover them
+    val compIds = DedupOps.dedupGraphComponents(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(compIds == Set(100L, 2L, 4L, 6L), compIds.toString)
+    // a new query against the same artifact still rejects old admissions
+    val admitted2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val ms2 = MemoryStream[(Long, String)]
+    val q2 = StatefulOps.streamingNearDupAdmission(
+      ms2.toDF().toDF("doc_id", "text"), "doc_id", "text", dir) { (adm, _) =>
+        admitted2 ++= adm.collect().map(_.getAs[Long]("doc_id"))
+        ()
+      }.start()
+    ms2.addData((7L, tW), (8L, tX), (9L, "totally fresh words appear here now finally indeed"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(admitted2.toSeq == Seq(9L), admitted2.toSeq.toString)
+  }
+
   test("rateLimitStream: event-time token bucket — burst, starvation, refill, cross-batch state") {
     implicit val sqlCtx = spark.sqlContext
     import StatefulOps.{RateEvent, RateDecision}
