@@ -2811,6 +2811,25 @@ SELECT doc_id, CAST(n_bpe AS BIGINT) AS n_bpe,
   CAST(lt - sp - n_bpe AS BIGINT) AS n_merges
 FROM t ORDER BY doc_id""")),
 
+    ("q144_audio_energy", (s, d) => {
+      // audio-modality plumbing: stub PCM decode + per-window integer
+      // energy/peak (silence & clipping screens), emitted directly by the
+      // partition-local decode map — zero shuffle before the output sort;
+      // oracle replays the stub codec's LCG walk sample for sample
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("content"))
+      graft.operators.MultimodalOps.audioWindowEnergy(docs, "doc_id", "content", 64, 16)
+        .toDF().orderBy(col("media_id"), col("window_idx"))
+    },
+      Some(s"""WITH RECURSIVE ${audioStubCtes(64)},
+ex AS (SELECT doc_id, (j - 1) // 16 AS wi,
+  CASE WHEN smps[CAST(j AS INT)] >= 128 THEN smps[CAST(j AS INT)] - 256
+       ELSE smps[CAST(j AS INT)] END AS a
+  FROM au, range(1, 65) t(j))
+SELECT doc_id AS media_id, CAST(wi AS INT) AS window_idx,
+  CAST(SUM(abs(a)) AS BIGINT) AS energy, CAST(MAX(abs(a)) AS INT) AS peak
+FROM ex GROUP BY 1, 2 ORDER BY media_id, window_idx""")),
+
     ("q143_bloom_contamination", (s, d) => {
       // q63's decontamination at the scale where the benchmark shingle
       // set can NO LONGER broadcast: native Bloom sketch prunes the
@@ -3239,6 +3258,28 @@ FROM st WHERE i = 64 ORDER BY media_id, frame_idx"""
   /** The q82/q104 shared frame-decode replay: the q34 LCG extended to
     * carry the full pixel list — ends with `fr(doc_id, fi, pxs)`.
     */
+  /** q144 oracle: replay of the stub AUDIO codec (decodeAudioStub) — the
+    * same mod-2^64 LCG walk as the frame stub, distinct seed
+    * (doc_id*131+7), one sample per step, sample = SIGNED top byte.
+    */
+  private def audioStubCtes(nSamples: Int): String =
+    s"""st AS (
+  SELECT doc_id, 0 AS i, CAST(doc_id * 131 + 7 AS HUGEINT) AS acc,
+         CAST([] AS BIGINT[]) AS smps, text
+  FROM documents
+  UNION ALL
+  SELECT doc_id, i + 1, nacc, list_append(smps, CAST(nacc >> 56 AS BIGINT)), text
+  FROM (
+    SELECT *, (acc * 6364136223846793005 +
+      CASE WHEN length(text) = 0 THEN 0
+           ELSE unicode(substring(text,
+             CAST(((CASE WHEN acc >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN acc - CAST(18446744073709551616 AS HUGEINT) ELSE acc END)
+               % length(text) + length(text)) % length(text) + 1 AS INT), 1))
+      END) % CAST(18446744073709551616 AS HUGEINT) AS nacc
+    FROM st WHERE i < $nSamples)),
+au AS (SELECT doc_id, smps FROM st WHERE i = $nSamples)"""
+
   private def frameStubPixelCtes(nFrames: Int): String =
     s"""st AS (
   SELECT doc_id, CAST(f AS INT) AS fi, 0 AS i, CAST(doc_id * 31 + f AS HUGEINT) AS acc,

@@ -52,6 +52,68 @@ object MultimodalOps {
     }
   }
 
+  /** One analysis window of a decoded audio track: integer energy
+    * (sum of absolute sample amplitudes) and peak amplitude.
+    */
+  case class AudioWindow(media_id: Long, window_idx: Int, energy: Long, peak: Int)
+
+  /** The stubbed AUDIO codec: the PCM sibling of [[decodeStub]] — a real
+    * implementation hands `bytes` to a decoder and yields signed sample
+    * amplitudes; the stub derives a deterministic signed-byte stream
+    * from the same rolling-hash scheme (distinct seed, so audio and
+    * frame stubs never alias). Replayable by a SQL oracle, like every
+    * stub in this module.
+    */
+  private[graft] def decodeAudioStub(id: Long, bytes: Array[Byte],
+                                     nSamples: Int): Array[Int] = {
+    val out = new Array[Int](nSamples)
+    var acc = id * 131 + 7
+    var i = 0
+    while (i < nSamples) {
+      val b = if (bytes.isEmpty) 0 else bytes(((acc % bytes.length) + bytes.length).toInt % bytes.length)
+      acc = acc * 6364136223846793005L + b
+      out(i) = (acc >>> 56).toByte.toInt // signed amplitude -128..127
+      i += 1
+    }
+    out
+  }
+
+  /** Audio decode + windowed energy in ONE partition-local stage: decode
+    * `nSamples` amplitudes per media item (stub codec; per-partition
+    * init amortized like [[sampleFrames]]) and fold them into
+    * `nSamples / win` analysis windows of (sum |amplitude|, max
+    * |amplitude|) — the silence-detection / clipping-screen features an
+    * audio curation pipeline filters on. Integer arithmetic end-to-end
+    * and ZERO shuffle: windows are emitted directly by the decode map,
+    * so the operator scales with input splits; only downstream per-media
+    * aggregation (if any) shuffles, keyed on the media id.
+    */
+  def audioWindowEnergy(df: DataFrame, idCol: String, binCol: String,
+                        nSamples: Int = 64, win: Int = 16): Dataset[AudioWindow] = {
+    require(nSamples > 0 && win > 0 && nSamples % win == 0,
+      s"need nSamples a positive multiple of win, got nSamples=$nSamples win=$win")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.repartition(col(idCol))
+      .select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec init would go here
+        it.flatMap { case (id, bytes) =>
+          val s = decodeAudioStub(id, bytes, nSamples)
+          (0 until nSamples / win).map { w =>
+            var e = 0L; var p = 0
+            var j = w * win
+            while (j < (w + 1) * win) {
+              val a = math.abs(s(j)); e += a; if (a > p) p = a
+              j += 1
+            }
+            AudioWindow(id, w, e, p)
+          }
+        }
+      }
+  }
+
   /** Frame-sample stage: (id, binary) -> Dataset[Frame]. Repartitions on
     * the media id so codec CPU fans out across executors, then runs the
     * decoder per partition — the shape a JNI/native codec needs (batch

@@ -172,6 +172,36 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(again.getDouble(2) == r.getDouble(2))
   }
 
+  test("audioWindowEnergy: window fold equals a direct decode replay; zero-shuffle plan") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(10)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    val texts = Tables.documents(spark, "/root/testdata/sf0.001").limit(10)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = MultimodalOps.audioWindowEnergy(docs, "doc_id", "content", 64, 16)
+      .collect().map(w => (w.media_id, w.window_idx) -> (w.energy, w.peak)).toMap
+    assert(got.size == 40) // 10 items x 4 windows
+    // direct replay through the stub codec
+    for ((id, text) <- texts) {
+      val s = MultimodalOps.decodeAudioStub(id, text.getBytes("UTF-8"), 64)
+      for (w <- 0 until 4) {
+        val slice = s.slice(w * 16, (w + 1) * 16).map(math.abs)
+        assert(got((id, w)) == ((slice.map(_.toLong).sum, slice.max)),
+          s"window ($id,$w) diverges")
+      }
+    }
+    // empty payload: decode still yields deterministic samples (byte = 0)
+    val empty = MultimodalOps.decodeAudioStub(7L, Array.emptyByteArray, 16)
+    assert(empty.length == 16 && empty.forall(v => v >= -128 && v <= 127))
+    // the operator itself never shuffles (repartition excepted, which is
+    // the id fan-out for codec parallelism): no Exchange hashpartitioning
+    // beyond the explicit repartition, no aggregate
+    val plan = MultimodalOps.audioWindowEnergy(docs, "doc_id", "content", 64, 16)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("HashAggregate"))
+  }
+
   test("resizeFrames: nearest-neighbor downscale keeps source pixels, shape, extremes bound") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(4)
       .select(col("doc_id"), col("text").cast("binary").as("content"))
