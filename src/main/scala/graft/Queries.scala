@@ -2811,6 +2811,106 @@ SELECT doc_id, CAST(n_bpe AS BIGINT) AS n_bpe,
   CAST(lt - sp - n_bpe AS BIGINT) AS n_merges
 FROM t ORDER BY doc_id""")),
 
+    ("q145_rfm_segments", (s, d) => {
+      // classic RFM segmentation at warehouse scale: per-customer
+      // recency/frequency/monetary, bucketed 1-5 by EXACT quintile
+      // thresholds from the range-partitioned percentile machinery —
+      // never a global ntile window (single-partition at 100 TB), and
+      // threshold comparison gives ties ONE deterministic bucket, which
+      // ntile cannot. Monetary sums as DECIMAL (parity rule 1).
+      import graft.operators.SketchOps
+      val base = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("__last"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary"))
+      val mx = base.agg(max(col("__last")).as("__mx"))
+      val feat = base.crossJoin(broadcast(mx))
+        .select(col("o_custkey").as("custkey"),
+          datediff(col("__mx"), col("__last")).cast(LongType).as("recency_days"),
+          col("frequency"), col("monetary"))
+        .localCheckpoint(false) // three threshold scans + the final score
+      // the exact literals, never i*0.2 — 3*0.2 is 0.6000000000000001
+      // and would silently null the third threshold
+      val qs = Seq(0.2, 0.4, 0.6, 0.8)
+      def th(vcol: String): DataFrame = {
+        val cols = qs.zipWithIndex.map { case (qv, i) =>
+          max(when(col("q") === qv, col("value"))).as(s"__${vcol}_t${i + 1}")
+        }
+        SketchOps.exactPercentiles(feat.select(col(vcol), col("custkey")),
+            vcol, "custkey", qs)
+          .agg(cols.head, cols.tail: _*)
+      }
+      def bucket(vcol: String): Column =
+        (1 to 4).map(i => (col(vcol) > col(s"__${vcol}_t$i")).cast(LongType))
+          .foldLeft(lit(1L))(_ + _)
+      feat.crossJoin(broadcast(th("recency_days")))
+        .crossJoin(broadcast(th("frequency")))
+        .crossJoin(broadcast(th("monetary")))
+        .select(col("custkey"), col("recency_days"), col("frequency"), col("monetary"),
+          bucket("recency_days").as("r_bucket"),
+          bucket("frequency").as("f_bucket"),
+          bucket("monetary").as("m_bucket"))
+        .withColumn("segment",
+          col("r_bucket") * 100L + col("f_bucket") * 10L + col("m_bucket"))
+        .orderBy(col("custkey"))
+    },
+      Some("""WITH base AS (SELECT o_custkey AS custkey, max(o_orderdate) AS last_o,
+  CAST(count(*) AS BIGINT) AS frequency,
+  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY 1),
+mx AS (SELECT max(last_o) AS m FROM base),
+feat AS (SELECT custkey, CAST(date_diff('day', last_o, m) AS BIGINT) AS recency_days,
+  frequency, monetary FROM base, mx),
+rt AS (SELECT max(CASE WHEN rn = CAST(floor((n - 1) * 0.2) AS BIGINT) + 1 THEN v END) AS r1,
+  max(CASE WHEN rn = CAST(floor((n - 1) * 0.4) AS BIGINT) + 1 THEN v END) AS r2,
+  max(CASE WHEN rn = CAST(floor((n - 1) * 0.6) AS BIGINT) + 1 THEN v END) AS r3,
+  max(CASE WHEN rn = CAST(floor((n - 1) * 0.8) AS BIGINT) + 1 THEN v END) AS r4
+  FROM (SELECT recency_days AS v, row_number() OVER (ORDER BY recency_days, custkey) AS rn,
+        count(*) OVER () AS n FROM feat)),
+ft AS (SELECT max(CASE WHEN rn = CAST(floor((n - 1) * 0.2) AS BIGINT) + 1 THEN v END) AS f1,
+  max(CASE WHEN rn = CAST(floor((n - 1) * 0.4) AS BIGINT) + 1 THEN v END) AS f2,
+  max(CASE WHEN rn = CAST(floor((n - 1) * 0.6) AS BIGINT) + 1 THEN v END) AS f3,
+  max(CASE WHEN rn = CAST(floor((n - 1) * 0.8) AS BIGINT) + 1 THEN v END) AS f4
+  FROM (SELECT frequency AS v, row_number() OVER (ORDER BY frequency, custkey) AS rn,
+        count(*) OVER () AS n FROM feat)),
+mt AS (SELECT max(CASE WHEN rn = CAST(floor((n - 1) * 0.2) AS BIGINT) + 1 THEN v END) AS m1,
+  max(CASE WHEN rn = CAST(floor((n - 1) * 0.4) AS BIGINT) + 1 THEN v END) AS m2,
+  max(CASE WHEN rn = CAST(floor((n - 1) * 0.6) AS BIGINT) + 1 THEN v END) AS m3,
+  max(CASE WHEN rn = CAST(floor((n - 1) * 0.8) AS BIGINT) + 1 THEN v END) AS m4
+  FROM (SELECT monetary AS v, row_number() OVER (ORDER BY monetary, custkey) AS rn,
+        count(*) OVER () AS n FROM feat)),
+sc AS (SELECT f.custkey, f.recency_days, f.frequency, f.monetary,
+  1 + CASE WHEN f.recency_days > rt.r1 THEN 1 ELSE 0 END + CASE WHEN f.recency_days > rt.r2 THEN 1 ELSE 0 END
+    + CASE WHEN f.recency_days > rt.r3 THEN 1 ELSE 0 END + CASE WHEN f.recency_days > rt.r4 THEN 1 ELSE 0 END AS rb,
+  1 + CASE WHEN f.frequency > ft.f1 THEN 1 ELSE 0 END + CASE WHEN f.frequency > ft.f2 THEN 1 ELSE 0 END
+    + CASE WHEN f.frequency > ft.f3 THEN 1 ELSE 0 END + CASE WHEN f.frequency > ft.f4 THEN 1 ELSE 0 END AS fb,
+  1 + CASE WHEN f.monetary > mt.m1 THEN 1 ELSE 0 END + CASE WHEN f.monetary > mt.m2 THEN 1 ELSE 0 END
+    + CASE WHEN f.monetary > mt.m3 THEN 1 ELSE 0 END + CASE WHEN f.monetary > mt.m4 THEN 1 ELSE 0 END AS mb
+  FROM feat f, rt, ft, mt)
+SELECT custkey, recency_days, frequency, monetary,
+  CAST(rb AS BIGINT) AS r_bucket, CAST(fb AS BIGINT) AS f_bucket, CAST(mb AS BIGINT) AS m_bucket,
+  CAST(rb * 100 + fb * 10 + mb AS BIGINT) AS segment
+FROM sc ORDER BY custkey""")),
+
+    ("q146_pivot_lang_matrix", (s, d) =>
+      // the relational PIVOT surface: source x language document counts as
+      // a wide matrix. Explicit pivot values keep the output schema static
+      // (no extra distinct-scan job, deterministic column order — the
+      // 100 TB form; value-discovering pivot is a two-pass anti-pattern);
+      // count is map-side combinable, one shuffle on the group key
+      Tables.documents(s, d).groupBy(col("source"))
+        .pivot("lang", Seq("en", "es", "de", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L) // empty cells: pivot yields null, SUM(CASE) yields 0
+        .orderBy(col("source")),
+      Some("""SELECT source,
+  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+  CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+FROM documents GROUP BY source ORDER BY source""")),
+
     ("q144_audio_energy", (s, d) => {
       // audio-modality plumbing: stub PCM decode + per-window integer
       // energy/peak (silence & clipping screens), emitted directly by the

@@ -989,6 +989,13 @@ object DedupOps {
     * avoids, and the only way to stay exact when a new doc bridges two
     * existing components.
     *
+    * Id contract: document ids must be UNIQUE across the corpus and
+    * content-stable — re-appending an existing id with different text
+    * stores a second signature under that id, and the component relation
+    * then carries the id twice (possibly under two canonicals). Replays
+    * of the SAME content are safe (duplicate rows collapse in the
+    * readers); id reuse with new content is caller error.
+    *
     * Crash ordering: sigs are appended FIRST. A crash before the pair
     * append leaves this batch's pairs missing (components under-merged)
     * but FUTURE batches still collide with this batch's signatures, so
@@ -1221,6 +1228,13 @@ object DedupOps {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    // 8 bits/item ~ 2% fp; the aggregate rejects numBits beyond the
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits cap (2^26 by
+    // default) with an opaque error — fail here with the actionable one
+    require(expectedItems <= (1L << 23),
+      s"expectedItems=$expectedItems needs ${expectedItems * 8} bloom bits, over the " +
+        "default 2^26 runtime-filter cap; raise spark.sql.optimizer.runtime.bloomFilter.maxNumBits " +
+        "and split the build, or shard the benchmark side")
     // two consumers each: bloom build + verify join / denominator + probe
     val benchSh = shingles(bench, idCol, textCol, n).select(col("shingle"))
       .distinct().localCheckpoint(false)

@@ -317,7 +317,10 @@ object StatefulOps {
     * function of the batch); the artifact append is replay-safe by the
     * graph readers' row-dedup contract. The artifact at `graphPath`
     * must exist ([[graft.operators.DedupOps.buildDedupGraph]], possibly
-    * over an empty corpus) — the meta table carries max_dist.
+    * over an empty corpus) — the meta table carries max_dist. Ids must
+    * be unique and content-stable across the stream's lifetime (the
+    * artifact's id contract): replaying the same content under the same
+    * id is safe; reusing an id for NEW content corrupts the graph.
     */
   def streamingNearDupAdmission(stream: DataFrame, idCol: String,
                                 textCol: String, graphPath: String)
