@@ -117,6 +117,41 @@ object Bench {
       } else (name, best, times, false)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
+    // ---- scale sweep: one rep of every query at a second SF, so the
+    // artifact carries a measured per-query scaling exponent
+    //   alpha = ln(t_hi / t_lo) / ln(sf_hi / sf_lo)
+    // instead of plan-shape prose alone. alpha ~ 1 is linear, alpha < 1 is
+    // fixed-overhead-dominated (expected for sub-second queries at these
+    // SFs), alpha > 1.5 is the super-linear red flag a quadratic candidate
+    // blowup would raise. One untimed-isolation rep at sf0.01 costs well
+    // under a minute against the ~2 min main suite; disable with
+    // SPARK_GRAFT_SWEEP=0 for dev loops.
+    def sfOf(dir: String): Double =
+      try dir.split("/").last.stripPrefix("sf").toDouble catch { case _: NumberFormatException => -1.0 }
+    val sweepDir = sys.env.getOrElse("SPARK_GRAFT_SWEEP_DIR", "/root/testdata/sf0.01")
+    val sweepOn = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") != "0" &&
+      sweepDir != sfDir && sfOf(sweepDir) > 0 && sfOf(sfDir) > 0 &&
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sweepDir))
+    val scaling: Map[String, Double] = if (!sweepOn) Map.empty else {
+      val ratio = sfOf(sfDir) / sfOf(sweepDir)
+      // warm the once-per-corpus shared artifacts at the sweep SF outside
+      // any timed window, as the main suite's first consumers did at the
+      // main SF — otherwise the first graph/index consumer's sweep rep
+      // absorbs the build and its exponent is understated
+      Queries.prepareSharedArtifacts(spark, sweepDir)
+      resetStorage(spark)
+      results.flatMap { case (name, best, _, _) =>
+        if (best < 0) None else {
+          val tLo = runOnce(name, (s, _) => SparkEntry.queries(name)(s, sweepDir))
+          if (tLo <= 0) None
+          else {
+            val alpha = math.log(best / tLo) / math.log(ratio)
+            System.err.println(f"[sweep] $name lo=$tLo%.2f hi=$best%.2f alpha=$alpha%.2f")
+            Some(name.split("_")(0) -> alpha)
+          }
+        }
+      }.toMap
+    }
     // The driver keeps only the final ~2.3 KB of stdout: with 74 full
     // query names the JSON line overflowed it and `parsed` came back null
     // five rounds running. Short keys (the qNN prefix, 4 chars) put the
@@ -147,8 +182,19 @@ object Bench {
     val buildS =
       if (buildEntries.isEmpty) ""
       else s""","build_s":{${buildEntries.mkString(",")}}"""
+    // scaling block (detail file only — the stdout line must stay under the
+    // driver's ~2.3 KB tail capture): measured exponents plus the list of
+    // super-linear (> 1.5) queries, which should be empty or explained in
+    // SCALE.md
+    val scalingBlock = if (scaling.isEmpty) "" else {
+      val entries = scaling.toSeq.sortBy(_._1)
+        .map { case (q, a) => "\"" + q + "\":" + f2(a) }.mkString("{", ",", "}")
+      val hot = scaling.toSeq.filter(_._2 > 1.5).map(p => "\"" + p._1 + "\"")
+        .sorted.mkString("[", ",", "]")
+      s""","scaling_sf":"${sfOf(sweepDir)}","scaling":$entries,"superlinear":$hot"""
+    }
     val detailLine = line.dropRight(1) +
-      s""","reps_detail":$repsDetail,"rerun":$rerun$buildS}"""
+      s""","reps_detail":$repsDetail,"rerun":$rerun$buildS$scalingBlock}"""
     // belt-and-braces for the driver's tail capture (parsed=null six rounds
     // running): persist the line to a file, stop Spark so no late INFO noise
     // can interleave, then print the bare JSON once more as the final

@@ -2911,6 +2911,16 @@ FROM sc ORDER BY custkey""")),
   CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
 FROM documents GROUP BY source ORDER BY source""")),
 
+    ("q147_maximal_spans", (s, d) =>
+      // variable-length exact-substring dedup (Lee et al. 2022
+      // ExactSubstr): k=8-seeded banned span starts merged
+      // gaps-and-islands into MAXIMAL repeated regions — a long verbatim
+      // quote is ONE row here, where q85 reports its k-window union only
+      // as removed-token counts
+      DedupOps.maximalRepeatedSpans(Tables.documents(s, d), "doc_id", "text", 8)
+        .orderBy(col("id"), col("span_start")),
+      Some(maximalSpansSql(8))),
+
     ("q144_audio_energy", (s, d) => {
       // audio-modality plumbing: stub PCM decode + per-window integer
       // energy/peak (silence & clipping screens), emitted directly by the
@@ -3034,6 +3044,26 @@ GROUP BY 1 ORDER BY id""")),
     path
   }
 
+
+  /** Force the once-per-JVM shared artifacts (MinHash index, winnow-fp
+    * index, dedup graph) for dataset `d` to exist, so a timing pass over
+    * another SF (Bench's scale sweep) measures each query's own cost, not
+    * the first consumer's one-off build. Same keying as the queries
+    * themselves — calling this is exactly the "corpus generation" step a
+    * real pipeline runs before its report queries.
+    */
+  def prepareSharedArtifacts(s: SparkSession, d: String): Unit = {
+    val docs = Tables.documents(s, d)
+    val idxKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val mhPath = s"${System.getProperty("java.io.tmpdir")}/graft_mh_index_${idxKey}_${ProcessHandle.current().pid()}"
+    q75Built.getOrElseUpdate(mhPath, {
+      DedupOps.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", mhPath)
+      true
+    })
+    winnowIndexPath(s, d)
+    dedupGraphPath(s, d)
+  }
 
   /** Schema block driving q43's auto-dispatch (shape: schema.go:14-69). */
   private def q43SchemaSample: String =
@@ -3503,6 +3533,34 @@ res AS (SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
 SELECT doc_id AS id, n_tokens, n_tokens - CAST(len(kept) AS BIGINT) AS n_removed,
   COALESCE(array_to_string(kept, ' '), '') AS clean_text
 FROM res ORDER BY id"""
+  }
+
+  /** q147 oracle: the q85 fingerprint chain up to the banned (doc, pos)
+    * relation, then gaps-and-islands (new island when pos > prev + k)
+    * replaying [[graft.operators.DedupOps.maximalRepeatedSpans]].
+    */
+  private def maximalSpansSql(k: Int): String = {
+    val km1 = k - 1
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tf AS (SELECT doc_id, list_transform(w, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(t) + 1), i -> CAST(unicode(substring(t, CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007)) AS tf FROM toks),
+hv AS (SELECT doc_id, list_transform(range(1, greatest(len(tf) - $km1, 0) + 1),
+    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), tf[i:i+$km1]),
+    (acc, x) -> (acc * 31 + x) % 1000000007)) AS hv FROM tf),
+ex AS (SELECT doc_id, CAST(p AS INT) AS pos, h FROM (
+  SELECT doc_id, unnest(range(1, len(hv) + 1)) AS p, unnest(hv) AS h FROM hv)),
+own AS (SELECT h, min(doc_id) AS owner FROM ex GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+ban AS (SELECT e.doc_id, e.pos FROM ex e JOIN own o ON e.h = o.h AND e.doc_id != o.owner),
+isl AS (SELECT doc_id, pos,
+  CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $k THEN 1 ELSE 0 END AS nw
+  FROM ban WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+grp AS (SELECT doc_id, pos,
+  SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl)
+SELECT doc_id AS id, CAST(min(pos) AS BIGINT) AS span_start,
+  CAST(max(pos) + $km1 AS BIGINT) AS span_end,
+  CAST(max(pos) + $km1 - min(pos) + 1 AS BIGINT) AS span_len
+FROM grp GROUP BY doc_id, g ORDER BY id, span_start"""
   }
 
   /** The q94/q100 integer-BM25 replay (TextOps.bm25TopK arithmetic step

@@ -1410,29 +1410,7 @@ object DedupOps {
     */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 8): DataFrame = {
-    require(k >= 2, s"need span length k >= 2, got $k")
-    val M = 1000000007L
-    val tokFp = transform(split(col(textCol), " "),
-      t => graft.functions.Converters.fingerprint64(t))
-    val cnt = size(col("__tfp")) - (k - 1)
-    val spanArr = when(cnt >= 1,
-      transform(sequence(lit(1), cnt), i =>
-        aggregate(slice(col("__tfp"), i, lit(k)), lit(0L),
-          (acc, x) => (acc * 31 + x) % M)))
-      .otherwise(array().cast("array<bigint>"))
-    // the span index: one (id, 1-based start, hash) row per span; the
-    // token hashing is the CPU cost, so it must not re-run per consumer
-    val ex = df.repartition(col(idCol))
-      .select(col(idCol).as("id"), tokFp.as("__tfp"))
-      .select(col("id"), posexplode(spanArr))
-      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
-      .localCheckpoint(false)
-    val owners = ex.groupBy(col("h"))
-      .agg(countDistinct(col("id")).as("__nd"), min(col("id")).as("owner"))
-      .filter(col("__nd") >= 2)
-      .select(col("h"), col("owner"))
-    val banned = ex.join(owners, Seq("h"))
-      .filter(col("id") =!= col("owner"))
+    val banned = bannedSpanStarts(df, idCol, textCol, k)
       .groupBy(col("id"))
       .agg(sort_array(collect_set(col("pos"))).as("__starts"))
     df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
@@ -1446,5 +1424,75 @@ object DedupOps {
       .select(col("id"), col("n_tokens"),
         (col("n_tokens") - size(col("__kept"))).as("n_removed"),
         concat_ws(" ", col("__kept")).as("clean_text"))
+  }
+
+  /** The shared front half of the exact span-dedup family: (id, pos) of
+    * every 1-based k-token span start whose fingerprint occurs in >= 2
+    * distinct documents, in every document EXCEPT the first-seen (min id)
+    * owner. Fingerprints are the winnowing two-stage rolling hash
+    * ([[winnowedDocFp]]): per-token fingerprint, then a k-token combine
+    * with (acc*31+x) mod 1e9+7 — acc < 2^30 so int64-exact and
+    * SQL-replayable. The exploded span index is localCheckpoint'd once
+    * (24 B/row) because the owner aggregation and the banned join both
+    * consume it; everything else is equi-joins and one groupBy(h).
+    */
+  private def bannedSpanStarts(df: DataFrame, idCol: String, textCol: String,
+                               k: Int): DataFrame = {
+    require(k >= 2, s"need span length k >= 2, got $k")
+    val M = 1000000007L
+    val tokFp = transform(split(col(textCol), " "),
+      t => graft.functions.Converters.fingerprint64(t))
+    val cnt = size(col("__tfp")) - (k - 1)
+    val spanArr = when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i =>
+        aggregate(slice(col("__tfp"), i, lit(k)), lit(0L),
+          (acc, x) => (acc * 31 + x) % M)))
+      .otherwise(array().cast("array<bigint>"))
+    val ex = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), tokFp.as("__tfp"))
+      .select(col("id"), posexplode(spanArr))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+      .localCheckpoint(false)
+    val owners = ex.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("__nd"), min(col("id")).as("owner"))
+      .filter(col("__nd") >= 2)
+      .select(col("h"), col("owner"))
+    ex.join(owners, Seq("h"))
+      .filter(col("id") =!= col("owner"))
+      .select(col("id"), col("pos"))
+  }
+
+  /** Variable-length MAXIMAL repeated-span extraction — the
+    * "deduplicate any repeat above a minimum length" semantics of
+    * Lee et al. 2022 (Deduplicating Training Data Makes Language Models
+    * Better, ExactSubstr), seeded at k-token granularity: a repeated
+    * region of L >= k tokens yields L-k+1 consecutive banned k-span
+    * starts, and two banned starts s1 < s2 cover contiguous tokens iff
+    * s2 <= s1 + k — merging those runs reconstructs the maximal region,
+    * so a 200-token verbatim quote reports as ONE (span_start, span_end,
+    * span_len=200) row, not 193 overlapping k-spans. Positions are
+    * 1-based inclusive token indexes in the non-owner document.
+    *
+    * Scale shape: identical to [[removeRepeatedSpans]] through the
+    * banned-start relation (span index checkpointed once, equi-joins
+    * only); the interval merge is gaps-and-islands — one id-partitioned
+    * window (lag + running conditional sum) + one (id, island) groupBy,
+    * no self-join, no global window, state bounded per document.
+    */
+  def maximalRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    bannedSpanStarts(df, idCol, textCol, k)
+      .withColumn("__prev", lag(col("pos"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("pos") > col("__prev") + k, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(w))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (k - 1)).cast("long").as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
   }
 }

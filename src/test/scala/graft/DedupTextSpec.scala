@@ -567,6 +567,36 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got2(1)._3 == "x", s"doc 2 keeps only the unshared prefix: ${got2.toSeq}")
   }
 
+  test("maximalRepeatedSpans: a planted long quote is ONE maximal span; disjoint repeats stay separate") {
+    // doc 2 copies a 40-token quote from doc 1: with k=8 that is 33
+    // consecutive banned starts, which must merge into exactly ONE
+    // maximal span of length 40 at the planted position. A second,
+    // disjoint 8-token repeat later in doc 2 must stay its own island.
+    val quote = (0 until 40).map(i => s"q$i").mkString(" ")
+    val block = (0 until 8).map(i => s"r$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$quote filler0 $block"),
+      (2L, s"pre0 pre1 $quote mid0 mid1 mid2 $block post0"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.maximalRepeatedSpans(df, "doc_id", "text", 8)
+      .orderBy("id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // owner (doc 1) reports nothing; doc 2: quote at tokens 3..42,
+    // block at tokens 46..53
+    assert(got.toSeq == Seq((2L, 3L, 42L, 40L), (2L, 46L, 53L, 8L)),
+      s"expected one 40-token span + one 8-token span: ${got.toSeq}")
+    // adjacency merge: two shared k-blocks touching back-to-back (gap 0)
+    // are contiguous coverage and must merge into one 16-token span
+    val a = (0 until 8).map(i => s"a$i").mkString(" ")
+    val b = (0 until 8).map(i => s"b$i").mkString(" ")
+    val df2 = Seq((1L, s"$a $b"), (2L, s"x0 $a $b x1")).toDF("doc_id", "text")
+    val got2 = DedupOps.maximalRepeatedSpans(df2, "doc_id", "text", 8)
+      .orderBy("id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got2.toSeq == Seq((2L, 2L, 17L, 16L)),
+      s"adjacent shared blocks must merge: ${got2.toSeq}")
+  }
+
   test("repeatedPassagePairs: planted shared paragraph surfaces as a pair; hot fps capped out") {
     // docs 1/2 embed the same 10-token passage (>= k+w-1 with k=6, w=5) —
     // they MUST surface as a pair. Docs 20..25 all share one boilerplate
