@@ -2921,6 +2921,15 @@ FROM documents GROUP BY source ORDER BY source""")),
         .orderBy(col("id"), col("span_start")),
       Some(maximalSpansSql(8))),
 
+    ("q148_bpe_learn", (s, d) =>
+      // tokenizer-vocabulary induction: 3 rounds of corpus-wide BPE merge
+      // learning with deterministic (cnt DESC, pair ASC) adoption; the
+      // oracle unrolls the rounds as CTEs and replays the left-to-right
+      // non-overlapping fold with a string-accumulator list_reduce
+      graft.operators.TextOps.learnBpeMerges(Tables.documents(s, d), "text", 3)
+        .orderBy(col("round")),
+      Some(bpeLearnSql(3))),
+
     ("q144_audio_energy", (s, d) => {
       // audio-modality plumbing: stub PCM decode + per-window integer
       // energy/peak (silence & clipping screens), emitted directly by the
@@ -3561,6 +3570,44 @@ SELECT doc_id AS id, CAST(min(pos) AS BIGINT) AS span_start,
   CAST(max(pos) + $km1 AS BIGINT) AS span_end,
   CAST(max(pos) + $km1 - min(pos) + 1 AS BIGINT) AS span_len
 FROM grp GROUP BY doc_id, g ORDER BY id, span_start"""
+  }
+
+  /** q148 oracle: BPE merge learning with `rounds` unrolled CTE rounds.
+    * Each round: adjacent-pair counts over the vocabulary (weighted by
+    * word frequency), adopt max (cnt DESC, a, b), re-segment every word
+    * with a left-to-right non-overlapping fold. The fold accumulator is
+    * a chr(31)-joined string (DuckDB's list_reduce requires acc and
+    * element types to match), split back to a token list afterwards —
+    * chr(31) cannot occur in the space-tokenized fixture text.
+    */
+  private def bpeLearnSql(rounds: Int): String = {
+    def foldCte(tIn: String, rIn: String, tOut: String): String = {
+      val parts = s"string_split(acc, chr(31))"
+      s"""$tOut AS (SELECT wc, string_split(list_reduce(list_prepend('', toks), (acc, x) ->
+  CASE WHEN acc = '' THEN x
+       WHEN $parts[-1] = a AND x = b THEN
+         CASE WHEN len($parts) = 1 THEN a || b
+              ELSE array_to_string($parts[1:len($parts)-1], chr(31)) || chr(31) || a || b END
+       ELSE acc || chr(31) || x END), chr(31)) AS toks
+  FROM $tIn, $rIn)"""
+    }
+    def roundCtes(r: Int): String = {
+      val tIn = s"t${r - 1}"
+      s"""p$r AS (SELECT a, b, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+  SELECT wc, toks[CAST(i AS INT)] AS a, toks[CAST(i + 1 AS INT)] AS b FROM (
+    SELECT wc, toks, unnest(range(1, len(toks))) AS i FROM $tIn)) GROUP BY 1, 2),
+r$r AS (SELECT a, b, a || b AS merged, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1)""" +
+        (if (r < rounds) ",\n" + foldCte(tIn, s"r$r", s"t$r") else "")
+    }
+    s"""WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM
+  (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+t0 AS (SELECT wc, list_transform(range(1, length(w) + 1),
+  i -> substring(w, CAST(i AS INT), 1)) AS toks FROM w0),
+${(1 to rounds).map(roundCtes).mkString(",\n")}
+${(1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs, merged, cnt FROM r$r")
+      .mkString("\nUNION ALL ")}
+ORDER BY round"""
   }
 
   /** The q94/q100 integer-BM25 replay (TextOps.bm25TopK arithmetic step

@@ -634,4 +634,72 @@ object TextOps {
           call_function("div", col("__tot"), col("n_bigrams")))
           .otherwise(lit(0L)).as("lm_score"))
   }
+
+  /** BPE merge-rule LEARNING (Sennrich et al. 2016) — the induction side
+    * of [[graft.functions.BpeMergeTokenCount]]'s fixed merge table: start
+    * from character tokens, and for each round count adjacent
+    * within-word pairs corpus-wide (weighted by word frequency), adopt
+    * the most frequent pair as a merge rule (ties broken (pair) ASC so
+    * the rule sequence is bit-replayable), and re-segment by applying
+    * the rule left-to-right non-overlapping inside every vocabulary
+    * entry. Output: one (round, lhs, rhs, merged, cnt) row per learned
+    * rule, `rounds` rows total.
+    *
+    * Scale shape: everything after the one corpus tokenization pass is
+    * VOCABULARY-sized — the word relation is groupBy(word)+count once,
+    * each round is one vocab-sized pair aggregation plus a row-local
+    * fold re-segmentation, and the adopted rule rides along as a
+    * broadcast one-row join (no driver collect in the loop). Rounds are
+    * bounded and lineage is checkpoint-truncated per round, the same
+    * contract as the PageRank/k-means unrolled iterations. Real
+    * tokenizers run ~30k rounds; each round costs the same vocab-sized
+    * pass, so wall-clock scales in rounds x vocab, independent of corpus
+    * size beyond the first pass.
+    */
+  def learnBpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
+    var words = df.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("wc"))
+      .select(col("wc"), split(col("w"), "").as("toks"))
+      .localCheckpoint(false)
+    var rules = List.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val prs = when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("a"),
+            element_at(col("toks"), i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val pairs = words.select(col("wc"), explode(prs).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("cnt"))
+      // eager one-row checkpoint: the adopted rule feeds both the output
+      // and the fold below, and must not re-derive (a re-derivation after
+      // words mutates would be a different rule)
+      val rule = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .select(lit(r.toLong).as("round"), col("a").as("lhs"),
+          col("b").as("rhs"), concat(col("a"), col("b")).as("merged"),
+          col("cnt"))
+        .localCheckpoint(true)
+      require(!rule.isEmpty,
+        s"learnBpeMerges: no adjacent pairs left at round $r — corpus too small for $rounds rounds")
+      rules = rule :: rules
+      val rr = rule.select(col("lhs").as("__ra"), col("rhs").as("__rb"))
+      // left-to-right non-overlapping merge INSIDE each word: fold the
+      // token array; a freshly merged token never re-merges with the next
+      // element in the same pass (its string value is the concatenation,
+      // which no rule lhs of this round equals) — the standard BPE
+      // application order. The && short-circuits, so element_at(acc, -1)
+      // never evaluates on an empty accumulator under ANSI.
+      words = words.crossJoin(broadcast(rr))
+        .select(col("wc"),
+          aggregate(col("toks"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === col("__ra") && x === col("__rb"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(col("__ra"), col("__rb")))))
+              .otherwise(concat(acc, array(x)))).as("toks"))
+        .localCheckpoint(false)
+    }
+    rules.reverse.reduce(_ unionByName _)
+  }
 }

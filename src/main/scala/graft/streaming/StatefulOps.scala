@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 
 import graft.Constants
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -329,32 +329,160 @@ object StatefulOps {
     import graft.operators.DedupOps
     stream.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (rawBatch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val sp = rawBatch.sparkSession
         val batch = rawBatch.toDF()
-        val maxDist = sp.read.parquet(s"$graphPath/meta").head().getInt(0)
-        // eager: three consumers below, and the probe must see the
-        // artifact as of the batch START, never its own append
-        val batchSigs = DedupOps.simhashFp30(batch, idCol, textCol)
-          .localCheckpoint(true)
-        val corpusSigs = sp.read.parquet(s"$graphPath/sigs").distinct()
-        // id-aware probe: same-id hits are this batch's own earlier
-        // append (replay) and must not reject the row
-        val corpusHit = DedupOps.crossSigCollisions(batchSigs, corpusSigs, maxDist)
-          .filter(col("bid") =!= col("cid"))
-          .select(col("bid").as("id")).distinct()
-        val cleanSigs = batchSigs.join(corpusHit, Seq("id"), "left_anti")
-          .localCheckpoint(false) // pair join consumes twice + component spine
-        val comps = DedupOps.nearDupGroupsStar(cleanSigs.select(col("id")), "id",
-          DedupOps.simhashExactPairsFromSigs(cleanSigs, maxDist))
-        val admittedIds = comps.filter(col("id") === col("canonical_id"))
-          .select(col("id").as("__adm"))
-        val admitted = batch
-          .join(admittedIds, batch(idCol).cast("long") === col("__adm"))
-          .drop("__adm")
+        val admitted = nearDupScreen(batch, idCol, textCol, graphPath)
           .localCheckpoint(true) // materialize before the artifact grows
         if (!admitted.isEmpty)
           DedupOps.appendToDedupGraph(admitted, idCol, textCol, graphPath)
         sink(admitted, batchId)
+      }
+  }
+
+  /** The probe half of [[streamingNearDupAdmission]], factored so the
+    * curation funnel can screen WITHOUT growing the artifact (the funnel
+    * appends only its final post-budget admissions): returns the subset
+    * of `batch` that has no cross-corpus SimHash collision (id-aware —
+    * same-id hits are a replayed batch's own earlier append) and is the
+    * min-id canonical of its within-batch near-dup component.
+    */
+  private def nearDupScreen(batch: DataFrame, idCol: String, textCol: String,
+                            graphPath: String): DataFrame = {
+    import graft.operators.DedupOps
+    val sp = batch.sparkSession
+    val maxDist = sp.read.parquet(s"$graphPath/meta").head().getInt(0)
+    // eager: three consumers below, and the probe must see the
+    // artifact as of the batch START, never its own append
+    val batchSigs = DedupOps.simhashFp30(batch, idCol, textCol)
+      .localCheckpoint(true)
+    val corpusSigs = sp.read.parquet(s"$graphPath/sigs").distinct()
+    val corpusHit = DedupOps.crossSigCollisions(batchSigs, corpusSigs, maxDist)
+      .filter(col("bid") =!= col("cid"))
+      .select(col("bid").as("id")).distinct()
+    val cleanSigs = batchSigs.join(corpusHit, Seq("id"), "left_anti")
+      .localCheckpoint(false) // pair join consumes twice + component spine
+    val comps = DedupOps.nearDupGroupsStar(cleanSigs.select(col("id")), "id",
+      DedupOps.simhashExactPairsFromSigs(cleanSigs, maxDist))
+    val admittedIds = comps.filter(col("id") === col("canonical_id"))
+      .select(col("id").as("__adm"))
+    batch.join(admittedIds, batch(idCol).cast("long") === col("__adm"))
+      .drop("__adm")
+  }
+
+  /** The composed streaming curation funnel — the batch pipeline (q73:
+    * exact dedup -> near-dup canonical -> quality gate -> per-language
+    * token budget) as ONE `foreachBatch` admission stream. Stages run as
+    * probes first; the three persistent artifacts grow with the FINAL
+    * admitted set only, so a document rejected by a later stage (budget)
+    * is not black-holed by an earlier stage's index and may be admitted
+    * if its content arrives again when budget remains:
+    *
+    *  1. exact: deterministic within-batch min-id survivor per content
+    *     hash, then id-aware verify against the (__h, id) parquet hash
+    *     index (same index layout as [[streamingExactNovelDocuments]];
+    *     that operator's Bloom-bitset prefilter is the drop-in scale
+    *     path — the funnel keeps the exact broadcast verify, which the
+    *     Bloom variant also ends in);
+    *  2. near-dup: [[nearDupScreen]] against the
+    *     [[graft.operators.DedupOps.buildDedupGraph]] artifact at
+    *     `graphPath` (must exist, possibly over an empty corpus; its
+    *     meta carries the Hamming threshold);
+    *  3. quality: row-local [[graft.operators.TextOps.qualityScore]]
+    *     >= `minQuality`;
+    *  4. budget: per-language token budget, best-quality-first within
+    *     the batch (quality DESC, id — the q73 ordering), against the
+    *     cross-batch ledger parquet at `ledgerPath` holding one
+    *     (id, lang, n_tokens) row per prior admission.
+    *
+    * On a single batch over a whole corpus this is row-for-row the batch
+    * funnel (the spec pins it against the composed batch operators).
+    * Across batches admission is first-arrival-wins: earlier batches
+    * consume budget and own near-dup canonicals that a global batch run
+    * might have assigned to later, higher-quality arrivals — the
+    * inherent streaming-curation trade-off, not a defect.
+    *
+    * Replay tolerance (at-least-once): every cross-batch probe is
+    * id-aware (exact verify ignores same-id index hits; the near-dup
+    * probe ignores same-id signature hits; the ledger's prior-spend
+    * excludes the replayed batch's own ids and deduplicates rows by id),
+    * so a replayed batch recomputes the identical admitted set and
+    * re-emits it, and artifact re-appends are idempotent to every
+    * reader. Ids must be unique and content-stable across the stream's
+    * lifetime (the artifacts' id contract).
+    *
+    * Scale shape: per-batch cost is batch-proportional — batch-side
+    * hashing only, broadcast verifies against streamed index relations,
+    * corpus never shuffled; the ledger prior-spend aggregate is
+    * languages-sized. Emitted rows carry the input columns plus
+    * `quality` and `n_tokens`.
+    */
+  def streamingCurationFunnel(stream: DataFrame, idCol: String,
+                              textCol: String, langCol: String,
+                              nCharsCol: String, hashIndexPath: String,
+                              graphPath: String, ledgerPath: String,
+                              minQuality: Long, tokenBudgetPerLang: Long)
+                             (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.{DedupOps, TextOps}
+    require(tokenBudgetPerLang > 0, s"budget must be positive, got $tokenBudgetPerLang")
+    def tableOrNone(sp: SparkSession, path: String): Option[DataFrame] =
+      try Some(sp.read.parquet(path))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    stream.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (rawBatch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = rawBatch.sparkSession
+        // -- 1. exact screen
+        val survW = Window.partitionBy(col("__h")).orderBy(col(idCol).cast("long"))
+        val batch = rawBatch.toDF()
+          .withColumn("__h", md5(col(textCol)))
+          .withColumn("__sn", row_number().over(survW))
+          .filter(col("__sn") === 1).drop("__sn")
+        val exact = tableOrNone(sp, hashIndexPath) match {
+          case Some(idx) =>
+            val cands = batch
+              .select(col("__h"), col(idCol).cast("long").as("__bid")).distinct()
+            val dup = idx.join(broadcast(cands), Seq("__h"))
+              .filter(col("id") =!= col("__bid"))
+              .select(col("__h")).distinct()
+            batch.join(broadcast(dup), Seq("__h"), "left_anti")
+          case None => batch
+        }
+        // -- 2. near-dup screen (probe only)
+        val near = nearDupScreen(exact, idCol, textCol, graphPath)
+        // -- 3. quality gate + token count (row-local)
+        val qual = near
+          .withColumn("quality", TextOps.qualityScore(col(textCol), col(nCharsCol)))
+          .filter(col("quality") >= minQuality)
+          .withColumn("n_tokens", TextOps.wordCount(col(textCol)).cast("long"))
+        // -- 4. per-language budget vs the cross-batch ledger
+        val batchIds = qual.select(col(idCol).cast("long").as("id")).distinct()
+        val prior = tableOrNone(sp, ledgerPath) match {
+          case Some(led) => led
+            .dropDuplicates("id") // replay re-appends are identical rows
+            .join(broadcast(batchIds), Seq("id"), "left_anti")
+            .groupBy(col("lang").as("__plang"))
+            .agg(sum(col("n_tokens")).as("__prior"))
+          case None => sp.emptyDataFrame
+            .select(lit("").as("__plang"), lit(0L).as("__prior")).limit(0)
+        }
+        val budW = Window.partitionBy(col(langCol))
+          .orderBy(col("quality").desc, col(idCol).cast("long"))
+        val admitted = qual
+          .join(broadcast(prior), col(langCol) === col("__plang"), "left")
+          .withColumn("__cum", sum(col("n_tokens")).over(budW))
+          .filter(coalesce(col("__prior"), lit(0L)) + col("__cum") <= tokenBudgetPerLang)
+          .drop("__plang", "__prior", "__cum")
+          // materialize before ANY artifact grows: every probe above must
+          // have seen artifact state as of the batch start
+          .localCheckpoint(true)
+        if (!admitted.isEmpty) {
+          admitted.select(col("__h"), col(idCol).cast("long").as("id"))
+            .write.mode("append").parquet(hashIndexPath)
+          DedupOps.appendToDedupGraph(admitted, idCol, textCol, graphPath)
+          admitted.select(col(idCol).cast("long").as("id"),
+            col(langCol).as("lang"), col("n_tokens"))
+            .write.mode("append").parquet(ledgerPath)
+        }
+        sink(admitted.drop("__h"), batchId)
       }
   }
 

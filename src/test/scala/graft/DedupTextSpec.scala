@@ -597,6 +597,27 @@ class DedupTextSpec extends AnyFunSuite {
       s"adjacent shared blocks must merge: ${got2.toSeq}")
   }
 
+  test("learnBpeMerges: hand-computed rounds, non-overlapping fold, lexicographic tie-break") {
+    // corpus: one doc "aaaa aaaa ba ca". Round 1: (a,a) appears 3x in
+    // each "aaaa" -> cnt 6, beats (b,a)/(c,a) at 1. Re-segmentation must
+    // fold LEFT-TO-RIGHT NON-OVERLAPPING: "aaaa" -> [aa, aa] (not
+    // [aa, a, a]). Round 2: (aa,aa) cnt 2. Round 3: (b,a) vs (c,a) tie
+    // at 1 -> pair-ASC adopts (b,a).
+    val df = Seq((1L, "aaaa aaaa ba ca")).toDF("doc_id", "text")
+    val got = TextOps.learnBpeMerges(df, "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a", "a", "aa", 6L),
+      (2L, "aa", "aa", "aaaa", 2L),
+      (3L, "b", "a", "ba", 1L)), got.toString)
+    // requesting more rounds than the corpus supports fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.learnBpeMerges(Seq((1L, "ab")).toDF("doc_id", "text"), "text", 2)
+    }
+    assert(ex.getMessage.contains("no adjacent pairs"), ex.getMessage)
+  }
+
   test("repeatedPassagePairs: planted shared paragraph surfaces as a pair; hot fps capped out") {
     // docs 1/2 embed the same 10-token passage (>= k+w-1 with k=6, w=5) —
     // they MUST surface as a pair. Docs 20..25 all share one boilerplate

@@ -281,4 +281,126 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(got == Seq(("k", 1L, true), ("k", 2L, true), ("k", 3L, false),
       ("k", 4L, true), ("k", 5L, false), ("other", 6L, true)), got.toString)
   }
+
+  // ---- streaming curation funnel ---------------------------------------
+
+  private def funnelDirs(): (String, String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    (s"$base/hidx", s"$base/graph", s"$base/ledger")
+  }
+
+  private def emptyGraph(dir: String): Unit =
+    graft.operators.DedupOps.buildDedupGraph(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", dir, 3)
+
+  // the q73 composition over an arbitrary frame, for equivalence pinning
+  private def batchFunnel(docs: org.apache.spark.sql.DataFrame,
+                          minQ: Long, budget: Long): Seq[(Long, String, Long, Long)] = {
+    import graft.operators.{DedupOps, SamplingOps, TextOps}
+    import org.apache.spark.sql.functions._
+    val keepers = DedupOps.exactDuplicates(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val d1 = docs.join(keepers, "doc_id")
+    val pairs = DedupOps.simhashExactPairs(d1, "doc_id", "text", 3)
+    val groups = DedupOps.nearDupGroupsStar(d1.select(col("doc_id")), "doc_id", pairs)
+    val canon = d1.join(groups.filter(col("id") === col("canonical_id"))
+      .select(col("id").as("doc_id")), "doc_id")
+    val t = canon
+      .withColumn("quality", TextOps.qualityScore(col("text"), col("n_chars")))
+      .filter(col("quality") >= minQ)
+      .select(col("doc_id"), col("lang"), col("quality"),
+        TextOps.wordCount(col("text")).cast("long").as("n_tokens"))
+    SamplingOps.sampleToTokenBudget(t, "lang", "quality", "doc_id", "n_tokens", budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+  }
+
+  private val tEn1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val tEn1Near = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+  private val tEn2 = "spark window merge batch filter column vector order shuffle join codegen plan"
+  private val tEn3 = "one two three four five six seven eight nine ten eleven twelve"
+  private val tDe1 = "rot gruen blau gelb lila orange rosa schwarz weiss braun"
+  private val tDe2 = "ein zwei drei vier fuenf sechs sieben acht neun zehn"
+  private val tDe3 = "montag dienstag mittwoch donnerstag freitag samstag sonntag januar februar maerz"
+  private val tJunk = "a a a a a a"
+
+  private def doc(id: Long, text: String, lang: String): (Long, String, String, Long) =
+    (id, text, lang, text.length.toLong)
+
+  test("streaming curation funnel: a single batch equals the composed batch funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    // precondition for the near-dup stage: the planted variant really is
+    // within Hamming 3 of its original under simhashFp30
+    val sigs = graft.operators.DedupOps.simhashFp30(
+      Seq((1L, tEn1), (2L, tEn1Near)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 3,
+      s"fixture drift: planted near-dup pair is no longer within distance 3")
+    val docs = Seq(
+      doc(1L, tEn1, "en"),  // admitted
+      doc(2L, tEn1, "en"),  // exact dup of 1 -> rejected
+      doc(3L, tEn1Near, "en"), // near dup of 1 -> rejected
+      doc(4L, tEn2, "en"),  // admitted (24 of 30 en tokens spent)
+      doc(5L, tEn3, "en"),  // quality-clean but busts the en budget
+      doc(6L, tJunk, "en"), // quality reject
+      doc(7L, tDe1, "de"))  // admitted (other language, own budget)
+    val expected = batchFunnel(docs.toDF("doc_id", "text", "lang", "n_chars"), 150L, 30L)
+    assert(expected.map(_._1) == Seq(1L, 4L, 7L), s"fixture drift: $expected")
+    val (hidx, graph, ledger) = funnelDirs()
+    emptyGraph(graph)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+    val ms = MemoryStream[(Long, String, String, Long)]
+    val q = StatefulOps.streamingCurationFunnel(
+      ms.toDF().toDF("doc_id", "text", "lang", "n_chars"), "doc_id", "text",
+      "lang", "n_chars", hidx, graph, ledger, 150L, 30L) { (adm, _) =>
+        out ++= adm.collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[String]("lang"), r.getAs[Long]("quality"), r.getAs[Long]("n_tokens")))
+        ()
+      }.start()
+    ms.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(out.sortBy(_._1).toSeq == expected, s"streaming != batch: $out vs $expected")
+  }
+
+  test("streaming curation funnel: cross-batch artifacts, budget ledger, replay idempotence") {
+    implicit val sqlCtx = spark.sqlContext
+    val (hidx, graph, ledger) = funnelDirs()
+    emptyGraph(graph)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def run(data: Seq[(Long, String, String, Long)]): Seq[Long] = {
+      val before = out.size
+      val ms = MemoryStream[(Long, String, String, Long)]
+      val q = StatefulOps.streamingCurationFunnel(
+        ms.toDF().toDF("doc_id", "text", "lang", "n_chars"), "doc_id", "text",
+        "lang", "n_chars", hidx, graph, ledger, 150L, 30L) { (adm, bid) =>
+          out ++= adm.collect().map(r => (bid, r.getAs[Long]("doc_id")))
+          ()
+        }.start()
+      ms.addData(data: _*)
+      q.processAllAvailable()
+      q.stop()
+      out.drop(before).map(_._2).sorted.toSeq
+    }
+    // batch 1: two en docs (24/30 tokens) + one de doc (10/30)
+    assert(run(Seq(doc(1L, tEn1, "en"), doc(4L, tEn2, "en"), doc(7L, tDe1, "de")))
+      == Seq(1L, 4L, 7L))
+    // batch 2: exact dup of 1 (rejected), near dup of 1 (rejected), en doc
+    // over remaining budget (rejected), de doc within budget (admitted)
+    val batch2 = Seq(doc(10L, tEn1, "en"), doc(11L, tEn1Near, "en"),
+      doc(12L, tEn3, "en"), doc(13L, tDe2, "de"))
+    assert(run(batch2) == Seq(13L))
+    // replay of batch 2 (same rows, artifacts already grown): the id-aware
+    // probes must RE-ADMIT the same subset, not reject it against its own
+    // earlier appends
+    assert(run(batch2) == Seq(13L), "replayed batch must re-emit its admissions")
+    // after the replay the ledger holds duplicate rows for 13; they must
+    // not double-count: de has spent 20 of 30, so a fresh 10-token de doc
+    // still fits exactly
+    assert(run(Seq(doc(14L, tDe3, "de"))) == Seq(14L),
+      "replay double-counted the budget ledger")
+    // and the budget is now exhausted for de
+    assert(run(Seq(doc(15L, "acht sieben sechs fuenf vier drei zwei eins null minus", "de")))
+      == Seq.empty, "de budget should be exhausted at 30 tokens")
+  }
 }
