@@ -2930,6 +2930,90 @@ FROM documents GROUP BY source ORDER BY source""")),
         .orderBy(col("round")),
       Some(bpeLearnSql(3))),
 
+    ("q149_pii_scrub", (s, d) => {
+      // PII redaction over crawl-shaped dirt: deterministic synthetic
+      // emails/phones/IPs injected per doc_id (the fixture corpus is
+      // clean, so the dirt is planted the q72-URL way), then the shared
+      // regex scrub; both engines replay injection + redaction exactly
+      val docs = Tables.documents(s, d)
+      val dirty = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact u"), col("doc_id"),
+              lit("@mail"), pmod(col("doc_id"), lit(7)), lit(".com"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit(" call "), pmod(col("doc_id"), lit(900)) + 100,
+              lit("-"), pmod(col("doc_id") * 7, lit(900)) + 100,
+              lit("-"), pmod(col("doc_id") * 13, lit(9000)) + 1000)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" from 10."), pmod(col("doc_id"), lit(256)),
+              lit("."), pmod(col("doc_id") * 3, lit(256)),
+              lit("."), pmod(col("doc_id") * 5, lit(256)))).otherwise(lit(""))).as("text"))
+      graft.operators.TextOps.scrubPii(dirty, "doc_id", "text")
+        .orderBy(col("id"))
+    },
+      Some("""WITH dirty AS (SELECT doc_id, text
+  || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@mail' || (doc_id % 7) || '.com' ELSE '' END
+  || CASE WHEN doc_id % 4 = 0 THEN ' call ' || (doc_id % 900 + 100) || '-' || ((doc_id * 7) % 900 + 100) || '-' || ((doc_id * 13) % 9000 + 1000) ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256) || '.' || ((doc_id * 5) % 256) ELSE '' END AS text
+  FROM documents)
+SELECT doc_id AS id,
+  CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
+FROM dirty ORDER BY id""")),
+
+    ("q150_passage_chunks", (s, d) =>
+      // RAG chunking: 32-token windows, stride 24 (8-token overlap);
+      // map-only, final chunk always reaches the last token
+      graft.operators.TextOps.chunkPassages(Tables.documents(s, d), "doc_id", "text", 32, 24)
+        .orderBy(col("id"), col("chunk_idx")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (SELECT doc_id, w,
+  CASE WHEN len(w) <= 32 THEN 1 ELSE (len(w) - 32 + 23) // 24 + 1 END AS nc FROM t),
+e AS (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM c)
+SELECT doc_id AS id, CAST(i AS BIGINT) AS chunk_idx,
+  CAST(i * 24 + 1 AS BIGINT) AS start_pos,
+  CAST(len(w[CAST(i * 24 + 1 AS INT):CAST(i * 24 + 32 AS INT)]) AS BIGINT) AS n_tokens,
+  array_to_string(w[CAST(i * 24 + 1 AS INT):CAST(i * 24 + 32 AS INT)], ' ') AS chunk_text
+FROM e ORDER BY id, chunk_idx""")),
+
+    ("q151_simhash_recall", (s, d) => {
+      // dedup-quality audit (the "is the cheap screen good enough" meta
+      // query): exact 3-gram Jaccard >= 0.8 pairs as ground truth vs the
+      // SimHash dist<=3 candidate pairs — recall/precision in permille.
+      // Both relations are the existing exact operators; the audit adds
+      // one pair-key join + three counts
+      val docs = Tables.documents(s, d)
+      val r = DedupOps.jaccardPairsPrefixReleasable(docs, "doc_id", "text", 3, 0.8)
+      val truth = r.df.select(col("ia"), col("ib")).localCheckpoint(true)
+      r.release()
+      val cand = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)
+        .select(col("ia"), col("ib")).localCheckpoint(false)
+      val hit = truth.join(cand, Seq("ia", "ib"))
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          when(col("n_true") > 0,
+            call_function("div", col("n_hit") * 1000, col("n_true")))
+            .otherwise(lit(0L)).as("recall_permille"),
+          when(col("n_cand") > 0,
+            call_function("div", col("n_hit") * 1000, col("n_cand")))
+            .otherwise(lit(0L)).as("precision_permille"))
+    },
+      Some(s"""SELECT n_true, n_cand, n_hit,
+  CASE WHEN n_true > 0 THEN n_hit * 1000 // n_true ELSE 0 END AS recall_permille,
+  CASE WHEN n_cand > 0 THEN n_hit * 1000 // n_cand ELSE 0 END AS precision_permille
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_true FROM (${jaccardSql(0.8)}) jt),
+     (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM (${simhashSql(3)}) sc),
+     (SELECT CAST(count(*) AS BIGINT) AS n_hit
+      FROM (${jaccardSql(0.8)}) jt2 JOIN (${simhashSql(3)}) sc2 USING (ia, ib))""")),
+
     ("q144_audio_energy", (s, d) => {
       // audio-modality plumbing: stub PCM decode + per-window integer
       // energy/peak (silence & clipping screens), emitted directly by the

@@ -635,6 +635,62 @@ object TextOps {
           .otherwise(lit(0L)).as("lm_score"))
   }
 
+  /** PII patterns shared by [[scrubPii]] and its oracle replay: plain
+    * character-class regexes (no lookaround, no shorthand classes) so
+    * Java's regex engine and RE2-family engines agree byte for byte.
+    */
+  val PiiEmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  val PiiPhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val PiiIpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII scrubbing for corpus curation: redact emails, North-American
+    * phone numbers, and IPv4 addresses to typed placeholders and count
+    * each class. Pure map-side codegen'd regexp work — no shuffle, no
+    * UDF; replacement order (email, then ip, then phone) is fixed and
+    * the patterns cannot overlap, so the output is deterministic.
+    * Output: (id, n_emails, n_phones, n_ips, clean_text).
+    */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol).as("id"),
+      size(regexp_extract_all(t, lit(PiiEmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PiiPhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(t, lit(PiiIpRe), lit(0))).cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, PiiEmailRe, "<EMAIL>"),
+          PiiIpRe, "<IP>"),
+        PiiPhoneRe, "<PHONE>").as("clean_text"))
+  }
+
+  /** Sliding-window passage chunking — the RAG/embedding prep step:
+    * split each document into token windows of `window` tokens advancing
+    * by `stride` (overlap = window - stride). Chunk count is
+    * 1 if n <= window else ceil((n - window) / stride) + 1, so the final
+    * chunk always reaches the last token and no chunk starts beyond it.
+    * Output: (id, chunk_idx, start_pos, n_tokens, chunk_text) with
+    * 1-based token start positions. Pure row-local array work (one
+    * transform + explode), no shuffle — chunking 100 TB is a map-only
+    * pass that AQE-splits on output size.
+    */
+  def chunkPassages(df: DataFrame, idCol: String, textCol: String,
+                    window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride")
+    val n = size(col("__toks")).cast("long")
+    val nc = when(n <= window, lit(1L))
+      .otherwise(call_function("div", n - window + (stride - 1), lit(stride.toLong)) + 1L)
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .select(col("id"), col("__toks"), explode(sequence(lit(0L), nc - 1L)).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx"),
+        (col("chunk_idx") * stride + 1L).as("start_pos"),
+        slice(col("__toks"), (col("chunk_idx") * stride + 1L).cast("int"), lit(window)).as("__c"))
+      .select(col("id"), col("chunk_idx"), col("start_pos"),
+        size(col("__c")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__c")).as("chunk_text"))
+  }
+
   /** BPE merge-rule LEARNING (Sennrich et al. 2016) — the induction side
     * of [[graft.functions.BpeMergeTokenCount]]'s fixed merge table: start
     * from character tokens, and for each round count adjacent

@@ -618,6 +618,21 @@ class DedupTextSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no adjacent pairs"), ex.getMessage)
   }
 
+  test("scrubPii: redacts emails/phones/ips, counts each class, leaves near-misses alone") {
+    val df = Seq(
+      (1L, "write to bob42@mail7.com or call 555-123-4567 now"),
+      (2L, "server at 10.0.255.3 responded"),
+      (3L, "version 1.2 costs 12-34 dollars at 99-999-9999x"), // near-misses: no 4-group ip, wrong phone shape
+      (4L, "two mails a@b.io c1@d2.net and ip 1.2.3.4"))
+      .toDF("doc_id", "text")
+    val got = TextOps.scrubPii(df, "doc_id", "text").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got(0) == ((1L, 1L, 1L, 0L, "write to <EMAIL> or call <PHONE> now")), got(0).toString)
+    assert(got(1) == ((2L, 0L, 0L, 1L, "server at <IP> responded")), got(1).toString)
+    assert(got(2)._2 == 0L && got(2)._3 == 0L && got(2)._4 == 0L, got(2).toString)
+    assert(got(3) == ((4L, 2L, 0L, 1L, "two mails <EMAIL> <EMAIL> and ip <IP>")), got(3).toString)
+  }
+
   test("repeatedPassagePairs: planted shared paragraph surfaces as a pair; hot fps capped out") {
     // docs 1/2 embed the same 10-token passage (>= k+w-1 with k=6, w=5) —
     // they MUST surface as a pair. Docs 20..25 all share one boilerplate
