@@ -3067,6 +3067,140 @@ GROUP BY 1 ORDER BY id""")),
 
     ("q142_cdc_merge_sql_soft", (s, d) => sqlMergeReplay(s, d, soft = true),
       Some(mergeReplaySql(soft = true))),
+
+    // ---- round 8: sketch/frontier/mixing/export/eval additions ------------
+
+    ("q152_hll_distinct", (s, d) => {
+      // fixed-size approx-distinct for the 100 TB regime: per-source
+      // HyperLogLog (64 one-byte registers, register-max mergeable) over
+      // the 3-shingle stream. The pre-distinct exists ONLY so n_values is
+      // the exact distinct baseline the estimate is judged against —
+      // the sketch itself dedupes inherently (same value -> same
+      // register/rank) and a production profile would skip it.
+      // err_permille IS the estimator's measured error, and the oracle
+      // replays every register bit-for-bit.
+      val sh = Tables.documents(s, d)
+        .select(col("source"), explode(DedupOps.shingleArray(col("text"), 3)).as("sg"))
+        .distinct()
+      graft.operators.SketchOps.hllDistinct(sh, Seq("source"), "sg")
+        .withColumn("err_permille", call_function("div",
+          abs(col("hll_est") - col("n_values")) * 1000L, col("n_values")))
+        .orderBy(col("source"))
+    },
+      Some(s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT source, s FROM
+  (SELECT source, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s FROM toks)),
+m0 AS (SELECT source, ${mixedSql("s")} AS m0 FROM sh),
+mx AS (SELECT source, (m0 * m0 + 1) % 1000000007 AS mx FROM m0),
+rg AS (SELECT source, mx % 64 AS r,
+  CASE WHEN mx // 64 = 0 THEN 25
+       ELSE bit_count(((mx // 64) & -(mx // 64)) - 1) + 1 END AS rho FROM mx),
+mr AS (SELECT source, r, max(rho) AS m, CAST(count(*) AS BIGINT) AS n FROM rg GROUP BY 1, 2),
+ag AS (SELECT source, CAST(SUM(CAST(1 AS BIGINT) << (25 - m)) AS BIGINT) AS s2,
+  CAST(count(*) AS BIGINT) AS nr, CAST(SUM(n) AS BIGINT) AS n_values FROM mr GROUP BY 1),
+est AS (SELECT source, n_values,
+  (709 * 4096 * (CAST(1 AS BIGINT) << 25))
+    // (1000 * (s2 + (64 - nr) * (CAST(1 AS BIGINT) << 25))) AS hll_est FROM ag)
+SELECT source, n_values, hll_est,
+  (abs(hll_est - n_values) * 1000) // n_values AS err_permille
+FROM est ORDER BY source""")),
+
+    ("q153_pareto_frontier", (s, d) => {
+      // skyline: customers on the (order count, lifetime spend) Pareto
+      // frontier — no other customer both orders at least as often AND
+      // spends at least as much (one strict). Distributed decomposition
+      // in FrontierOps: per-x collapse + range-partitioned prefix-max,
+      // never a global window and never the O(n^2) dominance join the
+      // oracle uses
+      val cust = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(d2(col("o_totalprice"))) * 100).cast(LongType).as("spend_cents"))
+      graft.operators.FrontierOps.paretoFrontier2D(cust, "n_orders", "spend_cents")
+        .select(col("o_custkey"), col("n_orders"), col("spend_cents"))
+        .orderBy(col("o_custkey"))
+    },
+      Some("""WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS spend_cents
+  FROM orders GROUP BY 1)
+SELECT o_custkey, n_orders, spend_cents FROM c a
+WHERE NOT EXISTS (SELECT 1 FROM c b
+  WHERE b.n_orders >= a.n_orders AND b.spend_cents >= a.spend_cents
+    AND (b.n_orders > a.n_orders OR b.spend_cents > a.spend_cents))
+ORDER BY o_custkey""")),
+
+    ("q154_mixing_weights", (s, d) =>
+      // the mT5/XLM-R temperature-sampling distribution (alpha = 1/2)
+      // over sources, as exact permille summing to exactly 1000 via
+      // largest-remainder apportionment — floor(sqrt(n)) is one
+      // correctly-rounded IEEE op, so both engines agree bit-for-bit
+      graft.operators.SamplingOps.mixingWeights(
+        Tables.documents(s, d), "source",
+        size(split(col("text"), " ")).cast(LongType)),
+      Some("""WITH t AS (SELECT source AS "group",
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents GROUP BY 1),
+w AS (SELECT "group", n_tokens,
+  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight_raw FROM t),
+x AS (SELECT *, CAST(SUM(weight_raw) OVER () AS BIGINT) AS tot FROM w),
+b AS (SELECT *, (weight_raw * 1000) // tot AS base, (weight_raw * 1000) % tot AS rem FROM x),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, "group") AS rk,
+  1000 - CAST(SUM(base) OVER () AS BIGINT) AS short FROM b)
+SELECT "group", n_tokens, weight_raw,
+  base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS permille
+FROM r ORDER BY "group"""")),
+
+    ("q155_shard_export", (s, d) => {
+      // deterministic training-shard layout manifest: hash-mod shard,
+      // within-shard order by hash — the order-sensitive checksum proves
+      // the layout is byte-stable across engines/reruns (re-exporting on
+      // another engine yields identical shard files). One hash shuffle;
+      // shard count, not corpus size, bounds the manifest.
+      val a = graft.operators.SamplingOps.shardAssignments(
+        Tables.documents(s, d), "doc_id", 16)
+      val p = 1000000007L
+      val h = pmod(lit(636413622L) *
+        Converters.fingerprint64(col("doc_id").cast(StringType)) + lit(528402381L), lit(p))
+      a.withColumn("__h", h)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          pmod(sum(pmod(col("__h") * col("pos"), lit(p))), lit(p)).as("order_checksum"))
+        .orderBy(col("shard"))
+    },
+      Some(s"""WITH h AS (SELECT doc_id, n_chars,
+  ${mixedSql("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+a AS (SELECT *, CAST(h % 16 AS INTEGER) AS shard,
+  row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS pos FROM h)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  CAST(SUM((h * pos) % 1000000007) % 1000000007 AS BIGINT) AS order_checksum
+FROM a GROUP BY 1 ORDER BY shard""")),
+
+    ("q156_ranksum_auc", (s, d) => {
+      // threshold-free eval of a curation signal: does document length
+      // predict exact-duplication? label = text fingerprint occurs more
+      // than once, score = n_chars; Mann-Whitney AUC with midrank ties,
+      // integer-exact to the ppm, computed at the distinct-score grain
+      val docs = Tables.documents(s, d)
+        .withColumn("__f", Converters.fingerprint64(col("text")))
+      val dupCounts = docs.groupBy(col("__f")).agg(count(lit(1)).as("__c"))
+      val labeled = docs.join(dupCounts, Seq("__f"))
+        .select(col("n_chars"), (col("__c") > 1L).as("__dup"))
+      graft.operators.QualityOps.rankSumAuc(labeled, col("n_chars"), col("__dup"))
+    },
+      Some(s"""WITH f AS (SELECT n_chars, ${fpSql("text")} AS f FROM documents),
+c AS (SELECT f, count(*) AS c FROM f GROUP BY 1),
+l AS (SELECT f.n_chars AS s, CASE WHEN c.c > 1 THEN 1 ELSE 0 END AS y
+  FROM f JOIN c USING (f)),
+g AS (SELECT s, CAST(count(*) AS BIGINT) AS t, CAST(SUM(y) AS BIGINT) AS p FROM l GROUP BY 1),
+w AS (SELECT *, CAST(COALESCE(SUM(t) OVER (ORDER BY s
+  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM g),
+a AS (SELECT CAST(SUM(p * (2 * cb + t + 1)) AS BIGINT) AS r2,
+  CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(t - p) AS BIGINT) AS n_neg FROM w)
+SELECT n_pos, n_neg,
+  CASE WHEN n_pos > 0 AND n_neg > 0
+    THEN ((r2 - n_pos * (n_pos + 1)) * 1000000) // (2 * n_pos * n_neg)
+    ELSE 0 END AS auc_ppm
+FROM a""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat
@@ -3186,6 +3320,23 @@ c AS (SELECT doc_id, n_tokens,
     * strings for non-finite / out-of-decimal-range values, DECIMAL(30,6)
     * text otherwise.
     */
+  /** DuckDB replay of [[graft.functions.Converters.fingerprint64]] over
+    * the string expression `e` — the single-source inline form the older
+    * oracles embed verbatim; new oracles compose it from here.
+    */
+  private def fpSql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length($e) + 1),
+      i -> CAST(unicode(substring($e, CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007)"""
+
+  /** The universal-hash finalizer over [[fpSql]] — replays
+    * [[graft.operators.SketchOps]]' mixed hash (and its integer form used
+    * by HLL registers and shard assignment).
+    */
+  private def mixedSql(e: String): String =
+    s"((636413622 * ${fpSql(e)} + 528402381) % 1000000007)"
+
   private def doubleProfileSql(a: String): String =
     s"""CASE WHEN isnan($a) THEN 'NaN'
  WHEN $a = CAST('inf' AS DOUBLE) THEN 'Infinity'

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Declarative data-quality validation (Deequ-style constraint suite):
   * the pre-merge gate a CDC pipeline runs before letting a batch reach
@@ -54,5 +55,51 @@ object QualityOps {
     (aggPart.toSeq ++ refParts).reduce(_ unionByName _)
       .withColumn("pass", col("n_violations") === 0L)
       .orderBy(col("rule"))
+  }
+
+  /** Mann-Whitney rank-sum AUC: P(score of a random positive > score of
+    * a random negative), the standard threshold-free evaluation of a
+    * quality/filter score against a binary label — integer-exact to the
+    * last ppm, with the textbook midrank tie correction (each tied pair
+    * contributes 1/2).
+    *
+    * Computed at the DISTINCT-SCORE grain, never by ranking rows: one
+    * map-side-combinable aggregation collapses the corpus to (score,
+    * n_rows, n_pos), and the rank algebra runs over that score-cardinality
+    * relation (a quality score is quantized permille/chars — thousands of
+    * values at any corpus size; callers with continuous scores quantize
+    * first, per the repo's float rules). All arithmetic is doubled-rank
+    * int64: positives at a score with `c` rows before it and `t` tied
+    * rows have summed double-midrank n_pos_s * (2c + t + 1), so
+    * U2 = sum - n_pos*(n_pos+1) is exactly twice the Mann-Whitney U and
+    * auc_ppm = U2 * 10^6 / (2 * n_pos * n_neg) divides exactly in int64.
+    * Int64 headroom: U2 * 10^6 <= 2n^2 * 10^6 stays below 2^63 for
+    * n <= ~2M rows — eval-set sized; score a larger corpus by sampling
+    * the eval set, which is what an eval is.
+    *
+    * Output: ONE row (n_pos, n_neg, auc_ppm); degenerate single-class
+    * inputs yield a defined auc_ppm = 0 rather than a divide error.
+    */
+  def rankSumAuc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val perScore = df
+      .select(scoreCol.cast(LongType).as("__s"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__t"), sum(col("__y")).as("__p"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val wCum = wAll.orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val summed = perScore
+      .withColumn("__c", coalesce(sum(col("__t")).over(wCum), lit(0L)))
+      .agg(
+        sum(col("__p") * (lit(2L) * col("__c") + col("__t") + lit(1L))).as("__r2"),
+        sum(col("__p")).as("n_pos"),
+        sum(col("__t") - col("__p")).as("n_neg"))
+    summed.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        call_function("div",
+          (col("__r2") - col("n_pos") * (col("n_pos") + 1L)) * 1000000L,
+          lit(2L) * col("n_pos") * col("n_neg")))
+        .otherwise(lit(0L)).as("auc_ppm"))
   }
 }

@@ -222,4 +222,72 @@ object SamplingOps {
       .select(col(idCol), col(groupCol), col("repeat_factor"),
         explode(sequence(lit(1L), col("repeat_factor"))).as("epoch"))
   }
+
+  /** Temperature-scaled source mixing DISTRIBUTION (the mT5/XLM-R
+    * alpha-sampling rule p_s proportional to n_s^alpha at alpha = 1/2),
+    * as exact integer permille that sum to EXACTLY 1000 via
+    * largest-remainder (Hamilton) apportionment — the contract a
+    * downstream weighted sampler needs (permille that sum to 999 skew
+    * every epoch). Complements [[temperatureRepeats]]: that op
+    * materializes up-sampling repeats, this one emits the sampling
+    * distribution itself.
+    *
+    * Exactness: n_s^0.5 = floor(sqrt(n_s)) where sqrt is a SINGLE
+    * correctly-rounded IEEE op — bit-identical in any engine (the repo's
+    * single-op float rule), and everything after is int64 arithmetic.
+    * Scale shape: one map-side-combinable aggregation collapses the
+    * corpus to the source-cardinality relation; the normalization
+    * windows run over that tiny relation only.
+    *
+    * Output: (group, n_tokens, weight_raw, permille) ordered by group.
+    */
+  def mixingWeights(df: DataFrame, groupCol: String, tokenCol: Column): DataFrame = {
+    val totals = df.groupBy(col(groupCol).as("group"))
+      .agg(sum(tokenCol.cast(LongType)).as("n_tokens"))
+      .withColumn("weight_raw", floor(sqrt(col("n_tokens").cast(DoubleType))).cast(LongType))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)) // source-cardinality relation: single-group is the POINT
+    // guard the degenerate all-empty corpus (total weight 0): every
+    // permille is a defined 0 instead of an ANSI divide-by-zero
+    val wRank = wAll.orderBy(
+      when(col("__tot") > 0, pmod(col("weight_raw") * 1000, col("__tot")))
+        .otherwise(lit(0L)).desc, col("group"))
+    totals
+      .withColumn("__tot", sum(col("weight_raw")).over(wAll))
+      .withColumn("__base", when(col("__tot") > 0,
+        call_function("div", col("weight_raw") * 1000, col("__tot"))).otherwise(lit(0L)))
+      .withColumn("__short", lit(1000L) - sum(col("__base")).over(wAll))
+      .withColumn("__rk", row_number().over(wRank))
+      .select(col("group"), col("n_tokens"), col("weight_raw"),
+        when(col("__tot") > 0,
+          col("__base") + when(col("__rk") <= col("__short"), 1L).otherwise(0L))
+          .otherwise(lit(0L)).as("permille"))
+      .orderBy(col("group"))
+  }
+
+  /** Deterministic training-shard layout: every row is assigned
+    * shard = h(id) mod S and a stable position within its shard by
+    * ascending hash — the "global shuffle then shard" step every
+    * training-data export ends with, made reproducible (re-running the
+    * export, or running it on another engine, yields byte-identical
+    * shard files) and append-free of any global sort: one hash shuffle
+    * on the shard key, per-shard local sort via a partitioned window.
+    * The hash is the universal-hash finalizer over the rolling
+    * fingerprint (replayable externally); hash ties break by id, so the
+    * order is total. Output: input columns + (shard, pos).
+    */
+  def shardAssignments(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    Seq("__h", "shard", "pos").foreach(c => require(!df.columns.contains(c),
+      s"shardAssignments: input must not contain reserved column $c"))
+    val p = 1000000007L
+    val h = pmod(lit(636413622L) * Converters.fingerprint64(col(idCol).cast(StringType))
+      + lit(528402381L), lit(p))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(numShards.toLong)).cast(IntegerType))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .drop("__h")
+  }
 }

@@ -1,0 +1,165 @@
+package graft
+
+import graft.operators.{FrontierOps, QualityOps, SamplingOps, SketchOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 additions: HLL sketch, Pareto frontier, mixing weights,
+  * shard export, rank-sum AUC.
+  */
+class Round8OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- hllDistinct ---------------------------------------------------------
+
+  test("hllDistinct: estimate lands within the m=64 error envelope and dedupes inherently") {
+    val n = 5000
+    val df = (1 to n).map(i => ("g", s"value-$i")).toDF("g", "v")
+    val est = SketchOps.hllDistinct(df, Seq("g"), "v")
+      .select(col("hll_est")).as[Long].head()
+    // 1.04/sqrt(64) = 13 % standard error; allow 3 sigma
+    assert(math.abs(est - n) < n * 0.39, s"estimate $est too far from $n")
+    // duplicated input rows must not move a distinct-count estimate
+    val dup = df.union(df).union(df)
+    val est2 = SketchOps.hllDistinct(dup, Seq("g"), "v")
+      .select(col("hll_est")).as[Long].head()
+    assert(est2 === est)
+  }
+
+  test("hllDistinct: n_values counts input rows per group; groups are independent") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x")).toDF("g", "v")
+    val out = SketchOps.hllDistinct(df, Seq("g"), "v")
+      .orderBy(col("g")).collect()
+    assert(out.map(_.getAs[Long]("n_values")).toSeq === Seq(3L, 1L))
+    // group b saw one value: the RAW estimator's documented floor is
+    // alpha*m^2/(m-1+eps) ~ alpha*m ~ 46 — the small-range regime the
+    // scaladoc sends to exact counting (no linear-counting correction,
+    // deliberately: it would need a cross-engine log)
+    val estB = out(1).getAs[Long]("hll_est")
+    assert(estB >= 45L && estB <= 47L, s"singleton raw-HLL floor, got $estB")
+  }
+
+  // ---- paretoFrontier2D ----------------------------------------------------
+
+  test("paretoFrontier2D: dominance semantics incl. equal-cell ties, vs brute force") {
+    val pts = Seq(
+      (1L, 10L, 1L), (2L, 8L, 5L), (3L, 8L, 5L),  // (8,5) tied twice: both survive
+      (4L, 8L, 4L),                                  // dominated by (8,5) (strict y)
+      (5L, 9L, 5L),                                  // dominates (8,5)? 9>8, 5=5 -> yes
+      (6L, 10L, 0L), (7L, 5L, 7L), (8L, 5L, 6L), (9L, 4L, 7L))
+    val df = pts.toDF("id", "x", "y")
+    val got = FrontierOps.paretoFrontier2D(df, "x", "y")
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    // brute force dominance
+    val sky = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(_._1).sorted
+    assert(got === sky)
+    assert(got.contains(5L) && !got.contains(2L),
+      "(9,5) dominates the (8,5) ties (strict in x)")
+  }
+
+  test("paretoFrontier2D: single partition boundary cases and y-type guard") {
+    // strictly decreasing staircase: every point is on the frontier
+    val stairs = (1L to 100L).map(i => (i, i, 101L - i)).toDF("id", "x", "y")
+    assert(FrontierOps.paretoFrontier2D(stairs, "x", "y").count() === 100L)
+    // strictly increasing: only the max survives
+    val ramp = (1L to 100L).map(i => (i, i, i)).toDF("id", "x", "y")
+    val top = FrontierOps.paretoFrontier2D(ramp, "x", "y")
+      .select(col("id")).as[Long].collect().toSeq
+    assert(top === Seq(100L))
+    val intY = Seq((1, 2)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      FrontierOps.paretoFrontier2D(intY, "x", "y")
+    }
+    assert(e.getMessage.contains("BIGINT"))
+  }
+
+  // ---- mixingWeights -------------------------------------------------------
+
+  test("mixingWeights: permille sum to exactly 1000 with largest-remainder bumps") {
+    val df = Seq.tabulate(300)(i => (s"s${i % 3}", "a b c")) // 3 sources, equal
+      .toDF("src", "text")
+    val out = SamplingOps.mixingWeights(df, "src", size(split(col("text"), " ")).cast("long"))
+      .collect()
+    assert(out.map(_.getAs[Long]("permille")).sum === 1000L)
+    // equal sources: 334/333/333, bump to the lexicographically first
+    assert(out.map(r => (r.getAs[String]("group"), r.getAs[Long]("permille"))).toSeq ===
+      Seq(("s0", 334L), ("s1", 333L), ("s2", 333L)))
+  }
+
+  test("mixingWeights: temperature flattens the distribution; empty corpus is defined") {
+    // 10000 vs 100 tokens = 100:1 raw, sqrt -> 10:1
+    val df = (Seq.fill(100)(("big", Seq.fill(100)("t").mkString(" "))) ++
+      Seq(("small", Seq.fill(100)("t").mkString(" ")))).toDF("src", "text")
+    val out = SamplingOps.mixingWeights(df, "src", size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getAs[String]("group") -> r.getAs[Long]("permille")).toMap
+    assert(out("big") === 909L && out("small") === 91L) // 10:1, not 100:1
+    val empty = Seq(("a", ""), ("b", "")).toDF("src", "text")
+    val z = SamplingOps.mixingWeights(empty, "src", lit(0L))
+      .collect().map(_.getAs[Long]("permille")).toSeq
+    assert(z === Seq(0L, 0L)) // defined zeros, no divide error
+  }
+
+  // ---- shardAssignments ----------------------------------------------------
+
+  test("shardAssignments: total order, dense positions, deterministic across runs") {
+    val df = (1L to 500L).map(i => (i, s"payload$i")).toDF("id", "payload")
+    val a = SamplingOps.shardAssignments(df, "id", 8).cache()
+    try {
+      assert(a.count() === 500L)
+      // positions are dense 1..n_s within every shard
+      val dense = a.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+        .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+      assert(dense.count() === 0L)
+      // deterministic: identical assignment on recompute
+      val b = SamplingOps.shardAssignments(df, "id", 8)
+      assert(a.join(b, Seq("id"))
+        .filter(a("shard") =!= b("shard") || a("pos") =!= b("pos")).count() === 0L)
+    } finally a.unpersist()
+    val reserved = df.withColumnRenamed("payload", "pos")
+    val e = intercept[IllegalArgumentException] {
+      SamplingOps.shardAssignments(reserved, "id", 8)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  // ---- rankSumAuc ----------------------------------------------------------
+
+  test("rankSumAuc: hand-computed midrank ties, perfect separation, degenerate class") {
+    // scores: pos {3, 2}, neg {2, 1}: pairs (3>2)=1, (3>1)=1, (2=2)=.5, (2>1)=1
+    // AUC = 3.5/4 = 0.875
+    val df = Seq((3L, true), (2L, true), (2L, false), (1L, false)).toDF("s", "y")
+    val r = QualityOps.rankSumAuc(df, col("s"), col("y")).head()
+    assert(r.getAs[Long]("n_pos") === 2L && r.getAs[Long]("n_neg") === 2L)
+    assert(r.getAs[Long]("auc_ppm") === 875000L)
+    val perfect = Seq((10L, true), (9L, true), (1L, false)).toDF("s", "y")
+    assert(QualityOps.rankSumAuc(perfect, col("s"), col("y"))
+      .head().getAs[Long]("auc_ppm") === 1000000L)
+    val inverted = Seq((1L, true), (9L, false)).toDF("s", "y")
+    assert(QualityOps.rankSumAuc(inverted, col("s"), col("y"))
+      .head().getAs[Long]("auc_ppm") === 0L)
+    val onlyPos = Seq((1L, true)).toDF("s", "y")
+    assert(QualityOps.rankSumAuc(onlyPos, col("s"), col("y"))
+      .head().getAs[Long]("auc_ppm") === 0L) // defined, not a divide error
+  }
+
+  test("rankSumAuc: agrees with brute-force pair counting on random data") {
+    val rows = (1 to 200).map { i =>
+      val score = (i * 2654435761L) % 17 // heavy ties
+      val label = ((i * 40503L) % 97) < 40
+      (score, label)
+    }
+    val df = rows.toDF("s", "y")
+    val got = QualityOps.rankSumAuc(df, col("s"), col("y")).head().getAs[Long]("auc_ppm")
+    val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+    val u2 = (for (p <- pos; n <- neg) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    val want = u2 * 1000000L / (2L * pos.size * neg.size)
+    assert(got === want)
+  }
+}
