@@ -15,11 +15,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * the same builders under legacy unprefixed aliases.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    // whole-operator extension: the native as-of join's planner rule
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -50,6 +50,8 @@ object Plans {
     "q129_triangle_count" -> "triangle counting: canonical two-hop equi-join + semi closing-edge check, no all-pairs",
     "q140_bpe_merge_tokens" -> "merge-rule BPE inline in the scan projection: one codegen'd framed-replace chain per row, no shuffle before the output sort",
     "q143_bloom_contamination" -> "bloom-pruned decontamination: scalar-subquery bloom probe filters the corpus map-side, exact verify join sees candidates only",
+    "q153_pareto_frontier" -> "distributed skyline: per-x max collapse, range-partitioned prefix-max, equi-join recovery — no global window, no dominance join",
+    "q157_asof_native" -> "NATIVE as-of join (custom SparkPlan): co-partitioned streaming merge, exactly two exchanges, sorts ride the exchanges",
   )
 
   def main(args: Array[String]): Unit = {

@@ -3201,6 +3201,55 @@ SELECT n_pos, n_neg,
     THEN ((r2 - n_pos * (n_pos + 1)) * 1000000) // (2 * n_pos * n_neg)
     ELSE 0 END AS auc_ppm
 FROM a""")),
+
+    ("q157_asof_native", (s, d) => {
+      // q60 replayed through the NATIVE as-of physical operator
+      // (graft.plans.AsofJoinExec: custom logical node + planner strategy
+      // + streaming-merge SparkPlan, injected via injectPlannerStrategy) —
+      // the whole-operator Catalyst extension path. Same DuckDB native
+      // ASOF oracle as q60: the crosscheck IS the proof that the merge
+      // operator and the union+window composition agree.
+      val left = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("o_us"))
+      val right = Tables.events(s, d).select(col("user_id").as("k"),
+        expr("ts_ns div 1000").as("e_us"), col("event_id"), col("event_type"))
+      graft.plans.AsofJoinNative.asofJoin(left, right, "k",
+        "o_us", "e_us", "event_id", Seq("event_id", "event_type"))
+        .select(col("o_orderkey"), col("k").as("o_custkey"),
+          col("event_id").as("last_event_id"), col("event_type").as("last_event_type"))
+        .orderBy(col("o_orderkey"))
+    },
+      Some("""WITH e AS (SELECT user_id AS k, epoch_us(ts) AS e_us, event_id, event_type FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) = 1),
+o AS (SELECT o_orderkey, o_custkey AS k, epoch_us(o_orderdate) AS o_us FROM orders)
+SELECT o.o_orderkey, o.k AS o_custkey, e.event_id AS last_event_id,
+  e.event_type AS last_event_type
+FROM o ASOF LEFT JOIN e ON o.k = e.k AND e.e_us <= o.o_us
+ORDER BY o_orderkey""")),
+
+    ("q158_cosine_pairs", (s, d) => {
+      // set-cosine all-pairs dedup at threshold 4/5 (exact rational, so
+      // candidate filters AND verify are integer-only — no sqrt): the
+      // prefix-filtered AllPairs plan, exact vs the oracle's brute-force
+      // shingle self-join. Output is the defining integer triple.
+      val r = DedupOps.cosinePairsPrefixReleasable(
+        Tables.documents(s, d), "doc_id", "text", 3, 4, 5)
+      val out = r.df.orderBy(col("ia"), col("ib")).localCheckpoint(true)
+      r.release()
+      out
+    },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM
+  (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s FROM toks)),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+o AS (SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT ia, ib, inter, sa.n AS na, sb.n AS nb
+FROM o JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+WHERE inter * inter * 25 >= 16 * sa.n * sb.n
+ORDER BY ia, ib""")),
   )
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat

@@ -232,6 +232,70 @@ object DedupOps {
     Releasable(pairs, () => { docArr.unpersist(); () })
   }
 
+  /** EXACT all-pairs binary-COSINE similarity >= tauNum/tauDen over word
+    * n-gram shingle sets: cos(A,B) = |A∩B| / sqrt(|A|·|B|) — the
+    * set-similarity measure that, unlike Jaccard, does not punish a
+    * focused doc paired with a broader one twice (union-normalized vs
+    * geometric-mean-normalized). Completes the AllPairs family next to
+    * [[jaccardPairsPrefix]] (symmetric, union norm) and
+    * [[containmentPairsReleasable]] (asymmetric, |A| norm).
+    *
+    * The threshold is an exact RATIONAL p/q, so every filter and the
+    * verify are pure integer arithmetic (cos >= p/q <=> o²q² >= p²·na·nb
+    * — no sqrt anywhere), bit-replayable by the SQL oracle.
+    *
+    * Prefix filter (Bayardo et al. WWW'07 adapted to binary cosine):
+    * cos >= t forces nb ∈ [t²·na, na/t²] (size filter, both directions
+    * in-join) and o >= ceil(t²·na) =: o_min(A) (since o >= t·sqrt(na·nb)
+    * >= t·sqrt(na·t²·na)); the canonically-smallest (rarest-first)
+    * common shingle of a qualifying pair has per-doc rank
+    * <= n - o + 1 <= n - o_min + 1, so it lies in BOTH docs' prefixes of
+    * length n - ceil(t²n) + 1 — the prefix-prefix equi-join sees every
+    * qualifying pair, and the row-local array_intersect verify makes the
+    * output identical to brute force. ceil(t²n) = (p²n + q² - 1) div q²
+    * exactly. Same scale shape as the Jaccard prefix join: hot
+    * boilerplate shingles rank LAST and stay out of prefixes.
+    *
+    * Output: (ia, ib, inter, na, nb) with ia < ib — the integer triple
+    * that DEFINES the cosine; consumers needing the float value quantize
+    * it themselves (kept out of the operator so the relation stays
+    * bit-exact cross-engine).
+    */
+  def cosinePairsPrefixReleasable(df: DataFrame, idCol: String, textCol: String,
+                                  n: Int, tauNum: Int, tauDen: Int): Releasable = {
+    require(tauNum > 0 && tauNum <= tauDen,
+      s"threshold must be a rational in (0, 1], got $tauNum/$tauDen")
+    import org.apache.spark.sql.expressions.Window
+    val p2 = tauNum.toLong * tauNum
+    val q2 = tauDen.toLong * tauDen
+    val docArr = hashedDocArray(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shEx = docArr.select(col("id"), col("n"), explode(col("hs")).as("h"))
+    val dfreq = shEx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val rankW = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val minOverlap = call_function("div", lit(p2) * col("n") + lit(q2 - 1), lit(q2))
+    val prefix = shEx.join(dfreq, "h")
+      .select(col("id"), col("h"), col("n"), row_number().over(rankW).as("rank"))
+      .filter(col("rank") <= col("n") - minOverlap + 1)
+      .localCheckpoint(false)
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          // size filter both ways: q²·nb >= p²·na and q²·na >= p²·nb
+          lit(q2) * col("b.n") >= lit(p2) * col("a.n") &&
+          lit(q2) * col("a.n") >= lit(p2) * col("b.n"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+      .distinct()
+    val pairs = cands
+      .join(docArr.as("da"), col("ia") === col("da.id"))
+      .join(docArr.as("db"), col("ib") === col("db.id"))
+      .select(col("ia"), col("ib"),
+        size(array_intersect(col("da.hs"), col("db.hs"))).cast("long").as("inter"),
+        col("da.n").cast("long").as("na"), col("db.n").cast("long").as("nb"))
+      .filter(col("inter") * col("inter") * q2 >= lit(p2) * col("na") * col("nb"))
+    Releasable(pairs, () => { docArr.unpersist(); () })
+  }
+
   /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo SIGMOD'95):
     * sort each block by a cheap key (first-5-token prefix), slide a
     * window of `windowSize`, verify only window-adjacent pairs with exact

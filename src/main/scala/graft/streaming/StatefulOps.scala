@@ -535,5 +535,74 @@ object StatefulOps {
         bucketUpdate(rate, periodMs, burst))
   }
 
+  /** A keyed value entering the streaming cardinality sketch. */
+  case class HllEvent(key: String, value: String)
+
+  /** Running per-key cardinality readout, refreshed every batch. */
+  case class HllEstimate(key: String, n_values: Long, hll_est: Long)
+
+  /** 64 register maxima + the exact input-row count (the same contract
+    * as the batch sketch's n_values).
+    */
+  private[graft] case class HllRegisters(regs: Array[Int], n: Long)
+
+  private val HllP = 1000000007L
+  private val HllW = 25
+
+  /** The EXACT register math of [[graft.operators.SketchOps.hllDistinct]]
+    * on the JVM side: finalizer, squaring remix, mod-64 register,
+    * trailing-zeros+1 rank. Keeping the two in lockstep is the point —
+    * the spec pins streaming end-state == batch sketch on the same data.
+    */
+  private[graft] def hllRegisterRank(value: String): (Int, Int) = {
+    val fp = graft.functions.DebeziumCodec.fingerprint64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(value))
+    val mixed = Math.floorMod(636413622L * fp + 528402381L, HllP)
+    val h = Math.floorMod(mixed * mixed + 1L, HllP)
+    val w = h / 64L
+    val rank = if (w == 0L) HllW else java.lang.Long.numberOfTrailingZeros(w) + 1
+    ((h % 64L).toInt, rank)
+  }
+
+  private[graft] def hllEstimate(regs: Array[Int]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < 64) { s += 1L << (HllW - regs(i)); i += 1 }
+    (709L * 64 * 64 * (1L << HllW)) / (1000L * s)
+  }
+
+  private def hllUpdate(key: String, rows: Iterator[HllEvent],
+                        state: GroupState[HllRegisters]): HllEstimate = {
+    val st = state.getOption.getOrElse(HllRegisters(new Array[Int](64), 0L))
+    var n = st.n
+    rows.foreach { r =>
+      val (reg, rank) = hllRegisterRank(r.value)
+      if (rank > st.regs(reg)) st.regs(reg) = rank
+      n += 1
+    }
+    val next = HllRegisters(st.regs, n)
+    state.update(next)
+    HllEstimate(key, n, hllEstimate(next.regs))
+  }
+
+  /** Streaming distinct-cardinality per key — the
+    * [[graft.operators.SketchOps.hllDistinct]] sketch carried in the
+    * state store: 64 register bytes + one count per key FOREVER, no
+    * matter how many values stream through (the "distinct users per
+    * tenant, updated every batch" query that an exact streaming distinct
+    * cannot answer at 100 TB without unbounded state). Update-mode
+    * emission: every batch re-emits the refreshed estimate for keys it
+    * touched. Register maxima are monotone, so at-least-once replays are
+    * absorbed by construction (same values -> same maxima); only
+    * n_values (a diagnostic, not the estimate) counts replayed rows
+    * twice. Run with `[[UpdateMode]]`.
+    */
+  def streamingHllDistinct(ds: Dataset[HllEvent]): Dataset[HllEstimate] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(hllUpdate)
+  }
+
   val UpdateMode: OutputMode = OutputMode.Update()
 }

@@ -19,6 +19,18 @@ object GraftBridge {
     catalyst.expressions.ScalarSubquery(
       df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed)
 
+  /** The analyzed logical plan behind a Dataset — the resolved-attribute
+    * tree custom logical operators (graft.plans) build on.
+    */
+  def analyzed(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Wrap a (resolved) logical plan back into a DataFrame — the
+    * constructor for custom logical operators.
+    */
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a function builder on an EXISTING session (the
     * FunctionRegistry lives behind `private[sql] sessionState`; new
     * sessions should prefer `spark.sql.extensions=graft.GraftExtensions`).

@@ -97,6 +97,36 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("property: prefix-filtered binary cosine equals brute force on generated corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "boiler", "plate", "x")
+    val docGen = Gen.choose(3, 14).flatMap(len => Gen.listOfN(len, word).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(4, 12).flatMap(nd => Gen.listOfN(nd, docGen))
+    for (seedNo <- 1L to 8L) {
+      val corpus = corpusGen(Gen.Parameters.default, Seed(seedNo)).get
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // exact rationals: 4/5 and 7/10
+      val (p, q) = if (seedNo % 2 == 0) (4, 5) else (7, 10)
+      def shingleSet(t: String): Set[String] =
+        t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val sets = corpus.map { case (i, t) => i -> shingleSet(t) }.toMap
+      // brute-force set cosine via the integer inequality o²q² >= p²·na·nb
+      val expected = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia < ib && sa.nonEmpty && sb.nonEmpty
+        o = (sa & sb).size.toLong
+        if o * o * q * q >= p.toLong * p * sa.size * sb.size
+      } yield (ia, ib, o, sa.size.toLong, sb.size.toLong)).toSet
+      val r = DedupOps.cosinePairsPrefixReleasable(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", 3, p, q)
+      val got = r.df.collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toSet
+      r.release()
+      assert(got == expected, s"seed=$seedNo tau=$p/$q corpus=$corpus")
+    }
+  }
+
   test("property: one-sided containment equals brute force on generated corpora") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

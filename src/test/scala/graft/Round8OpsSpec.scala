@@ -147,6 +147,34 @@ class Round8OpsSpec extends AnyFunSuite {
       .head().getAs[Long]("auc_ppm") === 0L) // defined, not a divide error
   }
 
+  // ---- streamingHllDistinct ------------------------------------------------
+
+  test("streamingHllDistinct: cross-batch end-state equals the batch sketch; replays absorbed") {
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{HllEstimate, HllEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[HllEvent]
+    val q = StatefulOps.streamingHllDistinct(ms.toDS())
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode(StatefulOps.UpdateMode).start()
+    val b1 = (1 to 300).map(i => HllEvent("a", s"value-$i")) :+ HllEvent("b", "x")
+    val b2 = (200 to 500).map(i => HllEvent("a", s"value-$i"))
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable() // replayed batch
+    q.stop()
+    // per key: the LAST emitted estimate is the running state
+    val last = spark.table("hll_out").as[HllEstimate].collect()
+      .zipWithIndex.groupBy(_._1.key).map { case (k, rs) => k -> rs.maxBy(_._2)._1 }
+    val batch = SketchOps.hllDistinct(
+      (b1 ++ b2).map(e => (e.key, e.value)).toDF("key", "v"), Seq("key"), "v")
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Long]("hll_est")).toMap
+    assert(last("a").hll_est === batch("a"), "register maxima must match the batch sketch")
+    assert(last("b").hll_est === batch("b"))
+    // the replay moved n_values (diagnostic) but not the estimate
+    assert(last("a").n_values === (b1.size - 1) + 2 * b2.size)
+  }
+
   test("rankSumAuc: agrees with brute-force pair counting on random data") {
     val rows = (1 to 200).map { i =>
       val score = (i * 2654435761L) % 17 // heavy ties
