@@ -3250,7 +3250,222 @@ SELECT ia, ib, inter, sa.n AS na, sb.n AS nb
 FROM o JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
 WHERE inter * inter * 25 >= 16 * sa.n * sb.n
 ORDER BY ia, ib""")),
+
+    ("q159_theil_sen", (s, d) => {
+      // robust per-event-type trend: Theil-Sen median-of-pairwise-slopes
+      // over the daily count series — quantize-then-lower-median keeps
+      // it integer-exact; pair space is days^2 per key (calendar-bounded),
+      // never events^2
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+      graft.operators.TemporalOps.theilSenTrend(daily, "event_type", "day", "c")
+        .select(col("key").as("event_type"), col("n_points"), col("n_pairs"),
+          col("sen_slope_milli"))
+        .orderBy(col("event_type"))
+    },
+      Some("""WITH dly AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+  CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+p AS (SELECT a.event_type, ((b.c - a.c) * 1000) // (b.day - a.day) AS sm
+  FROM dly a JOIN dly b ON a.event_type = b.event_type AND a.day < b.day),
+m AS (SELECT event_type, sm, row_number() OVER (PARTITION BY event_type ORDER BY sm) AS rn,
+  count(*) OVER (PARTITION BY event_type) AS np FROM p),
+pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points FROM dly GROUP BY 1)
+SELECT m.event_type, pt.n_points, CAST(np AS BIGINT) AS n_pairs,
+  sm AS sen_slope_milli
+FROM m JOIN pt ON pt.event_type = m.event_type
+WHERE rn = (np + 1) // 2
+ORDER BY m.event_type""")),
+
+    ("q160_cusum_shift", (s, d) => {
+      // sustained-shift detection per event type: one-sided CUSUM against
+      // the type's own mean daily volume (slack mu/10, threshold mu) via
+      // the prefix-sum closed form — two running windows, no recursion;
+      // the complement of q93's spike screen, which forgives level shifts
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(call_function("div", sum(col("c")), count(lit(1))).as("mu"))
+      val joined = daily.join(stats, Seq("event_type"))
+      graft.operators.TemporalOps.cusumAlarms(joined, "event_type", "day", "c",
+        col("mu"), call_function("div", col("mu"), lit(10L)), col("mu"))
+        .select(col("key").as("event_type"), col("n_points"),
+          col("max_cusum"), col("first_alarm_t").as("first_alarm_day"))
+        .orderBy(col("event_type"))
+    },
+      Some("""WITH dly AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+  CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+st AS (SELECT event_type, SUM(c) // count(*) AS mu FROM dly GROUP BY 1),
+dev AS (SELECT d.event_type, d.day, d.c - st.mu - st.mu // 10 AS dev, st.mu
+  FROM dly d JOIN st USING (event_type)),
+pr AS (SELECT *, SUM(dev) OVER (PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p FROM dev),
+cu AS (SELECT *, p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s FROM pr)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+  CAST(max(s) AS BIGINT) AS max_cusum,
+  min(CASE WHEN s >= mu THEN day END) AS first_alarm_day
+FROM cu GROUP BY 1 ORDER BY event_type""")),
+
+    ("q161_touch_attribution", (s, d) => {
+      // marketing-style conversion attribution inside the event stream:
+      // each purchase credits the user's LAST non-purchase event
+      // at-or-before it (last-touch: backward as-of) and the FIRST
+      // non-purchase event inside a 1-day lookback (first-touch: FORWARD
+      // as-of from the window start, post-filtered to the window end) —
+      // both single-shuffle as-of plans, no window-hit row explosion at
+      // any scale. Credit tallies per touch type; unattributed
+      // conversions land under "(none)".
+      val DayUs = 86400000000L
+      val ev = Tables.events(s, d).select(col("user_id").as("k"),
+        expr("ts_ns div 1000").as("e_us"), col("event_id"), col("event_type"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("k"), col("e_us").as("c_us"))
+      val touch = ev.filter(col("event_type") =!= "purchase")
+      val last = graft.operators.AsofOps.asofJoin(conv, touch, "k",
+        col("c_us"), col("e_us"), "event_id", Seq("event_id", "event_type"))
+        .select(col("conv_id"), col("event_type"))
+      // forward as-of resolves equal-(k, time) rights to the HIGHEST tie;
+      // negating the id makes that the LOWEST event_id — the
+      // deterministic "first" the oracle's row_number picks
+      val convLo = conv.withColumn("lo", col("c_us") - lit(DayUs) + 1L)
+      val touchNeg = touch.withColumn("neg_id", -col("event_id"))
+      val first = graft.operators.AsofOps.asofJoinForward(
+        convLo, touchNeg, "k", col("lo"), col("e_us"), "neg_id",
+        Seq("event_type", "e_us"))
+        .select(col("conv_id"),
+          when(col("e_us").isNotNull && col("e_us") <= col("c_us"),
+            col("event_type")).as("event_type"))
+      def tally(df: DataFrame, model: String) = df
+        .groupBy(coalesce(col("event_type"), lit("(none)")).as("event_type"))
+        .agg(count(lit(1)).as("n_conversions"))
+        .withColumn("model", lit(model))
+      tally(last, "last_touch").unionByName(tally(first, "first_touch"))
+        .select(col("model"), col("event_type"), col("n_conversions"))
+        .orderBy(col("model"), col("event_type"))
+    },
+      Some("""WITH e AS (SELECT user_id AS k, epoch_us(ts) AS e_us, event_id, event_type FROM events),
+c AS (SELECT event_id AS conv_id, k, e_us AS c_us FROM e WHERE event_type = 'purchase'),
+t AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+tu AS (SELECT k, e_us, event_id, event_type FROM t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY k, e_us ORDER BY event_id DESC) = 1),
+lt AS (SELECT c.conv_id, tu.event_type
+  FROM c ASOF LEFT JOIN tu ON c.k = tu.k AND tu.e_us <= c.c_us),
+ft AS (SELECT conv_id, event_type FROM (
+  SELECT c.conv_id, t.event_type,
+    row_number() OVER (PARTITION BY c.conv_id ORDER BY t.e_us, t.event_id) AS rn
+  FROM c JOIN t ON t.k = c.k
+    AND t.e_us > c.c_us - 86400000000 AND t.e_us <= c.c_us) WHERE rn = 1),
+credits AS (
+  SELECT 'last_touch' AS model, COALESCE(event_type, '(none)') AS event_type FROM lt
+  UNION ALL
+  SELECT 'first_touch', COALESCE(ft.event_type, '(none)')
+  FROM c LEFT JOIN ft USING (conv_id))
+SELECT model, event_type, CAST(count(*) AS BIGINT) AS n_conversions
+FROM credits GROUP BY 1, 2 ORDER BY model, event_type""")),
+
+    ("q162_ndcg_eval", (s, d) => {
+      // rank-quality eval: per-query nDCG@10 of label-match relevance
+      // over the brute cosine top-10 (self-normalized against the ideal
+      // reordering of the retrieved list). Position discounts are the
+      // PRECOMPUTED integer table floor(1e6/log2(i+1)) — no float log at
+      // query time, so both engines sum identical integers; the ranked
+      // list itself reuses q24's engine-stable quantized cosine.
+      val ranked = SimilarityOps.cosineTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", col("vec_id") % 37 === 0, 10)
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val w = NdcgWeights.zipWithIndex
+        .map { case (wt, i) => (i + 1, wt) }
+        .foldLeft(lit(0L)) { case (c, (rk, wt)) =>
+          when(col("rank") === rk, lit(wt)).otherwise(c) }
+      val graded = ranked
+        .join(labels.withColumnRenamed("vec_id", "q_id")
+          .withColumnRenamed("label", "q_label"), Seq("q_id"))
+        .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+          .withColumnRenamed("label", "n_label"), Seq("neighbor_id"))
+        .select(col("q_id"), col("rank"),
+          (col("q_label") === col("n_label")).cast("long").as("rel"), w.as("wt"))
+      // ideal DCG = the same weights paid to the n_rel best positions
+      val idealW = NdcgWeights.zipWithIndex
+        .map { case (wt, i) => (i + 1, NdcgWeights.take(i + 1).sum) }
+        .foldLeft(lit(0L)) { case (c, (nRel, cum)) =>
+          when(col("n_rel") === nRel, lit(cum)).otherwise(c) }
+      graded.groupBy(col("q_id"))
+        .agg(sum(col("rel")).as("n_rel"), sum(col("rel") * col("wt")).as("dcg"))
+        .select(col("q_id"), col("n_rel"), col("dcg"),
+          when(col("n_rel") > 0,
+            call_function("div", col("dcg") * 1000000L, idealW))
+            .otherwise(lit(0L)).as("ndcg_ppm"))
+        .orderBy(col("q_id"))
+    },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id % 37 = 0),
+pairs AS (SELECT q_id, q_label, e.vec_id AS neighbor_id, e.label AS n_label,
+  floor(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) * 10000.0) / 10000.0 AS sim
+  FROM q JOIN e ON e.vec_id != q.q_id),
+ranked AS (SELECT * FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM pairs)
+  WHERE rank <= 10),
+wt AS (SELECT * FROM (VALUES (1, 1000000), (2, 630929), (3, 500000), (4, 430676),
+  (5, 386852), (6, 356207), (7, 333333), (8, 315464), (9, 301029), (10, 289064)) t(rank, w)),
+cum AS (SELECT rank AS n_rel, CAST(SUM(w) OVER (ORDER BY rank
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS iw FROM wt),
+g AS (SELECT r.q_id, CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+  CAST(SUM(CASE WHEN q_label = n_label THEN w ELSE 0 END) AS BIGINT) AS dcg
+  FROM ranked r JOIN wt ON wt.rank = r.rank GROUP BY 1)
+SELECT g.q_id, g.n_rel, g.dcg,
+  CASE WHEN g.n_rel > 0 THEN (g.dcg * 1000000) // cum.iw ELSE 0 END AS ndcg_ppm
+FROM g LEFT JOIN cum ON cum.n_rel = g.n_rel
+ORDER BY q_id""")),
+
+    ("q163_calibration_ece", (s, d) => {
+      // reliability audit of a curation signal: fixed-width score bins
+      // (n_chars div 100) vs the exact-duplicate label rate per bin, plus
+      // each bin's contribution to the expected calibration error — all
+      // integer permille, one aggregation + one tiny bins-level pass
+      val docs = Tables.documents(s, d)
+        .withColumn("__f", Converters.fingerprint64(col("text")))
+      val dup = docs.groupBy(col("__f")).agg(count(lit(1)).as("__c"))
+      val labeled = docs.join(dup, Seq("__f"))
+        .select(call_function("div", col("n_chars"), lit(100L)).as("bin"),
+          (col("__c") > 1L).cast("long").as("y"))
+      val bins = labeled.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+        .withColumn("rate_permille",
+          call_function("div", col("n_pos") * 1000L, col("n")))
+      val wAll = Window.partitionBy(lit(0))
+      bins
+        .withColumn("__tot", sum(col("n")).over(wAll))
+        .withColumn("__totpos", sum(col("n_pos")).over(wAll))
+        .withColumn("overall_permille",
+          call_function("div", col("__totpos") * 1000L, col("__tot")))
+        .withColumn("ece_contrib_permille",
+          call_function("div",
+            col("n") * abs(col("rate_permille") - col("overall_permille")),
+            col("__tot")))
+        .select(col("bin"), col("n"), col("n_pos"), col("rate_permille"),
+          col("overall_permille"), col("ece_contrib_permille"))
+        .orderBy(col("bin"))
+    },
+      Some(s"""WITH f AS (SELECT n_chars, ${fpSql("text")} AS f FROM documents),
+c AS (SELECT f, count(*) AS c FROM f GROUP BY 1),
+l AS (SELECT f.n_chars // 100 AS bin, CASE WHEN c.c > 1 THEN 1 ELSE 0 END AS y
+  FROM f JOIN c USING (f)),
+b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos FROM l GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, CAST(SUM(n_pos) AS BIGINT) AS totpos FROM b)
+SELECT bin, n, n_pos, (n_pos * 1000) // n AS rate_permille,
+  (totpos * 1000) // tot AS overall_permille,
+  (n * abs((n_pos * 1000) // n - (totpos * 1000) // tot)) // tot AS ece_contrib_permille
+FROM b CROSS JOIN t ORDER BY bin""")),
   )
+
+  /** Integer position discounts floor(1e6 / log2(i+1)) for i = 1..10 —
+    * precomputed so nDCG needs no float log in either engine (the oracle
+    * embeds the same literals).
+    */
+  private val NdcgWeights: Seq[Long] = Seq(1000000L, 630929L, 500000L,
+    430676L, 386852L, 356207L, 333333L, 315464L, 301029L, 289064L)
 
   /** Corpus indexes built by THIS JVM (q75): reused across repeat
     * executions in one session, rebuilt in the next.

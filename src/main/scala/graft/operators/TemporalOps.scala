@@ -47,4 +47,88 @@ object TemporalOps {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__run")
   }
+
+  /** Theil-Sen robust trend per key: the MEDIAN of all pairwise slopes
+    * (v2-v1)/(t2-t1) over the key's (t, v) series — the estimator that
+    * shrugs off the outlier days a least-squares slope chases (breakdown
+    * point 29 %). Canonical use here: "is this source/event-type growing
+    * or decaying, robustly?" over daily aggregates.
+    *
+    * Integer-exact contract: slopes are quantized FIRST
+    * (floor((v2-v1) * 1000 / (t2-t1)) — one exact int64 floor-division
+    * per pair, negative-safe via `div` semantics... see note), then the
+    * LOWER MEDIAN of the quantized slopes is an exact order statistic.
+    * Quantize-then-median differs from median-then-quantize by < 1 milli
+    * unit and makes the whole computation engine-replayable.
+    * Floor note: Spark's `div` and DuckDB's `//` both TRUNCATE toward
+    * zero on negatives, so the shared quantizer is truncation, not
+    * floor — identical in both engines, which is the actual requirement.
+    *
+    * Scale shape: the input should already be the per-(key, t) aggregate
+    * (calendar-bounded: ~90 days of daily counts -> <= 4 k pairs/key);
+    * the pair generation is a key-local self-join and the median a
+    * key-partitioned window — nothing global. Do NOT feed raw events.
+    *
+    * Output: (key, n_points, n_pairs, sen_slope_milli) — keys with < 2
+    * points are dropped (no pairs, no slope).
+    */
+  def theilSenTrend(df: DataFrame, keyCol: String, tCol: String,
+                    vCol: String): DataFrame = {
+    val a = df.select(col(keyCol).as("key"), col(tCol).cast("long").as("t"),
+      col(vCol).cast("long").as("v"))
+    val pairs = a.as("p1").join(a.as("p2"),
+        col("p1.key") === col("p2.key") && col("p1.t") < col("p2.t"))
+      .select(col("p1.key").as("key"),
+        call_function("div",
+          (col("p2.v") - col("p1.v")) * 1000L,
+          col("p2.t") - col("p1.t")).as("slope_milli"))
+    val wOrd = Window.partitionBy(col("key")).orderBy(col("slope_milli"))
+    val wAll = Window.partitionBy(col("key"))
+    val points = a.groupBy(col("key")).agg(count(lit(1)).as("n_points"))
+    pairs
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__np", count(lit(1)).over(wAll))
+      .filter(col("__rn") ===
+        call_function("div", col("__np") + 1L, lit(2L))) // exact lower median
+      .select(col("key"), col("__np").as("n_pairs"),
+        col("slope_milli").as("sen_slope_milli"))
+      .join(points, Seq("key"))
+      .select(col("key"), col("n_points"), col("n_pairs"), col("sen_slope_milli"))
+  }
+
+  /** One-sided CUSUM changepoint screen per key (Page '54): over the
+    * ordered (t, v) series, S_i = max(0, S_{i-1} + (v_i - target - slack))
+    * accumulates only SUSTAINED upward deviation; the first t where
+    * S_i >= threshold is the alarm. The standard "did this metric SHIFT,
+    * as opposed to spike?" detector — the complement of the q93 rolling
+    * spike screen, which by design forgives level shifts.
+    *
+    * The clamped recursion has the classic prefix-sum closed form
+    * (reflection): with dev_i = v_i - target - slack and prefix
+    * P_i = dev_1 + ... + dev_i,  S_i = P_i - min(0, min_{j<=i} P_j) —
+    * so the whole detector is TWO key-partitioned running windows over
+    * one sort plus a final aggregation; nothing sequential, nothing
+    * collected, and the SQL oracle replays the identical windows. All
+    * integer arithmetic: target/slack/threshold are per-key-constant
+    * columns in v's units (callers derive them from a reference period,
+    * e.g. the key's own mean via integer division).
+    *
+    * Output: (key, n_points, max_cusum, first_alarm_t); first_alarm_t is
+    * NULL when the threshold is never reached.
+    */
+  def cusumAlarms(df: DataFrame, keyCol: String, tCol: String, vCol: String,
+                  target: Column, slack: Column, threshold: Column): DataFrame = {
+    val a = df.select(col(keyCol).as("key"), col(tCol).cast("long").as("t"),
+      col(vCol).cast("long").as("v"), target.cast("long").as("__tg"),
+      slack.cast("long").as("__sl"), threshold.cast("long").as("__h"))
+    val wRun = Window.partitionBy(col("key")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = a
+      .withColumn("__p", sum(col("v") - col("__tg") - col("__sl")).over(wRun))
+      .withColumn("__s", col("__p") -
+        least(lit(0L), min(col("__p")).over(wRun)))
+    s.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_points"), max(col("__s")).as("max_cusum"),
+        min(when(col("__s") >= col("__h"), col("t"))).as("first_alarm_t"))
+  }
 }

@@ -127,6 +127,74 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reserved"))
   }
 
+  // ---- theilSenTrend / cusumAlarms -----------------------------------------
+
+  test("theilSenTrend: hand-computed median slope, outlier robustness, truncation quantizer") {
+    import graft.operators.TemporalOps
+    // clean ramp +2/day with one wild outlier day: pairwise slopes'
+    // median stays 2000 milli (robustness); least-squares would not
+    val pts = Seq((0L, 10L), (1L, 12L), (2L, 14L), (3L, 116L), (4L, 18L))
+      .map { case (t, v) => ("k", t, v) }
+    val out = TemporalOps.theilSenTrend(pts.toDF("key", "t", "v"), "key", "t", "v")
+      .head()
+    assert(out.getAs[Long]("n_points") === 5L && out.getAs[Long]("n_pairs") === 10L)
+    assert(out.getAs[Long]("sen_slope_milli") === 2000L)
+    // negative slope truncates toward zero in BOTH engines: (-7)/2 -> -3500
+    val down = Seq(("d", 0L, 7L), ("d", 2L, 0L)).toDF("key", "t", "v")
+    assert(TemporalOps.theilSenTrend(down, "key", "t", "v")
+      .head().getAs[Long]("sen_slope_milli") === -3500L)
+    // single-point keys vanish (no pairs)
+    val single = Seq(("s", 0L, 1L)).toDF("key", "t", "v")
+    assert(TemporalOps.theilSenTrend(single, "key", "t", "v").count() === 0L)
+  }
+
+  test("cusumAlarms: prefix-sum closed form equals the sequential recursion; alarm timing") {
+    import graft.operators.TemporalOps
+    // series with a level shift at t=5: target 10, slack 1, threshold 6
+    val vs = Seq(10L, 9L, 11L, 10L, 9L, 14L, 15L, 14L, 15L, 14L)
+    val df = vs.zipWithIndex.map { case (v, t) => ("k", t.toLong, v) }
+      .toDF("key", "t", "v")
+    val out = TemporalOps.cusumAlarms(df, "key", "t", "v",
+      lit(10L), lit(1L), lit(6L)).head()
+    // sequential reference
+    var s = 0L; var mx = 0L; var alarm = Option.empty[Long]
+    vs.zipWithIndex.foreach { case (v, t) =>
+      s = math.max(0L, s + v - 10L - 1L); mx = math.max(mx, s)
+      if (alarm.isEmpty && s >= 6L) alarm = Some(t.toLong)
+    }
+    assert(out.getAs[Long]("max_cusum") === mx)
+    assert(out.getAs[Long]("first_alarm_t") === alarm.get)
+    assert(mx > 0L && alarm.nonEmpty, "fixture must actually alarm")
+    // a spiky but unshifted series never alarms (the q93 complement)
+    val spiky = Seq(10L, 30L, 10L, 9L, 10L, 31L, 10L, 9L, 10L, 10L)
+      .zipWithIndex.map { case (v, t) => ("k", t.toLong, v) }
+      .toDF("key", "t", "v")
+    val o2 = TemporalOps.cusumAlarms(spiky, "key", "t", "v",
+      lit(10L), lit(5L), lit(40L)).head()
+    assert(o2.isNullAt(o2.fieldIndex("first_alarm_t")))
+  }
+
+  test("cusumAlarms: randomized equivalence with the sequential recursion across keys") {
+    import graft.operators.TemporalOps
+    val rows = for (k <- 0 until 7; t <- 0 until 40) yield {
+      val v = math.abs((k * 7919 + t * 104729) % 23).toLong
+      (s"k$k", t.toLong, v)
+    }
+    val out = TemporalOps.cusumAlarms(rows.toDF("key", "t", "v"), "key", "t", "v",
+      lit(11L), lit(1L), lit(15L))
+      .collect().map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("max_cusum"),
+          Option(r.getAs[java.lang.Long]("first_alarm_t")).map(_.toLong))).toMap
+    rows.groupBy(_._1).foreach { case (k, series) =>
+      var s = 0L; var mx = 0L; var alarm = Option.empty[Long]
+      series.sortBy(_._2).foreach { case (_, t, v) =>
+        s = math.max(0L, s + v - 11L - 1L); mx = math.max(mx, s)
+        if (alarm.isEmpty && s >= 15L) alarm = Some(t)
+      }
+      assert(out(k) === ((mx, alarm)), s"key $k")
+    }
+  }
+
   // ---- rankSumAuc ----------------------------------------------------------
 
   test("rankSumAuc: hand-computed midrank ties, perfect separation, degenerate class") {
