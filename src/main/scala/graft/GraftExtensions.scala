@@ -20,8 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
-    // whole-operator extension: the native as-of join's planner rule
+    // whole-operator extension: the native as-of join's planner rule and
+    // its filter-pushdown companion (custom nodes block built-in pushdown)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsofFilterPushdown)
   }
 }
 

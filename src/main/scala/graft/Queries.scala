@@ -3458,6 +3458,29 @@ SELECT bin, n, n_pos, (n_pos * 1000) // n AS rate_permille,
   (totpos * 1000) // tot AS overall_permille,
   (n * abs((n_pos * 1000) // n - (totpos * 1000) // tot)) // tot AS ece_contrib_permille
 FROM b CROSS JOIN t ORDER BY bin""")),
+
+    ("q164_asof_native_forward", (s, d) => {
+      // q99 replayed through the NATIVE as-of operator's forward wrapper
+      // (negated-time pre-projections over the same streaming-merge
+      // SparkPlan) — same DuckDB forward ASOF oracle as q99
+      val left = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("o_us"))
+      val right = Tables.events(s, d).select(col("user_id").as("k"),
+        expr("ts_ns div 1000").as("e_us"), col("event_id"), col("event_type"))
+      graft.plans.AsofJoinNative.asofJoinForward(left, right, "k",
+        "o_us", "e_us", "event_id", Seq("event_id", "event_type"))
+        .select(col("o_orderkey"), col("k").as("o_custkey"),
+          col("event_id").as("next_event_id"), col("event_type").as("next_event_type"))
+        .orderBy(col("o_orderkey"))
+    },
+      Some("""WITH e AS (SELECT user_id AS k, epoch_us(ts) AS e_us, event_id, event_type FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) = 1),
+o AS (SELECT o_orderkey, o_custkey AS k, epoch_us(o_orderdate) AS o_us FROM orders)
+SELECT o.o_orderkey, o.k AS o_custkey, e.event_id AS next_event_id,
+  e.event_type AS next_event_type
+FROM o ASOF LEFT JOIN e ON o.k = e.k AND e.e_us >= o.o_us
+ORDER BY o_orderkey""")),
   )
 
   /** Integer position discounts floor(1e6 / log2(i+1)) for i = 1..10 —

@@ -61,6 +61,51 @@ object AsofJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Filter pushdown THROUGH the custom node — the companion rule every
+  * custom logical operator needs: Catalyst's PushDownPredicates only
+  * understands built-in nodes, so without this rule a
+  * `asofJoin(...).filter(left-side pred)` evaluates the predicate AFTER
+  * the join and the parquet scan reads every row (pushdown silently
+  * lost — the classic custom-operator performance trap).
+  *
+  * Left-only conjuncts push below unconditionally: the operator emits
+  * each left row exactly once (left-outer semantics), so filtering left
+  * input rows first is identity-preserving. Conjuncts touching payload
+  * columns stay above (they see NULLs for unmatched rows, which a
+  * right-side pre-filter could not reproduce); right-side pushdown is
+  * NOT attempted at all — dropping right rows changes which candidate
+  * precedes a left row, so only predicates provably limited to
+  * (key, time, tie) monotone ranges would be sound, and none of our
+  * callers shape that. Deterministic-only (the standard pushdown
+  * hygiene: a rand() conjunct must not change its draw count).
+  */
+object AsofFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, asof: AsofJoinPlan) =>
+      val leftOut = asof.left.outputSet
+      val (pushable, keep) =
+        splitConjunctivePredicates(cond).partition(e =>
+          e.deterministic && e.references.subsetOf(leftOut))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = asof.copy(left =
+          Filter(pushable.reduce(And), asof.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] =
+    e match {
+      case And(l, r) =>
+        splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+      case other => Seq(other)
+    }
+}
+
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Attribute, rightKey: Attribute,
                         leftTime: Attribute, rightTime: Attribute,
@@ -190,12 +235,37 @@ object AsofJoinNative {
     org.apache.spark.sql.GraftBridge.ofRows(spark, node)
   }
 
-  /** Idempotently append the strategy for sessions built without
-    * `spark.sql.extensions=graft.GraftExtensions`.
+  /** FORWARD native as-of ("next event at or after"): negate both time
+    * columns in pre-projections, run the backward merge, drop the
+    * negated columns. Equal-(key, time) right rows still resolve to the
+    * HIGHEST `rightTieCol` (negation touches times only) — the same
+    * contract as [[graft.operators.AsofOps.asofJoinForward]]. Integer
+    * time columns only (same caveat as the composed operator).
     */
-  def ensureStrategy(spark: SparkSession): Unit =
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+                      leftTime: String, rightTime: String,
+                      rightTieCol: String, payload: Seq[String]): DataFrame = {
+    val reserved = Seq("__nlt", "__nrt")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"columns may not use the reserved names ${reserved.mkString(", ")}")
+    asofJoin(
+      left.withColumn("__nlt", -org.apache.spark.sql.functions.col(leftTime)),
+      right.withColumn("__nrt", -org.apache.spark.sql.functions.col(rightTime)),
+      keyCol, "__nlt", "__nrt", rightTieCol, payload)
+      .drop("__nlt")
+  }
+
+  /** Idempotently append the strategy AND the pushdown rule for sessions
+    * built without `spark.sql.extensions=graft.GraftExtensions`.
+    */
+  def ensureStrategy(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(AsofFilterPushdown)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsofFilterPushdown
+    }
+  }
 }

@@ -82,6 +82,56 @@ class AsofNativeSpec extends AnyFunSuite {
     assert("Sort \\[".r.findAllIn(plan).size === 2, s"expected 2 sorts:\n$plan")
   }
 
+  test("native forward as-of ≡ composed forward on randomized data") {
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
+    val ls = lcg(11).drop(1).grouped(2).take(300).map { g =>
+      (math.abs(g(0)) % 1000, math.abs(g(0)) % 11, math.abs(g(1)) % 40)
+    }.toSeq
+    val rs = lcg(23).drop(1).grouped(3).take(200).map { g =>
+      (math.abs(g(0)) % 11, math.abs(g(1)) % 40, math.abs(g(2)) % 7,
+        s"p${math.abs(g(2)) % 50}")
+    }.toSeq
+    val left = ls.toDF("id", "k", "lt")
+    val right = rs.toDF("k", "rt", "tie", "v")
+    val native = AsofJoinNative.asofJoinForward(left, right, "k", "lt", "rt", "tie", Seq("tie", "v"))
+      .select(col("id"), col("k"), col("lt"), col("tie"), col("v"))
+    val composed = AsofOps.asofJoinForward(left, right, "k", col("lt"), col("rt"), "tie", Seq("tie", "v"))
+      .select(col("id"), col("k"), col("lt"), col("tie"), col("v"))
+    val n = native.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val c = composed.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(n.size === 300 && n === c)
+  }
+
+  test("AsofFilterPushdown: left-only predicates reach the parquet scan; payload predicates stay above") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_pd").toString
+    (1 to 200).map(i => (i.toLong, (i % 9).toLong, (i % 13).toLong, (i % 17).toLong))
+      .toDF("id", "k", "lt", "extra").write.mode("overwrite").parquet(s"$dir/left")
+    (1 to 80).map(i => ((i % 9).toLong, (i % 11).toLong, i.toLong, s"v$i"))
+      .toDF("k", "rt", "tie", "v").write.mode("overwrite").parquet(s"$dir/right")
+    val l = spark.read.parquet(s"$dir/left")
+    val r = spark.read.parquet(s"$dir/right")
+    val joined = AsofJoinNative.asofJoin(l, r, "k", "lt", "rt", "tie", Seq("v"))
+    val filtered = joined.filter(col("extra") > 5L && col("v").isNotNull)
+    // the left-only conjunct pushed through the custom node all the way
+    // into the parquet scan's PushedFilters; the payload conjunct stays
+    // above the join (it must see NULLs for unmatched rows)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(extra,5)"),
+      s"left-side predicate did not reach PushedFilters:\n$plan")
+    val opt = filtered.queryExecution.optimizedPlan
+    val asof = opt.collect { case a: graft.plans.AsofJoinPlan => a }.head
+    assert(asof.left.toString.contains("extra"),
+      s"pushed filter missing from the left subtree:\n$opt")
+    // correctness: identical to filtering the composed join
+    val want = AsofOps.asofJoin(l, r, "k", col("lt"), col("rt"), "tie", Seq("v"))
+      .filter(col("extra") > 5L && col("v").isNotNull)
+      .select(col("id"), col("v")).collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    val got = filtered.select(col("id"), col("v"))
+      .collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    assert(got === want && got.nonEmpty)
+  }
+
   test("native as-of API guards: missing/mistyped columns, payload collisions") {
     val left = Seq((1L, 2L, 3L)).toDF("id", "k", "lt")
     val right = Seq((2L, 3, 4L, "x")).toDF("k", "rt", "tie", "v") // rt is INT
