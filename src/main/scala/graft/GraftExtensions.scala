@@ -62,6 +62,7 @@ object GraftExtensions {
     "graft_hmac_sha256" -> arity(2, "graft_hmac_sha256")(es => HmacSha256(es(0), es(1))),
     "graft_nfc_strip_accents" -> arity(1, "graft_nfc_strip_accents")(es =>
       NfcStripAccents(es.head)),
+    "graft_luhn_valid" -> arity(1, "graft_luhn_valid")(es => LuhnValid(es.head)),
     "graft_bpe_tokens" -> arity(1, "graft_bpe_tokens")(es => BpeTokenCount(es.head)),
     "graft_wordpiece_tokens" -> arity(1, "graft_wordpiece_tokens")(es =>
       WordpieceTokenCount(es.head)),

@@ -3481,6 +3481,70 @@ SELECT o.o_orderkey, o.k AS o_custkey, e.event_id AS next_event_id,
   e.event_type AS next_event_type
 FROM o ASOF LEFT JOIN e ON o.k = e.k AND e.e_us >= o.o_us
 ORDER BY o_orderkey""")),
+
+    ("q165_card_scrub", (s, d) => {
+      // checksum-validated card scrubbing: plant one VALID-Luhn and one
+      // INVALID 16-digit run (q149's deterministic-dirt pattern) plus a
+      // decoy order id; only the valid PAN is redacted — the oracle
+      // replays the Luhn mod-10 arithmetic digit-by-digit, not by
+      // matching the planted literal
+      val docs = Tables.documents(s, d)
+      val dirty = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(6)) === 0,
+            lit(" card 4532015112830366 on file")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(6)) === 3,
+            lit(" ref 4532015112830367 order")).otherwise(lit(""))).as("text"))
+      graft.operators.TextOps.scrubCards(dirty, "doc_id", "text")
+        .orderBy(col("id"))
+    },
+      Some("""WITH dirty AS (SELECT doc_id, text
+  || CASE WHEN doc_id % 6 = 0 THEN ' card 4532015112830366 on file' ELSE '' END
+  || CASE WHEN doc_id % 6 = 3 THEN ' ref 4532015112830367 order' ELSE '' END AS text
+  FROM documents),
+c AS (SELECT doc_id, text, regexp_extract_all(text, '[0-9]{16}') AS cs FROM dirty),
+v AS (SELECT doc_id, text, cs, list_filter(cs, s ->
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 17), i ->
+      CAST(CASE WHEN (17 - i) % 2 = 0
+        THEN CASE WHEN CAST(substring(s, CAST(i AS INT), 1) AS INT) * 2 > 9
+          THEN CAST(substring(s, CAST(i AS INT), 1) AS INT) * 2 - 9
+          ELSE CAST(substring(s, CAST(i AS INT), 1) AS INT) * 2 END
+        ELSE CAST(substring(s, CAST(i AS INT), 1) AS INT) END AS BIGINT))),
+      (a, b) -> a + b) % 10 = 0) AS vs
+  FROM c)
+SELECT doc_id AS id, CAST(len(cs) AS BIGINT) AS n_digit_runs,
+  CAST(len(vs) AS BIGINT) AS n_valid_cards,
+  list_reduce(list_prepend(text, vs), (acc, s) -> replace(acc, s, '<CARD>')) AS clean_text
+FROM v ORDER BY id""")),
+
+    ("q166_kaplan_meier", (s, d) => {
+      // retention/churn curve: users "exit" on their last PURCHASE day
+      // (last-activity clusters at the stream end; purchases spread);
+      // Kaplan-Meier survival in integer ppm with per-step truncation
+      // (the oracle replays the sequential product as a recursive CTE)
+      val last = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+        .groupBy(col("user_id")).agg(max(col("day")).as("ld"))
+      val exits = last.groupBy(col("ld").as("day")).agg(count(lit(1)).as("n_exit"))
+      graft.operators.TemporalOps.kaplanMeier(exits, "day", "n_exit")
+        .select(col("t").as("day"), col("n_risk"), col("n_churn"), col("surv_ppm"))
+        .orderBy(col("day"))
+    },
+      Some("""WITH RECURSIVE last AS (
+  SELECT user_id, max(epoch_ns(ts) // 86400000000000) AS ld FROM events
+  WHERE event_type = 'purchase' GROUP BY 1),
+ch AS (SELECT ld AS t, CAST(count(*) AS BIGINT) AS d FROM last GROUP BY 1),
+rk AS (SELECT t, d, CAST(SUM(d) OVER (ORDER BY t DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r,
+  row_number() OVER (ORDER BY t) AS i FROM ch),
+km AS (
+  SELECT i, t, d, r, (1000000 * (r - d)) // r AS s FROM rk WHERE i = 1
+  UNION ALL
+  SELECT rk.i, rk.t, rk.d, rk.r, (km.s * (rk.r - rk.d)) // rk.r
+  FROM km JOIN rk ON rk.i = km.i + 1)
+SELECT t AS day, r AS n_risk, d AS n_churn, s AS surv_ppm
+FROM km ORDER BY day""")),
   )
 
   /** Integer position discounts floor(1e6 / log2(i+1)) for i = 1..10 —

@@ -243,6 +243,33 @@ object TextCodec {
     UTF8String.fromString(
       java.text.Normalizer.normalize(stripped, java.text.Normalizer.Form.NFC))
   }
+
+  /** Luhn checksum over an ASCII-digit string (mod-10, double every
+    * second digit from the right, subtract 9 above 9): true iff the
+    * string is 13-19 digits (the ISO/IEC 7812 PAN length range) and the
+    * checksum holds. Any non-digit byte -> false (the caller extracts
+    * candidate digit runs first). Single left-to-right pass over the
+    * raw bytes, no allocation.
+    */
+  def luhnValid(s: UTF8String): Boolean = {
+    val n = s.numBytes()
+    if (n < 13 || n > 19) return false
+    var sum = 0
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b < '0' || b > '9') return false
+      var d = b - '0'
+      // double digits at even distance-from-right-end offsets 1,3,5,...
+      if (((n - 1 - i) & 1) == 1) {
+        d *= 2
+        if (d > 9) d -= 9
+      }
+      sum += d
+      i += 1
+    }
+    sum % 10 == 0
+  }
 }
 
 /** Greedy wordpiece subword token count over the [[Wordpiece]] fixture
@@ -306,6 +333,26 @@ case class BpeTokenCount(child: Expression)
   * strings with different codepoint sequences collapse. Codegen'd call
   * into the static helper (no UDF, stays inside whole-stage codegen).
   */
+/** Luhn PAN checksum validator ([[TextCodec.luhnValid]]) — the
+  * false-positive filter behind card-number scrubbing: a 16-digit run is
+  * only redacted if the checksum holds, so order ids and timestamps
+  * survive. Codegen'd; SQL-registered as `graft_luhn_valid`.
+  */
+case class LuhnValid(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"luhn_valid needs STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    TextCodec.luhnValid(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextCodec.luhnValid($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class NfcStripAccents(child: Expression)
     extends UnaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -131,4 +131,49 @@ object TemporalOps {
       .agg(count(lit(1)).as("n_points"), max(col("__s")).as("max_cusum"),
         min(when(col("__s") >= col("__h"), col("t"))).as("first_alarm_t"))
   }
+
+  /** Kaplan-Meier survival curve over an exit-count series: input is ONE
+    * row per event time t with `nEventsCol` subjects exiting at t (e.g.
+    * users whose last activity is day t); the at-risk count n_t is the
+    * reverse cumulative sum (everyone exiting at or after t), and the
+    * survival estimate after t is the product of (1 - d/n) over all
+    * steps <= t — "what fraction of the cohort is still alive after
+    * day t", the standard retention/churn curve.
+    *
+    * Integer contract: survival is ppm with TRUNCATION at each step
+    * (S_0 = 10^6; S_i = (S_{i-1} * (n_i - d_i)) div n_i) — the
+    * cumulative product is inherently sequential, and per-step integer
+    * truncation is the only form an external engine replays exactly
+    * (the oracle uses a recursive CTE). The fold runs row-locally over
+    * the collected step array: sound because the input grain is EVENT
+    * TIMES, calendar-bounded (~tens to thousands of steps), never
+    * subjects — the subject-sized work happened in the caller's
+    * aggregation. Output: (t, n_risk, n_churn, surv_ppm) per step.
+    */
+  def kaplanMeier(df: DataFrame, tCol: String, nEventsCol: String): DataFrame = {
+    val a = df.select(col(tCol).cast("long").as("t"),
+      col(nEventsCol).cast("long").as("d"))
+    // time-grain relation (see scaladoc): the single-group window and the
+    // collected array are bounded by distinct event times, not subjects
+    val wDesc = Window.partitionBy(lit(0)).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val steps = a.withColumn("r", sum(col("d")).over(wDesc))
+      .agg(sort_array(collect_list(struct(col("t"), col("d"), col("r")))).as("__st"))
+    val folded = aggregate(
+      col("__st"),
+      array().cast("array<struct<t:bigint,d:bigint,r:bigint,s:bigint>>"),
+      (acc, x) => {
+        val prev = when(size(acc) === 0, lit(1000000L))
+          .otherwise(element_at(acc, size(acc)).getField("s"))
+        concat(acc, array(struct(
+          x.getField("t").as("t"), x.getField("d").as("d"),
+          x.getField("r").as("r"),
+          call_function("div",
+            prev * (x.getField("r") - x.getField("d")),
+            x.getField("r")).as("s"))))
+      })
+    steps.select(explode(folded).as("__e"))
+      .select(col("__e.t").as("t"), col("__e.r").as("n_risk"),
+        col("__e.d").as("n_churn"), col("__e.s").as("surv_ppm"))
+  }
 }

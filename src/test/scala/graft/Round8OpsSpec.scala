@@ -195,6 +195,65 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- luhn / scrubCards ---------------------------------------------------
+
+  test("LuhnValid: checksum arithmetic, length bounds, non-digits, SQL surface") {
+    import graft.functions.TextCodec
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    assert(TextCodec.luhnValid(u8("4532015112830366")))
+    assert(TextCodec.luhnValid(u8("4111111111111111")))
+    assert(!TextCodec.luhnValid(u8("4532015112830367"))) // off-by-one check digit
+    assert(!TextCodec.luhnValid(u8("453201511283036"))) // 15 digits, bad sum
+    assert(TextCodec.luhnValid(u8("4222222222222"))) // 13-digit valid Visa test PAN
+    assert(!TextCodec.luhnValid(u8("123456789012"))) // under 13 digits
+    assert(!TextCodec.luhnValid(u8("45320151128303669999"))) // over 19
+    assert(!TextCodec.luhnValid(u8("4532a15112830366"))) // non-digit
+    graft.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_luhn_valid('4532015112830366') AS a, graft_luhn_valid('4532015112830367') AS b")
+      .head()
+    assert(viaSql.getBoolean(0) && !viaSql.getBoolean(1))
+  }
+
+  test("scrubCards: only checksum-valid runs are redacted") {
+    import graft.operators.TextOps
+    val df = Seq(
+      (1L, "pay with 4532015112830366 not order 4532015112830367 thanks"),
+      (2L, "no cards here 12345"),
+      (3L, "two: 4111111111111111 and 4532015112830366")
+    ).toDF("doc_id", "text")
+    val out = TextOps.scrubCards(df, "doc_id", "text")
+      .orderBy(col("id")).collect()
+    assert(out(0).getAs[Long]("n_digit_runs") === 2L)
+    assert(out(0).getAs[Long]("n_valid_cards") === 1L)
+    assert(out(0).getAs[String]("clean_text") ===
+      "pay with <CARD> not order 4532015112830367 thanks")
+    assert(out(1).getAs[Long]("n_valid_cards") === 0L)
+    assert(out(1).getAs[String]("clean_text") === "no cards here 12345")
+    assert(out(2).getAs[Long]("n_valid_cards") === 2L)
+    assert(out(2).getAs[String]("clean_text") === "two: <CARD> and <CARD>")
+  }
+
+  // ---- kaplanMeier ---------------------------------------------------------
+
+  test("kaplanMeier: hand-computed survival steps with per-step truncation") {
+    import graft.operators.TemporalOps
+    val exits = Seq((1L, 10L), (2L, 5L), (3L, 5L)).toDF("day", "n")
+    val out = TemporalOps.kaplanMeier(exits, "day", "n")
+      .orderBy(col("t")).collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_churn"), r.getAs[Long]("surv_ppm"))).toSeq
+    // risks: 20, 10, 5; S: 1e6*10/20=500000, *5/10=250000, *0/5=0
+    assert(out === Seq((1L, 20L, 10L, 500000L), (2L, 10L, 5L, 250000L),
+      (3L, 5L, 5L, 0L)))
+    // per-step truncation: risks 3,2,1 -> 1e6*2/3 = 666666 (truncated),
+    // then 666666*1/2 = 333333, then 0
+    val thirds = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("day", "n")
+    val t3 = TemporalOps.kaplanMeier(thirds, "day", "n")
+      .orderBy(col("t")).collect().map(_.getAs[Long]("surv_ppm")).toSeq
+    assert(t3 === Seq(666666L, 333333L, 0L))
+  }
+
   // ---- rankSumAuc ----------------------------------------------------------
 
   test("rankSumAuc: hand-computed midrank ties, perfect separation, degenerate class") {
