@@ -3545,6 +3545,119 @@ km AS (
   FROM km JOIN rk ON rk.i = km.i + 1)
 SELECT t AS day, r AS n_risk, d AS n_churn, s AS surv_ppm
 FROM km ORDER BY day""")),
+
+    ("q167_label_propagation", (s, d) => {
+      // community detection over the co-purchase graph (parts sharing
+      // >= 2 orders): 3 rounds of synchronous min-tie label propagation
+      // — the deterministic LPA contract (GraphOps.labelPropagation),
+      // replayed by the oracle as 3 unrolled argmax rounds
+      val edges = graft.operators.GraphOps.coPairCounts(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey", 2L)
+      graft.operators.GraphOps.labelPropagation(edges, "i1", "i2", 3)
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"), sum(col("node")).as("member_sum"))
+        .orderBy(col("community"))
+    },
+      Some(s"""WITH $coPurchaseEdgesSql,
+l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM e)${lpaRoundsSql(3)}
+SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+  CAST(SUM(node) AS BIGINT) AS member_sum
+FROM l3 GROUP BY 1 ORDER BY 1""")),
+
+    ("q168_bfs_hops", (s, d) => {
+      // multi-source BFS over the same co-purchase graph: hop distance
+      // from the seed parts (p_partkey % 101 = 0), capped at 4 — the
+      // frontier join-anti-join shape; oracle = recursive CTE with
+      // UNION-dedup layering and a min over discovery depths
+      val edges = graft.operators.GraphOps.coPairCounts(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey", 2L)
+      val sym = edges.select(col("i1").as("s"), col("i2").as("d"))
+        .union(edges.select(col("i2").as("s"), col("i1").as("d")))
+      val seeds = Tables.part(s, d)
+        .filter(pmod(col("p_partkey"), lit(101)) === 0)
+      graft.operators.GraphOps.bfsHops(sym, "s", "d", seeds, "p_partkey", 4)
+        .orderBy(col("node"))
+    },
+      Some(s"""WITH RECURSIVE $coPurchaseEdgesSql,
+sd AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_partkey % 101 = 0),
+bfs(node, h) AS (
+  SELECT node, CAST(0 AS BIGINT) FROM sd
+  UNION
+  SELECT e.d, bfs.h + 1 FROM bfs JOIN e ON e.s = bfs.node WHERE bfs.h < 4)
+SELECT node, CAST(min(h) AS BIGINT) AS hops FROM bfs GROUP BY 1 ORDER BY 1""")),
+
+    ("q169_geo_grid_join", (s, d) => {
+      // spatial neighbor self-join: customers at portable-hash-derived
+      // integer coordinates in a 1e6 x 1e6 plane, all pairs within
+      // radius 12500 via 3x3 grid bucketing (SpatialOps) — the oracle is
+      // BRUTE-FORCE all-pairs, so parity proves the grid decomposition
+      // loses and invents nothing
+      val pts = Tables.customer(s, d).select(col("c_custkey").as("id"),
+        pmod(Converters.fingerprint64(
+          concat(lit("gx"), col("c_custkey").cast(StringType))), lit(1000000L)).as("x"),
+        pmod(Converters.fingerprint64(
+          concat(lit("gy"), col("c_custkey").cast(StringType))), lit(1000000L)).as("y"))
+      graft.operators.SpatialOps.gridNeighborPairs(pts, "id", "x", "y",
+        12500L, 12500L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+      Some(s"""WITH p AS (SELECT c_custkey AS id,
+  ${fpSql("('gx' || CAST(c_custkey AS VARCHAR))")} % 1000000 AS x,
+  ${fpSql("('gy' || CAST(c_custkey AS VARCHAR))")} % 1000000 AS y
+  FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+FROM p a JOIN p b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 156250000
+ORDER BY id_a, id_b""")),
+
+    ("q170_benford_screen", (s, d) =>
+      // fabricated-amounts screen: first-digit distribution of the
+      // lineitem charge (exact cents) per returnflag vs Benford's law,
+      // integer ppm with precomputed log literals on both engines
+      graft.operators.QualityOps.benfordScreen(
+        Tables.lineitem(s, d), "l_returnflag",
+        (d2(col("l_extendedprice")) * 100).cast(LongType))
+        .withColumnRenamed("group", "flag")
+        .orderBy(col("flag"), col("digit")),
+      Some("""WITH c AS (SELECT l_returnflag AS flag,
+  CAST(left(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR), 1) AS INT) AS digit
+  FROM lineitem WHERE CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) > 0),
+g AS (SELECT flag, digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2),
+t AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY flag) AS BIGINT) AS tot FROM g),
+b(digit, bp) AS (VALUES (1, 301029), (2, 176091), (3, 124938), (4, 96910),
+  (5, 79181), (6, 66946), (7, 57991), (8, 51152), (9, 45757))
+SELECT flag, digit, n, (n * 1000000) // tot AS ppm, CAST(bp AS BIGINT) AS benford_ppm,
+  abs((n * 1000000) // tot - bp) AS dev_ppm
+FROM t JOIN b USING (digit) ORDER BY flag, digit""")),
+
+    ("q171_interleave_order", (s, d) => {
+      // deterministic curriculum head: stride-scheduled interleave of
+      // sources by the q154 temperature-mixing permille — the first 200
+      // rows of the training order, proportionally mixed at every
+      // prefix (TakeOrdered head, never a global sort)
+      val docs = Tables.documents(s, d)
+      val wts = graft.operators.SamplingOps.mixingWeights(
+        docs, "source", size(split(col("text"), " ")).cast(LongType))
+      graft.operators.SamplingOps.stridedInterleave(docs, "doc_id", "source", wts)
+        .select(col("ikey"), col("group").as("source"), col("rnk"), col("doc_id"))
+        .orderBy(col("ikey"), col("source"), col("rnk")).limit(200)
+    },
+      Some(s"""WITH t AS (SELECT source AS g,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents GROUP BY 1),
+w AS (SELECT g, n_tokens, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS wr FROM t),
+x AS (SELECT *, CAST(SUM(wr) OVER () AS BIGINT) AS tot FROM w),
+bb AS (SELECT *, (wr * 1000) // tot AS base, (wr * 1000) % tot AS rem FROM x),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, g) AS rk,
+  1000 - CAST(SUM(base) OVER () AS BIGINT) AS short FROM bb),
+pm AS (SELECT g, base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS permille FROM r),
+h AS (SELECT doc_id, source, ${mixedSql("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+rkd AS (SELECT doc_id, source,
+  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rnk FROM h),
+j AS (SELECT rkd.doc_id, rkd.source, rkd.rnk, pm.permille
+  FROM rkd JOIN pm ON rkd.source = pm.g WHERE pm.permille > 0)
+SELECT ((2 * rnk - 1) * 500000) // permille AS ikey, source, rnk, doc_id
+FROM j ORDER BY ikey, source, rnk LIMIT 200""")),
   )
 
   /** Integer position discounts floor(1e6 / log2(i+1)) for i = 1..10 —
@@ -3675,6 +3788,30 @@ c AS (SELECT doc_id, n_tokens,
     * the string expression `e` — the single-source inline form the older
     * oracles embed verbatim; new oracles compose it from here.
     */
+  /** DuckDB replay of [[graft.operators.GraphOps.coPairCounts]] over
+    * lineitem (basket = order, item = part, minCount = 2) plus the
+    * symmetrized edge relation `e` — the co-purchase graph q167/q168
+    * share.
+    */
+  private def coPurchaseEdgesSql: String =
+    """it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+pc AS (SELECT a.item AS i1, b.item AS i2 FROM it a JOIN it b
+  ON a.bk = b.bk AND a.item < b.item GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS (SELECT i1 AS s, i2 AS d FROM pc UNION SELECT i2, i1 FROM pc)"""
+
+  /** `rounds` unrolled synchronous LPA updates l1..l{rounds} over edge
+    * relation `e` and seed labels `l0` — the oracle twin of
+    * [[graft.operators.GraphOps.labelPropagation]]'s argmax
+    * (count DESC, label ASC).
+    */
+  private def lpaRoundsSql(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s""",
+n$r AS (SELECT e.d AS node, l.lbl, count(*) AS c FROM e JOIN l${r - 1} l ON e.s = l.node GROUP BY 1, 2),
+l$r AS (SELECT node, lbl FROM (SELECT node, lbl,
+  row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk FROM n$r) WHERE rk = 1)"""
+    }.mkString
+
   private def fpSql(e: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
     list_transform(range(1, length($e) + 1),

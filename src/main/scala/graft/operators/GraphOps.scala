@@ -68,7 +68,19 @@ object GraphOps {
     * the pair; the top-k is a TakeOrdered, never a global sort.
     */
   def itemCooccurrence(df: DataFrame, basketCol: String, itemCol: String,
-                       minCount: Long = 2L, k: Int = 50): DataFrame = {
+                       minCount: Long = 2L, k: Int = 50): DataFrame =
+    coPairCounts(df, basketCol, itemCol, minCount)
+      .orderBy(col("n").desc, col("i1"), col("i2"))
+      .limit(k)
+
+  /** The full co-occurrence pair relation behind [[itemCooccurrence]]:
+    * (i1, i2, n) with i1 < i2 and n >= minCount baskets containing both.
+    * This IS the co-purchase graph's edge list — [[labelPropagation]]
+    * and [[bfsHops]] consume it directly. Same basket-bounded self-join
+    * shape (cost ∝ sum(basket_size²), never corpus²).
+    */
+  def coPairCounts(df: DataFrame, basketCol: String, itemCol: String,
+                   minCount: Long = 2L): DataFrame = {
     val items = df.select(col(basketCol).as("bk"), col(itemCol).as("item"))
       .distinct()
       .localCheckpoint(false) // both sides of the self-join
@@ -77,8 +89,6 @@ object GraphOps {
       .groupBy(col("a.item").as("i1"), col("b.item").as("i2"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-      .orderBy(col("n").desc, col("i1"), col("i2"))
-      .limit(k)
   }
 
   /** Two-step funnel conversion per entity: the first `fromState` event,
@@ -190,5 +200,87 @@ object GraphOps {
     n.join(tot, Seq("from_state"))
       .select(col("from_state"), col("to_state"), col("n"),
         call_function("div", col("n") * scale, col("__tot")).as("p_scaled"))
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007, the LPA variant GraphX ships) with a DETERMINISTIC update:
+    * every node simultaneously adopts the most frequent label among its
+    * neighbors, ties broken toward the SMALLEST label — so the result is
+    * a pure function of the edge set and the round count, bit-identical
+    * on any engine or parallelism (asynchronous/randomized LPA is not
+    * replayable; the sync+min-tie contract is). Input edges are treated
+    * as undirected (symmetrized + deduped here); initial label = node id.
+    * Output: (node, lbl) for every edge endpoint after `iters` rounds.
+    *
+    * Scale shape: identical to [[pageRankScaled]] — per round one
+    * equi-join of the (checkpointed) symmetric edge list against the
+    * node-sized label relation, one (node, lbl) count aggregation, one
+    * max-of-struct argmax; state re-checkpoints per round so lineage
+    * stays flat. Hot hubs are AQE skew-join territory. Sync LPA on a
+    * bipartite-ish graph can oscillate — `iters` is a hard bound, not a
+    * convergence test, exactly so the cost is fixed and replayable.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val ed = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__d"))
+    val sym = ed.union(ed.select(col("__d").as("__s"), col("__s").as("__d")))
+      .filter(col("__s") =!= col("__d")).distinct()
+      .localCheckpoint(false) // reused by every round
+    var labels = sym.select(col("__s").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(false)
+    for (_ <- 0 until iters) {
+      labels = sym.join(labels, col("__s") === col("node"))
+        .groupBy(col("__d").as("nd"), col("lbl"))
+        .agg(count(lit(1)).as("__c"))
+        // argmax by (count, then smallest label): labels are node ids >= 0
+        .groupBy(col("nd").as("node"))
+        .agg(max(struct(col("__c"), (-col("lbl")).as("__nl"))).as("__m"))
+        .select(col("node"), (-col("__m.__nl")).as("lbl"))
+        .localCheckpoint(false) // bound lineage across rounds
+    }
+    labels
+  }
+
+  /** Multi-source BFS: the minimum hop distance from any seed node,
+    * capped at `maxHops` (unreached nodes are absent). Classic frontier
+    * iteration — round h joins the previous frontier against the edge
+    * list and anti-joins the visited set, so each round's cost is
+    * proportional to the frontier's out-edges, never the whole graph,
+    * and a node is settled exactly once (BFS layering makes the first
+    * discovery the minimum distance; no min-agg re-visits needed).
+    * Edges are directed as given; symmetrize upstream for undirected
+    * reachability. Output: (node, hops).
+    *
+    * Scale shape: edge relation checkpointed once; visited/frontier are
+    * node-sized and re-checkpoint per round. The per-round emptiness
+    * probe is `frontier.isEmpty` — a limit-1 scan, not a count. This is
+    * the join-anti-join form that survives 100 TB edge lists (no driver
+    * adjacency, no global windows); `maxHops` bounds worst-case rounds
+    * on adversarial diameters.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"need maxHops >= 0, got $maxHops")
+    val ed = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__d"))
+      .localCheckpoint(false) // reused by every round
+    var visited = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(false)
+    var frontier = visited
+    var h = 0L
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      frontier = ed.join(frontier, col("__s") === col("node"))
+        .select(col("__d").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(false)
+      visited = visited.union(frontier).localCheckpoint(false)
+    }
+    visited
   }
 }

@@ -102,4 +102,43 @@ object QualityOps {
           lit(2L) * col("n_pos") * col("n_neg")))
         .otherwise(lit(0L)).as("auc_ppm"))
   }
+
+  /** floor(1e6 · log10(1 + 1/d)) for d = 1..9 — Benford's first-digit
+    * law as integer ppm literals, so neither engine computes a float
+    * log (the oracle embeds the same constants).
+    */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(1 -> 301029L, 2 -> 176091L,
+    3 -> 124938L, 4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L,
+    8 -> 51152L, 9 -> 45757L)
+
+  /** First-significant-digit distribution vs Benford's law, per group —
+    * the classic fabricated-amounts screen for financial columns.
+    * `amountCents` must be a positive integer amount (fixed-point cents;
+    * zero/negative rows are excluded — they have no significant digit).
+    * Output per (group, digit 1..9): n, observed ppm (integer floor of
+    * the within-group share), the Benford expectation, and the absolute
+    * deviation. Digits a group never produces are absent (outer-join a
+    * digit spine downstream if a dense grid is wanted).
+    *
+    * Scale shape: one map-side-combinable groupBy on (group, digit) —
+    * the first digit is string-head of the int64, row-local codegen —
+    * then a group-cardinality window for totals. Nothing is data-sized
+    * after the first aggregate.
+    */
+  def benfordScreen(df: DataFrame, groupCol: String,
+                    amountCents: Column): DataFrame = {
+    val digit = substring(amountCents.cast(LongType).cast("string"), 1, 1)
+      .cast("int")
+    val bmap = map(BenfordPpm.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group"))
+    df.filter(amountCents.cast(LongType) > 0L)
+      .groupBy(col(groupCol).as("group"), digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot", sum(col("n")).over(wg))
+      .withColumn("ppm", call_function("div", col("n") * 1000000L, col("__tot")))
+      .withColumn("benford_ppm", element_at(bmap, col("digit")))
+      .select(col("group"), col("digit"), col("n"), col("ppm"),
+        col("benford_ppm"), abs(col("ppm") - col("benford_ppm")).as("dev_ppm"))
+  }
 }

@@ -276,6 +276,45 @@ object SamplingOps {
     * fingerprint (replayable externally); hash ties break by id, so the
     * order is total. Output: input columns + (shard, pos).
     */
+  /** Deterministic curriculum interleave (stride scheduling over the
+    * source-mixing distribution): each group's rows are ranked by the
+    * portable hash of their id (a reproducible shuffle), and row r of a
+    * group with weight w permille gets the integer virtual time
+    *   ikey = ((2r - 1) * 500000) div w
+    * — the classic stride-scheduler pass interval (Waldspurger &
+    * Weihl 1995), so reading the corpus in (ikey, group, rnk) order
+    * interleaves sources proportionally to their weights at every
+    * prefix, not just in aggregate. Weight-0 groups are excluded (their
+    * quota is zero). Output: input columns + (group, rnk, ikey).
+    *
+    * Scale shape: one group-partitioned window for the rank (group
+    * cardinality = sources, so partitions are fat but AQE-splittable;
+    * at 100 TB swap the window for [[graft.operators.RangePrefix]]'s
+    * two-pass rank on (group, hash)), then pure row-local integer math.
+    * The total order is only MATERIALIZED by whoever consumes it — a
+    * top-k head is a TakeOrdered; a full training-order export is a
+    * range-partitioned write on ikey, never a single global sort
+    * partition.
+    */
+  def stridedInterleave(df: DataFrame, idCol: String, groupCol: String,
+                        weights: DataFrame): DataFrame = {
+    Seq("__h", "group", "rnk", "ikey").foreach(c => require(!df.columns.contains(c),
+      s"stridedInterleave: input must not contain reserved column $c"))
+    val p = 1000000007L
+    val h = pmod(lit(636413622L) * Converters.fingerprint64(col(idCol).cast(StringType))
+      + lit(528402381L), lit(p))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("__h"), col(idCol))
+    df.withColumn("group", col(groupCol))
+      .join(weights.select(col("group"), col("permille")), Seq("group"))
+      .filter(col("permille") > 0L)
+      .withColumn("__h", h)
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .withColumn("ikey",
+        call_function("div", (lit(2L) * col("rnk") - 1L) * 500000L, col("permille")))
+      .drop("__h", "permille")
+  }
+
   def shardAssignments(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     Seq("__h", "shard", "pos").foreach(c => require(!df.columns.contains(c),
