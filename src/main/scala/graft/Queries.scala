@@ -3658,6 +3658,130 @@ j AS (SELECT rkd.doc_id, rkd.source, rkd.rnk, pm.permille
   FROM rkd JOIN pm ON rkd.source = pm.g WHERE pm.permille > 0)
 SELECT ((2 * rnk - 1) * 500000) // permille AS ikey, source, rnk, doc_id
 FROM j ORDER BY ikey, source, rnk LIMIT 200""")),
+
+    ("q172_matrix_project", (s, d) => {
+      // fixed-point linear projection of the embedding corpus through a
+      // 4x64 hash-seeded integer matrix (random-projection head): the
+      // matrix rides the plan as literals, the product is row-local
+      // codegen — map-only at any corpus size; the oracle rebuilds the
+      // same matrix from the portable fingerprint
+      val W = (0 until 4).map(j => (0 until 64).map(i =>
+        graft.functions.DebeziumCodec.fingerprint64(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"w:$j:$i"))
+          % 2001L - 1000L))
+      SimilarityOps.projectFixedPoint(Tables.embeddings(s, d), "vec_id",
+        "embedding", W, 1000L)
+        .orderBy(col("id"))
+    },
+      Some(s"""WITH q AS (SELECT vec_id AS id,
+  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+  FROM embeddings),
+wm AS (SELECT j, ii,
+  ${fpSql("('w:' || CAST(j AS VARCHAR) || ':' || CAST(ii AS VARCHAR))")} % 2001 - 1000 AS w
+  FROM range(0, 4) tj(j), range(0, 64) ti(ii)),
+qe AS (SELECT id, ii, v[CAST(ii + 1 AS INT)] AS qi FROM q, range(0, 64) tx(ii)),
+pr AS (SELECT qe.id, wm.j, CAST(SUM(qe.qi * wm.w) AS BIGINT) AS p
+  FROM qe JOIN wm ON wm.ii = qe.ii GROUP BY 1, 2)
+SELECT id, MAX(CASE WHEN j = 0 THEN p END) AS p0, MAX(CASE WHEN j = 1 THEN p END) AS p1,
+  MAX(CASE WHEN j = 2 THEN p END) AS p2, MAX(CASE WHEN j = 3 THEN p END) AS p3
+FROM pr GROUP BY id ORDER BY id""")),
+
+    ("q173_record_linkage", (s, d) => {
+      // Fellegi-Sunter record linkage: a deterministically-perturbed CRM
+      // copy of customers (name truncated for %7, balance off-by-a-cent
+      // for %5, segment lost for %11) linked back via nation blocking +
+      // integer agreement weights; single-field perturbations land in
+      // 'possible', clean matches in 'link', %35 double-perturbations
+      // fall below review (the documented recall frontier)
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"),
+        (d2(col("c_acctbal")) * 100).cast(LongType).as("c_cents"),
+        col("c_mktsegment"))
+      val crm = Tables.customer(s, d).select(
+        (col("c_custkey") + 100000L).as("crm_id"),
+        when(pmod(col("c_custkey"), lit(7)) === 0,
+          expr("substring(c_name, 1, length(c_name) - 1)"))
+          .otherwise(col("c_name")).as("crm_name"),
+        col("c_nationkey"),
+        ((d2(col("c_acctbal")) * 100).cast(LongType) +
+          when(pmod(col("c_custkey"), lit(5)) === 0, 1L).otherwise(0L)).as("crm_cents"),
+        when(pmod(col("c_custkey"), lit(11)) === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("crm_seg"))
+      graft.operators.LinkageOps.linkPairs(cust, crm, "c_nationkey", Seq(
+        graft.operators.LinkageOps.Agreement("name",
+          col("c_name") === col("crm_name"), 20L, -10L),
+        graft.operators.LinkageOps.Agreement("bal",
+          col("c_cents") === col("crm_cents"), 12L, -4L),
+        graft.operators.LinkageOps.Agreement("seg",
+          col("c_mktsegment") === col("crm_seg"), 8L, -4L)),
+        10L, 35L)
+        .select(col("c_custkey"), col("crm_id"), col("name_agree"),
+          col("bal_agree"), col("seg_agree"), col("score"), col("cls"))
+        .orderBy(col("c_custkey"), col("crm_id"))
+    },
+      Some("""WITH cust AS (SELECT c_custkey, c_name, c_nationkey,
+  CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS c_cents, c_mktsegment FROM customer),
+crm AS (SELECT c_custkey + 100000 AS crm_id,
+  CASE WHEN c_custkey % 7 = 0 THEN substring(c_name, 1, length(c_name) - 1) ELSE c_name END AS crm_name,
+  c_nationkey,
+  CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+    + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS crm_cents,
+  CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS crm_seg FROM customer),
+j AS (SELECT cust.c_custkey, crm.crm_id,
+  (c_name = crm_name) AS name_agree, (c_cents = crm_cents) AS bal_agree,
+  (c_mktsegment = crm_seg) AS seg_agree
+  FROM cust JOIN crm USING (c_nationkey)),
+sc AS (SELECT *, CAST(CASE WHEN name_agree THEN 20 ELSE -10 END
+  + CASE WHEN bal_agree THEN 12 ELSE -4 END
+  + CASE WHEN seg_agree THEN 8 ELSE -4 END AS BIGINT) AS score FROM j)
+SELECT c_custkey, crm_id, name_agree, bal_agree, seg_agree, score,
+  CASE WHEN score >= 35 THEN 'link' ELSE 'possible' END AS cls
+FROM sc WHERE score >= 10 ORDER BY c_custkey, crm_id""")),
+
+    ("q174_postings_bm25", (s, d) =>
+      // q94's retrieval served from the MATERIALIZED inverted-index
+      // artifact (term-hash-bucketed postings parquet, built once per
+      // JVM): identical integer BM25, but the scan is partition-pruned
+      // to the query terms' buckets — same oracle as q94, so parity
+      // proves build/serve loses nothing
+      TextOps.bm25TopKFromIndex(s, postingsIndexPath(s, d),
+        Seq((1, Seq("join", "vector")), (2, Seq("stream", "filter", "slow"))), 10)
+        .orderBy(col("query_id"), col("rk")),
+      Some(s"""WITH $bm25SqlCtes
+SELECT query_id, id, score, rk FROM r WHERE rk <= 10 ORDER BY query_id, rk""")),
+
+    ("q175_seasonal_anomaly", (s, d) => {
+      // seasonality-aware anomaly screen: per (event_type, day-of-week)
+      // exact LOWER-median daily volume as the baseline, integer-ppm
+      // residuals, flag |residual| >= 25% — the robust day-of-week
+      // seasonal adjustment a metrics pipeline runs
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", pmod(col("day"), lit(7L)))
+        .withColumn("gkey", concat_ws("#", col("event_type"), col("dow")))
+        .localCheckpoint(false) // two consumers: baseline median + residual join
+      val base = graft.operators.SketchOps.exactGroupMedian(daily, "gkey", "n", "day")
+        .select(col("group").as("gkey"), col("median_value").as("base_med"))
+      daily.join(base, Seq("gkey"))
+        .withColumn("res_ppm", when(col("n") >= col("base_med"),
+            call_function("div", (col("n") - col("base_med")) * 1000000L, col("base_med")))
+          .otherwise(-call_function("div", (col("base_med") - col("n")) * 1000000L, col("base_med"))))
+        .filter(abs(col("res_ppm")) >= 250000L)
+        .select(col("event_type"), col("day"), col("n"), col("base_med"), col("res_ppm"))
+        .orderBy(col("event_type"), col("day"))
+    },
+      Some("""WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+dw AS (SELECT *, day % 7 AS dow FROM daily),
+r AS (SELECT *, CAST(count(*) OVER (PARTITION BY event_type, dow) AS BIGINT) AS cnt,
+  CAST(ROW_NUMBER() OVER (PARTITION BY event_type, dow ORDER BY n, day) AS BIGINT) AS rn FROM dw),
+med AS (SELECT event_type, dow, n AS base_med FROM r WHERE rn = (cnt + 1) // 2),
+j AS (SELECT dw.event_type, dw.day, dw.n, med.base_med FROM dw JOIN med USING (event_type, dow)),
+sc AS (SELECT *, CASE WHEN n >= base_med THEN ((n - base_med) * 1000000) // base_med
+  ELSE -(((base_med - n) * 1000000) // base_med) END AS res_ppm FROM j)
+SELECT event_type, day, n, base_med, res_ppm FROM sc WHERE abs(res_ppm) >= 250000
+ORDER BY event_type, day""")),
   )
 
   /** Integer position discounts floor(1e6 / log2(i+1)) for i = 1..10 —
@@ -3700,6 +3824,31 @@ FROM j ORDER BY ikey, source, rnk LIMIT 200""")),
       val buildS = (System.nanoTime() - t0) / 1e9
       winnowBuildSeconds = Some(buildS)
       System.err.println(f"[bench] winnow-fp index build: $buildS%.2f s (once per JVM, shared by q76/q81)")
+      true
+    })
+    path
+  }
+
+  /** Postings-index artifacts built by THIS JVM (q174). */
+  private val postingsBuilt = scala.collection.concurrent.TrieMap[String, Boolean]()
+
+  /** One-off postings-index build cost (same contract as [[q75BuildSeconds]]). */
+  @volatile var postingsBuildSeconds: Option[Double] = None
+
+  /** Once-per-JVM [[TextOps.buildPostingsIndex]] over `documents` — the
+    * inverted-index artifact q174 serves BM25 from. Keyed like
+    * [[dedupGraphPath]].
+    */
+  private def postingsIndexPath(s: SparkSession, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_postings_${key}_${ProcessHandle.current().pid()}"
+    postingsBuilt.getOrElseUpdate(path, {
+      val t0 = System.nanoTime()
+      TextOps.buildPostingsIndex(Tables.documents(s, d), "doc_id", "text", path)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      postingsBuildSeconds = Some(buildS)
+      System.err.println(f"[bench] postings index build: $buildS%.2f s (once per JVM, q174)")
       true
     })
     path

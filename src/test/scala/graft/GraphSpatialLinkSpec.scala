@@ -1,0 +1,200 @@
+package graft
+
+import graft.operators.{GraphOps, LinkageOps, QualityOps, SamplingOps, SimilarityOps, SpatialOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 additions: label propagation, BFS hops, grid spatial join,
+  * Benford screen, strided interleave, fixed-point projection, record
+  * linkage, postings-index BM25 serving.
+  */
+class GraphSpatialLinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- labelPropagation ----------------------------------------------------
+
+  test("labelPropagation: disjoint triangles converge to their min node id") {
+    val ed = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("a", "b")
+    val got = GraphOps.labelPropagation(ed, "a", "b", 2)
+      .orderBy(col("node")).as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L)))
+  }
+
+  test("labelPropagation: one round of the hand-computed min-tie argmax") {
+    // triangle only: after ONE sync round each node holds the min of its
+    // NEIGHBOR ids (all neighbor labels distinct -> count tie -> min)
+    val ed = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val got = GraphOps.labelPropagation(ed, "a", "b", 1)
+      .orderBy(col("node")).as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  // ---- bfsHops -------------------------------------------------------------
+
+  test("bfsHops: directed path layering, cap, and graph-less seeds") {
+    val ed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val seeds = Seq(1L, 99L).toDF("n") // 99 has no edges: present at hop 0
+    val got = GraphOps.bfsHops(ed, "s", "d", seeds, "n", 3)
+      .orderBy(col("node")).as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L), (99L, 0L)))
+  }
+
+  test("bfsHops: min distance wins when layers overlap") {
+    // 1->3 directly and 1->2->3: node 3 must settle at hop 1, not 2
+    val ed = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    val got = GraphOps.bfsHops(ed, "s", "d", Seq(1L).toDF("n"), "n", 5)
+      .orderBy(col("node")).as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 0L), (2L, 1L), (3L, 1L)))
+  }
+
+  // ---- gridNeighborPairs ---------------------------------------------------
+
+  test("gridNeighborPairs: equals brute force on a hash-scattered point set") {
+    val pts = (1L to 60L).map { i =>
+      val x = graft.functions.DebeziumCodec.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"px$i")) % 1000L
+      val y = graft.functions.DebeziumCodec.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"py$i")) % 1000L
+      (i, x, y)
+    }
+    val df = pts.toDF("id", "x", "y")
+    val got = SpatialOps.gridNeighborPairs(df, "id", "x", "y", 200L, 200L)
+      .orderBy(col("id_a"), col("id_b"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val brute = (for {
+      (i, xi, yi) <- pts; (j, xj, yj) <- pts if i < j
+      d2 = (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj) if d2 <= 200L * 200L
+    } yield (i, j, d2)).sorted
+    assert(got === brute && brute.nonEmpty)
+  }
+
+  test("gridNeighborPairs: cross-cell neighbors survive, radius is inclusive") {
+    val df = Seq((1L, 149L, 0L), (2L, 151L, 0L), (3L, 149L, 150L), (4L, 5000L, 5000L))
+      .toDF("id", "x", "y")
+    // cell pitch 150: ids 1/2 straddle a cell boundary at distance 2
+    val got = SpatialOps.gridNeighborPairs(df, "id", "x", "y", 150L, 150L)
+      .orderBy(col("id_a"), col("id_b"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // (2,3) is at dist² 22504 > 150²: just outside, must be excluded
+    assert(got === Seq((1L, 2L, 4L), (1L, 3L, 22500L)))
+    intercept[IllegalArgumentException] {
+      SpatialOps.gridNeighborPairs(df, "id", "x", "y", 100L, 150L)
+    }
+  }
+
+  // ---- benfordScreen -------------------------------------------------------
+
+  test("benfordScreen: digit extraction, ppm shares, nonpositive exclusion") {
+    val df = Seq(("a", 100L), ("a", 2345L), ("a", 31L), ("a", 999L),
+      ("a", 0L), ("a", -5L), ("b", 777L)).toDF("g", "cents")
+    val got = QualityOps.benfordScreen(df, "g", col("cents"))
+      .orderBy(col("group"), col("digit")).collect()
+    val a = got.filter(_.getAs[String]("group") == "a")
+    assert(a.map(r => (r.getAs[Int]("digit"), r.getAs[Long]("n"),
+      r.getAs[Long]("ppm"))).toSeq ===
+      Seq((1, 1L, 250000L), (2, 1L, 250000L), (3, 1L, 250000L), (9, 1L, 250000L)))
+    val d9 = a.last
+    assert(d9.getAs[Long]("benford_ppm") === 45757L)
+    assert(d9.getAs[Long]("dev_ppm") === 250000L - 45757L)
+    val b = got.filter(_.getAs[String]("group") == "b")
+    assert(b.map(r => (r.getAs[Int]("digit"), r.getAs[Long]("ppm"))).toSeq ===
+      Seq((7, 1000000L)))
+  }
+
+  // ---- stridedInterleave ---------------------------------------------------
+
+  test("stridedInterleave: 75/25 weights give 3:1 proportional prefixes") {
+    val docs = ((1 to 8).map(i => (s"a$i", "a")) ++ (1 to 8).map(i => (s"b$i", "b")))
+      .toDF("id", "src")
+    val wts = Seq(("a", 750L), ("b", 250L)).toDF("group", "permille")
+    val got = SamplingOps.stridedInterleave(docs, "id", "src", wts)
+      .orderBy(col("ikey"), col("group"), col("rnk"))
+      .select(col("group")).as[String].collect().toSeq
+    assert(got.take(8).count(_ == "a") === 6)
+    assert(got.take(8).count(_ == "b") === 2)
+    // stride formula itself: rank r of group w gets ((2r-1)*500000)//w
+    val keys = SamplingOps.stridedInterleave(docs, "id", "src", wts)
+      .filter(col("group") === "b").orderBy(col("rnk"))
+      .select(col("ikey")).as[Long].collect().toSeq
+    assert(keys === Seq(2000L, 6000L, 10000L, 14000L, 18000L, 22000L, 26000L, 30000L))
+  }
+
+  test("stridedInterleave: weight-0 groups are excluded") {
+    val docs = Seq(("x", "a"), ("y", "b")).toDF("id", "src")
+    val wts = Seq(("a", 1000L), ("b", 0L)).toDF("group", "permille")
+    val got = SamplingOps.stridedInterleave(docs, "id", "src", wts)
+      .select(col("group")).as[String].collect().toSeq
+    assert(got === Seq("a"))
+  }
+
+  // ---- projectFixedPoint ---------------------------------------------------
+
+  test("projectFixedPoint: exact fixed-point matrix-vector product") {
+    val df = Seq((1L, Seq(0.5f, -0.25f)), (2L, Seq(1.0f, 1.0f)))
+      .toDF("id", "v")
+    val w = Seq(Seq(1L, 2L), Seq(3L, 4L))
+    val got = SimilarityOps.projectFixedPoint(df, "id", "v", w, 1000L)
+      .orderBy(col("id")).as[(Long, Long, Long)].collect().toSeq
+    // q(1) = [500, -250]: p0 = 500 - 500 = 0, p1 = 1500 - 1000 = 500
+    // q(2) = [1000, 1000]: p0 = 3000, p1 = 7000
+    assert(got === Seq((1L, 0L, 500L), (2L, 3000L, 7000L)))
+  }
+
+  // ---- linkPairs -----------------------------------------------------------
+
+  test("linkPairs: agreement flags, additive score, three-way decision") {
+    val left = Seq((1L, "ann", 10L, "blk")).toDF("lid", "lname", "lbal", "blk")
+    val right = Seq((9L, "ann", 10L, "blk"), (8L, "ann", 11L, "blk"),
+      (7L, "bob", 11L, "blk")).toDF("rid", "rname", "rbal", "blk")
+    val got = LinkageOps.linkPairs(left, right, "blk", Seq(
+      LinkageOps.Agreement("name", col("lname") === col("rname"), 20L, -10L),
+      LinkageOps.Agreement("bal", col("lbal") === col("rbal"), 12L, -4L)),
+      10L, 30L)
+      .select(col("rid"), col("name_agree"), col("bal_agree"), col("score"), col("cls"))
+      .orderBy(col("rid")).collect()
+    // rid 7: -10 - 4 = -14 dropped; rid 8: 20 - 4 = 16 possible; rid 9: 32 link
+    assert(got.map(_.getAs[Long]("rid")).toSeq === Seq(8L, 9L))
+    assert(got.map(_.getAs[Long]("score")).toSeq === Seq(16L, 32L))
+    assert(got.map(_.getAs[String]("cls")).toSeq === Seq("possible", "link"))
+    assert(got.map(_.getAs[Boolean]("bal_agree")).toSeq === Seq(false, true))
+  }
+
+  test("linkPairs: null comparisons count as disagreement") {
+    val left = Seq((1L, null.asInstanceOf[String], "blk")).toDF("lid", "lname", "blk")
+    val right = Seq((9L, "ann", "blk")).toDF("rid", "rname", "blk")
+    val got = LinkageOps.linkPairs(left, right, "blk", Seq(
+      LinkageOps.Agreement("name", col("lname") === col("rname"), 20L, -10L)),
+      -100L, 5L).select(col("name_agree"), col("score")).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Boolean]("name_agree") === false)
+    assert(got.head.getAs[Long]("score") === -10L)
+  }
+
+  // ---- postings index ------------------------------------------------------
+
+  test("postings index: build/serve round-trip equals corpus-side bm25TopK") {
+    val docs = Seq(
+      (1L, "spark join vector stream"),
+      (2L, "join join filter slow"),
+      (3L, "vector vector vector"),
+      (4L, "stream filter slow slow"),
+      (5L, "totally unrelated words here")).toDF("id", "text")
+    val queries = Seq((1, Seq("join", "vector")), (2, Seq("stream", "slow")))
+    val path = java.nio.file.Files.createTempDirectory("graft_postings_test").toString
+    TextOps.buildPostingsIndex(docs, "id", "text", path)
+    val fromIdx = TextOps.bm25TopKFromIndex(spark, path, queries, 10)
+      .orderBy(col("query_id"), col("rk"))
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val direct = TextOps.bm25TopK(docs, "id", "text", queries, 10)
+      .orderBy(col("query_id"), col("rk"))
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(fromIdx === direct && direct.nonEmpty)
+    // partition-pruning surface: postings are laid out as bucket=N dirs
+    val bucketDirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSeq
+    assert(bucketDirs.nonEmpty)
+  }
+}
