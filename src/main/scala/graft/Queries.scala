@@ -3782,6 +3782,121 @@ sc AS (SELECT *, CASE WHEN n >= base_med THEN ((n - base_med) * 1000000) // base
   ELSE -(((base_med - n) * 1000000) // base_med) END AS res_ppm FROM j)
 SELECT event_type, day, n, base_med, res_ppm FROM sc WHERE abs(res_ppm) >= 250000
 ORDER BY event_type, day""")),
+
+    ("q176_common_neighbors", (s, d) => {
+      // item-item collaborative filtering over the co-purchase graph:
+      // neighbor-set Jaccard via the canonical two-hop join (hub-bounded,
+      // never |V|²), top-50 related pairs
+      val edges = graft.operators.GraphOps.coPairCounts(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey", 2L)
+      graft.operators.GraphOps.commonNeighborJaccard(edges, "i1", "i2", 50)
+    },
+      Some(s"""WITH $coPurchaseEdgesSql,
+deg AS (SELECT d AS v, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+th AS (SELECT e1.d AS a, e2.d AS b, CAST(count(*) AS BIGINT) AS c
+  FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.d < e2.d GROUP BY 1, 2),
+j AS (SELECT a, b, c, (c * 1000000) // (da.dg + db.dg - c) AS jac_ppm
+  FROM th JOIN deg da ON da.v = a JOIN deg db ON db.v = b)
+SELECT a, b, c, jac_ppm FROM j ORDER BY jac_ppm DESC, a, b LIMIT 50""")),
+
+    ("q177_bandit_replay", (s, d) => {
+      // offline policy evaluation by the replay method: three candidate
+      // serving policies (global best arm, per-user sticky first arm,
+      // hash-uniform arm) scored on the logged rounds they agree with —
+      // every choice column deterministic, so the estimator replays
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        (d2(col("value")) * 100).cast(LongType).as("cents"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+        .localCheckpoint(false) // arms catalog, best arm, and the replay scan
+      val wArm = Window.partitionBy(lit(0)).orderBy(col("arm"))
+      val wOne = Window.partitionBy(lit(0))
+      // arms-catalog relation: arm-cardinality rows, the single-group
+      // window is the point (same posture as mixingWeights)
+      val arms = ev.select(col("event_type").as("arm")).distinct()
+        .withColumn("idx", row_number().over(wArm).cast(LongType) - 1L)
+        .withColumn("na", count(lit(1)).over(wOne))
+      val best = ev.groupBy(col("event_type").as("barm"))
+        .agg(sum(col("cents")).as("__sc"))
+        .orderBy(col("__sc").desc, col("barm")).limit(1).select(col("barm"))
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val withPolicies = ev
+        .withColumn("__h", Converters.fingerprint64(
+          concat(lit("u"), col("user_id").cast(StringType))))
+        .join(broadcast(arms), pmod(col("__h"), col("na")) === col("idx"))
+        .withColumn("sticky", first(col("event_type")).over(wU))
+        .crossJoin(broadcast(best))
+      graft.operators.PolicyOps.replayEvaluate(withPolicies, "event_type",
+        col("cents"), Seq(
+          ("best_overall", col("barm")),
+          ("sticky_first", col("sticky")),
+          ("uniform_hash", col("arm"))))
+    },
+      Some(s"""WITH ev AS (SELECT user_id, event_type,
+  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+  epoch_us(ts) AS ts_us, event_id FROM events),
+arms AS (SELECT arm, CAST(row_number() OVER (ORDER BY arm) - 1 AS BIGINT) AS idx,
+  CAST(count(*) OVER () AS BIGINT) AS na FROM (SELECT DISTINCT event_type AS arm FROM ev)),
+hp AS (SELECT ev.*, a.arm FROM ev JOIN arms a
+  ON ${fpSql("('u' || CAST(user_id AS VARCHAR))")} % a.na = a.idx),
+best AS (SELECT event_type AS barm FROM ev GROUP BY 1 ORDER BY SUM(cents) DESC, event_type LIMIT 1),
+fa AS (SELECT user_id, event_type AS sticky FROM ev
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) = 1),
+m1 AS (SELECT 'best_overall' AS policy, count(*) AS n, COALESCE(SUM(cents), 0) AS sc
+  FROM ev, best WHERE ev.event_type = best.barm),
+m2 AS (SELECT 'sticky_first', count(*), COALESCE(SUM(cents), 0)
+  FROM ev JOIN fa USING (user_id) WHERE ev.event_type = fa.sticky),
+m3 AS (SELECT 'uniform_hash', count(*), COALESCE(SUM(cents), 0)
+  FROM hp WHERE hp.event_type = hp.arm)
+SELECT policy, CAST(n AS BIGINT) AS n_matched, CAST(sc AS BIGINT) AS sum_cents,
+  CAST(CASE WHEN n > 0 THEN (CAST(sc AS BIGINT) * 1000) // n ELSE 0 END AS BIGINT) AS avg_cents_e3
+FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)
+ORDER BY policy""")),
+
+    ("q178_quantile_normalize", (s, d) =>
+      // cross-source score calibration: quantile normalization of doc
+      // length onto the GLOBAL distribution (RangePrefix global ranks,
+      // never an unpartitioned window) — every source's normalized
+      // lengths follow the same pooled distribution
+      graft.operators.SketchOps.quantileNormalize(
+        Tables.documents(s, d), "source", "n_chars", "doc_id")
+        .select(col("doc_id"), col("group").as("source"),
+          col("v").as("n_chars"), col("qnorm"))
+        .orderBy(col("doc_id")),
+      Some("""WITH g AS (SELECT doc_id, source, n_chars,
+  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS grank,
+  CAST(count(*) OVER () AS BIGINT) AS nn FROM documents),
+r AS (SELECT doc_id, source, n_chars, nn,
+  CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns FROM g),
+p AS (SELECT doc_id, source, n_chars,
+  CASE WHEN ns > 1 THEN 1 + ((rk - 1) * (nn - 1)) // (ns - 1) ELSE (nn + 1) // 2 END AS tp FROM r)
+SELECT p.doc_id, p.source, p.n_chars, g2.n_chars AS qnorm
+FROM p JOIN g g2 ON g2.grank = p.tp ORDER BY p.doc_id""")),
+
+    ("q179_session_paths", (s, d) => {
+      // top navigation paths: q55's gap sessionization, each session's
+      // ordered event-type sequence joined into a path string (sorted
+      // struct collect — deterministic), top-20 by frequency
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val gap = col("ts_us") - lag(col("ts_us"), 1).over(w)
+      val isStart = when(gap.isNull || gap > lit(1800L * 1000000L), 1L).otherwise(0L)
+      val sess = ev.withColumn("session_seq",
+        sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy(col("user_id"), col("session_seq"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(20)
+    },
+      Some("""WITH t AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts FROM t),
+ss AS (SELECT *, CAST(SUM(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END)
+  OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM l),
+p AS (SELECT user_id, session_seq, string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+  FROM ss GROUP BY 1, 2)
+SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")),
   )
 
   /** Integer position discounts floor(1e6 / log2(i+1)) for i = 1..10 —

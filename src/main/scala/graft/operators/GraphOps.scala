@@ -244,6 +244,42 @@ object GraphOps {
     labels
   }
 
+  /** Neighbor-set similarity ("related items"): for every node pair
+    * sharing at least one neighbor, the common-neighbor count and the
+    * Jaccard of their neighbor SETS, J = |N(a)∩N(b)| / (deg a + deg b −
+    * |∩|), as integer ppm. Top `k` pairs by (jaccard, then ids) — the
+    * link-prediction / item-item collaborative-filtering primitive.
+    * Edges are symmetrized + deduped here, like [[labelPropagation]].
+    *
+    * Scale shape: the pair stream is the canonical TWO-HOP equi-join on
+    * the shared neighbor (e1.s = e2.s, d1 < d2) — cost Σ_x deg(x)²,
+    * hub-bounded, never |V|²; real corpora cap or sample mega-hubs
+    * upstream (the same hot-key discipline as the shingle DF cap in
+    * [[DedupOps]]). Degrees are one aggregation; the top-k is a
+    * TakeOrdered, never a global sort.
+    */
+  def commonNeighborJaccard(edges: DataFrame, srcCol: String, dstCol: String,
+                            k: Int): DataFrame = {
+    val ed = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__d"))
+    val sym = ed.union(ed.select(col("__d").as("__s"), col("__s").as("__d")))
+      .filter(col("__s") =!= col("__d")).distinct()
+      .localCheckpoint(false) // degree agg + both two-hop sides
+    val deg = sym.groupBy(col("__d").as("v")).agg(count(lit(1)).as("dg"))
+    val pairs = sym.as("e1").join(sym.as("e2"),
+        col("e1.__s") === col("e2.__s") && col("e1.__d") < col("e2.__d"))
+      .groupBy(col("e1.__d").as("a"), col("e2.__d").as("b"))
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .join(deg.select(col("v").as("a"), col("dg").as("__da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("dg").as("__db")), Seq("b"))
+      .select(col("a"), col("b"), col("c"),
+        call_function("div", col("c") * 1000000L,
+          col("__da") + col("__db") - col("c")).as("jac_ppm"))
+      .orderBy(col("jac_ppm").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Multi-source BFS: the minimum hop distance from any seed node,
     * capped at `maxHops` (unreached nodes are absent). Classic frontier
     * iteration — round h joins the previous frontier against the edge

@@ -415,4 +415,55 @@ object SketchOps {
       .filter(col("__rn") === call_function("div", col("n") + 1L, lit(2L)))
       .select(col("group"), col("n"), col("v").as("median_value"))
   }
+
+  /** Quantile normalization across groups (the batch-effect correction
+    * of Bolstad et al. 2003, discretized): each row's value is replaced
+    * by the GLOBAL order statistic at its within-group quantile
+    * position, so every group ends up with (a subsample of) the same
+    * distribution — the cross-source score-calibration step a curation
+    * pipeline runs before pooling per-source quality scores. The
+    * position map is pure integer: within-group rank r of n_g rows maps
+    * to global rank 1 + ((r−1)(N−1)) div (n_g−1); a singleton group
+    * maps to the global LOWER median. Ties order by `tieCol`, so the
+    * result is bit-replayable. Output: (tie, group, v, qnorm).
+    *
+    * Scale shape: the global rank comes from [[RangePrefix]] (range
+    * partition + per-partition offsets), NEVER an unpartitioned window;
+    * the within-group rank is a group-partitioned window; the lookup is
+    * one equi-join on the target rank. Three shuffles total, all keyed.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        tieCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val reserved = Seq(RangePrefix.PidCol, "__off", "__grank", "__rk", "__ns", "__tp")
+    require(!reserved.contains(valueCol) && !reserved.contains(tieCol) &&
+      !reserved.contains(groupCol),
+      s"columns may not use the reserved names ${reserved.mkString(", ")}")
+    val (sorted, offsets, n) = RangePrefix.withOffsets(
+      df.select(col(groupCol).as("group"), col(valueCol).as("v"), col(tieCol)),
+      Seq(col(valueCol), col(tieCol)), lit(1L))
+    if (n == 0)
+      return sorted.select(col(tieCol), col("group"), col("v"), col("v").as("qnorm"))
+        .filter(lit(false))
+    val offDf = broadcast(offsets.toSeq.toDF(RangePrefix.PidCol, "__off"))
+    val wPid = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(RangePrefix.PidCol)).orderBy(col("v"), col(tieCol))
+    val g = sorted.join(offDf, Seq(RangePrefix.PidCol))
+      .withColumn("__grank", col("__off") + row_number().over(wPid).cast("long"))
+      .localCheckpoint(false) // consumed by the rank relation and the lookup
+    val wGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("v"), col(tieCol))
+    val wAllGrp = org.apache.spark.sql.expressions.Window.partitionBy(col("group"))
+    val ranked = g
+      .withColumn("__rk", row_number().over(wGrp).cast("long"))
+      .withColumn("__ns", count(lit(1)).over(wAllGrp))
+      .withColumn("__tp", when(col("__ns") > 1L,
+          lit(1L) + call_function("div",
+            (col("__rk") - 1L) * lit(n - 1L), col("__ns") - 1L))
+        .otherwise(lit((n + 1L) / 2L)))
+    val lookup = g.select(col("__grank").as("__tp"), col("v").as("qnorm"))
+    ranked.join(lookup, Seq("__tp"))
+      .select(col(tieCol), col("group"), col("v"), col("qnorm"))
+  }
 }

@@ -173,6 +173,62 @@ class GraphSpatialLinkSpec extends AnyFunSuite {
     assert(got.head.getAs[Long]("score") === -10L)
   }
 
+  // ---- commonNeighborJaccard -----------------------------------------------
+
+  test("commonNeighborJaccard: 4-cycle diagonals share both neighbors") {
+    val ed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val got = GraphOps.commonNeighborJaccard(ed, "a", "b", 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // N(1)=N(3)={2,4}, N(2)=N(4)={1,3}: the diagonals have c=2 over a
+    // union of 2 -> Jaccard 1.0; adjacent pairs share nothing
+    assert(got === Seq((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+  }
+
+  test("commonNeighborJaccard: partial overlap computes the exact ppm") {
+    // star 0-{1,2,3} plus edge 1-2: N(1)={0,2}, N(2)={0,1}, N(3)={0}
+    val ed = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)).toDF("a", "b")
+    val got = GraphOps.commonNeighborJaccard(ed, "a", "b", 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // (1,2): common {0} of union {0,1,2} -> 333333 ppm
+    // (1,3): common {0} of union {0,2} -> 500000; (2,3): same
+    // (0,1): N(0)={1,2,3}, N(1)={0,2}: common {2} of union 4 -> 250000
+    // (0,2): common {1} / 4 -> 250000; (0,3) common {} absent
+    assert(got === Seq((1L, 3L, 1L, 500000L), (2L, 3L, 1L, 500000L),
+      (1L, 2L, 1L, 333333L), (0L, 1L, 1L, 250000L), (0L, 2L, 1L, 250000L)))
+  }
+
+  // ---- quantileNormalize ---------------------------------------------------
+
+  test("quantileNormalize: per-group ranks map onto global order statistics") {
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L), ("a", 4L, 4L),
+      ("b", 10L, 5L), ("b", 20L, 6L)).toDF("g", "v", "id")
+    val got = graft.operators.SketchOps.quantileNormalize(df, "g", "v", "id")
+      .orderBy(col("id")).select(col("qnorm")).as[Long].collect().toSeq
+    // global sorted: 1,2,3,4,10,20 (N=6); a (n=4) -> ranks 1,2,4,6;
+    // b (n=2) -> ranks 1,6
+    assert(got === Seq(1L, 2L, 4L, 20L, 1L, 20L))
+  }
+
+  test("quantileNormalize: singleton group lands on the global lower median") {
+    val df = Seq(("a", 5L, 1L), ("b", 1L, 2L), ("b", 2L, 3L), ("b", 3L, 4L))
+      .toDF("g", "v", "id")
+    val got = graft.operators.SketchOps.quantileNormalize(df, "g", "v", "id")
+      .orderBy(col("id")).select(col("qnorm")).as[Long].collect().toSeq
+    // global sorted: 1,2,3,5 (N=4); a singleton -> rank (4+1)//2 = 2 -> 2;
+    // b (n=3) -> ranks 1, 1+(1*3)//2=2, 4 -> 1,2,5
+    assert(got === Seq(2L, 1L, 2L, 5L))
+  }
+
+  // ---- replayEvaluate ------------------------------------------------------
+
+  test("replayEvaluate: matched-rounds estimator with empty-policy zeroes") {
+    val logged = Seq(("A", 100L), ("B", 200L), ("A", 300L)).toDF("arm", "cents")
+    val got = graft.operators.PolicyOps.replayEvaluate(logged, "arm",
+      col("cents"), Seq(("allA", lit("A")), ("never", lit("C"))))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("allA", 2L, 400L, 200000L), ("never", 0L, 0L, 0L)))
+  }
+
   // ---- postings index ------------------------------------------------------
 
   test("postings index: build/serve round-trip equals corpus-side bm25TopK") {
