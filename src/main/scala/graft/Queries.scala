@@ -3897,6 +3897,30 @@ ss AS (SELECT *, CAST(SUM(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000
 p AS (SELECT user_id, session_seq, string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
   FROM ss GROUP BY 1, 2)
 SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")),
+
+    ("q180_mutual_nearest", (s, d) => {
+      // cross-corpus alignment: even-label vs odd-label embeddings,
+      // keep only MUTUAL best cosine matches (the bitext-mining
+      // precision filter); oracle replays both argmaxes
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.mutualNearestPairs(
+        emb.filter(pmod(col("label"), lit(2)) === 0),
+        emb.filter(pmod(col("label"), lit(2)) === 1),
+        "vec_id", "embedding")
+        .orderBy(col("a_id"))
+    },
+      Some("""WITH ea AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label % 2 = 0),
+eb AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label % 2 = 1),
+p AS (SELECT a_id, b_id,
+  floor(list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) * 10000.0) / 10000.0 AS sim
+  FROM ea, eb),
+ba AS (SELECT a_id, b_id, sim FROM p
+  QUALIFY row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) = 1),
+bb AS (SELECT a_id, b_id FROM p
+  QUALIFY row_number() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id) = 1)
+SELECT ba.a_id, ba.b_id, ba.sim FROM ba JOIN bb USING (a_id, b_id) ORDER BY a_id""")),
   )
 
   /** Integer position discounts floor(1e6 / log2(i+1)) for i = 1..10 —

@@ -345,6 +345,46 @@ object SimilarityOps {
     * dim · scale · max|v| · max|W| per output cell — callers with big
     * dims/scales shrink one of them.
     */
+  /** Mutual-nearest-neighbor alignment between two embedding corpora —
+    * the bitext-mining / cross-corpus record-alignment primitive
+    * (Artetxe & Schwenk 2019 use the margin variant): a pair (a, b)
+    * survives iff b is a's best match AND a is b's best match, the
+    * strongest parameter-free precision filter over a similarity join.
+    * Cosine quantized with the repo's floor(·1e4) contract; argmax ties
+    * break toward the smaller id, so the alignment is replayable.
+    * Output: (a_id, b_id, sim) for the mutual pairs.
+    *
+    * Scale shape: the scored pair stream broadcasts the RIGHT side —
+    * pass the smaller corpus there (the classic probe/build choice); at
+    * corpus×corpus scale neither side broadcasts, so pre-block both
+    * sides with the SAME IVF coarse quantizer ([[ivfTopK]]'s cells) and
+    * run this operator per cell-pair — mutual-best within probed cells
+    * is the standard approximation. Both argmaxes are map-side
+    * combinable struct-max aggregations; the mutuality check is one
+    * equi-join on the (a, b) pair.
+    */
+  def mutualNearestPairs(left: DataFrame, right: DataFrame, idCol: String,
+                         vecCol: String, roundDigits: Int = 4): DataFrame = {
+    val factor = math.pow(10, roundDigits)
+    val a = left.select(col(idCol).as("a_id"), asDouble(col(vecCol)).as("va"))
+      .withColumn("na", l2Norm(col("va")))
+    val b = right.select(col(idCol).as("b_id"), asDouble(col(vecCol)).as("vb"))
+      .withColumn("nb", l2Norm(col("vb")))
+    val pairs = a.join(broadcast(b), lit(true))
+      .select(col("a_id"), col("b_id"),
+        (floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * factor) / factor).as("sim"))
+      .localCheckpoint(false) // argmax consumed from both directions
+    val bestA = pairs.groupBy(col("a_id"))
+      .agg(max(struct(col("sim"), (-col("b_id")).as("__nb"))).as("__m"))
+      .select(col("a_id"), (-col("__m.__nb")).as("b_id"), col("__m.sim").as("sim"))
+    val bestB = pairs.groupBy(col("b_id"))
+      .agg(max(struct(col("sim"), (-col("a_id")).as("__na"))).as("__m"))
+      .select(col("b_id").as("__b2"), (-col("__m.__na")).as("__a2"))
+    bestA.join(bestB,
+        col("a_id") === col("__a2") && col("b_id") === col("__b2"))
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+
   def projectFixedPoint(df: DataFrame, idCol: String, vecCol: String,
                         weights: Seq[Seq[Long]],
                         scale: Long = 1000L): DataFrame = {

@@ -229,6 +229,21 @@ class GraphSpatialLinkSpec extends AnyFunSuite {
     assert(got === Seq(("allA", 2L, 400L, 200000L), ("never", 0L, 0L, 0L)))
   }
 
+  // ---- mutualNearestPairs --------------------------------------------------
+
+  test("mutualNearestPairs: only mutual best matches survive") {
+    val left = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.7f, 0.7f)))
+      .toDF("id", "v")
+    val right = Seq((11L, Seq(1.0f, 0.01f)), (12L, Seq(0.1f, 0.9f)))
+      .toDF("id", "v")
+    val got = SimilarityOps.mutualNearestPairs(left, right, "id", "v")
+      .orderBy(col("a_id")).as[(Long, Long, Double)].collect().toSeq
+    // 1<->11 and 2<->12 are mutual; 3's best is 11, but 11's best is 1,
+    // so 3 aligns to nothing
+    assert(got.map(p => (p._1, p._2)) === Seq((1L, 11L), (2L, 12L)))
+    assert(got.head._3 === 0.9999)
+  }
+
   // ---- postings index ------------------------------------------------------
 
   test("postings index: build/serve round-trip equals corpus-side bm25TopK") {
