@@ -3921,6 +3921,45 @@ ba AS (SELECT a_id, b_id, sim FROM p
 bb AS (SELECT a_id, b_id FROM p
   QUALIFY row_number() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id) = 1)
 SELECT ba.a_id, ba.b_id, ba.sim FROM ba JOIN bb USING (a_id, b_id) ORDER BY a_id""")),
+
+    ("q181_compaction_plan", (s, d) =>
+      // lakehouse OPTIMIZE planner: documents as the file listing
+      // (bytes = n_chars), size-descending quota bins of ~20000 bytes
+      // via the RangePrefix global cumsum — replanning is idempotent
+      graft.operators.MaintenanceOps.compactionPlan(
+        Tables.documents(s, d), "doc_id", "n_chars", 20000L)
+        .orderBy(col("bin")),
+      Some("""WITH f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS bytes FROM documents),
+c AS (SELECT doc_id, bytes,
+  CAST(SUM(bytes) OVER (ORDER BY bytes DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - bytes AS cx
+  FROM f),
+b AS (SELECT doc_id, bytes, cx // 20000 AS bin FROM c)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_files, CAST(SUM(bytes) AS BIGINT) AS sum_bytes,
+  min(doc_id) AS first_file, max(doc_id) AS last_file
+FROM b GROUP BY 1 ORDER BY bin""")),
+
+    ("q182_disorder_profile", (s, d) =>
+      // watermark sizing evidence: per-user event-time lateness behind
+      // the running arrival-order maximum, bucketed by decimal
+      // magnitude — the p99 bucket IS the watermark choice. The raw
+      // stream is generator-ordered, so arrival is perturbed
+      // deterministically (every 10th event is delivered ~25 slots
+      // late, q149's planted-dirt pattern) to exercise the profile
+      graft.operators.TemporalOps.disorderProfile(
+        Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("arr", col("event_id") * 100L +
+            when(pmod(col("event_id"), lit(10)) === 0, 2550L).otherwise(0L)),
+        "user_id", "arr", "ts_us"),
+      Some("""WITH t AS (SELECT user_id,
+  event_id * 100 + CASE WHEN event_id % 10 = 0 THEN 2550 ELSE 0 END AS arr,
+  epoch_us(ts) AS ts_us FROM events),
+l AS (SELECT *, greatest(0, COALESCE(max(ts_us) OVER (PARTITION BY user_id ORDER BY arr
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ts_us) - ts_us) AS late FROM t),
+b AS (SELECT CASE WHEN late = 0 THEN 0
+  ELSE CAST(length(CAST(late AS VARCHAR)) AS BIGINT) END AS bucket, late FROM l)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(max(late) AS BIGINT) AS max_lateness
+FROM b GROUP BY 1 ORDER BY bucket""")),
   )
 
   /** Integer position discounts floor(1e6 / log2(i+1)) for i = 1..10 —

@@ -120,6 +120,40 @@ object MaintenanceOps {
     * must account for at least the buffered row count (rows can only be
     * net-added or replaced, never silently lost). Returns the merged count.
     */
+  /** Small-file compaction plan (the OPTIMIZE/rewrite-data-files planner
+    * every lakehouse table needs): files are laid size-descending into
+    * quota bins of ~`targetBytes` by exclusive cumulative size — bin =
+    * (cumsum − bytes) div target — so every bin lands within one file of
+    * the target and the assignment is a pure function of the listing
+    * (re-planning after a crash yields the identical plan). Output one
+    * row per bin: (bin, n_files, sum_bytes, first_file, last_file).
+    *
+    * Scale shape: the global cumulative sum comes from [[RangePrefix]]
+    * (range partition on (bytes desc, id) + per-partition offsets) —
+    * NEVER an unpartitioned window, because "file listing" at lakehouse
+    * scale is itself millions of rows. One pid-partitioned window + one
+    * bin aggregation; the plan is bins-sized.
+    */
+  def compactionPlan(files: DataFrame, idCol: String, bytesCol: String,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"need targetBytes > 0, got $targetBytes")
+    val (sorted, offsets, _) = RangePrefix.withOffsets(
+      files.select(col(idCol).as("fid"), col(bytesCol).cast("long").as("bytes")),
+      Seq(col("bytes").desc, col("fid")), col("bytes"))
+    val spark = sorted.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF(RangePrefix.PidCol, "__off"))
+    val wPid = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(RangePrefix.PidCol)).orderBy(col("bytes").desc, col("fid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    sorted.join(offDf, Seq(RangePrefix.PidCol))
+      .withColumn("__cx", col("__off") + sum(col("bytes")).over(wPid) - col("bytes"))
+      .withColumn("bin", call_function("div", col("__cx"), lit(targetBytes)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("sum_bytes"),
+        min(col("fid")).as("first_file"), max(col("fid")).as("last_file"))
+  }
+
   def assertMergeCovered(mergedCount: Long, baseCount: Long, deletedCount: Long,
                          insertedCount: Long): Unit = {
     val expectedMin = baseCount - deletedCount

@@ -176,4 +176,37 @@ object TemporalOps {
       .select(col("__e.t").as("t"), col("__e.r").as("n_risk"),
         col("__e.d").as("n_churn"), col("__e.s").as("surv_ppm"))
   }
+
+  /** Event-time disorder profile — the measurement that SIZES a
+    * streaming watermark: per key, each event's lateness is how far its
+    * event time sits behind the running maximum of the events that
+    * ARRIVED before it (arrival order = `arrivalCol`, e.g. a log
+    * offset), and the corpus-level answer is the lateness histogram in
+    * order-of-magnitude buckets (bucket = decimal digit count — an
+    * integer stand-in for log10 both engines compute identically;
+    * bucket 0 = in-order). `withDelayedWatermark(p99-bucket)` is then a
+    * data-driven choice instead of a guess.
+    *
+    * Output: (bucket, n_events, max_lateness) ordered by bucket.
+    *
+    * Scale shape: one key-partitioned running-max window (frame ends at
+    * the PRIOR row, so the first event per key is exactly on-time) and
+    * one map-side-combinable bucket aggregation — histogram-sized
+    * output, no global windows.
+    */
+  def disorderProfile(df: DataFrame, keyCol: String, arrivalCol: String,
+                      timeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(arrivalCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(keyCol), col(arrivalCol), col(timeCol).cast("long").as("__t"))
+      .withColumn("__late",
+        greatest(lit(0L), coalesce(max(col("__t")).over(w), col("__t")) - col("__t")))
+      .withColumn("bucket",
+        when(col("__late") === 0L, lit(0L))
+          .otherwise(length(col("__late").cast("string")).cast("long")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"), max(col("__late")).as("max_lateness"))
+      .orderBy(col("bucket"))
+  }
 }

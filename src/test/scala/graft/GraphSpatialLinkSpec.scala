@@ -229,6 +229,32 @@ class GraphSpatialLinkSpec extends AnyFunSuite {
     assert(got === Seq(("allA", 2L, 400L, 200000L), ("never", 0L, 0L, 0L)))
   }
 
+  // ---- compactionPlan ------------------------------------------------------
+
+  test("compactionPlan: size-descending quota bins within one file of target") {
+    val files = Seq((1L, 9L), (2L, 7L), (3L, 5L), (4L, 3L), (5L, 1L))
+      .toDF("fid", "bytes")
+    val got = graft.operators.MaintenanceOps.compactionPlan(files, "fid", "bytes", 10L)
+      .orderBy(col("bin"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // desc order 9,7,5,3,1 with exclusive cumsums 0,9,16,21,24:
+    // bins 0,0,1,2,2 -> (bin, n, sum, first, last)
+    assert(got === Seq((0L, 2L, 16L, 1L, 2L), (1L, 1L, 5L, 3L, 3L),
+      (2L, 2L, 4L, 4L, 5L)))
+  }
+
+  // ---- disorderProfile -----------------------------------------------------
+
+  test("disorderProfile: lateness behind the prior running max, digit buckets") {
+    val ev = Seq(("k", 1L, 10L), ("k", 2L, 20L), ("k", 3L, 15L), ("k", 4L, 9L))
+      .toDF("key", "arr", "t")
+    val got = graft.operators.TemporalOps.disorderProfile(ev, "key", "arr", "t")
+      .as[(Long, Long, Long)].collect().toSeq
+    // arr 1 and 2 are in order (late 0); arr 3 is 5 behind (1 digit);
+    // arr 4 is 11 behind (2 digits)
+    assert(got === Seq((0L, 2L, 0L), (1L, 1L, 5L), (2L, 1L, 11L)))
+  }
+
   // ---- mutualNearestPairs --------------------------------------------------
 
   test("mutualNearestPairs: only mutual best matches survive") {
