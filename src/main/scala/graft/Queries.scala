@@ -3960,6 +3960,58 @@ b AS (SELECT CASE WHEN late = 0 THEN 0
 SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
   CAST(max(late) AS BIGINT) AS max_lateness
 FROM b GROUP BY 1 ORDER BY bucket""")),
+
+    ("q183_twap", (s, d) =>
+      // time-weighted average charge per part over its shipment history
+      // (piecewise-constant integral in whole days x cents, pure int64);
+      // single-instant parts are excluded — no time axis
+      graft.operators.TemporalOps.timeWeightedAverage(
+        Tables.lineitem(s, d)
+          .withColumn("ship_day", call_function("div",
+            unix_micros(col("l_shipdate").cast(TimestampType)), lit(86400000000L)))
+          .withColumn("cents", (d2(col("l_extendedprice")) * 100).cast(LongType))
+          .withColumn("tie", col("l_orderkey") * 10L + col("l_linenumber")),
+        "l_partkey", "ship_day", "cents", "tie")
+        .select(col("key").as("l_partkey"), col("n_points"), col("span"), col("twap"))
+        .orderBy(col("l_partkey")),
+      Some("""WITH t AS (SELECT l_partkey, epoch_us(l_shipdate) // 86400000000 AS ship_day,
+  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+  l_orderkey * 10 + l_linenumber AS tie FROM lineitem),
+l AS (SELECT *, COALESCE(lead(ship_day) OVER (PARTITION BY l_partkey ORDER BY ship_day, tie),
+    ship_day) - ship_day AS dur FROM t),
+a AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_points,
+  CAST(SUM(dur) AS BIGINT) AS span, CAST(SUM(cents * dur) AS BIGINT) AS area
+  FROM l GROUP BY 1)
+SELECT l_partkey, n_points, span, area // span AS twap
+FROM a WHERE span > 0 ORDER BY l_partkey""")),
+
+    ("q184_stickiness", (s, d) => {
+      // DAU/MAU stickiness per day: sliding 28-day distinct users
+      // decomposed into the (day, user) pair stream — activity x 28
+      // rows, the honest distributed sliding-distinct shape (no
+      // unbounded distinct state, no global windows)
+      val activity = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+        .distinct()
+        .localCheckpoint(false) // spine, DAU, and the window join
+      val spine = activity.select(col("day")).distinct()
+      val dau = activity.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      val mau = spine.as("s").join(activity.as("a"),
+          col("a.day").between(col("s.day") - 27L, col("s.day")))
+        .select(col("s.day").as("day"), col("a.user_id").as("user_id")).distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("mau"))
+      dau.join(mau, Seq("day"))
+        .select(col("day"), col("dau"), col("mau"),
+          call_function("div", col("dau") * 1000000L, col("mau")).as("stickiness_ppm"))
+        .orderBy(col("day"))
+    },
+      Some("""WITH act AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+spine AS (SELECT DISTINCT day FROM act),
+dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM act GROUP BY 1),
+mau AS (SELECT s.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS mau
+  FROM spine s JOIN act a ON a.day BETWEEN s.day - 27 AND s.day GROUP BY 1)
+SELECT day, dau, mau, (dau * 1000000) // mau AS stickiness_ppm
+FROM dau JOIN mau USING (day) ORDER BY day""")),
   )
 
   /** Integer position discounts floor(1e6 / log2(i+1)) for i = 1..10 —

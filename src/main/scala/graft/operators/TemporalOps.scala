@@ -177,6 +177,38 @@ object TemporalOps {
         col("__e.d").as("n_churn"), col("__e.s").as("surv_ppm"))
   }
 
+  /** Time-weighted average (TWAP): per key, the average of `valueCol`
+    * weighted by how LONG each observation was in force — weight_i =
+    * t_{i+1} − t_i over the observed span [first, last], the standard
+    * piecewise-constant integral (the last point closes the span with
+    * weight 0). Pure integer: Σ v_i·Δ_i div Σ Δ_i. Keys with zero
+    * total duration (a single point, or all points at one instant) are
+    * excluded — they have no time axis to average over. Ties at one
+    * timestamp order by `tieCol`, so the replay is exact.
+    * Output: (key, n_points, span, twap) in the input value unit.
+    *
+    * int64 bound: Σ v·Δ per key below 2^63 — pick a coarse-enough time
+    * unit (days, not µs) for long-lived keys.
+    *
+    * Scale shape: one key-partitioned lead window + one
+    * map-side-combinable aggregation; keys-sized output, no global
+    * windows, no joins.
+    */
+  def timeWeightedAverage(df: DataFrame, keyCol: String, tCol: String,
+                          valueCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("__t"), col(tieCol))
+    df.select(col(keyCol).as("key"), col(tCol).cast("long").as("__t"),
+        col(valueCol).cast("long").as("__v"), col(tieCol))
+      .withColumn("__dur", coalesce(lead(col("__t"), 1).over(w), col("__t")) - col("__t"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_points"), sum(col("__dur")).as("span"),
+        sum(col("__v") * col("__dur")).as("__area"))
+      .filter(col("span") > 0L)
+      .select(col("key"), col("n_points"), col("span"),
+        call_function("div", col("__area"), col("span")).as("twap"))
+  }
+
   /** Event-time disorder profile — the measurement that SIZES a
     * streaming watermark: per key, each event's lateness is how far its
     * event time sits behind the running maximum of the events that

@@ -243,6 +243,21 @@ class GraphSpatialLinkSpec extends AnyFunSuite {
       (2L, 2L, 4L, 4L, 5L)))
   }
 
+  // ---- timeWeightedAverage -------------------------------------------------
+
+  test("timeWeightedAverage: piecewise integral, single-instant exclusion, ties") {
+    val df = Seq(
+      ("a", 0L, 10L, 1L), ("a", 10L, 20L, 2L), ("a", 30L, 99L, 3L),
+      ("b", 5L, 42L, 4L), // single point: no span, excluded
+      ("c", 0L, 5L, 5L), ("c", 0L, 7L, 6L), ("c", 10L, 1L, 7L))
+      .toDF("k", "t", "v", "tie")
+    val got = graft.operators.TemporalOps.timeWeightedAverage(df, "k", "t", "v", "tie")
+      .orderBy(col("key")).as[(String, Long, Long, Long)].collect().toSeq
+    // a: 10*10 + 20*20 = 500 over span 30 -> 16
+    // c: the t=0 tie gives the first point duration 0 -> 7*10 = 70 / 10 -> 7
+    assert(got === Seq(("a", 3L, 30L, 16L), ("c", 3L, 10L, 7L)))
+  }
+
   // ---- disorderProfile -----------------------------------------------------
 
   test("disorderProfile: lateness behind the prior running max, digit buckets") {
