@@ -535,6 +535,48 @@ object StatefulOps {
         bucketUpdate(rate, periodMs, burst))
   }
 
+  /** One arrival for the streaming disorder monitor: `arr` is the
+    * delivery order within the key (log offset), `t` the event time.
+    */
+  case class ArrivalEvent(key: String, arr: Long, t: Long)
+
+  /** Per-event lateness readout: how far `t` sits behind the running
+    * per-key event-time maximum at delivery, with the decimal-magnitude
+    * bucket of [[graft.operators.TemporalOps.disorderProfile]].
+    */
+  case class LatenessRow(key: String, arr: Long, late: Long, bucket: Long)
+
+  private def disorderUpdate(key: String, rows: Iterator[ArrivalEvent],
+                             state: GroupState[Long]): Iterator[LatenessRow] = {
+    var mx = state.getOption.getOrElse(Long.MinValue)
+    // per-key per-batch rows are delivery-bounded; sort restores arrival
+    // order within the batch (Spark does not guarantee iterator order)
+    val out = rows.toVector.sortBy(_.arr).map { r =>
+      val late = if (mx == Long.MinValue || r.t >= mx) 0L else mx - r.t
+      if (r.t > mx) mx = r.t
+      val bucket = if (late == 0L) 0L else late.toString.length.toLong
+      LatenessRow(r.key, r.arr, late, bucket)
+    }
+    state.update(mx)
+    out.iterator
+  }
+
+  /** Streaming twin of [[graft.operators.TemporalOps.disorderProfile]]:
+    * per-key running event-time maximum carried in 8 bytes of state
+    * forever, each arriving event emitted with its lateness and
+    * magnitude bucket — the live watermark-sizing monitor (aggregate
+    * the emitted rows by bucket downstream for the running histogram).
+    * The spec pins streaming end-state ≡ the batch profile on the same
+    * data, including across-batch splits.
+    */
+  def streamingDisorderProfile(ds: Dataset[ArrivalEvent]): Dataset[LatenessRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        disorderUpdate)
+  }
+
   /** A keyed value entering the streaming cardinality sketch. */
   case class HllEvent(key: String, value: String)
 

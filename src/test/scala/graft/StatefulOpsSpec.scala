@@ -403,4 +403,35 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(run(Seq(doc(15L, "acht sieben sechs fuenf vier drei zwei eins null minus", "de")))
       == Seq.empty, "de budget should be exhausted at 30 tokens")
   }
+
+  test("streamingDisorderProfile: lateness ≡ batch profile, state crosses batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import StatefulOps.{ArrivalEvent, LatenessRow}
+    val events = Seq(
+      ArrivalEvent("u", 1L, 100L), ArrivalEvent("u", 2L, 200L),
+      ArrivalEvent("u", 3L, 150L), // 50 behind the running max
+      ArrivalEvent("u", 4L, 190L), // 10 behind
+      ArrivalEvent("v", 1L, 500L), ArrivalEvent("v", 2L, 480L)) // 20 behind
+    val ms = MemoryStream[ArrivalEvent]
+    val q = StatefulOps.streamingDisorderProfile(ms.toDS())
+      .writeStream.format("memory").queryName("disorder_out")
+      .outputMode(OutputMode.Append()).start()
+    // split MID-KEY so the running max must survive the batch boundary
+    ms.addData(events.take(2): _*)
+    q.processAllAvailable()
+    ms.addData(events.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("disorder_out").as[LatenessRow].collect().toSeq
+    assert(rows.sortBy(r => (r.key, r.arr)).map(r => (r.key, r.late)) ===
+      Seq(("u", 0L), ("u", 0L), ("u", 50L), ("u", 10L), ("v", 0L), ("v", 20L)))
+    // histogram of the emitted rows == the batch operator on the same data
+    val streamHist = rows.groupBy(_.bucket)
+      .map { case (b, rs) => (b, rs.size.toLong, rs.map(_.late).max) }
+      .toSeq.sortBy(_._1)
+    val batchHist = graft.operators.TemporalOps.disorderProfile(
+      events.toDF("key", "arr", "t"), "key", "arr", "t")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamHist === batchHist)
+  }
 }
