@@ -4012,6 +4012,66 @@ mau AS (SELECT s.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS mau
   FROM spine s JOIN act a ON a.day BETWEEN s.day - 27 AND s.day GROUP BY 1)
 SELECT day, dau, mau, (dau * 1000000) // mau AS stickiness_ppm
 FROM dau JOIN mau USING (day) ORDER BY day""")),
+
+    ("q185_active_coverage", (s, d) =>
+      // per-user total ACTIVE time: each event opens a 30-minute
+      // activity window, overlaps merge (gaps-and-islands interval
+      // union) — covered microseconds count each moment once
+      graft.operators.TemporalOps.intervalUnionLength(
+        Tables.events(s, d)
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("end_us", col("ts_us") + lit(1800L * 1000000L)),
+        "user_id", "ts_us", "end_us")
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id")),
+      Some("""WITH t AS (SELECT user_id, epoch_us(ts) AS s_us,
+  epoch_us(ts) + 1800000000 AS e_us FROM events),
+f AS (SELECT *, CASE WHEN s_us > COALESCE(max(e_us) OVER (PARTITION BY user_id
+    ORDER BY s_us, e_us ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), s_us - 1)
+  THEN 1 ELSE 0 END AS ni FROM t),
+i AS (SELECT *, CAST(SUM(ni) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl FROM f),
+g AS (SELECT user_id, isl, CAST(count(*) AS BIGINT) AS n,
+  CAST(max(e_us) - min(s_us) AS BIGINT) AS len FROM i GROUP BY 1, 2)
+SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_intervals,
+  CAST(count(*) AS BIGINT) AS n_islands, CAST(SUM(len) AS BIGINT) AS covered
+FROM g GROUP BY 1 ORDER BY user_id""")),
+
+    ("q186_kcore", (s, d) => {
+      // dense-core extraction: 3 fixed peel rounds at k=3 over the
+      // co-purchase graph — the spam-ring / community-core filter;
+      // oracle replays the same 3 induced-subgraph rounds
+      val edges = graft.operators.GraphOps.coPairCounts(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey", 2L)
+      graft.operators.GraphOps.kCoreMembers(edges, "i1", "i2", 3, 3)
+        .orderBy(col("node"))
+    },
+      Some(s"""WITH $coPurchaseEdgesSql${kCoreRoundsSql(3, 3)}
+SELECT d AS node, CAST(count(*) AS BIGINT) AS deg FROM e3 GROUP BY 1 ORDER BY node""")),
+
+    ("q187_event_motifs", (s, d) => {
+      // behavioral motif mining: the 20 most common 3-step event-type
+      // sequences across users (two leads over the per-user order — a
+      // map-side n-gram count, never a global window)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+        .withColumn("__n1", lead(col("event_type"), 1).over(w))
+        .withColumn("__n2", lead(col("event_type"), 2).over(w))
+        .filter(col("__n1").isNotNull && col("__n2").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("__n1"), col("__n2")).as("motif"))
+        .groupBy(col("motif")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("motif")).limit(20)
+    },
+      Some("""WITH t AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+l AS (SELECT event_type,
+  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS n1,
+  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS n2 FROM t),
+m AS (SELECT event_type || '>' || n1 || '>' || n2 AS motif FROM l
+  WHERE n1 IS NOT NULL AND n2 IS NOT NULL)
+SELECT motif, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1
+ORDER BY n DESC, motif LIMIT 20""")),
   )
 
   /** Integer position discounts floor(1e6 / log2(i+1)) for i = 1..10 —
@@ -4189,6 +4249,18 @@ e AS (SELECT i1 AS s, i2 AS d FROM pc UNION SELECT i2, i1 FROM pc)"""
 n$r AS (SELECT e.d AS node, l.lbl, count(*) AS c FROM e JOIN l${r - 1} l ON e.s = l.node GROUP BY 1, 2),
 l$r AS (SELECT node, lbl FROM (SELECT node, lbl,
   row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk FROM n$r) WHERE rk = 1)"""
+    }.mkString
+
+  /** `rounds` unrolled k-core peel rounds e1..e{rounds} over the
+    * symmetric edge relation `e` — the oracle twin of
+    * [[graft.operators.GraphOps.kCoreMembers]].
+    */
+  private def kCoreRoundsSql(k: Int, rounds: Int): String =
+    (1 to rounds).map { r =>
+      val prev = if (r == 1) "e" else s"e${r - 1}"
+      s""",
+a$r AS (SELECT d AS node FROM $prev GROUP BY 1 HAVING count(*) >= $k),
+e$r AS (SELECT p.s, p.d FROM $prev p JOIN a$r x ON p.s = x.node JOIN a$r y ON p.d = y.node)"""
     }.mkString
 
   private def fpSql(e: String): String =

@@ -280,6 +280,43 @@ object GraphOps {
       .limit(k)
   }
 
+  /** Fixed-round k-core peeling: `rounds` synchronous rounds of "drop
+    * every node with degree < k, then induce the subgraph on the
+    * survivors" — the dense-core extractor (community cores, spam/bot
+    * rings, the warm-up filter before expensive clique work). Exact
+    * k-core needs peeling to a fixpoint; a FIXED round count makes the
+    * cost bounded and the result replayable (it converges to the true
+    * core once no round removes a node — real graphs peel in a handful
+    * of rounds; raise `rounds` until the spec's fixpoint check holds if
+    * exactness matters). Edges symmetrized + deduped as in
+    * [[labelPropagation]]. Output: (node, deg) — degrees IN the induced
+    * subgraph after the last round.
+    *
+    * Scale shape: per round one degree aggregation + two semi-joins to
+    * induce the surviving subgraph; state re-checkpoints per round so
+    * lineage stays flat. Never materializes anything beyond the
+    * (shrinking) edge relation.
+    */
+  def kCoreMembers(edges: DataFrame, srcCol: String, dstCol: String,
+                   k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
+    val ed = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__d"))
+    var cur = ed.union(ed.select(col("__d").as("__s"), col("__s").as("__d")))
+      .filter(col("__s") =!= col("__d")).distinct()
+      .localCheckpoint(false)
+    for (_ <- 0 until rounds) {
+      val alive = cur.groupBy(col("__d").as("node")).agg(count(lit(1)).as("__dg"))
+        .filter(col("__dg") >= k).select(col("node"))
+        .localCheckpoint(false) // both semi-joins below
+      cur = cur
+        .join(alive.select(col("node").as("__s")), Seq("__s"), "left_semi")
+        .join(alive.select(col("node").as("__d")), Seq("__d"), "left_semi")
+        .localCheckpoint(false) // bound lineage across rounds
+    }
+    cur.groupBy(col("__d").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Multi-source BFS: the minimum hop distance from any seed node,
     * capped at `maxHops` (unreached nodes are absent). Classic frontier
     * iteration — round h joins the previous frontier against the edge

@@ -177,6 +177,40 @@ object TemporalOps {
         col("__e.d").as("n_churn"), col("__e.s").as("surv_ppm"))
   }
 
+  /** Per-key interval-union coverage (the uptime / active-time measure):
+    * overlapping or touching intervals merge into islands (classic
+    * gaps-and-islands: an interval starts a new island iff its start
+    * exceeds the running max end of everything before it), and the
+    * answer is Σ island lengths — total covered time with overlaps
+    * counted once. Output: (key, n_intervals, n_islands, covered).
+    * Deterministic: the island flag depends only on interval VALUES,
+    * whatever the tie order of identical intervals.
+    *
+    * Scale shape: one key-partitioned window (running max end + island
+    * cumsum) and two aggregations — keys-sized output. The classic
+    * alternative (sorting interval endpoints globally) needs no window
+    * at all but produces a global answer; per-key islanding is the
+    * partitioned form that scales with keys.
+    */
+  def intervalUnionLength(df: DataFrame, keyCol: String, startCol: String,
+                          endCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("__s"), col("__e"))
+    val wPrior = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(keyCol).as("key"), col(startCol).cast("long").as("__s"),
+        col(endCol).cast("long").as("__e"))
+      .withColumn("__newisl",
+        when(col("__s") > coalesce(max(col("__e")).over(wPrior), col("__s") - 1L), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__newisl")).over(wRun))
+      .groupBy(col("key"), col("__isl"))
+      .agg(count(lit(1)).as("__n"), (max(col("__e")) - min(col("__s"))).as("__len"))
+      .groupBy(col("key"))
+      .agg(sum(col("__n")).as("n_intervals"), count(lit(1)).as("n_islands"),
+        sum(col("__len")).as("covered"))
+  }
+
   /** Time-weighted average (TWAP): per key, the average of `valueCol`
     * weighted by how LONG each observation was in force — weight_i =
     * t_{i+1} − t_i over the observed span [first, last], the standard

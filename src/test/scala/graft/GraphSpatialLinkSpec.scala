@@ -243,6 +243,33 @@ class GraphSpatialLinkSpec extends AnyFunSuite {
       (2L, 2L, 4L, 4L, 5L)))
   }
 
+  // ---- kCoreMembers --------------------------------------------------------
+
+  test("kCoreMembers: peels the tail, keeps the triangle, cascades to empty") {
+    val ed = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = GraphOps.kCoreMembers(ed, "a", "b", 2, 2)
+      .orderBy(col("node")).as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // path graph at k=2 peels from both ends until nothing remains
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assert(GraphOps.kCoreMembers(path, "a", "b", 2, 3).count() === 0L)
+    // one round is NOT enough for the cascade: the middle still stands
+    assert(GraphOps.kCoreMembers(path, "a", "b", 2, 1).count() === 3L)
+  }
+
+  // ---- intervalUnionLength -------------------------------------------------
+
+  test("intervalUnionLength: merge, touch, containment, islands") {
+    val df = Seq(
+      ("a", 0L, 10L), ("a", 5L, 20L), ("a", 30L, 40L), // overlap + gap
+      ("b", 0L, 10L), ("b", 10L, 20L), // touching merges
+      ("c", 0L, 100L), ("c", 10L, 20L), ("c", 150L, 160L)) // containment
+      .toDF("k", "s", "e")
+    val got = graft.operators.TemporalOps.intervalUnionLength(df, "k", "s", "e")
+      .orderBy(col("key")).as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 3L, 2L, 30L), ("b", 2L, 1L, 20L), ("c", 3L, 2L, 110L)))
+  }
+
   // ---- timeWeightedAverage -------------------------------------------------
 
   test("timeWeightedAverage: piecewise integral, single-instant exclusion, ties") {
