@@ -4072,6 +4072,57 @@ m AS (SELECT event_type || '>' || n1 || '>' || n2 AS motif FROM l
   WHERE n1 IS NOT NULL AND n2 IS NOT NULL)
 SELECT motif, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1
 ORDER BY n DESC, motif LIMIT 20""")),
+
+    ("q188_weighted_sssp", (s, d) => {
+      // weighted shortest distances over the co-purchase graph (edge
+      // cost = inverse co-purchase strength, 1e6 div n): 3 Bellman-Ford
+      // relaxation rounds from the q168 seed set — exact for every
+      // <=3-edge shortest path, oracle = unrolled min-union rounds
+      val ew = graft.operators.GraphOps.coPairCounts(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey", 2L)
+        .withColumn("w", call_function("div", lit(1000000L), col("n")))
+      val sym = ew.select(col("i1").as("s"), col("i2").as("d"), col("w"))
+        .union(ew.select(col("i2").as("s"), col("i1").as("d"), col("w")))
+      val seeds = Tables.part(s, d)
+        .filter(pmod(col("p_partkey"), lit(101)) === 0)
+      graft.operators.GraphOps.bellmanFordDistances(sym, "s", "d", "w",
+        seeds, "p_partkey", 3)
+        .orderBy(col("node"))
+    },
+      Some(s"""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+pw AS (SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS n
+  FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS (SELECT i1 AS s, i2 AS d, 1000000 // n AS w FROM pw
+  UNION ALL SELECT i2, i1, 1000000 // n FROM pw),
+d0 AS (SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+  FROM part WHERE p_partkey % 101 = 0)${bfRoundsSql(3)}
+SELECT node, dist FROM d3 ORDER BY node""")),
+
+    ("q189_activity_bitmaps", (s, d) =>
+      // bitmap-index encoding of activity: one int64 bitmap per
+      // (user, 30-day window), bit = day-in-window — the roaring-style
+      // layout that turns retention math into bit ops (popcount actives,
+      // shift-AND for 3-day streaks); map-only after one distinct
+      Tables.events(s, d)
+        .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+        .distinct()
+        .withColumn("win", call_function("div", col("day"), lit(30L)))
+        .withColumn("bit", pmod(col("day"), lit(30L)))
+        .groupBy(col("user_id"), col("win"))
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).as("bitmap"))
+        .withColumn("n_active", bit_count(col("bitmap")).cast(LongType))
+        .withColumn("has_streak3",
+          col("bitmap").bitwiseAND(shiftright(col("bitmap"), 1))
+            .bitwiseAND(shiftright(col("bitmap"), 2)) =!= 0L)
+        .orderBy(col("user_id"), col("win")),
+      Some("""WITH act AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+b AS (SELECT user_id, day // 30 AS win, CAST(day % 30 AS INT) AS bit FROM act),
+m AS (SELECT user_id, win, CAST(SUM(CAST(1 AS BIGINT) << bit) AS BIGINT) AS bitmap
+  FROM b GROUP BY 1, 2)
+SELECT user_id, win, bitmap, CAST(bit_count(bitmap) AS BIGINT) AS n_active,
+  (bitmap & (bitmap >> 1) & (bitmap >> 2)) <> 0 AS has_streak3
+FROM m ORDER BY user_id, win""")),
   )
 
   /** Integer position discounts floor(1e6 / log2(i+1)) for i = 1..10 —
@@ -4261,6 +4312,18 @@ l$r AS (SELECT node, lbl FROM (SELECT node, lbl,
       s""",
 a$r AS (SELECT d AS node FROM $prev GROUP BY 1 HAVING count(*) >= $k),
 e$r AS (SELECT p.s, p.d FROM $prev p JOIN a$r x ON p.s = x.node JOIN a$r y ON p.d = y.node)"""
+    }.mkString
+
+  /** `rounds` unrolled Bellman–Ford relaxations d1..d{rounds} over the
+    * weighted edge relation `e(s, d, w)` and seed distances `d0` — the
+    * oracle twin of [[graft.operators.GraphOps.bellmanFordDistances]].
+    */
+  private def bfRoundsSql(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s""",
+d$r AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+  SELECT node, dist FROM d${r - 1}
+  UNION ALL SELECT e.d, p.dist + e.w FROM d${r - 1} p JOIN e ON e.s = p.node) GROUP BY 1)"""
     }.mkString
 
   private def fpSql(e: String): String =

@@ -280,6 +280,40 @@ object GraphOps {
       .limit(k)
   }
 
+  /** Fixed-round Bellman–Ford: single-source(-set) shortest WEIGHTED
+    * distances after `rounds` synchronous relaxations — exact for every
+    * node whose shortest path uses <= `rounds` edges (the distributed
+    * SSSP form; nodes not yet reached are absent). Directed edges as
+    * given, non-negative integer weights. Deterministic: min-aggregation
+    * over (distance) with no tie ambiguity — distances are values, not
+    * picks.
+    *
+    * Scale shape: [[pageRankScaled]]'s discipline — edge relation
+    * checkpointed once; each round is one equi-join of edges against
+    * the node-sized distance relation, one union, one min-aggregation,
+    * re-checkpointed. Relaxation count bounds cost on adversarial
+    * diameters exactly like [[bfsHops]]' maxHops.
+    */
+  def bellmanFordDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                           weightCol: String, seeds: DataFrame, seedCol: String,
+                           rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val ed = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__d"), col(weightCol).cast("long").as("__w"))
+      .localCheckpoint(false) // reused by every round
+    var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(false)
+    for (_ <- 0 until rounds) {
+      dist = ed.join(dist, col("__s") === col("node"))
+        .select(col("__d").as("node"), (col("dist") + col("__w")).as("dist"))
+        .union(dist)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false) // bound lineage across rounds
+    }
+    dist
+  }
+
   /** Fixed-round k-core peeling: `rounds` synchronous rounds of "drop
     * every node with degree < k, then induce the subgraph on the
     * survivors" — the dense-core extractor (community cores, spam/bot

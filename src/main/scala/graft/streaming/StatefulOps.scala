@@ -577,6 +577,48 @@ object StatefulOps {
         disorderUpdate)
   }
 
+  /** One observation for the streaming time-weighted average. */
+  case class TwapEvent(key: String, t: Long, v: Long)
+
+  /** Running TWAP readout, refreshed every batch once a span exists. */
+  case class TwapReadout(key: String, n_points: Long, span: Long, twap: Long)
+
+  private[graft] case class TwapState(firstT: Long, lastT: Long, lastV: Long,
+                                      area: Long, n: Long)
+
+  private def twapUpdate(key: String, rows: Iterator[TwapEvent],
+                         state: GroupState[TwapState]): Iterator[TwapReadout] = {
+    var st = state.getOption.orNull
+    // sort restores event-time order within the batch; ACROSS batches the
+    // stream must deliver per-key nondecreasing t (gate with a watermark
+    // sized from the disorder profile upstream) — a late cross-batch
+    // event would retro-change an already-integrated segment
+    rows.toVector.sortBy(r => (r.t, r.v)).foreach { r =>
+      st = if (st == null) TwapState(r.t, r.t, r.v, 0L, 1L)
+      else TwapState(st.firstT, r.t, r.v,
+        st.area + st.lastV * (r.t - st.lastT), st.n + 1L)
+    }
+    state.update(st)
+    val span = st.lastT - st.firstT
+    if (span > 0L) Iterator.single(TwapReadout(key, st.n, span, st.area / span))
+    else Iterator.empty
+  }
+
+  /** Streaming twin of [[graft.operators.TemporalOps.timeWeightedAverage]]:
+    * five longs of state per key carry the piecewise-constant integral
+    * across batches; every batch emits the running (n_points, span,
+    * twap) readout once the key has a span. The spec pins the final
+    * readout ≡ the batch operator on the same data, including a
+    * mid-key batch split.
+    */
+  def streamingTwap(ds: Dataset[TwapEvent]): Dataset[TwapReadout] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        twapUpdate)
+  }
+
   /** A keyed value entering the streaming cardinality sketch. */
   case class HllEvent(key: String, value: String)
 

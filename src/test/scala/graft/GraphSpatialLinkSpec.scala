@@ -243,6 +243,21 @@ class GraphSpatialLinkSpec extends AnyFunSuite {
       (2L, 2L, 4L, 4L, 5L)))
   }
 
+  // ---- bellmanFordDistances ------------------------------------------------
+
+  test("bellmanFordDistances: relaxation rounds tighten the weighted path") {
+    val ed = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 25L)).toDF("s", "d", "w")
+    val seeds = Seq(1L).toDF("n")
+    val r1 = GraphOps.bellmanFordDistances(ed, "s", "d", "w", seeds, "n", 1)
+      .orderBy(col("node")).as[(Long, Long)].collect().toSeq
+    // one round only relaxes direct edges: 3 is 25 away
+    assert(r1 === Seq((1L, 0L), (2L, 10L), (3L, 25L)))
+    val r2 = GraphOps.bellmanFordDistances(ed, "s", "d", "w", seeds, "n", 2)
+      .orderBy(col("node")).as[(Long, Long)].collect().toSeq
+    // the second round finds the two-edge 20 path through 2
+    assert(r2 === Seq((1L, 0L), (2L, 10L), (3L, 20L)))
+  }
+
   // ---- kCoreMembers --------------------------------------------------------
 
   test("kCoreMembers: peels the tail, keeps the triangle, cascades to empty") {

@@ -404,6 +404,32 @@ class StatefulOpsSpec extends AnyFunSuite {
       == Seq.empty, "de budget should be exhausted at 30 tokens")
   }
 
+  test("streamingTwap: final readout ≡ batch operator across a mid-key split") {
+    implicit val sqlCtx = spark.sqlContext
+    import StatefulOps.{TwapEvent, TwapReadout}
+    val events = Seq(
+      TwapEvent("a", 0L, 10L), TwapEvent("a", 10L, 20L), TwapEvent("a", 30L, 99L),
+      TwapEvent("c", 0L, 5L), TwapEvent("c", 10L, 1L))
+    val ms = MemoryStream[TwapEvent]
+    val q = StatefulOps.streamingTwap(ms.toDS())
+      .writeStream.format("memory").queryName("twap_out")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(events.take(2): _*) // a's integral must continue across batches
+    q.processAllAvailable()
+    ms.addData(events.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val finalByKey = spark.table("twap_out").as[TwapReadout].collect()
+      .groupBy(_.key).map { case (k, rs) => rs.maxBy(_.n_points) }
+      .toSeq.sortBy(_.key).map(r => (r.key, r.n_points, r.span, r.twap))
+    val batch = graft.operators.TemporalOps.timeWeightedAverage(
+      events.toDF("k", "t", "v").withColumn("tie", org.apache.spark.sql.functions.col("t")), "k", "t", "v", "tie")
+      .orderBy(org.apache.spark.sql.functions.col("key")).as[(String, Long, Long, Long)].collect().toSeq
+    assert(finalByKey === batch)
+    // a: 10*10 + 20*20 = 500 over 30 -> 16; c: 5*10 = 50 over 10 -> 5
+    assert(batch === Seq(("a", 3L, 30L, 16L), ("c", 2L, 10L, 5L)))
+  }
+
   test("streamingDisorderProfile: lateness ≡ batch profile, state crosses batches") {
     implicit val sqlCtx = spark.sqlContext
     import StatefulOps.{ArrivalEvent, LatenessRow}
