@@ -52,6 +52,10 @@ object Plans {
     "q143_bloom_contamination" -> "bloom-pruned decontamination: scalar-subquery bloom probe filters the corpus map-side, exact verify join sees candidates only",
     "q153_pareto_frontier" -> "distributed skyline: per-x max collapse, range-partitioned prefix-max, equi-join recovery — no global window, no dominance join",
     "q157_asof_native" -> "NATIVE as-of join (custom SparkPlan): co-partitioned streaming merge, exactly two exchanges, sorts ride the exchanges",
+    "q169_geo_grid_join" -> "grid-bucketed spatial self-join: 3x3 cell explode + cell equi-join, exact int64 distance verify inside codegen, never a cross product",
+    "q174_postings_bm25" -> "BM25 from the inverted-index artifact: bucket-pruned postings scan (query terms' partitions only), broadcast dfreq/meta, rank window over candidates",
+    "q178_quantile_normalize" -> "global order statistics via RangePrefix: range-partitioned pid windows + broadcast offsets + one rank equi-join, no unpartitioned window",
+    "q184_stickiness" -> "sliding DAU/MAU: distinct (user, day) collapse first, 28-day spine join bounded by activity x window",
   )
 
   def main(args: Array[String]): Unit = {

@@ -4123,6 +4123,80 @@ m AS (SELECT user_id, win, CAST(SUM(CAST(1 AS BIGINT) << bit) AS BIGINT) AS bitm
 SELECT user_id, win, bitmap, CAST(bit_count(bitmap) AS BIGINT) AS n_active,
   (bitmap & (bitmap >> 1) & (bitmap >> 2)) <> 0 AS has_streak3
 FROM m ORDER BY user_id, win""")),
+
+    ("q190_activity_streaks", (s, d) => {
+      // longest consecutive-day activity streak per user: the
+      // day − row_number gaps-and-islands key, then a struct-argmax for
+      // the longest (tie -> earliest start) — one user-partitioned
+      // window + two aggregations
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      Tables.events(s, d)
+        .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+        .distinct()
+        .withColumn("__g", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("__g"))
+        .agg(count(lit(1)).as("__len"), min(col("day")).as("__start"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_streaks"),
+          max(struct(col("__len"), (-col("__start")).as("__ns"))).as("__m"))
+        .select(col("user_id"), col("n_streaks"),
+          col("__m.__len").as("best_len"), (-col("__m.__ns")).as("best_start"))
+        .orderBy(col("user_id"))
+    },
+      Some("""WITH act AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+i AS (SELECT user_id, day,
+  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS g FROM act),
+st AS (SELECT user_id, g, CAST(count(*) AS BIGINT) AS len,
+  CAST(min(day) AS BIGINT) AS start_day FROM i GROUP BY 1, 2),
+r AS (SELECT user_id, len, start_day,
+  row_number() OVER (PARTITION BY user_id ORDER BY len DESC, start_day) AS rk,
+  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_streaks FROM st)
+SELECT user_id, n_streaks, len AS best_len, start_day AS best_start
+FROM r WHERE rk = 1 ORDER BY user_id""")),
+
+    ("q191_growth_accounting", (s, d) => {
+      // growth accounting over 7-day windows: every active (user, win)
+      // classifies as new / retained / resurrected, and each window
+      // charges the users it lost as churned — the standard
+      // new+retained+resurrected / churn decomposition of any DAU curve
+      val au = Tables.events(s, d)
+        .filter(col("event_type") === "purchase") // sparse signal: windows go dark and relight
+        .select(col("user_id"), call_function("div",
+          expr("ts_ns div 86400000000000"), lit(7L)).as("win"))
+        .distinct()
+        .localCheckpoint(false) // first-win agg, prev shift, anti-join
+      val firstW = au.groupBy(col("user_id")).agg(min(col("win")).as("__fw"))
+      val prevActive = au.select(col("user_id"), (col("win") + 1L).as("win"))
+        .withColumn("__prev", lit(true))
+      val classified = au.join(firstW, Seq("user_id"))
+        .join(prevActive, Seq("user_id", "win"), "left")
+        .withColumn("cls", when(col("win") === col("__fw"), lit("new"))
+          .when(col("__prev"), lit("retained"))
+          .otherwise(lit("resurrected")))
+        .groupBy(col("win"), col("cls")).agg(count(lit(1)).as("n"))
+      val churned = prevActive.select(col("user_id"), col("win"))
+        .join(au, Seq("user_id", "win"), "left_anti")
+        .groupBy(col("win")).agg(count(lit(1)).as("n"))
+        .withColumn("cls", lit("churned"))
+        .select(col("win"), col("cls"), col("n"))
+      classified.unionByName(churned).orderBy(col("win"), col("cls"))
+    },
+      Some("""WITH au AS (SELECT DISTINCT user_id, (epoch_ns(ts) // 86400000000000) // 7 AS win
+  FROM events WHERE event_type = 'purchase'),
+fw AS (SELECT user_id, CAST(min(win) AS BIGINT) AS fw FROM au GROUP BY 1),
+pv AS (SELECT user_id, win + 1 AS win FROM au),
+cl AS (SELECT a.win,
+  CASE WHEN a.win = fw.fw THEN 'new'
+       WHEN pv.user_id IS NOT NULL THEN 'retained'
+       ELSE 'resurrected' END AS cls
+  FROM au a JOIN fw ON a.user_id = fw.user_id
+  LEFT JOIN pv ON a.user_id = pv.user_id AND a.win = pv.win),
+cc AS (SELECT win, cls, CAST(count(*) AS BIGINT) AS n FROM cl GROUP BY 1, 2),
+ch AS (SELECT pv.win, 'churned' AS cls, CAST(count(*) AS BIGINT) AS n
+  FROM pv LEFT JOIN au ON au.user_id = pv.user_id AND au.win = pv.win
+  WHERE au.user_id IS NULL GROUP BY 1)
+SELECT win, cls, n FROM (SELECT * FROM cc UNION ALL SELECT * FROM ch)
+ORDER BY win, cls""")),
   )
 
   /** Integer position discounts floor(1e6 / log2(i+1)) for i = 1..10 —

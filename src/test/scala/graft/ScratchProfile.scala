@@ -36,4 +36,28 @@ class ScratchProfile extends AnyFunSuite {
       r2.release()
     }
   }
+
+  test("profile q169 grid join stages at sf0.1") {
+    if (on) {
+      val sf = "/root/testdata/sf0.1"
+      import graft.functions.Converters
+      import org.apache.spark.sql.types.StringType
+      def pts = Tables.customer(spark, sf).select(col("c_custkey").as("id"),
+        pmod(Converters.fingerprint64(concat(lit("gx"), col("c_custkey").cast(StringType))), lit(1000000L)).as("x"),
+        pmod(Converters.fingerprint64(concat(lit("gy"), col("c_custkey").cast(StringType))), lit(1000000L)).as("y"))
+      for (rep <- 1 to 2) {
+        var t0 = System.nanoTime()
+        val n = pts.localCheckpoint(true).count()
+        println(f"[profile] pts materialize: ${(System.nanoTime()-t0)/1e9}%.2f s ($n rows)")
+        t0 = System.nanoTime()
+        val out = graft.operators.SpatialOps.gridNeighborPairs(pts, "id", "x", "y", 12500L, 12500L)
+        out.write.format("noop").mode("overwrite").save()
+        println(f"[profile] rep$rep grid join (no sort): ${(System.nanoTime()-t0)/1e9}%.2f s")
+        t0 = System.nanoTime()
+        graft.operators.SpatialOps.gridNeighborPairs(pts, "id", "x", "y", 12500L, 12500L)
+          .orderBy(col("id_a"), col("id_b")).write.format("noop").mode("overwrite").save()
+        println(f"[profile] rep$rep grid join (with sort): ${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
+    }
+  }
 }
