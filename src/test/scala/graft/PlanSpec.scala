@@ -417,4 +417,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoop"))
   }
+
+  test("q174: postings scan is PARTITION-PRUNED to the query terms' buckets") {
+    val p = plan("q174_postings_bm25")
+    // the load-bearing artifact property: serve cost ∝ probed buckets —
+    // the scan must carry a PartitionFilters bucket IN (...) clause
+    assert(p.contains("PartitionFilters: [bucket"), p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(p.contains("bucket") && p.contains(" IN ("))
+    // dfreq and stats ride broadcasts, the probe join is hash-equi
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q169: spatial join is a cell equi-join with codegen distance verify") {
+    val p = plan("q169_geo_grid_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoop"))
+    // the 3x3 neighborhood rides Generate (explode), the join is hash-equi
+    assert(p.contains("Generate"))
+  }
+
+  test("q178: quantile normalization never forms an unpartitioned window") {
+    val df = SparkEntry.queries("q178_quantile_normalize")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // every Window must partition by __pid or group — no global window
+    // (SinglePartition only for the final presentation sort at test scale)
+    assert(!p.contains("Window [") || p.contains("windowspecdefinition"))
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(l =>
+      l.contains("__pid") || l.contains("group")), winLines.mkString("\n"))
+  }
 }
