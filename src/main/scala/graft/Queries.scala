@@ -4197,6 +4197,197 @@ ch AS (SELECT pv.win, 'churned' AS cls, CAST(count(*) AS BIGINT) AS n
   WHERE au.user_id IS NULL GROUP BY 1)
 SELECT win, cls, n FROM (SELECT * FROM cc UNION ALL SELECT * FROM ch)
 ORDER BY win, cls""")),
+
+    ("q192_linear_attribution", (s, d) => {
+      // multi-touch LINEAR attribution (beside q161's first/last-touch):
+      // every touch in the 7-day lookback shares the conversion's value
+      // equally in exact milli-cents, the integer remainder going to the
+      // EARLIEST touch so each conversion's credits sum exactly — one
+      // user-keyed equi-join + two conversion-partitioned windows
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        .localCheckpoint(false) // conversion and touch sides
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("cuser"), col("ts_us").as("cts"),
+          (d2(col("value")) * 100).cast(LongType).as("cents"),
+          col("event_id").as("cid"))
+      val touch = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("tuser"), col("ts_us").as("tts"),
+          col("event_type").as("channel"), col("event_id").as("tid"))
+      val wConv = Window.partitionBy(col("cid"))
+      val wRank = Window.partitionBy(col("cid")).orderBy(col("tts"), col("tid"))
+      val base = call_function("div", col("cents") * 1000L, col("n"))
+      conv.join(touch, col("cuser") === col("tuser") &&
+          col("tts") >= col("cts") - lit(7L * 86400L * 1000000L) &&
+          col("tts") < col("cts"))
+        .withColumn("n", count(lit(1)).over(wConv))
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("credit", base +
+          when(col("rk") === 1, col("cents") * 1000L - base * col("n")).otherwise(0L))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"), sum(col("credit")).as("credit_me3"))
+        .orderBy(col("channel"))
+    },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents, event_id FROM events),
+conv AS (SELECT user_id AS cuser, ts_us AS cts, cents, event_id AS cid
+  FROM ev WHERE event_type = 'purchase'),
+touch AS (SELECT user_id AS tuser, ts_us AS tts, event_type AS channel, event_id AS tid
+  FROM ev WHERE event_type <> 'purchase'),
+p AS (SELECT conv.*, touch.channel, touch.tts, touch.tid FROM conv JOIN touch
+  ON cuser = tuser AND tts >= cts - 604800000000 AND tts < cts),
+w AS (SELECT *, CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n,
+  row_number() OVER (PARTITION BY cid ORDER BY tts, tid) AS rk FROM p),
+cr AS (SELECT channel, (cents * 1000) // n
+  + CASE WHEN rk = 1 THEN cents * 1000 - ((cents * 1000) // n) * n ELSE 0 END AS credit FROM w)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+  CAST(SUM(credit) AS BIGINT) AS credit_me3
+FROM cr GROUP BY 1 ORDER BY channel""")),
+
+    ("q193_diff_in_diff", (s, d) => {
+      // difference-in-differences over the purchase stream: treatment =
+      // even user ids, post-period = weekly window >= 2820; the 2x2 cell
+      // means in exact milli-cents and the DiD estimator — the
+      // experimentation readout as one aggregation pass
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select((pmod(col("user_id"), lit(2)) === 0).as("treat"),
+          (call_function("div", expr("ts_ns div 86400000000000"), lit(7L)) >= 2820L).as("post"),
+          (d2(col("value")) * 100).cast(LongType).as("cents"))
+      val cells = p.groupBy(col("treat"), col("post"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+        .withColumn("mean_me3", call_function("div", col("sc") * 1000L, col("n")))
+      val m = cells.select(col("treat"), col("post"), col("mean_me3"))
+        .groupBy()
+        .agg(
+          max(when(col("treat") && col("post"), col("mean_me3"))).as("m_tp"),
+          max(when(col("treat") && !col("post"), col("mean_me3"))).as("m_tr"),
+          max(when(!col("treat") && col("post"), col("mean_me3"))).as("m_cp"),
+          max(when(!col("treat") && !col("post"), col("mean_me3"))).as("m_cr"))
+      m.select(col("m_tp"), col("m_tr"), col("m_cp"), col("m_cr"),
+        ((col("m_tp") - col("m_tr")) - (col("m_cp") - col("m_cr"))).as("did_me3"))
+    },
+      Some("""WITH p AS (SELECT user_id % 2 = 0 AS treat,
+  (epoch_ns(ts) // 86400000000000) // 7 >= 2820 AS post,
+  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+c AS (SELECT treat, post, (CAST(SUM(cents) AS BIGINT) * 1000) // count(*) AS m
+  FROM p GROUP BY 1, 2),
+x AS (SELECT
+  CAST(max(CASE WHEN treat AND post THEN m END) AS BIGINT) AS m_tp,
+  CAST(max(CASE WHEN treat AND NOT post THEN m END) AS BIGINT) AS m_tr,
+  CAST(max(CASE WHEN NOT treat AND post THEN m END) AS BIGINT) AS m_cp,
+  CAST(max(CASE WHEN NOT treat AND NOT post THEN m END) AS BIGINT) AS m_cr FROM c)
+SELECT m_tp, m_tr, m_cp, m_cr, (m_tp - m_tr) - (m_cp - m_cr) AS did_me3 FROM x""")),
+
+    ("q194_cohort_ltv", (s, d) => {
+      // cohort LTV curves: users grouped by first-purchase week, running
+      // cumulative revenue per cohort age in exact milli-cents per
+      // cohort member — cohort-partitioned windows only
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), call_function("div",
+            expr("ts_ns div 86400000000000"), lit(7L)).as("win"),
+          (d2(col("value")) * 100).cast(LongType).as("cents"))
+        .localCheckpoint(false) // cohort map + revenue stream
+      val cohort = p.groupBy(col("user_id")).agg(min(col("win")).as("cw"))
+      val sizes = cohort.groupBy(col("cw")).agg(count(lit(1)).as("n_users"))
+      val wAge = Window.partitionBy(col("cw")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      p.join(cohort, Seq("user_id"))
+        .withColumn("age", col("win") - col("cw"))
+        .groupBy(col("cw"), col("age")).agg(sum(col("cents")).as("rev"))
+        .withColumn("cum_cents", sum(col("rev")).over(wAge))
+        .join(sizes, Seq("cw"))
+        .select(col("cw").as("cohort"), col("age"), col("n_users"),
+          col("cum_cents"),
+          call_function("div", col("cum_cents") * 1000L, col("n_users")).as("ltv_me3"))
+        .orderBy(col("cohort"), col("age"))
+    },
+      Some("""WITH p AS (SELECT user_id, (epoch_ns(ts) // 86400000000000) // 7 AS win,
+  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+ch AS (SELECT user_id, CAST(min(win) AS BIGINT) AS cw FROM p GROUP BY 1),
+sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users FROM ch GROUP BY 1),
+r AS (SELECT ch.cw, p.win - ch.cw AS age, CAST(SUM(p.cents) AS BIGINT) AS rev
+  FROM p JOIN ch USING (user_id) GROUP BY 1, 2),
+cum AS (SELECT cw, age, CAST(SUM(rev) OVER (PARTITION BY cw ORDER BY age
+  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents FROM r)
+SELECT cum.cw AS cohort, cum.age, sz.n_users, cum.cum_cents,
+  (cum.cum_cents * 1000) // sz.n_users AS ltv_me3
+FROM cum JOIN sz USING (cw) ORDER BY cohort, age""")),
+
+    ("q195_ols_trend", (s, d) => {
+      // least-squares daily-revenue trend per event type: the closed-form
+      // OLS slope as ONE map-side-combinable aggregation over (x, y)
+      // sums — n·Σxy − Σx·Σy over n·Σx² − (Σx)², scaled ppm with
+      // floor-toward-zero matched in both engines via the abs/sign split
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+        .agg(sum((d2(col("value")) * 100).cast(LongType)).as("y"))
+        .withColumn("x", col("day") - lit(19720L)) // bounded day index
+      val agg = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .filter(col("n_days") > 1L)
+      val num = (col("n_days") * col("sxy") - col("sx") * col("sy")) * 1000000L
+      val den = col("n_days") * col("sxx") - col("sx") * col("sx")
+      agg.select(col("event_type"), col("n_days"), col("sy").as("sum_cents"),
+          when(num >= 0, call_function("div", num, den))
+            .otherwise(-call_function("div", -num, den)).as("slope_e6"))
+        .orderBy(col("event_type"))
+    },
+      Some("""WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+dx AS (SELECT event_type, day - 19720 AS x, y FROM daily),
+a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+  CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM dx GROUP BY 1 HAVING count(*) > 1)
+SELECT event_type, n_days, sy AS sum_cents,
+  CASE WHEN (n_days * sxy - sx * sy) >= 0
+    THEN ((n_days * sxy - sx * sy) * 1000000) // (n_days * sxx - sx * sx)
+    ELSE -((-(n_days * sxy - sx * sy) * 1000000) // (n_days * sxx - sx * sx)) END AS slope_e6
+FROM a ORDER BY event_type""")),
+
+    ("q196_assoc_rules", (s, d) => {
+      // association rules from the co-purchase pair counts (A-Priori's
+      // rule step): both directions of every frequent pair with integer
+      // confidence and lift ppm, top-30 by confidence — model relations
+      // only, the basket stream never re-shuffles
+      val it = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("item")).distinct()
+        .localCheckpoint(false) // pair counts + item supports + basket total
+      val pairs = it.as("a").join(it.as("b"),
+          col("a.bk") === col("b.bk") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i1"), col("b.item").as("i2"))
+        .agg(count(lit(1)).as("nab")).filter(col("nab") >= 3L)
+      val supp = it.groupBy(col("item")).agg(count(lit(1)).as("ni"))
+      val nb = it.select(col("bk")).distinct().count() // driver scalar: one count
+      val both = pairs.select(col("i1").as("ante"), col("i2").as("cons"), col("nab"))
+        .unionByName(pairs.select(col("i2").as("ante"), col("i1").as("cons"), col("nab")))
+      both
+        .join(supp.select(col("item").as("ante"), col("ni").as("na")), Seq("ante"))
+        .join(supp.select(col("item").as("cons"), col("ni").as("nc")), Seq("cons"))
+        .select(col("ante"), col("cons"), col("nab"),
+          call_function("div", col("nab") * 1000000L, col("na")).as("conf_ppm"),
+          call_function("div", col("nab") * lit(nb) * 1000000L,
+            col("na") * col("nc")).as("lift_ppm"))
+        .orderBy(col("conf_ppm").desc, col("ante"), col("cons")).limit(30)
+    },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+pr AS (SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS nab
+  FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+sp AS (SELECT item, CAST(count(*) AS BIGINT) AS ni FROM it GROUP BY 1),
+nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM it),
+bo AS (SELECT i1 AS ante, i2 AS cons, nab FROM pr
+  UNION ALL SELECT i2, i1, nab FROM pr),
+r AS (SELECT bo.ante, bo.cons, bo.nab,
+  (bo.nab * 1000000) // sa.ni AS conf_ppm,
+  (bo.nab * nb.n * 1000000) // (sa.ni * sc.ni) AS lift_ppm
+  FROM bo JOIN sp sa ON sa.item = bo.ante JOIN sp sc ON sc.item = bo.cons, nb)
+SELECT ante, cons, nab, conf_ppm, lift_ppm FROM r
+ORDER BY conf_ppm DESC, ante, cons LIMIT 30""")),
   )
 
   /** Integer position discounts floor(1e6 / log2(i+1)) for i = 1..10 —
