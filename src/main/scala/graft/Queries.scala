@@ -4388,7 +4388,43 @@ r AS (SELECT bo.ante, bo.cons, bo.nab,
   FROM bo JOIN sp sa ON sa.item = bo.ante JOIN sp sc ON sc.item = bo.cons, nb)
 SELECT ante, cons, nab, conf_ppm, lift_ppm FROM r
 ORDER BY conf_ppm DESC, ante, cons LIMIT 30""")),
+
+    ("q197_rake_keyphrases", (s, d) =>
+      // RAKE keyphrase extraction over the corpus: stopword-delimited
+      // candidate phrases, deg/freq word scores in floor ppm, top-15
+      // phrases — the classic unsupervised keyword extractor
+      TextOps.rakeKeyphrases(Tables.documents(s, d), "doc_id", "text",
+        RakeStopwords, 15),
+      Some(s"""WITH cl AS (SELECT doc_id AS id, $rakeChainSql AS t FROM documents),
+ph AS (SELECT id, trim(p) AS phrase FROM
+  (SELECT id, unnest(string_split(t, '|')) AS p FROM cl)
+  WHERE trim(p) <> '' AND len(string_split(trim(p), ' ')) <= 4),
+wd AS (SELECT phrase, CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen,
+  unnest(string_split(phrase, ' ')) AS word FROM ph),
+wst AS (SELECT word, CAST(count(*) AS BIGINT) AS freq, CAST(SUM(plen) AS BIGINT) AS deg
+  FROM wd WHERE word <> '' GROUP BY 1),
+ws AS (SELECT word, (deg * 1000000) // freq AS wscore FROM wst),
+psc AS (SELECT wd.phrase, CAST(SUM(ws.wscore) AS BIGINT) AS psum
+  FROM wd JOIN ws USING (word) WHERE wd.word <> '' GROUP BY 1),
+occ AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences FROM ph GROUP BY 1)
+SELECT occ.phrase, occ.n_occurrences, psc.psum // occ.n_occurrences AS score_ppm
+FROM occ JOIN psc USING (phrase)
+ORDER BY score_ppm DESC, phrase LIMIT 15""")),
   )
+
+  /** RAKE stopword fixture (q197) — shared by the Spark replace chain and
+    * the oracle's generated chain so the two can never drift.
+    */
+  private def RakeStopwords = Seq("the", "a", "an", "of", "and", "or", "to",
+    "in", "is", "on", "for", "with", "as", "at", "by", "it", "this", "that")
+
+  /** DuckDB replay of [[graft.operators.TextOps.rakeKeyphrases]]' doubled
+    * replace chain over `' ' || text || ' '`.
+    */
+  private def rakeChainSql: String =
+    RakeStopwords.foldLeft("(' ' || text || ' ')") { (acc, w) =>
+      s"replace(replace($acc, ' $w ', ' | '), ' $w ', ' | ')"
+    }
 
   /** Integer position discounts floor(1e6 / log2(i+1)) for i = 1..10 —
     * precomputed so nDCG needs no float log in either engine (the oracle

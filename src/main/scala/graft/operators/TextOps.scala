@@ -785,6 +785,59 @@ object TextOps {
     rules.reverse.reduce(_ unionByName _)
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"), integer-exact: candidate
+    * phrases are the maximal stopword-free token runs (stopwords become
+    * `|` delimiters via a replace chain — each replace applied TWICE so
+    * adjacent stopwords sharing a boundary space both fall), each word
+    * scores deg/freq (deg = Σ containing-phrase lengths) as floor ppm,
+    * and a phrase scores the sum of its words' scores. Output: the top
+    * `k` phrases by (score, then phrase): (phrase, n_occurrences,
+    * score_ppm).
+    *
+    * Scale shape: the replace chain is row-local codegen in the scan
+    * projection; word stats are one vocabulary-sized aggregation; the
+    * phrase score is an equi-join on the word followed by a phrase
+    * aggregation; top-k is a TakeOrdered. No windows, no driver state.
+    */
+  def rakeKeyphrases(df: DataFrame, idCol: String, textCol: String,
+                     stopwords: Seq[String], k: Int,
+                     maxWords: Int = 4): DataFrame = {
+    require(stopwords.nonEmpty && k > 0 && maxWords > 0,
+      "need stopwords, k > 0, maxWords > 0")
+    val padded = concat(lit(" "), col(textCol), lit(" "))
+    val cleaned = stopwords.foldLeft(padded) { (acc, w) =>
+      val once = call_function("replace", acc, lit(s" $w "), lit(" | "))
+      call_function("replace", once, lit(s" $w "), lit(" | "))
+    }
+    val phrases = df.select(col(idCol).as("id"), cleaned.as("__t"))
+      .select(col("id"), explode(split(col("__t"), "\\|")).as("__p"))
+      .select(col("id"), trim(col("__p")).as("phrase"))
+      .filter(col("phrase") =!= "")
+      // the canonical RAKE candidate cap: runs longer than maxWords are
+      // document bodies, not keyphrases
+      .filter(size(split(col("phrase"), " ")) <= maxWords)
+      .localCheckpoint(false) // word stats + phrase scoring
+    val words = phrases
+      .select(col("phrase"), size(split(col("phrase"), " ")).cast("long").as("__len"),
+        explode(split(col("phrase"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .localCheckpoint(false) // stats aggregation + score join
+    val stats = words.groupBy(col("word"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .select(col("word"),
+        call_function("div", col("__deg") * 1000000L, col("__freq")).as("__ws"))
+    val phraseScores = words.join(stats, Seq("word"))
+      .groupBy(col("phrase")).agg(sum(col("__ws")).as("__psum"))
+    phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n_occurrences"))
+      .join(phraseScores, Seq("phrase"))
+      // __psum counts every occurrence of the phrase once per word slot;
+      // normalize to the per-instance score
+      .select(col("phrase"), col("n_occurrences"),
+        call_function("div", col("__psum"), col("n_occurrences")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase")).limit(k)
+  }
+
   /** Number of term-hash buckets the postings artifact partitions by —
     * the partition-pruning grain of [[bm25TopKFromIndex]].
     */

@@ -577,6 +577,52 @@ object StatefulOps {
         disorderUpdate)
   }
 
+  /** One interval for the streaming coverage tracker. */
+  case class CoverageEvent(key: String, s: Long, e: Long)
+
+  /** Running coverage readout after each batch. */
+  case class CoverageReadout(key: String, n_intervals: Long, n_islands: Long,
+                             covered: Long)
+
+  private[graft] case class CoverageState(curS: Long, curE: Long,
+                                          closedCovered: Long,
+                                          closedIslands: Long, n: Long)
+
+  private def coverageUpdate(key: String, rows: Iterator[CoverageEvent],
+                             state: GroupState[CoverageState])
+      : Iterator[CoverageReadout] = {
+    var st = state.getOption.orNull
+    // same delivery contract as streamingTwap: per-key nondecreasing
+    // interval STARTS across batches (within-batch order restored here)
+    rows.toVector.sortBy(r => (r.s, r.e)).foreach { r =>
+      st = if (st == null) CoverageState(r.s, r.e, 0L, 0L, 1L)
+      else if (r.s > st.curE) // gap: the open island closes
+        CoverageState(r.s, r.e, st.closedCovered + (st.curE - st.curS),
+          st.closedIslands + 1L, st.n + 1L)
+      else
+        CoverageState(st.curS, math.max(st.curE, r.e), st.closedCovered,
+          st.closedIslands, st.n + 1L)
+    }
+    state.update(st)
+    Iterator.single(CoverageReadout(key, st.n, st.closedIslands + 1L,
+      st.closedCovered + (st.curE - st.curS)))
+  }
+
+  /** Streaming twin of
+    * [[graft.operators.TemporalOps.intervalUnionLength]]: five longs of
+    * state per key carry the open island + closed totals across batches;
+    * every batch emits the running (n_intervals, n_islands, covered)
+    * readout including the still-open island. The spec pins the final
+    * readout ≡ the batch operator, including a mid-island batch split.
+    */
+  def streamingCoverage(ds: Dataset[CoverageEvent]): Dataset[CoverageReadout] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        coverageUpdate)
+  }
+
   /** One observation for the streaming time-weighted average. */
   case class TwapEvent(key: String, t: Long, v: Long)
 

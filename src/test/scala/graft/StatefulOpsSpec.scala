@@ -430,6 +430,33 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(batch === Seq(("a", 3L, 30L, 16L), ("c", 2L, 10L, 5L)))
   }
 
+  test("streamingCoverage: final readout ≡ batch interval union across a mid-island split") {
+    implicit val sqlCtx = spark.sqlContext
+    import StatefulOps.{CoverageEvent, CoverageReadout}
+    val events = Seq(
+      CoverageEvent("a", 0L, 10L), CoverageEvent("a", 5L, 20L), // overlap
+      CoverageEvent("a", 30L, 40L), // gap -> second island
+      CoverageEvent("b", 0L, 100L), CoverageEvent("b", 10L, 20L)) // containment
+    val ms = MemoryStream[CoverageEvent]
+    val q = StatefulOps.streamingCoverage(ms.toDS())
+      .writeStream.format("memory").queryName("cov_out")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(events.take(2): _*) // a's open island must cross the batch
+    q.processAllAvailable()
+    ms.addData(events.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val finalByKey = spark.table("cov_out").as[CoverageReadout].collect()
+      .groupBy(_.key).map { case (_, rs) => rs.maxBy(_.n_intervals) }
+      .toSeq.sortBy(_.key).map(r => (r.key, r.n_intervals, r.n_islands, r.covered))
+    val batch = graft.operators.TemporalOps.intervalUnionLength(
+      events.toDF("k", "s", "e"), "k", "s", "e")
+      .orderBy(org.apache.spark.sql.functions.col("key"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(finalByKey === batch)
+    assert(batch === Seq(("a", 3L, 2L, 30L), ("b", 2L, 1L, 100L)))
+  }
+
   test("streamingDisorderProfile: lateness ≡ batch profile, state crosses batches") {
     implicit val sqlCtx = spark.sqlContext
     import StatefulOps.{ArrivalEvent, LatenessRow}
