@@ -4410,7 +4410,145 @@ occ AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences FROM ph GROUP B
 SELECT occ.phrase, occ.n_occurrences, psc.psum // occ.n_occurrences AS score_ppm
 FROM occ JOIN psc USING (phrase)
 ORDER BY score_ppm DESC, phrase LIMIT 15""")),
+
+    ("q198_personalized_pagerank", (s, d) => {
+      // random walk with restart from the q168 seed parts over the
+      // co-purchase graph: 2 integer-exact PPR rounds — "related to
+      // THESE items" ranking; oracle = unrolled rounds
+      val edges = graft.operators.GraphOps.coPairCounts(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey", 2L)
+      val sym = edges.select(col("i1").as("s"), col("i2").as("d"))
+        .union(edges.select(col("i2").as("s"), col("i1").as("d")))
+      val seeds = Tables.part(s, d)
+        .filter(pmod(col("p_partkey"), lit(101)) === 0)
+      graft.operators.GraphOps.personalizedPageRankScaled(sym, "s", "d",
+        seeds, "p_partkey", 2)
+        .orderBy(col("node"))
+    },
+      Some(s"""WITH $coPurchaseEdgesSql,
+dg AS (SELECT s, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+sd AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_partkey % 101 = 0),
+nd AS (SELECT node, bool_or(seed) AS seed FROM (
+  SELECT s AS node, false AS seed FROM e UNION SELECT d, false FROM e
+  UNION SELECT node, true FROM sd) GROUP BY 1),
+r0 AS (SELECT node, CAST(CASE WHEN seed THEN 1000000 ELSE 0 END AS BIGINT) AS r FROM nd)${pprRoundsSql(2)}
+SELECT node, r AS rank FROM r2 ORDER BY node""")),
+
+    ("q199_simpson_screen", (s, d) => {
+      // Simpson's-paradox screen for metric integrity: pooled
+      // fulfilled-rate direction between customer-parity groups vs the
+      // per-priority-stratum directions, compared CROSS-MULTIPLIED
+      // (integer-exact, no rate division) — a stratum whose direction
+      // contradicts the pooled one flags the aggregation as confounded
+      val o = Tables.orders(s, d).select(
+        (pmod(col("o_custkey"), lit(2)) === 0).as("grp_a"),
+        col("o_orderpriority").as("stratum"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+        .localCheckpoint(false) // pooled + stratified consumers
+      def rates(df: DataFrame, keys: Seq[Column]) = df
+        .groupBy(keys: _*)
+        .agg(sum(when(col("grp_a"), col("y"))).as("sa"),
+          sum(when(col("grp_a"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("grp_a"), col("y"))).as("sb"),
+          sum(when(!col("grp_a"), 1L).otherwise(0L)).as("nb"))
+      val dir = (col("sa") * col("nb") - col("sb") * col("na"))
+      val pooled = rates(o, Seq.empty)
+        .select(signum(dir).cast(LongType).as("pooled_dir"))
+      rates(o, Seq(col("stratum")))
+        .crossJoin(broadcast(pooled))
+        .select(col("stratum"), col("sa"), col("na"), col("sb"), col("nb"),
+          signum(dir).cast(LongType).as("stratum_dir"), col("pooled_dir"),
+          (signum(dir).cast(LongType) * col("pooled_dir") < 0L).as("flipped"))
+        .orderBy(col("stratum"))
+    },
+      Some("""WITH o AS (SELECT o_custkey % 2 = 0 AS grp_a, o_orderpriority AS stratum,
+  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+p AS (SELECT CAST(SUM(CASE WHEN grp_a THEN y END) AS BIGINT) AS sa,
+  CAST(SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+  CAST(SUM(CASE WHEN NOT grp_a THEN y END) AS BIGINT) AS sb,
+  CAST(SUM(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) AS BIGINT) AS nb FROM o),
+pd AS (SELECT CAST(sign(sa * nb - sb * na) AS BIGINT) AS pooled_dir FROM p),
+st AS (SELECT stratum, CAST(SUM(CASE WHEN grp_a THEN y END) AS BIGINT) AS sa,
+  CAST(SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+  CAST(SUM(CASE WHEN NOT grp_a THEN y END) AS BIGINT) AS sb,
+  CAST(SUM(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM o GROUP BY 1)
+SELECT stratum, sa, na, sb, nb,
+  CAST(sign(sa * nb - sb * na) AS BIGINT) AS stratum_dir, pd.pooled_dir,
+  CAST(sign(sa * nb - sb * na) AS BIGINT) * pd.pooled_dir < 0 AS flipped
+FROM st, pd ORDER BY stratum""")),
+
+    ("q200_frequent_triples", (s, d) => {
+      // A-Priori level 3: frequent item TRIPLES from the basket stream —
+      // the triple stream is basket-bounded (Σ size³), top-20 by count
+      val it = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("item")).distinct()
+        .localCheckpoint(false) // three sides of the triple join
+      it.as("a")
+        .join(it.as("b"), col("a.bk") === col("b.bk") && col("a.item") < col("b.item"))
+        .join(it.as("c"), col("a.bk") === col("c.bk") && col("b.item") < col("c.item"))
+        .groupBy(col("a.item").as("i1"), col("b.item").as("i2"), col("c.item").as("i3"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2L)
+        .orderBy(col("n").desc, col("i1"), col("i2"), col("i3")).limit(20)
+    },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+t AS (SELECT a.item AS i1, b.item AS i2, c.item AS i3, CAST(count(*) AS BIGINT) AS n
+  FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+  JOIN it c ON a.bk = c.bk AND b.item < c.item
+  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+SELECT i1, i2, i3, n FROM t ORDER BY n DESC, i1, i2, i3 LIMIT 20""")),
+
+    ("q201_bot_regularity", (s, d) => {
+      // bot/automation screen: users whose inter-event gaps are too
+      // REGULAR — squared coefficient of variation in ppm, computed as
+      // n·Σg² − (Σg)² over (Σg)², all int64 (gaps in seconds so squares
+      // fit); cv² < 0.04 (CV < 20%) flags machine-like cadence
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .withColumn("ts_s", expr("ts_ns div 1000000000"))
+        .withColumn("g", col("ts_s") - lag(col("ts_s"), 1).over(w))
+        .filter(col("g").isNotNull)
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sg"),
+          sum(col("g") * col("g")).as("sgg"))
+        .filter(col("n_gaps") >= 5L && col("sg") >= 1000L)
+        .select(col("user_id"), col("n_gaps"),
+          call_function("div", col("sg"), col("n_gaps")).as("mean_gap_s"),
+          // two-step scaling keeps every intermediate in int64:
+          // den = sg^2 div 1e6 (>= 1 by the sg >= 1000 guard)
+          call_function("div",
+            col("n_gaps") * col("sgg") - col("sg") * col("sg"),
+            call_function("div", col("sg") * col("sg"), lit(1000000L))).as("cv2_ppm"))
+        .withColumn("bot_flag", col("cv2_ppm") < 40000L)
+        .orderBy(col("user_id"))
+    },
+      Some("""WITH t AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s, event_id FROM events),
+g AS (SELECT user_id, ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS g FROM t),
+a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps, CAST(SUM(g) AS BIGINT) AS sg,
+  CAST(SUM(g * g) AS BIGINT) AS sgg FROM g WHERE g IS NOT NULL GROUP BY 1
+  HAVING count(*) >= 5 AND CAST(SUM(g) AS BIGINT) >= 1000)
+SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_s,
+  (n_gaps * sgg - sg * sg) // ((sg * sg) // 1000000) AS cv2_ppm,
+  (n_gaps * sgg - sg * sg) // ((sg * sg) // 1000000) < 40000 AS bot_flag
+FROM a ORDER BY user_id""")),
   )
+
+  /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge
+    * relation `e`, degrees `dg`, seed-tagged nodes `nd`, and r0 — the
+    * oracle twin of
+    * [[graft.operators.GraphOps.personalizedPageRankScaled]] at
+    * damp 85/100, scale 1e6 (base 150000).
+    */
+  private def pprRoundsSql(iters: Int): String =
+    (1 to iters).map { r =>
+      s""",
+r$r AS (SELECT n.node, CAST(CASE WHEN n.seed THEN 150000 ELSE 0 END + COALESCE(c.s, 0) AS BIGINT) AS r
+  FROM nd n LEFT JOIN (
+    SELECT e.d AS node, CAST(SUM((p.r * 85) // (dg.dg * 100)) AS BIGINT) AS s
+    FROM e JOIN r${r - 1} p ON e.s = p.node JOIN dg ON dg.s = e.s GROUP BY 1) c
+  ON n.node = c.node)"""
+    }.mkString
 
   /** RAKE stopword fixture (q197) — shared by the Spark replace chain and
     * the oracle's generated chain so the two can never drift.

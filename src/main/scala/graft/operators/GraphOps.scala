@@ -55,6 +55,54 @@ object GraphOps {
     ranks
   }
 
+  /** Personalized PageRank (random walk with restart): identical integer
+    * arithmetic to [[pageRankScaled]], but the teleport mass lands ONLY
+    * on the seed set — the "importance relative to THESE nodes" measure
+    * behind related-entity ranking and seed-expansion labeling
+    * (Jeh & Widom 2003). Seeds start at `scale`, everything else at 0;
+    * each round v receives div(scale·(dampDen−dampNum), dampDen) iff v
+    * is a seed, plus the damped in-neighbor contributions. Nodes = edge
+    * endpoints ∪ seeds.
+    *
+    * Scale shape: exactly [[pageRankScaled]] — one checkpointed edge
+    * relation, per-round equi-join + dst aggregation, node-sized state
+    * re-checkpointed per round.
+    */
+  def personalizedPageRankScaled(edges: DataFrame, srcCol: String,
+                                 dstCol: String, seeds: DataFrame,
+                                 seedCol: String, iters: Int,
+                                 dampNum: Long = 85L, dampDen: Long = 100L,
+                                 scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(dampNum > 0 && dampDen > dampNum, s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    val base = scale * (dampDen - dampNum) / dampDen
+    val deg = edges.groupBy(col(srcCol).as("__src")).agg(count(lit(1)).as("__deg"))
+    val ed = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .join(deg, Seq("__src"))
+      .localCheckpoint(false) // reused by every round
+    val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("__seed", lit(true))
+    val nodes = ed.select(col("__src").as("node"))
+      .union(ed.select(col("__dst"))).union(sd.select(col("node"))).distinct()
+      .join(sd, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
+      .localCheckpoint(false) // reused by every round's rebase
+    var ranks = nodes.select(col("node"),
+      when(col("__seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 0 until iters) {
+      val contribs = ed.join(ranks, col("__src") === col("node"))
+        .select(col("__dst").as("node"),
+          call_function("div", col("rank") * dampNum, col("__deg") * dampDen).as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__seed"), lit(base)).otherwise(lit(0L))
+            + coalesce(col("__in"), lit(0L))).as("rank"))
+        .localCheckpoint(false) // bound lineage across rounds
+    }
+    ranks
+  }
+
   /** Market-basket co-occurrence: the top-k item pairs appearing together
     * in the most baskets (the candidate-pair step of A-Priori / the
     * "frequently bought together" signal). Within-basket duplicates
