@@ -4532,6 +4532,143 @@ SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_s,
   (n_gaps * sgg - sg * sg) // ((sg * sg) // 1000000) AS cv2_ppm,
   (n_gaps * sgg - sg * sg) // ((sg * sg) // 1000000) < 40000 AS bot_flag
 FROM a ORDER BY user_id""")),
+
+    ("q202_fifo_matching", (s, d) => {
+      // FIFO lot matching (inventory/cost allocation): per part, returned
+      // quantity consumes shipped lots OLDEST-FIRST — both sides become
+      // cumulative-quantity intervals and the allocation is their
+      // overlap; consecutive intervals make the per-key pair stream
+      // LINEAR in rows, and the join is part-keyed (no global anything)
+      val li = Tables.lineitem(s, d).select(col("l_partkey").as("pk"),
+        col("l_returnflag"), col("l_shipdate"),
+        (col("l_orderkey") * 10L + col("l_linenumber")).as("lid"),
+        col("l_quantity").cast(LongType).as("q"))
+        .localCheckpoint(false) // lot and return sides
+      val wLot = Window.partitionBy(col("pk")).orderBy(col("l_shipdate"), col("lid"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val lots = li.filter(col("l_returnflag") =!= "R")
+        .withColumn("a1", sum(col("q")).over(wLot))
+        .select(col("pk"), col("lid").as("lot_id"), (col("a1") - col("q")).as("a0"), col("a1"))
+      val rets = li.filter(col("l_returnflag") === "R")
+        .withColumn("b1", sum(col("q")).over(wLot))
+        .select(col("pk"), col("lid").as("ret_id"), (col("b1") - col("q")).as("b0"), col("b1"))
+      lots.join(rets, Seq("pk"))
+        .filter(col("a1") > col("b0") && col("b1") > col("a0"))
+        .select(col("pk").as("l_partkey"), col("lot_id"), col("ret_id"),
+          (least(col("a1"), col("b1")) - greatest(col("a0"), col("b0"))).as("alloc_qty"))
+        .orderBy(col("l_partkey"), col("lot_id"), col("ret_id"))
+    },
+      Some("""WITH li AS (SELECT l_partkey AS pk, l_returnflag, l_shipdate,
+  l_orderkey * 10 + l_linenumber AS lid, CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+lots AS (SELECT pk, lid AS lot_id,
+  CAST(SUM(q) OVER (PARTITION BY pk ORDER BY l_shipdate, lid ROWS UNBOUNDED PRECEDING) AS BIGINT) - q AS a0,
+  CAST(SUM(q) OVER (PARTITION BY pk ORDER BY l_shipdate, lid ROWS UNBOUNDED PRECEDING) AS BIGINT) AS a1
+  FROM li WHERE l_returnflag <> 'R'),
+rets AS (SELECT pk, lid AS ret_id,
+  CAST(SUM(q) OVER (PARTITION BY pk ORDER BY l_shipdate, lid ROWS UNBOUNDED PRECEDING) AS BIGINT) - q AS b0,
+  CAST(SUM(q) OVER (PARTITION BY pk ORDER BY l_shipdate, lid ROWS UNBOUNDED PRECEDING) AS BIGINT) AS b1
+  FROM li WHERE l_returnflag = 'R')
+SELECT lots.pk AS l_partkey, lots.lot_id, rets.ret_id,
+  least(lots.a1, rets.b1) - greatest(lots.a0, rets.b0) AS alloc_qty
+FROM lots JOIN rets ON lots.pk = rets.pk AND lots.a1 > rets.b0 AND rets.b1 > lots.a0
+ORDER BY l_partkey, lot_id, ret_id""")),
+
+    ("q203_watermark_tradeoff", (s, d) => {
+      // watermark sizing as an explicit tradeoff table: for candidate
+      // watermarks, the exact fraction of (deterministically delayed,
+      // q182's arrival perturbation) events that would be dropped as
+      // too-late — one lateness pass, one multi-aggregate
+      val w = Window.partitionBy(col("user_id")).orderBy(col("arr"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val late = Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("arr", col("event_id") * 100L +
+          when(pmod(col("event_id"), lit(10)) === 0, 2550L).otherwise(0L))
+        .withColumn("late",
+          greatest(lit(0L), coalesce(max(col("ts_us")).over(w), col("ts_us")) - col("ts_us")))
+      val cands = Seq(60L, 600L, 3600L, 86400L).map(_ * 1000000L)
+      val agg = late.agg(count(lit(1)).as("n"),
+        cands.zipWithIndex.map { case (c, i) =>
+          sum(when(col("late") > c, 1L).otherwise(0L)).as(s"d$i")
+        }: _*)
+      val rows = cands.zipWithIndex.map { case (c, i) =>
+        agg.select(lit(c / 1000000L).as("watermark_s"), col(s"d$i").as("n_dropped"),
+          call_function("div", col(s"d$i") * 1000000L, col("n")).as("drop_ppm"))
+      }
+      rows.reduce(_ unionByName _).orderBy(col("watermark_s"))
+    },
+      Some("""WITH t AS (SELECT user_id,
+  event_id * 100 + CASE WHEN event_id % 10 = 0 THEN 2550 ELSE 0 END AS arr,
+  epoch_us(ts) AS ts_us FROM events),
+l AS (SELECT greatest(0, COALESCE(max(ts_us) OVER (PARTITION BY user_id ORDER BY arr
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ts_us) - ts_us) AS late FROM t),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN late > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+  CAST(SUM(CASE WHEN late > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+  CAST(SUM(CASE WHEN late > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+  CAST(SUM(CASE WHEN late > 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS d3 FROM l)
+SELECT * FROM (
+  SELECT CAST(60 AS BIGINT) AS watermark_s, d0 AS n_dropped, (d0 * 1000000) // n AS drop_ppm FROM a
+  UNION ALL SELECT 600, d1, (d1 * 1000000) // n FROM a
+  UNION ALL SELECT 3600, d2, (d2 * 1000000) // n FROM a
+  UNION ALL SELECT 86400, d3, (d3 * 1000000) // n FROM a)
+ORDER BY watermark_s""")),
+
+    ("q204_salt_planner", (s, d) => {
+      // skew-salt planning from the key histogram: keys whose row count
+      // exceeds the fair per-partition share get salt = ceil(count /
+      // share) — the explicit plan q51's salted aggregation consumes;
+      // histogram-sized output, one aggregation + one window total
+      val parts = 32L
+      val counts = Tables.events(s, d)
+        .groupBy(col("event_type").as("key")).agg(count(lit(1)).as("n"))
+      val wAll = Window.partitionBy(lit(0)) // key-cardinality relation
+      counts
+        .withColumn("__tot", sum(col("n")).over(wAll))
+        .withColumn("share", call_function("div",
+          col("__tot") + lit(parts - 1L), lit(parts)))
+        .filter(col("n") > col("share"))
+        .select(col("key"), col("n"), col("share"),
+          call_function("div", col("n") + col("share") - 1L, col("share")).as("salt"))
+        .orderBy(col("key"))
+    },
+      Some("""WITH c AS (SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+t AS (SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS tot FROM c),
+s AS (SELECT key, n, (tot + 31) // 32 AS share FROM t)
+SELECT key, n, share, (n + share - 1) // share AS salt
+FROM s WHERE n > share ORDER BY key""")),
+
+    ("q205_nearest_facility", (s, d) => {
+      // nearest-facility assignment: every customer point maps to its
+      // closest supplier point (exact int64 squared distance, min-tie on
+      // facility id) — facilities are small by nature, so the join is a
+      // BROADCAST and the argmin map-side combinable
+      def px(tag: String, c: Column) = pmod(Converters.fingerprint64(
+        concat(lit(tag), c.cast(StringType))), lit(1000000L))
+      val cust = Tables.customer(s, d).select(col("c_custkey").as("id"),
+        px("gx", col("c_custkey")).as("x"), px("gy", col("c_custkey")).as("y"))
+      val fac = Tables.supplier(s, d).select(col("s_suppkey").as("fid"),
+        px("fx", col("s_suppkey")).as("fx"), px("fy", col("s_suppkey")).as("fy"))
+      val d2c = (col("x") - col("fx")) * (col("x") - col("fx")) +
+        (col("y") - col("fy")) * (col("y") - col("fy"))
+      cust.join(broadcast(fac), lit(true))
+        .select(col("id"), col("fid"), d2c.as("__d2"))
+        .groupBy(col("id"))
+        .agg(min(struct(col("__d2"), col("fid"))).as("__m"))
+        .select(col("id").as("c_custkey"), col("__m.fid").as("nearest_supp"),
+          col("__m.__d2").as("dist2"))
+        .orderBy(col("c_custkey"))
+    },
+      Some(s"""WITH cust AS (SELECT c_custkey AS id,
+  ${fpSql("('gx' || CAST(c_custkey AS VARCHAR))")} % 1000000 AS x,
+  ${fpSql("('gy' || CAST(c_custkey AS VARCHAR))")} % 1000000 AS y FROM customer),
+fac AS (SELECT s_suppkey AS fid,
+  ${fpSql("('fx' || CAST(s_suppkey AS VARCHAR))")} % 1000000 AS fx,
+  ${fpSql("('fy' || CAST(s_suppkey AS VARCHAR))")} % 1000000 AS fy FROM supplier),
+p AS (SELECT id, fid, (x - fx) * (x - fx) + (y - fy) * (y - fy) AS d2 FROM cust, fac)
+SELECT id AS c_custkey, fid AS nearest_supp, d2 AS dist2 FROM p
+QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fid) = 1
+ORDER BY c_custkey""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge
