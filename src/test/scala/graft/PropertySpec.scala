@@ -430,4 +430,108 @@ class PropertySpec extends AnyFunSuite {
       assert(comps(DedupOps.dedupGraphComponents(spark, dir)) == expComps, s"seed=$seed comps")
     }
   }
+
+  test("property: gridNeighborPairs equals brute force on random point clouds") {
+    import graft.operators.SpatialOps
+    val ptGen = for {
+      n <- Gen.choose(0, 40)
+      pts <- Gen.listOfN(n, for {
+        x <- Gen.choose(0L, 500L); y <- Gen.choose(0L, 500L)
+      } yield (x, y))
+    } yield pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    for (seed <- 0 until 8) {
+      val pts = ptGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      if (pts.nonEmpty) {
+        for ((cell, r) <- Seq((100L, 100L), (250L, 37L))) {
+          val got = SpatialOps.gridNeighborPairs(
+            pts.toDF("id", "x", "y"), "id", "x", "y", cell, r)
+            .as[(Long, Long, Long)].collect().toSeq.sorted
+          val brute = (for {
+            (i, xi, yi) <- pts; (j, xj, yj) <- pts if i < j
+            d2 = (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj) if d2 <= r * r
+          } yield (i, j, d2)).sorted
+          assert(got == brute, s"seed=$seed cell=$cell r=$r")
+        }
+      }
+    }
+  }
+
+  test("property: intervalUnionLength equals a sequential sweep merge") {
+    import graft.operators.TemporalOps
+    val ivGen = Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, for {
+      s <- Gen.choose(0L, 300L); len <- Gen.choose(0L, 80L)
+    } yield (s, s + len)))
+    for (seed <- 0 until 10) {
+      val ivs = ivGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      if (ivs.nonEmpty) {
+        val got = TemporalOps.intervalUnionLength(
+          ivs.map { case (s, e) => ("k", s, e) }.toDF("k", "s", "e"), "k", "s", "e")
+          .as[(String, Long, Long, Long)].collect().toSeq
+        // driver-side sweep: merge sorted intervals, sum island lengths
+        var islands = 0L; var covered = 0L
+        var curS = Long.MinValue; var curE = Long.MinValue
+        ivs.sorted.foreach { case (s, e) =>
+          if (curE == Long.MinValue || s > curE) {
+            if (curE != Long.MinValue) covered += curE - curS
+            islands += 1; curS = s; curE = e
+          } else curE = math.max(curE, e)
+        }
+        covered += curE - curS
+        assert(got == Seq(("k", ivs.size.toLong, islands, covered)), s"seed=$seed")
+      }
+    }
+  }
+
+  test("property: bellmanFord at n rounds equals driver Dijkstra on random graphs") {
+    import graft.operators.GraphOps
+    val gGen = for {
+      n <- Gen.choose(2, 8)
+      m <- Gen.choose(1, 16)
+      edges <- Gen.listOfN(m, for {
+        s <- Gen.choose(0L, (n - 1).toLong); t <- Gen.choose(0L, (n - 1).toLong)
+        w <- Gen.choose(1L, 20L)
+      } yield (s, t, w))
+    } yield (n, edges.filter(e => e._1 != e._2))
+    for (seed <- 0 until 8) {
+      val (n, edges) = gGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      if (edges.nonEmpty) {
+        val got = GraphOps.bellmanFordDistances(
+          edges.toDF("s", "d", "w"), "s", "d", "w", Seq(0L).toDF("n"), "n", n)
+          .as[(Long, Long)].collect().toMap
+        // driver Dijkstra from node 0
+        val adj = edges.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+        val dist = scala.collection.mutable.Map(0L -> 0L)
+        val pq = scala.collection.mutable.PriorityQueue((0L, 0L))(Ordering.by(-_._1))
+        while (pq.nonEmpty) {
+          val (dd, u) = pq.dequeue()
+          if (dist.get(u).contains(dd))
+            adj.getOrElse(u, Nil).foreach { case (v, w) =>
+              if (dist.get(v).forall(_ > dd + w)) { dist(v) = dd + w; pq.enqueue((dd + w, v)) }
+            }
+        }
+        assert(got == dist.toMap, s"seed=$seed n=$n edges=$edges")
+      }
+    }
+  }
+
+  test("property: quantileNormalize emits global order statistics, rank-monotone per group") {
+    import graft.operators.SketchOps
+    val vGen = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, for {
+      g <- Gen.oneOf("a", "b", "c"); v <- Gen.choose(0L, 50L)
+    } yield (g, v)))
+    for (seed <- 0 until 8) {
+      val rows = vGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+        .zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      val out = SketchOps.quantileNormalize(rows.toDF("g", "v", "id"), "g", "v", "id")
+        .as[(Long, String, Long, Long)].collect().toSeq
+      val globalVals = rows.map(_._2).toSet
+      assert(out.map(_._4).forall(globalVals.contains), s"seed=$seed: qnorm not a data value")
+      // within a group, qnorm is monotone in the (v, id) rank order
+      out.groupBy(_._2).foreach { case (g, rs) =>
+        val sorted = rs.sortBy(r => (r._3, r._1)).map(_._4)
+        assert(sorted == sorted.sorted, s"seed=$seed group=$g not monotone")
+      }
+      assert(out.size == rows.size, s"seed=$seed row count")
+    }
+  }
 }
