@@ -4669,6 +4669,121 @@ p AS (SELECT id, fid, (x - fx) * (x - fx) + (y - fy) * (y - fy) AS d2 FROM cust,
 SELECT id AS c_custkey, fid AS nearest_supp, d2 AS dist2 FROM p
 QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fid) = 1
 ORDER BY c_custkey""")),
+
+    ("q206_lorenz_gini", (s, d) => {
+      // revenue concentration: decile Lorenz curve + Gini over per-
+      // customer total order value (exact cents; RangePrefix ranks, the
+      // rank-formula Gini in ppm)
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum((d2(col("o_totalprice")) * 100).cast(LongType)).as("cents"))
+      graft.operators.SketchOps.lorenzGini(rev, "cents", "o_custkey", 10)
+        .orderBy(col("bucket"))
+    },
+      Some("""WITH rev AS (SELECT o_custkey,
+  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+g AS (SELECT cents AS v, CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rk,
+  CAST(count(*) OVER () AS BIGINT) AS n FROM rev),
+sc AS (SELECT CAST(SUM(v) AS BIGINT) AS tot, CAST(SUM(rk * v) AS BIGINT) AS sixi,
+  CAST(max(n) AS BIGINT) AS n FROM g),
+b AS (SELECT ((rk - 1) * 10) // n AS bucket, CAST(count(*) AS BIGINT) AS nb,
+  CAST(SUM(v) AS BIGINT) AS sum_v FROM g GROUP BY 1),
+c AS (SELECT bucket, nb, sum_v,
+  CAST(SUM(sum_v) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM b)
+SELECT c.bucket, c.nb AS n, c.sum_v, (c.sum_v * 1000000) // sc.tot AS share_ppm,
+  (c.cum * 1000000) // sc.tot AS cum_share_ppm,
+  (((2 * sc.sixi - (sc.n + 1) * sc.tot) // sc.n) * 1000000) // sc.tot AS gini_ppm
+FROM c, sc ORDER BY bucket""")),
+
+    ("q207_srm_check", (s, d) =>
+      // sample-ratio-mismatch guardrail per weekly window: parity
+      // assignment should split active users 50/50 — the 1-df chi-square
+      // (na − nb)²/n in ppm, flagged past the 95% critical value
+      Tables.events(s, d)
+        .select(col("user_id"), call_function("div",
+          expr("ts_ns div 86400000000000"), lit(7L)).as("win"))
+        .distinct()
+        .groupBy(col("win"))
+        .agg(sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(pmod(col("user_id"), lit(2)) =!= 0, 1L).otherwise(0L)).as("nb"))
+        .select(col("win"), col("na"), col("nb"),
+          call_function("div",
+            (col("na") - col("nb")) * (col("na") - col("nb")) * 1000000L,
+            col("na") + col("nb")).as("chi2_ppm"))
+        .withColumn("srm_flag", col("chi2_ppm") > 3841459L)
+        .orderBy(col("win")),
+      Some("""WITH au AS (SELECT DISTINCT user_id, (epoch_ns(ts) // 86400000000000) // 7 AS win FROM events),
+c AS (SELECT win, CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+  CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM au GROUP BY 1)
+SELECT win, na, nb, ((na - nb) * (na - nb) * 1000000) // (na + nb) AS chi2_ppm,
+  ((na - nb) * (na - nb) * 1000000) // (na + nb) > 3841459 AS srm_flag
+FROM c ORDER BY win""")),
+
+    ("q208_funnel_latency", (s, d) => {
+      // signup->purchase conversion latency percentiles: q96's funnel
+      // composed with the RangePrefix exact-percentile operator — p50/
+      // p90/p99 of the conversion delay among converters, microseconds
+      val f = graft.operators.GraphOps.funnelConversion(
+        Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
+        "user_id", "ts_us", "event_type",
+        "signup", "purchase", 30L * 86400L * 1000000L)
+        .filter(col("converted"))
+        .select(col("delta"), col("key"))
+      graft.operators.SketchOps.exactPercentiles(f, "delta", "key",
+        Seq(0.5, 0.9, 0.99))
+        .select(col("q"), col("value").as("delta_us"))
+        .orderBy(col("q"))
+    },
+      Some("""WITH f AS (SELECT user_id AS key, min(epoch_us(ts)) AS from_t
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+n AS (SELECT user_id AS key, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+j AS (SELECT f.key, f.from_t, min(n.t) AS to_t FROM f JOIN n
+  ON f.key = n.key AND n.t >= f.from_t AND n.t <= f.from_t + 2592000000000 GROUP BY 1, 2),
+dl AS (SELECT key, to_t - from_t AS delta FROM j),
+r AS (SELECT delta, key, CAST(row_number() OVER (ORDER BY delta, key) AS BIGINT) - 1 AS rk,
+  CAST(count(*) OVER () AS BIGINT) AS n FROM dl)
+SELECT q, delta AS delta_us FROM r
+JOIN (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) v(q)) ON rk = CAST(floor((n - 1) * q) AS BIGINT)
+ORDER BY q""")),
+
+    ("q209_double_charge", (s, d) => {
+      // duplicate-transaction screen: same user, same exact amount,
+      // within 24 hours — the classic double-charge audit as one
+      // (user, cents)-keyed self-join, pair stream bounded by per-key
+      // duplicate amounts
+      val base = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), (d2(col("value")) * 100).cast(LongType).as("cents"),
+          expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+      // plant deterministic double-charges (q149's dirt pattern): every
+      // 7th purchase retries an hour later under a new id
+      val p = base.unionByName(base.filter(pmod(col("event_id"), lit(7)) === 0)
+          .select(col("user_id"), col("cents"),
+            (col("ts_us") + lit(3600L * 1000000L)).as("ts_us"),
+            (col("event_id") + lit(10000000L)).as("event_id")))
+        .localCheckpoint(false) // both sides of the self-join
+      p.as("a").join(p.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+          col("a.cents") === col("b.cents") &&
+          col("a.event_id") < col("b.event_id") &&
+          col("b.ts_us") >= col("a.ts_us") &&
+          col("b.ts_us") - col("a.ts_us") <= lit(86400L * 1000000L))
+        .select(col("a.user_id").as("user_id"), col("a.cents").as("cents"),
+          col("a.event_id").as("first_id"), col("b.event_id").as("second_id"),
+          (col("b.ts_us") - col("a.ts_us")).as("gap_us"))
+        .orderBy(col("user_id"), col("first_id"), col("second_id"))
+    },
+      Some("""WITH b AS (SELECT user_id, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+  epoch_us(ts) AS ts_us, event_id FROM events WHERE event_type = 'purchase'),
+p AS (SELECT * FROM b UNION ALL
+  SELECT user_id, cents, ts_us + 3600000000, event_id + 10000000 FROM b WHERE event_id % 7 = 0)
+SELECT a.user_id, a.cents, a.event_id AS first_id, b.event_id AS second_id,
+  b.ts_us - a.ts_us AS gap_us
+FROM p a JOIN p b ON a.user_id = b.user_id AND a.cents = b.cents
+  AND a.event_id < b.event_id AND b.ts_us >= a.ts_us
+  AND b.ts_us - a.ts_us <= 86400000000
+ORDER BY a.user_id, first_id, second_id""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge

@@ -432,6 +432,68 @@ object SketchOps {
     * the within-group rank is a group-partitioned window; the lookup is
     * one equi-join on the target rank. Three shuffles total, all keyed.
     */
+  /** Lorenz curve + Gini coefficient, integer-exact: values sort
+    * ascending (ties by `tieCol`), split into `nBuckets` equal-count
+    * buckets, and each row reports the bucket's share and cumulative
+    * share of the total in ppm, plus the corpus Gini in ppm via the
+    * rank formula G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) — the standard
+    * inequality/concentration readout (revenue concentration, token
+    * budget skew). Output: (bucket, n, sum_v, share_ppm, cum_share_ppm,
+    * gini_ppm) ordered by bucket.
+    *
+    * int64 bound: Σ i·x_i < 2^63 — n · max-value · n; rescale the value
+    * unit for corpora past ~1e18 rank-weighted mass.
+    *
+    * Scale shape: global ranks via [[RangePrefix]] (never an
+    * unpartitioned data-sized window); bucket stats are one
+    * aggregation; the cumulative walk runs over the BUCKETS-sized
+    * relation; the Gini scalars ride one broadcast row.
+    */
+  def lorenzGini(df: DataFrame, valueCol: String, tieCol: String,
+                 nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (sorted, offsets, n) = RangePrefix.withOffsets(
+      df.select(col(valueCol).cast("long").as("__v"), col(tieCol)),
+      Seq(col("__v"), col(tieCol)), lit(1L))
+    if (n == 0) return spark.emptyDataFrame
+      .withColumn("bucket", lit(0L)).filter(lit(false))
+      .select(col("bucket"), lit(0L).as("n"), lit(0L).as("sum_v"),
+        lit(0L).as("share_ppm"), lit(0L).as("cum_share_ppm"), lit(0L).as("gini_ppm"))
+    val offDf = broadcast(offsets.toSeq.toDF(RangePrefix.PidCol, "__off"))
+    val wPid = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(RangePrefix.PidCol)).orderBy(col("__v"), col(tieCol))
+    val g = sorted.join(offDf, Seq(RangePrefix.PidCol))
+      .withColumn("__grank", col("__off") + row_number().over(wPid).cast("long"))
+      .localCheckpoint(false) // bucket stats + gini scalars
+    val scalars = broadcast(g.agg(sum(col("__v")).as("__tot"),
+      sum(col("__grank") * col("__v")).as("__sixi")))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("bucket")) // buckets-sized relation
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    g.withColumn("bucket",
+        call_function("div", (col("__grank") - 1L) * nBuckets, lit(n)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("sum_v"))
+      .crossJoin(scalars)
+      .withColumn("share_ppm",
+        when(col("__tot") > 0L,
+          call_function("div", col("sum_v") * 1000000L, col("__tot"))).otherwise(0L))
+      .withColumn("cum_share_ppm",
+        when(col("__tot") > 0L, call_function("div",
+          sum(col("sum_v")).over(wCum) * 1000000L, col("__tot"))).otherwise(0L))
+      .withColumn("gini_ppm",
+        // two-step scaling keeps int64 headroom: divide the rank-weighted
+        // numerator by n BEFORE the ppm scale (identical in the oracle)
+        when(col("__tot") > 0L, call_function("div",
+          call_function("div",
+            lit(2L) * col("__sixi") - lit(n + 1L) * col("__tot"), lit(n)) * 1000000L,
+          col("__tot"))).otherwise(0L))
+      .select(col("bucket"), col("n"), col("sum_v"), col("share_ppm"),
+        col("cum_share_ppm"), col("gini_ppm"))
+  }
+
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
                         tieCol: String): DataFrame = {
     val spark = df.sparkSession

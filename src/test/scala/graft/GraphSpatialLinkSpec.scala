@@ -285,6 +285,25 @@ class GraphSpatialLinkSpec extends AnyFunSuite {
     assert(got === Seq(("a", 3L, 2L, 30L), ("b", 2L, 1L, 20L), ("c", 3L, 2L, 110L)))
   }
 
+  // ---- lorenzGini ----------------------------------------------------------
+
+  test("lorenzGini: hand-computed buckets, shares, and rank-formula gini") {
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 3L), (7L, 4L)).toDF("v", "id")
+    val got = graft.operators.SketchOps.lorenzGini(df, "v", "id", 2)
+      .orderBy(col("bucket"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // ranks 1..4 over 1,1,1,7: sixi = 34, tot = 10,
+    // gini = ((68 - 50) div 4) * 1e6 div 10 = 400000
+    assert(got === Seq(
+      (0L, 2L, 2L, 200000L, 200000L, 400000L),
+      (1L, 2L, 8L, 800000L, 1000000L, 400000L)))
+    // perfectly equal corpus -> gini 0
+    val eq = Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L)).toDF("v", "id")
+    val g0 = graft.operators.SketchOps.lorenzGini(eq, "v", "id", 2)
+      .select(col("gini_ppm")).distinct().as[Long].collect().toSeq
+    assert(g0 === Seq(0L))
+  }
+
   // ---- timeWeightedAverage -------------------------------------------------
 
   test("timeWeightedAverage: piecewise integral, single-instant exclusion, ties") {
