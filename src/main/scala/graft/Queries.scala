@@ -4784,6 +4784,79 @@ FROM p a JOIN p b ON a.user_id = b.user_id AND a.cents = b.cents
   AND a.event_id < b.event_id AND b.ts_us >= a.ts_us
   AND b.ts_us - a.ts_us <= 86400000000
 ORDER BY a.user_id, first_id, second_id""")),
+
+    ("q210_ks_test", (s, d) => {
+      // two-sample Kolmogorov-Smirnov distance between the two largest
+      // sources (src0 vs src1) length distributions, CROSS-MULTIPLIED so the sup of
+      // |F_a − F_b| is exact int64 (|cumA·nB − cumB·nA| over nA·nB in
+      // ppm) — the distribution-drift test with no binning choice
+      val docs = Tables.documents(s, d)
+      val ab = docs.filter(col("source").isin("src0", "src1"))
+        .select((col("source") === "src0").as("isa"), col("n_chars"))
+      val perV = ab.groupBy(col("n_chars").as("v"))
+        .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+      val wCum = Window.partitionBy(lit(0)).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0) // distinct-value-sized relation
+      val wAll = Window.partitionBy(lit(0))
+      perV
+        .withColumn("cuma", sum(col("ca")).over(wCum))
+        .withColumn("cumb", sum(col("cb")).over(wCum))
+        .withColumn("na", sum(col("ca")).over(wAll))
+        .withColumn("nb", sum(col("cb")).over(wAll))
+        .select(col("na"), col("nb"),
+          abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("__d"))
+        .groupBy(col("na"), col("nb")).agg(max(col("__d")).as("__dmax"))
+        .select(col("na"), col("nb"),
+          call_function("div", col("__dmax") * 1000000L,
+            col("na") * col("nb")).as("ks_ppm"))
+    },
+      Some("""WITH ab AS (SELECT source = 'src0' AS isa, n_chars FROM documents
+  WHERE source IN ('src0', 'src1')),
+pv AS (SELECT n_chars AS v, CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+  CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS cb FROM ab GROUP BY 1),
+c AS (SELECT v, CAST(SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+  CAST(SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb,
+  CAST(SUM(ca) OVER () AS BIGINT) AS na, CAST(SUM(cb) OVER () AS BIGINT) AS nb FROM pv),
+m AS (SELECT na, nb, CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS dmax
+  FROM c GROUP BY 1, 2)
+SELECT na, nb, (dmax * 1000000) // (na * nb) AS ks_ppm FROM m""")),
+
+    ("q211_peak_concurrency", (s, d) => {
+      // peak concurrent activity per day: each event opens a 30-minute
+      // presence window CLIPPED to the day, boundaries become +1/-1
+      // deltas, and the peak is the max running sum — partitioned by
+      // day, so no global window at any scale
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .withColumn("end_us",
+          least(col("ts_us") + lit(1800L * 1000000L),
+            (col("day") + 1L) * lit(86400000000L)))
+        .localCheckpoint(false) // open and close boundary streams
+      val opens = ev.select(col("day"), col("ts_us").as("t"), lit(1L).as("delta"),
+        col("event_id"))
+      val closes = ev.select(col("day"), col("end_us").as("t"), lit(-1L).as("delta"),
+        col("event_id"))
+      val w = Window.partitionBy(col("day"))
+        .orderBy(col("t"), col("delta"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      opens.unionByName(closes)
+        .withColumn("__run", sum(col("delta")).over(w))
+        .groupBy(col("day"))
+        .agg(max(col("__run")).as("peak"), (count(lit(1)) / 2).cast(LongType).as("n_events"))
+        .orderBy(col("day"))
+    },
+      Some("""WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us,
+  epoch_ns(ts) // 86400000000000 AS day FROM events),
+b AS (SELECT day, ts_us AS t, CAST(1 AS BIGINT) AS delta, event_id FROM ev
+  UNION ALL SELECT day, least(ts_us + 1800000000, (day + 1) * 86400000000),
+    CAST(-1 AS BIGINT), event_id FROM ev),
+r AS (SELECT day, CAST(SUM(delta) OVER (PARTITION BY day ORDER BY t, delta, event_id
+  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM b)
+SELECT day, CAST(max(run) AS BIGINT) AS peak,
+  CAST(count(*) / 2 AS BIGINT) AS n_events
+FROM r GROUP BY 1 ORDER BY day""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge
