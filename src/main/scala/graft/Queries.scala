@@ -4544,18 +4544,12 @@ FROM a ORDER BY user_id""")),
         (col("l_orderkey") * 10L + col("l_linenumber")).as("lid"),
         col("l_quantity").cast(LongType).as("q"))
         .localCheckpoint(false) // lot and return sides
-      val wLot = Window.partitionBy(col("pk")).orderBy(col("l_shipdate"), col("lid"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val lots = li.filter(col("l_returnflag") =!= "R")
-        .withColumn("a1", sum(col("q")).over(wLot))
-        .select(col("pk"), col("lid").as("lot_id"), (col("a1") - col("q")).as("a0"), col("a1"))
-      val rets = li.filter(col("l_returnflag") === "R")
-        .withColumn("b1", sum(col("q")).over(wLot))
-        .select(col("pk"), col("lid").as("ret_id"), (col("b1") - col("q")).as("b0"), col("b1"))
-      lots.join(rets, Seq("pk"))
-        .filter(col("a1") > col("b0") && col("b1") > col("a0"))
-        .select(col("pk").as("l_partkey"), col("lot_id"), col("ret_id"),
-          (least(col("a1"), col("b1")) - greatest(col("a0"), col("b0"))).as("alloc_qty"))
+      graft.operators.TemporalOps.fifoMatch(
+        li.filter(col("l_returnflag") =!= "R"),
+        li.filter(col("l_returnflag") === "R"),
+        "pk", "lid", "q", "l_shipdate", "lid")
+        .select(col("key").as("l_partkey"), col("supply_id").as("lot_id"),
+          col("demand_id").as("ret_id"), col("alloc").as("alloc_qty"))
         .orderBy(col("l_partkey"), col("lot_id"), col("ret_id"))
     },
       Some("""WITH li AS (SELECT l_partkey AS pk, l_returnflag, l_shipdate,

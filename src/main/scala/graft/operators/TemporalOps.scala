@@ -177,6 +177,40 @@ object TemporalOps {
         col("__e.d").as("n_churn"), col("__e.s").as("surv_ppm"))
   }
 
+  /** FIFO matching (inventory lot allocation / queue cost attribution):
+    * per key, demand consumes supply OLDEST-FIRST. Both sides become
+    * consecutive cumulative-quantity intervals ([cum−q, cum) in FIFO
+    * order) and each (supply, demand) pair's allocation is the overlap
+    * of its intervals — the standard prefix-sum formulation, exact and
+    * order-deterministic via `ordCol`/`tieCol`. Output one row per
+    * overlapping pair: key + supply id + demand id + alloc.
+    *
+    * Scale shape: two key-partitioned cumsum windows and ONE key equi-
+    * join; because the intervals on each side are consecutive, the
+    * overlap predicate keeps the per-key pair stream LINEAR
+    * (≤ supplies + demands − 1 rows per key), never quadratic.
+    */
+  def fifoMatch(supply: DataFrame, demand: DataFrame, keyCol: String,
+                idCol: String, qtyCol: String, ordCol: String,
+                tieCol: String): DataFrame = {
+    def cumIntervals(df: DataFrame, outId: String, lo: String, hi: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__k")).orderBy(col(ordCol), col(tieCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      df.select(col(keyCol).as("__k"), col(idCol).as(outId),
+          col(qtyCol).cast("long").as("__q"), col(ordCol), col(tieCol))
+        .withColumn(hi, sum(col("__q")).over(w))
+        .select(col("__k"), col(outId), (col(hi) - col("__q")).as(lo), col(hi))
+    }
+    val lots = cumIntervals(supply, "supply_id", "__a0", "__a1")
+    val rets = cumIntervals(demand, "demand_id", "__b0", "__b1")
+    lots.join(rets, Seq("__k"))
+      .filter(col("__a1") > col("__b0") && col("__b1") > col("__a0"))
+      .select(col("__k").as("key"), col("supply_id"), col("demand_id"),
+        (least(col("__a1"), col("__b1")) -
+          greatest(col("__a0"), col("__b0"))).as("alloc"))
+  }
+
   /** Per-key interval-union coverage (the uptime / active-time measure):
     * overlapping or touching intervals merge into islands (classic
     * gaps-and-islands: an interval starts a new island iff its start

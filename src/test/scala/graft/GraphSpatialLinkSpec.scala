@@ -285,6 +285,21 @@ class GraphSpatialLinkSpec extends AnyFunSuite {
     assert(got === Seq(("a", 3L, 2L, 30L), ("b", 2L, 1L, 20L), ("c", 3L, 2L, 110L)))
   }
 
+  // ---- fifoMatch -------------------------------------------------------------
+
+  test("fifoMatch: oldest-first allocation, exact split across lots") {
+    // supply lots 10 then 5; demands 7 then 6: FIFO gives
+    // d1 <- 7 of lot1; d2 <- 3 of lot1 + 3 of lot2
+    val sup = Seq(("k", 1L, 10L, 1L), ("k", 2L, 5L, 2L)).toDF("k", "id", "q", "t")
+    val dem = Seq(("k", 11L, 7L, 1L), ("k", 12L, 6L, 2L)).toDF("k", "id", "q", "t")
+    val got = graft.operators.TemporalOps.fifoMatch(sup, dem, "k", "id", "q", "t", "id")
+      .orderBy(col("supply_id"), col("demand_id"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("k", 1L, 11L, 7L), ("k", 1L, 12L, 3L), ("k", 2L, 12L, 3L)))
+    // allocations conserve: each demand fully served while supply lasts
+    assert(got.filter(_._3 == 12L).map(_._4).sum === 6L)
+  }
+
   // ---- lorenzGini ----------------------------------------------------------
 
   test("lorenzGini: hand-computed buckets, shares, and rank-formula gini") {
