@@ -436,6 +436,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"))
   }
 
+  test("q202/q192/q209: the new self/attribution joins stay keyed equi-joins") {
+    for (q <- Seq("q202_fifo_matching", "q192_linear_attribution", "q209_double_charge")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoop"), q)
+    }
+  }
+
   test("q178: quantile normalization never forms an unpartitioned window") {
     val df = SparkEntry.queries("q178_quantile_normalize")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
