@@ -4851,6 +4851,29 @@ r AS (SELECT day, CAST(SUM(delta) OVER (PARTITION BY day ORDER BY t, delta, even
 SELECT day, CAST(max(run) AS BIGINT) AS peak,
   CAST(count(*) / 2 AS BIGINT) AS n_events
 FROM r GROUP BY 1 ORDER BY day""")),
+
+    ("q212_tokenizer_fertility", (s, d) =>
+      // tokenizer fertility per language: subword tokens per whitespace
+      // word in ppm (the multilingual-tokenizer health metric — a
+      // language whose fertility balloons is under-served by the vocab);
+      // the codegen'd wordpiece counter vs the same replayed vocab
+      Tables.documents(s, d)
+        .select(col("lang"),
+          TextOps.wordCount(col("text")).cast(LongType).as("n_words"),
+          graft.functions.Converters.wordpieceTokens(col("text")).as("n_bpe"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("n_words"), sum(col("n_bpe")).as("n_bpe"))
+        .select(col("lang"), col("n_words"), col("n_bpe"),
+          call_function("div", col("n_bpe") * 1000000L, col("n_words")).as("fertility_ppm"))
+        .orderBy(col("lang")),
+      Some(s"""WITH $wordpieceTokenCtes,
+dt AS (SELECT w.doc_id, w.lang, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS n_bpe
+  FROM wx w LEFT JOIN cnt c ON w.wd = c.wd GROUP BY 1, 2)
+SELECT lang, CAST(SUM(n_words) AS BIGINT) AS n_words,
+  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe,
+  (CAST(SUM(n_bpe) AS BIGINT) * 1000000) // CAST(SUM(n_words) AS BIGINT) AS fertility_ppm
+FROM dt GROUP BY 1 ORDER BY lang""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge
@@ -5281,9 +5304,12 @@ WHERE bit_count(xor(a.sh, b.sh)) <= $maxDist ORDER BY ia, ib"""
     * (skip <= 3 < 8). Distinct words only — the per-word count joins
     * back to the doc rows.
     */
-  private def bpeBudgetSql(budget: Long): String = {
+  /** The greedy-wordpiece per-distinct-word replay (wx .. cnt), shared by
+    * [[bpeBudgetSql]] (q80) and the q212 fertility oracle.
+    */
+  private def wordpieceTokenCtes: String = {
     def lst(v: Seq[String]) = v.map(p => s"'$p'").mkString("[", ", ", "]")
-    s"""WITH wx AS (SELECT doc_id, lang, n_chars, unnest(string_split(text, ' ')) AS wd FROM documents),
+    s"""wx AS (SELECT doc_id, lang, n_chars, unnest(string_split(text, ' ')) AS wd FROM documents),
 dw AS (SELECT DISTINCT wd FROM wx WHERE wd != ''),
 steps AS (SELECT wd, list_transform(range(1, length(wd) + 1), i ->
     CASE WHEN list_contains(${lst(graft.functions.Wordpiece.v4)}, substring(wd, CAST(i AS INT), 4)) THEN 4
@@ -5292,7 +5318,11 @@ steps AS (SELECT wd, list_transform(range(1, length(wd) + 1), i ->
          ELSE 1 END) AS st FROM dw),
 cnt AS (SELECT wd, list_reduce(list_prepend(CAST(0 AS BIGINT), st),
     (acc, x) -> CASE WHEN acc % 8 > 0 THEN acc - 1 ELSE acc + 8 + (x - 1) END) // 8 AS n
-  FROM steps),
+  FROM steps)"""
+  }
+
+  private def bpeBudgetSql(budget: Long): String = {
+    s"""WITH $wordpieceTokenCtes,
 dt AS (SELECT w.doc_id, w.lang, w.n_chars, CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS n_bpe
   FROM wx w LEFT JOIN cnt c ON w.wd = c.wd GROUP BY 1, 2, 3),
 w2 AS (SELECT doc_id, lang, n_bpe,
