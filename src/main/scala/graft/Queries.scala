@@ -4874,6 +4874,72 @@ SELECT lang, CAST(SUM(n_words) AS BIGINT) AS n_words,
   CAST(SUM(n_bpe) AS BIGINT) AS n_bpe,
   (CAST(SUM(n_bpe) AS BIGINT) * 1000000) // CAST(SUM(n_words) AS BIGINT) AS fertility_ppm
 FROM dt GROUP BY 1 ORDER BY lang""")),
+
+    ("q213_partition_quality", (s, d) => {
+      // how good are q167's communities? per-community MODULARITY
+      // contribution (4·m·L_c − D_c² over 4m², ppm) and CONDUCTANCE
+      // (cut over min(vol, 2m − vol), ppm) — the two standard partition
+      // quality measures, integer-exact; model relations are
+      // communities-sized after two label joins
+      val pairs = graft.operators.GraphOps.coPairCounts(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey", 2L)
+        .select(col("i1"), col("i2"))
+        .localCheckpoint(false) // label joins + scalar m
+      val labels = graft.operators.GraphOps.labelPropagation(pairs, "i1", "i2", 3)
+        .localCheckpoint(false) // two endpoint joins + degree-volume agg
+      val sym = pairs.select(col("i1").as("s"), col("i2").as("d"))
+        .union(pairs.select(col("i2").as("s"), col("i1").as("d")))
+      val deg = sym.groupBy(col("d").as("node")).agg(count(lit(1)).as("dg"))
+      val dvol = labels.join(deg, Seq("node"))
+        .groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("d_tot"))
+      val tagged = pairs
+        .join(labels.select(col("node").as("i1"), col("lbl").as("la")), Seq("i1"))
+        .join(labels.select(col("node").as("i2"), col("lbl").as("lb")), Seq("i2"))
+        .localCheckpoint(false) // intra and cut aggregations + scalar m
+      val m = tagged.count() // driver scalar: total undirected edges
+      val lin = tagged.filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("l_in"))
+      val cut = tagged.filter(col("la") =!= col("lb"))
+        .select(col("la").as("lbl")).unionByName(
+          tagged.filter(col("la") =!= col("lb")).select(col("lb").as("lbl")))
+        .groupBy(col("lbl")).agg(count(lit(1)).as("cut"))
+      dvol.join(lin, Seq("lbl"), "left").join(cut, Seq("lbl"), "left")
+        .select(col("lbl").as("community"), col("n_nodes"),
+          coalesce(col("l_in"), lit(0L)).as("l_in"),
+          coalesce(col("cut"), lit(0L)).as("cut"), col("d_tot"),
+          {
+            val num = (lit(4L * m) * coalesce(col("l_in"), lit(0L)) -
+              col("d_tot") * col("d_tot")) * 1000000L
+            when(num >= 0L, call_function("div", num, lit(4L * m * m)))
+              .otherwise(-call_function("div", -num, lit(4L * m * m)))
+          }.as("contrib_ppm"),
+          when(least(col("d_tot"), lit(2L * m) - col("d_tot")) > 0L,
+            call_function("div", coalesce(col("cut"), lit(0L)) * 1000000L,
+              least(col("d_tot"), lit(2L * m) - col("d_tot"))))
+            .otherwise(lit(0L)).as("conductance_ppm"))
+        .orderBy(col("community"))
+    },
+      Some(s"""WITH $coPurchaseEdgesSql,
+l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM e)${lpaRoundsSql(3)},
+dg AS (SELECT d AS node, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pc),
+dvol AS (SELECT l.lbl, CAST(count(*) AS BIGINT) AS n_nodes, CAST(SUM(dg.dg) AS BIGINT) AS d_tot
+  FROM l3 l JOIN dg ON l.node = dg.node GROUP BY 1),
+tg AS (SELECT pc.i1, pc.i2, a.lbl AS la, b.lbl AS lb FROM pc
+  JOIN l3 a ON pc.i1 = a.node JOIN l3 b ON pc.i2 = b.node),
+lin AS (SELECT la AS lbl, CAST(count(*) AS BIGINT) AS l_in FROM tg WHERE la = lb GROUP BY 1),
+ct AS (SELECT lbl, CAST(count(*) AS BIGINT) AS cut FROM (
+  SELECT la AS lbl FROM tg WHERE la <> lb UNION ALL SELECT lb FROM tg WHERE la <> lb) GROUP BY 1)
+SELECT dvol.lbl AS community, dvol.n_nodes, COALESCE(lin.l_in, 0) AS l_in,
+  COALESCE(ct.cut, 0) AS cut, dvol.d_tot,
+  CASE WHEN (4 * m.m * COALESCE(lin.l_in, 0) - dvol.d_tot * dvol.d_tot) >= 0
+    THEN ((4 * m.m * COALESCE(lin.l_in, 0) - dvol.d_tot * dvol.d_tot) * 1000000) // (4 * m.m * m.m)
+    ELSE -((-(4 * m.m * COALESCE(lin.l_in, 0) - dvol.d_tot * dvol.d_tot) * 1000000) // (4 * m.m * m.m)) END AS contrib_ppm,
+  CASE WHEN least(dvol.d_tot, 2 * m.m - dvol.d_tot) > 0
+    THEN (COALESCE(ct.cut, 0) * 1000000) // least(dvol.d_tot, 2 * m.m - dvol.d_tot)
+    ELSE 0 END AS conductance_ppm
+FROM dvol LEFT JOIN lin ON dvol.lbl = lin.lbl LEFT JOIN ct ON dvol.lbl = ct.lbl, m
+ORDER BY community""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge
