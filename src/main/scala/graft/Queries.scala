@@ -4940,6 +4940,40 @@ SELECT dvol.lbl AS community, dvol.n_nodes, COALESCE(lin.l_in, 0) AS l_in,
     ELSE 0 END AS conductance_ppm
 FROM dvol LEFT JOIN lin ON dvol.lbl = lin.lbl LEFT JOIN ct ON dvol.lbl = ct.lbl, m
 ORDER BY community""")),
+
+    ("q214_trending_terms", (s, d) => {
+      // trend detection: terms whose add-one-smoothed frequency ratio
+      // between the "recent" half (odd doc ids — an sf-invariant
+      // deterministic split) and the older half rises most —
+      // cross-normalized by half sizes so
+      // corpus growth doesn't fake a trend; top-20, integer ppm
+      val toks = Tables.documents(s, d)
+        .select((pmod(col("doc_id"), lit(2)) === 1).as("recent"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .localCheckpoint(false) // per-term counts + half totals
+      val perTerm = toks.groupBy(col("term"))
+        .agg(sum(when(col("recent"), 1L).otherwise(0L)).as("c2"),
+          sum(when(!col("recent"), 1L).otherwise(0L)).as("c1"))
+      val totals = broadcast(toks.agg(
+        sum(when(col("recent"), 1L).otherwise(0L)).as("n2"),
+        sum(when(!col("recent"), 1L).otherwise(0L)).as("n1")))
+      perTerm.crossJoin(totals)
+        .select(col("term"), col("c1"), col("c2"),
+          call_function("div",
+            (col("c2") + 1L) * col("n1") * 1000000L,
+            (col("c1") + 1L) * col("n2")).as("trend_ppm"))
+        .orderBy(col("trend_ppm").desc, col("term")).limit(20)
+    },
+      Some("""WITH toks AS (SELECT doc_id % 2 = 1 AS recent, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tk AS (SELECT * FROM toks WHERE term <> ''),
+pt AS (SELECT term, CAST(SUM(CASE WHEN recent THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+  CAST(SUM(CASE WHEN NOT recent THEN 1 ELSE 0 END) AS BIGINT) AS c1 FROM tk GROUP BY 1),
+tt AS (SELECT CAST(SUM(CASE WHEN recent THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+  CAST(SUM(CASE WHEN NOT recent THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM tk)
+SELECT term, c1, c2, ((c2 + 1) * n1 * 1000000) // ((c1 + 1) * n2) AS trend_ppm
+FROM pt, tt ORDER BY trend_ppm DESC, term LIMIT 20""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge
