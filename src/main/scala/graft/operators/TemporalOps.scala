@@ -209,6 +209,9 @@ object TemporalOps {
       .select(col("__k").as("key"), col("supply_id"), col("demand_id"),
         (least(col("__a1"), col("__b1")) -
           greatest(col("__a0"), col("__b0"))).as("alloc"))
+      // zero-quantity rows produce zero-width intervals that sit "inside"
+      // a counterpart without consuming anything — drop their 0-allocs
+      .filter(col("alloc") > 0L)
   }
 
   /** Per-key interval-union coverage (the uptime / active-time measure):

@@ -300,6 +300,42 @@ class GraphSpatialLinkSpec extends AnyFunSuite {
     assert(got.filter(_._3 == 12L).map(_._4).sum === 6L)
   }
 
+  test("fifoMatch: zero-quantity rows allocate nothing; edge cases hold") {
+    val sup = Seq(("k", 1L, 10L, 1L), ("k", 2L, 0L, 2L)).toDF("k", "id", "q", "t")
+    val dem = Seq(("k", 11L, 0L, 1L), ("k", 12L, 10L, 2L)).toDF("k", "id", "q", "t")
+    val got = graft.operators.TemporalOps.fifoMatch(sup, dem, "k", "id", "q", "t", "id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // only the real 10-unit lot serves the real 10-unit demand
+    assert(got === Seq(("k", 1L, 12L, 10L)))
+    // adjacent intervals never cross-allocate at the shared boundary
+    val s2 = Seq(("k", 1L, 10L, 1L), ("k", 2L, 5L, 2L)).toDF("k", "id", "q", "t")
+    val d2x = Seq(("k", 11L, 10L, 1L)).toDF("k", "id", "q", "t")
+    val g2 = graft.operators.TemporalOps.fifoMatch(s2, d2x, "k", "id", "q", "t", "id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(g2 === Seq(("k", 1L, 11L, 10L)))
+  }
+
+  test("edge cases: self-loops drop, maxHops 0, coincident points, reserved names") {
+    // a self-loop never counts as a neighbor
+    val ed = Seq((1L, 1L), (1L, 2L)).toDF("a", "b")
+    assert(GraphOps.labelPropagation(ed, "a", "b", 1)
+      .orderBy(col("node")).as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 2L), (2L, 1L)))
+    // maxHops 0 returns exactly the seed layer
+    assert(GraphOps.bfsHops(ed, "a", "b", Seq(1L).toDF("n"), "n", 0)
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 0L)))
+    // coincident points pair at distance 0
+    val pts = Seq((1L, 5L, 5L), (2L, 5L, 5L)).toDF("id", "x", "y")
+    assert(SpatialOps.gridNeighborPairs(pts, "id", "x", "y", 10L, 10L)
+      .as[(Long, Long, Long)].collect().toSeq === Seq((1L, 2L, 0L)))
+    // reserved-name guard fires before any execution
+    intercept[IllegalArgumentException] {
+      SamplingOps.stridedInterleave(
+        Seq(("x", "a", 1L)).toDF("id", "src", "rnk"), "id", "src",
+        Seq(("a", 1000L)).toDF("group", "permille"))
+    }
+  }
+
   // ---- lorenzGini ----------------------------------------------------------
 
   test("lorenzGini: hand-computed buckets, shares, and rank-formula gini") {
