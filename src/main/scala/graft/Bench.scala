@@ -179,7 +179,8 @@ object Bench {
       Queries.q75BuildSeconds.map(b => "\"q75\":" + f2(b)).toSeq ++
       Queries.dedupGraphBuildSeconds.map(b => "\"dedup_graph\":" + f2(b)).toSeq ++
       Queries.winnowBuildSeconds.map(b => "\"winnow_fp\":" + f2(b)).toSeq ++
-      Queries.postingsBuildSeconds.map(b => "\"postings\":" + f2(b)).toSeq
+      Queries.postingsBuildSeconds.map(b => "\"postings\":" + f2(b)).toSeq ++
+      Queries.coPurchaseBuildSeconds.map(b => "\"co_purchase\":" + f2(b)).toSeq
     val buildS =
       if (buildEntries.isEmpty) ""
       else s""","build_s":{${buildEntries.mkString(",")}}"""
