@@ -514,6 +514,85 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: labelPropagation equals a driver sync-LPA reference on random graphs") {
+    import graft.operators.GraphOps
+    val gGen = for {
+      n <- Gen.choose(2, 10)
+      m <- Gen.choose(1, 20)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, (n - 1).toLong); b <- Gen.choose(0L, (n - 1).toLong)
+      } yield (a, b))
+    } yield edges.filter(e => e._1 != e._2)
+    for (seed <- 0 until 8) {
+      val edges = gGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      if (edges.nonEmpty) {
+        val rounds = 1 + seed % 3
+        val got = GraphOps.labelPropagation(edges.toDF("a", "b"), "a", "b", rounds)
+          .as[(Long, Long)].collect().toMap
+        // driver reference: symmetric adjacency, sync rounds, (count desc,
+        // label asc) argmax
+        val sym = (edges ++ edges.map(_.swap)).distinct
+        val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+        var lbl = adj.keys.map(v => v -> v).toMap
+        for (_ <- 0 until rounds)
+          lbl = adj.map { case (v, ns) =>
+            val counts = ns.map(lbl).groupBy(identity).view.mapValues(_.size)
+            v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+          }
+        assert(got == lbl, s"seed=$seed rounds=$rounds")
+      }
+    }
+  }
+
+  test("property: kCoreMembers equals driver peeling on random graphs") {
+    import graft.operators.GraphOps
+    val gGen = Gen.choose(1, 18).flatMap(m => Gen.listOfN(m, for {
+      a <- Gen.choose(0L, 7L); b <- Gen.choose(0L, 7L)
+    } yield (a, b)))
+    for (seed <- 0 until 8) {
+      val edges = gGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val k = 2 + seed % 2
+        val rounds = 3
+        val got = GraphOps.kCoreMembers(edges.toDF("a", "b"), "a", "b", k, rounds)
+          .as[(Long, Long)].collect().toMap
+        var sym = (edges ++ edges.map(_.swap)).distinct.toSet
+        for (_ <- 0 until rounds) {
+          val deg = sym.groupBy(_._2).view.mapValues(_.size).toMap
+          val alive = deg.filter(_._2 >= k).keySet
+          sym = sym.filter(e => alive(e._1) && alive(e._2))
+        }
+        val expect = sym.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        assert(got == expect, s"seed=$seed k=$k")
+      }
+    }
+  }
+
+  test("property: commonNeighborJaccard equals brute-force set math") {
+    import graft.operators.GraphOps
+    val gGen = Gen.choose(1, 16).flatMap(m => Gen.listOfN(m, for {
+      a <- Gen.choose(0L, 6L); b <- Gen.choose(0L, 6L)
+    } yield (a, b)))
+    for (seed <- 0 until 8) {
+      val edges = gGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val got = GraphOps.commonNeighborJaccard(edges.toDF("a", "b"), "a", "b", 1000)
+          .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+        val sym = (edges ++ edges.map(_.swap)).distinct
+        val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val nodes = adj.keys.toSeq.sorted
+        val brute = (for {
+          a <- nodes; b <- nodes if a < b
+          c = (adj(a) & adj(b)).size if c > 0
+          u = (adj(a) | adj(b)).size
+        } yield (a, b, c.toLong, c.toLong * 1000000L / u)).sorted
+        assert(got == brute, s"seed=$seed")
+      }
+    }
+  }
+
   test("property: quantileNormalize emits global order statistics, rank-monotone per group") {
     import graft.operators.SketchOps
     val vGen = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, for {
