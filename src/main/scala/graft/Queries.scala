@@ -4967,6 +4967,113 @@ tt AS (SELECT CAST(SUM(CASE WHEN recent THEN 1 ELSE 0 END) AS BIGINT) AS n2,
   CAST(SUM(CASE WHEN NOT recent THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM tk)
 SELECT term, c1, c2, ((c2 + 1) * n1 * 1000000) // ((c1 + 1) * n2) AS trend_ppm
 FROM pt, tt ORDER BY trend_ppm DESC, term LIMIT 20""")),
+
+    ("q215_median_impute", (s, d) => {
+      // missing-value imputation: balances nulled deterministically
+      // (%13), refilled with the SEGMENT's exact lower median over the
+      // observed rows — order-statistic imputation, so the filled value
+      // is a real value and the replay is bit-exact
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"),
+        when(pmod(col("c_custkey"), lit(13)) === 0, lit(null))
+          .otherwise((d2(col("c_acctbal")) * 100).cast(LongType)).as("bal"))
+        .localCheckpoint(false) // observed-median build + fill join
+      val med = graft.operators.SketchOps.exactGroupMedian(
+        cust.filter(col("bal").isNotNull), "c_mktsegment", "bal", "c_custkey")
+        .select(col("group").as("c_mktsegment"), col("median_value").as("__med"))
+      cust.join(med, Seq("c_mktsegment"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          coalesce(col("bal"), col("__med")).as("bal_filled"),
+          col("bal").isNull.as("was_imputed"))
+        .orderBy(col("c_custkey"))
+    },
+      Some("""WITH cust AS (SELECT c_custkey, c_mktsegment,
+  CASE WHEN c_custkey % 13 = 0 THEN NULL
+    ELSE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) END AS bal FROM customer),
+r AS (SELECT c_mktsegment, bal,
+  CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n,
+  CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY bal, c_custkey) AS BIGINT) AS rn
+  FROM cust WHERE bal IS NOT NULL),
+med AS (SELECT c_mktsegment, bal AS m FROM r WHERE rn = (n + 1) // 2)
+SELECT c.c_custkey, c.c_mktsegment, COALESCE(c.bal, med.m) AS bal_filled,
+  c.bal IS NULL AS was_imputed
+FROM cust c JOIN med USING (c_mktsegment) ORDER BY c_custkey""")),
+
+    ("q216_target_encoding", (s, d) => {
+      // smoothed target encoding (the categorical featurizer): per
+      // priority, fulfilled-rate shrunk toward the global rate with
+      // pseudo-count k=20, exact milli-rate integers
+      val o = Tables.orders(s, d).select(col("o_orderpriority").as("cat"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+        .localCheckpoint(false) // global rate + per-category stats
+      val g = broadcast(o.agg(
+        call_function("div", sum(col("y")) * 1000L, count(lit(1))).as("__gm")))
+      o.groupBy(col("cat"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+        .crossJoin(g)
+        .select(col("cat"), col("n"), col("sy"),
+          call_function("div", col("sy") * 1000L + lit(20L) * col("__gm"),
+            col("n") + 20L).as("enc_me3"))
+        .orderBy(col("cat"))
+    },
+      Some("""WITH o AS (SELECT o_orderpriority AS cat,
+  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+g AS (SELECT (CAST(SUM(y) AS BIGINT) * 1000) // count(*) AS gm FROM o),
+c AS (SELECT cat, CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy FROM o GROUP BY 1)
+SELECT cat, n, sy, (sy * 1000 + 20 * g.gm) // (n + 20) AS enc_me3
+FROM c, g ORDER BY cat""")),
+
+    ("q217_revenue_proration", (s, d) => {
+      // revenue recognition: each lineitem's charge prorates across the
+      // calendar months its order-to-ship span touches, by exact day
+      // counts with largest-remainder cents (per-lineitem credits sum
+      // exactly) — windows per lineitem, month explode bounded by span
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_orderkey") * 10L + col("l_linenumber")).as("lid"),
+          (d2(col("l_extendedprice")) * 100).cast(LongType).as("cents"),
+          least(col("o_orderdate"), col("l_shipdate")).cast("date").as("d0"),
+          greatest(col("o_orderdate"), col("l_shipdate")).cast("date").as("d1"))
+      val wL = Window.partitionBy(col("lid"))
+      val wRk = Window.partitionBy(col("lid"))
+        .orderBy(col("__rem").desc, col("mstart"))
+      li.withColumn("mstart",
+          explode(sequence(trunc(col("d0"), "MM"), trunc(col("d1"), "MM"),
+            expr("interval 1 month"))))
+        .withColumn("__ov",
+          datediff(least(col("d1"), last_day(col("mstart"))),
+            greatest(col("d0"), col("mstart"))) + 1L)
+        .withColumn("__span", datediff(col("d1"), col("d0")) + 1L)
+        .withColumn("__base", call_function("div",
+          col("cents") * col("__ov"), col("__span")))
+        .withColumn("__rem", (col("cents") * col("__ov")) % col("__span"))
+        .withColumn("__short", col("cents") - sum(col("__base")).over(wL))
+        .withColumn("__rk", row_number().over(wRk).cast(LongType))
+        .withColumn("__credit", col("__base") +
+          when(col("__rk") <= col("__short"), 1L).otherwise(0L))
+        .groupBy(col("mstart").as("month"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("__credit")).as("recognized_cents"))
+        .orderBy(col("month"))
+    },
+      Some("""WITH li AS (SELECT l_orderkey * 10 + l_linenumber AS lid,
+  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+  CAST(least(o_orderdate, l_shipdate) AS DATE) AS d0,
+  CAST(greatest(o_orderdate, l_shipdate) AS DATE) AS d1
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+mx AS (SELECT lid, cents, d0, d1,
+  CAST(unnest(generate_series(date_trunc('month', d0), date_trunc('month', d1),
+    INTERVAL 1 MONTH)) AS DATE) AS mstart FROM li),
+ov AS (SELECT *, CAST(date_diff('day', greatest(d0, mstart),
+    least(d1, last_day(mstart))) + 1 AS BIGINT) AS ovd,
+  CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS span FROM mx),
+alloc AS (SELECT *, (cents * ovd) // span AS base, (cents * ovd) % span AS rem FROM ov),
+sh AS (SELECT *, cents - CAST(SUM(base) OVER (PARTITION BY lid) AS BIGINT) AS short,
+  CAST(row_number() OVER (PARTITION BY lid ORDER BY rem DESC, mstart) AS BIGINT) AS rk FROM alloc),
+cr AS (SELECT mstart, base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS credit FROM sh)
+SELECT mstart AS month, CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(SUM(credit) AS BIGINT) AS recognized_cents
+FROM cr GROUP BY 1 ORDER BY month""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge
