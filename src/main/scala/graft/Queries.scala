@@ -5074,6 +5074,67 @@ cr AS (SELECT mstart, base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS credit F
 SELECT mstart AS month, CAST(count(*) AS BIGINT) AS n_lines,
   CAST(SUM(credit) AS BIGINT) AS recognized_cents
 FROM cr GROUP BY 1 ORDER BY month""")),
+
+    ("q218_loo_encoding", (s, d) =>
+      // LEAVE-ONE-OUT target encoding (q216's leakage-safe variant: each
+      // row's own label is excluded from its encoding — the difference
+      // between a feature and a leak); smoothed with the same k=20
+      // pseudo-count, exact milli-rates; output at the (cat, y) grain
+      // since every row with the same pair encodes identically
+      Tables.orders(s, d).select(col("o_orderpriority").as("cat"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+        .groupBy(col("cat"), col("y")).agg(count(lit(1)).as("n_rows"))
+        .withColumn("__n", sum(col("n_rows")).over(Window.partitionBy(col("cat"))))
+        .withColumn("__sy", sum(col("y") * col("n_rows")).over(Window.partitionBy(col("cat"))))
+        .crossJoin(broadcast(Tables.orders(s, d)
+          .select(when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("__yy"))
+          .agg(call_function("div", sum(col("__yy")) * 1000L, count(lit(1))).as("__gm"))))
+        .select(col("cat"), col("y"), col("n_rows"),
+          call_function("div",
+            (col("__sy") - col("y")) * 1000L + lit(20L) * col("__gm"),
+            col("__n") - 1L + 20L).as("loo_enc_me3"))
+        .orderBy(col("cat"), col("y")),
+      Some("""WITH o AS (SELECT o_orderpriority AS cat,
+  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+g AS (SELECT (CAST(SUM(y) AS BIGINT) * 1000) // count(*) AS gm FROM o),
+cy AS (SELECT cat, CAST(y AS BIGINT) AS y, CAST(count(*) AS BIGINT) AS n_rows FROM o GROUP BY 1, 2),
+ct AS (SELECT cat, CAST(SUM(y * n_rows) AS BIGINT) AS sy, CAST(SUM(n_rows) AS BIGINT) AS n
+  FROM cy GROUP BY 1)
+SELECT cy.cat, cy.y, cy.n_rows,
+  ((ct.sy - cy.y) * 1000 + 20 * g.gm) // (ct.n - 1 + 20) AS loo_enc_me3
+FROM cy JOIN ct USING (cat), g ORDER BY cat, y""")),
+
+    ("q219_backtest_folds", (s, d) => {
+      // rolling-origin evaluation manifest: for each weekly origin, the
+      // train span [first, origin) and test span [origin, origin+2) with
+      // exact row counts — the time-series cross-validation layout that
+      // replaces random K-fold when leakage is temporal
+      val ev = Tables.events(s, d)
+        .select(call_function("div", expr("ts_ns div 86400000000000"), lit(7L)).as("win"))
+        .groupBy(col("win")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // origins + both span aggregations
+      val wins = ev.select(col("win")).distinct()
+      val minW = ev.agg(min(col("win")).as("__mn"))
+      val folds = wins.crossJoin(broadcast(minW))
+        .filter(col("win") > col("__mn")) // a fold needs a non-empty train span
+        .select(col("win").as("origin"), col("__mn"))
+      folds.join(ev.select(col("win"), col("n")),
+          col("win") < col("origin") && col("win") >= col("__mn"))
+        .groupBy(col("origin")).agg(sum(col("n")).as("n_train"))
+        .join(folds.join(ev.select(col("win").as("w2"), col("n").as("n2")),
+            col("w2") >= col("origin") && col("w2") < col("origin") + 2L)
+          .groupBy(col("origin")).agg(sum(col("n2")).as("n_test")), Seq("origin"))
+        .orderBy(col("origin"))
+    },
+      Some("""WITH ev AS (SELECT (epoch_ns(ts) // 86400000000000) // 7 AS win,
+  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+mn AS (SELECT CAST(min(win) AS BIGINT) AS mn FROM ev),
+folds AS (SELECT win AS origin FROM ev, mn WHERE win > mn),
+tr AS (SELECT f.origin, CAST(SUM(e.n) AS BIGINT) AS n_train
+  FROM folds f JOIN ev e ON e.win < f.origin GROUP BY 1),
+te AS (SELECT f.origin, CAST(SUM(e.n) AS BIGINT) AS n_test
+  FROM folds f JOIN ev e ON e.win >= f.origin AND e.win < f.origin + 2 GROUP BY 1)
+SELECT origin, n_train, n_test FROM tr JOIN te USING (origin) ORDER BY origin""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge
