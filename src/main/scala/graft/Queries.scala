@@ -5135,6 +5135,67 @@ tr AS (SELECT f.origin, CAST(SUM(e.n) AS BIGINT) AS n_train
 te AS (SELECT f.origin, CAST(SUM(e.n) AS BIGINT) AS n_test
   FROM folds f JOIN ev e ON e.win >= f.origin AND e.win < f.origin + 2 GROUP BY 1)
 SELECT origin, n_train, n_test FROM tr JOIN te USING (origin) ORDER BY origin""")),
+
+    ("q220_local_bridges", (s, d) => {
+      // Granovetter weak ties: co-purchase edges whose endpoints share
+      // NO other neighbor (span = 0 common neighbors) — removing one
+      // disconnects its endpoints locally; found by anti-joining the
+      // edge list against the two-hop common-neighbor pair relation
+      val pairs = coPurchaseEdges(s, d).select(col("i1"), col("i2"))
+        .localCheckpoint(false) // edge list + two-hop build
+      val sym = pairs.select(col("i1").as("s"), col("i2").as("d"))
+        .union(pairs.select(col("i2").as("s"), col("i1").as("d")))
+        .localCheckpoint(false)
+      val twoHop = sym.as("a").join(sym.as("b"),
+          col("a.s") === col("b.s") && col("a.d") < col("b.d"))
+        .select(col("a.d").as("i1"), col("b.d").as("i2")).distinct()
+      pairs.join(twoHop, Seq("i1", "i2"), "left_anti")
+        .orderBy(col("i1"), col("i2"))
+    },
+      Some(s"""WITH $coPurchaseEdgesSql,
+th AS (SELECT DISTINCT e1.d AS i1, e2.d AS i2 FROM e e1 JOIN e e2
+  ON e1.s = e2.s AND e1.d < e2.d)
+SELECT pc.i1, pc.i2 FROM pc LEFT JOIN th ON pc.i1 = th.i1 AND pc.i2 = th.i2
+WHERE th.i1 IS NULL ORDER BY pc.i1, pc.i2""")),
+
+    ("q221_transitivity", (s, d) => {
+      // global clustering coefficient: 3·triangles over open wedges
+      // (Σ deg·(deg−1)/2), integer ppm — triangles via the canonical
+      // two-hop + closing-edge semi-join (q129's shape), wedges one
+      // degree aggregation
+      val pairs = coPurchaseEdges(s, d).select(col("i1"), col("i2"))
+        .localCheckpoint(false) // closing-edge probe + degree build
+      val sym = pairs.select(col("i1").as("s"), col("i2").as("d"))
+        .union(pairs.select(col("i2").as("s"), col("i1").as("d")))
+        .localCheckpoint(false)
+      val twoHop = sym.as("a").join(sym.as("b"),
+          col("a.s") === col("b.s") && col("a.d") < col("b.d"))
+        .select(col("a.d").as("i1"), col("b.d").as("i2"))
+      val tri = broadcast(twoHop.join(pairs, Seq("i1", "i2"), "left_semi")
+        .groupBy(col("i1"), col("i2")).agg(count(lit(1))) // wedges per closed pair
+        .agg(count(lit(1)).as("__closedpairs")))
+      // triangles: each closed pair (i1,i2) with c common neighbors
+      // closes c triangles; count triangle INSTANCES instead
+      val triangles = broadcast(twoHop.join(pairs, Seq("i1", "i2"), "left_semi")
+        .agg((count(lit(1)) / 3L).cast(LongType).as("__t"),
+          count(lit(1)).as("__closedWedges")))
+      val wedges = broadcast(sym.groupBy(col("d")).agg(count(lit(1)).as("__dg"))
+        .agg(sum(col("__dg") * (col("__dg") - 1L) / 2L).cast(LongType).as("__w")))
+      triangles.crossJoin(wedges)
+        .select(col("__t").as("n_triangles"), col("__w").as("n_wedges"),
+          when(col("__w") > 0L, call_function("div",
+            col("__closedWedges") * 1000000L, col("__w")))
+            .otherwise(lit(0L)).as("transitivity_ppm"))
+    },
+      Some(s"""WITH $coPurchaseEdgesSql,
+th AS (SELECT e1.d AS i1, e2.d AS i2 FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.d < e2.d),
+cw AS (SELECT CAST(count(*) AS BIGINT) AS closed FROM th
+  JOIN pc ON th.i1 = pc.i1 AND th.i2 = pc.i2),
+dg AS (SELECT d, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+wg AS (SELECT CAST(SUM(dg * (dg - 1) / 2) AS BIGINT) AS w FROM dg)
+SELECT CAST(cw.closed / 3 AS BIGINT) AS n_triangles, wg.w AS n_wedges,
+  CASE WHEN wg.w > 0 THEN (cw.closed * 1000000) // wg.w ELSE 0 END AS transitivity_ppm
+FROM cw, wg""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge
