@@ -5196,6 +5196,39 @@ wg AS (SELECT CAST(SUM(dg * (dg - 1) / 2) AS BIGINT) AS w FROM dg)
 SELECT CAST(cw.closed / 3 AS BIGINT) AS n_triangles, wg.w AS n_wedges,
   CASE WHEN wg.w > 0 THEN (cw.closed * 1000000) // wg.w ELSE 0 END AS transitivity_ppm
 FROM cw, wg""")),
+
+    ("q222_behavior_similarity", (s, d) => {
+      // behavioral near-duplicates: users whose first-8-event journey
+      // strings sit within edit distance 14, blocked by the entry event
+      // (SNM-style: exact Levenshtein only within blocks; at scale cap
+      // or sub-block hot entries — the documented recall/cost dial)
+      val paths = Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(slice(array_sort(collect_list(
+            struct(col("ts_us"), col("event_id"), col("event_type")))), 1, 8),
+          x => x.getField("event_type")), ">").as("path"))
+        .withColumn("entry", substring_index(col("path"), ">", 1))
+        .localCheckpoint(false) // both sides of the blocked self-join
+      paths.as("a").join(paths.as("b"),
+          col("a.entry") === col("b.entry") &&
+          col("a.user_id") < col("b.user_id"))
+        .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"),
+          levenshtein(col("a.path"), col("b.path")).cast(LongType).as("lev"))
+        .filter(col("lev") <= 14L)
+        .orderBy(col("ua"), col("ub"))
+    },
+      Some("""WITH t AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+r AS (SELECT user_id, event_type,
+  row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rk FROM t),
+p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rk) AS path
+  FROM r WHERE rk <= 8 GROUP BY 1),
+pe AS (SELECT user_id, path, string_split(path, '>')[1] AS entry FROM p)
+SELECT a.user_id AS ua, b.user_id AS ub,
+  CAST(levenshtein(a.path, b.path) AS BIGINT) AS lev
+FROM pe a JOIN pe b ON a.entry = b.entry AND a.user_id < b.user_id
+WHERE levenshtein(a.path, b.path) <= 14
+ORDER BY ua, ub""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge
