@@ -5229,6 +5229,101 @@ SELECT a.user_id AS ua, b.user_id AS ub,
 FROM pe a JOIN pe b ON a.entry = b.entry AND a.user_id < b.user_id
 WHERE levenshtein(a.path, b.path) <= 14
 ORDER BY ua, ub""")),
+
+    ("q223_lateness_percentiles", (s, d) => {
+      // the actual watermark number: exact p50/p95/p99 of event lateness
+      // (q182's perturbed arrivals) via RangePrefix order statistics —
+      // `withDelayedWatermark(p99)` becomes a measured value, closing
+      // the disorder-profile story
+      val w = Window.partitionBy(col("user_id")).orderBy(col("arr"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val late = Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("arr", col("event_id") * 100L +
+          when(pmod(col("event_id"), lit(10)) === 0, 2550L).otherwise(0L))
+        .select(col("event_id"),
+          greatest(lit(0L), coalesce(max(col("ts_us")).over(w), col("ts_us"))
+            - col("ts_us")).as("late"))
+      graft.operators.SketchOps.exactPercentiles(late, "late", "event_id",
+        Seq(0.5, 0.95, 0.99))
+        .select(col("q"), col("value").as("late_us"))
+        .orderBy(col("q"))
+    },
+      Some("""WITH t AS (SELECT user_id, event_id,
+  event_id * 100 + CASE WHEN event_id % 10 = 0 THEN 2550 ELSE 0 END AS arr,
+  epoch_us(ts) AS ts_us FROM events),
+l AS (SELECT event_id, greatest(0, COALESCE(max(ts_us) OVER (PARTITION BY user_id ORDER BY arr
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ts_us) - ts_us) AS late FROM t),
+r AS (SELECT late, event_id, CAST(row_number() OVER (ORDER BY late, event_id) AS BIGINT) - 1 AS rk,
+  CAST(count(*) OVER () AS BIGINT) AS n FROM l)
+SELECT q, late AS late_us FROM r
+JOIN (SELECT * FROM (VALUES (0.5), (0.95), (0.99)) v(q)) ON rk = CAST(floor((n - 1) * q) AS BIGINT)
+ORDER BY q""")),
+
+    ("q224_naive_forecast_mae", (s, d) => {
+      // backtest of the naive per-user forecaster (next week's spend =
+      // this week's): exact mean absolute error in milli-cents per
+      // origin week — the baseline every forecasting pipeline must beat,
+      // evaluated leakage-free on q219's rolling origins
+      val spend = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), call_function("div",
+          expr("ts_ns div 86400000000000"), lit(7L)).as("win"))
+        .agg(sum((d2(col("value")) * 100).cast(LongType)).as("cents"))
+        .localCheckpoint(false) // forecast and actual sides
+      val pred = spend.select(col("user_id"), (col("win") + 1L).as("win"),
+        col("cents").as("pred"))
+      spend.select(col("user_id"), col("win"), col("cents").as("actual"))
+        .join(pred, Seq("user_id", "win"), "full")
+        .filter(col("win").isNotNull)
+        .select(col("win"),
+          abs(coalesce(col("actual"), lit(0L)) - coalesce(col("pred"), lit(0L))).as("err"))
+        .groupBy(col("win"))
+        .agg(count(lit(1)).as("n_users"),
+          call_function("div", sum(col("err")) * 1000L, count(lit(1))).as("mae_me3"))
+        // the first window has no prior week to forecast from: those rows
+        // are pure cold-start actuals, keep them (pred = 0, documented)
+        .orderBy(col("win"))
+    },
+      Some("""WITH sp AS (SELECT user_id, (epoch_ns(ts) // 86400000000000) // 7 AS win,
+  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+pr AS (SELECT user_id, win + 1 AS win, cents AS pred FROM sp),
+j AS (SELECT COALESCE(a.user_id, p.user_id) AS user_id, COALESCE(a.win, p.win) AS win,
+  abs(COALESCE(a.cents, 0) - COALESCE(p.pred, 0)) AS err
+  FROM sp a FULL JOIN pr p ON a.user_id = p.user_id AND a.win = p.win)
+SELECT win, CAST(count(*) AS BIGINT) AS n_users,
+  (CAST(SUM(err) AS BIGINT) * 1000) // count(*) AS mae_me3
+FROM j WHERE win IS NOT NULL GROUP BY 1 ORDER BY win""")),
+
+    ("q225_power_analysis", (s, d) => {
+      // experiment sizing from measured variance: per-arm n to detect a
+      // 5% lift in purchase value at ~80% power / 5% alpha via the
+      // 16·σ²/δ² rule of thumb — exact integer sample variance (cents²)
+      // and cross-multiplied δ² = (mean/20)², ONE aggregation pass
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select((d2(col("value")) * 100).cast(LongType).as("x"))
+      p.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n"), call_function("div", col("sx"), col("n")).as("mean_cents"),
+          // var = (n·Σx² − (Σx)²) / (n·(n−1)); δ = mean/20 ->
+          // n_req = 16·var/δ² = 6400·(nΣx²−Σx²) · n / ((n−1)·Σx²... kept
+          // as the two-step integer form below (matches the oracle)
+          call_function("div",
+            (col("n") * col("sxx") - col("sx") * col("sx")),
+            col("n") * (col("n") - 1L)).as("var_cents2"))
+        .select(col("n"), col("mean_cents"), col("var_cents2"),
+          call_function("div", lit(16L) * col("var_cents2"),
+            call_function("div", col("mean_cents") * col("mean_cents"), lit(400L)))
+            .as("n_per_arm"))
+    },
+      Some("""WITH p AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+  CAST(SUM(x * x) AS BIGINT) AS sxx FROM p),
+m AS (SELECT n, sx // n AS mean_cents,
+  (n * sxx - sx * sx) // (n * (n - 1)) AS var_cents2 FROM a)
+SELECT n, mean_cents, var_cents2,
+  (16 * var_cents2) // ((mean_cents * mean_cents) // 400) AS n_per_arm FROM m""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge
