@@ -3590,18 +3590,26 @@ SELECT node, CAST(min(h) AS BIGINT) AS hops FROM bfs GROUP BY 1 ORDER BY 1""")),
       // radius 12500 via 3x3 grid bucketing (SpatialOps) — the oracle is
       // BRUTE-FORCE all-pairs, so parity proves the grid decomposition
       // loses and invents nothing
+      // two hash-independence lessons baked in: (1) the affine mix
+      // equidistributes the small raw fingerprints of short keys (the
+      // repo's KMV/HLL lesson); (2) x tags PREFIX and y tags SUFFIX —
+      // two prefix tags would differ by a constant per id length
+      // (polynomial hash algebra), collapsing the plane onto diagonals
+      def coordMix(h: Column) = pmod(pmod(
+        lit(636413622L) * h + lit(528402381L),
+        lit(1000000007L)), lit(1000000L))
       val pts = Tables.customer(s, d).select(col("c_custkey").as("id"),
-        pmod(Converters.fingerprint64(
-          concat(lit("gx"), col("c_custkey").cast(StringType))), lit(1000000L)).as("x"),
-        pmod(Converters.fingerprint64(
-          concat(lit("gy"), col("c_custkey").cast(StringType))), lit(1000000L)).as("y"))
+        coordMix(Converters.fingerprint64(
+          concat(lit("gx"), col("c_custkey").cast(StringType)))).as("x"),
+        coordMix(Converters.fingerprint64(
+          concat(col("c_custkey").cast(StringType), lit("gy")))).as("y"))
       graft.operators.SpatialOps.gridNeighborPairs(pts, "id", "x", "y",
         12500L, 12500L)
         .orderBy(col("id_a"), col("id_b"))
     },
       Some(s"""WITH p AS (SELECT c_custkey AS id,
-  ${fpSql("('gx' || CAST(c_custkey AS VARCHAR))")} % 1000000 AS x,
-  ${fpSql("('gy' || CAST(c_custkey AS VARCHAR))")} % 1000000 AS y
+  ${mixedSql("('gx' || CAST(c_custkey AS VARCHAR))")} % 1000000 AS x,
+  ${mixedSql("(CAST(c_custkey AS VARCHAR) || 'gy')")} % 1000000 AS y
   FROM customer)
 SELECT a.id AS id_a, b.id AS id_b,
   (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
@@ -4631,12 +4639,18 @@ FROM s WHERE n > share ORDER BY key""")),
       // closest supplier point (exact int64 squared distance, min-tie on
       // facility id) — facilities are small by nature, so the join is a
       // BROADCAST and the argmin map-side combinable
-      def px(tag: String, c: Column) = pmod(Converters.fingerprint64(
-        concat(lit(tag), c.cast(StringType))), lit(1000000L))
+      // same prefix-x / suffix-y decorrelation as q169
+      def pmix(h: Column) = pmod(pmod(
+        lit(636413622L) * h + lit(528402381L),
+        lit(1000000007L)), lit(1000000L))
+      def pre(tag: String, c: Column) = pmix(Converters.fingerprint64(
+        concat(lit(tag), c.cast(StringType))))
+      def suf(c: Column, tag: String) = pmix(Converters.fingerprint64(
+        concat(c.cast(StringType), lit(tag))))
       val cust = Tables.customer(s, d).select(col("c_custkey").as("id"),
-        px("gx", col("c_custkey")).as("x"), px("gy", col("c_custkey")).as("y"))
+        pre("gx", col("c_custkey")).as("x"), suf(col("c_custkey"), "gy").as("y"))
       val fac = Tables.supplier(s, d).select(col("s_suppkey").as("fid"),
-        px("fx", col("s_suppkey")).as("fx"), px("fy", col("s_suppkey")).as("fy"))
+        pre("fx", col("s_suppkey")).as("fx"), suf(col("s_suppkey"), "fy").as("fy"))
       val d2c = (col("x") - col("fx")) * (col("x") - col("fx")) +
         (col("y") - col("fy")) * (col("y") - col("fy"))
       cust.join(broadcast(fac), lit(true))
@@ -4648,11 +4662,11 @@ FROM s WHERE n > share ORDER BY key""")),
         .orderBy(col("c_custkey"))
     },
       Some(s"""WITH cust AS (SELECT c_custkey AS id,
-  ${fpSql("('gx' || CAST(c_custkey AS VARCHAR))")} % 1000000 AS x,
-  ${fpSql("('gy' || CAST(c_custkey AS VARCHAR))")} % 1000000 AS y FROM customer),
+  ${mixedSql("('gx' || CAST(c_custkey AS VARCHAR))")} % 1000000 AS x,
+  ${mixedSql("(CAST(c_custkey AS VARCHAR) || 'gy')")} % 1000000 AS y FROM customer),
 fac AS (SELECT s_suppkey AS fid,
-  ${fpSql("('fx' || CAST(s_suppkey AS VARCHAR))")} % 1000000 AS fx,
-  ${fpSql("('fy' || CAST(s_suppkey AS VARCHAR))")} % 1000000 AS fy FROM supplier),
+  ${mixedSql("('fx' || CAST(s_suppkey AS VARCHAR))")} % 1000000 AS fx,
+  ${mixedSql("(CAST(s_suppkey AS VARCHAR) || 'fy')")} % 1000000 AS fy FROM supplier),
 p AS (SELECT id, fid, (x - fx) * (x - fx) + (y - fy) * (y - fy) AS d2 FROM cust, fac)
 SELECT id AS c_custkey, fid AS nearest_supp, d2 AS dist2 FROM p
 QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fid) = 1

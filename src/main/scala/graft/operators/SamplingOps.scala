@@ -284,8 +284,9 @@ object SamplingOps {
     * — the classic stride-scheduler pass interval (Waldspurger &
     * Weihl 1995), so reading the corpus in (ikey, group, rnk) order
     * interleaves sources proportionally to their weights at every
-    * prefix, not just in aggregate. Weight-0 groups are excluded (their
-    * quota is zero). Output: input columns + (group, rnk, ikey).
+    * prefix, not just in aggregate. Weight-0 groups — and groups absent
+    * from `weights` entirely — are excluded (their quota is zero).
+    * Output: input columns + (group, rnk, ikey).
     *
     * Scale shape: one group-partitioned window for the rank (group
     * cardinality = sources, so partitions are fat but AQE-splittable;

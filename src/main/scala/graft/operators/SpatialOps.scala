@@ -32,10 +32,16 @@ object SpatialOps {
                         yCol: String, cell: Long, radius: Long): DataFrame = {
     require(cell >= radius && radius >= 0,
       s"need cell >= radius >= 0 so 3x3 neighborhoods cover the radius, got cell=$cell radius=$radius")
+    // exact FLOOR bucketing (remainder-subtract then integral divide, the
+    // IntervalOps trick): `div` alone truncates toward zero, which would
+    // merge cells (-cell, 0) and [0, cell) for planes with negative
+    // coordinates and silently lose cross-origin neighbor pairs
+    def cellOf(c: org.apache.spark.sql.Column) =
+      call_function("div", c - pmod(c, lit(cell)), lit(cell))
     val pts = points.select(col(idCol).cast("long").as("id"),
         col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
-      .withColumn("cx", call_function("div", col("x"), lit(cell)))
-      .withColumn("cy", call_function("div", col("y"), lit(cell)))
+      .withColumn("cx", cellOf(col("x")))
+      .withColumn("cy", cellOf(col("y")))
       .localCheckpoint(false) // probe and build sides of the self-join
     val off = array(lit(-1L), lit(0L), lit(1L))
     val probe = pts

@@ -182,8 +182,11 @@ object TemporalOps {
     * consecutive cumulative-quantity intervals ([cum−q, cum) in FIFO
     * order) and each (supply, demand) pair's allocation is the overlap
     * of its intervals — the standard prefix-sum formulation, exact and
-    * order-deterministic via `ordCol`/`tieCol`. Output one row per
-    * overlapping pair: key + supply id + demand id + alloc.
+    * order-deterministic via `ordCol`/`tieCol`. Quantities must be
+    * NON-NEGATIVE (a negative row would make the cumulative intervals
+    * non-monotone and the overlap math meaningless — net out
+    * adjustments upstream). Output one row per overlapping pair:
+    * key + supply id + demand id + alloc.
     *
     * Scale shape: two key-partitioned cumsum windows and ONE key equi-
     * join; because the intervals on each side are consecutive, the
@@ -284,7 +287,9 @@ object TemporalOps {
     * streaming watermark: per key, each event's lateness is how far its
     * event time sits behind the running maximum of the events that
     * ARRIVED before it (arrival order = `arrivalCol`, e.g. a log
-    * offset), and the corpus-level answer is the lateness histogram in
+    * offset — must be UNIQUE per key, or equal-arrival rows have no
+    * defined order and the profile is not replayable), and the
+    * corpus-level answer is the lateness histogram in
     * order-of-magnitude buckets (bucket = decimal digit count — an
     * integer stand-in for log10 both engines compute identically;
     * bucket 0 = in-order). `withDelayedWatermark(p99-bucket)` is then a

@@ -85,6 +85,33 @@ class GraphSpatialLinkSpec extends AnyFunSuite {
     }
   }
 
+  test("gridNeighborPairs: cross-origin pairs survive on negative planes") {
+    // truncating division would fold cells (-cell, 0) and [0, cell)
+    // together AND separate these two points into non-adjacent cells'
+    // neighborhoods incorrectly; exact floor bucketing keeps them at
+    // adjacent cells -1 and 0
+    val df = Seq((1L, -3L, 0L), (2L, 3L, 0L), (3L, -450L, -450L)).toDF("id", "x", "y")
+    val got = SpatialOps.gridNeighborPairs(df, "id", "x", "y", 100L, 100L)
+      .orderBy(col("id_a"), col("id_b"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 36L)))
+    // brute-force parity on a random mixed-sign cloud
+    val pts = (1L to 40L).map { i =>
+      val x = graft.functions.DebeziumCodec.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"nx$i")) % 700L - 350L
+      val y = graft.functions.DebeziumCodec.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"ny$i")) % 700L - 350L
+      (i, x, y)
+    }
+    val got2 = SpatialOps.gridNeighborPairs(pts.toDF("id", "x", "y"),
+      "id", "x", "y", 150L, 150L).as[(Long, Long, Long)].collect().toSeq.sorted
+    val brute = (for {
+      (i, xi, yi) <- pts; (j, xj, yj) <- pts if i < j
+      d2 = (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj) if d2 <= 150L * 150L
+    } yield (i, j, d2)).sorted
+    assert(got2 === brute && brute.nonEmpty)
+  }
+
   // ---- benfordScreen -------------------------------------------------------
 
   test("benfordScreen: digit extraction, ppm shares, nonpositive exclusion") {
