@@ -5338,6 +5338,61 @@ m AS (SELECT n, sx // n AS mean_cents,
   (n * sxx - sx * sx) // (n * (n - 1)) AS var_cents2 FROM a)
 SELECT n, mean_cents, var_cents2,
   (16 * var_cents2) // ((mean_cents * mean_cents) // 400) AS n_per_arm FROM m""")),
+
+    ("q226_weighted_jaccard", (s, d) => {
+      // multiset (weighted) Jaccard between the two largest sources'
+      // term BAGS — Σ min(cA, cB) over Σ max(cA, cB), the
+      // frequency-aware overlap that set resemblance (q137) flattens;
+      // vocabulary-sized relations only, integer ppm
+      val t = Tables.documents(s, d).filter(col("source").isin("src0", "src1"))
+        .select((col("source") === "src0").as("isa"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term"))
+        .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+      t.agg(sum(least(col("ca"), col("cb"))).as("inter_w"),
+          sum(greatest(col("ca"), col("cb"))).as("union_w"))
+        .select(col("inter_w"), col("union_w"),
+          call_function("div", col("inter_w") * 1000000L, col("union_w"))
+            .as("weighted_jaccard_ppm"))
+    },
+      Some("""WITH t AS (SELECT source = 'src0' AS isa, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE source IN ('src0', 'src1')),
+c AS (SELECT term, CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+  CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM t WHERE term <> '' GROUP BY 1),
+a AS (SELECT CAST(SUM(least(ca, cb)) AS BIGINT) AS inter_w,
+  CAST(SUM(greatest(ca, cb)) AS BIGINT) AS union_w FROM c)
+SELECT inter_w, union_w, (inter_w * 1000000) // union_w AS weighted_jaccard_ppm FROM a""")),
+
+    ("q227_group_quartiles", (s, d) => {
+      // exact per-type quartiles of the purchase value (order statistics
+      // at rank 1 + floor((n−1)·q), the q223 convention, per GROUP via
+      // one partitioned window — no sketch, no global sort)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val r = Tables.events(s, d).filter(col("event_type").isNotNull)
+        .select(col("event_type"), (d2(col("value")) * 100).cast(LongType).as("cents"),
+          col("event_id"))
+        .withColumn("__rn", row_number().over(w).cast(LongType))
+        .withColumn("__n", count(lit(1)).over(wAll))
+      val qs = Seq(25 -> "p25", 50 -> "p50", 75 -> "p75")
+      qs.map { case (pct, name) =>
+        r.filter(col("__rn") === lit(1L) +
+            call_function("div", (col("__n") - 1L) * pct, lit(100L)))
+          .select(col("event_type"), lit(name).as("q"), col("cents").as("value_cents"))
+      }.reduce(_ unionByName _).orderBy(col("event_type"), col("q"))
+    },
+      Some("""WITH r AS (SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+  event_id FROM events),
+k AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS BIGINT) AS rn,
+  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM r),
+u AS (
+  SELECT event_type, 'p25' AS q, cents AS value_cents FROM k WHERE rn = 1 + ((n - 1) * 25) // 100
+  UNION ALL SELECT event_type, 'p50', cents FROM k WHERE rn = 1 + ((n - 1) * 50) // 100
+  UNION ALL SELECT event_type, 'p75', cents FROM k WHERE rn = 1 + ((n - 1) * 75) // 100)
+SELECT event_type, q, value_cents FROM u ORDER BY event_type, q""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge
