@@ -568,6 +568,11 @@ object StatefulOps {
     * the emitted rows by bucket downstream for the running histogram).
     * The spec pins streaming end-state ≡ the batch profile on the same
     * data, including across-batch splits.
+    *
+    * Replay contract: the running-max STATE is idempotent (max merges
+    * freely), so a replayed batch re-emits the same lateness rows —
+    * downstream histogram consumers dedupe by (key, arr) for exact
+    * counts under at-least-once delivery.
     */
   def streamingDisorderProfile(ds: Dataset[ArrivalEvent]): Dataset[LatenessRow] = {
     val spark = ds.sparkSession
@@ -614,6 +619,11 @@ object StatefulOps {
     * every batch emits the running (n_intervals, n_islands, covered)
     * readout including the still-open island. The spec pins the final
     * readout ≡ the batch operator, including a mid-island batch split.
+    *
+    * Replay contract: same as [[streamingTwap]] — interval accumulation
+    * is not idempotent under at-least-once replay (n_intervals inflates;
+    * covered stays correct only for fully-contained re-deliveries).
+    * Exactly-once checkpointing or upstream (key, s, e) dedup required.
     */
   def streamingCoverage(ds: Dataset[CoverageEvent]): Dataset[CoverageReadout] = {
     val spark = ds.sparkSession
@@ -656,6 +666,11 @@ object StatefulOps {
     * twap) readout once the key has a span. The spec pins the final
     * readout ≡ the batch operator on the same data, including a
     * mid-key batch split.
+    *
+    * Replay contract: integration is NOT idempotent — an at-least-once
+    * replay of a delivered batch double-integrates its segments (unlike
+    * the register-max sketches, which replay freely). Run behind an
+    * exactly-once source/checkpoint pair, or dedupe by (key, t) upstream.
     */
   def streamingTwap(ds: Dataset[TwapEvent]): Dataset[TwapReadout] = {
     val spark = ds.sparkSession
