@@ -457,6 +457,28 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(batch === Seq(("a", 3L, 2L, 30L), ("b", 2L, 1L, 100L)))
   }
 
+  test("streamingDisorderProfile: replayed batch re-emits identically (idempotent max state)") {
+    implicit val sqlCtx = spark.sqlContext
+    import StatefulOps.{ArrivalEvent, LatenessRow}
+    val b1 = Seq(ArrivalEvent("u", 1L, 100L), ArrivalEvent("u", 2L, 200L))
+    val b2 = Seq(ArrivalEvent("u", 3L, 150L)) // 50 behind
+    val ms = MemoryStream[ArrivalEvent]
+    val q = StatefulOps.streamingDisorderProfile(ms.toDS())
+      .writeStream.format("memory").queryName("disorder_replay_out")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable() // at-least-once replay
+    q.stop()
+    val rows = spark.table("disorder_replay_out").as[LatenessRow].collect().toSeq
+    // the replayed event re-emits with the SAME lateness (running max is
+    // idempotent), so a (key, arr) dedupe downstream recovers exact counts
+    val arr3 = rows.filter(_.arr == 3L)
+    assert(arr3.length === 2 && arr3.forall(_.late === 50L))
+    assert(rows.map(r => (r.key, r.arr, r.late)).distinct.sorted ===
+      Seq(("u", 1L, 0L), ("u", 2L, 0L), ("u", 3L, 50L)))
+  }
+
   test("streamingDisorderProfile: lateness ≡ batch profile, state crosses batches") {
     implicit val sqlCtx = spark.sqlContext
     import StatefulOps.{ArrivalEvent, LatenessRow}
