@@ -5393,6 +5393,31 @@ u AS (
   UNION ALL SELECT event_type, 'p50', cents FROM k WHERE rn = 1 + ((n - 1) * 50) // 100
   UNION ALL SELECT event_type, 'p75', cents FROM k WHERE rn = 1 + ((n - 1) * 75) // 100)
 SELECT event_type, q, value_cents FROM u ORDER BY event_type, q""")),
+
+    ("q228_fulfillment_aging", (s, d) =>
+      // SLA aging histogram: order-to-ship day spans bucketed by month
+      // (30-day floors) per priority, with each bucket's share of its
+      // priority in ppm — the fulfillment-latency report every ops
+      // dashboard opens with; one aggregation + a priority-sized window
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          call_function("div",
+            abs(datediff(col("l_shipdate").cast("date"),
+              col("o_orderdate").cast("date"))), lit(30L)).as("bucket_months"))
+        .groupBy(col("priority"), col("bucket_months"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_ppm", call_function("div", col("n") * 1000000L,
+          sum(col("n")).over(Window.partitionBy(col("priority")))))
+        .orderBy(col("priority"), col("bucket_months")),
+      Some("""WITH j AS (SELECT o_orderpriority AS priority,
+  abs(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) // 30 AS bucket_months
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+g AS (SELECT priority, bucket_months, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1, 2)
+SELECT priority, CAST(bucket_months AS BIGINT) AS bucket_months, n,
+  (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY priority) AS BIGINT) AS share_ppm
+FROM g ORDER BY priority, bucket_months""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge
