@@ -178,6 +178,7 @@ object Bench {
     val buildEntries =
       Queries.q75BuildSeconds.map(b => "\"q75\":" + f2(b)).toSeq ++
       Queries.dedupGraphBuildSeconds.map(b => "\"dedup_graph\":" + f2(b)).toSeq ++
+      Queries.takedownGraphBuildSeconds.map(b => "\"takedown_graph\":" + f2(b)).toSeq ++
       Queries.winnowBuildSeconds.map(b => "\"winnow_fp\":" + f2(b)).toSeq ++
       Queries.postingsBuildSeconds.map(b => "\"postings\":" + f2(b)).toSeq ++
       Queries.coPurchaseBuildSeconds.map(b => "\"co_purchase\":" + f2(b)).toSeq
@@ -191,8 +192,18 @@ object Bench {
     val scalingBlock = if (scaling.isEmpty) "" else {
       val entries = scaling.toSeq.sortBy(_._1)
         .map { case (q, a) => "\"" + q + "\":" + f2(a) }.mkString("{", ",", "}")
-      val hot = scaling.toSeq.filter(_._2 > 1.5).map(p => "\"" + p._1 + "\"")
-        .sorted.mkString("[", ",", "]")
+      val hotQs = scaling.toSeq.filter(_._2 > 1.5).map(_._1).sorted
+      // POLICY (round 9): a superlinear flag is a build failure until the
+      // query is fixed or explicitly waived in SCALE.md via a
+      // `SUPERLINEAR-OK: qNN — reason` line. ScalingGateSpec enforces it
+      // at `sbt test`; the loud stderr here makes a dev bench self-report
+      // the moment a quadratic plan ships.
+      val waived = ScalingGate.waivers()
+      val unexplained = hotQs.filterNot(waived)
+      if (unexplained.nonEmpty)
+        System.err.println("[sweep] BUILD-FAILING superlinear queries " +
+          s"(fix the plan or add a SUPERLINEAR-OK waiver to SCALE.md): ${unexplained.mkString(", ")}")
+      val hot = hotQs.map(q => "\"" + q + "\"").mkString("[", ",", "]")
       s""","scaling_sf":"${sfOf(sweepDir)}","scaling":$entries,"superlinear":$hot"""
     }
     val detailLine = line.dropRight(1) +

@@ -1,0 +1,41 @@
+package graft
+
+/** The scaling-sweep gate policy, shared by [[Bench]] (loud stderr the
+  * moment a sweep flags a quadratic plan) and `ScalingGateSpec` (turns the
+  * flag into a `sbt test` failure). Round 8 shipped q222 with the sweep
+  * correctly reporting exponent 1.57 — the flag was emitted but nothing
+  * acted on it; this module is the acting-on-it.
+  *
+  * Contract: every entry of `bench.json`'s `"superlinear"` list must
+  * either be fixed (drop out of the list on the next sweep) or carry an
+  * explicit `SUPERLINEAR-OK: qNN — reason` waiver line in SCALE.md
+  * documenting the cap that bounds it. Anything else fails the build.
+  */
+object ScalingGate {
+  /** qNN prefixes waived in SCALE.md via `SUPERLINEAR-OK: qNN — reason`. */
+  def waivers(scaleMd: java.nio.file.Path = java.nio.file.Paths.get("SCALE.md")): Set[String] =
+    if (!java.nio.file.Files.exists(scaleMd)) Set.empty
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(scaleMd), "UTF-8")
+      """SUPERLINEAR-OK:\s*(q\d+)""".r.findAllMatchIn(txt).map(_.group(1)).toSet
+    }
+
+  /** The `"superlinear"` list of a bench.json, empty if the file or the
+    * sweep block is absent (fresh clone / sweep disabled — nothing to
+    * gate on).
+    */
+  def superlinear(benchJson: java.nio.file.Path = java.nio.file.Paths.get("bench.json")): Seq[String] =
+    if (!java.nio.file.Files.exists(benchJson)) Seq.empty
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(benchJson), "UTF-8")
+      """"superlinear":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+        .map(m => """q\d+""".r.findAllIn(m.group(1)).toSeq)
+        .getOrElse(Seq.empty)
+    }
+
+  /** Flagged-and-unwaived queries — must be empty for a green build. */
+  def unexplained(): Seq[String] = {
+    val w = waivers()
+    superlinear().filterNot(w)
+  }
+}

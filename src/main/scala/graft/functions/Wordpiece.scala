@@ -13,10 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics, per whitespace-separated word: at each position try the
   * 4-char piece, then 3, then 2; first hit consumes that many chars as
-  * one token, otherwise the single char is its own token (implicit
-  * 1-char vocab — no <unk>). Document count = sum over words. Exact for
-  * any BMP text (the oracle counts codepoints; only astral-plane
-  * surrogate pairs would diverge, counting 2 here vs 1 there).
+  * one token, otherwise the single CODEPOINT is its own token (implicit
+  * 1-char vocab — no <unk>; an astral surrogate pair consumes as one
+  * token, so the count agrees with the oracle's codepoint semantics on
+  * the full Unicode range, emoji and CJK-extension text included).
   *
   * The vocabulary is a deterministic fixture (common English + corpus
   * subwords), one sorted packed-key array per piece length: a probe is
@@ -82,6 +82,11 @@ object Wordpiece {
       val k = (s.charAt(i).toLong << 16) | s.charAt(i + 1)
       if (java.util.Arrays.binarySearch(p2, k) >= 0) return 2
     }
+    // an astral codepoint is ONE token: consume the whole surrogate pair,
+    // matching the oracle's codepoint counting (the vocab is ASCII, so a
+    // surrogate can never have matched a piece probe above)
+    if (i + 2 <= end && Character.isHighSurrogate(s.charAt(i)) &&
+      Character.isLowSurrogate(s.charAt(i + 1))) return 2
     1
   }
   private def pack4(s: String, i: Int): Long =

@@ -1032,16 +1032,50 @@ object DedupOps {
     ()
   }
 
-  /** Near-dup pairs from a [[buildDedupGraph]] artifact. distinct():
-    * replayed appends can leave duplicate rows; hamming is a pure
-    * function of the pair, so row-dedup restores the exact relation.
+  /** Takedown tombstones of a [[buildDedupGraph]] artifact: the ids
+    * logically removed by [[removeFromDedupGraph]] (empty relation if no
+    * takedown ever ran). Every reader anti-joins these, so a tombstone
+    * takes effect the moment its append lands — before any component
+    * repair or physical compaction.
     */
-  def dedupGraphPairs(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/pairs").distinct()
+  def dedupGraphRemoved(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/removed")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(s"$path/removed").distinct()
+    else {
+      import spark.implicits._
+      Seq.empty[Long].toDF("id")
+    }
+  }
 
-  /** (id, canonical_id) components from a [[buildDedupGraph]] artifact. */
+  /** (id, simhash) signatures from a [[buildDedupGraph]] artifact,
+    * takedowns excluded. distinct(): replayed appends can duplicate rows.
+    */
+  def dedupGraphSigs(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/sigs").distinct()
+      .join(dedupGraphRemoved(spark, path), Seq("id"), "left_anti")
+
+  /** Near-dup pairs from a [[buildDedupGraph]] artifact, takedowns
+    * excluded on BOTH endpoints. distinct(): replayed appends can leave
+    * duplicate rows; hamming is a pure function of the pair, so row-dedup
+    * restores the exact relation.
+    */
+  def dedupGraphPairs(spark: SparkSession, path: String): DataFrame = {
+    val rm = dedupGraphRemoved(spark, path)
+    spark.read.parquet(s"$path/pairs").distinct()
+      .join(rm.select(col("id").as("ia")), Seq("ia"), "left_anti")
+      .join(rm.select(col("id").as("ib")), Seq("ib"), "left_anti")
+  }
+
+  /** (id, canonical_id) components from a [[buildDedupGraph]] artifact,
+    * takedowns excluded. Between a takedown's tombstone landing and its
+    * component REPAIR completing, a component held together only by a
+    * removed doc still reads as merged — the conservative direction
+    * (admission over-rejects, splits never invent false pairs).
+    */
   def dedupGraphComponents(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/components").distinct()
+      .join(dedupGraphRemoved(spark, path), Seq("id"), "left_anti")
 
   /** Append a batch to an existing [[buildDedupGraph]] artifact — the
     * admission-time growth path: only the BATCH text is hashed; the
@@ -1071,7 +1105,20 @@ object DedupOps {
                          path: String): Unit = {
     val spark = batch.sparkSession
     val maxDist = spark.read.parquet(s"$path/meta").head().getInt(0)
-    val corpusSigs = spark.read.parquet(s"$path/sigs")
+    // re-admission clears the batch ids' tombstones FIRST, so a doc taken
+    // down and later re-licensed can return through the normal append.
+    // Crash after the clear is safe: any resurfaced physical rows carry
+    // the SAME content by the id contract, and the re-run re-appends.
+    val rmPath = new org.apache.hadoop.fs.Path(s"$path/removed")
+    val fs = rmPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rmPath)) {
+      val kept = spark.read.parquet(s"$path/removed").distinct()
+        .join(batch.select(col(idCol).cast("long").as("id")).distinct(),
+          Seq("id"), "left_anti")
+        .localCheckpoint(true) // materialize BEFORE overwriting the source
+      kept.write.mode("overwrite").parquet(s"$path/removed")
+    }
+    val corpusSigs = dedupGraphSigs(spark, path) // takedowns excluded
     val batchSigs = simhashFp30(batch, idCol, textCol)
       .localCheckpoint(false) // sig append + two join consumers
     batchSigs.write.mode("append").parquet(s"$path/sigs")
@@ -1088,11 +1135,87 @@ object DedupOps {
     // least/greatest canonicalization + distinct collapses them, and
     // batch-vs-batch pairs (both ends in the chunk join) likewise
     newPairs.write.mode("append").parquet(s"$path/pairs")
-    val allSigs = spark.read.parquet(s"$path/sigs").distinct()
+    val allSigs = dedupGraphSigs(spark, path)
     nearDupGroupsStar(allSigs.select(col("id")), "id",
         dedupGraphPairs(spark, path))
       .write.mode("overwrite").parquet(s"$path/components")
     ()
+  }
+
+  /** Takedown path of the [[buildDedupGraph]] artifact — the operation a
+    * real 100 TB pipeline needs the day a GDPR/DMCA request lands:
+    * logically remove documents and REPAIR the component relation, since
+    * removing a doc can SPLIT a component it was bridging (A—X—B with X
+    * removed must become {A}, {B}, never stay {A, B}).
+    *
+    * Mechanics, mirroring [[appendToDedupGraph]]'s crash-ordering
+    * discipline:
+    *  1. Tombstones append FIRST (`path/removed`): every reader
+    *     ([[dedupGraphSigs]]/[[dedupGraphPairs]]/[[dedupGraphComponents]])
+    *     anti-joins them, so the removed docs vanish from admission
+    *     probes and reports the moment this lands. A crash after step 1
+    *     leaves components transiently OVER-merged (a bridge doc's
+    *     endpoints still share a canonical) — the conservative side, and
+    *     re-running the takedown repairs it; replays are idempotent
+    *     (duplicate tombstone rows collapse in the reader).
+    *  2. Component repair recomputes ONLY the affected components (those
+    *     containing a removed id): their surviving members re-cluster
+    *     over surviving pairs; untouched components pass through
+    *     unread-modified. The recompute is takedown-neighborhood-sized,
+    *     never corpus-sized — at 100 TB a takedown touches a handful of
+    *     dup clusters.
+    *
+    * Physical bytes: sigs/pairs keep the tombstoned rows until
+    * [[compactDedupGraph]] rewrites them (storage reclaim is a separate,
+    * schedulable concern — the semantic removal is complete after this
+    * call). The components overwrite eagerly materializes first
+    * (checkpoint) because its plan reads the same files it replaces.
+    */
+  def removeFromDedupGraph(remove: DataFrame, idCol: String,
+                           path: String): Unit = {
+    val spark = remove.sparkSession
+    val rm = remove.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(false) // tombstone write + three join consumers
+    rm.write.mode("append").parquet(s"$path/removed")
+    // components BEFORE this takedown's tombstones (the repair input must
+    // still see the removed ids to find their components) — read raw
+    val comps = spark.read.parquet(s"$path/components").distinct()
+      .localCheckpoint(false) // affected + untouched + member scans
+    val affected = comps.join(rm, Seq("id"), "left_semi")
+      .select(col("canonical_id")).distinct()
+    val members = comps.join(affected, Seq("canonical_id"), "left_semi")
+      .join(rm, Seq("id"), "left_anti")
+      .select(col("id"))
+    // surviving pairs restricted to the affected neighborhood (the
+    // reader already excludes removed endpoints)
+    val pairs = dedupGraphPairs(spark, path)
+    val subPairs = pairs
+      .join(members.select(col("id").as("ia")), Seq("ia"), "left_semi")
+      .join(members.select(col("id").as("ib")), Seq("ib"), "left_semi")
+    val repaired = nearDupGroupsStar(members, "id", subPairs)
+    val untouched = comps.join(affected, Seq("canonical_id"), "left_anti")
+      .join(rm, Seq("id"), "left_anti") // stale tombstones from a replay
+    untouched.select(col("id"), col("canonical_id"))
+      .unionByName(repaired.select(col("id"), col("canonical_id")))
+      .localCheckpoint(true) // materialize BEFORE overwriting the source
+      .write.mode("overwrite").parquet(s"$path/components")
+    ()
+  }
+
+  /** Physical compaction of a [[buildDedupGraph]] artifact: rewrite
+    * sigs/pairs without tombstoned rows and clear the tombstone log —
+    * the storage-reclaim half of [[removeFromDedupGraph]], schedulable
+    * whenever (semantics never depend on it). Each rewrite eagerly
+    * materializes before overwriting its own source files.
+    */
+  def compactDedupGraph(spark: SparkSession, path: String): Unit = {
+    val sigs = dedupGraphSigs(spark, path).localCheckpoint(true)
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    val pairs = dedupGraphPairs(spark, path).localCheckpoint(true)
+    pairs.write.mode("overwrite").parquet(s"$path/pairs")
+    val p = new org.apache.hadoop.fs.Path(s"$path/removed")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
   /** Duplicated-PASSAGE screen via winnowing fingerprints (the MOSS
@@ -1558,5 +1681,59 @@ object DedupOps {
         (max(col("pos")) + (k - 1)).cast("long").as("span_end"))
       .select(col("id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
+
+  /** EXACT edit-distance pairs (Levenshtein <= `maxDist`) over SHORT
+    * strings via the FastSS deletion neighborhood (Bocek et al. 2007):
+    * every string is indexed under all variants obtainable by deleting up
+    * to `maxDist` characters, pairs collide through a variant equi-join,
+    * and the exact Levenshtein verify runs on candidates only. Recall is
+    * GUARANTEED: for lev(a,b) <= k, deleting the aligned edit positions
+    * (substituted/deleted on a's side, substituted/inserted on b's) leaves
+    * equal strings of <= k deletions each — so every qualifying pair
+    * shares a variant. Output: (ia, ib, sa, sb, lev) with ia < ib.
+    *
+    * Meant for compact codes — event-type journeys, state sequences, short
+    * SKUs — where each string yields C(maxLen, <=maxDist) index keys (37
+    * for 8/2): the index is a constant blowup of the input, the join is the
+    * only shuffle, and the verify is a row-local DP on <= maxLen chars.
+    * Both `maxDist` and `maxLen` are require-bounded because the key count
+    * is combinatorial; hot variants are the residual skew dial (AQE
+    * territory). Strings longer than `maxLen` fail loudly (raise_error)
+    * rather than silently losing recall.
+    */
+  def fastSsPairs(df: DataFrame, idCol: String, strCol: String,
+                  maxDist: Int = 2, maxLen: Int = 8): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"deletion-neighborhood size is C(maxLen, maxDist)-combinatorial; supported maxDist is 1..2, got $maxDist")
+    require(maxLen >= 1 && maxLen <= 16,
+      s"keys per row = sum C(maxLen, 0..maxDist); supported maxLen is 1..16, got $maxLen")
+    // variant of __s with the (1-indexed, ascending) positions ps deleted:
+    // concat of the kept runs; substring() with a non-positive length
+    // yields "" so adjacent deletions need no special case
+    def variant(ps: Seq[Int]): Column = {
+      val starts = 1 +: ps.map(_ + 1)
+      val ends = ps.map(_ - 1)
+      val parts = starts.zip(ends).map { case (st, en) =>
+        substring(col("__s"), st, en - st + 1)
+      } :+ substring(col("__s"), starts.last, maxLen)
+      concat(parts: _*)
+    }
+    val masks = (0 to maxDist).flatMap(k => (1 to maxLen).combinations(k))
+    val guarded = when(length(col(strCol)) > maxLen,
+        raise_error(concat(lit(s"fastSsPairs: string longer than maxLen=$maxLen: "),
+          col(strCol))))
+      .otherwise(col(strCol))
+    val keyed = df.select(col(idCol).as("id"), guarded.as("__s"))
+      .select(col("id"), col("__s"),
+        explode(array_distinct(array(masks.map(variant): _*))).as("__v"))
+      .localCheckpoint(false) // both sides of the variant equi-join
+    keyed.as("a").join(keyed.as("b"),
+        col("a.__v") === col("b.__v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        col("a.__s").as("sa"), col("b.__s").as("sb"))
+      .distinct() // pairs colliding on several variants verify once
+      .withColumn("lev", levenshtein(col("sa"), col("sb")).cast("long"))
+      .filter(col("lev") <= maxDist)
   }
 }

@@ -116,10 +116,6 @@ object MaintenanceOps {
     row.select(explode(array(structs: _*)).as("p")).select(col("p.*"))
   }
 
-  /** Merge-assertion (clients/shared/merge.go:194-209): the merged frame
-    * must account for at least the buffered row count (rows can only be
-    * net-added or replaced, never silently lost). Returns the merged count.
-    */
   /** Small-file compaction plan (the OPTIMIZE/rewrite-data-files planner
     * every lakehouse table needs): files are laid size-descending into
     * quota bins of ~`targetBytes` by exclusive cumulative size — bin =
@@ -154,6 +150,10 @@ object MaintenanceOps {
         min(col("fid")).as("first_file"), max(col("fid")).as("last_file"))
   }
 
+  /** Merge-assertion (clients/shared/merge.go:194-209): the merged frame
+    * must account for at least the buffered row count (rows can only be
+    * net-added or replaced, never silently lost). Returns the merged count.
+    */
   def assertMergeCovered(mergedCount: Long, baseCount: Long, deletedCount: Long,
                          insertedCount: Long): Unit = {
     val expectedMin = baseCount - deletedCount

@@ -327,24 +327,6 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
-  /** Fixed-point linear projection of the embedding corpus through a
-    * small dense matrix — the distributed half of every
-    * random-projection / learned-linear-head feature transform (the
-    * matrix itself comes from wherever: a trained head, a seeded random
-    * projection). Each input float quantizes with one floor op
-    * (floor(x · scale), the repo's cross-engine float contract) and the
-    * output is the exact int64 matrix-vector product, so the transform
-    * is bit-replayable on any engine.
-    *
-    * Output: (id, p0..p{k-1}) with pj = Σ_i floor(v_i·scale)·W(j)(i).
-    *
-    * Scale shape: the matrix rides the PLAN as literal arrays (a few KB
-    * broadcast with the task binary — never a shuffle, never a join);
-    * the product is row-local `zip_with`+`aggregate` inside codegen, so
-    * the operator is map-only at any corpus size. int64 bound:
-    * dim · scale · max|v| · max|W| per output cell — callers with big
-    * dims/scales shrink one of them.
-    */
   /** Mutual-nearest-neighbor alignment between two embedding corpora —
     * the bitext-mining / cross-corpus record-alignment primitive
     * (Artetxe & Schwenk 2019 use the margin variant): a pair (a, b)
@@ -385,6 +367,24 @@ object SimilarityOps {
       .select(col("a_id"), col("b_id"), col("sim"))
   }
 
+  /** Fixed-point linear projection of the embedding corpus through a
+    * small dense matrix — the distributed half of every
+    * random-projection / learned-linear-head feature transform (the
+    * matrix itself comes from wherever: a trained head, a seeded random
+    * projection). Each input float quantizes with one floor op
+    * (floor(x · scale), the repo's cross-engine float contract) and the
+    * output is the exact int64 matrix-vector product, so the transform
+    * is bit-replayable on any engine.
+    *
+    * Output: (id, p0..p{k-1}) with pj = Σ_i floor(v_i·scale)·W(j)(i).
+    *
+    * Scale shape: the matrix rides the PLAN as literal arrays (a few KB
+    * broadcast with the task binary — never a shuffle, never a join);
+    * the product is row-local `zip_with`+`aggregate` inside codegen, so
+    * the operator is map-only at any corpus size. int64 bound:
+    * dim · scale · max|v| · max|W| per output cell — callers with big
+    * dims/scales shrink one of them.
+    */
   def projectFixedPoint(df: DataFrame, idCol: String, vecCol: String,
                         weights: Seq[Seq[Long]],
                         scale: Long = 1000L): DataFrame = {

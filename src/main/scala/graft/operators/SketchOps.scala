@@ -416,22 +416,6 @@ object SketchOps {
       .select(col("group"), col("n"), col("v").as("median_value"))
   }
 
-  /** Quantile normalization across groups (the batch-effect correction
-    * of Bolstad et al. 2003, discretized): each row's value is replaced
-    * by the GLOBAL order statistic at its within-group quantile
-    * position, so every group ends up with (a subsample of) the same
-    * distribution — the cross-source score-calibration step a curation
-    * pipeline runs before pooling per-source quality scores. The
-    * position map is pure integer: within-group rank r of n_g rows maps
-    * to global rank 1 + ((r−1)(N−1)) div (n_g−1); a singleton group
-    * maps to the global LOWER median. Ties order by `tieCol`, so the
-    * result is bit-replayable. Output: (tie, group, v, qnorm).
-    *
-    * Scale shape: the global rank comes from [[RangePrefix]] (range
-    * partition + per-partition offsets), NEVER an unpartitioned window;
-    * the within-group rank is a group-partitioned window; the lookup is
-    * one equi-join on the target rank. Three shuffles total, all keyed.
-    */
   /** Lorenz curve + Gini coefficient, integer-exact: values sort
     * ascending (ties by `tieCol`), split into `nBuckets` equal-count
     * buckets, and each row reports the bucket's share and cumulative
@@ -494,6 +478,22 @@ object SketchOps {
         col("cum_share_ppm"), col("gini_ppm"))
   }
 
+  /** Quantile normalization across groups (the batch-effect correction
+    * of Bolstad et al. 2003, discretized): each row's value is replaced
+    * by the GLOBAL order statistic at its within-group quantile
+    * position, so every group ends up with (a subsample of) the same
+    * distribution — the cross-source score-calibration step a curation
+    * pipeline runs before pooling per-source quality scores. The
+    * position map is pure integer: within-group rank r of n_g rows maps
+    * to global rank 1 + ((r−1)(N−1)) div (n_g−1); a singleton group
+    * maps to the global LOWER median. Ties order by `tieCol`, so the
+    * result is bit-replayable. Output: (tie, group, v, qnorm).
+    *
+    * Scale shape: the global rank comes from [[RangePrefix]] (range
+    * partition + per-partition offsets), NEVER an unpartitioned window;
+    * the within-group rank is a group-partitioned window; the lookup is
+    * one equi-join on the target rank. Three shuffles total, all keyed.
+    */
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
                         tieCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -502,9 +502,19 @@ object SketchOps {
     require(!reserved.contains(valueCol) && !reserved.contains(tieCol) &&
       !reserved.contains(groupCol),
       s"columns may not use the reserved names ${reserved.mkString(", ")}")
+    // the select renames groupCol->group and valueCol->v, and qnorm is
+    // introduced: self-mappings are fine, CROSS-collisions would silently
+    // shadow (a tieCol literally named "v" would alias the value column)
+    require(tieCol != "group" && tieCol != "v" && tieCol != "qnorm" &&
+      valueCol != "group" && valueCol != "qnorm" &&
+      groupCol != "v" && groupCol != "qnorm",
+      "tieCol/valueCol/groupCol may not collide with the output names group/v/qnorm")
     val (sorted, offsets, n) = RangePrefix.withOffsets(
       df.select(col(groupCol).as("group"), col(valueCol).as("v"), col(tieCol)),
-      Seq(col(valueCol), col(tieCol)), lit(1L))
+      // sort by the POST-select name (lorenzGini's convention): the
+      // pre-rename valueCol only resolved through Spark's missing-
+      // reference fallback into the projection's child
+      Seq(col("v"), col(tieCol)), lit(1L))
     if (n == 0)
       return sorted.select(col(tieCol), col("group"), col("v"), col("v").as("qnorm"))
         .filter(lit(false))

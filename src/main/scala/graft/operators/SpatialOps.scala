@@ -59,4 +59,79 @@ object SpatialOps {
       .filter(col("dist2") <= lit(radius * radius))
       .select(col("id_a"), col("id_b"), col("dist2"))
   }
+
+  /** EXACT nearest neighbor: for every probe point the closest build
+    * point (min squared Euclidean distance, ties to the smallest build
+    * id), computed via expanding grid neighborhoods instead of a
+    * probe × build cross product.
+    *
+    * Phase r (for each entry of `rings`, ascending) equi-joins the still-
+    * unresolved probes' (2r+1)×(2r+1) cell neighborhood against the build
+    * cells and takes the per-probe argmin. A probe RESOLVES in phase r
+    * when its best candidate satisfies dist² < (r·cell)²: every
+    * unexplored cell sits at Chebyshev ring ≥ r+1, whose points are at
+    * Euclidean distance ≥ r·cell from anywhere in the probe's home cell,
+    * strictly farther than the candidate — so the candidate is the global
+    * argmin AND no unexplored facility can tie it (the strict inequality
+    * is what makes the min-id tie-break exact, not just the distance).
+    * Probes still unresolved after the last ring fall back to a brute
+    * per-probe scan of all build points — by then that residual is the
+    * empty-region tail (pick `cell` ≈ plane_extent/√|build| for O(1)
+    * occupancy and the residual is a vanishing fraction; the fallback
+    * keeps the operator total, never wrong).
+    *
+    * Scale shape: each phase is one equi-join on (cx, cy) with the probe
+    * side exploded (2r+1)² ways — linear in unresolved probes with O(1)
+    * cell occupancy; lineage is truncated per phase. The cross-join
+    * exists ONLY for the post-rings residual. Never a full
+    * probe × build product.
+    */
+  def nearestNeighborGrid(probe: DataFrame, idCol: String, xCol: String,
+                          yCol: String, build: DataFrame, bidCol: String,
+                          bxCol: String, byCol: String, cell: Long,
+                          rings: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(cell >= 1, s"need a positive cell pitch, got $cell")
+    require(rings.nonEmpty && rings.head >= 1 && rings == rings.sorted,
+      s"rings must be ascending and start >= 1, got $rings")
+    def cellOf(c: org.apache.spark.sql.Column) =
+      call_function("div", c - pmod(c, lit(cell)), lit(cell))
+    val b = build.select(col(bidCol).cast("long").as("nid"),
+        col(bxCol).cast("long").as("bx"), col(byCol).cast("long").as("by"))
+      .withColumn("bcx", cellOf(col("bx")))
+      .withColumn("bcy", cellOf(col("by")))
+      .localCheckpoint(false) // one build snapshot feeds every phase
+    var unresolved = probe.select(col(idCol).cast("long").as("id"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .withColumn("cx", cellOf(col("x")))
+      .withColumn("cy", cellOf(col("y")))
+      .localCheckpoint(false)
+    val d2 = (col("x") - col("bx")) * (col("x") - col("bx")) +
+      (col("y") - col("by")) * (col("y") - col("by"))
+    var resolved: DataFrame = null
+    for (r <- rings) {
+      val offs = array((-r to r).map(o => lit(o.toLong)): _*)
+      val cand = unresolved
+        .withColumn("__ox", explode(offs))
+        .withColumn("__oy", explode(offs))
+        .join(b, col("cx") + col("__ox") === col("bcx") &&
+          col("cy") + col("__oy") === col("bcy"))
+      val best = cand.groupBy(col("id"))
+        .agg(min(struct(d2.as("d2"), col("nid"))).as("__m"))
+      val done = best.filter(col("__m.d2") < lit(r * cell) * lit(r * cell))
+        .select(col("id"), col("__m.nid").as("nid"), col("__m.d2").as("dist2"))
+        .localCheckpoint(false) // consumed by the union AND the anti-join
+      resolved = if (resolved == null) done else resolved.union(done)
+      unresolved = unresolved
+        .join(done.select(col("id")), Seq("id"), "left_anti")
+        .localCheckpoint(false)
+    }
+    // residual: probes in facility deserts wider than the last ring —
+    // exact per-probe scan, bounded by the tail the rings left behind
+    val brute = unresolved.crossJoin(
+        b.select(col("nid"), col("bx"), col("by")))
+      .groupBy(col("id"))
+      .agg(min(struct(d2.as("d2"), col("nid"))).as("__m"))
+      .select(col("id"), col("__m.nid").as("nid"), col("__m.d2").as("dist2"))
+    resolved.union(brute)
+  }
 }

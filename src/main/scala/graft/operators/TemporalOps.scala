@@ -189,9 +189,13 @@ object TemporalOps {
     * key + supply id + demand id + alloc.
     *
     * Scale shape: two key-partitioned cumsum windows and ONE key equi-
-    * join; because the intervals on each side are consecutive, the
-    * overlap predicate keeps the per-key pair stream LINEAR
-    * (≤ supplies + demands − 1 rows per key), never quadratic.
+    * join. Because the intervals on each side are consecutive, the
+    * OUTPUT is linear per key (≤ supplies + demands − 1 rows) — but the
+    * range predicate evaluates as a post-join filter on the key
+    * equi-join, so COMPUTE is still |supply_k| × |demand_k| per key.
+    * Hot keys are the skew dial: sub-partition a hot key by coarse
+    * cum-quantity blocks (both sides cut at the same block boundaries)
+    * to bound the per-task pair enumeration.
     */
   def fifoMatch(supply: DataFrame, demand: DataFrame, keyCol: String,
                 idCol: String, qtyCol: String, ordCol: String,

@@ -354,7 +354,8 @@ object StatefulOps {
     // artifact as of the batch START, never its own append
     val batchSigs = DedupOps.simhashFp30(batch, idCol, textCol)
       .localCheckpoint(true)
-    val corpusSigs = sp.read.parquet(s"$graphPath/sigs").distinct()
+    // tombstone-aware: a taken-down doc must stop blocking admissions
+    val corpusSigs = DedupOps.dedupGraphSigs(sp, graphPath)
     val corpusHit = DedupOps.crossSigCollisions(batchSigs, corpusSigs, maxDist)
       .filter(col("bid") =!= col("cid"))
       .select(col("bid").as("id")).distinct()
@@ -484,6 +485,49 @@ object StatefulOps {
         }
         sink(admitted.drop("__h"), batchId)
       }
+  }
+
+  /** SQL-MERGE sink for [[streamingCurationFunnel]] — the composition of
+    * the two round-8 flagships: each batch's ADMITTED documents MERGE
+    * into a live catalog corpus table through the reference's production
+    * statement text ([[graft.sink.MergeSqlBuilder.buildMerge]] executed
+    * by the DSv2 row-level-ops catalog), not the frame-level path. The
+    * session must have a GraftCatalog registered under the table's
+    * catalog name (`spark.sql.catalog.<name>` conf).
+    *
+    * Replay contract: checkpoint-replay idempotent END TO END — the
+    * funnel's id-aware probes re-admit a replayed batch's identical
+    * subset, and the MERGE's PK arms rewrite those rows to the same
+    * values (matched-update is idempotent; nothing double-inserts). The
+    * staging view is batch-id-suffixed so a restarted driver's dangling
+    * view never collides.
+    *
+    * Table schema: (id BIGINT, lang STRING, text STRING, quality BIGINT,
+    * n_tokens BIGINT, `__artie_delete` BOOLEAN), created on first batch.
+    */
+  def curationMergeSink(table: String, idCol: String, textCol: String,
+                        langCol: String): (DataFrame, Long) => Unit = {
+    import graft.sink.MergeSqlBuilder
+    (admitted: DataFrame, batchId: Long) => {
+      if (!admitted.isEmpty) {
+        val sp = admitted.sparkSession
+        sp.sql(MergeSqlBuilder.buildCreateTable(table, Seq(
+          "id" -> "BIGINT", "lang" -> "STRING", "text" -> "STRING",
+          "quality" -> "BIGINT", "n_tokens" -> "BIGINT",
+          graft.Constants.DeleteCol -> "BOOLEAN")))
+        val stg = s"stg_curation_$batchId"
+        admitted.select(col(idCol).cast("long").as("id"),
+            col(langCol).as("lang"), col(textCol).as("text"),
+            col("quality"), col("n_tokens"),
+            lit(false).as(graft.Constants.DeleteCol))
+          .createOrReplaceTempView(stg)
+        sp.sql(MergeSqlBuilder.buildMerge(table, stg, Seq("id"),
+          Seq("id", "lang", "text", "quality", "n_tokens", graft.Constants.DeleteCol),
+          softDelete = false))
+        sp.catalog.dropTempView(stg)
+        ()
+      }
+    }
   }
 
   /** A keyed event entering the rate limiter (event-time millis). */
@@ -671,6 +715,13 @@ object StatefulOps {
     * replay of a delivered batch double-integrates its segments (unlike
     * the register-max sketches, which replay freely). Run behind an
     * exactly-once source/checkpoint pair, or dedupe by (key, t) upstream.
+    *
+    * Tie convention: same-t observations order by (t, v) — the VALUE is
+    * the tie-break, where the batch operator lets the caller pick a
+    * `tieCol`. The batch-equivalence claim therefore holds verbatim only
+    * when the batch side ties by value too (or when ties carry equal
+    * values); a caller needing a different tie key must fold it into
+    * `v` or pre-dedupe (key, t) upstream.
     */
   def streamingTwap(ds: Dataset[TwapEvent]): Dataset[TwapReadout] = {
     val spark = ds.sparkSession

@@ -115,4 +115,64 @@ class DedupGraphSpec extends AnyFunSuite {
     // components still cover every doc exactly once despite duplicate sig rows
     assert(comp1.size == docs.count())
   }
+
+  test("removeFromDedupGraph splits a bridged component, repairs only it") {
+    // hand-authored artifact: 1—2—3 chained (2 bridges) plus a separate
+    // pair 10—11 and a singleton 20; taking down 2 must SPLIT {1,2,3}
+    // into {1} and {3} while {10,11} and {20} pass through untouched
+    val path = tmp()
+    Seq((1L, 11L), (2L, 12L), (3L, 13L), (10L, 20L), (11L, 21L), (20L, 30L))
+      .toDF("id", "simhash").write.parquet(s"$path/sigs")
+    Seq((1L, 2L, 1L), (2L, 3L, 1L), (10L, 11L, 0L))
+      .toDF("ia", "ib", "hamming").write.parquet(s"$path/pairs")
+    Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L))
+      .toDF("id", "canonical_id").write.parquet(s"$path/components")
+    Seq(3).toDF("max_dist").write.parquet(s"$path/meta")
+
+    DedupOps.removeFromDedupGraph(Seq(2L).toDF("doc_id"), "doc_id", path)
+    assert(compSet(DedupOps.dedupGraphComponents(spark, path)) ==
+      Set((1L, 1L), (3L, 3L), (10L, 10L), (11L, 10L), (20L, 20L)))
+    assert(pairSet(DedupOps.dedupGraphPairs(spark, path)) == Set((10L, 11L, 0L)))
+    assert(DedupOps.dedupGraphSigs(spark, path).filter(col("id") === 2L).isEmpty)
+
+    // replayed takedown is a no-op (idempotent through the tombstone dedup)
+    DedupOps.removeFromDedupGraph(Seq(2L).toDF("doc_id"), "doc_id", path)
+    assert(compSet(DedupOps.dedupGraphComponents(spark, path)) ==
+      Set((1L, 1L), (3L, 3L), (10L, 10L), (11L, 10L), (20L, 20L)))
+  }
+
+  test("append -> takedown -> re-admit round-trip restores the full graph") {
+    val docs = Tables.documents(spark, sf).localCheckpoint(false)
+    val path = tmp()
+    DedupOps.buildDedupGraph(docs, "doc_id", "text", path, 3)
+    val fullPairs = pairSet(DedupOps.dedupGraphPairs(spark, path))
+    val fullComps = compSet(DedupOps.dedupGraphComponents(spark, path))
+    assert(fullPairs.nonEmpty)
+
+    // take down one endpoint of a real near-dup pair
+    val (va, vb, _) = fullPairs.head
+    DedupOps.removeFromDedupGraph(Seq(va).toDF("doc_id"), "doc_id", path)
+    val afterPairs = pairSet(DedupOps.dedupGraphPairs(spark, path))
+    assert(!afterPairs.exists(p => p._1 == va || p._2 == va))
+    assert(!compSet(DedupOps.dedupGraphComponents(spark, path)).exists(_._1 == va))
+    // the surviving endpoint remains covered by the repaired components
+    assert(compSet(DedupOps.dedupGraphComponents(spark, path)).exists(_._1 == vb))
+    // admission probes no longer collide with the taken-down signature
+    assert(DedupOps.dedupGraphSigs(spark, path).filter(col("id") === va).isEmpty)
+
+    // the doc returns (re-licensed): the SAME append path un-tombstones
+    DedupOps.appendToDedupGraph(docs.filter(col("doc_id") === va),
+      "doc_id", "text", path)
+    assert(pairSet(DedupOps.dedupGraphPairs(spark, path)) == fullPairs)
+    assert(compSet(DedupOps.dedupGraphComponents(spark, path)) == fullComps)
+
+    // physical compaction drops tombstoned bytes without changing reads
+    DedupOps.removeFromDedupGraph(Seq(va).toDF("doc_id"), "doc_id", path)
+    val preCompactPairs = pairSet(DedupOps.dedupGraphPairs(spark, path))
+    val preCompactComps = compSet(DedupOps.dedupGraphComponents(spark, path))
+    DedupOps.compactDedupGraph(spark, path)
+    assert(pairSet(DedupOps.dedupGraphPairs(spark, path)) == preCompactPairs)
+    assert(compSet(DedupOps.dedupGraphComponents(spark, path)) == preCompactComps)
+    assert(spark.read.parquet(s"$path/sigs").filter(col("id") === va).isEmpty)
+  }
 }

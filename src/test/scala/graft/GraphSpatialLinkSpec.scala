@@ -112,6 +112,57 @@ class GraphSpatialLinkSpec extends AnyFunSuite {
     assert(got2 === brute && brute.nonEmpty)
   }
 
+  // ---- nearestNeighborGrid -------------------------------------------------
+
+  test("nearestNeighborGrid: equals brute force, incl. the desert-probe fallback") {
+    val fac = (1L to 25L).map { i =>
+      val x = graft.functions.DebeziumCodec.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"fx$i")) % 1000L
+      val y = graft.functions.DebeziumCodec.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"fy$i")) % 1000L
+      (i, x, y)
+    }
+    // probe 61 sits ~40 cells away from the cloud: no ring reaches it, so
+    // it must resolve through the residual brute branch — still exact
+    val prb = (1L to 60L).map { i =>
+      val x = graft.functions.DebeziumCodec.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"qx$i")) % 1000L
+      val y = graft.functions.DebeziumCodec.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"qy$i")) % 1000L
+      (i, x, y)
+    } :+ (61L, 9000L, 9000L)
+    val got = SpatialOps.nearestNeighborGrid(prb.toDF("id", "x", "y"),
+        "id", "x", "y", fac.toDF("fid", "fx", "fy"), "fid", "fx", "fy", 200L)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val brute = prb.map { case (i, xi, yi) =>
+      val (d2, f) = fac.map { case (j, xj, yj) =>
+        ((xi - xj) * (xi - xj) + (yi - yj) * (yi - yj), j)
+      }.min
+      (i, f, d2)
+    }.sorted
+    assert(got === brute && got.size === prb.size)
+  }
+
+  test("nearestNeighborGrid: exact min-id tie across a cell boundary") {
+    // probe at x=200 (a cell edge, pitch 100) equidistant from facilities
+    // at 150 and 250 sitting in DIFFERENT cells: distance ties at 50² and
+    // the strict d2 < (r*cell)² resolve rule must still pick fid 1 —
+    // resolution happens only in the ring that has seen both
+    val prb = Seq((10L, 200L, 0L)).toDF("id", "x", "y")
+    val fac = Seq((2L, 250L, 0L), (1L, 150L, 0L)).toDF("fid", "fx", "fy")
+    val got = SpatialOps.nearestNeighborGrid(prb, "id", "x", "y",
+      fac, "fid", "fx", "fy", 100L).as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((10L, 1L, 2500L)))
+  }
+
+  test("nearestNeighborGrid: negative-plane probes bucket by exact floor") {
+    val prb = Seq((1L, -3L, -3L)).toDF("id", "x", "y")
+    val fac = Seq((7L, 3L, 3L), (8L, -500L, -500L)).toDF("fid", "fx", "fy")
+    val got = SpatialOps.nearestNeighborGrid(prb, "id", "x", "y",
+      fac, "fid", "fx", "fy", 100L).as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 7L, 72L)))
+  }
+
   // ---- benfordScreen -------------------------------------------------------
 
   test("benfordScreen: digit extraction, ppm shares, nonpositive exclusion") {

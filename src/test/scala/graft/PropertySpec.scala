@@ -299,7 +299,10 @@ class PropertySpec extends AnyFunSuite {
       var i = 0; var n = 0L
       while (i < w.length) {
         val step = (4 to 2 by -1).find(l =>
-          i + l <= w.length && sets(l)(w.substring(i, i + l))).getOrElse(1)
+          i + l <= w.length && sets(l)(w.substring(i, i + l))).getOrElse(
+          // codepoint semantics: an astral surrogate pair is ONE token
+          if (i + 1 < w.length && Character.isHighSurrogate(w.charAt(i)) &&
+            Character.isLowSurrogate(w.charAt(i + 1))) 2 else 1)
         i += step; n += 1
       }
       n
@@ -314,7 +317,11 @@ class PropertySpec extends AnyFunSuite {
     val textGen = Gen.choose(0, 12).flatMap(k => Gen.listOfN(k, wordGen).map(_.mkString(" ")))
     val texts = (0 until 300).flatMap(i =>
       textGen.apply(Gen.Parameters.default, Seed(i.toLong))) ++
-      Seq("", " ", "  ", "the", "thethe", "windowindow", "a  b", "sortsort")
+      Seq("", " ", "  ", "the", "thethe", "windowindow", "a  b", "sortsort",
+        // astral plane: emoji and a CJK-B ideograph count ONE token per
+        // codepoint (the oracle counts codepoints, not UTF-16 units)
+        "a😀b", "😀😀", "the😀",
+        "𝄞 sort 𪛖", "café😀")
     // 1) static counter matches the naive reference
     texts.foreach { t =>
       assert(Wordpiece.countTokens(
