@@ -5483,6 +5483,175 @@ FROM wp JOIN bt USING (doc_id) ORDER BY doc_id""")),
 ${nearDupGroupsCtesOver("docs3", 3)},
 cs AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS sz FROM grp GROUP BY 1)
 SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM cs GROUP BY sz ORDER BY sz""")),
+
+    ("q231_market_hhi", (s, d) =>
+      // supplier-market concentration per nation: the Herfindahl index
+      // over positive account balances, integer end-to-end — shares in
+      // exact permille (v·1000 div total), HHI = Σ share_pm², landing on
+      // the standard [0, 1e6] scale. Negative balances are debt, not
+      // market presence: filtered, documented. One aggregation + one
+      // nations-sized window; no float division anywhere
+      Tables.supplier(s, d)
+        .select(col("s_nationkey").as("nk"),
+          (d2(col("s_acctbal")) * 100).cast(LongType).as("cents"))
+        .filter(col("cents") > 0L)
+        .groupBy(col("nk"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("cents")).as("tot_cents"))
+        .join(Tables.supplier(s, d).select(col("s_nationkey").as("nk"),
+            (d2(col("s_acctbal")) * 100).cast(LongType).as("cents"))
+          .filter(col("cents") > 0L), Seq("nk"))
+        .withColumn("__pm", call_function("div", col("cents") * 1000L, col("tot_cents")))
+        .groupBy(col("nk"), col("n_supp"), col("tot_cents"))
+        .agg(sum(col("__pm") * col("__pm")).as("hhi"))
+        .join(Tables.nation(s, d).select(col("n_nationkey").as("nk"),
+          col("n_name").as("nation")), Seq("nk"))
+        .select(col("nation"), col("n_supp"), col("tot_cents"), col("hhi"))
+        .orderBy(col("nation")),
+      Some("""WITH sv AS (SELECT s_nationkey AS nk,
+  CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM supplier WHERE CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) > 0),
+t AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_supp, CAST(SUM(cents) AS BIGINT) AS tot_cents
+  FROM sv GROUP BY 1),
+h AS (SELECT sv.nk, CAST(SUM(((sv.cents * 1000) // t.tot_cents) * ((sv.cents * 1000) // t.tot_cents)) AS BIGINT) AS hhi
+  FROM sv JOIN t USING (nk) GROUP BY 1)
+SELECT n.n_name AS nation, t.n_supp, t.tot_cents, h.hhi
+FROM t JOIN h USING (nk) JOIN nation n ON n.n_nationkey = t.nk
+ORDER BY nation""")),
+
+    ("q232_weekly_autocorr", (s, d) => {
+      // demand-cadence memory: autocorrelation of the weekly event-count
+      // series at lags 1..4, in ppm — the "is last week predictive"
+      // readout behind q224's naive forecaster. Deviations use the
+      // TRUNCATED integer mean (x − Σx div n, identical both engines) so
+      // every product stays int64 far past sf100; denominator is the
+      // full-series sum of squares (the standard ACF normalization). The
+      // series is weeks-sized, so the lag joins are aggregate-sized
+      val wk = Tables.events(s, d)
+        .groupBy(call_function("div",
+          expr("ts_ns div 86400000000000"), lit(7L)).as("win"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint(false) // stats + both sides of the lag join
+      val st = wk.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val z = wk.crossJoin(broadcast(st))
+        .select(col("win"), (col("x") - call_function("div", col("sx"), col("n"))).as("z"))
+        .localCheckpoint(false)
+      val den = broadcast(z.agg(sum(col("z") * col("z")).as("__den")))
+      val lagged = z.select(col("win"), col("z"), explode(array(
+          lit(1L), lit(2L), lit(3L), lit(4L))).as("lag"))
+        .join(z.select((col("win")).as("w2"), col("z").as("z2")),
+          col("w2") === col("win") + col("lag"))
+      lagged.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("z") * col("z2")).as("__num"))
+        .crossJoin(den)
+        .select(col("lag"), col("n_pairs"),
+          when(col("__den") > 0L, call_function("div",
+            col("__num") * 1000000L, col("__den"))).otherwise(0L).as("acf_ppm"))
+        .orderBy(col("lag"))
+    },
+      Some("""WITH wk AS (SELECT (epoch_ns(ts) // 86400000000000) // 7 AS win,
+  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx FROM wk),
+z AS (SELECT win, x - (st.sx // st.n) AS z FROM wk, st),
+dn AS (SELECT CAST(SUM(z * z) AS BIGINT) AS den FROM z),
+lg AS (SELECT a.z AS za, b.z AS zb, k.lag FROM z a
+  JOIN (SELECT unnest([1, 2, 3, 4]) AS lag) k ON true
+  JOIN z b ON b.win = a.win + k.lag)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+  CASE WHEN dn.den > 0 THEN (CAST(SUM(za * zb) AS BIGINT) * 1000000) // dn.den ELSE 0 END AS acf_ppm
+FROM lg, dn GROUP BY lag, dn.den ORDER BY lag""")),
+
+    ("q233_vocab_hapax", (s, d) =>
+      // corpus lexical profile per language: vocabulary size, hapax
+      // legomena (words seen exactly once — the Zipf tail that dominates
+      // vocab growth and drives tokenizer <unk> pressure), and the hapax
+      // share in permille. One (lang, word) aggregation; the report is
+      // languages-sized
+      Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("f"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(col("f")).as("n_tokens"),
+          sum(when(col("f") === 1L, 1L).otherwise(0L)).as("hapax"))
+        .withColumn("hapax_permille",
+          call_function("div", col("hapax") * 1000L, col("vocab")))
+        .orderBy(col("lang")),
+      Some("""WITH wx AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+f AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS f FROM wx WHERE w != '' GROUP BY 1, 2)
+SELECT lang, CAST(count(*) AS BIGINT) AS vocab, CAST(SUM(f) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+  (CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000) // count(*) AS hapax_permille
+FROM f GROUP BY lang ORDER BY lang""")),
+
+    ("q234_ttr_histogram", (s, d) =>
+      // lexical-diversity distribution: per-document type-token ratio
+      // (distinct words / words, exact permille — row-local array math
+      // inside codegen) bucketed into deciles per language; the corpus-
+      // quality fingerprint that separates templated/boilerplate sources
+      // (low TTR mass) from natural text. Map-only until one small agg
+      Tables.documents(s, d)
+        .select(col("lang"), split(col("text"), " ").as("__w"))
+        .select(col("lang"), size(col("__w")).cast(LongType).as("n_words"),
+          size(array_distinct(col("__w"))).cast(LongType).as("n_types"))
+        .filter(col("n_words") > 0L)
+        .withColumn("__ttr_pm", call_function("div", col("n_types") * 1000L, col("n_words")))
+        .groupBy(col("lang"), call_function("div", col("__ttr_pm"), lit(100L)).as("decile"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("decile")),
+      Some("""WITH t AS (SELECT lang,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types
+  FROM documents),
+b AS (SELECT lang, ((n_types * 1000) // n_words) // 100 AS decile FROM t WHERE n_words > 0)
+SELECT lang, decile, CAST(count(*) AS BIGINT) AS n_docs
+FROM b GROUP BY 1, 2 ORDER BY lang, decile""")),
+
+    ("q235_seasonality_index", (s, d) =>
+      // calendar seasonality profile: order volume per priority ×
+      // month-of-year as an index vs the uniform month (n·12·1e6 div
+      // total, ppm — 1e6 = no seasonality), the classic seasonal-naive
+      // forecasting input. Distinct from q110's adjacent-period deltas:
+      // this folds ALL years onto the calendar. One aggregation + a
+      // priorities-sized window
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("priority"),
+          month(col("o_orderdate").cast("date")).cast(LongType).as("moy"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("index_ppm", call_function("div", col("n") * 12L * 1000000L,
+          sum(col("n")).over(Window.partitionBy(col("priority")))))
+        .orderBy(col("priority"), col("moy")),
+      Some("""WITH g AS (SELECT o_orderpriority AS priority,
+  CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS moy,
+  CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2)
+SELECT priority, moy, n,
+  (n * 12 * 1000000) // CAST(SUM(n) OVER (PARTITION BY priority) AS BIGINT) AS index_ppm
+FROM g ORDER BY priority, moy""")),
+
+    ("q236_sequential_patterns", (s, d) =>
+      // sequential-pattern mining, level 2 (GSP/PrefixSpan): support of
+      // every ordered event-type pair as a non-adjacent subsequence of
+      // the user's first-8-step journey — the ordered counterpart of
+      // q200's unordered basket triples and q89's adjacent transitions
+      // ("error somewhere after purchase" != "error right after
+      // purchase"). Pair explode is C(8,2)-bounded per user, set
+      // semantics per key
+      graft.operators.TemporalOps.sequentialPairSupport(
+        Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
+        "user_id", "event_type", "ts_us", "event_id", 8, 2L)
+        .orderBy(col("support").desc, col("a"), col("b")),
+      Some("""WITH t AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+r AS (SELECT user_id, event_type,
+  row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rk FROM t),
+p AS (SELECT user_id, list(event_type ORDER BY rk) AS it FROM r WHERE rk <= 8 GROUP BY 1),
+pr AS (SELECT user_id, unnest(list_distinct(flatten(
+    list_transform(range(1, greatest(len(it) - 1, 0) + 1),
+      i -> list_transform(range(i + 1, len(it) + 1), j -> it[i] || '|' || it[j]))))) AS pab
+  FROM p WHERE len(it) >= 2),
+sup AS (SELECT string_split(pab, '|')[1] AS a, string_split(pab, '|')[2] AS b,
+  CAST(count(*) AS BIGINT) AS support
+  FROM pr GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT a, b, support FROM sup ORDER BY support DESC, a, b""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge

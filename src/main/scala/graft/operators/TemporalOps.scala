@@ -197,6 +197,47 @@ object TemporalOps {
     * cum-quantity blocks (both sides cut at the same block boundaries)
     * to bound the per-task pair enumeration.
     */
+  /** Sequential-pattern support at level 2 (the ordered-pair core of
+    * GSP / PrefixSpan — Srikant & Agrawal 1996, Pei et al. 2001): how
+    * many sequences contain each ordered item pair (a, b) as a NOT
+    * necessarily adjacent subsequence. Per key, the first `maxLen` items
+    * in (orderCol, tieCol) order form the sequence; a key supports
+    * (a, b) iff some i < j has item_i = a and item_j = b, counted ONCE
+    * per key (set semantics — the sequential-pattern definition, distinct
+    * from adjacent-bigram transition counts and from unordered basket
+    * co-occurrence). Output: (a, b, support) with support >= minSupport.
+    *
+    * Scale shape: the ordered-pair explode is C(maxLen, 2)-bounded per
+    * key (28 at maxLen 8) and entirely row-local array arithmetic inside
+    * codegen; the shuffles are the per-key collect and one (a, b) count
+    * aggregation. Level-3+ mining repeats the same shape with the
+    * surviving pairs as prefixes (candidate-join discipline), never an
+    * unbounded subsequence enumeration.
+    */
+  def sequentialPairSupport(df: DataFrame, keyCol: String, itemCol: String,
+                            orderCol: String, tieCol: String,
+                            maxLen: Int = 8, minSupport: Long = 2L): DataFrame = {
+    require(maxLen >= 2 && maxLen <= 64,
+      s"pair explode is C(maxLen,2) per key; supported maxLen is 2..64, got $maxLen")
+    val seqs = df.groupBy(col(keyCol))
+      .agg(transform(slice(array_sort(collect_list(
+          struct(col(orderCol), col(tieCol), col(itemCol).as("__it")))), 1, maxLen),
+        x => x.getField("__it")).as("__items"))
+    val n = size(col("__items"))
+    // sequence(a, b) DESCENDS when a > b — filtering n < 2 keys (they
+    // support nothing) keeps the outer range from generating [1, 0] and
+    // inventing reversed pairs, and stays item-type-agnostic
+    val prs = flatten(transform(sequence(lit(1), n - 1), i =>
+      transform(sequence(i + 1, n), j =>
+        struct(element_at(col("__items"), i).as("a"),
+          element_at(col("__items"), j).as("b")))))
+    seqs.filter(n >= 2)
+      .select(col(keyCol), explode(array_distinct(prs)).as("__p"))
+      .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
   def fifoMatch(supply: DataFrame, demand: DataFrame, keyCol: String,
                 idCol: String, qtyCol: String, ordCol: String,
                 tieCol: String): DataFrame = {

@@ -50,6 +50,37 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got === Seq((1L, 2L, 2L)))
   }
 
+  test("sequentialPairSupport: equals brute-force subsequence containment") {
+    import graft.operators.TemporalOps
+    // hash-scattered event streams over a 4-item alphabet, uneven lengths
+    val rows = (1L to 30L).flatMap { u =>
+      val h = graft.functions.DebeziumCodec.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"sq$u"))
+      val len = 1 + (h % 10L).toInt // 1..10 events, some beyond maxLen 8
+      (0 until len).map(i => (u, s"e${(h >> (i * 2)) & 3L}", i.toLong, i.toLong))
+    }
+    val got = TemporalOps.sequentialPairSupport(
+        rows.toDF("u", "it", "ord", "tie"), "u", "it", "ord", "tie", 8, 1L)
+      .as[(String, String, Long)].collect().toSeq.sorted
+    val brute = rows.groupBy(_._1).values.map { evs =>
+      val seq8 = evs.sortBy(e => (e._3, e._4)).map(_._2).take(8)
+      (for { i <- seq8.indices; j <- (i + 1) until seq8.length }
+        yield (seq8(i), seq8(j))).toSet
+    }.toSeq.flatten.groupBy(identity).map { case (p, hits) =>
+      (p._1, p._2, hits.size.toLong)
+    }.toSeq.sorted
+    assert(got === brute && brute.nonEmpty)
+    // set semantics: a user repeating (a, b) twice still counts once —
+    // pinned via a hand fixture
+    val fix = Seq((1L, "a", 0L), (1L, "b", 1L), (1L, "a", 2L), (1L, "b", 3L),
+      (2L, "a", 0L), (2L, "b", 1L))
+    val got2 = TemporalOps.sequentialPairSupport(
+        fix.map(t => (t._1, t._2, t._3, t._3)).toDF("u", "it", "ord", "tie"),
+        "u", "it", "ord", "tie", 8, 2L)
+      .as[(String, String, Long)].collect().toSeq.sorted
+    assert(got2 === Seq(("a", "b", 2L))) // never 3, never (b, a) at 2
+  }
+
   test("fastSsPairs: strings past maxLen fail loudly, never lose recall") {
     val df = Seq((1L, "abcdefghi"), (2L, "abcdefgh")).toDF("id", "s")
     val e = intercept[Exception] {
