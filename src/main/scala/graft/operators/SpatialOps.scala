@@ -109,12 +109,7 @@ object SpatialOps {
       (col("y") - col("by")) * (col("y") - col("by"))
     var resolved: DataFrame = null
     for (r <- rings) {
-      val offs = array((-r to r).map(o => lit(o.toLong)): _*)
-      val cand = unresolved
-        .withColumn("__ox", explode(offs))
-        .withColumn("__oy", explode(offs))
-        .join(b, col("cx") + col("__ox") === col("bcx") &&
-          col("cy") + col("__oy") === col("bcy"))
+      val cand = ringCandidates(unresolved, b, r)
       val best = cand.groupBy(col("id"))
         .agg(min(struct(d2.as("d2"), col("nid"))).as("__m"))
       val done = best.filter(col("__m.d2") < lit(r * cell) * lit(r * cell))
@@ -133,5 +128,33 @@ object SpatialOps {
       .agg(min(struct(d2.as("d2"), col("nid"))).as("__m"))
       .select(col("id"), col("__m.nid").as("nid"), col("__m.d2").as("dist2"))
     resolved.union(brute)
+  }
+
+  /** One phase's candidate relation: the unresolved probes' (2r+1)²
+    * neighborhood equi-joined to build cells. Factored out so the plan
+    * probe below explains the SAME join the operator runs.
+    */
+  private def ringCandidates(unresolved: DataFrame, b: DataFrame, r: Int): DataFrame = {
+    val offs = array((-r to r).map(o => lit(o.toLong)): _*)
+    unresolved
+      .withColumn("__ox", explode(offs))
+      .withColumn("__oy", explode(offs))
+      .join(b, col("cx") + col("__ox") === col("bcx") &&
+        col("cy") + col("__oy") === col("bcy"))
+  }
+
+  /** Test-only plan probe: the phase-1 candidate join's physical plan
+    * over a tiny fixture, explained BEFORE the per-phase lineage barrier
+    * (localCheckpoint → Scan ExistingRDD) hides it — PlanSpec pins that
+    * ring candidates form a hash equi-join on cells, never a cartesian.
+    */
+  private[graft] def nearestNeighborGridPlanProbe(
+      spark: org.apache.spark.sql.SparkSession): String = {
+    import spark.implicits._
+    val u = Seq((1L, 10L, 10L, 0L, 0L), (2L, 510L, 510L, 5L, 5L))
+      .toDF("id", "x", "y", "cx", "cy")
+    val b = Seq((7L, 20L, 20L, 0L, 0L)).toDF("nid", "bx", "by", "bcx", "bcy")
+    ringCandidates(u, b, 1).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 }

@@ -444,6 +444,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q222: FastSS candidate join is a variant equi-join — no blocked self-join scan") {
+    val p = plan("q222_behavior_similarity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    // the verify runs on candidates: levenshtein must sit ABOVE a hash
+    // join keyed on the deletion variant, never in a join condition that
+    // enumerates an entry block
+    assert(p.contains("levenshtein"))
+  }
+
+  test("q205: nearest-facility is grid equi-joins + residual — the round-8 cross join is gone") {
+    val p = plan("q205_nearest_facility")
+    // exactly ONE cartesian source survives: the residual brute fallback
+    // over probes the rings left behind (empty at any healthy pitch);
+    // the ring probes themselves must be hash equi-joins on cells.
+    // Count operator HEADERS — formatted explain prints each operator in
+    // the tree and again in the details section
+    val cart = """\(\d+\) (CartesianProduct|BroadcastNestedLoopJoin)""".r
+      .findAllIn(p).size
+    assert(cart <= 1, s"expected at most the residual fallback, got $cart:\n" + p)
+    // the ring phases themselves sit behind per-phase lineage barriers
+    // (Scan ExistingRDD) — what must be visible is the union of the three
+    // ring resolutions plus the residual branch, and the one surviving
+    // cartesian feeding ONLY the residual argmin aggregate, never the sort
+    assert(p.contains("Union"), p)
+    val ringJoins = graft.operators.SpatialOps.nearestNeighborGridPlanProbe(spark)
+    assert(!ringJoins.contains("CartesianProduct") &&
+      !ringJoins.contains("BroadcastNestedLoopJoin"),
+      "ring candidate join must be an equi-join:\n" + ringJoins)
+    assert(ringJoins.contains("BroadcastHashJoin") ||
+      ringJoins.contains("SortMergeJoin") || ringJoins.contains("ShuffledHashJoin"),
+      ringJoins)
+  }
+
   test("q178: quantile normalization never forms an unpartitioned window") {
     val df = SparkEntry.queries("q178_quantile_normalize")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
