@@ -5652,6 +5652,26 @@ sup AS (SELECT string_split(pab, '|')[1] AS a, string_split(pab, '|')[2] AS b,
   CAST(count(*) AS BIGINT) AS support
   FROM pr GROUP BY 1, 2 HAVING count(*) >= 2)
 SELECT a, b, support FROM sup ORDER BY support DESC, a, b""")),
+
+    ("q237_hard_negatives", (s, d) =>
+      // contrastive-training negative mining: per query, the 5 MOST
+      // similar candidates BELOW the near-dup threshold (q31's tau=0.45
+      // corpus convention) — the closest-non-positive band where the
+      // gradient signal lives; differs from q24's raw top-k exactly where
+      // a query has candidates in the dup band (query 7 at this fixture)
+      graft.operators.SimilarityOps.hardNegativeTopK(
+        Tables.embeddings(s, d), "vec_id", "embedding", col("vec_id") < 8, 5, 0.45)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy(col("q_id"), col("rank")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+pairs AS (SELECT q_id, e.vec_id AS neighbor_id,
+  floor(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) * 10000.0) / 10000.0 AS sim
+  FROM q JOIN e ON e.vec_id != q.q_id)
+SELECT q_id, neighbor_id, sim, rank FROM
+(SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank
+ FROM pairs WHERE sim < 0.45)
+WHERE rank <= 5 ORDER BY q_id, rank""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge

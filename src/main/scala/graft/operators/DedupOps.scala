@@ -1112,11 +1112,10 @@ object DedupOps {
     val rmPath = new org.apache.hadoop.fs.Path(s"$path/removed")
     val fs = rmPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(rmPath)) {
-      val kept = spark.read.parquet(s"$path/removed").distinct()
+      rewriteViaTmp(spark.read.parquet(s"$path/removed").distinct()
         .join(batch.select(col(idCol).cast("long").as("id")).distinct(),
-          Seq("id"), "left_anti")
-        .localCheckpoint(true) // materialize BEFORE overwriting the source
-      kept.write.mode("overwrite").parquet(s"$path/removed")
+          Seq("id"), "left_anti"),
+        s"$path/removed")
     }
     val corpusSigs = dedupGraphSigs(spark, path) // takedowns excluded
     val batchSigs = simhashFp30(batch, idCol, textCol)
@@ -1168,8 +1167,9 @@ object DedupOps {
     * Physical bytes: sigs/pairs keep the tombstoned rows until
     * [[compactDedupGraph]] rewrites them (storage reclaim is a separate,
     * schedulable concern — the semantic removal is complete after this
-    * call). The components overwrite eagerly materializes first
-    * (checkpoint) because its plan reads the same files it replaces.
+    * call). The components rewrite stages through a tmp sibling
+    * ([[rewriteViaTmp]]) because its plan reads the files it replaces —
+    * bounded memory at any corpus size, re-runnable on any crash.
     */
   def removeFromDedupGraph(remove: DataFrame, idCol: String,
                            path: String): Unit = {
@@ -1195,24 +1195,40 @@ object DedupOps {
     val repaired = nearDupGroupsStar(members, "id", subPairs)
     val untouched = comps.join(affected, Seq("canonical_id"), "left_anti")
       .join(rm, Seq("id"), "left_anti") // stale tombstones from a replay
-    untouched.select(col("id"), col("canonical_id"))
-      .unionByName(repaired.select(col("id"), col("canonical_id")))
-      .localCheckpoint(true) // materialize BEFORE overwriting the source
-      .write.mode("overwrite").parquet(s"$path/components")
+    rewriteViaTmp(untouched.select(col("id"), col("canonical_id"))
+      .unionByName(repaired.select(col("id"), col("canonical_id"))),
+      s"$path/components")
+  }
+
+  /** Rewrite `target` from a plan that READS `target`: stage to a tmp
+    * sibling first, then copy tmp → target, then drop tmp. Bounded
+    * executor memory at any relation size (unlike an eager in-memory
+    * checkpoint of a corpus-sized frame). Crash windows: during the tmp
+    * write the target is untouched; during the target overwrite the
+    * caller's operation is idempotent by contract, so recovery = re-run.
+    */
+  private def rewriteViaTmp(df: DataFrame, target: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = target + "__rewrite"
+    df.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(target)
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
     ()
   }
 
   /** Physical compaction of a [[buildDedupGraph]] artifact: rewrite
     * sigs/pairs without tombstoned rows and clear the tombstone log —
     * the storage-reclaim half of [[removeFromDedupGraph]], schedulable
-    * whenever (semantics never depend on it). Each rewrite eagerly
-    * materializes before overwriting its own source files.
+    * whenever (semantics never depend on it). Rewrites stage through a
+    * tmp sibling ([[rewriteViaTmp]]) so executor memory stays bounded at
+    * any corpus size; the tombstone log is deleted LAST, so a crash
+    * mid-compaction only leaves already-excluded rows for the re-run.
     */
   def compactDedupGraph(spark: SparkSession, path: String): Unit = {
-    val sigs = dedupGraphSigs(spark, path).localCheckpoint(true)
-    sigs.write.mode("overwrite").parquet(s"$path/sigs")
-    val pairs = dedupGraphPairs(spark, path).localCheckpoint(true)
-    pairs.write.mode("overwrite").parquet(s"$path/pairs")
+    rewriteViaTmp(dedupGraphSigs(spark, path), s"$path/sigs")
+    rewriteViaTmp(dedupGraphPairs(spark, path), s"$path/pairs")
     val p = new org.apache.hadoop.fs.Path(s"$path/removed")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) { fs.delete(p, true); () }

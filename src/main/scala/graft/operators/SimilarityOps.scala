@@ -51,6 +51,39 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * negative-sampling step): for each query, the k HIGHEST-similarity
+    * candidates that are NOT near-duplicates (floored sim < dupTau) — the
+    * closest-non-positive band where contrastive gradients carry the most
+    * signal; sampling uniformly instead is the classic easy-negative
+    * mistake. The dup screen runs BEFORE ranking, so a query surrounded
+    * by duplicates still yields k true negatives.
+    *
+    * Scale shape: identical to [[cosineTopK]] — query batch broadcast,
+    * candidate corpus streams (never shuffled), group-partitioned rank
+    * window; the dup exclusion is the same row-local floored-cosine
+    * compare, so no join against a dup-pair relation is needed (the
+    * exclusion criterion IS the similarity threshold, mirroring
+    * [[cosineNearDupPairs]]'s tau convention).
+    */
+  def hardNegativeTopK(emb: DataFrame, idCol: String, vecCol: String,
+                       queryPred: Column, k: Int, dupTau: Double,
+                       roundDigits: Int = 4): DataFrame = {
+    val base = emb.withColumn("__is_q", queryPred)
+      .select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"), col("__is_q"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val q = base.filter(col("__is_q"))
+      .select(col("vid").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val joined = base.drop("__is_q").join(broadcast(q), col("vid") =!= col("q_id"))
+    val factor = math.pow(10, roundDigits)
+    val sim = floor(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * factor) / factor
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    joined.select(col("q_id"), col("vid").as("neighbor_id"), sim.as("sim"))
+      .filter(col("sim") < dupTau)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs with similarity >=
     * tau (quantized with engine-stable floor). Exact all-pairs at a low
     * threshold is inherently O(n^2) *compute* — no metric pruning exists at

@@ -100,6 +100,38 @@ object StatefulOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Watermarked STREAM-STREAM interval join — the attribution primitive
+    * (purchase within `horizon` after its click) as Spark's native
+    * stream-stream inner join, the one Structured Streaming capability
+    * the pipeline's other operators don't exercise. Both sides carry
+    * watermarks and the join condition bounds purchase time to
+    * [click_time, click_time + horizon], so Spark derives a state
+    * eviction bound for BOTH sides (an unbounded-condition stream-stream
+    * join would buffer forever — the classic production incident).
+    * Output: one row per (click, purchase) pair inside the horizon;
+    * events later than their side's watermark drop, exactly like the
+    * batch interval join they mirror (`IntervalOps`).
+    *
+    * Scale shape: state per key is horizon-bounded on both sides; the
+    * join is key-partitioned (equi on the join key + range on time), so
+    * it shards like any keyed stream at 1000 executors.
+    */
+  def streamIntervalJoin(clicks: DataFrame, purchases: DataFrame,
+                         keyCol: String, clickTsCol: String,
+                         purchaseTsCol: String,
+                         horizon: String = "1 hour",
+                         watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(clicks.columns.intersect(purchases.columns).toSeq == Seq(keyCol),
+      "sides may share ONLY the join key column; rename the rest upstream")
+    val c = clicks.withWatermark(clickTsCol, watermarkDelay)
+    val p = purchases.withWatermark(purchaseTsCol, watermarkDelay)
+      .withColumnRenamed(keyCol, "__pkey")
+    c.join(p, col(keyCol) === col("__pkey") &&
+        col(purchaseTsCol) >= col(clickTsCol) &&
+        col(purchaseTsCol) <= col(clickTsCol) + expr(s"INTERVAL $horizon"))
+      .drop("__pkey")
+  }
+
   /** Streaming exact-dedup admission for corpus ingestion — the streaming
     * counterpart of DedupOps.exactNewDocuments: exactly ONE document per
     * content hash within the watermark horizon passes. Across batches the
@@ -798,6 +830,67 @@ object StatefulOps {
     import spark.implicits._
     ds.groupByKey(_.key)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(hllUpdate)
+  }
+
+  /** One item occurrence entering the heavy-hitter tracker. */
+  case class HHEvent(key: String, item: String)
+
+  /** One tracked counter: cnt overcounts the truth by at most err. */
+  case class HHReadout(key: String, item: String, cnt: Long, err: Long)
+
+  private[graft] case class HHState(items: Map[String, (Long, Long)], n: Long)
+
+  /** Deterministic batched SpaceSaving (Metwally et al. 2005): at most
+    * `capacity` (item -> count, err) counters per key, forever. A batch
+    * folds in as per-item deltas processed in SORTED item order — the
+    * one-occurrence-at-a-time original is arrival-order-sensitive, which
+    * no replayable pipeline can accept; the sorted-fold variant keeps the
+    * SpaceSaving guarantees (any item with true count > N/capacity is
+    * tracked; tracked cnt overcounts by at most err <= min-counter at
+    * insertion) while giving bit-identical state for any batch replay
+    * order. Eviction: smallest count, ties to the LARGEST item string
+    * (so re-inserted small items churn deterministically).
+    *
+    * Scale shape: state is capacity-bounded per key — the streaming
+    * frequency primitive when per-key item domains are unbounded at
+    * 100 TB (top URLs per source, top SKUs per region). The batch twin
+    * for under-capacity keys is a plain groupBy count, which the spec
+    * pins across batch splits and replays of DISTINCT batches.
+    */
+  private def hhUpdate(capacity: Int)(key: String, rows: Iterator[HHEvent],
+                                      state: GroupState[HHState])
+      : Iterator[HHReadout] = {
+    var st = state.getOption.getOrElse(HHState(Map.empty, 0L))
+    var items = st.items
+    var n = st.n
+    val deltas = rows.toVector.groupBy(_.item).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    deltas.foreach { case (it, c) =>
+      n += c
+      items.get(it) match {
+        case Some((cnt, err)) => items = items.updated(it, (cnt + c, err))
+        case None if items.size < capacity => items = items.updated(it, (c, 0L))
+        case None =>
+          // evict min count, ties to the LARGEST item string
+          val minC = items.valuesIterator.map(_._1).min
+          val victim = items.collect { case (i, (c0, _)) if c0 == minC => i }.max
+          items = (items - victim).updated(it, (minC + c, minC))
+      }
+    }
+    st = HHState(items, n)
+    state.update(st)
+    items.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.iterator
+      .map { case (i, (c, e)) => HHReadout(key, i, c, e) }
+  }
+
+  def streamingHeavyHitters(ds: Dataset[HHEvent], capacity: Int)
+      : Dataset[HHReadout] = {
+    require(capacity >= 1, s"need capacity >= 1, got $capacity")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        hhUpdate(capacity))
   }
 
   val UpdateMode: OutputMode = OutputMode.Update()

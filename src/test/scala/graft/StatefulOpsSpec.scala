@@ -257,6 +257,108 @@ class StatefulOpsSpec extends AnyFunSuite {
     q2.processAllAvailable()
     q2.stop()
     assert(admitted2.toSeq == Seq(9L), admitted2.toSeq.toString)
+
+    // takedown composes with admission: doc 100 (whose signature was the
+    // ONLY thing blocking X-content) is removed — its tombstone must stop
+    // it from black-holing future arrivals of that content, and the
+    // re-arrival is admitted through the normal probe
+    DedupOps.removeFromDedupGraph(Seq(100L).toDF("doc_id"), "doc_id", dir)
+    val admitted3 = scala.collection.mutable.ArrayBuffer[Long]()
+    val ms3 = MemoryStream[(Long, String)]
+    val q3 = StatefulOps.streamingNearDupAdmission(
+      ms3.toDF().toDF("doc_id", "text"), "doc_id", "text", dir) { (adm, _) =>
+        admitted3 ++= adm.collect().map(_.getAs[Long]("doc_id"))
+        ()
+      }.start()
+    ms3.addData((10L, tX), (11L, tY)) // tY still blocked by admission 2
+    q3.processAllAvailable()
+    q3.stop()
+    assert(admitted3.toSeq == Seq(10L), admitted3.toSeq.toString)
+    val compIds3 = DedupOps.dedupGraphComponents(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(compIds3 == Set(2L, 4L, 6L, 9L, 10L), compIds3.toString)
+  }
+
+  test("streamIntervalJoin: horizon-bounded stream-stream pairs, watermark drops the straggler") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val clicks = MemoryStream[(String, Timestamp, Long)]
+    val purchases = MemoryStream[(String, Timestamp, Long)]
+    val out = StatefulOps.streamIntervalJoin(
+      clicks.toDF().toDF("user", "click_ts", "click_id"),
+      purchases.toDF().toDF("user", "purchase_ts", "purchase_id"),
+      "user", "click_ts", "purchase_ts", "1 hour", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    // u1: purchase 30 min after click -> pair; purchase 90 min after -> out
+    // of horizon; u2: purchase BEFORE its click -> no pair
+    clicks.addData(("u1", ts(0), 1L), ("u2", ts(50), 2L))
+    purchases.addData(("u1", ts(30), 100L), ("u1", ts(90), 101L), ("u2", ts(40), 102L))
+    q.processAllAvailable()
+    // advance both watermarks far past the horizon, then send a straggler
+    // click at ts(5): its side's watermark has moved on -> dropped, so the
+    // in-horizon purchase at ts(30) must NOT gain a second attribution
+    clicks.addData(("u9", ts(400), 9L))
+    purchases.addData(("u9", ts(401), 900L))
+    q.processAllAvailable()
+    clicks.addData(("u1", ts(5), 3L))
+    purchases.addData(("u1", ts(402), 903L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_out")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((1L, 100L), (9L, 900L)), rows.toString)
+  }
+
+  test("streamingHeavyHitters: exact under capacity, SpaceSaving bounds past it") {
+    implicit val sqlCtx = spark.sqlContext
+    import StatefulOps.{HHEvent, HHReadout}
+    val runIdx = new java.util.concurrent.atomic.AtomicInteger(0)
+    def run(capacity: Int, batches: Seq[Seq[HHEvent]]): Seq[HHReadout] = {
+      val ms = MemoryStream[HHEvent]
+      val name = s"hh_out_${capacity}_${runIdx.incrementAndGet()}"
+      val q = StatefulOps.streamingHeavyHitters(ms.toDS(), capacity)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      // final readout per (key, item): the last batch's emission
+      import spark.implicits._
+      spark.table(name).as[HHReadout].collect().toSeq
+    }
+    def occ(key: String, s: String): Seq[HHEvent] =
+      s.split(" ").toSeq.map(HHEvent(key, _))
+    // under capacity: end-state counts equal a plain groupBy count even
+    // across a mid-key batch split, err stays 0
+    val small = run(8, Seq(occ("k", "a a b c"), occ("k", "b a c c c")))
+    val last = small.groupBy(r => (r.key, r.item))
+      .map { case (_, rs) => rs.maxBy(_.cnt) }.toSeq
+    assert(last.map(r => (r.item, r.cnt, r.err)).toSet ===
+      Set(("a", 3L, 0L), ("b", 2L, 0L), ("c", 4L, 0L)))
+    // past capacity: state stays capacity-bounded, every item with true
+    // count > N/capacity is tracked, and cnt overcounts by at most err
+    val truth = Map("x" -> 6L, "y" -> 4L, "z" -> 2L, "w" -> 1L)
+    val stream = occ("k", "x x x y y z x w x y z x y")
+    val big = run(2, Seq(stream.take(7), stream.drop(7)))
+    val fin = big.groupBy(_.item).map { case (_, rs) => rs.maxBy(_.cnt) }.toSeq
+      .sortBy(-_.cnt)
+    assert(fin.size <= 2, fin.toString)
+    val n = truth.values.sum
+    truth.filter(_._2 > n / 2).keys.foreach { hot =>
+      assert(fin.exists(_.item == hot), s"guarantee broken: $hot missing from $fin")
+    }
+    fin.foreach { r =>
+      assert(r.cnt >= truth(r.item) && r.cnt - r.err <= truth(r.item),
+        s"count bounds broken for $r (truth ${truth(r.item)})")
+    }
+    // deterministic replay: re-running the identical batches from scratch
+    // yields the identical final state (the sorted-fold contract)
+    val big2 = run(2, Seq(stream.take(7), stream.drop(7)))
+    val fin2 = big2.groupBy(_.item).map { case (_, rs) => rs.maxBy(_.cnt) }.toSeq
+      .sortBy(-_.cnt)
+    assert(fin.map(r => (r.item, r.cnt, r.err)) === fin2.map(r => (r.item, r.cnt, r.err)))
   }
 
   test("rateLimitStream: event-time token bucket — burst, starvation, refill, cross-batch state") {
