@@ -5672,6 +5672,182 @@ SELECT q_id, neighbor_id, sim, rank FROM
 (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank
  FROM pairs WHERE sim < 0.45)
 WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    ("q238_k_anonymity", (s, d) => {
+      // privacy release gate: k-anonymity + l-diversity census across a
+      // generalization ladder for customer quasi-identifiers — level 0
+      // (nation, segment), level 1 (region, segment), level 2 (segment) —
+      // with $1000 account-balance bands as the sensitive attribute. ONE
+      // grouping-sets pass computes all three levels (Expand replicates
+      // map-side; the shuffle keys on the QI domain, not the row count)
+      val cust = Tables.customer(s, d).join(
+        broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n_regionkey"),
+          col("c_mktsegment").as("seg"),
+          // shift cents positive before the band div so integer division
+          // semantics (trunc vs floor) can't diverge between engines
+          call_function("div",
+            (d2(col("c_acctbal")) * 100).cast(LongType) + 100000L,
+            lit(100000L)).as("band"))
+      graft.operators.PrivacyOps.anonymityLadder(cust,
+        Seq(Seq("n_name", "seg"), Seq("n_regionkey", "seg"), Seq("seg")),
+        "band", 10L)
+    },
+      Some("""WITH j AS (SELECT n_name, n_regionkey, c_mktsegment AS seg,
+  (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000) // 100000 AS band
+  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+g AS (SELECT CASE WHEN GROUPING(n_name) = 0 THEN CAST(0 AS BIGINT)
+    WHEN GROUPING(n_regionkey) = 0 THEN 1 ELSE 2 END AS level,
+  CAST(count(*) AS BIGINT) AS cnt, CAST(count(DISTINCT band) AS BIGINT) AS nl
+  FROM j GROUP BY GROUPING SETS ((n_name, seg), (n_regionkey, seg), (seg))),
+SELECTED AS (SELECT level, CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(min(cnt) AS BIGINT) AS min_k,
+  CAST(SUM(CASE WHEN cnt < 10 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_k,
+  CAST(SUM(CASE WHEN cnt < 10 THEN cnt ELSE 0 END) AS BIGINT) AS rows_at_risk,
+  CAST(min(nl) AS BIGINT) AS min_l
+  FROM g GROUP BY 1)
+SELECT * FROM SELECTED ORDER BY level""")),
+
+    ("q239_grouping_sets", (s, d) =>
+      // arbitrary GROUPING SETS with a grouping-id discriminator — the
+      // relational surface rollup (q13) and cube (q37) can't express:
+      // (returnflag, linestatus), (linestatus), and the grand total in one
+      // pass; NULL keys coalesced to 'ALL' so the three strata are
+      // self-describing. One Expand + one shuffle on the tiny key domain
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg((grouping(col("l_returnflag")) * 2 +
+          grouping(col("l_linestatus"))).cast(LongType).as("gid"),
+          (sum(d2(col("l_extendedprice")) * (one - d2(col("l_discount"))))
+            * 10000).cast(LongType).as("revenue_c4"),
+          count(lit(1)).as("n"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("revenue_c4"), col("n"))
+        .orderBy(col("gid"), col("rf"), col("ls")),
+      Some("""SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+  COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+    (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS revenue_c4,
+  CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+ORDER BY gid, rf, ls""")),
+
+    ("q240_golden_record", (s, d) => {
+      // MDM survivorship over q173's linkage decisions: master + linked
+      // CRM rows collapse to one golden record per cluster — longest
+      // string repairs the %7 name truncation, majority-with-smallest-tie
+      // repairs the %11 UNKNOWN segment, latest-source-wins takes the CRM
+      // balance (freshness beats the master even when off by a cent —
+      // the documented freshness/accuracy tradeoff). Unlinked CRM rows
+      // survive as singleton golden records
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"),
+        (d2(col("c_acctbal")) * 100).cast(LongType).as("c_cents"),
+        col("c_mktsegment"))
+      val crm = Tables.customer(s, d).select(
+        (col("c_custkey") + 100000L).as("crm_id"),
+        when(pmod(col("c_custkey"), lit(7)) === 0,
+          expr("substring(c_name, 1, length(c_name) - 1)"))
+          .otherwise(col("c_name")).as("crm_name"),
+        col("c_nationkey"),
+        ((d2(col("c_acctbal")) * 100).cast(LongType) +
+          when(pmod(col("c_custkey"), lit(5)) === 0, 1L).otherwise(0L)).as("crm_cents"),
+        when(pmod(col("c_custkey"), lit(11)) === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("crm_seg"))
+      val pairs = graft.operators.LinkageOps.linkPairs(cust, crm, "c_nationkey", Seq(
+        graft.operators.LinkageOps.Agreement("name",
+          col("c_name") === col("crm_name"), 20L, -10L),
+        graft.operators.LinkageOps.Agreement("bal",
+          col("c_cents") === col("crm_cents"), 12L, -4L),
+        graft.operators.LinkageOps.Agreement("seg",
+          col("c_mktsegment") === col("crm_seg"), 8L, -4L)),
+        10L, 35L)
+        .select(col("c_custkey"), col("crm_id"))
+      val recs = cust.select(col("c_custkey").as("cluster"),
+          col("c_custkey").as("rid"), lit(1L).as("recency"),
+          col("c_name").as("name"), col("c_cents").as("cents"),
+          col("c_mktsegment").as("seg"))
+        .unionByName(crm.join(pairs, Seq("crm_id"), "left")
+          .select(coalesce(col("c_custkey"), col("crm_id")).as("cluster"),
+            col("crm_id").as("rid"), lit(2L).as("recency"),
+            col("crm_name").as("name"), col("crm_cents").as("cents"),
+            col("crm_seg").as("seg")))
+      graft.operators.LinkageOps.goldenRecord(recs, "cluster", Seq(
+        graft.operators.LinkageOps.Longest("name", "name"),
+        graft.operators.LinkageOps.LatestBy("cents", "recency", "rid", "cents"),
+        graft.operators.LinkageOps.Majority("seg", "seg")))
+        .select(col("cluster"), col("n_members"), col("name"), col("cents"),
+          col("seg"))
+        .orderBy(col("cluster"))
+    },
+      Some("""WITH cust AS (SELECT c_custkey, c_name, c_nationkey,
+  CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS c_cents, c_mktsegment FROM customer),
+crm AS (SELECT c_custkey + 100000 AS crm_id,
+  CASE WHEN c_custkey % 7 = 0 THEN substring(c_name, 1, length(c_name) - 1) ELSE c_name END AS crm_name,
+  c_nationkey,
+  CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+    + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS crm_cents,
+  CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS crm_seg FROM customer),
+pairs AS (SELECT cust.c_custkey, crm.crm_id FROM cust JOIN crm USING (c_nationkey)
+  WHERE CASE WHEN c_name = crm_name THEN 20 ELSE -10 END
+    + CASE WHEN c_cents = crm_cents THEN 12 ELSE -4 END
+    + CASE WHEN c_mktsegment = crm_seg THEN 8 ELSE -4 END >= 10),
+recs AS (
+  SELECT c_custkey AS cluster, c_custkey AS rid, 1 AS recency,
+    c_name AS name, c_cents AS cents, c_mktsegment AS seg FROM cust
+  UNION ALL
+  SELECT COALESCE(p.c_custkey, m.crm_id), m.crm_id, 2, m.crm_name, m.crm_cents, m.crm_seg
+  FROM crm m LEFT JOIN pairs p ON p.crm_id = m.crm_id),
+g1 AS (SELECT cluster, name,
+  ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY length(name) DESC, name) AS rn FROM recs),
+g2 AS (SELECT cluster, cents,
+  ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY recency DESC, rid) AS rn FROM recs),
+vc AS (SELECT cluster, seg, count(*) AS vn FROM recs GROUP BY 1, 2),
+g3 AS (SELECT cluster, seg,
+  ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vn DESC, seg) AS rn FROM vc),
+nm AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM recs GROUP BY 1)
+SELECT nm.cluster, nm.n_members, g1.name, g2.cents, g3.seg
+FROM nm
+JOIN g1 ON g1.cluster = nm.cluster AND g1.rn = 1
+JOIN g2 ON g2.cluster = nm.cluster AND g2.rn = 1
+JOIN g3 ON g3.cluster = nm.cluster AND g3.rn = 1
+ORDER BY nm.cluster""")),
+
+    ("q241_hierarchy_rollup", (s, d) => {
+      // recursive-CTE subtree aggregation, Spark-side: a synthetic
+      // org-chart over customers (parent = custkey/10, single-digit keys
+      // are roots) rolled up to per-node subtree size + balance-cents
+      // totals via the depth-bounded iterative closure — the BOM/org
+      // rollup Spark SQL cannot express declaratively; the oracle IS the
+      // recursive CTE
+      val nodes = Tables.customer(s, d).select(
+        col("c_custkey").as("id"),
+        when(call_function("div", col("c_custkey"), lit(10L)) >= 1L,
+          call_function("div", col("c_custkey"), lit(10L))).as("parent"),
+        (d2(col("c_acctbal")) * 100).cast(LongType).as("v"))
+      graft.operators.GraphOps.subtreeRollup(nodes, "id", "parent", "v", 12)
+        .orderBy(col("node"))
+    },
+      Some("""WITH RECURSIVE n AS (SELECT c_custkey AS id,
+  CASE WHEN c_custkey // 10 >= 1 THEN c_custkey // 10 END AS parent,
+  CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS v FROM customer),
+ac AS (SELECT id AS node, id AS anc FROM n
+  UNION ALL
+  SELECT a.node, p.parent FROM ac a JOIN n p ON a.anc = p.id
+  WHERE p.parent IS NOT NULL),
+roll AS (SELECT ac.anc AS node, CAST(count(*) AS BIGINT) AS n_desc,
+  CAST(SUM(v2.v) AS BIGINT) AS subtree_value
+  FROM ac JOIN n v2 ON v2.id = ac.node GROUP BY 1),
+dep AS (SELECT node, CAST(count(*) - 1 AS BIGINT) AS depth FROM ac GROUP BY 1)
+SELECT dep.node, dep.depth, roll.n_desc, roll.subtree_value
+FROM dep JOIN roll USING (node) ORDER BY node""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge

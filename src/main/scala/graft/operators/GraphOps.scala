@@ -438,4 +438,58 @@ object GraphOps {
     }
     visited
   }
+
+  /** Hierarchy (BOM / org-chart) subtree rollup — the recursive-CTE
+    * aggregation Spark SQL lacks, expressed as a depth-bounded iterative
+    * closure. `nodes` carries one row per node: `idCol`, `parentCol`
+    * (null for roots), `valueCol` (long). Output per node: `node`,
+    * `depth` (proper-ancestor count, 0 at roots), `n_desc` (subtree size
+    * including self), `subtree_value` (sum of `valueCol` over the
+    * subtree including self).
+    *
+    * Fails loudly (require) if the frontier is non-empty after
+    * `maxDepth` rounds — a cycle or an underestimated depth must never
+    * silently truncate a rollup.
+    *
+    * Scale shape: round k joins the (node, k-th ancestor) frontier to
+    * the parent edge relation — every shuffle keys on the ancestor id;
+    * the closure materializes n·depth rows (depth is log-ish for any
+    * sane hierarchy, and `maxDepth` caps it), each round
+    * localCheckpointed so the lineage never compounds. The rollup is
+    * one aggregation keyed on the ancestor. No windows, no driver-side
+    * row data — the only driver probe is the frontier-emptiness check,
+    * the same discipline as [[bfsHops]].
+    */
+  def subtreeRollup(nodes: DataFrame, idCol: String, parentCol: String,
+                    valueCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"need maxDepth >= 1, got $maxDepth")
+    val base = nodes.select(col(idCol).cast("long").as("__id"),
+      col(parentCol).cast("long").as("__p"),
+      col(valueCol).cast("long").as("__v"))
+      .localCheckpoint(false) // reused by every round
+    val edges = base.select(col("__id").as("__c"), col("__p").as("__a"))
+      .filter(col("__a").isNotNull)
+      .localCheckpoint(false)
+    var closure = base.select(col("__id").as("node"), col("__id").as("anc"))
+      .localCheckpoint(false)
+    var frontier = closure
+    var k = 0L
+    while (k < maxDepth && !frontier.isEmpty) {
+      k += 1
+      frontier = frontier.join(edges, col("anc") === col("__c"))
+        .select(col("node"), col("__a").as("anc"))
+        .localCheckpoint(false)
+      closure = closure.union(frontier).localCheckpoint(false)
+    }
+    require(frontier.isEmpty,
+      s"hierarchy deeper than maxDepth=$maxDepth (or cyclic) — refusing to truncate the rollup")
+    val rolled = closure
+      .join(base.select(col("__id").as("node"), col("__v")), Seq("node"))
+      .groupBy(col("anc"))
+      .agg(count(lit(1)).as("n_desc"), sum(col("__v")).as("subtree_value"))
+    val depths = closure.groupBy(col("node"))
+      .agg((count(lit(1)) - 1L).as("depth"))
+    depths.join(rolled, col("node") === col("anc"))
+      .select(col("node"), col("depth"), col("n_desc"), col("subtree_value"))
+  }
 }

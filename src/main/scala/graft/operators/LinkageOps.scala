@@ -49,4 +49,67 @@ object LinkageOps {
       .withColumn("cls",
         when(col("score") >= linkMin, lit("link")).otherwise(lit("possible")))
   }
+
+  /** One survivorship rule of [[goldenRecord]]; `out` is the golden
+    * column name. Tie-breaks are total and engine-portable:
+    *  - [[Longest]]: longest non-null string, ties to the
+    *    lexicographically smallest
+    *  - [[Majority]]: most frequent non-null value, ties to the smallest
+    *    value
+    *  - [[LatestBy]]: value of the non-null row with the greatest
+    *    `ordCol`, ties to the smallest `tieCol`
+    */
+  sealed trait Survivor { def out: String }
+  final case class Longest(src: String, out: String) extends Survivor
+  final case class Majority(src: String, out: String) extends Survivor
+  final case class LatestBy(src: String, ordCol: String, tieCol: String,
+                            out: String) extends Survivor
+
+  /** MDM survivorship: collapse each linked cluster to ONE golden record
+    * by per-attribute rules — the step after [[linkPairs]] + component
+    * assignment in a master-data pipeline (longest-string repairs
+    * truncation, majority vote repairs sentinel pollution, latest-wins
+    * takes the freshest source). Output: `clusterCol`, `n_members`, one
+    * column per rule. A rule whose source is null on every member yields
+    * null.
+    *
+    * Scale shape: [[Longest]]/[[LatestBy]] ride ONE aggregation keyed on
+    * the cluster (struct-argmin, no windows); each [[Majority]] adds a
+    * (cluster, value) count + a cluster-keyed argmin + a cluster equi-join
+    * — all shuffles are on the cluster key, sized by members-per-cluster,
+    * never the corpus. No driver state.
+    */
+  def goldenRecord(df: DataFrame, clusterCol: String,
+                   rules: Seq[Survivor]): DataFrame = {
+    require(rules.nonEmpty, "goldenRecord needs at least one rule")
+    require(rules.map(_.out).distinct.size == rules.size,
+      "survivorship output names must be distinct")
+    // null-safe struct-argmin: null sources contribute no candidate (min
+    // ignores the null), so a value survives only from rows that have one
+    def argmin(ord: Column, v: Column): Column =
+      min(when(v.isNotNull, struct(ord.as("a"), v.as("v")))).getField("v")
+    val baseAggs = rules.flatMap {
+      case Longest(srcC, out) =>
+        Some(argmin(-length(col(srcC)), col(srcC)).as(out))
+      case LatestBy(srcC, ordCol, tieCol, out) =>
+        Some(argmin(struct((-col(ordCol)).as("o"), col(tieCol).as("t")),
+          col(srcC)).as(out))
+      case _: Majority => None
+    }
+    val base = df.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"), baseAggs: _*)
+    val withVotes = rules.foldLeft(base) {
+      case (acc, Majority(srcC, out)) =>
+        val votes = df.filter(col(srcC).isNotNull)
+          .groupBy(col(clusterCol), col(srcC))
+          .agg(count(lit(1)).as("__vn"))
+          .groupBy(col(clusterCol))
+          .agg(argmin(struct((-col("__vn")).as("n"), col(srcC).as("s")),
+            col(srcC)).as(out))
+        acc.join(votes, Seq(clusterCol), "left")
+      case (acc, _) => acc
+    }
+    withVotes.select(col(clusterCol) +: col("n_members") +:
+      rules.map(r => col(r.out)): _*)
+  }
 }

@@ -91,4 +91,72 @@ class Round9OpsSpec extends AnyFunSuite {
       DedupOps.fastSsPairs(df, "id", "s", 3, 8)
     }
   }
+
+  test("anonymityLadder: known census on a planted fixture; one Expand, no join") {
+    // 2 cities nested in 1 state; sensitive diagnosis d1/d2.
+    // city A: 3 rows 2 diagnoses, city B: 2 rows 1 diagnosis
+    val rows = Seq(
+      ("A", "S", "d1"), ("A", "S", "d1"), ("A", "S", "d2"),
+      ("B", "S", "d2"), ("B", "S", "d2"))
+    val df = rows.toDF("city", "state", "diag")
+    val got = graft.operators.PrivacyOps.anonymityLadder(
+        df, Seq(Seq("city"), Seq("state")), "diag", 3L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      // level 0 (city): groups {A:3, B:2}; B below k=3; min_l = 1 (B all d2)
+      (0L, 2L, 2L, 1L, 2L, 1L),
+      // level 1 (state): one group of 5, k ok, l = 2
+      (1L, 1L, 5L, 0L, 0L, 2L)))
+    // plan: a single grouping-sets aggregation — Expand, no Join anywhere
+    val plan = graft.operators.PrivacyOps.anonymityLadder(
+      df, Seq(Seq("city"), Seq("state")), "diag", 3L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand") && !plan.contains("Join"))
+  }
+
+  test("goldenRecord: each survivorship rule picks its documented winner") {
+    import graft.operators.LinkageOps._
+    val recs = Seq(
+      // cluster 1: longest name wins (tie broken lexicographically),
+      // latest recency wins cents (tie by rid), majority seg with
+      // smallest-value tie-break; nulls never survive
+      (1L, 1L, 1L, "Ann Lee", 100L, "A"),
+      (1L, 2L, 2L, "Ann Le", 200L, null.asInstanceOf[String]),
+      (1L, 3L, 2L, "Bob Lee", 300L, "B"),
+      (1L, 4L, 1L, null.asInstanceOf[String], 400L, "B"),
+      // cluster 2: singleton
+      (2L, 9L, 1L, "Solo", 50L, "Z"))
+      .toDF("cluster", "rid", "recency", "name", "cents", "seg")
+    val got = goldenRecord(recs, "cluster", Seq(
+        Longest("name", "g_name"), LatestBy("cents", "recency", "rid", "g_cents"),
+        Majority("seg", "g_seg")))
+      .as[(Long, Long, String, Long, String)].collect().toSeq.sortBy(_._1)
+    // longest names are "Ann Lee"/"Bob Lee" (7 chars) -> lex smallest "Ann Lee";
+    // latest = recency 2, tie rid 2 < 3 -> cents 200; majority seg = B (2 votes)
+    assert(got === Seq((1L, 4L, "Ann Lee", 200L, "B"), (2L, 1L, "Solo", 50L, "Z")))
+    // all-null source yields null, not a crash
+    val gotNull = goldenRecord(
+        Seq((1L, null.asInstanceOf[String])).toDF("cluster", "x"),
+        "cluster", Seq(Majority("x", "gx")))
+      .select(col("gx")).as[Option[String]].collect()
+    assert(gotNull.toSeq === Seq(None))
+  }
+
+  test("subtreeRollup: planted 3-level tree; cycle fails loudly") {
+    // 1 -> {2, 3}, 2 -> {4}; values 1,10,100,1000
+    val nodes = Seq((1L, Option.empty[Long], 1L), (2L, Some(1L), 10L),
+      (3L, Some(1L), 100L), (4L, Some(2L), 1000L))
+      .toDF("id", "parent", "v")
+    val got = graft.operators.GraphOps.subtreeRollup(nodes, "id", "parent", "v", 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (1L, 0L, 4L, 1111L), (2L, 1L, 2L, 1010L),
+      (3L, 1L, 1L, 100L), (4L, 2L, 1L, 1000L)))
+    // a 2-cycle must hit the maxDepth require, never silently truncate
+    val cyc = Seq((1L, Some(2L), 1L), (2L, Some(1L), 1L)).toDF("id", "parent", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.GraphOps.subtreeRollup(cyc, "id", "parent", "v", 4).collect()
+    }
+    assert(e.getMessage.contains("maxDepth"))
+  }
 }
