@@ -5848,6 +5848,50 @@ roll AS (SELECT ac.anc AS node, CAST(count(*) AS BIGINT) AS n_desc,
 dep AS (SELECT node, CAST(count(*) - 1 AS BIGINT) AS depth FROM ac GROUP BY 1)
 SELECT dep.node, dep.depth, roll.n_desc, roll.subtree_value
 FROM dep JOIN roll USING (node) ORDER BY node""")),
+
+    ("q242_prf_expansion", (s, d) =>
+      // pseudo-relevance feedback (RM3-lite): q94's integer BM25, then
+      // each query's top-3 docs donate their 2 strongest non-query terms
+      // (total tf, lex tie-break) at half weight for a re-scored final
+      // top-10 — query expansion without floats, rankings exact on any
+      // engine. Both rounds share one checkpointed (id, term, tf, dl)
+      // relation; production would read the q174 postings index instead
+      TextOps.prfBm25(Tables.documents(s, d), "doc_id", "text",
+        Seq((1, Seq("join", "vector")), (2, Seq("merge", "batch"))),
+        3, 2, 10, 500L)
+        .orderBy(col("query_id"), col("rk")),
+      Some("""WITH qt0(query_id, term) AS (VALUES (1, 'join'), (1, 'vector'),
+  (2, 'merge'), (2, 'batch')),
+toks AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+docs AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf,
+  CAST(any_value(dl) AS BIGINT) AS dl FROM (
+  SELECT id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks) GROUP BY 1, 2),
+stats AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n, CAST(SUM(tf) AS BIGINT) AS sumdl FROM docs),
+dfreqs AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM docs GROUP BY term),
+c1 AS (SELECT q.query_id, d.id,
+  ((((1000000 * (2 * (s.n - f.dfreq) + 1)) // (2 * f.dfreq + 1)
+   * ((1000000 * d.tf * 44 * s.sumdl) // (20 * s.sumdl * d.tf + 6 * s.sumdl + 18 * d.dl * s.n)))
+  // 1000000) * 1000) // 1000 AS c
+  FROM qt0 q JOIN docs d ON d.term = q.term JOIN dfreqs f ON f.term = q.term, stats s),
+a1 AS (SELECT query_id, id, CAST(SUM(c) AS BIGINT) AS score FROM c1 GROUP BY 1, 2),
+r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rk FROM a1),
+fb AS (SELECT query_id, id FROM r1 WHERE rk <= 3),
+ex0 AS (SELECT fb.query_id, d.term, CAST(SUM(d.tf) AS BIGINT) AS tfs
+  FROM fb JOIN docs d ON d.id = fb.id
+  WHERE NOT EXISTS (SELECT 1 FROM qt0 q WHERE q.query_id = fb.query_id AND q.term = d.term)
+  GROUP BY 1, 2),
+ex AS (SELECT query_id, term FROM (SELECT *,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY tfs DESC, term) AS rk FROM ex0) WHERE rk <= 2),
+qt2 AS (SELECT query_id, term, 1000 AS w FROM qt0
+  UNION ALL SELECT query_id, term, 500 FROM ex),
+c2 AS (SELECT q.query_id, d.id,
+  ((((1000000 * (2 * (s.n - f.dfreq) + 1)) // (2 * f.dfreq + 1)
+   * ((1000000 * d.tf * 44 * s.sumdl) // (20 * s.sumdl * d.tf + 6 * s.sumdl + 18 * d.dl * s.n)))
+  // 1000000) * q.w) // 1000 AS c
+  FROM qt2 q JOIN docs d ON d.term = q.term JOIN dfreqs f ON f.term = q.term, stats s),
+a2 AS (SELECT query_id, id, CAST(SUM(c) AS BIGINT) AS score FROM c2 GROUP BY 1, 2),
+r2 AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS BIGINT) AS rk FROM a2)
+SELECT query_id, id, score, rk FROM r2 WHERE rk <= 10 ORDER BY query_id, rk""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge

@@ -592,6 +592,84 @@ object TextOps {
       .filter(col("rk") <= k)
   }
 
+  /** Pseudo-relevance-feedback retrieval (RM3-lite, Lavrenko & Croft
+    * 2001 shape): run [[bm25TopK]]'s integer scoring, take each query's
+    * top `fbDocs` documents as assumed-relevant, harvest the `fbTerms`
+    * highest-total-tf terms from them that are NOT already in the query
+    * (ties to the lexicographically smallest term), then re-score with
+    * the expanded term set — original terms at weight 1000 milli,
+    * expansion terms at `expWeightMilli`. Every step is the same int64
+    * arithmetic as [[bm25TopK]] (per-term contribution scaled by
+    * `w // 1000` before the order-free integer sum), so rankings are
+    * engine- and partition-order-exact.
+    *
+    * Scale shape: the corpus is tokenized ONCE into the checkpointed
+    * (id, term, tf, dl) relation both rounds share; each round is a
+    * broadcast probe of the tiny term set against that relation + one
+    * id-keyed aggregation, and the feedback harvest joins only the
+    * fbDocs·queries selected documents back. A production deployment
+    * swaps the relation for the persisted postings index
+    * ([[buildPostingsIndex]]) — the round structure is unchanged.
+    */
+  def prfBm25(df: DataFrame, idCol: String, textCol: String,
+              queries: Seq[(Int, Seq[String])], fbDocs: Int = 3,
+              fbTerms: Int = 2, k: Int = 10, expWeightMilli: Long = 500L,
+              scale: Long = 1000000L): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "need non-empty queries")
+    require(fbDocs >= 1 && fbTerms >= 0, s"need fbDocs >= 1, fbTerms >= 0, got $fbDocs/$fbTerms")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qt0 = broadcast(
+      queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t, 1000L)) }
+        .toDF("query_id", "term", "w"))
+    val docs = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .select(col("id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .localCheckpoint(false) // shared by both scoring rounds + harvest
+    val stats = broadcast(docs.groupBy()
+      .agg(countDistinct(col("id")).as("__N"), sum(col("tf")).as("__sumdl")))
+    def scores(qt: DataFrame): DataFrame = {
+      val dfq = broadcast(
+        docs.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+          .join(qt.select(col("term")).distinct(), Seq("term")))
+      val num = lit(scale) * col("tf") * 44L * col("__sumdl")
+      val den = col("tf") * 20L * col("__sumdl") + lit(6L) * col("__sumdl") +
+        lit(18L) * col("dl") * col("__N")
+      val idf = call_function("div",
+        lit(scale) * ((col("__N") - col("dfreq")) * 2L + 1L), col("dfreq") * 2L + 1L)
+      val contrib = call_function("div",
+        idf * call_function("div", num, den), lit(scale))
+      docs.join(qt, Seq("term"))
+        .join(dfq, Seq("term"))
+        .crossJoin(stats)
+        .select(col("query_id"), col("id"),
+          call_function("div", contrib * col("w"), lit(1000L)).as("__c"))
+        .groupBy(col("query_id"), col("id")).agg(sum(col("__c")).as("score"))
+    }
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id"))
+    val fb = scores(qt0)
+      .withColumn("rk", row_number().over(w1))
+      .filter(col("rk") <= fbDocs)
+      .select(col("query_id"), col("id"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("tfs").desc, col("term"))
+    val expansion = fb.join(docs.select(col("id"), col("term"), col("tf")), Seq("id"))
+      .join(qt0.select(col("query_id"), col("term")), Seq("query_id", "term"), "left_anti")
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("tf")).as("tfs"))
+      .withColumn("rk", row_number().over(we))
+      .filter(col("rk") <= fbTerms)
+      .select(col("query_id"), col("term"), lit(expWeightMilli).as("w"))
+    val qt2 = broadcast(qt0.unionByName(expansion))
+    scores(qt2)
+      .withColumn("rk", row_number().over(w1).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Corpus-trained bigram language-model quality score, integer-exact.
     * Train: MLE bigram probabilities over the corpus itself —
     * P(w2|w1) = c(w1 w2) / c(w1-as-bigram-start), floor-scaled to

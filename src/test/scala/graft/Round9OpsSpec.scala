@@ -159,4 +159,28 @@ class Round9OpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxDepth"))
   }
+
+  test("prfBm25: fbTerms=0 degenerates to bm25TopK; expansion rescues a co-topic doc") {
+    import graft.operators.TextOps
+    // docs 1-3 carry the query term "cat" together with "lion"; doc 4
+    // never says "cat" but is saturated with the feedback term "lion";
+    // doc 5 is off-topic noise
+    val docs = Seq(
+      (1L, "cat lion cat roar x y z"),
+      (2L, "cat lion den x y z w"),
+      (3L, "cat lion cub x y z w"),
+      (4L, "lion lion lion pride x y"),
+      (5L, "dog bark fetch x y z w"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1, Seq("cat")))
+    val plain = TextOps.bm25TopK(docs, "doc_id", "text", qs, 10)
+      .select(col("id"), col("rk")).as[(Long, Long)].collect().toMap
+    val noExp = TextOps.prfBm25(docs, "doc_id", "text", qs, 3, 0, 10)
+      .select(col("id"), col("rk")).as[(Long, Long)].collect().toMap
+    assert(noExp === plain) // zero expansion terms == plain BM25 ranking
+    assert(!plain.contains(4L)) // "lion"-only doc is invisible to "cat"
+    val exp = TextOps.prfBm25(docs, "doc_id", "text", qs, 3, 1, 10)
+      .select(col("id"), col("rk")).as[(Long, Long)].collect().toMap
+    assert(exp.contains(4L) && !exp.contains(5L)) // feedback finds it; noise stays out
+  }
 }
