@@ -763,6 +763,65 @@ object StatefulOps {
         twapUpdate)
   }
 
+  /** One observation for the streaming CUSUM drift monitor. */
+  case class DriftEvent(key: String, t: Long, v: Long)
+
+  /** Running drift readout, refreshed every batch; `first_alarm_t` is
+    * None until the CUSUM statistic first crosses the threshold.
+    */
+  case class DriftReadout(key: String, n_points: Long, max_cusum: Long,
+                          first_alarm_t: Option[Long])
+
+  /** Five longs per key: running deviation prefix, its clamped minimum,
+    * the max CUSUM statistic, the first alarm time (MinValue sentinel =
+    * none), and the observation count.
+    */
+  private[graft] case class CusumState(p: Long, minP: Long, maxS: Long,
+                                       firstAlarmT: Long, n: Long)
+
+  private def cusumUpdate(target: Long, slack: Long, threshold: Long)(
+      key: String, rows: Iterator[DriftEvent],
+      state: GroupState[CusumState]): Iterator[DriftReadout] = {
+    var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, Long.MinValue, 0L))
+    // same (t, v) tie rule as streamingTwap; cross-batch t must be
+    // per-key nondecreasing (watermark-gate upstream)
+    rows.toVector.sortBy(r => (r.t, r.v)).foreach { r =>
+      val p = st.p + (r.v - target - slack)
+      val minP = math.min(st.minP, p) // starts at 0 == batch least(0, min P)
+      val s = p - minP
+      val alarmT =
+        if (st.firstAlarmT != Long.MinValue) st.firstAlarmT
+        else if (s >= threshold) r.t
+        else Long.MinValue
+      st = CusumState(p, minP, math.max(st.maxS, s), alarmT, st.n + 1L)
+    }
+    state.update(st)
+    Iterator.single(DriftReadout(key, st.n, st.maxS,
+      if (st.firstAlarmT == Long.MinValue) None else Some(st.firstAlarmT)))
+  }
+
+  /** Streaming twin of [[graft.operators.TemporalOps.cusumAlarms]] — the
+    * one-sided Page CUSUM level-shift detector as a live monitor: five
+    * longs of state per key, every batch emits the running
+    * (n_points, max_cusum, first_alarm_t) readout, bit-identical to the
+    * batch closed form on the same data (the spec pins parity including
+    * a mid-key batch split). `target`/`slack`/`threshold` are fixed
+    * integer parameters in v's units, frozen from a reference period —
+    * the standard deployment (batch calibrates, the stream monitors).
+    *
+    * Replay contract: prefix accumulation is NOT idempotent — run
+    * behind an exactly-once checkpoint or dedupe (key, t) upstream
+    * (same contract as [[streamingTwap]]). In-batch ties order (t, v).
+    */
+  def streamingCusumDrift(ds: Dataset[DriftEvent], target: Long, slack: Long,
+                          threshold: Long): Dataset[DriftReadout] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        cusumUpdate(target, slack, threshold))
+  }
+
   /** A keyed value entering the streaming cardinality sketch. */
   case class HllEvent(key: String, value: String)
 

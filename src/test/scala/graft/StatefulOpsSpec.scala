@@ -611,4 +611,38 @@ class StatefulOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(streamHist === batchHist)
   }
+
+  test("streamingCusumDrift: final readout ≡ batch cusumAlarms across a mid-shift split") {
+    implicit val sqlCtx = spark.sqlContext
+    import StatefulOps.{DriftEvent, DriftReadout}
+    import org.apache.spark.sql.functions.{col, lit}
+    // key a: on-target at 100 then a sustained +30 shift from t=4 —
+    // target 100, slack 10, threshold 50 alarms at t=6 (20+20+20 >= 50
+    // after three shifted points, S resets nothing before the shift);
+    // key b: one spike, never sustained -> no alarm
+    val events = Seq(
+      DriftEvent("a", 1L, 100L), DriftEvent("a", 2L, 95L), DriftEvent("a", 3L, 105L),
+      DriftEvent("a", 4L, 130L), DriftEvent("a", 5L, 130L), DriftEvent("a", 6L, 130L),
+      DriftEvent("a", 7L, 130L),
+      DriftEvent("b", 1L, 100L), DriftEvent("b", 2L, 140L), DriftEvent("b", 3L, 100L))
+    val ms = MemoryStream[DriftEvent]
+    val q = StatefulOps.streamingCusumDrift(ms.toDS(), 100L, 10L, 50L)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(events.filter(_.t <= 4): _*) // split lands mid-shift for a
+    q.processAllAvailable()
+    ms.addData(events.filter(_.t > 4): _*)
+    q.processAllAvailable()
+    q.stop()
+    val finalByKey = spark.table("drift_out").as[DriftReadout].collect()
+      .groupBy(_.key).map { case (_, rs) => rs.maxBy(_.n_points) }
+      .toSeq.sortBy(_.key)
+      .map(r => (r.key, r.n_points, r.max_cusum, r.first_alarm_t))
+    val batch = graft.operators.TemporalOps.cusumAlarms(
+      events.toDF("k", "t", "v"), "k", "t", "v", lit(100L), lit(10L), lit(50L))
+      .orderBy(col("key")).as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(finalByKey === batch)
+    // a alarms at t=6 (S = 20+20+20 = 60 >= 50); b's lone spike stays below
+    assert(batch === Seq(("a", 7L, 80L, Some(6L)), ("b", 3L, 30L, None)))
+  }
 }
