@@ -5892,6 +5892,51 @@ c2 AS (SELECT q.query_id, d.id,
 a2 AS (SELECT query_id, id, CAST(SUM(c) AS BIGINT) AS score FROM c2 GROUP BY 1, 2),
 r2 AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS BIGINT) AS rk FROM a2)
 SELECT query_id, id, score, rk FROM r2 WHERE rk <= 10 ORDER BY query_id, rk""")),
+
+    ("q243_pvm_bridge", (s, d) => {
+      // price-volume-mix revenue bridge 1996 -> 1997 per brand: the
+      // "why did revenue move" decomposition — volume effect =
+      // Δqty x base-period unit price (milli-cents, one integer div),
+      // price effect = the exact residual, so volume + price always
+      // reconciles to Δrevenue x 1000 bit-for-bit (no second division,
+      // no float drift). Fact side aggregates FIRST (brand x year), the
+      // 25-brand dim broadcasts; one shuffle on the group key
+      val li = Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")).isin(1996, 1997))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), year(col("l_shipdate")).as("yr"))
+        .agg(sum(col("l_quantity").cast(LongType)).as("qty"),
+          (sum(d2(col("l_extendedprice"))) * 100).cast(LongType).as("rev_c"))
+      val a = li.filter(col("yr") === 1996)
+        .select(col("p_brand"), col("qty").as("qty_a"), col("rev_c").as("rev_a_c"))
+      val b = li.filter(col("yr") === 1997)
+        .select(col("p_brand"), col("qty").as("qty_b"), col("rev_c").as("rev_b_c"))
+      a.join(b, Seq("p_brand"))
+        .withColumn("__pa_u", call_function("div",
+          col("rev_a_c") * 1000L, col("qty_a")))
+        .select(col("p_brand"), col("qty_a"), col("qty_b"),
+          col("rev_a_c"), col("rev_b_c"),
+          (col("rev_b_c") - col("rev_a_c")).as("delta_c"),
+          ((col("qty_b") - col("qty_a")) * col("__pa_u")).as("volume_mc"),
+          ((col("rev_b_c") - col("rev_a_c")) * 1000L -
+            (col("qty_b") - col("qty_a")) * col("__pa_u")).as("price_mc"))
+        .orderBy(col("p_brand"))
+    },
+      Some("""WITH f AS (SELECT p_brand, year(l_shipdate) AS yr,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS rev_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) IN (1996, 1997) GROUP BY 1, 2),
+a AS (SELECT p_brand, qty AS qty_a, rev_c AS rev_a_c FROM f WHERE yr = 1996),
+b AS (SELECT p_brand, qty AS qty_b, rev_c AS rev_b_c FROM f WHERE yr = 1997),
+j AS (SELECT *, (rev_a_c * 1000) // qty_a AS pa_u FROM a JOIN b USING (p_brand))
+SELECT p_brand, qty_a, qty_b, rev_a_c, rev_b_c,
+  rev_b_c - rev_a_c AS delta_c,
+  (qty_b - qty_a) * pa_u AS volume_mc,
+  (rev_b_c - rev_a_c) * 1000 - (qty_b - qty_a) * pa_u AS price_mc
+FROM j ORDER BY p_brand""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge

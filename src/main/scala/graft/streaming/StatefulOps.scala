@@ -822,6 +822,107 @@ object StatefulOps {
         cusumUpdate(target, slack, threshold))
   }
 
+  /** One keyed observation for the streaming quantile sketch. */
+  case class QuantEvent(key: String, v: Long)
+
+  /** Running per-key quantile readout, refreshed every batch. */
+  case class QuantReadout(key: String, n: Long, n_tuples: Long,
+                          p50: Long, p95: Long, p99: Long)
+
+  /** One Greenwald-Khanna summary tuple: value, rank-gap g, uncertainty
+    * delta (rmin_i = Σ g_j for j <= i; rmax_i = rmin_i + d_i).
+    */
+  private[graft] case class GkTuple(v: Long, g: Long, d: Long)
+
+  private[graft] case class GkState(tuples: Array[GkTuple], n: Long)
+
+  private def gkTwoEpsN(epsPm: Long, n: Long): Long = 2L * epsPm * n / 1000L
+
+  private[graft] def gkInsert(ts: Vector[GkTuple], v: Long,
+                              twoEpsN: Long): Vector[GkTuple] =
+    if (ts.isEmpty || v < ts.head.v) GkTuple(v, 1L, 0L) +: ts
+    else if (v >= ts.last.v) ts :+ GkTuple(v, 1L, 0L)
+    else {
+      val i = ts.indexWhere(_.v > v)
+      (ts.take(i) :+ GkTuple(v, 1L, math.max(0L, twoEpsN - 1L))) ++ ts.drop(i)
+    }
+
+  /** Right-to-left GK compress: merge tuple i into its right neighbor
+    * while the band fits, never touching the extremes — deterministic
+    * because the sweep order is fixed.
+    */
+  private[graft] def gkCompress(ts: Vector[GkTuple], twoEpsN: Long): Vector[GkTuple] = {
+    if (ts.size <= 2) return ts
+    val buf = ts.toBuffer
+    var i = buf.size - 2
+    while (i >= 1) {
+      val a = buf(i); val b = buf(i + 1)
+      if (a.g + b.g + b.d <= twoEpsN) {
+        buf.remove(i)
+        buf(i) = GkTuple(b.v, a.g + b.g, b.d)
+      }
+      i -= 1
+    }
+    buf.toVector
+  }
+
+  /** Rank query: first tuple whose rmin reaches the ceil-rank target —
+    * within the GK invariant every g_i + d_i <= 2εn, so the returned
+    * value's true rank is within 2εn of the target (the bound the spec
+    * asserts). Exact while n is small enough that no compression ran.
+    */
+  private[graft] def gkQuery(ts: Vector[GkTuple], n: Long, phiPm: Long): Long = {
+    val r = math.max(1L, (phiPm * n + 999L) / 1000L)
+    var rmin = 0L
+    var i = 0
+    while (i < ts.size - 1) {
+      rmin += ts(i).g
+      if (rmin >= r) return ts(i).v
+      i += 1
+    }
+    ts.last.v
+  }
+
+  private def gkUpdate(epsPm: Long)(key: String, rows: Iterator[QuantEvent],
+                                    state: GroupState[GkState]): Iterator[QuantReadout] = {
+    val st = state.getOption.getOrElse(GkState(Array.empty, 0L))
+    var ts = st.tuples.toVector
+    var n = st.n
+    // sorted insertion order makes the summary a pure function of the
+    // batch CONTENTS, independent of shuffle arrival order
+    rows.toVector.map(_.v).sorted.foreach { v =>
+      ts = gkInsert(ts, v, gkTwoEpsN(epsPm, n))
+      n += 1L
+    }
+    ts = gkCompress(ts, gkTwoEpsN(epsPm, n))
+    state.update(GkState(ts.toArray, n))
+    if (n == 0L) Iterator.empty
+    else Iterator.single(QuantReadout(key, n, ts.size.toLong,
+      gkQuery(ts, n, 500L), gkQuery(ts, n, 950L), gkQuery(ts, n, 990L)))
+  }
+
+  /** Streaming ε-approximate quantiles per key (Greenwald & Khanna
+    * 2001): O((1/ε)·log(εn)) summary tuples of state per key — the
+    * live p50/p95/p99 latency/lateness monitor that never stores the
+    * observations. `epsPm` is ε in permille (10 = 1%); every batch
+    * emits the running readout with ranks guaranteed within 2εn of the
+    * ceil-rank target, and the summary is a pure function of the
+    * delivered batch contents (in-batch arrival order never matters).
+    * Exact until compression first kicks in (~n > 500/epsPm).
+    *
+    * Replay contract: counts and gaps accumulate — NOT idempotent under
+    * at-least-once replay; exactly-once checkpointing or upstream
+    * (key, event) dedup required (same contract as [[streamingTwap]]).
+    */
+  def streamingQuantiles(ds: Dataset[QuantEvent], epsPm: Long): Dataset[QuantReadout] = {
+    require(epsPm >= 1L && epsPm <= 200L, s"need 1 <= epsPm <= 200, got $epsPm")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        gkUpdate(epsPm))
+  }
+
   /** A keyed value entering the streaming cardinality sketch. */
   case class HllEvent(key: String, value: String)
 

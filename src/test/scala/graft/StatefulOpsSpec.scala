@@ -645,4 +645,37 @@ class StatefulOpsSpec extends AnyFunSuite {
     // a alarms at t=6 (S = 20+20+20 = 60 >= 50); b's lone spike stays below
     assert(batch === Seq(("a", 7L, 80L, Some(6L)), ("b", 3L, 30L, None)))
   }
+
+  test("streamingQuantiles: GK rank bound holds at n=1000, exact at tiny n, state compresses") {
+    implicit val sqlCtx = spark.sqlContext
+    import StatefulOps.{QuantEvent, QuantReadout}
+    // values 1..1000 in hash-scattered order, split across two batches —
+    // each value IS its own rank, so the bound check is direct
+    val vals = (1L to 1000L).sortBy(v =>
+      graft.functions.DebeziumCodec.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"gk$v")))
+    val ms = MemoryStream[QuantEvent]
+    val q = StatefulOps.streamingQuantiles(ms.toDS(), 10L) // eps = 1%
+      .writeStream.format("memory").queryName("gk_out")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(vals.take(400).map(QuantEvent("a", _)) :+ QuantEvent("b", 3L): _*)
+    q.processAllAvailable()
+    ms.addData(vals.drop(400).map(QuantEvent("a", _)) ++
+      Seq(QuantEvent("b", 1L), QuantEvent("b", 5L), QuantEvent("b", 2L), QuantEvent("b", 4L)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("gk_out").as[QuantReadout].collect()
+      .groupBy(_.key).map { case (_, rs) => rs.maxBy(_.n) }.toSeq.sortBy(_.key)
+    val a = fin.head
+    assert(a.n === 1000L)
+    // GK invariant g+d <= 2εn => every rank query within 2εn = 20
+    assert(math.abs(a.p50 - 500L) <= 20L, s"p50=${a.p50}")
+    assert(math.abs(a.p95 - 950L) <= 20L, s"p95=${a.p95}")
+    assert(math.abs(a.p99 - 990L) <= 20L, s"p99=${a.p99}")
+    // the summary actually compresses: far fewer tuples than observations
+    assert(a.n_tuples < 250L, s"n_tuples=${a.n_tuples}")
+    // tiny n: no compression yet -> exact ceil-rank order statistics
+    val b = fin(1)
+    assert((b.n, b.p50, b.p95, b.p99) === ((5L, 3L, 5L, 5L)))
+  }
 }
