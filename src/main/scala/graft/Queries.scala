@@ -5937,6 +5937,65 @@ SELECT p_brand, qty_a, qty_b, rev_a_c, rev_b_c,
   (qty_b - qty_a) * pa_u AS volume_mc,
   (rev_b_c - rev_a_c) * 1000 - (qty_b - qty_a) * pa_u AS price_mc
 FROM j ORDER BY p_brand""")),
+
+    ("q244_decile_lift", (s, d) => {
+      // cumulative-gains table for q156's curation signal (score =
+      // n_chars, label = exact-dup): explicit rank-formula deciles (never
+      // engine NTILE), capture and lift in cross-multiplied permille —
+      // the review-queue readout AUC compresses away. Global rank rides
+      // RangePrefix, not an unpartitioned window
+      val docs = Tables.documents(s, d)
+        .withColumn("__f", Converters.fingerprint64(col("text")))
+      val dupCounts = docs.groupBy(col("__f")).agg(count(lit(1)).as("__c"))
+      val labeled = docs.join(dupCounts, Seq("__f"))
+        .select(col("doc_id"), col("n_chars"), (col("__c") > 1L).as("__dup"))
+      graft.operators.QualityOps.decileLift(labeled, "n_chars", "doc_id",
+        col("__dup"), 10)
+    },
+      Some(s"""WITH f AS (SELECT doc_id, n_chars, ${fpSql("text")} AS f FROM documents),
+c AS (SELECT f, count(*) AS c FROM f GROUP BY 1),
+l AS (SELECT f.doc_id, f.n_chars AS s, CASE WHEN c.c > 1 THEN 1 ELSE 0 END AS y
+  FROM f JOIN c USING (f)),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) - 1 AS rn,
+  count(*) OVER () AS nn FROM l),
+b AS (SELECT CAST((rn * 10) // nn + 1 AS BIGINT) AS decile,
+  CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos FROM r GROUP BY 1),
+w AS (SELECT *, CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+  CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+  CAST(SUM(n_pos) OVER () AS BIGINT) AS tp,
+  CAST(SUM(n) OVER () AS BIGINT) AS tot FROM b)
+SELECT decile, n, n_pos, cum_pos,
+  CASE WHEN tp > 0 THEN (cum_pos * 1000) // tp ELSE 0 END AS capture_pm,
+  CASE WHEN tp > 0 THEN (cum_pos * tot * 1000) // (cum_n * tp) ELSE 0 END AS lift_pm
+FROM w ORDER BY decile""")),
+
+    ("q245_conformal_coverage", (s, d) => {
+      // split-conformal calibration per order priority: odd orderkeys
+      // calibrate, even orderkeys test; threshold = the
+      // ceil((n_cal+1) x 0.9)-th smallest total-price cents (the "+1"
+      // IS the finite-sample guarantee), achieved test coverage in
+      // permille — the distribution-free prediction-interval audit
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority").as("g"), col("o_orderkey").as("k"),
+        (d2(col("o_totalprice")) * 100).cast(LongType).as("s"))
+      val cal = o.filter(pmod(col("k"), lit(2)) === 1)
+      val tst = o.filter(pmod(col("k"), lit(2)) === 0)
+      graft.operators.QualityOps.conformalCoverage(cal, tst, "g", "s", "k", 100L)
+    },
+      Some("""WITH o AS (SELECT o_orderpriority AS g, o_orderkey AS k,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS s FROM orders),
+cal AS (SELECT * FROM o WHERE k % 2 = 1),
+tst AS (SELECT * FROM o WHERE k % 2 = 0),
+r AS (SELECT g, s, ROW_NUMBER() OVER (PARTITION BY g ORDER BY s, k) AS rk,
+  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS nc FROM cal),
+th AS (SELECT g, nc AS n_cal, s AS threshold,
+  (((nc + 1) * 900 + 999) // 1000) > nc AS saturated
+  FROM r WHERE rk = least(((nc + 1) * 900 + 999) // 1000, nc))
+SELECT t.g, any_value(th.n_cal) AS n_cal, CAST(count(*) AS BIGINT) AS n_test,
+  any_value(th.threshold) AS threshold, any_value(th.saturated) AS saturated,
+  (CAST(SUM(CASE WHEN t.s <= th.threshold THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+    // count(*) AS coverage_pm
+FROM tst t JOIN th ON th.g = t.g GROUP BY t.g ORDER BY t.g""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge

@@ -141,4 +141,113 @@ object QualityOps {
       .select(col("group"), col("digit"), col("n"), col("ppm"),
         col("benford_ppm"), abs(col("ppm") - col("benford_ppm")).as("dev_ppm"))
   }
+
+  /** Decile lift / cumulative-gains table for a ranking signal: rows
+    * sort by (`scoreCol` DESC, `tieCol`), split into `buckets` equal
+    * rank slices (bucket = rank·buckets div n + 1 — the explicit
+    * formula, NOT engine NTILE, so every engine buckets identically),
+    * and each slice reports its positives plus the cumulative capture
+    * rate (permille of all positives found so far) and cumulative lift
+    * vs the base rate (permille, cross-multiplied integers — 1000 =
+    * random). The campaign-targeting / review-queue readout that AUC
+    * ([[rankSumAuc]]) summarizes away.
+    *
+    * Scale shape: the global rank comes from [[RangePrefix]] (range
+    * partitioning + per-partition offsets), never an unpartitioned
+    * window over the corpus; the only single-partition window runs over
+    * the buckets-sized aggregate (10 rows).
+    */
+  def decileLift(df: DataFrame, scoreCol: String, tieCol: String,
+                 labelCol: Column, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    val reserved = Seq(RangePrefix.PidCol, "__rn", "__off", "__y")
+    require(!reserved.contains(scoreCol) && !reserved.contains(tieCol),
+      s"columns may not use the reserved names ${reserved.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(scoreCol), col(tieCol),
+      when(labelCol, 1L).otherwise(0L).as("__y"))
+    val (sorted, offsets, n) = RangePrefix.withOffsets(
+      base, Seq(col(scoreCol).desc, col(tieCol)), lit(1L))
+    if (n == 0L) // empty input: emit the schema, no rows (no div-by-zero)
+      return sorted.select(lit(0L).as("decile"), lit(0L).as("n"),
+        lit(0L).as("n_pos"), lit(0L).as("cum_pos"), lit(0L).as("capture_pm"),
+        lit(0L).as("lift_pm")).limit(0)
+    val offDf = broadcast(offsets.toSeq.toDF(RangePrefix.PidCol, "__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(RangePrefix.PidCol))
+      .orderBy(col(scoreCol).desc, col(tieCol))
+    val bucketed = sorted
+      .withColumn("__rn", row_number().over(w).cast(LongType) - 1L)
+      .join(offDf, Seq(RangePrefix.PidCol))
+      .select((call_function("div",
+        (col("__rn") + col("__off")) * buckets, lit(n)) + 1L).as("decile"),
+        col("__y"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val wCum = wAll.orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bucketed
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("__tp", sum(col("n_pos")).over(wAll))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
+        when(col("__tp") > 0L,
+          call_function("div", col("cum_pos") * 1000L, col("__tp")))
+          .otherwise(lit(0L)).as("capture_pm"),
+        when(col("__tp") > 0L,
+          call_function("div", col("cum_pos") * lit(n) * 1000L,
+            col("cum_n") * col("__tp")))
+          .otherwise(lit(0L)).as("lift_pm"))
+      .orderBy(col("decile"))
+  }
+
+  /** Split-conformal calibration per group (Vovk et al.; Lei et al.
+    * 2018): the conformal quantile over a calibration set is the
+    * ceil((n_cal + 1)·(1 − α))-th smallest nonconformity score — the
+    * "+1" is what buys the finite-sample coverage guarantee a plain
+    * quantile lacks. Reports that threshold per group plus the achieved
+    * coverage (permille of test-set scores <= threshold). `alphaPm` is
+    * the miscoverage budget in permille (100 = 90% target coverage).
+    * When the adjusted rank exceeds n_cal the threshold is the
+    * calibration max and `saturated` flags the group (the honest "need
+    * more calibration data" signal, instead of a silent +infinity).
+    *
+    * Scale shape: one group-partitioned window ranks calibration
+    * scores; the threshold relation is groups-sized and broadcast-joins
+    * back to the test side; coverage is one keyed aggregation. Exact
+    * integer ranks throughout.
+    */
+  def conformalCoverage(cal: DataFrame, test: DataFrame, groupCol: String,
+                        scoreCol: String, tieCol: String,
+                        alphaPm: Long): DataFrame = {
+    require(alphaPm >= 1L && alphaPm <= 500L,
+      s"need 1 <= alphaPm <= 500, got $alphaPm")
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol), col(tieCol))
+    val ranked = cal
+      .select(col(groupCol), col(scoreCol), col(tieCol))
+      .withColumn("__rk", row_number().over(wg).cast(LongType))
+      .withColumn("__nc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+    // k = ceil((n_cal + 1) * (1000 - alphaPm) / 1000), capped at n_cal
+    val k = call_function("div",
+      (col("__nc") + 1L) * (1000L - alphaPm) + 999L, lit(1000L))
+    val thresholds = ranked
+      .withColumn("__k", k)
+      .filter(col("__rk") === least(col("__k"), col("__nc")))
+      .select(col(groupCol), col("__nc").as("n_cal"),
+        col(scoreCol).as("threshold"), (col("__k") > col("__nc")).as("saturated"))
+    test.select(col(groupCol), col(scoreCol))
+      .join(broadcast(thresholds), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+        first(col("threshold")).as("threshold"),
+        first(col("saturated")).as("saturated"),
+        call_function("div",
+          sum(when(col(scoreCol) <= col("threshold"), 1L).otherwise(0L)) * 1000L,
+          count(lit(1))).as("coverage_pm"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -183,4 +183,34 @@ class Round9OpsSpec extends AnyFunSuite {
       .select(col("id"), col("rk")).as[(Long, Long)].collect().toMap
     assert(exp.contains(4L) && !exp.contains(5L)) // feedback finds it; noise stays out
   }
+
+  test("decileLift: perfect ranking puts all positives in the top slices") {
+    // 20 rows, 4 positives with the 4 highest scores -> quintile 1
+    // captures all of them: capture 1000pm, lift = 5x base rate
+    val rows = (1L to 20L).map(i => (i, 21L - i, i <= 4L))
+    val got = graft.operators.QualityOps.decileLift(
+        rows.toDF("id", "score", "y"), "score", "id", col("y"), 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.head === ((1L, 4L, 4L, 4L, 1000L, 5000L)))
+    assert(got.map(_._2).sum === 20L && got.size === 5)
+    // every later slice adds nothing: capture stays 1000, lift decays 1/k
+    assert(got.map(_._5) === Seq(1000L, 1000L, 1000L, 1000L, 1000L))
+    assert(got.map(_._6) === Seq(5000L, 2500L, 1666L, 1250L, 1000L))
+  }
+
+  test("conformalCoverage: +1-adjusted rank, saturation flag on tiny calibration") {
+    import graft.operators.QualityOps
+    // group A: 9 calibration scores 10..90 -> k = ceil(10*0.9) = 9 ->
+    // threshold 90; test 5 values, 3 <= 90 -> coverage 600pm
+    val cal = ((1L to 9L).map(i => ("A", i, i * 10L)) :+ ("B", 1L, 5L))
+      .toDF("g", "k", "s")
+    val tst = (Seq(10L, 50L, 90L, 91L, 200L).zipWithIndex.map {
+      case (v, i) => ("A", 100L + i, v) } :+ ("B", 200L, 4L))
+      .toDF("g", "k", "s")
+    val got = QualityOps.conformalCoverage(cal, tst, "g", "s", "k", 100L)
+      .as[(String, Long, Long, Long, Boolean, Long)].collect().toSeq
+    // B: n_cal 1 -> k = ceil(2*0.9) = 2 > 1 -> capped at max, saturated
+    assert(got === Seq(("A", 9L, 5L, 90L, false, 600L),
+      ("B", 1L, 1L, 5L, true, 1000L)))
+  }
 }
