@@ -5996,6 +5996,57 @@ SELECT t.g, any_value(th.n_cal) AS n_cal, CAST(count(*) AS BIGINT) AS n_test,
   (CAST(SUM(CASE WHEN t.s <= th.threshold THEN 1 ELSE 0 END) AS BIGINT) * 1000)
     // count(*) AS coverage_pm
 FROM tst t JOIN th ON th.g = t.g GROUP BY t.g ORDER BY t.g""")),
+
+    ("q246_audio_match", (s, d) => {
+      // Shazam-style constellation fingerprinting over the stub PCM
+      // codec: per-window peak magnitudes -> landmark pair hashes (the
+      // inverted index), then 16-window snippets cut from every 50th
+      // track at window offset 8 probe the index and vote on the
+      // alignment offset — each snippet must re-find its source at
+      // offset_w = 8 with vote concentration. Hash-keyed equi-joins
+      // only; snippet side is small by nature
+      import graft.operators.MultimodalOps
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("content"))
+      val peaks = MultimodalOps.audioWindowEnergy(docs, "doc_id", "content", 192, 8)
+        .toDF().select(col("media_id"), col("window_idx").as("t"),
+          col("peak").as("a"))
+      val trackLm = MultimodalOps.constellationLandmarks(
+        peaks, "media_id", "t", "a", 4)
+      val snipPeaks = peaks
+        .filter(pmod(col("media_id"), lit(50)) === 0 &&
+          col("t") >= 8 && col("t") < 24)
+        .select((col("media_id") + 1000000L).as("snip_id"),
+          (col("t") - 8).as("t"), col("a"))
+      val snipLm = MultimodalOps.constellationLandmarks(
+        snipPeaks, "snip_id", "t", "a", 4)
+      MultimodalOps.constellationMatch(trackLm, snipLm, "media_id", "snip_id")
+        .select(col("snip_id"), col("media_id").as("track_id"),
+          col("offset_w"), col("votes"))
+        .orderBy(col("snip_id"))
+    },
+      Some(s"""WITH RECURSIVE ${audioStubCtes(192)},
+ex AS (SELECT doc_id, (j - 1) // 8 AS t,
+  abs(CASE WHEN smps[CAST(j AS INT)] >= 128 THEN smps[CAST(j AS INT)] - 256
+       ELSE smps[CAST(j AS INT)] END) AS a
+  FROM au, range(1, 193) rng(j)),
+pk AS (SELECT doc_id, t, CAST(MAX(a) AS BIGINT) AS a FROM ex GROUP BY 1, 2),
+lm AS (SELECT ((p1.a * 129 + p2.a) * 5 + (p2.t - p1.t)) AS hash,
+  p1.doc_id AS track_id, p1.t AS t
+  FROM pk p1 JOIN pk p2 ON p1.doc_id = p2.doc_id
+    AND p2.t > p1.t AND p2.t <= p1.t + 4),
+sp AS (SELECT doc_id + 1000000 AS snip_id, t - 8 AS t, a FROM pk
+  WHERE doc_id % 50 = 0 AND t >= 8 AND t < 24),
+sl AS (SELECT ((p1.a * 129 + p2.a) * 5 + (p2.t - p1.t)) AS hash,
+  p1.snip_id, p1.t
+  FROM sp p1 JOIN sp p2 ON p1.snip_id = p2.snip_id
+    AND p2.t > p1.t AND p2.t <= p1.t + 4),
+m AS (SELECT sl.snip_id, lm.track_id, lm.t - sl.t AS offset_w,
+  CAST(count(*) AS BIGINT) AS votes
+  FROM sl JOIN lm USING (hash) GROUP BY 1, 2, 3),
+rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY snip_id
+  ORDER BY votes DESC, offset_w, track_id) AS rk FROM m)
+SELECT snip_id, track_id, offset_w, votes FROM rr WHERE rk = 1 ORDER BY snip_id""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge

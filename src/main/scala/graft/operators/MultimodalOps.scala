@@ -251,4 +251,62 @@ object MultimodalOps {
       FrameFeatures(f.media_id, f.frame_idx, sum.toDouble / n, mn min mx, mx)
     }.toDF()
   }
+
+  /** Constellation landmarks over a per-media peak series (Wang 2003,
+    * the Shazam scheme): each peak pairs with every peak up to `maxDt`
+    * steps ahead in the SAME media, and the pair packs into one integer
+    * hash ((a1·aCard + a2)·(maxDt+1) + dt) — the key of the fingerprint
+    * inverted index. Input columns: `idCol`, `tCol` (peak time step),
+    * `aCol` (quantized peak magnitude, 0..aCard-1). Output:
+    * (hash, `idCol`, t) with t = the anchor peak's time.
+    *
+    * Scale shape: an equi-self-join on the media id whose per-key output
+    * is windows·maxDt — bounded per media by construction (peaks are one
+    * per analysis window), never corpus². The hash relation then
+    * IS the shuffly thing downstream matching keys on.
+    */
+  def constellationLandmarks(peaks: DataFrame, idCol: String, tCol: String,
+                             aCol: String, maxDt: Int,
+                             aCard: Long = 129L): DataFrame = {
+    require(maxDt >= 1, s"need maxDt >= 1, got $maxDt")
+    val p = peaks.select(col(idCol).cast(LongType).as("__id"),
+      col(tCol).cast(LongType).as("__t"), col(aCol).cast(LongType).as("__a"))
+    p.as("p1").join(p.as("p2"),
+        col("p1.__id") === col("p2.__id") &&
+          col("p2.__t") > col("p1.__t") &&
+          col("p2.__t") <= col("p1.__t") + maxDt)
+      .select(
+        ((col("p1.__a") * aCard + col("p2.__a")) * (maxDt + 1L) +
+          (col("p2.__t") - col("p1.__t"))).as("hash"),
+        col("p1.__id").as(idCol), col("p1.__t").as("t"))
+  }
+
+  /** Fingerprint matching: probe snippet landmarks against the track
+    * landmark index on the packed hash, vote on the implied alignment
+    * offset (track anchor t − snippet anchor t), and return each
+    * snippet's best (track, offset) by votes — ties to the smallest
+    * offset, then smallest track id. A true containment match
+    * concentrates votes on ONE offset; random hash collisions scatter —
+    * that concentration is the whole trick.
+    *
+    * Scale shape: one equi-join on the hash (the inverted-index probe;
+    * snippet side is small by nature), one aggregation keyed on
+    * (snippet, track, offset), and a snippet-partitioned window for the
+    * argmax. No cross join, no driver state.
+    */
+  def constellationMatch(trackLm: DataFrame, snipLm: DataFrame,
+                         trackIdCol: String, snipIdCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(snipIdCol))
+      .orderBy(col("votes").desc, col("offset_w"), col(trackIdCol))
+    snipLm.select(col("hash"), col(snipIdCol), col("t").as("__ts"))
+      .join(trackLm.select(col("hash"), col(trackIdCol), col("t").as("__tt")),
+        Seq("hash"))
+      .groupBy(col(snipIdCol), col(trackIdCol),
+        (col("__tt") - col("__ts")).as("offset_w"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
 }

@@ -213,4 +213,33 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got === Seq(("A", 9L, 5L, 90L, false, 600L),
       ("B", 1L, 1L, 5L, true, 1000L)))
   }
+
+  test("constellation match survives a corrupted peak and votes concentrate") {
+    import graft.operators.MultimodalOps
+    // two 12-peak tracks with hash-scattered magnitudes
+    def mag(track: Long, t: Long): Long = math.floorMod(
+      graft.functions.DebeziumCodec.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"au$track:$t")), 129L)
+    val peaks = (for (tr <- Seq(1L, 2L); t <- 0L until 12L)
+      yield (tr, t, mag(tr, t))).toDF("media_id", "t", "a")
+    val trackLm = MultimodalOps.constellationLandmarks(peaks, "media_id", "t", "a", 3)
+    // snippet: track 1 windows 4..9 shifted to 0..5, with the peak at
+    // source t=6 CORRUPTED — landmarks touching it break, the rest align
+    val snip = (0L until 6L).map { t =>
+      val srcT = t + 4L
+      (100L, t, if (srcT == 6L) (mag(1L, srcT) + 7L) % 129L else mag(1L, srcT))
+    }.toDF("media_id", "t", "a")
+    val snipLm = MultimodalOps.constellationLandmarks(snip, "media_id", "t", "a", 3)
+      .withColumnRenamed("media_id", "snip_id")
+    val got = MultimodalOps.constellationMatch(trackLm, snipLm, "media_id", "snip_id")
+      .select(col("snip_id"), col("media_id"), col("offset_w"), col("votes"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.size === 1)
+    val (sid, tid, off, votes) = got.head
+    assert((sid, tid, off) === ((100L, 1L, 4L)))
+    // 6 peaks, maxDt 3 -> 12 clean landmarks; corrupting one peak breaks
+    // at most 5 (3 incoming + up to 3 outgoing, edge-limited) — the
+    // surviving majority still out-votes any collision
+    assert(votes >= 7L, s"votes=$votes")
+  }
 }
