@@ -181,7 +181,8 @@ object Bench {
       Queries.takedownGraphBuildSeconds.map(b => "\"takedown_graph\":" + f2(b)).toSeq ++
       Queries.winnowBuildSeconds.map(b => "\"winnow_fp\":" + f2(b)).toSeq ++
       Queries.postingsBuildSeconds.map(b => "\"postings\":" + f2(b)).toSeq ++
-      Queries.coPurchaseBuildSeconds.map(b => "\"co_purchase\":" + f2(b)).toSeq
+      Queries.coPurchaseBuildSeconds.map(b => "\"co_purchase\":" + f2(b)).toSeq ++
+      Queries.ivfBuildSeconds.map(b => "\"ivf\":" + f2(b)).toSeq
     val buildS =
       if (buildEntries.isEmpty) ""
       else s""","build_s":{${buildEntries.mkString(",")}}"""

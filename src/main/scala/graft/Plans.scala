@@ -56,6 +56,8 @@ object Plans {
     "q174_postings_bm25" -> "BM25 from the inverted-index artifact: bucket-pruned postings scan (query terms' partitions only), broadcast dfreq/meta, rank window over candidates",
     "q178_quantile_normalize" -> "global order statistics via RangePrefix: range-partitioned pid windows + broadcast offsets + one rank equi-join, no unpartitioned window",
     "q184_stickiness" -> "sliding DAU/MAU: distinct (user, day) collapse first, 28-day spine join bounded by activity x window",
+    "q238_k_anonymity" -> "k-anonymity ladder: ONE grouping-sets aggregation (Expand replicates map-side), QI-domain-bounded shuffle, zero joins",
+    "q247_ann_ivf_index" -> "IVF retrieval from the persisted index: cell-partitioned parquet scan probed by broadcast query cells, rank window over cell-local candidates",
   )
 
   def main(args: Array[String]): Unit = {

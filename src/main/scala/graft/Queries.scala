@@ -6047,6 +6047,49 @@ m AS (SELECT sl.snip_id, lm.track_id, lm.t - sl.t AS offset_w,
 rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY snip_id
   ORDER BY votes DESC, offset_w, track_id) AS rk FROM m)
 SELECT snip_id, track_id, offset_w, votes FROM rr WHERE rk = 1 ORDER BY snip_id""")),
+
+    ("q247_ann_ivf_index", (s, d) =>
+      // q25's IVF retrieval served from the PERSISTED index artifact
+      // (built once per JVM, cell-partitioned parquet): the probe joins
+      // query cells against the stored assignments — partition pruning
+      // confines IO to probed cells — and must reproduce the per-run IVF
+      // bit-for-bit, so q25's oracle is the gate
+      SimilarityOps.ivfTopKFromIndex(s, ivfIndexPath(s, d),
+        col("vid") < 8, 5)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy(col("q_id"), col("rank")),
+      Some(s"WITH $annIvfCtes\nSELECT q_id, neighbor_id, sim, rank FROM approx ORDER BY q_id, rank")),
+
+    ("q248_incremental_join", (s, d) => {
+      // incremental maintenance of a materialized orders x lineitem join
+      // view (the join half of IVM, next to q123's aggregate half): old
+      // snapshots = orders with key%10 != 0 / odd line numbers, deltas =
+      // the rest; the view is maintained by the delta-join identity (the
+      // stored view is never recomputed) and the oracle aggregates the
+      // FULL join from scratch — equality IS the maintenance proof
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"))
+      val aOld = o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+      val aDelta = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      val bOld = li.filter(pmod(col("l_linenumber"), lit(2)) === 1)
+      val bDelta = li.filter(pmod(col("l_linenumber"), lit(2)) === 0)
+      val oldView = aOld.join(bOld, col("o_orderkey") === col("l_orderkey"))
+      graft.operators.MaintenanceOps.maintainJoin(
+        oldView, aOld, aDelta, bOld, bDelta, "o_orderkey", "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(d2(col("l_extendedprice")) * (one - d2(col("l_discount"))))
+            * 10000).cast(LongType).as("revenue_c4"))
+        .orderBy(col("o_orderpriority"))
+    },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+    (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS revenue_c4
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1 ORDER BY o_orderpriority""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge
@@ -6119,6 +6162,32 @@ r$r AS (SELECT n.node, CAST(CASE WHEN n.seed THEN 150000 ELSE 0 END + COALESCE(c
       val buildS = (System.nanoTime() - t0) / 1e9
       winnowBuildSeconds = Some(buildS)
       System.err.println(f"[bench] winnow-fp index build: $buildS%.2f s (once per JVM, shared by q76/q81)")
+      true
+    })
+    path
+  }
+
+  /** IVF index artifacts built by THIS JVM (q247). */
+  private val ivfBuilt = scala.collection.concurrent.TrieMap[String, Boolean]()
+
+  /** One-off q247 IVF index build cost (same contract as [[q75BuildSeconds]]). */
+  @volatile var ivfBuildSeconds: Option[Double] = None
+
+  /** Once-per-JVM [[SimilarityOps.buildIvfIndex]] over `embeddings` —
+    * the persisted production shape of q25's per-run IVF: centroids +
+    * cell-partitioned assignments, built once per corpus generation,
+    * probed by every retrieval session. Keyed like [[winnowIndexPath]].
+    */
+  private def ivfIndexPath(s: SparkSession, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${key}_${ProcessHandle.current().pid()}"
+    ivfBuilt.getOrElseUpdate(path, {
+      val t0 = System.nanoTime()
+      SimilarityOps.buildIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding", path)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      ivfBuildSeconds = Some(buildS)
+      System.err.println(f"[bench] IVF index build: $buildS%.2f s (once per JVM, q247)")
       true
     })
     path

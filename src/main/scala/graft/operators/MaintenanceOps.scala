@@ -154,6 +154,34 @@ object MaintenanceOps {
     * must account for at least the buffered row count (rows can only be
     * net-added or replaced, never silently lost). Returns the merged count.
     */
+  /** Incremental maintenance of a materialized equi-JOIN view — the join
+    * half of IVM next to [[mergeAggState]]'s aggregate half: with
+    * insert-only deltas ΔA / ΔB arriving against old snapshots A / B,
+    * the new view is exactly
+    *   J ∪ (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    * — the standard delta-join identity, so the stored view J is NEVER
+    * recomputed; only delta-sized joins run. Deletions/updates need a
+    * keyed MERGE on the view instead (the [[graft.catalog.GraftCatalog]]
+    * path); this operator is the append-only fast path a fact-stream
+    * pipeline takes every micro-batch.
+    *
+    * Scale shape: each delta term joins a delta-sized side against a
+    * snapshot on the join key — broadcast the delta when it fits
+    * (micro-batches do), hash-join otherwise; the view contributes zero
+    * IO beyond the final union. The spec pins maintained ≡ full
+    * recompute, and q248's oracle re-proves it through an aggregate
+    * over the maintained view.
+    */
+  def maintainJoin(oldView: DataFrame, aOld: DataFrame, aDelta: DataFrame,
+                   bOld: DataFrame, bDelta: DataFrame,
+                   aKey: String, bKey: String): DataFrame = {
+    def j(l: DataFrame, r: DataFrame) = l.join(r, col(aKey) === col(bKey))
+    oldView
+      .unionByName(j(aDelta, bOld))
+      .unionByName(j(aOld, bDelta))
+      .unionByName(j(aDelta, bDelta))
+  }
+
   def assertMergeCovered(mergedCount: Long, baseCount: Long, deletedCount: Long,
                          insertedCount: Long): Unit = {
     val expectedMin = baseCount - deletedCount

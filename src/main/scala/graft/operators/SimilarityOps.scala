@@ -328,6 +328,63 @@ object SimilarityOps {
       size(q).cast("long").as("dim"))
   }
 
+  /** Materialize the IVF index as a parquet artifact — the production
+    * ANN shape ([[ivfTopK]] recomputes assignments per run; a real
+    * pipeline builds the index once per corpus generation and every
+    * query session probes it, the same build-once discipline as the
+    * dedup-graph and postings artifacts). Layout:
+    * `path/centroids` (c_id, cv) and `path/cells` (vid, cell, v, nrm)
+    * PARTITIONED BY cell — a probe joining on the cell key can prune
+    * unprobed cells at the file level (dynamic partition pruning), which
+    * is exactly how an IVF index earns its keep at corpus scale. Same
+    * deterministic md5-sampled centroids as [[ivfTopK]], so probes
+    * reproduce its results bit-for-bit (q25's oracle checks q247).
+    * Production storage would hold [[quantizeInt8]] codes instead of raw
+    * doubles; the layout is unchanged.
+    */
+  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+                    path: String, nCentroids: Int = 16): Unit = {
+    val base = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .localCheckpoint(false) // two consumers: centroid sample + assignment
+    val cents = base
+      .orderBy(md5(col("vid").cast("string").cast("binary")), col("vid"))
+      .limit(nCentroids)
+      .select(col("vid").as("c_id"), col("v").as("cv"))
+    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val assigned = base.join(broadcast(cents), lit(true))
+      .withColumn("d2", d2)
+      .groupBy(col("vid"))
+      .agg(min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("cell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    assigned.select(col("vid"), col("cell"), col("v"), col("nrm"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Probe a [[buildIvfIndex]] artifact: queries are index rows matching
+    * `queryPred` (over the stored columns), candidates are the members
+    * of each query's own cell, ranked by the same quantized cosine as
+    * [[ivfTopK]]. The scan side is the parquet cells relation — the
+    * query cells broadcast, so partition pruning confines IO to probed
+    * cells.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queryPred: Column, k: Int): DataFrame = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val q = cells.filter(queryPred)
+      .select(col("vid").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val sim = floor(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * 10000.0) / 10000.0
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cells.join(broadcast(q), Seq("cell"))
+      .filter(col("vid") =!= col("q_id"))
+      .select(col("q_id"), col("vid").as("neighbor_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, nCentroids: Int = 16): DataFrame = {
     val base = emb.withColumn("__is_q", queryPred)

@@ -242,4 +242,23 @@ class Round9OpsSpec extends AnyFunSuite {
     // surviving majority still out-votes any collision
     assert(votes >= 7L, s"votes=$votes")
   }
+
+  test("maintainJoin: delta-join identity equals full recompute, multiset-exactly") {
+    import graft.operators.MaintenanceOps
+    val aOld = Seq((1L, "x"), (2L, "y")).toDF("ak", "av")
+    val aDelta = Seq((3L, "z"), (2L, "y2")).toDF("ak", "av") // new key + second row on key 2
+    val bOld = Seq((1L, 10L), (3L, 30L)).toDF("bk", "bv")
+    val bDelta = Seq((2L, 20L), (1L, 11L), (3L, 31L)).toDF("bk", "bv")
+    val oldView = aOld.join(bOld, col("ak") === col("bk"))
+    val maintained = MaintenanceOps.maintainJoin(
+      oldView, aOld, aDelta, bOld, bDelta, "ak", "bk")
+    val full = aOld.unionByName(aDelta)
+      .join(bOld.unionByName(bDelta), col("ak") === col("bk"))
+    // multiset equality: group-count both sides and compare
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(df.columns.map(col): _*).count()
+        .as[(Long, String, Long, Long, Long)].collect().toSeq.sorted
+    assert(counts(maintained) === counts(full))
+    assert(maintained.count() === 6L) // and the fixture exercises every delta term
+  }
 }
