@@ -6090,6 +6090,53 @@ SELECT snip_id, track_id, offset_w, votes FROM rr WHERE rk = 1 ORDER BY snip_id"
     (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS revenue_c4
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY 1 ORDER BY o_orderpriority""")),
+
+    ("q249_bitemporal_asof", (s, d) => {
+      // bitemporal restatement report (the SQL:2011 transaction-time
+      // query): a correction ledger (every 7th order restated +$100,
+      // recorded 30 days after the original) read two ways — "as the
+      // system knew it on 1998-12-31" vs "as known now" — with the
+      // per-year restatement delta between the two snapshots. Each
+      // snapshot is one key-partitioned last-wins window (the q07/q16
+      // machinery applied along TRANSACTION time instead of valid time)
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        (d2(col("o_totalprice")) * 100).cast(LongType).as("c"),
+        to_date(col("o_orderdate")).as("tx"))
+      val led = o.unionByName(o.filter(pmod(col("k"), lit(7)) === 0)
+        .select(col("k"), col("yr"), (col("c") + 10000L).as("c"),
+          date_add(col("tx"), 30).as("tx")))
+      val w = Window.partitionBy(col("k")).orderBy(col("tx").desc)
+      val cur = led.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("yr")).agg(sum(col("c")).as("rev_current_c"))
+      val asf = led.filter(col("tx") <= lit(java.sql.Date.valueOf("1998-12-31")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .groupBy(col("yr")).agg(sum(col("c")).as("rev_asof_c"))
+      cur.join(asf, Seq("yr"), "left")
+        .select(col("yr"),
+          coalesce(col("rev_asof_c"), lit(0L)).as("rev_asof_c"),
+          col("rev_current_c"),
+          (col("rev_current_c") - coalesce(col("rev_asof_c"), lit(0L)))
+            .as("restated_c"))
+        .orderBy(col("yr"))
+    },
+      Some("""WITH o AS (SELECT o_orderkey AS k, year(o_orderdate) AS yr,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+  CAST(o_orderdate AS DATE) AS tx FROM orders),
+led AS (SELECT k, yr, c, tx FROM o
+  UNION ALL SELECT k, yr, c + 10000, CAST(tx + INTERVAL 30 DAY AS DATE)
+  FROM o WHERE k % 7 = 0),
+snap AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY tx DESC) AS rk FROM led),
+cur AS (SELECT yr, CAST(SUM(c) AS BIGINT) AS rev_current_c FROM snap
+  WHERE rk = 1 GROUP BY 1),
+a0 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY tx DESC) AS rk
+  FROM led WHERE tx <= DATE '1998-12-31'),
+asf AS (SELECT yr, CAST(SUM(c) AS BIGINT) AS rev_asof_c FROM a0
+  WHERE rk = 1 GROUP BY 1)
+SELECT cur.yr, COALESCE(asf.rev_asof_c, 0) AS rev_asof_c, cur.rev_current_c,
+  cur.rev_current_c - COALESCE(asf.rev_asof_c, 0) AS restated_c
+FROM cur LEFT JOIN asf ON asf.yr = cur.yr ORDER BY cur.yr""")),
   )
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge
