@@ -6137,7 +6137,50 @@ asf AS (SELECT yr, CAST(SUM(c) AS BIGINT) AS rev_asof_c FROM a0
 SELECT cur.yr, COALESCE(asf.rev_asof_c, 0) AS rev_asof_c, cur.rev_current_c,
   cur.rev_current_c - COALESCE(asf.rev_asof_c, 0) AS restated_c
 FROM cur LEFT JOIN asf ON asf.yr = cur.yr ORDER BY cur.yr""")),
+
+    ("q250_kmeans_lloyd", (s, d) =>
+      // deterministic k-means, k=8 with TWO Lloyd refinement rounds over
+      // 2^20 fixed-point embeddings (md5-sampled seeds, exact floor-mean
+      // centroid updates) — the clustering step IVF seeding skips; every
+      // round is int64 so the oracle unrolls the identical rounds in SQL
+      SimilarityOps.kmeansLloyd(Tables.embeddings(s, d), "vec_id",
+        "embedding", 8, 2),
+      Some(s"""WITH e AS (SELECT vec_id AS vid,
+  list_transform(CAST(embedding AS DOUBLE[]),
+    x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS xs FROM embeddings),
+c0 AS (SELECT vid AS c_id, xs AS cxs FROM e
+  ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT 8),
+${kmeansRoundsSql(2)}
+SELECT cell AS c_id, CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(d2 // 1024) // count(*) AS BIGINT) AS mean_d2_kibi
+FROM s3 GROUP BY 1 ORDER BY c_id""")),
   )
+
+  /** `rounds` unrolled Lloyd iterations a1/s1/m1/c1..c{rounds} plus the
+    * final assignment s{rounds+1} — the oracle twin of
+    * [[graft.operators.SimilarityOps.kmeansLloyd]] (64-dim embeddings,
+    * exact floor-mean centroid updates).
+    */
+  private def kmeansRoundsSql(rounds: Int): String =
+    (1 to rounds + 1).map { r =>
+      val asg = s"""a$r AS (SELECT vid, xs, c_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, 65), i ->
+      (xs[CAST(i AS INT)] - cxs[CAST(i AS INT)]) * (xs[CAST(i AS INT)] - cxs[CAST(i AS INT)]))),
+    (a, x) -> a + x) AS d2
+  FROM e CROSS JOIN c${r - 1}),
+s$r AS (SELECT vid, xs, c_id AS cell, d2 FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, c_id) AS rn FROM a$r)
+  WHERE rn = 1)"""
+      if (r == rounds + 1) asg
+      else asg + s""",
+m$r AS (SELECT cell, i AS pos, CAST(SUM(xs[CAST(i AS INT)]) AS BIGINT) AS sx,
+  CAST(count(*) AS BIGINT) AS n
+  FROM s$r, range(1, 65) rng(i) GROUP BY 1, 2),
+c$r AS (SELECT cell AS c_id,
+  list(CAST((sx - ((sx % n) + n) % n) // n AS BIGINT) ORDER BY pos) AS cxs
+  FROM m$r GROUP BY 1),"""
+    }.mkString("\n")
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge
     * relation `e`, degrees `dg`, seed-tagged nodes `nd`, and r0 — the

@@ -385,6 +385,68 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic k-means with Lloyd refinement, integer-exact: vectors
+    * quantize to 2^20 fixed-point longs, initial centroids are the
+    * md5-of-id sample (the [[ivfTopK]] seeding), and each Lloyd round is
+    * (a) argmin-d² assignment against the broadcast centroids and (b) an
+    * element-wise exact-floor-mean recompute — every step int64, so
+    * clusterings are bit-identical on any engine/partitioning (the q250
+    * oracle unrolls the same rounds in SQL). A cluster that loses all
+    * members drops out (standard Lloyd behavior, deterministic here).
+    * Output per surviving cluster: (c_id = seeding vector's id, n,
+    * mean_d2_kibi = floor-mean of d²/1024 — pre-scaled so the inertia
+    * sum stays in int64 at any corpus size).
+    *
+    * Scale shape: per round, ONE broadcast of k centroid vectors probed
+    * map-side (no corpus shuffle for assignment — the groupBy keys on
+    * the vector id only to argmin over k candidate rows) plus a
+    * (cluster, dim)-keyed mean aggregation; state re-checkpoints per
+    * round so lineage never compounds. The fixed-point zip_with math is
+    * interpreted (HOF) — production at 100 TB swaps in the codegen'd
+    * double kernel ([[dot]]) and keeps this exact path for audits.
+    */
+  def kmeansLloyd(emb: DataFrame, idCol: String, vecCol: String,
+                  k: Int, rounds: Int): DataFrame = {
+    require(k >= 2 && rounds >= 1, s"need k >= 2, rounds >= 1, got k=$k rounds=$rounds")
+    val base = emb.select(col(idCol).as("vid"),
+        transform(asDouble(col(vecCol)),
+          x => floor(x * 1048576.0).cast("long")).as("xs"))
+      .localCheckpoint(false) // probed by every round
+    var cents = base
+      .orderBy(md5(col("vid").cast("string").cast("binary")), col("vid"))
+      .limit(k)
+      .select(col("vid").as("c_id"), col("xs").as("cxs"))
+      .localCheckpoint(false)
+    val d2 = aggregate(zip_with(col("xs"), col("cxs"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    def assign() = base.join(broadcast(cents), lit(true))
+      .withColumn("__d2", d2)
+      .groupBy(col("vid"))
+      .agg(min(struct(col("__d2"), col("c_id"))).as("__m"), first(col("xs")).as("xs"))
+      .select(col("vid"), col("xs"), col("__m").getField("c_id").as("cell"),
+        col("__m").getField("__d2").as("d2"))
+    for (_ <- 1 to rounds) {
+      val assigned = assign()
+      // exact element-wise floor mean (see centroidOutliers)
+      val sums = assigned.select(col("cell"), posexplode(col("xs"))).toDF("cell", "pos", "x")
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      val mean = call_function("div", col("sx") - pmod(col("sx"), col("n")), col("n"))
+      cents = sums.groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), mean.as("c")))).as("ps"))
+        .select(col("cell").as("c_id"),
+          transform(col("ps"), p => p.getField("c")).as("cxs"))
+        .localCheckpoint(false)
+    }
+    assign()
+      .groupBy(col("cell").as("c_id"))
+      .agg(count(lit(1)).as("n"),
+        call_function("div",
+          sum(call_function("div", col("d2"), lit(1024L))),
+          count(lit(1))).as("mean_d2_kibi"))
+      .orderBy(col("c_id"))
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, nCentroids: Int = 16): DataFrame = {
     val base = emb.withColumn("__is_q", queryPred)

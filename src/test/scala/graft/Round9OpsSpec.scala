@@ -261,4 +261,27 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(counts(maintained) === counts(full))
     assert(maintained.count() === 6L) // and the fixture exercises every delta term
   }
+
+  test("kmeansLloyd: refinement never increases inertia; runs are bit-identical") {
+    import graft.operators.SimilarityOps
+    // two well-separated 4-dim blobs with deterministic jitter
+    val emb = (1L to 40L).map { i =>
+      val c = if (i <= 20) 10.0f else -10.0f
+      val j = (i % 5).toFloat * 0.01f
+      (i, Seq(c + j, c - j, c + 2 * j, c))
+    }.toDF("vec_id", "embedding")
+    def inertia(rounds: Int): Long =
+      SimilarityOps.kmeansLloyd(emb, "vec_id", "embedding", 2, rounds)
+        .as[(Long, Long, Long)].collect().map(r => r._2 * r._3).sum
+    val i1 = inertia(1); val i2 = inertia(2); val i3 = inertia(3)
+    // Lloyd monotonicity (floor rounding can wiggle a cluster by ±1 kibi
+    // per member; allow that slack and nothing more)
+    assert(i2 <= i1 + 40L, s"i1=$i1 i2=$i2")
+    assert(i3 <= i2 + 40L, s"i2=$i2 i3=$i3")
+    val run1 = SimilarityOps.kmeansLloyd(emb, "vec_id", "embedding", 2, 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    val run2 = SimilarityOps.kmeansLloyd(emb, "vec_id", "embedding", 2, 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(run1 === run2 && run1.map(_._2).sum === 40L)
+  }
 }
