@@ -6154,6 +6154,55 @@ ${kmeansRoundsSql(2)}
 SELECT cell AS c_id, CAST(count(*) AS BIGINT) AS n,
   CAST(SUM(d2 // 1024) // count(*) AS BIGINT) AS mean_d2_kibi
 FROM s3 GROUP BY 1 ORDER BY c_id""")),
+
+    ("q251_unpivot_metrics", (s, d) =>
+      // UNPIVOT/melt on the relational surface (the inverse of q146's
+      // pivot): a wide per-priority metric row melts to (priority,
+      // metric, value) tall form via Dataset.unpivot — the Expand-based
+      // reshape a metrics exporter needs; values pre-cast to one type as
+      // unpivot requires
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(d2(col("o_totalprice"))) * 100).cast(LongType).as("revenue_c"),
+          (max(d2(col("o_totalprice"))) * 100).cast(LongType).as("max_order_c"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("n_orders"), col("revenue_c"), col("max_order_c")),
+          "metric", "value")
+        .orderBy(col("o_orderpriority"), col("metric")),
+      Some("""WITH w AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS revenue_c,
+  CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS max_order_c
+  FROM orders GROUP BY 1)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w
+UNION ALL SELECT o_orderpriority, 'revenue_c', revenue_c FROM w
+UNION ALL SELECT o_orderpriority, 'max_order_c', max_order_c FROM w
+ORDER BY o_orderpriority, metric""")),
+
+    ("q252_ewma_smoothing", (s, d) =>
+      // integer EWMA (alpha = 1/8) over daily event counts per type:
+      // exact floor-division recursion in eighths-units, row-locally
+      // folded over the calendar-bounded daily series — the load
+      // smoother behind q93's spike screen, bit-replayed by the oracle's
+      // recursive CTE
+      graft.operators.TemporalOps.ewmaSeries(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c")),
+        "event_type", "day", "c", 8L)
+        .select(col("key").as("event_type"), col("t").as("day"),
+          col("v").as("n"), col("e").as("ewma_e8"))
+        .orderBy(col("event_type"), col("day")),
+      Some("""WITH RECURSIVE d AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+  CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+r AS (SELECT et, day, c, ROW_NUMBER() OVER (PARTITION BY et ORDER BY day) AS i FROM d),
+w AS (SELECT et, day, c, i, c * 8 AS e FROM r WHERE i = 1
+  UNION ALL
+  SELECT r.et, r.day, r.c, r.i,
+    w.e + (((r.c * 8 - w.e) - ((((r.c * 8 - w.e) % 8) + 8) % 8)) // 8)
+  FROM w JOIN r ON r.et = w.et AND r.i = w.i + 1)
+SELECT et AS event_type, day, c AS n, CAST(e AS BIGINT) AS ewma_e8
+FROM w ORDER BY event_type, day""")),
   )
 
   /** `rounds` unrolled Lloyd iterations a1/s1/m1/c1..c{rounds} plus the

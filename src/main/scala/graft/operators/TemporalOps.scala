@@ -177,6 +177,47 @@ object TemporalOps {
         col("__e.d").as("n_churn"), col("__e.s").as("surv_ppm"))
   }
 
+  /** Integer EWMA smoothing per key: over the (t, v) series in t-order,
+    *   e_1 = v_1·alphaDen;  e_i = e_{i-1} + floor((v_i·alphaDen − e_{i-1}) / alphaDen)
+    * — state carries the smoothed value scaled by `alphaDen` (α =
+    * 1/alphaDen), every step an EXACT floor division (the pmod trick, so
+    * truncation-vs-floor can never diverge between engines on negative
+    * deviations). The standard load/latency smoother, bit-replayable by
+    * a recursive-CTE oracle. Output: (key, t, v, e) per input row, e in
+    * alphaDen-ths.
+    *
+    * The recursion is inherently sequential, so it folds ROW-LOCALLY
+    * over the per-key collected series — sound for the same reason as
+    * [[kaplanMeier]]: the input grain is pre-aggregated time buckets
+    * (calendar-bounded, tens to thousands of steps per key), never raw
+    * events; the event-sized work is the caller's upstream aggregation.
+    * HOF interpretation cost is bounded by that same grain.
+    */
+  def ewmaSeries(df: DataFrame, keyCol: String, tCol: String, vCol: String,
+                 alphaDen: Long = 8L): DataFrame = {
+    require(alphaDen >= 2L, s"need alphaDen >= 2, got $alphaDen")
+    val packed = df
+      .select(col(keyCol).as("key"), struct(col(tCol).as("t"),
+        col(vCol).cast("long").as("v")).as("__p"))
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(col("__p"))).as("__st"))
+    val es = aggregate(
+      col("__st"),
+      array().cast("array<bigint>"),
+      (acc, x) => {
+        val v8 = x.getField("v") * alphaDen
+        val prev = element_at(acc, size(acc))
+        val dev = v8 - prev
+        val stepped = prev + call_function("div",
+          dev - pmod(dev, lit(alphaDen)), lit(alphaDen))
+        concat(acc, array(when(size(acc) === 0, v8).otherwise(stepped)))
+      })
+    packed.withColumn("__es", es)
+      .select(col("key"), posexplode(arrays_zip(col("__st"), col("__es"))))
+      .select(col("key"), col("col.__st.t").as("t"), col("col.__st.v").as("v"),
+        col("col.__es").as("e"))
+  }
+
   /** FIFO matching (inventory lot allocation / queue cost attribution):
     * per key, demand consumes supply OLDEST-FIRST. Both sides become
     * consecutive cumulative-quantity intervals ([cum−q, cum) in FIFO
