@@ -428,6 +428,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q247: IVF index probe carries DYNAMIC partition pruning on the cell") {
+    val p = plan("q247_ann_ivf_index")
+    // the artifact's earning property: probe IO ∝ probed cells — the
+    // cells scan must carry a dynamicpruning expression on the cell
+    // partition column, fed by the broadcast query side
+    assert(p.contains("dynamicpruningexpression(cell"),
+      p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q169: spatial join is a cell equi-join with codegen distance verify") {
     val p = plan("q169_geo_grid_join")
     assert(!p.contains("CartesianProduct"))
