@@ -6203,6 +6203,33 @@ w AS (SELECT et, day, c, i, c * 8 AS e FROM r WHERE i = 1
   FROM w JOIN r ON r.et = w.et AND r.i = w.i + 1)
 SELECT et AS event_type, day, c AS n, CAST(e AS BIGINT) AS ewma_e8
 FROM w ORDER BY event_type, day""")),
+
+    ("q253_reverse_search", (s, d) =>
+      // percolator-style stored-query alerting: the registry of
+      // term-conjunction watches is the index, documents are the probes;
+      // broadcast term table prunes map-side, the only shuffle keys on
+      // (query, doc); a 5-term conjunction and an impossible term pin
+      // selectivity and the zero-match path
+      TextOps.reverseSearch(Tables.documents(s, d), "doc_id", "text", Seq(
+        (1, Seq("merge", "vector")),
+        (2, Seq("stream", "batch", "filter", "window", "spark")),
+        (3, Seq("join", "zzz_nosuchterm")),
+        (4, Seq("customer", "query", "scan", "slow")))),
+      Some("""WITH qt(query_id, term) AS (VALUES (1, 'merge'), (1, 'vector'),
+  (2, 'stream'), (2, 'batch'), (2, 'filter'), (2, 'window'), (2, 'spark'),
+  (3, 'join'), (3, 'zzz_nosuchterm'),
+  (4, 'customer'), (4, 'query'), (4, 'scan'), (4, 'slow')),
+nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nt FROM qt GROUP BY 1),
+dt AS (SELECT DISTINCT doc_id, term FROM
+  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term IN (SELECT term FROM qt)),
+m AS (SELECT q.query_id, d.doc_id, count(*) AS c
+  FROM qt q JOIN dt d USING (term) GROUP BY 1, 2),
+ok AS (SELECT m.query_id, CAST(count(*) AS BIGINT) AS n_matched,
+  CAST(min(m.doc_id) AS BIGINT) AS first_doc
+  FROM m JOIN nq ON nq.query_id = m.query_id AND m.c = nq.nt GROUP BY 1)
+SELECT nq.query_id, COALESCE(ok.n_matched, 0) AS n_matched, ok.first_doc
+FROM nq LEFT JOIN ok ON ok.query_id = nq.query_id ORDER BY nq.query_id""")),
   )
 
   /** `rounds` unrolled Lloyd iterations a1/s1/m1/c1..c{rounds} plus the

@@ -670,6 +670,47 @@ object TextOps {
       .filter(col("rk") <= k)
   }
 
+  /** Percolator-style reverse search (stored-query alerting): a registry
+    * of term-CONJUNCTION queries is matched against every document —
+    * doc matches query iff every query term occurs in the doc. The
+    * direction search engines call percolation: queries are the index,
+    * documents are the probes (alert feeds, saved searches, compliance
+    * watchlists). Output one row per query: (query_id, n_matched,
+    * first_doc) with zero-match queries kept (n_matched = 0, null doc).
+    *
+    * Scale shape: the query-term table broadcasts (term registries are
+    * small by nature); documents collapse to DISTINCT (doc, term) pairs
+    * FILTERED map-side by the broadcast terms before the only shuffle,
+    * which keys on (query, doc) and is bounded by matching terms — never
+    * the corpus vocabulary. Conjunction test = count == n_terms, exact.
+    */
+  def reverseSearch(df: DataFrame, idCol: String, textCol: String,
+                    queries: Seq[(Int, Seq[String])]): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "need non-empty queries")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qt = broadcast(
+      queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+        .toDF("query_id", "term"))
+    val nq = broadcast(queries.map { case (q, ts) => (q, ts.distinct.size.toLong) }
+      .toDF("query_id", "nt"))
+    val dt = df
+      .select(col(idCol).as("__doc"), explode(split(col(textCol), " ")).as("term"))
+      .join(qt.select(col("term")).distinct(), Seq("term")) // map-side prune
+      .distinct()
+    val matched = dt.join(qt, Seq("term"))
+      .groupBy(col("query_id"), col("__doc"))
+      .agg(count(lit(1)).as("__c"))
+      .join(nq, Seq("query_id"))
+      .filter(col("__c") === col("nt"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_matched"), min(col("__doc")).as("first_doc"))
+    nq.select(col("query_id")).join(matched, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"), col("first_doc"))
+      .orderBy(col("query_id"))
+  }
+
   /** Corpus-trained bigram language-model quality score, integer-exact.
     * Train: MLE bigram probabilities over the corpus itself —
     * P(w2|w1) = c(w1 w2) / c(w1-as-bigram-start), floor-scaled to
