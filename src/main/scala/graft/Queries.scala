@@ -6230,6 +6230,24 @@ ok AS (SELECT m.query_id, CAST(count(*) AS BIGINT) AS n_matched,
   FROM m JOIN nq ON nq.query_id = m.query_id AND m.c = nq.nt GROUP BY 1)
 SELECT nq.query_id, COALESCE(ok.n_matched, 0) AS n_matched, ok.first_doc
 FROM nq LEFT JOIN ok ON ok.query_id = nq.query_id ORDER BY nq.query_id""")),
+
+    ("q254_blocklist_scan", (s, d) =>
+      // Aho-Corasick watchlist scan: one automaton pass per document
+      // counts every overlapping/NESTED occurrence ('an' inside 'can'
+      // inside 'scan' all count at the same end position — the merged
+      // output-set semantics); a zero-hit pattern pins the left-join
+      // path; oracle counts by exhaustive substring positions
+      TextOps.blocklistScan(Tables.documents(s, d), "doc_id", "text",
+        Seq("an", "scan", "can", "merge", "row", "zzqx")),
+      Some("""WITH pats(pattern) AS (VALUES ('an'), ('scan'), ('can'),
+  ('merge'), ('row'), ('zzqx')),
+pc AS (SELECT d.doc_id, p.pattern,
+  len(list_filter(range(1, length(d.text) - length(p.pattern) + 2),
+    i -> substring(d.text, CAST(i AS INT), length(p.pattern)) = p.pattern)) AS n
+  FROM documents d CROSS JOIN pats p)
+SELECT pattern, CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+  CAST(SUM(n) AS BIGINT) AS n_hits
+FROM pc GROUP BY 1 ORDER BY pattern""")),
   )
 
   /** `rounds` unrolled Lloyd iterations a1/s1/m1/c1..c{rounds} plus the

@@ -711,6 +711,46 @@ object TextOps {
       .orderBy(col("query_id"))
   }
 
+  /** Multi-pattern blocklist scan via a broadcast Aho–Corasick automaton
+    * ([[graft.functions.AhoCorasick]]): ONE pass over each document
+    * counts every (overlapping, nested) occurrence of every registry
+    * pattern — the watchlist/compliance kernel where per-pattern regex
+    * passes would cost registry × corpus. Output per pattern:
+    * (pattern, n_docs, n_hits), zero-hit patterns kept.
+    *
+    * Scale shape: the automaton serializes into the partition-local scan
+    * closure (registry-sized, like a broadcast); the scan is map-only
+    * and emits only (pattern, counts) rows for HITS, so the single
+    * shuffle is bounded by patterns × docs-with-hits and pre-combines
+    * map-side. This is the honest imperative-kernel slot (mapPartitions)
+    * — the automaton walk has no Column-algebra form.
+    */
+  def blocklistScan(df: DataFrame, idCol: String, textCol: String,
+                    patterns: Seq[String]): DataFrame = {
+    val ac = graft.functions.AhoCorasick.build(patterns)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hits = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (_, t) =>
+          val c = ac.countAll(if (t == null) "" else t)
+          c.iterator.zipWithIndex.collect {
+            case (n, pi) if n > 0L => (pi, 1L, n)
+          }
+        }
+      }
+      .toDF("pidx", "docs", "hits")
+      .groupBy(col("pidx"))
+      .agg(sum(col("docs")).as("n_docs"), sum(col("hits")).as("n_hits"))
+    val pdf = broadcast(patterns.zipWithIndex
+      .map { case (p, i) => (i, p) }.toDF("pidx", "pattern"))
+    pdf.join(hits, Seq("pidx"), "left")
+      .select(col("pattern"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy(col("pattern"))
+  }
+
   /** Corpus-trained bigram language-model quality score, integer-exact.
     * Train: MLE bigram probabilities over the corpus itself —
     * P(w2|w1) = c(w1 w2) / c(w1-as-bigram-start), floor-scaled to

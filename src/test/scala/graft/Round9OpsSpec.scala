@@ -262,6 +262,27 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(maintained.count() === 6L) // and the fixture exercises every delta term
   }
 
+  test("AhoCorasick: counts equal brute-force substring positions, nested and overlapping") {
+    import graft.functions.AhoCorasick
+    // nested ("a" in "aa" in "aab") and self-overlapping ("aa" in "aaa")
+    val patterns = Seq("a", "aa", "aab", "ba", "zz")
+    val ac = AhoCorasick.build(patterns)
+    def brute(t: String, p: String): Long =
+      (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length)).toLong
+    // hash-scattered texts over a 3-char alphabet maximize overlap
+    val texts = (1 to 60).map { k =>
+      val h = graft.functions.DebeziumCodec.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"ac$k"))
+      (0 until 20).map(i => "ab z".charAt(((h >> (i % 16)) & 3L).toInt)).mkString
+    } :+ "aaabaab" :+ ""
+    texts.foreach { t =>
+      val got = ac.countAll(t)
+      patterns.zipWithIndex.foreach { case (p, i) =>
+        assert(got(i) === brute(t, p), s"pattern '$p' in '$t'")
+      }
+    }
+  }
+
   test("kmeansLloyd: refinement never increases inertia; runs are bit-identical") {
     import graft.operators.SimilarityOps
     // two well-separated 4-dim blobs with deterministic jitter
