@@ -6248,7 +6248,83 @@ pc AS (SELECT d.doc_id, p.pattern,
 SELECT pattern, CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
   CAST(SUM(n) AS BIGINT) AS n_hits
 FROM pc GROUP BY 1 ORDER BY pattern""")),
+
+    ("q255_phonetic_blocking", (s, d) => {
+      // phonetic blocking for record linkage: synthetic person names
+      // (three key-derived syllables) against a CRM copy whose every 3rd
+      // name takes a vowel substitution past the first letter — exact
+      // blocking scatters those typos, the simplified-Soundex key keeps
+      // them (vowels map to the dropped class), so recall stays 1000
+      // permille. One equi-join on the phonetic code; block sizes
+      // bounded by the code domain
+      import graft.operators.LinkageOps
+      val syl = array(Seq("bar", "len", "mor", "tak", "rin",
+        "sol", "ned", "fax", "gul", "pim").map(lit): _*)
+      def nameOf(k: Column): Column = concat(
+        element_at(syl, (pmod(call_function("div", k, lit(100L)), lit(10L)) + 1).cast("int")),
+        element_at(syl, (pmod(call_function("div", k, lit(10L)), lit(10L)) + 1).cast("int")),
+        element_at(syl, (pmod(k, lit(10L)) + 1).cast("int")))
+      val base = Tables.customer(s, d).select(col("c_custkey").as("k"),
+        nameOf(col("c_custkey")).as("name"))
+      val crm = base.select((col("k") + 1000000L).as("ck"),
+        when(pmod(col("k"), lit(3)) === 0,
+          concat(substring(col("name"), 1, 1),
+            translate(expr("substring(name, 2, length(name))"), "aeiou", "eioua")))
+          .otherwise(col("name")).as("cname"))
+      val l = base.withColumn("code", LinkageOps.soundexKey(col("name")))
+      val r = crm.withColumn("code", LinkageOps.soundexKey(col("cname")))
+      l.join(r, Seq("code"))
+        .agg(countDistinct(col("code")).as("n_blocks"),
+          count(lit(1)).as("candidates"),
+          sum(when(col("ck") - 1000000L === col("k"), 1L).otherwise(0L)).as("true_pairs"),
+          sum(when(col("cname") === col("name"), 1L).otherwise(0L)).as("exact_pairs"))
+        .select(col("n_blocks"), col("candidates"), col("true_pairs"),
+          call_function("div", col("true_pairs") * 1000L,
+            countOfCustomers(s, d)).as("recall_pm"), col("exact_pairs"))
+    },
+      Some(s"""WITH syl AS (SELECT ['bar', 'len', 'mor', 'tak', 'rin',
+  'sol', 'ned', 'fax', 'gul', 'pim'] AS a),
+base AS (SELECT c_custkey AS k,
+  a[CAST((c_custkey // 100) % 10 AS INT) + 1] ||
+  a[CAST((c_custkey // 10) % 10 AS INT) + 1] ||
+  a[CAST(c_custkey % 10 AS INT) + 1] AS name
+  FROM customer, syl),
+crm AS (SELECT k + 1000000 AS ck,
+  CASE WHEN k % 3 = 0 THEN substring(name, 1, 1) ||
+    translate(substring(name, 2, length(name)), 'aeiou', 'eioua')
+  ELSE name END AS cname FROM base),
+lc AS (SELECT k, name, ${soundexSql("name")} AS code FROM base),
+rc AS (SELECT ck, cname, ${soundexSql("cname")} AS code FROM crm),
+j AS (SELECT * FROM lc JOIN rc USING (code)),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM customer)
+SELECT CAST(count(DISTINCT code) AS BIGINT) AS n_blocks,
+  CAST(count(*) AS BIGINT) AS candidates,
+  CAST(SUM(CASE WHEN ck - 1000000 = k THEN 1 ELSE 0 END) AS BIGINT) AS true_pairs,
+  (CAST(SUM(CASE WHEN ck - 1000000 = k THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+    // (SELECT nc FROM n) AS recall_pm,
+  CAST(SUM(CASE WHEN cname = name THEN 1 ELSE 0 END) AS BIGINT) AS exact_pairs
+FROM j""")),
   )
+
+  /** Exact customer count as a literal for q255's recall denominator —
+    * computed from the same table the query reads (driver-bounded single
+    * aggregate, not a magic constant).
+    */
+  private def countOfCustomers(s: SparkSession, d: String): Column =
+    lit(Tables.customer(s, d).count())
+
+  /** DuckDB twin of [[graft.operators.LinkageOps.soundexKey]]'s chain —
+    * generated from the same digit range so the two can never drift
+    * (backref-free collapse: DuckDB's RE2 ignores `\1` silently).
+    */
+  private def soundexSql(e: String): String = {
+    val digits =
+      s"translate(upper($e), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230120022455012623010202')"
+    val collapsed = (1 to 6).foldLeft(digits) { (acc, dig) =>
+      s"regexp_replace($acc, '$dig{2,}', '$dig', 'g')"
+    }
+    s"substring(upper($e), 1, 1) || rpad(substring(regexp_replace($collapsed, '0', '', 'g'), 2, 3), 3, '0')"
+  }
 
   /** `rounds` unrolled Lloyd iterations a1/s1/m1/c1..c{rounds} plus the
     * final assignment s{rounds+1} — the oracle twin of

@@ -50,6 +50,33 @@ object LinkageOps {
         when(col("score") >= linkMin, lit("link")).otherwise(lit("possible")))
   }
 
+  /** Simplified Soundex blocking key (Russell/Odell family): first
+    * letter + the first three consonant-class digits of the whole
+    * string, runs collapsed, vowels dropped, zero-padded — the phonetic
+    * blocking key that lets [[linkPairs]] catch name typos an exact or
+    * prefix block would scatter (a vowel substitution anywhere past the
+    * first letter leaves the key unchanged). Deviation from archival
+    * Soundex, applied identically on both engines: H/W are treated like
+    * vowels (run separators are not special-cased), and the first
+    * letter's own digit is not deduplicated against position two. The
+    * chain is upper → translate → collapse-runs → strip-zeros →
+    * letter+rpad, each step with an exact DuckDB twin (the q255 oracle
+    * replays it; two portability traps pinned there: DuckDB's RE2
+    * SILENTLY ignores backreferences, so run collapse must be the
+    * per-digit `d{2,}` chain — never `([0-9])\1+` — and DuckDB
+    * regexp_replace needs the 'g' flag where Spark replaces all).
+    */
+  def soundexKey(c: Column): Column = {
+    val u = upper(c)
+    val digits = translate(u,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202")
+    val collapsed = (1 to 6).foldLeft(digits) { (acc, dig) =>
+      regexp_replace(acc, s"$dig{2,}", s"$dig")
+    }
+    val stripped = regexp_replace(collapsed, "0", "")
+    concat(substring(u, 1, 1), rpad(substring(stripped, 2, 3), 3, "0"))
+  }
+
   /** One survivorship rule of [[goldenRecord]]; `out` is the golden
     * column name. Tie-breaks are total and engine-portable:
     *  - [[Longest]]: longest non-null string, ties to the
