@@ -6304,7 +6304,53 @@ SELECT CAST(count(DISTINCT code) AS BIGINT) AS n_blocks,
     // (SELECT nc FROM n) AS recall_pm,
   CAST(SUM(CASE WHEN cname = name THEN 1 ELSE 0 END) AS BIGINT) AS exact_pairs
 FROM j""")),
+
+    ("q256_temporal_reach", (s, d) => {
+      // time-respecting reachability over the co-purchase graph: edges
+      // carry their FIRST co-purchase day and a path may only move
+      // forward in time (the contact-tracing/cascade semantics plain BFS
+      // gets wrong); 4 relaxation rounds from every 400th part, output =
+      // earliest infection day per reached part. Basket-bounded pair
+      // construction + pregel-shaped rounds
+      val it = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+          datediff(to_date(col("o_orderdate")),
+            lit(java.sql.Date.valueOf("1995-01-01"))).cast(LongType).as("day"))
+        .distinct()
+      val pe = it.as("a").join(it.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .groupBy(col("a.pk").as("s"), col("b.pk").as("d"))
+        .agg(min(col("a.day")).as("t"))
+      graft.operators.GraphOps.temporalReachability(pe, "s", "d", "t",
+        Tables.part(s, d).filter(pmod(col("p_partkey"), lit(400)) === 0),
+        "p_partkey", lit(0L), 4)
+        .orderBy(col("node"))
+    },
+      Some(s"""WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk,
+  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+pe AS (SELECT a.pk AS s, b.pk AS d, CAST(MIN(a.day) AS BIGINT) AS t
+  FROM it a JOIN it b ON a.ok = b.ok AND a.pk != b.pk GROUP BY 1, 2),
+r0 AS (SELECT CAST(p_partkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS earliest
+  FROM part WHERE p_partkey % 400 = 0)${temporalRoundsSql(4)}
+SELECT node, earliest FROM r4 ORDER BY node""")),
   )
+
+  /** `rounds` unrolled temporal-relaxation rounds r1..r{rounds} over
+    * edge relation `pe` and seed arrival r0 — the oracle twin of
+    * [[graft.operators.GraphOps.temporalReachability]].
+    */
+  private def temporalRoundsSql(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s""",
+r$r AS (SELECT node, CAST(MIN(earliest) AS BIGINT) AS earliest FROM (
+  SELECT node, earliest FROM r${r - 1}
+  UNION ALL
+  SELECT pe.d, pe.t FROM pe JOIN r${r - 1} p ON pe.s = p.node AND pe.t >= p.earliest)
+  GROUP BY 1)"""
+    }.mkString
 
   /** Exact customer count as a literal for q255's recall denominator —
     * computed from the same table the query reads (driver-bounded single

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph computation in the pregel join-aggregate shape: each
@@ -437,6 +437,43 @@ object GraphOps {
       visited = visited.union(frontier).localCheckpoint(false)
     }
     visited
+  }
+
+  /** Time-RESPECTING reachability (temporal BFS / contagion spread):
+    * over edges (src, dst, t), a node v is reachable at time t' iff some
+    * edge (u, v, t'=t) has t >= the time u itself was reached — paths
+    * must move forward in time, the semantics behind contact tracing,
+    * info-cascade, and recall-propagation questions that plain BFS
+    * (which happily walks a Tuesday edge after a Friday one) gets
+    * wrong. Seeds start at `t0`. `rounds` fixed relaxation rounds
+    * (temporal diameter bound); output (node, earliest) — the earliest
+    * time each reached node can be infected.
+    *
+    * Scale shape: each round is one equi-join of the edge relation
+    * (checkpointed once) against the current arrival state + a dst-keyed
+    * min aggregation — the pregel discipline of [[pageRankScaled]];
+    * state is node-sized, re-checkpointed per round. The time filter is
+    * a row-local post-join predicate on the src equi-join.
+    */
+  def temporalReachability(edges: DataFrame, srcCol: String, dstCol: String,
+                           tCol: String, seeds: DataFrame, seedCol: String,
+                           t0: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val ed = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__d"), col(tCol).cast("long").as("__t"))
+      .localCheckpoint(false) // reused by every round
+    var arr = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("earliest", t0.cast("long"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val relaxed = ed.join(arr, col("__s") === col("node"))
+        .filter(col("__t") >= col("earliest"))
+        .select(col("__d").as("node"), col("__t").as("earliest"))
+      arr = arr.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("earliest")).as("earliest"))
+        .localCheckpoint(false)
+    }
+    arr
   }
 
   /** Hierarchy (BOM / org-chart) subtree rollup — the recursive-CTE

@@ -283,6 +283,19 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("temporalReachability: paths must move forward in time") {
+    import graft.operators.GraphOps
+    // A-(5)->B, B-(3)->C: C is NOT reachable through B (3 < 5 — plain
+    // BFS would take it); B-(7)->D is; A-(10)->C rescues C directly
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 3L), (2L, 4L, 7L), (1L, 3L, 10L))
+      .toDF("s", "d", "t")
+    val seeds = Seq(Tuple1(1L)).toDF("n")
+    val got = GraphOps.temporalReachability(edges, "s", "d", "t",
+        seeds, "n", lit(0L), 4)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got === Seq((1L, 0L), (2L, 5L), (3L, 10L), (4L, 7L)))
+  }
+
   test("kmeansLloyd: refinement never increases inertia; runs are bit-identical") {
     import graft.operators.SimilarityOps
     // two well-separated 4-dim blobs with deterministic jitter
