@@ -6336,7 +6336,66 @@ pe AS (SELECT a.pk AS s, b.pk AS d, CAST(MIN(a.day) AS BIGINT) AS t
 r0 AS (SELECT CAST(p_partkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS earliest
   FROM part WHERE p_partkey % 400 = 0)${temporalRoundsSql(4)}
 SELECT node, earliest FROM r4 ORDER BY node""")),
+
+    ("q257_geofence", (s, d) => {
+      // exact integer geofencing: q169's hash-derived customer plane
+      // filtered by a literal hexagon via cross-multiplied ray casting
+      // (no division, no floats — comparison direction fixed per edge at
+      // plan build) — per-nation containment census in permille.
+      // Map-only codegen arithmetic + one broadcast dim join
+      def coordMix(h: Column) = pmod(pmod(
+        lit(636413622L) * h + lit(528402381L),
+        lit(1000000007L)), lit(1000000L))
+      val pts = Tables.customer(s, d).select(col("c_custkey").as("id"),
+        col("c_nationkey"),
+        coordMix(Converters.fingerprint64(
+          concat(lit("gx"), col("c_custkey").cast(StringType)))).as("x"),
+        coordMix(Converters.fingerprint64(
+          concat(col("c_custkey").cast(StringType), lit("gy")))).as("y"))
+      val inside = graft.operators.SpatialOps.insidePolygon(
+        col("x"), col("y"), GeofenceHex)
+      pts.join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(inside, 1L).otherwise(0L)).as("n_inside"))
+        .select(col("n_name"), col("n_total"), col("n_inside"),
+          call_function("div", col("n_inside") * 1000L, col("n_total"))
+            .as("inside_pm"))
+        .orderBy(col("n_name"))
+    },
+      Some(s"""WITH p AS (SELECT c_custkey AS id, c_nationkey,
+  ${mixedSql("('gx' || CAST(c_custkey AS VARCHAR))")} % 1000000 AS x,
+  ${mixedSql("(CAST(c_custkey AS VARCHAR) || 'gy')")} % 1000000 AS y
+  FROM customer),
+f AS (SELECT c_nationkey, (${pipSql("x", "y", GeofenceHex)}) AS inside FROM p)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_total,
+  CAST(SUM(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+  (CAST(SUM(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) * 1000) // count(*) AS inside_pm
+FROM f JOIN nation ON f.c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY n_name""")),
   )
+
+  /** q257's literal geofence: a hexagon centered on the plane (a def —
+    * `all` initializes before any trailing vals in this object).
+    */
+  private def GeofenceHex: Seq[(Long, Long)] = Seq(
+    (800000L, 500000L), (650000L, 760000L), (350000L, 760000L),
+    (200000L, 500000L), (350000L, 240000L), (650000L, 240000L))
+
+  /** DuckDB twin of [[graft.operators.SpatialOps.insidePolygon]] —
+    * generated from the same vertex list with the same per-edge
+    * comparison direction, so the two can never drift.
+    */
+  private def pipSql(xE: String, yE: String, verts: Seq[(Long, Long)]): String = {
+    val terms = verts.zip(verts.tail :+ verts.head).map {
+      case ((x1, y1), (x2, y2)) =>
+        val cmp = if (y2 > y1) "<" else ">"
+        s"""CASE WHEN (($y1 > $yE) != ($y2 > $yE))
+    AND (($xE - $x1) * ${y2 - y1} $cmp ${x2 - x1} * ($yE - $y1)) THEN 1 ELSE 0 END"""
+    }
+    s"(${terms.mkString(" + ")}) % 2 = 1"
+  }
 
   /** `rounds` unrolled temporal-relaxation rounds r1..r{rounds} over
     * edge relation `pe` and seed arrival r0 — the oracle twin of

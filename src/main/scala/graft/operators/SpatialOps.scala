@@ -157,4 +157,30 @@ object SpatialOps {
     ringCandidates(u, b, 1).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
+
+  /** Exact integer ray-casting point-in-polygon: for a COMPILE-TIME
+    * vertex list (geofences are small literals by nature), counts
+    * horizontal-ray crossings with the straddle test cross-MULTIPLIED —
+    * `(x−x1)(y2−y1) <vs> (x2−x1)(y−y1)`, comparison direction fixed per
+    * edge at build time by sign(y2−y1) — so no division, no floats,
+    * bit-identical on any engine. Points exactly ON an edge follow the
+    * strict-inequality convention (deterministic, mirrored by the
+    * oracle). Unrolled per edge: pure codegen'd column arithmetic, no
+    * HOF, no UDF — a map-only geofence filter at any corpus size.
+    */
+  def insidePolygon(x: org.apache.spark.sql.Column,
+                    y: org.apache.spark.sql.Column,
+                    verts: Seq[(Long, Long)]): org.apache.spark.sql.Column = {
+    require(verts.size >= 3, s"polygon needs >= 3 vertices, got ${verts.size}")
+    val crossings = verts.zip(verts.tail :+ verts.head).map {
+      case ((x1, y1), (x2, y2)) =>
+        require(y1 != y2 || x1 != x2, "degenerate (repeated) vertex")
+        val straddle = (lit(y1) > y) =!= (lit(y2) > y)
+        val lhs = (x - lit(x1)) * lit(y2 - y1)
+        val rhs = lit(x2 - x1) * (y - lit(y1))
+        val cross = if (y2 > y1) lhs < rhs else lhs > rhs
+        when(straddle && cross, 1L).otherwise(0L)
+    }.reduce(_ + _)
+    pmod(crossings, lit(2L)) === 1L
+  }
 }

@@ -283,6 +283,26 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("insidePolygon: convex and concave membership, pure column arithmetic") {
+    import graft.operators.SpatialOps
+    val square = Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))
+    // U-shaped concave polygon: the notch (5,6) is OUTSIDE
+    val ushape = Seq((0L, 0L), (10L, 0L), (10L, 10L), (7L, 10L),
+      (7L, 4L), (3L, 4L), (3L, 10L), (0L, 10L))
+    val pts = Seq((1L, 5L, 5L), (2L, 15L, 5L), (3L, 5L, 6L), (4L, 1L, 9L),
+      (5L, 5L, 2L)).toDF("id", "x", "y")
+    val got = pts.select(col("id"),
+        SpatialOps.insidePolygon(col("x"), col("y"), square).as("sq"),
+        SpatialOps.insidePolygon(col("x"), col("y"), ushape).as("u"))
+      .as[(Long, Boolean, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (1L, true, false),  // center: in square, in the U's notch void
+      (2L, false, false), // right of both
+      (3L, true, false),  // notch interior
+      (4L, true, true),   // left arm of the U
+      (5L, true, true)))  // base of the U
+  }
+
   test("temporalReachability: paths must move forward in time") {
     import graft.operators.GraphOps
     // A-(5)->B, B-(3)->C: C is NOT reachable through B (3 < 5 — plain
