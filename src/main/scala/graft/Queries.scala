@@ -6374,6 +6374,38 @@ SELECT n_name, CAST(count(*) AS BIGINT) AS n_total,
   (CAST(SUM(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) * 1000) // count(*) AS inside_pm
 FROM f JOIN nation ON f.c_nationkey = n_nationkey
 GROUP BY 1 ORDER BY n_name""")),
+
+    ("q258_shapley_attribution", (s, d) =>
+      // exact Shapley channel attribution: users' exposed channel SETS
+      // form the coalition game (click/view/signup/error; conversion =
+      // purchase), v(S) = converted users fitting inside S, credit =
+      // the exact Shapley sum scaled by 4! — the principled
+      // counterweight to q161/q192's position rules. One user-keyed
+      // aggregation distributes; the 16-coalition table is
+      // driver-bounded metadata
+      graft.operators.PolicyOps.shapleyAttribution(
+        Tables.events(s, d), "user_id", "event_type",
+        Seq("click", "view", "signup", "error"),
+        col("event_type") === "purchase"),
+      Some("""WITH pu AS (SELECT user_id,
+  CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+     + MAX(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END)
+     + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+     + MAX(CASE WHEN event_type = 'error' THEN 8 ELSE 0 END) AS BIGINT) AS m,
+  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+  FROM events GROUP BY 1),
+mv AS (SELECT m, CAST(count(*) AS BIGINT) AS n FROM pu WHERE cv = 1 GROUP BY 1),
+subsets AS (SELECT unnest(range(0, 16)) AS S),
+vs AS (SELECT S, CAST(COALESCE(SUM(mv.n), 0) AS BIGINT) AS v
+  FROM subsets LEFT JOIN mv ON (mv.m & subsets.S) = mv.m GROUP BY 1),
+ch(i, channel) AS (VALUES (0, 'click'), (1, 'view'), (2, 'signup'), (3, 'error')),
+terms AS (SELECT ch.channel,
+  CASE bit_count(s.S) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END AS w,
+  vi.v - s.v AS dv
+  FROM ch JOIN vs s ON ((s.S >> ch.i) & 1) = 0
+  JOIN vs vi ON vi.S = (s.S | (1 << ch.i)))
+SELECT channel, CAST(SUM(w * dv) AS BIGINT) AS phi_xkfact
+FROM terms GROUP BY 1 ORDER BY channel""")),
   )
 
   /** q257's literal geofence: a hexagon centered on the plane (a def —

@@ -41,4 +41,53 @@ object PolicyOps {
             .otherwise(lit(0L)).as("avg_cents_e3"))
     }.reduce(_ unionByName _).orderBy(col("policy"))
   }
+
+  /** Exact Shapley-value channel attribution (Shapley 1953 applied to
+    * the marketing coalition game): each user contributes their exposed
+    * channel SET; the coalition value v(S) counts converted users whose
+    * set fits inside S, and each channel's credit is the exact Shapley
+    * sum  φ_i = Σ_{S ∌ i} |S|!·(k−|S|−1)!/k! · (v(S∪i) − v(S)) —
+    * reported scaled by k! so every value is an integer
+    * (`phi_xkfact`; Σφ_xkfact = k!·(v(full) − v(∅)), the efficiency
+    * identity the spec pins). The principled alternative to
+    * position-rule attribution (q161/q192's first/linear-touch).
+    *
+    * Scale shape: the distributed work is ONE user-keyed aggregation to
+    * (mask, converted); the 2^k coalition table is driver-bounded
+    * metadata (k ≤ 12 enforced — channels are single digits by nature)
+    * in the RangePrefix offsets tradition, and the combinatorial sum
+    * runs exactly there in BigInt-free long arithmetic.
+    */
+  def shapleyAttribution(df: DataFrame, userCol: String, channelCol: String,
+                         channels: Seq[String], conversion: Column): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 12,
+      s"need 1..12 channels, got ${channels.size}")
+    require(channels.distinct.size == channels.size, "channels must be distinct")
+    val k = channels.size
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bitAggs = channels.zipWithIndex.map { case (ch, i) =>
+      max(when(col(channelCol) === ch, 1L << i).otherwise(0L)).as(s"__b$i")
+    } :+ max(when(conversion, 1L).otherwise(0L)).as("__cv")
+    val perUser = df.groupBy(col(userCol))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select((0 until k).map(i => col(s"__b$i")).reduce(_ + _).as("__m"),
+        col("__cv"))
+    // masks-with-conversions: <= 2^k rows — driver-bounded metadata
+    val mv = perUser.filter(col("__cv") === 1L)
+      .groupBy(col("__m")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
+    val v = Array.tabulate(1 << k) { s =>
+      mv.collect { case (m, n) if (m & s) == m => n }.sum
+    }
+    val fact = (0 to k).map(i => (1 to i).foldLeft(1L)(_ * _)).toArray
+    val rows = channels.zipWithIndex.map { case (ch, i) =>
+      val phi = (0 until (1 << k)).filter(s => (s >> i & 1) == 0).map { s =>
+        val sz = java.lang.Integer.bitCount(s)
+        fact(sz) * fact(k - sz - 1) * (v(s | (1 << i)) - v(s))
+      }.sum
+      (ch, phi)
+    }
+    rows.toDF("channel", "phi_xkfact").orderBy(col("channel"))
+  }
 }

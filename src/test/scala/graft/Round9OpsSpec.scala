@@ -283,6 +283,20 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shapleyAttribution: hand-computed coalition game + efficiency identity") {
+    import graft.operators.PolicyOps
+    // u1 {A} conv, u2 {A,B} conv, u3 {B} no-conv, u4 {} conv (baseline)
+    val ev = Seq((1L, "A"), (1L, "buy"), (2L, "A"), (2L, "B"), (2L, "buy"),
+      (3L, "B"), (4L, "buy")).toDF("u", "t")
+    val got = PolicyOps.shapleyAttribution(ev, "u", "t", Seq("A", "B"),
+        col("t") === "buy")
+      .as[(String, Long)].collect().toSeq
+    // v(∅)=1, v({A})=2, v({B})=1, v({A,B})=3 -> φ_A·2!=3, φ_B·2!=1
+    assert(got === Seq(("A", 3L), ("B", 1L)))
+    // efficiency: Σφ·k! = k!·(v(full) − v(∅)) = 2·2
+    assert(got.map(_._2).sum === 4L)
+  }
+
   test("insidePolygon: convex and concave membership, pure column arithmetic") {
     import graft.operators.SpatialOps
     val square = Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))
