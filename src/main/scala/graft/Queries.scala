@@ -6406,6 +6406,263 @@ terms AS (SELECT ch.channel,
   JOIN vs vi ON vi.S = (s.S | (1 << ch.i)))
 SELECT channel, CAST(SUM(w * dv) AS BIGINT) AS phi_xkfact
 FROM terms GROUP BY 1 ORDER BY channel""")),
+
+    ("q259_spearman_corr", (s, d) => {
+      // monotone-association screen: per-nation Spearman between a
+      // customer's account balance and their lifetime order spend —
+      // rank correlation is the robust cousin of q195's OLS slope.
+      // Ranks on the TOTAL order (value, custkey) per the house tie
+      // rule, making rho = 1 − 6Σd²/(n(n²−1)) integer-exact; customers
+      // with no orders stay in the frame at spend 0 (they carry rank
+      // information — dropping them would bias the readout)
+      val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast(LongType).as("__sp"))
+      val base = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(spend, col("o_custkey") === col("c_custkey"), "left")
+        .select(col("n_name"), col("c_custkey"),
+          (d2(col("c_acctbal")) * 100).cast(LongType).as("bal_c"),
+          coalesce(col("__sp"), lit(0L)).as("spend_c"))
+      graft.operators.QualityOps.spearmanCorr(
+        base, "n_name", "bal_c", "spend_c", "c_custkey")
+    },
+      Some("""WITH spend AS (SELECT o_custkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sp
+  FROM orders GROUP BY 1),
+base AS (SELECT n_name AS g, c_custkey AS k,
+  CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+  COALESCE(sp, 0) AS y
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  LEFT JOIN spend ON o_custkey = c_custkey),
+r AS (SELECT g,
+  ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, k) AS rx,
+  ROW_NUMBER() OVER (PARTITION BY g ORDER BY y, k) AS ry FROM base),
+a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2 FROM r GROUP BY 1)
+SELECT g AS "group", n, sum_d2,
+  CASE WHEN n >= 2
+    THEN 1000000 - (6000000 * sum_d2) // (n * (n * n - 1))
+    ELSE 0 END AS rho_ppm
+FROM a ORDER BY "group"""")),
+
+    ("q260_average_precision", (s, d) => {
+      // the MAP companion to q162's nDCG: per-query average precision
+      // at 10 over the same brute-cosine ranked lists and label-match
+      // relevance — exact to the last ppm via LCM(1..10)=2520 scaling
+      // (Σ rel·hits·(2520/rank) is an integer sum, one final floor)
+      val ranked = SimilarityOps.cosineTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", col("vec_id") % 37 === 0, 10)
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val graded = ranked
+        .join(labels.withColumnRenamed("vec_id", "q_id")
+          .withColumnRenamed("label", "q_label"), Seq("q_id"))
+        .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+          .withColumnRenamed("label", "n_label"), Seq("neighbor_id"))
+        .select(col("q_id"), col("rank"),
+          (col("q_label") === col("n_label")).as("rel"))
+      graft.operators.QualityOps.averagePrecisionAtK(
+        graded, "q_id", "rank", col("rel"), 10)
+    },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id % 37 = 0),
+pairs AS (SELECT q_id, q_label, e.vec_id AS neighbor_id, e.label AS n_label,
+  floor(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) * 10000.0) / 10000.0 AS sim
+  FROM q JOIN e ON e.vec_id != q.q_id),
+ranked AS (SELECT * FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM pairs)
+  WHERE rank <= 10),
+wt(rank, w) AS (VALUES (1, 2520), (2, 1260), (3, 840), (4, 630), (5, 504),
+  (6, 420), (7, 360), (8, 315), (9, 280), (10, 252)),
+g AS (SELECT q_id, r.rank, CASE WHEN q_label = n_label THEN 1 ELSE 0 END AS rel, w
+  FROM ranked r JOIN wt ON wt.rank = r.rank),
+c AS (SELECT q_id, rel, w, CAST(SUM(rel) OVER (PARTITION BY q_id
+  ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hits
+  FROM g),
+a AS (SELECT q_id, CAST(SUM(rel) AS BIGINT) AS n_rel,
+  CAST(SUM(rel * hits * w) AS BIGINT) AS num FROM c GROUP BY 1)
+SELECT q_id, n_rel,
+  CASE WHEN n_rel > 0 THEN (num * 1000000) // (2520 * n_rel) ELSE 0 END AS ap_ppm
+FROM a ORDER BY q_id""")),
+
+    ("q261_mix_association", (s, d) => {
+      // segment-mix audit: is order priority independent of customer
+      // market segment? chi-square contingency with per-cell integer
+      // contributions ((N·O − R·C)² div (R·C) · 1e6 div N — no float
+      // sum) and squared Cramér's V; the categorical companion to
+      // q199's Simpson screen. Int64 envelope N·max_cell < 3e9 holds
+      // through sf1; beyond that the screen runs on a sampled or
+      // pre-bucketed relation (it is a summary statistic, not a scan)
+      val joined = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderpriority"), col("c_mktsegment"))
+      graft.operators.QualityOps.contingencyAssociation(
+        joined, "o_orderpriority", "c_mktsegment")
+    },
+      Some("""WITH j AS (SELECT o_orderpriority AS a, c_mktsegment AS b
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+obs AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM j GROUP BY 1, 2),
+rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r_tot FROM obs GROUP BY 1),
+ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c_tot FROM obs GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+  CAST(count(DISTINCT a) AS BIGINT) AS ra,
+  CAST(count(DISTINCT b) AS BIGINT) AS cb FROM obs),
+cells AS (SELECT rt.a, ct.b, rt.r_tot, ct.c_tot, COALESCE(obs.o, 0) AS o
+  FROM rt CROSS JOIN ct LEFT JOIN obs ON obs.a = rt.a AND obs.b = ct.b),
+g AS (SELECT a, b, o, r_tot, c_tot,
+  (((n * o - r_tot * c_tot) * (n * o - r_tot * c_tot)) // (r_tot * c_tot))
+    * 1000000 // n AS contrib_ppm
+  FROM cells CROSS JOIN tot),
+s AS (SELECT CAST(SUM(contrib_ppm) AS BIGINT) AS chi2_ppm,
+  CASE WHEN least(ra, cb) - 1 > 0
+    THEN CAST(SUM(contrib_ppm) AS BIGINT) // (n * (least(ra, cb) - 1))
+    ELSE 0 END AS v2_ppm
+  FROM g CROSS JOIN tot GROUP BY n, ra, cb)
+SELECT a, b, o, r_tot, c_tot, contrib_ppm, chi2_ppm, v2_ppm
+FROM g CROSS JOIN s ORDER BY a, b""")),
+
+    ("q262_cuped_lift", (s, d) => {
+      // CUPED variance-reduced experiment readout (Deng et al. 2013)
+      // over the q193 assignment fixture: per-user PRE-period purchase
+      // spend (week < 2820) is the covariate, POST-period spend the
+      // metric, θ pooled across arms, everything floor-mean-centered
+      // integer dollars so both engines agree to the last milli-unit
+      val wk = call_function("div",
+        expr("ts_ns div 86400000000000"), lit(7L))
+      val per = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), (wk >= 2820L).as("__post"),
+          (d2(col("value")) * 100).cast(LongType).as("__cents"))
+        .groupBy(col("user_id"))
+        .agg(
+          call_function("div",
+            coalesce(sum(when(!col("__post"), col("__cents"))), lit(0L)),
+            lit(100L)).as("__x"),
+          call_function("div",
+            coalesce(sum(when(col("__post"), col("__cents"))), lit(0L)),
+            lit(100L)).as("__y"))
+      graft.operators.QualityOps.cupedAdjust(per,
+        pmod(col("user_id"), lit(2)) === 0, col("__x"), col("__y"))
+    },
+      Some("""WITH p AS (SELECT user_id,
+  (epoch_ns(ts) // 86400000000000) // 7 >= 2820 AS post,
+  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+per AS (SELECT user_id,
+  COALESCE(SUM(CASE WHEN NOT post THEN cents END), 0) // 100 AS x,
+  COALESCE(SUM(CASE WHEN post THEN cents END), 0) // 100 AS y
+  FROM p GROUP BY 1),
+m AS (SELECT CAST(SUM(x) AS BIGINT) // count(*) AS xm,
+  CAST(SUM(y) AS BIGINT) // count(*) AS ym FROM per),
+dev AS (SELECT user_id % 2 = 0 AS treat, x, y, xm,
+  x - xm AS xd, y - ym AS yd FROM per CROSS JOIN m),
+th AS (SELECT CASE WHEN SUM(xd * xd) > 0
+  THEN CAST(SUM(xd * yd) AS BIGINT) * 1000000 // CAST(SUM(xd * xd) AS BIGINT)
+  ELSE 0 END AS theta_ppm FROM dev)
+SELECT treat, CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(y) AS BIGINT) * 1000 // count(*) AS mean_y_me3,
+  CAST(SUM(y * 1000 - (theta_ppm * (x - xm)) // 1000) AS BIGINT) // count(*)
+    AS mean_adj_me3,
+  CAST(max(theta_ppm) AS BIGINT) AS theta_ppm
+FROM dev CROSS JOIN th GROUP BY 1 ORDER BY treat""")),
+
+    ("q263_vad_segments", (s, d) => {
+      // energy-gate voice-activity segmentation over the stub audio
+      // decode (192 samples, 12 windows of 16): active = window energy
+      // >= 1024 (the uniform-amplitude mean), clicks under 2 windows
+      // dropped, islands merged per media — the pre-transcription
+      // triage stage; oracle replays the LCG codec sample-for-sample
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("content"))
+      graft.operators.MultimodalOps.voiceActivitySegments(
+        docs, "doc_id", "content", 192, 16, 1024L, 2)
+        .orderBy(col("media_id"), col("seg_idx"))
+    },
+      Some(s"""WITH RECURSIVE ${audioStubCtes(192)},
+ex AS (SELECT doc_id, (j - 1) // 16 AS wi,
+  CASE WHEN smps[CAST(j AS INT)] >= 128 THEN smps[CAST(j AS INT)] - 256
+       ELSE smps[CAST(j AS INT)] END AS a
+  FROM au, range(1, 193) t(j)),
+w AS (SELECT doc_id, wi, CAST(SUM(abs(a)) AS BIGINT) AS energy
+  FROM ex GROUP BY 1, 2),
+act AS (SELECT doc_id, wi, energy,
+  wi - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi) AS grp
+  FROM w WHERE energy >= 1024),
+seg AS (SELECT doc_id, grp, MIN(wi) AS s, MAX(wi) AS e,
+  CAST(count(*) AS BIGINT) AS n, CAST(SUM(energy) AS BIGINT) AS se
+  FROM act GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT doc_id AS media_id,
+  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS seg_idx,
+  CAST(s AS INT) AS start_win, CAST(e AS INT) AS end_win,
+  n AS n_windows, se AS sum_energy
+FROM seg ORDER BY media_id, seg_idx""")),
+
+    ("q264_jackknife_ratio", (s, d) => {
+      // honest uncertainty for a ratio-of-sums metric: per-nation
+      // leave-one-block-out jackknife of the returned-lineitem rate —
+      // the variance readout q207/q225's mean-metric formulas cannot
+      // give (num and den co-vary within a block). Blocks are the
+      // nation grain: one aggregation, then block-sized algebra
+      val blocks = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("nr"),
+          count(lit(1)).as("nl"))
+      graft.operators.QualityOps.jackknifeRatio(blocks, "n_name", "nr", "nl")
+    },
+      Some("""WITH b AS (SELECT n_name AS g,
+  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS num,
+  CAST(count(*) AS BIGINT) AS den
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1),
+tot AS (SELECT CAST(SUM(num) AS BIGINT) AS tn, CAST(SUM(den) AS BIGINT) AS td,
+  CAST(count(*) AS BIGINT) AS gg FROM b),
+loo AS (SELECT g, num, den,
+  CASE WHEN td - den > 0 THEN (1000000 * (tn - num)) // (td - den)
+       ELSE 0 END AS loo_ppm
+  FROM b CROSS JOIN tot),
+m AS (SELECT CAST(SUM(loo_ppm) AS BIGINT) // count(*) AS mm FROM loo),
+st AS (SELECT
+  CASE WHEN td > 0 THEN (1000000 * tn) // td ELSE 0 END AS ratio_ppm,
+  CASE WHEN gg > 1
+    THEN ((gg - 1) * CAST(SUM((loo_ppm - mm) * (loo_ppm - mm)) AS BIGINT)) // gg
+    ELSE 0 END AS jk_var_ppm2
+  FROM loo CROSS JOIN tot CROSS JOIN m GROUP BY tn, td, gg, mm)
+SELECT g AS "group", num, den, loo_ppm, ratio_ppm, jk_var_ppm2
+FROM loo CROSS JOIN st ORDER BY "group"""")),
+
+    ("q265_nelson_aalen", (s, d) => {
+      // cumulative-hazard companion to q166 on the same churn fixture:
+      // Nelson-Aalen is ADDITIVE (running integer sum of floor-scaled
+      // d/r steps), so no recursive product — the estimator of choice
+      // when hazards are the modeling target, and the cheaper one at
+      // scale; same distinct-day grain as KM
+      val last = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+        .groupBy(col("user_id")).agg(max(col("day")).as("ld"))
+      val exits = last.groupBy(col("ld").as("day")).agg(count(lit(1)).as("n_exit"))
+      graft.operators.TemporalOps.nelsonAalen(exits, "day", "n_exit")
+        .select(col("t").as("day"), col("n_risk"), col("n_churn"),
+          col("hazard_ppm"), col("cumhaz_ppm"))
+        .orderBy(col("day"))
+    },
+      Some("""WITH last AS (
+  SELECT user_id, max(epoch_ns(ts) // 86400000000000) AS ld FROM events
+  WHERE event_type = 'purchase' GROUP BY 1),
+ch AS (SELECT ld AS t, CAST(count(*) AS BIGINT) AS d FROM last GROUP BY 1),
+rk AS (SELECT t, d, CAST(SUM(d) OVER (ORDER BY t DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r FROM ch),
+hz AS (SELECT t, r, d, (1000000 * d) // r AS hazard_ppm FROM rk)
+SELECT t AS day, r AS n_risk, d AS n_churn, hazard_ppm,
+  CAST(SUM(hazard_ppm) OVER (ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumhaz_ppm
+FROM hz ORDER BY day""")),
   )
 
   /** q257's literal geofence: a hexagon centered on the plane (a def —

@@ -309,4 +309,41 @@ object MultimodalOps {
       .filter(col("__rk") === 1)
       .drop("__rk")
   }
+
+  /** Voice-activity segmentation over the windowed energy profile: a
+    * window is ACTIVE when its energy clears `thrEnergy`; consecutive
+    * active windows merge into segments (gaps-and-islands on
+    * window_idx − row_number, all inside the per-media partition) and
+    * segments shorter than `minWindows` are dropped as clicks — the
+    * standard energy-gate VAD an audio curation pipeline runs before
+    * paying for transcription. Decode reuses [[audioWindowEnergy]]'s
+    * partition-local stub stage; everything after is declarative column
+    * algebra, no shuffle beyond the media-id partitioning the decode
+    * already established.
+    *
+    * Output per segment: media_id, seg_idx (0-based in time order),
+    * start_win, end_win (inclusive), n_windows, sum_energy.
+    */
+  def voiceActivitySegments(df: DataFrame, idCol: String, binCol: String,
+                            nSamples: Int, win: Int, thrEnergy: Long,
+                            minWindows: Int): DataFrame = {
+    require(minWindows >= 1, s"need minWindows >= 1, got $minWindows")
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("window_idx"))
+    val active = audioWindowEnergy(df, idCol, binCol, nSamples, win).toDF()
+      .filter(col("energy") >= thrEnergy)
+      .withColumn("__grp",
+        col("window_idx") - row_number().over(wm))
+    val segs = active.groupBy(col("media_id"), col("__grp"))
+      .agg(min(col("window_idx")).as("start_win"),
+        max(col("window_idx")).as("end_win"),
+        count(lit(1)).as("n_windows"),
+        sum(col("energy")).as("sum_energy"))
+      .filter(col("n_windows") >= minWindows.toLong)
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("start_win"))
+    segs.withColumn("seg_idx", row_number().over(ws).cast(LongType) - 1L)
+      .select(col("media_id"), col("seg_idx"), col("start_win"),
+        col("end_win"), col("n_windows"), col("sum_energy"))
+  }
 }

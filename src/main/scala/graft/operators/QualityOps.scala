@@ -250,4 +250,239 @@ object QualityOps {
           count(lit(1))).as("coverage_pm"))
       .orderBy(col(groupCol))
   }
+
+  /** Per-group Spearman rank correlation between two integer metrics,
+    * integer-exact: both metrics rank on the TOTAL order (value,
+    * `tieCol`) — the house tie rule (one deterministic rank per row,
+    * like [[decileLift]]'s explicit bucketing), which makes the classic
+    * no-tie identity rho = 1 − 6·Σd²/(n·(n²−1)) exact in int64 rather
+    * than the midrank Pearson-on-ranks form that would force a float
+    * sqrt. Output per group: n, sum_d2, and rho_ppm (floor-scaled;
+    * groups with n < 2 emit rho_ppm = 0 — no self-correlation claim).
+    *
+    * Scale shape: two group-partitioned window ranks (metric sorts run
+    * inside the group partition — groups are category-sized, the
+    * partition count is the scale axis), one keyed aggregation. Int64
+    * envelope: 6·10^6·n³ < 2^63 needs per-group n ≤ ~115k; correlation
+    * readouts over larger groups pre-aggregate (e.g. to customer grain)
+    * first, which is what every fixture here does anyway.
+    */
+  def spearmanCorr(df: DataFrame, groupCol: String, xCol: String,
+                   yCol: String, tieCol: String): DataFrame = {
+    val reserved = Seq("__rx", "__ry", "__d2", "group", "n", "sum_d2", "rho_ppm")
+    require(!Seq(groupCol, xCol, yCol, tieCol).exists(reserved.contains),
+      s"columns may not use the reserved names ${reserved.mkString(", ")}")
+    def wg(c: String) = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(c), col(tieCol))
+    val ranked = df.select(col(groupCol), col(xCol), col(yCol), col(tieCol))
+      .withColumn("__rx", row_number().over(wg(xCol)).cast(LongType))
+      .withColumn("__ry", row_number().over(wg(yCol)).cast(LongType))
+      .withColumn("__d2",
+        (col("__rx") - col("__ry")) * (col("__rx") - col("__ry")))
+    ranked.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"), sum(col("__d2")).as("sum_d2"))
+      .select(col("group"), col("n"), col("sum_d2"),
+        when(col("n") >= 2L,
+          lit(1000000L) - call_function("div", lit(6000000L) * col("sum_d2"),
+            col("n") * (col("n") * col("n") - 1L)))
+          .otherwise(lit(0L)).as("rho_ppm"))
+      .orderBy(col("group"))
+  }
+
+  /** LCM(1..k) for the exact average-precision scaling (k ≤ 22 keeps
+    * the LCM in int32 range; AP cutoffs are 10/20 in practice).
+    */
+  private[operators] def lcmTo(k: Int): Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0L) a else gcd(b, a % b)
+    (1L to k.toLong).foldLeft(1L)((acc, i) => acc / gcd(acc, i) * i)
+  }
+
+  /** Per-query average precision at k over an already-ranked list
+    * (`qCol`, `rankCol` 1-based, binary `relCol`), integer-exact:
+    * AP@k = (1/R)·Σ_i rel_i · P(i) with P(i) = hits_i / i becomes, after
+    * multiplying through by L = LCM(1..k), the int64 sum
+    * Σ rel_i · hits_i · (L/i) — every term exact, no per-term floor. The
+    * denominator R is the number of relevant items IN THE LIST (the
+    * list-conditional AP the retrieval fixtures here can oracle
+    * exactly; corpus-R AP divides by a recall base joined in by the
+    * caller). Output: q_id, n_rel, ap_ppm (= 10^6·Σ/(L·R), the ONLY
+    * floor, applied identically by both engines; R = 0 → 0).
+    *
+    * Scale shape: one cumulative window inside the (query, rank ≤ k)
+    * slice — k-bounded per query — then one keyed aggregation; queries
+    * are the parallel axis. Int64: Σ ≤ k²·L ≤ 10²·232792560·… fine for
+    * k ≤ 20 (envelope 10^6·k²·L < 2^63).
+    */
+  def averagePrecisionAtK(ranked: DataFrame, qCol: String, rankCol: String,
+                          relCol: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"need 1 <= k <= 20, got $k")
+    val L = lcmTo(k)
+    // the window orders by the POST-select name (the q178 lesson: never
+    // lean on Spark's missing-reference fallback into the child)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("__rk"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ranked.filter(col(rankCol) <= k)
+      .select(col(qCol).as("q_id"), col(rankCol).as("__rk"),
+        when(relCol, 1L).otherwise(0L).as("__rel"))
+      .withColumn("__hits", sum(col("__rel")).over(wq))
+      .groupBy(col("q_id"))
+      .agg(sum(col("__rel")).as("n_rel"),
+        sum(col("__rel") * col("__hits") *
+          call_function("div", lit(L), col("__rk"))).as("__num"))
+      .select(col("q_id"), col("n_rel"),
+        when(col("n_rel") > 0L,
+          call_function("div", col("__num") * 1000000L, lit(L) * col("n_rel")))
+          .otherwise(lit(0L)).as("ap_ppm"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Chi-square association screen for two categorical columns — the
+    * feature-leakage / segment-mix audit. Integer-exact per cell:
+    * with N rows, row total R, column total C and observed O, the cell
+    * contribution (O − RC/N)²/(RC/N) = (N·O − R·C)²/(N·R·C) computes as
+    * contrib_ppm = ((N·O − R·C)² div (R·C)) · 10^6 div N — two integer
+    * floors, identical in both engines, summed as integers (never a
+    * float sum whose order differs). Cramér's V is emitted SQUARED
+    * (v2_ppm = chi2_ppm div (N·min(r−1, c−1))) so no engine takes a
+    * sqrt. Output: one row per cell of the DENSE margin grid (a, b, o,
+    * r_tot, c_tot, contrib_ppm — empty cells appear at o = 0; they
+    * carry chi-square mass) plus the table-level chi2_ppm / v2_ppm
+    * repeated on each row via a broadcast single-row join.
+    *
+    * Scale shape: one (a,b) aggregation, two category-sized margins
+    * broadcast back, a single-row total. Int64 envelope: (N·O − R·C)²
+    * < 2^63 needs N·max_cell < 3·10^9 — contingency screens run on
+    * eval-scale or pre-aggregated relations; at the full 100 TB grain
+    * the margins themselves are the thing to compute first.
+    */
+  def contingencyAssociation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("__o"))
+    val rTot = obs.groupBy(col("a")).agg(sum(col("__o")).as("r_tot"))
+    val cTot = obs.groupBy(col("b")).agg(sum(col("__o")).as("c_tot"))
+    val tot = obs.groupBy().agg(sum(col("__o")).as("__n"),
+      countDistinct(col("a")).as("__ra"), countDistinct(col("b")).as("__cb"))
+    // the DENSE margin grid, not just observed cells — an empty cell
+    // under nonzero margins contributes (R·C)²/(N·R·C), and dropping it
+    // understates chi2 exactly when association is strongest
+    val cells = rTot.crossJoin(broadcast(cTot))
+      .join(obs, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("__o"), lit(0L)))
+    val d = col("__n") * col("o") - col("r_tot") * col("c_tot")
+    val contrib = call_function("div",
+      call_function("div", d * d, col("r_tot") * col("c_tot")) * 1000000L,
+      col("__n"))
+    val graded = cells
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib_ppm", contrib)
+    val chi2 = graded.groupBy()
+      .agg(sum(col("contrib_ppm")).as("chi2_ppm"),
+        first(col("__n")).as("__n2"),
+        first(least(col("__ra"), col("__cb")) - 1L).as("__k"))
+      .select(col("chi2_ppm"),
+        when(col("__k") > 0L,
+          call_function("div", col("chi2_ppm"), col("__n2") * col("__k")))
+          .otherwise(lit(0L)).as("v2_ppm"))
+    graded
+      .select(col("a"), col("b"), col("o"), col("r_tot"), col("c_tot"),
+        col("contrib_ppm"))
+      .crossJoin(broadcast(chi2))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013):
+    * per-unit post-metric y adjusted by the pre-period covariate x,
+    * y_adj = y − θ·(x − x̄), with θ = cov(x,y)/var(x) POOLED across
+    * arms (the standard choice — assignment-independent by design).
+    * Integer-exact: means floor to integers (x̄ = Σx div n — a defined
+    * estimator, identical both engines), deviations center on those
+    * floor-means, θ_ppm = 10^6·Σxd·yd div Σxd² in one integer divide,
+    * per-arm adjusted means in milli-units. Output one row per arm
+    * (treat, n, mean_y_me3, mean_adj_me3, theta_ppm) — the lift delta
+    * is a trivial downstream subtraction.
+    *
+    * `xCol`/`yCol` must be integer metrics ALREADY SCALED by the caller
+    * so that 10^6·|Σxd·yd| and 10^6·n·max|yd| stay inside int64 (the
+    * house float rule: quantize at the source, never trust a float
+    * sum). The per-unit relation is one aggregation from the raw
+    * events; everything after is single-row broadcasts.
+    */
+  def cupedAdjust(df: DataFrame, treatCol: Column, xCol: Column,
+                  yCol: Column): DataFrame = {
+    val base = df.select(treatCol.as("treat"),
+      xCol.cast(LongType).as("__x"), yCol.cast(LongType).as("__y"))
+    val means = base.groupBy().agg(
+      call_function("div", sum(col("__x")), count(lit(1))).as("__xm"),
+      call_function("div", sum(col("__y")), count(lit(1))).as("__ym"))
+    val dev = base.crossJoin(broadcast(means))
+      .select(col("treat"), col("__x"), col("__y"), col("__xm"),
+        (col("__x") - col("__xm")).as("__xd"),
+        (col("__y") - col("__ym")).as("__yd"))
+    val theta = dev.groupBy()
+      .agg(sum(col("__xd") * col("__yd")).as("__sxy"),
+        sum(col("__xd") * col("__xd")).as("__sxx"))
+      .select(when(col("__sxx") > 0L,
+        call_function("div", col("__sxy") * 1000000L, col("__sxx")))
+        .otherwise(lit(0L)).as("theta_ppm"))
+    dev.crossJoin(broadcast(theta))
+      .groupBy(col("treat"))
+      .agg(count(lit(1)).as("n"),
+        call_function("div", sum(col("__y")) * 1000L, count(lit(1)))
+          .as("mean_y_me3"),
+        call_function("div",
+          sum(col("__y") * 1000L -
+            call_function("div",
+              col("theta_ppm") * (col("__x") - col("__xm")), lit(1000L))),
+          count(lit(1))).as("mean_adj_me3"),
+        first(col("theta_ppm")).as("theta_ppm"))
+      .orderBy(col("treat"))
+  }
+
+  /** Leave-one-group-out jackknife for a RATIO metric (Tukey; the
+    * standard delete-block variance estimator for ratio-of-sums
+    * metrics, where per-row variance formulas are simply wrong):
+    * input is the GROUP-grain relation (group, num, den) — the caller
+    * aggregates raw rows to blocks first (users, shards, days). For
+    * each block, loo_ppm = 10^6·(N−num_g) div (D−den_g); the jackknife
+    * variance is (G−1)/G · Σ(loo_g − mean_loo)² with floor-mean
+    * centering, all int64 (ppm² units). Output one row per block
+    * (group, num, den, loo_ppm) with table-level ratio_ppm /
+    * jk_var_ppm2 repeated via a broadcast single-row join.
+    *
+    * Scale shape: one single-row total broadcast back to the block
+    * relation, one blocks-sized aggregation — nothing data-sized after
+    * the caller's upstream groupBy. A block whose removal empties the
+    * denominator yields loo_ppm = 0 (flagged by den = D, not hidden).
+    */
+  def jackknifeRatio(df: DataFrame, groupCol: String, numCol: String,
+                     denCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("group"),
+      col(numCol).cast(LongType).as("num"), col(denCol).cast(LongType).as("den"))
+    val tot = base.groupBy().agg(sum(col("num")).as("__tn"),
+      sum(col("den")).as("__td"), count(lit(1)).as("__g"))
+    val loo = base.crossJoin(broadcast(tot))
+      .withColumn("loo_ppm",
+        when(col("__td") - col("den") > 0L,
+          call_function("div", lit(1000000L) * (col("__tn") - col("num")),
+            col("__td") - col("den"))).otherwise(lit(0L)))
+    val mean = loo.groupBy().agg(
+      call_function("div", sum(col("loo_ppm")), count(lit(1))).as("__m"))
+    val stats = loo.crossJoin(broadcast(mean))
+      .groupBy()
+      .agg(first(col("__tn")).as("n_sum"), first(col("__td")).as("d_sum"),
+        first(col("__g")).as("__gg"),
+        sum((col("loo_ppm") - col("__m")) * (col("loo_ppm") - col("__m")))
+          .as("__ss"))
+      .select(
+        when(col("d_sum") > 0L,
+          call_function("div", lit(1000000L) * col("n_sum"), col("d_sum")))
+          .otherwise(lit(0L)).as("ratio_ppm"),
+        when(col("__gg") > 1L,
+          call_function("div", (col("__gg") - 1L) * col("__ss"), col("__gg")))
+          .otherwise(lit(0L)).as("jk_var_ppm2"))
+    loo.select(col("group"), col("num"), col("den"), col("loo_ppm"))
+      .crossJoin(broadcast(stats))
+      .orderBy(col("group"))
+  }
 }

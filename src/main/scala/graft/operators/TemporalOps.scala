@@ -403,4 +403,31 @@ object TemporalOps {
       .agg(count(lit(1)).as("n_events"), max(col("__late")).as("max_lateness"))
       .orderBy(col("bucket"))
   }
+
+  /** Nelson-Aalen cumulative hazard — the additive companion to
+    * [[kaplanMeier]] (same (event time, n_events) input grain): at each
+    * distinct time the hazard increment is d/r over the at-risk count,
+    * and H(t) is the running sum. Integer ppm with per-step floor
+    * (hazard_ppm = 10^6·d div r), summed as integers — no recursion
+    * needed because the estimator is additive, which is exactly why a
+    * practitioner reaches for it over KM at scale.
+    *
+    * The single-group windows run over the DISTINCT-TIME relation
+    * (calendar-bounded, same soundness argument as [[kaplanMeier]]) —
+    * the subject-sized work is the caller's upstream groupBy.
+    */
+  def nelsonAalen(df: DataFrame, tCol: String, nEventsCol: String): DataFrame = {
+    val a = df.select(col(tCol).cast("long").as("t"),
+      col(nEventsCol).cast("long").as("d"))
+    val wDesc = Window.partitionBy(lit(0)).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.partitionBy(lit(0)).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a.withColumn("r", sum(col("d")).over(wDesc))
+      .withColumn("hazard_ppm",
+        call_function("div", lit(1000000L) * col("d"), col("r")))
+      .withColumn("cumhaz_ppm", sum(col("hazard_ppm")).over(wAsc))
+      .select(col("t"), col("r").as("n_risk"), col("d").as("n_churn"),
+        col("hazard_ppm"), col("cumhaz_ppm"))
+  }
 }

@@ -352,4 +352,135 @@ class Round9OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(run1 === run2 && run1.map(_._2).sum === 40L)
   }
+
+  test("spearmanCorr: perfect monotone, perfect reverse, and a hand case") {
+    import graft.operators.QualityOps
+    // group a: y = 2x (rho = 1); group b: y = -x (rho = -1)
+    val mono = (1L to 10L).map(i => ("a", i, i, 2 * i)) ++
+      (1L to 10L).map(i => ("b", i, i, -i))
+    val got = QualityOps.spearmanCorr(
+        mono.toDF("g", "k", "x", "y"), "g", "x", "y", "k")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 10L, 0L, 1000000L), ("b", 10L, 330L, -1000000L)))
+    // hand case: ranks x = 1,2,3,4; y-order swaps the middle two
+    // d = (0,1,-1,0), sum_d2 = 2, rho = 1 - 12/60 = 0.8
+    val hand = Seq((1L, 10L, 1L), (2L, 20L, 3L), (3L, 30L, 2L), (4L, 40L, 9L))
+      .toDF("k", "x", "y").withColumn("g", lit("h"))
+    val h = QualityOps.spearmanCorr(hand, "g", "x", "y", "k")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(h === (("h", 4L, 2L, 800000L)))
+  }
+
+  test("spearmanCorr: single-row group emits rho 0, not a divide error") {
+    import graft.operators.QualityOps
+    val one = Seq(("s", 1L, 5L, 7L)).toDF("g", "k", "x", "y")
+    val got = QualityOps.spearmanCorr(one, "g", "x", "y", "k")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("s", 1L, 0L, 0L)))
+  }
+
+  test("averagePrecisionAtK: textbook list and the all-misses guard") {
+    import graft.operators.QualityOps
+    // rel at ranks 1,3,5 of 5: AP = (1/3)(1 + 2/3 + 3/5) = 34/45
+    val rows = Seq(("q1", 1L, true), ("q1", 2L, false), ("q1", 3L, true),
+      ("q1", 4L, false), ("q1", 5L, true),
+      ("q2", 1L, false), ("q2", 2L, false))
+    val got = QualityOps.averagePrecisionAtK(
+        rows.toDF("q", "r", "rel"), "q", "r", col("rel"), 5)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("q1", 3L, 34L * 1000000L / 45L), ("q2", 0L, 0L)))
+  }
+
+  test("contingencyAssociation: exact independence gives chi2 = 0; " +
+    "perfect association gives v2 = 1e6") {
+    import graft.operators.QualityOps
+    // 2x2 uniform: every margin product equals N*O exactly
+    val indep = Seq(("p", "u"), ("p", "v"), ("q", "u"), ("q", "v"))
+    val gi = QualityOps.contingencyAssociation(indep.toDF("a", "b"), "a", "b")
+      .select("chi2_ppm", "v2_ppm").distinct()
+      .as[(Long, Long)].collect().toSeq
+    assert(gi === Seq((0L, 0L)))
+    // diagonal-only 2x2: chi2 = N, V = 1
+    val diag = Seq(("p", "u"), ("p", "u"), ("q", "v"), ("q", "v"))
+    val gd = QualityOps.contingencyAssociation(diag.toDF("a", "b"), "a", "b")
+      .select("chi2_ppm", "v2_ppm").distinct()
+      .as[(Long, Long)].collect().toSeq
+    assert(gd === Seq((4000000L, 1000000L)))
+  }
+
+  test("cupedAdjust: a covariate-explained imbalance adjusts away") {
+    import graft.operators.QualityOps
+    // y = x + 5 exactly; treat arm saw higher x by luck of assignment.
+    // theta = 1e6 and the adjusted means collapse to the same value
+    val rows = Seq((true, 100L), (true, 120L), (false, 80L), (false, 60L))
+      .map { case (t, x) => (t, x, x + 5L) }
+    val got = QualityOps.cupedAdjust(rows.toDF("t", "x", "y"),
+        col("t"), col("x"), col("y"))
+      .as[(Boolean, Long, Long, Long, Long)].collect().toSeq
+    val theta = got.head._5
+    assert(theta === 1000000L)
+    val adj = got.map(_._4)
+    assert(adj.distinct.size === 1, s"adjusted means differ: $got")
+    // raw means differ by the planted 40-unit imbalance
+    val raw = got.map(_._3)
+    assert((raw.max - raw.min) === 40000L)
+  }
+
+  test("nelsonAalen: hand-computed hazard steps; additive cumhaz") {
+    import graft.operators.TemporalOps
+    // t=1: d=2 of r=10 -> 200000; t=2: d=3 of r=8 -> 375000; t=3: d=5 of r=5 -> 1e6
+    val exits = Seq((1L, 2L), (2L, 3L), (3L, 5L)).toDF("t", "d")
+    val got = TemporalOps.nelsonAalen(exits, "t", "d")
+      .orderBy(col("t")).as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 10L, 2L, 200000L, 200000L),
+      (2L, 8L, 3L, 375000L, 575000L), (3L, 5L, 5L, 1000000L, 1575000L)))
+  }
+
+  test("voiceActivitySegments: islands merge, clicks drop, indices re-rank") {
+    import graft.operators.MultimodalOps
+    // synthesize via the real stub decode so the operator's own energy
+    // path is exercised; then recompute islands in plain Scala
+    val docs = Seq((7L, "the quick brown fox"), (8L, ""), (9L, "abcabcabc"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast(org.apache.spark.sql.types.BinaryType).as("c"))
+    val thr = 1024L
+    val got = MultimodalOps.voiceActivitySegments(docs, "doc_id", "c", 96, 16, thr, 2)
+      .orderBy(col("media_id"), col("seg_idx"))
+      .as[(Long, Long, Int, Int, Long, Long)].collect().toSeq
+    val expect = Seq(7L -> "the quick brown fox", 8L -> "", 9L -> "abcabcabc")
+      .flatMap { case (id, text) =>
+        val s = MultimodalOps.decodeAudioStub(id, text.getBytes("UTF-8"), 96)
+        val en = (0 until 6).map(w => (w, (w * 16 until (w + 1) * 16).map(j => math.abs(s(j)).toLong).sum))
+        val act = en.filter(_._2 >= thr)
+        // islands over consecutive window indices
+        val segs = act.foldLeft(List.empty[List[(Int, Long)]]) {
+          case (acc, (w, e)) => acc match {
+            case h :: t if h.head._1 == w - 1 => ((w, e) :: h) :: t
+            case _ => List((w, e)) :: acc
+          }
+        }.reverse.map(_.reverse).filter(_.size >= 2)
+        segs.zipWithIndex.map { case (seg, i) =>
+          (id, i.toLong, seg.head._1, seg.last._1, seg.size.toLong, seg.map(_._2).sum)
+        }
+      }
+    assert(got === expect && expect.nonEmpty)
+  }
+
+  test("jackknifeRatio: hand case incl. the degenerate single-block guard") {
+    import graft.operators.QualityOps
+    val blocks = Seq(("a", 1L, 10L), ("b", 2L, 10L), ("c", 3L, 10L))
+      .toDF("g", "num", "den")
+    val got = QualityOps.jackknifeRatio(blocks, "g", "num", "den")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // N=6 D=30: loo_a = 5/20 = 250000, loo_b = 4/20 = 200000, loo_c = 150000
+    // mean = 200000; ss = 2*50000^2 = 5e9; var = 2*5e9/3 = 3333333333
+    assert(got === Seq(("a", 1L, 10L, 250000L, 200000L, 3333333333L),
+      ("b", 2L, 10L, 200000L, 200000L, 3333333333L),
+      ("c", 3L, 10L, 150000L, 200000L, 3333333333L)))
+    val single = QualityOps.jackknifeRatio(
+        Seq(("only", 5L, 10L)).toDF("g", "num", "den"), "g", "num", "den")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // removing the only block empties the denominator -> loo 0, var 0
+    assert(single === Seq(("only", 5L, 10L, 0L, 500000L, 0L)))
+  }
 }
