@@ -822,6 +822,59 @@ object StatefulOps {
         cusumUpdate(target, slack, threshold))
   }
 
+  /** One keyed smoothing observation. */
+  case class EwmaEvent(key: String, t: Long, v: Long)
+
+  /** Running smoothed readout: points seen, smoothed value scaled by
+    * alphaDen (same units as [[graft.operators.TemporalOps.ewmaSeries]]'s
+    * `e` column).
+    */
+  case class EwmaReadout(key: String, n_points: Long, e: Long)
+
+  private[graft] case class EwmaState(e: Long, n: Long)
+
+  private def ewmaUpdate(alphaDen: Long)(key: String, rows: Iterator[EwmaEvent],
+      state: GroupState[EwmaState]): Iterator[EwmaReadout] = {
+    var st = state.getOption.getOrElse(EwmaState(0L, 0L))
+    // same (t, v) tie rule as streamingTwap; cross-batch t must be
+    // per-key nondecreasing (watermark-gate upstream)
+    rows.toVector.sortBy(r => (r.t, r.v)).foreach { r =>
+      val v8 = r.v * alphaDen
+      st =
+        if (st.n == 0L) EwmaState(v8, 1L)
+        else {
+          val dev = v8 - st.e
+          // floor division via explicit pmod — the batch operator's
+          // exact step, so truncation-vs-floor can never diverge on
+          // negative deviations
+          val fd = (dev - (((dev % alphaDen) + alphaDen) % alphaDen)) / alphaDen
+          EwmaState(st.e + fd, st.n + 1L)
+        }
+    }
+    state.update(st)
+    Iterator.single(EwmaReadout(key, st.n, st.e))
+  }
+
+  /** Streaming twin of [[graft.operators.TemporalOps.ewmaSeries]] — the
+    * integer EWMA smoother as a live monitor: two longs of state per
+    * key, every batch emits the running (n_points, e) readout,
+    * bit-identical to the batch fold's LAST row on the same data (the
+    * spec pins parity including a mid-key batch split and negative
+    * deviations). α = 1/alphaDen, e scaled by alphaDen.
+    *
+    * Replay contract: prefix accumulation is NOT idempotent — run
+    * behind an exactly-once checkpoint or dedupe (key, t) upstream
+    * (same contract as [[streamingTwap]]). In-batch ties order (t, v).
+    */
+  def streamingEwma(ds: Dataset[EwmaEvent], alphaDen: Long = 8L): Dataset[EwmaReadout] = {
+    require(alphaDen >= 2L, s"need alphaDen >= 2, got $alphaDen")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        ewmaUpdate(alphaDen))
+  }
+
   /** One keyed observation for the streaming quantile sketch. */
   case class QuantEvent(key: String, v: Long)
 

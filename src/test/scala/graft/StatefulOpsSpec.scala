@@ -646,6 +646,39 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(batch === Seq(("a", 7L, 80L, Some(6L)), ("b", 3L, 30L, None)))
   }
 
+  test("streamingEwma: final readout ≡ batch ewmaSeries last row across a batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import StatefulOps.{EwmaEvent, EwmaReadout}
+    import org.apache.spark.sql.functions.col
+    // key a rises then FALLS (negative deviations exercise the floor
+    // step); key b is a constant series (smoother must hold it exactly)
+    val events = Seq(
+      EwmaEvent("a", 1L, 100L), EwmaEvent("a", 2L, 180L), EwmaEvent("a", 3L, 60L),
+      EwmaEvent("a", 4L, 20L), EwmaEvent("a", 5L, 300L),
+      EwmaEvent("b", 1L, 42L), EwmaEvent("b", 2L, 42L), EwmaEvent("b", 3L, 42L))
+    val ms = MemoryStream[EwmaEvent]
+    val q = StatefulOps.streamingEwma(ms.toDS(), 8L)
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(events.filter(_.t <= 3): _*) // split lands mid-descent for a
+    q.processAllAvailable()
+    ms.addData(events.filter(_.t > 3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val finalByKey = spark.table("ewma_out").as[EwmaReadout].collect()
+      .groupBy(_.key).map { case (_, rs) => rs.maxBy(_.n_points) }
+      .toSeq.sortBy(_.key).map(r => (r.key, r.n_points, r.e))
+    val batch = graft.operators.TemporalOps.ewmaSeries(
+        events.toDF("k", "t", "v"), "k", "t", "v", 8L)
+      .groupBy(col("key"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max_by(col("e"), col("t")).as("e"))
+      .orderBy(col("key")).as[(String, Long, Long)].collect().toSeq
+    assert(finalByKey === batch)
+    // b's constant series stays pinned at 42*8 exactly
+    assert(batch.find(_._1 == "b").get._3 === 336L)
+  }
+
   test("streamingQuantiles: GK rank bound holds at n=1000, exact at tiny n, state compresses") {
     implicit val sqlCtx = spark.sqlContext
     import StatefulOps.{QuantEvent, QuantReadout}
