@@ -6663,6 +6663,64 @@ SELECT t AS day, r AS n_risk, d AS n_churn, hazard_ppm,
   CAST(SUM(hazard_ppm) OVER (ORDER BY t
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumhaz_ppm
 FROM hz ORDER BY day""")),
+
+    ("q266_mann_kendall", (s, d) => {
+      // is monthly revenue drifting per nation? Mann-Kendall S over the
+      // month-aggregate series (sign of every ordered pair) with the
+      // exact ×18-scaled tie-corrected variance — the nonparametric
+      // companion to q159's Theil-Sen slope, pair enumeration bounded
+      // by the calendar (~84 months), never the fact table
+      val m = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast(LongType).as("ym"))
+        .agg((sum(d2(col("o_totalprice"))) * 100).cast(LongType).as("cents"))
+      graft.operators.TemporalOps.mannKendall(m, "n_name", "ym", "cents")
+    },
+      Some("""WITH m AS (SELECT n_name AS g,
+  year(o_orderdate) * 12 + month(o_orderdate) AS t,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2),
+p AS (SELECT a.g, CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sg
+  FROM m a JOIN m b ON a.g = b.g AND a.t < b.t),
+ss AS (SELECT g, CAST(SUM(sg) AS BIGINT) AS s_stat FROM p GROUP BY 1),
+nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1),
+tt AS (SELECT g, CAST(SUM(tk * (tk - 1) * (2 * tk + 5)) AS BIGINT) AS t18
+  FROM (SELECT g, v, CAST(count(*) AS BIGINT) AS tk FROM m GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT nn.g AS "group", n, COALESCE(s_stat, 0) AS s_stat,
+  n * (n - 1) * (2 * n + 5) - t18 AS var18
+FROM nn LEFT JOIN ss ON nn.g = ss.g JOIN tt ON nn.g = tt.g
+ORDER BY "group"""")),
+
+    ("q267_harmonic_centrality", (s, d) => {
+      // who sits closest to everyone? hop-bounded harmonic centrality
+      // of the q168 pivot sample over the co-purchase graph — exact
+      // LCM(1..3)=6-scaled inverse-distance sums per pivot; sampled
+      // pivots (never all-pairs BFS) are the scale dial
+      val edges = coPurchaseEdges(s, d)
+      val sym = edges.select(col("i1").as("s"), col("i2").as("d"))
+        .union(edges.select(col("i2").as("s"), col("i1").as("d")))
+      val seeds = Tables.part(s, d)
+        .filter(pmod(col("p_partkey"), lit(101)) === 0)
+      graft.operators.GraphOps.harmonicCentrality(
+        sym, "s", "d", seeds, "p_partkey", 3)
+        .orderBy(col("node"))
+    },
+      Some(s"""WITH RECURSIVE $coPurchaseEdgesSql,
+sd AS (SELECT DISTINCT p_partkey AS src FROM part WHERE p_partkey % 101 = 0),
+bfs(src, node, h) AS (
+  SELECT src, src, CAST(0 AS BIGINT) FROM sd
+  UNION
+  SELECT bfs.src, e.d, bfs.h + 1 FROM bfs JOIN e ON e.s = bfs.node WHERE bfs.h < 3),
+dd AS (SELECT src, node, CAST(min(h) AS BIGINT) AS dist FROM bfs GROUP BY 1, 2)
+SELECT src AS node, CAST(count(*) AS BIGINT) AS n_reached,
+  CAST(SUM(6 // dist) AS BIGINT) AS h_scaled
+FROM dd WHERE dist > 0 GROUP BY 1 ORDER BY node""")),
   )
 
   /** q257's literal geofence: a hexagon centered on the plane (a def —

@@ -529,4 +529,48 @@ object GraphOps {
     depths.join(rolled, col("node") === col("anc"))
       .select(col("node"), col("depth"), col("n_desc"), col("subtree_value"))
   }
+
+  /** Harmonic centrality of a PIVOT SAMPLE, hop-bounded: for each seed,
+    * H = Σ_{v reached, d(seed,v) ≤ maxHops} 1/d — emitted integer-exact
+    * as h_scaled = Σ LCM(1..maxHops)/d (every term divides evenly, no
+    * float sum). Sampled pivots are the standard scale move for
+    * centrality (Eppstein–Wang): exact values for the sample, pivot
+    * count the cost dial — never all-pairs BFS. The hop cap bounds both
+    * semantics (local centrality) and cost.
+    *
+    * Scale shape: [[bfsHops]]'s frontier discipline carrying the seed
+    * id through every round — per-round cost is one edge equi-join
+    * against the (seed, node) frontier + an anti-join against the
+    * visited relation, both keyed, all localCheckpointed; state is
+    * (seeds × reach)-sized. Isolated seeds (nothing reached) are absent
+    * from the output, matching the oracle's dist > 0 filter.
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         seeds: DataFrame, seedCol: String,
+                         maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 20, s"need 1 <= maxHops <= 20, got $maxHops")
+    val lcm = QualityOps.lcmTo(maxHops)
+    val ed = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__d"))
+      .localCheckpoint(false) // reused by every round
+    var visited = seeds.select(col(seedCol).cast("long").as("src")).distinct()
+      .withColumn("node", col("src"))
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(false)
+    var frontier = visited
+    var h = 0L
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      frontier = ed.join(frontier, col("__s") === col("node"))
+        .select(col("src"), col("__d").as("node")).distinct()
+        .join(visited, Seq("src", "node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(false)
+      visited = visited.unionByName(frontier).localCheckpoint(false)
+    }
+    visited.filter(col("hops") > 0L)
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(call_function("div", lit(lcm), col("hops"))).as("h_scaled"))
+  }
 }

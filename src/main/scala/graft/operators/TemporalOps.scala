@@ -416,6 +416,44 @@ object TemporalOps {
     * (calendar-bounded, same soundness argument as [[kaplanMeier]]) —
     * the subject-sized work is the caller's upstream groupBy.
     */
+  /** Mann-Kendall trend test per group — the nonparametric "is this
+    * series drifting" screen that pairs with [[theilSenTrend]]'s slope
+    * (same robustness story: signs of pairwise differences, no
+    * distributional assumption, immune to outliers a mean-based slope
+    * chases). S = Σ_{i<j} sign(v_j − v_i) over time order; the variance
+    * ships ×18 (var18 = n(n−1)(2n+5) − Σ t_k(t_k−1)(2t_k+5), the
+    * textbook tie correction) so both engines emit exact integers —
+    * the z-score is one double away for whoever wants it.
+    *
+    * Input grain must be PRE-AGGREGATED periods with distinct `tCol`
+    * per group (duplicate times would double-count pairs); the pair
+    * enumeration is therefore calendar-bounded per group (months/weeks,
+    * never events), and groups are the parallel axis — the same
+    * contract as [[kaplanMeier]]'s time grain.
+    */
+  def mannKendall(df: DataFrame, groupCol: String, tCol: String,
+                  vCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("group"),
+      col(tCol).cast("long").as("__t"), col(vCol).cast("long").as("__v"))
+    val a = base.select(col("group"), col("__t").as("__ta"), col("__v").as("__va"))
+    val b = base.select(col("group"), col("__t").as("__tb"), col("__v").as("__vb"))
+    val sPairs = a.join(b, Seq("group")).filter(col("__ta") < col("__tb"))
+      .groupBy(col("group"))
+      .agg(sum(signum(col("__vb") - col("__va")).cast("long")).as("s_stat"))
+    val nG = base.groupBy(col("group")).agg(count(lit(1)).as("n"))
+    val ties = base.groupBy(col("group"), col("__v"))
+      .agg(count(lit(1)).as("__tk"))
+      .groupBy(col("group"))
+      .agg(sum(col("__tk") * (col("__tk") - 1L) * (col("__tk") * 2L + 5L))
+        .as("__t18"))
+    nG.join(sPairs, Seq("group"), "left").join(ties, Seq("group"))
+      .select(col("group"), col("n"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        (col("n") * (col("n") - 1L) * (col("n") * 2L + 5L) - col("__t18"))
+          .as("var18"))
+      .orderBy(col("group"))
+  }
+
   def nelsonAalen(df: DataFrame, tCol: String, nEventsCol: String): DataFrame = {
     val a = df.select(col(tCol).cast("long").as("t"),
       col(nEventsCol).cast("long").as("d"))

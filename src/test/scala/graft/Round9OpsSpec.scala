@@ -483,4 +483,38 @@ class Round9OpsSpec extends AnyFunSuite {
     // removing the only block empties the denominator -> loo 0, var 0
     assert(single === Seq(("only", 5L, 10L, 0L, 500000L, 0L)))
   }
+
+  test("mannKendall: monotone series, tie correction, single-point guard") {
+    import graft.operators.TemporalOps
+    // up: strictly increasing -> S = C(5,2) = 10, no ties, var18 = 5*4*15
+    // fl: flat -> S = 0, one tie group of 5 absorbs ALL the variance
+    // dn: strictly decreasing with one repeat -> hand-counted
+    val rows = Seq.tabulate(5)(i => ("up", i.toLong, (10 + i).toLong)) ++
+      Seq.tabulate(5)(i => ("fl", i.toLong, 7L)) ++
+      Seq(("dn", 1L, 9L), ("dn", 2L, 9L), ("dn", 3L, 5L), ("dn", 4L, 1L)) ++
+      Seq(("one", 1L, 3L))
+    val got = TemporalOps.mannKendall(rows.toDF("g", "t", "v"), "g", "t", "v")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // dn pairs: (9,9)=0 (9,5)x2=-2 (9,1)x2=-2 (5,1)=-1 -> S=-5;
+    // var18 = 4*3*13 - 2*1*9 = 156 - 18 = 138
+    assert(got === Seq(
+      ("dn", 4L, -5L, 138L),
+      ("fl", 5L, 0L, 5L * 4L * 15L - 5L * 4L * 15L),
+      ("one", 1L, 0L, 0L),
+      ("up", 5L, 10L, 5L * 4L * 15L)))
+  }
+
+  test("harmonicCentrality: hand graph — path and hub score exactly") {
+    import graft.operators.GraphOps
+    // path 1-2-3-4 plus hub 10 joined to 2: undirected (both directions)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 2L))
+    val edges = (und ++ und.map(_.swap)).toDF("s", "d")
+    val seeds = Seq(1L, 10L, 99L).toDF("id") // 99 is isolated
+    val got = GraphOps.harmonicCentrality(edges, "s", "d", seeds, "id", 3)
+      .orderBy(col("node")).as[(Long, Long, Long)].collect().toSeq
+    // from 1: d(2)=1, d(3)=2, d(10)=2, d(4)=3 -> 6 + 3 + 3 + 2 = 14
+    // from 10: d(2)=1, d(1)=2, d(3)=2, d(4)=3 -> 6 + 3 + 3 + 2 = 14
+    // 99: nothing reached -> absent
+    assert(got === Seq((1L, 4L, 14L), (10L, 4L, 14L)))
+  }
 }
