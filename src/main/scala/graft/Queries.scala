@@ -6721,6 +6721,43 @@ dd AS (SELECT src, node, CAST(min(h) AS BIGINT) AS dist FROM bfs GROUP BY 1, 2)
 SELECT src AS node, CAST(count(*) AS BIGINT) AS n_reached,
   CAST(SUM(6 // dist) AS BIGINT) AS h_scaled
 FROM dd WHERE dist > 0 GROUP BY 1 ORDER BY node""")),
+
+    ("q268_logrank_test", (s, d) => {
+      // do the two assignment arms (q193's even/odd user split) churn
+      // at the same rate? two-sample log-rank over the q166 exit
+      // fixture: per-day per-arm exit counts, at-risk via per-arm
+      // reverse cumsums, nested-floor hypergeometric variance — the
+      // survival-curve comparison in exact integers
+      val last = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+        .groupBy(col("user_id")).agg(max(col("day")).as("ld"))
+      val exits = last
+        .groupBy(col("ld").as("day"),
+          (pmod(col("user_id"), lit(2)) === 0).as("arm"))
+        .agg(count(lit(1)).as("n_exit"))
+      graft.operators.TemporalOps.logRank(exits, "day", col("arm"), "n_exit")
+    },
+      Some("""WITH last AS (
+  SELECT user_id, max(epoch_ns(ts) // 86400000000000) AS ld FROM events
+  WHERE event_type = 'purchase' GROUP BY 1),
+ex AS (SELECT ld AS t,
+  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS da,
+  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS db
+  FROM last GROUP BY 1),
+rk AS (SELECT t, da, db,
+  CAST(SUM(da) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS na,
+  CAST(SUM(db) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nb
+  FROM ex),
+st AS (SELECT da, db,
+  (1000 * (da + db) * na) // (na + nb) AS e_step,
+  ((((1000000 * (da + db) * na) // (na + nb)) * nb // (na + nb))
+    * ((na + nb) - (da + db)))
+    // (CASE WHEN na + nb > 1 THEN na + nb - 1 ELSE 1 END) AS v_step
+  FROM rk)
+SELECT CAST(SUM(da) AS BIGINT) AS o_a, CAST(SUM(db) AS BIGINT) AS o_b,
+  CAST(SUM(e_step) AS BIGINT) AS e_a_me3, CAST(SUM(v_step) AS BIGINT) AS v_me6
+FROM st""")),
   )
 
   /** q257's literal geofence: a hexagon centered on the plane (a def —

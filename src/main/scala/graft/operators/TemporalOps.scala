@@ -454,6 +454,50 @@ object TemporalOps {
       .orderBy(col("group"))
   }
 
+  /** Two-sample log-rank test over per-(time, arm) exit counts — "do the
+    * two arms churn at the same rate?", the standard survival-curve
+    * comparison that completes the [[kaplanMeier]]/[[nelsonAalen]]
+    * family. At each distinct time with pooled exits d over pooled
+    * at-risk n (arm A at-risk n_a): observed o_a = Σ d_a, expected
+    * e_a_me3 = Σ 1000·d·n_a div n (milli-units), hypergeometric
+    * variance v_me6 = Σ nested-floor of 10^6·d·n_a·n_b·(n−d) /
+    * (n²·(n−1)) — each floor applied identically by any engine, every
+    * intermediate inside int64 for cohort sizes to ~10^5 per step
+    * term (the nesting bounds each product by 10^14). The z-score is
+    * (o_a − e_a/1000)/sqrt(v/10^6), one double away for the consumer.
+    *
+    * `armCol` must be boolean (true = arm A). Input is the distinct
+    * (time, arm) exit-count grain — calendar-bounded, same contract as
+    * [[kaplanMeier]]; at-risk counts come from per-arm reverse cumsums
+    * over that relation, so nothing is subject-sized. Output: ONE row
+    * (o_a, o_b, e_a_me3, v_me6).
+    */
+  def logRank(df: DataFrame, tCol: String, armCol: Column,
+              dCol: String): DataFrame = {
+    val perT = df
+      .select(col(tCol).cast("long").as("t"), armCol.as("__arm"),
+        col(dCol).cast("long").as("__d"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("__arm"), col("__d")).otherwise(0L)).as("__da"),
+        sum(when(!col("__arm"), col("__d")).otherwise(0L)).as("__db"))
+    val wDesc = Window.partitionBy(lit(0)).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = perT
+      .withColumn("__na", sum(col("__da")).over(wDesc))
+      .withColumn("__nb", sum(col("__db")).over(wDesc))
+    val d = col("__da") + col("__db")
+    val n = col("__na") + col("__nb")
+    val eStep = call_function("div", lit(1000L) * d * col("__na"), n)
+    val vStep = call_function("div",
+      call_function("div",
+        call_function("div", lit(1000000L) * d * col("__na"), n) * col("__nb"),
+        n) * (n - d),
+      when(n > 1L, n - 1L).otherwise(lit(1L)))
+    risk.groupBy()
+      .agg(sum(col("__da")).as("o_a"), sum(col("__db")).as("o_b"),
+        sum(eStep).as("e_a_me3"), sum(vStep).as("v_me6"))
+  }
+
   def nelsonAalen(df: DataFrame, tCol: String, nEventsCol: String): DataFrame = {
     val a = df.select(col(tCol).cast("long").as("t"),
       col(nEventsCol).cast("long").as("d"))

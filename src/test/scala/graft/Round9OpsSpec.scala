@@ -517,4 +517,22 @@ class Round9OpsSpec extends AnyFunSuite {
     // 99: nothing reached -> absent
     assert(got === Seq((1L, 4L, 14L), (10L, 4L, 14L)))
   }
+
+  test("logRank: identical arms give E = O exactly; hand-computed variance") {
+    import graft.operators.TemporalOps
+    // symmetric arms: same exit schedule -> n_a = n_b at every step,
+    // so e_a = d/2 per step and O_a - E_a = 0 exactly (1000-scaled)
+    val sym = Seq((1L, true, 2L), (1L, false, 2L), (2L, true, 3L), (2L, false, 3L))
+    val g1 = TemporalOps.logRank(sym.toDF("t", "arm", "d"), "t", col("arm"), "d")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(g1._1 === 5L && g1._2 === 5L && g1._3 === 5000L)
+    // hand case: t=1 d_a=1 d_b=0 (na=2 nb=1); t=2 d_a=1 d_b=1 (na=1 nb=1)
+    // e = 1000*1*2/3 + 1000*2*1/2 = 666 + 1000 = 1666
+    // v = ((1e6*1*2//3)*1//3)*2//2 + ((1e6*2*1//2)*1//2)*0//1
+    //   = (666666//3)*2//2 + 0 = 222222
+    val hand = Seq((1L, true, 1L), (2L, true, 1L), (2L, false, 1L))
+    val g2 = TemporalOps.logRank(hand.toDF("t", "arm", "d"), "t", col("arm"), "d")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(g2 === ((2L, 1L, 1666L, 222222L)))
+  }
 }
