@@ -6758,6 +6758,55 @@ st AS (SELECT da, db,
 SELECT CAST(SUM(da) AS BIGINT) AS o_a, CAST(SUM(db) AS BIGINT) AS o_b,
   CAST(SUM(e_step) AS BIGINT) AS e_a_me3, CAST(SUM(v_step) AS BIGINT) AS v_me6
 FROM st""")),
+
+    ("q269_competing_risks", (s, d) => {
+      // how do users LEAVE — converted (last event = purchase) or not?
+      // Aalen-Johansen cumulative incidence under the two competing
+      // causes: naive per-cause 1−KM overstates both (treats the rival
+      // cause as censoring); the AJ increments S_prev·d_k/n split the
+      // pooled survival mass correctly. Last event picked on
+      // (ts_ns, event_id) per the q89 ordering contract
+      val le = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts_ns"), col("event_id"), col("event_type")))
+          .as("__m"))
+        .select(
+          expr("__m.ts_ns div 86400000000000").as("day"),
+          (col("__m.event_type") === "purchase").as("__c1"))
+      val exits = le.groupBy(col("day"))
+        .agg(sum(when(col("__c1"), 1L).otherwise(0L)).as("d1"),
+          sum(when(!col("__c1"), 1L).otherwise(0L)).as("d2"))
+      graft.operators.TemporalOps.competingRisks(exits, "day", "d1", "d2")
+        .select(col("t").as("day"), col("n_risk"), col("d1"), col("d2"),
+          col("surv_ppm"), col("cif1_ppm"), col("cif2_ppm"))
+        .orderBy(col("day"))
+    },
+      Some("""WITH RECURSIVE le AS (SELECT user_id,
+  epoch_ns(ts) // 86400000000000 AS day, event_type,
+  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+ex AS (SELECT day AS t,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+  CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS d2
+  FROM le WHERE rn = 1 GROUP BY 1),
+rk AS (SELECT t, d1, d2, CAST(SUM(d1 + d2) OVER (ORDER BY t DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r,
+  row_number() OVER (ORDER BY t) AS i FROM ex),
+aj AS (
+  SELECT i, t, d1, d2, r,
+    (1000000 * (r - d1 - d2)) // r AS s,
+    (1000000 * d1) // r AS c1,
+    (1000000 * d2) // r AS c2
+  FROM rk WHERE i = 1
+  UNION ALL
+  SELECT rk.i, rk.t, rk.d1, rk.d2, rk.r,
+    (aj.s * (rk.r - rk.d1 - rk.d2)) // rk.r,
+    aj.c1 + (aj.s * rk.d1) // rk.r,
+    aj.c2 + (aj.s * rk.d2) // rk.r
+  FROM aj JOIN rk ON rk.i = aj.i + 1)
+SELECT t AS day, r AS n_risk, d1, d2, s AS surv_ppm, c1 AS cif1_ppm,
+  c2 AS cif2_ppm
+FROM aj ORDER BY day""")),
   )
 
   /** q257's literal geofence: a hexagon centered on the plane (a def —

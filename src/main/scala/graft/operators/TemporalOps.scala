@@ -498,6 +498,57 @@ object TemporalOps {
         sum(eStep).as("e_a_me3"), sum(vStep).as("v_me6"))
   }
 
+  /** Aalen-Johansen cumulative incidence under TWO competing risks —
+    * "what fraction has exited via cause 1 (vs cause 2) by time t",
+    * which naive per-cause KM overstates (1 − KM_k treats the other
+    * cause's exits as censoring and the two 'probabilities' can sum
+    * past 1; the textbook competing-risks trap). At each step the
+    * cause-k increment is S(t_{i−1})·d_k/n over the POOLED at-risk
+    * count, with S the pooled KM product.
+    *
+    * Integer contract mirrors [[kaplanMeier]]: S in ppm with per-step
+    * truncation, each CIF increment floor(S_prev·d_k div n) summed as
+    * integers — the sequential product folds row-locally over the
+    * distinct-time relation (calendar-bounded, same soundness argument).
+    * Output per time: (t, n_risk, d1, d2, surv_ppm, cif1_ppm, cif2_ppm);
+    * surv + cif1 + cif2 ≈ 10^6 (off only by the per-step floors).
+    */
+  def competingRisks(df: DataFrame, tCol: String, d1Col: String,
+                     d2Col: String): DataFrame = {
+    val a = df.select(col(tCol).cast("long").as("t"),
+      col(d1Col).cast("long").as("d1"), col(d2Col).cast("long").as("d2"))
+    val wDesc = Window.partitionBy(lit(0)).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val steps = a.withColumn("r", sum(col("d1") + col("d2")).over(wDesc))
+      .agg(sort_array(collect_list(struct(col("t"), col("d1"), col("d2"),
+        col("r")))).as("__st"))
+    val folded = aggregate(
+      col("__st"),
+      array().cast(
+        "array<struct<t:bigint,d1:bigint,d2:bigint,r:bigint,s:bigint,c1:bigint,c2:bigint>>"),
+      (acc, x) => {
+        val prevS = when(size(acc) === 0, lit(1000000L))
+          .otherwise(element_at(acc, size(acc)).getField("s"))
+        val prevC1 = when(size(acc) === 0, lit(0L))
+          .otherwise(element_at(acc, size(acc)).getField("c1"))
+        val prevC2 = when(size(acc) === 0, lit(0L))
+          .otherwise(element_at(acc, size(acc)).getField("c2"))
+        val r = x.getField("r")
+        val d = x.getField("d1") + x.getField("d2")
+        concat(acc, array(struct(
+          x.getField("t").as("t"), x.getField("d1").as("d1"),
+          x.getField("d2").as("d2"), r.as("r"),
+          call_function("div", prevS * (r - d), r).as("s"),
+          (prevC1 + call_function("div", prevS * x.getField("d1"), r)).as("c1"),
+          (prevC2 + call_function("div", prevS * x.getField("d2"), r)).as("c2"))))
+      })
+    steps.select(explode(folded).as("__e"))
+      .select(col("__e.t").as("t"), col("__e.r").as("n_risk"),
+        col("__e.d1").as("d1"), col("__e.d2").as("d2"),
+        col("__e.s").as("surv_ppm"), col("__e.c1").as("cif1_ppm"),
+        col("__e.c2").as("cif2_ppm"))
+  }
+
   def nelsonAalen(df: DataFrame, tCol: String, nEventsCol: String): DataFrame = {
     val a = df.select(col(tCol).cast("long").as("t"),
       col(nEventsCol).cast("long").as("d"))

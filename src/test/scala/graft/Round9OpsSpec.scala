@@ -535,4 +535,18 @@ class Round9OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().head
     assert(g2 === ((2L, 1L, 1666L, 222222L)))
   }
+
+  test("competingRisks: hand-computed AJ increments; mass conserves to 1e6") {
+    import graft.operators.TemporalOps
+    val exits = Seq((1L, 1L, 1L), (2L, 2L, 0L), (3L, 0L, 6L)).toDF("t", "d1", "d2")
+    val got = TemporalOps.competingRisks(exits, "t", "d1", "d2")
+      .orderBy(col("t"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 10L, 1L, 1L, 800000L, 100000L, 100000L),
+      (2L, 8L, 2L, 0L, 600000L, 300000L, 100000L),
+      (3L, 6L, 0L, 6L, 0L, 300000L, 700000L)))
+    // exact conservation at every step on this divisor-friendly fixture
+    got.foreach { r => assert(r._5 + r._6 + r._7 === 1000000L) }
+  }
 }
