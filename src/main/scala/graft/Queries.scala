@@ -6807,6 +6807,46 @@ aj AS (
 SELECT t AS day, r AS n_risk, d1, d2, s AS surv_ppm, c1 AS cif1_ppm,
   c2 AS cif2_ppm
 FROM aj ORDER BY day""")),
+
+    ("q270_t_closeness", (s, d) => {
+      // the third privacy rung after q238's k-anonymity/l-diversity:
+      // does any (nation, segment) class's balance-band DISTRIBUTION
+      // stray more than t = 0.2 earth-mover's distance from the
+      // table's? integer-exact 1-D EMD at the common denominator
+      // n_class·N over the DENSE band spine; t in ppm
+      val cust = Tables.customer(s, d).join(
+        broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_mktsegment").as("seg"),
+          call_function("div",
+            (d2(col("c_acctbal")) * 100).cast(LongType) + 100000L,
+            lit(100000L)).as("band"))
+      graft.operators.PrivacyOps.tCloseness(
+        cust, Seq("n_name", "seg"), "band", 200000L)
+    },
+      Some("""WITH j AS (SELECT n_name, c_mktsegment AS seg,
+  (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000) // 100000 AS band
+  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+cl AS (SELECT n_name, seg, CAST(count(*) AS BIGINT) AS nc FROM j GROUP BY 1, 2),
+bd AS (SELECT band, CAST(count(*) AS BIGINT) AS g FROM j GROUP BY 1),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+  CAST(count(DISTINCT band) AS BIGINT) AS m FROM j),
+ce AS (SELECT n_name, seg, band, CAST(count(*) AS BIGINT) AS c
+  FROM j GROUP BY 1, 2, 3),
+gr AS (SELECT cl.n_name, cl.seg, cl.nc, bd.band, bd.g, COALESCE(ce.c, 0) AS c
+  FROM cl CROSS JOIN bd LEFT JOIN ce ON ce.n_name = cl.n_name
+    AND ce.seg = cl.seg AND ce.band = bd.band),
+cm AS (SELECT n_name, seg, nc, band,
+  CAST(SUM(c * nn - g * nc) OVER (PARTITION BY n_name, seg ORDER BY band
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM gr CROSS JOIN tt),
+ag AS (SELECT n_name, seg, nc AS n, CAST(SUM(abs(cum)) AS BIGINT) AS sa
+  FROM cm GROUP BY 1, 2, 3)
+SELECT n_name, seg, n,
+  CASE WHEN m > 1 THEN (1000000 * sa) // (n * nn * (m - 1)) ELSE 0 END AS emd_ppm,
+  (CASE WHEN m > 1 THEN (1000000 * sa) // (n * nn * (m - 1)) ELSE 0 END) > 200000
+    AS breach
+FROM ag CROSS JOIN tt ORDER BY n_name, seg""")),
   )
 
   /** q257's literal geofence: a hexagon centered on the plane (a def —

@@ -70,4 +70,56 @@ object PrivacyOps {
         col("rows_at_risk").cast(LongType), col("min_l").cast(LongType))
       .orderBy(col("level"))
   }
+
+  /** t-closeness audit (Li et al. 2007) — the third rung after
+    * k-anonymity and l-diversity: a class can be large AND diverse yet
+    * still leak if its sensitive-value DISTRIBUTION diverges from the
+    * table's (the classic "this zip code is all low-income" failure
+    * l-diversity misses). For an ORDERED sensitive attribute the
+    * distance is the 1-D earth-mover's: with m global values,
+    * EMD = (1/(m−1))·Σ_i |Σ_{j≤i}(p_j − q_j)|, computed integer-exactly
+    * at the common denominator n_class·N: cumdiff_i = Σ_{j≤i}
+    * (c_j·N − g_j·n_class), emd_ppm = 10^6·Σ|cumdiff| div
+    * (n_class·N·(m−1)). The grid is DENSE over the global value spine
+    * (a value a class never takes still shifts mass — same lesson as
+    * the chi-square dense grid).
+    *
+    * Scale shape: one (class, value) aggregation; the spine cross-join
+    * and the cumulative window run over the (classes × m) relation —
+    * QI-domain-sized, never row-sized. Int64 envelope: c·N < 2^63/m
+    * (any census table qualifies). Output per class: QI cols, n,
+    * emd_ppm, breach = emd_ppm > tPpm.
+    */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 tPpm: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one QI column")
+    val base = df.select((qiCols.map(col) :+
+      col(sensitiveCol).cast(LongType).as("__v")): _*)
+    val classes = base.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__nc"))
+    val bands = base.groupBy(col("__v")).agg(count(lit(1)).as("__g"))
+    val tot = base.groupBy().agg(count(lit(1)).as("__n"),
+      countDistinct(col("__v")).as("__m"))
+    val cells = base.groupBy((qiCols.map(col) :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    classes.crossJoin(broadcast(bands))
+      .join(cells, qiCols :+ "__v", "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__cum",
+        sum(coalesce(col("__c"), lit(0L)) * col("__n") -
+          col("__g") * col("__nc")).over(w))
+      .groupBy((qiCols.map(col) :+ col("__nc").as("n")): _*)
+      .agg(first(col("__n")).as("__nn"), first(col("__m")).as("__mm"),
+        sum(abs(col("__cum"))).as("__sa"))
+      .select((qiCols.map(col) :+ col("n") :+
+        when(col("__mm") > 1L,
+          call_function("div", lit(1000000L) * col("__sa"),
+            col("n") * col("__nn") * (col("__mm") - 1L)))
+          .otherwise(lit(0L)).as("emd_ppm")): _*)
+      .withColumn("breach", col("emd_ppm") > tPpm)
+      .orderBy(qiCols.map(col): _*)
+  }
 }

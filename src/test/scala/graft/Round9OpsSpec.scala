@@ -549,4 +549,19 @@ class Round9OpsSpec extends AnyFunSuite {
     // exact conservation at every step on this divisor-friendly fixture
     got.foreach { r => assert(r._5 + r._6 + r._7 === 1000000L) }
   }
+
+  test("tCloseness: hand EMD against the POOLED marginal, zero cells counted") {
+    import graft.operators.PrivacyOps
+    // values 1..3, global marginal g = (5,2,2)/9 (the classes' own rows
+    // pool into it — the distance is vs the TABLE, not vs uniform).
+    // A = (2,2,2)/6: cumdiffs -2/9, -1/9, 0 -> EMD = (3/9)/2 = 1/6
+    // B = (3,0,0)/3: cumdiffs 4/9, 2/9, 0 -> EMD = (6/9)/2 = 1/3
+    //   (bands 2,3 are ZERO cells for B and still carry mass)
+    val rows =
+      Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 1L), ("A", 2L), ("A", 3L)) ++
+      Seq(("B", 1L), ("B", 1L), ("B", 1L))
+    val got = PrivacyOps.tCloseness(rows.toDF("qi", "v"), Seq("qi"), "v", 200000L)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(("A", 6L, 166666L, false), ("B", 3L, 333333L, true)))
+  }
 }
