@@ -6847,7 +6847,136 @@ SELECT n_name, seg, n,
   (CASE WHEN m > 1 THEN (1000000 * sa) // (n * nn * (m - 1)) ELSE 0 END) > 200000
     AS breach
 FROM ag CROSS JOIN tt ORDER BY n_name, seg""")),
+
+    ("q271_markov_attribution", (s, d) =>
+      // chain-based channel attribution (the Markov complement to q258's
+      // Shapley): journeys truncate at first purchase, a bounded
+      // absorption iteration reads conversion probability in exact ppm
+      // integers, and each channel's removal effect pins that channel to
+      // zero over the SAME matrix; the oracle unrolls the identical 12
+      // rounds per chain
+      graft.operators.PolicyOps.markovAttribution(
+        Tables.events(s, d), "user_id", "event_type",
+        Seq("click", "view", "signup", "error"), "purchase",
+        Seq(col("ts"), col("event_id")), 12),
+      Some({
+        val chans = Seq("click", "error", "signup", "view")
+        val chains = markovChainSql("pf", 12, None, chans) + ",\n" +
+          chans.zipWithIndex.map { case (c, i) =>
+            markovChainSql(s"rm$i", 12, Some(c), chans)
+          }.mkString(",\n")
+        val res = chans.zipWithIndex.map { case (c, i) =>
+          s"""SELECT '$c' AS channel,
+    (SELECT p FROM pf12 WHERE st = 'START') AS conv_ppm,
+    (SELECT p FROM rm${i}12 WHERE st = 'START') AS removal_ppm"""
+        }.mkString("\n  UNION ALL ")
+        s"""WITH ev AS (SELECT user_id AS u, ts, event_id, event_type AS et FROM events),
+r AS (SELECT u, et,
+  row_number() OVER (PARTITION BY u ORDER BY ts, event_id) AS rn FROM ev),
+fp AS (SELECT u, MIN(rn) AS prn FROM r WHERE et = 'purchase' GROUP BY 1),
+j AS (SELECT r.u, CASE WHEN r.et = 'purchase' THEN 'CONV' ELSE r.et END AS st,
+  r.rn FROM r LEFT JOIN fp ON r.u = fp.u
+  WHERE fp.prn IS NULL OR r.rn <= fp.prn),
+tr AS (SELECT COALESCE(lag(st) OVER (PARTITION BY u ORDER BY rn), 'START') AS s,
+  st AS t FROM j),
+tl AS (SELECT j.st AS s, 'NULL' AS t FROM j
+  JOIN (SELECT u, MAX(rn) AS mrn FROM j GROUP BY 1) mx
+    ON j.u = mx.u AND j.rn = mx.mrn
+  WHERE j.st <> 'CONV'),
+m AS MATERIALIZED (SELECT s, t, CAST(count(*) AS BIGINT) AS c FROM
+  (SELECT s, t FROM tr UNION ALL SELECT s, t FROM tl) GROUP BY 1, 2),
+n AS MATERIALIZED (SELECT s, SUM(c) AS ns FROM m GROUP BY 1),
+$chains,
+res AS (
+  $res),
+te AS (SELECT SUM(CASE WHEN conv_ppm > removal_ppm
+  THEN conv_ppm - removal_ppm ELSE 0 END) AS tot FROM res)
+SELECT channel, conv_ppm, removal_ppm,
+  CAST(CASE WHEN conv_ppm > removal_ppm
+    THEN conv_ppm - removal_ppm ELSE 0 END AS BIGINT) AS effect_ppm,
+  CAST(CASE WHEN tot > 0 THEN (1000000 * CASE WHEN conv_ppm > removal_ppm
+    THEN conv_ppm - removal_ppm ELSE 0 END) // tot ELSE 0 END AS BIGINT)
+    AS attr_ppm
+FROM res CROSS JOIN te ORDER BY channel"""
+      })),
+
+    ("q272_typo_pairs", (s, d) => {
+      // spelling-variant mining over the part-name vocabulary with the
+      // codegen'd full Damerau-Levenshtein expression (byte-level
+      // Lowrance-Wagner — DuckDB's damerau_levenshtein contract):
+      // distinct words is the distributed step; the pair join is over
+      // the VOCABULARY (bounded by the language, not the corpus), so
+      // the nested-loop stays broadcast-sized by nature
+      val dl = (a: Column, b: Column) => org.apache.spark.sql.GraftBridge.column(
+        graft.functions.DamerauLevenshtein(
+          org.apache.spark.sql.GraftBridge.expression(a),
+          org.apache.spark.sql.GraftBridge.expression(b)))
+      val words = Tables.part(s, d)
+        .select(explode(split(col("p_name"), " ")).as("w"))
+        .filter(length(col("w")) >= 3).distinct()
+      words.as("a").join(broadcast(words.as("b")), col("a.w") < col("b.w"))
+        .select(col("a.w").as("w1"), col("b.w").as("w2"),
+          dl(col("a.w"), col("b.w")).as("dist"))
+        .filter(col("dist") <= 2)
+        .orderBy(col("w1"), col("w2"))
+    },
+      Some("""WITH w AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w
+  FROM part),
+f AS (SELECT w FROM w WHERE length(w) >= 3)
+SELECT a.w AS w1, b.w AS w2,
+  CAST(damerau_levenshtein(a.w, b.w) AS INT) AS dist
+FROM f a JOIN f b ON a.w < b.w
+WHERE damerau_levenshtein(a.w, b.w) <= 2
+ORDER BY w1, w2""")),
+
+    ("q273_product_quantization", (s, d) =>
+      // PQ codebook learning (Jegou et al. 2011): 64-dim embeddings
+      // split into 4 x 16-dim subspaces, each subspace a deterministic
+      // integer-exact k=4 Lloyd clustering (q250's discipline, shared
+      // md5 seed ids); output = per-(subspace, code) population and
+      // distortion, the inverted-list sizing an ANN index needs; the
+      // oracle unrolls the identical rounds per subspace
+      graft.operators.SimilarityOps.productQuantize(
+        Tables.embeddings(s, d), "vec_id", "embedding", 4, 16, 4, 2),
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id AS vid,
+  list_transform(CAST(embedding AS DOUBLE[]),
+    x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS xs FROM embeddings),
+sd AS MATERIALIZED (SELECT vid FROM e ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT 4),
+${(0 until 4).map(s0 => pqSubspaceSql(s0, s0 * 16, 16, 2)).mkString(",\n")}
+${(0 until 4).map(s0 =>
+        s"""SELECT $s0 AS sub, cell AS c_id, CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(d2 // 1024) // count(*) AS BIGINT) AS mean_d2_kibi
+FROM s${s0}_3 GROUP BY 1, 2""").mkString("\nUNION ALL ")}
+ORDER BY sub, c_id""")),
   )
+
+  /** One absorption chain of the q271 oracle — p0 constants plus
+    * `rounds` unrolled integer rounds p'(s) = ⌊Σ_t c(s,t)·p(t)/n(s)⌋
+    * over matrix CTEs `m(s,t,c)`/`n(s,ns)`, with `removed` (if any)
+    * excluded from recompute and pinned to 0 — the SQL twin of
+    * [[graft.operators.PolicyOps.markovAttribution]]'s driver fold.
+    */
+  private def markovChainSql(pfx: String, rounds: Int, removed: Option[String],
+                             channels: Seq[String]): String = {
+    val consts = Seq(("CONV", "1000000"), ("NULL", "0"), ("START", "0")) ++
+      channels.map(c => (c, "0"))
+    // MATERIALIZED: without it DuckDB inlines the 12-deep chain prefix
+    // into every reference and planning blows up (minutes); with it the
+    // whole 5-chain oracle runs in under a second
+    val p0 = s"${pfx}0 AS MATERIALIZED (" + consts.map { case (st, v) =>
+      s"SELECT '$st' AS st, CAST($v AS BIGINT) AS p"
+    }.mkString(" UNION ALL ") + ")"
+    val rnds = (1 to rounds).map { r =>
+      val guard = removed.map(c => s"\n  WHERE n.s <> '$c'").getOrElse("")
+      val pin = removed.map(c => s" UNION ALL SELECT '$c', 0").getOrElse("")
+      s"""$pfx$r AS MATERIALIZED (
+  SELECT n.s AS st, CAST(SUM(m.c * q.p) // n.ns AS BIGINT) AS p
+  FROM m JOIN $pfx${r - 1} q ON m.t = q.st JOIN n ON n.s = m.s$guard
+  GROUP BY n.s, n.ns
+  UNION ALL SELECT 'CONV', 1000000 UNION ALL SELECT 'NULL', 0$pin)"""
+    }
+    (p0 +: rnds).mkString(",\n")
+  }
 
   /** q257's literal geofence: a hexagon centered on the plane (a def —
     * `all` initializes before any trailing vals in this object).
@@ -6929,6 +7058,38 @@ c$r AS (SELECT cell AS c_id,
   list(CAST((sx - ((sx % n) + n) % n) // n AS BIGINT) ORDER BY pos) AS cxs
   FROM m$r GROUP BY 1),"""
     }.mkString("\n")
+
+  /** One PQ subspace of the q273 oracle — subspace `s` slices dims
+    * [off+1, off+dim] out of the shared fixed-point relation `e`, seeds
+    * its codebook from the shared md5 sample `sd`, and unrolls `rounds`
+    * Lloyd rounds + a final assignment (CTEs a{s}_r / s{s}_r / m{s}_r /
+    * c{s}_r — the [[kmeansRoundsSql]] pattern namespaced per subspace),
+    * the SQL twin of [[graft.operators.SimilarityOps.productQuantize]].
+    */
+  private def pqSubspaceSql(s: Int, off: Int, dim: Int, rounds: Int): String = {
+    val base = s"""e$s AS MATERIALIZED (SELECT vid, xs[${off + 1}:${off + dim}] AS xs FROM e),
+c${s}_0 AS MATERIALIZED (SELECT e$s.vid AS c_id, e$s.xs AS cxs FROM e$s JOIN sd ON e$s.vid = sd.vid)"""
+    val rnds = (1 to rounds + 1).map { r =>
+      val asg = s"""a${s}_$r AS (SELECT vid, xs, c_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, ${dim + 1}), i ->
+      (xs[CAST(i AS INT)] - cxs[CAST(i AS INT)]) * (xs[CAST(i AS INT)] - cxs[CAST(i AS INT)]))),
+    (a, x) -> a + x) AS d2
+  FROM e$s CROSS JOIN c${s}_${r - 1}),
+s${s}_$r AS MATERIALIZED (SELECT vid, xs, c_id AS cell, d2 FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, c_id) AS rn FROM a${s}_$r)
+  WHERE rn = 1)"""
+      if (r == rounds + 1) asg
+      else asg + s""",
+m${s}_$r AS (SELECT cell, i AS pos, CAST(SUM(xs[CAST(i AS INT)]) AS BIGINT) AS sx,
+  CAST(count(*) AS BIGINT) AS n
+  FROM s${s}_$r, range(1, ${dim + 1}) rng(i) GROUP BY 1, 2),
+c${s}_$r AS (SELECT cell AS c_id,
+  list(CAST((sx - ((sx % n) + n) % n) // n AS BIGINT) ORDER BY pos) AS cxs
+  FROM m${s}_$r GROUP BY 1)"""
+    }
+    (base +: rnds).mkString(",\n")
+  }
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge
     * relation `e`, degrees `dg`, seed-tagged nodes `nd`, and r0 — the

@@ -270,6 +270,58 @@ object TextCodec {
     }
     sum % 10 == 0
   }
+
+  /** Unrestricted Damerau–Levenshtein distance (Lowrance & Wagner 1975,
+    * "An extension of the string-to-string correction problem") over RAW
+    * UTF-8 BYTES — the exact contract of DuckDB's `damerau_levenshtein`
+    * (byte-level, FULL variant: 'CA'→'ABC' is 2, not OSA's 3; a
+    * non-ASCII codepoint counts one edit per byte), which the oracle
+    * replays. O(n·m) time/space; operands are capped at 256 bytes so
+    * the per-row matrix stays a bounded transient (≈270 KB) — the
+    * intended domain is words/names/codes, not documents.
+    */
+  def damerauLevenshtein(a: UTF8String, b: UTF8String): Int = {
+    val n = a.numBytes()
+    val m = b.numBytes()
+    require(n <= 256 && m <= 256,
+      s"graft_damerau_levenshtein operands are capped at 256 bytes, got $n/$m")
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = n + m
+    val da = new Array[Int](256)
+    val w = m + 2
+    val d = new Array[Int]((n + 2) * w)
+    d(0) = inf
+    var i = 0
+    while (i <= n) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
+    i = 1
+    while (i <= n) {
+      var db = 0
+      val ai = a.getByte(i - 1) & 0xff
+      j = 1
+      while (j <= m) {
+        val bj = b.getByte(j - 1) & 0xff
+        val k = da(bj)
+        val l = db
+        var cost = 1
+        if (ai == bj) { db = j; cost = 0 }
+        var mn = d(i * w + j) + cost             // substitute / match
+        val del = d(i * w + j + 1) + 1           // delete from a
+        if (del < mn) mn = del
+        val ins = d((i + 1) * w + j) + 1         // insert into a
+        if (ins < mn) mn = ins
+        val tra = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1) // transpose
+        if (tra < mn) mn = tra
+        d((i + 1) * w + j + 1) = mn
+        j += 1
+      }
+      da(ai) = i
+      i += 1
+    }
+    d((n + 1) * w + m + 1)
+  }
 }
 
 /** Greedy wordpiece subword token count over the [[Wordpiece]] fixture
@@ -351,6 +403,29 @@ case class LuhnValid(child: Expression)
     defineCodeGen(ctx, ev, s => s"graft.functions.TextCodec.luhnValid($s)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Byte-level full Damerau–Levenshtein distance between two strings —
+  * codegen'd call into [[TextCodec.damerauLevenshtein]] (Lowrance–Wagner,
+  * matching DuckDB's `damerau_levenshtein` bit-for-bit), the
+  * transposition-aware typo metric the linkage/blocking operators layer
+  * on top of plain `levenshtein`.
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"damerau_levenshtein needs STRING inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextCodec.damerauLevenshtein(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextCodec.damerauLevenshtein($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
 case class NfcStripAccents(child: Expression)

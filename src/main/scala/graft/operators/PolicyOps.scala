@@ -90,4 +90,85 @@ object PolicyOps {
     }
     rows.toDF("channel", "phi_xkfact").orderBy(col("channel"))
   }
+
+  /** First-order Markov removal-effect attribution (Anderl et al. 2016
+    * "Mapping the customer journey"): per-user journeys ordered by
+    * `ordCols` and truncated at the first `conversion` event become a
+    * transition matrix over {START, channels, CONV, NULL}; the chain's
+    * conversion probability is read off by `rounds` bounded absorption
+    * iterations p'(s) = ⌊Σ_t c(s,t)·p(t) / n(s)⌋ in exact ppm integers
+    * (p(CONV)=1e6, p(NULL)=0), and each channel's removal effect pins
+    * that channel's p to 0 (= redirecting its inbound edges to NULL)
+    * over the SAME matrix. Output per channel: (channel, conv_ppm,
+    * removal_ppm, effect_ppm = max(conv−removal, 0), attr_ppm =
+    * ⌊1e6·effect / Σeffects⌋), ordered by channel.
+    *
+    * Scale shape: the distributed work is the journey windowing + ONE
+    * (s, t)-keyed count aggregation; the matrix is ≤ (k+1)·(k+2) rows
+    * (k ≤ 16 enforced — channels are an enum by nature), collected as
+    * driver-bounded metadata in the [[shapleyAttribution]] tradition,
+    * where all 1 + k absorption chains run in exact long arithmetic
+    * (c·p ≤ rows·1e6 ≪ 2^63). The oracle unrolls identical rounds.
+    */
+  def markovAttribution(df: DataFrame, userCol: String, channelCol: String,
+                        channels: Seq[String], conversion: String,
+                        ordCols: Seq[Column], rounds: Int): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 16,
+      s"need 1..16 channels, got ${channels.size}")
+    require(channels.distinct.size == channels.size, "channels must be distinct")
+    require(!channels.contains(conversion), "conversion cannot be a channel")
+    require(rounds >= 1 && rounds <= 64, s"need 1..64 rounds, got $rounds")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(ordCols: _*)
+    val wU = Window.partitionBy(col(userCol))
+    val evs = df.filter(col(channelCol).isin(channels :+ conversion: _*))
+      .withColumn("__rn", row_number().over(w))
+    val trunc = evs
+      .withColumn("__prn",
+        min(when(col(channelCol) === conversion, col("__rn"))).over(wU))
+      .filter(col("__prn").isNull || col("__rn") <= col("__prn"))
+      .withColumn("__st", when(col(channelCol) === conversion, lit("CONV"))
+        .otherwise(col(channelCol)))
+    val wRn = Window.partitionBy(col(userCol)).orderBy(col("__rn"))
+    val steps = trunc
+      .withColumn("__s", coalesce(lag(col("__st"), 1).over(wRn), lit("START")))
+      .select(col("__s").as("s"), col("__st").as("t"))
+    val tails = trunc
+      .withColumn("__mx", max(col("__rn")).over(wU))
+      .filter(col("__rn") === col("__mx") && col("__st") =!= "CONV")
+      .select(col("__st").as("s"), lit("NULL").as("t"))
+    // transition matrix: <= (k+1)(k+2) rows — driver-bounded metadata
+    val cnt = steps.unionByName(tails).groupBy(col("s"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val nOut = cnt.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val sources = "START" +: channels
+    def absorb(removed: Option[String]): Long = {
+      var p: Map[String, Long] =
+        (sources.map(_ -> 0L) :+ ("CONV" -> 1000000L) :+ ("NULL" -> 0L)).toMap
+      for (_ <- 1 to rounds) {
+        val np = sources.filterNot(removed.contains).map { s =>
+          val n = nOut.getOrElse(s, 0L)
+          val num = cnt.iterator.collect {
+            case ((`s`, t), c) => c * p.getOrElse(t, 0L)
+          }.sum
+          s -> (if (n == 0L) 0L else Math.floorDiv(num, n))
+        }
+        p = p ++ np
+      }
+      p("START")
+    }
+    val full = absorb(None)
+    val eff = channels.sorted.map { ch =>
+      val r = absorb(Some(ch))
+      (ch, r, math.max(full - r, 0L))
+    }
+    val tot = eff.map(_._3).sum
+    import spark.implicits._
+    eff.map { case (ch, r, e) =>
+      (ch, full, r, e, if (tot > 0L) Math.floorDiv(1000000L * e, tot) else 0L)
+    }.toDF("channel", "conv_ppm", "removal_ppm", "effect_ppm", "attr_ppm")
+      .orderBy(col("channel"))
+  }
 }

@@ -447,6 +447,73 @@ object SimilarityOps {
       .orderBy(col("c_id"))
   }
 
+  /** Product quantization (Jégou et al. 2011, "Product quantization for
+    * nearest neighbor search"): the vector splits into `m` contiguous
+    * `subDim`-wide subspaces and each subspace learns its own k-entry
+    * codebook by the [[kmeansLloyd]] discipline — 2^20 fixed-point
+    * longs, md5-of-id seed sample (the SAME seed ids across subspaces,
+    * sliced per subspace), integer-exact argmin assignment and
+    * floor-mean refinement — so codebooks are bit-identical on any
+    * engine. Output per (sub, c_id): (n, mean_d2_kibi), the per-cell
+    * population and distortion an ANN index sizes its inverted lists
+    * by; total PQ reconstruction error = Σ over subs of n·mean.
+    *
+    * Scale shape: the subspace explode is a bounded m× expansion
+    * (m ≤ 16 enforced — PQ segment counts are small powers of two by
+    * nature), after which every round is the kmeansLloyd plan per
+    * subspace in ONE pass: m·k centroid rows broadcast, argmin
+    * map-side, one (sub, cell, pos)-keyed mean aggregation. Rounds
+    * re-checkpoint so lineage never compounds.
+    */
+  def productQuantize(emb: DataFrame, idCol: String, vecCol: String,
+                      m: Int, subDim: Int, k: Int, rounds: Int): DataFrame = {
+    require(m >= 2 && m <= 16, s"need 2..16 subspaces, got $m")
+    require(subDim >= 1 && k >= 2 && rounds >= 1,
+      s"need subDim >= 1, k >= 2, rounds >= 1, got $subDim/$k/$rounds")
+    val full = emb.select(col(idCol).as("vid"),
+        transform(asDouble(col(vecCol)),
+          x => floor(x * 1048576.0).cast("long")).as("fxs"))
+    val subs = full.select(col("vid"),
+        explode(array((0 until m).map(i => lit(i)): _*)).as("sub"), col("fxs"))
+      .select(col("vid"), col("sub"),
+        slice(col("fxs"), col("sub") * subDim + 1, lit(subDim)).as("xs"))
+      .localCheckpoint(false) // probed by every round
+    var cents = subs.join(broadcast(
+        full.orderBy(md5(col("vid").cast("string").cast("binary")), col("vid"))
+          .limit(k).select(col("vid").as("c_id"))),
+        col("vid") === col("c_id"))
+      .select(col("sub"), col("c_id"), col("xs").as("cxs"))
+      .localCheckpoint(false)
+    val d2 = aggregate(zip_with(col("xs"), col("cxs"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    def assign() = subs.join(broadcast(cents), Seq("sub"))
+      .withColumn("__d2", d2)
+      .groupBy(col("sub"), col("vid"))
+      .agg(min(struct(col("__d2"), col("c_id"))).as("__m"), first(col("xs")).as("xs"))
+      .select(col("sub"), col("vid"), col("xs"),
+        col("__m").getField("c_id").as("cell"), col("__m").getField("__d2").as("d2"))
+    for (_ <- 1 to rounds) {
+      val sums = assign()
+        .select(col("sub"), col("cell"), posexplode(col("xs")))
+        .toDF("sub", "cell", "pos", "x")
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      val mean = call_function("div", col("sx") - pmod(col("sx"), col("n")), col("n"))
+      cents = sums.groupBy(col("sub"), col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), mean.as("c")))).as("ps"))
+        .select(col("sub"), col("cell").as("c_id"),
+          transform(col("ps"), p => p.getField("c")).as("cxs"))
+        .localCheckpoint(false)
+    }
+    assign()
+      .groupBy(col("sub"), col("cell").as("c_id"))
+      .agg(count(lit(1)).as("n"),
+        call_function("div",
+          sum(call_function("div", col("d2"), lit(1024L))),
+          count(lit(1))).as("mean_d2_kibi"))
+      .orderBy(col("sub"), col("c_id"))
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, nCentroids: Int = 16): DataFrame = {
     val base = emb.withColumn("__is_q", queryPred)

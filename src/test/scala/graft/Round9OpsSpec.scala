@@ -564,4 +564,81 @@ class Round9OpsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Boolean)].collect().toSeq
     assert(got === Seq(("A", 6L, 166666L, false), ("B", 3L, 333333L, true)))
   }
+
+  test("damerauLevenshtein: full-DL pins, byte-level unicode, BFS oracle") {
+    import graft.functions.TextCodec
+    def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def dl(a: String, b: String) = TextCodec.damerauLevenshtein(u8(a), u8(b))
+    // FULL Damerau (Lowrance-Wagner), not OSA: CA->AC->ABC is 2
+    assert(dl("CA", "ABC") === 2)
+    assert(dl("ab", "ba") === 1)
+    assert(dl("abcdef", "abdcef") === 1)
+    assert(dl("", "abc") === 3 && dl("abc", "") === 3 && dl("abc", "abc") === 0)
+    // byte-level (the DuckDB contract): 2-byte a-umlaut vs 'a' = 2 edits;
+    // a 4-byte astral codepoint transposes as byte rotation = 2
+    assert(dl("hällo", "hallo") === 2)
+    assert(dl("𝄞a", "a𝄞") === 2)
+    // independent oracle: BFS over the {a,b} edit graph (ins/del/sub/
+    // adjacent-transpose, unit cost) for ALL pairs of {a,b}-strings of
+    // length <= 4 — unrestricted DL is exactly this shortest path
+    val alpha = Seq('a', 'b')
+    val strs = (0 to 4).flatMap(n =>
+      Seq.fill(n)(alpha).foldLeft(Seq("")) { (acc, cs) =>
+        acc.flatMap(p => cs.map(c => p + c))
+      }).distinct
+    def neighbors(s: String): Seq[String] = {
+      val ins = for (i <- 0 to s.length; c <- alpha if s.length < 5)
+        yield s.substring(0, i) + c + s.substring(i)
+      val del = for (i <- 0 until s.length)
+        yield s.substring(0, i) + s.substring(i + 1)
+      val sub = for (i <- 0 until s.length; c <- alpha if s(i) != c)
+        yield s.substring(0, i) + c + s.substring(i + 1)
+      val tra = for (i <- 0 until s.length - 1 if s(i) != s(i + 1))
+        yield s.substring(0, i) + s(i + 1) + s(i) + s.substring(i + 2)
+      ins ++ del ++ sub ++ tra
+    }
+    def bfs(a: String, b: String): Int = {
+      if (a == b) return 0
+      var frontier = Set(a)
+      var seen = Set(a)
+      var depth = 0
+      while (depth < 8) {
+        depth += 1
+        frontier = frontier.flatMap(neighbors).diff(seen)
+        if (frontier.contains(b)) return depth
+        seen = seen ++ frontier
+      }
+      depth
+    }
+    for (x <- strs; y <- strs)
+      assert(dl(x, y) === bfs(x, y), s"dl($x, $y)")
+  }
+
+  test("markovAttribution: hand-iterated chain, removal pins, ppm floors") {
+    import graft.operators.PolicyOps
+    // u1 c->CONV; u2 c->NULL; u3 v->CONV; u4 v->c->CONV
+    // matrix: START->c 2, START->v 2, c->CONV 2, c->NULL 1, v->CONV 1,
+    // v->c 1; n: START 4, c 3, v 2. Converged ppm by hand:
+    //   full: c=666666, v=floor((1e6+666666)/2)=833333,
+    //         START=floor((2*666666+2*833333)/4)=749999
+    //   remove c (pin 0): v=500000, START=floor(2*500000/4)=250000
+    //   remove v (pin 0): c=666666, START=floor(2*666666/4)=333333
+    val evs = Seq(
+      (1L, "c", 1L), (1L, "p", 2L),
+      (2L, "c", 1L),
+      (3L, "v", 1L), (3L, "p", 2L),
+      (4L, "v", 1L), (4L, "c", 2L), (4L, "p", 3L))
+      .toDF("u", "ch", "t")
+    val got = PolicyOps.markovAttribution(evs, "u", "ch", Seq("c", "v"), "p",
+      Seq(col("t")), 12)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val (ec, ev2) = (749999L - 250000L, 749999L - 333333L)
+    val tot = ec + ev2
+    assert(got === Seq(
+      ("c", 749999L, 250000L, ec, Math.floorDiv(1000000L * ec, tot)),
+      ("v", 749999L, 333333L, ev2, Math.floorDiv(1000000L * ev2, tot))))
+    // efficiency sanity: attributions sum to <= 1e6 and > 99% of it
+    val s2 = got.map(_._5).sum
+    assert(s2 <= 1000000L && s2 > 990000L)
+  }
 }
