@@ -65,6 +65,8 @@ object GraftExtensions {
     "graft_luhn_valid" -> arity(1, "graft_luhn_valid")(es => LuhnValid(es.head)),
     "graft_damerau_levenshtein" -> arity(2, "graft_damerau_levenshtein")(es =>
       DamerauLevenshtein(es(0), es(1))),
+    "graft_syllable_pack" -> arity(1, "graft_syllable_pack")(es =>
+      SyllablePack(es.head)),
     "graft_bpe_tokens" -> arity(1, "graft_bpe_tokens")(es => BpeTokenCount(es.head)),
     "graft_wordpiece_tokens" -> arity(1, "graft_wordpiece_tokens")(es =>
       WordpieceTokenCount(es.head)),

@@ -6948,6 +6948,95 @@ ${(0 until 4).map(s0 =>
   CAST(SUM(d2 // 1024) // count(*) AS BIGINT) AS mean_d2_kibi
 FROM s${s0}_3 GROUP BY 1, 2""").mkString("\nUNION ALL ")}
 ORDER BY sub, c_id""")),
+
+    ("q274_readability", (s, d) => {
+      // FORCAST readability (Caylor et al. 1973 — the punctuation-free
+      // formula, the right one for a sentence-less corpus): per doc
+      // (words, syllables as [aeiouy] runs, monosyllabic words) from ONE
+      // codegen'd packed pass, grade_e3 = 20000 - (15000*mono)//words;
+      // the oracle recounts with list ops over the same run definition
+      val pack = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.SyllablePack(
+          org.apache.spark.sql.GraftBridge.expression(col("text"))))
+      val mask = lit((1L << 21) - 1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), pack.as("__p"))
+        .select(col("doc_id"),
+          shiftright(col("__p"), 42).bitwiseAND(mask).as("n_words"),
+          shiftright(col("__p"), 21).bitwiseAND(mask).as("n_syll"),
+          col("__p").bitwiseAND(mask).as("n_mono"))
+        .filter(col("n_words") > 0)
+        .select(col("doc_id"), col("n_words"), col("n_syll"), col("n_mono"),
+          (lit(20000L) - call_function("div",
+            lit(15000L) * col("n_mono"), col("n_words"))).as("forcast_e3"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH w AS (SELECT doc_id,
+  list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws FROM documents),
+c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+  CAST(list_sum(list_transform(ws,
+    x -> len(regexp_extract_all(x, '[aeiouy]+')))) AS BIGINT) AS n_syll,
+  CAST(len(list_filter(ws,
+    x -> len(regexp_extract_all(x, '[aeiouy]+')) = 1)) AS BIGINT) AS n_mono
+  FROM w)
+SELECT doc_id, n_words, n_syll, n_mono,
+  CAST(20000 - (15000 * n_mono) // n_words AS BIGINT) AS forcast_e3
+FROM c WHERE n_words > 0 ORDER BY doc_id""")),
+
+    ("q275_changepoint", (s, d) =>
+      // WHERE did the level shift? single-level binary segmentation over
+      // the per-type daily event series: argmax of the exact floor-scaled
+      // variance-reduction objective, smallest-day tie-break — the split
+      // localizer CUSUM's q160 drift flag hands off to
+      graft.operators.TemporalOps.changepointSplit(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c")),
+        "event_type", "day", "c"),
+      Some("""WITH dly AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+  CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+w AS (SELECT et, day, c,
+  CAST(SUM(c) OVER (PARTITION BY et ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cl,
+  CAST(ROW_NUMBER() OVER (PARTITION BY et ORDER BY day) AS BIGINT) AS t,
+  CAST(SUM(c) OVER (PARTITION BY et) AS BIGINT) AS s,
+  CAST(COUNT(*) OVER (PARTITION BY et) AS BIGINT) AS n FROM dly),
+sc AS (SELECT et, day, t, n, cl, s,
+  (cl * cl * 1000) // t + ((s - cl) * (s - cl) * 1000) // (n - t) AS score
+  FROM w WHERE t < n),
+bs AS (SELECT et, day, t, n, cl, s, score,
+  ROW_NUMBER() OVER (PARTITION BY et ORDER BY score DESC, t) AS rk FROM sc)
+SELECT et AS event_type, day AS split_t, n,
+  CAST(score - (s * s * 1000) // n AS BIGINT) AS gain_e3,
+  CAST((cl * 1000) // t AS BIGINT) AS mean_left_e3,
+  CAST(((s - cl) * 1000) // (n - t) AS BIGINT) AS mean_right_e3
+FROM bs WHERE rk = 1 ORDER BY event_type""")),
+
+    ("q276_cohens_kappa", (s, d) =>
+      // inter-annotator agreement between the n-gram lang-id prediction
+      // (q26's operator) and the labeled lang column: chance-corrected
+      // kappa as one exact integer rational; the oracle wraps the SAME
+      // generated lang-id SQL so rater A can never drift from the engine
+      graft.operators.QualityOps.cohensKappa(
+        Tables.documents(s, d)
+          .select(graft.operators.TextOps.langId(col("text")).as("pred"),
+            col("lang")),
+        "pred", "lang"),
+      Some(s"""WITH pl AS ($langIdSql),
+ct AS (SELECT pred_lang AS a, labeled_lang AS b, CAST(count(*) AS BIGINT) AS c
+  FROM pl GROUP BY 1, 2),
+tt AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree FROM ct),
+sr AS (SELECT CAST(COALESCE(SUM(ra.na * cb.nb), 0) AS BIGINT) AS src FROM
+  (SELECT a, SUM(c) AS na FROM ct GROUP BY 1) ra JOIN
+  (SELECT b, SUM(c) AS nb FROM ct GROUP BY 1) cb ON ra.a = cb.b)
+SELECT n, agree,
+  CAST((1000000 * agree) // n AS BIGINT) AS po_e6,
+  CAST((1000000 * src) // (n * n) AS BIGINT) AS pe_e6,
+  CAST(CASE WHEN n * n = src THEN 1000000
+    ELSE (1000000 * (n * agree - src)) // (n * n - src) END AS BIGINT)
+    AS kappa_e6
+FROM tt CROSS JOIN sr""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus

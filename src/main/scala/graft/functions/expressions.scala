@@ -271,6 +271,49 @@ object TextCodec {
     sum % 10 == 0
   }
 
+  /** Packed per-document syllable statistics over space-delimited
+    * lowercase text: words = non-empty tokens, syllables = maximal
+    * `[aeiouy]` runs summed over words, monosyllables = words with
+    * exactly one run — the three counts readability formulas (FORCAST,
+    * Flesch) consume. Single left-to-right pass over the raw UTF-8
+    * bytes, no allocation; each count saturates at 2^21−1 and the
+    * triple packs as (words<<42)|(syllables<<21)|monosyllables so one
+    * codegen'd call feeds all three columns. Non-ASCII bytes are
+    * consonant-like (the contract the list-based oracle replays on a
+    * lowercase-ASCII corpus).
+    */
+  def syllablePack(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var words = 0L
+    var syll = 0L
+    var mono = 0L
+    var inWord = false
+    var inRun = false
+    var runs = 0L
+    var i = 0
+    while (i <= n) {
+      val b: Int = if (i < n) s.getByte(i) & 0xff else ' '
+      if (b == ' ') {
+        if (inWord) {
+          words += 1
+          syll += runs
+          if (runs == 1L) mono += 1
+        }
+        inWord = false
+        inRun = false
+        runs = 0L
+      } else {
+        inWord = true
+        val v = b == 'a' || b == 'e' || b == 'i' || b == 'o' || b == 'u' || b == 'y'
+        if (v && !inRun) runs += 1
+        inRun = v
+      }
+      i += 1
+    }
+    val cap = (1L << 21) - 1
+    (math.min(words, cap) << 42) | (math.min(syll, cap) << 21) | math.min(mono, cap)
+  }
+
   /** Unrestricted Damerau–Levenshtein distance (Lowrance & Wagner 1975,
     * "An extension of the string-to-string correction problem") over RAW
     * UTF-8 BYTES — the exact contract of DuckDB's `damerau_levenshtein`
@@ -401,6 +444,25 @@ case class LuhnValid(child: Expression)
     TextCodec.luhnValid(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.functions.TextCodec.luhnValid($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Packed syllable statistics ([[TextCodec.syllablePack]]) — one
+  * codegen'd pass yields (words, syllables, monosyllables) as bit
+  * fields of a single long; SQL-registered as `graft_syllable_pack`.
+  */
+case class SyllablePack(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"syllable_pack needs STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextCodec.syllablePack(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextCodec.syllablePack($s)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -485,4 +485,38 @@ object QualityOps {
       .crossJoin(broadcast(stats))
       .orderBy(col("group"))
   }
+
+  /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between two
+    * categorical raters/columns, the inter-annotator metric a labeling
+    * pipeline gates on: κ = (p_o − p_e)/(1 − p_e) with p_o = agree/n and
+    * p_e = Σ_k row_k·col_k / n², computed as ONE exact integer rational
+    * κ_e6 = ⌊1e6·(n·agree − Σrc) / (n² − Σrc)⌋ (floor per the house
+    * pmod/div pattern — κ can be negative). Output one row:
+    * (n, agree, po_e6, pe_e6, kappa_e6).
+    *
+    * Scale shape: one (a, b)-keyed count aggregation over the corpus;
+    * everything after is contingency-table sized (label vocabulary —
+    * tiny by nature): marginal sums, one inner equi-join for Σrc
+    * (absent categories contribute 0 products, so no full-outer join is
+    * needed), and single-row broadcast crosses.
+    */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val ct = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = ct.agg(sum(col("__c")).as("n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L)).as("agree"))
+    val src = ct.groupBy(col("__a")).agg(sum(col("__c")).as("__na"))
+      .join(ct.groupBy(col("__b")).agg(sum(col("__c")).as("__nb")),
+        col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("__src"))
+    val fdiv = (x: Column, y: Column) =>
+      call_function("div", x - pmod(x, y), y)
+    tot.crossJoin(broadcast(src))
+      .select(col("n"), col("agree"),
+        fdiv(lit(1000000L) * col("agree"), col("n")).as("po_e6"),
+        fdiv(lit(1000000L) * col("__src"), col("n") * col("n")).as("pe_e6"),
+        when(col("n") * col("n") === col("__src"), lit(1000000L)) // degenerate
+          .otherwise(fdiv(lit(1000000L) * (col("n") * col("agree") - col("__src")),
+            col("n") * col("n") - col("__src"))).as("kappa_e6"))
+  }
 }

@@ -563,4 +563,58 @@ object TemporalOps {
       .select(col("t"), col("r").as("n_risk"), col("d").as("n_churn"),
         col("hazard_ppm"), col("cumhaz_ppm"))
   }
+
+  /** Single-level binary-segmentation changepoint (Scott & Knott 1974 /
+    * the first step of Killick's PELT): per key, the split position t
+    * that maximizes the exact floor-scaled variance-reduction objective
+    * score(t) = ⌊ΣL²·1000/t⌋ + ⌊ΣR²·1000/(n−t)⌋ (minimizing within-
+    * segment SSE; the Σx² term is constant and cancels), smallest-t
+    * tie-break. Output per key: (key, split_t = last point of the left
+    * segment, n, gain_e3 = score − ⌊S²·1000/n⌋ ≥ 0 vs the no-split
+    * fit, mean_left_e3, mean_right_e3) — every step int64, so both
+    * engines agree bit-for-bit. Keys with fewer than 2 points have no
+    * candidate split and drop out.
+    *
+    * Scale shape: one prefix-sum window PARTITIONED ON THE KEY (series
+    * lengths are calendar-bounded by nature; work distributes across
+    * keys) and one argmax aggregation via the house max-struct with a
+    * negated-position tie-break. No self-join: every candidate split is
+    * scored from the running sum alone, so compute is linear per key.
+    * CUSUM (q160) asks IF a drift happened; this asks WHERE.
+    */
+  def changepointSplit(df: DataFrame, keyCol: String, tCol: String,
+                       vCol: String): DataFrame = {
+    val reserved = Seq("__cl", "__t", "__s", "__n", "__score", "__best")
+    require(!Seq(keyCol, tCol, vCol).exists(reserved.contains),
+      s"columns may not use the reserved names ${reserved.mkString(", ")}")
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col(tCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wKey = Window.partitionBy(col(keyCol))
+    val scored = df
+      .withColumn("__cl", sum(col(vCol)).over(wRun))
+      .withColumn("__t", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col(tCol))).cast("long"))
+      .withColumn("__s", sum(col(vCol)).over(wKey))
+      .withColumn("__n", count(lit(1)).over(wKey).cast("long"))
+      .filter(col("__t") < col("__n"))
+      .withColumn("__score",
+        call_function("div", col("__cl") * col("__cl") * 1000L, col("__t")) +
+        call_function("div",
+          (col("__s") - col("__cl")) * (col("__s") - col("__cl")) * 1000L,
+          col("__n") - col("__t")))
+    scored.groupBy(col(keyCol))
+      .agg(max(struct(col("__score"), (-col("__t")).as("__negt"),
+        col(tCol).as("__st"), col("__cl"), col("__s"), col("__n"))).as("__best"))
+      .select(col(keyCol),
+        col("__best.__st").as("split_t"),
+        col("__best.__n").as("n"),
+        (col("__best.__score") - call_function("div",
+          col("__best.__s") * col("__best.__s") * 1000L,
+          col("__best.__n"))).as("gain_e3"),
+        call_function("div", col("__best.__cl") * 1000L,
+          -col("__best.__negt")).as("mean_left_e3"),
+        call_function("div", (col("__best.__s") - col("__best.__cl")) * 1000L,
+          col("__best.__n") + col("__best.__negt")).as("mean_right_e3"))
+      .orderBy(col(keyCol))
+  }
 }

@@ -641,4 +641,48 @@ class Round9OpsSpec extends AnyFunSuite {
     val s2 = got.map(_._5).sum
     assert(s2 <= 1000000L && s2 > 990000L)
   }
+
+  test("syllablePack: word/run/mono counting, separators, empty") {
+    import graft.functions.TextCodec
+    def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def unpack(p: Long) = (p >> 42 & 0x1FFFFF, p >> 21 & 0x1FFFFF, p & 0x1FFFFF)
+    assert(unpack(TextCodec.syllablePack(u8("hello world"))) === ((2L, 3L, 1L)))
+    // vowel-less word: 0 syllables and NOT monosyllabic; y is a vowel
+    assert(unpack(TextCodec.syllablePack(u8("aa bb a"))) === ((3L, 2L, 2L)))
+    assert(unpack(TextCodec.syllablePack(u8("rhythm"))) === ((1L, 1L, 1L)))
+    // runs split by consonants: a-e-io = 3 runs in one word
+    assert(unpack(TextCodec.syllablePack(u8("catequious"))) === ((1L, 3L, 0L)))
+    assert(unpack(TextCodec.syllablePack(u8(""))) === ((0L, 0L, 0L)))
+    assert(unpack(TextCodec.syllablePack(u8("  x  "))) === ((1L, 0L, 0L)))
+  }
+
+  test("changepointSplit: hand argmax, smallest-t tie, <2-point drop") {
+    import graft.operators.TemporalOps
+    val df = Seq(
+      ("A", 1L, 0L), ("A", 2L, 0L), ("A", 3L, 10L), ("A", 4L, 10L),
+      ("B", 1L, 5L), ("B", 2L, 5L), ("B", 3L, 5L),
+      ("C", 9L, 7L)) // single point: no candidate split
+      .toDF("k", "t", "v")
+    val got = TemporalOps.changepointSplit(df, "k", "t", "v")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // A: split after t=2 -> score 0 + 400000/2 = 200000, gain 100000
+    // B: constant -> all splits tie at 75000, smallest t wins, gain 0
+    assert(got === Seq(
+      ("A", 2L, 4L, 100000L, 0L, 10000L),
+      ("B", 1L, 3L, 0L, 5000L, 5000L)))
+  }
+
+  test("cohensKappa: textbook contingency table, degenerate guard") {
+    import graft.operators.QualityOps
+    val rows = Seq.fill(20)(("x", "x")) ++ Seq.fill(15)(("y", "y")) ++
+      Seq.fill(5)(("x", "y")) ++ Seq.fill(10)(("y", "x"))
+    val got = QualityOps.cohensKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // n=50 agree=35 src=25*30+25*20=1250 -> po .7 pe .5 kappa .4
+    assert(got === ((50L, 35L, 700000L, 500000L, 400000L)))
+    val deg = QualityOps.cohensKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(deg === ((2L, 2L, 1000000L, 1000000L, 1000000L)))
+  }
 }
