@@ -7037,6 +7037,38 @@ SELECT n, agree,
     ELSE (1000000 * (n * agree - src)) // (n * n - src) END AS BIGINT)
     AS kappa_e6
 FROM tt CROSS JOIN sr""")),
+
+    ("q277_offpolicy_value", (s, d) =>
+      // doubly-robust off-policy evaluation (Dudik et al. 2011) of the
+      // self-derived greedy policy over user-bucket contexts: logged
+      // mean vs IPW vs DR, exact milli-cent floors end to end — the
+      // estimator pair q177's uniform-logger replay can't provide
+      graft.operators.PolicyOps.offPolicyValue(
+        Tables.events(s, d).withColumn("ctx", col("user_id") % 3),
+        "ctx", "event_type", (d2(col("value")) * 100).cast(LongType)),
+      Some("""WITH le AS (SELECT user_id % 3 AS ctx, event_type AS arm,
+  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS r FROM events),
+cn AS (SELECT ctx, CAST(count(*) AS BIGINT) AS n FROM le GROUP BY 1),
+ca AS (SELECT ctx, arm, CAST(count(*) AS BIGINT) AS na,
+  CAST(SUM(r) AS BIGINT) AS sr FROM le GROUP BY 1, 2),
+cb AS (SELECT ca.ctx, ca.arm, ca.na, ca.sr, cn.n,
+  (1000000 * ca.na) // cn.n AS p_ppm,
+  (1000 * ca.sr) // ca.na AS m_e3
+  FROM ca JOIN cn ON ca.ctx = cn.ctx),
+best AS (SELECT ctx, arm AS ba, p_ppm AS pb, m_e3 AS mb, n FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY ctx ORDER BY m_e3 DESC, arm) AS rk
+   FROM cb) WHERE rk = 1),
+lg AS (SELECT ctx, (1000 * SUM(sr)) // MAX(n) AS v_logged_e3 FROM cb GROUP BY 1),
+ag AS (SELECT le.ctx,
+  CAST(SUM((le.r * 1000000) // b.pb) AS BIGINT) AS sipw,
+  CAST(SUM(((le.r * 1000 - b.mb) * 1000000) // b.pb) AS BIGINT) AS sdr
+  FROM le JOIN best b ON le.ctx = b.ctx AND le.arm = b.ba GROUP BY 1)
+SELECT b.ctx AS context, b.n, b.ba AS best_arm, b.pb AS p_best_ppm,
+  CAST(lg.v_logged_e3 AS BIGINT) AS v_logged_e3,
+  CAST((1000 * ag.sipw) // b.n AS BIGINT) AS v_ipw_e3,
+  CAST(b.mb + ag.sdr // b.n AS BIGINT) AS v_dr_e3
+FROM best b JOIN ag ON b.ctx = ag.ctx JOIN lg ON b.ctx = lg.ctx
+ORDER BY context""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus

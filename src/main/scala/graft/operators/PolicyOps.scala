@@ -171,4 +171,65 @@ object PolicyOps {
     }.toDF("channel", "conv_ppm", "removal_ppm", "effect_ppm", "attr_ppm")
       .orderBy(col("channel"))
   }
+
+  /** Off-policy value estimation battery (Dudík, Langford & Li 2011,
+    * "Doubly Robust Policy Evaluation"): from a log of
+    * (context, arm, reward), evaluate the self-derived GREEDY target
+    * policy (per context, the arm with the highest exact-scaled mean
+    * logged reward, arm-name tie-break) three ways —
+    * v_logged (the behavior policy's own mean), v_ipw (inverse
+    * propensity: matched rewards re-weighted by 1/p̂(arm|ctx)), and
+    * v_dr (doubly robust: model mean m̂(ctx, best) plus the
+    * propensity-weighted residual). All milli-cent integers with
+    * per-row TRUNCATING divisions (Spark `div` and DuckDB `//` both
+    * truncate toward zero — the house Theil-Sen note), so any engine
+    * replays the estimate bit-for-bit. Complements
+    * [[replayEvaluate]], which needs a uniform logger — IPW/DR correct
+    * for the logger's actual arm distribution.
+    *
+    * Output per context: (context, n, best_arm, p_best_ppm,
+    * v_logged_e3, v_ipw_e3, v_dr_e3), ordered by context.
+    *
+    * Scale shape: two (ctx[, arm])-keyed aggregations over the log, a
+    * per-ctx argmax window PARTITIONED on the context (arms per ctx are
+    * enum-sized), one equi-join of the log against the ctx-sized best
+    * table, one final aggregation. Nothing global, nothing collected.
+    */
+  def offPolicyValue(df: DataFrame, ctxCol: String, armCol: String,
+                     rewardCents: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val le = df.select(col(ctxCol).as("__ctx"), col(armCol).as("__arm"),
+      rewardCents.cast("long").as("__r"))
+    val cn = le.groupBy(col("__ctx")).agg(count(lit(1)).as("__n"))
+    val ca = le.groupBy(col("__ctx"), col("__arm"))
+      .agg(count(lit(1)).as("__na"), sum(col("__r")).as("__sr"))
+      .join(cn, Seq("__ctx"))
+      .withColumn("__p_ppm",
+        call_function("div", lit(1000000L) * col("__na"), col("__n")))
+      .withColumn("__m_e3", call_function("div", lit(1000L) * col("__sr"), col("__na")))
+    val wB = Window.partitionBy(col("__ctx"))
+      .orderBy(col("__m_e3").desc, col("__arm"))
+    val best = ca.withColumn("__rk", row_number().over(wB))
+      .filter(col("__rk") === 1)
+      .select(col("__ctx").as("__bctx"), col("__arm").as("__ba"),
+        col("__p_ppm").as("__pb"), col("__m_e3").as("__mb"), col("__n"))
+    val lg = ca.groupBy(col("__ctx"))
+      .agg(call_function("div", lit(1000L) * sum(col("__sr")), max(col("__n"))).as("v_logged_e3"))
+    val ag = le.join(best,
+        col("__ctx") === col("__bctx") && col("__arm") === col("__ba"))
+      .select(col("__ctx"),
+        call_function("div", col("__r") * 1000000L, col("__pb")).as("__ipw_c"),
+        call_function("div",
+          (col("__r") * 1000L - col("__mb")) * 1000000L, col("__pb")).as("__dr_c"))
+      .groupBy(col("__ctx"))
+      .agg(sum(col("__ipw_c")).as("__sipw"), sum(col("__dr_c")).as("__sdr"))
+    best.join(ag, col("__bctx") === ag("__ctx"))
+      .join(lg, col("__bctx") === lg("__ctx"))
+      .select(col("__bctx").as("context"), col("__n").as("n"),
+        col("__ba").as("best_arm"), col("__pb").as("p_best_ppm"),
+        col("v_logged_e3"),
+        call_function("div", lit(1000L) * col("__sipw"), col("__n")).as("v_ipw_e3"),
+        (col("__mb") + call_function("div", col("__sdr"), col("__n"))).as("v_dr_e3"))
+      .orderBy(col("context"))
+  }
 }

@@ -685,4 +685,22 @@ class Round9OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().head
     assert(deg === ((2L, 2L, 1000000L, 1000000L, 1000000L)))
   }
+
+  test("offPolicyValue: hand IPW/DR, truncating negative residuals") {
+    import graft.operators.PolicyOps
+    // ctx 0: x{100,200} y{50,70} -> best x (m=150000 milli-cents, p=.5);
+    //   ipw terms 200,400 -> 150000; dr residuals -100000/+100000 -> 150000
+    // ctx 1: x{300} y{900,1000,1400} -> best y (m=1100000, p=.75);
+    //   ipw 1200+1333+1866=4399 -> 1099750; dr -266666-133333+400000=+1
+    //   (asymmetric TRUNCATION toward zero) -> 1//4=0 -> 1100000
+    val log = Seq(
+      (0L, "x", 100L), (0L, "x", 200L), (0L, "y", 50L), (0L, "y", 70L),
+      (1L, "x", 300L), (1L, "y", 900L), (1L, "y", 1000L), (1L, "y", 1400L))
+      .toDF("ctx", "arm", "r")
+    val got = PolicyOps.offPolicyValue(log, "ctx", "arm", col("r"))
+      .as[(Long, Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 4L, "x", 500000L, 105000L, 150000L, 150000L),
+      (1L, 4L, "y", 750000L, 900000L, 1099750L, 1100000L)))
+  }
 }
