@@ -7069,6 +7069,28 @@ SELECT b.ctx AS context, b.n, b.ba AS best_arm, b.pb AS p_best_ppm,
   CAST(b.mb + ag.sdr // b.n AS BIGINT) AS v_dr_e3
 FROM best b JOIN ag ON b.ctx = ag.ctx JOIN lg ON b.ctx = lg.ctx
 ORDER BY context""")),
+
+    ("q278_interleave_schedule", (s, d) =>
+      // curriculum data ordering: longest-first rank within source, then
+      // a deterministic round-robin across sources (no source streams
+      // twice in a row; exhausted sources drop out) — positions come
+      // from the closed form over driver-bounded group counts, map-side;
+      // the oracle recomputes them by the groups cross product
+      graft.operators.SamplingOps.interleaveSchedule(
+        Tables.documents(s, d), "source", "doc_id",
+        Seq(col("n_chars").desc, col("doc_id"))),
+      Some("""WITH d AS (SELECT doc_id, source,
+  CAST(ROW_NUMBER() OVER (PARTITION BY source
+    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r FROM documents),
+c AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1)
+SELECT CAST(SUM(LEAST(c.n, d.r - 1)) +
+  SUM(CASE WHEN c.g < d.source AND c.n >= d.r THEN 1 ELSE 0 END) + 1
+    AS BIGINT) AS position,
+  d.doc_id, d.source, d.r AS round
+FROM d CROSS JOIN c
+GROUP BY d.doc_id, d.source, d.r
+ORDER BY position""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus

@@ -330,4 +330,48 @@ object SamplingOps {
       .withColumn("pos", row_number().over(w).cast(LongType))
       .drop("__h")
   }
+
+  /** Deterministic round-robin interleave schedule across groups — the
+    * curriculum/data-ordering step after mixing weights are chosen: rank
+    * docs within each group by `rankOrder`, then emit the global
+    * position that cycles group-by-group (round 1 takes every group's
+    * rank-1 doc in group-name order, round 2 the rank-2 docs of groups
+    * that still have one, ...), so no source ever streams twice in a
+    * row and exhausted groups drop out of later rounds. Exact closed
+    * form — position(g, r) = Σ_{g'} min(n_{g'}, r−1)  +
+    * |{g' < g : n_{g'} ≥ r}| + 1 — so the schedule is a permutation of
+    * 1..N both engines agree on.
+    *
+    * Scale shape: ONE group-partitioned rank window; the per-group
+    * counts (groups are enum-sized — ≤ 256 enforced) collect as
+    * driver-bounded metadata in the RangePrefix tradition and unfold
+    * into a 2·|groups|-term codegen expression, so positions are
+    * MAP-SIDE — no self-join, no rounds relation, no corpus-times-
+    * groups expansion. Output: (position, id, group, round).
+    */
+  def interleaveSchedule(df: DataFrame, groupCol: String, idCol: String,
+                         rankOrder: Seq[Column]): DataFrame = {
+    require(!df.columns.contains("__r"),
+      "interleaveSchedule: input must not contain reserved column __r")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(rankOrder: _*)
+    // rank BEFORE projecting: rankOrder may reference columns beyond
+    // (id, group); Catalyst prunes the rest below the window anyway
+    val ranked = df
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .select(col(idCol), col(groupCol), col("__r"))
+    val counts = ranked.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1)
+    require(counts.length <= 256,
+      s"interleaveSchedule: groups are enum-sized by contract, got ${counts.length}")
+    val offset = counts.map { case (_, n) =>
+      least(lit(n), col("__r") - 1L)
+    }.reduce(_ + _)
+    val within = counts.map { case (g, n) =>
+      when(lit(g) < col(groupCol) && col("__r") <= lit(n), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    ranked.select((offset + within + 1L).as("position"), col(idCol),
+        col(groupCol), col("__r").as("round"))
+      .orderBy(col("position"))
+  }
 }

@@ -703,4 +703,18 @@ class Round9OpsSpec extends AnyFunSuite {
       (0L, 4L, "x", 500000L, 105000L, 150000L, 150000L),
       (1L, 4L, "y", 750000L, 900000L, 1099750L, 1100000L)))
   }
+
+  test("interleaveSchedule: round-robin with dropout is a permutation") {
+    import graft.operators.SamplingOps
+    // A{a1,a2,a3} B{b1} C{c1,c2} by id order ->
+    // round 1: a1,b1,c1; round 2: a2,c2 (B exhausted); round 3: a3
+    val docs = Seq(("a1", "A"), ("a2", "A"), ("a3", "A"), ("b1", "B"),
+      ("c1", "C"), ("c2", "C")).toDF("id", "g")
+    val got = SamplingOps.interleaveSchedule(docs, "g", "id", Seq(col("id")))
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a1", "A", 1L), (2L, "b1", "B", 1L), (3L, "c1", "C", 1L),
+      (4L, "a2", "A", 2L), (5L, "c2", "C", 2L), (6L, "a3", "A", 3L)))
+    assert(got.map(_._1) === (1L to 6L))
+  }
 }
