@@ -7091,6 +7091,24 @@ SELECT CAST(SUM(LEAST(c.n, d.r - 1)) +
 FROM d CROSS JOIN c
 GROUP BY d.doc_id, d.source, d.r
 ORDER BY position""")),
+
+    ("q279_kcenter_coreset", (s, d) =>
+      // diversity coreset: Gonzalez farthest-first over the embeddings,
+      // k=6 centers — the maximally-spread subset sampler (2-approx
+      // k-center); selection radii are non-increasing by construction
+      // and the oracle replays the identical integer traversal
+      graft.operators.SimilarityOps.kCenterGreedy(
+        Tables.embeddings(s, d), "vec_id", "embedding", 6),
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id AS vid,
+  list_transform(CAST(embedding AS DOUBLE[]),
+    x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS xs FROM embeddings),
+${kcenterRoundsSql(6)}
+SELECT round, c_id, sep_kibi FROM (
+SELECT 1 AS round, c_id, CAST(0 AS BIGINT) AS sep_kibi FROM p1
+${(2 to 6).map(r =>
+        s"UNION ALL SELECT $r, c_id, CAST(sep // 1024 AS BIGINT) FROM p$r")
+        .mkString("\n")}
+) ORDER BY round""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
@@ -7232,6 +7250,33 @@ c${s}_$r AS (SELECT cell AS c_id,
   FROM m${s}_$r GROUP BY 1)"""
     }
     (base +: rnds).mkString(",\n")
+  }
+
+  /** The q279 oracle's unrolled farthest-first traversal: p1 = smallest
+    * vid; per round r ≥ 2, m{r−1} carries each point's min-d² to the
+    * chosen set and p{r} picks its argmax (md DESC, vid ASC — the exact
+    * max-struct twin of
+    * [[graft.operators.SimilarityOps.kCenterGreedy]]). MATERIALIZED for
+    * the same planner reason as [[markovChainSql]].
+    */
+  private def kcenterRoundsSql(k: Int): String = {
+    val d2 = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, 65), i ->
+      ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))),
+    (acc, x) -> acc + x)"""
+    val head = s"""p1 AS MATERIALIZED (SELECT vid AS c_id, xs AS cxs FROM e ORDER BY vid LIMIT 1),
+m1 AS MATERIALIZED (SELECT e.vid, e.xs, ${d2("e.xs", "p.cxs")} AS md
+  FROM e CROSS JOIN p1 p)"""
+    val rnds = (2 to k).map { r =>
+      val pick = s"""p$r AS MATERIALIZED (SELECT vid AS c_id, xs AS cxs, md AS sep
+  FROM m${r - 1} ORDER BY md DESC, vid LIMIT 1)"""
+      if (r == k) pick
+      else pick + s""",
+m$r AS MATERIALIZED (SELECT m.vid, m.xs, LEAST(m.md, ${d2("m.xs", "p.cxs")}) AS md
+  FROM m${r - 1} m CROSS JOIN p$r p)"""
+    }
+    (head +: rnds).mkString(",\n")
   }
 
   /** `iters` unrolled personalized-PageRank rounds r1..r{iters} over edge

@@ -514,6 +514,56 @@ object SimilarityOps {
       .orderBy(col("sub"), col("c_id"))
   }
 
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-first traversal,
+    * the 2-approximation): start from the smallest id, then k−1 rounds
+    * of "add the point farthest from the chosen set" — the diversity
+    * sampler that picks a maximally-spread representative subset of an
+    * embedding corpus (coverage guarantee: every point is within the
+    * last selection radius of some center). Deterministic and
+    * integer-exact: 2^20 fixed-point d², smallest-id tie-break, so the
+    * traversal is bit-identical on any engine. Output per round:
+    * (round, c_id, sep_kibi = the selected point's min-d² to the prior
+    * centers, /1024 — monotonically non-increasing by construction).
+    *
+    * Scale shape: the classic distributed Gonzalez — a per-point
+    * min-distance column updated by ONE broadcast center per round
+    * (map-side least()), one max-struct argmax aggregation per round,
+    * k ≤ 64 rounds, re-checkpointed so lineage never compounds. No
+    * pairwise joins anywhere.
+    */
+  def kCenterGreedy(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"need 2..64 centers, got $k")
+    val base = emb.select(col(idCol).as("vid"),
+        transform(asDouble(col(vecCol)),
+          x => floor(x * 1048576.0).cast("long")).as("xs"))
+      .localCheckpoint(false)
+    val d2c = aggregate(zip_with(col("xs"), col("cxs"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val first = base.orderBy(col("vid")).limit(1)
+      .select(col("vid").as("c_id"), col("xs").as("cxs"))
+    var picks = Seq(first.select(lit(1L).as("round"), col("c_id"),
+      lit(0L).as("sep_kibi")))
+    var md = base.crossJoin(broadcast(first.select(col("cxs"))))
+      .select(col("vid"), col("xs"), d2c.as("__md"))
+      .localCheckpoint(false)
+    for (r <- 2 to k) {
+      val nxt = md.agg(max(struct(col("__md"), (-col("vid")).as("__nv"))).as("__b"))
+        .select((-col("__b.__nv")).as("c_id"), col("__b.__md").as("__sep"))
+      val nxtFull = md.join(broadcast(nxt), col("vid") === col("c_id"))
+        .select(col("c_id"), col("xs").as("cxs"), col("__sep"))
+        .localCheckpoint(false) // one row
+      picks = picks :+ nxtFull.select(lit(r.toLong).as("round"), col("c_id"),
+        call_function("div", col("__sep"), lit(1024L)).as("sep_kibi"))
+      md = md.crossJoin(broadcast(nxtFull.select(col("cxs"))))
+        .select(col("vid"), col("xs"), least(col("__md"), d2c).as("__md"))
+        .localCheckpoint(false)
+    }
+    picks.reduce(_ unionByName _)
+      .select(col("round"), col("c_id"), col("sep_kibi"))
+      .orderBy(col("round"))
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, nCentroids: Int = 16): DataFrame = {
     val base = emb.withColumn("__is_q", queryPred)

@@ -717,4 +717,18 @@ class Round9OpsSpec extends AnyFunSuite {
       (4L, "a2", "A", 2L), (5L, "c2", "C", 2L), (6L, "a3", "A", 3L)))
     assert(got.map(_._1) === (1L to 6L))
   }
+
+  test("kCenterGreedy: hand 1-D traversal, non-increasing radii") {
+    import graft.operators.SimilarityOps
+    // line points 0, .001, .5, 1 -> start id1; farthest id4; then id3
+    val emb = Seq((1L, Seq(0.0f)), (2L, Seq(0.001f)), (3L, Seq(0.5f)),
+      (4L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.kCenterGreedy(emb, "vec_id", "embedding", 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 0L),
+      (2L, 4L, 1048576L * 1048576L / 1024L),
+      (3L, 3L, 524288L * 524288L / 1024L)))
+    assert(got.map(_._3).drop(1) === got.map(_._3).drop(1).sorted.reverse)
+  }
 }
