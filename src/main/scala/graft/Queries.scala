@@ -7109,6 +7109,46 @@ ${(2 to 6).map(r =>
         s"UNION ALL SELECT $r, c_id, CAST(sep // 1024 AS BIGINT) FROM p$r")
         .mkString("\n")}
 ) ORDER BY round""")),
+
+    ("q280_bcubed_audit", (s, d) => {
+      // B-cubed precision/recall of the simhash dedup COMPONENTS (the
+      // q44 clustering, read from the materialized artifact) against the
+      // exact-duplicate gold partition — the item-level cluster-quality
+      // score that tells a curation pipeline whether its near-dup
+      // threshold over- or under-merges; complements q151's pair-level
+      // recall/precision audit
+      val docs = Tables.documents(s, d)
+      val sys = graft.operators.DedupOps.nearDupGroups(
+        docs.select(col("doc_id")), "doc_id",
+        graft.operators.DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d)))
+      val gold = docs.select(col("doc_id"),
+        min(col("doc_id")).over(
+          Window.partitionBy(col("text"))).as("gid"))
+      graft.operators.QualityOps.bcubedClusterAudit(
+        sys, "id", "canonical_id", gold, "doc_id", "gid")
+    },
+      Some(s"""WITH RECURSIVE ${nearDupGroupsCtes(3)},
+sys AS (SELECT id, canonical_id AS cid FROM grp),
+gold AS (SELECT doc_id AS id,
+  MIN(doc_id) OVER (PARTITION BY md5(text)) AS gid FROM documents),
+cell AS (SELECT s.cid, g.gid, CAST(count(*) AS BIGINT) AS ncg
+  FROM sys s JOIN gold g ON s.id = g.id GROUP BY 1, 2),
+cs AS (SELECT cid, CAST(SUM(ncg) AS BIGINT) AS nc FROM cell GROUP BY 1),
+gs AS (SELECT gid, CAST(SUM(ncg) AS BIGINT) AS ng FROM cell GROUP BY 1),
+tp AS (SELECT
+  CAST(SUM((1000000 * cell.ncg * cell.ncg) // cs.nc) AS BIGINT) AS sp,
+  CAST(SUM((1000000 * cell.ncg * cell.ncg) // gs.ng) AS BIGINT) AS sr,
+  CAST(SUM(cell.ncg) AS BIGINT) AS n,
+  CAST(count(DISTINCT cell.cid) AS BIGINT) AS n_sys_clusters,
+  CAST(count(DISTINCT cell.gid) AS BIGINT) AS n_gold_clusters
+  FROM cell JOIN cs ON cell.cid = cs.cid JOIN gs ON cell.gid = gs.gid)
+SELECT n, n_sys_clusters, n_gold_clusters,
+  CAST(sp // n AS BIGINT) AS bcubed_prec_ppm,
+  CAST(sr // n AS BIGINT) AS bcubed_rec_ppm,
+  CAST(CASE WHEN sp // n + sr // n > 0
+    THEN (2 * (sp // n) * (sr // n)) // (sp // n + sr // n)
+    ELSE 0 END AS BIGINT) AS bcubed_f1_ppm
+FROM tp""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus

@@ -500,6 +500,48 @@ object QualityOps {
     * (absent categories contribute 0 products, so no full-outer join is
     * needed), and single-row broadcast crosses.
     */
+  /** B-cubed clustering-quality audit (Bagga & Baldwin 1998): item-level
+    * precision/recall of a SYSTEM clustering against a GOLD one —
+    * precision(i) = |C(i)∩G(i)|/|C(i)|, recall(i) = |C(i)∩G(i)|/|G(i)|,
+    * both averaged over items. Unlike pair-counting (Rand), B³ rewards
+    * each item's own cluster purity/completeness, the standard metric
+    * for dedup/coref cluster evaluation. Exact integers: per-(C, G)
+    * cell, Σ_i over the cell collapses to n_cg²/n_c (resp. /n_g),
+    * floored at ppm per cell, then the item-average floors once more.
+    * Output one row: (n, n_sys_clusters, n_gold_clusters,
+    * bcubed_prec_ppm, bcubed_rec_ppm, bcubed_f1_ppm).
+    *
+    * Scale shape: one equi-join of the two assignment relations on the
+    * item id, one (cid, gid)-keyed cell count, two cluster-size
+    * aggregations joined back cell-wise, one single-row reduce. Cell
+    * count ≤ min(#sys, #gold) clusters × overlap — never item-pairs.
+    */
+  def bcubedClusterAudit(sys: DataFrame, idCol: String, sysCol: String,
+                         gold: DataFrame, goldIdCol: String,
+                         goldCol: String): DataFrame = {
+    val cell = sys.select(col(idCol).as("__id"), col(sysCol).as("__c"))
+      .join(gold.select(col(goldIdCol).as("__id"), col(goldCol).as("__g")),
+        Seq("__id"))
+      .groupBy(col("__c"), col("__g")).agg(count(lit(1)).as("__ncg"))
+    val cs = cell.groupBy(col("__c")).agg(sum(col("__ncg")).as("__nc"))
+    val gs = cell.groupBy(col("__g")).agg(sum(col("__ncg")).as("__ng"))
+    val tp = cell.join(cs, Seq("__c")).join(gs, Seq("__g"))
+      .agg(
+        sum(call_function("div",
+          lit(1000000L) * col("__ncg") * col("__ncg"), col("__nc"))).as("__sp"),
+        sum(call_function("div",
+          lit(1000000L) * col("__ncg") * col("__ncg"), col("__ng"))).as("__sr"),
+        sum(col("__ncg")).as("n"),
+        countDistinct(col("__c")).as("n_sys_clusters"),
+        countDistinct(col("__g")).as("n_gold_clusters"))
+    val p = call_function("div", col("__sp"), col("n"))
+    val r = call_function("div", col("__sr"), col("n"))
+    tp.select(col("n"), col("n_sys_clusters"), col("n_gold_clusters"),
+      p.as("bcubed_prec_ppm"), r.as("bcubed_rec_ppm"),
+      when(p + r > 0L, call_function("div", lit(2L) * p * r, p + r))
+        .otherwise(lit(0L)).as("bcubed_f1_ppm"))
+  }
+
   def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val ct = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__c"))

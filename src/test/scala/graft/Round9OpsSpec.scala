@@ -731,4 +731,19 @@ class Round9OpsSpec extends AnyFunSuite {
       (3L, 3L, 524288L * 524288L / 1024L)))
     assert(got.map(_._3).drop(1) === got.map(_._3).drop(1).sorted.reverse)
   }
+
+  test("bcubedClusterAudit: hand cells, perfect-match identity") {
+    import graft.operators.QualityOps
+    // sys {1,2}{3} vs gold {1}{2,3}: every item 1/2 pure except the
+    // singletons -> prec = rec = f1 = 2/3
+    val sys = Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("id", "c")
+    val gold = Seq((1L, "X"), (2L, "Y"), (3L, "Y")).toDF("id", "g")
+    val got = QualityOps.bcubedClusterAudit(sys, "id", "c", gold, "id", "g")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got === ((3L, 2L, 2L, 666666L, 666666L, 666666L)))
+    // identical clusterings -> exactly 1.0 everywhere
+    val same = QualityOps.bcubedClusterAudit(sys, "id", "c", sys, "id", "c")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(same === ((3L, 2L, 2L, 1000000L, 1000000L, 1000000L)))
+  }
 }
