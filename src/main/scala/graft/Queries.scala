@@ -7149,6 +7149,57 @@ SELECT n, n_sys_clusters, n_gold_clusters,
     THEN (2 * (sp // n) * (sr // n)) // (sp // n + sr // n)
     ELSE 0 END AS BIGINT) AS bcubed_f1_ppm
 FROM tp""")),
+
+    ("q281_voptimal_histogram", (s, d) =>
+      // the selectivity-estimation histogram done right: 4-bucket
+      // v-optimal partition of the 110-band acctbal frequency vector by
+      // exact integer DP (min total within-bucket SSE, smallest-split
+      // ties); the oracle unrolls the identical DP layers over the same
+      // prefix sums
+      graft.operators.SketchOps.vOptimalHistogram(
+        Tables.customer(s, d).select(
+          call_function("div",
+            (d2(col("c_acctbal")) * 100).cast(LongType) + 100000L,
+            lit(10000L)).as("band")),
+        "band", 4),
+      Some(s"""WITH j AS (SELECT (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+    + 100000) // 10000 AS band FROM customer),
+h AS MATERIALIZED (SELECT band, CAST(count(*) AS BIGINT) AS f FROM j GROUP BY 1),
+pre AS MATERIALIZED (SELECT band, f,
+  CAST(ROW_NUMBER() OVER (ORDER BY band) AS BIGINT) AS i,
+  CAST(SUM(f) OVER (ORDER BY band) AS BIGINT) AS sf,
+  CAST(SUM(f * f) OVER (ORDER BY band) AS BIGINT) AS ss FROM h),
+pp AS MATERIALIZED (SELECT i, sf, ss FROM pre
+  UNION ALL SELECT 0, 0, 0),
+sse AS MATERIALIZED (SELECT a.i AS l, b.i AS r,
+  (b.ss - a.ss) * 1000 - ((b.sf - a.sf) * (b.sf - a.sf) * 1000) // (b.i - a.i)
+    AS c
+  FROM pp a JOIN pp b ON a.i < b.i),
+d1 AS MATERIALIZED (SELECT r AS i, c AS cost FROM sse WHERE l = 0),
+${(2 to 4).map(b => s"""d$b AS MATERIALIZED (SELECT i, cost, j FROM (
+  SELECT s.r AS i, d.cost + s.c AS cost, s.l AS j,
+    ROW_NUMBER() OVER (PARTITION BY s.r ORDER BY d.cost + s.c, s.l) AS rk
+  FROM d${b - 1} d JOIN sse s ON s.l = d.i) WHERE rk = 1)""").mkString(",\n")},
+bt AS MATERIALIZED (SELECT r4,
+  (SELECT j FROM d4 WHERE i = x.r4) AS r3 FROM
+  (SELECT (SELECT MAX(i) FROM pre) AS r4) x),
+bt2 AS MATERIALIZED (SELECT r4, r3,
+  (SELECT j FROM d3 WHERE i = bt.r3) AS r2 FROM bt),
+bt1 AS MATERIALIZED (SELECT r4, r3, r2,
+  (SELECT j FROM d2 WHERE i = bt2.r2) AS r1 FROM bt2),
+seg AS (SELECT 1 AS bucket, 1 AS l, r1 AS r FROM bt1
+  UNION ALL SELECT 2, r1 + 1, r2 FROM bt1
+  UNION ALL SELECT 3, r2 + 1, r3 FROM bt1
+  UNION ALL SELECT 4, r3 + 1, r4 FROM bt1)
+SELECT CAST(seg.bucket AS BIGINT) AS bucket,
+  (SELECT band FROM pre WHERE i = seg.l) AS band_lo,
+  (SELECT band FROM pre WHERE i = seg.r) AS band_hi,
+  CAST(seg.r - seg.l + 1 AS BIGINT) AS n_bands,
+  CAST((SELECT sf FROM pp WHERE i = seg.r)
+    - (SELECT sf FROM pp WHERE i = seg.l - 1) AS BIGINT) AS n_rows,
+  CAST((SELECT c FROM sse WHERE l = seg.l - 1 AND r = seg.r) AS BIGINT)
+    AS sse_e3
+FROM seg ORDER BY bucket""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus

@@ -746,4 +746,17 @@ class Round9OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Long)].collect().head
     assert(same === ((3L, 2L, 2L, 1000000L, 1000000L, 1000000L)))
   }
+
+  test("vOptimalHistogram: hand DP over frequencies [10,10,1,1,9,9]") {
+    import graft.operators.SketchOps
+    // enumerated splits: after band 2 -> 0 + 64000 (best); after 3 ->
+    // 54000 + 42667; after 4 -> 81000 + 0
+    val rows = Seq.fill(10)(1L) ++ Seq.fill(10)(2L) ++ Seq(3L, 4L) ++
+      Seq.fill(9)(5L) ++ Seq.fill(9)(6L)
+    val got = SketchOps.vOptimalHistogram(rows.toDF("band"), "band", 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 2L, 2L, 20L, 0L),
+      (2L, 3L, 6L, 4L, 20L, 64000L)))
+  }
 }
