@@ -7104,7 +7104,7 @@ ORDER BY position""")),
     x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS xs FROM embeddings),
 ${kcenterRoundsSql(6)}
 SELECT round, c_id, sep_kibi FROM (
-SELECT 1 AS round, c_id, CAST(0 AS BIGINT) AS sep_kibi FROM p1
+SELECT CAST(1 AS BIGINT) AS round, c_id, CAST(0 AS BIGINT) AS sep_kibi FROM p1
 ${(2 to 6).map(r =>
         s"UNION ALL SELECT $r, c_id, CAST(sep // 1024 AS BIGINT) FROM p$r")
         .mkString("\n")}
@@ -7200,6 +7200,22 @@ SELECT CAST(seg.bucket AS BIGINT) AS bucket,
   CAST((SELECT c FROM sse WHERE l = seg.l - 1 AND r = seg.r) AS BIGINT)
     AS sse_e3
 FROM seg ORDER BY bucket""")),
+
+    ("q282_ktruss", (s, d) =>
+      // 3-truss of the co-purchase item graph: every surviving edge sits
+      // in a triangle OF THE TRUSS — the community-core rung above
+      // q186's k-core (degree is not enough; triangles are); 4 unrolled
+      // peels pass the fixpoint on this graph (round counts pinned flat
+      // 1..5 at both sf, so extra rounds are no-ops; a 4-truss here is
+      // empty — the co-purchase graph is triangle-sparse by nature)
+      graft.operators.GraphOps.kTruss(
+        coPurchaseEdges(s, d), "i1", "i2", 3, 4),
+      Some(s"""WITH $coPurchaseEdgesSql,
+e0 AS MATERIALIZED (SELECT i1 AS a, i2 AS b FROM pc),
+${ktrussRoundsSql(3, 4)}
+SELECT e.a, e.b, s.sup AS support
+FROM e4 e JOIN sf s ON e.a = s.a AND e.b = s.b
+ORDER BY e.a, e.b""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
@@ -7661,6 +7677,31 @@ c AS (SELECT doc_id, n_tokens,
 pc AS (SELECT a.item AS i1, b.item AS i2 FROM it a JOIN it b
   ON a.bk = b.bk AND a.item < b.item GROUP BY 1, 2 HAVING count(*) >= 2),
 e AS (SELECT i1 AS s, i2 AS d FROM pc UNION SELECT i2, i1 FROM pc)"""
+
+  /** `rounds` unrolled k-truss peels over undirected unique edges `e0`
+    * (a < b) + a final support recount `sf` — the oracle twin of
+    * [[graft.operators.GraphOps.kTruss]]: per round, the low-to-high
+    * oriented wedge join enumerates each triangle once, every edge
+    * below k−2 support peels, and extra rounds past convergence are
+    * no-ops. MATERIALIZED for the [[markovChainSql]] planner reason.
+    */
+  private def ktrussRoundsSql(k: Int, rounds: Int): String = {
+    def tri(src: String, name: String) = s"""$name AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM $src e1 JOIN $src e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN $src e3 ON e3.a = e1.b AND e3.b = e2.b)"""
+    def sup(t: String, name: String) = s"""$name AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+    SELECT x AS a, y AS b FROM $t UNION ALL SELECT x, z FROM $t
+    UNION ALL SELECT y, z FROM $t) GROUP BY 1, 2)"""
+    val rnds = (1 to rounds).map { r =>
+      s"""${tri(s"e${r - 1}", s"t$r")},
+${sup(s"t$r", s"s$r")},
+e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+  JOIN s$r s ON e.a = s.a AND e.b = s.b WHERE s.sup >= ${k - 2})"""
+    }
+    (rnds :+ s"${tri(s"e$rounds", "tf")},\n${sup("tf", "sf")}").mkString(",\n")
+  }
 
   /** `rounds` unrolled synchronous LPA updates l1..l{rounds} over edge
     * relation `e` and seed labels `l0` — the oracle twin of

@@ -573,4 +573,53 @@ object GraphOps {
       .agg(count(lit(1)).as("n_reached"),
         sum(call_function("div", lit(lcm), col("hops"))).as("h_scaled"))
   }
+
+  /** k-truss decomposition, rounds-bounded (Cohen 2008, "Trusses:
+    * cohesive subgraphs for social network analysis"): iteratively peel
+    * every edge supported by fewer than k−2 triangles until the edge
+    * set is stable — the community-core structure one rung above k-core
+    * (membership requires TRIANGLES, not mere degree). `rounds` peels
+    * are unrolled; extra rounds past convergence are no-ops, so a
+    * rounds-bounded run equals the fixpoint once the fixture converges
+    * (callers pick rounds from the graph's peel depth). Output: the
+    * surviving edges with their support IN the truss,
+    * (a, b, support), a < b, ordered.
+    *
+    * Scale shape: per round, ONE wedge self-join oriented low-to-high
+    * (each triangle generated exactly once, a < b < c — the standard
+    * compact-forward plan whose work is O(Σ d(v)²) on the pruned set,
+    * shrinking every round) plus an edge-keyed support count; the edge
+    * set re-checkpoints per round so lineage never compounds.
+    */
+  def kTruss(edges: DataFrame, aCol: String, bCol: String,
+             k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && k <= 16, s"need 3 <= k <= 16, got $k")
+    require(rounds >= 1 && rounds <= 8, s"need 1..8 rounds, got $rounds")
+    val norm = edges.select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct()
+    def support(e: DataFrame): DataFrame = {
+      val tri = e.as("e1").join(e.as("e2"),
+          col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        .join(e.as("e3"),
+          col("y") === col("e3.a") && col("z") === col("e3.b"))
+        .select(col("x"), col("y"), col("z"))
+      tri.select(col("x").as("a"), col("y").as("b"))
+        .unionAll(tri.select(col("x").as("a"), col("z").as("b")))
+        .unionAll(tri.select(col("y").as("a"), col("z").as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    var e = norm.localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      e = e.join(support(e), Seq("a", "b"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
+        .select(col("a"), col("b"))
+        .localCheckpoint(false)
+    }
+    e.join(support(e), Seq("a", "b"))
+      .select(col("a"), col("b"), col("support"))
+      .orderBy(col("a"), col("b"))
+  }
 }
