@@ -7216,6 +7216,35 @@ ${ktrussRoundsSql(3, 4)}
 SELECT e.a, e.b, s.sup AS support
 FROM e4 e JOIN sf s ON e.a = s.a AND e.b = s.b
 ORDER BY e.a, e.b""")),
+
+    ("q283_rake_keywords", (s, d) =>
+      // RAKE keyword extraction over the corpus: stopword-delimited
+      // candidate runs (cap 4), word score = floor(1000*deg/freq),
+      // phrase score = exact sum over its words — the classic
+      // no-training keyphrase extractor; top-10 with phrase tie-break
+      graft.operators.TextOps.rakeKeywords(
+        Tables.documents(s, d), "doc_id", "text",
+        Seq("a", "the"), 4, 10),
+      Some("""WITH tk AS (SELECT doc_id, u.x.i AS pos, u.x.w AS w FROM
+  (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+  unnest(list_transform(t.ws, (w, i) -> {'w': w, 'i': i})) AS u(x)
+  WHERE len(u.x.w) > 0),
+ns AS (SELECT doc_id, pos, w,
+  pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+  FROM tk WHERE w NOT IN ('a', 'the')),
+ph AS (SELECT string_agg(w, ' ' ORDER BY pos) AS phrase,
+  CAST(count(*) AS BIGINT) AS n_words
+  FROM ns GROUP BY doc_id, run HAVING count(*) <= 4),
+wd AS (SELECT phrase, n_words, unnest(string_split(phrase, ' ')) AS w FROM ph),
+st AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+  CAST(SUM(n_words) AS BIGINT) AS deg FROM wd GROUP BY 1),
+sc AS (SELECT w, (1000 * deg) // freq AS score FROM st),
+ps AS (SELECT wd.phrase, wd.n_words, CAST(count(*) AS BIGINT) AS ow,
+  CAST(SUM(sc.score) AS BIGINT) AS s
+  FROM wd JOIN sc ON wd.w = sc.w GROUP BY 1, 2)
+SELECT phrase, n_words, CAST(ow // n_words AS BIGINT) AS n_occurrences,
+  CAST((s * n_words) // ow AS BIGINT) AS score_e3
+FROM ps ORDER BY score_e3 DESC, phrase LIMIT 10""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus

@@ -1076,4 +1076,56 @@ object TextOps {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
+    * extraction from individual documents"): candidate phrases are
+    * maximal stopword-delimited runs (capped at `maxLen` words — the
+    * standard practical cap), each word scores deg/freq over the
+    * candidate corpus (deg = Σ length of the phrases it occurs in,
+    * with multiplicity; freq = its occurrence count), and a phrase
+    * scores the sum of its words' scores. Integer contract: word score
+    * = ⌊1000·deg/freq⌋, phrase score the exact sum of those floors —
+    * engine-replayable. Output: the global top-`topK` distinct phrases
+    * as (phrase, n_words, n_occurrences, score_e3), ties broken on the
+    * phrase text.
+    *
+    * Scale shape: tokenize → per-doc gaps-and-islands run ids (window
+    * PARTITIONED on the doc) → one (word)-keyed stat aggregation and
+    * one (phrase)-keyed count, joined back word-wise; the only global
+    * step is the final TakeOrdered top-k. No self-joins.
+    */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String], maxLen: Int, topK: Int): DataFrame = {
+    require(stopwords.nonEmpty, "rakeKeywords needs a stopword list")
+    require(maxLen >= 1 && topK >= 1, s"need maxLen/topK >= 1, got $maxLen/$topK")
+    val toks = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+      .filter(length(col("__w")) > 0)
+    val wDoc = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    val runs = toks.filter(!col("__w").isin(stopwords: _*))
+      .withColumn("__run", col("__pos") - row_number().over(wDoc))
+    val phrases = runs.groupBy(col("__id"), col("__run"))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__w")))).as("__ps"))
+      .select(concat_ws(" ",
+          transform(col("__ps"), p => p.getField("__w"))).as("phrase"),
+        size(col("__ps")).cast("long").as("n_words"))
+      .filter(col("n_words") <= maxLen)
+    val words = phrases.select(col("phrase"), col("n_words"),
+      explode(split(col("phrase"), " ")).as("__w"))
+    val stats = words.groupBy(col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("n_words")).as("__deg"))
+      .withColumn("__score",
+        call_function("div", lit(1000L) * col("__deg"), col("__freq")))
+    // one (phrase)-keyed aggregate over ALL occurrences: __sum is
+    // occurrences × per-occurrence score and __ow is occurrences ×
+    // n_words, so both divisions below are exact
+    words.join(stats.select(col("__w"), col("__score")), Seq("__w"))
+      .groupBy(col("phrase"), col("n_words"))
+      .agg(count(lit(1)).as("__ow"), sum(col("__score")).as("__sum"))
+      .select(col("phrase"), col("n_words"),
+        call_function("div", col("__ow"), col("n_words")).as("n_occurrences"),
+        call_function("div", col("__sum") * col("n_words"), col("__ow")).as("score_e3"))
+      .orderBy(col("score_e3").desc, col("phrase"))
+      .limit(topK)
+  }
 }

@@ -759,4 +759,15 @@ class Round9OpsSpec extends AnyFunSuite {
       (1L, 1L, 2L, 2L, 20L, 0L),
       (2L, 3L, 6L, 4L, 20L, 64000L)))
   }
+
+  test("rakeKeywords: hand deg/freq, multiplicity, tie on phrase") {
+    import graft.operators.TextOps
+    // runs: "red fox" x2, "quick fox" x1; every word scores 2000 ->
+    // both phrases score 4000, tie broken on the text
+    val docs = Seq((1L, "red fox the quick fox"), (2L, "the red fox"))
+      .toDF("doc_id", "text")
+    val got = TextOps.rakeKeywords(docs, "doc_id", "text", Seq("the"), 4, 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("quick fox", 2L, 1L, 4000L), ("red fox", 2L, 2L, 4000L)))
+  }
 }
