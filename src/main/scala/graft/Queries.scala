@@ -7245,6 +7245,34 @@ ps AS (SELECT wd.phrase, wd.n_words, CAST(count(*) AS BIGINT) AS ow,
 SELECT phrase, n_words, CAST(ow // n_words AS BIGINT) AS n_occurrences,
   CAST((s * n_words) // ow AS BIGINT) AS score_e3
 FROM ps ORDER BY score_e3 DESC, phrase LIMIT 10""")),
+
+    ("q284_chi2_terms", (s, d) =>
+      // which terms actually separate languages? per-lang top-3 by the
+      // exact 2x2 document-presence chi-square — feature selection for
+      // the q26 lang-id family; runs on a FIXED-size id-prefix sample
+      // (doc_id < 2000) so the int64-exactness bound holds at any sf
+      graft.operators.TextOps.chi2Terms(
+        Tables.documents(s, d).filter(col("doc_id") < 2000),
+        "doc_id", "lang", "text", 3),
+      Some("""WITH dt AS (SELECT DISTINCT doc_id AS id, lang AS cls,
+  unnest(string_split(text, ' ')) AS t
+  FROM documents WHERE doc_id < 2000),
+tt AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n FROM dt),
+cd AS (SELECT cls, CAST(count(DISTINCT id) AS BIGINT) AS nc FROM dt GROUP BY 1),
+td AS (SELECT t, CAST(count(DISTINCT id) AS BIGINT) AS nt FROM dt GROUP BY 1),
+ce AS (SELECT cls, t, CAST(count(*) AS BIGINT) AS a FROM dt GROUP BY 1, 2),
+ch AS (SELECT ce.cls, ce.t, ce.a,
+  (ce.a * (n - td.nt - cd.nc + ce.a) - (td.nt - ce.a) * (cd.nc - ce.a))
+    AS det,
+  (td.nt) * (n - td.nt) * (cd.nc) * (n - cd.nc) AS denom, n
+  FROM ce JOIN cd ON ce.cls = cd.cls JOIN td ON ce.t = td.t CROSS JOIN tt),
+sc AS (SELECT cls, t, a,
+  CASE WHEN denom > 0 THEN (1000 * n * det * det) // denom ELSE 0 END
+    AS chi2_e3 FROM ch),
+rk AS (SELECT cls, t, a, chi2_e3,
+  ROW_NUMBER() OVER (PARTITION BY cls ORDER BY chi2_e3 DESC, t) AS r FROM sc)
+SELECT cls AS class, t AS term, a, chi2_e3
+FROM rk WHERE r <= 3 ORDER BY class, chi2_e3 DESC, term""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus

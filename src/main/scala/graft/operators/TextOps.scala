@@ -1077,6 +1077,61 @@ object TextOps {
       .filter(col("rk") <= k)
   }
 
+  /** χ²-based term-feature selection (Yang & Pedersen 1997, "A
+    * comparative study on feature selection in text categorization"):
+    * for every (class, term) pair over DOCUMENT-level presence, the
+    * 2×2 contingency statistic χ² = n·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))
+    * as ONE exact scaled integer chi2_e3 = ⌊1000·n·(ad−bc)²/denom⌋.
+    * Worst-case 1000·n·(n²/4)² bounds the doc count at n ≤ 2700
+    * (enforced) for guaranteed-int64 exactness — χ² selection runs on a
+    * per-class sample at corpus scale (the standard practice; subsample
+    * upstream with [[graft.operators.SamplingOps.sampleByPct]]).
+    * Output: the top-`topK` terms per class,
+    * (class, term, a = docs-in-class-with-term, chi2_e3), score-desc /
+    * term-asc ties.
+    *
+    * Scale shape: one distinct (doc, class, term) explode, one
+    * (class, term)-keyed count + broadcast class/term marginals, the
+    * rank window PARTITIONED on the class. No self-joins.
+    */
+  def chi2Terms(df: DataFrame, idCol: String, classCol: String,
+                textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val dt = df.select(col(idCol).as("__id"), col(classCol).as("__cls"),
+        explode(split(col(textCol), " ")).as("__t"))
+      .filter(length(col("__t")) > 0).distinct()
+    val n = dt.select(col("__id")).distinct().count()
+    require(n <= 2700,
+      s"chi2Terms is int64-exact up to 2700 docs (got $n) — sample upstream")
+    val clsDocs = dt.select(col("__id"), col("__cls")).distinct()
+      .groupBy(col("__cls")).agg(count(lit(1)).as("__nc"))
+    val termDocs = dt.select(col("__id"), col("__t")).distinct()
+      .groupBy(col("__t")).agg(count(lit(1)).as("__nt"))
+    val cells = dt.groupBy(col("__cls"), col("__t")).agg(count(lit(1)).as("__a"))
+      .join(broadcast(clsDocs), Seq("__cls"))
+      .join(broadcast(termDocs), Seq("__t"))
+    // b = term outside class, c = class without term, d = the rest
+    val a = col("__a")
+    val b = col("__nt") - col("__a")
+    val c = col("__nc") - col("__a")
+    val dd = lit(n) - col("__nt") - col("__nc") + col("__a")
+    val det = a * dd - b * c
+    val denom = (a + b) * (c + dd) * (a + c) * (b + dd)
+    // a term present in EVERY doc (or absent class splits) zeroes a
+    // marginal — χ² is 0 there by convention (no discriminative power)
+    val chi = when(denom > 0L,
+      call_function("div", lit(1000L) * lit(n) * det * det, denom))
+      .otherwise(lit(0L))
+    val w = Window.partitionBy(col("__cls"))
+      .orderBy(col("chi2_e3").desc, col("__t"))
+    cells.select(col("__cls"), col("__t"), col("__a"), chi.as("chi2_e3"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK)
+      .select(col("__cls").as("class"), col("__t").as("term"),
+        col("__a").as("a"), col("chi2_e3"))
+      .orderBy(col("class"), col("chi2_e3").desc, col("term"))
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
     * extraction from individual documents"): candidate phrases are
     * maximal stopword-delimited runs (capped at `maxLen` words — the
