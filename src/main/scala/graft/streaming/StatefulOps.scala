@@ -1106,5 +1106,88 @@ object StatefulOps {
         hhUpdate(capacity))
   }
 
+  /** Streaming diversity (k-center) admission — the online arm of
+    * [[graft.operators.SimilarityOps.kCenterGreedy]]: an embedding is
+    * admitted iff its min squared distance (2^20 fixed-point units) to
+    * EVERY prior admission exceeds minSepKibi·1024, so the admitted set
+    * stays a packing (all pairs separated) — "keep it only if it adds
+    * diversity". Admitted centers persist at `centersPath` as
+    * (id, xs) parquet, growing per batch.
+    *
+    * Within a batch, admission is order-deterministic: candidates that
+    * clear the corpus screen admit greedily in id order (an earlier
+    * admission can block a later near-twin). The corpus screen is
+    * distributed — batch × broadcast centers distance probe (the center
+    * set is PACKING-bounded: at fixed separation over a bounded feature
+    * space its size is a covering number, not corpus-sized); the
+    * within-batch greedy runs on the driver over the batch-bounded
+    * survivors (the foldWords tradition).
+    *
+    * Replay tolerance (at-least-once): the corpus screen ignores
+    * same-id centers, so a replayed batch re-admits its identical
+    * subset; the artifact append re-appends the same rows and every
+    * reader dedups (`distinct`), so state converges. Ids must be unique
+    * and content-stable (the dedup-graph id contract).
+    */
+  def streamingDiversityAdmission(stream: DataFrame, idCol: String,
+                                  vecCol: String, minSepKibi: Long,
+                                  centersPath: String)
+                                 (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(minSepKibi > 0, s"minSepKibi must be positive, got $minSepKibi")
+    stream.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (rawBatch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = rawBatch.sparkSession
+        val batch = rawBatch.toDF()
+          .withColumn("__xs", transform(
+            graft.operators.SimilarityOps.asDouble(col(vecCol)),
+            x => floor(x * 1048576.0).cast("long")))
+          .localCheckpoint(false)
+        val centersExist =
+          try { sp.read.parquet(centersPath); true }
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
+        val screened = if (centersExist) {
+          val cents = sp.read.parquet(centersPath).distinct() // replay dedup
+            .select(col("id").as("__cid"), col("xs").as("cxs"))
+          val d2 = aggregate(
+            zip_with(col("__xs"), col("cxs"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x)
+          val md = batch.crossJoin(broadcast(cents))
+            .filter(col("__cid") =!= col(idCol).cast("long")) // replay self-hit
+            .withColumn("__d2", d2)
+            .groupBy(col(idCol)).agg(min(col("__d2")).as("__md"))
+          batch.join(md, Seq(idCol), "left")
+            .filter(col("__md").isNull || col("__md") > minSepKibi * 1024L)
+            .drop("__md")
+        } else batch
+        // driver greedy over the batch-bounded survivors, id order
+        val cand = screened
+          .select(col(idCol).cast("long").as("id"), col("__xs"))
+          .collect() // batch-bounded driver traffic
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+          .sortBy(_._1)
+        val chosen = scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]()
+        for ((id, xs) <- cand) {
+          val clear = chosen.forall { case (_, cxs) =>
+            var s = 0L
+            var i = 0
+            val n = math.min(xs.length, cxs.length)
+            while (i < n) { val d = xs(i) - cxs(i); s += d * d; i += 1 }
+            s > minSepKibi * 1024L
+          }
+          if (clear) chosen += ((id, xs))
+        }
+        val ids = chosen.map(_._1)
+        val admitted = screened
+          .filter(col(idCol).cast("long").isin(ids.toSeq: _*))
+          .localCheckpoint(true) // materialize before the artifact grows
+        if (!admitted.isEmpty)
+          admitted.select(col(idCol).cast("long").as("id"),
+              col("__xs").as("xs"))
+            .write.mode("append").parquet(centersPath)
+        sink(admitted.drop("__xs"), batchId)
+      }
+  }
+
   val UpdateMode: OutputMode = OutputMode.Update()
 }

@@ -770,4 +770,47 @@ class Round9OpsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(got === Seq(("quick fox", 2L, 1L, 4000L), ("red fox", 2L, 2L, 4000L)))
   }
+
+  test("streamingDiversityAdmission: packing invariant, replay idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("kc_stream").toString + "/centers"
+    val admitted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = StatefulOps.streamingDiversityAdmission(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      1000000L, dir) { (adm, bid) =>
+        admitted ++= adm.collect().map(r => (bid, r.getAs[Long]("vec_id")))
+        ()
+      }.start()
+    // batch 1: 1 admits (empty corpus); 2 is 1's near-twin -> in-batch
+    // greedy rejects it
+    ms.addData((1L, Seq(0.0f)), (2L, Seq(0.001f)))
+    q.processAllAvailable()
+    // batch 2: 3 is far from 1 -> admits; 4 is 3's twin (in-batch
+    // reject); 5 is 1's twin (corpus reject)
+    ms.addData((3L, Seq(0.5f)), (4L, Seq(0.501f)), (5L, Seq(0.0005f)))
+    q.processAllAvailable()
+    q.stop()
+    assert(admitted.toSeq.map(_._2) === Seq(1L, 3L))
+    // restart + replay of batch 2's content: the same-id screen lets 3
+    // re-admit (its own center), twins still reject -> idempotent
+    val admitted2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val ms2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StatefulOps.streamingDiversityAdmission(
+      ms2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      1000000L, dir) { (adm, _) =>
+        admitted2 ++= adm.collect().map(_.getAs[Long]("vec_id"))
+        ()
+      }.start()
+    ms2.addData((3L, Seq(0.5f)), (4L, Seq(0.501f)), (5L, Seq(0.0005f)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(admitted2.toSeq === Seq(3L))
+    // the artifact holds exactly the packing, deduped across the replay
+    val centers = spark.read.parquet(dir).distinct()
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(centers === Seq(1L, 3L))
+  }
 }
