@@ -7273,6 +7273,63 @@ rk AS (SELECT cls, t, a, chi2_e3,
   ROW_NUMBER() OVER (PARTITION BY cls ORDER BY chi2_e3 DESC, t) AS r FROM sc)
 SELECT cls AS class, t AS term, a, chi2_e3
 FROM rk WHERE r <= 3 ORDER BY class, chi2_e3 DESC, term""")),
+
+    ("q285_holt_smoothing", (s, d) =>
+      // Holt level+trend smoothing over the per-type daily series (the
+      // q252 EWMA's drift-tracking sibling): exact 32x fixed-point floor
+      // recursion, one-step forecast = level + trend; oracle replays the
+      // identical floors in a recursive CTE
+      graft.operators.TemporalOps.holtSeries(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c")),
+        "event_type", "day", "c")
+        .select(col("key").as("event_type"), col("t").as("day"),
+          col("v").as("n"), col("level_s32"), col("trend_s32"),
+          col("forecast_s32"))
+        .orderBy(col("event_type"), col("day")),
+      Some("""WITH RECURSIVE dly AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+  CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+r AS (SELECT et, day, c,
+  ROW_NUMBER() OVER (PARTITION BY et ORDER BY day) AS i FROM dly),
+h AS (SELECT et, day, c, i, c * 32 AS l, CAST(0 AS BIGINT) AS b
+  FROM r WHERE i = 1
+  UNION ALL
+  SELECT et, day, c, i, l1 AS l,
+    ((l1 - pl + 7 * pb) - ((((l1 - pl + 7 * pb) % 8) + 8) % 8)) // 8 AS b
+  FROM (
+    SELECT r.et, r.day, r.c, r.i, h.l AS pl, h.b AS pb,
+      ((r.c * 32 + 3 * (h.l + h.b))
+        - ((((r.c * 32 + 3 * (h.l + h.b)) % 4) + 4) % 4)) // 4 AS l1
+    FROM h JOIN r ON r.et = h.et AND r.i = h.i + 1))
+SELECT et AS event_type, day, c AS n, CAST(l AS BIGINT) AS level_s32,
+  CAST(b AS BIGINT) AS trend_s32, CAST(l + b AS BIGINT) AS forecast_s32
+FROM h ORDER BY event_type, day""")),
+
+    ("q286_vocab_growth", (s, d) =>
+      // Heaps-law curve: vocabulary size at 10 id-ordered corpus
+      // prefixes via first-occurrence aggregation (never n distinct
+      // recomputes) — flat growth says the tail of a corpus is
+      // duplicated/stale, the curation dial q73's funnel feeds on
+      graft.operators.TextOps.vocabGrowth(
+        Tables.documents(s, d), "doc_id", "text", 10),
+      Some("""WITH tk AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+tk2 AS (SELECT id, w FROM tk WHERE len(w) > 0),
+mx AS (SELECT MAX(id) + 1 AS m FROM tk2),
+th AS (SELECT CAST(k AS BIGINT) AS k, (m * k) // 10 AS id_threshold
+  FROM mx, range(1, 11) r(k)),
+fo AS (SELECT w, MIN(id) AS fo FROM tk2 GROUP BY 1),
+dt AS (SELECT id, CAST(count(*) AS BIGINT) AS nt FROM tk2 GROUP BY 1),
+v AS (SELECT th.k, th.id_threshold, CAST(count(*) AS BIGINT) AS vocab
+  FROM th JOIN fo ON fo.fo < th.id_threshold GROUP BY 1, 2),
+t AS (SELECT th.k, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(dt.nt) AS BIGINT) AS n_tokens
+  FROM th JOIN dt ON dt.id < th.id_threshold GROUP BY 1)
+SELECT v.k, CAST(v.id_threshold AS BIGINT) AS id_threshold, t.n_docs,
+  t.n_tokens, v.vocab,
+  CAST((1000000 * v.vocab) // t.n_tokens AS BIGINT) AS vocab_per_token_ppm
+FROM v JOIN t ON v.k = t.k ORDER BY v.k""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus

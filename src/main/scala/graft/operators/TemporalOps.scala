@@ -218,6 +218,49 @@ object TemporalOps {
         col("col.__es").as("e"))
   }
 
+  /** Holt double-exponential smoothing (level + trend, Holt 1957) as an
+    * exact integer recursion — the [[ewmaSeries]] sibling that also
+    * tracks drift, so the one-step forecast follows a ramp instead of
+    * lagging it. States ×32 fixed-point; per step (α = 1/4, β = 1/8):
+    * L' = ⌊(32·x + 3·(L+B))/4⌋,  B' = ⌊((L'−L) + 7·B)/8⌋ (exact FLOOR
+    * via the pmod step — B can be negative), L₁ = 32·x₁, B₁ = 0.
+    * Output per (key, t): (key, t, v, level_s32, trend_s32,
+    * forecast_s32 = L+B, the one-step-ahead prediction).
+    *
+    * Scale shape: the recursion is inherently sequential per key, so it
+    * folds ROW-LOCALLY over the key's sorted packed series (the
+    * ewmaSeries shape) — series are calendar-bounded by nature; keys
+    * distribute. The oracle replays the identical floors in a recursive
+    * CTE.
+    */
+  def holtSeries(df: DataFrame, keyCol: String, tCol: String,
+                 vCol: String): DataFrame = {
+    val fdiv = (x: Column, d: Long) =>
+      call_function("div", x - pmod(x, lit(d)), lit(d))
+    val packed = df
+      .select(col(keyCol).as("key"), struct(col(tCol).as("t"),
+        col(vCol).cast("long").as("v")).as("__p"))
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(col("__p"))).as("__st"))
+    val hs = aggregate(
+      col("__st"),
+      array().cast("array<struct<l:bigint,b:bigint>>"),
+      (acc, x) => {
+        val vS = x.getField("v") * 32L
+        val prev = element_at(acc, size(acc))
+        val l1 = fdiv(vS + (prev.getField("l") + prev.getField("b")) * 3L, 4L)
+        val b1 = fdiv(l1 - prev.getField("l") + prev.getField("b") * 7L, 8L)
+        concat(acc, array(
+          when(size(acc) === 0, struct(vS.as("l"), lit(0L).as("b")))
+            .otherwise(struct(l1.as("l"), b1.as("b")))))
+      })
+    packed.withColumn("__hs", hs)
+      .select(col("key"), posexplode(arrays_zip(col("__st"), col("__hs"))))
+      .select(col("key"), col("col.__st.t").as("t"), col("col.__st.v").as("v"),
+        col("col.__hs.l").as("level_s32"), col("col.__hs.b").as("trend_s32"),
+        (col("col.__hs.l") + col("col.__hs.b")).as("forecast_s32"))
+  }
+
   /** FIFO matching (inventory lot allocation / queue cost attribution):
     * per key, demand consumes supply OLDEST-FIRST. Both sides become
     * consecutive cumulative-quantity intervals ([cum−q, cum) in FIFO

@@ -1077,6 +1077,49 @@ object TextOps {
       .filter(col("rk") <= k)
   }
 
+  /** Heaps-law vocabulary growth curve (Heaps 1978): distinct-vocabulary
+    * size at `nCheckpoints` id-ordered corpus prefixes — the curve that
+    * says whether a corpus is still CONTRIBUTING new types (vocab keeps
+    * growing ∝ tokens^β) or has gone stale/duplicated (the curve goes
+    * flat). Exact: a word's first occurrence is min(doc id), so
+    * V(prefix) = |{words : first_doc < threshold}| with thresholds at
+    * ⌊(max_id+1)·k/n⌋. Output per checkpoint: (k, id_threshold, n_docs,
+    * n_tokens, vocab, vocab_per_token_ppm).
+    *
+    * Scale shape: one (word)-keyed min aggregation + one (doc)-keyed
+    * token count; the checkpoint relation is n rows broadcast into two
+    * band joins (≤ n× the vocab/doc relation — n is ~10 by nature).
+    * First-occurrence beats recomputing distinct-per-prefix n times.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  nCheckpoints: Int = 10): DataFrame = {
+    require(nCheckpoints >= 1 && nCheckpoints <= 100,
+      s"need 1..100 checkpoints, got $nCheckpoints")
+    val toks = df.select(col(idCol).cast("long").as("__id"),
+        explode(split(col(textCol), " ")).as("__w"))
+      .filter(length(col("__w")) > 0)
+    val thr = toks.agg((max(col("__id")) + 1L).as("__m"))
+      .select(explode(sequence(lit(1), lit(nCheckpoints))).as("k"), col("__m"))
+      .select(col("k").cast("long").as("k"),
+        call_function("div", col("__m") * col("k"),
+          lit(nCheckpoints.toLong)).as("id_threshold"))
+    val fo = toks.groupBy(col("__w")).agg(min(col("__id")).as("__fo"))
+    val dt = toks.groupBy(col("__id")).agg(count(lit(1)).as("__nt"))
+    val v = broadcast(thr).join(fo, col("__fo") < col("id_threshold"))
+      .groupBy(col("k"), col("id_threshold"))
+      .agg(count(lit(1)).as("vocab"))
+    val t = broadcast(thr)
+      .join(dt, col("__id") < col("id_threshold"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"))
+    v.join(t, Seq("k"))
+      .select(col("k"), col("id_threshold"), col("n_docs"), col("n_tokens"),
+        col("vocab"),
+        call_function("div", lit(1000000L) * col("vocab"),
+          col("n_tokens")).as("vocab_per_token_ppm"))
+      .orderBy(col("k"))
+  }
+
   /** χ²-based term-feature selection (Yang & Pedersen 1997, "A
     * comparative study on feature selection in text categorization"):
     * for every (class, term) pair over DOCUMENT-level presence, the
