@@ -58,6 +58,10 @@ object Plans {
     "q184_stickiness" -> "sliding DAU/MAU: distinct (user, day) collapse first, 28-day spine join bounded by activity x window",
     "q238_k_anonymity" -> "k-anonymity ladder: ONE grouping-sets aggregation (Expand replicates map-side), QI-domain-bounded shuffle, zero joins",
     "q247_ann_ivf_index" -> "IVF retrieval from the persisted index: cell-partitioned parquet scan probed by broadcast query cells, rank window over cell-local candidates",
+    "q273_product_quantization" -> "PQ codebooks: bounded m-subspace explode, m*k centroids broadcast into a map-side argmin, one (sub, cell, pos) mean exchange per round",
+    "q279_kcenter_coreset" -> "distributed Gonzalez: ONE broadcast center + map-side least() per round, max-struct argmax aggregation, no pairwise join",
+    "q282_ktruss" -> "k-truss peel: low-to-high wedge self-join enumerates each triangle once, edge-keyed support count, shrinking checkpointed edge set",
+    "q283_rake_keywords" -> "RAKE: doc-partitioned gaps-and-islands runs, word-keyed stats join, TakeOrdered top-k as the only global step",
   )
 
   def main(args: Array[String]): Unit = {
