@@ -7330,6 +7330,42 @@ SELECT v.k, CAST(v.id_threshold AS BIGINT) AS id_threshold, t.n_docs,
   t.n_tokens, v.vocab,
   CAST((1000000 * v.vocab) // t.n_tokens AS BIGINT) AS vocab_per_token_ppm
 FROM v JOIN t ON v.k = t.k ORDER BY v.k""")),
+
+    ("q287_wilcoxon_signed_rank", (s, d) =>
+      // are clicks and views systematically different per DAY? the
+      // paired complement of q156's Mann-Whitney: tie-averaged ranks
+      // exact at x2 scale, z=1.96 significance as one integer
+      // cross-multiplication (120000*(W2-E2)^2 vs 38416*Var48)
+      graft.operators.QualityOps.wilcoxonSignedRank(
+        Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y")),
+        "x", "y"),
+      Some("""WITH dly AS (SELECT CAST(ts AS DATE) AS day,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+d0 AS (SELECT x - y AS d, abs(x - y) AS ad FROM dly WHERE x <> y),
+dom AS (SELECT ad, CAST(count(*) AS BIGINT) AS t FROM d0 GROUP BY 1),
+sp AS (SELECT ad, t, COALESCE(SUM(t) OVER (ORDER BY ad
+  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM dom),
+r AS (SELECT ad, below * 2 + t + 1 AS r2 FROM sp),
+tc AS (SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT) AS tcv FROM dom),
+ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(CASE WHEN d0.d > 0 THEN r.r2 ELSE 0 END) AS BIGINT) AS w2_plus,
+  CAST(SUM(CASE WHEN d0.d < 0 THEN r.r2 ELSE 0 END) AS BIGINT) AS w2_minus
+  FROM d0 JOIN r ON d0.ad = r.ad)
+SELECT n_pairs, w2_plus, w2_minus,
+  CAST((n_pairs * (n_pairs + 1)) // 2 AS BIGINT) AS e2,
+  CAST(2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - tcv AS BIGINT)
+    AS var48,
+  (120000 * (w2_plus - (n_pairs * (n_pairs + 1)) // 2)
+    * (w2_plus - (n_pairs * (n_pairs + 1)) // 2))
+    >= 38416 * (2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - tcv)
+    AS significant
+FROM ag CROSS JOIN tc""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus

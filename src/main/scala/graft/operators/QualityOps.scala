@@ -500,6 +500,56 @@ object QualityOps {
     * (absent categories contribute 0 products, so no full-outer join is
     * needed), and single-row broadcast crosses.
     */
+  /** Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED complement
+    * of [[rankSumAuc]]'s Mann-Whitney: over per-unit paired differences
+    * d = x − y (zeros dropped, the standard practice), |d| gets
+    * tie-averaged ranks held exact at ×2 scale (r2 = lo + hi of the tie
+    * span — always an integer), W⁺/W⁻ accumulate r2 by sign, and the
+    * normal-approximation significance check runs as one integer
+    * cross-multiplication: 120000·(W2⁺ − E2)² ≥ 38416·Var48, where
+    * E2 = n(n+1)/2·2/… = n(n+1)/2 at the ×2 scale and Var48 =
+    * 2n(n+1)(2n+1) − Σ(t³−t) is 48·Var[W⁺] with the exact tie
+    * correction (z = 1.96 → z² = 38416/10⁴; 48·4·… folds to the 120000
+    * factor). No float, no sqrt. Output ONE row: (n_pairs, w2_plus,
+    * w2_minus, e2, var48, significant).
+    *
+    * Scale shape: one pair-keyed aggregation builds the differences;
+    * the rank spans come from TWO band aggregates over the distinct
+    * |d| values (value-domain-sized), broadcast back; the final reduce
+    * is a single row. Pair counts are calendar/unit-bounded by nature.
+    */
+  def wilcoxonSignedRank(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d0 = df.select((col(xCol).cast("long") - col(yCol).cast("long")).as("__d"))
+      .filter(col("__d") =!= 0L)
+      .select(col("__d"), abs(col("__d")).as("__ad"))
+    val dom = d0.groupBy(col("__ad")).agg(count(lit(1)).as("__t"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("__ad"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // lo = (# smaller) + 1, hi = (# smaller) + t  ->  r2 = lo + hi
+    val spans = dom
+      .withColumn("__below", coalesce(sum(col("__t")).over(wOrd), lit(0L)))
+      .select(col("__ad"),
+        (col("__below") * 2L + col("__t") + 1L).as("__r2"), col("__t"))
+    val joined = d0.join(broadcast(spans.select(col("__ad"), col("__r2"))), Seq("__ad"))
+    val tieCorr = spans.agg(
+      coalesce(sum(col("__t") * col("__t") * col("__t") - col("__t")), lit(0L))
+        .as("__tc"))
+    joined.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__d") > 0L, col("__r2")).otherwise(0L)).as("w2_plus"),
+        sum(when(col("__d") < 0L, col("__r2")).otherwise(0L)).as("w2_minus"))
+      .crossJoin(broadcast(tieCorr))
+      .select(col("n_pairs"), col("w2_plus"), col("w2_minus"),
+        call_function("div",
+          col("n_pairs") * (col("n_pairs") + 1L), lit(2L)).as("e2"),
+        (lit(2L) * col("n_pairs") * (col("n_pairs") + 1L)
+          * (lit(2L) * col("n_pairs") + 1L) - col("__tc")).as("var48"))
+      .select(col("n_pairs"), col("w2_plus"), col("w2_minus"), col("e2"),
+        col("var48"),
+        (lit(120000L) * (col("w2_plus") - col("e2"))
+          * (col("w2_plus") - col("e2")) >= lit(38416L) * col("var48"))
+          .as("significant"))
+  }
+
   /** B-cubed clustering-quality audit (Bagga & Baldwin 1998): item-level
     * precision/recall of a SYSTEM clustering against a GOLD one —
     * precision(i) = |C(i)∩G(i)|/|C(i)|, recall(i) = |C(i)∩G(i)|/|G(i)|,

@@ -771,6 +771,16 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got === Seq(("quick fox", 2L, 1L, 4000L), ("red fox", 2L, 2L, 4000L)))
   }
 
+  test("wilcoxonSignedRank: hand ranks with ties, zero-pair drop") {
+    import graft.operators.QualityOps
+    // diffs 4, -2, 2 (zero dropped); |d| ties {2,2} share r2 = 3, |4|
+    // gets r2 = 6 -> W2+ = 9, W2- = 3; var48 = 2*3*4*7 - (8-2) = 162
+    val pairs = Seq((5L, 1L), (1L, 3L), (7L, 5L), (4L, 4L)).toDF("x", "y")
+    val got = QualityOps.wilcoxonSignedRank(pairs, "x", "y")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().head
+    assert(got === ((3L, 9L, 3L, 6L, 162L, false)))
+  }
+
   test("streamingDiversityAdmission: packing invariant, replay idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StatefulOps
