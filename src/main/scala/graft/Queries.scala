@@ -7366,6 +7366,25 @@ SELECT n_pairs, w2_plus, w2_minus,
     >= 38416 * (2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - tcv)
     AS significant
 FROM ag CROSS JOIN tc""")),
+
+    ("q288_systematic_pps", (s, d) =>
+      // deterministic weighted corpus subsample: 25 centered grid points
+      // on the cumulative n_chars line (Madow systematic PPS) — heavy
+      // docs draw multiply, every count closed-form (no per-point
+      // explode), prefix sums via RangePrefix (never a global window)
+      graft.operators.SamplingOps.systematicPps(
+        Tables.documents(s, d), "doc_id", "n_chars", 25),
+      Some("""WITH b AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS w
+  FROM documents),
+c AS (SELECT id, w, CAST(SUM(w) OVER (ORDER BY id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM b),
+t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM b),
+f AS (SELECT id, w, cum,
+  LEAST(25, GREATEST(0, (50 * cum + tot - 1) // (2 * tot))) AS fhi,
+  LEAST(25, GREATEST(0, (50 * (cum - w) + tot - 1) // (2 * tot))) AS flo
+  FROM c CROSS JOIN t)
+SELECT id, w, cum, CAST(fhi - flo AS BIGINT) AS copies
+FROM f WHERE fhi - flo >= 1 ORDER BY id""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus

@@ -331,6 +331,50 @@ object SamplingOps {
       .drop("__h")
   }
 
+  /** Systematic probability-proportional-to-size sampling (Madow 1949)
+    * — the deterministic weighted sampler survey statisticians use when
+    * a hash coin is not enough: lay the items out on the cumulative-
+    * weight line in `ordCol` order and take `k` evenly spaced grid
+    * points g_j = ⌊(2j+1)·W/(2k)⌋ (centered). An item is drawn once per
+    * grid point inside its interval [cum−w, cum) — so items heavier
+    * than W/k are drawn MULTIPLE times (the PPS contract) and every
+    * draw count is exact: copies = f(cum) − f(cum−w) with
+    * f(x) = clamp(⌈(2kx−W)/(2W)⌉, 0, k), no per-grid-point explode.
+    * Output: drawn items only, (id, w, cum, copies); Σcopies = k by
+    * construction.
+    *
+    * Scale shape: ONE exclusive prefix sum via [[RangePrefix]] (range
+    * partitions + driver-bounded offsets — never a global window), then
+    * the closed-form count is map-side arithmetic. The clamp also makes
+    * truncating vs floor division immaterial (negative numerators only
+    * arise where the clamp pins 0), so both engines agree.
+    */
+  def systematicPps(df: DataFrame, idCol: String, weightCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val base = df.select(col(idCol).as("id"),
+      col(weightCol).cast("long").as("w"))
+    val (parted, offsets, total) = graft.operators.RangePrefix.withOffsets(
+      base, Seq(col("id")), col("w"))
+    require(total > 0L, "systematicPps needs positive total weight")
+    val off = offsets.map { case (pid, o) => (pid.toLong, o) }
+    val offCol = off.foldLeft(lit(0L)) { case (acc, (pid, o)) =>
+      when(col(graft.operators.RangePrefix.PidCol) === pid, lit(o)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(graft.operators.RangePrefix.PidCol)).orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = parted.withColumn("cum", sum(col("w")).over(w) + offCol)
+    def f(x: Column): Column =
+      least(lit(k.toLong), greatest(lit(0L), call_function("div",
+        lit(2L * k) * x - lit(total) + lit(2L) * lit(total) - 1L,
+        lit(2L) * lit(total))))
+    cum.withColumn("copies", f(col("cum")) - f(col("cum") - col("w")))
+      .filter(col("copies") >= 1L)
+      .select(col("id"), col("w"), col("cum"), col("copies"))
+      .orderBy(col("id"))
+  }
+
   /** Deterministic round-robin interleave schedule across groups — the
     * curriculum/data-ordering step after mixing weights are chosen: rank
     * docs within each group by `rankOrder`, then emit the global

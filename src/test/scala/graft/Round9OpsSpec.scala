@@ -781,6 +781,21 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got === ((3L, 9L, 3L, 6L, 162L, false)))
   }
 
+  test("systematicPps: hand grid points, heavy-item multiplicity") {
+    import graft.operators.SamplingOps
+    // W=20, k=2 -> grid {5, 15}: id1 [0,10) takes 5, id3 [11,20) takes 15
+    val a = SamplingOps.systematicPps(
+      Seq((1L, 10L), (2L, 1L), (3L, 9L)).toDF("id", "n"), "id", "n", 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(a === Seq((1L, 10L, 10L, 1L), (3L, 9L, 20L, 1L)))
+    // W=22, k=4 -> grid {2, 8, 13, 19}: the heavy item draws ALL four
+    val b = SamplingOps.systematicPps(
+      Seq((1L, 20L), (2L, 1L), (3L, 1L)).toDF("id", "n"), "id", "n", 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(b === Seq((1L, 20L, 20L, 4L)))
+    assert(b.map(_._4).sum === 4L)
+  }
+
   test("streamingDiversityAdmission: packing invariant, replay idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StatefulOps
