@@ -7385,6 +7385,45 @@ f AS (SELECT id, w, cum,
   FROM c CROSS JOIN t)
 SELECT id, w, cum, CAST(fhi - flo AS BIGINT) AS copies
 FROM f WHERE fhi - flo >= 1 ORDER BY id""")),
+
+    ("q289_gap_fill", (s, d) =>
+      // calendar densification: per-priority daily order counts (~30%
+      // of spine days are gaps at this sf) filled by exact integer
+      // linear interpolation between the surrounding present days —
+      // the ETL step before any fixed-step forecaster (q252/q285)
+      graft.operators.TemporalOps.gapFillInterpolate(
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"),
+            to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("c")),
+        "o_orderpriority", "day", "c"),
+      Some("""WITH pres AS (SELECT o_orderpriority AS key,
+  CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS v
+  FROM orders GROUP BY 1, 2),
+bounds AS (SELECT key, MIN(day) AS d0, MAX(day) AS d1 FROM pres GROUP BY 1),
+spine AS (SELECT key, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+  CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+j AS (SELECT s.key, s.day, pres.v FROM spine s
+  LEFT JOIN pres ON s.key = pres.key AND s.day = pres.day),
+wnd AS (SELECT key, day, v,
+  last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+  last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+    OVER (PARTITION BY key ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+  first_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY day
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+  first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+    OVER (PARTITION BY key ORDER BY day
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j)
+SELECT key, day,
+  CAST(CASE WHEN v IS NOT NULL THEN v * 1000
+    ELSE (1000 * (pv * (nt - day) + nv * (day - pt))) // (nt - pt) END
+    AS BIGINT) AS v_e3,
+  v IS NULL AS filled
+FROM wnd WHERE v IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
+ORDER BY key, day""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus

@@ -218,6 +218,50 @@ object TemporalOps {
         col("col.__es").as("e"))
   }
 
+  /** Calendar gap-filling with exact linear interpolation — the ETL
+    * densification step a downstream forecaster/joiner needs: per key,
+    * the day spine spans [min, max] of the PRESENT days, missing days
+    * interpolate v_e3 = ⌊1000·(v_prev·(t_next−t) + v_next·(t−t_prev)) /
+    * (t_next−t_prev)⌋ between the surrounding present points (`filled`
+    * marks them); present days carry v·1000. No extrapolation — the
+    * spine's ends are present by construction.
+    *
+    * Scale shape: the spine is a per-key sequence explode (span-bounded
+    * by the calendar), one (key, day) equi-join against the present
+    * rows, and four IGNORE-NULLS windows over the SAME key partitioning
+    * (one exchange + sort). Never a global window.
+    */
+  def gapFillInterpolate(df: DataFrame, keyCol: String, tCol: String,
+                         vCol: String): DataFrame = {
+    val pres = df.select(col(keyCol).as("key"), col(tCol).cast("date").as("day"),
+      col(vCol).cast("long").as("__v"))
+    val spine = pres.groupBy(col("key"))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col("key"), explode(sequence(col("__d0"), col("__d1"),
+        expr("interval 1 day"))).as("day"))
+    val j = spine.join(pres, Seq("key", "day"), "left")
+    val back = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val presentDay = when(col("__v").isNotNull, col("day"))
+    val wnd = j
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(back))
+      .withColumn("__pt", last(presentDay, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(fwd))
+      .withColumn("__nt", first(presentDay, ignoreNulls = true).over(fwd))
+    wnd.filter(col("__v").isNotNull ||
+        (col("__pv").isNotNull && col("__nv").isNotNull))
+      .select(col("key"), col("day"),
+        when(col("__v").isNotNull, col("__v") * 1000L)
+          .otherwise(call_function("div",
+            lit(1000L) * (col("__pv") * datediff(col("__nt"), col("day"))
+              + col("__nv") * datediff(col("day"), col("__pt"))),
+            datediff(col("__nt"), col("__pt")))).as("v_e3"),
+        col("__v").isNull.as("filled"))
+      .orderBy(col("key"), col("day"))
+  }
+
   /** Holt double-exponential smoothing (level + trend, Holt 1957) as an
     * exact integer recursion — the [[ewmaSeries]] sibling that also
     * tracks drift, so the one-step forecast follows a ramp instead of

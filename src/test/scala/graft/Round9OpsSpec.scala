@@ -796,6 +796,21 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(b.map(_._4).sum === 4L)
   }
 
+  test("gapFillInterpolate: hand lerp, present rows pass through") {
+    import graft.operators.TemporalOps
+    val df = Seq(("A", "2020-01-01", 10L), ("A", "2020-01-04", 4L))
+      .toDF("k", "day", "v")
+      .select(col("k"), to_date(col("day")).as("day"), col("v"))
+    val got = TemporalOps.gapFillInterpolate(df, "k", "day", "v")
+      .select(col("key"), col("day").cast("string"), col("v_e3"), col("filled"))
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      ("A", "2020-01-01", 10000L, false),
+      ("A", "2020-01-02", 8000L, true),
+      ("A", "2020-01-03", 6000L, true),
+      ("A", "2020-01-04", 4000L, false)))
+  }
+
   test("streamingDiversityAdmission: packing invariant, replay idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StatefulOps
