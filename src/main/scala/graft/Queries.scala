@@ -7424,6 +7424,32 @@ SELECT key, day,
   v IS NULL AS filled
 FROM wnd WHERE v IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
 ORDER BY key, day""")),
+
+    ("q290_basket_triples", (s, d) => {
+      // a-priori level 3 above q98's pairs: frequent item TRIPLES by
+      // ordered three-way basket self-join (i1 < i2 < i3 enumerates each
+      // triple once; per-basket work is C(|basket|, 3), bounded by the
+      // basket-size cap the order process implies — the skew dial is the
+      // largest basket, not the corpus)
+      val it = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("i"))
+        .distinct()
+      it.as("a").join(it.as("b"),
+          col("a.bk") === col("b.bk") && col("a.i") < col("b.i"))
+        .join(it.as("c"),
+          col("b.bk") === col("c.bk") && col("b.i") < col("c.i"))
+        .groupBy(col("a.i").as("i1"), col("b.i").as("i2"), col("c.i").as("i3"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(col("i1"), col("i2"), col("i3"))
+    },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
+  FROM lineitem)
+SELECT a.i AS i1, b.i AS i2, c.i AS i3, CAST(count(*) AS BIGINT) AS support
+FROM it a JOIN it b ON a.bk = b.bk AND a.i < b.i
+JOIN it c ON b.bk = c.bk AND b.i < c.i
+GROUP BY 1, 2, 3 HAVING count(*) >= 2
+ORDER BY i1, i2, i3""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
