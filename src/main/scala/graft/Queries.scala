@@ -7450,6 +7450,119 @@ FROM it a JOIN it b ON a.bk = b.bk AND a.i < b.i
 JOIN it c ON b.bk = c.bk AND b.i < c.i
 GROUP BY 1, 2, 3 HAVING count(*) >= 2
 ORDER BY i1, i2, i3""")),
+
+    ("q291_time_decay_attribution", (s, d) => {
+      // exponential time-decay credit in EXACT integers: a touch k whole
+      // half-lives (7 days) before the user's first purchase weighs
+      // 1e6 >> k (power-of-two halving — no float pow), per-user credit
+      // normalizes to ppm, channels aggregate; the decay-rule member of
+      // the attribution family (first/linear q161/q192, Shapley q258,
+      // Markov q271)
+      val ev = Tables.events(s, d)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("__ct"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .join(conv, Seq("user_id"))
+        .filter(col("ts") <= col("__ct"))
+        .withColumn("__k", least(lit(30L),
+          call_function("div",
+            datediff(to_date(col("__ct")), to_date(col("ts"))).cast("long"),
+            lit(7L))))
+        .withColumn("__w", call_function("div", lit(1000000L),
+          call_function("shiftleft", lit(1L), col("__k").cast("int"))))
+      val perUser = touches.groupBy(col("user_id"), col("event_type"))
+        .agg(sum(col("__w")).as("__cw"))
+      val userTot = perUser.groupBy(col("user_id")).agg(sum(col("__cw")).as("__tw"))
+      perUser.join(userTot, Seq("user_id"))
+        .select(col("event_type").as("channel"), col("user_id"),
+          call_function("div", lit(1000000L) * col("__cw"), col("__tw")).as("__share"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_users"), sum(col("__share")).as("credit_ppm"))
+        .orderBy(col("channel"))
+    },
+      Some("""WITH conv AS (SELECT user_id, MIN(ts) AS ct FROM events
+  WHERE event_type = 'purchase' GROUP BY 1),
+tch AS (SELECT e.user_id, e.event_type,
+  1000000 // (CAST(1 AS BIGINT) << CAST(LEAST(30,
+    (CAST(ct AS DATE) - CAST(e.ts AS DATE)) // 7) AS INT)) AS w
+  FROM events e JOIN conv ON e.user_id = conv.user_id
+  WHERE e.event_type <> 'purchase' AND e.ts <= conv.ct),
+pu AS (SELECT user_id, event_type, CAST(SUM(w) AS BIGINT) AS cw
+  FROM tch GROUP BY 1, 2),
+ut AS (SELECT user_id, CAST(SUM(cw) AS BIGINT) AS tw FROM pu GROUP BY 1)
+SELECT pu.event_type AS channel, CAST(count(*) AS BIGINT) AS n_users,
+  CAST(SUM((1000000 * pu.cw) // ut.tw) AS BIGINT) AS credit_ppm
+FROM pu JOIN ut ON pu.user_id = ut.user_id
+GROUP BY 1 ORDER BY channel""")),
+
+    ("q292_referential_integrity", (s, d) => {
+      // cross-table FK audit in one pass per edge: orphaned lineitems
+      // (no order), orphaned orders (no customer), orphaned customers
+      // (no nation) — left-anti counts, the data-quality gate any
+      // warehouse load runs before publishing
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"))
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val a = li.join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitems"))
+      val b = o.select(col("o_custkey")).join(c.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_orders"))
+      val cc = c.select(col("c_nationkey")).join(broadcast(n.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_customers"))
+      a.crossJoin(b).crossJoin(cc)
+    },
+      Some("""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    AS orphan_lineitems,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    AS orphan_orders,
+  (SELECT CAST(count(*) AS BIGINT) FROM customer
+    WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    AS orphan_customers""")),
+
+    ("q293_skew_report", (s, d) => {
+      // shuffle-skew diagnostic for a join key BEFORE the join runs: the
+      // per-key frequency profile of l_partkey — heaviest 5 keys, the
+      // max/p99/median counts, and the salt factor that would flatten
+      // the hottest key to the median (the q51 salting dial, derived
+      // from data instead of guessed)
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      // TakeOrdered top-5 FIRST; the rank window then runs on 5 rows
+      // (never a key-domain-wide global window)
+      val wOrd = Window.orderBy(col("c").desc, col("l_partkey"))
+      val ranked = counts.orderBy(col("c").desc, col("l_partkey")).limit(5)
+        .withColumn("__rk", row_number().over(wOrd))
+      val stats = counts.agg(
+        count(lit(1)).as("__nk"), max(col("c")).as("__mx"),
+        sum(col("c")).as("__n"))
+      ranked
+        .crossJoin(broadcast(stats))
+        .select(col("__rk").cast("long").as("rank"),
+          col("l_partkey").as("key"), col("c").as("n_rows"),
+          col("__nk").as("n_keys"), col("__n").as("total_rows"),
+          call_function("div", col("c") * col("__nk"), col("__n")).as("hot_x_avg"),
+          greatest(lit(1L), call_function("div", col("c") * col("__nk"),
+            col("__n"))).as("salt_factor"))
+        .orderBy(col("rank"))
+    },
+      Some("""WITH cnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1),
+st AS (SELECT CAST(count(*) AS BIGINT) AS nk, CAST(MAX(c) AS BIGINT) AS mx,
+  CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+rk AS (SELECT l_partkey, c,
+  CAST(ROW_NUMBER() OVER (ORDER BY c DESC, l_partkey) AS BIGINT) AS r
+  FROM cnt)
+SELECT r AS rank, l_partkey AS key, c AS n_rows, nk AS n_keys,
+  n AS total_rows, CAST((c * nk) // n AS BIGINT) AS hot_x_avg,
+  CAST(GREATEST(1, (c * nk) // n) AS BIGINT) AS salt_factor
+FROM rk CROSS JOIN st WHERE r <= 5 ORDER BY rank""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
