@@ -7563,6 +7563,66 @@ SELECT r AS rank, l_partkey AS key, c AS n_rows, nk AS n_keys,
   n AS total_rows, CAST((c * nk) // n AS BIGINT) AS hot_x_avg,
   CAST(GREATEST(1, (c * nk) // n) AS BIGINT) AS salt_factor
 FROM rk CROSS JOIN st WHERE r <= 5 ORDER BY rank""")),
+
+    ("q294_curation_scorecard", (s, d) => {
+      // the per-source corpus health report a curation run publishes:
+      // THREE operator families composed — simhash dedup components
+      // (q44's artifact), lang-id agreement (q26), packed-syllable
+      // FORCAST readability (q274) — rolled up per source; the oracle
+      // composes the same generated fragments so none can drift
+      val docs = Tables.documents(s, d)
+      val comp = graft.operators.DedupOps.nearDupGroups(
+        docs.select(col("doc_id")), "doc_id",
+        graft.operators.DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d)))
+      val pack = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.SyllablePack(
+          org.apache.spark.sql.GraftBridge.expression(col("text"))))
+      val mask = lit((1L << 21) - 1)
+      val per = docs
+        .join(comp, docs("doc_id") === comp("id"))
+        .select(col("source"), col("n_chars"),
+          (col("canonical_id") =!= col("id")).cast("long").as("__dup"),
+          (graft.operators.TextOps.langId(col("text")) === col("lang"))
+            .cast("long").as("__lm"),
+          pack.as("__p"))
+        .select(col("source"), col("n_chars"), col("__dup"), col("__lm"),
+          shiftright(col("__p"), 42).bitwiseAND(mask).as("__wd"),
+          col("__p").bitwiseAND(mask).as("__mono"))
+        .withColumn("__fc", when(col("__wd") > 0L,
+          lit(20000L) - call_function("div",
+            lit(15000L) * col("__mono"), col("__wd"))))
+      per.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__dup")).as("n_dupes"),
+          call_function("div", lit(1000L) * sum(col("__lm")),
+            count(lit(1))).as("lang_match_permille"),
+          call_function("div", sum(col("n_chars")),
+            count(lit(1))).as("mean_chars"),
+          call_function("div", sum(col("__fc")),
+            count(col("__fc"))).as("mean_forcast_e3"))
+        .orderBy(col("source"))
+    },
+      Some(s"""WITH RECURSIVE ${nearDupGroupsCtes(3)},
+pl AS ($langIdSql),
+sy AS (SELECT doc_id,
+  CAST(len(ws) AS BIGINT) AS wd, CAST(len(list_filter(ws,
+    x -> len(regexp_extract_all(x, '[aeiouy]+')) = 1)) AS BIGINT) AS mono
+  FROM (SELECT doc_id,
+    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+    FROM documents)),
+per AS (SELECT d.source, d.n_chars,
+  CASE WHEN g.canonical_id <> g.id THEN 1 ELSE 0 END AS dup,
+  CASE WHEN pl.pred_lang = pl.labeled_lang THEN 1 ELSE 0 END AS lm,
+  CASE WHEN sy.wd > 0 THEN 20000 - (15000 * sy.mono) // sy.wd END AS fc
+  FROM documents d
+  JOIN grp g ON g.id = d.doc_id
+  JOIN pl ON pl.doc_id = d.doc_id
+  JOIN sy ON sy.doc_id = d.doc_id)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(dup) AS BIGINT) AS n_dupes,
+  CAST((1000 * SUM(lm)) // count(*) AS BIGINT) AS lang_match_permille,
+  CAST(SUM(n_chars) // count(*) AS BIGINT) AS mean_chars,
+  CAST(SUM(fc) // count(fc) AS BIGINT) AS mean_forcast_e3
+FROM per GROUP BY 1 ORDER BY source""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
