@@ -7623,6 +7623,93 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(SUM(n_chars) // count(*) AS BIGINT) AS mean_chars,
   CAST(SUM(fc) // count(fc) AS BIGINT) AS mean_forcast_e3
 FROM per GROUP BY 1 ORDER BY source""")),
+
+    ("q295_association_rules", (s, d) => {
+      // a-priori rules ON TOP of q98's pairs: directed a->b with support,
+      // confidence (permille) and lift (e3) as exact integer rationals —
+      // the recommendation triple every basket engine publishes; both
+      // directions emitted, min support 2, ordered by lift then rule
+      val it = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("i"))
+        .distinct()
+      val nb = it.select(col("bk")).distinct().count()
+      val single = it.groupBy(col("i")).agg(count(lit(1)).as("n1"))
+      val pairs = it.as("a").join(it.as("b"),
+          col("a.bk") === col("b.bk") && col("a.i") < col("b.i"))
+        .groupBy(col("a.i").as("i1"), col("b.i").as("i2"))
+        .agg(count(lit(1)).as("nab"))
+        .filter(col("nab") >= 2)
+      val directed = pairs.select(col("i1").as("ante"), col("i2").as("cons"), col("nab"))
+        .unionByName(pairs.select(col("i2").as("ante"), col("i1").as("cons"), col("nab")))
+      directed
+        .join(single.select(col("i").as("ante"), col("n1").as("na")), Seq("ante"))
+        .join(single.select(col("i").as("cons"), col("n1").as("nc")), Seq("cons"))
+        .select(col("ante"), col("cons"), col("nab").as("support"),
+          call_function("div", lit(1000L) * col("nab"), col("na"))
+            .as("confidence_permille"),
+          call_function("div", lit(1000L) * col("nab") * lit(nb),
+            col("na") * col("nc")).as("lift_e3"))
+        .orderBy(col("lift_e3").desc, col("ante"), col("cons"))
+    },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
+  FROM lineitem),
+nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM it),
+s1 AS (SELECT i, CAST(count(*) AS BIGINT) AS n1 FROM it GROUP BY 1),
+p AS (SELECT a.i AS i1, b.i AS i2, CAST(count(*) AS BIGINT) AS nab
+  FROM it a JOIN it b ON a.bk = b.bk AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+dr AS (SELECT i1 AS ante, i2 AS cons, nab FROM p
+  UNION ALL SELECT i2, i1, nab FROM p)
+SELECT dr.ante, dr.cons, dr.nab AS support,
+  CAST((1000 * dr.nab) // sa.n1 AS BIGINT) AS confidence_permille,
+  CAST((1000 * dr.nab * nb.n) // (sa.n1 * sc.n1) AS BIGINT) AS lift_e3
+FROM dr JOIN s1 sa ON dr.ante = sa.i JOIN s1 sc ON dr.cons = sc.i
+CROSS JOIN nb
+ORDER BY lift_e3 DESC, ante, cons""")),
+
+    ("q296_ols_trend", (s, d) =>
+      // per-priority OLS slope/intercept over the daily order series as
+      // EXACT integer rationals (slope_e6 = 1e6*(n*Sxy - Sx*Sy) /
+      // (n*Sxx - Sx^2), x = days since the key's first day) — the
+      // least-squares complement of q159's robust Theil-Sen. int64
+      // headroom: 1e6*n*Sxy needs n*x_max*y_max <= ~7e12 (true through
+      // ~sf1 here); beyond that, coarsen x to weeks and the scale to e3
+      {
+        val daily = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("key"),
+            to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("key"))
+        val xy = daily
+          .withColumn("__x", datediff(col("day"), min(col("day")).over(w)).cast("long"))
+          .select(col("key"), col("__x"), col("c").cast("long").as("__y"))
+        xy.groupBy(col("key"))
+          .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+            sum(col("__y")).as("__sy"), sum(col("__x") * col("__x")).as("__sxx"),
+            sum(col("__x") * col("__y")).as("__sxy"))
+          .select(col("key"), col("n"),
+            call_function("div",
+              lit(1000000L) * (col("n") * col("__sxy") - col("__sx") * col("__sy")),
+              col("n") * col("__sxx") - col("__sx") * col("__sx")).as("slope_e6"),
+            call_function("div",
+              lit(1000L) * (col("__sy") * col("__sxx") - col("__sx") * col("__sxy")),
+              col("n") * col("__sxx") - col("__sx") * col("__sx")).as("intercept_e3"))
+          .orderBy(col("key"))
+      },
+      Some("""WITH dly AS (SELECT o_orderpriority AS key,
+  CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+xy AS (SELECT key, CAST(day - MIN(day) OVER (PARTITION BY key) AS BIGINT) AS x,
+  c AS y FROM dly),
+ag AS (SELECT key, CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+  CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+  CAST(SUM(x * y) AS BIGINT) AS sxy FROM xy GROUP BY 1)
+SELECT key, n,
+  CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT)
+    AS slope_e6,
+  CAST((1000 * (sy * sxx - sx * sxy)) // (n * sxx - sx * sx) AS BIGINT)
+    AS intercept_e3
+FROM ag ORDER BY key""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
