@@ -7710,6 +7710,47 @@ SELECT key, n,
   CAST((1000 * (sy * sxx - sx * sxy)) // (n * sxx - sx * sx) AS BIGINT)
     AS intercept_e3
 FROM ag ORDER BY key""")),
+
+    ("q297_source_overlap", (s, d) => {
+      // which sources copy from each other? the cross-source near-dup
+      // matrix straight off the materialized pair artifact: per
+      // unordered source pair, the number of near-dup doc pairs and the
+      // rate per million doc pairs between those sources — licensing /
+      // provenance triage for a crawl mix
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val pairs = graft.operators.DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d))
+      val sized = docs.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+      val tagged = pairs
+        .join(docs.select(col("doc_id").as("ia"), col("source").as("sa")), Seq("ia"))
+        .join(docs.select(col("doc_id").as("ib"), col("source").as("sb")), Seq("ib"))
+        .select(least(col("sa"), col("sb")).as("s1"),
+          greatest(col("sa"), col("sb")).as("s2"))
+        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_dup_pairs"))
+      tagged
+        .join(broadcast(sized.select(col("source").as("s1"), col("nd").as("n1"))), Seq("s1"))
+        .join(broadcast(sized.select(col("source").as("s2"), col("nd").as("n2"))), Seq("s2"))
+        .select(col("s1"), col("s2"), col("n_dup_pairs"),
+          call_function("div", lit(1000000L) * col("n_dup_pairs"),
+            when(col("s1") === col("s2"),
+              call_function("div", col("n1") * (col("n1") - 1L), lit(2L)))
+              .otherwise(col("n1") * col("n2"))).as("dup_rate_ppm"))
+        .orderBy(col("s1"), col("s2"))
+    },
+      Some(s"""WITH ${simhashSigCtesOver("documents")},
+prs AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM sig a
+  JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY 1),
+tg AS (SELECT LEAST(da.source, db.source) AS s1,
+  GREATEST(da.source, db.source) AS s2, CAST(count(*) AS BIGINT) AS n_dup_pairs
+  FROM prs JOIN documents da ON prs.ia = da.doc_id
+  JOIN documents db ON prs.ib = db.doc_id GROUP BY 1, 2)
+SELECT tg.s1, tg.s2, tg.n_dup_pairs,
+  CAST((1000000 * tg.n_dup_pairs) // (CASE WHEN tg.s1 = tg.s2
+    THEN (a.nd * (a.nd - 1)) // 2 ELSE a.nd * b.nd END) AS BIGINT)
+    AS dup_rate_ppm
+FROM tg JOIN sz a ON tg.s1 = a.source JOIN sz b ON tg.s2 = b.source
+ORDER BY s1, s2""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
