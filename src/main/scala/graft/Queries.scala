@@ -7751,6 +7751,116 @@ SELECT tg.s1, tg.s2, tg.n_dup_pairs,
     AS dup_rate_ppm
 FROM tg JOIN sz a ON tg.s1 = a.source JOIN sz b ON tg.s2 = b.source
 ORDER BY s1, s2""")),
+
+    ("q298_effective_tokens", (s, d) => {
+      // the dedup-aware token budget: every doc's wordpiece tokens split
+      // credit across its near-dup component (eff = 1000*n/|cluster|),
+      // so the per-language "effective tokens" say what a training run
+      // ACTUALLY gets after dedup — raw vs effective plus the kept rate
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), col("lang"),
+        graft.functions.Converters.wordpieceTokens(col("text")).as("n_bpe"))
+      val comp = graft.operators.DedupOps.nearDupGroups(
+        docs.select(col("doc_id")), "doc_id",
+        graft.operators.DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d)))
+      val csz = comp.groupBy(col("canonical_id")).agg(count(lit(1)).as("__csz"))
+      tok.join(comp, tok("doc_id") === comp("id"))
+        .join(csz, Seq("canonical_id"))
+        .select(col("lang"), col("n_bpe"),
+          call_function("div", lit(1000L) * col("n_bpe"), col("__csz")).as("__eff"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("raw_tokens"),
+          sum(col("__eff")).as("effective_tokens_e3"),
+          call_function("div", sum(col("__eff")),
+            sum(col("n_bpe"))).as("kept_permille"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH RECURSIVE $wordpieceTokenCtes,
+dt AS (SELECT w.doc_id, w.lang,
+  CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS n_bpe
+  FROM wx w LEFT JOIN cnt c ON w.wd = c.wd GROUP BY 1, 2),
+${nearDupGroupsCtes(3)},
+cs AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS csz
+  FROM grp GROUP BY 1),
+per AS (SELECT dt.lang, dt.n_bpe, (1000 * dt.n_bpe) // cs.csz AS eff
+  FROM dt JOIN grp g ON g.id = dt.doc_id
+  JOIN cs ON cs.canonical_id = g.canonical_id)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_bpe) AS BIGINT) AS raw_tokens,
+  CAST(SUM(eff) AS BIGINT) AS effective_tokens_e3,
+  CAST(SUM(eff) // SUM(n_bpe) AS BIGINT) AS kept_permille
+FROM per GROUP BY 1 ORDER BY lang""")),
+
+    ("q299_rrf_fusion", (s, d) => {
+      // reciprocal-rank fusion (Cormack et al. 2009) of two retrievers
+      // over the same queries — exact-cosine ranks and exact-L2 ranks
+      // fuse as 1e9//(60+r_cos) + 1e9//(60+r_l2) (integer floors, no
+      // float weights); the ensemble trick retrieval stacks use when
+      // two signals disagree; top-5 fused per query
+      val e = Tables.embeddings(s, d).select(col("vec_id").as("vid"),
+        graft.operators.SimilarityOps.asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vid") < 8)
+        .select(col("vid").as("q_id"), col("v").as("qv"))
+      val dot = aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      val qq = aggregate(zip_with(col("qv"), col("qv"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      val vv = aggregate(zip_with(col("v"), col("v"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      val d2 = aggregate(zip_with(col("qv"), col("v"),
+        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+      val pairs = e.join(broadcast(q), col("vid") =!= col("q_id"))
+        .select(col("q_id"), col("vid").as("neighbor_id"),
+          (floor(dot / (sqrt(qq) * sqrt(vv)) * 10000.0) / 10000.0).as("__sim"),
+          d2.as("__d2"))
+      val wc = Window.partitionBy(col("q_id"))
+        .orderBy(col("__sim").desc, col("neighbor_id"))
+      val wl = Window.partitionBy(col("q_id"))
+        .orderBy(col("__d2"), col("neighbor_id"))
+      val wf = Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf").desc, col("neighbor_id"))
+      pairs
+        .withColumn("__rc", row_number().over(wc).cast("long"))
+        .withColumn("__rl", row_number().over(wl).cast("long"))
+        .withColumn("rrf",
+          call_function("div", lit(1000000000L), lit(60L) + col("__rc")) +
+          call_function("div", lit(1000000000L), lit(60L) + col("__rl")))
+        .withColumn("rank", row_number().over(wf).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("neighbor_id"), col("rrf"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+      Some("""WITH xe AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings),
+qx AS (SELECT vid AS q_id, v AS qv FROM xe WHERE vid < 8),
+pr AS (SELECT q_id, xe.vid AS neighbor_id,
+  floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, len(v) + 1),
+        i -> qv[CAST(i AS INT)] * v[CAST(i AS INT)])), (a, x) -> a + x)
+    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, len(qv) + 1),
+        i -> qv[CAST(i AS INT)] * qv[CAST(i AS INT)])), (a, x) -> a + x))
+    * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, len(v) + 1),
+        i -> v[CAST(i AS INT)] * v[CAST(i AS INT)])), (a, x) -> a + x)))
+    * 10000.0) / 10000.0 AS sim,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list_transform(range(1, len(v) + 1),
+      i -> (qv[CAST(i AS INT)] - v[CAST(i AS INT)])
+         * (qv[CAST(i AS INT)] - v[CAST(i AS INT)]))), (a, x) -> a + x) AS d2
+  FROM qx JOIN xe ON xe.vid != qx.q_id),
+rk AS (SELECT q_id, neighbor_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id)
+    AS BIGINT) AS rc,
+  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, neighbor_id)
+    AS BIGINT) AS rl FROM pr),
+fu AS (SELECT q_id, neighbor_id,
+  1000000000 // (60 + rc) + 1000000000 // (60 + rl) AS rrf FROM rk),
+tp AS (SELECT q_id, neighbor_id, CAST(rrf AS BIGINT) AS rrf,
+  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, neighbor_id)
+    AS BIGINT) AS rank FROM fu)
+SELECT q_id, rank, neighbor_id, rrf FROM tp WHERE rank <= 5
+ORDER BY q_id, rank""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
