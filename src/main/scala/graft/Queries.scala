@@ -7861,6 +7861,55 @@ tp AS (SELECT q_id, neighbor_id, CAST(rrf AS BIGINT) AS rrf,
     AS BIGINT) AS rank FROM fu)
 SELECT q_id, rank, neighbor_id, rrf FROM tp WHERE rank <= 5
 ORDER BY q_id, rank""")),
+
+    ("q300_training_mix_plan", (s, d) => {
+      // the end-to-end mix planner, three families composed: dedup-
+      // weighted EFFECTIVE tokens per language (q298) feed the alpha=1/2
+      // temperature apportionment (q154's exact largest-remainder
+      // permille), and a budget of 20k tokens (a multiple of 1000, so
+      // planned = 20*permille sums to the budget EXACTLY — no second
+      // apportionment pass needed)
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), col("lang"),
+        graft.functions.Converters.wordpieceTokens(col("text")).as("n_bpe"))
+      val comp = graft.operators.DedupOps.nearDupGroups(
+        docs.select(col("doc_id")), "doc_id",
+        graft.operators.DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d)))
+      val csz = comp.groupBy(col("canonical_id")).agg(count(lit(1)).as("__csz"))
+      val per = tok.join(comp, tok("doc_id") === comp("id"))
+        .join(csz, Seq("canonical_id"))
+        .select(col("lang"),
+          call_function("div", lit(1000L) * col("n_bpe"), col("__csz")).as("__eff"))
+      graft.operators.SamplingOps.mixingWeights(per, "lang", col("__eff"))
+        .select(col("group").as("lang"),
+          col("n_tokens").as("effective_tokens_e3"),
+          col("weight_raw"), col("permille"),
+          (lit(20L) * col("permille")).as("planned_tokens"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH RECURSIVE $wordpieceTokenCtes,
+dt AS (SELECT w.doc_id, w.lang,
+  CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS n_bpe
+  FROM wx w LEFT JOIN cnt c ON w.wd = c.wd GROUP BY 1, 2),
+${nearDupGroupsCtes(3)},
+cs AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS csz
+  FROM grp GROUP BY 1),
+per AS (SELECT dt.lang, (1000 * dt.n_bpe) // cs.csz AS eff
+  FROM dt JOIN grp g ON g.id = dt.doc_id
+  JOIN cs ON cs.canonical_id = g.canonical_id),
+t AS (SELECT lang, CAST(SUM(eff) AS BIGINT) AS n_tokens FROM per GROUP BY 1),
+w2 AS (SELECT lang, n_tokens,
+  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight_raw FROM t),
+x AS (SELECT *, CAST(SUM(weight_raw) OVER () AS BIGINT) AS tot FROM w2),
+b AS (SELECT *, (weight_raw * 1000) // tot AS base,
+  (weight_raw * 1000) % tot AS rem FROM x),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+  1000 - CAST(SUM(base) OVER () AS BIGINT) AS short FROM b)
+SELECT lang, n_tokens AS effective_tokens_e3, weight_raw,
+  CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS permille,
+  CAST(20 * (base + CASE WHEN rk <= short THEN 1 ELSE 0 END) AS BIGINT)
+    AS planned_tokens
+FROM r ORDER BY lang""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
