@@ -7910,6 +7910,74 @@ SELECT lang, n_tokens AS effective_tokens_e3, weight_raw,
   CAST(20 * (base + CASE WHEN rk <= short THEN 1 ELSE 0 END) AS BIGINT)
     AS planned_tokens
 FROM r ORDER BY lang""")),
+
+    ("q301_average_precision", (s, d) => {
+      // retrieval eval #3 alongside MRR (q131) and nDCG (q162): per-query
+      // average precision @10 of label-match relevance over the brute
+      // cosine top-10. AP sums precision@i at each relevant rank i —
+      // rational with denominators 1..10, so scaling by LCM(1..10)=2520
+      // makes every term an exact integer and NO precomputed float table
+      // is needed (tighter than q162's discount table): ap_ppm =
+      // (1e6 · Σ rel_i·cumrel_i·(2520/i)) // (2520·n_rel). The rank
+      // window partitions by q_id (10 rows each) — never global.
+      val ranked = SimilarityOps.cosineTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", col("vec_id") % 41 === 0, 10)
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val graded = ranked
+        .join(labels.withColumnRenamed("vec_id", "q_id")
+          .withColumnRenamed("label", "q_label"), Seq("q_id"))
+        .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+          .withColumnRenamed("label", "n_label"), Seq("neighbor_id"))
+        .select(col("q_id"), col("rank"),
+          (col("q_label") === col("n_label")).cast("long").as("rel"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("rank"))
+      graded
+        .withColumn("__cum", sum(col("rel")).over(w))
+        .groupBy(col("q_id"))
+        .agg(sum(col("rel")).as("n_rel"),
+          sum(col("rel") * col("__cum") *
+            call_function("div", lit(2520L), col("rank").cast(LongType)))
+            .as("__s"))
+        .select(col("q_id"), col("n_rel"),
+          when(col("n_rel") > 0,
+            call_function("div", col("__s") * 1000000L,
+              lit(2520L) * col("n_rel")))
+            .otherwise(lit(0L)).as("ap_ppm"))
+        .orderBy(col("q_id"))
+    },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id % 41 = 0),
+pairs AS (SELECT q_id, q_label, e.vec_id AS neighbor_id, e.label AS n_label,
+  floor(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) * 10000.0) / 10000.0 AS sim
+  FROM q JOIN e ON e.vec_id != q.q_id),
+ranked AS (SELECT * FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM pairs)
+  WHERE rank <= 10),
+g AS (SELECT q_id, rank,
+  CASE WHEN q_label = n_label THEN 1 ELSE 0 END AS rel,
+  SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END)
+    OVER (PARTITION BY q_id ORDER BY rank) AS cum
+  FROM ranked),
+ap AS (SELECT q_id, CAST(SUM(rel) AS BIGINT) AS n_rel,
+  CAST(SUM(rel * cum * (2520 // rank)) AS BIGINT) AS s FROM g GROUP BY 1)
+SELECT q_id, n_rel,
+  CASE WHEN n_rel > 0 THEN (s * 1000000) // (2520 * n_rel) ELSE 0 END AS ap_ppm
+FROM ap ORDER BY q_id""")),
+
+    ("q302_hits_hubs_authorities", (s, d) => {
+      // HITS over the DIRECTED customer→supplier trade graph: hubs are
+      // broad buyers, authorities are widely-bought-from suppliers — the
+      // bipartite decomposition q88's undirected PageRank can't express.
+      // Integer-exact: 2 mutual-reinforcement rounds, each side max-
+      // normalized to 1e6 by floor division (GraphOps.hitsScaled).
+      val eb = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      graft.operators.GraphOps.hitsScaled(eb, "cust", "supp", 2)
+        .orderBy(col("side"), col("node"))
+    },
+      Some(hitsSql(2))),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
@@ -9035,6 +9103,35 @@ r${i + 1} AS (SELECT n.node, CAST(150000 + COALESCE(c.c, 0) AS BIGINT) AS r
     }
     sb ++= s"""
 SELECT node, r AS rank FROM r$iters ORDER BY node"""
+    sb.toString
+  }
+
+  /** `iters` unrolled HITS rounds — the SQL twin of
+    * [[graft.operators.GraphOps.hitsScaled]]: same floor-division
+    * max-normalization each half-round, scalar-subquery max (DuckDB
+    * evaluates it once per CTE). MATERIALIZED per house lesson on
+    * unrolled chains.
+    */
+  private def hitsSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH ed AS MATERIALIZED (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h FROM ed)"""
+    for (i <- 0 until iters) {
+      sb ++= s""",
+ar$i AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS ar
+  FROM ed e JOIN h$i h ON e.src = h.node GROUP BY 1),
+a$i AS MATERIALIZED (SELECT node,
+  CAST((ar * 1000000) // (SELECT MAX(ar) FROM ar$i) AS BIGINT) AS a FROM ar$i),
+hr$i AS MATERIALIZED (SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS hr
+  FROM ed e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+h${i + 1} AS MATERIALIZED (SELECT node,
+  CAST((hr * 1000000) // (SELECT MAX(hr) FROM hr$i) AS BIGINT) AS h FROM hr$i)"""
+    }
+    sb ++= s"""
+SELECT node, 'hub' AS side, h AS score FROM h$iters
+UNION ALL SELECT node, 'auth', a FROM a${iters - 1}
+ORDER BY side, node"""
     sb.toString
   }
 

@@ -622,4 +622,65 @@ object GraphOps {
       .select(col("a"), col("b"), col("support"))
       .orderBy(col("a"), col("b"))
   }
+
+  /** Integer-exact HITS (Kleinberg 1999) over a directed edge list:
+    * `iters` mutual-reinforcement rounds of authority = Σ hub of
+    * in-neighbors, hub = Σ authority of out-neighbors, each side
+    * max-normalized to `scale` by floor division (the top hub and top
+    * authority always land exactly at `scale`, so scores are comparable
+    * across rounds and engines — no float L2 norm to drift). Returns one
+    * row per node and side: (node, side∈{hub,auth}, score).
+    *
+    * Unlike [[pageRankScaled]] the two score vectors live on DIFFERENT
+    * node sets (sources vs destinations) — on a bipartite graph such as
+    * customer→supplier trade this is the "good buyers vs good products"
+    * decomposition PageRank can't express.
+    *
+    * Overflow bound (ENFORCED by the caller's data contract, documented
+    * not checked): raw sums are ≤ max-degree·scale ≤ ~1e10 at 1e4-degree
+    * hubs; ·scale again in the normalize stays < 2^63. At 100 TB keep
+    * scale at 1e6 and degree under ~9e5, or pre-aggregate multi-edges.
+    *
+    * Scale shape: the pregel discipline — edge relation checkpointed
+    * once, each half-round one equi-join + one dst/src aggregation, the
+    * per-round max a one-row broadcast (driver-bounded scalar, the
+    * RangePrefix tradition), vertex state node-sized and re-checkpointed
+    * per round. Hot authorities are AQE skew-join territory.
+    */
+  def hitsScaled(edges: DataFrame, srcCol: String, dstCol: String,
+                 iters: Int, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val ed = edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+      .distinct().localCheckpoint(false) // reused by every half-round
+    val hubs = ed.select(col("__src").as("node")).distinct()
+      .localCheckpoint(false)
+    val auths = ed.select(col("__dst").as("node")).distinct()
+      .localCheckpoint(false)
+    var h = hubs.withColumn("h", lit(scale))
+    var a = auths.withColumn("a", lit(0L)) // overwritten by round 1
+    for (_ <- 0 until iters) {
+      val araw = ed.join(h, col("__src") === col("node"))
+        .groupBy(col("__dst").as("node")).agg(sum(col("h")).as("__ar"))
+      val amax = araw.agg(max(col("__ar")).as("__am"))
+      // every dst has in-degree >= 1 by construction, so araw covers
+      // auths exactly; the join is a rebase, not a left-fill
+      a = auths.join(araw, Seq("node"))
+        .crossJoin(broadcast(amax))
+        .select(col("node"),
+          call_function("div", col("__ar") * scale, col("__am")).as("a"))
+        .localCheckpoint(false)
+      val hraw = ed.join(a, col("__dst") === col("node"))
+        .groupBy(col("__src").as("node")).agg(sum(col("a")).as("__hr"))
+      val hmax = hraw.agg(max(col("__hr")).as("__hm"))
+      h = hubs.join(hraw, Seq("node"))
+        .crossJoin(broadcast(hmax))
+        .select(col("node"),
+          call_function("div", col("__hr") * scale, col("__hm")).as("h"))
+        .localCheckpoint(false)
+    }
+    h.select(col("node"), lit("hub").as("side"), col("h").as("score"))
+      .unionByName(
+        a.select(col("node"), lit("auth").as("side"), col("a").as("score")))
+  }
 }

@@ -853,4 +853,71 @@ class Round9OpsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq
     assert(centers === Seq(1L, 3L))
   }
+
+  test("hitsScaled: planted bipartite fixture, hand-computed round") {
+    // a10 bought by 1,2,3; a11 only by 1 -> 1 is the top hub, a10 the
+    // top authority; the minor hub/authority scores floor exactly
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L))
+      .toDF("cust", "supp")
+    val got = graft.operators.GraphOps
+      .hitsScaled(edges, "cust", "supp", 1, scale = 1000L)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    // round 1: ar = (a10=3000, a11=1000), max 3000 -> a = (1000, 333);
+    // hr = (h1=1333, h2=1000, h3=1000), max 1333 -> h = (1000, 750, 750)
+    assert(got === Seq((1L, "hub", 1000L), (2L, "hub", 750L),
+      (3L, "hub", 750L), (10L, "auth", 1000L), (11L, "auth", 333L)))
+  }
+
+  test("hitsScaled: equals a driver power-iteration reference, 2 rounds") {
+    val edges = (1L to 200L).map { i =>
+      val h = graft.functions.DebeziumCodec.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"hits$i"))
+      ((h % 23L) + 1L, ((h >> 8) % 11L) + 100L)
+    }.distinct
+    val got = graft.operators.GraphOps
+      .hitsScaled(edges.toDF("s", "t"), "s", "t", 2)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    // reference: same integer arithmetic, driver maps
+    var h = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 0 until 2) {
+      val ar = edges.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
+      val am = ar.values.max
+      a = ar.view.mapValues(v => v * 1000000L / am).toMap
+      val hr = edges.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
+      val hm = hr.values.max
+      h = hr.view.mapValues(v => v * 1000000L / hm).toMap
+    }
+    val want = (h.map { case (n, v) => (n, "hub", v) } ++
+      a.map { case (n, v) => (n, "auth", v) }).toSeq.sorted
+    assert(got === want && h.nonEmpty && a.nonEmpty)
+  }
+
+  test("q301 average precision: equals a driver brute-force AP at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q301_average_precision")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)].collect()
+    def cos(x: Seq[Float], y: Seq[Float]): Double = {
+      val (dx, dy) = (x.map(_.toDouble), y.map(_.toDouble))
+      val d = dx.zip(dy).map { case (p, q) => p * q }.sum
+      math.floor(d / (math.sqrt(dx.map(v => v * v).sum) *
+        math.sqrt(dy.map(v => v * v).sum)) * 10000.0) / 10000.0
+    }
+    val want = emb.filter(_._1 % 41 == 0).map { case (qid, qv, ql) =>
+      val top = emb.filter(_._1 != qid)
+        .map { case (nid, nv, nl) => (nid, cos(qv, nv), nl) }
+        .sortBy { case (nid, s, _) => (-s, nid) }.take(10)
+      val rels = top.zipWithIndex.map { case ((_, _, nl), i) =>
+        (i + 1, if (nl == ql) 1L else 0L) }
+      val nRel = rels.map(_._2).sum
+      val s = rels.scanLeft((0, 0L)) { case ((_, c), (rk, r)) => (rk, c + r) }
+        .tail.zip(rels).map { case ((rk, cum), (_, r)) =>
+          r * cum * (2520L / rk) }.sum
+      (qid, nRel, if (nRel > 0) s * 1000000L / (2520L * nRel) else 0L)
+    }.toSeq.sortBy(_._1)
+    assert(got === want && want.exists(_._2 > 0))
+  }
 }
