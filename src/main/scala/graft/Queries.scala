@@ -7978,6 +7978,53 @@ FROM ap ORDER BY q_id""")),
         .orderBy(col("side"), col("node"))
     },
       Some(hitsSql(2))),
+
+    ("q303_dbscan_grid", (s, d) => {
+      // density clustering lands: exact DBSCAN over q169's customer
+      // plane (same hash-mixed integer coordinates), eps=25000 minPts=3
+      // — below the percolation threshold at this density, so the plane
+      // decomposes into many small clusters + noise. Grid-candidate
+      // pairs, min-label components on the core graph, deterministic
+      // min-cluster border assignment (SpatialOps.dbscanGrid); the
+      // oracle is BRUTE-FORCE all-pairs + a recursive reach CTE, so
+      // parity proves the grid decomposition loses and invents nothing
+      def coordMix(h: Column) = pmod(pmod(
+        lit(636413622L) * h + lit(528402381L),
+        lit(1000000007L)), lit(1000000L))
+      val pts = Tables.customer(s, d).select(col("c_custkey").as("id"),
+        coordMix(Converters.fingerprint64(
+          concat(lit("gx"), col("c_custkey").cast(StringType)))).as("x"),
+        coordMix(Converters.fingerprint64(
+          concat(col("c_custkey").cast(StringType), lit("gy")))).as("y"))
+      graft.operators.SpatialOps.dbscanGrid(pts, "id", "x", "y",
+        25000L, 25000L, 3L)
+        .orderBy(col("id"))
+    },
+      Some(s"""WITH RECURSIVE p AS (SELECT c_custkey AS id,
+  ${mixedSql("('gx' || CAST(c_custkey AS VARCHAR))")} % 1000000 AS x,
+  ${mixedSql("(CAST(c_custkey AS VARCHAR) || 'gy')")} % 1000000 AS y
+  FROM customer),
+pr AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON a.id < b.id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625000000),
+nc AS (SELECT id, count(*) AS nb FROM
+  (SELECT ia AS id FROM pr UNION ALL SELECT ib FROM pr) GROUP BY 1),
+core AS MATERIALIZED (SELECT p.id FROM p LEFT JOIN nc ON nc.id = p.id
+  WHERE COALESCE(nb, 0) + 1 >= 3),
+ce AS (SELECT ia, ib FROM pr
+  WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)),
+edges AS (SELECT ia AS src, ib AS dst FROM ce UNION ALL SELECT ib, ia FROM ce),
+reach(a, b) AS (SELECT id, id FROM core
+  UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+grp AS MATERIALIZED (SELECT a AS id, min(b) AS cl FROM reach GROUP BY a),
+adj AS (SELECT ia AS id, ib AS nb FROM pr UNION ALL SELECT ib, ia FROM pr),
+border AS (SELECT adj.id, min(g.cl) AS cl FROM adj JOIN grp g ON g.id = adj.nb
+  WHERE adj.id NOT IN (SELECT id FROM core) GROUP BY adj.id)
+SELECT p.id,
+  CASE WHEN g.id IS NOT NULL THEN 'core'
+       WHEN b.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+  CAST(COALESCE(g.cl, b.cl, -1) AS BIGINT) AS cluster
+FROM p LEFT JOIN grp g ON g.id = p.id LEFT JOIN border b ON b.id = p.id
+ORDER BY p.id""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus

@@ -183,4 +183,63 @@ object SpatialOps {
     }.reduce(_ + _)
     pmod(crossings, lit(2L)) === 1L
   }
+
+  /** EXACT grid-decomposed DBSCAN (Ester et al. 1996) over planar integer
+    * coordinates: a point is `core` when its eps-neighborhood (itself
+    * included, the paper's convention) holds >= `minPts` points; core
+    * points within eps of each other share a cluster (connected
+    * components of the core graph, labeled by min core id); a non-core
+    * point within eps of a core is `border` and — where the paper leaves
+    * the choice scan-order-dependent — joins its MINIMUM-labeled core
+    * neighbor's cluster, making the output deterministic and
+    * engine-replayable; everything else is `noise` (cluster -1).
+    *
+    * Scale shape: candidates come from [[gridNeighborPairs]] (cell-local
+    * equi-join, exact int64 verify — never the n² product; the pair
+    * relation persists once and feeds the degree count, the core graph,
+    * and the border assignment), and the component labeling is
+    * [[DedupOps.nearDupGroups]]'s checkpointed min-label propagation with
+    * node-sized state. Cluster diameter in HOPS is the propagation depth
+    * dial (maxIter doubles it per unit); a percolated plane — eps far
+    * above the density threshold — is a parameter bug, not a plan shape.
+    */
+  def dbscanGrid(points: DataFrame, idCol: String, xCol: String,
+                 yCol: String, cell: Long, eps: Long,
+                 minPts: Long): DataFrame = {
+    require(minPts >= 1, s"need minPts >= 1, got $minPts")
+    val pts = points.select(col(idCol).cast("long").as("id"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .localCheckpoint(false) // feeds the pair join and the final rebase
+    val pairs = gridNeighborPairs(pts, "id", "x", "y", cell, eps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b")))
+      .groupBy(col("id")).agg(count(lit(1)).as("__nb"))
+    val core = pts.join(deg, Seq("id"), "left")
+      .filter(coalesce(col("__nb"), lit(0L)) + 1L >= minPts)
+      .select(col("id"))
+      .localCheckpoint(false) // three consumers below
+    val coreEdges = pairs
+      .join(core.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(core.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+      .select(col("id_a").as("ia"), col("id_b").as("ib"))
+    val grp = DedupOps.nearDupGroups(core, "id", coreEdges)
+    val adj = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val border = adj
+      .join(core, Seq("id"), "left_anti")
+      .join(grp.select(col("id").as("nb"), col("canonical_id")), Seq("nb"))
+      .groupBy(col("id")).agg(min(col("canonical_id")).as("__bcl"))
+    val out = pts.select(col("id"))
+      .join(grp.withColumnRenamed("canonical_id", "__ccl"), Seq("id"), "left")
+      .join(border, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__ccl").isNotNull, lit("core"))
+          .when(col("__bcl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("__ccl"), col("__bcl"), lit(-1L)).as("cluster"))
+      .localCheckpoint(false) // materialize before releasing the pairs
+    pairs.unpersist()
+    out
+  }
 }

@@ -893,6 +893,24 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got === want && h.nonEmpty && a.nonEmpty)
   }
 
+  test("dbscanGrid: planted core/border/noise fixture, two clusters") {
+    // cluster 1: 1,2,3 mutually within eps=10 (all core); 4 is within
+    // eps of core 2 only and has a 2-point neighborhood -> border.
+    // cluster 8: 8,9,10 (core). 5,6 are a pair — each sees 2 < minPts=3
+    // and no core -> noise; 7 isolated -> noise.
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 5L, 0L), (3L, 0L, 5L), (4L, 14L, 0L),
+      (5L, 100L, 100L), (6L, 105L, 100L), (7L, 200L, 200L),
+      (8L, 50L, 0L), (9L, 55L, 0L), (10L, 50L, 5L)).toDF("id", "x", "y")
+    val got = graft.operators.SpatialOps
+      .dbscanGrid(pts, "id", "x", "y", 10L, 10L, 3L)
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((1L, "core", 1L), (2L, "core", 1L), (3L, "core", 1L),
+      (4L, "border", 1L), (5L, "noise", -1L), (6L, "noise", -1L),
+      (7L, "noise", -1L), (8L, "core", 8L), (9L, "core", 8L),
+      (10L, "core", 8L)))
+  }
+
   test("q301 average precision: equals a driver brute-force AP at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q301_average_precision")(spark, sf)
