@@ -8025,6 +8025,358 @@ SELECT p.id,
   CAST(COALESCE(g.cl, b.cl, -1) AS BIGINT) AS cluster
 FROM p LEFT JOIN grp g ON g.id = p.id LEFT JOIN border b ON b.id = p.id
 ORDER BY p.id""")),
+
+    ("q304_degree_assortativity", (s, d) =>
+      // does the co-purchase graph wire hubs to hubs or hubs to leaves?
+      // Newman's degree assortativity in exact integer moments (num/den
+      // shipped raw, ppm positive-shifted) — the one-row structural
+      // readout that decides whether hub-sampling or leaf-sampling
+      // strategies see a representative neighborhood
+      graft.operators.GraphOps.degreeAssortativity(
+        coPurchaseEdges(s, d), "i1", "i2"),
+      Some(s"""WITH $coPurchaseEdgesSql,
+deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+p AS (SELECT da.dg AS dx, db.dg AS dy FROM e
+  JOIN deg da ON da.node = e.s JOIN deg db ON db.node = e.d),
+mo AS (SELECT CAST(count(*) AS BIGINT) AS m2, CAST(SUM(dx) AS BIGINT) AS sx,
+  CAST(SUM(dx * dx) AS BIGINT) AS sxx, CAST(SUM(dx * dy) AS BIGINT) AS sxy
+  FROM p)
+SELECT m2 // 2 AS m_edges, m2 * sxy - sx * sx AS num, m2 * sxx - sx * sx AS den,
+  ((m2 * sxy - sx * sx + m2 * sxx - sx * sx) * 1000000)
+    // (m2 * sxx - sx * sx) - 1000000 AS r_ppm
+FROM mo""")),
+
+    ("q305_char_collision", (s, d) =>
+      // Rényi-2 character diversity per document: the collision
+      // probability of two random character draws, Σc²/n² in exact ppm —
+      // the log-free twin of character entropy (high collision =
+      // repeated-char junk, the q58 repetition filter's char-level
+      // sibling) plus the distinct-char census. One (doc, char) shuffle;
+      // the char explode is map-side
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("__c")).as("n_chars_text"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("__c") * col("__c")).as("__s2"))
+        .select(col("doc_id"), col("n_chars_text"), col("n_distinct"),
+          call_function("div", col("__s2") * 1000000L,
+            col("n_chars_text") * col("n_chars_text")).as("collision_ppm"))
+        .orderBy(col("doc_id")),
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents),
+c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY doc_id, ch),
+a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+  CAST(count(*) AS BIGINT) AS n_distinct, CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM c GROUP BY 1)
+SELECT doc_id, n AS n_chars_text, n_distinct,
+  (s2 * 1000000) // (n * n) AS collision_ppm
+FROM a ORDER BY doc_id""")),
+
+    ("q306_weighted_median", (s, d) => {
+      // weighted lower median order value per priority class, weight =
+      // the order's lineitem count — "the median shipped-line dollar",
+      // which a row-median misses when big orders carry more lines; the
+      // crossing rule is exact integer (2·cumw ≥ W), tie-broken by key
+      val w = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("w"))
+      val base = Tables.orders(s, d)
+        .join(w, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("pr"),
+          (d2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+          col("w"), col("o_orderkey"))
+      graft.operators.SketchOps.weightedGroupMedian(
+          base, "pr", "cents", "w", "o_orderkey")
+        .orderBy(col("group"))
+    },
+      Some("""WITH w AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1),
+b AS (SELECT o_orderpriority AS grp,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+  w.w, o_orderkey FROM orders JOIN w ON l_orderkey = o_orderkey),
+r AS (SELECT grp, cents, w,
+  SUM(w) OVER (PARTITION BY grp ORDER BY cents, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+  SUM(w) OVER (PARTITION BY grp) AS wt FROM b)
+SELECT grp AS "group", CAST(wt AS BIGINT) AS w_total, cents AS median_value
+FROM r WHERE cw * 2 >= wt AND (cw - w) * 2 < wt ORDER BY "group" """)),
+
+    ("q307_runs_test", (s, d) =>
+      // Wald–Wolfowitz randomness screen per user: are the value stream's
+      // above/below-median signs patterned? Streak-y users (ratio ≪ 1e6)
+      // are level-shifters / stuck sensors, fast alternators (≫ 1e6) are
+      // ping-pong automation — the sign-pattern complement to q201's
+      // cadence CV² and q266's monotone drift
+      graft.operators.TemporalOps.runsTest(
+          Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
+          "user_id", "ts_us", "value", "event_id")
+        .select(col("key").as("user_id"), col("n1"), col("n2"), col("runs"),
+          col("e_runs_ppm"), col("ratio_ppm"))
+        .orderBy(col("user_id")),
+      Some("""WITH b AS (SELECT user_id AS key, epoch_us(ts) AS t, value AS v,
+  event_id AS tie FROM events),
+m AS (SELECT key, v AS med FROM (
+  SELECT key, v, ROW_NUMBER() OVER (PARTITION BY key ORDER BY v, tie) AS rn,
+    count(*) OVER (PARTITION BY key) AS n FROM b) WHERE rn = (n + 1) // 2),
+sgn AS (SELECT b.key, b.t, b.tie,
+  CASE WHEN b.v > m.med THEN 1 ELSE 0 END AS sg
+  FROM b JOIN m USING (key) WHERE b.v <> m.med),
+ch AS (SELECT key, sg, CASE WHEN LAG(sg) OVER w IS NULL THEN 0
+    WHEN sg <> LAG(sg) OVER w THEN 1 ELSE 0 END AS chg
+  FROM sgn WINDOW w AS (PARTITION BY key ORDER BY t, tie)),
+a AS (SELECT key, CAST(SUM(sg) AS BIGINT) AS n1,
+  CAST(count(*) - SUM(sg) AS BIGINT) AS n2,
+  CAST(SUM(chg) + 1 AS BIGINT) AS runs FROM ch GROUP BY 1)
+SELECT key AS user_id, n1, n2, runs,
+  1000000 + (n1 * n2 * 2000000) // (n1 + n2) AS e_runs_ppm,
+  (runs * (n1 + n2) * 1000000) // (n1 + n2 + n1 * n2 * 2) AS ratio_ppm
+FROM a WHERE n1 > 0 AND n2 > 0 ORDER BY user_id""")),
+
+    ("q308_isotonic_calibration", (s, d) => {
+      // monotone recalibration of q163's reliability curve: the weighted
+      // isotonic (PAVA) fit of dup-rate against the length-bin score,
+      // via the minimax characterization — interval pooled rates, a
+      // running min over right endpoints, a running max over left
+      // starts — so the oracle replays the identical join-window plan;
+      // the fit is the release-ready monotone score→rate mapping
+      val docs = Tables.documents(s, d)
+        .withColumn("__f", Converters.fingerprint64(col("text")))
+      val dup = docs.groupBy(col("__f")).agg(count(lit(1)).as("__c"))
+      val bins = docs.join(dup, Seq("__f"))
+        .select(call_function("div", col("n_chars"), lit(100L)).as("bin"),
+          (col("__c") > 1L).cast("long").as("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      graft.operators.SketchOps.isotonicFit(bins, "bin", "n", "n_pos")
+        .orderBy(col("bin"))
+    },
+      Some(s"""WITH f AS (SELECT n_chars, ${fpSql("text")} AS f FROM documents),
+c AS (SELECT f, count(*) AS c FROM f GROUP BY 1),
+l AS (SELECT f.n_chars // 100 AS bin, CASE WHEN c.c > 1 THEN 1 ELSE 0 END AS y
+  FROM f JOIN c USING (f)),
+b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM l GROUP BY 1),
+cb AS (SELECT bin, n, n_pos,
+  SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+  SUM(n_pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+  FROM b),
+iv AS (SELECT j.bin AS jb, k.bin AS kb,
+  CAST(k.cp - j.cp + j.n_pos AS DOUBLE) / CAST(k.cn - j.cn + j.n AS DOUBLE) AS a
+  FROM cb j JOIN cb k ON j.bin <= k.bin),
+mi AS (SELECT jb, kb AS ib, MIN(a) OVER (PARTITION BY jb ORDER BY kb DESC
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m FROM iv),
+ft AS (SELECT ib, jb, MAX(m) OVER (PARTITION BY ib ORDER BY jb
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f FROM mi)
+SELECT b.bin, b.n, b.n_pos, CAST(FLOOR(ft.f * 1000000) AS BIGINT) AS fit_ppm
+FROM b JOIN ft ON ft.ib = b.bin AND ft.jb = b.bin ORDER BY b.bin""")),
+
+    ("q309_lsh_band_planner", (s, d) => {
+      // MinHash-LSH parameter planner, DATA-DRIVEN: which (bands, rows)
+      // split of a 128-hash signature best serves THIS corpus? The
+      // observed exact-Jaccard pair spectrum (q21's prefix-filtered
+      // machinery at τ=0.6, permille-binned) is integrated against each
+      // plan's S-curve p(s) = 1 − (1 − s^r)^b, computed by REPEATED
+      // SQUARING (r and b are powers of two) so both engines evaluate
+      // the identical IEEE multiply chain and the ppm floor is
+      // bit-stable. Output per plan: true-pair (≥0.7) count + expected
+      // caught ppm, near-miss (0.6–0.7) count + collision ppm — the
+      // recall-vs-candidate-load tradeoff that picks b and r
+      val r0 = DedupOps.jaccardPairsPrefixReleasable(
+        Tables.documents(s, d), "doc_id", "text", 3, 0.6)
+      val hist = r0.df
+        .select(floor(col("jaccard") * 1000d).cast(LongType).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      r0.release()
+      def sq(c: Column, t: Int): Column = (0 until t).foldLeft(c)((x, _) => x * x)
+      val sCol = col("bin").cast(DoubleType) / lit(1000.0)
+      val plans = (0 to 7).map { j =>
+        val r = 1 << j
+        val b = 128 / r
+        val p = lit(1.0) - sq(lit(1.0) - sq(sCol, j), 7 - j)
+        hist.select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+          col("bin"), col("cnt"), floor(p * 1000000d).cast(LongType).as("pppm"))
+      }.reduce(_ union _)
+      plans.groupBy(col("n_bands"), col("rows_per_band"))
+        .agg(sum(when(col("bin") >= 700L, col("cnt")).otherwise(0L)).as("n_true"),
+          sum(when(col("bin") >= 700L, col("cnt") * col("pppm")).otherwise(0L)).as("__tc"),
+          sum(when(col("bin") < 700L, col("cnt")).otherwise(0L)).as("n_near"),
+          sum(when(col("bin") < 700L, col("cnt") * col("pppm")).otherwise(0L)).as("__nc"))
+        .select(col("n_bands"), col("rows_per_band"), col("n_true"),
+          when(col("n_true") > 0L, call_function("div", col("__tc"), col("n_true")))
+            .otherwise(lit(null).cast(LongType)).as("recall_ppm"),
+          col("n_near"),
+          when(col("n_near") > 0L, call_function("div", col("__nc"), col("n_near")))
+            .otherwise(lit(null).cast(LongType)).as("nearmiss_ppm"))
+        .orderBy(col("rows_per_band"))
+    },
+      Some(lshPlannerSql)),
+
+    ("q310_path_throughput", (s, d) => {
+      // shortest-path throughput centrality (the integer core of
+      // Brandes' betweenness): from the q168 seed set, σ forward-BFS
+      // path counts × τ backward DAG-suffix counts, hop-capped at 4 —
+      // which parts sit on the co-purchase routing backbone; exact
+      // integers end to end, so the oracle replays both sweeps
+      // round-for-round
+      val edges = coPurchaseEdges(s, d)
+      val sym = edges.select(col("i1").as("s"), col("i2").as("d"))
+        .union(edges.select(col("i2").as("s"), col("i1").as("d")))
+      val seeds = Tables.part(s, d)
+        .filter(pmod(col("p_partkey"), lit(101)) === 0)
+      graft.operators.GraphOps.pathThroughput(sym, "s", "d",
+          seeds, "p_partkey", 4)
+        .orderBy(col("node"))
+    },
+      Some(pathThroughputSql(4))),
+
+    ("q311_sequence_gaps", (s, d) => {
+      // CDC loss audit: which log positions never arrived? Over a
+      // planted-loss survivor stream (every 97th id and the 5000–5120
+      // range dropped), gaps are found SHARDED: a shard-local lag
+      // window catches in-shard holes and a shards-sized boundary walk
+      // catches holes spanning shards (including whole missing shards)
+      // — never a global data-sized window; the shard key is the id
+      // range itself, so the union is exactly the global gap list
+      val ids = Tables.events(s, d).select(col("event_id").as("id"))
+        .filter(pmod(col("id"), lit(97L)) =!= 0L &&
+          !(col("id") >= 5000L && col("id") <= 5120L))
+        .withColumn("shard", call_function("div", col("id"), lit(4096L)))
+      val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      val inner = ids.withColumn("prev", lag(col("id"), 1).over(w))
+        .filter(col("prev").isNotNull && col("id") - col("prev") > 1L)
+        .select((col("prev") + 1L).as("gap_start"), (col("id") - 1L).as("gap_end"))
+      val bounds = ids.groupBy(col("shard"))
+        .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      val wb = Window.partitionBy(lit(0)).orderBy(col("shard")) // shards-sized
+      val cross = bounds.withColumn("pmx", lag(col("mx"), 1).over(wb))
+        .filter(col("pmx").isNotNull && col("mn") - col("pmx") > 1L)
+        .select((col("pmx") + 1L).as("gap_start"), (col("mn") - 1L).as("gap_end"))
+      inner.union(cross)
+        .select(col("gap_start"), col("gap_end"),
+          (col("gap_end") - col("gap_start") + 1L).as("n_missing"))
+        .orderBy(col("gap_start"))
+    },
+      Some("""WITH ids AS (SELECT event_id AS id FROM events
+  WHERE event_id % 97 <> 0 AND NOT (event_id BETWEEN 5000 AND 5120)),
+g AS (SELECT id, LAG(id) OVER (ORDER BY id) AS prev FROM ids)
+SELECT prev + 1 AS gap_start, id - 1 AS gap_end, id - prev - 1 AS n_missing
+FROM g WHERE prev IS NOT NULL AND id - prev > 1 ORDER BY gap_start""")),
+
+    ("q312_max_drawdown", (s, d) => {
+      // peak-to-trough drawdown per user over the running value balance
+      // (floor-cents, exact): the monitoring statistic behind "how far
+      // below its best has this account/metric fallen" — two stacked
+      // keyed windows (running sum, then running max of it), argmax by
+      // (dd, earliest) via one struct aggregate
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("ts_ns div 1000").as("t"), col("event_id"),
+        floor(col("value") * 100d).cast(LongType).as("c"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("bal", sum(col("c")).over(w))
+        .withColumn("dd", max(col("bal")).over(w) - col("bal"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("dd"), (-col("t")).as("nt"),
+          (-col("event_id")).as("ni"))).as("m"))
+        .select(col("user_id"), col("m.dd").as("max_drawdown_c"),
+          (-col("m.nt")).as("at_us"), (-col("m.ni")).as("at_event_id"))
+        .orderBy(col("user_id"))
+    },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+  CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
+r AS (SELECT user_id, t, event_id, CAST(SUM(c) OVER (PARTITION BY user_id
+  ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS bal FROM e),
+p AS (SELECT user_id, t, event_id, MAX(bal) OVER (PARTITION BY user_id
+  ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bal AS dd FROM r),
+s AS (SELECT user_id, dd, t, event_id, ROW_NUMBER() OVER (PARTITION BY user_id
+  ORDER BY dd DESC, t, event_id) AS rn FROM p)
+SELECT user_id, dd AS max_drawdown_c, t AS at_us, event_id AS at_event_id
+FROM s WHERE rn = 1 ORDER BY user_id""")),
+
+    ("q313_label_noise", (s, d) => {
+      // confident-learning-style label-noise screen, CLUSTER-shaped (the
+      // linear plan — a kNN-disagreement screen would be quadratic):
+      // q250's deterministic k-means assigns every embedding to a cell,
+      // each cell votes a majority label (ties to the smallest label),
+      // and points voting against their cell are flagged for review
+      val asg = SimilarityOps.kmeansAssignments(
+        Tables.embeddings(s, d), "vec_id", "embedding", 8, 2)
+      val lab = Tables.embeddings(s, d)
+        .select(col("vec_id").as("vid"), col("label").cast(LongType).as("label"))
+      val j = asg.join(lab, Seq("vid")).localCheckpoint(false) // vote + verdict
+      val maj = j.groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("cell"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("cell"), (-col("m.nl")).as("maj_label"))
+      j.join(broadcast(maj), Seq("cell"))
+        .select(col("vid").as("vec_id"), col("label"), col("cell").as("c_id"),
+          col("maj_label"), (col("label") =!= col("maj_label")).as("is_minority"))
+        .orderBy(col("vec_id"))
+    },
+      Some(s"""WITH e AS (SELECT vec_id AS vid,
+  list_transform(CAST(embedding AS DOUBLE[]),
+    x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS xs FROM embeddings),
+c0 AS (SELECT vid AS c_id, xs AS cxs FROM e
+  ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT 8),
+${kmeansRoundsSql(2)},
+lab AS (SELECT s3.vid, s3.cell, CAST(emb.label AS BIGINT) AS label
+  FROM s3 JOIN embeddings emb ON emb.vec_id = s3.vid),
+cnt AS (SELECT cell, label, count(*) AS c FROM lab GROUP BY 1, 2),
+maj AS (SELECT cell, label AS maj_label FROM (SELECT *,
+  ROW_NUMBER() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn FROM cnt)
+  WHERE rn = 1)
+SELECT l.vid AS vec_id, l.label, l.cell AS c_id, m.maj_label,
+  l.label <> m.maj_label AS is_minority
+FROM lab l JOIN maj m USING (cell) ORDER BY vec_id""")),
+
+    ("q314_feature_hash_audit", (s, d) => {
+      // hashing-trick design audit: at feature dims 2^12/2^14/2^16, how
+      // much of the vocabulary (and how much token MASS) lands in shared
+      // buckets? One vocab aggregation feeds all three widths; collided
+      // mass in exact ppm decides the width a feature-hashed model needs
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false) // probed by three bucket widths
+      Seq(12, 14, 16).map { k =>
+        val m = 1L << k
+        val b = vocab.withColumn("bkt",
+          pmod(Converters.fingerprint64(col("tok")), lit(m)))
+        val sizes = b.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+        b.join(sizes, Seq("bkt"))
+          .groupBy(lit(m).as("n_dims"))
+          .agg(count(lit(1)).as("n_terms"),
+            countDistinct(col("bkt")).as("buckets_used"),
+            sum((col("bn") > 1L).cast("long")).as("collided_terms"),
+            call_function("div",
+              sum(when(col("bn") > 1L, col("tf")).otherwise(0L)) * 1000000L,
+              sum(col("tf"))).as("collided_mass_ppm"))
+      }.reduce(_ union _).orderBy(col("n_dims"))
+    },
+      Some {
+        val per = Seq(12, 14, 16).map { k =>
+          val m = 1L << k
+          s"""SELECT CAST($m AS BIGINT) AS n_dims, CAST(count(*) AS BIGINT) AS n_terms,
+  CAST(count(DISTINCT b.bkt) AS BIGINT) AS buckets_used,
+  CAST(SUM(CASE WHEN bn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS collided_terms,
+  CAST((SUM(CASE WHEN bn > 1 THEN tf ELSE 0 END) * 1000000) // SUM(tf) AS BIGINT)
+    AS collided_mass_ppm
+FROM (SELECT tok, tf, ((${fpSql("tok")} % $m) + $m) % $m AS bkt FROM v) b
+JOIN (SELECT bkt2, CAST(count(*) AS BIGINT) AS bn FROM
+  (SELECT ((${fpSql("tok")} % $m) + $m) % $m AS bkt2 FROM v) GROUP BY 1) s
+ON s.bkt2 = b.bkt"""
+        }
+        s"""WITH v AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE length(tok) > 0 GROUP BY 1)
+${per.mkString("\nUNION ALL\n")}
+ORDER BY n_dims"""
+      }),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
@@ -8674,6 +9026,76 @@ WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $tau ORDER BY ia, ib"""
   /** Oracle for q22 — the MinHash self-join path is uncapped. */
   private def jaccardSql(tau: Double): String =
     jaccardSqlFor(tau, "a.doc_id < b.doc_id")
+
+  /** q309's oracle: the observed-pair Jaccard histogram (q21's brute
+    * CTE as a subquery) integrated against the eight (b, r) S-curves.
+    * The power chains are generated by the SAME repeated-squaring
+    * shape as the Spark side — each squaring step multiplies a value
+    * by itself, so the IEEE evaluation order is identical and the ppm
+    * floor can never drift.
+    */
+  private def lshPlannerSql: String = {
+    def pw(e: String, t: Int): String =
+      (0 until t).foldLeft(e)((x, _) => s"($x * $x)")
+    val sels = (0 to 7).map { j =>
+      val r = 1 << j
+      val b = 128 / r
+      val s = "(CAST(bin AS DOUBLE) / 1000.0)"
+      val u = s"(1.0 - ${pw(s, j)})"
+      val p = s"(1.0 - ${pw(u, 7 - j)})"
+      s"""SELECT CAST($b AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS rows_per_band,
+  bin, cnt, CAST(FLOOR($p * 1000000) AS BIGINT) AS pppm FROM hist"""
+    }
+    s"""WITH hist AS (SELECT CAST(FLOOR(jaccard * 1000) AS BIGINT) AS bin,
+  CAST(count(*) AS BIGINT) AS cnt FROM (${jaccardSql(0.6)}) jp GROUP BY 1),
+pl AS (${sels.mkString("\nUNION ALL\n")})
+SELECT n_bands, rows_per_band,
+  CAST(SUM(CASE WHEN bin >= 700 THEN cnt ELSE 0 END) AS BIGINT) AS n_true,
+  CAST(SUM(CASE WHEN bin >= 700 THEN cnt * pppm ELSE 0 END)
+    // NULLIF(SUM(CASE WHEN bin >= 700 THEN cnt ELSE 0 END), 0) AS BIGINT) AS recall_ppm,
+  CAST(SUM(CASE WHEN bin < 700 THEN cnt ELSE 0 END) AS BIGINT) AS n_near,
+  CAST(SUM(CASE WHEN bin < 700 THEN cnt * pppm ELSE 0 END)
+    // NULLIF(SUM(CASE WHEN bin < 700 THEN cnt ELSE 0 END), 0) AS BIGINT) AS nearmiss_ppm
+FROM pl GROUP BY 1, 2 ORDER BY rows_per_band"""
+  }
+
+  /** q310's oracle: `rounds` unrolled σ forward-BFS rounds (candidate
+    * sums anti-joined against the running seen set) followed by the τ
+    * backward DAG-suffix accumulation from the deepest level up — the
+    * SQL twin of [[graft.operators.GraphOps.pathThroughput]],
+    * MATERIALIZED for the [[markovChainSql]] planner reason.
+    */
+  private def pathThroughputSql(rounds: Int): String = {
+    val fwd = (1 to rounds).map { r =>
+      s""",
+c$r AS MATERIALIZED (SELECT f.seed, e.d AS node, CAST(SUM(f.sig) AS BIGINT) AS sig
+  FROM l${r - 1} f JOIN e ON e.s = f.node GROUP BY 1, 2),
+l$r AS MATERIALIZED (SELECT c.seed, c.node, c.sig FROM c$r c
+  LEFT JOIN s${r - 1} p ON p.seed = c.seed AND p.node = c.node
+  WHERE p.seed IS NULL),
+s$r AS MATERIALIZED (SELECT seed, node FROM s${r - 1}
+  UNION ALL SELECT seed, node FROM l$r)"""
+    }.mkString
+    val bwd = (rounds - 1 to 0 by -1).map { r =>
+      s""",
+t$r AS MATERIALIZED (SELECT v.seed, v.node,
+  CAST(1 + COALESCE(SUM(w.tau), 0) AS BIGINT) AS tau
+  FROM l$r v LEFT JOIN e ON e.s = v.node
+  LEFT JOIN t${r + 1} w ON w.seed = v.seed AND w.node = e.d
+  GROUP BY 1, 2)"""
+    }.mkString
+    val con = (0 to rounds).map { r =>
+      s"SELECT l.node, l.sig * t.tau AS pt FROM l$r l JOIN t$r t ON t.seed = l.seed AND t.node = l.node"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $coPurchaseEdgesSql,
+sd AS (SELECT DISTINCT p_partkey AS seed FROM part WHERE p_partkey % 101 = 0),
+l0 AS MATERIALIZED (SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sig FROM sd),
+s0 AS (SELECT seed, node FROM l0)$fwd,
+t$rounds AS (SELECT seed, node, CAST(1 AS BIGINT) AS tau FROM l$rounds)$bwd,
+con AS ($con)
+SELECT node, CAST(count(*) AS BIGINT) AS n_sources, CAST(SUM(pt) AS BIGINT) AS throughput
+FROM con GROUP BY 1 ORDER BY 1"""
+  }
 
   /** Brute-force CROSS-corpus word-3gram Jaccard (ia odd, ib even) —
     * oracle for q54's LSH join.

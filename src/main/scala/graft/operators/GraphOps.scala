@@ -683,4 +683,118 @@ object GraphOps {
       .unionByName(
         a.select(col("node"), lit("auth").as("side"), col("a").as("score")))
   }
+
+  /** Degree assortativity (Newman 2002) over an undirected unique-edge
+    * list, in EXACT integer moments: over the M = 2m directed endpoint
+    * pairs (x, y) = (deg(u), deg(v)),
+    *   num = M·Σxy − (Σx)²,   den = M·Σx² − (Σx)²
+    * (Σx = Σy and Σx² = Σy² by symmetry), r = num/den. One row out:
+    * (m_edges, num, den, r_ppm), where r_ppm is the floor-div ppm
+    * computed POSITIVE-SHIFTED — (num + den)·1e6 div den − 1e6 — so
+    * trunc-vs-floor integer-division semantics can never diverge
+    * between engines on a negative r (num ≥ −den by Cauchy–Schwarz, so
+    * the shifted numerator is ≥ 0).
+    *
+    * int64 bound: M·Σx² then ·1e6 — safe while 2m·Σdeg² < ~9e12
+    * (rescale the ppm step past that).
+    *
+    * Scale shape: one degree aggregation, two equi-joins of the edge
+    * list against the node-sized degree relation, one global moment
+    * aggregate — no windows, no self-join, map-side partials all the
+    * way down. Hot hubs skew the degree join: AQE skew-join territory.
+    */
+  def degreeAssortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).cast("long").as("__a"),
+      col(bCol).cast("long").as("__b"))
+    val sym = e.union(e.select(col("__b").as("__a"), col("__a").as("__b")))
+      .localCheckpoint(false) // feeds the degree build and both probes
+    val deg = sym.groupBy(col("__a").as("__n")).agg(count(lit(1)).as("__deg"))
+    val m = sym
+      .join(deg.select(col("__n").as("__a"), col("__deg").as("__dx")), Seq("__a"))
+      .join(deg.select(col("__n").as("__b"), col("__deg").as("__dy")), Seq("__b"))
+      .agg(count(lit(1)).as("__m2"), sum(col("__dx")).as("__sx"),
+        sum(col("__dx") * col("__dx")).as("__sxx"),
+        sum(col("__dx") * col("__dy")).as("__sxy"))
+    m.select(
+      call_function("div", col("__m2"), lit(2L)).as("m_edges"),
+      (col("__m2") * col("__sxy") - col("__sx") * col("__sx")).as("num"),
+      (col("__m2") * col("__sxx") - col("__sx") * col("__sx")).as("den"),
+      (call_function("div",
+        (col("__m2") * col("__sxy") - col("__sx") * col("__sx")
+          + col("__m2") * col("__sxx") - col("__sx") * col("__sx")) * 1000000L,
+        col("__m2") * col("__sxx") - col("__sx") * col("__sx"))
+        - 1000000L).as("r_ppm"))
+  }
+
+  /** Shortest-path throughput centrality from a seed set — the exact
+    * integer core of Brandes' betweenness (Brandes 2001) without the
+    * fractional pair-dependency normalization: for every seed s and
+    * node v, σ(s,v) counts shortest s→v paths (the forward BFS sigma
+    * accumulation) and τ(s,v) counts shortest-path-DAG suffixes from v
+    * (the backward level-by-level accumulation, τ = 1 + Σ τ(successor)).
+    * The reported statistic, throughput(v) = Σ_s σ(s,v)·τ(s,v), is the
+    * EXACT number of (s, t, P) triples where P is a shortest s→t path
+    * passing through v (t ranges over all nodes, including v itself) —
+    * an integer, so the oracle can replay it bit-for-bit where true
+    * betweenness' σ_sv·σ_vt/σ_st fractions could not. Hop distance is
+    * capped at `rounds` (paths longer than the cap don't count — the
+    * documented contract, same as [[bfsHops]]).
+    *
+    * Feed a SYMMETRIC edge list for undirected graphs. Seeds outside
+    * the graph contribute a singleton (σ=τ=1) row for themselves.
+    *
+    * Scale shape: the pregel discipline — edge relation checkpointed
+    * once; each forward round one equi-join + one (seed, node)
+    * aggregation + one anti-join against the seen set; each backward
+    * round one equi-join against the next level's τ state; all state
+    * is (seeds × reached nodes)-sized, checkpointed per round so the
+    * plan never accretes lineage. σ·τ products stay in int64 while
+    * path counts are < ~3e9 per (seed, node) — sparse co-purchase
+    * territory; cap `rounds` lower on dense graphs.
+    */
+  def pathThroughput(edges: DataFrame, srcCol: String, dstCol: String,
+                     seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val ed = edges.select(col(srcCol).cast("long").as("__s"),
+        col(dstCol).cast("long").as("__d"))
+      .distinct().localCheckpoint(false) // reused by every round, both sweeps
+    val l0 = seeds.select(col(seedCol).cast("long").as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"), lit(1L).as("sig"))
+      .localCheckpoint(false)
+    val levels = scala.collection.mutable.ArrayBuffer(l0)
+    var seen = l0.select(col("seed"), col("node")).localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val nxt = levels.last.join(ed, col("node") === col("__s"))
+        .groupBy(col("seed"), col("__d"))
+        .agg(sum(col("sig")).as("sig"))
+        .select(col("seed"), col("__d").as("node"), col("sig"))
+        .join(seen, Seq("seed", "node"), "left_anti")
+        .localCheckpoint(false)
+      seen = seen.union(nxt.select(col("seed"), col("node")))
+        .localCheckpoint(false)
+      levels += nxt
+    }
+    // backward: τ at the deepest level is 1 (only the empty suffix);
+    // each shallower level sums its DAG successors' τ over the edges
+    var tau = levels(rounds).select(col("seed"), col("node"), lit(1L).as("tau"))
+      .localCheckpoint(false)
+    val contribs = scala.collection.mutable.ArrayBuffer(
+      levels(rounds).select(col("node"), col("sig").as("__pt")))
+    for (r <- rounds - 1 to 0 by -1) {
+      val lvl = levels(r)
+      tau = lvl.as("v")
+        .join(ed, col("v.node") === col("__s"), "left")
+        .join(tau.as("w"),
+          col("__d") === col("w.node") && col("v.seed") === col("w.seed"), "left")
+        .groupBy(col("v.seed").as("seed"), col("v.node").as("node"))
+        .agg(coalesce(sum(col("w.tau")), lit(0L)).as("__st"))
+        .select(col("seed"), col("node"), (col("__st") + 1L).as("tau"))
+        .localCheckpoint(false)
+      contribs += lvl.join(tau, Seq("seed", "node"))
+        .select(col("node"), (col("sig") * col("tau")).as("__pt"))
+    }
+    contribs.reduce(_ union _)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("__pt")).as("throughput"))
+  }
 }

@@ -406,7 +406,22 @@ object SimilarityOps {
     * double kernel ([[dot]]) and keeps this exact path for audits.
     */
   def kmeansLloyd(emb: DataFrame, idCol: String, vecCol: String,
-                  k: Int, rounds: Int): DataFrame = {
+                  k: Int, rounds: Int): DataFrame =
+    kmeansAssignments(emb, idCol, vecCol, k, rounds)
+      .groupBy(col("cell").as("c_id"))
+      .agg(count(lit(1)).as("n"),
+        call_function("div",
+          sum(call_function("div", col("d2"), lit(1024L))),
+          count(lit(1))).as("mean_d2_kibi"))
+      .orderBy(col("c_id"))
+
+  /** [[kmeansLloyd]]'s per-point view: the same deterministic rounds,
+    * returning the final assignment (vid, cell, d2) instead of the
+    * per-cluster rollup — the relation cluster-conditioned screens
+    * (label-noise audits, IVF list routing) consume directly.
+    */
+  def kmeansAssignments(emb: DataFrame, idCol: String, vecCol: String,
+                        k: Int, rounds: Int): DataFrame = {
     require(k >= 2 && rounds >= 1, s"need k >= 2, rounds >= 1, got k=$k rounds=$rounds")
     val base = emb.select(col(idCol).as("vid"),
         transform(asDouble(col(vecCol)),
@@ -438,13 +453,7 @@ object SimilarityOps {
           transform(col("ps"), p => p.getField("c")).as("cxs"))
         .localCheckpoint(false)
     }
-    assign()
-      .groupBy(col("cell").as("c_id"))
-      .agg(count(lit(1)).as("n"),
-        call_function("div",
-          sum(call_function("div", col("d2"), lit(1024L))),
-          count(lit(1))).as("mean_d2_kibi"))
-      .orderBy(col("c_id"))
+    assign().select(col("vid"), col("cell"), col("d2"))
   }
 
   /** Product quantization (Jégou et al. 2011, "Product quantization for

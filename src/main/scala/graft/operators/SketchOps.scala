@@ -416,6 +416,37 @@ object SketchOps {
       .select(col("group"), col("n"), col("v").as("median_value"))
   }
 
+  /** Exact per-group WEIGHTED lower median: the smallest value whose
+    * running weight (values ascending, ties broken by `tieCol`) reaches
+    * half the group's total — 2·cumw ≥ W in integers, never a float
+    * half. The workhorse behind fair-price / robust-aggregate readouts
+    * where rows carry unequal mass (row-weighted quality, token-count
+    * weighted doc stats). Output (group, w_total, median_value), one
+    * row per group. Weights must be positive integers (required — a
+    * zero weight would make the crossing row ambiguous).
+    *
+    * Scale shape: one key-partitioned window for the running weight +
+    * one group aggregate for W — the same keyed-window shape as
+    * [[exactGroupMedian]] (group domains are bounded here; for a
+    * single colossal group reach for [[exactPercentiles]]'
+    * RangePrefix machinery instead).
+    */
+  def weightedGroupMedian(df: DataFrame, groupCol: String, valueCol: String,
+                          weightCol: String, tieCol: String): DataFrame = {
+    val byV = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("v"), col(tieCol))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(col("group"))
+    df.select(col(groupCol).as("group"), col(valueCol).as("v"),
+        col(weightCol).cast("long").as("__w"), col(tieCol))
+      .withColumn("__cw", sum(col("__w")).over(byV))
+      .withColumn("w_total", sum(col("__w")).over(all))
+      // the lower weighted median is the FIRST row crossing half-mass:
+      // its cum reaches ceil(W/2) and the previous cum did not
+      .filter(col("__cw") * 2L >= col("w_total") &&
+        (col("__cw") - col("__w")) * 2L < col("w_total"))
+      .select(col("group"), col("w_total"), col("v").as("median_value"))
+  }
+
   /** Lorenz curve + Gini coefficient, integer-exact: values sort
     * ascending (ties by `tieCol`), split into `nBuckets` equal-count
     * buckets, and each row reports the bucket's share and cumulative
@@ -598,5 +629,55 @@ object SketchOps {
         sf(r) - sf(l - 1), sse(l, r))
     }.toDF("bucket", "band_lo", "band_hi", "n_bands", "n_rows", "sse_e3")
       .orderBy(col("bucket"))
+  }
+
+  /** Weighted isotonic regression over a BINNED calibration table —
+    * the monotone-recalibration step (Platt's rival; Zadrozny & Elkan
+    * 2002) that turns a raw score→rate curve into the best monotone
+    * non-decreasing fit under squared loss. Uses the MINIMAX
+    * characterization of the PAVA solution (Robertson, Wright & Dykstra
+    * 1988): fit_i = max_{j≤i} min_{k≥i} avg(j..k), where avg(j..k) is
+    * the pooled rate Σpos/Σn over the bin interval — which makes the
+    * fit a pure join-window computation both engines replay
+    * identically (interval averages are int64 sums divided once in
+    * IEEE double; min/max/compare of identical doubles can't drift).
+    * Input one row per score bin: (binCol ascending = score order,
+    * nCol rows, posCol positives). Output (bin, n, n_pos, fit_ppm)
+    * with fit_ppm = floor(fit·10⁶) — monotone non-decreasing in bin.
+    *
+    * Scale shape: the DATA-sized pass is whatever aggregation built
+    * the bins; this operator touches only the bins-sized relation —
+    * its B² interval self-join and the two running-extreme windows are
+    * bounded by the score-bin domain (≤ a few hundred), the
+    * [[lorenzGini]] "cumulative walk over the buckets" contract.
+    */
+  def isotonicFit(bins: DataFrame, binCol: String, nCol: String,
+                  posCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cum = W.partitionBy(lit(0)).orderBy(col("bin"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val b = bins.select(col(binCol).as("bin"), col(nCol).cast("long").as("n"),
+        col(posCol).cast("long").as("n_pos"))
+      .withColumn("__cn", sum(col("n")).over(cum))
+      .withColumn("__cp", sum(col("n_pos")).over(cum))
+    // interval averages A(j,k) = pooled rate over bins j..k (j ≤ k)
+    val iv = b.as("j").join(b.as("k"), col("j.bin") <= col("k.bin"))
+      .select(col("j.bin").as("__j"), col("k.bin").as("__k"),
+        ((col("k.__cp") - col("j.__cp") + col("j.n_pos")).cast("double") /
+          (col("k.__cn") - col("j.__cn") + col("j.n")).cast("double"))
+          .as("__a"))
+    // m(j, i) = min over k ≥ i of A(j, k): running min over k descending
+    val mW = W.partitionBy(col("__j")).orderBy(col("__k").desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val m = iv.withColumn("__m", min(col("__a")).over(mW))
+      .select(col("__j"), col("__k").as("__i"), col("__m"))
+    // fit_i = max over j ≤ i of m(j, i): running max over j, keep j = i
+    val fW = W.partitionBy(col("__i")).orderBy(col("__j"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val fit = m.withColumn("__f", max(col("__m")).over(fW))
+      .filter(col("__j") === col("__i"))
+      .select(col("__i").as("bin"), floor(col("__f") * 1000000d)
+        .cast("long").as("fit_ppm"))
+    b.select(col("bin"), col("n"), col("n_pos")).join(fit, Seq("bin"))
   }
 }

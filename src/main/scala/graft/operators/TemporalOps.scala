@@ -541,6 +541,63 @@ object TemporalOps {
       .orderBy(col("group"))
   }
 
+  /** Wald–Wolfowitz runs test per key — "is this sequence RANDOM in its
+    * sign pattern", the dichotomy complement to [[mannKendall]] (which
+    * sees monotone drift) and q201's CV² (which sees cadence): values
+    * above/below the key's exact lower median (median ties excluded,
+    * the textbook rule), runs R = 1 + sign changes in time order.
+    * Everything ships integer-exact: n1/n2 (above/below counts), R,
+    *   e_runs_ppm  = 10⁶ + (2·n1·n2·10⁶) div (n1+n2)      (E[R] in ppm)
+    *   ratio_ppm   = R·(n1+n2)·10⁶ div (n1+n2+2·n1·n2)     (R / E[R])
+    * — cross-multiplied, never a float division. ratio ≪ 10⁶ means
+    * long one-sided streaks (level shifts, stuck sensors); ratio ≫ 10⁶
+    * means alternation faster than chance (oscillation, ping-pong
+    * retries). Keys where every value equals the median (n1=0 or n2=0)
+    * are dropped — the statistic is undefined there.
+    *
+    * int64 bound: R·n·10⁶ — safe to ~3e9 observations per key.
+    *
+    * Scale shape: one keyed aggregation for the median (order
+    * statistic via keyed window), one keyed lag window for the sign
+    * changes, one final aggregation — keys are the parallel axis, no
+    * global windows, no self-join.
+    */
+  def runsTest(df: DataFrame, keyCol: String, tCol: String, vCol: String,
+               tieCol: String): DataFrame = {
+    val byV = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("__v"), col("__tie"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    val base = df.select(col(keyCol).as("key"), col(tCol).as("__t"),
+      col(vCol).as("__v"), col(tieCol).as("__tie"))
+    val med = base
+      .withColumn("__rn", row_number().over(byV).cast("long"))
+      .withColumn("__n", count(lit(1)).over(all))
+      .filter(col("__rn") === call_function("div", col("__n") + 1L, lit(2L)))
+      .select(col("key"), col("__v").as("__med"))
+    val byT = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("__t"), col("__tie"))
+    val signed = base.join(med, Seq("key"))
+      .filter(col("__v") =!= col("__med"))
+      .withColumn("__sign", (col("__v") > col("__med")).cast("long"))
+      .withColumn("__chg",
+        when(lag(col("__sign"), 1).over(byT).isNull, lit(0L))
+          .otherwise((col("__sign") =!= lag(col("__sign"), 1).over(byT))
+            .cast("long")))
+    signed.groupBy(col("key"))
+      .agg(sum(col("__sign")).as("n1"),
+        (count(lit(1)) - sum(col("__sign"))).as("n2"),
+        (sum(col("__chg")) + 1L).as("runs"))
+      .filter(col("n1") > 0L && col("n2") > 0L)
+      .select(col("key"), col("n1"), col("n2"), col("runs"),
+        (lit(1000000L) + call_function("div",
+          col("n1") * col("n2") * 2000000L, col("n1") + col("n2")))
+          .as("e_runs_ppm"),
+        call_function("div",
+          col("runs") * (col("n1") + col("n2")) * 1000000L,
+          col("n1") + col("n2") + col("n1") * col("n2") * 2L)
+          .as("ratio_ppm"))
+  }
+
   /** Two-sample log-rank test over per-(time, arm) exit counts — "do the
     * two arms churn at the same rate?", the standard survival-curve
     * comparison that completes the [[kaplanMeier]]/[[nelsonAalen]]

@@ -938,4 +938,198 @@ class Round9OpsSpec extends AnyFunSuite {
     }.toSeq.sortBy(_._1)
     assert(got === want && want.exists(_._2 > 0))
   }
+
+  test("degreeAssortativity: exact moments vs brute force on a hashed graph") {
+    // deterministic pseudo-random sparse graph (hash-derived endpoints)
+    val edges = (1L to 120L).map { i =>
+      val h = graft.functions.DebeziumCodec.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"as$i"))
+      val a = math.floorMod(h, 30L); val b = math.floorMod(h >> 8, 30L)
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val got = graft.operators.GraphOps
+      .degreeAssortativity(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long)].collect().head
+    // brute: directed endpoint-degree pairs over both orientations
+    val sym = edges ++ edges.map(e => (e._2, e._1))
+    val deg = sym.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    val pairs = sym.map { case (a, b) => (deg(a), deg(b)) }
+    val m2 = pairs.size.toLong
+    val sx = pairs.map(_._1).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val (num, den) = (m2 * sxy - sx * sx, m2 * sxx - sx * sx)
+    assert(got === ((m2 / 2, num, den, (num + den) * 1000000L / den - 1000000L)))
+    assert(num != 0L) // the fixture actually has degree correlation signal
+  }
+
+  test("pathThroughput: equals brute-force shortest-path enumeration") {
+    // small hash-derived graph; brute enumerates ALL simple paths up to
+    // the hop cap from each seed, keeps exactly the shortest ones per
+    // (seed, target), and tallies every node on every surviving path —
+    // a reference with none of the sigma/tau machinery
+    val cap = 4
+    val edges = (1L to 60L).map { i =>
+      val h = graft.functions.DebeziumCodec.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"pt$i"))
+      (math.floorMod(h, 16L), math.floorMod(h >> 7, 16L))
+    }.filter(e => e._1 != e._2).distinct
+    val seeds = Seq(0L, 3L, 7L)
+    val sym = (edges ++ edges.map(e => (e._2, e._1))).distinct
+    val adj = sym.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+    // brute BFS distances per seed (hop-capped)
+    def dists(s: Long): Map[Long, Int] = {
+      var d = Map(s -> 0); var frontier = Seq(s)
+      for (r <- 1 to cap) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Seq()))
+          .distinct.filterNot(d.contains)
+        d = d ++ frontier.map(_ -> r)
+      }
+      d
+    }
+    // all simple paths from s of length <= cap, via DFS
+    def paths(s: Long): Seq[Seq[Long]] = {
+      def go(p: Seq[Long]): Seq[Seq[Long]] =
+        if (p.length > cap) Seq(p)
+        else p +: adj.getOrElse(p.last, Seq()).filterNot(p.contains)
+          .flatMap(n => go(p :+ n))
+      go(Seq(s))
+    }
+    val tally = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val srcs = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set())
+    for (s <- seeds; dm = dists(s); p <- paths(s)
+         if p.length - 1 == dm.getOrElse(p.last, -1); v <- p) {
+      tally(v) += 1L
+      srcs(v) = srcs(v) + s
+    }
+    val got = graft.operators.GraphOps.pathThroughput(
+        sym.toDF("s", "d"), "s", "d", seeds.toDF("seed"), "seed", cap)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val want = tally.toSeq.map { case (v, t) => (v, srcs(v).size.toLong, t) }.sorted
+    assert(got === want)
+    // signal check: some node other than a seed carries real throughput
+    assert(want.exists { case (v, _, t) => !seeds.contains(v) && t > seeds.size })
+  }
+
+  test("weightedGroupMedian == unweighted median of the weight-expanded multiset") {
+    val rows = (1L to 200L).map { i =>
+      val h = graft.functions.DebeziumCodec.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"wm$i"))
+      (s"g${math.floorMod(h, 3L)}", math.floorMod(h >> 5, 50L),
+        1L + math.floorMod(h >> 11, 5L), i)
+    }
+    val got = graft.operators.SketchOps.weightedGroupMedian(
+        rows.toDF("g", "v", "w", "tie"), "g", "v", "w", "tie")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    // expand each row into w copies and take the plain lower median
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val expanded = rs.toSeq.sortBy(r => (r._2, r._4))
+        .flatMap(r => Seq.fill(r._3.toInt)(r._2))
+      (g, expanded.size.toLong, expanded((expanded.size - 1) / 2))
+    }.toSeq.sorted
+    assert(got === want && want.size == 3)
+  }
+
+  test("runsTest: streaks and alternation score as designed") {
+    // key "streak": below-below-(median, dropped)-above-above-above
+    // key "pingpong": below-above-below-above-(median, dropped)-above
+    val rows =
+      Seq(("streak", 1L, 1.0), ("streak", 2L, 2.0), ("streak", 3L, 3.0),
+        ("streak", 4L, 4.0), ("streak", 5L, 5.0), ("streak", 6L, 6.0),
+        ("pingpong", 1L, 1.0), ("pingpong", 2L, 9.0), ("pingpong", 3L, 2.0),
+        ("pingpong", 4L, 8.0), ("pingpong", 5L, 3.0), ("pingpong", 6L, 7.0),
+        ("flat", 1L, 5.0), ("flat", 2L, 5.0)) // all == median: dropped
+        .zipWithIndex.map { case ((k, t, v), i) => (k, t, v, i.toLong) }
+    val got = graft.operators.TemporalOps.runsTest(
+        rows.toDF("k", "t", "v", "tie"), "k", "t", "v", "tie")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // streak: median 3 dropped; signs b,b,a,a,a -> 2 runs, n1=3, n2=2
+    assert(got("streak") === (("streak", 3L, 2L, 2L,
+      1000000L + 2L * 3L * 2L * 1000000L / 5L,
+      2L * 5L * 1000000L / (5L + 12L))))
+    // pingpong: lower median of (1,2,3,7,8,9) = 3 dropped;
+    // signs b,a,b,a,a -> 4 runs
+    assert(got("pingpong") === (("pingpong", 3L, 2L, 4L,
+      1000000L + 2L * 3L * 2L * 1000000L / 5L,
+      4L * 5L * 1000000L / (5L + 12L))))
+    assert(!got.contains("flat"))
+  }
+
+  test("isotonicFit == stack PAVA reference, and is monotone") {
+    // planted non-monotone rate curve with unequal bin weights
+    val bins = Seq((0L, 10L, 1L), (1L, 20L, 6L), (2L, 10L, 2L),
+      (3L, 40L, 20L), (4L, 10L, 4L), (5L, 20L, 18L))
+    val got = graft.operators.SketchOps.isotonicFit(
+        bins.toDF("bin", "n", "np"), "bin", "n", "np")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    // reference: classic pool-adjacent-violators with exact rational
+    // pools, compared by cross-multiplication; ppm floored from the
+    // SAME double division the operator performs
+    val stack = scala.collection.mutable.Stack[(Long, Long, Int)]() // (pos, n, width)
+    for ((_, n, p) <- bins) {
+      var (cp, cn, cw) = (p, n, 1)
+      while (stack.nonEmpty && stack.top._1 * cn >= cp * stack.top._2) {
+        val (p2, n2, w2) = stack.pop(); cp += p2; cn += n2; cw += w2
+      }
+      stack.push((cp, cn, cw))
+    }
+    val fits = stack.toSeq.reverse.flatMap { case (p, n, w) =>
+      Seq.fill(w)(math.floor(p.toDouble / n.toDouble * 1000000d).toLong)
+    }
+    val want = bins.zip(fits).map { case ((b, n, p), f) => (b, n, p, f) }
+    assert(got === want)
+    assert(got.map(_._4) === got.map(_._4).sorted) // monotone non-decreasing
+    assert(got.map(_._4).distinct.size > 1) // pools actually formed
+  }
+
+  test("sharded gap detection == global reference, incl. boundary-spanning and whole-missing shards") {
+    // the q311 plan as a function, on a fixture the sf tables don't
+    // exercise: a gap SPANNING a 4096-shard boundary (4090..4101
+    // missing), an entire missing shard (8192..12287), and in-shard
+    // singles — the shard-local window + shards-level boundary walk
+    // must reproduce the global-window gap list exactly
+    import org.apache.spark.sql.expressions.Window
+    val keep = (1L to 16383L).filterNot(i =>
+      (i >= 4090L && i <= 4101L) || (i >= 8192L && i <= 12287L) || i % 501L == 0L)
+    val ids = keep.toDF("id")
+      .withColumn("shard", call_function("div", col("id"), lit(4096L)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+    val inner = ids.withColumn("prev", lag(col("id"), 1).over(w))
+      .filter(col("prev").isNotNull && col("id") - col("prev") > 1L)
+      .select((col("prev") + 1L).as("gs"), (col("id") - 1L).as("ge"))
+    val bounds = ids.groupBy(col("shard"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+    val wb = Window.partitionBy(lit(0)).orderBy(col("shard"))
+    val cross = bounds.withColumn("pmx", lag(col("mx"), 1).over(wb))
+      .filter(col("pmx").isNotNull && col("mn") - col("pmx") > 1L)
+      .select((col("pmx") + 1L).as("gs"), (col("mn") - 1L).as("ge"))
+    val got = inner.union(cross).as[(Long, Long)].collect().toSeq.sorted
+    val want = keep.zip(keep.tail).filter { case (a, b) => b - a > 1 }
+      .map { case (a, b) => (a + 1, b - 1) }.sorted
+    assert(got === want)
+    // the fixture really exercises both special paths
+    assert(want.contains((4090L, 4101L)) &&
+      want.exists { case (a, b) => a <= 8192L && b >= 12287L })
+  }
+
+  test("max drawdown: hand equity curve, earliest-trough tie") {
+    // +5 +5 -12 (dd 12) +20 -3 -9 (dd 12 again, later -> not reported)
+    val rows = Seq((1L, 5.0), (2L, 5.0), (3L, -12.0), (4L, 20.0),
+      (5L, -3.0), (6L, -9.0)).map { case (t, v) => (7L, t, t, v) }
+    val ev = rows.toDF("user_id", "t", "event_id", "value")
+      .select(col("user_id"), col("t"), col("event_id"),
+        floor(col("value") * 100d).cast("long").as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = ev.withColumn("bal", sum(col("c")).over(w))
+      .withColumn("dd", max(col("bal")).over(w) - col("bal"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("dd"), (-col("t")).as("nt"),
+        (-col("event_id")).as("ni"))).as("m"))
+      .select(col("user_id"), col("m.dd"), (-col("m.nt")), (-col("m.ni")))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got === ((7L, 1200L, 3L, 3L))) // dd=12.00 at t=3, not the later tie at t=6
+  }
 }
