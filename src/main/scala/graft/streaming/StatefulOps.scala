@@ -1045,6 +1045,65 @@ object StatefulOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(hllUpdate)
   }
 
+  /** One observation entering the streaming KMV distinct sketch. */
+  case class KmvEvent(key: String, value: String)
+
+  /** Running KMV readout: `distinct_est` is the batch estimator's exact
+    * formula over the current min-k state.
+    */
+  case class KmvReadout(key: String, n_values: Long, distinct_est: Double)
+
+  private[graft] case class KmvState(hs: Vector[Double], n: Long)
+
+  /** The SAME normalized hash as
+    * [[graft.operators.SketchOps.normalizedHash]] (fingerprint → affine
+    * mix mod p → (mixed+1)/p), evaluated scalar-side — one double
+    * division, bit-identical to the Column path.
+    */
+  private[graft] def kmvNormHash(value: String): Double = {
+    val p = 1000000007L
+    val fp = graft.functions.DebeziumCodec.fingerprint64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(value))
+    val mixed = Math.floorMod(636413622L * fp + 528402381L, p)
+    (mixed + 1L).toDouble / p.toDouble
+  }
+
+  private def kmvUpdate(k: Int)(key: String, rows: Iterator[KmvEvent],
+                                state: GroupState[KmvState]): KmvReadout = {
+    val st = state.getOption.getOrElse(KmvState(Vector.empty, 0L))
+    var set = scala.collection.immutable.SortedSet[Double](st.hs: _*)
+    var n = st.n
+    rows.foreach { r =>
+      n += 1L
+      set = set + kmvNormHash(r.value)
+      if (set.size > k) set = set - set.last
+    }
+    state.update(KmvState(set.toVector, n))
+    val est =
+      if (set.size < k) set.size.toDouble
+      else (set.size.toDouble - 1.0) / set.last
+    KmvReadout(key, n, est)
+  }
+
+  /** Streaming twin of [[graft.operators.SketchOps.kmvDistinct]]: the
+    * k-minimum-values sketch carried in the state store — k doubles +
+    * one count per key FOREVER, the alternative to
+    * [[streamingHllDistinct]] when the consumer wants the
+    * order-statistic estimator (exact below k distinct values, and
+    * mergeable with batch-side sketches since the state IS the batch
+    * sketch). The min-k set is monotone under insertion, so
+    * at-least-once replays are absorbed by construction; only n_values
+    * (a diagnostic) counts replayed rows twice. Same (k−1)/h_k formula,
+    * same normalized hash — the spec pins cross-batch end-state equality
+    * with the batch aggregate bit-for-bit. Run with `[[UpdateMode]]`.
+    */
+  def streamingKmvDistinct(ds: Dataset[KmvEvent], k: Int = 64): Dataset[KmvReadout] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(kmvUpdate(k))
+  }
+
   /** One item occurrence entering the heavy-hitter tracker. */
   case class HHEvent(key: String, item: String)
 

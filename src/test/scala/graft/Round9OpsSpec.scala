@@ -1132,4 +1132,32 @@ class Round9OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().head
     assert(got === ((7L, 1200L, 3L, 3L))) // dd=12.00 at t=3, not the later tie at t=6
   }
+
+  test("streamingKmvDistinct: cross-batch end-state equals the batch sketch; replays absorbed") {
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{KmvEvent, KmvReadout}
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KmvEvent]
+    val q = StatefulOps.streamingKmvDistinct(ms.toDS())
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode(StatefulOps.UpdateMode).start()
+    val b1 = (1 to 300).map(i => KmvEvent("a", s"value-$i")) :+ KmvEvent("b", "x")
+    val b2 = (200 to 500).map(i => KmvEvent("a", s"value-$i"))
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable() // replayed batch
+    q.stop()
+    val last = spark.table("kmv_out").as[KmvReadout].collect()
+      .zipWithIndex.groupBy(_._1.key).map { case (k, rs) => k -> rs.maxBy(_._2)._1 }
+    val batch = graft.operators.SketchOps.kmvDistinct(
+      (b1 ++ b2).map(e => (e.key, e.value)).toDF("key", "v"), Seq("key"), "v")
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Double]("distinct_est")).toMap
+    // min-k state is monotone: the replayed batch moved nothing but n_values
+    assert(last("a").distinct_est === batch("a"),
+      "KMV end-state must equal the batch sketch bit-for-bit")
+    assert(last("b").distinct_est === batch("b") && batch("b") === 1.0)
+    assert(last("a").n_values === (b1.size - 1) + 2 * b2.size)
+    // the estimator really is in sketch mode for key a (500 distinct > k)
+    assert(last("a").distinct_est > 64.0)
+  }
 }
