@@ -8377,6 +8377,332 @@ ON s.bkt2 = b.bkt"""
 ${per.mkString("\nUNION ALL\n")}
 ORDER BY n_dims"""
       }),
+
+    ("q315_funnel_stages", (s, d) => {
+      // the classic ordered product funnel view -> click -> signup ->
+      // purchase with STRICT temporal progression per user (q96 is the
+      // two-step horizon variant; this is the N-stage drop-off report):
+      // stage k's timestamp is the first qualifying event strictly after
+      // stage k-1's. Each stage is one keyed min-aggregation joined on
+      // the user key — all four stages shuffle on the SAME key — and the
+      // final rollup is stages-sized; never a window over the raw stream
+      val ev = Tables.events(s, d).select(col("user_id"),
+          col("event_type").as("et"), expr("ts_ns div 1000").as("t"))
+        .localCheckpoint(false) // four stage probes
+      def stage(et: String, prev: DataFrame, pcol: String, out: String): DataFrame =
+        ev.filter(col("et") === et).join(prev, Seq("user_id"))
+          .filter(col("t") > col(pcol))
+          .groupBy(col("user_id")).agg(min(col("t")).as(out))
+      val s1 = ev.filter(col("et") === "view")
+        .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+      val s2 = stage("click", s1, "t1", "t2")
+      val s3 = stage("signup", s2, "t2", "t3")
+      val s4 = stage("purchase", s3, "t3", "t4")
+      val rows = Seq((1L, "view", s1), (2L, "click", s2),
+          (3L, "signup", s3), (4L, "purchase", s4))
+        .map { case (i, nm, df) =>
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(i).as("stage"), lit(nm).as("step"), col("n_users"))
+        }.reduce(_ union _)
+      val w = Window.partitionBy(lit(0)).orderBy(col("stage")) // stages-sized
+      rows.withColumn("prev", lag(col("n_users"), 1).over(w))
+        .select(col("stage"), col("step"), col("n_users"),
+          when(col("prev").isNull, 1000L)
+            .when(col("prev") === 0L, 0L)
+            .otherwise(call_function("div", col("n_users") * 1000L, col("prev")))
+            .as("conv_pml"))
+        .orderBy(col("stage"))
+    },
+      Some("""WITH e AS (SELECT user_id, event_type AS et, epoch_us(ts) AS t FROM events),
+s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+  WHERE et = 'click' AND t > t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+  WHERE et = 'signup' AND t > t2 GROUP BY 1),
+s4 AS (SELECT e.user_id, min(t) AS t4 FROM e JOIN s3 USING (user_id)
+  WHERE et = 'purchase' AND t > t3 GROUP BY 1),
+c AS (SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+    CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, 'signup', (SELECT count(*) FROM s3)
+  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)),
+p AS (SELECT stage, step, n_users, LAG(n_users) OVER (ORDER BY stage) AS prev FROM c)
+SELECT stage, step, n_users,
+  CAST(CASE WHEN prev IS NULL THEN 1000 WHEN prev = 0 THEN 0
+    ELSE n_users * 1000 // prev END AS BIGINT) AS conv_pml
+FROM p ORDER BY stage""")),
+
+    ("q316_inclusion_deps", (s, d) => {
+      // FK-candidate profiling (inclusion-dependency discovery, the
+      // SPIDER/Bauckmann problem shaped for Spark): each candidate pair
+      // reduces BOTH sides to distinct keys first, then a left-anti join
+      // counts child keys with no parent — at 100 TB each input collapses
+      // to its key cardinality before any join, and every pair is an
+      // independent branch of one union (no cross-pair state)
+      val pairs: Seq[(String, DataFrame, String, String, DataFrame, String)] = Seq(
+        ("lineitem", Tables.lineitem(s, d), "l_orderkey",
+          "orders", Tables.orders(s, d), "o_orderkey"),
+        ("lineitem", Tables.lineitem(s, d), "l_partkey",
+          "part", Tables.part(s, d), "p_partkey"),
+        ("lineitem", Tables.lineitem(s, d), "l_suppkey",
+          "supplier", Tables.supplier(s, d), "s_suppkey"),
+        ("orders", Tables.orders(s, d), "o_custkey",
+          "customer", Tables.customer(s, d), "c_custkey"),
+        ("customer", Tables.customer(s, d), "c_custkey",
+          "orders", Tables.orders(s, d), "o_custkey"),
+        ("events", Tables.events(s, d), "user_id",
+          "customer", Tables.customer(s, d), "c_custkey"))
+      pairs.map { case (cn, cdf, cc, pn, pdf, pc) =>
+        val ck = cdf.select(col(cc).as("k")).distinct()
+        val pk = pdf.select(col(pc).as("k")).distinct()
+        ck.join(pk, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_missing"))
+          .crossJoin(ck.agg(count(lit(1)).as("n_child_keys")))
+          .select(lit(s"$cn.$cc").as("child"), lit(s"$pn.$pc").as("parent"),
+            col("n_child_keys"), col("n_missing"),
+            (col("n_missing") === 0L).as("ind_holds"))
+      }.reduce(_ union _).orderBy(col("child"), col("parent"))
+    },
+      Some {
+        val per = Seq(
+          ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+          ("lineitem", "l_partkey", "part", "p_partkey"),
+          ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          ("orders", "o_custkey", "customer", "c_custkey"),
+          ("customer", "c_custkey", "orders", "o_custkey"),
+          ("events", "user_id", "customer", "c_custkey")).map {
+          case (cn, cc, pn, pc) =>
+            s"""SELECT '$cn.$cc' AS child, '$pn.$pc' AS parent,
+  CAST((SELECT count(*) FROM (SELECT DISTINCT $cc FROM $cn)) AS BIGINT) AS n_child_keys,
+  CAST((SELECT count(*) FROM (SELECT DISTINCT $cc AS k FROM $cn) c
+    WHERE NOT EXISTS (SELECT 1 FROM $pn p WHERE p.$pc = c.k)) AS BIGINT) AS n_missing"""
+        }
+        s"""SELECT child, parent, n_child_keys, n_missing, n_missing = 0 AS ind_holds
+FROM (${per.mkString("\nUNION ALL\n")})
+ORDER BY child, parent"""
+      }),
+
+    ("q317_functional_deps", (s, d) => {
+      // functional-dependency audit (the TANE/profiling primitive): A→B
+      // holds iff no A-group sees two distinct Bs; report group and
+      // violation counts per candidate. Each candidate is one
+      // countDistinct aggregation keyed on the LHS (partial aggregation
+      // map-side, no joins at all), unioned into a candidates-sized frame
+      def fd(tn: String, df: DataFrame, a: String, b: String): DataFrame =
+        df.groupBy(col(a)).agg(countDistinct(col(b)).as("nb"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum((col("nb") > 1L).cast(LongType)).as("n_violating"))
+          .select(lit(tn).as("tbl"), lit(a).as("lhs"), lit(b).as("rhs"),
+            col("n_groups"), col("n_violating"),
+            (col("n_violating") === 0L).as("fd_holds"))
+      Seq(
+        fd("part", Tables.part(s, d), "p_brand", "p_type"),
+        fd("part", Tables.part(s, d), "p_type", "p_brand"),
+        fd("part", Tables.part(s, d), "p_name", "p_brand"),
+        fd("orders", Tables.orders(s, d), "o_orderpriority", "o_orderstatus"),
+        fd("customer", Tables.customer(s, d), "c_mktsegment", "c_nationkey"),
+        fd("customer", Tables.customer(s, d), "c_name", "c_mktsegment"))
+        .reduce(_ union _).orderBy(col("tbl"), col("lhs"), col("rhs"))
+    },
+      Some {
+        val per = Seq(
+          ("part", "p_brand", "p_type"), ("part", "p_type", "p_brand"),
+          ("part", "p_name", "p_brand"),
+          ("orders", "o_orderpriority", "o_orderstatus"),
+          ("customer", "c_mktsegment", "c_nationkey"),
+          ("customer", "c_name", "c_mktsegment")).map { case (tn, a, b) =>
+          s"""SELECT '$tn' AS tbl, '$a' AS lhs, '$b' AS rhs,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+FROM (SELECT $a, count(DISTINCT $b) AS nb FROM $tn GROUP BY 1)"""
+        }
+        s"""SELECT tbl, lhs, rhs, n_groups, n_violating, n_violating = 0 AS fd_holds
+FROM (${per.mkString("\nUNION ALL\n")})
+ORDER BY tbl, lhs, rhs"""
+      }),
+
+    ("q318_lead_lag_xcorr", (s, d) => {
+      // which lag makes BUILDING's daily order curve best explain
+      // MACHINERY's? Exact integer lead-lag scan: daily counts per
+      // segment (a days x segments relation — tiny at any sf), a bounded
+      // 14x lag explode, per-lag integer moment sums, and signed corr^2
+      // in exact ppm via DECIMAL(38,0) cross-multiplication (never a
+      // float variance); best lag flagged by one struct argmax
+      val dec = DecimalType(38, 0)
+      val oc = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(col("c_mktsegment").as("seg"), to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // two series views x 14 lag probes
+      val x = oc.filter(col("seg") === "BUILDING").select(col("day"), col("n").as("x"))
+      val y = oc.filter(col("seg") === "MACHINERY")
+        .select(col("day").as("yday"), col("n").as("y"))
+      val lags = s.range(0, 14).select(col("id").as("lag_d"))
+      val m = x.crossJoin(broadcast(lags))
+        .join(y, date_add(col("day"), col("lag_d").cast(IntegerType)) === col("yday"))
+      val a = m.groupBy(col("lag_d"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      val scored = a.select(col("lag_d"), col("n_days"),
+          (col("n_days") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
+          (col("n_days") * col("syy") - col("sy") * col("sy")).as("vary_num"))
+        .withColumn("corr2_spm",
+          when(col("varx_num") === 0L || col("vary_num") === 0L, 0L)
+            .otherwise(when(col("cov_num") < 0L, -1L).otherwise(lit(1L)) *
+              call_function("div",
+                col("cov_num").cast(dec) * col("cov_num").cast(dec) *
+                  lit(1000000L).cast(dec),
+                col("varx_num").cast(dec) * col("vary_num").cast(dec))))
+      val best = scored.agg(
+        max(struct(col("corr2_spm"), (-col("lag_d")).as("nl"))).as("b"))
+      scored.crossJoin(broadcast(best))
+        .select(col("lag_d"), col("n_days"), col("cov_num"), col("varx_num"),
+          col("vary_num"), col("corr2_spm"),
+          (col("corr2_spm") === col("b.corr2_spm") &&
+            col("lag_d") === -col("b.nl")).as("is_best"))
+        .orderBy(col("lag_d"))
+    },
+      Some("""WITH oc AS (SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,
+  CAST(count(*) AS BIGINT) AS n FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') GROUP BY 1, 2),
+x AS (SELECT day, n AS x FROM oc WHERE seg = 'BUILDING'),
+y AS (SELECT day AS yday, n AS y FROM oc WHERE seg = 'MACHINERY'),
+l AS (SELECT CAST(range AS BIGINT) AS lag_d FROM range(0, 14)),
+m AS (SELECT l.lag_d, x.x, y.y FROM x CROSS JOIN l
+  JOIN y ON x.day + CAST(l.lag_d AS INTEGER) = y.yday),
+a AS (SELECT lag_d, CAST(count(*) AS BIGINT) AS n_days, CAST(SUM(x) AS BIGINT) AS sx,
+  CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+  CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy FROM m GROUP BY 1),
+sn AS (SELECT lag_d, n_days, n_days*sxy - sx*sy AS cov_num,
+  n_days*sxx - sx*sx AS varx_num, n_days*syy - sy*sy AS vary_num FROM a),
+sc AS (SELECT lag_d, n_days, cov_num, varx_num, vary_num,
+  CAST(CASE WHEN varx_num = 0 OR vary_num = 0 THEN 0
+    ELSE (CASE WHEN cov_num < 0 THEN -1 ELSE 1 END) *
+      (CAST(cov_num AS HUGEINT) * cov_num * 1000000 //
+        (CAST(varx_num AS HUGEINT) * vary_num))
+    END AS BIGINT) AS corr2_spm FROM sn),
+b AS (SELECT corr2_spm AS bs, lag_d AS bl FROM sc ORDER BY corr2_spm DESC, lag_d LIMIT 1)
+SELECT lag_d, n_days, cov_num, varx_num, vary_num, corr2_spm,
+  (corr2_spm = b.bs AND lag_d = b.bl) AS is_best
+FROM sc, b ORDER BY lag_d""")),
+
+    ("q319_item_cf_topk", (s, d) => {
+      // item-item collaborative filtering from the frozen co-purchase
+      // artifact: score(i,j) = n(i,j)^2 * 1e6 // (orders(i) * orders(j))
+      // — the cosine^2 of basket-incidence vectors in exact integer ppm
+      // (co-occurrence and occurrence counts only) — top-3 recs per item
+      // by (score desc, smallest partner). Degrees are one distinct
+      // aggregation, edges symmetrize by a bounded 2x union, and the
+      // rank window partitions by item (never global)
+      val edges = coPurchaseEdges(s, d)
+      val sym = edges.select(col("i1").as("item"), col("i2").as("rec"), col("n"))
+        .union(edges.select(col("i2"), col("i1"), col("n")))
+      val deg = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("item"))
+        .distinct()
+        .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      val scored = sym.join(deg, Seq("item"))
+        .join(deg.select(col("item").as("rec"), col("cnt").as("rcnt")), Seq("rec"))
+        .select(col("item"), col("rec"),
+          call_function("div", col("n") * col("n") * 1000000L,
+            col("cnt") * col("rcnt")).as("score_ppm"))
+      val w = Window.partitionBy(col("item")).orderBy(col("score_ppm").desc, col("rec"))
+      scored.withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 3L)
+        .select(col("item"), col("rec"), col("score_ppm"), col("rnk"))
+        .orderBy(col("item"), col("rnk"))
+    },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+pc AS (SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS n
+  FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+sym AS (SELECT i1 AS item, i2 AS rec, n FROM pc UNION ALL SELECT i2, i1, n FROM pc),
+deg AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM it GROUP BY 1),
+sc AS (SELECT s.item, s.rec, s.n * s.n * 1000000 // (d1.cnt * d2.cnt) AS score_ppm
+  FROM sym s JOIN deg d1 ON d1.item = s.item JOIN deg d2 ON d2.item = s.rec),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+  ORDER BY score_ppm DESC, rec) AS rnk FROM sc)
+SELECT item, rec, CAST(score_ppm AS BIGINT) AS score_ppm, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3 ORDER BY item, rnk""")),
+
+    ("q320_calinski_harabasz", (s, d) => {
+      // clustering validity audit for q250's deterministic k-means:
+      // Calinski-Harabasz = (SSB/(k-1)) / (SSW/(n-k)) over the SAME
+      // 2^20 fixed-point grid the clustering ran on — within- and
+      // between-cluster squared error as EXACT integers (per-cell floor
+      // division only), the ratio in floored permille. Moments reduce to
+      // a (cell, dim)-keyed sum relation; nothing bigger than cells x
+      // dims survives the first aggregation
+      val dec = DecimalType(38, 0)
+      val pts = Tables.embeddings(s, d).select(col("vec_id").as("vid"),
+        transform(col("embedding").cast(ArrayType(DoubleType)),
+          x => floor(x * 1048576.0).cast(LongType)).as("xs"))
+      val asg = SimilarityOps.kmeansAssignments(
+        Tables.embeddings(s, d), "vec_id", "embedding", 8, 2)
+      val cp = asg.join(pts, Seq("vid"))
+        .select(col("cell"), posexplode(col("xs")))
+        .toDF("cell", "pos", "x")
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("ss"),
+          count(lit(1)).as("n"))
+      val tot = cp.groupBy(col("pos"))
+        .agg(sum(col("s")).as("sd"), sum(col("n")).as("nn"))
+      val diff = col("nn").cast(dec) * col("s").cast(dec) -
+        col("n").cast(dec) * col("sd").cast(dec)
+      val per = cp.join(broadcast(tot), Seq("pos"))
+        .groupBy(col("cell"))
+        .agg(max(col("n")).as("nc"), max(col("nn")).as("nn"),
+          sum(col("ss")).as("ssx"),
+          sum(col("s").cast(dec) * col("s").cast(dec)).as("s2"),
+          sum(diff * diff).as("db"))
+      val cells = per.select(col("cell"), col("nc"), col("nn"),
+        call_function("div",
+          col("nc").cast(dec) * col("ssx").cast(dec) - col("s2"),
+          col("nc").cast(dec)).as("ssw_c"),
+        call_function("div", col("db"),
+          col("nc").cast(dec) * col("nn").cast(dec) * col("nn").cast(dec))
+          .as("ssb_c"))
+      cells.agg(count(lit(1)).as("k_cells"), sum(col("nc")).as("n_points"),
+          sum(col("ssw_c")).as("ssw"), sum(col("ssb_c")).as("ssb"))
+        .select(col("k_cells"), col("n_points"), col("ssw"), col("ssb"),
+          when(col("ssw") === 0L || col("k_cells") <= 1L, 0L)
+            .otherwise(call_function("div",
+              col("ssb").cast(dec) *
+                (col("n_points") - col("k_cells")).cast(dec) * lit(1000L).cast(dec),
+              col("ssw").cast(dec) * (col("k_cells") - 1L).cast(dec)))
+          .as("ch_pm"))
+    },
+      Some(s"""WITH e AS (SELECT vec_id AS vid,
+  list_transform(CAST(embedding AS DOUBLE[]),
+    x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS xs FROM embeddings),
+c0 AS (SELECT vid AS c_id, xs AS cxs FROM e
+  ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT 8),
+${kmeansRoundsSql(2)},
+px AS (SELECT cell, i AS pos, xs[CAST(i AS INT)] AS x
+  FROM s3, range(1, 65) rng(i)),
+cp AS (SELECT cell, pos, CAST(SUM(x) AS BIGINT) AS s,
+  CAST(SUM(x*x) AS BIGINT) AS ss, CAST(count(*) AS BIGINT) AS n
+  FROM px GROUP BY 1, 2),
+tot AS (SELECT pos, CAST(SUM(s) AS BIGINT) AS sd, CAST(SUM(n) AS BIGINT) AS nn
+  FROM cp GROUP BY 1),
+per AS (SELECT cell, MAX(cp.n) AS nc, MAX(tot.nn) AS nn,
+  CAST(SUM(cp.ss) AS BIGINT) AS ssx,
+  SUM(CAST(cp.s AS HUGEINT) * cp.s) AS s2,
+  SUM((CAST(tot.nn AS HUGEINT) * cp.s - CAST(cp.n AS HUGEINT) * tot.sd)
+    * (CAST(tot.nn AS HUGEINT) * cp.s - CAST(cp.n AS HUGEINT) * tot.sd)) AS db
+  FROM cp JOIN tot USING (pos) GROUP BY cell),
+cells AS (SELECT cell, nc, nn,
+  CAST((CAST(nc AS HUGEINT) * ssx - s2) // nc AS BIGINT) AS ssw_c,
+  CAST(db // (CAST(nc AS HUGEINT) * nn * nn) AS BIGINT) AS ssb_c FROM per)
+SELECT CAST(count(*) AS BIGINT) AS k_cells, CAST(SUM(nc) AS BIGINT) AS n_points,
+  CAST(SUM(ssw_c) AS BIGINT) AS ssw, CAST(SUM(ssb_c) AS BIGINT) AS ssb,
+  CAST(CASE WHEN SUM(ssw_c) = 0 OR count(*) <= 1 THEN 0
+    ELSE CAST(SUM(ssb_c) AS HUGEINT) * (SUM(nc) - count(*)) * 1000 //
+      (CAST(SUM(ssw_c) AS HUGEINT) * (count(*) - 1)) END AS BIGINT) AS ch_pm
+FROM cells""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
