@@ -8703,6 +8703,239 @@ SELECT CAST(count(*) AS BIGINT) AS k_cells, CAST(SUM(nc) AS BIGINT) AS n_points,
     ELSE CAST(SUM(ssb_c) AS HUGEINT) * (SUM(nc) - count(*)) * 1000 //
       (CAST(SUM(ssw_c) AS HUGEINT) * (count(*) - 1)) END AS BIGINT) AS ch_pm
 FROM cells""")),
+
+    ("q321_mad_outliers", (s, d) => {
+      // robust anomaly screen (the MAD rule classic z-scores get wrong
+      // under heavy tails): per event type, the LOWER-median of value
+      // cents and the lower-median absolute deviation, both exact order
+      // statistics (rank (n+1)//2, id tie-break); a point is anomalous
+      // when |x - med| > 3*MAD. Two type-partitioned window passes over
+      // integer cents — the deviation pass winsorization (q134)
+      // deliberately avoids is exactly what this screen needs
+      val base = Tables.events(s, d).select(col("event_type").as("et"),
+        col("event_id"), floor(col("value") * 100d).cast(LongType).as("c"))
+      val byEt = Window.partitionBy(col("et"))
+      val w1 = Window.partitionBy(col("et")).orderBy(col("c"), col("event_id"))
+      val med = base.withColumn("rk", row_number().over(w1))
+        .withColumn("n", count(lit(1)).over(byEt))
+        .filter(col("rk") === call_function("div", col("n") + 1L, lit(2L)))
+        .select(col("et"), col("c").as("med"))
+      val dev = base.join(broadcast(med), Seq("et")) // types-sized join
+        .withColumn("dev", abs(col("c") - col("med")))
+      val w2 = Window.partitionBy(col("et")).orderBy(col("dev"), col("event_id"))
+      val mad = dev.withColumn("rk", row_number().over(w2))
+        .withColumn("n", count(lit(1)).over(byEt))
+        .filter(col("rk") === call_function("div", col("n") + 1L, lit(2L)))
+        .select(col("et"), col("dev").as("mad"))
+      dev.join(broadcast(mad), Seq("et"))
+        .groupBy(col("et"))
+        .agg(count(lit(1)).as("n"), max(col("med")).as("med_cents"),
+          max(col("mad")).as("mad_cents"),
+          sum((col("dev") > col("mad") * 3L).cast(LongType)).as("n_outliers"))
+        .select(col("et").as("event_type"), col("n"), col("med_cents"),
+          col("mad_cents"), col("n_outliers"),
+          call_function("div", col("n_outliers") * 1000000L, col("n"))
+            .as("outlier_ppm"))
+        .orderBy(col("event_type"))
+    },
+      Some("""WITH b AS (SELECT event_type AS et, event_id,
+  CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
+r1 AS (SELECT et, c, ROW_NUMBER() OVER (PARTITION BY et ORDER BY c, event_id) AS rk,
+  COUNT(*) OVER (PARTITION BY et) AS n FROM b),
+md AS (SELECT et, c AS med FROM r1 WHERE rk = (n + 1) // 2),
+dv AS (SELECT b.et, b.event_id, abs(b.c - md.med) AS dev, md.med FROM b JOIN md USING (et)),
+r2 AS (SELECT et, dev, ROW_NUMBER() OVER (PARTITION BY et ORDER BY dev, event_id) AS rk,
+  COUNT(*) OVER (PARTITION BY et) AS n FROM dv),
+m2 AS (SELECT et, dev AS mad FROM r2 WHERE rk = (n + 1) // 2)
+SELECT dv.et AS event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(MAX(dv.med) AS BIGINT) AS med_cents, CAST(MAX(m2.mad) AS BIGINT) AS mad_cents,
+  CAST(SUM(CASE WHEN dv.dev > 3 * m2.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  CAST(SUM(CASE WHEN dv.dev > 3 * m2.mad THEN 1 ELSE 0 END) * 1000000 // count(*)
+    AS BIGINT) AS outlier_ppm
+FROM dv JOIN m2 USING (et) GROUP BY 1 ORDER BY 1""")),
+
+    ("q322_set_cover_sources", (s, d) => {
+      // corpus curation as greedy set cover: pick 5 sources maximizing
+      // NEW vocabulary per pick (the classic (1-1/e) greedy; ties to the
+      // smallest source name) — which feeds "which crawls are worth
+      // licensing". Pure-relational rounds, the kCenterGreedy discipline:
+      // per round one anti-join against covered terms + one argmin-struct
+      // aggregation; the chosen source stays a 1-row broadcast frame,
+      // never a driver value; state re-checkpoints so lineage is flat
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .distinct()
+        .localCheckpoint(false) // probed every round
+      val srcAll = st.select(col("source")).distinct().localCheckpoint(false)
+      var covered = st.select(col("tok")).limit(0).localCheckpoint(false)
+      var picked = srcAll.limit(0).localCheckpoint(false)
+      var rows: Seq[DataFrame] = Nil
+      for (r <- 1 to 5) {
+        val uncov = st.join(picked, Seq("source"), "left_anti")
+          .join(covered, Seq("tok"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)).as("nw"))
+        val counts = srcAll.join(picked, Seq("source"), "left_anti")
+          .join(uncov, Seq("source"), "left")
+          .select(col("source"), coalesce(col("nw"), lit(0L)).as("nw"))
+        val top = counts
+          .agg(min(struct((-col("nw")).as("nnw"), col("source"))).as("b"))
+          .select(col("b.source").as("source"), (-col("b.nnw")).as("new_terms"))
+          .localCheckpoint(false) // one row
+        covered = covered
+          .union(st.join(broadcast(top.select(col("source"))), Seq("source"))
+            .select(col("tok")))
+          .distinct().localCheckpoint(false)
+        picked = picked.union(top.select(col("source"))).localCheckpoint(false)
+        rows = rows :+ top
+          .crossJoin(broadcast(covered.agg(count(lit(1)).as("covered_total"))))
+          .select(lit(r.toLong).as("round"), col("source"), col("new_terms"),
+            col("covered_total"))
+      }
+      rows.reduce(_ unionByName _).orderBy(col("round"))
+    },
+      Some {
+        val rounds = (1 to 5).map { r =>
+          val notPicked = (1 until r).map(i =>
+            s"NOT EXISTS (SELECT 1 FROM p$i WHERE p$i.source = s.source)")
+          val uncov = if (r == 1) ""
+            else s"NOT EXISTS (SELECT 1 FROM c${r - 1} x WHERE x.tok = s.tok)"
+          val where = (Seq(uncov) ++ notPicked).filter(_.nonEmpty) match {
+            case Nil => ""
+            case ws  => "\n  WHERE " + ws.mkString(" AND ")
+          }
+          val pickedOut = (1 until r).map(i =>
+            s"NOT EXISTS (SELECT 1 FROM p$i WHERE p$i.source = src.source)")
+          val whereSrc = if (pickedOut.isEmpty) ""
+            else "\n  WHERE " + pickedOut.mkString(" AND ")
+          val cdef = if (r == 1)
+            s"c1 AS (SELECT DISTINCT tok FROM st JOIN p1 USING (source))"
+          else
+            s"""c$r AS (SELECT tok FROM c${r - 1} UNION
+  SELECT tok FROM st JOIN p$r USING (source))"""
+          s"""n$r AS (SELECT s.source, CAST(count(*) AS BIGINT) AS nw FROM st s$where
+  GROUP BY 1),
+p$r AS (SELECT source, nw AS new_terms FROM (
+  SELECT src.source, COALESCE(n$r.nw, 0) AS nw FROM src LEFT JOIN n$r USING (source)$whereSrc)
+  ORDER BY nw DESC, source LIMIT 1),
+$cdef"""
+        }
+        val out = (1 to 5).map(r =>
+          s"""SELECT CAST($r AS BIGINT) AS round, source, CAST(new_terms AS BIGINT) AS new_terms,
+  CAST((SELECT count(*) FROM c$r) AS BIGINT) AS covered_total FROM p$r""")
+        s"""WITH st AS MATERIALIZED (SELECT DISTINCT source, tok FROM (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE length(tok) > 0),
+src AS (SELECT DISTINCT source FROM st),
+${rounds.mkString(",\n")}
+${out.mkString("\nUNION ALL\n")}
+ORDER BY round"""
+      }),
+
+    ("q323_forecast_bakeoff", (s, d) => {
+      // which baseline forecaster earns the benchmark slot — naive (carry
+      // yesterday) or seasonal-naive (carry last week)? Per segment,
+      // exact integer MAE numerators over matched calendar days; the
+      // winner compares mean errors by CROSS-MULTIPLICATION (mae1/n1 vs
+      // mae7/n7 as mae1*n7 vs mae7*n1), never a float division. The
+      // daily series is a days x segments relation — tiny at any sf —
+      // and each horizon is one self-join on (seg, day)
+      val oc = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // three views of the series
+      def horizon(h: Int): DataFrame = {
+        val prev = oc.select(col("seg").as("pseg"), col("day").as("pday"),
+          col("n").as("pn"))
+        oc.join(prev, col("seg") === col("pseg") &&
+            col("pday") === date_sub(col("day"), h))
+          .groupBy(col("seg"))
+          .agg(count(lit(1)).as(s"n$h"),
+            sum(abs(col("n") - col("pn"))).as(s"mae${h}_num"))
+      }
+      horizon(1).join(horizon(7), Seq("seg"))
+        .select(col("seg").as("c_mktsegment"), col("n1"), col("mae1_num"),
+          col("n7"), col("mae7_num"),
+          when(col("mae7_num") * col("n1") < col("mae1_num") * col("n7"), "seasonal")
+            .when(col("mae7_num") * col("n1") > col("mae1_num") * col("n7"), "naive")
+            .otherwise("tie").as("winner"))
+        .orderBy(col("c_mktsegment"))
+    },
+      Some("""WITH oc AS (SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,
+  CAST(count(*) AS BIGINT) AS n FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+h1 AS (SELECT a.seg, CAST(count(*) AS BIGINT) AS n1,
+  CAST(SUM(abs(a.n - b.n)) AS BIGINT) AS mae1_num
+  FROM oc a JOIN oc b ON a.seg = b.seg AND b.day = a.day - 1 GROUP BY 1),
+h7 AS (SELECT a.seg, CAST(count(*) AS BIGINT) AS n7,
+  CAST(SUM(abs(a.n - b.n)) AS BIGINT) AS mae7_num
+  FROM oc a JOIN oc b ON a.seg = b.seg AND b.day = a.day - 7 GROUP BY 1)
+SELECT seg AS c_mktsegment, n1, mae1_num, n7, mae7_num,
+  CASE WHEN mae7_num * n1 < mae1_num * n7 THEN 'seasonal'
+       WHEN mae7_num * n1 > mae1_num * n7 THEN 'naive' ELSE 'tie' END AS winner
+FROM h1 JOIN h7 USING (seg) ORDER BY 1""")),
+
+    ("q324_column_profile", (s, d) => {
+      // per-column data profiler over customer: row/null/distinct counts,
+      // Gini impurity in exact ppm ((n² - Σc²)/n² — the log-free
+      // diversity measure; entropy would gamble on cross-engine ln
+      // parity), and the deterministic mode (max count, smallest value).
+      // The double column stringifies through DECIMAL so both engines
+      // print identical text. Each column is one value-count aggregation;
+      // the mode needs no window — a max-count filter + min
+      val cust = Tables.customer(s, d)
+      def prof(cn: String, v: Column): DataFrame = {
+        val vc = cust.select(v.as("v")).groupBy(col("v"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint(false) // stats + mode consumers
+        val stats = vc.agg(sum(col("c")).as("n_rows"),
+          sum(when(col("v").isNull, col("c")).otherwise(0L)).as("n_null"),
+          sum(when(col("v").isNotNull, lit(1L)).otherwise(0L)).as("n_distinct"),
+          sum(when(col("v").isNotNull, col("c")).otherwise(0L)).as("nn"),
+          sum(when(col("v").isNotNull, col("c") * col("c")).otherwise(0L)).as("c2"))
+        val cmax = vc.filter(col("v").isNotNull).agg(max(col("c")).as("cm"))
+        val mode = vc.crossJoin(broadcast(cmax)).filter(col("c") === col("cm"))
+          .agg(min(col("v")).as("mode_value"), max(col("cm")).as("mode_n"))
+        stats.crossJoin(broadcast(mode))
+          .select(lit(cn).as("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"),
+            when(col("nn") === 0L, 0L).otherwise(call_function("div",
+              (col("nn") * col("nn") - col("c2")) * 1000000L,
+              col("nn") * col("nn"))).as("gini_ppm"),
+            col("mode_value"), col("mode_n"))
+      }
+      Seq(prof("c_custkey", col("c_custkey").cast(StringType)),
+          prof("c_name", col("c_name")),
+          prof("c_nationkey", col("c_nationkey").cast(StringType)),
+          prof("c_acctbal", col("c_acctbal").cast(DecimalType(12, 2)).cast(StringType)),
+          prof("c_mktsegment", col("c_mktsegment")))
+        .reduce(_ union _).orderBy(col("col_name"))
+    },
+      Some {
+        val cols = Seq(
+          ("c_custkey", "CAST(c_custkey AS VARCHAR)"),
+          ("c_name", "c_name"),
+          ("c_nationkey", "CAST(c_nationkey AS VARCHAR)"),
+          ("c_acctbal", "CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)"),
+          ("c_mktsegment", "c_mktsegment"))
+        val per = cols.map { case (cn, e) =>
+          s"""SELECT '$cn' AS col_name,
+  CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_rows,
+  CAST((SELECT count(*) FROM customer WHERE $e IS NULL) AS BIGINT) AS n_null,
+  CAST((SELECT count(DISTINCT $e) FROM customer) AS BIGINT) AS n_distinct,
+  CAST((SELECT CASE WHEN SUM(c) IS NULL OR SUM(c) = 0 THEN 0
+    ELSE (SUM(c) * SUM(c) - SUM(c * c)) * 1000000 // (SUM(c) * SUM(c)) END
+    FROM (SELECT count(*) AS c FROM customer WHERE $e IS NOT NULL GROUP BY $e))
+    AS BIGINT) AS gini_ppm,
+  (SELECT v FROM (SELECT $e AS v, count(*) AS c FROM customer
+    WHERE $e IS NOT NULL GROUP BY 1 ORDER BY c DESC, v LIMIT 1)) AS mode_value,
+  CAST((SELECT c FROM (SELECT $e AS v, count(*) AS c FROM customer
+    WHERE $e IS NOT NULL GROUP BY 1 ORDER BY c DESC, v LIMIT 1)) AS BIGINT) AS mode_n"""
+        }
+        s"""SELECT * FROM (${per.mkString("\nUNION ALL\n")})
+ORDER BY col_name"""
+      }),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
