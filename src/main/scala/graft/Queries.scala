@@ -8936,6 +8936,138 @@ FROM h1 JOIN h7 USING (seg) ORDER BY 1""")),
         s"""SELECT * FROM (${per.mkString("\nUNION ALL\n")})
 ORDER BY col_name"""
       }),
+
+    ("q325_next_step_accuracy", (s, d) => {
+      // how predictable is the event stream? The bigram-Markov baseline
+      // every sequence model must beat: per from-type, the argmax next
+      // type (tie to the smallest name) and its in-sample top-1 accuracy
+      // in exact permille. One user-keyed lag window builds transitions;
+      // everything after is types x types sized
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      val tr = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("et"), expr("ts_ns div 1000").as("t"))
+        .withColumn("prev", lag(col("et"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("a"), col("et").as("b"))
+      val cnt = tr.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // argmax + accuracy consumers
+      val pred = cnt.groupBy(col("a"))
+        .agg(min(struct((-col("n")).as("nn"), col("b"))).as("m"))
+        .select(col("a"), col("m.b").as("pred_next"))
+      cnt.join(broadcast(pred), Seq("a")) // types-sized
+        .groupBy(col("a"))
+        .agg(sum(col("n")).as("n_trans"), max(col("pred_next")).as("pred_next"),
+          sum(when(col("b") === col("pred_next"), col("n")).otherwise(0L))
+            .as("n_correct"))
+        .select(col("a").as("from_type"), col("pred_next"), col("n_trans"),
+          col("n_correct"),
+          call_function("div", col("n_correct") * 1000L, col("n_trans"))
+            .as("acc_pml"))
+        .orderBy(col("from_type"))
+    },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type AS et, epoch_us(ts) AS t
+  FROM events),
+tr AS (SELECT LAG(et) OVER (PARTITION BY user_id ORDER BY t, event_id) AS a, et AS b
+  FROM e),
+cnt AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM tr WHERE a IS NOT NULL
+  GROUP BY 1, 2),
+pred AS (SELECT a, b AS pred_next FROM (SELECT a, b,
+  ROW_NUMBER() OVER (PARTITION BY a ORDER BY n DESC, b) AS rn FROM cnt) WHERE rn = 1)
+SELECT cnt.a AS from_type, MAX(pred.pred_next) AS pred_next,
+  CAST(SUM(cnt.n) AS BIGINT) AS n_trans,
+  CAST(SUM(CASE WHEN cnt.b = pred.pred_next THEN cnt.n ELSE 0 END) AS BIGINT)
+    AS n_correct,
+  CAST(SUM(CASE WHEN cnt.b = pred.pred_next THEN cnt.n ELSE 0 END) * 1000
+    // SUM(cnt.n) AS BIGINT) AS acc_pml
+FROM cnt JOIN pred USING (a) GROUP BY 1 ORDER BY 1""")),
+
+    ("q326_interval_scheduling", (s, d) => {
+      // per-supplier shipment scheduling capacity: the maximum number of
+      // non-overlapping [shipdate, shipdate + quantity days] jobs — the
+      // classic earliest-deadline-first greedy, EXACT, as a row-local
+      // fold: sort each supplier's intervals by (end, start) once,
+      // then one O(per-key) aggregate() pass carrying (last_end, count).
+      // No recursion, no self-join; per-key width is the only dial
+      // (document per-key boundedness at scale)
+      val day0 = lit("1990-01-01").cast(DateType)
+      val iv = Tables.lineitem(s, d).select(col("l_suppkey").as("k"),
+          datediff(to_date(col("l_shipdate")), day0).cast(LongType).as("st"),
+          (datediff(to_date(col("l_shipdate")), day0).cast(LongType) +
+            floor(col("l_quantity")).cast(LongType)).as("en"))
+      val acc0 = struct(lit(-1000000000000000000L).as("p"), lit(0L).as("q"))
+      iv.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sort_array(collect_list(struct(col("en"), col("st")))).as("ivs"))
+        .select(col("k").as("l_suppkey"), col("n_intervals"),
+          aggregate(col("ivs"), acc0, (acc, x) =>
+            struct(
+              when(x.getField("st") >= acc.getField("p"), x.getField("en"))
+                .otherwise(acc.getField("p")).as("p"),
+              (acc.getField("q") +
+                when(x.getField("st") >= acc.getField("p"), 1L).otherwise(0L))
+                .as("q")))
+            .getField("q").as("max_jobs"))
+        .orderBy(col("l_suppkey"))
+    },
+      Some("""WITH RECURSIVE iv AS (SELECT l_suppkey AS k,
+  date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS st,
+  date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE))
+    + CAST(FLOOR(l_quantity) AS BIGINT) AS en FROM lineitem),
+g(k, last_en, c) AS (
+  SELECT k, CAST(-1 AS BIGINT), CAST(0 AS BIGINT) FROM (SELECT DISTINCT k FROM iv)
+  UNION ALL
+  SELECT g.k, nxt.en, g.c + 1
+  FROM g, LATERAL (SELECT min(en) AS en FROM iv
+    WHERE iv.k = g.k AND iv.st >= g.last_en) nxt
+  WHERE nxt.en IS NOT NULL),
+cnt AS (SELECT k, CAST(count(*) AS BIGINT) AS n_intervals FROM iv GROUP BY 1),
+mx AS (SELECT k, CAST(max(c) AS BIGINT) AS max_jobs FROM g GROUP BY 1)
+SELECT k AS l_suppkey, n_intervals, max_jobs
+FROM cnt JOIN mx USING (k) ORDER BY l_suppkey""")),
+
+    ("q327_shard_packing", (s, d) => {
+      // training-shard planner: per source, pack documents into 64 KiB
+      // shards by next-fit-decreasing — sort by (n_chars desc, doc_id),
+      // fold carrying (current fill, shards opened). The same row-local
+      // fold shape as q326: one sorted collect per source, one O(per-key)
+      // pass, exact integers; utilization in permille of opened capacity
+      val cap = 65536L
+      val acc0 = struct(lit(65536L).as("p"), lit(0L).as("q")) // full ⇒ first doc opens shard 1
+      val packed = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          sort_array(collect_list(struct((-col("n_chars")).as("ns"), col("doc_id"))))
+            .as("ds"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          aggregate(col("ds"), acc0, (acc, x) => {
+            val sz = -x.getField("ns")
+            val fits = acc.getField("p") + sz <= cap
+            struct(
+              when(fits, acc.getField("p") + sz).otherwise(sz).as("p"),
+              (acc.getField("q") + when(fits, 0L).otherwise(1L)).as("q"))
+          }).getField("q").as("shards"))
+      packed.select(col("source"), col("n_docs"), col("total_chars"), col("shards"),
+          call_function("div", col("total_chars") * 1000L, col("shards") * cap)
+            .as("util_pml"))
+        .orderBy(col("source"))
+    },
+      Some("""WITH p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  list_prepend(CAST(65536 AS BIGINT) * 1000000,
+    list_transform(list(n_chars ORDER BY n_chars DESC, doc_id),
+      x -> CAST(x AS BIGINT))) AS l
+  FROM documents GROUP BY 1),
+f AS (SELECT source, n_docs, total_chars,
+  CAST(list_reduce(l, (acc, x) ->
+    CASE WHEN acc // 1000000 + x <= 65536
+         THEN (acc // 1000000 + x) * 1000000 + acc % 1000000
+         ELSE x * 1000000 + acc % 1000000 + 1 END) % 1000000 AS BIGINT)
+    AS shards FROM p)
+SELECT source, n_docs, total_chars, shards,
+  total_chars * 1000 // (shards * 65536) AS util_pml
+FROM f ORDER BY source""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
