@@ -1104,6 +1104,58 @@ object StatefulOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(kmvUpdate(k))
   }
 
+  /** One step event entering the streaming funnel tracker. */
+  case class FunnelEvent(user: String, step: String, t: Long)
+
+  /** Running funnel position: `stage_reached` counts completed stages
+    * (0 = none), `t_last` is the completing event's time (0 when none).
+    */
+  case class FunnelReadout(user: String, stage_reached: Int, t_last: Long)
+
+  private[graft] case class FunnelState(k: Int, t: Long)
+
+  private def funnelUpdate(idx: Map[String, Int])(
+      user: String, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelState]): FunnelReadout = {
+    var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+    // in-batch order (t, stage): a later-stage event at the SAME tick as
+    // the stage before it must NOT advance (strict > is the q315 batch
+    // contract), and processing time-ascending makes "first qualifying
+    // event" = "min qualifying time"
+    rows.toSeq
+      .flatMap(e => idx.get(e.step).map(i => (e.t, i)))
+      .sorted
+      .foreach { case (t, i) =>
+        if (i == st.k && t > st.t) st = FunnelState(st.k + 1, t)
+      }
+    state.update(st)
+    FunnelReadout(user, st.k, if (st.t == Long.MinValue) 0L else st.t)
+  }
+
+  /** Streaming twin of the q315 ordered funnel: per user, how far down
+    * the `stages` cascade the stream has progressed, where stage k+1
+    * needs an event STRICTLY after stage k's completing time. State is
+    * two numbers per user forever. The fold is monotone — a replayed
+    * batch re-offers events the state already consumed (their stage
+    * index is behind `k`), so at-least-once delivery is absorbed; the
+    * documented tradeoff is the same as every funnel tracker's: a stage
+    * event arriving in a LATER batch than an earlier-timestamped
+    * successor is counted, but an event older than the reached stage's
+    * time cannot retroactively lower the funnel (cross-batch arrivals
+    * must be stage-ordered for exact batch parity — in-batch disorder
+    * is fully handled by the sort). Run with [[UpdateMode]].
+    */
+  def streamingFunnel(ds: Dataset[FunnelEvent],
+                      stages: Seq[String]): Dataset[FunnelReadout] = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"stages must be non-empty and distinct, got $stages")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val idx = stages.zipWithIndex.toMap
+    ds.groupByKey(_.user)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(funnelUpdate(idx))
+  }
+
   /** One item occurrence entering the heavy-hitter tracker. */
   case class HHEvent(key: String, item: String)
 

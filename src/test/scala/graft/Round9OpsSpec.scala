@@ -1160,4 +1160,53 @@ class Round9OpsSpec extends AnyFunSuite {
     // the estimator really is in sketch mode for key a (500 distinct > k)
     assert(last("a").distinct_est > 64.0)
   }
+
+  test("streamingFunnel: cross-batch cascade equals the min-time recurrence; replays absorbed") {
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{FunnelEvent, FunnelReadout}
+    implicit val sqlCtx = spark.sqlContext
+    val stages = Seq("view", "click", "signup", "purchase")
+    val b1 = Seq(
+      FunnelEvent("u1", "view", 10), FunnelEvent("u1", "click", 10), // same tick: strict > blocks
+      FunnelEvent("u1", "click", 12), FunnelEvent("u1", "signup", 11), // pre-click signup ignored
+      FunnelEvent("u2", "click", 5), // click before any view: stuck at 0
+      FunnelEvent("u3", "view", 1), FunnelEvent("u3", "click", 2),
+      FunnelEvent("u3", "signup", 3), FunnelEvent("u3", "purchase", 4),
+      FunnelEvent("u4", "view", 7), FunnelEvent("u4", "other", 8)) // unknown step ignored
+    val b2 = Seq(
+      FunnelEvent("u1", "signup", 20), FunnelEvent("u1", "purchase", 19), // 19 < signup t: blocked
+      FunnelEvent("u2", "view", 30), FunnelEvent("u2", "click", 31),
+      FunnelEvent("u4", "click", 40))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FunnelEvent]
+    val q = StatefulOps.streamingFunnel(ms.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(StatefulOps.UpdateMode).start()
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable() // replayed batch
+    q.stop()
+    val last = spark.table("funnel_out").as[FunnelReadout].collect()
+      .zipWithIndex.groupBy(_._1.user).map { case (k, rs) => k -> rs.maxBy(_._2)._1 }
+    // independent reference: the q315 min-time recurrence over b1 ++ b2
+    val all = (b1 ++ b2).groupBy(_.user)
+    def cascade(evs: Seq[FunnelEvent]): (Int, Long) = {
+      var t = Long.MinValue; var k = 0
+      var advanced = true
+      while (advanced && k < stages.size) {
+        val nxt = evs.filter(e => e.step == stages(k) && e.t > t)
+        if (nxt.isEmpty) advanced = false
+        else { t = nxt.map(_.t).min; k += 1 }
+      }
+      (k, if (t == Long.MinValue) 0L else t)
+    }
+    for ((u, evs) <- all) {
+      val (k, t) = cascade(evs)
+      assert(last(u).stage_reached === k, s"user $u stage")
+      assert(last(u).t_last === t, s"user $u time")
+    }
+    assert(last("u1").stage_reached === 3) // view@10, click@12, signup@20; purchase@19 blocked
+    assert(last("u2").stage_reached === 2) // pre-view click never counts
+    assert(last("u3").stage_reached === 4)
+    assert(last("u4").stage_reached === 2)
+  }
 }
