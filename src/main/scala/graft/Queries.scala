@@ -9068,6 +9068,83 @@ f AS (SELECT source, n_docs, total_chars,
 SELECT source, n_docs, total_chars, shards,
   total_chars * 1000 // (shards * 65536) AS util_pml
 FROM f ORDER BY source""")),
+
+    ("q328_tokenizer_fertility", (s, d) => {
+      // tokenizer fertility report per language — subword tokens per
+      // whitespace word and characters per token, the two dials that
+      // decide how many GPU-hours a corpus actually costs: computed with
+      // the codegen'd wordpiece counter (q80's tokenizer), exact integer
+      // permille. Map-only until a languages-sized rollup
+      val t = Tables.documents(s, d).select(col("lang"),
+        graft.functions.Converters.wordpieceTokens(col("text")).as("tk"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast(LongType).as("wd"),
+        length(translate(col("text"), " ", "")).cast(LongType).as("ch"))
+      t.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"),
+          sum(col("wd")).as("n_words"), sum(col("ch")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          col("n_chars"),
+          call_function("div", col("n_tokens") * 1000L, col("n_words"))
+            .as("fertility_pml"),
+          call_function("div", col("n_chars") * 1000L, col("n_tokens"))
+            .as("chars_per_token_pml"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH $wordpieceTokenCtes,
+inst AS (SELECT w.lang, w.doc_id, w.wd, CAST(COALESCE(c.n, 0) AS BIGINT) AS tk
+  FROM wx w LEFT JOIN cnt c ON w.wd = c.wd WHERE w.wd != ''),
+per AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_words, CAST(SUM(tk) AS BIGINT) AS n_tokens,
+  CAST(SUM(length(wd)) AS BIGINT) AS n_chars FROM inst GROUP BY 1)
+SELECT lang, n_docs, n_words, n_tokens, n_chars,
+  n_tokens * 1000 // n_words AS fertility_pml,
+  n_chars * 1000 // n_tokens AS chars_per_token_pml
+FROM per ORDER BY lang""")),
+
+    ("q329_leakage_free_split", (s, d) => {
+      // train/val/test assignment that CANNOT leak near-duplicates across
+      // splits: the unit of assignment is the dedup COMPONENT, not the
+      // document — every doc routes by the fingerprint of its component
+      // representative (8/1/1 by mod 10), so paraphrase clusters land
+      // together by construction. n_docs_moved counts docs whose own-hash
+      // split differs from their component's — exactly the leaks a naive
+      // doc-level split would have shipped. Components come from the
+      // shared graph artifact; the rest is map-side hashing + a
+      // splits-sized rollup
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d))
+      val grp = DedupOps.nearDupGroups(docs.select(col("doc_id")), "doc_id", pairs)
+      def bucket(c: Column): Column =
+        pmod(Converters.fingerprint64(c.cast(StringType)), lit(10L))
+      def splitOf(b: Column): Column =
+        when(b < 8L, "train").when(b === 8L, "val").otherwise("test")
+      grp.join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+        .select(col("id"), col("canonical_id"), col("n_chars"),
+          splitOf(bucket(col("canonical_id"))).as("split"),
+          (splitOf(bucket(col("id"))) =!=
+            splitOf(bucket(col("canonical_id")))).as("moved"))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("canonical_id")).as("n_components"),
+          count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+          sum(col("moved").cast(LongType)).as("n_docs_moved"))
+        .orderBy(col("split"))
+    },
+      Some(s"""WITH RECURSIVE ${nearDupGroupsCtes(3)},
+a AS (SELECT g.id, g.canonical_id, d.n_chars,
+  ${fpSql("CAST(g.canonical_id AS VARCHAR)")} % 10 AS cb,
+  ${fpSql("CAST(g.id AS VARCHAR)")} % 10 AS ob
+  FROM grp g JOIN documents d ON d.doc_id = g.id),
+b AS (SELECT CASE WHEN cb < 8 THEN 'train' WHEN cb = 8 THEN 'val' ELSE 'test' END AS split,
+  canonical_id, n_chars,
+  CASE WHEN (CASE WHEN cb < 8 THEN 0 WHEN cb = 8 THEN 1 ELSE 2 END) <>
+            (CASE WHEN ob < 8 THEN 0 WHEN ob = 8 THEN 1 ELSE 2 END)
+       THEN 1 ELSE 0 END AS moved
+  FROM a)
+SELECT split, CAST(count(DISTINCT canonical_id) AS BIGINT) AS n_components,
+  CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+  CAST(SUM(moved) AS BIGINT) AS n_docs_moved
+FROM b GROUP BY 1 ORDER BY split""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
