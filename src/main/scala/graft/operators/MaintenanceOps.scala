@@ -150,10 +150,6 @@ object MaintenanceOps {
         min(col("fid")).as("first_file"), max(col("fid")).as("last_file"))
   }
 
-  /** Merge-assertion (clients/shared/merge.go:194-209): the merged frame
-    * must account for at least the buffered row count (rows can only be
-    * net-added or replaced, never silently lost). Returns the merged count.
-    */
   /** Incremental maintenance of a materialized equi-JOIN view — the join
     * half of IVM next to [[mergeAggState]]'s aggregate half: with
     * insert-only deltas ΔA / ΔB arriving against old snapshots A / B,
@@ -182,6 +178,10 @@ object MaintenanceOps {
       .unionByName(j(aDelta, bDelta))
   }
 
+  /** Merge-assertion (clients/shared/merge.go:194-209): the merged frame
+    * must account for at least the buffered row count (rows can only be
+    * net-added or replaced, never silently lost).
+    */
   def assertMergeCovered(mergedCount: Long, baseCount: Long, deletedCount: Long,
                          insertedCount: Long): Unit = {
     val expectedMin = baseCount - deletedCount
