@@ -9145,6 +9145,49 @@ SELECT split, CAST(count(DISTINCT canonical_id) AS BIGINT) AS n_components,
   CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
   CAST(SUM(moved) AS BIGINT) AS n_docs_moved
 FROM b GROUP BY 1 ORDER BY split""")),
+
+    ("q330_int8_quant_error", (s, d) => {
+      // embedding-serving design audit: per label, the exact SSE cost of
+      // symmetric per-vector int8 quantization (q = sign·(|x|·127 div m),
+      // m = max|x| on the 2^20 fixed-point grid) — all integer: sign is
+      // carried separately so truncating division agrees across engines
+      // (Spark div truncates toward zero, DuckDB // floors — they differ
+      // on negatives). Map-only per vector, then a labels-sized rollup
+      val xs = transform(col("embedding").cast(ArrayType(DoubleType)),
+        x => floor(x * 1048576.0).cast(LongType))
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast(LongType).as("label"), xs.as("xs"))
+        .withColumn("m", array_max(transform(col("xs"), x => abs(x))))
+      def deq(x: Column): Column = {
+        val qa = call_function("div", abs(x) * 127L, col("m"))
+        val da = call_function("div", qa * col("m"), lit(127L))
+        when(x < 0L, -da).otherwise(da)
+      }
+      base.withColumn("err",
+          when(col("m") === 0L, 0L).otherwise(
+            aggregate(col("xs"), lit(0L),
+              (acc, x) => acc + (x - deq(x)) * (x - deq(x)))))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("err")).as("total_err"),
+          max(col("err")).as("max_err"))
+        .select(col("label"), col("n_vecs"), col("total_err"), col("max_err"),
+          call_function("div", col("total_err"), col("n_vecs")).as("mean_err"))
+        .orderBy(col("label"))
+    },
+      Some("""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+  list_transform(CAST(embedding AS DOUBLE[]),
+    x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS xs FROM embeddings),
+mm AS (SELECT vec_id, label, xs,
+  list_max(list_transform(xs, x -> abs(x))) AS m FROM e),
+er AS (SELECT vec_id, label, CASE WHEN m = 0 THEN 0 ELSE
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(xs, x -> x - (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+      * ((abs(x) * 127 // m) * m // 127))),
+    (a, y) -> a + y * y) END AS err FROM mm)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(SUM(err) AS BIGINT) AS total_err, CAST(MAX(err) AS BIGINT) AS max_err,
+  CAST(SUM(err) // count(*) AS BIGINT) AS mean_err
+FROM er GROUP BY 1 ORDER BY 1""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
