@@ -9188,6 +9188,78 @@ SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
   CAST(SUM(err) AS BIGINT) AS total_err, CAST(MAX(err) AS BIGINT) AS max_err,
   CAST(SUM(err) // count(*) AS BIGINT) AS mean_err
 FROM er GROUP BY 1 ORDER BY 1""")),
+
+    ("q331_haar_energy", (s, d) => {
+      // scale-space decomposition of the daily order curve: a 12-level
+      // unnormalized integer Haar pyramid (sum/difference pairs — the
+      // log-tree aggregation shape, 12 shuffles of HALVING size, the way
+      // a 100 TB series folds without ever sorting globally), per-level
+      // energy in the orthonormal basis scaled by 4096 (d²·2^(12-l) —
+      // exact integers), and how much energy the top-16 coefficients
+      // (|d| desc, level, pos) capture — the wavelet-compression readout
+      val daily = Tables.orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1995-01-01").cast(DateType)).cast(LongType).as("pos"))
+        .agg(count(lit(1)).as("s"))
+      var cur = daily.localCheckpoint(false)
+      var details: Seq[DataFrame] = Nil
+      for (l <- 1 to 12) {
+        val a = cur.groupBy(call_function("div", col("pos"), lit(2L)).as("np"))
+          .agg(sum(when(pmod(col("pos"), lit(2L)) === 0L, col("s")).otherwise(0L)).as("e"),
+            sum(when(pmod(col("pos"), lit(2L)) === 1L, col("s")).otherwise(0L)).as("o"))
+          .localCheckpoint(false) // halves every round; lineage stays flat
+        details = details :+ a.select(lit(l.toLong).as("level"),
+          lit(1L << (12 - l)).as("w"), col("np").as("pos"),
+          (col("e") - col("o")).as("dc"))
+        cur = a.select(col("np").as("pos"), (col("e") + col("o")).as("s"))
+      }
+      val alld = details.reduce(_ unionByName _).localCheckpoint(false)
+      val top = alld.orderBy(abs(col("dc")).desc, col("level"), col("pos"))
+        .limit(16).select(col("level"), col("pos"), lit(1L).as("k"))
+      val levels = alld.join(top, Seq("level", "pos"), "left")
+        .groupBy(col("level"))
+        .agg(sum((col("dc") =!= 0L).cast(LongType)).as("n_nonzero"),
+          sum(col("w") * col("dc") * col("dc")).as("energy_scaled"),
+          sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("kept_n"),
+          sum(when(col("k").isNotNull, col("w") * col("dc") * col("dc"))
+            .otherwise(0L)).as("kept_energy_scaled"))
+      val approx = cur.agg(sum(col("s")).as("t")) // s12[0]: the series total
+        .select(lit(0L).as("level"), lit(1L).as("n_nonzero"),
+          (col("t") * col("t")).as("energy_scaled"), lit(1L).as("kept_n"),
+          (col("t") * col("t")).as("kept_energy_scaled"))
+      levels.unionByName(approx).orderBy(col("level"))
+    },
+      Some {
+        val lvls = (1 to 12).map { l =>
+          s"""a$l AS (SELECT pos // 2 AS np,
+  CAST(SUM(CASE WHEN pos % 2 = 0 THEN s ELSE 0 END) AS BIGINT) AS e,
+  CAST(SUM(CASE WHEN pos % 2 = 1 THEN s ELSE 0 END) AS BIGINT) AS o
+  FROM s${l - 1} GROUP BY 1),
+s$l AS (SELECT np AS pos, e + o AS s FROM a$l),
+d$l AS (SELECT CAST($l AS BIGINT) AS level, CAST(${1L << (12 - l)} AS BIGINT) AS w,
+  np AS pos, e - o AS dc FROM a$l)"""
+        }
+        val un = (1 to 12).map(l => s"SELECT level, w, pos, dc FROM d$l")
+          .mkString(" UNION ALL ")
+        s"""WITH s0 AS (SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS pos,
+  CAST(count(*) AS BIGINT) AS s FROM orders GROUP BY 1),
+${lvls.mkString(",\n")},
+alld AS ($un),
+top AS (SELECT level, pos, CAST(1 AS BIGINT) AS k FROM alld
+  ORDER BY abs(dc) DESC, level, pos LIMIT 16),
+per AS (SELECT a.level,
+  CAST(SUM(CASE WHEN a.dc <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,
+  CAST(SUM(a.w * a.dc * a.dc) AS BIGINT) AS energy_scaled,
+  CAST(SUM(CASE WHEN t.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept_n,
+  CAST(SUM(CASE WHEN t.k IS NOT NULL THEN a.w * a.dc * a.dc ELSE 0 END) AS BIGINT)
+    AS kept_energy_scaled
+  FROM alld a LEFT JOIN top t ON t.level = a.level AND t.pos = a.pos GROUP BY 1),
+ap AS (SELECT CAST(0 AS BIGINT) AS level, CAST(1 AS BIGINT) AS n_nonzero,
+  CAST(t * t AS BIGINT) AS energy_scaled, CAST(1 AS BIGINT) AS kept_n,
+  CAST(t * t AS BIGINT) AS kept_energy_scaled
+  FROM (SELECT CAST(SUM(s) AS BIGINT) AS t FROM s12))
+SELECT * FROM per UNION ALL SELECT * FROM ap ORDER BY level"""
+      }),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
