@@ -9260,6 +9260,67 @@ ap AS (SELECT CAST(0 AS BIGINT) AS level, CAST(1 AS BIGINT) AS n_nonzero,
   FROM (SELECT CAST(SUM(s) AS BIGINT) AS t FROM s12))
 SELECT * FROM per UNION ALL SELECT * FROM ap ORDER BY level"""
       }),
+
+    ("q332_poisson_bootstrap_ci", (s, d) => {
+      // bootstrap CI the way it actually scales (Poisson bootstrap —
+      // Chamandy et al., "Estimating uncertainty for massive data
+      // streams"): no resampling shuffle, each row draws its count in
+      // each of 200 replicas from a DETERMINISTIC hash-uniform via the
+      // exact integer Poisson(1) inverse CDF (thresholds in micro units,
+      // so both engines draw identical counts), replica means quantized
+      // to ppm-of-a-cent by integer division, CI = exact order statistics
+      // of the 200 replica means. One bounded 200x explode, one
+      // 200-group aggregation, one 200-row rank
+      val B = 200
+      val cents = (d2(col("o_totalprice")) * 100).cast(LongType)
+      val reps = s.range(B).select(col("id").as("b"))
+      val drawn = Tables.orders(s, d).select(col("o_orderkey"), cents.as("c"))
+        .crossJoin(broadcast(reps))
+        .withColumn("u", pmod(Converters.fingerprint64(
+          concat(col("o_orderkey").cast(StringType), lit("#"),
+            col("b").cast(StringType))), lit(1000000L)))
+        .withColumn("k",
+          when(col("u") < 367879L, 0L).when(col("u") < 735759L, 1L)
+            .when(col("u") < 919699L, 2L).when(col("u") < 981012L, 3L)
+            .when(col("u") < 996340L, 4L).when(col("u") < 999406L, 5L)
+            .when(col("u") < 999917L, 6L).otherwise(7L))
+      val means = drawn.groupBy(col("b"))
+        .agg(sum(col("k") * col("c")).as("num"), sum(col("k")).as("den"))
+        .select(col("b"),
+          call_function("div", col("num") * 1000000L, col("den")).as("m"))
+      val w = Window.partitionBy(lit(0)).orderBy(col("m"), col("b")) // B rows
+      val ranked = means.withColumn("rk", row_number().over(w))
+      val point = Tables.orders(s, d)
+        .agg(call_function("div", sum(cents) * 1000000L, count(lit(1)))
+          .as("mean_ppm"))
+      point.crossJoin(broadcast(ranked.filter(col("rk") === 5)
+          .select(col("m").as("ci_lo_ppm"))))
+        .crossJoin(broadcast(ranked.filter(col("rk") === 196)
+          .select(col("m").as("ci_hi_ppm"))))
+        .select(lit(B.toLong).as("b_resamples"), col("mean_ppm"),
+          col("ci_lo_ppm"), col("ci_hi_ppm"))
+    },
+      Some("""WITH o AS (SELECT o_orderkey,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM orders),
+reps AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, 200)),
+drawn AS (SELECT o.o_orderkey, o.c, reps.b,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(CAST(o.o_orderkey AS VARCHAR) || '#' ||
+        CAST(reps.b AS VARCHAR)) + 1),
+      i -> CAST(unicode(substring(CAST(o.o_orderkey AS VARCHAR) || '#' ||
+        CAST(reps.b AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007) % 1000000 AS u
+  FROM o CROSS JOIN reps),
+ks AS (SELECT b, c, CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+  WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3 WHEN u < 996340 THEN 4
+  WHEN u < 999406 THEN 5 WHEN u < 999917 THEN 6 ELSE 7 END AS k FROM drawn),
+means AS (SELECT b, CAST(SUM(k * c) * 1000000 // SUM(k) AS BIGINT) AS m
+  FROM ks GROUP BY 1),
+ranked AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rk FROM means)
+SELECT CAST(200 AS BIGINT) AS b_resamples,
+  CAST((SELECT SUM(c) * 1000000 // count(*) FROM o) AS BIGINT) AS mean_ppm,
+  CAST((SELECT m FROM ranked WHERE rk = 5) AS BIGINT) AS ci_lo_ppm,
+  CAST((SELECT m FROM ranked WHERE rk = 196) AS BIGINT) AS ci_hi_ppm""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
