@@ -9321,6 +9321,44 @@ SELECT CAST(200 AS BIGINT) AS b_resamples,
   CAST((SELECT SUM(c) * 1000000 // count(*) FROM o) AS BIGINT) AS mean_ppm,
   CAST((SELECT m FROM ranked WHERE rk = 5) AS BIGINT) AS ci_lo_ppm,
   CAST((SELECT m FROM ranked WHERE rk = 196) AS BIGINT) AS ci_hi_ppm""")),
+
+    ("q333_majority_imputation", (s, d) => {
+      // data-repair audit with a planted ground truth (the q311 planted-
+      // fault discipline): mask c_nationkey wherever c_custkey % 37 = 0,
+      // impute each hole with its segment's majority nation computed over
+      // the SURVIVING rows (tie to the smallest key), then grade the
+      // repair against the hidden truth. Majority tables are
+      // segments-sized broadcasts; nothing data-sized shuffles twice
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment").as("seg"), col("c_nationkey").cast(LongType).as("nk"))
+        .withColumn("masked", pmod(col("c_custkey"), lit(37L)) === 0L)
+        .localCheckpoint(false) // majority + repair consumers
+      val maj = cust.filter(!col("masked")).groupBy(col("seg"), col("nk"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("seg"))
+        .agg(min(struct((-col("n")).as("nn"), col("nk"))).as("m"))
+        .select(col("seg"), col("m.nk").as("imp"))
+      cust.filter(col("masked")).join(broadcast(maj), Seq("seg"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_masked"), max(col("imp")).as("imputed_nk"),
+          sum((col("nk") === col("imp")).cast(LongType)).as("n_correct"))
+        .select(col("seg").as("c_mktsegment"), col("n_masked"), col("imputed_nk"),
+          col("n_correct"),
+          call_function("div", col("n_correct") * 1000L, col("n_masked"))
+            .as("acc_pml"))
+        .orderBy(col("c_mktsegment"))
+    },
+      Some("""WITH c AS (SELECT c_custkey, c_mktsegment AS seg,
+  CAST(c_nationkey AS BIGINT) AS nk, c_custkey % 37 = 0 AS masked FROM customer),
+maj AS (SELECT seg, nk AS imp FROM (SELECT seg, nk, count(*) AS n,
+  ROW_NUMBER() OVER (PARTITION BY seg ORDER BY count(*) DESC, nk) AS rn
+  FROM c WHERE NOT masked GROUP BY 1, 2) WHERE rn = 1)
+SELECT c.seg AS c_mktsegment, CAST(count(*) AS BIGINT) AS n_masked,
+  CAST(MAX(maj.imp) AS BIGINT) AS imputed_nk,
+  CAST(SUM(CASE WHEN c.nk = maj.imp THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+  CAST(SUM(CASE WHEN c.nk = maj.imp THEN 1 ELSE 0 END) * 1000 // count(*)
+    AS BIGINT) AS acc_pml
+FROM c JOIN maj USING (seg) WHERE c.masked GROUP BY 1 ORDER BY 1""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
