@@ -9359,6 +9359,129 @@ SELECT c.seg AS c_mktsegment, CAST(count(*) AS BIGINT) AS n_masked,
   CAST(SUM(CASE WHEN c.nk = maj.imp THEN 1 ELSE 0 END) * 1000 // count(*)
     AS BIGINT) AS acc_pml
 FROM c JOIN maj USING (seg) WHERE c.masked GROUP BY 1 ORDER BY 1""")),
+
+    ("q334_butterfly_census", (s, d) => {
+      // bipartite 4-cycle (butterfly) census over the order–part
+      // incidence (Sanei-Mehri et al. KDD'18): butterflies = Σ C(n,2)
+      // over co-purchase part pairs with n shared baskets — read from
+      // the SAME materialized co-purchase artifact as the seven graph
+      // queries, so the corpus-sized pair enumeration is paid once per
+      // generation and this census is three scans of tiny relations.
+      // closure_ppm = share of basket-centred wedges whose part pair
+      // recurs in >=2 baskets (participates in >=1 butterfly)
+      val it = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("item")).distinct()
+      val wed = it.groupBy(col("bk")).agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("n_baskets"),
+          sum(call_function("div", col("k") * (col("k") - 1L), lit(2L))).as("n_wedges"))
+      val bf = coPurchaseEdges(s, d).agg(
+        count(lit(1)).as("n_copair_edges"),
+        coalesce(sum(call_function("div", col("n") * (col("n") - 1L), lit(2L))), lit(0L))
+          .as("n_butterflies"),
+        coalesce(sum(col("n")), lit(0L)).as("__closed"))
+      wed.crossJoin(broadcast(bf)) // one-row totals
+        .select(col("n_baskets"), col("n_wedges"), col("n_copair_edges"),
+          col("n_butterflies"),
+          call_function("div", col("__closed") * 1000000L, col("n_wedges"))
+            .as("closure_ppm"))
+    },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+w AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets,
+  CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS n_wedges
+  FROM (SELECT CAST(count(*) AS BIGINT) AS k FROM it GROUP BY bk)),
+pc AS (SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS n
+  FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+bf AS (SELECT CAST(count(*) AS BIGINT) AS n_copair_edges,
+  CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS n_butterflies,
+  CAST(COALESCE(SUM(n), 0) AS BIGINT) AS closed FROM pc)
+SELECT w.n_baskets, w.n_wedges, bf.n_copair_edges, bf.n_butterflies,
+  CAST(bf.closed * 1000000 // w.n_wedges AS BIGINT) AS closure_ppm
+FROM w, bf""")),
+
+    ("q335_wasserstein_drift", (s, d) => {
+      // corpus drift as the exact 1-D Wasserstein (earth-mover) distance
+      // between document-length distributions, per non-en lang vs the en
+      // anchor: EMD = ∫|F_P − F_Q| dv over the merged length support,
+      // integer-exact via cross-multiplied CDFs — Σ |f1·n2 − f2·n1|·Δv
+      // scaled ×1000 // (n1·n2). Complements q210's KS (sup-norm) with
+      // the integral norm rerankers actually monitor. The per-pair
+      // window runs over the DISTINCT-length support (bounded by max
+      // doc chars), never the corpus — at 100 TB the support stays
+      // thousands of rows while counts grow (move the cross-multiplied
+      // accumulator to DECIMAL(38,0) past ~1e6 docs/lang)
+      val hist = Tables.documents(s, d)
+        .groupBy(col("lang"), col("n_chars").as("v")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // en side + other side
+      val en = hist.filter(col("lang") === "en").select(col("v"), col("c").as("c1"))
+      val oth = hist.filter(col("lang") =!= "en")
+        .select(col("lang").as("pair"), col("v"), col("c").as("c2"))
+      val enRep = oth.select(col("pair")).distinct().crossJoin(en)
+      val sup = enRep.join(oth, Seq("pair", "v"), "full_outer")
+        .na.fill(0L, Seq("c1", "c2"))
+      val w = Window.partitionBy(col("pair")).orderBy(col("v"))
+      val tot = sup.groupBy(col("pair"))
+        .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      sup.withColumn("f1", sum(col("c1")).over(w))
+        .withColumn("f2", sum(col("c2")).over(w))
+        .withColumn("dv", lead(col("v"), 1).over(w) - col("v"))
+        .filter(col("dv").isNotNull)
+        .join(broadcast(tot), Seq("pair"))
+        .groupBy(col("pair"))
+        .agg(max(col("n1")).as("n_en"), max(col("n2")).as("n_lang"),
+          sum(abs(col("f1") * col("n2") - col("f2") * col("n1")) * col("dv")).as("__num"))
+        .select(col("pair").as("lang"), col("n_en"), col("n_lang"),
+          call_function("div", col("__num") * 1000L, col("n_en") * col("n_lang"))
+            .as("emd_milli"))
+        .orderBy(col("lang"))
+    },
+      Some("""WITH h AS (SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+en AS (SELECT v, c AS c1 FROM h WHERE lang = 'en'),
+oth AS (SELECT lang AS pair, v, c AS c2 FROM h WHERE lang <> 'en'),
+er AS (SELECT l.pair, e.v, e.c1 FROM (SELECT DISTINCT pair FROM oth) l, en e),
+sup AS (SELECT COALESCE(er.pair, oth.pair) AS pair, COALESCE(er.v, oth.v) AS v,
+  COALESCE(er.c1, 0) AS c1, COALESCE(oth.c2, 0) AS c2
+  FROM er FULL OUTER JOIN oth ON er.pair = oth.pair AND er.v = oth.v),
+cum AS (SELECT pair, v,
+  SUM(c1) OVER (PARTITION BY pair ORDER BY v) AS f1,
+  SUM(c2) OVER (PARTITION BY pair ORDER BY v) AS f2,
+  LEAD(v) OVER (PARTITION BY pair ORDER BY v) - v AS dv FROM sup),
+tot AS (SELECT pair, CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM sup GROUP BY 1)
+SELECT cum.pair AS lang, MAX(tot.n1) AS n_en, MAX(tot.n2) AS n_lang,
+  CAST(SUM(ABS(f1 * tot.n2 - f2 * tot.n1) * dv) * 1000
+    // (MAX(tot.n1) * MAX(tot.n2)) AS BIGINT) AS emd_milli
+FROM cum JOIN tot USING (pair) WHERE dv IS NOT NULL
+GROUP BY 1 ORDER BY 1""")),
+
+    ("q336_join_cardinality_audit", (s, d) => {
+      // cost-based-optimizer cardinality primitive: the exact self-join
+      // output size Σ d(k)² per candidate key, computed WITHOUT
+      // materializing the join (one groupBy per key), plus max degree
+      // and the ×1000 blowup vs the input — the numbers a planner needs
+      // to refuse a runaway self-join before it runs (q222's round-8
+      // lesson institutionalised as a data audit)
+      def prof(key: String) = Tables.lineitem(s, d)
+        .groupBy(col(key)).agg(count(lit(1)).as("dg"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("dg")).as("n_rows"),
+          sum(col("dg") * col("dg")).as("join_rows"), max(col("dg")).as("max_degree"))
+        .select(lit(key).as("join_key"), col("n_rows"), col("n_keys"),
+          col("join_rows"), col("max_degree"),
+          call_function("div", col("join_rows") * 1000L, col("n_rows")).as("blowup_x1000"))
+      prof("l_partkey").unionByName(prof("l_suppkey")).unionByName(prof("l_orderkey"))
+        .orderBy(col("join_key"))
+    },
+      Some("""WITH p AS (
+  SELECT 'l_partkey' AS join_key, CAST(count(*) AS BIGINT) AS dg FROM lineitem GROUP BY l_partkey
+  UNION ALL
+  SELECT 'l_suppkey', CAST(count(*) AS BIGINT) FROM lineitem GROUP BY l_suppkey
+  UNION ALL
+  SELECT 'l_orderkey', CAST(count(*) AS BIGINT) FROM lineitem GROUP BY l_orderkey)
+SELECT join_key, CAST(SUM(dg) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(SUM(dg * dg) AS BIGINT) AS join_rows, CAST(MAX(dg) AS BIGINT) AS max_degree,
+  CAST(SUM(dg * dg) * 1000 // SUM(dg) AS BIGINT) AS blowup_x1000
+FROM p GROUP BY 1 ORDER BY 1""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
