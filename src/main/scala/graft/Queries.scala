@@ -9482,6 +9482,119 @@ SELECT join_key, CAST(SUM(dg) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS 
   CAST(SUM(dg * dg) AS BIGINT) AS join_rows, CAST(MAX(dg) AS BIGINT) AS max_degree,
   CAST(SUM(dg * dg) * 1000 // SUM(dg) AS BIGINT) AS blowup_x1000
 FROM p GROUP BY 1 ORDER BY 1""")),
+
+    ("q337_hull_vertex_census", (s, d) => {
+      // computational-geometry census: per-nation convex-hull vertex
+      // count over a deterministic 32-point sample of a hash-derived
+      // customer plane (q169's decorrelated prefix/suffix tags). Spark
+      // runs Andrew's monotone chain with the two-level hull-merge
+      // pre-reduce (SpatialOps.hullVertexCensus, O(n log n) per group);
+      // the ORACLE establishes the same vertices by the Carathéodory
+      // criterion — a point is NOT a hull vertex iff some non-degenerate
+      // triangle of others covers it, or two others straddle it
+      // collinearly — so parity is two INDEPENDENT algorithms agreeing,
+      // not a replay. The sample cap keeps the oracle's deliberately
+      // plan-hostile Θ(n⁴) test constant-size at every SF
+      def coordMix(h: Column) = pmod(pmod(
+        lit(636413622L) * h + lit(528402381L), lit(1000000007L)), lit(1000000L))
+      val wNk = Window.partitionBy(col("nk")).orderBy(col("fp"), col("c_custkey"))
+      val pts = Tables.customer(s, d).select(
+          col("c_nationkey").cast(LongType).as("nk"), col("c_custkey"),
+          coordMix(Converters.fingerprint64(
+            concat(lit("hx"), col("c_custkey").cast(StringType)))).as("x"),
+          coordMix(Converters.fingerprint64(
+            concat(col("c_custkey").cast(StringType), lit("hy")))).as("y"),
+          Converters.fingerprint64(
+            concat(lit("hc"), col("c_custkey").cast(StringType))).as("fp"))
+        .withColumn("rn", row_number().over(wNk)).filter(col("rn") <= 32)
+      graft.operators.SpatialOps.hullVertexCensus(
+          pts.select(col("nk"), col("x"), col("y")), "nk", "x", "y", preReduce = 4)
+        .withColumnRenamed("nk", "nation")
+        .orderBy(col("nation"))
+    },
+      Some(s"""WITH p0 AS (SELECT CAST(c_nationkey AS BIGINT) AS nk, c_custkey,
+  ${mixedSql("('hx' || CAST(c_custkey AS VARCHAR))")} % 1000000 AS x,
+  ${mixedSql("(CAST(c_custkey AS VARCHAR) || 'hy')")} % 1000000 AS y,
+  ${fpSql("('hc' || CAST(c_custkey AS VARCHAR))")} AS fp FROM customer),
+p AS (SELECT DISTINCT nk, x, y FROM (SELECT nk, x, y,
+  ROW_NUMBER() OVER (PARTITION BY nk ORDER BY fp, c_custkey) AS rn FROM p0)
+  WHERE rn <= 32),
+tri AS (SELECT DISTINCT p.nk, p.x, p.y
+  FROM p JOIN p a ON a.nk = p.nk AND (a.x <> p.x OR a.y <> p.y)
+  JOIN p b ON b.nk = p.nk AND (a.x, a.y) < (b.x, b.y) AND (b.x <> p.x OR b.y <> p.y)
+  JOIN p c ON c.nk = p.nk AND (b.x, b.y) < (c.x, c.y) AND (c.x <> p.x OR c.y <> p.y)
+  WHERE ${crossSql("a", "b", "c")} <> 0
+    AND ((${crossSql("a", "b", "p")} >= 0 AND ${crossSql("b", "c", "p")} >= 0
+        AND ${crossSql("c", "a", "p")} >= 0)
+      OR (${crossSql("a", "b", "p")} <= 0 AND ${crossSql("b", "c", "p")} <= 0
+        AND ${crossSql("c", "a", "p")} <= 0))),
+seg AS (SELECT DISTINCT p.nk, p.x, p.y
+  FROM p JOIN p a ON a.nk = p.nk AND (a.x <> p.x OR a.y <> p.y)
+  JOIN p b ON b.nk = p.nk AND (a.x, a.y) < (b.x, b.y) AND (b.x <> p.x OR b.y <> p.y)
+  WHERE ${crossSql("a", "b", "p")} = 0
+    AND p.x >= LEAST(a.x, b.x) AND p.x <= GREATEST(a.x, b.x)
+    AND p.y >= LEAST(a.y, b.y) AND p.y <= GREATEST(a.y, b.y)),
+nonv AS (SELECT * FROM tri UNION SELECT * FROM seg),
+np AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_points FROM p GROUP BY 1),
+ni AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_inner FROM nonv GROUP BY 1)
+SELECT np.nk AS nation, np.n_points,
+  CAST(np.n_points - COALESCE(ni.n_inner, 0) AS BIGINT) AS n_hull
+FROM np LEFT JOIN ni USING (nk) ORDER BY 1""")),
+
+    ("q338_selectivity_audit", (s, d) => {
+      // optimizer selectivity primitive: a 32-bucket equi-width histogram
+      // over the lineitem price (exact cents) estimates `c <= t`
+      // cardinality by uniform-within-bucket interpolation (integer //),
+      // graded against the exact count at three data-derived thresholds
+      // (20/50/90% of the [min, max] span). The estimate itself reads
+      // ONLY the 32-row histogram — the entire point of the primitive at
+      // 100 TB: stats pass once, every predicate estimate is O(buckets)
+      val li = Tables.lineitem(s, d).select(
+          (d2(col("l_extendedprice")) * 100).cast(LongType).as("c"))
+        .localCheckpoint(false) // stats + histogram + exact-count consumers
+      val stats = li.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+        .withColumn("w", call_function("div", col("hi") - col("lo"), lit(32L)) + 1L)
+      val hist = li.crossJoin(broadcast(stats)) // one-row stats fan-out
+        .groupBy(call_function("div", col("c") - col("lo"), col("w")).as("b"))
+        .agg(count(lit(1)).as("n"))
+      val th = stats.select(explode(array(lit(2L), lit(5L), lit(9L))).as("k"),
+          col("lo"), col("hi"), col("w"))
+        .withColumn("t", col("lo") +
+          call_function("div", (col("hi") - col("lo")) * col("k"), lit(10L)))
+      val bLo = col("lo") + col("b") * col("w")
+      val est = th.crossJoin(broadcast(hist)) // 3 thresholds × 32 buckets
+        .groupBy(col("k"), col("t"))
+        .agg(sum(when(bLo > col("t"), lit(0L))
+          .when(bLo + col("w") - 1L <= col("t"), col("n"))
+          .otherwise(call_function("div",
+            col("n") * (col("t") - bLo + 1L), col("w")))).as("est_rows"))
+      val act = li.crossJoin(broadcast(th.select(col("k").as("k2"), col("t").as("t2"))))
+        .groupBy(col("k2"), col("t2"))
+        .agg(sum((col("c") <= col("t2")).cast(LongType)).as("actual_rows"))
+      est.join(broadcast(act), col("k") === col("k2"))
+        .select(col("k").as("pct10"), col("t").as("t_cents"),
+          col("est_rows"), col("actual_rows"),
+          call_function("div", abs(col("est_rows") - col("actual_rows")) * 1000L,
+            greatest(col("actual_rows"), lit(1L))).as("err_pml"))
+        .orderBy(col("pct10"))
+    },
+      Some("""WITH li AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  FROM lineitem),
+st AS (SELECT MIN(c) AS lo, MAX(c) AS hi, (MAX(c) - MIN(c)) // 32 + 1 AS w FROM li),
+hist AS (SELECT (c - st.lo) // st.w AS b, CAST(count(*) AS BIGINT) AS n
+  FROM li, st GROUP BY 1),
+th AS (SELECT CAST(k AS BIGINT) AS k, lo + (hi - lo) * k // 10 AS t, lo, w
+  FROM st, (SELECT UNNEST([2, 5, 9]) AS k)),
+est AS (SELECT k, t, CAST(SUM(CASE WHEN lo + b * w > t THEN 0
+    WHEN lo + (b + 1) * w - 1 <= t THEN n
+    ELSE n * (t - (lo + b * w) + 1) // w END) AS BIGINT) AS est_rows
+  FROM th, hist GROUP BY 1, 2),
+act AS (SELECT k, t, CAST(SUM(CASE WHEN c <= t THEN 1 ELSE 0 END) AS BIGINT) AS actual_rows
+  FROM li, th GROUP BY 1, 2)
+SELECT est.k AS pct10, est.t AS t_cents, est.est_rows, act.actual_rows,
+  CAST(ABS(est.est_rows - act.actual_rows) * 1000
+    // GREATEST(act.actual_rows, 1) AS BIGINT) AS err_pml
+FROM est JOIN act ON est.k = act.k ORDER BY 1""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
@@ -10018,6 +10131,12 @@ d$r AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
     */
   private def mixedSql(e: String): String =
     s"((636413622 * ${fpSql(e)} + 528402381) % 1000000007)"
+
+  /** 2-D orientation cross product (B−A) × (C−A) over aliased integer
+    * point relations — the q337 oracle's Carathéodory building block.
+    */
+  private def crossSql(a: String, b: String, c: String): String =
+    s"(($b.x - $a.x) * ($c.y - $a.y) - ($b.y - $a.y) * ($c.x - $a.x))"
 
   private def doubleProfileSql(a: String): String =
     s"""CASE WHEN isnan($a) THEN 'NaN'

@@ -242,4 +242,75 @@ object SpatialOps {
     pairs.unpersist()
     out
   }
+
+  /** Andrew's monotone chain over DISTINCT points sorted ascending by
+    * (x, y): strict turns only (`<= 0` pops), so collinear boundary
+    * points are NOT vertices — a point on the segment between two hull
+    * vertices is a convex combination of others, matching the
+    * Carathéodory criterion the q337 oracle establishes independently.
+    * All orientation tests are int64 cross products (coordinates are
+    * bounded integer planes), no floats anywhere.
+    */
+  private def chain(sorted: IndexedSeq[(Long, Long)]): IndexedSeq[(Long, Long)] = {
+    if (sorted.size <= 2) return sorted
+    def cross(o: (Long, Long), a: (Long, Long), b: (Long, Long)): Long =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    def half(ps: Iterator[(Long, Long)]) = {
+      val h = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (p <- ps) {
+        while (h.size >= 2 && cross(h(h.size - 2), h(h.size - 1), p) <= 0)
+          h.remove(h.size - 1)
+        h += p
+      }
+      h
+    }
+    val lower = half(sorted.iterator)
+    val upper = half(sorted.reverseIterator)
+    (lower.dropRight(1) ++ upper.dropRight(1)).toIndexedSeq
+  }
+
+  /** Per-group convex-hull vertex census: (group, n_points, n_hull) over
+    * distinct integer points, hull = STRICT vertices (collinear boundary
+    * points excluded — see [[chain]]).
+    *
+    * Scale shape: the hull operator is MERGEABLE — hull(A ∪ B) =
+    * hull(hull(A) ∪ hull(B)) — so `preReduce > 1` first splits each
+    * group into that many deterministic coordinate-hash shards, computes
+    * each shard's local hull (flatMapGroups, state = one shard), and
+    * only the surviving vertices (typically O(log n) of a random cloud)
+    * reach the per-group final chain. With preReduce the per-task memory
+    * is O(group/preReduce) at level 1 and O(survivors) at level 2 — the
+    * same two-level combine discipline as a partial aggregate, which is
+    * how a corpus-scale group hulls without ever holding the group. The
+    * census output is salt-invariant (pinned by spec).
+    *
+    * mapGroups (not a join cascade) is the honest tool here: the chain
+    * is a genuinely sequential stack scan — O(n log n) per group vs the
+    * Θ(n⁴) declarative Carathéodory test, which the oracle uses at a
+    * capped sample size precisely because it is plan-hostile.
+    */
+  def hullVertexCensus(points: DataFrame, groupCol: String, xCol: String,
+                       yCol: String, preReduce: Int = 0): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val pts = points.select(col(groupCol).cast("long").as("g"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .distinct()
+      .localCheckpoint(false) // census + hull consumers
+    val np = pts.groupBy(col("g")).agg(count(lit(1)).as("n_points"))
+    val ds = pts.as[(Long, Long, Long)]
+    val reduced =
+      if (preReduce <= 1) ds
+      else ds.groupByKey { case (g, x, y) =>
+          (g, java.lang.Math.floorMod(x * 31L + y, preReduce.toLong))
+        }.flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long)]) =>
+          chain(it.map(t => (t._2, t._3)).toIndexedSeq.sorted)
+            .map { case (x, y) => (key._1, x, y) }
+        }
+    val hull = reduced.groupByKey(_._1).mapGroups { (g, it) =>
+      (g, chain(it.map(t => (t._2, t._3)).toIndexedSeq.sorted).size.toLong)
+    }.toDF("g", "n_hull")
+    np.join(hull, Seq("g"))
+      .select(col("g").as(groupCol), col("n_points"), col("n_hull"))
+  }
 }

@@ -499,4 +499,65 @@ class GraphSpatialLinkSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("bucket=")).map(_.getName).toSeq
     assert(bucketDirs.nonEmpty)
   }
+
+  // ---- hullVertexCensus ------------------------------------------------------
+
+  /** Independent brute: a point is a hull vertex iff NOT covered by a
+    * non-degenerate triangle of others nor collinearly straddled by two
+    * others (Carathéodory) — the same criterion the q337 oracle runs in
+    * SQL, here as the spec's ground truth against the monotone chain.
+    */
+  private def bruteHullCount(pts: Seq[(Long, Long)]): Long = {
+    val s = pts.distinct
+    def cross(o: (Long, Long), a: (Long, Long), b: (Long, Long)): Long =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    def covered(p: (Long, Long)): Boolean = {
+      val others = s.filterNot(_ == p)
+      val tri = others.combinations(3).exists { case Seq(a, b, c) =>
+        cross(a, b, c) != 0 && {
+          val s1 = cross(a, b, p); val s2 = cross(b, c, p); val s3 = cross(c, a, p)
+          (s1 >= 0 && s2 >= 0 && s3 >= 0) || (s1 <= 0 && s2 <= 0 && s3 <= 0)
+        }
+      }
+      def seg = others.combinations(2).exists { case Seq(a, b) =>
+        cross(a, b, p) == 0 &&
+          p._1 >= math.min(a._1, b._1) && p._1 <= math.max(a._1, b._1) &&
+          p._2 >= math.min(a._2, b._2) && p._2 <= math.max(a._2, b._2)
+      }
+      tri || seg
+    }
+    s.count(p => !covered(p)).toLong
+  }
+
+  test("hullVertexCensus: square fixture — edge midpoints and interior are not vertices") {
+    val pts = Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L), // corners
+      (5L, 0L), (10L, 5L), (5L, 10L), (0L, 5L),               // edge midpoints
+      (5L, 5L), (3L, 7L), (5L, 5L))                           // interior + dup
+      .map { case (x, y) => (1L, x, y) }.toDF("g", "x", "y")
+    val got = SpatialOps.hullVertexCensus(pts, "g", "x", "y")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 10L, 4L))) // 10 distinct points, 4 strict vertices
+  }
+
+  test("hullVertexCensus: fully collinear group keeps only the endpoints") {
+    val pts = (0L to 4L).map(i => (7L, i * 3L, i * 6L)).toDF("g", "x", "y")
+    val got = SpatialOps.hullVertexCensus(pts, "g", "x", "y")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((7L, 5L, 2L)))
+  }
+
+  test("hullVertexCensus: equals the Carathéodory brute on LCG clouds; salt-invariant") {
+    // deterministic LCG clouds, two groups with collinear-prone small range
+    var seed = 20260815L
+    def nxt(m: Long): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; seed % m }
+    val pts = for (g <- 1L to 2L; _ <- 1 to 20) yield (g, nxt(15L), nxt(15L))
+    val df = pts.toDF("g", "x", "y")
+    val want = pts.groupBy(_._1).view.mapValues(ps =>
+      bruteHullCount(ps.map(t => (t._2, t._3)))).toMap
+    for (pre <- Seq(0, 5)) { // unsalted and two-level hull-merge agree
+      val got = SpatialOps.hullVertexCensus(df, "g", "x", "y", preReduce = pre)
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+      assert(got === want, s"preReduce=$pre")
+    }
+  }
 }
