@@ -9595,6 +9595,174 @@ SELECT est.k AS pct10, est.t AS t_cents, est.est_rows, act.actual_rows,
   CAST(ABS(est.est_rows - act.actual_rows) * 1000
     // GREATEST(act.actual_rows, 1) AS BIGINT) AS err_pml
 FROM est JOIN act ON est.k = act.k ORDER BY 1""")),
+
+    ("q339_epoch_allocation", (s, d) => {
+      // data-constrained training-mix planner (Muennighoff et al. 2023
+      // shape): each repeat epoch of a source is worth half the previous
+      // one, so under a char budget the greedy-optimal plan takes
+      // candidates (source, epoch k) in utility-density order — k
+      // ascending (density 2^-k is source-independent), chars desc then
+      // source as the documented tie policy — until the budget is spent.
+      // Budget = 1.5× the corpus, forcing a partial second epoch. The
+      // candidate relation is |sources| × 8 rows; the ONLY corpus-sized
+      // work is the per-source char sum
+      val src = Tables.documents(s, d)
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("chars"))
+        .localCheckpoint(false) // candidates + budget consumers
+      val budget = src.agg((sum(col("chars")) +
+        call_function("div", sum(col("chars")), lit(2L))).as("budget"))
+      val cand = src.select(col("source"), col("chars"),
+          explode(sequence(lit(0L), lit(7L))).as("k"))
+        .withColumn("eff", call_function("div", col("chars"),
+          call_function("shiftleft", lit(1L), col("k").cast(IntegerType))))
+      val wSel = Window.orderBy(col("k"), col("chars").desc, col("source"))
+      cand.crossJoin(broadcast(budget)) // one-row budget
+        .withColumn("cum", sum(col("chars")).over(wSel))
+        .filter(col("cum") <= col("budget"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("epochs"), max(col("chars")).as("chars"),
+          sum(col("chars")).as("chars_used"), sum(col("eff")).as("effective_chars"))
+        .orderBy(col("source"))
+    },
+      Some("""WITH src AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY 1),
+b AS (SELECT CAST(SUM(chars) + SUM(chars) // 2 AS BIGINT) AS budget FROM src),
+cand AS (SELECT source, chars, CAST(k AS BIGINT) AS k,
+  CAST(chars // (1 << k) AS BIGINT) AS eff
+  FROM src, (SELECT UNNEST(range(8)) AS k)),
+sel AS (SELECT source, chars, eff,
+  SUM(chars) OVER (ORDER BY k, chars DESC, source) AS cum FROM cand, b
+  QUALIFY cum <= b.budget)
+SELECT source, CAST(count(*) AS BIGINT) AS epochs, MAX(chars) AS chars,
+  CAST(SUM(chars) AS BIGINT) AS chars_used,
+  CAST(SUM(eff) AS BIGINT) AS effective_chars
+FROM sel GROUP BY 1 ORDER BY 1""")),
+
+    ("q340_regression_discontinuity", (s, d) => {
+      // sharp-RD causal readout with a PLANTED ground truth (the
+      // q311/q333 discipline): running var x = hash(custkey) % 100,
+      // outcome cents y = 2000 + 3x + 500·[x ≥ 50] + hash-noise(±100);
+      // per side of the cutoff an EXACT integer OLS over centered
+      // x̃ = x − 50 (bandwidth 10), value-at-cutoff = centered intercept
+      // as e3-scaled rational; the estimated jump must recover ~500.
+      // int64 headroom: 1000·Σy·Σx̃² needs n·ȳ·n·h² ≤ ~9e18 — true
+      // through ~sf10; shrink the e3 scale past that
+      val x = pmod(Converters.fingerprint64(
+        concat(lit("rd"), col("c_custkey").cast(StringType))), lit(100L))
+      val noise = pmod(Converters.fingerprint64(
+        concat(lit("rn"), col("c_custkey").cast(StringType))), lit(201L)) - 100L
+      val base = Tables.customer(s, d)
+        .select(x.as("x"), noise.as("nz"))
+        .withColumn("y", lit(2000L) + lit(3L) * col("x") +
+          when(col("x") >= 50L, lit(500L)).otherwise(lit(0L)) + col("nz"))
+        .filter(col("x") >= 40L && col("x") < 60L)
+        .withColumn("side", when(col("x") >= 50L, lit("right")).otherwise(lit("left")))
+        .withColumn("xc", col("x") - 50L)
+      val fit = base.groupBy(col("side"))
+        .agg(count(lit(1)).as("n"), sum(col("xc")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("xc") * col("xc")).as("sxx"), sum(col("xc") * col("y")).as("sxy"))
+        .select(col("side"), col("n"),
+          call_function("div",
+            lit(1000L) * (col("sy") * col("sxx") - col("sx") * col("sxy")),
+            col("n") * col("sxx") - col("sx") * col("sx")).as("at_cut_e3"),
+          call_function("div",
+            lit(1000L) * (col("n") * col("sxy") - col("sx") * col("sy")),
+            col("n") * col("sxx") - col("sx") * col("sx")).as("slope_e3"))
+        .localCheckpoint(false) // both sides pivot below
+      val l = fit.filter(col("side") === "left")
+        .select(col("n").as("n_left"), col("at_cut_e3").as("left_e3"),
+          col("slope_e3").as("slope_l_e3"))
+      val r = fit.filter(col("side") === "right")
+        .select(col("n").as("n_right"), col("at_cut_e3").as("right_e3"),
+          col("slope_e3").as("slope_r_e3"))
+      l.crossJoin(r) // one row × one row
+        .select(col("n_left"), col("n_right"), col("left_e3"), col("right_e3"),
+          col("slope_l_e3"), col("slope_r_e3"),
+          (col("right_e3") - col("left_e3")).as("effect_e3"))
+    },
+      Some(s"""WITH pl AS (SELECT
+  ${fpSql("('rd' || CAST(c_custkey AS VARCHAR))")} % 100 AS x,
+  ${fpSql("('rn' || CAST(c_custkey AS VARCHAR))")} % 201 - 100 AS nz
+  FROM customer),
+base AS (SELECT x, x - 50 AS xc,
+  2000 + 3 * x + CASE WHEN x >= 50 THEN 500 ELSE 0 END + nz AS y,
+  CASE WHEN x >= 50 THEN 'right' ELSE 'left' END AS side
+  FROM pl WHERE x >= 40 AND x < 60),
+fit AS (SELECT side, CAST(count(*) AS BIGINT) AS n, CAST(SUM(xc) AS BIGINT) AS sx,
+  CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(xc * xc) AS BIGINT) AS sxx,
+  CAST(SUM(xc * y) AS BIGINT) AS sxy FROM base GROUP BY 1),
+v AS (SELECT side, n,
+  CAST((1000 * (sy * sxx - sx * sxy)) // (n * sxx - sx * sx) AS BIGINT) AS at_cut_e3,
+  CAST((1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT) AS slope_e3
+  FROM fit)
+SELECT l.n AS n_left, r.n AS n_right, l.at_cut_e3 AS left_e3, r.at_cut_e3 AS right_e3,
+  l.slope_e3 AS slope_l_e3, r.slope_e3 AS slope_r_e3,
+  CAST(r.at_cut_e3 - l.at_cut_e3 AS BIGINT) AS effect_e3
+FROM v l, v r WHERE l.side = 'left' AND r.side = 'right'""")),
+
+    ("q341_ipf_raking", (s, d) => {
+      // survey / dataset reweighting by iterative proportional fitting
+      // (Deming-Stephan raking): the custkey%3 "respondent" sample gets
+      // e6-scaled integer weights raked to the FULL population's nation
+      // and segment marginals, two sweeps (nation, segment, nation,
+      // segment). Each step is one sample-sized scan + a margins-sized
+      // broadcast — the corpus never reshuffles. After the final segment
+      // step the nation margins carry the IPF residual, reported in pml.
+      // int64 headroom: w·T·1e6 with w ≲ 1e7, T ≲ 1e6 rows holds to ~sf10
+      val pop = Tables.customer(s, d).select(
+          col("c_custkey"), col("c_nationkey").cast(LongType).as("nk"),
+          col("c_mktsegment").as("seg"))
+        .localCheckpoint(false) // targets + sample
+      val tn = pop.groupBy(col("nk")).agg(count(lit(1)).as("tn"))
+      val ts = pop.groupBy(col("seg")).agg(count(lit(1)).as("ts"))
+      def rake(df: DataFrame, key: String, targets: DataFrame, tCol: String) = {
+        val sums = df.groupBy(col(key)).agg(sum(col("w")).as("__s"))
+        df.join(broadcast(sums), Seq(key)).join(broadcast(targets), Seq(key))
+          .withColumn("w", call_function("div",
+            col("w") * (col(tCol) * 1000000L), col("__s")))
+          .drop("__s", tCol)
+      }
+      val sample0 = pop.filter(pmod(col("c_custkey"), lit(3L)) === 0L)
+        .withColumn("w", lit(1000000L))
+      val raked = rake(rake(rake(rake(sample0, "nk", tn, "tn"),
+        "seg", ts, "ts"), "nk", tn, "tn"), "seg", ts, "ts")
+      raked.groupBy(col("nk"))
+        .agg(sum(col("w")).as("sum_w_e6"))
+        .join(broadcast(tn), Seq("nk"))
+        .select(col("nk").as("nation"), (col("tn") * 1000000L).as("target_e6"),
+          col("sum_w_e6"),
+          call_function("div",
+            abs(col("sum_w_e6") - col("tn") * 1000000L) * 1000L,
+            col("tn") * 1000000L).as("gap_pml"))
+        .orderBy(col("nation"))
+    },
+      Some("""WITH pop AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk,
+  c_mktsegment AS seg FROM customer),
+tn AS (SELECT nk, CAST(count(*) AS BIGINT) AS tn FROM pop GROUP BY 1),
+ts AS (SELECT seg, CAST(count(*) AS BIGINT) AS ts FROM pop GROUP BY 1),
+w0 AS (SELECT c_custkey, nk, seg, CAST(1000000 AS BIGINT) AS w
+  FROM pop WHERE c_custkey % 3 = 0),
+w1 AS (SELECT w0.c_custkey, w0.nk, w0.seg,
+  CAST(w0.w * (tn.tn * 1000000) // s.s AS BIGINT) AS w FROM w0
+  JOIN (SELECT nk, CAST(SUM(w) AS BIGINT) AS s FROM w0 GROUP BY 1) s ON s.nk = w0.nk
+  JOIN tn ON tn.nk = w0.nk),
+w2 AS (SELECT w1.c_custkey, w1.nk, w1.seg,
+  CAST(w1.w * (ts.ts * 1000000) // s.s AS BIGINT) AS w FROM w1
+  JOIN (SELECT seg, CAST(SUM(w) AS BIGINT) AS s FROM w1 GROUP BY 1) s ON s.seg = w1.seg
+  JOIN ts ON ts.seg = w1.seg),
+w3 AS (SELECT w2.c_custkey, w2.nk, w2.seg,
+  CAST(w2.w * (tn.tn * 1000000) // s.s AS BIGINT) AS w FROM w2
+  JOIN (SELECT nk, CAST(SUM(w) AS BIGINT) AS s FROM w2 GROUP BY 1) s ON s.nk = w2.nk
+  JOIN tn ON tn.nk = w2.nk),
+w4 AS (SELECT w3.c_custkey, w3.nk, w3.seg,
+  CAST(w3.w * (ts.ts * 1000000) // s.s AS BIGINT) AS w FROM w3
+  JOIN (SELECT seg, CAST(SUM(w) AS BIGINT) AS s FROM w3 GROUP BY 1) s ON s.seg = w3.seg
+  JOIN ts ON ts.seg = w3.seg)
+SELECT w4.nk AS nation, CAST(tn.tn * 1000000 AS BIGINT) AS target_e6,
+  CAST(SUM(w4.w) AS BIGINT) AS sum_w_e6,
+  CAST(ABS(SUM(w4.w) - tn.tn * 1000000) * 1000 // (tn.tn * 1000000) AS BIGINT)
+    AS gap_pml
+FROM w4 JOIN tn ON tn.nk = w4.nk GROUP BY w4.nk, tn.tn ORDER BY 1""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
