@@ -9763,6 +9763,45 @@ SELECT w4.nk AS nation, CAST(tn.tn * 1000000 AS BIGINT) AS target_e6,
   CAST(ABS(SUM(w4.w) - tn.tn * 1000000) * 1000 // (tn.tn * 1000000) AS BIGINT)
     AS gap_pml
 FROM w4 JOIN tn ON tn.nk = w4.nk GROUP BY w4.nk, tn.tn ORDER BY 1""")),
+
+    ("q342_temperature_mix", (s, d) => {
+      // multilingual sampling-temperature rebalancer (the mBERT/XLM-R
+      // exponent, τ = 1/2): per-language weight = ⌊√chars⌋ — IEEE sqrt is
+      // correctly rounded on both engines and chars ≪ 2^52, so the floor
+      // is bit-stable — normalized to ppm shares, then a 10,000-doc
+      // sampling budget dealt by largest remainder (the q217 cents
+      // discipline: Σ alloc_docs == 10000 exactly). Low-resource langs
+      // gain share vs proportional sampling; the windows run over the
+      // LANGUAGE list, never the corpus
+      val lw = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(sum(col("n_chars")).as("chars"))
+        .withColumn("w", floor(sqrt(col("chars").cast(DoubleType))).cast(LongType))
+      val tot = lw.agg(sum(col("w")).as("tw"))
+      val b = lw.crossJoin(broadcast(tot)) // one-row total
+        .withColumn("share_ppm", call_function("div", col("w") * 1000000L, col("tw")))
+        .withColumn("base", call_function("div", col("w") * 10000L, col("tw")))
+        .withColumn("rem", col("w") * 10000L - col("base") * col("tw"))
+      val wRk = Window.orderBy(col("rem").desc, col("lang"))
+      val wAll = Window.partitionBy()
+      b.withColumn("rk", row_number().over(wRk).cast(LongType))
+        .withColumn("sb", sum(col("base")).over(wAll))
+        .select(col("lang"), col("chars"), col("w").as("weight"), col("share_ppm"),
+          (col("base") + when(col("rk") <= lit(10000L) - col("sb"), 1L).otherwise(0L))
+            .as("alloc_docs"))
+        .orderBy(col("lang"))
+    },
+      Some("""WITH lw AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars,
+  CAST(FLOOR(SQRT(CAST(SUM(n_chars) AS DOUBLE))) AS BIGINT) AS w
+  FROM documents GROUP BY 1),
+t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM lw),
+b AS (SELECT lang, chars, w, CAST(w * 1000000 // tw AS BIGINT) AS share_ppm,
+  CAST(w * 10000 // tw AS BIGINT) AS base,
+  CAST(w * 10000 % tw AS BIGINT) AS rem FROM lw, t),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS BIGINT) AS rk,
+  CAST(SUM(base) OVER () AS BIGINT) AS sb FROM b)
+SELECT lang, chars, w AS weight, share_ppm,
+  CAST(base + CASE WHEN rk <= 10000 - sb THEN 1 ELSE 0 END AS BIGINT) AS alloc_docs
+FROM r ORDER BY 1""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
