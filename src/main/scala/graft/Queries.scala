@@ -9802,6 +9802,143 @@ r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS BIGINT) AS r
 SELECT lang, chars, w AS weight, share_ppm,
   CAST(base + CASE WHEN rk <= 10000 - sb THEN 1 ELSE 0 END AS BIGINT) AS alloc_docs
 FROM r ORDER BY 1""")),
+
+    ("q343_qini_uplift", (s, d) => {
+      // uplift-model evaluation with a PLANTED treatment effect that
+      // grows with the model score (q311/q333 discipline): per score
+      // decile (NTILE over score desc, custkey tie-break — total order,
+      // so both engines cut identical deciles) the CUMULATIVE Qini value
+      // qini_e3 = 1000·conv_t − 1000·conv_c·n_t // n_c; a convex curve
+      // certifies the scorer ranks persuadables first. Deciles are built
+      // by one pass; the readout windows run over 10 rows
+      val fp = (tag: String) => Converters.fingerprint64(
+        concat(lit(tag), col("c_custkey").cast(StringType)))
+      val base = Tables.customer(s, d).select(col("c_custkey"),
+          pmod(fp("qt"), lit(2L)).as("treat"),
+          pmod(fp("qs"), lit(1000L)).as("score"),
+          pmod(fp("qo"), lit(1000L)).as("draw"))
+        .withColumn("conv", (col("draw") <
+          call_function("div", col("score"), lit(10L)) +
+          col("treat") * call_function("div", col("score"), lit(5L)))
+          .cast(LongType))
+      val wDec = Window.orderBy(col("score").desc, col("c_custkey"))
+      val dec = base.withColumn("decile", ntile(10).over(wDec).cast(LongType))
+        .groupBy(col("decile"))
+        .agg(sum(col("treat")).as("dn_t"), sum(lit(1L) - col("treat")).as("dn_c"),
+          sum(col("treat") * col("conv")).as("dc_t"),
+          sum((lit(1L) - col("treat")) * col("conv")).as("dc_c"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.withColumn("n_t", sum(col("dn_t")).over(wCum))
+        .withColumn("n_c", sum(col("dn_c")).over(wCum))
+        .withColumn("conv_t", sum(col("dc_t")).over(wCum))
+        .withColumn("conv_c", sum(col("dc_c")).over(wCum))
+        .select(col("decile"), col("n_t"), col("n_c"), col("conv_t"), col("conv_c"),
+          (lit(1000L) * col("conv_t") - call_function("div",
+            lit(1000L) * col("conv_c") * col("n_t"), col("n_c"))).as("qini_e3"))
+        .orderBy(col("decile"))
+    },
+      Some(s"""WITH base AS (SELECT c_custkey,
+  ${fpSql("('qt' || CAST(c_custkey AS VARCHAR))")} % 2 AS treat,
+  ${fpSql("('qs' || CAST(c_custkey AS VARCHAR))")} % 1000 AS score,
+  ${fpSql("('qo' || CAST(c_custkey AS VARCHAR))")} % 1000 AS draw FROM customer),
+cv AS (SELECT *, CASE WHEN draw < score // 10 + treat * (score // 5)
+    THEN 1 ELSE 0 END AS conv FROM base),
+dec AS (SELECT CAST(NTILE(10) OVER (ORDER BY score DESC, c_custkey) AS BIGINT)
+    AS decile, treat, conv FROM cv),
+g AS (SELECT decile, CAST(SUM(treat) AS BIGINT) AS dn_t,
+  CAST(SUM(1 - treat) AS BIGINT) AS dn_c,
+  CAST(SUM(treat * conv) AS BIGINT) AS dc_t,
+  CAST(SUM((1 - treat) * conv) AS BIGINT) AS dc_c FROM dec GROUP BY 1),
+c AS (SELECT decile,
+  CAST(SUM(dn_t) OVER (ORDER BY decile) AS BIGINT) AS n_t,
+  CAST(SUM(dn_c) OVER (ORDER BY decile) AS BIGINT) AS n_c,
+  CAST(SUM(dc_t) OVER (ORDER BY decile) AS BIGINT) AS conv_t,
+  CAST(SUM(dc_c) OVER (ORDER BY decile) AS BIGINT) AS conv_c FROM g)
+SELECT decile, n_t, n_c, conv_t, conv_c,
+  CAST(1000 * conv_t - (1000 * conv_c * n_t) // n_c AS BIGINT) AS qini_e3
+FROM c ORDER BY 1""")),
+
+    ("q344_blocking_quality", (s, d) => {
+      // record-linkage blocking audit over q173's planted CRM twin: for
+      // three blocking schemes (nation, exact name, segment) the two
+      // standard metrics — reduction ratio (candidate pairs vs the n²
+      // cross) and pair completeness (planted true pairs whose block
+      // keys survive the perturbations). Candidate counts come from
+      // block-size PRODUCTS (one groupBy per side), so the audit never
+      // materializes a single candidate pair — the planner readout that
+      // says which scheme q173 can afford at 100 TB
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+        .localCheckpoint(false) // three schemes × two sides
+      val crm = cust.select(col("c_custkey"),
+        when(pmod(col("c_custkey"), lit(7)) === 0,
+          expr("substring(c_name, 1, length(c_name) - 1)"))
+          .otherwise(col("c_name")).as("crm_name"),
+        col("c_nationkey").as("crm_nation"),
+        when(pmod(col("c_custkey"), lit(11)) === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("crm_seg"))
+        .localCheckpoint(false)
+      val n = cust.agg(count(lit(1)).as("n"))
+      def scheme(name: String, ck: Column, rk: Column) = {
+        val cb = cust.groupBy(ck.as("bk")).agg(count(lit(1)).as("ca"))
+        val rb = crm.groupBy(rk.as("bk")).agg(count(lit(1)).as("cb"))
+        val cand = cb.join(rb, Seq("bk"))
+          .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("n_cand"))
+        // PC: the planted truth is (custkey == custkey) — a true pair is
+        // found iff its two block keys still agree after perturbation
+        val pc = cust.join(crm, Seq("c_custkey"))
+          .agg(sum((ck === rk).cast(LongType)).as("n_found"), count(lit(1)).as("n_true"))
+        cand.crossJoin(pc).crossJoin(broadcast(n)) // one-row totals
+          .select(lit(name).as("scheme"), col("n_cand"),
+            (lit(1000000L) - call_function("div",
+              col("n_cand") * 1000000L, col("n") * col("n"))).as("rr_ppm"),
+            call_function("div", col("n_found") * 1000000L, col("n_true")).as("pc_ppm"))
+      }
+      scheme("a_nation", col("c_nationkey"), col("crm_nation"))
+        .unionByName(scheme("b_name", col("c_name"), col("crm_name")))
+        .unionByName(scheme("c_segment", col("c_mktsegment"), col("crm_seg")))
+        .orderBy(col("scheme"))
+    },
+      Some("""WITH cust AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer),
+crm AS (SELECT c_custkey,
+  CASE WHEN c_custkey % 7 = 0 THEN substring(c_name, 1, length(c_name) - 1)
+    ELSE c_name END AS crm_name,
+  c_nationkey,
+  CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS crm_seg
+  FROM cust),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
+sch AS (
+  SELECT 'a_nation' AS scheme,
+    (SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) FROM
+      (SELECT c_nationkey AS bk, CAST(count(*) AS BIGINT) AS ca FROM cust GROUP BY 1) x
+      JOIN (SELECT c_nationkey AS bk, CAST(count(*) AS BIGINT) AS cb FROM crm GROUP BY 1) y
+      USING (bk)) AS n_cand,
+    (SELECT CAST(SUM(CASE WHEN cust.c_nationkey = crm.c_nationkey THEN 1 ELSE 0 END) AS BIGINT)
+      FROM cust JOIN crm USING (c_custkey)) AS n_found,
+    (SELECT CAST(count(*) AS BIGINT) FROM cust JOIN crm USING (c_custkey)) AS n_true
+  UNION ALL
+  SELECT 'b_name',
+    (SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) FROM
+      (SELECT c_name AS bk, CAST(count(*) AS BIGINT) AS ca FROM cust GROUP BY 1) x
+      JOIN (SELECT crm_name AS bk, CAST(count(*) AS BIGINT) AS cb FROM crm GROUP BY 1) y
+      USING (bk)),
+    (SELECT CAST(SUM(CASE WHEN cust.c_name = crm.crm_name THEN 1 ELSE 0 END) AS BIGINT)
+      FROM cust JOIN crm USING (c_custkey)),
+    (SELECT CAST(count(*) AS BIGINT) FROM cust JOIN crm USING (c_custkey))
+  UNION ALL
+  SELECT 'c_segment',
+    (SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) FROM
+      (SELECT c_mktsegment AS bk, CAST(count(*) AS BIGINT) AS ca FROM cust GROUP BY 1) x
+      JOIN (SELECT crm_seg AS bk, CAST(count(*) AS BIGINT) AS cb FROM crm GROUP BY 1) y
+      USING (bk)),
+    (SELECT CAST(SUM(CASE WHEN cust.c_mktsegment = crm.crm_seg THEN 1 ELSE 0 END) AS BIGINT)
+      FROM cust JOIN crm USING (c_custkey)),
+    (SELECT CAST(count(*) AS BIGINT) FROM cust JOIN crm USING (c_custkey)))
+SELECT scheme, n_cand,
+  CAST(1000000 - n_cand * 1000000 // (n.n * n.n) AS BIGINT) AS rr_ppm,
+  CAST(n_found * 1000000 // n_true AS BIGINT) AS pc_ppm
+FROM sch, n ORDER BY 1""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
