@@ -9939,6 +9939,42 @@ SELECT scheme, n_cand,
   CAST(1000000 - n_cand * 1000000 // (n.n * n.n) AS BIGINT) AS rr_ppm,
   CAST(n_found * 1000000 // n_true AS BIGINT) AS pc_ppm
 FROM sch, n ORDER BY 1""")),
+
+    ("q345_span_corruption_plan", (s, d) => {
+      // T5-style span-corruption planner (Raffel et al. 2020: corrupt
+      // ~15% of tokens in mean-length-3 spans): per document the plan is
+      // pure integer arithmetic — n_spans = ⌊0.15·n_tok/3⌉-ish via
+      // ⌊(n_tok·150 + 1500)/3000⌋ (round-half-up so short docs still
+      // corrupt), masked = 3·n_spans capped at n_tok, sentinel overhead
+      // = n_spans extra tokens each side. Per-language rollup grades the
+      // realized mask ratio against the 150-pml target. Map-only per
+      // doc; one language-sized aggregation
+      val toks = Tables.documents(s, d).select(col("lang"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .withColumn("n_spans", call_function("div",
+          col("n_tok") * 150L + 1500L, lit(3000L)))
+        .withColumn("masked", least(col("n_spans") * 3L, col("n_tok")))
+      toks.groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("tokens"),
+          sum(col("n_spans")).as("spans"), sum(col("masked")).as("masked_tokens"),
+          sum((col("n_spans") === 0L).cast(LongType)).as("uncorrupted_docs"))
+        .select(col("lang"), col("docs"), col("tokens"), col("spans"),
+          col("masked_tokens"), col("uncorrupted_docs"),
+          call_function("div", col("masked_tokens") * 1000L, col("tokens"))
+            .as("mask_pml"))
+        .orderBy(col("lang"))
+    },
+      Some("""WITH t AS (SELECT lang,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+p AS (SELECT lang, n_tok,
+  CAST((n_tok * 150 + 1500) // 3000 AS BIGINT) AS n_spans FROM t),
+m AS (SELECT lang, n_tok, n_spans,
+  LEAST(n_spans * 3, n_tok) AS masked FROM p)
+SELECT lang, CAST(count(*) AS BIGINT) AS docs, CAST(SUM(n_tok) AS BIGINT) AS tokens,
+  CAST(SUM(n_spans) AS BIGINT) AS spans, CAST(SUM(masked) AS BIGINT) AS masked_tokens,
+  CAST(SUM(CASE WHEN n_spans = 0 THEN 1 ELSE 0 END) AS BIGINT) AS uncorrupted_docs,
+  CAST(SUM(masked) * 1000 // SUM(n_tok) AS BIGINT) AS mask_pml
+FROM m GROUP BY 1 ORDER BY 1""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
