@@ -62,6 +62,8 @@ object Plans {
     "q279_kcenter_coreset" -> "distributed Gonzalez: ONE broadcast center + map-side least() per round, max-struct argmax aggregation, no pairwise join",
     "q282_ktruss" -> "k-truss peel: low-to-high wedge self-join enumerates each triangle once, edge-keyed support count, shrinking checkpointed edge set",
     "q283_rake_keywords" -> "RAKE: doc-partitioned gaps-and-islands runs, word-keyed stats join, TakeOrdered top-k as the only global step",
+    "q337_hull_vertex_census" -> "convex hull census: two-level hull-merge (shard-local monotone chains, survivors-only final chain) — the partial-aggregate discipline for a sequential stack algorithm",
+    "q344_blocking_quality" -> "blocking audit: candidate counts from block-size PRODUCTS (one groupBy per side), zero candidate pairs materialized",
   )
 
   def main(args: Array[String]): Unit = {

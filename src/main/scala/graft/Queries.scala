@@ -7981,9 +7981,14 @@ FROM ap ORDER BY q_id""")),
 
     ("q303_dbscan_grid", (s, d) => {
       // density clustering lands: exact DBSCAN over q169's customer
-      // plane (same hash-mixed integer coordinates), eps=25000 minPts=3
-      // — below the percolation threshold at this density, so the plane
-      // decomposes into many small clusters + noise. Grid-candidate
+      // plane (same hash-mixed integer coordinates), minPts=3 and a
+      // DENSITY-SCALED eps = ⌊968246/√n⌋ (= 25000 at the sf0.01 gate) so
+      // the expected neighbor degree — hence the percolation margin, the
+      // pair count (∝ n, never n²) and the component diameter — is
+      // CONSTANT at every SF; the round-9 sf0.1 bench caught the fixed-eps
+      // version percolating into a plane-spanning cluster past the
+      // propagation cap. n is one driver-bounded count; both engines
+      // compute eps from the same IEEE sqrt+divide+floor. Grid-candidate
       // pairs, min-label components on the core graph, deterministic
       // min-cluster border assignment (SpatialOps.dbscanGrid); the
       // oracle is BRUTE-FORCE all-pairs + a recursive reach CTE, so
@@ -7996,16 +8001,20 @@ FROM ap ORDER BY q_id""")),
           concat(lit("gx"), col("c_custkey").cast(StringType)))).as("x"),
         coordMix(Converters.fingerprint64(
           concat(col("c_custkey").cast(StringType), lit("gy")))).as("y"))
+      val eps = math.floor(968246.0 / math.sqrt(pts.count().toDouble)).toLong
       graft.operators.SpatialOps.dbscanGrid(pts, "id", "x", "y",
-        25000L, 25000L, 3L)
+        eps, eps, 3L)
         .orderBy(col("id"))
     },
       Some(s"""WITH RECURSIVE p AS (SELECT c_custkey AS id,
   ${mixedSql("('gx' || CAST(c_custkey AS VARCHAR))")} % 1000000 AS x,
   ${mixedSql("(CAST(c_custkey AS VARCHAR) || 'gy')")} % 1000000 AS y
   FROM customer),
-pr AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON a.id < b.id
-  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625000000),
+ep AS (SELECT CAST(FLOOR(968246.0 / SQRT(CAST(count(*) AS DOUBLE))) AS BIGINT)
+  AS eps FROM p),
+pr AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib FROM p a, p b, ep
+  WHERE a.id < b.id
+    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= ep.eps * ep.eps),
 nc AS (SELECT id, count(*) AS nb FROM
   (SELECT ia AS id FROM pr UNION ALL SELECT ib FROM pr) GROUP BY 1),
 core AS MATERIALIZED (SELECT p.id FROM p LEFT JOIN nc ON nc.id = p.id
@@ -9806,11 +9815,12 @@ FROM r ORDER BY 1""")),
     ("q343_qini_uplift", (s, d) => {
       // uplift-model evaluation with a PLANTED treatment effect that
       // grows with the model score (q311/q333 discipline): per score
-      // decile (NTILE over score desc, custkey tie-break — total order,
-      // so both engines cut identical deciles) the CUMULATIVE Qini value
-      // qini_e3 = 1000·conv_t − 1000·conv_c·n_t // n_c; a convex curve
-      // certifies the scorer ranks persuadables first. Deciles are built
-      // by one pass; the readout windows run over 10 rows
+      // decile the CUMULATIVE Qini value qini_e3 = 1000·conv_t −
+      // 1000·conv_c·n_t // n_c; a convex curve certifies the scorer
+      // ranks persuadables first. Deciles come from a RangePrefix
+      // global rank (range-partitioned, floor((rk−1)·10/n)+1 — a total
+      // order both engines replay), NEVER an unpartitioned data-sized
+      // window; the readout windows run over 10 rows
       val fp = (tag: String) => Converters.fingerprint64(
         concat(lit(tag), col("c_custkey").cast(StringType)))
       val base = Tables.customer(s, d).select(col("c_custkey"),
@@ -9821,8 +9831,12 @@ FROM r ORDER BY 1""")),
           call_function("div", col("score"), lit(10L)) +
           col("treat") * call_function("div", col("score"), lit(5L)))
           .cast(LongType))
-      val wDec = Window.orderBy(col("score").desc, col("c_custkey"))
-      val dec = base.withColumn("decile", ntile(10).over(wDec).cast(LongType))
+        .withColumn("ns", -col("score"))
+      val (ranked, nTot) = graft.operators.SketchOps.globalRank(
+        base, Seq(col("ns"), col("c_custkey")), "rk")
+      val dec = ranked
+        .withColumn("decile",
+          call_function("div", (col("rk") - 1L) * 10L, lit(nTot)) + 1L)
         .groupBy(col("decile"))
         .agg(sum(col("treat")).as("dn_t"), sum(lit(1L) - col("treat")).as("dn_c"),
           sum(col("treat") * col("conv")).as("dc_t"),
@@ -9844,8 +9858,9 @@ FROM r ORDER BY 1""")),
   ${fpSql("('qo' || CAST(c_custkey AS VARCHAR))")} % 1000 AS draw FROM customer),
 cv AS (SELECT *, CASE WHEN draw < score // 10 + treat * (score // 5)
     THEN 1 ELSE 0 END AS conv FROM base),
-dec AS (SELECT CAST(NTILE(10) OVER (ORDER BY score DESC, c_custkey) AS BIGINT)
-    AS decile, treat, conv FROM cv),
+dec AS (SELECT CAST((ROW_NUMBER() OVER (ORDER BY score DESC, c_custkey) - 1)
+    * 10 // (SELECT count(*) FROM cv) + 1 AS BIGINT) AS decile, treat, conv
+  FROM cv),
 g AS (SELECT decile, CAST(SUM(treat) AS BIGINT) AS dn_t,
   CAST(SUM(1 - treat) AS BIGINT) AS dn_c,
   CAST(SUM(treat * conv) AS BIGINT) AS dc_t,
@@ -9975,6 +9990,164 @@ SELECT lang, CAST(count(*) AS BIGINT) AS docs, CAST(SUM(n_tok) AS BIGINT) AS tok
   CAST(SUM(CASE WHEN n_spans = 0 THEN 1 ELSE 0 END) AS BIGINT) AS uncorrupted_docs,
   CAST(SUM(masked) * 1000 // SUM(n_tok) AS BIGINT) AS mask_pml
 FROM m GROUP BY 1 ORDER BY 1""")),
+
+    ("q346_subject_access_report", (s, d) => {
+      // GDPR Art. 15 subject-access report — the READ side of the
+      // takedown lifecycle (removeFromDedupGraph is the erase side): for
+      // each data subject in the request batch, the per-table footprint
+      // (orders + their lineitems + behavioral events) with first/last
+      // activity. Every touch is a keyed equi-join or pre-aggregation;
+      // output is subjects-sized. At 100 TB this is the plan shape SARs
+      // need: pre-aggregate per key THEN join the request list (never
+      // fan the corpus out per subject)
+      val subj = Tables.customer(s, d)
+        .filter(pmod(col("c_custkey"), lit(250L)) === 7L)
+        .select(col("c_custkey"))
+      val o = Tables.orders(s, d).groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(to_date(col("o_orderdate"))).as("first_order"),
+          max(to_date(col("o_orderdate"))).as("last_order"))
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_custkey").as("c_custkey")), Seq("l_orderkey"))
+        .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_lineitems"))
+      val ev = Tables.events(s, d).groupBy(col("user_id").as("c_custkey"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts_ns")).as("first_ts_ns"),
+          max(col("ts_ns")).as("last_ts_ns"))
+      subj.join(o, Seq("c_custkey"), "left")
+        .join(li, Seq("c_custkey"), "left")
+        .join(ev, Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          col("first_order"), col("last_order"),
+          coalesce(col("n_lineitems"), lit(0L)).as("n_lineitems"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("first_ts_ns"), col("last_ts_ns"))
+        .orderBy(col("c_custkey"))
+    },
+      Some("""WITH subj AS (SELECT c_custkey FROM customer WHERE c_custkey % 250 = 7),
+o AS (SELECT o_custkey AS c_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+  MIN(CAST(o_orderdate AS DATE)) AS first_order,
+  MAX(CAST(o_orderdate AS DATE)) AS last_order FROM orders GROUP BY 1),
+li AS (SELECT o.o_custkey AS c_custkey, CAST(count(*) AS BIGINT) AS n_lineitems
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1),
+ev AS (SELECT user_id AS c_custkey, CAST(count(*) AS BIGINT) AS n_events,
+  MIN(epoch_ns(ts)) AS first_ts_ns, MAX(epoch_ns(ts)) AS last_ts_ns
+  FROM events GROUP BY 1)
+SELECT subj.c_custkey, COALESCE(o.n_orders, 0) AS n_orders,
+  o.first_order, o.last_order,
+  COALESCE(li.n_lineitems, 0) AS n_lineitems,
+  COALESCE(ev.n_events, 0) AS n_events, ev.first_ts_ns, ev.last_ts_ns
+FROM subj LEFT JOIN o USING (c_custkey) LEFT JOIN li USING (c_custkey)
+  LEFT JOIN ev USING (c_custkey) ORDER BY 1""")),
+
+    ("q347_retention_sweep", (s, d) => {
+      // retention-policy planner (the delete side of q346's SAR, the
+      // batch side of the takedown lifecycle): under a 400-day TTL
+      // anchored at each table's own max event date, how many rows are
+      // expired, how many of those are exempt under legal hold
+      // (subjects with custkey % 97 = 0), and the net deletable count.
+      // One conditional aggregate per table; the hold list is a
+      // predicate, never a join fan-out
+      val anchorO = Tables.orders(s, d).agg(max(to_date(col("o_orderdate"))).as("mx"))
+      val o = Tables.orders(s, d).crossJoin(broadcast(anchorO)) // one-row anchor
+        .select(lit("orders").as("tbl"),
+          (datediff(col("mx"), to_date(col("o_orderdate"))) > 400).as("exp"),
+          (pmod(col("o_custkey"), lit(97L)) === 0L).as("held"))
+      val anchorL = Tables.lineitem(s, d).agg(max(to_date(col("l_shipdate"))).as("mx"))
+      val l = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_custkey")), Seq("l_orderkey"))
+        .crossJoin(broadcast(anchorL))
+        .select(lit("lineitem").as("tbl"),
+          (datediff(col("mx"), to_date(col("l_shipdate"))) > 400).as("exp"),
+          (pmod(col("o_custkey"), lit(97L)) === 0L).as("held"))
+      o.unionByName(l).groupBy(col("tbl"))
+        .agg(count(lit(1)).as("rows_total"),
+          sum(col("exp").cast(LongType)).as("rows_expired"),
+          sum((col("exp") && col("held")).cast(LongType)).as("rows_held"),
+          sum((col("exp") && !col("held")).cast(LongType)).as("rows_deletable"))
+        .orderBy(col("tbl"))
+    },
+      Some("""WITH ao AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+o AS (SELECT 'orders' AS tbl,
+  (ao.mx - CAST(o_orderdate AS DATE)) > 400 AS exp,
+  o_custkey % 97 = 0 AS held FROM orders, ao),
+al AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS mx FROM lineitem),
+l AS (SELECT 'lineitem' AS tbl,
+  (al.mx - CAST(l_shipdate AS DATE)) > 400 AS exp,
+  o.o_custkey % 97 = 0 AS held
+  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey, al),
+u AS (SELECT * FROM o UNION ALL SELECT * FROM l)
+SELECT tbl, CAST(count(*) AS BIGINT) AS rows_total,
+  CAST(SUM(CASE WHEN exp THEN 1 ELSE 0 END) AS BIGINT) AS rows_expired,
+  CAST(SUM(CASE WHEN exp AND held THEN 1 ELSE 0 END) AS BIGINT) AS rows_held,
+  CAST(SUM(CASE WHEN exp AND NOT held THEN 1 ELSE 0 END) AS BIGINT) AS rows_deletable
+FROM u GROUP BY 1 ORDER BY 1""")),
+
+    ("q348_join_strategy_planner", (s, d) => {
+      // cost-based join-strategy advisor over the schema's four FK joins:
+      // per join the two sides' exact row counts, estimated bytes (rows ×
+      // documented row-width literals), the broadcast-vs-shuffle decision
+      // at Spark's 10 MB autoBroadcastJoinThreshold, and the shuffle
+      // bytes the broadcast saves. Counts are one aggregate per table
+      // (computed once and reused across the four rows); the planner
+      // readout a 100 TB deployment tunes before running the q03/q04
+      // join family
+      val widths = Map("region" -> 120L, "nation" -> 110L, "customer" -> 180L,
+        "orders" -> 110L, "lineitem" -> 130L)
+      def cnt(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as(s"n_$name"))
+      val sizes = cnt("region", Tables.region(s, d))
+        .crossJoin(cnt("nation", Tables.nation(s, d)))
+        .crossJoin(cnt("customer", Tables.customer(s, d)))
+        .crossJoin(cnt("orders", Tables.orders(s, d)))
+        .crossJoin(cnt("lineitem", Tables.lineitem(s, d)))
+      val joins = Seq(("nation", "region"), ("customer", "nation"),
+        ("orders", "customer"), ("lineitem", "orders"))
+      val rows = joins.map { case (big, small) =>
+        sizes.select(
+          lit(s"${big}_x_$small").as("join"),
+          col(s"n_$big").as("rows_big"), col(s"n_$small").as("rows_small"),
+          (col(s"n_$big") * widths(big)).as("bytes_big"),
+          (col(s"n_$small") * widths(small)).as("bytes_small"))
+      }.reduce(_ unionByName _)
+      rows.select(col("join"), col("rows_big"), col("rows_small"),
+          col("bytes_big"), col("bytes_small"),
+          when(least(col("bytes_big"), col("bytes_small")) <= 10485760L,
+            lit("broadcast")).otherwise(lit("shuffle")).as("strategy"),
+          when(least(col("bytes_big"), col("bytes_small")) <= 10485760L,
+            greatest(col("bytes_big"), col("bytes_small")))
+            .otherwise(lit(0L)).as("shuffle_bytes_saved"))
+        .orderBy(col("join"))
+    },
+      Some("""WITH sz AS (SELECT
+  (SELECT count(*) FROM region) AS n_region,
+  (SELECT count(*) FROM nation) AS n_nation,
+  (SELECT count(*) FROM customer) AS n_customer,
+  (SELECT count(*) FROM orders) AS n_orders,
+  (SELECT count(*) FROM lineitem) AS n_lineitem),
+j AS (
+  SELECT 'nation_x_region' AS join, CAST(n_nation AS BIGINT) AS rows_big,
+    CAST(n_region AS BIGINT) AS rows_small,
+    CAST(n_nation * 110 AS BIGINT) AS bytes_big,
+    CAST(n_region * 120 AS BIGINT) AS bytes_small FROM sz
+  UNION ALL SELECT 'customer_x_nation', CAST(n_customer AS BIGINT),
+    CAST(n_nation AS BIGINT), CAST(n_customer * 180 AS BIGINT),
+    CAST(n_nation * 110 AS BIGINT) FROM sz
+  UNION ALL SELECT 'orders_x_customer', CAST(n_orders AS BIGINT),
+    CAST(n_customer AS BIGINT), CAST(n_orders * 110 AS BIGINT),
+    CAST(n_customer * 180 AS BIGINT) FROM sz
+  UNION ALL SELECT 'lineitem_x_orders', CAST(n_lineitem AS BIGINT),
+    CAST(n_orders AS BIGINT), CAST(n_lineitem * 130 AS BIGINT),
+    CAST(n_orders * 110 AS BIGINT) FROM sz)
+SELECT j.join, rows_big, rows_small, bytes_big, bytes_small,
+  CASE WHEN LEAST(bytes_big, bytes_small) <= 10485760
+    THEN 'broadcast' ELSE 'shuffle' END AS strategy,
+  CAST(CASE WHEN LEAST(bytes_big, bytes_small) <= 10485760
+    THEN GREATEST(bytes_big, bytes_small) ELSE 0 END AS BIGINT)
+    AS shuffle_bytes_saved
+FROM j ORDER BY 1""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus

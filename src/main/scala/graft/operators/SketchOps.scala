@@ -13,6 +13,29 @@ import org.apache.spark.sql.types._
   * retries/partitionings.
   */
 object SketchOps {
+  /** Global 1-based rank over `sortCols` (ascending, caller supplies the
+    * full tie-break) via [[RangePrefix]]: range-partitioned pid windows +
+    * broadcast partition offsets — never an unpartitioned data-sized
+    * window. Returns (input + `rankCol`, total row count). The public
+    * doorway for rank-derived readouts (q343's deciles) that live
+    * outside this package.
+    */
+  def globalRank(df: DataFrame, sortCols: Seq[Column],
+                 rankCol: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(!df.columns.contains(rankCol),
+      s"input already carries a column named $rankCol")
+    val (sorted, offsets, n) = RangePrefix.withOffsets(df, sortCols, lit(1L))
+    val offDf = broadcast(offsets.toSeq.toDF(RangePrefix.PidCol, "__off"))
+    val wPid = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(RangePrefix.PidCol)).orderBy(sortCols: _*)
+    val ranked = sorted.join(offDf, Seq(RangePrefix.PidCol))
+      .withColumn(rankCol, col("__off") + row_number().over(wPid).cast("long"))
+      .drop(RangePrefix.PidCol, "__off")
+    (ranked, n)
+  }
+
   /** The raw min-k sketch as a Column (custom TypedImperativeAggregate —
     * bounded k-entry state, map-side combinable, mergeable across
     * partitions).
