@@ -117,41 +117,69 @@ object Bench {
       } else (name, best, times, false)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
-    // ---- scale sweep: one rep of every query at a second SF, so the
-    // artifact carries a measured per-query scaling exponent
+    // ---- scale sweep: one rep of every query at two lower SFs, so the
+    // artifact carries measured per-query scaling exponents
     //   alpha = ln(t_hi / t_lo) / ln(sf_hi / sf_lo)
-    // instead of plan-shape prose alone. alpha ~ 1 is linear, alpha < 1 is
-    // fixed-overhead-dominated (expected for sub-second queries at these
-    // SFs), alpha > 1.5 is the super-linear red flag a quadratic candidate
-    // blowup would raise. One untimed-isolation rep at sf0.01 costs well
-    // under a minute against the ~2 min main suite; disable with
-    // SPARK_GRAFT_SWEEP=0 for dev loops.
+    // instead of plan-shape prose alone — a THREE-point fit (round 10;
+    // the two-point slope couldn't distinguish "curving up" from "one
+    // noisy rep"). alpha ~ 1 is linear, alpha < 1 is fixed-overhead-
+    // dominated (expected for sub-second queries at these SFs); the
+    // GATED exponent is the TOP pair (sf0.01→sf0.1, where overhead
+    // amortizes most), red-flagged above ScalingGate.Threshold. The
+    // bottom-pair exponent (sf0.001→sf0.01) is recorded as scaling_lo:
+    // a query whose exponent RISES with SF is curving toward
+    // super-linear even if the top pair still clears the gate. Disable
+    // with SPARK_GRAFT_SWEEP=0 for dev loops.
     def sfOf(dir: String): Double =
       try dir.split("/").last.stripPrefix("sf").toDouble catch { case _: NumberFormatException => -1.0 }
     val sweepDir = sys.env.getOrElse("SPARK_GRAFT_SWEEP_DIR", "/root/testdata/sf0.01")
-    val sweepOn = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") != "0" &&
-      sweepDir != sfDir && sfOf(sweepDir) > 0 && sfOf(sfDir) > 0 &&
-      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sweepDir))
-    val scaling: Map[String, Double] = if (!sweepOn) Map.empty else {
-      val ratio = sfOf(sfDir) / sfOf(sweepDir)
+    val sweep2Dir = sys.env.getOrElse("SPARK_GRAFT_SWEEP2_DIR", "/root/testdata/sf0.001")
+    def sweepUsable(dir: String): Boolean =
+      dir != sfDir && sfOf(dir) > 0 && sfOf(sfDir) > 0 &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))
+    val sweepOn = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") != "0" && sweepUsable(sweepDir)
+    // one untimed-isolation rep of every succeeded query at `dir`
+    def sweepTimes(dir: String): Map[String, Double] = {
       // warm the once-per-corpus shared artifacts at the sweep SF outside
       // any timed window, as the main suite's first consumers did at the
       // main SF — otherwise the first graph/index consumer's sweep rep
       // absorbs the build and its exponent is understated
-      Queries.prepareSharedArtifacts(spark, sweepDir)
+      Queries.prepareSharedArtifacts(spark, dir)
       resetStorage(spark)
       results.flatMap { case (name, best, _, _) =>
         if (best < 0) None else {
-          val tLo = runOnce(name, (s, _) => SparkEntry.queries(name)(s, sweepDir))
-          if (tLo <= 0) None
-          else {
-            val alpha = math.log(best / tLo) / math.log(ratio)
-            System.err.println(f"[sweep] $name lo=$tLo%.2f hi=$best%.2f alpha=$alpha%.2f")
-            Some(name.split("_")(0) -> alpha)
-          }
+          val t = runOnce(name, (s, _) => SparkEntry.queries(name)(s, dir))
+          if (t <= 0) None else Some(name -> t)
         }
       }.toMap
     }
+    val (scaling, scalingLo): (Map[String, Double], Map[String, Double]) =
+      if (!sweepOn) (Map.empty, Map.empty)
+      else {
+        val ratio = sfOf(sfDir) / sfOf(sweepDir)
+        val mid = sweepTimes(sweepDir)
+        val alphaHi = results.flatMap { case (name, best, _, _) =>
+          mid.get(name).map { tLo =>
+            val alpha = math.log(best / tLo) / math.log(ratio)
+            System.err.println(f"[sweep] $name lo=$tLo%.2f hi=$best%.2f alpha=$alpha%.2f")
+            name.split("_")(0) -> alpha
+          }
+        }.toMap
+        val sweep2On = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") != "0" &&
+          sweepUsable(sweep2Dir) && sweep2Dir != sweepDir &&
+          sfOf(sweep2Dir) < sfOf(sweepDir)
+        val alphaLo = if (!sweep2On) Map.empty[String, Double] else {
+          val ratio2 = sfOf(sweepDir) / sfOf(sweep2Dir)
+          val lo2 = sweepTimes(sweep2Dir)
+          mid.flatMap { case (name, tMid) =>
+            lo2.get(name).map { tLo2 =>
+              val a = math.log(tMid / tLo2) / math.log(ratio2)
+              name.split("_")(0) -> a
+            }
+          }
+        }
+        (alphaHi, alphaLo)
+      }
     // The driver keeps only the final ~2.3 KB of stdout: with 74 full
     // query names the JSON line overflowed it and `parsed` came back null
     // five rounds running. Short keys (the qNN prefix, 4 chars) put the
@@ -193,9 +221,10 @@ object Bench {
     val scalingBlock = if (scaling.isEmpty) "" else {
       val entries = scaling.toSeq.sortBy(_._1)
         .map { case (q, a) => "\"" + q + "\":" + f2(a) }.mkString("{", ",", "}")
-      val hotQs = scaling.toSeq.filter(_._2 > 1.5).map(_._1).sorted
-      // POLICY (round 9): a superlinear flag is a build failure until the
-      // query is fixed or explicitly waived in SCALE.md via a
+      val hotQs = scaling.toSeq.filter(_._2 > ScalingGate.Threshold).map(_._1).sorted
+      // POLICY (round 9, threshold tightened round 10 — see
+      // ScalingGate.Threshold): a superlinear flag is a build failure
+      // until the query is fixed or explicitly waived in SCALE.md via a
       // `SUPERLINEAR-OK: qNN — reason` line. ScalingGateSpec enforces it
       // at `sbt test`; the loud stderr here makes a dev bench self-report
       // the moment a quadratic plan ships.
@@ -205,7 +234,12 @@ object Bench {
         System.err.println("[sweep] BUILD-FAILING superlinear queries " +
           s"(fix the plan or add a SUPERLINEAR-OK waiver to SCALE.md): ${unexplained.mkString(", ")}")
       val hot = hotQs.map(q => "\"" + q + "\"").mkString("[", ",", "]")
-      s""","scaling_sf":"${sfOf(sweepDir)}","scaling":$entries,"superlinear":$hot"""
+      val loBlock = if (scalingLo.isEmpty) "" else {
+        val loEntries = scalingLo.toSeq.sortBy(_._1)
+          .map { case (q, a) => "\"" + q + "\":" + f2(a) }.mkString("{", ",", "}")
+        s""","scaling_sf_lo":"${sfOf(sweep2Dir)}","scaling_lo":$loEntries"""
+      }
+      s""","scaling_sf":"${sfOf(sweepDir)}","scaling":$entries,"superlinear":$hot$loBlock"""
     }
     val detailLine = line.dropRight(1) +
       s""","reps_detail":$repsDetail,"rerun":$rerun$buildS$scalingBlock}"""

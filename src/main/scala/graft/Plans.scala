@@ -26,7 +26,7 @@ object Plans {
     "q49_trackevents_decode" -> "event-tracking decode: ONE whole-struct parse behind a Generate barrier (no per-field pruned re-parses, validation filter cannot sink below the Exchange)",
     "q51_skew_salted_agg" -> "salted two-phase aggregation: hot keys spread over salt buckets before the final combine",
     "q52_hist_quantiles_by_group" -> "per-group sketch read-out: group-partitioned windows + broadcast quantile join",
-    "q54_crosscorpus_minhash" -> "cross-corpus LSH: A-bands x B-bands equality join, exact verify over two indexes",
+    "q54_crosscorpus_minhash" -> "cross-corpus LSH probe of the persisted MinHash index: batch-only signatures, band equi-join against the parquet band table, row-local verify",
     "q55_sessionization" -> "gap sessionization: user-partitioned lag + running-sum windows only",
     "q60_asof_join" -> "as-of join: tagged union + ONE key-partitioned carry window (single Exchange, no range join)",
     "q63_contamination" -> "decontamination screen: broadcast benchmark shingle set, map-side probe, partial-agg counts",
@@ -86,9 +86,6 @@ object Plans {
       case "q22_dedup_minhash_lsh" =>
         val r = graft.operators.DedupOps
           .minhashNearDupPairsReleasable(Tables.documents(spark, sfDir), "doc_id", "text", 3, 0.7)
-        (r.df, r.release)
-      case "q54_crosscorpus_minhash" =>
-        val r = Queries.q54CrossCorpusReleasable(spark, sfDir)
         (r.df, r.release)
       case "q116_containment_pairs" =>
         val r = graft.operators.DedupOps

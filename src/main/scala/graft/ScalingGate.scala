@@ -12,6 +12,16 @@ package graft
   * documenting the cap that bounds it. Anything else fails the build.
   */
 object ScalingGate {
+  /** Gate threshold on the measured sf0.01→sf0.1 scaling exponent.
+    * Round 10 tightened 1.5 → 1.2: the 1.5 gate let q158's 1.33 ship —
+    * 10× data ⇒ ~21× time — while every healthy plan in the suite
+    * measures ≤ 1.1 (shuffle-bounded plans sit below 1 at these SFs
+    * because fixed overhead amortizes). 1.2 leaves noise headroom above
+    * the healthy band but fails anything with genuinely super-linear
+    * candidate growth.
+    */
+  val Threshold = 1.2
+
   /** qNN prefixes waived in SCALE.md via `SUPERLINEAR-OK: qNN — reason`. */
   def waivers(scaleMd: java.nio.file.Path = java.nio.file.Paths.get("SCALE.md")): Set[String] =
     if (!java.nio.file.Files.exists(scaleMd)) Set.empty

@@ -196,13 +196,27 @@ object CdcOps {
     df.withColumn(Constants.OperationCol, opCol)
       .drop(Constants.DeleteCol, Constants.OnlySetDeleteCol)
 
-  /** P12: soft-partition routing suffix from a timestamp column, e.g.
-    * `_2024_01` (models/event/soft_partition.go:13-47). Events with a future
-    * timestamp (vs processing time) route to `_default`.
+  /** P12: raw soft-partition suffix from a timestamp column, e.g.
+    * `_2024_01` (lib/kafkalib/topic.go:105-124 `Layout`/`Suffix`; the
+    * monthly/daily/hourly layouts map to `_yyyy_MM` / `_yyyy_MM_dd` /
+    * `_yyyy_MM_dd_HH`). NULL in, NULL out — routing policy (future
+    * rejection, compacted fallback, NULL handling) lives in the sink
+    * ([[graft.sink.Sinks.softPartitionedAppend]]), mirroring the
+    * reference's split between `Suffix` and `BuildSoftPartitionSuffix`.
     */
   def softPartitionSuffix(ts: Column, pattern: String = "_yyyy_MM"): Column =
-    when(ts > current_timestamp(), lit("_default"))
-      .otherwise(date_format(ts, pattern))
+    date_format(ts, pattern)
+
+  /** Sign of the reference's partition distance
+    * (topic.go:126-143 `PartitionDistance`): positive = `ts` in a PAST
+    * partition of `now`, 0 = same partition, negative = future. All
+    * three reference layouts are zero-padded most-significant-first, so
+    * comparing formatted suffixes lexicographically IS the chronological
+    * comparison — no per-frequency arithmetic needed (only the sign is
+    * ever consumed: soft_partition.go:29-43).
+    */
+  def softPartitionDistanceSign(sfx: String, nowSfx: String): Int =
+    nowSfx.compareTo(sfx).sign
 
   /** P6: standard metadata columns injected at ingest
     * (models/event/event_util.go:217-232).

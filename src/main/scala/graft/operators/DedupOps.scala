@@ -254,7 +254,10 @@ object DedupOps {
     * qualifying pair, and the row-local array_intersect verify makes the
     * output identical to brute force. ceil(t²n) = (p²n + q² - 1) div q²
     * exactly. Same scale shape as the Jaccard prefix join: hot
-    * boilerplate shingles rank LAST and stay out of prefixes.
+    * boilerplate shingles rank LAST and stay out of prefixes; the
+    * in-join PPJoin positional filter (see inline note) prunes the
+    * candidate volume the longer cosine prefix (~(1-t²)·n vs (1-t)·n
+    * for Jaccard) would otherwise generate, losslessly.
     *
     * Output: (ia, ib, inter, na, nb) with ia < ib — the integer triple
     * that DEFINES the cosine; consumers needing the float value quantize
@@ -278,12 +281,25 @@ object DedupOps {
       .select(col("id"), col("h"), col("n"), row_number().over(rankW).as("rank"))
       .filter(col("rank") <= col("n") - minOverlap + 1)
       .localCheckpoint(false)
+    // PPJoin positional filter, cosine form (exact-recall, round-10 —
+    // before it, the tau=4/5 prefix of ~0.36n shingles/doc made the
+    // prefix-prefix join the suite's candidate-volume hotspot): for the
+    // canonically-SMALLEST common shingle of a qualifying pair at per-doc
+    // ranks (ra, rb), every common shingle ranks >= ra in A and >= rb in
+    // B, so o <= 1 + min(na - ra, nb - rb) =: ub; cos >= p/q forces
+    // o >= t·sqrt(na·nb), i.e. o²·q² >= p²·na·nb — so that row satisfies
+    // ub²·q² >= p²·na·nb and the pair survives the prune (ANY-row-passes
+    // semantics through the distinct, as in [[jaccardPairsPrefixReleasable]]).
+    // ub is cast long BEFORE squaring: int² overflows at n ~ 5e4 shingles.
+    val ub = (least(col("a.n") - col("a.rank"), col("b.n") - col("b.rank")) + 1)
+      .cast("long")
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           // size filter both ways: q²·nb >= p²·na and q²·na >= p²·nb
           lit(q2) * col("b.n") >= lit(p2) * col("a.n") &&
-          lit(q2) * col("a.n") >= lit(p2) * col("b.n"))
+          lit(q2) * col("a.n") >= lit(p2) * col("b.n") &&
+          ub * ub * lit(q2) >= lit(p2) * col("a.n").cast("long") * col("b.n"))
       .select(col("a.id").as("ia"), col("b.id").as("ib"))
       .distinct()
     val pairs = cands

@@ -696,7 +696,9 @@ object GraphOps {
     * the shifted numerator is ≥ 0).
     *
     * int64 bound: M·Σx² then ·1e6 — safe while 2m·Σdeg² < ~9e12
-    * (rescale the ppm step past that).
+    * (rescale the ppm step past that). REGULAR graphs (all degrees
+    * equal: cycles, perfect matchings, cliques) have den = 0 and report
+    * r_ppm = NULL — assortativity is undefined at zero degree variance.
     *
     * Scale shape: one degree aggregation, two equi-joins of the edge
     * list against the node-sized degree relation, one global moment
@@ -715,15 +717,21 @@ object GraphOps {
       .agg(count(lit(1)).as("__m2"), sum(col("__dx")).as("__sx"),
         sum(col("__dx") * col("__dx")).as("__sxx"),
         sum(col("__dx") * col("__dy")).as("__sxy"))
+    // den = M·Σx² − (Σx)² is EXACTLY 0 for any regular graph (cycle,
+    // perfect matching, clique — all endpoint degrees equal, zero degree
+    // variance): assortativity is undefined there, so r_ppm is an
+    // explicit NULL rather than whatever a div-by-zero happens to yield
+    // in a given engine. The convention holds in both directions: the
+    // q318-family guards use the same explicit when(den === 0, null).
+    val den = col("__m2") * col("__sxx") - col("__sx") * col("__sx")
     m.select(
       call_function("div", col("__m2"), lit(2L)).as("m_edges"),
       (col("__m2") * col("__sxy") - col("__sx") * col("__sx")).as("num"),
-      (col("__m2") * col("__sxx") - col("__sx") * col("__sx")).as("den"),
-      (call_function("div",
-        (col("__m2") * col("__sxy") - col("__sx") * col("__sx")
-          + col("__m2") * col("__sxx") - col("__sx") * col("__sx")) * 1000000L,
-        col("__m2") * col("__sxx") - col("__sx") * col("__sx"))
-        - 1000000L).as("r_ppm"))
+      den.as("den"),
+      when(den === 0L, lit(null).cast("long")).otherwise(
+        call_function("div",
+          (col("__m2") * col("__sxy") - col("__sx") * col("__sx") + den) * 1000000L,
+          den) - 1000000L).as("r_ppm"))
   }
 
   /** Shortest-path throughput centrality from a seed set — the exact

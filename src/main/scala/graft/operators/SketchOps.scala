@@ -446,7 +446,12 @@ object SketchOps {
     * where rows carry unequal mass (row-weighted quality, token-count
     * weighted doc stats). Output (group, w_total, median_value), one
     * row per group. Weights must be positive integers (required — a
-    * zero weight would make the crossing row ambiguous).
+    * zero weight would make the crossing row ambiguous), and
+    * (`valueCol`, `tieCol`) must be UNIQUE within each group (required —
+    * the running weight walks rows in that order, so duplicate sort
+    * keys would make "the first crossing row" ill-defined; pass a
+    * per-row id as `tieCol`, as every caller of the ordered-walk
+    * operators in this library does).
     *
     * Scale shape: one key-partitioned window for the running weight +
     * one group aggregate for W — the same keyed-window shape as
@@ -456,8 +461,16 @@ object SketchOps {
     */
   def weightedGroupMedian(df: DataFrame, groupCol: String, valueCol: String,
                           weightCol: String, tieCol: String): DataFrame = {
+    // explicit ROWS frame: the default RANGE frame makes rows with equal
+    // (v, tieCol) peers that SHARE a cumulative weight, so the crossing
+    // filter would emit zero or duplicate rows for a group with duplicate
+    // sort keys — ROWS matches the documented one-row-at-a-time crossing
+    // rule (and the q306 oracle's explicit ROWS BETWEEN frame) even if a
+    // caller violates the uniqueness precondition
     val byV = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group")).orderBy(col("v"), col(tieCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val all = org.apache.spark.sql.expressions.Window.partitionBy(col("group"))
     df.select(col(groupCol).as("group"), col(valueCol).as("v"),
         col(weightCol).cast("long").as("__w"), col(tieCol))

@@ -79,35 +79,79 @@ object Sinks {
     }: _*)
 
   /** P12 wired to a sink: route each row to `base<suffix>` by the
-    * soft-partition suffix of its timestamp (`_yyyy_MM`, future ->
-    * `_default`) — the reference routes to suffixed TABLES, not partition
-    * dirs (models/event/soft_partition.go:13-47), so each suffix gets its
-    * own append target. The distinct-suffix collect is bounded by the
-    * batch's month span.
+    * soft-partition suffix of its timestamp (`_yyyy_MM`) — the reference
+    * routes to suffixed TABLES, not partition dirs
+    * (models/event/soft_partition.go:13-47), so each suffix gets its own
+    * append target. The full reference routing policy:
+    *
+    *   - a FUTURE partition (vs `executionTime`, at partition
+    *     granularity — topic.go:126-143 sign) REJECTS the batch with an
+    *     error naming the offending suffixes (soft_partition.go:29-32);
+    *   - a PAST partition whose target does not already exist routes to
+    *     the COMPACTED table `base_default` (soft_partition.go:33-43 —
+    *     partition tables are only created while their partition is
+    *     current, so late data for a never-created partition lands in
+    *     the compacted table instead of resurrecting it);
+    *   - the CURRENT partition always writes to its own target,
+    *     creating it if absent.
+    *
+    * Documented deviation: a NULL timestamp routes to `base_default`
+    * instead of erroring the batch (the reference would fail the event;
+    * the compacted table is the conservative landing zone that keeps a
+    * poison row from wedging the stream).
+    *
+    * The distinct-suffix collect is bounded by the batch's partition
+    * span; the existence probes are one FileSystem call per distinct
+    * suffix.
     */
   def softPartitionedAppend(df: DataFrame, base: String, tsCol: String,
-                            batchId: Option[Long] = None): Seq[String] = {
-    // a NULL timestamp routes to the default partition (same bucket the
-    // reference uses for out-of-range events) instead of NPE-ing the batch
+                            batchId: Option[Long] = None,
+                            executionTime: Option[java.time.Instant] = None): Seq[String] = {
+    val spark = df.sparkSession
+    val pattern = "_yyyy_MM"
+    val nowSfx = java.time.format.DateTimeFormatter.ofPattern(pattern)
+      .withZone(java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone", "UTC")))
+      .format(executionTime.getOrElse(java.time.Instant.now()))
     val withSfx = df.withColumn("__sfx",
-      coalesce(graft.operators.CdcOps.softPartitionSuffix(col(tsCol)), lit("_default")))
+      coalesce(graft.operators.CdcOps.softPartitionSuffix(col(tsCol), pattern),
+        lit("_default")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val suffixes = withSfx.select("__sfx").distinct().collect().map(_.getString(0)).sorted
-      suffixes.foreach { sfx =>
-        val slice = withSfx.filter(col("__sfx") === sfx).drop("__sfx")
+      val future = suffixes.filter(s => s != "_default" &&
+        graft.operators.CdcOps.softPartitionDistanceSign(s, nowSfx) < 0)
+      require(future.isEmpty,
+        s"partition time(s) ${future.mkString(", ")} for column $tsCol are in the " +
+          s"future of execution time $nowSfx (soft_partition.go:29-32 rejects future partitions)")
+      val hadoopFs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // suffix -> final target after the compacted-table fallback; rows
+      // are then appended once per distinct TARGET (two past suffixes
+      // both falling back to _default must share one append + marker)
+      val targetOf: Map[String, String] = suffixes.map { s =>
+        val past = s != "_default" &&
+          graft.operators.CdcOps.softPartitionDistanceSign(s, nowSfx) > 0
+        val t = if (past && !hadoopFs.exists(new org.apache.hadoop.fs.Path(base + s)))
+          base + "_default"
+        else base + s
+        s -> t
+      }.toMap
+      val targets = targetOf.values.toSeq.distinct.sorted
+      targets.foreach { t =>
+        val sfxs = targetOf.collect { case (s, tt) if tt == t => s }.toSeq
+        val slice = withSfx.filter(col("__sfx").isin(sfxs.map(x => x: Any): _*)).drop("__sfx")
         batchId match {
-          // the replay marker is PER SUFFIX TARGET: one marker for the
-          // whole loop would re-append every suffix on a replayed batch
-          // that crashed mid-loop, duplicating the targets written before
+          // the replay marker is PER TARGET: one marker for the whole
+          // loop would re-append every target on a replayed batch that
+          // crashed mid-loop, duplicating the targets written before
           // the crash — per-target markers narrow the duplication window
           // to the single append the plain-append sink already has
           case Some(id) => graft.streaming.CdcPipeline
-            .runOncePerBatch(df.sparkSession, base + sfx, id)(appendParquet(slice, base + sfx))
-          case None => appendParquet(slice, base + sfx)
+            .runOncePerBatch(spark, t, id)(appendParquet(slice, t))
+          case None => appendParquet(slice, t)
         }
       }
-      suffixes.map(base + _).toSeq
+      targets
     } finally { withSfx.unpersist(); () }
   }
 }

@@ -226,12 +226,47 @@ object CdcPipeline {
     try {
       val touched = withB.select("__bucket").distinct().collect()
         .map(_.getInt(0)).sorted
-      touched.foreach { b =>
-        mergeIntoSnapshot(withB.filter(col("__bucket") === b).drop("__bucket"),
-          cfg, bucketDir(path, b), soft)
+      // Touched-bucket merges are INDEPENDENT snapshot-swap units
+      // (disjoint bucket dirs, disjoint PK spaces by the routing hash),
+      // so they are submitted concurrently: the previous sequential loop
+      // ran one Spark job-depth PER bucket, making flush latency
+      // O(touched) — the latency ceiling for a wide batch at
+      // numBuckets ~ 1e4. A bounded pool keeps the scheduler saturated
+      // without queueing thousands of driver threads; each merge's
+      // crash-safety story is unchanged (per-bucket staging + rename).
+      // All submissions are AWAITED (even after a failure) before the
+      // backing batch is unpersisted, then the first failure propagates.
+      if (touched.length <= 1) {
+        touched.foreach { b =>
+          mergeIntoSnapshot(withB.filter(col("__bucket") === b).drop("__bucket"),
+            cfg, bucketDir(path, b), soft)
+        }
+      } else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(touched.length, MaxConcurrentBucketMerges))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try {
+          val attempts = touched.toSeq.map { b =>
+            Future {
+              mergeIntoSnapshot(withB.filter(col("__bucket") === b).drop("__bucket"),
+                cfg, bucketDir(path, b), soft)
+            }.transform(scala.util.Success(_)) // capture, never fail the sequence
+          }
+          val results = Await.result(Future.sequence(attempts),
+            scala.concurrent.duration.Duration.Inf)
+          results.collectFirst { case scala.util.Failure(e) => throw e }
+        } finally { pool.shutdown() }
       }
+      ()
     } finally { withB.unpersist(); () }
   }
+
+  /** Concurrency cap for per-bucket snapshot merges within one flush —
+    * enough in-flight jobs to saturate the cluster scheduler, few enough
+    * that a wide batch doesn't queue thousands of driver threads.
+    */
+  private val MaxConcurrentBucketMerges = 8
 
   /** Read a bucketed snapshot: resolve any crashed per-bucket swaps, then
     * scan all live bucket dirs (mergeSchema because schema evolution only

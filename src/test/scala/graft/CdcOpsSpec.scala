@@ -99,10 +99,14 @@ class CdcOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("final"))
   }
 
-  test("softPartitionSuffix routes future events to _default") {
+  test("softPartitionSuffix formats the raw partition suffix; distance sign is lexicographic") {
     val df = Seq("2020-01-15 10:00:00", "2999-01-01 00:00:00").toDF("s")
       .select(CdcOps.softPartitionSuffix(col("s").cast("timestamp")).as("sfx"))
     val rows = df.collect().map(_.getString(0))
-    assert(rows.toSeq == Seq("_2020_01", "_default"))
+    assert(rows.toSeq == Seq("_2020_01", "_2999_01"))
+    // PartitionDistance sign (topic.go:126-143): past > 0, same 0, future < 0
+    assert(CdcOps.softPartitionDistanceSign("_2020_01", "_2024_06") > 0)
+    assert(CdcOps.softPartitionDistanceSign("_2024_06", "_2024_06") == 0)
+    assert(CdcOps.softPartitionDistanceSign("_2999_01", "_2024_06") < 0)
   }
 }

@@ -302,20 +302,25 @@ class PipelineFeaturesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("primaryKeysOverride"))
   }
 
-  test("soft-partitioned append: per-suffix markers make replays skip written targets") {
+  test("soft-partitioned append: per-target markers make replays skip written targets") {
     val root = Files.createTempDirectory("graft_soft").toString + "/t"
     val df = Seq((1L, "2024-01-05 00:00:00"), (2L, "2024-02-05 00:00:00"))
       .toDF("id", "ts").withColumn("ts", col("ts").cast(TimestampType))
-    val targets = graft.sink.Sinks.softPartitionedAppend(df, root, "ts", Some(0L))
+    // pre-create both partition tables (they "existed" while current) so
+    // the compacted-table fallback stays out of this replay-focused test
+    Seq("_2024_01", "_2024_02").foreach(sfx =>
+      graft.sink.Sinks.appendParquet(df.limit(0), root + sfx))
+    val now = Some(java.time.Instant.parse("2024-03-01T00:00:00Z"))
+    val targets = graft.sink.Sinks.softPartitionedAppend(df, root, "ts", Some(0L), now)
     assert(targets.size == 2)
     def counts = targets.map(t => spark.read.parquet(t).count())
     assert(counts == Seq(1L, 1L))
-    // full replay of batch 0: every suffix skips
-    graft.sink.Sinks.softPartitionedAppend(df, root, "ts", Some(0L))
+    // full replay of batch 0: every target skips
+    graft.sink.Sinks.softPartitionedAppend(df, root, "ts", Some(0L), now)
     assert(counts == Seq(1L, 1L))
-    // crash window: first suffix's marker lost mid-loop -> only IT re-appends
+    // crash window: first target's marker lost mid-loop -> only IT re-appends
     Files.delete(Paths.get(targets.head + "__batch"))
-    graft.sink.Sinks.softPartitionedAppend(df, root, "ts", Some(0L))
+    graft.sink.Sinks.softPartitionedAppend(df, root, "ts", Some(0L), now)
     assert(counts == Seq(2L, 1L))
   }
 

@@ -3,9 +3,9 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The sweep-flag build gate: any query the last bench sweep measured as
-  * superlinear (exponent > 1.5, sf0.01→sf0.1) fails `sbt test` here until
-  * its plan is fixed or SCALE.md carries an explicit
-  * `SUPERLINEAR-OK: qNN — reason` waiver. See [[ScalingGate]].
+  * superlinear (exponent > [[ScalingGate.Threshold]], sf0.01→sf0.1)
+  * fails `sbt test` here until its plan is fixed or SCALE.md carries an
+  * explicit `SUPERLINEAR-OK: qNN — reason` waiver. See [[ScalingGate]].
   */
 class ScalingGateSpec extends AnyFunSuite {
   test("every sweep-flagged superlinear query is fixed or SCALE.md-waived") {

@@ -114,20 +114,37 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(out(1).getString(2) == Constants.NullValuePlaceholder)
   }
 
-  test("soft-partition routed append lands rows in suffixed targets (P12 wired)") {
+  test("soft-partition routed append: reference routing policy (P12 wired)") {
     val base = Files.createTempDirectory("graft_softpart").toString + "/t"
+    // execution time pinned mid-2024 so the partition classes are stable
+    val now = Some(java.time.Instant.parse("2024-02-10T00:00:00Z"))
+    // pre-create ONLY the January target: its partition table "existed"
+    // while current — late January data must land there, while March…
+    // er, 2023-11 (past, never created) must fall back to the compacted
+    // table (soft_partition.go:33-43)
+    Sinks.appendParquet(
+      Seq((0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("id", "ts"),
+      s"${base}_2024_01")
     val df = Seq(
-      (1L, java.sql.Timestamp.valueOf("2024-01-15 00:00:00")),
-      (2L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00")),
-      (3L, java.sql.Timestamp.valueOf("2099-01-01 00:00:00")), // future -> _default
+      (1L, java.sql.Timestamp.valueOf("2024-01-15 00:00:00")), // past, table exists
+      (2L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00")), // current partition
+      (3L, java.sql.Timestamp.valueOf("2023-11-20 00:00:00")), // past, never created
     ).toDF("id", "ts")
-    val targets = Sinks.softPartitionedAppend(df, base, "ts")
+    val targets = Sinks.softPartitionedAppend(df, base, "ts", executionTime = now)
     assert(targets.toSet == Set(s"${base}_2024_01", s"${base}_2024_02", s"${base}_default"))
-    assert(spark.read.parquet(s"${base}_2024_01").select("id").head.getLong(0) == 1L)
+    assert(spark.read.parquet(s"${base}_2024_01").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 1L))
+    assert(spark.read.parquet(s"${base}_2024_02").select("id").head.getLong(0) == 2L)
     assert(spark.read.parquet(s"${base}_default").select("id").head.getLong(0) == 3L)
-    // a NULL timestamp routes to _default instead of failing the batch
+    // a FUTURE partition rejects the batch (soft_partition.go:29-32)
+    val future = Seq((9L, java.sql.Timestamp.valueOf("2099-01-01 00:00:00"))).toDF("id", "ts")
+    val e = intercept[IllegalArgumentException](
+      Sinks.softPartitionedAppend(future, base, "ts", executionTime = now))
+    assert(e.getMessage.contains("_2099_01") && e.getMessage.contains("future"))
+    // documented deviation: a NULL timestamp routes to _default instead
+    // of failing the batch
     val withNull = Seq((4L, null.asInstanceOf[java.sql.Timestamp])).toDF("id", "ts")
-    Sinks.softPartitionedAppend(withNull, base, "ts")
+    Sinks.softPartitionedAppend(withNull, base, "ts", executionTime = now)
     assert(spark.read.parquet(s"${base}_default").select("id")
       .collect().map(_.getLong(0)).toSet == Set(3L, 4L))
   }
