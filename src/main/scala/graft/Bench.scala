@@ -241,8 +241,24 @@ object Bench {
       }
       s""","scaling_sf":"${sfOf(sweepDir)}","scaling":$entries,"superlinear":$hot$loBlock"""
     }
+    // ---- CDC replay throughput (SCALE.md's headline events/s number,
+    // measured at 10x the bench SF's event volume — replicas=10 over
+    // sf0.1 is a ~sf1-scale merge input; see cdcReplayThroughput).
+    // Disable with SPARK_GRAFT_REPLAY=0 for dev loops.
+    val replayBlock =
+      if (sys.env.getOrElse("SPARK_GRAFT_REPLAY", "1") == "0") ""
+      else try {
+        val replicas = 10
+        val (events, wall) = Queries.cdcReplayThroughput(spark, sfDir, replicas)
+        resetStorage(spark)
+        val rate = if (wall > 0) events / wall else 0.0
+        System.err.println(f"[replay] $events events merged in $wall%.2f s = ${rate / 1000}%.0fk events/s (replicas=$replicas)")
+        s""","cdc_replay":{"replicas":$replicas,"events":$events,"wall_s":${f2(wall)},"events_per_s":${f2(rate)}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[replay] failed: ${e.getMessage}"); ""
+      }
     val detailLine = line.dropRight(1) +
-      s""","reps_detail":$repsDetail,"rerun":$rerun$buildS$scalingBlock}"""
+      s""","reps_detail":$repsDetail,"rerun":$rerun$buildS$scalingBlock$replayBlock}"""
     // belt-and-braces for the driver's tail capture (parsed=null six rounds
     // running): persist the line to a file, stop Spark so no late INFO noise
     // can interleave, then print the bare JSON once more as the final

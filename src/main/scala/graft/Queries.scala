@@ -10593,6 +10593,52 @@ r$r AS (SELECT n.node, CAST(CASE WHEN n.seed THEN 150000 ELSE 0 END + COALESCE(c
     * themselves — calling this is exactly the "corpus generation" step a
     * real pipeline runs before its report queries.
     */
+  /** CDC replay throughput measurement harness (NOT a declared query —
+    * no oracle; Bench records the result as `cdc_replay` in bench.json
+    * so SCALE.md's events/s headline is a measured number, not prose).
+    * Replays the q09 merge scenario at `replicas`× the events table's
+    * volume: each replica offsets user_id/event_id by a replica stride,
+    * so PK cardinality scales WITH volume (per-PK group sizes stay
+    * realistic instead of piling replicas onto the same users). The
+    * replication is measurement-harness volume scaling of the driver's
+    * own table — the merge input at replicas=10 matches a ~sf1 events
+    * table's scale. Base snapshot and change batch are materialized
+    * EAGERLY before the timed window: the number this measures is the
+    * MERGE path (PK shuffle + full-outer + arms + sink materialization),
+    * the reference's flush cadence analog, not the one-off snapshot
+    * bootstrap. Returns (changeEventsMerged, mergeSeconds).
+    */
+  def cdcReplayThroughput(s: SparkSession, d: String, replicas: Int): (Long, Double) = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    val mx = ev.agg(max(col("event_id")).as("me"), max(col("user_id")).as("mu")).head()
+    val (strideE, strideU) = (mx.getLong(0) + 1L, mx.getLong(1) + 1L)
+    val split = strideE / 2
+    val big = ev
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        explode(sequence(lit(0L), lit(replicas - 1L))).as("r"))
+      .select((col("user_id") + col("r") * strideU).as("user_id"),
+        (col("event_id") + col("r") * strideE).as("event_id"),
+        col("event_type"), col("value"),
+        pmod(col("event_id"), lit(strideE)).as("__orig_event"))
+    val base = CdcOps.lastWins(
+      big.filter(col("__orig_event") < split), Seq("user_id"), Seq(col("event_id")))
+      .filter(col("event_type") =!= "error")
+      .drop("__orig_event")
+      .localCheckpoint(true)
+    val changes = big.filter(col("__orig_event") >= split)
+      .drop("__orig_event")
+      .withColumn(Constants.DeleteCol, col("event_type") === "error")
+      .localCheckpoint(true)
+    val nChanges = changes.count()
+    val t0 = System.nanoTime()
+    CdcOps.mergeApply(base, changes, Seq("user_id"), Seq(col("event_id")))
+      .write.format("noop").mode("overwrite").save()
+    val wall = (System.nanoTime() - t0) / 1e9
+    (nChanges, wall)
+  }
+
   def prepareSharedArtifacts(s: SparkSession, d: String): Unit = {
     minhashIndexPath(s, d)
     winnowIndexPath(s, d)

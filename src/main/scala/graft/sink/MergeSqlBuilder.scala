@@ -94,3 +94,85 @@ SELECT *, ROW_NUMBER() OVER (PARTITION BY $pkCsv ORDER BY $ordCsv) AS $rn FROM $
   def buildDropColumn(target: String, column: String): String =
     s"ALTER TABLE $target DROP COLUMN ${q(column)}"
 }
+
+/** Redshift dialect: the reference's ordered UPDATE → INSERT → DELETE
+  * statement plan for destinations without a native MERGE
+  * (clients/redshift/dialect/dialect.go:271-375). The statement TEXT is
+  * the spec (as with the Spark dialect above); the ORDER is load-bearing
+  * — update first, then insert, then delete, "to avoid no-ops where rows
+  * get inserted and then immediately updated" (dialect.go:369-370) — and
+  * RedshiftSqlSpec proves the ordered plan's semantics equal the
+  * single-statement MERGE by replaying both at the frame level.
+  *
+  * Dialect details mirrored exactly: identifiers double-quoted and
+  * LOWERCASED (dialect.go:19-22), `stg`/`tgt` aliases
+  * (constants.go:150-151), the insert's NOT-MATCHED probe via
+  * `LEFT JOIN … WHERE tgt."pk1" IS NULL` on the FIRST primary key only
+  * (dialect.go:277-279 — the ON clause already covers all PKs), the
+  * delete as a PK-tuple IN-subquery (dialect.go:333-343), and the
+  * scalar toast guard `COALESCE(col NOT LIKE '%…%', TRUE)`
+  * (dialect.go:50-68; the JSON_SIZE struct/array form is Redshift-server
+  * specific and out of scope — struct toast columns here take the
+  * scalar form after their string cast, matching how this engine
+  * canonicalizes nested values at sinks).
+  */
+object RedshiftSqlBuilder {
+  private def q(s: String) = "\"" + s.replace("\"", "").toLowerCase + "\""
+  private def stg(c: String) = s"stg.${q(c)}"
+  private def tgt(c: String) = s"tgt.${q(c)}"
+  private def pkEquality(pks: Seq[String]): String =
+    pks.map(k => s"${tgt(k)} = ${stg(k)}").mkString(" AND ")
+
+  /** lib/sql/columns.go:42-59 — note the reference's exact spacing: a
+    * toast column renders as `"col"= CASE WHEN …` (space after `=`).
+    */
+  private def updateFragment(cols: Seq[String], toastCols: Set[String]): String =
+    cols.map { c =>
+      if (toastCols.contains(c))
+        s"${q(c)}= CASE WHEN COALESCE(${stg(c)} NOT LIKE '%${Constants.ToastPlaceholder}%', TRUE) THEN ${stg(c)} ELSE ${tgt(c)} END"
+      else s"${q(c)}=${stg(c)}"
+    }.mkString(",")
+
+  private def updateQueries(target: String, subQuery: String, pks: Seq[String],
+                            cols: Seq[String], softDelete: Boolean,
+                            toastCols: Set[String]): Seq[String] = {
+    val del = stg(Constants.DeleteCol)
+    val osd = stg(Constants.OnlySetDeleteCol)
+    if (!softDelete)
+      Seq(s"""UPDATE $target AS tgt SET ${updateFragment(cols, toastCols)} FROM $subQuery AS stg WHERE ${pkEquality(pks)} AND COALESCE($del, false) = false;""")
+    else Seq(
+      // two updates: full-row where only-set-delete is false, delete-flag-only where true
+      s"""UPDATE $target AS tgt SET ${updateFragment(cols, toastCols)} FROM $subQuery AS stg WHERE ${pkEquality(pks)} AND COALESCE($osd, false) = false;""",
+      s"""UPDATE $target AS tgt SET ${q(Constants.DeleteCol)}=${stg(Constants.DeleteCol)} FROM $subQuery AS stg WHERE ${pkEquality(pks)} AND COALESCE($osd, false) = true;""")
+  }
+
+  private def insertQuery(target: String, subQuery: String, pks: Seq[String],
+                          cols: Seq[String], softDelete: Boolean): String = {
+    val where = s"${tgt(pks.head)} IS NULL" +
+      (if (softDelete) "" else s" AND COALESCE(${stg(Constants.DeleteCol)}, false) = false")
+    s"""INSERT INTO $target (${cols.map(q).mkString(",")}) SELECT ${cols.map(stg).mkString(",")} FROM $subQuery AS stg LEFT JOIN $target AS tgt ON ${pkEquality(pks)} WHERE $where;"""
+  }
+
+  private def deleteQuery(target: String, subQuery: String, pks: Seq[String]): String =
+    s"""DELETE FROM $target WHERE (${pks.map(q).mkString(",")}) IN (SELECT ${pks.map(stg).mkString(",")} FROM $subQuery AS stg WHERE ${stg(Constants.DeleteCol)} = true);"""
+
+  /** The full ordered plan (dialect.go:344-375): update(s), insert, and —
+    * hard-delete mode with deletes present in the batch — the delete.
+    * `cols` arrives WITH the artie markers, as the pipeline's schema
+    * carries them; marker removal follows the reference
+    * (columns.go RemoveOnlySetDeleteColumnMarker always,
+    * RemoveDeleteColumnMarker when hard-deleting).
+    */
+  def buildMergeQueries(target: String, subQuery: String, pks: Seq[String],
+                        cols: Seq[String], softDelete: Boolean,
+                        containsHardDeletes: Boolean,
+                        toastCols: Set[String] = Set.empty): Seq[String] = {
+    val noOsd = cols.filterNot(_ == Constants.OnlySetDeleteCol)
+    val kept = if (softDelete) noOsd else noOsd.filterNot(_ == Constants.DeleteCol)
+    updateQueries(target, subQuery, pks, kept, softDelete, toastCols) ++
+      Seq(insertQuery(target, subQuery, pks, kept, softDelete)) ++
+      (if (!softDelete && containsHardDeletes)
+        Seq(deleteQuery(target, subQuery, pks))
+      else Nil)
+  }
+}
