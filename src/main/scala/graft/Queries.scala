@@ -2698,6 +2698,7 @@ FROM g CROSS JOIN t ORDER BY fold""")),
       // pairwise resemblance matrix as row-local list math over the
       // sources-sized relation; the shingle stream shuffles ONCE
       val sh = Tables.documents(s, d)
+        .repartition(col("doc_id")) // spread the shingle explode (shingles() discipline)
         .select(col("source"),
           explode(DedupOps.shingleArray(col("text"), 3)).as("sg"))
       val sk = sh.groupBy(col("source"))
@@ -3071,6 +3072,7 @@ GROUP BY 1 ORDER BY id""")),
       // err_permille IS the estimator's measured error, and the oracle
       // replays every register bit-for-bit.
       val sh = Tables.documents(s, d)
+        .repartition(col("doc_id")) // spread the shingle explode (shingles() discipline)
         .select(col("source"), explode(DedupOps.shingleArray(col("text"), 3)).as("sg"))
         .distinct()
       graft.operators.SketchOps.hllDistinct(sh, Seq("source"), "sg")
@@ -5043,6 +5045,12 @@ FROM c, g ORDER BY cat""")),
           (d2(col("l_extendedprice")) * 100).cast(LongType).as("cents"),
           least(col("o_orderdate"), col("l_shipdate")).cast("date").as("d0"),
           greatest(col("o_orderdate"), col("l_shipdate")).cast("date").as("d1"))
+        // the orders side broadcasts, so without a rebalance the month
+        // explode + date arithmetic inherit the SCAN's partitioning (one
+        // row group locally) — pre-spread the 4-column projection before
+        // the row-multiplying generate (cheap narrow shuffle; at cluster
+        // scale the scan is already partitioned and this is a rebalance)
+        .repartition(s.sparkContext.defaultParallelism)
       val wRk = Window.partitionBy(col("lid"))
         .orderBy(col("__rem").desc, col("mstart"))
       // the shortfall shares the rank's window SPEC (same partition +

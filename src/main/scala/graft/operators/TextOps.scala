@@ -93,7 +93,11 @@ object TextOps {
     * (left join back to the id spine).
     */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = df.select(col(idCol).as("id"),
+    // repartition BEFORE the bigram explode (the [[DedupOps.shingles]]
+    // discipline): the row-multiplying generate otherwise inherits the
+    // scan's partitioning and tokenizes the whole corpus on however few
+    // partitions the file layout happened to give
+    val bg = df.repartition(col(idCol)).select(col(idCol).as("id"),
         explode(DedupOps.shingleArrayFromTokens(split(col(textCol), " "), 2)).as("b"))
       .groupBy(col("id"), col("b")).agg(count(lit(1)).as("cnt"))
     val agg = bg.groupBy(col("id")).agg(
