@@ -176,3 +176,75 @@ object RedshiftSqlBuilder {
       else Nil)
   }
 }
+
+/** Snowflake dialect: the reference's single-statement MERGE with the
+  * staging side inlined as a subquery
+  * (clients/snowflake/dialect/dialect.go:145-207). Differences from the
+  * Spark dialect that ARE the dialect: identifiers double-quoted and
+  * UPPERCASED (dialect.go:35-37 — Snowflake folds unquoted identifiers
+  * up, so quoting uppercase preserves wire compatibility), `USING ( sub )
+  * AS stg` instead of a registered view, an optional EQUAL_NULL
+  * null-safe ON clause (dialect.go:51-53, the engine's `<=>` analog),
+  * and a TO_VARCHAR cast in the toast guard for non-string columns
+  * (dialect.go:70-80). Arm semantics are identical to
+  * [[MergeSqlBuilder.buildMerge]] — that is the point: one semantic
+  * contract, per-warehouse text.
+  */
+object SnowflakeSqlBuilder {
+  private def q(s: String) = "\"" + s.replace("\"", "").toUpperCase + "\""
+  private def stg(c: String) = s"stg.${q(c)}"
+  private def tgt(c: String) = s"tgt.${q(c)}"
+
+  /** Toast guard (dialect.go:70-80): strings compare directly, everything
+    * else serializes through TO_VARCHAR first.
+    */
+  private def isNotToast(c: String, stringKind: Boolean): String =
+    if (stringKind)
+      s"COALESCE(${stg(c)} NOT LIKE '%${Constants.ToastPlaceholder}%', TRUE)"
+    else
+      s"COALESCE(TO_VARCHAR(${stg(c)}) NOT LIKE '%${Constants.ToastPlaceholder}%', TRUE)"
+
+  private def updateFragment(cols: Seq[String], toastCols: Set[String],
+                             varcharCastToastCols: Set[String]): String =
+    cols.map { c =>
+      if (toastCols.contains(c) || varcharCastToastCols.contains(c))
+        s"${q(c)}= CASE WHEN ${isNotToast(c, stringKind = !varcharCastToastCols.contains(c))} THEN ${stg(c)} ELSE ${tgt(c)} END"
+      else s"${q(c)}=${stg(c)}"
+    }.mkString(",")
+
+  /** One MERGE statement (dialect.go:162-206). `useEqualNull` switches
+    * the ON clause to EQUAL_NULL per PK — the reference threads the same
+    * flag. `toastCols` are string-kind toast columns;
+    * `varcharCastToastCols` are non-string toast columns (struct/array),
+    * which take the TO_VARCHAR guard.
+    */
+  def buildMerge(target: String, subQuery: String, pks: Seq[String],
+                 cols: Seq[String], softDelete: Boolean,
+                 useEqualNull: Boolean = false,
+                 toastCols: Set[String] = Set.empty,
+                 varcharCastToastCols: Set[String] = Set.empty,
+                 additionalPredicates: Seq[String] = Nil): String = {
+    val eq = pks.map { k =>
+      if (useEqualNull) s"EQUAL_NULL(${tgt(k)}, ${stg(k)})"
+      else s"${tgt(k)} = ${stg(k)}"
+    } ++ additionalPredicates
+    val base = s"\nMERGE INTO $target tgt USING ( $subQuery ) AS stg ON ${eq.mkString(" AND ")}"
+    val del = stg(Constants.DeleteCol)
+    val osd = stg(Constants.OnlySetDeleteCol)
+    val noOsd = cols.filterNot(_ == Constants.OnlySetDeleteCol)
+    if (softDelete) {
+      val frag = updateFragment(noOsd, toastCols, varcharCastToastCols)
+      s"""$base
+WHEN MATCHED AND IFNULL($osd, false) = false THEN UPDATE SET $frag
+WHEN MATCHED AND IFNULL($osd, false) = true THEN UPDATE SET ${q(Constants.DeleteCol)}=$del
+WHEN NOT MATCHED THEN INSERT (${noOsd.map(q).mkString(",")}) VALUES (${noOsd.map(stg).mkString(",")});"""
+    } else {
+      val kept = noOsd.filterNot(_ == Constants.DeleteCol)
+      val frag = updateFragment(kept, toastCols, varcharCastToastCols)
+      s"""$base
+WHEN MATCHED AND $del THEN DELETE
+WHEN MATCHED AND IFNULL($del, false) = false THEN UPDATE SET $frag
+WHEN NOT MATCHED AND IFNULL($del, false) = false THEN INSERT (${kept.map(q).mkString(",")}) VALUES (${kept.map(stg).mkString(",")});"""
+    }
+  }
+}
