@@ -2978,13 +2978,15 @@ FROM e ORDER BY id, chunk_idx""")),
       // dedup-quality audit (the "is the cheap screen good enough" meta
       // query): exact 3-gram Jaccard >= 0.8 pairs as ground truth vs the
       // SimHash dist<=3 candidate pairs — recall/precision in permille.
-      // Both relations are the existing exact operators; the audit adds
-      // one pair-key join + three counts
+      // The candidate side reads the FROZEN [[dedupGraphPath]] artifact
+      // (identical relation: same corpus, same maxDist, built via the
+      // same simhashExactPairsFromSigs kernel) — auditing the screen the
+      // pipeline actually shipped, instead of re-signing the corpus
       val docs = Tables.documents(s, d)
       val r = DedupOps.jaccardPairsPrefixReleasable(docs, "doc_id", "text", 3, 0.8)
       val truth = r.df.select(col("ia"), col("ib")).localCheckpoint(true)
       r.release()
-      val cand = DedupOps.simhashExactPairs(docs, "doc_id", "text", 3)
+      val cand = DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d))
         .select(col("ia"), col("ib")).localCheckpoint(false)
       val hit = truth.join(cand, Seq("ia", "ib"))
       truth.agg(count(lit(1)).as("n_true"))

@@ -488,6 +488,49 @@ class PlanSpec extends AnyFunSuite {
       ringJoins)
   }
 
+  test("q158: cosine prefix join keeps equi-joins only and carries the positional filter") {
+    val r = graft.operators.DedupOps.cosinePairsPrefixReleasable(
+      Tables.documents(spark, sf), "doc_id", "text", 3, 4, 5)
+    val p = r.df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    r.release()
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the PPJoin positional filter must live IN the candidate join
+    // condition (the round-10 fix for the 1.33 scaling exponent): its
+    // least(n - rank, ...) upper bound is the identifiable fragment
+    assert(p.contains("least("), p)
+  }
+
+  test("q54: cross-corpus probe reads the persisted index, never re-signs the corpus") {
+    val p = plan("q54_crosscorpus_minhash")
+    // corpus side = two parquet scans of the artifact (bands + docs)
+    assert(p.contains("graft_mh_index"), p)
+    // exactly ONE PackedLaneMin signature aggregation (the batch side);
+    // the recompute-both-sides shape had two
+    val sigAggs = """\(\d+\) HashAggregate""".r.findAllIn(p).size
+    assert(p.contains("packedlanemin") || sigAggs >= 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q332: replica fan-out is a spread Generate, not a one-partition nested loop") {
+    val p = plan("q332_poisson_bootstrap_ci")
+    assert(p.contains("Generate"), p)         // explode(sequence(...))
+    assert(p.contains("RoundRobinPartitioning"), p) // pre-spread before the fan-out
+    // the one allowed nested loop is the scalar 1-row x 1-row CI attach;
+    // the 200x replica fan-out itself must never be a join
+    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    assert(bnlj <= 1, s"expected at most the scalar CI attach, got $bnlj:\n$p")
+  }
+
+  test("q217: proration spreads before the month explode and shares ONE window") {
+    val p = plan("q217_revenue_proration")
+    assert(p.contains("RoundRobinPartitioning"), p)
+    // rank + shortfall share a window SPEC: one Window operator total
+    val wins = """\(\d+\) Window""".r.findAllIn(p).size
+    assert(wins == 1, s"expected one shared WindowExec, got $wins:\n$p")
+  }
+
   test("q178: quantile normalization never forms an unpartitioned window") {
     val df = SparkEntry.queries("q178_quantile_normalize")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
