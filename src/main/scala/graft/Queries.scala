@@ -10169,6 +10169,26 @@ SELECT j.join, rows_big, rows_small, bytes_big, bytes_small,
     THEN GREATEST(bytes_big, bytes_small) ELSE 0 END AS BIGINT)
     AS shuffle_bytes_saved
 FROM j ORDER BY 1""")),
+
+    ("q349_byte_capped_chunks", (s, d) => {
+      // T2's byte-budget splitter as an oracle-gated relation: documents
+      // in doc_id order chunked so each chunk's byte total (cost =
+      // n_chars, the stand-in for the reference's in-memory row
+      // accounting) stays within 100 KB + the crossing row — the exact
+      // exclusive-prefix-div rule [[CdcPipeline.applyBatchByteCapped]]
+      // merges by. The RangePrefix running total is the scale shape:
+      // range partition + partitioned window + driver-bounded offsets,
+      // never a global window
+      graft.operators.CdcOps.byteCappedChunks(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars").cast(LongType).as("b")),
+        Seq(col("doc_id")), col("b"), 100000L)
+        .select(col("doc_id"), col("b").as("est_bytes"), col("__chunk").as("chunk"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""SELECT doc_id, CAST(n_chars AS BIGINT) AS est_bytes,
+  CAST((SUM(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) // 100000 AS BIGINT) AS chunk
+FROM documents ORDER BY doc_id""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus

@@ -218,6 +218,47 @@ object CdcOps {
   def softPartitionDistanceSign(sfx: String, nowSfx: String): Int =
     nowSfx.compareTo(sfx).sign
 
+  /** P11/T2: byte-budget batch splitter — assigns each row a `__chunk`
+    * id such that every chunk's estimated byte total stays within
+    * `maxBytes` (+ at most one row's bytes, the same crossing rule as
+    * the reference, which appends a row THEN flushes when the buffer
+    * reaches the threshold — lib/config/config.go:20's 25 MB default,
+    * models/event/event.go's byte accounting). Chunks are contiguous in
+    * the `orderCols` total order, so applying them in chunk order
+    * replays the stream order.
+    *
+    * Scale shape: the running byte total is an exclusive prefix sum via
+    * [[RangePrefix]] (range partition on the order key + partitioned
+    * window + driver-bounded per-partition offsets) — never a global
+    * window. A single row larger than `maxBytes` gets a chunk of its
+    * own; `byteEstimate` nulls count as zero.
+    */
+  def byteCappedChunks(df: DataFrame, orderCols: Seq[Column],
+                       byteEstimate: Column, maxBytes: Long): DataFrame = {
+    require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
+    val (parted, offsets, _) = RangePrefix.withOffsets(df, orderCols, byteEstimate)
+    val w = Window.partitionBy(col(RangePrefix.PidCol)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val est = coalesce(byteEstimate, lit(0L))
+    // pid -> exclusive global offset as a literal map (bounded by the
+    // partition count, driver-side)
+    val offMap = map(offsets.toSeq.sortBy(_._1)
+      .flatMap { case (pid, off) => Seq(lit(pid), lit(off)) }: _*)
+    parted
+      .withColumn("__pref",
+        sum(est).over(w) - est + element_at(offMap, col(RangePrefix.PidCol)))
+      .withColumn("__chunk", call_function("div", col("__pref"), lit(maxBytes)))
+      .drop(RangePrefix.PidCol, "__pref")
+  }
+
+  /** Default per-row byte estimate for [[byteCappedChunks]]: the JSON
+    * serialization length of the full row — the same order of magnitude
+    * as the reference's in-memory row accounting (event.go), computed
+    * inside codegen with no extra pass.
+    */
+  def approxRowBytes(df: DataFrame): Column =
+    length(to_json(struct(df.columns.map(col).toSeq: _*))).cast("long")
+
   /** P6: standard metadata columns injected at ingest
     * (models/event/event_util.go:217-232).
     */

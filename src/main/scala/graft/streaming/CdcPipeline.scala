@@ -452,6 +452,43 @@ object CdcPipeline {
       .foreachBatch { (batch: DataFrame, id: Long) => applyBatch(batch, id, cfg, targetPath) }
       .start()
 
+  /** Sub-batch id stride for [[applyBatchByteCapped]]: synthetic ids are
+    * `batchId * stride + chunk`, monotonic across batches while a single
+    * micro-batch stays under stride chunks (at the reference's 25 MB cap
+    * that is a 25 TB micro-batch — far past any trigger's ingest).
+    */
+  private val SubBatchStride = 1000000L
+
+  /** T2 closed: the reference's byte-size flush trigger
+    * (lib/config/config.go:20 — flush when the buffer reaches 25 MB) as
+    * an admission-control `foreachBatch` splitter. The micro-batch is
+    * chunked by [[CdcOps.byteCappedChunks]] (estimated bytes, contiguous
+    * in `cfg.orderCol` order) and each chunk merges INDEPENDENTLY in
+    * stream order under its own synthetic sub-batch marker — so a crash
+    * mid-batch resumes at the first unapplied chunk on replay, exactly
+    * the bounded-buffer durability the reference's byte trigger buys
+    * (no chunk ever re-merges; the merge itself is idempotent anyway).
+    * With `byteEstimate` unset, rows are costed by their JSON length
+    * ([[CdcOps.approxRowBytes]]).
+    */
+  def applyBatchByteCapped(batch: DataFrame, batchId: Long, cfg: Config,
+                           targetPath: String, maxBytes: Long,
+                           byteEstimate: Option[org.apache.spark.sql.Column] = None): Unit = {
+    if (batch.isEmpty) return
+    val est = byteEstimate.getOrElse(CdcOps.approxRowBytes(batch))
+    val chunked = CdcOps.byteCappedChunks(batch, Seq(col(cfg.orderCol)), est, maxBytes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded by batch bytes / maxBytes
+      val chunks = chunked.select(col("__chunk")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      chunks.foreach { c =>
+        applyBatch(chunked.filter(col("__chunk") === c).drop("__chunk"),
+          batchId * SubBatchStride + c, cfg, targetPath)
+      }
+    } finally { chunked.unpersist(); () }
+  }
+
   /** Single-table micro-batch with poison-message dead-lettering: frames
     * whose envelope fails to decode land under `deadLetterDir/batch=<id>`
     * (idempotent per-batch overwrite, same shape as the multi-table

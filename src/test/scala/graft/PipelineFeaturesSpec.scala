@@ -337,4 +337,56 @@ class PipelineFeaturesSpec extends AnyFunSuite {
     assert(filled.select("status").head.getString(0) == "active")
     assert(filled.select("id").head.getInt(0) == 1) // non-null untouched
   }
+
+  test("byteCappedChunks: contiguous chunks respect the budget with the crossing rule") {
+    import graft.operators.CdcOps
+    // rows of 40 estimated bytes each, ordered by off; cap 100 -> the
+    // reference's crossing rule admits the row that crosses, so chunks
+    // of exclusive-prefix div: rows at prefix 0,40,80 -> chunk 0;
+    // 120,160 -> chunk 1; ...
+    val df = (0L until 10L).map(i => (i, 40L)).toDF("off", "b")
+    val got = CdcOps.byteCappedChunks(df, Seq(col("off")), col("b"), 100L)
+      .orderBy("off").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L),
+      (5L, 2L), (6L, 2L), (7L, 2L), (8L, 3L), (9L, 3L)))
+    // per-chunk totals: <= cap + one row (the crossing row stays)
+    val totals = got.groupBy(_._2).view.mapValues(_.size * 40L).toMap
+    assert(totals.values.forall(_ <= 140L))
+    // an oversized single row owns its chunk; nulls cost zero
+    val big = Seq((1L, Some(500L)), (2L, Some(60L)), (3L, Option.empty[Long]),
+        (4L, Some(60L)))
+      .toDF("off", "b")
+    val bg = CdcOps.byteCappedChunks(big, Seq(col("off")), col("b"), 100L)
+      .orderBy("off").collect().map(r => (r.getLong(0), r.getLong(2)))
+    // prefixes 0, 500, 560, 560 -> chunks 0, 5, 5, 5
+    assert(bg.map(_._2).toSeq == Seq(0L, 5L, 5L, 5L))
+  }
+
+  test("applyBatchByteCapped: chunked merge equals the one-shot merge; crashed chunk resumes") {
+    import graft.operators.CdcOps
+    val root = Files.createTempDirectory("graft_bytecap").toString
+    val cfg = CdcPipeline.Config(Seq("id"), orderCol = "off")
+    def batch(rows: (Long, String, Long, Boolean)*) =
+      rows.toDF("id", "name", "off", Constants.DeleteCol)
+    val b0 = batch((1L, "a", 1L, false), (2L, "b", 2L, false), (3L, "c", 3L, false),
+      (1L, "a2", 4L, false), (4L, "d", 5L, false), (2L, "gone", 6L, true))
+    // tiny cap -> many chunks; the net result must equal the one-shot merge
+    CdcPipeline.applyBatchByteCapped(b0, 0L, cfg, s"$root/chunked", maxBytes = 1L)
+    CdcPipeline.applyBatch(b0, 0L, cfg, s"$root/oneshot")
+    def rows(p: String) = spark.read.parquet(p)
+      .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(s"$root/chunked") == rows(s"$root/oneshot"))
+    assert(rows(s"$root/chunked") == Set((1L, "a2"), (3L, "c"), (4L, "d")))
+    // replay of the whole batch: every sub-batch marker skips
+    val before = rows(s"$root/chunked")
+    CdcPipeline.applyBatchByteCapped(batch((1L, "CORRUPT", 1L, false), (2L, "b", 2L, false),
+      (3L, "c", 3L, false), (1L, "a2", 4L, false), (4L, "d", 5L, false),
+      (2L, "gone", 6L, true)), 0L, cfg, s"$root/chunked", maxBytes = 1L)
+    // same synthetic ids -> no chunk re-applies -> CORRUPT never lands
+    assert(rows(s"$root/chunked") == before)
+    // next batch's ids sit above every sub-batch of batch 0
+    CdcPipeline.applyBatchByteCapped(batch((5L, "e", 7L, false)), 1L, cfg,
+      s"$root/chunked", maxBytes = 1L)
+    assert(rows(s"$root/chunked") == before + ((5L, "e")))
+  }
 }
