@@ -223,7 +223,12 @@ object SpatialOps {
       .join(core.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
       .join(core.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
       .select(col("id_a").as("ia"), col("id_b").as("ib"))
-    val grp = DedupOps.nearDupGroups(core, "id", coreEdges)
+    // star contraction, not the label-prop chain: identical canonical
+    // assignments (q71 pins the two closures equal), O(log) rounds on
+    // deep chains — and DBSCAN's sub-percolation regime still pays per
+    // label-prop round, so the cheaper closure is ~2x for free (the
+    // same swap q73's funnel made in round 9)
+    val grp = DedupOps.nearDupGroupsStar(core, "id", coreEdges)
     val adj = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
       .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
     val border = adj

@@ -248,3 +248,60 @@ WHEN NOT MATCHED AND IFNULL($del, false) = false THEN INSERT (${kept.map(q).mkSt
     }
   }
 }
+
+/** BigQuery dialect: single-statement MERGE
+  * (clients/bigquery/dialect/dialect.go:103-182). What IS the dialect:
+  * backtick identifier quoting with no case folding (dialect.go:30-33),
+  * `USING sub AS stg` with no parentheses, JSON primary keys compared
+  * through TO_JSON_STRING on BOTH sides (dialect.go:117-122 — BigQuery
+  * cannot equality-compare two JSON values directly), and a toast guard
+  * that serializes through TO_JSON_STRING with NO COALESCE wrapper
+  * (dialect.go:56-59 — TO_JSON_STRING never returns SQL NULL for a JSON
+  * column, so the null-protection the other dialects need is absent by
+  * design). Arm structure identical to [[SnowflakeSqlBuilder]].
+  */
+object BigQuerySqlBuilder {
+  private def q(s: String) = "`" + s.replace("`", "") + "`"
+  private def stg(c: String) = s"stg.${q(c)}"
+  private def tgt(c: String) = s"tgt.${q(c)}"
+
+  private def updateFragment(cols: Seq[String], toastCols: Set[String]): String =
+    cols.map { c =>
+      if (toastCols.contains(c))
+        s"${q(c)}= CASE WHEN TO_JSON_STRING(${stg(c)}) NOT LIKE '%${Constants.ToastPlaceholder}%' THEN ${stg(c)} ELSE ${tgt(c)} END"
+      else s"${q(c)}=${stg(c)}"
+    }.mkString(",")
+
+  /** One MERGE statement (dialect.go:130-182). `jsonPks` marks primary
+    * keys of JSON kind, which compare via TO_JSON_STRING on both sides.
+    */
+  def buildMerge(target: String, subQuery: String, pks: Seq[String],
+                 cols: Seq[String], softDelete: Boolean,
+                 jsonPks: Set[String] = Set.empty,
+                 toastCols: Set[String] = Set.empty,
+                 additionalPredicates: Seq[String] = Nil): String = {
+    val eq = pks.map { k =>
+      if (jsonPks.contains(k))
+        s"TO_JSON_STRING(${tgt(k)}) = TO_JSON_STRING(${stg(k)})"
+      else s"${tgt(k)} = ${stg(k)}"
+    } ++ additionalPredicates
+    val base = s"\nMERGE INTO $target tgt USING $subQuery AS stg ON ${eq.mkString(" AND ")}"
+    val del = stg(Constants.DeleteCol)
+    val osd = stg(Constants.OnlySetDeleteCol)
+    val noOsd = cols.filterNot(_ == Constants.OnlySetDeleteCol)
+    if (softDelete) {
+      val frag = updateFragment(noOsd, toastCols)
+      s"""$base
+WHEN MATCHED AND IFNULL($osd, false) = false THEN UPDATE SET $frag
+WHEN MATCHED AND IFNULL($osd, false) = true THEN UPDATE SET ${q(Constants.DeleteCol)}=$del
+WHEN NOT MATCHED THEN INSERT (${noOsd.map(q).mkString(",")}) VALUES (${noOsd.map(stg).mkString(",")});"""
+    } else {
+      val kept = noOsd.filterNot(_ == Constants.DeleteCol)
+      val frag = updateFragment(kept, toastCols)
+      s"""$base
+WHEN MATCHED AND $del THEN DELETE
+WHEN MATCHED AND IFNULL($del, false) = false THEN UPDATE SET $frag
+WHEN NOT MATCHED AND IFNULL($del, false) = false THEN INSERT (${kept.map(q).mkString(",")}) VALUES (${kept.map(stg).mkString(",")});"""
+    }
+  }
+}
