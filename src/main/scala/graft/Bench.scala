@@ -165,8 +165,8 @@ object Bench {
             name.split("_")(0) -> alpha
           }
         }.toMap
-        val sweep2On = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") != "0" &&
-          sweepUsable(sweep2Dir) && sweep2Dir != sweepDir &&
+        // (already inside the sweepOn branch, so SPARK_GRAFT_SWEEP holds)
+        val sweep2On = sweepUsable(sweep2Dir) && sweep2Dir != sweepDir &&
           sfOf(sweep2Dir) < sfOf(sweepDir)
         val alphaLo = if (!sweep2On) Map.empty[String, Double] else {
           val ratio2 = sfOf(sweepDir) / sfOf(sweep2Dir)
@@ -216,8 +216,8 @@ object Bench {
       else s""","build_s":{${buildEntries.mkString(",")}}"""
     // scaling block (detail file only — the stdout line must stay under the
     // driver's ~2.3 KB tail capture): measured exponents plus the list of
-    // super-linear (> 1.5) queries, which should be empty or explained in
-    // SCALE.md
+    // super-linear (> ScalingGate.Threshold) queries, which should be
+    // empty or explained in SCALE.md
     val scalingBlock = if (scaling.isEmpty) "" else {
       val entries = scaling.toSeq.sortBy(_._1)
         .map { case (q, a) => "\"" + q + "\":" + f2(a) }.mkString("{", ",", "}")

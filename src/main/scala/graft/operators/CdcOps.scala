@@ -232,6 +232,16 @@ object CdcOps {
     * window + driver-bounded per-partition offsets) — never a global
     * window. A single row larger than `maxBytes` gets a chunk of its
     * own; `byteEstimate` nulls count as zero.
+    *
+    * PRECONDITION: `orderCols` must TOTALLY order the rows (unique
+    * combination per row — the CDC order column is a log offset, unique
+    * by construction). With duplicate order keys the tie order inside
+    * the running sum is not deterministic across runs, so a replayed
+    * batch could cut chunks differently than the crashed attempt — and
+    * [[graft.streaming.CdcPipeline.applyBatchByteCapped]]'s
+    * skip-applied-chunks resume is only row-exact when chunk assignment
+    * replays identically. (Same uniqueness contract, for the same
+    * ordered-walk reason, as [[SketchOps.weightedGroupMedian]].)
     */
   def byteCappedChunks(df: DataFrame, orderCols: Seq[Column],
                        byteEstimate: Column, maxBytes: Long): DataFrame = {

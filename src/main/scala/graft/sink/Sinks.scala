@@ -95,10 +95,25 @@ object Sinks {
     *   - the CURRENT partition always writes to its own target,
     *     creating it if absent.
     *
-    * Documented deviation: a NULL timestamp routes to `base_default`
+    * Documented deviations: a NULL timestamp routes to `base_default`
     * instead of erroring the batch (the reference would fail the event;
     * the compacted table is the conservative landing zone that keeps a
-    * poison row from wedging the stream).
+    * poison row from wedging the stream), and `rejectFuture = false`
+    * extends the same stream-survival treatment to FUTURE partitions —
+    * the streaming sink ([[SinkRegistry]]) uses it because a single
+    * clock-skewed producer would otherwise fail the batch, replay, and
+    * fail again forever (the reference surfaces the error to its
+    * consumer loop, which has a human retry; a structured-streaming
+    * query does not). The default keeps reference semantics.
+    *
+    * Replay caveat: `executionTime` defaults to processing time, so a
+    * replay that STRADDLES a partition boundary (crash Aug 31, restart
+    * Sep 1) can classify a suffix current→past and land its rows in
+    * `base_default` instead of the (never-created) partition target —
+    * rows are never lost, only routed to the compacted table, which is
+    * exactly where the reference sends past rows whose table is
+    * missing. Pin `executionTime` when byte-exact replay routing
+    * matters.
     *
     * The distinct-suffix collect is bounded by the batch's partition
     * span; the existence probes are one FileSystem call per distinct
@@ -106,7 +121,8 @@ object Sinks {
     */
   def softPartitionedAppend(df: DataFrame, base: String, tsCol: String,
                             batchId: Option[Long] = None,
-                            executionTime: Option[java.time.Instant] = None): Seq[String] = {
+                            executionTime: Option[java.time.Instant] = None,
+                            rejectFuture: Boolean = true): Seq[String] = {
     val spark = df.sparkSession
     val pattern = "_yyyy_MM"
     val nowSfx = java.time.format.DateTimeFormatter.ofPattern(pattern)
@@ -117,23 +133,28 @@ object Sinks {
         lit("_default")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val suffixes = withSfx.select("__sfx").distinct().collect().map(_.getString(0)).sorted
-      val future = suffixes.filter(s => s != "_default" &&
+      val suffixes0 = withSfx.select("__sfx").distinct().collect().map(_.getString(0)).sorted
+      val future = suffixes0.filter(s => s != "_default" &&
         graft.operators.CdcOps.softPartitionDistanceSign(s, nowSfx) < 0)
-      require(future.isEmpty,
-        s"partition time(s) ${future.mkString(", ")} for column $tsCol are in the " +
-          s"future of execution time $nowSfx (soft_partition.go:29-32 rejects future partitions)")
+      if (rejectFuture)
+        require(future.isEmpty,
+          s"partition time(s) ${future.mkString(", ")} for column $tsCol are in the " +
+            s"future of execution time $nowSfx (soft_partition.go:29-32 rejects future partitions)")
+      val futureSet = future.toSet // non-empty only in stream-survival mode
       val hadoopFs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // suffix -> final target after the compacted-table fallback; rows
-      // are then appended once per distinct TARGET (two past suffixes
-      // both falling back to _default must share one append + marker)
-      val targetOf: Map[String, String] = suffixes.map { s =>
+      // suffix -> final target after the compacted-table fallback (and,
+      // in stream-survival mode, the future->compacted fold); rows are
+      // then appended once per distinct TARGET (two suffixes both
+      // falling back to _default must share one append + marker)
+      val targetOf: Map[String, String] = suffixes0.map { s =>
         val past = s != "_default" &&
           graft.operators.CdcOps.softPartitionDistanceSign(s, nowSfx) > 0
-        val t = if (past && !hadoopFs.exists(new org.apache.hadoop.fs.Path(base + s)))
-          base + "_default"
-        else base + s
+        val t =
+          if (futureSet.contains(s)) base + "_default"
+          else if (past && !hadoopFs.exists(new org.apache.hadoop.fs.Path(base + s)))
+            base + "_default"
+          else base + s
         s -> t
       }.toMap
       val targets = targetOf.values.toSeq.distinct.sorted
@@ -181,10 +202,15 @@ object SinkRegistry {
       (df, batchId, target) => graft.streaming.CdcPipeline.applyBatch(
         df, batchId, cfg.copy(historyMode = true), target)
     case "soft-partitioned" =>
-      // per-suffix replay markers live INSIDE the append loop — see
-      // softPartitionedAppend; no outer whole-batch marker
+      // per-target replay markers live INSIDE the append loop — see
+      // softPartitionedAppend; no outer whole-batch marker.
+      // rejectFuture = false: a structured-streaming sink must not wedge
+      // on one clock-skewed producer (fail -> replay -> fail forever);
+      // future rows fold into the compacted _default table instead
+      // (documented deviation in softPartitionedAppend's scaladoc)
       (df, batchId, target) =>
-        { Sinks.softPartitionedAppend(df, target, softPartitionTsCol, Some(batchId)); () }
+        { Sinks.softPartitionedAppend(df, target, softPartitionTsCol, Some(batchId),
+          rejectFuture = false); () }
     case other => throw new IllegalArgumentException(
       s"unsupported sink label: $other (expected merge | snapshot | append | history | soft-partitioned)")
   }

@@ -474,6 +474,15 @@ object CdcPipeline {
   def applyBatchByteCapped(batch: DataFrame, batchId: Long, cfg: Config,
                            targetPath: String, maxBytes: Long,
                            byteEstimate: Option[org.apache.spark.sql.Column] = None): Unit = {
+    // msmSteps keys its staging flush on (batchId + 1) % msmSteps; the
+    // synthetic sub-batch ids here are sparse (chunk ids are prefix
+    // divisions), so the modular cadence would fire at arbitrary chunks
+    // — or never — and staging would grow unboundedly. The two buffer
+    // disciplines don't compose; pick one.
+    require(cfg.msmSteps <= 1,
+      s"applyBatchByteCapped does not compose with msmSteps=${cfg.msmSteps}: " +
+        "the multi-step staging flush keys on contiguous batch ids, which " +
+        "synthetic sub-batch ids are not")
     if (batch.isEmpty) return
     val est = byteEstimate.getOrElse(CdcOps.approxRowBytes(batch))
     val chunked = CdcOps.byteCappedChunks(batch, Seq(col(cfg.orderCol)), est, maxBytes)

@@ -507,9 +507,14 @@ class PlanSpec extends AnyFunSuite {
     // corpus side = two parquet scans of the artifact (bands + docs)
     assert(p.contains("graft_mh_index"), p)
     // exactly ONE PackedLaneMin signature aggregation (the batch side);
-    // the recompute-both-sides shape had two
-    val sigAggs = """\(\d+\) HashAggregate""".r.findAllIn(p).size
-    assert(p.contains("packedlanemin") || sigAggs >= 1, p)
+    // the recompute-both-sides shape had two. Formatted explain prints
+    // each aggregation's function list on "Functions [..]" detail lines
+    // — one partial + one merge line per aggregation, so one signature
+    // aggregation = exactly 2 packedlanemin function lines
+    val sigLines = p.linesIterator
+      .count(l => l.contains("Functions") && l.contains("packed_lane_min"))
+    assert(sigLines == 2,
+      s"expected one signature aggregation (2 Functions lines), got $sigLines:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 

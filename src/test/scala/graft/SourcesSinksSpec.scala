@@ -147,6 +147,20 @@ class SourcesSinksSpec extends AnyFunSuite {
     Sinks.softPartitionedAppend(withNull, base, "ts", executionTime = now)
     assert(spark.read.parquet(s"${base}_default").select("id")
       .collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // stream-survival mode (the SinkRegistry wiring): future rows FOLD
+    // into the compacted table instead of wedging the stream, alongside
+    // whatever other rows share that target
+    val mixed = Seq(
+      (5L, java.sql.Timestamp.valueOf("2099-01-01 00:00:00")), // future
+      (6L, java.sql.Timestamp.valueOf("2024-02-11 00:00:00")), // current
+    ).toDF("id", "ts")
+    val t2 = Sinks.softPartitionedAppend(mixed, base, "ts", executionTime = now,
+      rejectFuture = false)
+    assert(t2.toSet == Set(s"${base}_2024_02", s"${base}_default"))
+    assert(spark.read.parquet(s"${base}_default").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 4L, 5L))
+    assert(spark.read.parquet(s"${base}_2024_02").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(2L, 6L))
   }
 
   test("sink registry dispatches by label and rejects unknown (K9)") {
