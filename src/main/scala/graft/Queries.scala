@@ -7114,7 +7114,9 @@ ${(2 to 6).map(r =>
       // threshold over- or under-merges; complements q151's pair-level
       // recall/precision audit
       val docs = Tables.documents(s, d)
-      val sys = graft.operators.DedupOps.nearDupGroups(
+      // star contraction (identical canonical assignments to the
+      // label-prop chain — q71 pins them equal; O(log) rounds)
+      val sys = graft.operators.DedupOps.nearDupGroupsStar(
         docs.select(col("doc_id")), "doc_id",
         graft.operators.DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d)))
       val gold = docs.select(col("doc_id"),

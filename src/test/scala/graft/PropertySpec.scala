@@ -620,4 +620,37 @@ class PropertySpec extends AnyFunSuite {
       assert(out.size == rows.size, s"seed=$seed row count")
     }
   }
+
+  test("property: byteCappedChunks partitions the order exactly, every budget holds") {
+    import graft.operators.CdcOps
+    val rowsGen = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 120L)))
+    for (seed <- 0 until 8) {
+      val weights = rowsGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val rows = weights.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      val cap = 100L
+      val got = CdcOps.byteCappedChunks(rows.toDF("off", "b"),
+          Seq(org.apache.spark.sql.functions.col("off")),
+          org.apache.spark.sql.functions.col("b"), cap)
+        .select("off", "b", "__chunk")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      // no row lost or duplicated
+      assert(got.map(_._1) == rows.map(_._1), s"seed=$seed rows")
+      // chunk ids are non-decreasing in order (contiguity)
+      val chunks = got.map(_._3)
+      assert(chunks == chunks.sorted, s"seed=$seed contiguity")
+      // exact rule: chunk = exclusive prefix div cap — replay the scan
+      var pref = 0L
+      got.foreach { case (off, b, c) =>
+        assert(c == pref / cap, s"seed=$seed off=$off expected ${pref / cap} got $c")
+        pref += b
+      }
+      // budget: each chunk's total <= cap + its own crossing row
+      got.groupBy(_._3).foreach { case (c, rs) =>
+        val total = rs.map(_._2).sum
+        val maxRow = rs.map(_._2).max
+        assert(total <= cap + maxRow, s"seed=$seed chunk=$c total=$total")
+      }
+    }
+  }
 }
