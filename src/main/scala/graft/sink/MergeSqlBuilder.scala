@@ -249,6 +249,69 @@ WHEN NOT MATCHED AND IFNULL($del, false) = false THEN INSERT (${kept.map(q).mkSt
   }
 }
 
+/** MS SQL dialect (clients/mssql/dialect/dialect.go:73-209). What IS the
+  * dialect: square-bracket identifier quoting (dialect.go:21-28),
+  * booleans as BITs so every flag test is `= 1` / `COALESCE(x, 0) = 0`
+  * arithmetic rather than bare boolean predicates, the hard path as one
+  * MERGE whose NOT-MATCHED arm uses the reference's `COALESCE(del, 1) =
+  * 0` (default-1: a NULL delete flag on an unmatched row is NOT
+  * inserted — the opposite default from every other dialect's insert
+  * arm, preserved verbatim), the soft path as THREE statements in
+  * INSERT → UPDATE(all) → UPDATE(flag) order (dialect.go:102-118 —
+  * insert FIRST, unlike Redshift's update-first plan), and the
+  * empty-string-COALESCE toast guard (dialect.go:59-63).
+  */
+object MssqlSqlBuilder {
+  private def q(s: String) = "[" + s.replace("[", "").replace("]", "") + "]"
+  private def stg(c: String) = s"stg.${q(c)}"
+  private def tgt(c: String) = s"tgt.${q(c)}"
+  private def joinOn(pks: Seq[String]): String =
+    pks.map(k => s"${tgt(k)} = ${stg(k)}").mkString(" AND ")
+
+  private def updateFragment(cols: Seq[String], toastCols: Set[String]): String =
+    cols.map { c =>
+      if (toastCols.contains(c))
+        s"${q(c)}= CASE WHEN COALESCE(${stg(c)}, '') NOT LIKE '%${Constants.ToastPlaceholder}%' THEN ${stg(c)} ELSE ${tgt(c)} END"
+      else s"${q(c)}=${stg(c)}"
+    }.mkString(",")
+
+  /** Hard path: one MERGE (dialect.go:180-209); soft path: the
+    * three-statement INSERT → UPDATE(all) → UPDATE(flag) plan
+    * (dialect.go:102-177).
+    */
+  def buildMergeQueries(target: String, subQuery: String, pks: Seq[String],
+                        cols: Seq[String], softDelete: Boolean,
+                        toastCols: Set[String] = Set.empty): Seq[String] = {
+    val noOsd = cols.filterNot(_ == Constants.OnlySetDeleteCol)
+    val del = stg(Constants.DeleteCol)
+    val osd = stg(Constants.OnlySetDeleteCol)
+    if (softDelete) {
+      val insert = s"""
+INSERT INTO $target (${noOsd.map(q).mkString(",")})
+SELECT ${noOsd.map(stg).mkString(",")} FROM $subQuery AS stg
+LEFT JOIN $target AS tgt ON ${joinOn(pks)}
+WHERE ${tgt(pks.head)} IS NULL;"""
+      val updAll = s"""
+UPDATE tgt SET ${updateFragment(noOsd, toastCols)}
+FROM $subQuery AS stg LEFT JOIN $target AS tgt ON ${joinOn(pks)}
+WHERE COALESCE($osd, 0) = 0;"""
+      val updFlag = s"""
+UPDATE tgt SET ${q(Constants.DeleteCol)}=$del
+FROM $subQuery AS stg LEFT JOIN $target AS tgt ON ${joinOn(pks)}
+WHERE COALESCE($osd, 0) = 1;"""
+      Seq(insert, updAll, updFlag)
+    } else {
+      val kept = noOsd.filterNot(_ == Constants.DeleteCol)
+      Seq(s"""
+MERGE INTO $target tgt
+USING $subQuery AS stg ON ${joinOn(pks)}
+WHEN MATCHED AND $del = 1 THEN DELETE
+WHEN MATCHED AND COALESCE($del, 0) = 0 THEN UPDATE SET ${updateFragment(kept, toastCols)}
+WHEN NOT MATCHED AND COALESCE($del, 1) = 0 THEN INSERT (${kept.map(q).mkString(",")}) VALUES (${kept.map(stg).mkString(",")});""")
+    }
+  }
+}
+
 /** BigQuery dialect: single-statement MERGE
   * (clients/bigquery/dialect/dialect.go:103-182). What IS the dialect:
   * backtick identifier quoting with no case folding (dialect.go:30-33),
