@@ -312,6 +312,185 @@ WHEN NOT MATCHED AND COALESCE($del, 1) = 0 THEN INSERT (${kept.map(q).mkString("
   }
 }
 
+/** ClickHouse dialect (clients/clickhouse/dialect/dialect.go) — the
+  * destination where the MERGE strategy lives in the TABLE ENGINE, not
+  * in DML: replication tables are `ENGINE = ReplacingMergeTree(
+  * __artie_updated_at, __artie_delete)` (merge-on-read last-wins keyed
+  * dedup with an is_deleted column — dialect.go:91-105; the reference's
+  * BuildMergeQueries intentionally panics because background merges do
+  * the work), history tables are plain `MergeTree() ORDER BY
+  * __artie_updated_at`. The delete marker is filtered from the caller's
+  * column list and re-added as UInt8 (ReplacingMergeTree requires that
+  * exact type), mirroring dialect.go's column surgery. Backtick
+  * quoting, backticks stripped.
+  */
+object ClickhouseSqlBuilder {
+  private def q(s: String) = "`" + s.replace("`", "") + "`"
+
+  /** `colDefs` are (name, clickhouse type) pairs; `replication = false`
+    * builds the history-mode MergeTree form.
+    */
+  def buildCreateTable(target: String, colDefs: Seq[(String, String)],
+                       replication: Boolean = true): String =
+    if (replication) {
+      val kept = colDefs.filterNot(_._1 == Constants.DeleteCol) :+
+        (Constants.DeleteCol -> "UInt8")
+      val cols = kept.map { case (n, t) => s"${q(n)} $t" }.mkString(",")
+      s"CREATE TABLE $target ($cols) ENGINE = ReplacingMergeTree(${q(Constants.UpdatedAtCol)}, ${q(Constants.DeleteCol)});"
+    } else {
+      val cols = colDefs.map { case (n, t) => s"${q(n)} $t" }.mkString(",")
+      s"CREATE TABLE $target ($cols) ENGINE = MergeTree() ORDER BY ${q(Constants.UpdatedAtCol)};"
+    }
+
+  def buildAddColumn(target: String, colDef: String): String =
+    s"ALTER TABLE $target ADD COLUMN IF NOT EXISTS $colDef;"
+
+  def buildDropColumn(target: String, colName: String): String =
+    s"ALTER TABLE $target DROP COLUMN IF EXISTS ${q(colName)};"
+}
+
+/** Postgres dialect (clients/postgres/dialect/dialect.go:127-330) —
+  * TWO strategies behind one entry point, mirroring the reference's
+  * `disableMerge` switch: PG15+ native MERGE (single statement, no
+  * trailing semicolon — the reference's text ends bare, merge_test.go
+  * pins it), or the pre-15 ordered UPDATE → INSERT → DELETE fallback
+  * (`DELETE FROM t AS tgt USING sub AS stg WHERE …` — Postgres'
+  * join-delete form, unlike Redshift's PK-tuple IN). Double-quote
+  * identifier quoting with quote DOUBLING (dialect.go:42-44); toast
+  * guards serialize bytea through `encode(col, 'escape')` and
+  * everything else through `::text`, both empty-string-COALESCEd
+  * (dialect.go:94-106).
+  */
+object PostgresSqlBuilder {
+  private def q(s: String) = "\"" + s.replace("\"", "\"\"") + "\""
+  private def stg(c: String) = s"stg.${q(c)}"
+  private def tgt(c: String) = s"tgt.${q(c)}"
+  private def joinOn(pks: Seq[String], additional: Seq[String]): String =
+    (pks.map(k => s"${tgt(k)} = ${stg(k)}") ++ additional).mkString(" AND ")
+
+  private def updateFragment(cols: Seq[String], toastCols: Set[String],
+                             byteaToastCols: Set[String]): String =
+    cols.map { c =>
+      if (byteaToastCols.contains(c))
+        s"${q(c)}= CASE WHEN COALESCE(encode(${stg(c)}, 'escape'), '') NOT LIKE '%${Constants.ToastPlaceholder}%' THEN ${stg(c)} ELSE ${tgt(c)} END"
+      else if (toastCols.contains(c))
+        s"${q(c)}= CASE WHEN COALESCE(${stg(c)}::text, '') NOT LIKE '%${Constants.ToastPlaceholder}%' THEN ${stg(c)} ELSE ${tgt(c)} END"
+      else s"${q(c)}=${stg(c)}"
+    }.mkString(",")
+
+  /** `useMerge = true` → the PG15+ single MERGE; false → the pre-15
+    * ordered statement plan (dialect.go:234-263).
+    */
+  def buildMergeQueries(target: String, subQuery: String, pks: Seq[String],
+                        cols: Seq[String], softDelete: Boolean,
+                        containsHardDeletes: Boolean = true,
+                        useMerge: Boolean = true,
+                        toastCols: Set[String] = Set.empty,
+                        byteaToastCols: Set[String] = Set.empty,
+                        additionalPredicates: Seq[String] = Nil): Seq[String] = {
+    val noOsd = cols.filterNot(_ == Constants.OnlySetDeleteCol)
+    val del = stg(Constants.DeleteCol)
+    val osd = stg(Constants.OnlySetDeleteCol)
+    val on = joinOn(pks, additionalPredicates)
+    if (useMerge) {
+      if (softDelete) Seq(s"""
+MERGE INTO $target AS tgt
+USING $subQuery AS stg ON $on
+WHEN MATCHED AND COALESCE($osd, false) = false THEN UPDATE SET ${updateFragment(noOsd, toastCols, byteaToastCols)}
+WHEN MATCHED AND COALESCE($osd, false) = true THEN UPDATE SET ${q(Constants.DeleteCol)}=$del
+WHEN NOT MATCHED THEN INSERT (${noOsd.map(q).mkString(",")}) VALUES (${noOsd.map(stg).mkString(",")})""")
+      else {
+        val kept = noOsd.filterNot(_ == Constants.DeleteCol)
+        Seq(s"""
+MERGE INTO $target AS tgt USING $subQuery AS stg ON $on
+WHEN MATCHED AND $del = true THEN DELETE
+WHEN MATCHED AND COALESCE($del, false) = false THEN UPDATE SET ${updateFragment(kept, toastCols, byteaToastCols)}
+WHEN NOT MATCHED AND COALESCE($del, false) = false THEN INSERT (${kept.map(q).mkString(",")}) VALUES (${kept.map(stg).mkString(",")})""")
+      }
+    } else {
+      val kept = if (softDelete) noOsd else noOsd.filterNot(_ == Constants.DeleteCol)
+      val insertWhere = s"${tgt(pks.head)} IS NULL" +
+        (if (softDelete) "" else s" AND COALESCE($del, false) = false")
+      val insert =
+        s"""INSERT INTO $target (${kept.map(q).mkString(",")}) SELECT ${kept.map(stg).mkString(",")} FROM $subQuery AS stg LEFT JOIN $target AS tgt ON $on WHERE $insertWhere;"""
+      val updates =
+        if (!softDelete)
+          Seq(s"""UPDATE $target AS tgt SET ${updateFragment(kept, toastCols, byteaToastCols)} FROM $subQuery AS stg WHERE $on AND COALESCE($del, false) = false;""")
+        else Seq(
+          s"""UPDATE $target AS tgt SET ${updateFragment(kept, toastCols, byteaToastCols)} FROM $subQuery AS stg WHERE $on AND COALESCE($osd, false) = false;""",
+          s"""UPDATE $target AS tgt SET ${q(Constants.DeleteCol)}=$del FROM $subQuery AS stg WHERE $on AND COALESCE($osd, false) = true;""")
+      updates ++ Seq(insert) ++
+        (if (!softDelete && containsHardDeletes)
+          Seq(s"""DELETE FROM $target AS tgt USING $subQuery AS stg WHERE $on AND $del = true;""")
+        else Nil)
+    }
+  }
+}
+
+/** MySQL dialect (clients/mysql/dialect/dialect.go:57-217) — the
+  * destination with NO MERGE statement at all: the hard path is the
+  * reference's two-statement protocol DELETE-via-INNER-JOIN then
+  * `INSERT … ON DUPLICATE KEY UPDATE col = VALUES(col)` (the engine's
+  * native upsert, dialect.go:170-216); the soft path is the MSSQL-style
+  * INSERT → UPDATE(all) → UPDATE(flag) triple with MySQL's
+  * `UPDATE t INNER JOIN s SET …` join-update syntax
+  * (dialect.go:102-168). Backtick quoting with backtick DOUBLING (not
+  * stripping — dialect.go:21-23), BIT-flag arithmetic, empty-string
+  * toast COALESCE.
+  */
+object MysqlSqlBuilder {
+  private def q(s: String) = "`" + s.replace("`", "``") + "`"
+  private def stg(c: String) = s"stg.${q(c)}"
+  private def tgt(c: String) = s"tgt.${q(c)}"
+  private def joinOn(pks: Seq[String]): String =
+    pks.map(k => s"${tgt(k)} = ${stg(k)}").mkString(" AND ")
+
+  private def updateFragment(cols: Seq[String], toastCols: Set[String]): String =
+    cols.map { c =>
+      if (toastCols.contains(c))
+        s"${q(c)}= CASE WHEN COALESCE(${stg(c)}, '') NOT LIKE '%${Constants.ToastPlaceholder}%' THEN ${stg(c)} ELSE ${tgt(c)} END"
+      else s"${q(c)}=${stg(c)}"
+    }.mkString(",")
+
+  def buildMergeQueries(target: String, subQuery: String, pks: Seq[String],
+                        cols: Seq[String], softDelete: Boolean,
+                        toastCols: Set[String] = Set.empty): Seq[String] = {
+    val noOsd = cols.filterNot(_ == Constants.OnlySetDeleteCol)
+    val del = stg(Constants.DeleteCol)
+    val osd = stg(Constants.OnlySetDeleteCol)
+    if (softDelete) Seq(
+      s"""
+INSERT INTO $target (${noOsd.map(q).mkString(",")})
+SELECT ${noOsd.map(stg).mkString(",")} FROM $subQuery AS stg
+LEFT JOIN $target AS tgt ON ${joinOn(pks)}
+WHERE ${tgt(pks.head)} IS NULL;""",
+      s"""
+UPDATE $target AS tgt
+INNER JOIN $subQuery AS stg ON ${joinOn(pks)}
+SET ${updateFragment(noOsd, toastCols)}
+WHERE COALESCE($osd, 0) = 0;""",
+      s"""
+UPDATE $target AS tgt
+INNER JOIN $subQuery AS stg ON ${joinOn(pks)}
+SET ${q(Constants.DeleteCol)}=$del
+WHERE COALESCE($osd, 0) = 1;""")
+    else {
+      val kept = noOsd.filterNot(_ == Constants.DeleteCol)
+      val dupUpdate = kept.map(c => s"${q(c)} = VALUES(${q(c)})").mkString(", ")
+      Seq(
+        s"""
+DELETE tgt FROM $target AS tgt
+INNER JOIN $subQuery AS stg ON ${joinOn(pks)}
+WHERE $del = 1;""",
+        s"""
+INSERT INTO $target (${kept.map(q).mkString(",")})
+SELECT ${kept.map(stg).mkString(",")} FROM $subQuery AS stg
+WHERE COALESCE($del, 0) = 0
+ON DUPLICATE KEY UPDATE $dupUpdate;""")
+    }
+  }
+}
+
 /** BigQuery dialect: single-statement MERGE
   * (clients/bigquery/dialect/dialect.go:103-182). What IS the dialect:
   * backtick identifier quoting with no case folding (dialect.go:30-33),
