@@ -312,6 +312,109 @@ WHEN NOT MATCHED AND COALESCE($del, 1) = 0 THEN INSERT (${kept.map(q).mkString("
   }
 }
 
+/** Databricks dialect (clients/databricks/dialect/dialect.go:86-146) —
+  * the same single-MERGE arm structure as Snowflake with three textual
+  * differences that ARE the dialect: backtick quoting (backticks
+  * stripped), the staging side referenced as `USING sub stg` with NO
+  * `AS` keyword (dialect.go:103), and a `CAST(col AS STRING)` toast
+  * guard for non-string columns (dialect.go:41-49).
+  */
+object DatabricksSqlBuilder {
+  private def q(s: String) = "`" + s.replace("`", "") + "`"
+  private def stg(c: String) = s"stg.${q(c)}"
+  private def tgt(c: String) = s"tgt.${q(c)}"
+
+  private def updateFragment(cols: Seq[String], toastCols: Set[String],
+                             castToastCols: Set[String]): String =
+    cols.map { c =>
+      if (castToastCols.contains(c))
+        s"${q(c)}= CASE WHEN COALESCE(CAST(${stg(c)} AS STRING) NOT LIKE '%${Constants.ToastPlaceholder}%', TRUE) THEN ${stg(c)} ELSE ${tgt(c)} END"
+      else if (toastCols.contains(c))
+        s"${q(c)}= CASE WHEN COALESCE(${stg(c)} NOT LIKE '%${Constants.ToastPlaceholder}%', TRUE) THEN ${stg(c)} ELSE ${tgt(c)} END"
+      else s"${q(c)}=${stg(c)}"
+    }.mkString(",")
+
+  def buildMerge(target: String, subQuery: String, pks: Seq[String],
+                 cols: Seq[String], softDelete: Boolean,
+                 toastCols: Set[String] = Set.empty,
+                 castToastCols: Set[String] = Set.empty,
+                 additionalPredicates: Seq[String] = Nil): String = {
+    val on = (pks.map(k => s"${tgt(k)} = ${stg(k)}") ++ additionalPredicates)
+      .mkString(" AND ")
+    val base = s"MERGE INTO $target tgt USING $subQuery stg ON $on"
+    val del = stg(Constants.DeleteCol)
+    val osd = stg(Constants.OnlySetDeleteCol)
+    val noOsd = cols.filterNot(_ == Constants.OnlySetDeleteCol)
+    if (softDelete)
+      s"""$base
+WHEN MATCHED AND IFNULL($osd, false) = false THEN UPDATE SET ${updateFragment(noOsd, toastCols, castToastCols)}
+WHEN MATCHED AND IFNULL($osd, false) = true THEN UPDATE SET ${q(Constants.DeleteCol)}=$del
+WHEN NOT MATCHED THEN INSERT (${noOsd.map(q).mkString(",")}) VALUES (${noOsd.map(stg).mkString(",")});"""
+    else {
+      val kept = noOsd.filterNot(_ == Constants.DeleteCol)
+      s"""$base
+WHEN MATCHED AND $del THEN DELETE
+WHEN MATCHED AND IFNULL($del, false) = false THEN UPDATE SET ${updateFragment(kept, toastCols, castToastCols)}
+WHEN NOT MATCHED AND IFNULL($del, false) = false THEN INSERT (${kept.map(q).mkString(",")}) VALUES (${kept.map(stg).mkString(",")});"""
+    }
+  }
+}
+
+/** DuckDB/MotherDuck dialect (clients/motherduck/dialect/dialect.go:
+  * 277-380) — Postgres-shaped MERGE with DuckDB's quirks: the staging
+  * reference AUTO-WRAPS as `USING (SELECT * FROM sub) AS stg` when the
+  * caller passes a bare table name (DuckDB rejects bare table refs in
+  * USING — dialect.go:283-287), double-quote identifier doubling, CAST
+  * AS VARCHAR toast guard for struct/array columns, no trailing
+  * semicolon.
+  */
+object DuckDbSqlBuilder {
+  private def q(s: String) = "\"" + s.replace("\"", "\"\"") + "\""
+  private def stg(c: String) = s"stg.${q(c)}"
+  private def tgt(c: String) = s"tgt.${q(c)}"
+
+  private def source(subQuery: String): String =
+    if (subQuery.toUpperCase.contains("SELECT")) subQuery
+    else s"SELECT * FROM $subQuery"
+
+  private def updateFragment(cols: Seq[String], toastCols: Set[String],
+                             varcharCastToastCols: Set[String]): String =
+    cols.map { c =>
+      if (varcharCastToastCols.contains(c))
+        s"${q(c)}= CASE WHEN COALESCE(CAST(${stg(c)} AS VARCHAR) NOT LIKE '%${Constants.ToastPlaceholder}%', TRUE) THEN ${stg(c)} ELSE ${tgt(c)} END"
+      else if (toastCols.contains(c))
+        s"${q(c)}= CASE WHEN COALESCE(${stg(c)} NOT LIKE '%${Constants.ToastPlaceholder}%', TRUE) THEN ${stg(c)} ELSE ${tgt(c)} END"
+      else s"${q(c)}=${stg(c)}"
+    }.mkString(",")
+
+  def buildMerge(target: String, subQuery: String, pks: Seq[String],
+                 cols: Seq[String], softDelete: Boolean,
+                 toastCols: Set[String] = Set.empty,
+                 varcharCastToastCols: Set[String] = Set.empty,
+                 additionalPredicates: Seq[String] = Nil): String = {
+    val on = (pks.map(k => s"${tgt(k)} = ${stg(k)}") ++ additionalPredicates)
+      .mkString(" AND ")
+    val del = stg(Constants.DeleteCol)
+    val osd = stg(Constants.OnlySetDeleteCol)
+    val noOsd = cols.filterNot(_ == Constants.OnlySetDeleteCol)
+    if (softDelete)
+      s"""
+MERGE INTO $target AS tgt
+USING (${source(subQuery)}) AS stg ON $on
+WHEN MATCHED AND COALESCE($osd, false) = false THEN UPDATE SET ${updateFragment(noOsd, toastCols, varcharCastToastCols)}
+WHEN MATCHED AND COALESCE($osd, false) = true THEN UPDATE SET ${q(Constants.DeleteCol)}=$del
+WHEN NOT MATCHED THEN INSERT (${noOsd.map(q).mkString(",")}) VALUES (${noOsd.map(stg).mkString(",")})"""
+    else {
+      val kept = noOsd.filterNot(_ == Constants.DeleteCol)
+      s"""
+MERGE INTO $target AS tgt USING (${source(subQuery)}) AS stg ON $on
+WHEN MATCHED AND $del = true THEN DELETE
+WHEN MATCHED AND COALESCE($del, false) = false THEN UPDATE SET ${updateFragment(kept, toastCols, varcharCastToastCols)}
+WHEN NOT MATCHED AND COALESCE($del, false) = false THEN INSERT (${kept.map(q).mkString(",")}) VALUES (${kept.map(stg).mkString(",")})"""
+    }
+  }
+}
+
 /** ClickHouse dialect (clients/clickhouse/dialect/dialect.go) — the
   * destination where the MERGE strategy lives in the TABLE ENGINE, not
   * in DML: replication tables are `ENGINE = ReplacingMergeTree(
