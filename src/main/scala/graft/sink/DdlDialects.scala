@@ -1,0 +1,447 @@
+package graft.sink
+
+import graft.Constants
+import org.apache.spark.sql.types._
+
+/** The DDL face of each warehouse dialect — the rest of the reference's
+  * per-client dialect interface beyond merge (lib/sql/dialect.go:30-68):
+  * CREATE TABLE (permanent + temporary/staging form), ADD/DROP COLUMN,
+  * DROP/TRUNCATE TABLE, the artie-temp-table sweep query, and the
+  * Spark-type → destination-type mapping (`DataTypeForKind` twin). The
+  * statement TEXT per dialect is the spec — each builder mirrors the
+  * reference client's `ddl.go`/`typing.go` exactly where a Spark type has
+  * a reference kind; Spark-only leftovers (e.g. BinaryType on dialects
+  * whose reference switch falls through) take the dialect's natural type
+  * and are excluded from golden assertions.
+  *
+  * [[MergeDialects]] carries the DML face; this registry carries DDL so a
+  * statement-emitting sink can reconcile schema (create/evolve) before it
+  * emits the merge plan — the reference's stage → DDL-reconcile → merge
+  * flow (clients/shared/merge.go:43-68).
+  */
+trait DdlDialect {
+  def name: String
+  def quote(id: String): String
+
+  /** DataTypeForKind twin (clients/＊/dialect/typing.go): destination type
+    * for a Spark column type. `isPk` matters on MSSQL/MySQL, whose string
+    * PKs are capped below the unbounded text form.
+    */
+  def dataType(dt: DataType, isPk: Boolean = false): String
+
+  /** One `"name" TYPE` column-definition part. */
+  def colDef(colName: String, dt: DataType, isPk: Boolean = false): String =
+    s"${quote(colName)} ${dataType(dt, isPk)}"
+
+  /** `temporary` builds the staging-table form where the dialect has one
+    * (Snowflake TRANSIENT + stage file format, BigQuery expiration
+    * OPTIONS); dialects that create staging tables like permanent ones
+    * (their ddl.go says so) ignore it. `now` anchors BigQuery's
+    * expiration timestamp (reference: time.Now + 6 h TTL) so golden tests
+    * can pin it.
+    */
+  def createTable(target: String, colDefs: Seq[String], temporary: Boolean = false,
+                  now: java.time.Instant = java.time.Instant.now()): String
+
+  def addColumn(target: String, colDefSql: String): String
+  def dropColumn(target: String, colName: String): String
+  def dropTable(target: String): String = s"DROP TABLE IF EXISTS $target"
+  def truncateTable(target: String): String = s"TRUNCATE TABLE $target"
+
+  /** Sweep query listing leftover `__artie`-suffixed temp tables for the
+    * TTL reaper (D6) — (statement, bind args) exactly as the reference's
+    * BuildSweepQuery returns them; None where the reference client sweeps
+    * via a catalog API instead of SQL (BigQuery, Iceberg/Spark).
+    */
+  def sweepQuery(dbName: String, schemaName: String): Option[(String, Seq[Any])]
+}
+
+object DdlDialects {
+  private val ArtiePattern = "%" + "__artie" + "%"
+
+  /** Shared decimal rendering (lib/typing/decimal/details.go:toKind):
+    * NUMERIC(p, s) up to the 38-digit ceiling, the dialect's string type
+    * past it.
+    */
+  private def numericOr(d: DecimalType, fallback: String): String =
+    if (d.precision > 38) fallback else s"NUMERIC(${d.precision}, ${d.scale})"
+
+  /** spark/iceberg: the dialect this engine executes (iceberg/dialect.go
+    * 181-215 via MergeSqlBuilder's existing builders); types are Spark DDL.
+    */
+  object SparkDdl extends DdlDialect {
+    val name = "spark"
+    def quote(id: String) = s"`${id.replace("`", "")}`"
+    def dataType(dt: DataType, isPk: Boolean) = dt.sql
+    def createTable(target: String, colDefs: Seq[String], temporary: Boolean,
+                    now: java.time.Instant) =
+      // Iceberg has no temporary tables (iceberg/ddl.go:194-204)
+      s"CREATE TABLE IF NOT EXISTS $target (${colDefs.mkString(", ")}) USING iceberg TBLPROPERTIES ('format-version'='2')"
+    def addColumn(target: String, colDefSql: String) =
+      s"ALTER TABLE $target ADD COLUMNS ($colDefSql)"
+    def dropColumn(target: String, colName: String) =
+      s"ALTER TABLE $target DROP COLUMN ${quote(colName)}"
+    def sweepQuery(dbName: String, schemaName: String) = None // catalog API, not SQL
+  }
+
+  /** clients/snowflake/dialect/{ddl,typing}.go. */
+  object SnowflakeDdl extends DdlDialect {
+    val name = "snowflake"
+    def quote(id: String) = "\"" + id.replace("\"", "").toUpperCase + "\""
+    def dataType(dt: DataType, isPk: Boolean) = dt match {
+      case _: StructType | _: MapType => "variant"
+      case BooleanType => "boolean"
+      case DateType => "date"
+      case TimestampNTZType => "timestamp_ntz"
+      case TimestampType => "timestamp_tz"
+      case d: DecimalType => numericOr(d, "STRING")
+      case StringType => "string"
+      case _: ArrayType => "array"
+      case FloatType | DoubleType => "float"
+      case ByteType | ShortType | IntegerType | LongType => "int"
+      case BinaryType => "binary" // Spark-only leftover: dialect's natural type
+      case other => other.sql
+    }
+    def createTable(target: String, colDefs: Seq[String], temporary: Boolean,
+                    now: java.time.Instant) =
+      if (!temporary) s"CREATE TABLE IF NOT EXISTS $target (${colDefs.mkString(",")})"
+      else
+        s"CREATE TRANSIENT TABLE IF NOT EXISTS $target (${colDefs.mkString(",")})" +
+          " DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE )" +
+          " STAGE_FILE_FORMAT = ( TYPE = 'csv' FIELD_DELIMITER= '\\t'" +
+          " FIELD_OPTIONALLY_ENCLOSED_BY='\"'" +
+          s" NULL_IF='${Constants.NullValuePlaceholder}' EMPTY_FIELD_AS_NULL=FALSE)"
+    def addColumn(target: String, colDefSql: String) =
+      s"ALTER TABLE $target ADD COLUMN IF NOT EXISTS $colDefSql"
+    def dropColumn(target: String, colName: String) =
+      s"ALTER TABLE $target DROP COLUMN IF EXISTS ${quote(colName)}"
+    override def truncateTable(target: String) = s"TRUNCATE TABLE IF EXISTS $target"
+    def sweepQuery(dbName: String, schemaName: String) = Some((
+      s"""
+SELECT
+    table_schema, table_name
+FROM
+    $dbName.information_schema.tables
+WHERE
+    UPPER(table_schema) = UPPER(?) AND table_name ILIKE ?""",
+      Seq(schemaName, ArtiePattern)))
+  }
+
+  /** clients/bigquery/dialect/{ddl,typing}.go. */
+  object BigQueryDdl extends DdlDialect {
+    val name = "bigquery"
+    def quote(id: String) = s"`${id.replace("`", "")}`"
+    def dataType(dt: DataType, isPk: Boolean) = dt match {
+      case FloatType | DoubleType => "float64"
+      case _: ArrayType => "array<string>"
+      case _: StructType | _: MapType => "json"
+      case DateType => "date"
+      case TimestampNTZType => "datetime"
+      case TimestampType => "timestamp"
+      case d: DecimalType => numericOr(d, "BIGNUMERIC")
+      case StringType => "string"
+      case BooleanType => "bool"
+      case ByteType | ShortType | IntegerType | LongType => "int"
+      case BinaryType => "bytes"
+      case other => other.sql
+    }
+    /** The temp form appends the 6 h expiration the reference computes
+      * (ddl.go:14-26, constants.TemporaryTableTTL), formatted in BQ's
+      * `2006-01-02 15:04:05 MST` layout in UTC.
+      */
+    def createTable(target: String, colDefs: Seq[String], temporary: Boolean,
+                    now: java.time.Instant) = {
+      val base = s"CREATE TABLE IF NOT EXISTS $target (${colDefs.mkString(",")})"
+      if (!temporary) base
+      else {
+        val expiry = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss 'UTC'")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(now.plus(java.time.Duration.ofHours(6)))
+        s"""$base OPTIONS (expiration_timestamp = TIMESTAMP("$expiry"))"""
+      }
+    }
+    def addColumn(target: String, colDefSql: String) =
+      s"ALTER TABLE $target ADD COLUMN $colDefSql"
+    def dropColumn(target: String, colName: String) =
+      s"ALTER TABLE $target DROP COLUMN ${quote(colName)}"
+    def sweepQuery(dbName: String, schemaName: String) = None // swept via the BQ API
+  }
+
+  /** clients/redshift/dialect/{ddl,typing}.go. Also carries the
+    * reference's one widening builder ([[increaseStringPrecision]]).
+    */
+  object RedshiftDdl extends DdlDialect {
+    val name = "redshift"
+    def quote(id: String) = "\"" + id.replace("\"", "").toLowerCase + "\""
+    def dataType(dt: DataType, isPk: Boolean) = dt match {
+      case ShortType | ByteType => "INT2"
+      case IntegerType => "INT4"
+      case LongType => "INT8"
+      case _: StructType | _: MapType => "SUPER"
+      case _: ArrayType => "VARCHAR(MAX)" // no JSON type: arrays store as JSON text
+      case StringType => "VARCHAR(MAX)"
+      case BooleanType => "BOOLEAN NULL" // NULL appended so Redshift accepts nulls
+      case DateType => "DATE"
+      case TimestampNTZType => "TIMESTAMP WITHOUT TIME ZONE"
+      case TimestampType => "TIMESTAMP WITH TIME ZONE"
+      case d: DecimalType => numericOr(d, "TEXT")
+      case FloatType | DoubleType => "float"
+      case BinaryType => "VARBYTE"
+      case other => other.sql
+    }
+    def createTable(target: String, colDefs: Seq[String], temporary: Boolean,
+                    now: java.time.Instant) =
+      // same syntax for temporary and permanent tables (redshift/ddl.go:52-55)
+      s"CREATE TABLE IF NOT EXISTS $target (${colDefs.mkString(",")});"
+    def addColumn(target: String, colDefSql: String) =
+      s"ALTER TABLE $target ADD COLUMN $colDefSql"
+    def dropColumn(target: String, colName: String) =
+      s"ALTER TABLE $target DROP COLUMN ${quote(colName)}"
+    /** dialect.go:377-379 — the string-precision widening ALTER. */
+    def increaseStringPrecision(target: String, colName: String, newPrecision: Int): String =
+      s"ALTER TABLE $target ALTER COLUMN ${quote(colName)} TYPE VARCHAR($newPrecision)"
+    def sweepQuery(dbName: String, schemaName: String) = Some((
+      s"""
+SELECT
+    n.nspname, c.relname
+FROM
+    PG_CATALOG.PG_CLASS c
+JOIN
+    PG_CATALOG.PG_NAMESPACE n ON n.oid = c.relnamespace
+WHERE
+    n.nspname = $$1 AND c.relname ILIKE $$2 AND c.relkind = 'r';""",
+      Seq(schemaName, ArtiePattern)))
+  }
+
+  /** clients/mssql/dialect/{ddl,typing}.go. */
+  object MssqlDdl extends DdlDialect {
+    val name = "mssql"
+    def quote(id: String) = "[" + id.replace("[", "").replace("]", "") + "]"
+    def dataType(dt: DataType, isPk: Boolean) = dt match {
+      case FloatType | DoubleType => "float"
+      case ByteType | ShortType | IntegerType | LongType => "bigint"
+      case _: StructType | _: MapType | _: ArrayType => "NVARCHAR(MAX)"
+      // string PKs are capped at 900 chars (SQL Server PK length limit)
+      case StringType => if (isPk) "VARCHAR(900)" else "VARCHAR(MAX)"
+      case BooleanType => "BIT"
+      case DateType => "DATE"
+      case TimestampNTZType => "datetime2"
+      case TimestampType => "datetimeoffset"
+      case d: DecimalType => numericOr(d, "NVARCHAR(MAX)")
+      case BinaryType => "VARBINARY(MAX)"
+      case other => other.sql
+    }
+    def createTable(target: String, colDefs: Seq[String], temporary: Boolean,
+                    now: java.time.Instant) =
+      // no IF NOT EXISTS on SQL Server (mssql/ddl.go:51-55)
+      s"CREATE TABLE $target (${colDefs.mkString(",")});"
+    def addColumn(target: String, colDefSql: String) =
+      s"ALTER TABLE $target ADD $colDefSql"
+    def dropColumn(target: String, colName: String) =
+      s"ALTER TABLE $target DROP ${quote(colName)}"
+    def sweepQuery(dbName: String, schemaName: String) = Some((
+      """
+SELECT
+    TABLE_SCHEMA, TABLE_NAME
+FROM
+    INFORMATION_SCHEMA.TABLES
+WHERE
+    LOWER(TABLE_NAME) LIKE ? AND LOWER(TABLE_SCHEMA) = LOWER(?)""",
+      Seq(ArtiePattern, schemaName)))
+  }
+
+  /** clients/mysql/dialect/{ddl,typing}.go. */
+  object MysqlDdl extends DdlDialect {
+    val name = "mysql"
+    def quote(id: String) = "`" + id.replace("`", "``") + "`"
+    def dataType(dt: DataType, isPk: Boolean) = dt match {
+      case FloatType | DoubleType => "DOUBLE"
+      case ByteType | ShortType | IntegerType | LongType => "BIGINT"
+      case _: StructType | _: MapType | _: ArrayType => "JSON"
+      // string PKs capped at 255 (InnoDB utf8mb4 key-length headroom)
+      case StringType => if (isPk) "VARCHAR(255)" else "TEXT"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case TimestampNTZType | TimestampType => "DATETIME(6)" // no TZ-aware type
+      case d: DecimalType => numericOr(d, "TEXT")
+      case BinaryType => "BLOB"
+      case other => other.sql
+    }
+    def createTable(target: String, colDefs: Seq[String], temporary: Boolean,
+                    now: java.time.Instant) =
+      // no TEMPORARY keyword: session-scoped temps break connection pooling
+      s"CREATE TABLE IF NOT EXISTS $target (${colDefs.mkString(",")});"
+    def addColumn(target: String, colDefSql: String) =
+      s"ALTER TABLE $target ADD COLUMN $colDefSql"
+    def dropColumn(target: String, colName: String) =
+      s"ALTER TABLE $target DROP COLUMN ${quote(colName)}"
+    def sweepQuery(dbName: String, schemaName: String) = Some((
+      """
+SELECT
+    TABLE_SCHEMA, TABLE_NAME
+FROM
+    INFORMATION_SCHEMA.TABLES
+WHERE
+    LOWER(TABLE_NAME) LIKE ? AND LOWER(TABLE_SCHEMA) = LOWER(?)""",
+      Seq(ArtiePattern, dbName)))
+  }
+
+  /** clients/postgres/dialect/dialect.go:67-124,326-386. */
+  object PostgresDdl extends DdlDialect {
+    val name = "postgres"
+    def quote(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
+    def dataType(dt: DataType, isPk: Boolean) = dt match {
+      case FloatType | DoubleType => "double precision"
+      case BooleanType => "boolean"
+      case _: StructType | _: MapType => "jsonb"
+      case StringType => "text"
+      case BinaryType => "bytea"
+      case DateType => "date"
+      case TimestampNTZType => "timestamp without time zone"
+      case TimestampType => "timestamp with time zone"
+      case ShortType | ByteType => "smallint"
+      case IntegerType => "integer"
+      case LongType => "bigint"
+      case d: DecimalType => numericOr(d, "text")
+      case ArrayType(elem, _) => s"${dataType(elem, isPk = false)}[]"
+      case other => other.sql
+    }
+    def createTable(target: String, colDefs: Seq[String], temporary: Boolean,
+                    now: java.time.Instant) =
+      // temps created like permanent tables (session scoping vs pooling)
+      s"CREATE TABLE $target (${colDefs.mkString(",")});"
+    def addColumn(target: String, colDefSql: String) =
+      s"ALTER TABLE $target ADD COLUMN IF NOT EXISTS $colDefSql"
+    def dropColumn(target: String, colName: String) =
+      s"ALTER TABLE $target DROP COLUMN IF EXISTS ${quote(colName)}"
+    def sweepQuery(dbName: String, schemaName: String) = Some((
+      "SELECT table_schema, table_name FROM information_schema.tables WHERE table_schema = $1 AND table_name LIKE $2",
+      Seq(schemaName, ArtiePattern)))
+  }
+
+  /** clients/motherduck/dialect/dialect.go:31-76,143-162,381-395. */
+  object DuckDbDdl extends DdlDialect {
+    val name = "duckdb"
+    def quote(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
+    def dataType(dt: DataType, isPk: Boolean) = dt match {
+      case FloatType | DoubleType => "double"
+      case ShortType | ByteType => "smallint"
+      case IntegerType => "integer"
+      case LongType => "bigint"
+      case d: DecimalType => numericOr(d, "text")
+      case BooleanType => "boolean"
+      case _: ArrayType => "text[]"
+      case _: StructType | _: MapType => "json"
+      case StringType => "text"
+      case DateType => "date"
+      case TimestampNTZType => "timestamp"
+      case TimestampType => "timestamp with time zone"
+      case BinaryType => "blob"
+      case other => other.sql
+    }
+    def createTable(target: String, colDefs: Seq[String], temporary: Boolean,
+                    now: java.time.Instant) =
+      // PRIMARY KEY parts are dropped: appender flushes would collide with
+      // PK constraints and constraints can't be dropped later
+      // (motherduck/dialect.go:143-156)
+      s"CREATE TABLE $target (${colDefs.filterNot(_.contains("PRIMARY KEY")).mkString(",")});"
+    def addColumn(target: String, colDefSql: String) =
+      s"ALTER TABLE $target ADD COLUMN IF NOT EXISTS $colDefSql;"
+    def dropColumn(target: String, colName: String) =
+      s"ALTER TABLE $target DROP COLUMN IF EXISTS ${quote(colName)};"
+    def sweepQuery(dbName: String, schemaName: String) = Some((
+      "SELECT table_schema, table_name FROM information_schema.tables WHERE table_catalog = $1 AND table_schema = $2 AND table_name LIKE $3;",
+      Seq(dbName, schemaName, ArtiePattern)))
+  }
+
+  /** clients/databricks/dialect/{ddl,typing}.go. */
+  object DatabricksDdl extends DdlDialect {
+    val name = "databricks"
+    def quote(id: String) = "`" + id.replace("`", "") + "`"
+    def dataType(dt: DataType, isPk: Boolean) = dt match {
+      case FloatType | DoubleType => "DOUBLE"
+      case ByteType | ShortType | IntegerType | LongType => "BIGINT"
+      case _: StructType | _: MapType => "STRING"
+      case _: ArrayType => "ARRAY<string>"
+      case StringType => "STRING"
+      case BinaryType => "BINARY"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case TimestampNTZType => "TIMESTAMP_NTZ"
+      case TimestampType => "TIMESTAMP"
+      case d: DecimalType => numericOr(d, "STRING")
+      case other => other.sql
+    }
+    def createTable(target: String, colDefs: Seq[String], temporary: Boolean,
+                    now: java.time.Instant) =
+      // Databricks has no temporary tables (databricks/ddl.go:11-14);
+      // note the ", " join — the one dialect that spaces its column list
+      s"CREATE TABLE IF NOT EXISTS $target (${colDefs.mkString(", ")})"
+    def addColumn(target: String, colDefSql: String) =
+      s"ALTER TABLE $target ADD COLUMN $colDefSql"
+    def dropColumn(target: String, colName: String) =
+      s"ALTER TABLE $target DROP COLUMN ${quote(colName)}"
+    def sweepQuery(dbName: String, schemaName: String) = Some((
+      s"""
+SELECT
+    table_schema, table_name
+FROM
+    ${quote(dbName)}.information_schema.tables
+WHERE
+    UPPER(table_schema) = UPPER(:p_schema) AND table_name ILIKE :p_artie_prefix""",
+      Seq(schemaName, ArtiePattern)))
+  }
+
+  /** clients/clickhouse/dialect/dialect.go:67-120 — wraps the existing
+    * engine-form CREATE builders; types from DataTypeForKind:123-176.
+    */
+  object ClickhouseDdl extends DdlDialect {
+    val name = "clickhouse"
+    def quote(id: String) = "`" + id.replace("`", "") + "`"
+    def dataType(dt: DataType, isPk: Boolean) = dt match {
+      case FloatType | DoubleType => "Float64"
+      case ShortType | ByteType => "Int16"
+      case IntegerType => "Int32"
+      case LongType => "Int64"
+      case d: DecimalType => numericOr(d, "String")
+      case BooleanType => "Bool"
+      case _: ArrayType => "Array(String)"
+      case _: StructType | _: MapType => "JSON"
+      case StringType => "String"
+      case DateType => "Date"
+      case TimestampNTZType | TimestampType => "DateTime"
+      case BinaryType => "String"
+      case other => other.sql
+    }
+    /** Replication form: ReplacingMergeTree with the delete-marker column
+      * surgery ([[ClickhouseSqlBuilder.buildCreateTable]] keeps the golden
+      * text); history mode is exposed there too.
+      */
+    def createTable(target: String, colDefs: Seq[String], temporary: Boolean,
+                    now: java.time.Instant) = {
+      val kept = colDefs.filterNot(_.contains(Constants.DeleteCol)) :+
+        s"${quote(Constants.DeleteCol)} UInt8"
+      s"CREATE TABLE $target (${kept.mkString(",")}) ENGINE = ReplacingMergeTree(${quote(Constants.UpdatedAtCol)}, ${quote(Constants.DeleteCol)});"
+    }
+    def addColumn(target: String, colDefSql: String) =
+      s"ALTER TABLE $target ADD COLUMN IF NOT EXISTS $colDefSql;"
+    def dropColumn(target: String, colName: String) =
+      s"ALTER TABLE $target DROP COLUMN IF EXISTS ${quote(colName)};"
+    def sweepQuery(dbName: String, schemaName: String) = Some((
+      "SELECT table_schema, table_name FROM information_schema.tables WHERE table_catalog = ? AND table_name LIKE ?;",
+      Seq(dbName, ArtiePattern)))
+  }
+
+  /** Every dialect label — the merge registry's nine plus clickhouse
+    * (whose merge is engine-side but whose DDL face is first-class).
+    */
+  val registry: Map[String, DdlDialect] = Seq(
+    SparkDdl, SnowflakeDdl, BigQueryDdl, RedshiftDdl, MssqlDdl, MysqlDdl,
+    PostgresDdl, DuckDbDdl, DatabricksDdl, ClickhouseDdl,
+  ).map(d => d.name -> d).toMap
+
+  def apply(label: String): DdlDialect =
+    registry.getOrElse(label, throw new IllegalArgumentException(
+      s"unknown DDL dialect: $label (known: ${registry.keys.toSeq.sorted.mkString(", ")})"))
+}

@@ -1,0 +1,194 @@
+package graft.sink
+
+import graft.Constants
+import graft.operators.CdcOps
+import graft.streaming.CdcPipeline
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The statement-emitting sink mode: the reference's ACTUAL operating
+  * shape — stage the micro-batch as files, reconcile destination DDL,
+  * emit the ordered per-dialect statement plan that an external warehouse
+  * executes (clients/shared/merge.go:28-212: GetTableConfig →
+  * CreateTable/AlterTableAddColumns → LoadDataIntoTable(temp table, gzip
+  * TSV) → BuildMergeQueries → ExecContextStatements → drop temp).
+  *
+  * This engine has no warehouse connection (env-blocked, SURVEY §7.5), so
+  * the sink produces the two artifacts that protocol needs and records
+  * them durably per batch:
+  *
+  *  - the STAGED BATCH: last-wins-deduped canonical-string gzip TSV under
+  *    `destDir/_staging/batch=<id>/` — the reference's
+  *    WriteTemporaryTableFile (temp_table.go:81-127) re-expressed as a
+  *    distributed write (a directory of gzip parts instead of one local
+  *    file; same delimiter, same NULL placeholder, readable back through
+  *    [[graft.sources.Sources.csvStagingView]]);
+  *  - the ORDERED PLAN: DDL-reconcile statements + temp-staging-table
+  *    CREATE + the dialect's merge statements + the temp DROP, written as
+  *    JSON to `destDir/_plans/batch=<id>.json`.
+  *
+  * Both writes are per-batch OVERWRITES, so a replayed batch after
+  * checkpoint recovery rewrites identical artifacts instead of
+  * duplicating them — the same idempotence story as the history sink.
+  *
+  * Destination schema state lives in a sidecar (`destDir/__destschema`)
+  * holding the column list the destination is known to have: absent →
+  * the plan opens with CREATE TABLE; present with missing columns → the
+  * plan opens with one ADD COLUMN per new column (merge.go:55-63's
+  * create-vs-alter split). The sidecar is advanced via temp+rename so a
+  * crash never half-writes it; it advances AFTER the plan lands, so a
+  * crash between the two replays the ADD COLUMN — destinations treat
+  * added-column replays as benign (reference: IsColumnAlreadyExistsErr
+  * is swallowed; most dialects emit IF NOT EXISTS).
+  *
+  * At 100 TB the per-batch cost is one PK-window dedup shuffle plus one
+  * file write of the batch — nothing scales with destination size; the
+  * driver only touches schemas and statement text.
+  */
+object EmitSink {
+  /** One emitted flush: where the batch was staged, the staging table
+    * reference the statements use, and the ordered statement plan
+    * (`ddl` reconciles the DESTINATION table; `plan` is staging-create →
+    * merge → staging-drop).
+    */
+  case class EmittedBatch(batchId: Long, stagedPath: String, stagingTable: String,
+                          ddl: Seq[String], plan: Seq[String])
+
+  private def fs(df: DataFrame, p: String) =
+    new Path(p).getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+
+  /** Sidecar of destination columns as `name	<spark type json>` lines. */
+  private def readDestSchema(df: DataFrame, sidecar: String): Option[Seq[(String, DataType)]] = {
+    val p = new Path(sidecar)
+    val f = fs(df, sidecar)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
+        .filter(_.nonEmpty).map { line =>
+          val Array(n, tj) = line.split("\t", 2)
+          n -> DataType.fromJson(tj)
+        })
+      finally in.close()
+    }
+  }
+
+  private def writeDestSchema(df: DataFrame, sidecar: String,
+                              cols: Seq[(String, DataType)]): Unit = {
+    val f = fs(df, sidecar)
+    val tmp = new Path(sidecar + ".tmp")
+    val out = f.create(tmp, true)
+    out.write(cols.map { case (n, t) => s"$n\t${t.json}" }.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    f.delete(new Path(sidecar), false)
+    f.rename(tmp, new Path(sidecar))
+    ()
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Temp staging-table name (temp_table.go:24-43): `{table}___artie_b{id}_
+    * {expiryUnix}` — MySQL drops the table prefix (its 64-char identifier
+    * cap, mirrored from the reference's MySQL special case).
+    */
+  private[graft] def stagingTableName(label: String, targetTable: String, batchId: Long,
+                                     now: java.time.Instant): String = {
+    val expiry = now.plus(java.time.Duration.ofHours(6)).getEpochSecond
+    if (label == "mysql") s"__artie_b${batchId}_$expiry"
+    else s"${targetTable}___artie_b${batchId}_$expiry"
+  }
+
+  /** Emit one micro-batch: stage + plan (see object doc). Returns None on
+    * an empty batch (ShouldSkipUpdate analog). `targetTable` is the
+    * destination's fully-qualified name as the dialect expects it.
+    */
+  def emitBatch(batch: DataFrame, batchId: Long, cfg: CdcPipeline.Config,
+                label: String, destDir: String, targetTable: String,
+                now: java.time.Instant = java.time.Instant.now()): Option[EmittedBatch] = {
+    val dialect = DdlDialects(label) // fail fast on unknown labels
+    if (batch.isEmpty) return None
+    val pks = cfg.effectivePrimaryKeys
+    val transformed = CdcPipeline.applyRowTransforms(batch, cfg)
+      .drop(Constants.OperationCol)
+    // the reference dedupes in its in-memory buffer before staging
+    // (table_data.go:169-222); warehouse MERGE requires one row per PK
+    val deduped = CdcOps.lastWins(transformed, pks, Seq(col(cfg.orderCol)))
+
+    // ---- DDL reconcile (merge.go:43-68) ------------------------------
+    val sidecar = s"$destDir/__destschema"
+    val batchCols: Seq[(String, DataType)] =
+      deduped.schema.fields.toSeq.map(f => f.name -> f.dataType)
+    val known = readDestSchema(deduped, sidecar)
+    val ddl: Seq[String] = known match {
+      case None =>
+        Seq(dialect.createTable(targetTable,
+          batchCols.map { case (n, t) => dialect.colDef(n, t, pks.contains(n)) },
+          temporary = false, now = now))
+      case Some(existing) =>
+        val have = existing.map(_._1).toSet
+        // one ADD COLUMN per new column, like AlterTableAddColumns' loop
+        batchCols.filterNot { case (n, _) => have.contains(n) }
+          .map { case (n, t) => dialect.addColumn(targetTable, dialect.colDef(n, t)) }
+    }
+    val evolved = known match {
+      case None => batchCols
+      case Some(existing) =>
+        val have = existing.map(_._1).toSet
+        existing ++ batchCols.filterNot { case (n, _) => have.contains(n) }
+    }
+
+    // ---- stage the batch as canonical gzip TSV (temp_table.go) -------
+    val stagedPath = s"$destDir/_staging/batch=$batchId"
+    Sinks.canonicalStrings(deduped)
+      .write.mode("overwrite")
+      .option("sep", "\t")
+      .option("nullValue", Constants.NullValuePlaceholder)
+      .option("compression", "gzip")
+      .option("header", "false")
+      .csv(stagedPath)
+
+    // ---- the ordered statement plan ----------------------------------
+    val staging = stagingTableName(label, targetTable, batchId, now)
+    val cols = deduped.columns.toSeq
+    val toast = cfg.toastCols.filter(cols.contains).toSet
+    val createStaging = dialect.createTable(staging,
+      batchCols.map { case (n, t) => dialect.colDef(n, t) }, temporary = true, now = now)
+    val merge: Seq[String] =
+      if (MergeDialects.engineMergeLabels.contains(label))
+        // ClickHouse: the table engine IS the merge (ReplacingMergeTree
+        // merge-on-read) — the flush is a plain insert of the staged rows
+        Seq(s"INSERT INTO $targetTable (${cols.map(dialect.quote).mkString(",")}) " +
+          s"SELECT ${cols.map(dialect.quote).mkString(",")} FROM $staging;")
+      else
+        MergeDialects(label).mergeStatements(targetTable, staging, pks, cols,
+          cfg.softDelete, containsHardDeletes = true, toastCols = toast)
+    val plan = (createStaging +: merge) :+ dialect.dropTable(staging)
+
+    // ---- record the plan (idempotent per-batch overwrite) ------------
+    val planPath = s"$destDir/_plans/batch=$batchId.json"
+    val f = fs(deduped, planPath)
+    val out = f.create(new Path(planPath), true)
+    out.write((s"""{"batch":$batchId,"dialect":${jsonStr(label)},""" +
+      s""""target":${jsonStr(targetTable)},"staged":${jsonStr(stagedPath)},""" +
+      s""""stagingTable":${jsonStr(staging)},""" +
+      s""""ddl":[${ddl.map(jsonStr).mkString(",")}],""" +
+      s""""plan":[${plan.map(jsonStr).mkString(",")}]}""").getBytes("UTF-8"))
+    out.close()
+
+    // advance the known-destination-schema AFTER the plan lands (a crash
+    // between the two replays an IF-NOT-EXISTS-guarded ADD COLUMN)
+    if (ddl.nonEmpty || known.isEmpty) writeDestSchema(deduped, sidecar, evolved)
+    Some(EmittedBatch(batchId, stagedPath, staging, ddl, plan))
+  }
+}

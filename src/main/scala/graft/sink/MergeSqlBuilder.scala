@@ -373,9 +373,18 @@ object DuckDbSqlBuilder {
   private def stg(c: String) = s"stg.${q(c)}"
   private def tgt(c: String) = s"tgt.${q(c)}"
 
-  private def source(subQuery: String): String =
-    if (subQuery.toUpperCase.contains("SELECT")) subQuery
+  // The reference decides subquery-vs-table by substring Contains("SELECT")
+  // (motherduck/dialect.go:283-287), which mis-classifies a TABLE named
+  // e.g. `selected_rows` and renders invalid `USING (selected_rows)`.
+  // Since this registry's contract explicitly allows bare table names as
+  // stagingRef, the check here is tightened to a trimmed PREFIX match on
+  // SELECT/WITH — every subquery the pipeline ever passes starts with one
+  // of those, and table names can't.
+  private def source(subQuery: String): String = {
+    val t = subQuery.trim.toUpperCase
+    if (t.startsWith("SELECT") || t.startsWith("WITH")) subQuery
     else s"SELECT * FROM $subQuery"
+  }
 
   private def updateFragment(cols: Seq[String], toastCols: Set[String],
                              varcharCastToastCols: Set[String]): String =

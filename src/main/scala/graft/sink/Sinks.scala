@@ -108,12 +108,18 @@ object Sinks {
     *
     * Replay caveat: `executionTime` defaults to processing time, so a
     * replay that STRADDLES a partition boundary (crash Aug 31, restart
-    * Sep 1) can classify a suffix current→past and land its rows in
+    * Sep 1) can reclassify suffixes. Current→past lands rows in
     * `base_default` instead of the (never-created) partition target —
-    * rows are never lost, only routed to the compacted table, which is
-    * exactly where the reference sends past rows whose table is
-    * missing. Pin `executionTime` when byte-exact replay routing
-    * matters.
+    * rows are never lost, only routed to the compacted table, exactly
+    * where the reference sends past rows whose table is missing. In
+    * stream-survival mode (`rejectFuture = false`) there is a worse
+    * crossing: future→current. Attempt 1 folded the future rows into
+    * `base_default` (marker written THERE); the replay routes the same
+    * rows to the now-current `base<sfx>` target, whose own marker is
+    * absent — the rows land in BOTH targets, i.e. a boundary-straddling
+    * replay can DUPLICATE future-classified rows across two targets,
+    * not merely reroute them. Pin `executionTime` (the streaming wiring
+    * especially) when byte-exact replay routing matters.
     *
     * The distinct-suffix collect is bounded by the batch's partition
     * span; the existence probes are one FileSystem call per distinct
@@ -122,7 +128,8 @@ object Sinks {
   def softPartitionedAppend(df: DataFrame, base: String, tsCol: String,
                             batchId: Option[Long] = None,
                             executionTime: Option[java.time.Instant] = None,
-                            rejectFuture: Boolean = true): Seq[String] = {
+                            rejectFuture: Boolean = true,
+                            rejectNullTs: Boolean = false): Seq[String] = {
     val spark = df.sparkSession
     val pattern = "_yyyy_MM"
     val nowSfx = java.time.format.DateTimeFormatter.ofPattern(pattern)
@@ -134,6 +141,15 @@ object Sinks {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val suffixes0 = withSfx.select("__sfx").distinct().collect().map(_.getString(0)).sorted
+      // strict reference mode: a NULL/unparseable partition time FAILS the
+      // batch (soft_partition.go errors on unparseable times) — the
+      // `_default` suffix can only arise from the NULL coalesce above, so
+      // its presence IS the NULL-ts signal. Default stays the documented
+      // deviation: NULLs route to the compacted `_default` table.
+      if (rejectNullTs)
+        require(!suffixes0.contains("_default"),
+          s"batch contains NULL $tsCol partition timestamps and rejectNullTs is set " +
+            "(soft_partition.go fails events whose partition time cannot be derived)")
       val future = suffixes0.filter(s => s != "_default" &&
         graft.operators.CdcOps.softPartitionDistanceSign(s, nowSfx) < 0)
       if (rejectFuture)
@@ -190,7 +206,24 @@ object SinkRegistry {
   type Sink = (DataFrame, Long, String) => Unit
 
   def sink(label: String, cfg: graft.streaming.CdcPipeline.Config,
-           softPartitionTsCol: String = "ts"): Sink = label match {
+           softPartitionTsCol: String = "ts",
+           emitTable: Option[String] = None): Sink = label match {
+    // `emit:<dialect>` — the statement-emitting mode (the reference's real
+    // operating shape: stage the batch, emit the warehouse's ordered
+    // statement plan — clients/shared/merge.go:28-212). The target path is
+    // the emit workspace dir; the destination table name defaults to the
+    // path basename (override via emitTable). The `spark`/`merge` labels
+    // above still EXECUTE; emit labels stage + record.
+    case l if l.startsWith("emit:") =>
+      val dialect = l.stripPrefix("emit:")
+      require(DdlDialects.registry.contains(dialect),
+        s"unknown emit dialect: $dialect (known: ${DdlDialects.registry.keys.toSeq.sorted.mkString(", ")})")
+      (df, batchId, target) => {
+        val table = emitTable.getOrElse(
+          graft.functions.Converters.sanitizeName(target.split('/').last))
+        EmitSink.emitBatch(df, batchId, cfg, dialect, target, table)
+        ()
+      }
     case "merge" | "snapshot" =>
       (df, batchId, target) => graft.streaming.CdcPipeline.applyBatch(df, batchId, cfg, target)
     case "append" =>
@@ -212,6 +245,6 @@ object SinkRegistry {
         { Sinks.softPartitionedAppend(df, target, softPartitionTsCol, Some(batchId),
           rejectFuture = false); () }
     case other => throw new IllegalArgumentException(
-      s"unsupported sink label: $other (expected merge | snapshot | append | history | soft-partitioned)")
+      s"unsupported sink label: $other (expected merge | snapshot | append | history | soft-partitioned | emit:<dialect>)")
   }
 }

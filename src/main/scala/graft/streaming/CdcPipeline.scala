@@ -315,8 +315,9 @@ object CdcPipeline {
     * idempotent anyway — the marker just skips the work, the
     * at-least-once + idempotent-merge contract of flush.go:67-147).
     */
-  private def lastAppliedBatch(spark: SparkSession, targetPath: String): Long = {
-    val p = new Path(targetPath + "__batch")
+  private def lastAppliedBatch(spark: SparkSession, targetPath: String,
+                               marker: String = "__batch"): Long = {
+    val p = new Path(targetPath + marker)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) -1L
     else {
@@ -326,6 +327,18 @@ object CdcPipeline {
       finally in.close()
     }
   }
+
+  /** Marker suffix for the byte-capped path's SYNTHETIC sub-batch ids.
+    * Kept DISTINCT from the plain `__batch` marker because the two id
+    * spaces do not compare: a synthetic id (`batchId * 1e6 + chunk`) is
+    * always far above every real batch id, so if the byte-capped path
+    * ever wrote it into `__batch`, a later switch back to plain
+    * [[applyBatch]] would see every real batch id below the recorded
+    * marker and silently skip ALL future batches — unbounded data loss
+    * with no error. With separate markers the reverse switch instead
+    * fails loudly (see the guard in [[applyBatch]]).
+    */
+  private[streaming] val SubBatchMarker = "__subbatch"
 
   /** At-most-once-per-batch guard for non-idempotent sinks (plain
     * appends): replayed batch ids after checkpoint recovery become no-ops
@@ -341,8 +354,9 @@ object CdcPipeline {
     recordBatch(spark, targetPath, batchId)
   }
 
-  private def recordBatch(spark: SparkSession, targetPath: String, batchId: Long): Unit = {
-    val p = new Path(targetPath + "__batch")
+  private def recordBatch(spark: SparkSession, targetPath: String, batchId: Long,
+                          marker: String = "__batch"): Unit = {
+    val p = new Path(targetPath + marker)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     out.write(batchId.toString.getBytes("UTF-8"))
@@ -355,8 +369,26 @@ object CdcPipeline {
     * resets (D8).
     */
   def applyBatch(batch: DataFrame, batchId: Long, cfg: Config, targetPath: String): Unit = {
+    // id-scheme guard (the other half of [[SubBatchMarker]]'s contract):
+    // once a target has been driven by the byte-capped path, its replay
+    // state lives in synthetic sub-batch ids — resuming it with plain
+    // batch ids has no defined ordering against that state, so fail
+    // loudly instead of silently double-applying or skipping. Migrating
+    // back is an explicit operator action: remove `<target>__subbatch`
+    // (the snapshot itself is scheme-agnostic; the merge is idempotent).
+    val spark = batch.sparkSession
+    require(lastAppliedBatch(spark, targetPath, SubBatchMarker) < 0,
+      s"snapshot at $targetPath was last written by applyBatchByteCapped " +
+        s"(marker $targetPath$SubBatchMarker exists); plain batch ids do not " +
+        "compare with its synthetic sub-batch ids — continue with " +
+        "applyBatchByteCapped, or delete the __subbatch marker to migrate back")
+    applyBatchMarked(batch, batchId, cfg, targetPath, "__batch")
+  }
+
+  private def applyBatchMarked(batch: DataFrame, batchId: Long, cfg: Config,
+                               targetPath: String, marker: String): Unit = {
     if (batch.isEmpty) return
-    if (batchId <= lastAppliedBatch(batch.sparkSession, targetPath)) return // replay: no-op
+    if (batchId <= lastAppliedBatch(batch.sparkSession, targetPath, marker)) return // replay: no-op
     val transformed = applyRowTransforms(batch, cfg)
     if (cfg.historyMode) {
       // idempotent append: each batch owns a partition dir it OVERWRITES,
@@ -395,7 +427,7 @@ object CdcPipeline {
         fs.delete(new Path(stagingPath), true)
       }
     }
-    recordBatch(batch.sparkSession, targetPath, batchId)
+    recordBatch(batch.sparkSession, targetPath, batchId, marker)
     // drop the cached snapshot schema when this merge created the snapshot
     // or evolved it with new columns; otherwise the TTL entry stays valid.
     // __artie markers are excluded: hard-delete snapshots never store
@@ -470,6 +502,12 @@ object CdcPipeline {
     * (no chunk ever re-merges; the merge itself is idempotent anyway).
     * With `byteEstimate` unset, rows are costed by their JSON length
     * ([[CdcOps.approxRowBytes]]).
+    *
+    * Replay state lives under the DISTINCT [[SubBatchMarker]] (not the
+    * plain `__batch` marker) so the synthetic ids can never poison a
+    * later plain-applyBatch resume — that switch now fails loudly
+    * instead of silently skipping every real batch id below the huge
+    * recorded synthetic one.
     */
   def applyBatchByteCapped(batch: DataFrame, batchId: Long, cfg: Config,
                            targetPath: String, maxBytes: Long,
@@ -492,11 +530,29 @@ object CdcPipeline {
       val chunks = chunked.select(col("__chunk")).distinct()
         .collect().map(_.getLong(0)).sorted
       chunks.foreach { c =>
-        applyBatch(chunked.filter(col("__chunk") === c).drop("__chunk"),
-          batchId * SubBatchStride + c, cfg, targetPath)
+        applyBatchMarked(chunked.filter(col("__chunk") === c).drop("__chunk"),
+          batchId * SubBatchStride + c, cfg, targetPath, SubBatchMarker)
       }
     } finally { chunked.unpersist(); () }
   }
+
+  /** [[start]]'s byte-capped twin — T2 reachable from a RUNNING stream:
+    * each micro-batch is admission-split by [[CdcOps.byteCappedChunks]]
+    * and merged chunk-by-chunk under sub-batch replay markers, so a crash
+    * mid-batch resumes at the first unapplied chunk after checkpoint
+    * recovery (the reference's 25 MB buffer-flush trigger, config.go:20,
+    * as a streaming sink mode rather than a hand-rolled foreachBatch).
+    */
+  def startByteCapped(decoded: DataFrame, cfg: Config, targetPath: String,
+                      checkpoint: String, maxBytes: Long,
+                      byteEstimate: Option[org.apache.spark.sql.Column] = None): StreamingQuery =
+    decoded.writeStream
+      .trigger(Trigger.ProcessingTime(cfg.flushInterval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBatchByteCapped(batch, id, cfg, targetPath, maxBytes, byteEstimate)
+      }
+      .start()
 
   /** Single-table micro-batch with poison-message dead-lettering: frames
     * whose envelope fails to decode land under `deadLetterDir/batch=<id>`
@@ -589,7 +645,7 @@ object CdcPipeline {
     */
   private[graft] def tableDirName(t: String): String = {
     val s = Converters.sanitizeName(t)
-    if (s.matches(".*__(batch|msm|prev|staging|dropstate|nbuckets|unrouted)$")) s + "_t" else s
+    if (s.matches(".*__(batch|subbatch|msm|prev|staging|dropstate|nbuckets|unrouted|destschema)$")) s + "_t" else s
   }
 
   /** S1+demux: route one decoded stream carrying many tables into

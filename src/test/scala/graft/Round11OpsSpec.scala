@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sink.Sinks
+import graft.streaming.CdcPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 pipeline hardening: the sub-batch marker scheme guard, the
+  * strict NULL-partition-time mode, and T2 reachable from a running
+  * stream.
+  */
+class Round11OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val cfg = CdcPipeline.Config(Seq("id"), orderCol = "off")
+  private def batch(rows: (Long, String, Long, Boolean)*) =
+    rows.toDF("id", "name", "off", Constants.DeleteCol)
+
+  test("a target driven by the byte-capped path refuses a plain applyBatch resume (id schemes don't compare)") {
+    val root = Files.createTempDirectory("graft_scheme").toString
+    val b = batch((1L, "a", 1L, false), (2L, "b", 2L, false))
+    CdcPipeline.applyBatchByteCapped(b, 0L, cfg, s"$root/t", maxBytes = 1L)
+    // replay state is in __subbatch, NOT __batch
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/t__subbatch")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/t__batch")))
+    val e = intercept[IllegalArgumentException] {
+      CdcPipeline.applyBatch(batch((3L, "c", 3L, false)), 1L, cfg, s"$root/t")
+    }
+    assert(e.getMessage.contains("__subbatch") &&
+      e.getMessage.contains("applyBatchByteCapped"))
+    // explicit migration (the error's prescription) re-enables plain mode
+    Files.delete(java.nio.file.Paths.get(s"$root/t__subbatch"))
+    CdcPipeline.applyBatch(batch((3L, "c", 3L, false)), 1L, cfg, s"$root/t")
+    assert(spark.read.parquet(s"$root/t").count() == 3)
+  }
+
+  test("plain-then-byte-capped transition is safe: fresh sub-batch ids re-merge idempotently") {
+    val root = Files.createTempDirectory("graft_scheme2").toString
+    CdcPipeline.applyBatch(batch((1L, "a", 1L, false)), 0L, cfg, s"$root/t")
+    CdcPipeline.applyBatchByteCapped(batch((2L, "b", 2L, false)), 1L, cfg,
+      s"$root/t", maxBytes = 1L)
+    val rows = spark.read.parquet(s"$root/t").select("id", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("rejectNullTs: strict mode fails a batch with NULL partition times; default routes them to _default") {
+    val root = Files.createTempDirectory("graft_nullts").toString
+    val df = Seq((1L, Some("2024-03-05 00:00:00")), (2L, None))
+      .toDF("id", "ts_raw").selectExpr("id", "CAST(ts_raw AS TIMESTAMP) AS ts")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.softPartitionedAppend(df, s"$root/t", "ts",
+        executionTime = Some(java.time.Instant.parse("2024-03-10T00:00:00Z")),
+        rejectNullTs = true)
+    }
+    assert(e.getMessage.contains("NULL") && e.getMessage.contains("soft_partition.go"))
+    // default: the documented deviation — NULL lands in the compacted table
+    val targets = Sinks.softPartitionedAppend(df, s"$root/t", "ts",
+      executionTime = Some(java.time.Instant.parse("2024-03-10T00:00:00Z")))
+    assert(targets.contains(s"$root/t_default"))
+    assert(spark.read.parquet(s"$root/t_default").count() == 1)
+  }
+
+  test("startByteCapped: a running stream chunk-merges each micro-batch and survives more data") {
+    val target = Files.createTempDirectory("graft_sbc").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_sbc_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long, Boolean)]
+    val decoded = ms.toDF().toDF("id", "name", "off", Constants.DeleteCol)
+    val q = CdcPipeline.startByteCapped(decoded,
+      cfg.copy(flushInterval = "1 seconds"), target, ckpt, maxBytes = 1L)
+    // maxBytes=1 forces one chunk per row — the batch splits into many
+    // sub-batch merges behind one trigger
+    ms.addData((1L, "a", 1L, false), (2L, "b", 2L, false), (1L, "a2", 3L, false))
+    q.processAllAvailable()
+    ms.addData((3L, "c", 4L, false), (2L, "gone", 5L, true))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(target).select("id", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a2"), (3L, "c")))
+    // the stream's replay state is sub-batch-schemed
+    assert(Files.exists(java.nio.file.Paths.get(target + "__subbatch")))
+  }
+}
