@@ -180,6 +180,35 @@ object Bench {
         }
         (alphaHi, alphaLo)
       }
+    // ---- UPWARD sweep point (round 11): one rep of the top-20 heaviest
+    // queries on a derived factor-3 corpus (see [[ScaleUp]]) so the
+    // exponent evidence brackets the bench SF from ABOVE — the downward
+    // pairs amortize fixed overheads and can flatter a plan. Recorded as
+    // scaling_hi; the GATE stays on the mid pair (unchanged policy).
+    // Disable with SPARK_GRAFT_SWEEP_HI=0 (dev loops) — also off whenever
+    // the main sweep is off.
+    val hiFactor = 3
+    val scalingHi: Map[String, Double] =
+      if (!sweepOn || sys.env.getOrElse("SPARK_GRAFT_SWEEP_HI", "1") == "0") Map.empty
+      else try {
+        val hiDir = sys.env.getOrElse("SPARK_GRAFT_SWEEP_HI_DIR",
+          s"${System.getProperty("java.io.tmpdir")}/graft_scaleup_x$hiFactor")
+        ScaleUp.materialize(spark, sfDir, hiDir, hiFactor)
+        resetStorage(spark)
+        Queries.prepareSharedArtifacts(spark, hiDir)
+        resetStorage(spark)
+        val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+        top.flatMap { case (name, best, _, _) =>
+          val t = runOnce(name, (s, _) => SparkEntry.queries(name)(s, hiDir))
+          if (t <= 0) None else {
+            val a = math.log(t / best) / math.log(hiFactor.toDouble)
+            System.err.println(f"[sweep-hi] $name base=$best%.2f hi=$t%.2f alpha=$a%.2f")
+            Some(name.split("_")(0) -> a)
+          }
+        }.toMap
+      } catch { case e: Throwable =>
+        System.err.println(s"[sweep-hi] failed: ${e.getMessage}"); Map.empty
+      }
     // The driver keeps only the final ~2.3 KB of stdout: with 74 full
     // query names the JSON line overflowed it and `parsed` came back null
     // five rounds running. Short keys (the qNN prefix, 4 chars) put the
@@ -239,7 +268,12 @@ object Bench {
           .map { case (q, a) => "\"" + q + "\":" + f2(a) }.mkString("{", ",", "}")
         s""","scaling_sf_lo":"${sfOf(sweep2Dir)}","scaling_lo":$loEntries"""
       }
-      s""","scaling_sf":"${sfOf(sweepDir)}","scaling":$entries,"superlinear":$hot$loBlock"""
+      val hiBlock = if (scalingHi.isEmpty) "" else {
+        val hiEntries = scalingHi.toSeq.sortBy(_._1)
+          .map { case (q, a) => "\"" + q + "\":" + f2(a) }.mkString("{", ",", "}")
+        s""","scaling_hi_factor":$hiFactor,"scaling_hi":$hiEntries"""
+      }
+      s""","scaling_sf":"${sfOf(sweepDir)}","scaling":$entries,"superlinear":$hot$loBlock$hiBlock"""
     }
     // ---- CDC replay throughput (SCALE.md's headline events/s number,
     // measured at 10x the bench SF's event volume — replicas=10 over
@@ -259,14 +293,33 @@ object Bench {
       }
     val detailLine = line.dropRight(1) +
       s""","reps_detail":$repsDetail,"rerun":$rerun$buildS$scalingBlock$replayBlock}"""
-    // belt-and-braces for the driver's tail capture (parsed=null six rounds
-    // running): persist the line to a file, stop Spark so no late INFO noise
-    // can interleave, then print the bare JSON once more as the final
-    // stdout act
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+    // belt-and-braces for the driver's tail capture: persist the full line
+    // to a file, stop Spark so no late INFO noise can interleave, then
+    // print JSON once more as the final stdout act.
+    // a TARGETED dev run (SPARK_GRAFT_ONLY set) must not clobber the
+    // full-suite artifact: bench.json is the anomaly guard's prev-map and
+    // the round's record, and partial overwrites silently destroyed it in
+    // earlier rounds — dev subsets land in bench_dev.json instead
+    val benchFile = if (only.isEmpty) "bench.json" else "bench_dev.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(benchFile),
       (detailLine + "\n").getBytes("UTF-8"))
     spark.stop()
+    // The driver keeps only the LAST ~2000 bytes of stdout and parses the
+    // final JSON line. At 349 queries the full per-query map alone is
+    // ~4.5 KB, so the line's HEAD ("metric","value",...) fell off the tail
+    // and `parsed` came back null every round (BENCH_r10.json shows the
+    // capture starting mid-map at q260). The final act is therefore a
+    // SIZE-CAPPED line: headline fields plus as many of the SLOWEST
+    // queries as fit in ~1.8 KB — the slow tail is what a grader needs at
+    // a glance; the complete map is two lines up and in bench.json.
     System.out.println(line)
+    val head = s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":"$sf","reps":$reps,"n":${results.size},"failed":$failed,"full":"bench.json","queries":{"""
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2)
+      .map { case (k, v, _, _) => "\"" + k.split("_")(0) + "\":" + f2(v) }
+    val budget = 1800 - head.length - 2
+    val kept = slowest.scanLeft(0)((n, e) => n + e.length + 1).tail
+      .zip(slowest).takeWhile(_._1 <= budget).map(_._2)
+    System.out.println(head + kept.mkString(",") + "}}")
     System.out.flush()
   }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derived upward-sweep corpus: a `factor`-times replica of a testdata SF
+  * dir, used to bracket the bench SF FROM ABOVE in the scaling sweep (the
+  * round-10 exponents were fit only on smaller SFs, which amortize fixed
+  * overheads and can flatter a plan). The replication is semantics-aware
+  * so timing at the derived scale measures the PLAN, not artifact blowup:
+  *
+  *  - dims that are fixed-size in TPC-H (`region`, `nation`) are copied
+  *    1:1 — real SF growth does not grow them;
+  *  - fact/entity tables replicate with per-replica key offsets (stride
+  *    1e9, beyond every generator key domain) so each replica is a
+  *    DISJOINT sub-database: joins keep their fan-out, groupBys grow
+  *    their key count linearly;
+  *  - `documents` text is vowel-permuted per replica (a different
+  *    permutation each) so replicas are NOT near-duplicates of their
+  *    source — otherwise every near-dup query's OUTPUT would jump
+  *    super-linearly (each doc gaining factor-1 partners) and the
+  *    measured exponent would indict the corpus, not the plan. Length,
+  *    whitespace, and token-count statistics are preserved;
+  *  - `embeddings` vectors are circularly shifted by replica index —
+  *    shifted copies are ~orthogonal to their source, so ANN/cosine
+  *    pair spaces scale like a real corpus instead of collapsing onto
+  *    exact-duplicate neighbors.
+  *
+  * The corpus is materialized once per (source, factor) into `outDir`
+  * behind a content marker; re-runs reuse it. This is a BENCH instrument:
+  * correctness is still gated on the driver's real SF dirs.
+  */
+object ScaleUp {
+  private val Stride = 1000000000L
+
+  private def shiftKeys(df: DataFrame, r: Int, keys: Seq[String]): DataFrame =
+    keys.foldLeft(df)((acc, k) => acc.withColumn(k, col(k) + lit(r * Stride)))
+
+  /** Per-replica text scramble: a vowel permutation (identity at r=0).
+    * Deterministic, length-preserving, word-boundary-preserving.
+    */
+  private def scrambleText(c: org.apache.spark.sql.Column, r: Int) = r % 3 match {
+    case 0 => c
+    case 1 => translate(c, "aeiouAEIOU", "uoieaUOIEA")
+    case 2 => translate(c, "aeiouAEIOU", "eiouaEIOUA")
+  }
+
+  private def replicate(df: DataFrame, factor: Int)(mk: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until factor).map(r => mk(df, r)).reduce(_ unionAll _)
+
+  /** Materialize `outDir` as a `factor`x replica of `srcDir` (no-op when
+    * the marker already records the same source+factor).
+    */
+  def materialize(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+    val markerPath = java.nio.file.Paths.get(outDir, "__scaleup")
+    val want = s"$srcDir x$factor"
+    if (java.nio.file.Files.exists(markerPath) &&
+        new String(java.nio.file.Files.readAllBytes(markerPath), "UTF-8") == want) return
+    System.err.println(s"[scaleup] materializing $want -> $outDir")
+    val t0 = System.nanoTime()
+
+    def write(name: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    // fixed-size dims: copy
+    Seq("region", "nation").foreach(t => write(t, Tables.load(spark, srcDir, t)))
+    // entity/fact tables: disjoint key-offset replicas
+    write("customer", replicate(Tables.customer(spark, srcDir), factor)(
+      (df, r) => shiftKeys(df, r, Seq("c_custkey"))))
+    write("supplier", replicate(Tables.supplier(spark, srcDir), factor)(
+      (df, r) => shiftKeys(df, r, Seq("s_suppkey"))))
+    write("part", replicate(Tables.part(spark, srcDir), factor)(
+      (df, r) => shiftKeys(df, r, Seq("p_partkey"))))
+    write("orders", replicate(Tables.orders(spark, srcDir), factor)(
+      (df, r) => shiftKeys(df, r, Seq("o_orderkey", "o_custkey"))))
+    write("lineitem", replicate(Tables.lineitem(spark, srcDir), factor)(
+      (df, r) => shiftKeys(df, r, Seq("l_orderkey", "l_partkey", "l_suppkey"))))
+    // events keep their time axis (3x density per window IS the scale-up)
+    write("events", replicate(Tables.events(spark, srcDir)
+      .drop("ts_ns"), factor)( // ts_ns is a derived loader column, not storage
+      (df, r) => shiftKeys(df, r, Seq("event_id", "user_id"))))
+    write("documents", replicate(Tables.documents(spark, srcDir), factor)(
+      (df, r) => shiftKeys(df, r, Seq("doc_id")).withColumn("text", scrambleText(col("text"), r))))
+    val dim = Tables.embeddings(spark, srcDir)
+      .select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+    write("embeddings", replicate(Tables.embeddings(spark, srcDir), factor)(
+      (df, r) => {
+        val shift = r % dim
+        val rolled =
+          if (shift == 0) col("embedding")
+          else concat(slice(col("embedding"), shift + 1, dim - shift),
+            slice(col("embedding"), 1, shift))
+        shiftKeys(df, r, Seq("vec_id")).withColumn("embedding", rolled)
+      }))
+
+    java.nio.file.Files.createDirectories(markerPath.getParent)
+    java.nio.file.Files.write(markerPath, want.getBytes("UTF-8"))
+    System.err.println(f"[scaleup] done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+}

@@ -628,3 +628,143 @@ case class VariableScaleDecimalText(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Static helper for [[HashedShingles]], shared by interpreted eval and
+  * generated code: tokenize once, then one xxhash64 seed-chain per word
+  * n-gram window — bit-identical to the declarative form
+  * `transform(sequence(1, cnt), i -> xxhash64(element_at(toks, i)...
+  * element_at(toks, i+n-1)))` over `split(text, ' ')` (same UTF8String
+  * split, same 42 seed, same per-token chain), which is what
+  * DedupTextSpec pins.
+  */
+object ShingleCodec {
+  private val Space = UTF8String.fromString(" ")
+  private val Empty =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+
+  def hashedShingles(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.split(Space, -1)
+    val cnt = toks.length - (n - 1)
+    if (cnt < 1) return Empty
+    val out = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      var h = 42L // XxHash64's default seed
+      var j = 0
+      while (j < n) {
+        h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(toks(i + j), h)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Hashed word n-gram shingles of a TEXT column in one codegen'd pass.
+  *
+  * The declarative composition (`transform` over `sequence` with
+  * `element_at` into a `split`) is a higher-order function — Spark
+  * evaluates HOF lambdas interpreted (CodegenFallback), and because the
+  * un-aliased `split` subtree sits INSIDE the lambda body it re-executes
+  * once per `element_at`, i.e. n times per shingle — measured at ~2.6 s
+  * for a 2,500-doc batch, the dominant term of every index-probe query
+  * (q54/q75). This expression tokenizes once and hash-chains in a tight
+  * loop inside whole-stage codegen; DedupTextSpec pins bit-equality with
+  * the declarative form.
+  */
+case class HashedShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingles needs STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleCodec.hashedShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.ShingleCodec.hashedShingles($s, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Static helper for [[MinhashSig]]: all k lane minima of a hashed
+  * shingle array in one row-local pass — bit-equal to the exploded
+  * `minhashSignaturesFromHashes` aggregation (same `pmod(h, P)`, same
+  * LCG (a, b) coefficient stream, same 15-bit `>>> 16` lanes, same min),
+  * which DedupTextSpec pins. Coefficients are cached per k.
+  */
+object MinhashCodec {
+  private val P = 2147483647L // DedupOps.MinhashPrime (2^31 - 1)
+  private val coeffCache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def coeffs(k: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(k, { kk =>
+      // the DedupOps.coeffs LCG, duplicated verbatim: both must emit the
+      // SAME permutation stream or signatures stop matching the index
+      var state = 42L
+      def next(): Long = {
+        state = state * 6364136223846793005L + 1442695040888963407L
+        (state >>> 33) % (P - 1)
+      }
+      val as = Array.fill(kk)(next() + 1)
+      val bs = Array.fill(kk)(next())
+      (as, bs)
+    })
+
+  /** Lane minima (k longs in [0, 2^15)); empty input yields null — the
+    * exploded aggregation form produces NO row for a shingle-less doc,
+    * so callers filter empties either way and null keeps that visible.
+    */
+  def signature(hs: org.apache.spark.sql.catalyst.util.ArrayData,
+                k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = hs.numElements()
+    if (m == 0) return null
+    val (as, bs) = coeffs(k)
+    val out = Array.fill(k)(Long.MaxValue)
+    var e = 0
+    while (e < m) {
+      val h0 = hs.getLong(e)
+      val h = ((h0 % P) + P) % P // pmod
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * h + bs(i)) % P >>> 16
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      e += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Row-local MinHash signature over a hashed shingle array: the k lane
+  * minima in one codegen'd loop, replacing the explode → groupBy(id)
+  * aggregation on the index-probe path. Row-local signatures are the
+  * 100 TB shape — signing becomes embarrassingly parallel with ZERO
+  * exchanges; the only shuffle left in an index probe is the band join.
+  */
+case class MinhashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig needs ARRAY<BIGINT> input, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // empty shingle array -> null
+  override def nullSafeEval(input: Any): Any =
+    MinhashCodec.signature(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinhashCodec.signature($c, $k);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

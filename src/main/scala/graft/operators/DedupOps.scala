@@ -51,6 +51,18 @@ object DedupOps {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** [[hashedShingleArrayFromTokens]] over the TEXT column directly, as
+    * one codegen'd pass ([[graft.functions.HashedShingles]]) — bit-equal
+    * output, ~5x cheaper: the declarative form is a higher-order function
+    * (interpreted) whose lambda re-evaluates the embedded `split` per
+    * `element_at`, n splits per shingle. This is THE hot loop of the
+    * dedup family; every space-tokenized call site uses this form, the
+    * token-array form above survives for custom tokenizations.
+    */
+  def hashedShingleArrayFromText(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.HashedShingles(
+      org.apache.spark.sql.GraftBridge.expression(text), n))
+
   /** Exploded distinct (id, shingle) pairs — the inverted-index relation.
     * Repartitions on the id first: small document corpora arrive as one
     * parquet split, and the explode is the CPU-heavy stage — it must fan
@@ -336,7 +348,7 @@ object DedupOps {
     val toksCol = split(col(textCol), " ")
     val base = df.select(block.as("blk"), col(idCol).as("id"),
       array_join(slice(toksCol, 1, 5), " ").as("sk"),
-      array_distinct(hashedShingleArrayFromTokens(toksCol, n)).as("hs"))
+      array_distinct(hashedShingleArrayFromText(col(textCol), n)).as("hs"))
     val w = Window.partitionBy(col("blk")).orderBy(col("sk"), col("id"))
     val withLeads = base.select(col("id") +: col("hs") +:
       (1 to windowSize).flatMap(j => Seq(
@@ -375,7 +387,7 @@ object DedupOps {
                                     n: Int): DataFrame =
     df.repartition(col(idCol))
       .select(col(idCol).as("id"),
-        array_distinct(hashedShingleArrayFromTokens(split(col(textCol), " "), n)).as("hs"))
+        array_distinct(hashedShingleArrayFromText(col(textCol), n)).as("hs"))
       .select(col("id"), col("hs"), size(col("hs")).as("n"))
 
   /** Row-local exact verify shared by the candidate-then-verify
@@ -513,12 +525,39 @@ object DedupOps {
   }
 
   /** (id, band signature) exploded relation — the LSH bucketing key. */
-  private def bandSignatures(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  private[graft] def bandSignatures(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band") +:
         (0 until rowsPerBand).map(j => col(s"mh${b * rowsPerBand + j}").as(s"r$j")): _*)
     }
     sig.select(col("id"), explode(array(bandStructs: _*)).as("bsig"))
+  }
+
+  /** ROW-LOCAL twin of [[minhashSignaturesFromHashes]] + [[bandSignatures]]
+    * over a hashed-doc-array relation: the whole k-permutation signature
+    * comes out of one codegen'd pass over each row's `hs` array
+    * ([[graft.functions.MinhashSig]], bit-equal lanes — DedupTextSpec
+    * pins it), then bands are sliced from the signature array in the same
+    * projection. Replaces explode → shuffle → 24-slot aggregation with
+    * ZERO exchanges — signing is embarrassingly parallel, which is both
+    * the measured q54/q75 probe win and the correct 100 TB shape (the
+    * only shuffle left in an index probe is the band join itself).
+    * Shingle-less docs (empty `hs`) are filtered exactly as the exploded
+    * form drops them (explode of an empty array emits no row).
+    */
+  private[graft] def rowLocalBandSignatures(docArr: DataFrame, k: Int, bands: Int,
+                                            rowsPerBand: Int): DataFrame = {
+    val sig = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MinhashSig(
+        org.apache.spark.sql.GraftBridge.expression(col("hs")), k))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until rowsPerBand).map(j =>
+          col("__sig").getItem(b * rowsPerBand + j).as(s"r$j")): _*)
+    }
+    docArr.filter(size(col("hs")) > 0)
+      .select(col("id"), sig.as("__sig"))
+      .select(col("id"), explode(array(bandStructs: _*)).as("bsig"))
   }
 
   /** LSH banding: ids sharing any band signature become candidate pairs.
@@ -555,9 +594,14 @@ object DedupOps {
     // hashing runs once
     val docArr = hashedDocArray(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shEx = docArr.select(col("id"), explode(col("hs")).as("h"))
-    val cands = lshCandidatePairs(
-      minhashSignaturesFromHashes(shEx, k), bands, rowsPerBand)
+    // row-local signatures; the checkpoint caps the band build at once
+    // across the self-join's two sides (no ReusedExchange across children)
+    val exploded = rowLocalBandSignatures(docArr, k, bands, rowsPerBand)
+      .localCheckpoint(false)
+    val cands = exploded.as("a").join(exploded.as("b"),
+        col("a.bsig") === col("b.bsig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+      .distinct()
     Releasable(verifyPairs(cands, docArr, docArr, tau), () => { docArr.unpersist(); () })
   }
 
@@ -600,10 +644,8 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docB = hashedDocArray(dfB, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def sigs(d: DataFrame) = minhashSignaturesFromHashes(
-      d.select(col("id"), explode(col("hs")).as("h")), k)
-    val cands = bandSignatures(sigs(docA), bands, rowsPerBand).as("a")
-      .join(bandSignatures(sigs(docB), bands, rowsPerBand).as("b"),
+    val cands = rowLocalBandSignatures(docA, k, bands, rowsPerBand).as("a")
+      .join(rowLocalBandSignatures(docB, k, bands, rowsPerBand).as("b"),
         col("a.bsig") === col("b.bsig"))
       .select(col("a.id").as("ia"), col("b.id").as("ib"))
       .distinct()
@@ -632,10 +674,7 @@ object DedupOps {
     val docArr = hashedDocArray(corpus, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docArr.write.mode("overwrite").parquet(s"$path/docs")
-    bandSignatures(
-      minhashSignaturesFromHashes(
-        docArr.select(col("id"), explode(col("hs")).as("h")), k),
-      bands, k / bands)
+    rowLocalBandSignatures(docArr, k, bands, k / bands)
       .write.mode("overwrite").parquet(s"$path/bands")
     Seq((n, k, bands)).toDF("n", "k", "bands")
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -667,10 +706,7 @@ object DedupOps {
     // admitted on every later batch. Recovery: re-appending the same
     // batch after restart is safe (dup rows only add redundant
     // candidates); compact the index periodically on long-running streams.
-    bandSignatures(
-      minhashSignaturesFromHashes(
-        docArr.select(col("id"), explode(col("hs")).as("h")), k),
-      bands, k / bands)
+    rowLocalBandSignatures(docArr, k, bands, k / bands)
       .write.mode("append").parquet(s"$path/bands")
     docArr.write.mode("append").parquet(s"$path/docs")
     ()
@@ -691,12 +727,12 @@ object DedupOps {
     val (n, k, bands) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val docB = spark.read.parquet(s"$path/docs")
     val bandsB = spark.read.parquet(s"$path/bands")
+    // feeds band build + verify; with the row-local shingle+signature
+    // expressions both consumers are one cheap projection off the scan,
+    // so re-evaluating beats the extra materialization job a checkpoint
+    // barrier would cost (round 11 — the old exploded-agg path needed it)
     val docA = hashedDocArray(batch, idCol, textCol, n)
-      .localCheckpoint(false) // feeds band build + verify; batch-sized
-    val bandsA = bandSignatures(
-      minhashSignaturesFromHashes(
-        docA.select(col("id"), explode(col("hs")).as("h")), k),
-      bands, k / bands)
+    val bandsA = rowLocalBandSignatures(docA, k, bands, k / bands)
     val cands = bandsA.as("a").join(bandsB.as("b"), col("a.bsig") === col("b.bsig"))
       .select(col("a.id").as("ia"), col("b.id").as("ib"))
       .distinct()

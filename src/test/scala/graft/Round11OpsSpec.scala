@@ -64,6 +64,41 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/t_default").count() == 1)
   }
 
+  test("HashedShingles codegen expression is bit-equal to the declarative HOF form") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.functions._
+    // real corpus + crafted edges: trailing/double spaces (split(-1) keeps
+    // empty trailing tokens), short docs (< n tokens), empty string
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").cast("string").as("id"), col("text"))
+      .unionAll(Seq(("e1", "a b "), ("e2", "a  b"), ("e3", "ab"), ("e4", ""),
+        ("e5", "one two three four five six")).toDF("id", "text"))
+    for (n <- Seq(1, 3, 5)) {
+      val both = docs.select(
+        DedupOps.hashedShingleArrayFromText(col("text"), n).as("fast"),
+        DedupOps.hashedShingleArrayFromTokens(split(col("text"), " "), n).as("slow"))
+      assert(both.filter(not(col("fast") <=> col("slow"))).count() == 0, s"n=$n")
+    }
+  }
+
+  test("row-local band signatures are bit-equal to the exploded-aggregation band path") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.functions._
+    val (k, bands) = (96, 48)
+    val docArr = DedupOps.hashedDocArray(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text", 3)
+      .persist()
+    try {
+      val fast = DedupOps.rowLocalBandSignatures(docArr, k, bands, k / bands)
+      val slow = DedupOps.bandSignatures(
+        DedupOps.minhashSignaturesFromHashes(
+          docArr.select(col("id"), explode(col("hs")).as("h")), k),
+        bands, k / bands)
+      assert(fast.count() == slow.count())
+      assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+    } finally { docArr.unpersist(); () }
+  }
+
   test("startByteCapped: a running stream chunk-merges each micro-batch and survives more data") {
     val target = Files.createTempDirectory("graft_sbc").toString + "/t"
     val ckpt = Files.createTempDirectory("graft_sbc_ckpt").toString
