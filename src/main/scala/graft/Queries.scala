@@ -10191,6 +10191,72 @@ FROM j ORDER BY 1""")),
   CAST((SUM(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) // 100000 AS BIGINT) AS chunk
 FROM documents ORDER BY doc_id""")),
+
+    ("q350_emit_statement_plan", (s, d) => {
+      // The statement-emitting sink mode end-to-end (the reference's real
+      // operating shape, clients/shared/merge.go:28-212): a deterministic
+      // CDC-shaped batch off the orders table is staged + planned against
+      // three representative dialects (single-MERGE, ordered-plan, and
+      // engine-merge). Emission runs in a fresh workspace each call so
+      // the DDL-reconcile branch (CREATE TABLE) is deterministic; the
+      // pinned `now` fixes the staging-table expiry suffix. Rows-only
+      // gate: statement text is non-SQL-expressible (its golden strings
+      // are pinned by DdlDialectsSpec/EmitSinkSpec).
+      import s.implicits._
+      val now = java.time.Instant.parse("2026-01-01T00:00:00Z")
+      val batch = Tables.orders(s, d)
+        .filter(col("o_orderkey") < 400)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          (col("o_orderstatus") === "F").as(Constants.DeleteCol))
+      val cfg = graft.streaming.CdcPipeline.Config(Seq("o_orderkey"), orderCol = "o_orderkey")
+      val rows = Seq("snowflake", "redshift", "clickhouse").flatMap { label =>
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_q350_$label").toString
+        val eb = graft.sink.EmitSink.emitBatch(batch, 0L, cfg, label, dir,
+          "db.s.orders", now).get
+        (eb.ddl.map(("ddl", _)) ++ eb.plan.map(("plan", _))).zipWithIndex
+          .map { case ((kind, stmt), i) => (label, i, kind, stmt) }
+      }
+      rows.toDF("dialect", "ord", "kind", "statement")
+        .orderBy(col("dialect"), col("ord"))
+    }, None),
+
+    ("q351_ddl_surface", (s, d) => {
+      // Every dialect's DDL face (lib/sql/dialect.go:30-68 twin) rendered
+      // over ONE fixed schema: create (permanent + staging form), add,
+      // drop, drop-table, truncate, sweep, and Redshift's widening.
+      // Driver-side string generation — rows-only gate, golden strings
+      // pinned in DdlDialectsSpec; the row count is the breadth check
+      // (10 dialects x the full statement surface).
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType => LT, StringType => ST, TimestampType => TT}
+      val now = java.time.Instant.parse("2026-01-01T00:00:00Z")
+      val cols = Seq(("id", LT), ("name", ST), ("updated_at", TT))
+      val rows = graft.sink.DdlDialects.registry.toSeq.sortBy(_._1).flatMap { case (label, dd) =>
+        val defs = cols.map { case (n, t) => dd.colDef(n, t, isPk = n == "id") }
+        val base = Seq(
+          ("create", dd.createTable("db.s.t", defs, temporary = false, now)),
+          ("create_staging", dd.createTable("db.s.t___artie_b0", defs, temporary = true, now)),
+          ("add_column", dd.addColumn("db.s.t", dd.colDef("age", LT))),
+          ("drop_column", dd.dropColumn("db.s.t", "age")),
+          ("drop_table", dd.dropTable("db.s.t")),
+          ("truncate", dd.truncateTable("db.s.t")))
+        val sweep = dd.sweepQuery("db", "s").map { case (q, args) =>
+          ("sweep", q + " -- args: " + args.mkString(", "))
+        }
+        val widen = dd match {
+          case r: graft.sink.DdlDialects.RedshiftDdl.type =>
+            ("widen_string", r.increaseStringPrecision("db.s.t", "name", 300)) +:
+              r.dedupeQueriesAlterTableAppend("db.s.t", "db.s.t_losers", Seq("id"))
+                .zipWithIndex.map { case (q, i) => (s"dedupe_append_$i", q) }
+          case _ => Nil
+        }
+        val dedupe = dd.dedupeQueries("db.s.t", "db.s.t___artie_stg", Seq("id"),
+          includeArtieUpdatedAt = true, now = now).toSeq.flatten
+          .zipWithIndex.map { case (q, i) => (s"dedupe_$i", q) }
+        (base ++ sweep ++ widen ++ dedupe).map { case (kind, stmt) => (label, kind, stmt) }
+      }
+      rows.toDF("dialect", "kind", "statement").orderBy(col("dialect"), col("kind"))
+    }, None),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus

@@ -54,6 +54,28 @@ trait DdlDialect {
     * via a catalog API instead of SQL (BigQuery, Iceberg/Spark).
     */
   def sweepQuery(dbName: String, schemaName: String): Option[(String, Seq[Any])]
+
+  /** D5's per-dialect dedupe plan (BuildDedupeQueries): capture one
+    * surviving row per duplicated PK group in a staging table, delete
+    * every occurrence from the target, re-insert the survivors. None
+    * where the reference client panics "not implemented" (MSSQL, MySQL,
+    * Postgres, ClickHouse — ReplacingMergeTree dedupes itself). The
+    * QUALIFY `= 2` most dialects use captures the SECOND occurrence —
+    * any one row of each group that HAS duplicates — while DuckDB's
+    * `= 1` DESC variant keeps the latest; each form is that client's
+    * dialect.go text. `now` anchors BigQuery's staging expiration.
+    */
+  def dedupeQueries(target: String, stagingTable: String, pks: Seq[String],
+                    includeArtieUpdatedAt: Boolean = false,
+                    now: java.time.Instant = java.time.Instant.now()): Option[Seq[String]] = None
+
+  /** Quoted `pks (+ __artie_updated_at) ASC` order list shared by the
+    * QUALIFY dedupe forms.
+    */
+  protected def dedupeOrderCols(pks: Seq[String], includeArtieUpdatedAt: Boolean,
+                                dir: String = "ASC"): String =
+    (pks.map(quote) ++ (if (includeArtieUpdatedAt) Seq(quote(Constants.UpdatedAtCol)) else Nil))
+      .map(c => s"$c $dir").mkString(", ")
 }
 
 object DdlDialects {
@@ -82,6 +104,10 @@ object DdlDialects {
     def dropColumn(target: String, colName: String) =
       s"ALTER TABLE $target DROP COLUMN ${quote(colName)}"
     def sweepQuery(dbName: String, schemaName: String) = None // catalog API, not SQL
+    override def dedupeQueries(target: String, stagingTable: String, pks: Seq[String],
+                               includeArtieUpdatedAt: Boolean, now: java.time.Instant) =
+      Some(MergeSqlBuilder.buildDedupe(target, stagingTable, pks,
+        if (includeArtieUpdatedAt) Seq(Constants.UpdatedAtCol) else Nil))
   }
 
   /** clients/snowflake/dialect/{ddl,typing}.go. */
@@ -116,6 +142,12 @@ object DdlDialects {
     def dropColumn(target: String, colName: String) =
       s"ALTER TABLE $target DROP COLUMN IF EXISTS ${quote(colName)}"
     override def truncateTable(target: String) = s"TRUNCATE TABLE IF EXISTS $target"
+    /** snowflake/dialect.go:81-117: transient staging + DELETE USING. */
+    override def dedupeQueries(target: String, stagingTable: String, pks: Seq[String],
+                               includeArtieUpdatedAt: Boolean, now: java.time.Instant) = Some(Seq(
+      s"CREATE OR REPLACE TRANSIENT TABLE $stagingTable AS (SELECT * FROM $target QUALIFY ROW_NUMBER() OVER (PARTITION BY ${pks.map(quote).mkString(", ")} ORDER BY ${dedupeOrderCols(pks, includeArtieUpdatedAt)}) = 2)",
+      s"DELETE FROM $target t1 USING $stagingTable t2 WHERE ${pks.map(k => s"t1.${quote(k)} = t2.${quote(k)}").mkString(" AND ")}",
+      s"INSERT INTO $target SELECT * FROM $stagingTable"))
     def sweepQuery(dbName: String, schemaName: String) = Some((
       s"""
 SELECT
@@ -166,6 +198,17 @@ WHERE
     def dropColumn(target: String, colName: String) =
       s"ALTER TABLE $target DROP COLUMN ${quote(colName)}"
     def sweepQuery(dbName: String, schemaName: String) = None // swept via the BQ API
+    /** bigquery/dialect.go:61-101: expiring staging + DELETE WHERE EXISTS. */
+    override def dedupeQueries(target: String, stagingTable: String, pks: Seq[String],
+                               includeArtieUpdatedAt: Boolean, now: java.time.Instant) = {
+      val expiry = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss 'UTC'").withZone(java.time.ZoneOffset.UTC)
+        .format(now.plus(java.time.Duration.ofHours(6)))
+      Some(Seq(
+        s"""CREATE OR REPLACE TABLE $stagingTable OPTIONS (expiration_timestamp = TIMESTAMP("$expiry")) AS (SELECT * FROM $target QUALIFY ROW_NUMBER() OVER (PARTITION BY ${pks.map(quote).mkString(", ")} ORDER BY ${dedupeOrderCols(pks, includeArtieUpdatedAt)}) = 2)""",
+        s"DELETE FROM $target t1 WHERE EXISTS (SELECT * FROM $stagingTable t2 WHERE ${pks.map(k => s"t1.${quote(k)} = t2.${quote(k)}").mkString(" AND ")})",
+        s"INSERT INTO $target SELECT * FROM $stagingTable"))
+    }
   }
 
   /** clients/redshift/dialect/{ddl,typing}.go. Also carries the
@@ -201,6 +244,43 @@ WHERE
     /** dialect.go:377-379 — the string-precision widening ALTER. */
     def increaseStringPrecision(target: String, colName: String, newPrecision: Int): String =
       s"ALTER TABLE $target ALTER COLUMN ${quote(colName)} TYPE VARCHAR($newPrecision)"
+    /** redshift/dialect.go:72-121 — TEMPORARY staging (schema-less name,
+      * `WHERE true` making QUALIFY valid), alias-less DELETE USING.
+      */
+    override def dedupeQueries(target: String, stagingTable: String, pks: Seq[String],
+                               includeArtieUpdatedAt: Boolean, now: java.time.Instant) = {
+      val stagingShort = quote(stagingTable.split('.').last) // temps may not carry a schema
+      val targetShort = quote(target.split('.').last) // deletes may not alias the target
+      Some(Seq(
+        s"CREATE TEMPORARY TABLE $stagingShort AS (SELECT * FROM $target WHERE true QUALIFY ROW_NUMBER() OVER (PARTITION BY ${pks.map(quote).mkString(", ")} ORDER BY ${dedupeOrderCols(pks, includeArtieUpdatedAt)}) = 2)",
+        s"DELETE FROM $target USING $stagingShort t2 WHERE ${pks.map(k => s"$targetShort.${quote(k)} = t2.${quote(k)}").mkString(" AND ")}",
+        s"INSERT INTO $target SELECT * FROM $stagingShort"))
+    }
+
+    /** The reference's newer snapshot-dedupe plan
+      * (redshift/dialect.go:202-267, BuildDedupeQueriesAlterTableAppend):
+      * ALTER TABLE APPEND round-trip through a `_<artie>_dedupe` mirror
+      * with a BIGINT IDENTITY tiebreaker — MAX(rn) picks the winner,
+      * DISTSTYLE ALL colocates the losers, FILLTARGET/IGNOREEXTRA manage
+      * the extra column. Returned flattened in execution order (the
+      * reference groups them into Prep/AppendIn/Dedupe/AppendOut/Cleanup;
+      * the two APPENDs must run outside BEGIN/END).
+      */
+    def dedupeQueriesAlterTableAppend(target: String, losersTable: String,
+                                      pks: Seq[String]): Seq[String] = {
+      val rn = quote("_artie_dedupe_rn")
+      val dedupeId = s"${target}___artie_dedupe"
+      val dedupeShort = quote(dedupeId.split('.').last)
+      val losersShort = quote(losersTable.split('.').last)
+      val pkTuple = pks.map(quote).mkString(", ")
+      Seq(
+        s"CREATE TABLE $dedupeId (LIKE $target INCLUDING DEFAULTS, $rn BIGINT IDENTITY(1,1))",
+        s"ALTER TABLE $dedupeId APPEND FROM $target FILLTARGET",
+        s"CREATE TEMPORARY TABLE $losersShort DISTSTYLE ALL AS SELECT $rn FROM $dedupeId WHERE $rn NOT IN (SELECT MAX($rn) FROM $dedupeId GROUP BY $pkTuple)",
+        s"DELETE FROM $dedupeId USING $losersShort l WHERE $dedupeShort.$rn = l.$rn",
+        s"ALTER TABLE $target APPEND FROM $dedupeId IGNOREEXTRA",
+        s"DROP TABLE $dedupeId")
+    }
     def sweepQuery(dbName: String, schemaName: String) = Some((
       s"""
 SELECT
@@ -353,6 +433,15 @@ WHERE
     def sweepQuery(dbName: String, schemaName: String) = Some((
       "SELECT table_schema, table_name FROM information_schema.tables WHERE table_catalog = $1 AND table_schema = $2 AND table_name LIKE $3;",
       Seq(dbName, schemaName, ArtiePattern)))
+    /** motherduck/dialect.go:166-218 — the `= 1` DESC keep-latest variant,
+      * `SELECT 1` EXISTS probe, trailing staging DROP.
+      */
+    override def dedupeQueries(target: String, stagingTable: String, pks: Seq[String],
+                               includeArtieUpdatedAt: Boolean, now: java.time.Instant) = Some(Seq(
+      s"CREATE TABLE $stagingTable AS (SELECT * FROM $target QUALIFY ROW_NUMBER() OVER (PARTITION BY ${pks.map(quote).mkString(", ")} ORDER BY ${dedupeOrderCols(pks, includeArtieUpdatedAt, "DESC")}) = 1)",
+      s"DELETE FROM $target t1 WHERE EXISTS (SELECT 1 FROM $stagingTable t2 WHERE ${pks.map(k => s"t1.${quote(k)} = t2.${quote(k)}").mkString(" AND ")})",
+      s"INSERT INTO $target SELECT * FROM $stagingTable",
+      dropTable(stagingTable)))
   }
 
   /** clients/databricks/dialect/{ddl,typing}.go. */
@@ -391,6 +480,14 @@ FROM
 WHERE
     UPPER(table_schema) = UPPER(:p_schema) AND table_name ILIKE :p_artie_prefix""",
       Seq(schemaName, ArtiePattern)))
+    /** databricks/dialect.go:52-84 — bare `AS SELECT` staging create,
+      * DELETE WHERE EXISTS.
+      */
+    override def dedupeQueries(target: String, stagingTable: String, pks: Seq[String],
+                               includeArtieUpdatedAt: Boolean, now: java.time.Instant) = Some(Seq(
+      s"CREATE TABLE $stagingTable AS SELECT * FROM $target QUALIFY ROW_NUMBER() OVER (PARTITION BY ${pks.map(quote).mkString(", ")} ORDER BY ${dedupeOrderCols(pks, includeArtieUpdatedAt)}) = 2",
+      s"DELETE FROM $target t1 WHERE EXISTS (SELECT * FROM $stagingTable t2 WHERE ${pks.map(k => s"t1.${quote(k)} = t2.${quote(k)}").mkString(" AND ")})",
+      s"INSERT INTO $target SELECT * FROM $stagingTable"))
   }
 
   /** clients/clickhouse/dialect/dialect.go:67-120 — wraps the existing

@@ -169,6 +169,45 @@ class DdlDialectsSpec extends AnyFunSuite {
     assert(d.sweepQuery("g", "s").isEmpty)
   }
 
+  test("per-dialect dedupe plans: QUALIFY capture -> delete -> re-insert, each client's own text") {
+    val pks = Seq("id")
+    // snowflake: transient staging, `= 2` second-occurrence capture, DELETE USING
+    val Some(sf) = DdlDialects("snowflake").dedupeQueries("db.s.t", "db.s.t_stg", pks,
+      includeArtieUpdatedAt = true, now)
+    assert(sf.head == """CREATE OR REPLACE TRANSIENT TABLE db.s.t_stg AS (SELECT * FROM db.s.t QUALIFY ROW_NUMBER() OVER (PARTITION BY "ID" ORDER BY "ID" ASC, "__ARTIE_UPDATED_AT" ASC) = 2)""")
+    assert(sf(1) == """DELETE FROM db.s.t t1 USING db.s.t_stg t2 WHERE t1."ID" = t2."ID"""")
+    assert(sf(2) == "INSERT INTO db.s.t SELECT * FROM db.s.t_stg")
+    // redshift: schema-less TEMPORARY staging, `WHERE true`, alias-less delete
+    val Some(rs) = DdlDialects("redshift").dedupeQueries("s.t", "s.t_stg", pks, false, now)
+    assert(rs.head == """CREATE TEMPORARY TABLE "t_stg" AS (SELECT * FROM s.t WHERE true QUALIFY ROW_NUMBER() OVER (PARTITION BY "id" ORDER BY "id" ASC) = 2)""")
+    assert(rs(1) == """DELETE FROM s.t USING "t_stg" t2 WHERE "t"."id" = t2."id"""")
+    // bigquery: expiring staging
+    val Some(bq) = DdlDialects("bigquery").dedupeQueries("p.d.t", "p.d.t_stg", pks, false, now)
+    assert(bq.head.contains("""OPTIONS (expiration_timestamp = TIMESTAMP("2026-08-15 06:00:00 UTC")) AS (SELECT * FROM p.d.t QUALIFY"""))
+    assert(bq(1).startsWith("DELETE FROM p.d.t t1 WHERE EXISTS"))
+    // duckdb: keep-LATEST (`= 1` DESC) + trailing staging drop
+    val Some(dk) = DdlDialects("duckdb").dedupeQueries("db.s.t", "db.s.t_stg", pks, true, now)
+    assert(dk.head.contains("""ORDER BY "id" DESC, "__artie_updated_at" DESC) = 1)"""))
+    assert(dk.last == "DROP TABLE IF EXISTS db.s.t_stg")
+    // databricks: bare AS SELECT form
+    assert(DdlDialects("databricks").dedupeQueries("c.s.t", "c.s.t_stg", pks, false, now)
+      .get.head.startsWith("CREATE TABLE c.s.t_stg AS SELECT * FROM c.s.t QUALIFY"))
+    // spark: the executed 4-statement INSERT OVERWRITE plan
+    assert(DdlDialects("spark").dedupeQueries("g.t", "g.t_stg", pks, false, now).get.size == 4)
+    // the reference panics for these four; the registry surfaces None
+    for (l <- Seq("mssql", "mysql", "postgres", "clickhouse"))
+      assert(DdlDialects(l).dedupeQueries("db.t", "db.t_stg", pks, false, now).isEmpty, l)
+  }
+
+  test("redshift ALTER TABLE APPEND snapshot-dedupe plan (identity tiebreaker round-trip)") {
+    val plan = DdlDialects.RedshiftDdl.dedupeQueriesAlterTableAppend("s.t", "s.t_losers", Seq("id"))
+    assert(plan.head == """CREATE TABLE s.t___artie_dedupe (LIKE s.t INCLUDING DEFAULTS, "_artie_dedupe_rn" BIGINT IDENTITY(1,1))""")
+    assert(plan(1) == "ALTER TABLE s.t___artie_dedupe APPEND FROM s.t FILLTARGET")
+    assert(plan(2).contains("DISTSTYLE ALL") && plan(2).contains("""NOT IN (SELECT MAX("_artie_dedupe_rn")"""))
+    assert(plan(4) == "ALTER TABLE s.t APPEND FROM s.t___artie_dedupe IGNOREEXTRA")
+    assert(plan.last == "DROP TABLE s.t___artie_dedupe")
+  }
+
   test("every dialect renders a full col-def surface without throwing") {
     val types = Seq(StringType, LongType, IntegerType, ShortType, DoubleType,
       BooleanType, DateType, TimestampType, TimestampNTZType, BinaryType,

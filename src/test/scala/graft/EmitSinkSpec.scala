@@ -101,6 +101,33 @@ class EmitSinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown emit dialect"))
   }
 
+  test("a RUNNING stream through the emit label stages + plans every micro-batch") {
+    val dir = Files.createTempDirectory("graft_emit_stream").toString + "/users"
+    val ckpt = Files.createTempDirectory("graft_emit_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long, Boolean)]
+    val decoded = ms.toDF().toDF("id", "name", "off", Constants.DeleteCol)
+    val sink = SinkRegistry.sink("emit:postgres", cfg)
+    val q = decoded.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 seconds"))
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id, dir) }
+      .start()
+    ms.addData((1L, "a", 1L, false), (2L, "b", 2L, false))
+    q.processAllAvailable()
+    ms.addData((1L, "a2", 3L, false))
+    q.processAllAvailable()
+    q.stop()
+    // batch 0 created the destination; batch 1 reconciled to a no-op DDL
+    val p0 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_plans/batch=0.json")), "UTF-8")
+    val p1 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_plans/batch=1.json")), "UTF-8")
+    assert(p0.contains("CREATE TABLE users (") && p0.contains("MERGE INTO users AS tgt"))
+    assert(p1.contains("\"ddl\":[]") && p1.contains("MERGE INTO users AS tgt"))
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/_staging/batch=1")))
+  }
+
   test("empty batches are skipped (ShouldSkipUpdate analog)") {
     val dir = Files.createTempDirectory("graft_emit_empty").toString
     assert(EmitSink.emitBatch(batch0.limit(0), 0L, cfg, "snowflake", dir, "db.t", now).isEmpty)

@@ -506,15 +506,15 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q54_crosscorpus_minhash")
     // corpus side = two parquet scans of the artifact (bands + docs)
     assert(p.contains("graft_mh_index"), p)
-    // exactly ONE PackedLaneMin signature aggregation (the batch side);
-    // the recompute-both-sides shape had two. Formatted explain prints
-    // each aggregation's function list on "Functions [..]" detail lines
-    // — one partial + one merge line per aggregation, so one signature
-    // aggregation = exactly 2 packedlanemin function lines
+    // round 11: the batch side signs ROW-LOCALLY (MinhashSig expression
+    // inside a projection) — the probe plan carries ZERO signature
+    // aggregations. The old recompute-both-sides shape had two, the
+    // round-10 probe had one; any packed_lane_min aggregation here means
+    // the exploded-agg path crept back into the probe
     val sigLines = p.linesIterator
       .count(l => l.contains("Functions") && l.contains("packed_lane_min"))
-    assert(sigLines == 2,
-      s"expected one signature aggregation (2 Functions lines), got $sigLines:\n$p")
+    assert(sigLines == 0,
+      s"expected zero signature aggregations (row-local signing), got $sigLines:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
