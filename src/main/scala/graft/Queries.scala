@@ -2700,7 +2700,7 @@ FROM g CROSS JOIN t ORDER BY fold""")),
       val sh = Tables.documents(s, d)
         .repartition(col("doc_id")) // spread the shingle explode (shingles() discipline)
         .select(col("source"),
-          explode(DedupOps.shingleArray(col("text"), 3)).as("sg"))
+          explode(DedupOps.stringShingleArrayFromText(col("text"), 3)).as("sg"))
       val sk = sh.groupBy(col("source"))
         .agg(graft.operators.SketchOps.kmvSketch(
           graft.operators.SketchOps.normalizedHash(col("sg")), 64).as("sk"))
@@ -3075,7 +3075,8 @@ GROUP BY 1 ORDER BY id""")),
       // replays every register bit-for-bit.
       val sh = Tables.documents(s, d)
         .repartition(col("doc_id")) // spread the shingle explode (shingles() discipline)
-        .select(col("source"), explode(DedupOps.shingleArray(col("text"), 3)).as("sg"))
+        .select(col("source"),
+          explode(DedupOps.stringShingleArrayFromText(col("text"), 3)).as("sg"))
         .distinct()
       graft.operators.SketchOps.hllDistinct(sh, Seq("source"), "sg")
         .withColumn("err_permille", call_function("div",

@@ -641,6 +641,32 @@ object ShingleCodec {
   private val Space = UTF8String.fromString(" ")
   private val Empty =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+  private val EmptyStr =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[AnyRef])
+
+  /** STRING word n-gram shingles in one pass — bit-identical to the
+    * declarative `transform(sequence(1, cnt), i -> concat_ws(" ",
+    * element_at(toks, i) ... element_at(toks, i+n-1)))` over
+    * `split(text, ' ')` (same UTF8String split keeping trailing empties,
+    * same space joiner), which DedupTextSpec pins. The shape every
+    * oracle-hashed shingle consumer needs (the oracle hashes shingle
+    * TEXT, so [[hashedShingles]] cannot replace these call sites).
+    */
+  def stringShingles(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.split(Space, -1)
+    val cnt = toks.length - (n - 1)
+    if (cnt < 1) return EmptyStr
+    val out = new Array[AnyRef](cnt)
+    var i = 0
+    while (i < cnt) {
+      out(i) =
+        if (n == 1) toks(i)
+        else UTF8String.concatWs(Space,
+          java.util.Arrays.copyOfRange(toks, i, i + n): _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   def hashedShingles(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val toks = text.split(Space, -1)
@@ -686,6 +712,112 @@ case class HashedShingles(child: Expression, n: Int)
     ShingleCodec.hashedShingles(input.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.functions.ShingleCodec.hashedShingles($s, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** String word n-gram shingles of a TEXT column in one codegen'd pass —
+  * the [[HashedShingles]] treatment for the call sites whose DOWNSTREAM
+  * needs the shingle text (KMV resemblance, jaccard verify, oracle-hashed
+  * contamination screens). Same HOF-interpretation pathology, same fix:
+  * tokenize once, window-join in a tight loop inside whole-stage codegen.
+  */
+case class StringShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"string_shingles needs STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleCodec.stringShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.ShingleCodec.stringShingles($s, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Static helper for [[SimhashFp30Sig]]: the 30-bit SimHash of a document
+  * over word-bigram features hashed with the engine-portable rolling
+  * fingerprint, in one row-local pass — bit-equal to the exploded
+  * `sum(±1 per bit)` aggregation in `DedupOps.simhashFp30` (same space
+  * split, same `(acc*31+cp) % 1e9+7` roll over the "w1 w2" bigram string,
+  * same `2*ones > n` sign test), which DedupTextSpec pins.
+  */
+object SimhashCodec {
+  private val P = 1000000007L
+  private val Space = UTF8String.fromString(" ")
+
+  /** Roll `acc` over the code points of `s` (the fingerprint64 step
+    * function applied to one token; chunk-associative because the roll
+    * is strictly left-to-right).
+    */
+  private def roll(acc0: Long, s: UTF8String): Long = {
+    val str = s.toString
+    var acc = acc0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** The 30-bit signature, or null for a document with < 2 tokens — the
+    * exploded-aggregation form emits NO row for such a doc (no bigram to
+    * group on), so callers filter nulls to reproduce the same relation.
+    */
+  def simhashFp30(text: UTF8String): java.lang.Long = {
+    val toks = text.split(Space, -1)
+    val nBg = toks.length - 1
+    if (nBg < 1) return null
+    val ones = new Array[Int](30)
+    var i = 0
+    while (i < nBg) {
+      // fingerprint64("w1 w2") without building the bigram string
+      val fp = roll((roll(0L, toks(i)) * 31 + ' ') % P, toks(i + 1))
+      var j = 0
+      while (j < 30) {
+        if (((fp >>> j) & 1L) == 1L) ones(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 30) {
+      if (2L * ones(j) > nBg) sig |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+}
+
+/** Row-local 30-bit SimHash over word bigrams (see [[SimhashCodec]]):
+  * signing becomes a narrow projection with ZERO exchanges, replacing the
+  * bigram explode → 15-packed-lane aggregation — the same 100 TB shape
+  * win as [[MinhashSig]]. Null (filtered by the caller) for < 2 tokens.
+  */
+case class SimhashFp30Sig(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash_fp30 needs STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // < 2 tokens -> null
+  override def nullSafeEval(input: Any): Any = {
+    val v = SimhashCodec.simhashFp30(input.asInstanceOf[UTF8String])
+    if (v == null) null else v.longValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long ${ev.value}_boxed = graft.functions.SimhashCodec.simhashFp30($c);
+      ${ev.isNull} = ${ev.value}_boxed == null;
+      ${ev.value} = ${ev.isNull} ? -1L : ${ev.value}_boxed.longValue();
+    """)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -63,6 +63,15 @@ object DedupOps {
     org.apache.spark.sql.GraftBridge.column(graft.functions.HashedShingles(
       org.apache.spark.sql.GraftBridge.expression(text), n))
 
+  /** [[shingleArray]] as one codegen'd pass ([[graft.functions.StringShingles]])
+    * — bit-equal output for space-tokenized text. Use where the shingle
+    * TEXT matters downstream (KMV/oracle hashing, jaccard verify sets);
+    * prefer [[hashedShingleArrayFromText]] when only equality matters.
+    */
+  def stringShingleArrayFromText(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.StringShingles(
+      org.apache.spark.sql.GraftBridge.expression(text), n))
+
   /** Exploded distinct (id, shingle) pairs — the inverted-index relation.
     * Repartitions on the id first: small document corpora arrive as one
     * parquet split, and the explode is the CPU-heavy stage — it must fan
@@ -77,9 +86,8 @@ object DedupOps {
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.repartition(col(idCol))
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
-      .select(col("id"),
-        explode(array_distinct(shingleArrayFromTokens(col("__toks"), n))).as("shingle"))
+      .select(col(idCol).as("id"),
+        explode(array_distinct(stringShingleArrayFromText(col(textCol), n))).as("shingle"))
 
   /** Exact duplicate groups by content hash: (keep_id, n_dups). */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -794,10 +802,24 @@ object DedupOps {
     * shared vocabulary makes unigram bit-sums converge across documents;
     * bigram features keep the signature discriminative.
     */
-  def simhashFp30(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashFp30(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // row-local signing ([[graft.functions.SimhashFp30Sig]], round 11):
+    // ZERO exchanges — the bigram explode + 15-packed-lane aggregation
+    // below survives only as the bit-equality twin the spec pins. The
+    // null filter reproduces the aggregation's no-bigram-doc drop.
+    df.select(col(idCol).as("id"),
+        org.apache.spark.sql.GraftBridge.column(graft.functions.SimhashFp30Sig(
+          org.apache.spark.sql.GraftBridge.expression(col(textCol)))).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The exploded-aggregation form of [[simhashFp30]] — kept ONLY as the
+    * declarative twin DedupTextSpec pins the row-local expression against
+    * (both must emit identical signatures or the oracle CTEs drift).
+    */
+  private[graft] def simhashFp30Agg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val feats = df.repartition(col(idCol))
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
-      .select(col("id"), explode(shingleArrayFromTokens(col("__toks"), 2)).as("w"))
+      .select(col(idCol).as("id"),
+        explode(stringShingleArrayFromText(col(textCol), 2)).as("w"))
     val h = graft.functions.Converters.fingerprint64(col("w"))
     // the 30 per-bit counters ride in 15 longs (bits j and j+15 share one
     // long, 32-bit lanes) + one count: half the aggregation-buffer slots

@@ -98,7 +98,7 @@ object TextOps {
     // scan's partitioning and tokenizes the whole corpus on however few
     // partitions the file layout happened to give
     val bg = df.repartition(col(idCol)).select(col(idCol).as("id"),
-        explode(DedupOps.shingleArrayFromTokens(split(col(textCol), " "), 2)).as("b"))
+        explode(DedupOps.stringShingleArrayFromText(col(textCol), 2)).as("b"))
       .groupBy(col("id"), col("b")).agg(count(lit(1)).as("cnt"))
     val agg = bg.groupBy(col("id")).agg(
       sum(col("cnt")).as("n_bigrams"),
@@ -291,7 +291,7 @@ object TextOps {
   def topNgrams(df: DataFrame, idCol: String, textCol: String,
                 n: Int, topK: Int): DataFrame = {
     val grams = df.repartition(col(idCol))
-      .select(explode(DedupOps.shingleArray(col(textCol), n)).as("ngram"))
+      .select(explode(DedupOps.stringShingleArrayFromText(col(textCol), n)).as("ngram"))
     val counted = grams.groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("ngram")).limit(topK)
     // rank AFTER the limit: this (necessarily global) window runs over
@@ -375,8 +375,8 @@ object TextOps {
   def collocations(df: DataFrame, idCol: String, textCol: String,
                    minCount: Long = 5L, k: Int = 50,
                    scale: Long = 1000000L): DataFrame = {
-    val eb = df.select(split(col(textCol), " ").as("__toks"))
-      .select(explode(DedupOps.shingleArrayFromTokens(col("__toks"), 2)).as("bg"))
+    val eb = df
+      .select(explode(DedupOps.stringShingleArrayFromText(col(textCol), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("n"))
       // four consumers: starts, ends, total, scoring
       .localCheckpoint(false)
@@ -776,9 +776,8 @@ object TextOps {
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
                     scale: Long = 1000000L): DataFrame = {
-    val bgArr = DedupOps.shingleArrayFromTokens(col("__toks"), 2)
-    val eb = df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
-      .select(col("id"), explode(bgArr).as("bg"))
+    val eb = df.select(col(idCol).as("id"),
+        explode(DedupOps.stringShingleArrayFromText(col(textCol), 2)).as("bg"))
       .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("m"))
       // two consumers: the model aggregation and the scoring join
       .localCheckpoint(false)

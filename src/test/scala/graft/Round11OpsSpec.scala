@@ -81,6 +81,35 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("StringShingles codegen expression is bit-equal to the declarative HOF form") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").cast("string").as("id"), col("text"))
+      .unionAll(Seq(("e1", "a b "), ("e2", "a  b"), ("e3", "ab"), ("e4", ""),
+        ("e5", "one two three four five six")).toDF("id", "text"))
+    for (n <- Seq(1, 2, 3, 5)) {
+      val both = docs.select(
+        DedupOps.stringShingleArrayFromText(col("text"), n).as("fast"),
+        DedupOps.shingleArrayFromTokens(split(col("text"), " "), n).as("slow"))
+      assert(both.filter(not(col("fast") <=> col("slow"))).count() == 0, s"n=$n")
+    }
+  }
+
+  test("row-local SimhashFp30Sig is bit-equal to the exploded-aggregation signing") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").cast("string").as("id"), col("text"))
+      // < 2 tokens must DROP from both forms; multi-byte code points roll
+      .unionAll(Seq(("e1", ""), ("e2", "one"), ("e3", "a b"), ("e4", "héllo wörld héllo"))
+        .toDF("id", "text"))
+    val fast = DedupOps.simhashFp30(docs, "id", "text")
+    val slow = DedupOps.simhashFp30Agg(docs, "id", "text")
+    assert(fast.count() == slow.count())
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
   test("row-local band signatures are bit-equal to the exploded-aggregation band path") {
     import graft.operators.DedupOps
     import org.apache.spark.sql.functions._
