@@ -7120,9 +7120,12 @@ ${(2 to 6).map(r =>
       val sys = graft.operators.DedupOps.nearDupGroupsStar(
         docs.select(col("doc_id")), "doc_id",
         graft.operators.DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d)))
-      val gold = docs.select(col("doc_id"),
-        min(col("doc_id")).over(
-          Window.partitionBy(col("text"))).as("gid"))
+      // partition the gold window on md5(text), PROJECTED FIRST: the
+      // window exchange then carries (doc_id, 32-char hash) rows instead
+      // of full document texts — the oracle groups on md5 as well
+      val gold = docs.select(col("doc_id"), md5(col("text")).as("__h"))
+        .select(col("doc_id"),
+          min(col("doc_id")).over(Window.partitionBy(col("__h"))).as("gid"))
       graft.operators.QualityOps.bcubedClusterAudit(
         sys, "id", "canonical_id", gold, "doc_id", "gid")
     },
@@ -7570,7 +7573,10 @@ FROM rk CROSS JOIN st WHERE r <= 5 ORDER BY rank""")),
       // FORCAST readability (q274) — rolled up per source; the oracle
       // composes the same generated fragments so none can drift
       val docs = Tables.documents(s, d)
-      val comp = graft.operators.DedupOps.nearDupGroups(
+      // star contraction, not the label-prop chain (q71 pins the two
+      // closures to identical canonical assignments; q44 still
+      // benchmarks label-prop as the operator under test)
+      val comp = graft.operators.DedupOps.nearDupGroupsStar(
         docs.select(col("doc_id")), "doc_id",
         graft.operators.DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d)))
       val pack = org.apache.spark.sql.GraftBridge.column(
@@ -7759,7 +7765,7 @@ ORDER BY s1, s2""")),
       val docs = Tables.documents(s, d)
       val tok = docs.select(col("doc_id"), col("lang"),
         graft.functions.Converters.wordpieceTokens(col("text")).as("n_bpe"))
-      val comp = graft.operators.DedupOps.nearDupGroups(
+      val comp = graft.operators.DedupOps.nearDupGroupsStar(
         docs.select(col("doc_id")), "doc_id",
         graft.operators.DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d)))
       val csz = comp.groupBy(col("canonical_id")).agg(count(lit(1)).as("__csz"))
@@ -7871,7 +7877,7 @@ ORDER BY q_id, rank""")),
       val docs = Tables.documents(s, d)
       val tok = docs.select(col("doc_id"), col("lang"),
         graft.functions.Converters.wordpieceTokens(col("text")).as("n_bpe"))
-      val comp = graft.operators.DedupOps.nearDupGroups(
+      val comp = graft.operators.DedupOps.nearDupGroupsStar(
         docs.select(col("doc_id")), "doc_id",
         graft.operators.DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d)))
       val csz = comp.groupBy(col("canonical_id")).agg(count(lit(1)).as("__csz"))
@@ -9126,7 +9132,7 @@ FROM per ORDER BY lang""")),
       // splits-sized rollup
       val docs = Tables.documents(s, d)
       val pairs = DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d))
-      val grp = DedupOps.nearDupGroups(docs.select(col("doc_id")), "doc_id", pairs)
+      val grp = DedupOps.nearDupGroupsStar(docs.select(col("doc_id")), "doc_id", pairs)
       def bucket(c: Column): Column =
         pmod(Converters.fingerprint64(c.cast(StringType)), lit(10L))
       def splitOf(b: Column): Column =
