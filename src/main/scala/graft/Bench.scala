@@ -199,8 +199,15 @@ object Bench {
         resetStorage(spark)
         val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
         top.flatMap { case (name, best, _, _) =>
-          val t = runOnce(name, (s, _) => SparkEntry.queries(name)(s, hiDir))
-          if (t <= 0) None else {
+          // min-of-2: the base is a warm min-of-N, so a single hi rep
+          // (first-touch parquet I/O + fresh-codegen JIT on the derived
+          // corpus) reads up to 3x slow and fakes a super-linear alpha —
+          // round-11's q217 "1.75" replayed at 0.57 under matched warm
+          // conditions. The second rep is the warm one; keep the min.
+          val ts = (1 to 2).map(_ =>
+            runOnce(name, (s, _) => SparkEntry.queries(name)(s, hiDir))).filter(_ > 0)
+          if (ts.isEmpty) None else {
+            val t = ts.min
             val a = math.log(t / best) / math.log(hiFactor.toDouble)
             System.err.println(f"[sweep-hi] $name base=$best%.2f hi=$t%.2f alpha=$a%.2f")
             Some(name.split("_")(0) -> a)

@@ -536,6 +536,29 @@ class PlanSpec extends AnyFunSuite {
     assert(wins == 1, s"expected one shared WindowExec, got $wins:\n$p")
   }
 
+  test("simhash signing is row-local — a projection with zero exchanges or aggregates") {
+    // round 11: SimhashFp30Sig signs inside a projection (q23's chunk
+    // join sits behind a checkpoint barrier, so pin the signing subtree
+    // directly). Any Exchange/HashAggregate means the bigram explode +
+    // 15-packed-lane aggregation crept back
+    val p = graft.operators.DedupOps.simhashFp30(
+        Tables.documents(spark, sf), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("simhashfp30"), p)
+    assert(!p.contains("Exchange"), s"signing must be map-only:\n$p")
+    assert(!p.contains("HashAggregate"), s"signing must not aggregate:\n$p")
+  }
+
+  test("q137/q152: shingle streams ride the codegen StringShingles projection") {
+    for (q <- Seq("q137_source_similarity", "q152_hll_distinct")) {
+      val p = plan(q)
+      // the interpreted higher-order transform re-evaluated split() per
+      // element; the codegen expression must be what feeds the explode
+      assert(p.toLowerCase.contains("stringshingles"), s"$q:\n$p")
+      assert(!p.contains("transform(sequence("), s"$q still on the HOF form:\n$p")
+    }
+  }
+
   test("q178: quantile normalization never forms an unpartitioned window") {
     val df = SparkEntry.queries("q178_quantile_normalize")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
