@@ -188,6 +188,15 @@ object Bench {
     // Disable with SPARK_GRAFT_SWEEP_HI=0 (dev loops) — also off whenever
     // the main sweep is off.
     val hiFactor = 3
+    // min-of-N per side; SPARK_GRAFT_SWEEP_HI_REPS=1 halves hi-sweep wall
+    // time when the bench loop is the bottleneck (default 2)
+    val hiReps = sys.env.getOrElse("SPARK_GRAFT_SWEEP_HI_REPS", "2").toInt.max(1)
+    // For hi exponents ABOVE linear: the emitted row counts at base and
+    // hi scale (one untimed count() per side). An output-driven alpha
+    // (pair queries whose result set itself grows super-linearly at the
+    // derived scale) shows rows growing with time; a plan problem shows
+    // time growing while rows stay ~linear.
+    val scalingHiRows = scala.collection.mutable.Map.empty[String, (Long, Long)]
     val scalingHi: Map[String, Double] =
       if (!sweepOn || sys.env.getOrElse("SPARK_GRAFT_SWEEP_HI", "1") == "0") Map.empty
       else try {
@@ -205,16 +214,33 @@ object Bench {
           // sweep the JVM carries accumulated broadcasts/GC/codegen
           // pressure that inflated a lone hi rep into fake super-linear
           // alphas (q217 read 1.80 where a clean-JVM matched-warm pair
-          // measures 0.36). So: re-measure the base HERE, min-of-2 each
-          // side, and let the ambient inflation cancel in the ratio.
-          val bs = (1 to 2).map(_ =>
-            runOnce(name, (s, _) => SparkEntry.queries(name)(s, sfDir))).filter(_ > 0)
-          val ts = (1 to 2).map(_ =>
-            runOnce(name, (s, _) => SparkEntry.queries(name)(s, hiDir))).filter(_ > 0)
+          // measures 0.36). So: re-measure the base HERE, min-of-N each
+          // side, INTERLEAVED base/hi/base/hi so both sides' minima
+          // bracket the same JVM-state window (back-to-back sides would
+          // let a mid-sweep drift land entirely on one side of the ratio).
+          val pairs = (1 to hiReps).map { _ =>
+            (runOnce(name, (s, _) => SparkEntry.queries(name)(s, sfDir)),
+              runOnce(name, (s, _) => SparkEntry.queries(name)(s, hiDir)))
+          }
+          val bs = pairs.map(_._1).filter(_ > 0)
+          val ts = pairs.map(_._2).filter(_ > 0)
           if (ts.isEmpty || bs.isEmpty) None else {
             val (b, t) = (bs.min, ts.min)
             val a = math.log(t / b) / math.log(hiFactor.toDouble)
             System.err.println(f"[sweep-hi] $name base=$b%.2f hi=$t%.2f alpha=$a%.2f")
+            if (a > 1.0) {
+              try {
+                val baseRows = SparkEntry.queries(name)(spark, sfDir).count()
+                resetStorage(spark)
+                val hiRows = SparkEntry.queries(name)(spark, hiDir).count()
+                resetStorage(spark)
+                scalingHiRows(name.split("_")(0)) = (baseRows, hiRows)
+                System.err.println(s"[sweep-hi] $name rows base=$baseRows hi=$hiRows " +
+                  f"(row growth ${hiRows.toDouble / baseRows.max(1)}%.2fx at ${hiFactor}x input)")
+              } catch { case e: Throwable =>
+                System.err.println(s"[sweep-hi] $name row count failed: ${e.getMessage}")
+              }
+            }
             Some(name.split("_")(0) -> a)
           }
         }.toMap
@@ -283,7 +309,13 @@ object Bench {
       val hiBlock = if (scalingHi.isEmpty) "" else {
         val hiEntries = scalingHi.toSeq.sortBy(_._1)
           .map { case (q, a) => "\"" + q + "\":" + f2(a) }.mkString("{", ",", "}")
-        s""","scaling_hi_factor":$hiFactor,"scaling_hi":$hiEntries"""
+        val rowsBlock = if (scalingHiRows.isEmpty) "" else {
+          val re = scalingHiRows.toSeq.sortBy(_._1).map { case (q, (b, h)) =>
+            "\"" + q + "\":{\"base\":" + b + ",\"hi\":" + h + "}"
+          }.mkString("{", ",", "}")
+          s""","scaling_hi_rows":$re"""
+        }
+        s""","scaling_hi_factor":$hiFactor,"scaling_hi":$hiEntries$rowsBlock"""
       }
       s""","scaling_sf":"${sfOf(sweepDir)}","scaling":$entries,"superlinear":$hot$loBlock$hiBlock"""
     }

@@ -721,6 +721,16 @@ case class HashedShingles(child: Expression, n: Int)
   * needs the shingle text (KMV resemblance, jaccard verify, oracle-hashed
   * contamination screens). Same HOF-interpretation pathology, same fix:
   * tokenize once, window-join in a tight loop inside whole-stage codegen.
+  *
+  * NULL-input divergence from the declarative twin
+  * (`shingleArrayFromTokens`): this expression is null-in → null-out
+  * (UnaryExpression nullSafeEval), while the when/otherwise form yields
+  * an EMPTY ARRAY for null text. Every current call site wraps the
+  * result in `explode()`, where null and empty both contribute zero
+  * rows, so the forms agree on all reachable outputs — a future
+  * non-explode consumer on nullable text must `coalesce(…, array())`
+  * to match the declarative semantics. (Same caveat applies to
+  * [[HashedShingles]].)
   */
 case class StringShingles(child: Expression, n: Int)
     extends UnaryExpression {

@@ -807,6 +807,11 @@ object DedupOps {
     // ZERO exchanges — the bigram explode + 15-packed-lane aggregation
     // below survives only as the bit-equality twin the spec pins. The
     // null filter reproduces the aggregation's no-bigram-doc drop.
+    // Intentional trade-off vs the aggregation form: no repartition(id),
+    // so signing runs at SOURCE-FILE parallelism — on a single-split
+    // corpus the whole pass is one task. Fine at scale (100 TB inputs
+    // are many splits); if small-corpus signing ever profiles hot,
+    // restore a repartition(col(idCol)) ahead of this projection.
     df.select(col(idCol).as("id"),
         org.apache.spark.sql.GraftBridge.column(graft.functions.SimhashFp30Sig(
           org.apache.spark.sql.GraftBridge.expression(col(textCol)))).as("simhash"))

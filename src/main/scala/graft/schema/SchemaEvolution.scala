@@ -95,14 +95,23 @@ object SchemaEvolution {
     /** Restore persisted candidate state (SURVEY §7.4: the grace window
       * must survive restarts or every restart resets the clock).
       */
-    def load(path: java.nio.file.Path, graceHours: Long = 4): DropConfidence = {
+    def load(path: java.nio.file.Path, graceHours: Long = 4): DropConfidence =
+      if (java.nio.file.Files.exists(path))
+        fromLines(java.nio.file.Files.readAllLines(path)
+          .toArray(Array.empty[String]).toSeq, graceHours)
+      else new DropConfidence(graceHours)
+
+    /** Rehydrate from the sidecar's `col\tepochMilli` lines — the
+      * filesystem-agnostic half of [[load]] (the emit sink persists the
+      * same lines through hadoop FS so its workspace can live on any
+      * scheme).
+      */
+    def fromLines(lines: Seq[String], graceHours: Long = 4): DropConfidence = {
       val dc = new DropConfidence(graceHours)
-      if (java.nio.file.Files.exists(path)) {
-        java.nio.file.Files.readAllLines(path).forEach { line =>
-          line.split('\t') match {
-            case Array(c, ts) => dc.candidates += (c -> Instant.ofEpochMilli(ts.toLong))
-            case _ => ()
-          }
+      lines.foreach { line =>
+        line.split('\t') match {
+          case Array(c, ts) => dc.candidates += (c -> Instant.ofEpochMilli(ts.toLong))
+          case _ => ()
         }
       }
       dc
@@ -112,16 +121,18 @@ object SchemaEvolution {
   class DropConfidence(graceHours: Long = 4) {
     private var candidates = Map.empty[String, Instant]
 
+    /** Sidecar serialization, sorted for determinism. */
+    def toLines: Seq[String] = candidates.toSeq.sortBy(_._1)
+      .map { case (c, t) => s"$c\t${t.toEpochMilli}" }
+
     /** Persist candidate state to a sidecar file (tab-separated).
       * Write-temp-then-atomic-move: a torn sidecar could fabricate an
       * ancient absent-since timestamp and trigger a premature DROP.
       */
     def save(path: java.nio.file.Path): Unit = {
-      val lines = candidates.toSeq.sortBy(_._1)
-        .map { case (c, t) => s"$c\t${t.toEpochMilli}" }
       java.nio.file.Files.createDirectories(path.getParent)
       val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-      java.nio.file.Files.write(tmp, String.join("\n", lines: _*).getBytes("UTF-8"))
+      java.nio.file.Files.write(tmp, String.join("\n", toLines: _*).getBytes("UTF-8"))
       java.nio.file.Files.move(tmp, path,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)

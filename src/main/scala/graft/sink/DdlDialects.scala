@@ -48,6 +48,44 @@ trait DdlDialect {
   def dropTable(target: String): String = s"DROP TABLE IF EXISTS $target"
   def truncateTable(target: String): String = s"TRUNCATE TABLE $target"
 
+  /** GetDefaultValueStrategy twin (clients/＊/dialect/default.go): how a
+    * source-declared column default reaches the destination. `Backfill`
+    * (Snowflake/BigQuery/Redshift) runs an UPDATE … WHERE col IS NULL
+    * after ADD COLUMN plus a "backfilled" column-comment marker; `Native`
+    * relies on the column's own DEFAULT clause; `NotImplemented`
+    * (Postgres/DuckDB) skips.
+    */
+  def defaultValueStrategy: DdlDialects.DefaultStrategy = DdlDialects.Native
+
+  /** Literal rendering of a column default for backfill statement text
+    * (clients/shared/default_value.go:21-87's DefaultValue, the subset of
+    * kinds the wire envelope carries here): strings and date/time kinds
+    * are single-quoted (sql.QuoteLiteral, `''` escaping), booleans and
+    * numbers print bare.
+    */
+  def defaultValueSql(value: Any, dt: DataType): String = dt match {
+    case StringType => "'" + String.valueOf(value).replace("'", "''") + "'"
+    case DateType | TimestampType | TimestampNTZType =>
+      "'" + String.valueOf(value).replace("'", "''") + "'"
+    case _ => String.valueOf(value)
+  }
+
+  /** Backfill plan for one just-added column with a default
+    * (clients/shared/default_value.go:102-150): the UPDATE plus the
+    * `{"backfilled": true}` column-comment marker the reference writes so
+    * a restart doesn't re-backfill. Empty unless [[defaultValueStrategy]]
+    * is Backfill; Redshift and BigQuery override their reference-specific
+    * statement forms.
+    */
+  def backfillStatements(target: String, colName: String, defaultSql: String): Seq[String] =
+    defaultValueStrategy match {
+      case DdlDialects.Backfill =>
+        val c = quote(colName)
+        Seq(s"UPDATE $target as t SET t.$c = $defaultSql WHERE t.$c IS NULL;",
+          s"""COMMENT ON COLUMN $target.$c IS '{"backfilled": true}';""")
+      case _ => Nil
+    }
+
   /** Sweep query listing leftover `__artie`-suffixed temp tables for the
     * TTL reaper (D6) — (statement, bind args) exactly as the reference's
     * BuildSweepQuery returns them; None where the reference client sweeps
@@ -80,6 +118,12 @@ trait DdlDialect {
 
 object DdlDialects {
   private val ArtiePattern = "%" + "__artie" + "%"
+
+  /** sql.DefaultValueStrategy twin (lib/sql/default_value_strategy.go). */
+  sealed trait DefaultStrategy
+  case object Backfill extends DefaultStrategy
+  case object Native extends DefaultStrategy
+  case object NotImplemented extends DefaultStrategy
 
   /** Shared decimal rendering (lib/typing/decimal/details.go:toKind):
     * NUMERIC(p, s) up to the 38-digit ceiling, the dialect's string type
@@ -142,6 +186,7 @@ object DdlDialects {
     def dropColumn(target: String, colName: String) =
       s"ALTER TABLE $target DROP COLUMN IF EXISTS ${quote(colName)}"
     override def truncateTable(target: String) = s"TRUNCATE TABLE IF EXISTS $target"
+    override def defaultValueStrategy = DdlDialects.Backfill
     /** snowflake/dialect.go:81-117: transient staging + DELETE USING. */
     override def dedupeQueries(target: String, stagingTable: String, pks: Seq[String],
                                includeArtieUpdatedAt: Boolean, now: java.time.Instant) = Some(Seq(
@@ -198,6 +243,15 @@ WHERE
     def dropColumn(target: String, colName: String) =
       s"ALTER TABLE $target DROP COLUMN ${quote(colName)}"
     def sweepQuery(dbName: String, schemaName: String) = None // swept via the BQ API
+    override def defaultValueStrategy = DdlDialects.Backfill
+    /** BigQuery has no COMMENT ON: the backfilled marker is a column
+      * OPTIONS description (default_value.go:136-141).
+      */
+    override def backfillStatements(target: String, colName: String, defaultSql: String) = {
+      val c = quote(colName)
+      Seq(s"UPDATE $target as t SET t.$c = $defaultSql WHERE t.$c IS NULL;",
+        s"ALTER TABLE $target ALTER COLUMN $c SET OPTIONS (description=`{\"backfilled\": true}`);")
+    }
     /** bigquery/dialect.go:61-101: expiring staging + DELETE WHERE EXISTS. */
     override def dedupeQueries(target: String, stagingTable: String, pks: Seq[String],
                                includeArtieUpdatedAt: Boolean, now: java.time.Instant) = {
@@ -244,6 +298,15 @@ WHERE
     /** dialect.go:377-379 — the string-precision widening ALTER. */
     def increaseStringPrecision(target: String, colName: String, newPrecision: Int): String =
       s"ALTER TABLE $target ALTER COLUMN ${quote(colName)} TYPE VARCHAR($newPrecision)"
+    override def defaultValueStrategy = DdlDialects.Backfill
+    /** Redshift UPDATE supports no table alias and needs none
+      * (default_value.go:120-123, redshift BuildBackfillQuery).
+      */
+    override def backfillStatements(target: String, colName: String, defaultSql: String) = {
+      val c = quote(colName)
+      Seq(s"UPDATE $target SET $c = $defaultSql WHERE $c IS NULL;",
+        s"""COMMENT ON COLUMN $target.$c IS '{"backfilled": true}';""")
+    }
     /** redshift/dialect.go:72-121 — TEMPORARY staging (schema-less name,
       * `WHERE true` making QUALIFY valid), alias-less DELETE USING.
       */
@@ -395,6 +458,7 @@ WHERE
       s"ALTER TABLE $target ADD COLUMN IF NOT EXISTS $colDefSql"
     def dropColumn(target: String, colName: String) =
       s"ALTER TABLE $target DROP COLUMN IF EXISTS ${quote(colName)}"
+    override def defaultValueStrategy = DdlDialects.NotImplemented
     def sweepQuery(dbName: String, schemaName: String) = Some((
       "SELECT table_schema, table_name FROM information_schema.tables WHERE table_schema = $1 AND table_name LIKE $2",
       Seq(schemaName, ArtiePattern)))
@@ -430,6 +494,7 @@ WHERE
       s"ALTER TABLE $target ADD COLUMN IF NOT EXISTS $colDefSql;"
     def dropColumn(target: String, colName: String) =
       s"ALTER TABLE $target DROP COLUMN IF EXISTS ${quote(colName)};"
+    override def defaultValueStrategy = DdlDialects.NotImplemented
     def sweepQuery(dbName: String, schemaName: String) = Some((
       "SELECT table_schema, table_name FROM information_schema.tables WHERE table_catalog = $1 AND table_schema = $2 AND table_name LIKE $3;",
       Seq(dbName, schemaName, ArtiePattern)))

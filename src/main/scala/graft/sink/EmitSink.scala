@@ -37,7 +37,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * holding the column list the destination is known to have: absent →
   * the plan opens with CREATE TABLE; present with missing columns → the
   * plan opens with one ADD COLUMN per new column (merge.go:55-63's
-  * create-vs-alter split). The sidecar is advanced via temp+rename so a
+  * create-vs-alter split), followed by DROP COLUMN for destination
+  * columns confirmed absent through the 4 h confidence window (whose
+  * clock lives in the `__dropstate` sidecar and never advances off a
+  * delete-only batch — table.go:130-162). Added columns carrying a
+  * source default also plan the dialect's backfill statements
+  * (merge.go:109-144). The sidecar is advanced via temp+rename so a
   * crash never half-writes it; it advances AFTER the plan lands, so a
   * crash between the two replays the ADD COLUMN — destinations treat
   * added-column replays as benign (reference: IsColumnAlreadyExistsErr
@@ -76,11 +81,32 @@ object EmitSink {
   }
 
   private def writeDestSchema(df: DataFrame, sidecar: String,
-                              cols: Seq[(String, DataType)]): Unit = {
+                              cols: Seq[(String, DataType)]): Unit =
+    writeSidecarLines(df, sidecar, cols.map { case (n, t) => s"$n\t${t.json}" })
+
+  /** Generic line-sidecar read (empty when absent) — shared by the
+    * drop-confidence state, whose serialization DropConfidence owns.
+    */
+  private def readSidecarLines(df: DataFrame, sidecar: String): Seq[String] = {
+    val p = new Path(sidecar)
+    val f = fs(df, sidecar)
+    if (!f.exists(p)) Nil
+    else {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+      finally in.close()
+    }
+  }
+
+  /** Temp+rename line-sidecar write (a torn sidecar could fabricate
+    * schema or drop-clock state).
+    */
+  private def writeSidecarLines(df: DataFrame, sidecar: String,
+                                lines: Seq[String]): Unit = {
     val f = fs(df, sidecar)
     val tmp = new Path(sidecar + ".tmp")
     val out = f.create(tmp, true)
-    out.write(cols.map { case (n, t) => s"$n\t${t.json}" }.mkString("\n").getBytes("UTF-8"))
+    out.write(lines.mkString("\n").getBytes("UTF-8"))
     out.close()
     f.delete(new Path(sidecar), false)
     f.rename(tmp, new Path(sidecar))
@@ -112,40 +138,98 @@ object EmitSink {
   /** Emit one micro-batch: stage + plan (see object doc). Returns None on
     * an empty batch (ShouldSkipUpdate analog). `targetTable` is the
     * destination's fully-qualified name as the dialect expects it.
+    *
+    * `defaults` carries source-declared column defaults (the wire
+    * envelope's `default` field, D7): a column whose ADD COLUMN lands
+    * this batch and has a default gets the dialect's backfill statements
+    * (`UPDATE … WHERE col IS NULL` + backfilled marker) in the plan,
+    * positioned where the reference runs them — after the staging load,
+    * before the merge (clients/shared/merge.go:109-144).
+    *
+    * Destination-only columns enter the 4 h drop-confidence window
+    * ([[graft.schema.SchemaEvolution.DropConfidence]], persisted in the
+    * `__dropstate` sidecar): a column absent from every batch for the
+    * full window — with at least one of those batches carrying non-delete
+    * rows (delete events may only ship PKs, table.go:130-141) — emits
+    * DROP COLUMN (clients/shared/table.go:130-162,
+    * destination_table_config.go:103-129).
     */
   def emitBatch(batch: DataFrame, batchId: Long, cfg: CdcPipeline.Config,
                 label: String, destDir: String, targetTable: String,
-                now: java.time.Instant = java.time.Instant.now()): Option[EmittedBatch] = {
+                now: java.time.Instant = java.time.Instant.now(),
+                defaults: Map[String, Any] = Map.empty): Option[EmittedBatch] = {
+    import org.apache.spark.sql.functions.{count, lit, max}
     val dialect = DdlDialects(label) // fail fast on unknown labels
-    if (batch.isEmpty) return None
     val pks = cfg.effectivePrimaryKeys
     val transformed = CdcPipeline.applyRowTransforms(batch, cfg)
       .drop(Constants.OperationCol)
+    // One pass over the raw buffer for the reference's per-row flags
+    // (table_data.go:210-221): any hard-delete row (when the topic is not
+    // soft-delete) arms the merge's DELETE arm; any NON-delete row is the
+    // "contains other operations" evidence the drop-confidence window
+    // needs (delete events may only carry PKs). Doubles as the
+    // empty-batch probe (ShouldSkipUpdate).
+    val hasDeleteCol = transformed.columns.contains(Constants.DeleteCol)
+    val delFlag =
+      if (hasDeleteCol) col(Constants.DeleteCol).cast("boolean") else lit(false)
+    val flagsRow = transformed
+      .agg(count(lit(1)), max(delFlag.cast("int")), max((!delFlag).cast("int"))).head()
+    if (flagsRow.getLong(0) == 0L) return None
+    val anyDelete = !flagsRow.isNullAt(1) && flagsRow.getInt(1) == 1
+    val containsHardDeletes = anyDelete && !cfg.softDelete
+    val containsOtherOperations = !flagsRow.isNullAt(2) && flagsRow.getInt(2) == 1
     // the reference dedupes in its in-memory buffer before staging
     // (table_data.go:169-222); warehouse MERGE requires one row per PK
     val deduped = CdcOps.lastWins(transformed, pks, Seq(col(cfg.orderCol)))
 
-    // ---- DDL reconcile (merge.go:43-68) ------------------------------
+    // ---- DDL reconcile (merge.go:43-68: create-or-add, then drop) ----
     val sidecar = s"$destDir/__destschema"
+    val dropState = s"$destDir/__dropstate"
     val batchCols: Seq[(String, DataType)] =
       deduped.schema.fields.toSeq.map(f => f.name -> f.dataType)
     val known = readDestSchema(deduped, sidecar)
+    val added: Seq[(String, DataType)] = known match {
+      case None => Nil
+      case Some(existing) =>
+        val have = existing.map(_._1).toSet
+        batchCols.filterNot { case (n, _) => have.contains(n) }
+    }
+    // confirmed-absent destination columns after the confidence window;
+    // artie metadata columns never drop (diff.go:29-82)
+    val dropped: Seq[String] = known match {
+      case None => Nil
+      case Some(existing) =>
+        val inBatch = batchCols.map(_._1).toSet
+        val absent = existing.map(_._1)
+          .filterNot(n => inBatch.contains(n) || n.startsWith("__artie")).toSet
+        val dc = graft.schema.SchemaEvolution.DropConfidence.fromLines(
+          readSidecarLines(deduped, dropState))
+        val safe = dc.observe(absent, now, containsOtherOperations)
+        writeSidecarLines(deduped, dropState, dc.toLines)
+        safe
+    }
     val ddl: Seq[String] = known match {
       case None =>
         Seq(dialect.createTable(targetTable,
           batchCols.map { case (n, t) => dialect.colDef(n, t, pks.contains(n)) },
           temporary = false, now = now))
-      case Some(existing) =>
-        val have = existing.map(_._1).toSet
-        // one ADD COLUMN per new column, like AlterTableAddColumns' loop
-        batchCols.filterNot { case (n, _) => have.contains(n) }
-          .map { case (n, t) => dialect.addColumn(targetTable, dialect.colDef(n, t)) }
+      case Some(_) =>
+        // one ADD COLUMN per new column, like AlterTableAddColumns' loop,
+        // then the confirmed drops (merge.go:55-68's order)
+        added.map { case (n, t) => dialect.addColumn(targetTable, dialect.colDef(n, t)) } ++
+          dropped.map(dialect.dropColumn(targetTable, _))
     }
     val evolved = known match {
       case None => batchCols
       case Some(existing) =>
-        val have = existing.map(_._1).toSet
-        existing ++ batchCols.filterNot { case (n, _) => have.contains(n) }
+        existing.filterNot { case (n, _) => dropped.contains(n) } ++ added
+    }
+    // backfills run against the DESTINATION table for columns added this
+    // batch that carry a source default (merge.go:109-144); dialects whose
+    // strategy is Native/NotImplemented contribute nothing
+    val backfills: Seq[String] = added.flatMap { case (n, t) =>
+      defaults.get(n).toSeq.flatMap(v =>
+        dialect.backfillStatements(targetTable, n, dialect.defaultValueSql(v, t)))
     }
 
     // ---- stage the batch as canonical gzip TSV (temp_table.go) -------
@@ -172,8 +256,10 @@ object EmitSink {
           s"SELECT ${cols.map(dialect.quote).mkString(",")} FROM $staging;")
       else
         MergeDialects(label).mergeStatements(targetTable, staging, pks, cols,
-          cfg.softDelete, containsHardDeletes = true, toastCols = toast)
-    val plan = (createStaging +: merge) :+ dialect.dropTable(staging)
+          cfg.softDelete, containsHardDeletes = containsHardDeletes, toastCols = toast)
+    // reference execution order: staging load → default backfills on the
+    // destination → merge → temp drop (merge.go:100-212)
+    val plan = ((createStaging +: backfills) ++ merge) :+ dialect.dropTable(staging)
 
     // ---- record the plan (idempotent per-batch overwrite) ------------
     val planPath = s"$destDir/_plans/batch=$batchId.json"

@@ -78,6 +78,31 @@ object Sinks {
       graft.functions.Converters.canonicalString(col(f.name), f.dataType).as(f.name)
     }: _*)
 
+  /** Read-or-record the routing clock for one batch: attempt 1 writes
+    * `Instant.now` into `base__execclock/b<id>`; a crash-replay reads it
+    * back and re-routes with attempt 1's clock, so a replay that
+    * straddles a partition boundary cannot reclassify suffixes (the
+    * future→current duplication documented on [[softPartitionedAppend]]).
+    * Driver-side, one tiny file per batch.
+    */
+  private def pinnedBatchClock(spark: org.apache.spark.sql.SparkSession,
+                               base: String, batchId: Long): java.time.Instant = {
+    val p = new org.apache.hadoop.fs.Path(s"${base}__execclock/b$batchId")
+    val hadoopFs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hadoopFs.exists(p)) {
+      val in = hadoopFs.open(p)
+      try java.time.Instant.ofEpochMilli(
+        new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    } else {
+      val now = java.time.Instant.now()
+      val out = hadoopFs.create(p, true)
+      out.write(now.toEpochMilli.toString.getBytes("UTF-8"))
+      out.close()
+      now
+    }
+  }
+
   /** P12 wired to a sink: route each row to `base<suffix>` by the
     * soft-partition suffix of its timestamp (`_yyyy_MM`) — the reference
     * routes to suffixed TABLES, not partition dirs
@@ -118,8 +143,12 @@ object Sinks {
     * rows to the now-current `base<sfx>` target, whose own marker is
     * absent — the rows land in BOTH targets, i.e. a boundary-straddling
     * replay can DUPLICATE future-classified rows across two targets,
-    * not merely reroute them. Pin `executionTime` (the streaming wiring
-    * especially) when byte-exact replay routing matters.
+    * not merely reroute them. Pin `executionTime` when byte-exact replay
+    * routing matters — or set `pinExecutionTime = true` (needs
+    * `batchId`), which records the FIRST attempt's clock in a per-batch
+    * `__execclock` sidecar and replays against it, so a
+    * boundary-straddling replay classifies every suffix exactly as
+    * attempt 1 did and the per-target markers hold.
     *
     * The distinct-suffix collect is bounded by the batch's partition
     * span; the existence probes are one FileSystem call per distinct
@@ -129,12 +158,22 @@ object Sinks {
                             batchId: Option[Long] = None,
                             executionTime: Option[java.time.Instant] = None,
                             rejectFuture: Boolean = true,
-                            rejectNullTs: Boolean = false): Seq[String] = {
+                            rejectNullTs: Boolean = false,
+                            pinExecutionTime: Boolean = false): Seq[String] = {
     val spark = df.sparkSession
     val pattern = "_yyyy_MM"
+    val execInstant = executionTime.getOrElse {
+      batchId match {
+        case Some(id) if pinExecutionTime => pinnedBatchClock(spark, base, id)
+        case _ =>
+          require(!pinExecutionTime,
+            "pinExecutionTime needs a batchId to key the per-batch clock sidecar")
+          java.time.Instant.now()
+      }
+    }
     val nowSfx = java.time.format.DateTimeFormatter.ofPattern(pattern)
       .withZone(java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone", "UTC")))
-      .format(executionTime.getOrElse(java.time.Instant.now()))
+      .format(execInstant)
     val withSfx = df.withColumn("__sfx",
       coalesce(graft.operators.CdcOps.softPartitionSuffix(col(tsCol), pattern),
         lit("_default")))
@@ -207,7 +246,9 @@ object SinkRegistry {
 
   def sink(label: String, cfg: graft.streaming.CdcPipeline.Config,
            softPartitionTsCol: String = "ts",
-           emitTable: Option[String] = None): Sink = label match {
+           emitTable: Option[String] = None,
+           emitDefaults: Map[String, Any] = Map.empty,
+           softPartitionPinClock: Boolean = true): Sink = label match {
     // `emit:<dialect>` — the statement-emitting mode (the reference's real
     // operating shape: stage the batch, emit the warehouse's ordered
     // statement plan — clients/shared/merge.go:28-212). The target path is
@@ -221,7 +262,8 @@ object SinkRegistry {
       (df, batchId, target) => {
         val table = emitTable.getOrElse(
           graft.functions.Converters.sanitizeName(target.split('/').last))
-        EmitSink.emitBatch(df, batchId, cfg, dialect, target, table)
+        EmitSink.emitBatch(df, batchId, cfg, dialect, target, table,
+          defaults = emitDefaults)
         ()
       }
     case "merge" | "snapshot" =>
@@ -240,10 +282,16 @@ object SinkRegistry {
       // rejectFuture = false: a structured-streaming sink must not wedge
       // on one clock-skewed producer (fail -> replay -> fail forever);
       // future rows fold into the compacted _default table instead
-      // (documented deviation in softPartitionedAppend's scaladoc)
+      // (documented deviation in softPartitionedAppend's scaladoc).
+      // The routing clock is PINNED per batch by default: streaming is
+      // exactly where crash-replays are routine, and an unpinned replay
+      // straddling a partition boundary can duplicate future-classified
+      // rows across two targets (see softPartitionedAppend's replay
+      // caveat) — softPartitionPinClock = false restores wall-clock
+      // routing per attempt.
       (df, batchId, target) =>
         { Sinks.softPartitionedAppend(df, target, softPartitionTsCol, Some(batchId),
-          rejectFuture = false); () }
+          rejectFuture = false, pinExecutionTime = softPartitionPinClock); () }
     case other => throw new IllegalArgumentException(
       s"unsupported sink label: $other (expected merge | snapshot | append | history | soft-partitioned | emit:<dialect>)")
   }

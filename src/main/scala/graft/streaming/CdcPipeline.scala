@@ -617,7 +617,20 @@ object CdcPipeline {
     * persisted once so the per-table filters don't rescan the source.
     */
   def applyMultiTableBatch(batch: DataFrame, batchId: Long,
-                           cfgFor: String => Config, targetRoot: String): Unit = {
+                           cfgFor: String => Config, targetRoot: String): Unit =
+    applyMultiTableBatchWith(batch, batchId, targetRoot,
+      t => (slice, id, target) => applyBatch(slice, id, cfgFor(t), target))
+
+  /** [[applyMultiTableBatch]] generalized over the per-table SINK — the
+    * reference flushes EVERY table of a topic through whatever client the
+    * destination is (processes/consumer/flush.go:67-147), so the demux
+    * composes with any registry label: `sinkFor(t)` returning an
+    * `emit:<dialect>` sink stages + plans per table (each table gets its
+    * own workspace dir, `__destschema` sidecar, and plan series under
+    * `targetRoot/<table>`), a merge sink snapshots per table, etc.
+    */
+  def applyMultiTableBatchWith(batch: DataFrame, batchId: Long, targetRoot: String,
+                               sinkFor: String => (DataFrame, Long, String) => Unit): Unit = {
     if (batch.isEmpty) return
     val withTable = batch.withColumn("__table", sourceTableName)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -632,8 +645,8 @@ object CdcPipeline {
           withTable.filter(col("__table").isNull).drop("__table")
             .write.mode("overwrite").parquet(s"$targetRoot/__unrouted/batch=$batchId")
         case t =>
-          applyBatch(withTable.filter(col("__table") === t).drop("__table"),
-            batchId, cfgFor(t), s"$targetRoot/${tableDirName(t)}")
+          sinkFor(t)(withTable.filter(col("__table") === t).drop("__table"),
+            batchId, s"$targetRoot/${tableDirName(t)}")
       }
     } finally { withTable.unpersist(); () }
   }
@@ -656,11 +669,23 @@ object CdcPipeline {
   def startMultiTable(decoded: DataFrame, cfgFor: String => Config,
                       targetRoot: String, checkpoint: String,
                       flushInterval: String = "10 seconds"): StreamingQuery =
+    startMultiTableWith(decoded, targetRoot, checkpoint,
+      t => (slice, id, target) => applyBatch(slice, id, cfgFor(t), target),
+      flushInterval)
+
+  /** [[startMultiTable]] over an arbitrary per-table sink (see
+    * [[applyMultiTableBatchWith]]) — e.g.
+    * `t => SinkRegistry.sink("emit:snowflake", cfgFor(t), emitTable = Some(t))`
+    * runs the statement-emitting flush for every table of the topic.
+    */
+  def startMultiTableWith(decoded: DataFrame, targetRoot: String, checkpoint: String,
+                          sinkFor: String => (DataFrame, Long, String) => Unit,
+                          flushInterval: String = "10 seconds"): StreamingQuery =
     decoded.writeStream
       .trigger(Trigger.ProcessingTime(flushInterval))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyMultiTableBatch(batch, id, cfgFor, targetRoot)
+        applyMultiTableBatchWith(batch, id, targetRoot, sinkFor)
       }
       .start()
 }

@@ -1,0 +1,226 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import graft.sink.{DdlDialects, EmitSink, Sinks, SinkRegistry}
+import graft.streaming.CdcPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 emit-mode reference semantics: per-batch hard-delete gating
+  * (table_data.go:215-221, redshift dialect.go:358-372), drop-column
+  * through the 4 h confidence window + default-value backfill
+  * (clients/shared/table.go:130-162, merge.go:109-144,
+  * default_value.go:89-151), emit × multi-table demux
+  * (processes/consumer/flush.go:67-147), and the soft-partition routing
+  * clock pinned per batch for replay-exact classification.
+  */
+class Round12OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val now = Instant.parse("2026-08-15T00:00:00Z")
+  private val cfg = CdcPipeline.Config(Seq("id"), orderCol = "off")
+
+  private def batch(rows: (Long, String, Long, Boolean)*) =
+    rows.toDF("id", "name", "off", Constants.DeleteCol)
+
+  // ---- containsHardDeletes gating -----------------------------------
+
+  test("insert-only batch: redshift plan carries UPDATE + INSERT but NO DELETE (dialect.go:358-372)") {
+    val dir = Files.createTempDirectory("graft_emit_nodel").toString
+    val b = batch((1L, "a", 1L, false), (2L, "b", 2L, false))
+    val Some(eb) = EmitSink.emitBatch(b, 0L, cfg, "redshift", dir, "db.s.t", now)
+    assert(eb.plan.exists(_.startsWith("UPDATE db.s.t AS tgt")))
+    assert(eb.plan.exists(_.startsWith("INSERT INTO db.s.t (")))
+    assert(!eb.plan.exists(_.startsWith("DELETE FROM db.s.t")),
+      s"insert-only batch must not arm the DELETE: ${eb.plan.mkString("\n")}")
+  }
+
+  test("a batch WITH a hard delete arms the redshift DELETE; soft-delete topics never do") {
+    val dir = Files.createTempDirectory("graft_emit_del").toString
+    val b = batch((1L, "a", 1L, false), (3L, "gone", 2L, true))
+    val Some(eb) = EmitSink.emitBatch(b, 0L, cfg, "redshift", dir, "db.s.t", now)
+    assert(eb.plan.exists(_.startsWith("DELETE FROM db.s.t")))
+    // soft delete: the delete marker is DATA (merged as a column), not an op
+    val dir2 = Files.createTempDirectory("graft_emit_soft").toString
+    val Some(eb2) = EmitSink.emitBatch(b, 0L, cfg.copy(softDelete = true),
+      "redshift", dir2, "db.s.t", now)
+    assert(!eb2.plan.exists(_.startsWith("DELETE FROM db.s.t")))
+  }
+
+  // ---- drop-column confidence + backfill ----------------------------
+
+  test("drop-column lifecycle: absent column waits out the 4 h window, never drops off delete-only batches") {
+    val dir = Files.createTempDirectory("graft_emit_drop").toString
+    // batch 0: schema carries `age` -> destination created with it
+    val b0 = Seq((1L, "a", 1L, false, 30L))
+      .toDF("id", "name", "off", Constants.DeleteCol, "age")
+    EmitSink.emitBatch(b0, 0L, cfg, "snowflake", dir, "db.s.t", now)
+    // batch 1: age absent -> candidate recorded, nothing dropped yet
+    val Some(eb1) = EmitSink.emitBatch(batch((2L, "b", 2L, false)), 1L, cfg,
+      "snowflake", dir, "db.s.t", now)
+    assert(eb1.ddl.isEmpty, s"first absence must only start the clock: ${eb1.ddl}")
+    // batch 2 (delete-only, inside the window at +2h): no evidence — the
+    // clock must neither advance to a drop nor reset
+    val Some(eb2) = EmitSink.emitBatch(batch((2L, "x", 3L, true)), 2L, cfg,
+      "snowflake", dir, "db.s.t", now.plusSeconds(2 * 3600))
+    assert(eb2.ddl.isEmpty)
+    // batch 3 (delete-only, PAST the window at +5h): still no drop —
+    // delete events may only carry PKs (table.go:130-141)
+    val Some(eb3) = EmitSink.emitBatch(batch((2L, "y", 4L, true)), 3L, cfg,
+      "snowflake", dir, "db.s.t", now.plusSeconds(5 * 3600))
+    assert(eb3.ddl.isEmpty, s"delete-only batches must never drop: ${eb3.ddl}")
+    // batch 4 (real rows, past the window): DROP COLUMN emitted, sidecar
+    // advanced — batch 5 sees a clean schema and emits nothing
+    val Some(eb4) = EmitSink.emitBatch(batch((5L, "e", 5L, false)), 4L, cfg,
+      "snowflake", dir, "db.s.t", now.plusSeconds(5 * 3600))
+    assert(eb4.ddl == Seq("""ALTER TABLE db.s.t DROP COLUMN IF EXISTS "AGE""""))
+    val Some(eb5) = EmitSink.emitBatch(batch((6L, "f", 6L, false)), 5L, cfg,
+      "snowflake", dir, "db.s.t", now.plusSeconds(6 * 3600))
+    assert(eb5.ddl.isEmpty)
+  }
+
+  test("a reappearing column resets the drop clock") {
+    val dir = Files.createTempDirectory("graft_emit_reappear").toString
+    val withAge = Seq((1L, "a", 1L, false, 30L))
+      .toDF("id", "name", "off", Constants.DeleteCol, "age")
+    EmitSink.emitBatch(withAge, 0L, cfg, "postgres", dir, "db.s.t", now)
+    EmitSink.emitBatch(batch((2L, "b", 2L, false)), 1L, cfg,
+      "postgres", dir, "db.s.t", now) // clock starts
+    // age comes back inside the window -> candidate cleared (the ADD is a
+    // no-op: the sidecar still lists the column)
+    val withAge2 = Seq((3L, "c", 3L, false, 31L))
+      .toDF("id", "name", "off", Constants.DeleteCol, "age")
+    val Some(ebBack) = EmitSink.emitBatch(withAge2, 2L, cfg,
+      "postgres", dir, "db.s.t", now.plusSeconds(3600))
+    assert(ebBack.ddl.isEmpty)
+    // absent again: the clock must start OVER — +5h from the original
+    // sighting is NOT enough
+    EmitSink.emitBatch(batch((4L, "d", 4L, false)), 3L, cfg,
+      "postgres", dir, "db.s.t", now.plusSeconds(2 * 3600))
+    val Some(eb4) = EmitSink.emitBatch(batch((5L, "e", 5L, false)), 4L, cfg,
+      "postgres", dir, "db.s.t", now.plusSeconds(5 * 3600))
+    assert(eb4.ddl.isEmpty, s"reset clock must not have elapsed: ${eb4.ddl}")
+  }
+
+  test("add-with-default plans the dialect backfill after the staging create, before the merge") {
+    val dir = Files.createTempDirectory("graft_emit_backfill").toString
+    EmitSink.emitBatch(batch((1L, "a", 1L, false)), 0L, cfg, "snowflake",
+      dir, "db.s.t", now)
+    val b1 = Seq((2L, "b", 2L, false, 7L))
+      .toDF("id", "name", "off", Constants.DeleteCol, "age")
+    val Some(eb) = EmitSink.emitBatch(b1, 1L, cfg, "snowflake", dir, "db.s.t",
+      now, defaults = Map("age" -> 0L))
+    assert(eb.ddl == Seq("""ALTER TABLE db.s.t ADD COLUMN IF NOT EXISTS "AGE" int"""))
+    val iStage = eb.plan.indexWhere(_.startsWith("CREATE TRANSIENT TABLE"))
+    val iBackfill = eb.plan.indexOf(
+      """UPDATE db.s.t as t SET t."AGE" = 0 WHERE t."AGE" IS NULL;""")
+    val iMarker = eb.plan.indexOf(
+      """COMMENT ON COLUMN db.s.t."AGE" IS '{"backfilled": true}';""")
+    val iMerge = eb.plan.indexWhere(_.contains("MERGE INTO db.s.t")) // leading \n on the dialect text
+    assert(iStage >= 0 && iBackfill > iStage && iMarker == iBackfill + 1 && iMerge > iMarker,
+      s"backfill must sit between staging create and merge: ${eb.plan.mkString("\n")}")
+    // replay after the sidecar advanced: column is known -> no re-backfill
+    val Some(ebr) = EmitSink.emitBatch(b1, 1L, cfg, "snowflake", dir, "db.s.t",
+      now, defaults = Map("age" -> 0L))
+    assert(!ebr.plan.exists(_.startsWith("UPDATE db.s.t as t SET")))
+  }
+
+  test("backfill statement forms: redshift alias-less, bigquery OPTIONS marker, postgres/duckdb none, string defaults quote-escaped") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val rs = DdlDialects("redshift")
+    assert(rs.backfillStatements("db.s.t", "age", rs.defaultValueSql(0L, LongType)) == Seq(
+      """UPDATE db.s.t SET "age" = 0 WHERE "age" IS NULL;""",
+      """COMMENT ON COLUMN db.s.t."age" IS '{"backfilled": true}';"""))
+    val bq = DdlDialects("bigquery")
+    assert(bq.backfillStatements("db.s.t", "note",
+      bq.defaultValueSql("n/a's", StringType)) == Seq(
+      "UPDATE db.s.t as t SET t.`note` = 'n/a''s' WHERE t.`note` IS NULL;",
+      "ALTER TABLE db.s.t ALTER COLUMN `note` SET OPTIONS (description=`{\"backfilled\": true}`);"))
+    assert(DdlDialects("postgres").backfillStatements("t", "c", "0").isEmpty)
+    assert(DdlDialects("duckdb").backfillStatements("t", "c", "0").isEmpty)
+    // Native-strategy dialects also emit nothing (default rides the DDL)
+    assert(DdlDialects("mysql").backfillStatements("t", "c", "0").isEmpty)
+    assert(DdlDialects("snowflake").defaultValueStrategy == DdlDialects.Backfill)
+  }
+
+  // ---- emit × multi-table demux -------------------------------------
+
+  test("a running multi-table stream through emit sinks: 2 tables -> 2 staged dirs + 2 plans (flush.go:67-147)") {
+    val root = Files.createTempDirectory("graft_emit_demux").toString
+    val ckpt = Files.createTempDirectory("graft_emit_demux_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String, Long, Boolean)]
+    val decoded = ms.toDF()
+      .toDF("id", "v", Constants.SourceMetadataCol, "off", Constants.DeleteCol)
+    val q = CdcPipeline.startMultiTableWith(decoded, root, ckpt,
+      t => SinkRegistry.sink("emit:postgres", cfg, emitTable = Some(t)),
+      flushInterval = "1 seconds")
+    ms.addData(
+      (1L, "a", """{"table":"users"}""", 1L, false),
+      (2L, "b", """{"table":"orders"}""", 2L, false),
+      (3L, "c", """{"table":"orders"}""", 3L, true))
+    q.processAllAvailable()
+    q.stop()
+    for (t <- Seq("users", "orders")) {
+      assert(Files.exists(java.nio.file.Paths.get(s"$root/$t/_staging/batch=0")),
+        s"missing staged dir for $t")
+      val plan = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/$t/_plans/batch=0.json")), "UTF-8")
+      assert(plan.contains(s"""CREATE TABLE $t (""") &&
+        plan.contains(s"MERGE INTO $t AS tgt"))
+    }
+    // per-table schema state: each table got its own sidecar
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/users/__destschema")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/orders/__destschema")))
+  }
+
+  // ---- pinned soft-partition routing clock --------------------------
+
+  test("pinned routing clock: a boundary-straddling replay re-routes exactly like attempt 1 — zero duplicates") {
+    val root = Files.createTempDirectory("graft_pinclock").toString
+    val base = s"$root/t"
+    val df = Seq((1L, "2024-01-15 10:00:00"), (2L, "2024-02-01 00:30:00"))
+      .toDF("id", "ts_raw").selectExpr("id", "CAST(ts_raw AS TIMESTAMP) AS ts")
+    // seed attempt 1's clock: late January — the Feb row is FUTURE and
+    // folds into _default under stream-survival routing
+    val clockDir = java.nio.file.Paths.get(s"${base}__execclock")
+    Files.createDirectories(clockDir)
+    Files.write(clockDir.resolve("b7"),
+      Instant.parse("2024-01-31T23:59:00Z").toEpochMilli.toString.getBytes("UTF-8"))
+    val t1 = Sinks.softPartitionedAppend(df, base, "ts", batchId = Some(7L),
+      rejectFuture = false, pinExecutionTime = true)
+    assert(t1.toSet == Set(s"${base}_2024_01", s"${base}_default"))
+    // replay (wall clock is 2026 now — unpinned it would reclassify the
+    // Feb row current and append it to a fresh target): pinned, the
+    // routing repeats and the per-target markers make it a no-op
+    val t2 = Sinks.softPartitionedAppend(df, base, "ts", batchId = Some(7L),
+      rejectFuture = false, pinExecutionTime = true)
+    assert(t2.toSet == t1.toSet)
+    assert(spark.read.parquet(s"${base}_2024_01").count() == 1)
+    assert(spark.read.parquet(s"${base}_default").count() == 1)
+    assert(!Files.exists(java.nio.file.Paths.get(s"${base}_2024_02")),
+      "replay must not resurrect the future partition under a pinned clock")
+  }
+
+  test("first pinned attempt records the clock; a missing batchId fails loudly") {
+    val root = Files.createTempDirectory("graft_pinclock2").toString
+    val base = s"$root/t"
+    val df = Seq((1L, "2024-01-15 10:00:00"))
+      .toDF("id", "ts_raw").selectExpr("id", "CAST(ts_raw AS TIMESTAMP) AS ts")
+    Sinks.softPartitionedAppend(df, base, "ts", batchId = Some(3L),
+      rejectFuture = false, pinExecutionTime = true)
+    val recorded = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"${base}__execclock/b3")), "UTF-8").trim.toLong
+    // recorded clock is sane wall-clock (after 2026-01-01, before +1 day)
+    assert(recorded > Instant.parse("2026-01-01T00:00:00Z").toEpochMilli)
+    assert(recorded <= System.currentTimeMillis())
+    val e = intercept[IllegalArgumentException] {
+      Sinks.softPartitionedAppend(df, base, "ts", batchId = None,
+        rejectFuture = false, pinExecutionTime = true)
+    }
+    assert(e.getMessage.contains("batchId"))
+  }
+}
