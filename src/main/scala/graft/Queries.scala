@@ -10206,9 +10206,10 @@ FROM documents ORDER BY doc_id""")),
       // three representative dialects (single-MERGE, ordered-plan, and
       // engine-merge). Emission runs in a fresh workspace each call so
       // the DDL-reconcile branch (CREATE TABLE) is deterministic; the
-      // pinned `now` fixes the staging-table expiry suffix. Rows-only
-      // gate: statement text is non-SQL-expressible (its golden strings
-      // are pinned by DdlDialectsSpec/EmitSinkSpec).
+      // pinned `now` fixes the staging-table expiry suffix. The oracle is
+      // a VALUES literal of the exact statement rows (the same strings
+      // DdlDialectsSpec/EmitSinkSpec pin as golden — deterministic text
+      // IS enumerable; regenerate with tools/gen_values_oracle.py).
       import s.implicits._
       val now = java.time.Instant.parse("2026-01-01T00:00:00Z")
       val batch = Tables.orders(s, d)
@@ -10225,15 +10226,35 @@ FROM documents ORDER BY doc_id""")),
       }
       rows.toDF("dialect", "ord", "kind", "statement")
         .orderBy(col("dialect"), col("ord"))
-    }, None),
+    }, Some("""SELECT * FROM (VALUES
+('clickhouse', CAST(0 AS INTEGER), 'ddl', 'CREATE TABLE db.s.orders (`o_orderkey` Int64,`o_orderstatus` String,`o_totalprice` Float64,`__artie_delete` UInt8) ENGINE = ReplacingMergeTree(`__artie_updated_at`, `__artie_delete`);'),
+('clickhouse', CAST(1 AS INTEGER), 'plan', 'CREATE TABLE db.s.orders___artie_b0_1767247200 (`o_orderkey` Int64,`o_orderstatus` String,`o_totalprice` Float64,`__artie_delete` UInt8) ENGINE = ReplacingMergeTree(`__artie_updated_at`, `__artie_delete`);'),
+('clickhouse', CAST(2 AS INTEGER), 'plan', 'INSERT INTO db.s.orders (`o_orderkey`,`o_orderstatus`,`o_totalprice`,`__artie_delete`) SELECT `o_orderkey`,`o_orderstatus`,`o_totalprice`,`__artie_delete` FROM db.s.orders___artie_b0_1767247200;'),
+('clickhouse', CAST(3 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.orders___artie_b0_1767247200'),
+('redshift', CAST(0 AS INTEGER), 'ddl', 'CREATE TABLE IF NOT EXISTS db.s.orders ("o_orderkey" INT8,"o_orderstatus" VARCHAR(MAX),"o_totalprice" float,"__artie_delete" BOOLEAN NULL);'),
+('redshift', CAST(1 AS INTEGER), 'plan', 'CREATE TABLE IF NOT EXISTS db.s.orders___artie_b0_1767247200 ("o_orderkey" INT8,"o_orderstatus" VARCHAR(MAX),"o_totalprice" float,"__artie_delete" BOOLEAN NULL);'),
+('redshift', CAST(2 AS INTEGER), 'plan', 'UPDATE db.s.orders AS tgt SET "o_orderkey"=stg."o_orderkey","o_orderstatus"=stg."o_orderstatus","o_totalprice"=stg."o_totalprice" FROM db.s.orders___artie_b0_1767247200 AS stg WHERE tgt."o_orderkey" = stg."o_orderkey" AND COALESCE(stg."__artie_delete", false) = false;'),
+('redshift', CAST(3 AS INTEGER), 'plan', 'INSERT INTO db.s.orders ("o_orderkey","o_orderstatus","o_totalprice") SELECT stg."o_orderkey",stg."o_orderstatus",stg."o_totalprice" FROM db.s.orders___artie_b0_1767247200 AS stg LEFT JOIN db.s.orders AS tgt ON tgt."o_orderkey" = stg."o_orderkey" WHERE tgt."o_orderkey" IS NULL AND COALESCE(stg."__artie_delete", false) = false;'),
+('redshift', CAST(4 AS INTEGER), 'plan', 'DELETE FROM db.s.orders WHERE ("o_orderkey") IN (SELECT stg."o_orderkey" FROM db.s.orders___artie_b0_1767247200 AS stg WHERE stg."__artie_delete" = true);'),
+('redshift', CAST(5 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.orders___artie_b0_1767247200'),
+('snowflake', CAST(0 AS INTEGER), 'ddl', 'CREATE TABLE IF NOT EXISTS db.s.orders ("O_ORDERKEY" int,"O_ORDERSTATUS" string,"O_TOTALPRICE" float,"__ARTIE_DELETE" boolean)'),
+('snowflake', CAST(1 AS INTEGER), 'plan', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.orders___artie_b0_1767247200 ("O_ORDERKEY" int,"O_ORDERSTATUS" string,"O_TOTALPRICE" float,"__ARTIE_DELETE" boolean) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
+('snowflake', CAST(2 AS INTEGER), 'plan', '
+MERGE INTO db.s.orders tgt USING ( db.s.orders___artie_b0_1767247200 ) AS stg ON tgt."O_ORDERKEY" = stg."O_ORDERKEY"
+WHEN MATCHED AND stg."__ARTIE_DELETE" THEN DELETE
+WHEN MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN UPDATE SET "O_ORDERKEY"=stg."O_ORDERKEY","O_ORDERSTATUS"=stg."O_ORDERSTATUS","O_TOTALPRICE"=stg."O_TOTALPRICE"
+WHEN NOT MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN INSERT ("O_ORDERKEY","O_ORDERSTATUS","O_TOTALPRICE") VALUES (stg."O_ORDERKEY",stg."O_ORDERSTATUS",stg."O_TOTALPRICE");'),
+('snowflake', CAST(3 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.orders___artie_b0_1767247200')
+) AS t(dialect, ord, kind, statement) ORDER BY dialect, ord""")),
 
     ("q351_ddl_surface", (s, d) => {
       // Every dialect's DDL face (lib/sql/dialect.go:30-68 twin) rendered
       // over ONE fixed schema: create (permanent + staging form), add,
       // drop, drop-table, truncate, sweep, and Redshift's widening.
-      // Driver-side string generation — rows-only gate, golden strings
-      // pinned in DdlDialectsSpec; the row count is the breadth check
-      // (10 dialects x the full statement surface).
+      // Driver-side string generation — the oracle enumerates the exact
+      // statement rows as a VALUES literal (the DdlDialectsSpec golden
+      // strings made DuckDB-checkable; 10 dialects x the full statement
+      // surface; regenerate with tools/gen_values_oracle.py).
       import s.implicits._
       import org.apache.spark.sql.types.{LongType => LT, StringType => ST, TimestampType => TT}
       val now = java.time.Instant.parse("2026-01-01T00:00:00Z")
@@ -10263,7 +10284,245 @@ FROM documents ORDER BY doc_id""")),
         (base ++ sweep ++ widen ++ dedupe).map { case (kind, stmt) => (label, kind, stmt) }
       }
       rows.toDF("dialect", "kind", "statement").orderBy(col("dialect"), col("kind"))
-    }, None),
+    }, Some("""SELECT * FROM (VALUES
+('bigquery', 'add_column', 'ALTER TABLE db.s.t ADD COLUMN `age` int'),
+('bigquery', 'create', 'CREATE TABLE IF NOT EXISTS db.s.t (`id` int,`name` string,`updated_at` timestamp)'),
+('bigquery', 'create_staging', 'CREATE TABLE IF NOT EXISTS db.s.t___artie_b0 (`id` int,`name` string,`updated_at` timestamp) OPTIONS (expiration_timestamp = TIMESTAMP("2026-01-01 06:00:00 UTC"))'),
+('bigquery', 'dedupe_0', 'CREATE OR REPLACE TABLE db.s.t___artie_stg OPTIONS (expiration_timestamp = TIMESTAMP("2026-01-01 06:00:00 UTC")) AS (SELECT * FROM db.s.t QUALIFY ROW_NUMBER() OVER (PARTITION BY `id` ORDER BY `id` ASC, `__artie_updated_at` ASC) = 2)'),
+('bigquery', 'dedupe_1', 'DELETE FROM db.s.t t1 WHERE EXISTS (SELECT * FROM db.s.t___artie_stg t2 WHERE t1.`id` = t2.`id`)'),
+('bigquery', 'dedupe_2', 'INSERT INTO db.s.t SELECT * FROM db.s.t___artie_stg'),
+('bigquery', 'drop_column', 'ALTER TABLE db.s.t DROP COLUMN `age`'),
+('bigquery', 'drop_table', 'DROP TABLE IF EXISTS db.s.t'),
+('bigquery', 'truncate', 'TRUNCATE TABLE db.s.t'),
+('clickhouse', 'add_column', 'ALTER TABLE db.s.t ADD COLUMN IF NOT EXISTS `age` Int64;'),
+('clickhouse', 'create', 'CREATE TABLE db.s.t (`id` Int64,`name` String,`updated_at` DateTime,`__artie_delete` UInt8) ENGINE = ReplacingMergeTree(`__artie_updated_at`, `__artie_delete`);'),
+('clickhouse', 'create_staging', 'CREATE TABLE db.s.t___artie_b0 (`id` Int64,`name` String,`updated_at` DateTime,`__artie_delete` UInt8) ENGINE = ReplacingMergeTree(`__artie_updated_at`, `__artie_delete`);'),
+('clickhouse', 'drop_column', 'ALTER TABLE db.s.t DROP COLUMN IF EXISTS `age`;'),
+('clickhouse', 'drop_table', 'DROP TABLE IF EXISTS db.s.t'),
+('clickhouse', 'sweep', 'SELECT table_schema, table_name FROM information_schema.tables WHERE table_catalog = ? AND table_name LIKE ?; -- args: db, %__artie%'),
+('clickhouse', 'truncate', 'TRUNCATE TABLE db.s.t'),
+('databricks', 'add_column', 'ALTER TABLE db.s.t ADD COLUMN `age` BIGINT'),
+('databricks', 'create', 'CREATE TABLE IF NOT EXISTS db.s.t (`id` BIGINT, `name` STRING, `updated_at` TIMESTAMP)'),
+('databricks', 'create_staging', 'CREATE TABLE IF NOT EXISTS db.s.t___artie_b0 (`id` BIGINT, `name` STRING, `updated_at` TIMESTAMP)'),
+('databricks', 'dedupe_0', 'CREATE TABLE db.s.t___artie_stg AS SELECT * FROM db.s.t QUALIFY ROW_NUMBER() OVER (PARTITION BY `id` ORDER BY `id` ASC, `__artie_updated_at` ASC) = 2'),
+('databricks', 'dedupe_1', 'DELETE FROM db.s.t t1 WHERE EXISTS (SELECT * FROM db.s.t___artie_stg t2 WHERE t1.`id` = t2.`id`)'),
+('databricks', 'dedupe_2', 'INSERT INTO db.s.t SELECT * FROM db.s.t___artie_stg'),
+('databricks', 'drop_column', 'ALTER TABLE db.s.t DROP COLUMN `age`'),
+('databricks', 'drop_table', 'DROP TABLE IF EXISTS db.s.t'),
+('databricks', 'sweep', '
+SELECT
+    table_schema, table_name
+FROM
+    `db`.information_schema.tables
+WHERE
+    UPPER(table_schema) = UPPER(:p_schema) AND table_name ILIKE :p_artie_prefix -- args: s, %__artie%'),
+('databricks', 'truncate', 'TRUNCATE TABLE db.s.t'),
+('duckdb', 'add_column', 'ALTER TABLE db.s.t ADD COLUMN IF NOT EXISTS "age" bigint;'),
+('duckdb', 'create', 'CREATE TABLE db.s.t ("id" bigint,"name" text,"updated_at" timestamp with time zone);'),
+('duckdb', 'create_staging', 'CREATE TABLE db.s.t___artie_b0 ("id" bigint,"name" text,"updated_at" timestamp with time zone);'),
+('duckdb', 'dedupe_0', 'CREATE TABLE db.s.t___artie_stg AS (SELECT * FROM db.s.t QUALIFY ROW_NUMBER() OVER (PARTITION BY "id" ORDER BY "id" DESC, "__artie_updated_at" DESC) = 1)'),
+('duckdb', 'dedupe_1', 'DELETE FROM db.s.t t1 WHERE EXISTS (SELECT 1 FROM db.s.t___artie_stg t2 WHERE t1."id" = t2."id")'),
+('duckdb', 'dedupe_2', 'INSERT INTO db.s.t SELECT * FROM db.s.t___artie_stg'),
+('duckdb', 'dedupe_3', 'DROP TABLE IF EXISTS db.s.t___artie_stg'),
+('duckdb', 'drop_column', 'ALTER TABLE db.s.t DROP COLUMN IF EXISTS "age";'),
+('duckdb', 'drop_table', 'DROP TABLE IF EXISTS db.s.t'),
+('duckdb', 'sweep', 'SELECT table_schema, table_name FROM information_schema.tables WHERE table_catalog = $1 AND table_schema = $2 AND table_name LIKE $3; -- args: db, s, %__artie%'),
+('duckdb', 'truncate', 'TRUNCATE TABLE db.s.t'),
+('mssql', 'add_column', 'ALTER TABLE db.s.t ADD [age] bigint'),
+('mssql', 'create', 'CREATE TABLE db.s.t ([id] bigint,[name] VARCHAR(MAX),[updated_at] datetimeoffset);'),
+('mssql', 'create_staging', 'CREATE TABLE db.s.t___artie_b0 ([id] bigint,[name] VARCHAR(MAX),[updated_at] datetimeoffset);'),
+('mssql', 'drop_column', 'ALTER TABLE db.s.t DROP [age]'),
+('mssql', 'drop_table', 'DROP TABLE IF EXISTS db.s.t'),
+('mssql', 'sweep', '
+SELECT
+    TABLE_SCHEMA, TABLE_NAME
+FROM
+    INFORMATION_SCHEMA.TABLES
+WHERE
+    LOWER(TABLE_NAME) LIKE ? AND LOWER(TABLE_SCHEMA) = LOWER(?) -- args: %__artie%, s'),
+('mssql', 'truncate', 'TRUNCATE TABLE db.s.t'),
+('mysql', 'add_column', 'ALTER TABLE db.s.t ADD COLUMN `age` BIGINT'),
+('mysql', 'create', 'CREATE TABLE IF NOT EXISTS db.s.t (`id` BIGINT,`name` TEXT,`updated_at` DATETIME(6));'),
+('mysql', 'create_staging', 'CREATE TABLE IF NOT EXISTS db.s.t___artie_b0 (`id` BIGINT,`name` TEXT,`updated_at` DATETIME(6));'),
+('mysql', 'drop_column', 'ALTER TABLE db.s.t DROP COLUMN `age`'),
+('mysql', 'drop_table', 'DROP TABLE IF EXISTS db.s.t'),
+('mysql', 'sweep', '
+SELECT
+    TABLE_SCHEMA, TABLE_NAME
+FROM
+    INFORMATION_SCHEMA.TABLES
+WHERE
+    LOWER(TABLE_NAME) LIKE ? AND LOWER(TABLE_SCHEMA) = LOWER(?) -- args: %__artie%, db'),
+('mysql', 'truncate', 'TRUNCATE TABLE db.s.t'),
+('postgres', 'add_column', 'ALTER TABLE db.s.t ADD COLUMN IF NOT EXISTS "age" bigint'),
+('postgres', 'create', 'CREATE TABLE db.s.t ("id" bigint,"name" text,"updated_at" timestamp with time zone);'),
+('postgres', 'create_staging', 'CREATE TABLE db.s.t___artie_b0 ("id" bigint,"name" text,"updated_at" timestamp with time zone);'),
+('postgres', 'drop_column', 'ALTER TABLE db.s.t DROP COLUMN IF EXISTS "age"'),
+('postgres', 'drop_table', 'DROP TABLE IF EXISTS db.s.t'),
+('postgres', 'sweep', 'SELECT table_schema, table_name FROM information_schema.tables WHERE table_schema = $1 AND table_name LIKE $2 -- args: s, %__artie%'),
+('postgres', 'truncate', 'TRUNCATE TABLE db.s.t'),
+('redshift', 'add_column', 'ALTER TABLE db.s.t ADD COLUMN "age" INT8'),
+('redshift', 'create', 'CREATE TABLE IF NOT EXISTS db.s.t ("id" INT8,"name" VARCHAR(MAX),"updated_at" TIMESTAMP WITH TIME ZONE);'),
+('redshift', 'create_staging', 'CREATE TABLE IF NOT EXISTS db.s.t___artie_b0 ("id" INT8,"name" VARCHAR(MAX),"updated_at" TIMESTAMP WITH TIME ZONE);'),
+('redshift', 'dedupe_0', 'CREATE TEMPORARY TABLE "t___artie_stg" AS (SELECT * FROM db.s.t WHERE true QUALIFY ROW_NUMBER() OVER (PARTITION BY "id" ORDER BY "id" ASC, "__artie_updated_at" ASC) = 2)'),
+('redshift', 'dedupe_1', 'DELETE FROM db.s.t USING "t___artie_stg" t2 WHERE "t"."id" = t2."id"'),
+('redshift', 'dedupe_2', 'INSERT INTO db.s.t SELECT * FROM "t___artie_stg"'),
+('redshift', 'dedupe_append_0', 'CREATE TABLE db.s.t___artie_dedupe (LIKE db.s.t INCLUDING DEFAULTS, "_artie_dedupe_rn" BIGINT IDENTITY(1,1))'),
+('redshift', 'dedupe_append_1', 'ALTER TABLE db.s.t___artie_dedupe APPEND FROM db.s.t FILLTARGET'),
+('redshift', 'dedupe_append_2', 'CREATE TEMPORARY TABLE "t_losers" DISTSTYLE ALL AS SELECT "_artie_dedupe_rn" FROM db.s.t___artie_dedupe WHERE "_artie_dedupe_rn" NOT IN (SELECT MAX("_artie_dedupe_rn") FROM db.s.t___artie_dedupe GROUP BY "id")'),
+('redshift', 'dedupe_append_3', 'DELETE FROM db.s.t___artie_dedupe USING "t_losers" l WHERE "t___artie_dedupe"."_artie_dedupe_rn" = l."_artie_dedupe_rn"'),
+('redshift', 'dedupe_append_4', 'ALTER TABLE db.s.t APPEND FROM db.s.t___artie_dedupe IGNOREEXTRA'),
+('redshift', 'dedupe_append_5', 'DROP TABLE db.s.t___artie_dedupe'),
+('redshift', 'drop_column', 'ALTER TABLE db.s.t DROP COLUMN "age"'),
+('redshift', 'drop_table', 'DROP TABLE IF EXISTS db.s.t'),
+('redshift', 'sweep', '
+SELECT
+    n.nspname, c.relname
+FROM
+    PG_CATALOG.PG_CLASS c
+JOIN
+    PG_CATALOG.PG_NAMESPACE n ON n.oid = c.relnamespace
+WHERE
+    n.nspname = $1 AND c.relname ILIKE $2 AND c.relkind = ''r''; -- args: s, %__artie%'),
+('redshift', 'truncate', 'TRUNCATE TABLE db.s.t'),
+('redshift', 'widen_string', 'ALTER TABLE db.s.t ALTER COLUMN "name" TYPE VARCHAR(300)'),
+('snowflake', 'add_column', 'ALTER TABLE db.s.t ADD COLUMN IF NOT EXISTS "AGE" int'),
+('snowflake', 'create', 'CREATE TABLE IF NOT EXISTS db.s.t ("ID" int,"NAME" string,"UPDATED_AT" timestamp_tz)'),
+('snowflake', 'create_staging', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.t___artie_b0 ("ID" int,"NAME" string,"UPDATED_AT" timestamp_tz) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
+('snowflake', 'dedupe_0', 'CREATE OR REPLACE TRANSIENT TABLE db.s.t___artie_stg AS (SELECT * FROM db.s.t QUALIFY ROW_NUMBER() OVER (PARTITION BY "ID" ORDER BY "ID" ASC, "__ARTIE_UPDATED_AT" ASC) = 2)'),
+('snowflake', 'dedupe_1', 'DELETE FROM db.s.t t1 USING db.s.t___artie_stg t2 WHERE t1."ID" = t2."ID"'),
+('snowflake', 'dedupe_2', 'INSERT INTO db.s.t SELECT * FROM db.s.t___artie_stg'),
+('snowflake', 'drop_column', 'ALTER TABLE db.s.t DROP COLUMN IF EXISTS "AGE"'),
+('snowflake', 'drop_table', 'DROP TABLE IF EXISTS db.s.t'),
+('snowflake', 'sweep', '
+SELECT
+    table_schema, table_name
+FROM
+    db.information_schema.tables
+WHERE
+    UPPER(table_schema) = UPPER(?) AND table_name ILIKE ? -- args: s, %__artie%'),
+('snowflake', 'truncate', 'TRUNCATE TABLE IF EXISTS db.s.t'),
+('spark', 'add_column', 'ALTER TABLE db.s.t ADD COLUMNS (`age` BIGINT)'),
+('spark', 'create', 'CREATE TABLE IF NOT EXISTS db.s.t (`id` BIGINT, `name` STRING, `updated_at` TIMESTAMP) USING iceberg TBLPROPERTIES (''format-version''=''2'')'),
+('spark', 'create_staging', 'CREATE TABLE IF NOT EXISTS db.s.t___artie_b0 (`id` BIGINT, `name` STRING, `updated_at` TIMESTAMP) USING iceberg TBLPROPERTIES (''format-version''=''2'')'),
+('spark', 'dedupe_0', 'CREATE OR REPLACE TABLE db.s.t___artie_stg AS SELECT * FROM (
+SELECT *, ROW_NUMBER() OVER (PARTITION BY `id` ORDER BY `id` DESC, `__artie_updated_at` DESC) AS __artie_rn FROM db.s.t) WHERE __artie_rn = 1'),
+('spark', 'dedupe_1', 'ALTER TABLE db.s.t___artie_stg DROP COLUMN __artie_rn'),
+('spark', 'dedupe_2', 'INSERT OVERWRITE db.s.t TABLE db.s.t___artie_stg'),
+('spark', 'dedupe_3', 'DROP TABLE IF EXISTS db.s.t___artie_stg'),
+('spark', 'drop_column', 'ALTER TABLE db.s.t DROP COLUMN `age`'),
+('spark', 'drop_table', 'DROP TABLE IF EXISTS db.s.t'),
+('spark', 'truncate', 'TRUNCATE TABLE db.s.t')
+) AS t(dialect, kind, statement) ORDER BY dialect, kind""")),
+
+    ("q352_emit_reconcile_lifecycle", (s, d) => {
+      // The round-12 emit-mode reference semantics as one driver-visible
+      // lifecycle over the nation table (25 rows at every SF; statement
+      // text depends only on schema + per-batch flags, so the output is
+      // SF-independent): (a) CREATE off an insert-only batch — redshift
+      // must plan NO DELETE arm (table_data.go:215-221,
+      // redshift dialect.go:358-372); (b) ADD COLUMN with a source
+      // default — Backfill-strategy dialects plan the UPDATE + backfilled
+      // marker between staging create and merge (merge.go:109-144);
+      // (c) a hard-delete batch arms the DELETE; (d) the column absent —
+      // drop clock starts, no DDL; (e) absent past the 4 h window with
+      // real rows — DROP COLUMN (table.go:130-162). The oracle is a
+      // VALUES literal of the exact statement rows (regenerate with
+      // tools/gen_values_oracle.py after intentional statement changes).
+      import s.implicits._
+      val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z")
+      val cfg = graft.streaming.CdcPipeline.Config(Seq("id"), orderCol = "off")
+      val base = Tables.nation(s, d)
+        .select(col("n_nationkey").cast(LongType).as("id"), col("n_name").as("name"))
+        .withColumn("off", col("id"))
+        .withColumn(Constants.DeleteCol, lit(false))
+      val rows = Seq("redshift", "snowflake").flatMap { label =>
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_q352_$label").toString
+        def emit(step: String, b: DataFrame, id: Long, at: java.time.Instant,
+                 defaults: Map[String, Any] = Map.empty) = {
+          val eb = graft.sink.EmitSink.emitBatch(b, id, cfg, label, dir,
+            "db.s.nation", at, defaults).get
+          (eb.ddl.map(("ddl", _)) ++ eb.plan.map(("plan", _))).zipWithIndex
+            .map { case ((kind, stmt), i) => (label, step, i, kind, stmt) }
+        }
+        emit("a_create_insert_only", base, 0L, t0) ++
+          emit("b_add_default", base.withColumn("priority", lit(1L)), 1L, t0,
+            defaults = Map("priority" -> 0L)) ++
+          emit("c_hard_delete", base.withColumn("priority", lit(1L))
+            .withColumn(Constants.DeleteCol, col("id") === 0L), 2L, t0) ++
+          emit("d_clock_start", base, 3L, t0.plusSeconds(3600)) ++
+          emit("e_drop_after_window", base, 4L, t0.plusSeconds(6 * 3600))
+      }
+      rows.toDF("dialect", "step", "ord", "kind", "statement")
+        .orderBy(col("dialect"), col("step"), col("ord"))
+    }, Some("""SELECT * FROM (VALUES
+('redshift', 'a_create_insert_only', CAST(0 AS INTEGER), 'ddl', 'CREATE TABLE IF NOT EXISTS db.s.nation ("id" INT8,"name" VARCHAR(MAX),"off" INT8,"__artie_delete" BOOLEAN NULL);'),
+('redshift', 'a_create_insert_only', CAST(1 AS INTEGER), 'plan', 'CREATE TABLE IF NOT EXISTS db.s.nation___artie_b0_1767247200 ("id" INT8,"name" VARCHAR(MAX),"off" INT8,"__artie_delete" BOOLEAN NULL);'),
+('redshift', 'a_create_insert_only', CAST(2 AS INTEGER), 'plan', 'UPDATE db.s.nation AS tgt SET "id"=stg."id","name"=stg."name","off"=stg."off" FROM db.s.nation___artie_b0_1767247200 AS stg WHERE tgt."id" = stg."id" AND COALESCE(stg."__artie_delete", false) = false;'),
+('redshift', 'a_create_insert_only', CAST(3 AS INTEGER), 'plan', 'INSERT INTO db.s.nation ("id","name","off") SELECT stg."id",stg."name",stg."off" FROM db.s.nation___artie_b0_1767247200 AS stg LEFT JOIN db.s.nation AS tgt ON tgt."id" = stg."id" WHERE tgt."id" IS NULL AND COALESCE(stg."__artie_delete", false) = false;'),
+('redshift', 'a_create_insert_only', CAST(4 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b0_1767247200'),
+('redshift', 'b_add_default', CAST(0 AS INTEGER), 'ddl', 'ALTER TABLE db.s.nation ADD COLUMN "priority" INT8'),
+('redshift', 'b_add_default', CAST(1 AS INTEGER), 'plan', 'CREATE TABLE IF NOT EXISTS db.s.nation___artie_b1_1767247200 ("id" INT8,"name" VARCHAR(MAX),"off" INT8,"__artie_delete" BOOLEAN NULL,"priority" INT8);'),
+('redshift', 'b_add_default', CAST(2 AS INTEGER), 'plan', 'UPDATE db.s.nation SET "priority" = 0 WHERE "priority" IS NULL;'),
+('redshift', 'b_add_default', CAST(3 AS INTEGER), 'plan', 'COMMENT ON COLUMN db.s.nation."priority" IS ''{"backfilled": true}'';'),
+('redshift', 'b_add_default', CAST(4 AS INTEGER), 'plan', 'UPDATE db.s.nation AS tgt SET "id"=stg."id","name"=stg."name","off"=stg."off","priority"=stg."priority" FROM db.s.nation___artie_b1_1767247200 AS stg WHERE tgt."id" = stg."id" AND COALESCE(stg."__artie_delete", false) = false;'),
+('redshift', 'b_add_default', CAST(5 AS INTEGER), 'plan', 'INSERT INTO db.s.nation ("id","name","off","priority") SELECT stg."id",stg."name",stg."off",stg."priority" FROM db.s.nation___artie_b1_1767247200 AS stg LEFT JOIN db.s.nation AS tgt ON tgt."id" = stg."id" WHERE tgt."id" IS NULL AND COALESCE(stg."__artie_delete", false) = false;'),
+('redshift', 'b_add_default', CAST(6 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b1_1767247200'),
+('redshift', 'c_hard_delete', CAST(0 AS INTEGER), 'plan', 'CREATE TABLE IF NOT EXISTS db.s.nation___artie_b2_1767247200 ("id" INT8,"name" VARCHAR(MAX),"off" INT8,"__artie_delete" BOOLEAN NULL,"priority" INT8);'),
+('redshift', 'c_hard_delete', CAST(1 AS INTEGER), 'plan', 'UPDATE db.s.nation AS tgt SET "id"=stg."id","name"=stg."name","off"=stg."off","priority"=stg."priority" FROM db.s.nation___artie_b2_1767247200 AS stg WHERE tgt."id" = stg."id" AND COALESCE(stg."__artie_delete", false) = false;'),
+('redshift', 'c_hard_delete', CAST(2 AS INTEGER), 'plan', 'INSERT INTO db.s.nation ("id","name","off","priority") SELECT stg."id",stg."name",stg."off",stg."priority" FROM db.s.nation___artie_b2_1767247200 AS stg LEFT JOIN db.s.nation AS tgt ON tgt."id" = stg."id" WHERE tgt."id" IS NULL AND COALESCE(stg."__artie_delete", false) = false;'),
+('redshift', 'c_hard_delete', CAST(3 AS INTEGER), 'plan', 'DELETE FROM db.s.nation WHERE ("id") IN (SELECT stg."id" FROM db.s.nation___artie_b2_1767247200 AS stg WHERE stg."__artie_delete" = true);'),
+('redshift', 'c_hard_delete', CAST(4 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b2_1767247200'),
+('redshift', 'd_clock_start', CAST(0 AS INTEGER), 'plan', 'CREATE TABLE IF NOT EXISTS db.s.nation___artie_b3_1767250800 ("id" INT8,"name" VARCHAR(MAX),"off" INT8,"__artie_delete" BOOLEAN NULL);'),
+('redshift', 'd_clock_start', CAST(1 AS INTEGER), 'plan', 'UPDATE db.s.nation AS tgt SET "id"=stg."id","name"=stg."name","off"=stg."off" FROM db.s.nation___artie_b3_1767250800 AS stg WHERE tgt."id" = stg."id" AND COALESCE(stg."__artie_delete", false) = false;'),
+('redshift', 'd_clock_start', CAST(2 AS INTEGER), 'plan', 'INSERT INTO db.s.nation ("id","name","off") SELECT stg."id",stg."name",stg."off" FROM db.s.nation___artie_b3_1767250800 AS stg LEFT JOIN db.s.nation AS tgt ON tgt."id" = stg."id" WHERE tgt."id" IS NULL AND COALESCE(stg."__artie_delete", false) = false;'),
+('redshift', 'd_clock_start', CAST(3 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b3_1767250800'),
+('redshift', 'e_drop_after_window', CAST(0 AS INTEGER), 'ddl', 'ALTER TABLE db.s.nation DROP COLUMN "priority"'),
+('redshift', 'e_drop_after_window', CAST(1 AS INTEGER), 'plan', 'CREATE TABLE IF NOT EXISTS db.s.nation___artie_b4_1767268800 ("id" INT8,"name" VARCHAR(MAX),"off" INT8,"__artie_delete" BOOLEAN NULL);'),
+('redshift', 'e_drop_after_window', CAST(2 AS INTEGER), 'plan', 'UPDATE db.s.nation AS tgt SET "id"=stg."id","name"=stg."name","off"=stg."off" FROM db.s.nation___artie_b4_1767268800 AS stg WHERE tgt."id" = stg."id" AND COALESCE(stg."__artie_delete", false) = false;'),
+('redshift', 'e_drop_after_window', CAST(3 AS INTEGER), 'plan', 'INSERT INTO db.s.nation ("id","name","off") SELECT stg."id",stg."name",stg."off" FROM db.s.nation___artie_b4_1767268800 AS stg LEFT JOIN db.s.nation AS tgt ON tgt."id" = stg."id" WHERE tgt."id" IS NULL AND COALESCE(stg."__artie_delete", false) = false;'),
+('redshift', 'e_drop_after_window', CAST(4 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b4_1767268800'),
+('snowflake', 'a_create_insert_only', CAST(0 AS INTEGER), 'ddl', 'CREATE TABLE IF NOT EXISTS db.s.nation ("ID" int,"NAME" string,"OFF" int,"__ARTIE_DELETE" boolean)'),
+('snowflake', 'a_create_insert_only', CAST(1 AS INTEGER), 'plan', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.nation___artie_b0_1767247200 ("ID" int,"NAME" string,"OFF" int,"__ARTIE_DELETE" boolean) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
+('snowflake', 'a_create_insert_only', CAST(2 AS INTEGER), 'plan', '
+MERGE INTO db.s.nation tgt USING ( db.s.nation___artie_b0_1767247200 ) AS stg ON tgt."ID" = stg."ID"
+WHEN MATCHED AND stg."__ARTIE_DELETE" THEN DELETE
+WHEN MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN UPDATE SET "ID"=stg."ID","NAME"=stg."NAME","OFF"=stg."OFF"
+WHEN NOT MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN INSERT ("ID","NAME","OFF") VALUES (stg."ID",stg."NAME",stg."OFF");'),
+('snowflake', 'a_create_insert_only', CAST(3 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b0_1767247200'),
+('snowflake', 'b_add_default', CAST(0 AS INTEGER), 'ddl', 'ALTER TABLE db.s.nation ADD COLUMN IF NOT EXISTS "PRIORITY" int'),
+('snowflake', 'b_add_default', CAST(1 AS INTEGER), 'plan', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.nation___artie_b1_1767247200 ("ID" int,"NAME" string,"OFF" int,"__ARTIE_DELETE" boolean,"PRIORITY" int) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
+('snowflake', 'b_add_default', CAST(2 AS INTEGER), 'plan', 'UPDATE db.s.nation as t SET t."PRIORITY" = 0 WHERE t."PRIORITY" IS NULL;'),
+('snowflake', 'b_add_default', CAST(3 AS INTEGER), 'plan', 'COMMENT ON COLUMN db.s.nation."PRIORITY" IS ''{"backfilled": true}'';'),
+('snowflake', 'b_add_default', CAST(4 AS INTEGER), 'plan', '
+MERGE INTO db.s.nation tgt USING ( db.s.nation___artie_b1_1767247200 ) AS stg ON tgt."ID" = stg."ID"
+WHEN MATCHED AND stg."__ARTIE_DELETE" THEN DELETE
+WHEN MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN UPDATE SET "ID"=stg."ID","NAME"=stg."NAME","OFF"=stg."OFF","PRIORITY"=stg."PRIORITY"
+WHEN NOT MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN INSERT ("ID","NAME","OFF","PRIORITY") VALUES (stg."ID",stg."NAME",stg."OFF",stg."PRIORITY");'),
+('snowflake', 'b_add_default', CAST(5 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b1_1767247200'),
+('snowflake', 'c_hard_delete', CAST(0 AS INTEGER), 'plan', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.nation___artie_b2_1767247200 ("ID" int,"NAME" string,"OFF" int,"__ARTIE_DELETE" boolean,"PRIORITY" int) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
+('snowflake', 'c_hard_delete', CAST(1 AS INTEGER), 'plan', '
+MERGE INTO db.s.nation tgt USING ( db.s.nation___artie_b2_1767247200 ) AS stg ON tgt."ID" = stg."ID"
+WHEN MATCHED AND stg."__ARTIE_DELETE" THEN DELETE
+WHEN MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN UPDATE SET "ID"=stg."ID","NAME"=stg."NAME","OFF"=stg."OFF","PRIORITY"=stg."PRIORITY"
+WHEN NOT MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN INSERT ("ID","NAME","OFF","PRIORITY") VALUES (stg."ID",stg."NAME",stg."OFF",stg."PRIORITY");'),
+('snowflake', 'c_hard_delete', CAST(2 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b2_1767247200'),
+('snowflake', 'd_clock_start', CAST(0 AS INTEGER), 'plan', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.nation___artie_b3_1767250800 ("ID" int,"NAME" string,"OFF" int,"__ARTIE_DELETE" boolean) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
+('snowflake', 'd_clock_start', CAST(1 AS INTEGER), 'plan', '
+MERGE INTO db.s.nation tgt USING ( db.s.nation___artie_b3_1767250800 ) AS stg ON tgt."ID" = stg."ID"
+WHEN MATCHED AND stg."__ARTIE_DELETE" THEN DELETE
+WHEN MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN UPDATE SET "ID"=stg."ID","NAME"=stg."NAME","OFF"=stg."OFF"
+WHEN NOT MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN INSERT ("ID","NAME","OFF") VALUES (stg."ID",stg."NAME",stg."OFF");'),
+('snowflake', 'd_clock_start', CAST(2 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b3_1767250800'),
+('snowflake', 'e_drop_after_window', CAST(0 AS INTEGER), 'ddl', 'ALTER TABLE db.s.nation DROP COLUMN IF EXISTS "PRIORITY"'),
+('snowflake', 'e_drop_after_window', CAST(1 AS INTEGER), 'plan', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.nation___artie_b4_1767268800 ("ID" int,"NAME" string,"OFF" int,"__ARTIE_DELETE" boolean) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
+('snowflake', 'e_drop_after_window', CAST(2 AS INTEGER), 'plan', '
+MERGE INTO db.s.nation tgt USING ( db.s.nation___artie_b4_1767268800 ) AS stg ON tgt."ID" = stg."ID"
+WHEN MATCHED AND stg."__ARTIE_DELETE" THEN DELETE
+WHEN MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN UPDATE SET "ID"=stg."ID","NAME"=stg."NAME","OFF"=stg."OFF"
+WHEN NOT MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN INSERT ("ID","NAME","OFF") VALUES (stg."ID",stg."NAME",stg."OFF");'),
+('snowflake', 'e_drop_after_window', CAST(3 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b4_1767268800')
+) AS t(dialect, step, ord, kind, statement) ORDER BY dialect, step, ord""")),
   )
 
   /** One absorption chain of the q271 oracle — p0 constants plus
