@@ -521,17 +521,48 @@ object CdcPipeline {
       s"applyBatchByteCapped does not compose with msmSteps=${cfg.msmSteps}: " +
         "the multi-step staging flush keys on contiguous batch ids, which " +
         "synthetic sub-batch ids are not")
+    forEachByteCappedChunk(batch, cfg, maxBytes, byteEstimate) { (chunk, c) =>
+      applyBatchMarked(chunk, batchId * SubBatchStride + c, cfg, targetPath, SubBatchMarker)
+    }
+  }
+
+  /** The byte-capped splitter generalized over the per-chunk SINK — the
+    * composition that IS the reference's real flush: byte-TRIGGERED
+    * (config.go:20's 25 MB buffer cap) and statement-EMITTING
+    * (clients/shared/merge.go). Each chunk lands through `sink` under its
+    * synthetic sub-batch id in stream order, e.g.
+    * `SinkRegistry.sink("emit:snowflake", cfg)` stages + plans one
+    * statement series per ≤ maxBytes chunk — exactly one warehouse
+    * round-trip per buffer-cap crossing, like the reference. Idempotence
+    * is the sink's own contract (the emit sink's per-batch overwrite;
+    * merge sinks should come through [[applyBatchByteCapped]], whose
+    * sub-batch markers also guard the plain-resume switch).
+    */
+  def applyBatchByteCappedWith(batch: DataFrame, batchId: Long, cfg: Config,
+                               target: String, maxBytes: Long,
+                               sink: (DataFrame, Long, String) => Unit,
+                               byteEstimate: Option[org.apache.spark.sql.Column] = None): Unit =
+    forEachByteCappedChunk(batch, cfg, maxBytes, byteEstimate) { (chunk, c) =>
+      sink(chunk, batchId * SubBatchStride + c, target)
+    }
+
+  /** Shared chunk loop: split on estimated bytes in `cfg.orderCol` order,
+    * persist once, hand each chunk (in chunk order — stream order) to `f`
+    * with its CHUNK id (callers fold the batch id into the synthetic
+    * sub-batch id). Chunk count is bounded by batch bytes / maxBytes.
+    */
+  private def forEachByteCappedChunk(batch: DataFrame, cfg: Config, maxBytes: Long,
+                                     byteEstimate: Option[org.apache.spark.sql.Column])
+                                    (f: (DataFrame, Long) => Unit): Unit = {
     if (batch.isEmpty) return
     val est = byteEstimate.getOrElse(CdcOps.approxRowBytes(batch))
     val chunked = CdcOps.byteCappedChunks(batch, Seq(col(cfg.orderCol)), est, maxBytes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // bounded by batch bytes / maxBytes
       val chunks = chunked.select(col("__chunk")).distinct()
         .collect().map(_.getLong(0)).sorted
       chunks.foreach { c =>
-        applyBatchMarked(chunked.filter(col("__chunk") === c).drop("__chunk"),
-          batchId * SubBatchStride + c, cfg, targetPath, SubBatchMarker)
+        f(chunked.filter(col("__chunk") === c).drop("__chunk"), c)
       }
     } finally { chunked.unpersist(); () }
   }
@@ -551,6 +582,24 @@ object CdcPipeline {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         applyBatchByteCapped(batch, id, cfg, targetPath, maxBytes, byteEstimate)
+      }
+      .start()
+
+  /** [[startByteCapped]] over an arbitrary per-chunk sink (see
+    * [[applyBatchByteCappedWith]]) — with an `emit:` sink this is the
+    * reference's COMPLETE operating loop from a running stream: consume,
+    * buffer to the byte cap, and emit one staged batch + ordered
+    * statement plan per cap crossing.
+    */
+  def startByteCappedWith(decoded: DataFrame, cfg: Config, target: String,
+                          checkpoint: String, maxBytes: Long,
+                          sink: (DataFrame, Long, String) => Unit,
+                          byteEstimate: Option[org.apache.spark.sql.Column] = None): StreamingQuery =
+    decoded.writeStream
+      .trigger(Trigger.ProcessingTime(cfg.flushInterval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBatchByteCappedWith(batch, id, cfg, target, maxBytes, sink, byteEstimate)
       }
       .start()
 

@@ -177,6 +177,42 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(s"$root/orders/__destschema")))
   }
 
+  // ---- byte-capped x emit: the reference's complete flush loop ------
+
+  test("byte-capped emit: a running stream stages + plans one statement series per cap crossing") {
+    val dir = Files.createTempDirectory("graft_emit_cap").toString + "/users"
+    val ckpt = Files.createTempDirectory("graft_emit_cap_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long, Boolean)]
+    val decoded = ms.toDF().toDF("id", "name", "off", Constants.DeleteCol)
+    val sink = SinkRegistry.sink("emit:snowflake", cfg)
+    // cost each row as 1 byte with a 2-byte cap -> 5 rows split at
+    // exclusive-prefix-sum / 2 = chunks {0,0}, {1,1}, {2} — three chunks
+    val q = CdcPipeline.startByteCappedWith(decoded, cfg.copy(flushInterval = "1 seconds"),
+      dir, ckpt, maxBytes = 2L, sink, byteEstimate = Some(
+        org.apache.spark.sql.functions.lit(1L)))
+    ms.addData((1L, "a", 1L, false), (2L, "b", 2L, false), (3L, "c", 3L, false),
+      (4L, "d", 4L, false), (5L, "e", 5L, false))
+    q.processAllAvailable()
+    q.stop()
+    val plans = new java.io.File(s"$dir/_plans").listFiles().map(_.getName)
+      .filter(_.matches("batch=\\d+\\.json")).sorted
+    assert(plans.length == 3, s"expected 3 chunk plans, got ${plans.mkString(", ")}")
+    val p0 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_plans/${plans.head}")), "UTF-8")
+    val p2 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_plans/${plans.last}")), "UTF-8")
+    // chunk 0 created the destination; later chunks reconciled to a no-op
+    // DDL — the chunks flushed IN ORDER within the batch
+    assert(p0.contains("CREATE TABLE IF NOT EXISTS users ("))
+    assert(p2.contains("\"ddl\":[]") && p2.contains("MERGE INTO users tgt"))
+    // every chunk staged
+    plans.foreach { p =>
+      val id = p.stripPrefix("batch=").stripSuffix(".json")
+      assert(Files.exists(java.nio.file.Paths.get(s"$dir/_staging/batch=$id")))
+    }
+  }
+
   // ---- pinned soft-partition routing clock --------------------------
 
   test("pinned routing clock: a boundary-straddling replay re-routes exactly like attempt 1 — zero duplicates") {
