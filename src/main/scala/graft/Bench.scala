@@ -33,6 +33,14 @@ object Bench {
       case _: NumberFormatException =>
         sys.error(s"SPARK_GRAFT_REPS must be an integer, got '$repsRaw'")
     }
+    // hi-sweep min-of-N per side; SPARK_GRAFT_SWEEP_HI_REPS=1 halves
+    // hi-sweep wall time. Parsed HERE so a typo fails before the suite
+    // spends 40 minutes measuring, not at the sweep.
+    val hiRepsRaw = sys.env.getOrElse("SPARK_GRAFT_SWEEP_HI_REPS", "2")
+    val hiReps = try hiRepsRaw.toInt.max(1) catch {
+      case _: NumberFormatException =>
+        sys.error(s"SPARK_GRAFT_SWEEP_HI_REPS must be an integer, got '$hiRepsRaw'")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -188,9 +196,6 @@ object Bench {
     // Disable with SPARK_GRAFT_SWEEP_HI=0 (dev loops) — also off whenever
     // the main sweep is off.
     val hiFactor = 3
-    // min-of-N per side; SPARK_GRAFT_SWEEP_HI_REPS=1 halves hi-sweep wall
-    // time when the bench loop is the bottleneck (default 2)
-    val hiReps = sys.env.getOrElse("SPARK_GRAFT_SWEEP_HI_REPS", "2").toInt.max(1)
     // For hi exponents ABOVE linear: the emitted row counts at base and
     // hi scale (one untimed count() per side). An output-driven alpha
     // (pair queries whose result set itself grows super-linearly at the

@@ -138,12 +138,19 @@ object SchemaEvolution {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
 
-    /** Record one batch's observation; returns columns now safe to drop. */
+    /** Record one batch's observation; returns columns now safe to drop.
+      * A delete-only batch contributes no ABSENCE evidence (delete events
+      * may carry only PKs — its missing columns neither start nor advance
+      * a clock), but a column PRESENT in one is positive schema evidence:
+      * its stale candidate is purged, so a later absence starts a fresh
+      * window instead of inheriting the old clock and dropping
+      * prematurely.
+      */
     def observe(absentCols: Set[String], batchTime: Instant,
                 containsOtherOperations: Boolean): Seq[String] = {
-      if (!containsOtherOperations) return Nil // delete-only batch: no evidence
-      candidates = candidates.filter { case (c, _) => absentCols.contains(c) } ++
-        absentCols.filterNot(candidates.contains).map(_ -> batchTime)
+      candidates = candidates.filter { case (c, _) => absentCols.contains(c) }
+      if (!containsOtherOperations) return Nil // delete-only: no absence evidence
+      candidates ++= absentCols.filterNot(candidates.contains).map(_ -> batchTime)
       candidates.collect {
         case (c, since) if batchTime.isAfter(since.plusSeconds(graceHours * 3600)) => c
       }.toSeq.sorted

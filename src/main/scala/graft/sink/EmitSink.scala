@@ -170,8 +170,13 @@ object EmitSink {
     // needs (delete events may only carry PKs). Doubles as the
     // empty-batch probe (ShouldSkipUpdate).
     val hasDeleteCol = transformed.columns.contains(Constants.DeleteCol)
-    val delFlag =
-      if (hasDeleteCol) col(Constants.DeleteCol).cast("boolean") else lit(false)
+    // NULL delete flags mean NOT deleted — the same COALESCE(…, false)
+    // every merge dialect applies to the marker; without it a NULL-flag
+    // upsert batch would count as neither delete nor "other operation"
+    // (max skips NULLs) and read as delete-only
+    val delFlag = org.apache.spark.sql.functions.coalesce(
+      if (hasDeleteCol) col(Constants.DeleteCol).cast("boolean") else lit(false),
+      lit(false))
     val flagsRow = transformed
       .agg(count(lit(1)), max(delFlag.cast("int")), max((!delFlag).cast("int"))).head()
     if (flagsRow.getLong(0) == 0L) return None
@@ -202,10 +207,12 @@ object EmitSink {
         val inBatch = batchCols.map(_._1).toSet
         val absent = existing.map(_._1)
           .filterNot(n => inBatch.contains(n) || n.startsWith("__artie")).toSet
-        val dc = graft.schema.SchemaEvolution.DropConfidence.fromLines(
-          readSidecarLines(deduped, dropState))
+        val before = readSidecarLines(deduped, dropState)
+        val dc = graft.schema.SchemaEvolution.DropConfidence.fromLines(before)
         val safe = dc.observe(absent, now, containsOtherOperations)
-        writeSidecarLines(deduped, dropState, dc.toLines)
+        // steady-state schemas leave the candidate set untouched batch
+        // after batch — skip the 3-FS-op rewrite unless it changed
+        if (dc.toLines != before) writeSidecarLines(deduped, dropState, dc.toLines)
         safe
     }
     val ddl: Seq[String] = known match {

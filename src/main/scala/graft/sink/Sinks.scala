@@ -78,27 +78,47 @@ object Sinks {
       graft.functions.Converters.canonicalString(col(f.name), f.dataType).as(f.name)
     }: _*)
 
-  /** Read-or-record the routing clock for one batch: attempt 1 writes
-    * `Instant.now` into `base__execclock/b<id>`; a crash-replay reads it
-    * back and re-routes with attempt 1's clock, so a replay that
-    * straddles a partition boundary cannot reclassify suffixes (the
+  /** Read-or-record the routing clock for one batch: attempt 1 records
+    * `(batchId, Instant.now)` in the SINGLE `base__execclock` marker
+    * (overwritten per batch — only the latest batch can ever replay
+    * after checkpoint recovery, so one file bounds the state; the
+    * `__batch` replay marker has the same design); a crash-replay of the
+    * SAME batch id reads attempt 1's clock back and re-routes with it,
+    * so a boundary-straddling replay cannot reclassify suffixes (the
     * future→current duplication documented on [[softPartitionedAppend]]).
-    * Driver-side, one tiny file per batch.
+    *
+    * The write is temp+rename (a torn marker must not fabricate a
+    * clock) and the read falls back to re-pinning on any parse failure —
+    * safe, because the clock is recorded BEFORE any append of that
+    * attempt: a torn or missing marker means attempt 1 died before
+    * routing anything, so a fresh clock re-routes a batch nothing of
+    * which has landed. A poison marker therefore can never wedge the
+    * stream (fail→replay→fail), unlike a strict parse.
     */
   private def pinnedBatchClock(spark: org.apache.spark.sql.SparkSession,
                                base: String, batchId: Long): java.time.Instant = {
-    val p = new org.apache.hadoop.fs.Path(s"${base}__execclock/b$batchId")
+    val p = new org.apache.hadoop.fs.Path(s"${base}__execclock")
     val hadoopFs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (hadoopFs.exists(p)) {
-      val in = hadoopFs.open(p)
-      try java.time.Instant.ofEpochMilli(
-        new String(in.readAllBytes(), "UTF-8").trim.toLong)
-      finally in.close()
-    } else {
+    val recorded: Option[java.time.Instant] =
+      if (!hadoopFs.exists(p)) None
+      else {
+        val in = hadoopFs.open(p)
+        try {
+          val Array(id, ms) = new String(in.readAllBytes(), "UTF-8").trim.split("\t", 2)
+          if (id.toLong == batchId) Some(java.time.Instant.ofEpochMilli(ms.toLong))
+          else None // a NEW batch id: pin a fresh clock below
+        }
+        catch { case scala.util.control.NonFatal(_) => None }
+        finally in.close()
+      }
+    recorded.getOrElse {
       val now = java.time.Instant.now()
-      val out = hadoopFs.create(p, true)
-      out.write(now.toEpochMilli.toString.getBytes("UTF-8"))
+      val tmp = new org.apache.hadoop.fs.Path(s"${base}__execclock.tmp")
+      val out = hadoopFs.create(tmp, true)
+      out.write(s"$batchId\t${now.toEpochMilli}".getBytes("UTF-8"))
       out.close()
+      hadoopFs.delete(p, false)
+      hadoopFs.rename(tmp, p)
       now
     }
   }

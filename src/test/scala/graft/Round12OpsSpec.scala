@@ -222,10 +222,9 @@ class Round12OpsSpec extends AnyFunSuite {
       .toDF("id", "ts_raw").selectExpr("id", "CAST(ts_raw AS TIMESTAMP) AS ts")
     // seed attempt 1's clock: late January — the Feb row is FUTURE and
     // folds into _default under stream-survival routing
-    val clockDir = java.nio.file.Paths.get(s"${base}__execclock")
-    Files.createDirectories(clockDir)
-    Files.write(clockDir.resolve("b7"),
-      Instant.parse("2024-01-31T23:59:00Z").toEpochMilli.toString.getBytes("UTF-8"))
+    Files.createDirectories(java.nio.file.Paths.get(root))
+    Files.write(java.nio.file.Paths.get(s"${base}__execclock"),
+      s"7\t${Instant.parse("2024-01-31T23:59:00Z").toEpochMilli}".getBytes("UTF-8"))
     val t1 = Sinks.softPartitionedAppend(df, base, "ts", batchId = Some(7L),
       rejectFuture = false, pinExecutionTime = true)
     assert(t1.toSet == Set(s"${base}_2024_01", s"${base}_default"))
@@ -241,22 +240,96 @@ class Round12OpsSpec extends AnyFunSuite {
       "replay must not resurrect the future partition under a pinned clock")
   }
 
-  test("first pinned attempt records the clock; a missing batchId fails loudly") {
+  test("first pinned attempt records (id, clock) in the single overwritten marker; a missing batchId fails loudly") {
     val root = Files.createTempDirectory("graft_pinclock2").toString
     val base = s"$root/t"
     val df = Seq((1L, "2024-01-15 10:00:00"))
       .toDF("id", "ts_raw").selectExpr("id", "CAST(ts_raw AS TIMESTAMP) AS ts")
+    val t0 = System.currentTimeMillis()
     Sinks.softPartitionedAppend(df, base, "ts", batchId = Some(3L),
       rejectFuture = false, pinExecutionTime = true)
-    val recorded = new String(Files.readAllBytes(
-      java.nio.file.Paths.get(s"${base}__execclock/b3")), "UTF-8").trim.toLong
-    // recorded clock is sane wall-clock (after 2026-01-01, before +1 day)
-    assert(recorded > Instant.parse("2026-01-01T00:00:00Z").toEpochMilli)
-    assert(recorded <= System.currentTimeMillis())
+    val Array(id, ms) = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"${base}__execclock")), "UTF-8").trim.split("\t", 2)
+    // round-trip, not wall-clock comparison against a constant: the
+    // marker holds this attempt's id and an instant from this run
+    assert(id.toLong == 3L)
+    assert(ms.toLong >= t0 && ms.toLong <= System.currentTimeMillis())
+    // a NEW batch id overwrites the marker (bounded state: ONE file)
+    Sinks.softPartitionedAppend(df, base, "ts", batchId = Some(4L),
+      rejectFuture = false, pinExecutionTime = true)
+    val after = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"${base}__execclock")), "UTF-8")
+    assert(after.startsWith("4\t"))
     val e = intercept[IllegalArgumentException] {
       Sinks.softPartitionedAppend(df, base, "ts", batchId = None,
         rejectFuture = false, pinExecutionTime = true)
     }
     assert(e.getMessage.contains("batchId"))
+  }
+
+  test("a torn __execclock marker re-pins instead of wedging the stream") {
+    val root = Files.createTempDirectory("graft_pinclock3").toString
+    val base = s"$root/t"
+    Files.createDirectories(java.nio.file.Paths.get(root))
+    Files.write(java.nio.file.Paths.get(s"${base}__execclock"),
+      Array.empty[Byte]) // crash left a zero-byte marker before any append
+    val df = Seq((1L, "2024-01-15 10:00:00"))
+      .toDF("id", "ts_raw").selectExpr("id", "CAST(ts_raw AS TIMESTAMP) AS ts")
+    // must not throw: torn marker means attempt 1 routed nothing — a
+    // fresh pin is safe, a strict parse would fail->replay->fail forever
+    Sinks.softPartitionedAppend(df, base, "ts", batchId = Some(5L),
+      rejectFuture = false, pinExecutionTime = true)
+    val after = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"${base}__execclock")), "UTF-8")
+    assert(after.startsWith("5\t"))
+  }
+
+  test("NULL delete flags count as NOT deleted for the batch flags (COALESCE semantics)") {
+    val dir = Files.createTempDirectory("graft_emit_nullflag").toString
+    // an upsert batch whose delete flag is NULL everywhere: must read as
+    // containing OTHER operations (clock evidence) and NO hard deletes
+    val b = Seq((1L, "a", 1L), (2L, "b", 2L))
+      .toDF("id", "name", "off")
+      .withColumn(Constants.DeleteCol,
+        org.apache.spark.sql.functions.lit(null).cast("boolean"))
+    val Some(eb) = EmitSink.emitBatch(b, 0L, cfg, "redshift", dir, "db.s.t", now)
+    assert(!eb.plan.exists(_.startsWith("DELETE FROM db.s.t")),
+      "NULL flags must not arm the DELETE")
+    // and the same batch advances the drop clock (containsOtherOperations):
+    // seed: create with `age`, then two NULL-flag batches without it 5h apart
+    val dir2 = Files.createTempDirectory("graft_emit_nullflag2").toString
+    val withAge = Seq((1L, "a", 1L, 30L)).toDF("id", "name", "off", "age")
+      .withColumn(Constants.DeleteCol, org.apache.spark.sql.functions.lit(null).cast("boolean"))
+    EmitSink.emitBatch(withAge, 0L, cfg, "postgres", dir2, "db.s.t", now)
+    val noAge = Seq((2L, "b", 2L)).toDF("id", "name", "off")
+      .withColumn(Constants.DeleteCol, org.apache.spark.sql.functions.lit(null).cast("boolean"))
+    EmitSink.emitBatch(noAge, 1L, cfg, "postgres", dir2, "db.s.t", now)
+    val Some(eb2) = EmitSink.emitBatch(noAge, 2L, cfg, "postgres", dir2, "db.s.t",
+      now.plusSeconds(5 * 3600))
+    assert(eb2.ddl == Seq("""ALTER TABLE db.s.t DROP COLUMN IF EXISTS "age""""))
+  }
+
+  test("a column present in a delete-only batch purges its stale drop candidate (no inherited clock)") {
+    val dir = Files.createTempDirectory("graft_emit_stale").toString
+    val withAge = Seq((1L, "a", 1L, false, 30L))
+      .toDF("id", "name", "off", Constants.DeleteCol, "age")
+    EmitSink.emitBatch(withAge, 0L, cfg, "postgres", dir, "db.s.t", now)
+    // absent on an evidence batch -> candidate (clock t0)
+    EmitSink.emitBatch(batch((2L, "b", 2L, false)), 1L, cfg,
+      "postgres", dir, "db.s.t", now)
+    // a DELETE-ONLY batch whose schema carries `age`: positive schema
+    // evidence — the stale candidate must purge even without op evidence
+    val delWithAge = Seq((1L, "x", 3L, true, 31L))
+      .toDF("id", "name", "off", Constants.DeleteCol, "age")
+    EmitSink.emitBatch(delWithAge, 2L, cfg, "postgres", dir, "db.s.t",
+      now.plusSeconds(3600))
+    // absent again on an evidence batch at t0+2h: a FRESH window starts
+    EmitSink.emitBatch(batch((4L, "d", 4L, false)), 3L, cfg,
+      "postgres", dir, "db.s.t", now.plusSeconds(2 * 3600))
+    val Some(eb4) = EmitSink.emitBatch(batch((5L, "e", 5L, false)), 4L, cfg,
+      "postgres", dir, "db.s.t", now.plusSeconds(5 * 3600))
+    // 5h after the ORIGINAL clock, but only 3h after the fresh one: no drop
+    assert(eb4.ddl.isEmpty,
+      s"stale candidate must not survive a reappearance: ${eb4.ddl}")
   }
 }
