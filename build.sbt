@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print machine-parsed JSON on stdout; sbt's default
+// LoggedOutput prefixes forked output with "[info] ", which breaks a
+// tail parser expecting a bare JSON line (BENCH_r11's `parsed: null`).
+// StdoutOutput passes the child's stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
