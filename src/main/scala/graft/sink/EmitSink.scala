@@ -85,9 +85,13 @@ object EmitSink {
     writeSidecarLines(df, sidecar, cols.map { case (n, t) => s"$n\t${t.json}" })
 
   /** Generic line-sidecar read (empty when absent) — shared by the
-    * drop-confidence state, whose serialization DropConfidence owns.
+    * drop-confidence state, whose serialization DropConfidence owns;
+    * also used by [[graft.streaming.CdcPipeline.observeColumnDrops]] so
+    * drop-window state follows the SNAPSHOT's filesystem (a nio local
+    * path would silently strip an hdfs://... scheme and fork the state
+    * per driver host).
     */
-  private def readSidecarLines(df: DataFrame, sidecar: String): Seq[String] = {
+  private[graft] def readSidecarLines(df: DataFrame, sidecar: String): Seq[String] = {
     val p = new Path(sidecar)
     val f = fs(df, sidecar)
     if (!f.exists(p)) Nil
@@ -101,8 +105,8 @@ object EmitSink {
   /** Temp+rename line-sidecar write (a torn sidecar could fabricate
     * schema or drop-clock state).
     */
-  private def writeSidecarLines(df: DataFrame, sidecar: String,
-                                lines: Seq[String]): Unit = {
+  private[graft] def writeSidecarLines(df: DataFrame, sidecar: String,
+                                       lines: Seq[String]): Unit = {
     val f = fs(df, sidecar)
     val tmp = new Path(sidecar + ".tmp")
     val out = f.create(tmp, true)

@@ -117,6 +117,19 @@ object CdcPipeline {
     else withUpdatedAt
   }
 
+  /** Hadoop FileSystem.rename signals most failures by RETURNING FALSE
+    * (HDFS destination-exists / parent-missing, S3A copy failure) rather
+    * than throwing — an unchecked swap rename would silently drop a
+    * flush while the batch marker still advances. Every rename in the
+    * snapshot-swap and marker protocols goes through this guard.
+    */
+  private def renameOrFail(fs: org.apache.hadoop.fs.FileSystem,
+                           src: Path, dst: Path): Unit =
+    require(fs.rename(src, dst),
+      s"filesystem rename $src -> $dst returned false (destination exists, " +
+        "parent missing, or store-side copy failure) — failing the flush " +
+        "loudly so the batch replays instead of silently losing its changes")
+
   /** Resolve the live snapshot dir, recovering from a crash that happened
     * mid-swap (live dir renamed away but the new one not yet promoted).
     */
@@ -128,7 +141,7 @@ object CdcPipeline {
       if (fs.exists(prev)) fs.delete(prev, true) // completed swap, old copy left over
       Some(dst)
     } else if (fs.exists(prev)) {
-      fs.rename(prev, dst) // crashed between demote and promote: roll back
+      renameOrFail(fs, prev, dst) // crashed between demote and promote: roll back
       Some(dst)
     } else None
   }
@@ -159,8 +172,10 @@ object CdcPipeline {
     merged.write.mode("overwrite").parquet(tmp.toString)
     val dst = new Path(path)
     val prev = new Path(path + "__prev")
-    if (fs.exists(dst)) fs.rename(dst, prev)
-    fs.rename(tmp, dst)
+    // resolveSnapshot above already cleared any leftover __prev, so both
+    // renames have a free destination; a false return is a real failure
+    if (fs.exists(dst)) renameOrFail(fs, dst, prev)
+    renameOrFail(fs, tmp, dst)
     if (fs.exists(prev)) fs.delete(prev, true)
   }
 
@@ -207,6 +222,16 @@ object CdcPipeline {
           s"snapshot at $path was written with numBuckets=$recorded; " +
             s"refusing to merge with numBuckets=${cfg.numBuckets} (would strand rows in stale buckets)")
       case None =>
+        // distinguish ABSENT from CORRUPT: an unreadable marker must not
+        // masquerade as "snapshot exists un-bucketed" — that diagnosis
+        // sends the operator to rebuild a healthy snapshot when the fix
+        // is restoring/rewriting one tiny marker file
+        val markerPath = new Path(path + "/__nbuckets")
+        val mfs = markerPath.getFileSystem(spark0.sparkContext.hadoopConfiguration)
+        require(!mfs.exists(markerPath),
+          s"bucket-count marker $markerPath exists but is unreadable/corrupt; " +
+            "refusing to merge — restore the marker (a single integer: the " +
+            "snapshot's bucket count) instead of rebuilding the snapshot")
         // mode transition guard: an existing UN-bucketed snapshot here would
         // become invisible to bucketed reads — rows silently stranded
         require(resolveSnapshot(spark0, path).isEmpty,
@@ -214,12 +239,15 @@ object CdcPipeline {
             s"numBuckets=${cfg.numBuckets} (rebuild the snapshot to change layout)")
         val marker = new Path(path + "/__nbuckets")
         val fs0 = marker.getFileSystem(spark0.sparkContext.hadoopConfiguration)
-        // temp + rename so a crash never leaves a half-written marker
+        // temp + rename so a crash never leaves a half-written marker;
+        // checked, because a false rename would leave the layout guard
+        // disabled and a later numBuckets change would strand rows
         val tmp = new Path(path + "/__nbuckets.tmp")
         val out = fs0.create(tmp, true)
         out.write(cfg.numBuckets.toString.getBytes("UTF-8"))
         out.close()
-        fs0.rename(tmp, marker)
+        fs0.delete(marker, false) // corrupt leftover would block the rename
+        renameOrFail(fs0, tmp, marker)
     }
     val withB = changes.withColumn("__bucket", bucketId(pks, cfg.numBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -386,7 +414,8 @@ object CdcPipeline {
   }
 
   private def applyBatchMarked(batch: DataFrame, batchId: Long, cfg: Config,
-                               targetPath: String, marker: String): Unit = {
+                               targetPath: String, marker: String,
+                               observeDrops: Boolean = true): Unit = {
     if (batch.isEmpty) return
     if (batchId <= lastAppliedBatch(batch.sparkSession, targetPath, marker)) return // replay: no-op
     val transformed = applyRowTransforms(batch, cfg)
@@ -400,7 +429,10 @@ object CdcPipeline {
       return // no marker needed: the per-batch overwrite IS the idempotency
     }
     val changes = transformed.drop(Constants.OperationCol)
-    observeColumnDrops(transformed, batchId, cfg, targetPath)
+    // the byte-capped path observes ONCE per micro-batch before the chunk
+    // loop — every chunk shares the batch's column set, so per-chunk
+    // observation would repeat the delete-only probe job and sidecar IO
+    if (observeDrops) observeColumnDrops(transformed, batchId, cfg, targetPath)
     // bucketed mode touches only the buckets the batch lands in
     def dispatch(chg: DataFrame, soft: Boolean): Unit =
       if (cfg.numBuckets > 0) mergeIntoBucketedSnapshot(chg, cfg, targetPath, soft)
@@ -459,14 +491,17 @@ object CdcPipeline {
       .filterNot(c => c.startsWith("__artie") || cfg.effectivePrimaryKeys.contains(c))
     val containsOtherOps =
       !batch.columns.contains(Constants.DeleteCol) ||
-        batch.filter(!col(Constants.DeleteCol)).limit(1).count() > 0
-    // local-fs sidecar; an object-store deployment would keep this state
-    // in a catalog table instead
-    val sidecar = java.nio.file.Paths.get(
-      new Path(targetPath + "__dropstate").toUri.getPath)
-    val dc = graft.schema.SchemaEvolution.DropConfidence.load(sidecar, graceHours)
+        batch.filter(coalesce(col(Constants.DeleteCol).cast("boolean"),
+          lit(false)) === false).limit(1).count() > 0
+    // the sidecar lives on the SNAPSHOT's filesystem (hadoop path, like
+    // every other marker here) — a nio local path would strip an
+    // hdfs://… scheme and fork the drop window per driver host
+    val sidecar = targetPath + "__dropstate"
+    val before = graft.sink.EmitSink.readSidecarLines(batch, sidecar)
+    val dc = graft.schema.SchemaEvolution.DropConfidence.fromLines(before, graceHours)
     val droppable = dc.observe(absent, now, containsOtherOps)
-    dc.save(sidecar)
+    if (dc.toLines != before)
+      graft.sink.EmitSink.writeSidecarLines(batch, sidecar, dc.toLines)
     if (droppable.nonEmpty)
       System.err.println(s"[graft] columns past drop-confidence for $targetPath: ${droppable.mkString(", ")}")
     droppable
@@ -521,8 +556,11 @@ object CdcPipeline {
       s"applyBatchByteCapped does not compose with msmSteps=${cfg.msmSteps}: " +
         "the multi-step staging flush keys on contiguous batch ids, which " +
         "synthetic sub-batch ids are not")
+    if (!batch.isEmpty)
+      observeColumnDrops(applyRowTransforms(batch, cfg), batchId, cfg, targetPath)
     forEachByteCappedChunk(batch, cfg, maxBytes, byteEstimate) { (chunk, c) =>
-      applyBatchMarked(chunk, batchId * SubBatchStride + c, cfg, targetPath, SubBatchMarker)
+      applyBatchMarked(chunk, batchId * SubBatchStride + c, cfg, targetPath,
+        SubBatchMarker, observeDrops = false)
     }
   }
 
@@ -546,17 +584,28 @@ object CdcPipeline {
       sink(chunk, batchId * SubBatchStride + c, target)
     }
 
-  /** Shared chunk loop: split on estimated bytes in `cfg.orderCol` order,
-    * persist once, hand each chunk (in chunk order — stream order) to `f`
-    * with its CHUNK id (callers fold the batch id into the synthetic
-    * sub-batch id). Chunk count is bounded by batch bytes / maxBytes.
+  /** Shared chunk loop: split on estimated bytes in `cfg.orderCol` order
+    * WITH the primary keys as tiebreakers, persist once, hand each chunk
+    * (in chunk order — stream order) to `f` with its CHUNK id (callers
+    * fold the batch id into the synthetic sub-batch id). Chunk count is
+    * bounded by batch bytes / maxBytes.
+    *
+    * The tiebreakers are replay-correctness, not cosmetics: `orderCol`
+    * alone ('offset') collides across Kafka partitions, and rows tied in
+    * the running-sum window would get shuffle-fetch-order-dependent
+    * prefix sums — chunk membership could differ between the original
+    * run and a crash replay, letting a row drift into an already-marked
+    * chunk and never merge. (orderCol, pks) is unique for CDC streams,
+    * so chunk assignment is a pure function of the data.
     */
   private def forEachByteCappedChunk(batch: DataFrame, cfg: Config, maxBytes: Long,
                                      byteEstimate: Option[org.apache.spark.sql.Column])
                                     (f: (DataFrame, Long) => Unit): Unit = {
     if (batch.isEmpty) return
     val est = byteEstimate.getOrElse(CdcOps.approxRowBytes(batch))
-    val chunked = CdcOps.byteCappedChunks(batch, Seq(col(cfg.orderCol)), est, maxBytes)
+    val orderCols = col(cfg.orderCol) +:
+      cfg.effectivePrimaryKeys.filterNot(_ == cfg.orderCol).map(col)
+    val chunked = CdcOps.byteCappedChunks(batch, orderCols, est, maxBytes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val chunks = chunked.select(col("__chunk")).distinct()

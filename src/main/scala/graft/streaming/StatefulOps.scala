@@ -147,6 +147,29 @@ object StatefulOps {
     * needs the batch path (periodic compaction against the seen-corpus
     * hash index); this operator is the low-latency front gate.
     */
+  /** The persistent dedup artifacts key documents by LONG ids; a
+    * non-integral id column would `cast("long")` to NULL and silently
+    * either black-hole every admission (join matches nothing) or disable
+    * dup detection (`id =!= null` filters every hit) — fail at wiring
+    * time instead. String ids: pre-hash with `xxhash64(col)` (stable,
+    * content-free) before handing the stream to these operators.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op: id column '$idCol' must be an integral type (the dedup " +
+        s"artifacts key by LONG), got ${dt.sql} — a cast would produce NULLs " +
+        "and silently mis-admit; pre-hash string ids with xxhash64 first")
+  }
+
+  /** Reserved working columns an operator is about to add — present on
+    * the input they would be silently clobbered and then dropped.
+    */
+  private def requireAbsent(df: DataFrame, op: String, cols: String*): Unit =
+    cols.foreach(c => require(!df.columns.contains(c),
+      s"$op: input must not contain reserved column $c"))
+
   def streamingNewDocuments(stream: DataFrame, textCol: String,
                             eventTimeCol: String,
                             watermarkDelay: String = "10 minutes"): DataFrame = {
@@ -175,12 +198,20 @@ object StatefulOps {
     * decision needs candidate joins plus a batch-minus-rejected anti-join
     * — a shape stream-static joins cannot express without a streaming
     * re-aggregation, while inside foreachBatch it is the plain (and
-    * already-tested) batch path. Self-pairs (same id already in the
-    * index) are ignored so an at-least-once replay of a batch admits the
-    * same rows again instead of rejecting them against their own earlier
-    * append. Near-dups WITHIN one micro-batch both pass (the screen is
-    * batch-vs-index, as in the batch API); run the periodic self-dedup
-    * compaction if that matters. Returns the ready-to-`start()` writer.
+    * already-tested) batch path. Index hits whose matched id is a member
+    * of the CURRENT batch are ignored — that covers self-pairs AND the
+    * within-batch near-dup pair an earlier crashed attempt appended: on
+    * replay, A would otherwise collide with B's index entry (and B with
+    * A's), emptying the admitted set and losing both rows permanently
+    * under at-least-once. With the batch-membership screen a replay
+    * recomputes exactly attempt 1's admitted set. (Ids are unique and
+    * content-stable — the index id contract — so a batch-member hit can
+    * only be this batch's own earlier append.) Near-dups WITHIN one
+    * micro-batch both pass (the screen is batch-vs-index, as in the
+    * batch API); run the periodic self-dedup compaction if that matters.
+    * A replayed append re-appends the same docs (duplicate index rows) —
+    * benign to every reader (candidates deduplicate), compacted by the
+    * same periodic pass. Returns the ready-to-`start()` writer.
     */
   def streamingNovelDocuments(stream: DataFrame, idCol: String, textCol: String,
                               eventTimeCol: String, indexPath: String, tau: Double,
@@ -188,17 +219,11 @@ object StatefulOps {
                               growIndex: Boolean = true)
                              (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    requireIntegralId(stream, idCol, "streamingNovelDocuments")
     val deduped = streamingNewDocuments(stream, textCol, eventTimeCol, watermarkDelay)
     deduped.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val dupIds = graft.operators.DedupOps
-          .joinAgainstMinhashIndex(batch.toDF(), idCol, textCol, indexPath, tau)
-          .filter(col("ia") =!= col("ib")) // replay tolerance (see scaladoc)
-          .select(col("ia")).distinct()
-        // materialize BEFORE the append below: the admission join must
-        // read the index as of the batch START, never its own append
-        val admitted = batch.join(dupIds, batch(idCol) === col("ia"), "left_anti")
-          .localCheckpoint(true)
+        val admitted = novelAgainstIndex(batch.toDF(), idCol, textCol, indexPath, tau)
         // no-data micro-batches (watermark advancement) append nothing
         if (growIndex && !admitted.isEmpty) {
           graft.operators.DedupOps
@@ -206,6 +231,25 @@ object StatefulOps {
         }
         sink(admitted, batchId)
       }
+  }
+
+  /** The per-batch admission screen of [[streamingNovelDocuments]],
+    * factored for the replay-semantics spec: index hits whose matched id
+    * is a MEMBER of this batch are ignored (self-pairs and within-batch
+    * pairs a crashed attempt already appended — see the operator doc),
+    * and the result materializes before any index append so admission
+    * reads the index as of the batch start.
+    */
+  private[graft] def novelAgainstIndex(batch: DataFrame, idCol: String,
+                                       textCol: String, indexPath: String,
+                                       tau: Double): DataFrame = {
+    val batchMembers = batch.select(col(idCol).as("ib")).distinct()
+    val dupIds = graft.operators.DedupOps
+      .joinAgainstMinhashIndex(batch, idCol, textCol, indexPath, tau)
+      .join(batchMembers, Seq("ib"), "left_anti")
+      .select(col("ia")).distinct()
+    batch.join(dupIds, batch(idCol) === col("ia"), "left_anti")
+      .localCheckpoint(true)
   }
 
   /** Streaming gap sessionization: Spark's native `session_window` state
@@ -259,6 +303,8 @@ object StatefulOps {
                                   (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64, got $mBits")
+    requireIntegralId(stream, idCol, "streamingExactNovelDocuments")
+    requireAbsent(stream, "streamingExactNovelDocuments", "__h", "__sn", "__might", "__bloom")
     val spark = stream.sparkSession
     val bits = new Array[Long](mBits / 64)
     var indexExists =
@@ -359,6 +405,7 @@ object StatefulOps {
                                (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.DedupOps
+    requireIntegralId(stream, idCol, "streamingNearDupAdmission")
     stream.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (rawBatch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val batch = rawBatch.toDF()
@@ -457,6 +504,8 @@ object StatefulOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.{DedupOps, TextOps}
     require(tokenBudgetPerLang > 0, s"budget must be positive, got $tokenBudgetPerLang")
+    requireIntegralId(stream, idCol, "streamingCurationFunnel")
+    requireAbsent(stream, "streamingCurationFunnel", "__h", "__sn", "quality", "n_tokens")
     def tableOrNone(sp: SparkSession, path: String): Option[DataFrame] =
       try Some(sp.read.parquet(path))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
@@ -547,16 +596,21 @@ object StatefulOps {
           "id" -> "BIGINT", "lang" -> "STRING", "text" -> "STRING",
           "quality" -> "BIGINT", "n_tokens" -> "BIGINT",
           graft.Constants.DeleteCol -> "BOOLEAN")))
-        val stg = s"stg_curation_$batchId"
+        // the staging view name carries the TARGET TABLE, not just the
+        // batch id: two concurrent funnels on one SparkSession reaching
+        // the same batch id would otherwise cross-merge each other's
+        // staged rows through the shared session-global view namespace
+        val stg = ("stg_curation_" + table + "_b" + batchId)
+          .replaceAll("[^A-Za-z0-9_]", "_")
         admitted.select(col(idCol).cast("long").as("id"),
             col(langCol).as("lang"), col(textCol).as("text"),
             col("quality"), col("n_tokens"),
             lit(false).as(graft.Constants.DeleteCol))
           .createOrReplaceTempView(stg)
-        sp.sql(MergeSqlBuilder.buildMerge(table, stg, Seq("id"),
+        try sp.sql(MergeSqlBuilder.buildMerge(table, stg, Seq("id"),
           Seq("id", "lang", "text", "quality", "n_tokens", graft.Constants.DeleteCol),
           softDelete = false))
-        sp.catalog.dropTempView(stg)
+        finally { sp.catalog.dropTempView(stg); () } // no leak on merge failure
         ()
       }
     }
@@ -570,17 +624,31 @@ object StatefulOps {
 
   private[graft] case class BucketState(tokens: Long, lastRefill: Long)
 
-  private def bucketUpdate(rate: Long, periodMs: Long, burst: Long)
+  private def bucketUpdate(rate: Long, periodMs: Long, burst: Long,
+                           maxClockJumpMs: Long)
                           (key: String, rows: Iterator[RateEvent],
                            state: GroupState[BucketState]): Iterator[RateDecision] = {
     val ordered = rows.toSeq.sortBy(r => (r.ts, r.id))
     var st = state.getOption.getOrElse(
       BucketState(burst, if (ordered.isEmpty) 0L else ordered.head.ts))
+    // beyond this many periods the bucket is full regardless — capping
+    // BEFORE the multiply keeps periods*rate inside Long for a far-future
+    // timestamp (year-3000 millis would otherwise overflow to negative
+    // tokens through math.min)
+    val fullPeriods = burst / math.max(rate, 1L) + 1L
     val out = ordered.map { r =>
       val periods = math.max(0L, (r.ts - st.lastRefill) / periodMs)
+      // corrupt-clock guard: one producer with a far-future timestamp
+      // would permanently advance lastRefill, starving every real event
+      // behind it until event time catches up (years). A jump past
+      // maxClockJumpMs refills in full but re-anchors the clock at the
+      // event instead of advancing past it — the key self-heals on the
+      // next sane event. Long.MaxValue (the default) disables the guard.
+      val jumped = maxClockJumpMs != Long.MaxValue &&
+        periods > 0 && (r.ts - st.lastRefill) > maxClockJumpMs
       if (periods > 0) st = BucketState(
-        math.min(burst, st.tokens + periods * rate),
-        st.lastRefill + periods * periodMs)
+        math.min(burst, st.tokens + math.min(periods, fullPeriods) * rate),
+        if (jumped) st.lastRefill else st.lastRefill + periods * periodMs)
       val admitted = st.tokens > 0
       if (admitted) st = st.copy(tokens = st.tokens - 1)
       RateDecision(r.key, r.ts, r.id, admitted)
@@ -599,16 +667,25 @@ object StatefulOps {
     * emitted with its verdict so the caller routes admitted/rejected
     * without a second pass. Within a batch events apply in (ts, id)
     * order; across batches the bucket state carries in the state store.
+    *
+    * `maxClockJumpMs` guards the event-time clock against one corrupt
+    * far-future producer timestamp: a jump past it refills the bucket
+    * but does NOT advance the refill clock, so the key self-heals on the
+    * next sane event instead of rejecting everything until event time
+    * catches up (default disabled — a legitimate fast-forward and a
+    * corrupt clock are indistinguishable, so opting in is a policy call).
     */
   def rateLimitStream(ds: Dataset[RateEvent], rate: Long, periodMs: Long,
-                      burst: Long): Dataset[RateDecision] = {
+                      burst: Long,
+                      maxClockJumpMs: Long = Long.MaxValue): Dataset[RateDecision] = {
     require(rate > 0 && periodMs > 0 && burst > 0,
       s"rate/period/burst must be positive, got $rate/$periodMs/$burst")
+    require(maxClockJumpMs > 0, s"maxClockJumpMs must be positive, got $maxClockJumpMs")
     val spark = ds.sparkSession
     import spark.implicits._
     ds.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        bucketUpdate(rate, periodMs, burst))
+        bucketUpdate(rate, periodMs, burst, maxClockJumpMs))
   }
 
   /** One arrival for the streaming disorder monitor: `arr` is the

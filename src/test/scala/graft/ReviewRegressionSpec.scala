@@ -202,4 +202,105 @@ class ReviewRegressionSpec extends AnyFunSuite {
     // not duplicated as a spurious insert
     assert(got.toSeq == Seq("updated", "a"))
   }
+
+  test("novel-doc replay: a within-batch near-dup pair already appended by a crashed attempt is re-admitted, not lost") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_novel_replay").toString + "/idx"
+    val text = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val batch = Seq((1L, text), (2L, text + " tail")) // near-dups of each other
+      .toDF("doc_id", "text")
+    graft.operators.DedupOps.buildMinhashIndex(
+      Seq((100L, "completely unrelated corpus seed document about shipping routes"))
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    // attempt 1: both docs are novel vs the index -> admitted + appended
+    val a1 = graft.streaming.StatefulOps.novelAgainstIndex(
+      batch, "doc_id", "text", idx, 0.7)
+    assert(a1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    graft.operators.DedupOps.appendToMinhashIndex(a1, "doc_id", "text", idx)
+    // crash before sink/checkpoint; REPLAY of the same batch: each doc now
+    // collides with the OTHER's index entry — the batch-membership screen
+    // must re-admit both (attempt 1's exact result), not empty the batch
+    val a2 = graft.streaming.StatefulOps.novelAgainstIndex(
+      batch, "doc_id", "text", idx, 0.7)
+    assert(a2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "replay must recompute attempt 1's admitted set")
+    // and a LATER batch's near-dup of an admitted doc is still rejected
+    val later = Seq((3L, text + " later arrival")).toDF("doc_id", "text")
+    val a3 = graft.streaming.StatefulOps.novelAgainstIndex(
+      later, "doc_id", "text", idx, 0.7)
+    assert(a3.isEmpty, "cross-batch near-dup rejection must survive the fix")
+  }
+
+  test("streaming dedup operators fail loudly on non-integral id columns") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, java.sql.Timestamp)]
+    val stream = ms.toDF().toDF("doc_id", "text", "ts")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StatefulOps.streamingExactNovelDocuments(
+        stream, "doc_id", "text", "/tmp/never")((_, _) => ())
+    }
+    assert(e.getMessage.contains("integral") && e.getMessage.contains("xxhash64"))
+  }
+
+  test("byte-capped chunk assignment is a pure function of the data under orderCol ties") {
+    // all offsets EQUAL: without tiebreakers the running-sum window order
+    // is shuffle-fetch-dependent and chunk membership could differ
+    // between a run and its crash replay
+    val rows = (1L to 40L).map(i => (i, s"doc$i", 7L, false))
+    val a = rows.toDF("id", "name", "off", Constants.DeleteCol)
+    val b = scala.util.Random.shuffle(rows).toDF("id", "name", "off", Constants.DeleteCol)
+      .repartition(7) // different physical layout, same data
+    def chunksOf(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.CdcOps.byteCappedChunks(df,
+          Seq(col("off"), col("id")), lit(1L), 5L)
+        .select(col("id"), col("__chunk")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunksOf(a) == chunksOf(b))
+  }
+
+  test("rate limiter survives a corrupt far-future timestamp: no Long overflow, self-heals with the jump guard") {
+    import graft.streaming.StatefulOps.{RateEvent, RateDecision}
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RateEvent]
+    val out = scala.collection.mutable.ArrayBuffer.empty[RateDecision]
+    val q = graft.streaming.StatefulOps
+      .rateLimitStream(ms.toDS(), rate = 1L, periodMs = 100L, burst = 2L,
+        maxClockJumpMs = 60_000L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[RateDecision], _: Long) =>
+        out ++= b.collect(); ()
+      }.start()
+    // two sane events, then a corrupt year-3000 timestamp, then sane again
+    ms.addData(RateEvent("k", 1000L, 1L), RateEvent("k", 1100L, 2L))
+    q.processAllAvailable()
+    ms.addData(RateEvent("k", 32503680000000L, 3L)) // year 3000 — overflow bait
+    q.processAllAvailable()
+    ms.addData(RateEvent("k", 1200L, 4L), RateEvent("k", 1300L, 5L))
+    q.processAllAvailable()
+    q.stop()
+    val byId = out.map(d => d.id -> d.admitted).toMap
+    // the corrupt event refilled (no negative-token overflow) and was
+    // admitted; the jump guard kept the refill clock anchored, so the
+    // subsequent SANE events still refill and admit
+    assert(byId(3L), "far-future event must not overflow tokens negative")
+    assert(byId(4L) || byId(5L),
+      s"sane events after the jump must not starve: $byId")
+  }
+
+  test("corrupt __nbuckets marker diagnoses itself instead of claiming the snapshot is un-bucketed") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nbuckets").toString
+    val target = s"$root/t"
+    val cfg = graft.streaming.CdcPipeline.Config(Seq("id"), orderCol = "off",
+      numBuckets = 4)
+    val b = Seq((1L, "a", 1L, false)).toDF("id", "name", "off", Constants.DeleteCol)
+    graft.streaming.CdcPipeline.applyBatch(b, 0L, cfg, target) // healthy bucketed snapshot
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$target/__nbuckets"),
+      "not-a-number".getBytes("UTF-8")) // marker corrupts (bit rot / partial restore)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.CdcPipeline.applyBatch(
+        Seq((2L, "b", 2L, false)).toDF("id", "name", "off", Constants.DeleteCol),
+        1L, cfg, target)
+    }
+    assert(e.getMessage.contains("__nbuckets") && e.getMessage.contains("corrupt"),
+      s"wrong diagnosis: ${e.getMessage}")
+  }
 }
