@@ -11636,18 +11636,37 @@ ORDER BY ia, ib"""
     * list → token rebuild with a positions-covered filter, replaying
     * [[graft.operators.DedupOps.removeRepeatedSpans]] exactly.
     */
-  private def spanRemovalSql(k: Int): String = {
+  /** Shared two-lane span-fingerprint CTE prefix of the q85/q147 oracles
+    * (toks → per-token fp lanes → combined span hashes → exploded span
+    * index → repeated-span owners), replaying
+    * [[graft.operators.DedupOps]]'s `bannedSpanStarts` exactly: lane 1 is
+    * (acc*31+x) mod 1e9+7, lane 2 (acc*1000003+x) mod 998244353, span
+    * identity h1*998244353 + h2 (round 12 — one 30-bit lane
+    * birthday-collides at corpus scale and span removal is destructive).
+    */
+  private def spanBanPrefixSql(k: Int): String = {
     val km1 = k - 1
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-tf AS (SELECT doc_id, list_transform(w, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tf AS (SELECT doc_id,
+  list_transform(w, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
     list_transform(range(1, length(t) + 1), i -> CAST(unicode(substring(t, CAST(i AS INT), 1)) AS BIGINT))),
-    (acc, x) -> (acc * 31 + x) % 1000000007)) AS tf FROM toks),
-hv AS (SELECT doc_id, list_transform(range(1, greatest(len(tf) - $km1, 0) + 1),
-    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), tf[i:i+$km1]),
-    (acc, x) -> (acc * 31 + x) % 1000000007)) AS hv FROM tf),
+    (acc, x) -> (acc * 31 + x) % 1000000007)) AS tf1,
+  list_transform(w, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(t) + 1), i -> CAST(unicode(substring(t, CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 1000003 + x) % 998244353)) AS tf2 FROM toks),
+hv AS (SELECT doc_id, list_transform(range(1, greatest(len(tf1) - $km1, 0) + 1),
+    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), tf1[i:i+$km1]),
+      (acc, x) -> (acc * 31 + x) % 1000000007) * 998244353 +
+    list_reduce(list_prepend(CAST(0 AS BIGINT), tf2[i:i+$km1]),
+      (acc, x) -> (acc * 1000003 + x) % 998244353)) AS hv FROM tf),
 ex AS (SELECT doc_id, CAST(p AS INT) AS pos, h FROM (
   SELECT doc_id, unnest(range(1, len(hv) + 1)) AS p, unnest(hv) AS h FROM hv)),
-own AS (SELECT h, min(doc_id) AS owner FROM ex GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+own AS (SELECT h, min(doc_id) AS owner FROM ex GROUP BY h HAVING count(DISTINCT doc_id) >= 2)"""
+  }
+
+  private def spanRemovalSql(k: Int): String = {
+    val km1 = k - 1
+    s"""WITH ${spanBanPrefixSql(k)},
 ban AS (SELECT e.doc_id, list(e.pos ORDER BY e.pos) AS starts
   FROM ex e JOIN own o ON e.h = o.h AND e.doc_id != o.owner GROUP BY 1),
 res AS (SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
@@ -11666,16 +11685,7 @@ FROM res ORDER BY id"""
     */
   private def maximalSpansSql(k: Int): String = {
     val km1 = k - 1
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-tf AS (SELECT doc_id, list_transform(w, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-    list_transform(range(1, length(t) + 1), i -> CAST(unicode(substring(t, CAST(i AS INT), 1)) AS BIGINT))),
-    (acc, x) -> (acc * 31 + x) % 1000000007)) AS tf FROM toks),
-hv AS (SELECT doc_id, list_transform(range(1, greatest(len(tf) - $km1, 0) + 1),
-    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), tf[i:i+$km1]),
-    (acc, x) -> (acc * 31 + x) % 1000000007)) AS hv FROM tf),
-ex AS (SELECT doc_id, CAST(p AS INT) AS pos, h FROM (
-  SELECT doc_id, unnest(range(1, len(hv) + 1)) AS p, unnest(hv) AS h FROM hv)),
-own AS (SELECT h, min(doc_id) AS owner FROM ex GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    s"""WITH ${spanBanPrefixSql(k)},
 ban AS (SELECT e.doc_id, e.pos FROM ex e JOIN own o ON e.h = o.h AND e.doc_id != o.owner),
 isl AS (SELECT doc_id, pos,
   CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $k THEN 1 ELSE 0 END AS nw

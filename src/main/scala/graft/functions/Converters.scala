@@ -42,6 +42,11 @@ object Converters {
   /** Rolling 64-bit document fingerprint. */
   def fingerprint64(s: Column): Column = c(Fingerprint64(e(s)))
 
+  /** Second fingerprint lane (different multiplier + modulus) — paired
+    * with [[fingerprint64]] where a 30-bit identity is not enough.
+    */
+  def fingerprintB(s: Column): Column = c(FingerprintB(e(s)))
+
   /** Greedy wordpiece/BPE subword token count (see [[Wordpiece]]). */
   def wordpieceTokens(s: Column): Column = c(WordpieceTokenCount(e(s)))
 

@@ -107,6 +107,27 @@ object DebeziumCodec {
     }
     acc
   }
+
+  /** Independent second fingerprint lane — different multiplier AND
+    * modulus: acc = (acc * 1000003 + cp) mod 998_244_353. Paired with
+    * [[fingerprint64]] it widens a ~2^30 identity to ~2^60 (both lanes
+    * must collide), which the exact span-dedup family needs: at corpus
+    * scale a single 30-bit span fingerprint yields real cross-document
+    * collisions (birthday at ~45k distinct spans) and span REMOVAL is
+    * destructive. Same engine-portable shape (the oracle replays it with
+    * a second list_reduce).
+    */
+  def fingerprintB(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 1000003 + cp) % 998244353L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
 }
 
 /** Decode a Debezium/Kafka-Connect `Decimal`: big-endian two's-complement
@@ -222,6 +243,24 @@ case class Fingerprint64(child: Expression)
     DebeziumCodec.fingerprint64(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.functions.DebeziumCodec.fingerprint64($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Second fingerprint lane ([[DebeziumCodec.fingerprintB]]) — pairs with
+  * [[Fingerprint64]] to widen span identities to ~2^60.
+  */
+case class FingerprintB(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"fingerprint_b needs STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    DebeziumCodec.fingerprintB(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.DebeziumCodec.fingerprintB($s)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -293,6 +293,18 @@ object DedupOps {
     val q2 = tauDen.toLong * tauDen
     val docArr = hashedDocArray(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // overflow guard for the int64 threshold arithmetic below: the worst
+    // product is maxN² · q2 (ub²·q2 and p2·na·nb are both bounded by it,
+    // p2 <= q2). One tiny agg over the already-persisted doc relation;
+    // failing loudly beats wrapped-negative products silently admitting
+    // (or pruning) pairs. Remedies: reduce the fraction (86602/100000 ->
+    // 43301/50000 halves q2... reduce further), or chunk giant documents.
+    val maxN = Option(docArr.agg(max(col("n"))).head().get(0))
+      .map(_.asInstanceOf[Int].toLong).getOrElse(0L)
+    require(maxN == 0L || maxN <= Long.MaxValue / q2 / maxN,
+      s"cosine threshold arithmetic would overflow int64: max shingle count " +
+        s"$maxN with tauDen=$tauDen gives maxN²·tauDen⁴ > 2⁶³ — reduce the " +
+        "threshold fraction to a smaller denominator or chunk outlier documents")
     val shEx = docArr.select(col("id"), col("n"), explode(col("hs")).as("h"))
     val dfreq = shEx.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val rankW = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
@@ -534,6 +546,10 @@ object DedupOps {
 
   /** (id, band signature) exploded relation — the LSH bucketing key. */
   private[graft] def bandSignatures(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"LSH banding needs bands >= 1 and rowsPerBand >= 1, got bands=$bands " +
+        s"rowsPerBand=$rowsPerBand — rowsPerBand=0 degenerates every band " +
+        "signature to the band literal and the 'candidate' join to all-pairs")
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band") +:
         (0 until rowsPerBand).map(j => col(s"mh${b * rowsPerBand + j}").as(s"r$j")): _*)
@@ -555,6 +571,11 @@ object DedupOps {
     */
   private[graft] def rowLocalBandSignatures(docArr: DataFrame, k: Int, bands: Int,
                                             rowsPerBand: Int): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand == k,
+      s"LSH banding needs bands * rowsPerBand == k, got k=$k bands=$bands " +
+        s"rowsPerBand=$rowsPerBand — bands > k degenerates signatures to the " +
+        "band literal (all-pairs join) and k % bands != 0 silently drops " +
+        "permutations, voiding the (1-j^s)^b recall math")
     val sig = org.apache.spark.sql.GraftBridge.column(
       graft.functions.MinhashSig(
         org.apache.spark.sql.GraftBridge.expression(col("hs")), k))
@@ -860,6 +881,14 @@ object DedupOps {
     * large-star/small-star variant halves the diameter per round — same
     * join shapes, more bookkeeping. lineage is truncated per round so the
     * plan does not grow with iterations.
+    *
+    * PRECONDITION: every endpoint of `pairs` must appear in `ids`. Label
+    * propagation seeds labels from `ids` only, so an edge through an
+    * unlisted node is silently severed and a connected component splits
+    * (ids {1,2} with pairs (1,3),(3,2) reports two singletons) — if an
+    * upstream screen filters docs AFTER pair detection, filter the pairs
+    * too, or use [[nearDupGroupsStar]], which derives its node set from
+    * the edges themselves and handles the same input correctly.
     */
   def nearDupGroups(ids: DataFrame, idCol: String, pairs: DataFrame,
                     maxIter: Int = 20): DataFrame = {
@@ -939,12 +968,22 @@ object DedupOps {
                        ordering: Seq[Column]): DataFrame = {
     require(ordering.nonEmpty, "keepBestPerGroup needs at least one ordering column")
     import org.apache.spark.sql.expressions.Window
-    val joined = groups.join(scored.withColumnRenamed(idCol, "id"), Seq("id"))
+    // LEFT join: a group id whose score row is missing upstream must stay
+    // in the output (an inner join silently dropped it — neither kept nor
+    // visible as dropped, breaking the "every row of groups" contract).
+    // A join-presence marker leads the sort, so rows WITHOUT a score row
+    // sort after every scored member regardless of the caller ordering's
+    // null placement — a score-less doc wins a component only when no
+    // member is scored, and then the id tie-break decides.
+    val joined = groups.join(
+      scored.withColumnRenamed(idCol, "id").withColumn("__scored", lit(1)),
+      Seq("id"), "left")
     val w = Window.partitionBy(col("canonical_id"))
-      .orderBy(ordering :+ col("id").asc: _*)
+      .orderBy(col("__scored").isNull.cast("int").asc +: ordering :+ col("id").asc: _*)
     joined
       .withColumn("kept_id", first(col("id")).over(w))
       .withColumn("kept", col("id") === col("kept_id"))
+      .drop("__scored")
   }
 
   /** Large-star round: every node connects its strictly-larger neighbors
@@ -1118,6 +1157,7 @@ object DedupOps {
     * repair or physical compaction.
     */
   def dedupGraphRemoved(spark: SparkSession, path: String): DataFrame = {
+    resolveSwappedDir(spark, s"$path/removed")
     val p = new org.apache.hadoop.fs.Path(s"$path/removed")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) spark.read.parquet(s"$path/removed").distinct()
@@ -1130,9 +1170,11 @@ object DedupOps {
   /** (id, simhash) signatures from a [[buildDedupGraph]] artifact,
     * takedowns excluded. distinct(): replayed appends can duplicate rows.
     */
-  def dedupGraphSigs(spark: SparkSession, path: String): DataFrame =
+  def dedupGraphSigs(spark: SparkSession, path: String): DataFrame = {
+    resolveSwappedDir(spark, s"$path/sigs")
     spark.read.parquet(s"$path/sigs").distinct()
       .join(dedupGraphRemoved(spark, path), Seq("id"), "left_anti")
+  }
 
   /** Near-dup pairs from a [[buildDedupGraph]] artifact, takedowns
     * excluded on BOTH endpoints. distinct(): replayed appends can leave
@@ -1140,6 +1182,7 @@ object DedupOps {
     * restores the exact relation.
     */
   def dedupGraphPairs(spark: SparkSession, path: String): DataFrame = {
+    resolveSwappedDir(spark, s"$path/pairs")
     val rm = dedupGraphRemoved(spark, path)
     spark.read.parquet(s"$path/pairs").distinct()
       .join(rm.select(col("id").as("ia")), Seq("ia"), "left_anti")
@@ -1152,9 +1195,11 @@ object DedupOps {
     * removed doc still reads as merged — the conservative direction
     * (admission over-rejects, splits never invent false pairs).
     */
-  def dedupGraphComponents(spark: SparkSession, path: String): DataFrame =
+  def dedupGraphComponents(spark: SparkSession, path: String): DataFrame = {
+    resolveSwappedDir(spark, s"$path/components")
     spark.read.parquet(s"$path/components").distinct()
       .join(dedupGraphRemoved(spark, path), Seq("id"), "left_anti")
+  }
 
   /** Append a batch to an existing [[buildDedupGraph]] artifact — the
     * admission-time growth path: only the BATCH text is hashed; the
@@ -1214,9 +1259,11 @@ object DedupOps {
     // batch-vs-batch pairs (both ends in the chunk join) likewise
     newPairs.write.mode("append").parquet(s"$path/pairs")
     val allSigs = dedupGraphSigs(spark, path)
-    nearDupGroupsStar(allSigs.select(col("id")), "id",
-        dedupGraphPairs(spark, path))
-      .write.mode("overwrite").parquet(s"$path/components")
+    // components rebuild goes through the same tmp+rename swap: a plain
+    // overwrite deletes the live dir before writing, and a crash mid-write
+    // would leave partial components for concurrent admission probes
+    rewriteViaTmp(nearDupGroupsStar(allSigs.select(col("id")), "id",
+      dedupGraphPairs(spark, path)), s"$path/components")
     ()
   }
 
@@ -1280,20 +1327,55 @@ object DedupOps {
   }
 
   /** Rewrite `target` from a plan that READS `target`: stage to a tmp
-    * sibling first, then copy tmp → target, then drop tmp. Bounded
-    * executor memory at any relation size (unlike an eager in-memory
-    * checkpoint of a corpus-sized frame). Crash windows: during the tmp
-    * write the target is untouched; during the target overwrite the
-    * caller's operation is idempotent by contract, so recovery = re-run.
+    * sibling first, then RENAME-SWAP it in (demote live to `__prev`,
+    * promote tmp, drop `__prev`). Bounded executor memory at any
+    * relation size (unlike an eager in-memory checkpoint of a
+    * corpus-sized frame).
+    *
+    * The swap replaces the earlier copy-overwrite, whose recovery story
+    * was unsound: `read(tmp).write.overwrite(target)` deletes the live
+    * dir first, and a crash mid-copy left a PARTIAL target that a re-run
+    * would read as input — permanently dropping corpus signatures from
+    * the artifact. With renames every crash window leaves either the old
+    * dir (under `__prev`, rolled back by [[resolveSwappedDir]]) or the
+    * new one complete; the readers resolve before reading.
     */
   private def rewriteViaTmp(df: DataFrame, target: String): Unit = {
     val spark = df.sparkSession
+    resolveSwappedDir(spark, target) // recover a crashed prior swap first
     val tmp = target + "__rewrite"
-    df.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(target)
-    val p = new org.apache.hadoop.fs.Path(tmp)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
+    df.write.mode("overwrite").parquet(tmp) // plan may read target: untouched here
+    swapInDir(spark, tmp, target)
+  }
+
+  /** Promote a fully-written `tmp` dir over `target` by renames only. */
+  private def swapInDir(spark: SparkSession, tmp: String, target: String): Unit = {
+    val t = new org.apache.hadoop.fs.Path(target)
+    val prev = new org.apache.hadoop.fs.Path(target + "__prev")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(prev)) fs.delete(prev, true) // leftover from an old crash
+    def renameOrFail(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(src, dst),
+        s"filesystem rename $src -> $dst returned false — failing the " +
+          "artifact rewrite loudly instead of silently losing it")
+    if (fs.exists(t)) renameOrFail(t, prev)
+    renameOrFail(new org.apache.hadoop.fs.Path(tmp), t)
+    if (fs.exists(prev)) fs.delete(prev, true)
+    ()
+  }
+
+  /** Roll back a crash between [[swapInDir]]'s demote and promote: the
+    * live dir is missing but its `__prev` backup exists. Readers call
+    * this so an admission probe after a mid-swap crash sees the old
+    * artifact (the interrupted rewrite simply re-runs) instead of
+    * failing on a missing dir.
+    */
+  private def resolveSwappedDir(spark: SparkSession, target: String): Unit = {
+    val t = new org.apache.hadoop.fs.Path(target)
+    val prev = new org.apache.hadoop.fs.Path(target + "__prev")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(t) && fs.exists(prev))
+      require(fs.rename(prev, t), s"crash-recovery rename $prev -> $t returned false")
     ()
   }
 
@@ -1711,27 +1793,39 @@ object DedupOps {
   /** The shared front half of the exact span-dedup family: (id, pos) of
     * every 1-based k-token span start whose fingerprint occurs in >= 2
     * distinct documents, in every document EXCEPT the first-seen (min id)
-    * owner. Fingerprints are the winnowing two-stage rolling hash
-    * ([[winnowedDocFp]]): per-token fingerprint, then a k-token combine
-    * with (acc*31+x) mod 1e9+7 — acc < 2^30 so int64-exact and
-    * SQL-replayable. The exploded span index is localCheckpoint'd once
-    * (24 B/row) because the owner aggregation and the banned join both
-    * consume it; everything else is equi-joins and one groupBy(h).
+    * owner. Span identity is a TWO-LANE fingerprint (round 12): per-token
+    * [[graft.functions.Converters.fingerprint64]]/[[graft.functions.Converters.fingerprintB]]
+    * lanes, each combined over the k tokens with its own (mult, modulus)
+    * roll — (acc*31+x) mod 1e9+7 and (acc*1000003+x) mod 998244353 — and
+    * packed as h1*998244353 + h2 (< 2^60, int64-exact, SQL-replayable).
+    * One 30-bit lane birthday-collides at ~45k distinct spans, and since
+    * this family REMOVES text on fingerprint equality alone (no exact
+    * verify — the whole point is never materializing cross-doc span
+    * text), a collision was destructive; two independent lanes put the
+    * expected collision count at corpus scale below 1e-4. The exploded
+    * span index is localCheckpoint'd once because the owner aggregation
+    * and the banned join both consume it; everything else is equi-joins
+    * and one groupBy(h).
     */
   private def bannedSpanStarts(df: DataFrame, idCol: String, textCol: String,
                                k: Int): DataFrame = {
     require(k >= 2, s"need span length k >= 2, got $k")
-    val M = 1000000007L
-    val tokFp = transform(split(col(textCol), " "),
+    val M1 = 1000000007L
+    val M2 = 998244353L
+    val tokFp1 = transform(split(col(textCol), " "),
       t => graft.functions.Converters.fingerprint64(t))
-    val cnt = size(col("__tfp")) - (k - 1)
+    val tokFp2 = transform(split(col(textCol), " "),
+      t => graft.functions.Converters.fingerprintB(t))
+    val cnt = size(col("__tfp1")) - (k - 1)
     val spanArr = when(cnt >= 1,
       transform(sequence(lit(1), cnt), i =>
-        aggregate(slice(col("__tfp"), i, lit(k)), lit(0L),
-          (acc, x) => (acc * 31 + x) % M)))
+        aggregate(slice(col("__tfp1"), i, lit(k)), lit(0L),
+          (acc, x) => (acc * 31 + x) % M1) * M2 +
+          aggregate(slice(col("__tfp2"), i, lit(k)), lit(0L),
+            (acc, x) => (acc * 1000003 + x) % M2)))
       .otherwise(array().cast("array<bigint>"))
     val ex = df.repartition(col(idCol))
-      .select(col(idCol).as("id"), tokFp.as("__tfp"))
+      .select(col(idCol).as("id"), tokFp1.as("__tfp1"), tokFp2.as("__tfp2"))
       .select(col("id"), posexplode(spanArr))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
       .localCheckpoint(false)

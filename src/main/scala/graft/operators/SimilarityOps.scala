@@ -35,8 +35,21 @@ object SimilarityOps {
     */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  queryPred: Column, k: Int, roundDigits: Int = 4): DataFrame = {
-    // evaluate queryPred against the caller's own columns, before the
-    // internal renames
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scoredQueryPairs(emb, idCol, vecCol, queryPred, roundDigits)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The shared query-vs-corpus scored relation of [[cosineTopK]] and
+    * [[hardNegativeTopK]]: queries (filter `queryPred`, evaluated against
+    * the caller's own columns before the internal renames) broadcast
+    * against the streaming candidate corpus, cosine floored at
+    * `roundDigits` for engine-stable ranking. Factored so the two rank
+    * consumers cannot drift on the quantization/zero-norm contract.
+    */
+  private def scoredQueryPairs(emb: DataFrame, idCol: String, vecCol: String,
+                               queryPred: Column, roundDigits: Int): DataFrame = {
     val base = emb.withColumn("__is_q", queryPred)
       .select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"), col("__is_q"))
       .withColumn("nrm", l2Norm(col("v")))
@@ -45,10 +58,7 @@ object SimilarityOps {
     val joined = base.drop("__is_q").join(broadcast(q), col("vid") =!= col("q_id"))
     val factor = math.pow(10, roundDigits)
     val sim = floor(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * factor) / factor
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
     joined.select(col("q_id"), col("vid").as("neighbor_id"), sim.as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
   }
 
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
@@ -69,17 +79,9 @@ object SimilarityOps {
   def hardNegativeTopK(emb: DataFrame, idCol: String, vecCol: String,
                        queryPred: Column, k: Int, dupTau: Double,
                        roundDigits: Int = 4): DataFrame = {
-    val base = emb.withColumn("__is_q", queryPred)
-      .select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"), col("__is_q"))
-      .withColumn("nrm", l2Norm(col("v")))
-    val q = base.filter(col("__is_q"))
-      .select(col("vid").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val joined = base.drop("__is_q").join(broadcast(q), col("vid") =!= col("q_id"))
-    val factor = math.pow(10, roundDigits)
-    val sim = floor(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * factor) / factor
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    joined.select(col("q_id"), col("vid").as("neighbor_id"), sim.as("sim"))
-      .filter(col("sim") < dupTau)
+    scoredQueryPairs(emb, idCol, vecCol, queryPred, roundDigits)
+      .filter(col("sim") < dupTau) // dup screen BEFORE ranking (see scaladoc)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -147,12 +149,19 @@ object SimilarityOps {
     val withBits = base.withColumn("bits", bits)
     val bandStructs = (0 until nBands).map(b =>
       struct(lit(b).as("band"), slice(col("bits"), b * bandBits + 1, bandBits).as("sig")))
+    // checkpoint barrier: the self-join consumes the exploded relation as
+    // BOTH sides and Spark has no ReusedExchange across join children —
+    // without it the full nBands*bandBits hyperplane signing (the
+    // operator's dominant cost) executes twice (same discipline as
+    // hammingPairs64/lshCandidatePairs/fastSsPairs)
     val exploded = withBits.select(col("vid"), explode(array(bandStructs: _*)).as("bs"))
+      .localCheckpoint(false)
     val cands = exploded.as("a").join(exploded.as("b"),
         col("a.bs") === col("b.bs") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("ia"), col("b.vid").as("ib"))
       .distinct()
     val sides = base.select(col("vid"), col("v"), col("nrm"))
+      .localCheckpoint(false) // two verify-side joins: norm pass runs once
     val sim = floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 10000.0) / 10000.0
     cands
       .join(sides.select(col("vid").as("ia"), col("v").as("va"), col("nrm").as("na")), Seq("ia"))
@@ -253,6 +262,10 @@ object SimilarityOps {
         .agg(sort_array(collect_list(struct(col("pos"), mean.as("c")))).as("ps"))
         .select(col("cell").as("c_id"),
           transform(col("ps"), p => p.getField("c")).as("cv"))
+        // per-round barrier (the kmeansAssignments discipline): without it
+        // round r's broadcast plan nests every earlier round's assignment
+        // + aggregation, re-running O(iters²) assignment passes
+        .localCheckpoint(false)
     }
     val fin = assign(cents).localCheckpoint(false)
     val sim = floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 10000.0) / 10000.0
@@ -553,7 +566,16 @@ object SimilarityOps {
       .select(col("vid").as("c_id"), col("xs").as("cxs"))
     var picks = Seq(first.select(lit(1L).as("round"), col("c_id"),
       lit(0L).as("sep_kibi")))
-    var md = base.crossJoin(broadcast(first.select(col("cxs"))))
+    // picked centers LEAVE the candidate pool: with them retained at
+    // __md=0, a corpus holding duplicate vectors (every remaining min-d²
+    // zero) would re-elect an already-picked center through the
+    // smallest-vid tie-break and emit duplicate c_id rows — anti-joining
+    // the pick out keeps the traversal a permutation of distinct points
+    // (identical output on duplicate-free corpora, where a 0-distance
+    // retained center could never win while any positive d² remained)
+    var md = base
+      .join(broadcast(first.select(col("c_id").as("vid"))), Seq("vid"), "left_anti")
+      .crossJoin(broadcast(first.select(col("cxs"))))
       .select(col("vid"), col("xs"), d2c.as("__md"))
       .localCheckpoint(false)
     for (r <- 2 to k) {
@@ -564,7 +586,9 @@ object SimilarityOps {
         .localCheckpoint(false) // one row
       picks = picks :+ nxtFull.select(lit(r.toLong).as("round"), col("c_id"),
         call_function("div", col("__sep"), lit(1024L)).as("sep_kibi"))
-      md = md.crossJoin(broadcast(nxtFull.select(col("cxs"))))
+      md = md
+        .join(broadcast(nxtFull.select(col("c_id").as("vid"))), Seq("vid"), "left_anti")
+        .crossJoin(broadcast(nxtFull.select(col("cxs"))))
         .select(col("vid"), col("xs"), least(col("__md"), d2c).as("__md"))
         .localCheckpoint(false)
     }

@@ -8,6 +8,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** CAUTION: converting a Column to its Catalyst expression and then
+    * REUSING the original Column can poison it — observed concretely
+    * with sort-order columns (`col.desc`): after an `expression()` probe
+    * the Column no longer pattern-matches as a SortOrder node in
+    * `WindowSpec.orderBy`, gets double-wrapped, and the job dies with
+    * "Cannot evaluate expression: ... DESC NULLS LAST" at runtime.
+    * Treat the conversion as CONSUMING: either use only the returned
+    * Expression (wrapped back via [[column]]), or don't convert at all.
+    */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
   /** A scalar-subquery expression over a 1-row/1-column Dataset — the

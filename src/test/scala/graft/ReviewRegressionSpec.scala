@@ -286,6 +286,21 @@ class ReviewRegressionSpec extends AnyFunSuite {
       s"sane events after the jump must not starve: $byId")
   }
 
+  test("keepBestPerGroup keeps group rows whose score row is missing (left join, scored-first election)") {
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "canonical_id")
+    // id 1's score row was lost upstream; id 3's whole component is unscored
+    val scored = Seq((2L, 5L)).toDF("doc_id", "quality")
+    val out = graft.operators.DedupOps.keepBestPerGroup(groups, scored, "doc_id",
+      Seq(col("quality").desc))
+      .select("id", "canonical_id", "kept_id", "kept")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    // ALL THREE group rows present (the old inner join dropped ids 1 and 3
+    // silently); the scored member wins its component, and the unscored
+    // singleton still elects itself
+    assert(out.toSeq == Seq((1L, 2L, false), (2L, 2L, true), (3L, 3L, true)))
+  }
+
   test("corrupt __nbuckets marker diagnoses itself instead of claiming the snapshot is un-bucketed") {
     val root = java.nio.file.Files.createTempDirectory("graft_nbuckets").toString
     val target = s"$root/t"
