@@ -10227,18 +10227,18 @@ FROM documents ORDER BY doc_id""")),
       rows.toDF("dialect", "ord", "kind", "statement")
         .orderBy(col("dialect"), col("ord"))
     }, Some("""SELECT * FROM (VALUES
-('clickhouse', CAST(0 AS INTEGER), 'ddl', 'CREATE TABLE db.s.orders (`o_orderkey` Int64,`o_orderstatus` String,`o_totalprice` Float64,`__artie_delete` UInt8) ENGINE = ReplacingMergeTree(`__artie_updated_at`, `__artie_delete`);'),
-('clickhouse', CAST(1 AS INTEGER), 'plan', 'CREATE TABLE db.s.orders___artie_b0_1767247200 (`o_orderkey` Int64,`o_orderstatus` String,`o_totalprice` Float64,`__artie_delete` UInt8) ENGINE = ReplacingMergeTree(`__artie_updated_at`, `__artie_delete`);'),
+('clickhouse', CAST(0 AS INTEGER), 'ddl', 'CREATE TABLE db.s.orders (`o_orderkey` Int64,`o_orderstatus` String,`o_totalprice` Float64,PRIMARY KEY (`o_orderkey`),`__artie_delete` UInt8) ENGINE = ReplacingMergeTree(`__artie_updated_at`, `__artie_delete`);'),
+('clickhouse', CAST(1 AS INTEGER), 'plan', 'CREATE TABLE db.s.orders___artie_b0_1767247200 (`o_orderkey` Int64,`o_orderstatus` String,`o_totalprice` Float64,PRIMARY KEY (`o_orderkey`),`__artie_delete` UInt8) ENGINE = ReplacingMergeTree(`__artie_updated_at`, `__artie_delete`);'),
 ('clickhouse', CAST(2 AS INTEGER), 'plan', 'INSERT INTO db.s.orders (`o_orderkey`,`o_orderstatus`,`o_totalprice`,`__artie_delete`) SELECT `o_orderkey`,`o_orderstatus`,`o_totalprice`,`__artie_delete` FROM db.s.orders___artie_b0_1767247200;'),
 ('clickhouse', CAST(3 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.orders___artie_b0_1767247200'),
-('redshift', CAST(0 AS INTEGER), 'ddl', 'CREATE TABLE IF NOT EXISTS db.s.orders ("o_orderkey" INT8,"o_orderstatus" VARCHAR(MAX),"o_totalprice" float,"__artie_delete" BOOLEAN NULL);'),
-('redshift', CAST(1 AS INTEGER), 'plan', 'CREATE TABLE IF NOT EXISTS db.s.orders___artie_b0_1767247200 ("o_orderkey" INT8,"o_orderstatus" VARCHAR(MAX),"o_totalprice" float,"__artie_delete" BOOLEAN NULL);'),
+('redshift', CAST(0 AS INTEGER), 'ddl', 'CREATE TABLE IF NOT EXISTS db.s.orders ("o_orderkey" INT8,"o_orderstatus" VARCHAR(MAX),"o_totalprice" float,"__artie_delete" BOOLEAN NULL,PRIMARY KEY ("o_orderkey"));'),
+('redshift', CAST(1 AS INTEGER), 'plan', 'CREATE TABLE IF NOT EXISTS db.s.orders___artie_b0_1767247200 ("o_orderkey" INT8,"o_orderstatus" VARCHAR(MAX),"o_totalprice" float,"__artie_delete" BOOLEAN NULL,PRIMARY KEY ("o_orderkey"));'),
 ('redshift', CAST(2 AS INTEGER), 'plan', 'UPDATE db.s.orders AS tgt SET "o_orderkey"=stg."o_orderkey","o_orderstatus"=stg."o_orderstatus","o_totalprice"=stg."o_totalprice" FROM db.s.orders___artie_b0_1767247200 AS stg WHERE tgt."o_orderkey" = stg."o_orderkey" AND COALESCE(stg."__artie_delete", false) = false;'),
 ('redshift', CAST(3 AS INTEGER), 'plan', 'INSERT INTO db.s.orders ("o_orderkey","o_orderstatus","o_totalprice") SELECT stg."o_orderkey",stg."o_orderstatus",stg."o_totalprice" FROM db.s.orders___artie_b0_1767247200 AS stg LEFT JOIN db.s.orders AS tgt ON tgt."o_orderkey" = stg."o_orderkey" WHERE tgt."o_orderkey" IS NULL AND COALESCE(stg."__artie_delete", false) = false;'),
 ('redshift', CAST(4 AS INTEGER), 'plan', 'DELETE FROM db.s.orders WHERE ("o_orderkey") IN (SELECT stg."o_orderkey" FROM db.s.orders___artie_b0_1767247200 AS stg WHERE stg."__artie_delete" = true);'),
 ('redshift', CAST(5 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.orders___artie_b0_1767247200'),
-('snowflake', CAST(0 AS INTEGER), 'ddl', 'CREATE TABLE IF NOT EXISTS db.s.orders ("O_ORDERKEY" int,"O_ORDERSTATUS" string,"O_TOTALPRICE" float,"__ARTIE_DELETE" boolean)'),
-('snowflake', CAST(1 AS INTEGER), 'plan', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.orders___artie_b0_1767247200 ("O_ORDERKEY" int,"O_ORDERSTATUS" string,"O_TOTALPRICE" float,"__ARTIE_DELETE" boolean) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
+('snowflake', CAST(0 AS INTEGER), 'ddl', 'CREATE TABLE IF NOT EXISTS db.s.orders ("O_ORDERKEY" int,"O_ORDERSTATUS" string,"O_TOTALPRICE" float,"__ARTIE_DELETE" boolean,PRIMARY KEY ("O_ORDERKEY"))'),
+('snowflake', CAST(1 AS INTEGER), 'plan', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.orders___artie_b0_1767247200 ("O_ORDERKEY" int,"O_ORDERSTATUS" string,"O_TOTALPRICE" float,"__ARTIE_DELETE" boolean,PRIMARY KEY ("O_ORDERKEY")) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
 ('snowflake', CAST(2 AS INTEGER), 'plan', '
 MERGE INTO db.s.orders tgt USING ( db.s.orders___artie_b0_1767247200 ) AS stg ON tgt."O_ORDERKEY" = stg."O_ORDERKEY"
 WHEN MATCHED AND stg."__ARTIE_DELETE" THEN DELETE
@@ -10456,34 +10456,34 @@ SELECT *, ROW_NUMBER() OVER (PARTITION BY `id` ORDER BY `id` DESC, `__artie_upda
       rows.toDF("dialect", "step", "ord", "kind", "statement")
         .orderBy(col("dialect"), col("step"), col("ord"))
     }, Some("""SELECT * FROM (VALUES
-('redshift', 'a_create_insert_only', CAST(0 AS INTEGER), 'ddl', 'CREATE TABLE IF NOT EXISTS db.s.nation ("id" INT8,"name" VARCHAR(MAX),"off" INT8,"__artie_delete" BOOLEAN NULL);'),
-('redshift', 'a_create_insert_only', CAST(1 AS INTEGER), 'plan', 'CREATE TABLE IF NOT EXISTS db.s.nation___artie_b0_1767247200 ("id" INT8,"name" VARCHAR(MAX),"off" INT8,"__artie_delete" BOOLEAN NULL);'),
+('redshift', 'a_create_insert_only', CAST(0 AS INTEGER), 'ddl', 'CREATE TABLE IF NOT EXISTS db.s.nation ("id" INT8,"name" VARCHAR(MAX),"off" INT8,"__artie_delete" BOOLEAN NULL,PRIMARY KEY ("id"));'),
+('redshift', 'a_create_insert_only', CAST(1 AS INTEGER), 'plan', 'CREATE TABLE IF NOT EXISTS db.s.nation___artie_b0_1767247200 ("id" INT8,"name" VARCHAR(MAX),"off" INT8,"__artie_delete" BOOLEAN NULL,PRIMARY KEY ("id"));'),
 ('redshift', 'a_create_insert_only', CAST(2 AS INTEGER), 'plan', 'UPDATE db.s.nation AS tgt SET "id"=stg."id","name"=stg."name","off"=stg."off" FROM db.s.nation___artie_b0_1767247200 AS stg WHERE tgt."id" = stg."id" AND COALESCE(stg."__artie_delete", false) = false;'),
 ('redshift', 'a_create_insert_only', CAST(3 AS INTEGER), 'plan', 'INSERT INTO db.s.nation ("id","name","off") SELECT stg."id",stg."name",stg."off" FROM db.s.nation___artie_b0_1767247200 AS stg LEFT JOIN db.s.nation AS tgt ON tgt."id" = stg."id" WHERE tgt."id" IS NULL AND COALESCE(stg."__artie_delete", false) = false;'),
 ('redshift', 'a_create_insert_only', CAST(4 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b0_1767247200'),
 ('redshift', 'b_add_default', CAST(0 AS INTEGER), 'ddl', 'ALTER TABLE db.s.nation ADD COLUMN "priority" INT8'),
-('redshift', 'b_add_default', CAST(1 AS INTEGER), 'plan', 'CREATE TABLE IF NOT EXISTS db.s.nation___artie_b1_1767247200 ("id" INT8,"name" VARCHAR(MAX),"off" INT8,"__artie_delete" BOOLEAN NULL,"priority" INT8);'),
+('redshift', 'b_add_default', CAST(1 AS INTEGER), 'plan', 'CREATE TABLE IF NOT EXISTS db.s.nation___artie_b1_1767247200 ("id" INT8,"name" VARCHAR(MAX),"off" INT8,"__artie_delete" BOOLEAN NULL,"priority" INT8,PRIMARY KEY ("id"));'),
 ('redshift', 'b_add_default', CAST(2 AS INTEGER), 'plan', 'UPDATE db.s.nation SET "priority" = 0 WHERE "priority" IS NULL;'),
 ('redshift', 'b_add_default', CAST(3 AS INTEGER), 'plan', 'COMMENT ON COLUMN db.s.nation."priority" IS ''{"backfilled": true}'';'),
 ('redshift', 'b_add_default', CAST(4 AS INTEGER), 'plan', 'UPDATE db.s.nation AS tgt SET "id"=stg."id","name"=stg."name","off"=stg."off","priority"=stg."priority" FROM db.s.nation___artie_b1_1767247200 AS stg WHERE tgt."id" = stg."id" AND COALESCE(stg."__artie_delete", false) = false;'),
 ('redshift', 'b_add_default', CAST(5 AS INTEGER), 'plan', 'INSERT INTO db.s.nation ("id","name","off","priority") SELECT stg."id",stg."name",stg."off",stg."priority" FROM db.s.nation___artie_b1_1767247200 AS stg LEFT JOIN db.s.nation AS tgt ON tgt."id" = stg."id" WHERE tgt."id" IS NULL AND COALESCE(stg."__artie_delete", false) = false;'),
 ('redshift', 'b_add_default', CAST(6 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b1_1767247200'),
-('redshift', 'c_hard_delete', CAST(0 AS INTEGER), 'plan', 'CREATE TABLE IF NOT EXISTS db.s.nation___artie_b2_1767247200 ("id" INT8,"name" VARCHAR(MAX),"off" INT8,"__artie_delete" BOOLEAN NULL,"priority" INT8);'),
+('redshift', 'c_hard_delete', CAST(0 AS INTEGER), 'plan', 'CREATE TABLE IF NOT EXISTS db.s.nation___artie_b2_1767247200 ("id" INT8,"name" VARCHAR(MAX),"off" INT8,"__artie_delete" BOOLEAN NULL,"priority" INT8,PRIMARY KEY ("id"));'),
 ('redshift', 'c_hard_delete', CAST(1 AS INTEGER), 'plan', 'UPDATE db.s.nation AS tgt SET "id"=stg."id","name"=stg."name","off"=stg."off","priority"=stg."priority" FROM db.s.nation___artie_b2_1767247200 AS stg WHERE tgt."id" = stg."id" AND COALESCE(stg."__artie_delete", false) = false;'),
 ('redshift', 'c_hard_delete', CAST(2 AS INTEGER), 'plan', 'INSERT INTO db.s.nation ("id","name","off","priority") SELECT stg."id",stg."name",stg."off",stg."priority" FROM db.s.nation___artie_b2_1767247200 AS stg LEFT JOIN db.s.nation AS tgt ON tgt."id" = stg."id" WHERE tgt."id" IS NULL AND COALESCE(stg."__artie_delete", false) = false;'),
 ('redshift', 'c_hard_delete', CAST(3 AS INTEGER), 'plan', 'DELETE FROM db.s.nation WHERE ("id") IN (SELECT stg."id" FROM db.s.nation___artie_b2_1767247200 AS stg WHERE stg."__artie_delete" = true);'),
 ('redshift', 'c_hard_delete', CAST(4 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b2_1767247200'),
-('redshift', 'd_clock_start', CAST(0 AS INTEGER), 'plan', 'CREATE TABLE IF NOT EXISTS db.s.nation___artie_b3_1767250800 ("id" INT8,"name" VARCHAR(MAX),"off" INT8,"__artie_delete" BOOLEAN NULL);'),
+('redshift', 'd_clock_start', CAST(0 AS INTEGER), 'plan', 'CREATE TABLE IF NOT EXISTS db.s.nation___artie_b3_1767250800 ("id" INT8,"name" VARCHAR(MAX),"off" INT8,"__artie_delete" BOOLEAN NULL,PRIMARY KEY ("id"));'),
 ('redshift', 'd_clock_start', CAST(1 AS INTEGER), 'plan', 'UPDATE db.s.nation AS tgt SET "id"=stg."id","name"=stg."name","off"=stg."off" FROM db.s.nation___artie_b3_1767250800 AS stg WHERE tgt."id" = stg."id" AND COALESCE(stg."__artie_delete", false) = false;'),
 ('redshift', 'd_clock_start', CAST(2 AS INTEGER), 'plan', 'INSERT INTO db.s.nation ("id","name","off") SELECT stg."id",stg."name",stg."off" FROM db.s.nation___artie_b3_1767250800 AS stg LEFT JOIN db.s.nation AS tgt ON tgt."id" = stg."id" WHERE tgt."id" IS NULL AND COALESCE(stg."__artie_delete", false) = false;'),
 ('redshift', 'd_clock_start', CAST(3 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b3_1767250800'),
 ('redshift', 'e_drop_after_window', CAST(0 AS INTEGER), 'ddl', 'ALTER TABLE db.s.nation DROP COLUMN "priority"'),
-('redshift', 'e_drop_after_window', CAST(1 AS INTEGER), 'plan', 'CREATE TABLE IF NOT EXISTS db.s.nation___artie_b4_1767268800 ("id" INT8,"name" VARCHAR(MAX),"off" INT8,"__artie_delete" BOOLEAN NULL);'),
+('redshift', 'e_drop_after_window', CAST(1 AS INTEGER), 'plan', 'CREATE TABLE IF NOT EXISTS db.s.nation___artie_b4_1767268800 ("id" INT8,"name" VARCHAR(MAX),"off" INT8,"__artie_delete" BOOLEAN NULL,PRIMARY KEY ("id"));'),
 ('redshift', 'e_drop_after_window', CAST(2 AS INTEGER), 'plan', 'UPDATE db.s.nation AS tgt SET "id"=stg."id","name"=stg."name","off"=stg."off" FROM db.s.nation___artie_b4_1767268800 AS stg WHERE tgt."id" = stg."id" AND COALESCE(stg."__artie_delete", false) = false;'),
 ('redshift', 'e_drop_after_window', CAST(3 AS INTEGER), 'plan', 'INSERT INTO db.s.nation ("id","name","off") SELECT stg."id",stg."name",stg."off" FROM db.s.nation___artie_b4_1767268800 AS stg LEFT JOIN db.s.nation AS tgt ON tgt."id" = stg."id" WHERE tgt."id" IS NULL AND COALESCE(stg."__artie_delete", false) = false;'),
 ('redshift', 'e_drop_after_window', CAST(4 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b4_1767268800'),
-('snowflake', 'a_create_insert_only', CAST(0 AS INTEGER), 'ddl', 'CREATE TABLE IF NOT EXISTS db.s.nation ("ID" int,"NAME" string,"OFF" int,"__ARTIE_DELETE" boolean)'),
-('snowflake', 'a_create_insert_only', CAST(1 AS INTEGER), 'plan', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.nation___artie_b0_1767247200 ("ID" int,"NAME" string,"OFF" int,"__ARTIE_DELETE" boolean) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
+('snowflake', 'a_create_insert_only', CAST(0 AS INTEGER), 'ddl', 'CREATE TABLE IF NOT EXISTS db.s.nation ("ID" int,"NAME" string,"OFF" int,"__ARTIE_DELETE" boolean,PRIMARY KEY ("ID"))'),
+('snowflake', 'a_create_insert_only', CAST(1 AS INTEGER), 'plan', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.nation___artie_b0_1767247200 ("ID" int,"NAME" string,"OFF" int,"__ARTIE_DELETE" boolean,PRIMARY KEY ("ID")) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
 ('snowflake', 'a_create_insert_only', CAST(2 AS INTEGER), 'plan', '
 MERGE INTO db.s.nation tgt USING ( db.s.nation___artie_b0_1767247200 ) AS stg ON tgt."ID" = stg."ID"
 WHEN MATCHED AND stg."__ARTIE_DELETE" THEN DELETE
@@ -10491,7 +10491,7 @@ WHEN MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN UPDATE SET "ID
 WHEN NOT MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN INSERT ("ID","NAME","OFF") VALUES (stg."ID",stg."NAME",stg."OFF");'),
 ('snowflake', 'a_create_insert_only', CAST(3 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b0_1767247200'),
 ('snowflake', 'b_add_default', CAST(0 AS INTEGER), 'ddl', 'ALTER TABLE db.s.nation ADD COLUMN IF NOT EXISTS "PRIORITY" int'),
-('snowflake', 'b_add_default', CAST(1 AS INTEGER), 'plan', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.nation___artie_b1_1767247200 ("ID" int,"NAME" string,"OFF" int,"__ARTIE_DELETE" boolean,"PRIORITY" int) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
+('snowflake', 'b_add_default', CAST(1 AS INTEGER), 'plan', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.nation___artie_b1_1767247200 ("ID" int,"NAME" string,"OFF" int,"__ARTIE_DELETE" boolean,"PRIORITY" int,PRIMARY KEY ("ID")) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
 ('snowflake', 'b_add_default', CAST(2 AS INTEGER), 'plan', 'UPDATE db.s.nation as t SET t."PRIORITY" = 0 WHERE t."PRIORITY" IS NULL;'),
 ('snowflake', 'b_add_default', CAST(3 AS INTEGER), 'plan', 'COMMENT ON COLUMN db.s.nation."PRIORITY" IS ''{"backfilled": true}'';'),
 ('snowflake', 'b_add_default', CAST(4 AS INTEGER), 'plan', '
@@ -10500,14 +10500,14 @@ WHEN MATCHED AND stg."__ARTIE_DELETE" THEN DELETE
 WHEN MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN UPDATE SET "ID"=stg."ID","NAME"=stg."NAME","OFF"=stg."OFF","PRIORITY"=stg."PRIORITY"
 WHEN NOT MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN INSERT ("ID","NAME","OFF","PRIORITY") VALUES (stg."ID",stg."NAME",stg."OFF",stg."PRIORITY");'),
 ('snowflake', 'b_add_default', CAST(5 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b1_1767247200'),
-('snowflake', 'c_hard_delete', CAST(0 AS INTEGER), 'plan', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.nation___artie_b2_1767247200 ("ID" int,"NAME" string,"OFF" int,"__ARTIE_DELETE" boolean,"PRIORITY" int) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
+('snowflake', 'c_hard_delete', CAST(0 AS INTEGER), 'plan', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.nation___artie_b2_1767247200 ("ID" int,"NAME" string,"OFF" int,"__ARTIE_DELETE" boolean,"PRIORITY" int,PRIMARY KEY ("ID")) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
 ('snowflake', 'c_hard_delete', CAST(1 AS INTEGER), 'plan', '
 MERGE INTO db.s.nation tgt USING ( db.s.nation___artie_b2_1767247200 ) AS stg ON tgt."ID" = stg."ID"
 WHEN MATCHED AND stg."__ARTIE_DELETE" THEN DELETE
 WHEN MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN UPDATE SET "ID"=stg."ID","NAME"=stg."NAME","OFF"=stg."OFF","PRIORITY"=stg."PRIORITY"
 WHEN NOT MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN INSERT ("ID","NAME","OFF","PRIORITY") VALUES (stg."ID",stg."NAME",stg."OFF",stg."PRIORITY");'),
 ('snowflake', 'c_hard_delete', CAST(2 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b2_1767247200'),
-('snowflake', 'd_clock_start', CAST(0 AS INTEGER), 'plan', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.nation___artie_b3_1767250800 ("ID" int,"NAME" string,"OFF" int,"__ARTIE_DELETE" boolean) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
+('snowflake', 'd_clock_start', CAST(0 AS INTEGER), 'plan', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.nation___artie_b3_1767250800 ("ID" int,"NAME" string,"OFF" int,"__ARTIE_DELETE" boolean,PRIMARY KEY ("ID")) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
 ('snowflake', 'd_clock_start', CAST(1 AS INTEGER), 'plan', '
 MERGE INTO db.s.nation tgt USING ( db.s.nation___artie_b3_1767250800 ) AS stg ON tgt."ID" = stg."ID"
 WHEN MATCHED AND stg."__ARTIE_DELETE" THEN DELETE
@@ -10515,7 +10515,7 @@ WHEN MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN UPDATE SET "ID
 WHEN NOT MATCHED AND IFNULL(stg."__ARTIE_DELETE", false) = false THEN INSERT ("ID","NAME","OFF") VALUES (stg."ID",stg."NAME",stg."OFF");'),
 ('snowflake', 'd_clock_start', CAST(2 AS INTEGER), 'plan', 'DROP TABLE IF EXISTS db.s.nation___artie_b3_1767250800'),
 ('snowflake', 'e_drop_after_window', CAST(0 AS INTEGER), 'ddl', 'ALTER TABLE db.s.nation DROP COLUMN IF EXISTS "PRIORITY"'),
-('snowflake', 'e_drop_after_window', CAST(1 AS INTEGER), 'plan', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.nation___artie_b4_1767268800 ("ID" int,"NAME" string,"OFF" int,"__ARTIE_DELETE" boolean) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
+('snowflake', 'e_drop_after_window', CAST(1 AS INTEGER), 'plan', 'CREATE TRANSIENT TABLE IF NOT EXISTS db.s.nation___artie_b4_1767268800 ("ID" int,"NAME" string,"OFF" int,"__ARTIE_DELETE" boolean,PRIMARY KEY ("ID")) DATA_RETENTION_TIME_IN_DAYS = 0 STAGE_COPY_OPTIONS = ( PURGE = TRUE ) STAGE_FILE_FORMAT = ( TYPE = ''csv'' FIELD_DELIMITER= ''\t'' FIELD_OPTIONALLY_ENCLOSED_BY=''"'' NULL_IF=''__artie_null_value'' EMPTY_FIELD_AS_NULL=FALSE)'),
 ('snowflake', 'e_drop_after_window', CAST(2 AS INTEGER), 'plan', '
 MERGE INTO db.s.nation tgt USING ( db.s.nation___artie_b4_1767268800 ) AS stg ON tgt."ID" = stg."ID"
 WHEN MATCHED AND stg."__ARTIE_DELETE" THEN DELETE

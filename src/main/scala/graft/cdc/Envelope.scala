@@ -59,6 +59,17 @@ object Envelope {
     // partition for a small file or micro-batch).
     require(!df.columns.contains("__p"),
       "relational decode: input must not contain reserved column __p")
+    // a ROW column named like a synthesized marker would emit TWICE (the
+    // row projection and the meta projection), making every downstream
+    // col("__artie_delete")/col("__artie_operation") reference ambiguous
+    // — the artie marker namespace is reserved (lib/config/constants.go)
+    val reservedMeta = Set(Constants.OperationCol, Constants.DeleteCol,
+      "__source_ts_ms", Constants.SourceMetadataCol)
+    val clashes = rowSchema.fieldNames.filter(reservedMeta.contains)
+    require(clashes.isEmpty,
+      s"relational decode: row schema carries reserved metadata column(s) " +
+        s"${clashes.mkString(", ")} — the artie marker namespace is reserved " +
+        "(rename the source columns or exclude them via columnsToExclude)")
     val carriedIn = Seq("offset", "partition", "timestamp")
       .filter(df.columns.contains)
     // a Kafka metadata column whose name collides with a ROW column rides
@@ -200,14 +211,24 @@ object Envelope {
         StructField("op", StringType),
         StructField("ts_ms", LongType),
       )))))
+    // same decode discipline as the relational path (decodeWithPayload):
+    // reserved-column guard, ONE parse per row behind a Generate barrier
+    // (withColumn let OptimizeJsonExprs split the parse into a pruned
+    // copy per referenced field — op/before/after/ts_ms/source = 5 full
+    // JSON scans per row), and a malformed-frame filter at the end
+    require(!df.columns.contains("__p"),
+      "mongo decode: input must not contain reserved column __p")
+    val carriedNames = Seq("offset", "partition", "timestamp")
+      .filter(df.columns.contains)
+    val keyCol = if (df.columns.contains("key")) Seq(col("key")) else Nil
     val decoded = df
       .filter(col("value").isNotNull && length(col("value")) > 0)
-      .withColumn("__p", from_json(col("value").cast(StringType), schema).getField("payload"))
+      .select(Seq(explode(array(from_json(col("value").cast(StringType), schema)
+        .getField("payload"))).as("__p")) ++ carriedNames.map(col) ++ keyCol: _*)
     val isDelete = col("__p.op") === "d"
     val rawDoc = when(isDelete, col("__p.before")).otherwise(col("__p.after"))
     val doc = graft.functions.Converters.mongoExtJson(rawDoc)
-    val carried = Seq("offset", "partition", "timestamp")
-      .filter(df.columns.contains).map(col)
+    val carried = carriedNames.map(col)
     // delete events carry no before-image unless pre-images are enabled,
     // so the PK must come from the Kafka key (mongo/debezium.go
     // GetPrimaryKey + the id -> _id rename); the document body is the
@@ -229,6 +250,12 @@ object Envelope {
       col("__p.ts_ms").as("__source_ts_ms"),
       to_json(col("__p.source")).as(Constants.SourceMetadataCol),
     ) ++ carried: _*)
+      // malformed/non-envelope JSON parses to a null payload → null op;
+      // without this filter a poison frame with a parseable KEY became a
+      // phantom (real _id, null document, null delete flag) row that the
+      // merge dialects' COALESCE(delete,false) arm UPSERTS — overwriting
+      // that _id's live document with NULL at the destination
+      .filter(col(Constants.OperationCol).isNotNull)
   }
 }
 

@@ -178,8 +178,16 @@ object EventTracking {
     * maps.Copy order in GetData means extraFields overwrite properties.
     */
   def flattenTrackEvents(decoded: DataFrame, keys: Seq[String]): DataFrame = {
+    val passthroughNames = decoded.columns.toSeq
+      .filterNot(c => c == "properties" || c == "extraFields")
+    // reserved = the fixed metadata names PLUS whatever rides through
+    // from the decode (offset/partition/__kafka_timestamp/carried source
+    // columns): a property key equal to ANY passthrough column would
+    // otherwise emit a duplicate name and every later reference —
+    // including cfg.orderCol="offset" in the merge — dies AMBIGUOUS
     val reserved = Set("id", "timestamp", "event", Constants.OperationCol,
-      Constants.DeleteCol, Constants.OnlySetDeleteCol, Constants.SourceMetadataCol)
+      Constants.DeleteCol, Constants.OnlySetDeleteCol, Constants.SourceMetadataCol) ++
+      passthroughNames
     val propCols = keys.distinct.map { k =>
       val raw = coalesce(element_at(col("extraFields"), k), element_at(col("properties"), k))
       val typed = inferredType(k) match {
@@ -188,8 +196,6 @@ object EventTracking {
       }
       typed.as(if (reserved.contains(k)) s"${k}__property" else k)
     }
-    val passthrough = decoded.columns.toSeq
-      .filterNot(c => c == "properties" || c == "extraFields").map(col)
-    decoded.select(passthrough ++ propCols: _*)
+    decoded.select(passthroughNames.map(col) ++ propCols: _*)
   }
 }

@@ -48,6 +48,18 @@ trait DdlDialect {
   def dropTable(target: String): String = s"DROP TABLE IF EXISTS $target"
   def truncateTable(target: String): String = s"TRUNCATE TABLE $target"
 
+  /** The `PRIMARY KEY (...)` column-list part the reference's shared
+    * create builder appends in replication mode
+    * (lib/destination/ddl/ddl.go:49-56, BuildCreateTableSQL) — handed to
+    * every dialect's create; DuckDB's builder filters it back out
+    * (motherduck dialect.go:149, appender-flush PK collisions) and
+    * BigQuery marks it NOT ENFORCED. None where this engine's executable
+    * adaptation has no PK syntax (Spark/Iceberg DDL).
+    */
+  def primaryKeyClause(pks: Seq[String]): Option[String] =
+    if (pks.isEmpty) None
+    else Some(s"PRIMARY KEY (${pks.map(quote).mkString(", ")})")
+
   /** GetDefaultValueStrategy twin (clients/＊/dialect/default.go): how a
     * source-declared column default reaches the destination. `Backfill`
     * (Snowflake/BigQuery/Redshift) runs an UPDATE … WHERE col IS NULL
@@ -147,6 +159,11 @@ object DdlDialects {
       s"ALTER TABLE $target ADD COLUMNS ($colDefSql)"
     def dropColumn(target: String, colName: String) =
       s"ALTER TABLE $target DROP COLUMN ${quote(colName)}"
+    // Spark/Iceberg DDL has no PRIMARY KEY syntax — this dialect's create
+    // EXECUTES here (GraftCatalog), so the clause is dropped rather than
+    // emitted unrunnable (documented deviation; PK semantics ride in the
+    // MERGE's ON clause)
+    override def primaryKeyClause(pks: Seq[String]) = None
     def sweepQuery(dbName: String, schemaName: String) = None // catalog API, not SQL
     override def dedupeQueries(target: String, stagingTable: String, pks: Seq[String],
                                includeArtieUpdatedAt: Boolean, now: java.time.Instant) =
@@ -242,6 +259,9 @@ WHERE
       s"ALTER TABLE $target ADD COLUMN $colDefSql"
     def dropColumn(target: String, colName: String) =
       s"ALTER TABLE $target DROP COLUMN ${quote(colName)}"
+    /** BigQuery PKs are informational (ddl.go:50-53's NOT ENFORCED). */
+    override def primaryKeyClause(pks: Seq[String]) =
+      super.primaryKeyClause(pks).map(_ + " NOT ENFORCED")
     def sweepQuery(dbName: String, schemaName: String) = None // swept via the BQ API
     override def defaultValueStrategy = DdlDialects.Backfill
     /** BigQuery has no COMMENT ON: the backfilled marker is a column
@@ -578,7 +598,13 @@ WHERE
     }
     /** Replication form: ReplacingMergeTree with the delete-marker column
       * surgery ([[ClickhouseSqlBuilder.buildCreateTable]] keeps the golden
-      * text); history mode is exposed there too.
+      * text); history mode is exposed there too. The engine clause
+      * references `__artie_updated_at` WITHOUT declaring it in the column
+      * list — byte-faithful to the reference
+      * (clickhouse/dialect.go:91-108, whose own comment says declaring it
+      * inline collides with the later ALTER that adds it; the column
+      * arrives via the metadata-column ADD when includeArtieUpdatedAt is
+      * configured, which ClickHouse topics set).
       */
     def createTable(target: String, colDefs: Seq[String], temporary: Boolean,
                     now: java.time.Instant) = {

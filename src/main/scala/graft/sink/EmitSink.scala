@@ -103,7 +103,11 @@ object EmitSink {
   }
 
   /** Temp+rename line-sidecar write (a torn sidecar could fabricate
-    * schema or drop-clock state).
+    * schema or drop-clock state). The rename is CHECKED: Hadoop
+    * filesystems report most failures by returning false, and the old
+    * sidecar is already deleted by then — an unchecked false would
+    * silently destroy the recorded state (schema → spurious CREATE
+    * TABLE replans; drop clocks → reset windows).
     */
   private[graft] def writeSidecarLines(df: DataFrame, sidecar: String,
                                        lines: Seq[String]): Unit = {
@@ -113,7 +117,9 @@ object EmitSink {
     out.write(lines.mkString("\n").getBytes("UTF-8"))
     out.close()
     f.delete(new Path(sidecar), false)
-    f.rename(tmp, new Path(sidecar))
+    require(f.rename(tmp, new Path(sidecar)),
+      s"sidecar rename $tmp -> $sidecar returned false — failing loudly " +
+        "instead of losing the recorded state")
     ()
   }
 
@@ -165,8 +171,14 @@ object EmitSink {
     import org.apache.spark.sql.functions.{count, lit, max}
     val dialect = DdlDialects(label) // fail fast on unknown labels
     val pks = cfg.effectivePrimaryKeys
+    // persisted: the flags aggregation and the dedup+staging write are
+    // separate actions — unpersisted, each re-evaluated the transform
+    // chain AND re-read the micro-batch source (two full passes per
+    // flush); the try/finally releases the block on every exit
     val transformed = CdcPipeline.applyRowTransforms(batch, cfg)
       .drop(Constants.OperationCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // One pass over the raw buffer for the reference's per-row flags
     // (table_data.go:210-221): any hard-delete row (when the topic is not
     // soft-delete) arms the merge's DELETE arm; any NON-delete row is the
@@ -222,7 +234,8 @@ object EmitSink {
     val ddl: Seq[String] = known match {
       case None =>
         Seq(dialect.createTable(targetTable,
-          batchCols.map { case (n, t) => dialect.colDef(n, t, pks.contains(n)) },
+          batchCols.map { case (n, t) => dialect.colDef(n, t, pks.contains(n)) } ++
+            dialect.primaryKeyClause(pks),
           temporary = false, now = now))
       case Some(_) =>
         // one ADD COLUMN per new column, like AlterTableAddColumns' loop,
@@ -235,6 +248,15 @@ object EmitSink {
       case Some(existing) =>
         existing.filterNot { case (n, _) => dropped.contains(n) } ++ added
     }
+    // destination-is-source-of-truth typing (MergeColumnsFromDestination,
+    // merge.go:71-73 / table_data.go:317-381): a batch column whose TYPE
+    // drifted from the recorded destination keeps the DESTINATION's type
+    // in the staging create — the reference never alters destination
+    // types on source drift; it loads into destination-typed staging and
+    // the warehouse parses the canonical strings. Name-keyed, like the
+    // reference's diff.
+    val destTypeOf = known.getOrElse(Nil).toMap
+    val stagingCols = batchCols.map { case (n, t) => n -> destTypeOf.getOrElse(n, t) }
     // backfills run against the DESTINATION table for columns added this
     // batch that carry a source default (merge.go:109-144); dialects whose
     // strategy is Native/NotImplemented contribute nothing
@@ -257,8 +279,13 @@ object EmitSink {
     val staging = stagingTableName(label, targetTable, batchId, now)
     val cols = deduped.columns.toSeq
     val toast = cfg.toastCols.filter(cols.contains).toSet
+    // staging parts are PK-aware and carry the PK clause too — the
+    // reference's shared create builder hardcodes both for temp tables
+    // (ddl.go:37's shouldCreatePrimaryKey(col, mode, true, …))
     val createStaging = dialect.createTable(staging,
-      batchCols.map { case (n, t) => dialect.colDef(n, t) }, temporary = true, now = now)
+      stagingCols.map { case (n, t) => dialect.colDef(n, t, pks.contains(n)) } ++
+        dialect.primaryKeyClause(pks),
+      temporary = true, now = now)
     val merge: Seq[String] =
       if (MergeDialects.engineMergeLabels.contains(label))
         // ClickHouse: the table engine IS the merge (ReplacingMergeTree
@@ -273,19 +300,21 @@ object EmitSink {
     val plan = ((createStaging +: backfills) ++ merge) :+ dialect.dropTable(staging)
 
     // ---- record the plan (idempotent per-batch overwrite) ------------
+    // temp+rename like the sidecars: the plan is THE artifact an external
+    // executor runs — a crash mid-write must not leave a torn (or
+    // valid-prefix) statement file
     val planPath = s"$destDir/_plans/batch=$batchId.json"
-    val f = fs(deduped, planPath)
-    val out = f.create(new Path(planPath), true)
-    out.write((s"""{"batch":$batchId,"dialect":${jsonStr(label)},""" +
-      s""""target":${jsonStr(targetTable)},"staged":${jsonStr(stagedPath)},""" +
-      s""""stagingTable":${jsonStr(staging)},""" +
-      s""""ddl":[${ddl.map(jsonStr).mkString(",")}],""" +
-      s""""plan":[${plan.map(jsonStr).mkString(",")}]}""").getBytes("UTF-8"))
-    out.close()
+    writeSidecarLines(deduped, planPath, Seq(
+      s"""{"batch":$batchId,"dialect":${jsonStr(label)},""" +
+        s""""target":${jsonStr(targetTable)},"staged":${jsonStr(stagedPath)},""" +
+        s""""stagingTable":${jsonStr(staging)},""" +
+        s""""ddl":[${ddl.map(jsonStr).mkString(",")}],""" +
+        s""""plan":[${plan.map(jsonStr).mkString(",")}]}"""))
 
     // advance the known-destination-schema AFTER the plan lands (a crash
     // between the two replays an IF-NOT-EXISTS-guarded ADD COLUMN)
     if (ddl.nonEmpty || known.isEmpty) writeDestSchema(deduped, sidecar, evolved)
     Some(EmittedBatch(batchId, stagedPath, staging, ddl, plan))
+    } finally { transformed.unpersist(); () }
   }
 }

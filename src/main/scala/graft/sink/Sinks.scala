@@ -18,13 +18,21 @@ object Sinks {
     * (clients/s3/s3.go:95-219). Compression matches the reference (gzip).
     */
   def partitionedParquet(df: DataFrame, basePrefix: String, fqTableName: String,
-                         tsCol: String): Unit =
+                         tsCol: String): Unit = {
+    // the derived partition key would silently CLOBBER a row column named
+    // `date` (common in relational sources) and fold it into the
+    // directory key — fail loudly like the other reserved-column guards
+    require(!df.columns.contains("date") || tsCol == "date",
+      "partitionedParquet derives a `date` partition column but the frame " +
+        "already carries one — rename it (or pass tsCol = \"date\" to " +
+        "partition by the existing column as-is)")
     df.withColumn("date", date_format(col(tsCol), "yyyy-MM-dd"))
       .write
       .mode("append")
       .option("compression", "gzip")
       .partitionBy("date")
       .parquet(s"$basePrefix/$fqTableName")
+  }
 
   /** K7/K8 shape: key/value fan-out to an external system (Redis SET /
     * SQS publish in the reference). `clientFactory` runs once per
@@ -118,7 +126,11 @@ object Sinks {
       out.write(s"$batchId\t${now.toEpochMilli}".getBytes("UTF-8"))
       out.close()
       hadoopFs.delete(p, false)
-      hadoopFs.rename(tmp, p)
+      // checked: a silently-false rename would lose the pinned clock and
+      // re-open the boundary-straddling replay duplication the pin closes
+      require(hadoopFs.rename(tmp, p),
+        s"routing-clock rename $tmp -> $p returned false — failing the batch " +
+          "loudly so the replay re-pins instead of routing unpinned")
       now
     }
   }

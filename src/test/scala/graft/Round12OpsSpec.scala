@@ -146,6 +146,39 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(DdlDialects("snowflake").defaultValueStrategy == DdlDialects.Backfill)
   }
 
+  test("creates carry the reference's PRIMARY KEY part: plain, BigQuery NOT ENFORCED, DuckDB filtered, Spark omitted") {
+    // destination AND staging creates (ddl.go:37 hardcodes createTable=true)
+    val dir = Files.createTempDirectory("graft_emit_pk").toString
+    val b = batch((1L, "a", 1L, false))
+    val Some(eb) = EmitSink.emitBatch(b, 0L, cfg, "mysql", dir, "db.t", now)
+    assert(eb.ddl.head.contains("PRIMARY KEY (`id`)"),
+      s"mysql create must declare the PK its ON DUPLICATE KEY merge relies on: ${eb.ddl.head}")
+    assert(eb.plan.head.contains("PRIMARY KEY (`id`)"), "staging create too")
+    assert(DdlDialects("bigquery").primaryKeyClause(Seq("id")) ==
+      Some("PRIMARY KEY (`id`) NOT ENFORCED"))
+    assert(DdlDialects("spark").primaryKeyClause(Seq("id")).isEmpty)
+    // DuckDB: the clause is HANDED to the builder and the builder drops it
+    // (motherduck dialect.go:149 — appender flushes collide with PKs)
+    val dd = DdlDialects("duckdb")
+    val created = dd.createTable("t",
+      Seq(dd.colDef("id", org.apache.spark.sql.types.LongType, isPk = true)) ++
+        dd.primaryKeyClause(Seq("id")))
+    assert(!created.contains("PRIMARY KEY"), created)
+  }
+
+  test("staging create keeps the DESTINATION's type when a batch column's type drifted (MergeColumnsFromDestination)") {
+    val dir = Files.createTempDirectory("graft_emit_drift").toString
+    EmitSink.emitBatch(batch((1L, "a", 1L, false)), 0L, cfg, "snowflake", dir, "db.t", now)
+    // same column arrives as a STRING now — destination records int
+    val drifted = Seq((2L, "b", "not-a-number", false))
+      .toDF("id", "name", "off", Constants.DeleteCol)
+    val Some(eb) = EmitSink.emitBatch(drifted, 1L, cfg.copy(orderCol = "off"),
+      "snowflake", dir, "db.t", now)
+    assert(eb.ddl.isEmpty, "type drift must not replan DDL (destination wins)")
+    assert(eb.plan.head.contains("\"OFF\" int"),
+      s"staging must carry the destination's recorded type: ${eb.plan.head}")
+  }
+
   // ---- emit × multi-table demux -------------------------------------
 
   test("a running multi-table stream through emit sinks: 2 tables -> 2 staged dirs + 2 plans (flush.go:67-147)") {
