@@ -358,7 +358,7 @@ WHERE rank <= 5 ORDER BY q_id, rank""")),
       Some("""WITH base AS (
 SELECT doc_id, n_chars,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
-  CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) AS cnt_the
+  CAST((length(' ' || replace(text, ' ', '  ') || ' ') - length(replace(' ' || replace(text, ' ', '  ') || ' ', ' the ', ''))) / 5 AS BIGINT) AS cnt_the
 FROM documents)
 SELECT doc_id, words AS n_words,
   least(words, 50) * 10
@@ -1134,7 +1134,7 @@ reach(a, b) AS (
 canon AS (SELECT a AS doc_id FROM (SELECT a, min(b) AS m FROM reach GROUP BY a) WHERE a = m),
 base AS (SELECT d1.doc_id, d1.lang, d1.n_chars,
   CAST(len(string_split(d1.text, ' ')) AS BIGINT) AS words,
-  CAST((length(' ' || d1.text || ' ') - length(replace(' ' || d1.text || ' ', ' the ', ''))) / 5 AS BIGINT) AS cnt_the
+  CAST((length(' ' || replace(d1.text, ' ', '  ') || ' ') - length(replace(' ' || replace(d1.text, ' ', '  ') || ' ', ' the ', ''))) / 5 AS BIGINT) AS cnt_the
   FROM d1 JOIN canon USING (doc_id)),
 scored AS (SELECT doc_id, lang, words AS n_tokens,
   least(words, 50) * 10
@@ -1185,7 +1185,7 @@ parts AS (SELECT doc_id,
   lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
   regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
     '/+$', '') AS path,
-  regexp_extract(url, '[?]([^#]*)', 1) AS q0 FROM u),
+  regexp_extract(regexp_replace(url, '#.*', ''), '[?](.*)', 1) AS q0 FROM u),
 p2 AS (SELECT doc_id, scheme,
   regexp_replace(CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
        WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
@@ -3498,7 +3498,7 @@ ORDER BY o_orderkey""")),
   || CASE WHEN doc_id % 6 = 0 THEN ' card 4532015112830366 on file' ELSE '' END
   || CASE WHEN doc_id % 6 = 3 THEN ' ref 4532015112830367 order' ELSE '' END AS text
   FROM documents),
-c AS (SELECT doc_id, text, regexp_extract_all(text, '[0-9]{16}') AS cs FROM dirty),
+c AS (SELECT doc_id, text, regexp_extract_all(text, '(^|[^0-9])([0-9]{16})([^0-9]|$)', 2) AS cs FROM dirty),
 v AS (SELECT doc_id, text, cs, list_filter(cs, s ->
     list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 17), i ->
       CAST(CASE WHEN (17 - i) % 2 = 0
@@ -7323,14 +7323,15 @@ th AS (SELECT CAST(k AS BIGINT) AS k, (m * k) // 10 AS id_threshold
   FROM mx, range(1, 11) r(k)),
 fo AS (SELECT w, MIN(id) AS fo FROM tk2 GROUP BY 1),
 dt AS (SELECT id, CAST(count(*) AS BIGINT) AS nt FROM tk2 GROUP BY 1),
-v AS (SELECT th.k, th.id_threshold, CAST(count(*) AS BIGINT) AS vocab
-  FROM th JOIN fo ON fo.fo < th.id_threshold GROUP BY 1, 2),
-t AS (SELECT th.k, CAST(count(*) AS BIGINT) AS n_docs,
-  CAST(SUM(dt.nt) AS BIGINT) AS n_tokens
-  FROM th JOIN dt ON dt.id < th.id_threshold GROUP BY 1)
+v AS (SELECT th.k, th.id_threshold, CAST(count(fo.fo) AS BIGINT) AS vocab
+  FROM th LEFT JOIN fo ON fo.fo < th.id_threshold GROUP BY 1, 2),
+t AS (SELECT th.k, CAST(count(dt.id) AS BIGINT) AS n_docs,
+  CAST(COALESCE(SUM(dt.nt), 0) AS BIGINT) AS n_tokens
+  FROM th LEFT JOIN dt ON dt.id < th.id_threshold GROUP BY 1)
 SELECT v.k, CAST(v.id_threshold AS BIGINT) AS id_threshold, t.n_docs,
   t.n_tokens, v.vocab,
-  CAST((1000000 * v.vocab) // t.n_tokens AS BIGINT) AS vocab_per_token_ppm
+  CAST(CASE WHEN t.n_tokens = 0 THEN 0
+    ELSE (1000000 * v.vocab) // t.n_tokens END AS BIGINT) AS vocab_per_token_ppm
 FROM v JOIN t ON v.k = t.k ORDER BY v.k""")),
 
     ("q287_wilcoxon_signed_rank", (s, d) =>
@@ -11764,7 +11765,7 @@ r AS (SELECT query_id, id, score,
   private def qualitySqlCtes: String =
     """qbase AS (SELECT doc_id, n_chars,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
-  CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) AS cnt_the
+  CAST((length(' ' || replace(text, ' ', '  ') || ' ') - length(replace(' ' || replace(text, ' ', '  ') || ' ', ' the ', ''))) / 5 AS BIGINT) AS cnt_the
   FROM documents),
 qual AS (SELECT doc_id,
   least(words, 50) * 10
@@ -11832,7 +11833,7 @@ ORDER BY side, node"""
     */
   private def langIdSql: String = {
     def cnt(w: String) =
-      s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) / ${w.length + 2}"
+      s"(length(' ' || replace(text, ' ', '  ') || ' ') - length(replace(' ' || replace(text, ' ', '  ') || ' ', ' $w ', ''))) / ${w.length + 2}"
     val scoreExprs = TextOps.LangMarkers.map { case (lang, ms) =>
       s"(${ms.map(cnt).mkString(" + ")}) AS s_$lang"
     }

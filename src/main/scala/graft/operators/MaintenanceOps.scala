@@ -24,8 +24,15 @@ object MaintenanceOps {
   /** Temp-object TTL is 6 h in the reference (constants.go:39). */
   val DefaultTtlSeconds: Long = 6 * 3600
 
-  /** D6: TTL-encoded staging name `base__artie_<rand>_<expiryUnix>`
-    * (clients/shared/temp_table.go:20-43).
+  /** D6: TTL-encoded staging name `base__artie_<salt>_<expiryUnix>`
+    * (clients/shared/temp_table.go:20-43 — the reference's middle segment
+    * is a RANDOM suffix). The salt here is caller-supplied and defaults
+    * to a CONSTANT: uniqueness against concurrent builds of the same
+    * base (two pipelines, a retry racing its zombie predecessor in the
+    * same epoch second) is the caller's job — pass a distinct salt
+    * (batch id, UUID) wherever two builders could overlap; the default
+    * suits the common one-writer-per-table case and keeps tests
+    * deterministic.
     */
   def tempName(base: String, nowEpochS: Long, ttlSeconds: Long = DefaultTtlSeconds,
                salt: String = "stg"): String =
@@ -55,13 +62,6 @@ object MaintenanceOps {
       else acc.withColumn(name, default)
     }
 
-  /** Column profile for destination-table / corpus QA: null counts and
-    * canonical-string min/max per column, computed in ONE map-side-
-    * combinable aggregation pass over the table (never one job per
-    * column), then unpivoted row-per-column. The profile is the drift/
-    * sanity check a merge pipeline runs against its snapshot — cheap at
-    * any scale because the shuffle carries 4 values per column total.
-    */
   /** Incremental aggregate-view maintenance: fold a delta's partial
     * aggregates into a materialized state table of the same shape
     * (keys + additive measure columns). Because every measure is
@@ -81,6 +81,13 @@ object MaintenanceOps {
         sumCols.tail.map(n => sum(col(n)).as(n)): _*)
   }
 
+  /** Column profile for destination-table / corpus QA: null counts and
+    * canonical-string min/max per column, computed in ONE map-side-
+    * combinable aggregation pass over the table (never one job per
+    * column), then unpivoted row-per-column. The profile is the drift/
+    * sanity check a merge pipeline runs against its snapshot — cheap at
+    * any scale because the shuffle carries 4 values per column total.
+    */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")
     // backtick-quote every reference so a column name containing '.' is

@@ -16,9 +16,17 @@ object TextOps {
   def countOccurrences(hay: Column, needle: String): Column =
     (length(hay) - length(call_function("replace", hay, lit(needle), lit("")))) / needle.length
 
-  /** Space-padded word occurrence count (whole-word match). */
+  /** Space-padded word occurrence count (whole-word match). Spaces are
+    * DOUBLED before padding so adjacent repeats do not share a boundary
+    * delimiter — a plain non-overlapping replace of " w " consumed the
+    * space the next occurrence needed and counted "the the the" as 2,
+    * systematically under-scoring repetitive text in langScore/langId
+    * and qualityScore's stopword component. The oracle twins replicate
+    * the same doubling.
+    */
   def countWord(text: Column, word: String): Column =
-    countOccurrences(concat(lit(" "), text, lit(" ")), s" $word ")
+    countOccurrences(concat(lit(" "),
+      call_function("replace", text, lit(" "), lit("  ")), lit(" ")), s" $word ")
 
   /** Common HTML entities a web corpus actually contains, decoded in the
     * standard order (`&amp;` LAST so freshly produced ampersands are not
@@ -227,7 +235,11 @@ object TextOps {
     val host = regexp_replace(hostNoPort, "^www[.]", "")
     val path = regexp_replace(
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/+$", "")
-    val query0 = regexp_extract(url, "[?]([^#]*)", 1)
+    // query is extracted AFTER stripping the fragment: an unanchored
+    // [?] scan over the whole URL treated a '?' INSIDE the fragment as a
+    // query ("x.com/page#section?b=1" canonicalized to "x.com/page?b=1",
+    // splitting a URL-dedup key the fragment drop should have merged)
+    val query0 = regexp_extract(regexp_replace(url, "#.*", ""), "[?](.*)", 1)
     // (^|&)-anchored so a parameter NAMED xutm_* or a VALUE containing
     // "utm_...=" is never mangled; the boundary '&' is removed with the
     // param, so only a leading/trailing separator needs cleanup
@@ -376,6 +388,9 @@ object TextOps {
                    minCount: Long = 5L, k: Int = 50,
                    scale: Long = 1000000L): DataFrame = {
     val eb = df
+      // pre-generate repartition (repetitionMetrics discipline): don't
+      // tokenize the corpus on the scan's accidental split count
+      .repartition(col(idCol))
       .select(explode(DedupOps.stringShingleArrayFromText(col(textCol), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("n"))
       // four consumers: starts, ends, total, scoring
@@ -734,10 +749,13 @@ object TextOps {
     val ac = graft.functions.AhoCorasick.build(patterns)
     val spark = df.sparkSession
     import spark.implicits._
-    val hits = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .as[(Long, String)]
+    // text only: the id never reaches the kernel, and casting it to long
+    // just to satisfy an encoder crashed on non-numeric ids (ANSI cast
+    // failure / null through a non-nullable Long encoder)
+    val hits = df.select(col(textCol).as("t"))
+      .as[String]
       .mapPartitions { it =>
-        it.flatMap { case (_, t) =>
+        it.flatMap { t =>
           val c = ac.countAll(if (t == null) "" else t)
           c.iterator.zipWithIndex.collect {
             case (n, pi) if n > 0L => (pi, 1L, n)
@@ -776,7 +794,11 @@ object TextOps {
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
                     scale: Long = 1000000L): DataFrame = {
-    val eb = df.select(col(idCol).as("id"),
+    // repartition BEFORE the row-multiplying generate (the
+    // repetitionMetrics discipline): the explode otherwise inherits the
+    // scan's partitioning and tokenizes the whole corpus on however few
+    // splits the file layout happened to give
+    val eb = df.repartition(col(idCol)).select(col(idCol).as("id"),
         explode(DedupOps.stringShingleArrayFromText(col(textCol), 2)).as("bg"))
       .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("m"))
       // two consumers: the model aggregation and the scoring join
@@ -841,7 +863,14 @@ object TextOps {
   def scrubCards(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val luhn = (c: Column) => org.apache.spark.sql.GraftBridge.column(
       graft.functions.LuhnValid(org.apache.spark.sql.GraftBridge.expression(c)))
-    val cands = regexp_extract_all(col(textCol), lit("[0-9]{16}"), lit(0))
+    // boundary-guarded candidates, lookaround-free (the oracle's RE2 has
+    // none): a bare [0-9]{16} matched the FIRST 16 digits of a longer
+    // run, so an 18-digit trace id whose prefix happened to pass Luhn
+    // (~1 in 10) was partially redacted — the exact false positive the
+    // checksum exists to prevent. A PAN embedded in a longer digit run
+    // is not a card by ISO/IEC 7812 framing.
+    val cands = regexp_extract_all(col(textCol),
+      lit("(^|[^0-9])([0-9]{16})([^0-9]|$)"), lit(2))
     df.select(col(idCol).as("id"), col(textCol).as("__t"), cands.as("__cands"))
       .withColumn("__valid", filter(col("__cands"), c => luhn(c)))
       .select(col("id"),
@@ -961,6 +990,13 @@ object TextOps {
     * projection; word stats are one vocabulary-sized aggregation; the
     * phrase score is an equi-join on the word followed by a phrase
     * aggregation; top-k is a TakeOrdered. No windows, no driver state.
+    *
+    * DELIBERATE SIBLING: [[rakeKeywords]] implements the same Rose et
+    * al. 2010 algorithm with different mechanics (gaps-and-islands
+    * segmentation vs this replace-chain, e3 vs ppm scale) — each is
+    * pinned by its own oracle and they are NOT interchangeable; a fix
+    * to one's segmentation rules must be evaluated against the other's
+    * oracle separately.
     */
   def rakeKeyphrases(df: DataFrame, idCol: String, textCol: String,
                      stopwords: Seq[String], k: Int,
@@ -1014,12 +1050,17 @@ object TextOps {
     *  - `path/meta`: one row (n, sumdl).
     * Built once per corpus generation; every retrieval after that reads
     * the artifact, not the corpus (the same build/serve split as the
-    * MinHash and dedup-graph artifacts). Crash ordering: meta is written
-    * LAST, so a torn build has no meta and serving fails loudly rather
-    * than scoring against partial stats.
+    * MinHash and dedup-graph artifacts). Crash ordering: meta is DELETED
+    * FIRST on a rebuild and written LAST, so a torn build — first OR
+    * repeat — has no meta and serving fails loudly rather than scoring
+    * new postings against a previous generation's stats (overwrite alone
+    * left the old meta/dfreq in place through the postings rewrite).
     */
   def buildPostingsIndex(df: DataFrame, idCol: String, textCol: String,
                          path: String): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath)) fs.delete(metaPath, true)
     val docs = df
       .select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
       .select(col("id"), size(col("__toks")).cast("long").as("dl"),
@@ -1108,18 +1149,23 @@ object TextOps {
           lit(nCheckpoints.toLong)).as("id_threshold"))
     val fo = toks.groupBy(col("__w")).agg(min(col("__id")).as("__fo"))
     val dt = toks.groupBy(col("__id")).agg(count(lit(1)).as("__nt"))
-    val v = broadcast(thr).join(fo, col("__fo") < col("id_threshold"))
+    // LEFT band joins + counts of the JOINED side: a checkpoint whose
+    // threshold precedes every document (ids clustered high) must emit
+    // its zero row — an inner join dropped it, and a consumer read the
+    // missing prefix as absent data instead of an empty one
+    val v = broadcast(thr).join(fo, col("__fo") < col("id_threshold"), "left")
       .groupBy(col("k"), col("id_threshold"))
-      .agg(count(lit(1)).as("vocab"))
+      .agg(count(col("__fo")).as("vocab"))
     val t = broadcast(thr)
-      .join(dt, col("__id") < col("id_threshold"))
-      .groupBy(col("k")).agg(count(lit(1)).as("n_docs"),
-        sum(col("__nt")).as("n_tokens"))
+      .join(dt, col("__id") < col("id_threshold"), "left")
+      .groupBy(col("k")).agg(count(col("__id")).as("n_docs"),
+        coalesce(sum(col("__nt")), lit(0L)).as("n_tokens"))
     v.join(t, Seq("k"))
       .select(col("k"), col("id_threshold"), col("n_docs"), col("n_tokens"),
         col("vocab"),
-        call_function("div", lit(1000000L) * col("vocab"),
-          col("n_tokens")).as("vocab_per_token_ppm"))
+        when(col("n_tokens") === 0L, lit(0L)).otherwise(
+          call_function("div", lit(1000000L) * col("vocab"),
+            col("n_tokens"))).as("vocab_per_token_ppm"))
       .orderBy(col("k"))
   }
 
@@ -1194,6 +1240,9 @@ object TextOps {
     * PARTITIONED on the doc) → one (word)-keyed stat aggregation and
     * one (phrase)-keyed count, joined back word-wise; the only global
     * step is the final TakeOrdered top-k. No self-joins.
+    *
+    * DELIBERATE SIBLING of [[rakeKeyphrases]] — see its scaladoc for the
+    * variant split; do not fold the two without re-deriving both oracles.
     */
   def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
                    stopwords: Seq[String], maxLen: Int, topK: Int): DataFrame = {
