@@ -6993,9 +6993,9 @@ FROM c WHERE n_words > 0 ORDER BY doc_id""")),
       Some("""WITH dly AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
   CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
 w AS (SELECT et, day, c,
-  CAST(SUM(c) OVER (PARTITION BY et ORDER BY day
+  CAST(SUM(c) OVER (PARTITION BY et ORDER BY day, c
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cl,
-  CAST(ROW_NUMBER() OVER (PARTITION BY et ORDER BY day) AS BIGINT) AS t,
+  CAST(ROW_NUMBER() OVER (PARTITION BY et ORDER BY day, c) AS BIGINT) AS t,
   CAST(SUM(c) OVER (PARTITION BY et) AS BIGINT) AS s,
   CAST(COUNT(*) OVER (PARTITION BY et) AS BIGINT) AS n FROM dly),
 sc AS (SELECT et, day, t, n, cl, s,

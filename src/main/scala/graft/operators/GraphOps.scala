@@ -76,8 +76,14 @@ object GraphOps {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(dampNum > 0 && dampDen > dampNum, s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
     val base = scale * (dampDen - dampNum) / dampDen
-    val deg = edges.groupBy(col(srcCol).as("__src")).agg(count(lit(1)).as("__deg"))
-    val ed = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    // endpoints cast long like the seeds (the labelPropagation/bellmanFord
+    // convention): seeds-only casting made the nodes union and the seed
+    // join resolve through implicit coercion — string edge ids would
+    // compare as DOUBLE against the long seeds (precision loss past 2^53)
+    val deg = edges.groupBy(col(srcCol).cast("long").as("__src"))
+      .agg(count(lit(1)).as("__deg"))
+    val ed = edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
       .join(deg, Seq("__src"))
       .localCheckpoint(false) // reused by every round
     val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
@@ -174,22 +180,6 @@ object GraphOps {
         (col("to_t") - col("from_t")).as("delta"))
   }
 
-  /** First-order Markov transition matrix of per-entity ordered event
-    * sequences — the trajectory/session-modeling statistic of an event
-    * stream: for every observed (from_state, to_state) step, its count
-    * and the integer-scaled MLE transition probability
-    * div(n * scale, total-steps-out-of-from_state). Integer floor
-    * arithmetic only, so the matrix is bit-identical across engines.
-    * Output: (from_state, to_state, n, p_scaled).
-    *
-    * Scale shape: one window partitioned by the ENTITY key (per-entity
-    * sequences are bounded; never a global sort), then count aggregation
-    * on the (from, to) pair; row totals derive from the pair counts —
-    * states x states rows, not event rows — so the raw stream is
-    * sequenced exactly once. `orderCols` must totally order each
-    * entity's events (tie-break with a unique id) or the lead() step is
-    * nondeterministic.
-    */
   /** The sequencing + pair-count stage of [[transitionMatrix]], exposed
     * pre-barrier so plan guards can see the entity-partitioned window
     * (the checkpoint snapshots lineage and hides upstream stages from
@@ -238,6 +228,22 @@ object GraphOps {
         (col("n") * col("cnt_w") * spikeDen > col("sum_w") * spikeNum).as("spike"))
   }
 
+  /** First-order Markov transition matrix of per-entity ordered event
+    * sequences — the trajectory/session-modeling statistic of an event
+    * stream: for every observed (from_state, to_state) step, its count
+    * and the integer-scaled MLE transition probability
+    * div(n * scale, total-steps-out-of-from_state). Integer floor
+    * arithmetic only, so the matrix is bit-identical across engines.
+    * Output: (from_state, to_state, n, p_scaled).
+    *
+    * Scale shape: one window partitioned by the ENTITY key (per-entity
+    * sequences are bounded; never a global sort), then count aggregation
+    * on the (from, to) pair; row totals derive from the pair counts —
+    * states x states rows, not event rows — so the raw stream is
+    * sequenced exactly once. `orderCols` must totally order each
+    * entity's events (tie-break with a unique id) or the lead() step is
+    * nondeterministic.
+    */
   def transitionMatrix(df: DataFrame, keyCol: String,
                        orderCols: Seq[org.apache.spark.sql.Column],
                        stateCol: String, scale: Long = 1000L): DataFrame = {
@@ -518,7 +524,13 @@ object GraphOps {
         .localCheckpoint(false)
       closure = closure.union(frontier).localCheckpoint(false)
     }
-    require(frontier.isEmpty,
+    // completeness = nothing lies BEYOND the accumulated closure: probe
+    // one more (non-accumulated) step. Testing the LAST frontier itself
+    // spuriously aborted when the hierarchy depth EQUALED maxDepth — the
+    // distance-maxDepth pairs are in the closure and the rollup is exact;
+    // only a non-empty step past them means truncation (or a cycle).
+    val beyond = frontier.join(edges, col("anc") === col("__c"))
+    require(beyond.isEmpty,
       s"hierarchy deeper than maxDepth=$maxDepth (or cyclic) — refusing to truncate the rollup")
     val rolled = closure
       .join(base.select(col("__id").as("node"), col("__v")), Seq("node"))
@@ -618,8 +630,13 @@ object GraphOps {
         .select(col("a"), col("b"))
         .localCheckpoint(false)
     }
-    e.join(support(e), Seq("a", "b"))
-      .select(col("a"), col("b"), col("support"))
+    // LEFT join: a rounds-bounded peel can leave survivors whose support
+    // dropped to ZERO in the final edge set — an inner join silently
+    // peeled them once more, so the output no longer replayed exactly
+    // `rounds` peels (converged runs are unaffected: every survivor has
+    // support >= k-2 > 0 there)
+    e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
       .orderBy(col("a"), col("b"))
   }
 

