@@ -320,7 +320,31 @@ object Bench {
           }.mkString("{", ",", "}")
           s""","scaling_hi_rows":$re"""
         }
-        s""","scaling_hi_factor":$hiFactor,"scaling_hi":$hiEntries$rowsBlock"""
+        // GATE the upward pair too (round 13 — the round-12 artifact
+        // carried hi readings of 1.66/1.35 that nothing acted on): a
+        // paired hi exponent above the same Threshold is build-failing
+        // via ScalingGate/ScalingGateSpec unless (a) the row readout
+        // shows the OUTPUT itself grew at least as fast as the time
+        // (output-driven alpha — emitting more rows legitimately costs
+        // proportionally more) or (b) SCALE.md carries a SUPERLINEAR-OK
+        // waiver (same mechanism as the mid pair).
+        val hotHi = scalingHi.toSeq.collect {
+          case (q, a) if a > ScalingGate.Threshold =>
+            val outputDriven = scalingHiRows.get(q).exists { case (b, h) =>
+              h.toDouble / b.max(1L).toDouble >= math.pow(hiFactor.toDouble, a)
+            }
+            if (outputDriven)
+              System.err.println(f"[sweep-hi] $q alpha=$a%.2f is OUTPUT-driven " +
+                "(rows grew >= time) — auto-waived")
+            (q, outputDriven)
+        }.collect { case (q, false) => q }.sorted
+        val unexplainedHi = hotHi.filterNot(waived)
+        if (unexplainedHi.nonEmpty)
+          System.err.println("[sweep-hi] BUILD-FAILING superlinear hi-pair queries " +
+            "(fix the plan or add a SUPERLINEAR-OK waiver to SCALE.md): " +
+            unexplainedHi.mkString(", "))
+        val hotHiJson = hotHi.map(q => "\"" + q + "\"").mkString("[", ",", "]")
+        s""","scaling_hi_factor":$hiFactor,"scaling_hi":$hiEntries,"superlinear_hi":$hotHiJson$rowsBlock"""
       }
       s""","scaling_sf":"${sfOf(sweepDir)}","scaling":$entries,"superlinear":$hot$loBlock$hiBlock"""
     }
@@ -340,8 +364,31 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[replay] failed: ${e.getMessage}"); ""
       }
+    // ---- end-to-end freshness (BASELINE.md "< 60 s event → queryable",
+    // first measured round 13): p50/p99 of event-add → snapshot-visible
+    // latency over >= 10 micro-batches at the reference's default 10 s
+    // trigger. Skipped in targeted dev runs (SPARK_GRAFT_ONLY) — it costs
+    // ~batches × trigger wall-clock; tune with
+    // SPARK_GRAFT_FRESHNESS_TRIGGER_MS or disable with SPARK_GRAFT_FRESHNESS=0.
+    val freshnessBlock =
+      if (only.nonEmpty || sys.env.getOrElse("SPARK_GRAFT_FRESHNESS", "1") == "0") ""
+      else try {
+        val triggerMs = sys.env.getOrElse("SPARK_GRAFT_FRESHNESS_TRIGGER_MS", "10000").toLong
+        val nb = sys.env.getOrElse("SPARK_GRAFT_FRESHNESS_BATCHES", "10").toInt
+        val lat = Queries.cdcFreshness(spark, nb, rowsPerBatch = 2000, triggerMs)
+        resetStorage(spark)
+        val sorted = lat.sorted
+        def pct(p: Double) =
+          sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+        System.err.println(f"[freshness] n=$nb trigger=${triggerMs}ms " +
+          f"p50=${pct(0.50)}%.2fs p99=${pct(0.99)}%.2fs max=${sorted.last}%.2fs")
+        s""","freshness":{"trigger_ms":$triggerMs,"batches":$nb,""" +
+          s""""p50_s":${f2(pct(0.50))},"p99_s":${f2(pct(0.99))},"max_s":${f2(sorted.last)}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[freshness] failed: ${e.getMessage}"); ""
+      }
     val detailLine = line.dropRight(1) +
-      s""","reps_detail":$repsDetail,"rerun":$rerun$buildS$scalingBlock$replayBlock}"""
+      s""","reps_detail":$repsDetail,"rerun":$rerun$buildS$scalingBlock$replayBlock$freshnessBlock}"""
     // belt-and-braces for the driver's tail capture: persist the full line
     // to a file, stop Spark so no late INFO noise can interleave, then
     // print JSON once more as the final stdout act.

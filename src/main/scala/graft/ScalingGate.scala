@@ -35,17 +35,32 @@ object ScalingGate {
     * gate on).
     */
   def superlinear(benchJson: java.nio.file.Path = java.nio.file.Paths.get("bench.json")): Seq[String] =
+    keyList(benchJson, "superlinear")
+
+  /** The `"superlinear_hi"` list — UPWARD-pair (derived ×3 corpus) flags,
+    * gated since round 13. [[graft.Bench]] already auto-drops entries
+    * whose row readout shows output growth ≥ time growth (an
+    * output-driven alpha is the query legitimately emitting more), so
+    * everything in this list is unexplained time growth at the scale
+    * direction that matters.
+    */
+  def superlinearHi(benchJson: java.nio.file.Path = java.nio.file.Paths.get("bench.json")): Seq[String] =
+    keyList(benchJson, "superlinear_hi")
+
+  private def keyList(benchJson: java.nio.file.Path, key: String): Seq[String] =
     if (!java.nio.file.Files.exists(benchJson)) Seq.empty
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(benchJson), "UTF-8")
-      """"superlinear":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+      ("\"" + key + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(txt)
         .map(m => """q\d+""".r.findAllIn(m.group(1)).toSeq)
         .getOrElse(Seq.empty)
     }
 
-  /** Flagged-and-unwaived queries — must be empty for a green build. */
+  /** Flagged-and-unwaived queries (mid AND hi pairs) — must be empty for
+    * a green build.
+    */
   def unexplained(): Seq[String] = {
     val w = waivers()
-    superlinear().filterNot(w)
+    (superlinear() ++ superlinearHi()).distinct.filterNot(w)
   }
 }

@@ -863,14 +863,20 @@ object TextOps {
   def scrubCards(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val luhn = (c: Column) => org.apache.spark.sql.GraftBridge.column(
       graft.functions.LuhnValid(org.apache.spark.sql.GraftBridge.expression(c)))
-    // boundary-guarded candidates, lookaround-free (the oracle's RE2 has
-    // none): a bare [0-9]{16} matched the FIRST 16 digits of a longer
-    // run, so an 18-digit trace id whose prefix happened to pass Luhn
-    // (~1 in 10) was partially redacted — the exact false positive the
-    // checksum exists to prevent. A PAN embedded in a longer digit run
-    // is not a card by ISO/IEC 7812 framing.
-    val cands = regexp_extract_all(col(textCol),
-      lit("(^|[^0-9])([0-9]{16})([^0-9]|$)"), lit(2))
+    // maximal-digit-run candidates, lookaround-free (the oracle's RE2
+    // has none): extract every [0-9]+ run and keep those of length
+    // EXACTLY 16. A bare [0-9]{16} matched the FIRST 16 digits of a
+    // longer run (partial-redacting trace ids whose prefix passed Luhn);
+    // the earlier boundary-group fix `(^|[^0-9])([0-9]{16})([^0-9]|$)`
+    // CONSUMED the trailing delimiter per match, so of two PANs
+    // separated by one non-digit the second was never matched and
+    // shipped unredacted. Maximal runs have neither failure: run
+    // boundaries are inherent, nothing is consumed between candidates,
+    // and a PAN embedded in a longer digit run is still excluded
+    // (not a card by ISO/IEC 7812 framing).
+    val cands = filter(
+      regexp_extract_all(col(textCol), lit("[0-9]+"), lit(0)),
+      r => length(r) === 16)
     df.select(col(idCol).as("id"), col(textCol).as("__t"), cands.as("__cands"))
       .withColumn("__valid", filter(col("__cands"), c => luhn(c)))
       .select(col("id"),

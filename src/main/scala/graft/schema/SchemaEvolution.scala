@@ -139,17 +139,23 @@ object SchemaEvolution {
     }
 
     /** Record one batch's observation; returns columns now safe to drop.
-      * A delete-only batch contributes no ABSENCE evidence (delete events
-      * may carry only PKs — its missing columns neither start nor advance
-      * a clock), but a column PRESENT in one is positive schema evidence:
-      * its stale candidate is purged, so a later absence starts a fresh
-      * window instead of inheriting the old clock and dropping
-      * prematurely.
+      * A delete-only batch contributes NO evidence in either direction —
+      * delete events may carry only PKs, so its missing columns neither
+      * start nor advance a clock, and (reference-faithful, ADVICE r12) a
+      * column present in one does not purge a standing candidate either:
+      * the reference's ShouldDeleteColumn never mutates columnsToDelete
+      * when !containsOtherOperations (lib/destination/ddl table
+      * lifecycle), and gating the purge the same way keeps a stream of
+      * alternating hard-delete/absence batches from resetting the drop
+      * clock forever. On batches WITH other operations, a present column
+      * is positive schema evidence: its stale candidate is purged, so a
+      * later absence starts a fresh window instead of inheriting the old
+      * clock and dropping prematurely.
       */
     def observe(absentCols: Set[String], batchTime: Instant,
                 containsOtherOperations: Boolean): Seq[String] = {
+      if (!containsOtherOperations) return Nil // delete-only: no evidence either way
       candidates = candidates.filter { case (c, _) => absentCols.contains(c) }
-      if (!containsOtherOperations) return Nil // delete-only: no absence evidence
       candidates ++= absentCols.filterNot(candidates.contains).map(_ -> batchTime)
       candidates.collect {
         case (c, since) if batchTime.isAfter(since.plusSeconds(graceHours * 3600)) => c

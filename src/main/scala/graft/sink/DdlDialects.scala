@@ -72,13 +72,24 @@ trait DdlDialect {
   /** Literal rendering of a column default for backfill statement text
     * (clients/shared/default_value.go:21-87's DefaultValue, the subset of
     * kinds the wire envelope carries here): strings and date/time kinds
-    * are single-quoted (sql.QuoteLiteral, `''` escaping), booleans and
-    * numbers print bare.
+    * are single-quoted via the reference's sql.QuoteLiteral
+    * (lib/sql/util.go:13 — backslashes doubled, then `\'` quote escape),
+    * booleans and numbers print bare. Reference-faithful escaping
+    * matters beyond fidelity: the Backfill-strategy dialects
+    * (Snowflake/BigQuery/Redshift) all treat `\` as a string-literal
+    * escape, so the earlier `''`-only doubling shipped raw backslashes
+    * into statement text that could mis-parse or truncate — and BigQuery
+    * standard SQL rejects `''` doubling outright. Control characters
+    * have no portable literal form here — fail loudly rather than emit a
+    * statement a destination would silently mangle.
     */
   def defaultValueSql(value: Any, dt: DataType): String = dt match {
-    case StringType => "'" + String.valueOf(value).replace("'", "''") + "'"
-    case DateType | TimestampType | TimestampNTZType =>
-      "'" + String.valueOf(value).replace("'", "''") + "'"
+    case StringType | DateType | TimestampType | TimestampNTZType =>
+      val raw = String.valueOf(value)
+      require(!raw.exists(_ < ' '),
+        s"$name backfill default contains control characters (no portable " +
+          s"literal form): ${raw.take(40)}")
+      "'" + raw.replace("\\", "\\\\").replace("'", "\\'") + "'"
     case _ => String.valueOf(value)
   }
 

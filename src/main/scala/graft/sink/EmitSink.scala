@@ -64,25 +64,53 @@ object EmitSink {
   private def fs(df: DataFrame, p: String) =
     new Path(p).getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
 
-  /** Sidecar of destination columns as `name	<spark type json>` lines. */
-  private def readDestSchema(df: DataFrame, sidecar: String): Option[Seq[(String, DataType)]] = {
-    val p = new Path(sidecar)
-    val f = fs(df, sidecar)
-    if (!f.exists(p)) None
+  /** Parse the `__destschema` sidecar: destination columns as
+    * `name	<spark type json>` lines, plus an optional `#plan` header
+    * (see [[writeDestSchema]]) carrying the batch that last advanced the
+    * schema and the exact DDL/backfill statements it planned. Header
+    * lines start `#` so older sidecars (no header) parse unchanged.
+    */
+  private def parseDestSchema(lines: Seq[String]):
+      (Option[Seq[(String, DataType)]], Option[(Long, Seq[String], Seq[String])]) = {
+    if (lines.isEmpty) (None, None)
     else {
-      val in = f.open(p)
-      try Some(new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
-        .filter(_.nonEmpty).map { line =>
-          val Array(n, tj) = line.split("\t", 2)
-          n -> DataType.fromJson(tj)
-        })
-      finally in.close()
+      val cols = lines.filterNot(_.startsWith("#")).map { line =>
+        val Array(n, tj) = line.split("\t", 2)
+        n -> DataType.fromJson(tj)
+      }
+      val planned = lines.find(_.startsWith("#plan\t")).map { h =>
+        val parts = h.split("\t", 4)
+        (parts(1).toLong, decodeStmts(parts(2)), decodeStmts(parts(3)))
+      }
+      (Some(cols), planned)
     }
   }
 
+  // statement lists ride the header base64(UTF-8)-per-statement,
+  // comma-joined — statement text is arbitrary (tabs, newlines, quotes),
+  // base64 sidesteps all sidecar-format escaping
+  private def encodeStmts(ss: Seq[String]): String =
+    ss.map(s => java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))).mkString(",")
+  private def decodeStmts(s: String): Seq[String] =
+    if (s.isEmpty) Nil
+    else s.split(",").toSeq.map(b => new String(java.util.Base64.getDecoder.decode(b), "UTF-8"))
+
+  /** Advance the known-destination-schema sidecar. The `#plan` header
+    * records WHICH batch planned the schema-changing statements and their
+    * exact text: a crash after this write but before the streaming
+    * checkpoint commits replays the same batchId, whose recompute against
+    * the advanced sidecar finds no diff — without the header the replay
+    * would OVERWRITE the per-batch plan file with the DDL and backfills
+    * missing, and an external executor that had not yet consumed the
+    * original plan would lose them silently (ADVICE r12). [[emitBatch]]
+    * re-emits the recorded statements verbatim on that replay.
+    */
   private def writeDestSchema(df: DataFrame, sidecar: String,
-                              cols: Seq[(String, DataType)]): Unit =
-    writeSidecarLines(df, sidecar, cols.map { case (n, t) => s"$n\t${t.json}" })
+                              cols: Seq[(String, DataType)], planBatch: Long,
+                              ddl: Seq[String], backfills: Seq[String]): Unit =
+    writeSidecarLines(df, sidecar,
+      s"#plan\t$planBatch\t${encodeStmts(ddl)}\t${encodeStmts(backfills)}" +:
+        cols.map { case (n, t) => s"$n\t${t.json}" })
 
   /** Generic line-sidecar read (empty when absent) — shared by the
     * drop-confidence state, whose serialization DropConfidence owns;
@@ -208,7 +236,7 @@ object EmitSink {
     val dropState = s"$destDir/__dropstate"
     val batchCols: Seq[(String, DataType)] =
       deduped.schema.fields.toSeq.map(f => f.name -> f.dataType)
-    val known = readDestSchema(deduped, sidecar)
+    val (known, plannedBy) = parseDestSchema(readSidecarLines(deduped, sidecar))
     val added: Seq[(String, DataType)] = known match {
       case None => Nil
       case Some(existing) =>
@@ -264,6 +292,20 @@ object EmitSink {
       defaults.get(n).toSeq.flatMap(v =>
         dialect.backfillStatements(targetTable, n, dialect.defaultValueSql(v, t)))
     }
+    // crash-replay guard (ADVICE r12): if THIS batchId is the one recorded
+    // as having advanced the schema sidecar, its DDL/backfills were
+    // consumed into the sidecar before the streaming checkpoint committed
+    // — the recompute above finds no diff and the per-batch plan-file
+    // overwrite below would silently LOSE the ADD COLUMN / backfill /
+    // DROP statements an external executor may not have run yet. Re-emit
+    // the recorded statements verbatim instead (benign if already
+    // executed: adds are IF-NOT-EXISTS-guarded / column-exists errors are
+    // swallowed per the reference, and backfills are `WHERE col IS NULL`).
+    val (ddlOut, backfillsOut) = plannedBy match {
+      case Some((b, rDdl, rBf)) if b == batchId && ddl.isEmpty && backfills.isEmpty =>
+        (rDdl, rBf)
+      case _ => (ddl, backfills)
+    }
 
     // ---- stage the batch as canonical gzip TSV (temp_table.go) -------
     val stagedPath = s"$destDir/_staging/batch=$batchId"
@@ -297,7 +339,7 @@ object EmitSink {
           cfg.softDelete, containsHardDeletes = containsHardDeletes, toastCols = toast)
     // reference execution order: staging load → default backfills on the
     // destination → merge → temp drop (merge.go:100-212)
-    val plan = ((createStaging +: backfills) ++ merge) :+ dialect.dropTable(staging)
+    val plan = ((createStaging +: backfillsOut) ++ merge) :+ dialect.dropTable(staging)
 
     // ---- record the plan (idempotent per-batch overwrite) ------------
     // temp+rename like the sidecars: the plan is THE artifact an external
@@ -308,13 +350,203 @@ object EmitSink {
       s"""{"batch":$batchId,"dialect":${jsonStr(label)},""" +
         s""""target":${jsonStr(targetTable)},"staged":${jsonStr(stagedPath)},""" +
         s""""stagingTable":${jsonStr(staging)},""" +
-        s""""ddl":[${ddl.map(jsonStr).mkString(",")}],""" +
+        s""""ddl":[${ddlOut.map(jsonStr).mkString(",")}],""" +
         s""""plan":[${plan.map(jsonStr).mkString(",")}]}"""))
 
     // advance the known-destination-schema AFTER the plan lands (a crash
     // between the two replays an IF-NOT-EXISTS-guarded ADD COLUMN)
-    if (ddl.nonEmpty || known.isEmpty) writeDestSchema(deduped, sidecar, evolved)
-    Some(EmittedBatch(batchId, stagedPath, staging, ddl, plan))
+    if (ddl.nonEmpty || known.isEmpty)
+      writeDestSchema(deduped, sidecar, evolved, batchId, ddlOut, backfillsOut)
+    Some(EmittedBatch(batchId, stagedPath, staging, ddlOut, plan))
+    } finally { transformed.unpersist(); () }
+  }
+
+  /** The MSM staging-table name (clients/shared/staging_interface.go:21-26,
+    * GenerateMSMTableName with no staging-schema prefix): the target's
+    * qualifier + `__artie_{table}_msm` — ONE reusable table per target
+    * that a whole msm cycle accumulates into.
+    */
+  private[graft] def msmTableName(targetTable: String): String = {
+    val i = targetTable.lastIndexOf('.')
+    val (qualifier, base) =
+      if (i < 0) ("", targetTable)
+      else (targetTable.substring(0, i + 1), targetTable.substring(i + 1))
+    s"${qualifier}__artie_${base}_msm"
+  }
+
+  /** Multi-step merge in emit mode — the reference's MSM statement
+    * protocol (clients/shared/multi_step_merge.go:17-204) as an ordered
+    * per-flush plan. A CYCLE is `cfg.msmSteps` flushes (the reference
+    * counts `FlushCount = msmSteps - 1` merges after the first direct
+    * load — same cycle, zero-based here as `batchId % msmSteps`):
+    *
+    *  - flush 0 (IsFirstFlush): DROP the msm table (stale-cycle guard,
+    *    multi_step_merge.go:38-42), CREATE it (temp form, PK clause),
+    *    and the staged batch loads DIRECTLY into it — no per-flush temp
+    *    table, no merge (multi_step_merge.go:96-100);
+    *  - flushes 1..N-2: per-flush temp staging create → the dialect's
+    *    BuildMergeQueryIntoStagingTable two-arm accumulation merge into
+    *    the msm table ([[MergeDialects.mergeIntoStaging]]) → temp drop
+    *    (multi_step_merge.go:101-108 + merge());
+    *  - flush N-1 (IsLastFlush): the same staged merge, THEN the
+    *    dialect's full BuildMergeQueries from the msm table into the
+    *    target, then the msm table drops (multi_step_merge.go:110-120;
+    *    the defer in merge() drops msmTableID after the final merge).
+    *
+    * Schema evolution applies to BOTH tables per flush (create-or-add,
+    * multi_step_merge.go:56-93); the reference's MSM path has no drop
+    * flow and no backfills (its own TODOs at multi_step_merge.go:76,145)
+    * — mirrored here. Only Snowflake/DuckDB implement the accumulation
+    * merge in the reference ([[MergeDialects.msmLabels]]); other labels
+    * fail loudly, as there. Deviation (documented): mid-cycle merges
+    * UPDATE only the BATCH's columns — the reference updates the
+    * accumulated set, nulling columns a shrunken row image no longer
+    * carries; restricting to the batch's columns never destroys
+    * accumulated state and is otherwise identical on full row images.
+    *
+    * Crash-replay: both schema sidecars carry the [[writeDestSchema]]
+    * `#plan` header, so a replayed flush re-emits the exact DDL its
+    * original planning consumed into the sidecars.
+    */
+  def emitBatchMsm(batch: DataFrame, batchId: Long, cfg: CdcPipeline.Config,
+                   label: String, destDir: String, targetTable: String,
+                   now: java.time.Instant = java.time.Instant.now()): Option[EmittedBatch] = {
+    import org.apache.spark.sql.functions.{count, lit, max}
+    require(cfg.msmSteps >= 2,
+      s"emitBatchMsm needs msmSteps >= 2 (a 1-step msm IS the plain merge); got ${cfg.msmSteps}")
+    require(MergeDialects.msmLabels.contains(label),
+      s"multi-step merge is not implemented for dialect $label in the reference " +
+        s"(only ${MergeDialects.msmLabels.toSeq.sorted.mkString("/")} implement " +
+        "BuildMergeQueryIntoStagingTable)")
+    val dialect = DdlDialects(label)
+    val pks = cfg.effectivePrimaryKeys
+    val idx = (batchId % cfg.msmSteps).toInt
+    val lastFlush = idx == cfg.msmSteps - 1
+    val transformed = CdcPipeline.applyRowTransforms(batch, cfg)
+      .drop(Constants.OperationCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val hasDeleteCol = transformed.columns.contains(Constants.DeleteCol)
+    val delFlag = org.apache.spark.sql.functions.coalesce(
+      if (hasDeleteCol) col(Constants.DeleteCol).cast("boolean") else lit(false),
+      lit(false))
+    val flagsRow = transformed
+      .agg(count(lit(1)), max(delFlag.cast("int"))).head()
+    // ShouldSkipUpdate analog; the reference notes (multi_step_merge.go:23-27)
+    // that a final-flush skip leaves msm data unmerged until the next cycle
+    if (flagsRow.getLong(0) == 0L) return None
+    val containsHardDeletes =
+      !flagsRow.isNullAt(1) && flagsRow.getInt(1) == 1 && !cfg.softDelete
+    val deduped = CdcOps.lastWins(transformed, pks, Seq(col(cfg.orderCol)))
+
+    val sidecar = s"$destDir/__destschema"
+    val msmSidecar = s"$destDir/__msmschema"
+    val msmTable = msmTableName(targetTable)
+    val batchCols: Seq[(String, DataType)] =
+      deduped.schema.fields.toSeq.map(f => f.name -> f.dataType)
+
+    // ---- target-table reconcile: create-or-add ONLY (no drops, no
+    // backfills — the reference's msm TODOs) ----
+    val (known, plannedBy) = parseDestSchema(readSidecarLines(deduped, sidecar))
+    val added = known match {
+      case None => Nil
+      case Some(existing) =>
+        val have = existing.map(_._1).toSet
+        batchCols.filterNot { case (n, _) => have.contains(n) }
+    }
+    val ddl: Seq[String] = known match {
+      case None =>
+        Seq(dialect.createTable(targetTable,
+          batchCols.map { case (n, t) => dialect.colDef(n, t, pks.contains(n)) } ++
+            dialect.primaryKeyClause(pks),
+          temporary = false, now = now))
+      case Some(_) =>
+        added.map { case (n, t) => dialect.addColumn(targetTable, dialect.colDef(n, t)) }
+    }
+    val evolved = known match {
+      case None => batchCols
+      case Some(existing) => existing ++ added
+    }
+    val destTypeOf = known.getOrElse(Nil).toMap
+    val stagingCols = batchCols.map { case (n, t) => n -> destTypeOf.getOrElse(n, t) }
+    val ddlOut = plannedBy match {
+      case Some((b, rDdl, _)) if b == batchId && ddl.isEmpty => rDdl
+      case _ => ddl
+    }
+
+    // ---- msm-table reconcile + the flush's statement plan ----
+    val (msmKnown, msmPlannedBy) = parseDestSchema(readSidecarLines(deduped, msmSidecar))
+    val cols = deduped.columns.toSeq
+    val toast = cfg.toastCols.filter(cols.contains).toSet
+    val (plan, stagingRef, msmEvolved, msmDdlOut) =
+      if (idx == 0) {
+        val create = dialect.createTable(msmTable,
+          stagingCols.map { case (n, t) => dialect.colDef(n, t, pks.contains(n)) } ++
+            dialect.primaryKeyClause(pks),
+          temporary = true, now = now)
+        (Seq(dialect.dropTable(msmTable), create), msmTable, stagingCols, Nil)
+      } else {
+        val msmHave = msmKnown.getOrElse(Nil).map(_._1).toSet
+        val msmAdds = stagingCols
+          .filterNot { case (n, _) => msmHave.contains(n) }
+          .map { case (n, t) => dialect.addColumn(msmTable, dialect.colDef(n, t)) }
+        val msmAddsOut = msmPlannedBy match {
+          case Some((b, rAdds, _)) if b == batchId && msmAdds.isEmpty => rAdds
+          case _ => msmAdds
+        }
+        val temp = stagingTableName(label, targetTable, batchId, now)
+        val createTemp = dialect.createTable(temp,
+          stagingCols.map { case (n, t) => dialect.colDef(n, t, pks.contains(n)) } ++
+            dialect.primaryKeyClause(pks),
+          temporary = true, now = now)
+        val accum = MergeDialects.mergeIntoStaging(label, msmTable, temp, pks, cols, toast)
+        val finalMerge: Seq[String] =
+          if (!lastFlush) Nil
+          else {
+            // the msm table's ACCUMULATED column set drives the final
+            // merge (multi_step_merge.go uses tableData's accumulated
+            // cols) — a mid-cycle ADD means the msm table is wider than
+            // any single flush
+            val msmCols = (msmKnown.getOrElse(stagingCols) ++
+              stagingCols.filterNot { case (n, _) => msmHave.contains(n) }).map(_._1)
+            MergeDialects(label).mergeStatements(targetTable, msmTable, pks, msmCols,
+              cfg.softDelete, containsHardDeletes = containsHardDeletes,
+              toastCols = cfg.toastCols.filter(msmCols.contains).toSet) :+
+              dialect.dropTable(msmTable)
+          }
+        val msmEv = msmKnown.getOrElse(Nil) ++
+          stagingCols.filterNot { case (n, _) => msmHave.contains(n) }
+        ((msmAddsOut ++ (createTemp +: accum) :+ dialect.dropTable(temp)) ++ finalMerge,
+          temp, msmEv, msmAddsOut)
+      }
+
+    // ---- stage the batch as canonical gzip TSV (shared with emitBatch) --
+    val stagedPath = s"$destDir/_staging/batch=$batchId"
+    Sinks.canonicalStrings(deduped)
+      .write.mode("overwrite")
+      .option("sep", "\t")
+      .option("nullValue", Constants.NullValuePlaceholder)
+      .option("compression", "gzip")
+      .option("header", "false")
+      .csv(stagedPath)
+
+    val planPath = s"$destDir/_plans/batch=$batchId.json"
+    writeSidecarLines(deduped, planPath, Seq(
+      s"""{"batch":$batchId,"dialect":${jsonStr(label)},""" +
+        s""""target":${jsonStr(targetTable)},"staged":${jsonStr(stagedPath)},""" +
+        s""""stagingTable":${jsonStr(stagingRef)},"msmTable":${jsonStr(msmTable)},""" +
+        s""""msmFlush":$idx,"msmSteps":${cfg.msmSteps},""" +
+        s""""ddl":[${ddlOut.map(jsonStr).mkString(",")}],""" +
+        s""""plan":[${plan.map(jsonStr).mkString(",")}]}"""))
+
+    if (ddl.nonEmpty || known.isEmpty)
+      writeDestSchema(deduped, sidecar, evolved, batchId, ddlOut, Nil)
+    // the msm sidecar persists ACROSS the cycle boundary (flush 0's
+    // DROP+CREATE overwrites it) so a crash-replay of the LAST flush can
+    // still regenerate its final-merge text from the accumulated columns
+    if (idx == 0 || msmDdlOut.nonEmpty)
+      writeDestSchema(deduped, msmSidecar, msmEvolved, batchId, msmDdlOut, Nil)
+    Some(EmittedBatch(batchId, stagedPath, stagingRef, ddlOut, plan))
     } finally { transformed.unpersist(); () }
   }
 }

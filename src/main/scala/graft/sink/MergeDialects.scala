@@ -81,4 +81,33 @@ object MergeDialects {
     registry.getOrElse(label, throw new IllegalArgumentException(
       s"unknown merge dialect: $label (known: ${registry.keys.toSeq.sorted.mkString(", ")}" +
         s"; ${engineMergeLabels.mkString(", ")} merge via table engine — see ClickhouseSqlBuilder)"))
+
+  /** Labels whose reference dialect implements
+    * BuildMergeQueryIntoStagingTable (lib/sql/dialect.go:46) — the
+    * accumulation merge multi-step merge folds each staged flush into
+    * the msm staging table with. Snowflake and DuckDB only; every other
+    * client returns `not implemented`, so MSM is unusable there in the
+    * reference too.
+    */
+  val msmLabels: Set[String] = Set("snowflake", "duckdb")
+
+  /** BuildMergeQueryIntoStagingTable dispatch: the two-arm keep-all-cols
+    * accumulation merge (temp staging → msm table). Fails with the
+    * reference's own contract — `not implemented` — for every dialect
+    * outside [[msmLabels]].
+    */
+  def mergeIntoStaging(label: String, target: String, stagingRef: String,
+                       pks: Seq[String], cols: Seq[String],
+                       toastCols: Set[String] = Set.empty): Seq[String] = label match {
+    case "snowflake" =>
+      Seq(SnowflakeSqlBuilder.buildMergeIntoStaging(target, stagingRef, pks, cols,
+        toastCols = toastCols))
+    case "duckdb" =>
+      Seq(DuckDbSqlBuilder.buildMergeIntoStaging(target, stagingRef, pks, cols,
+        toastCols = toastCols))
+    case other => throw new IllegalArgumentException(
+      s"BuildMergeQueryIntoStagingTable is not implemented for dialect $other " +
+        s"(the reference implements it only for ${msmLabels.toSeq.sorted.mkString("/")} — " +
+        "multi-step merge requires one of those)")
+  }
 }

@@ -247,6 +247,32 @@ WHEN MATCHED AND IFNULL($del, false) = false THEN UPDATE SET $frag
 WHEN NOT MATCHED AND IFNULL($del, false) = false THEN INSERT (${kept.map(q).mkString(",")}) VALUES (${kept.map(stg).mkString(",")});"""
     }
   }
+
+  /** BuildMergeQueryIntoStagingTable twin (dialect.go:119-143): the
+    * TWO-ARM accumulation merge multi-step merge uses to fold one staged
+    * flush into the reusable msm staging table. Unlike [[buildMerge]] it
+    * keeps EVERY column — the `__artie_delete`/`__artie_only_set_delete`
+    * markers accumulate in the msm table so the FINAL merge can apply
+    * delete semantics once — and has no delete arm (a delete event must
+    * not vanish mid-cycle; it must reach the target merge as a marked
+    * row). Toast guards still apply (the reference's golden pins the
+    * CASE form on a toasted column). Snowflake and DuckDB are the only
+    * dialects whose reference implements this; the rest error
+    * "not implemented" (mirrored in [[MergeDialects.mergeIntoStaging]]).
+    */
+  def buildMergeIntoStaging(target: String, subQuery: String, pks: Seq[String],
+                            cols: Seq[String], useEqualNull: Boolean = false,
+                            toastCols: Set[String] = Set.empty,
+                            varcharCastToastCols: Set[String] = Set.empty): String = {
+    val eq = pks.map { k =>
+      if (useEqualNull) s"EQUAL_NULL(${tgt(k)}, ${stg(k)})"
+      else s"${tgt(k)} = ${stg(k)}"
+    }
+    s"""
+MERGE INTO $target tgt USING ( $subQuery ) AS stg ON ${eq.mkString(" AND ")}
+WHEN MATCHED THEN UPDATE SET ${updateFragment(cols, toastCols, varcharCastToastCols)}
+WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(",")}) VALUES (${cols.map(stg).mkString(",")});"""
+  }
 }
 
 /** MS SQL dialect (clients/mssql/dialect/dialect.go:73-209). What IS the
@@ -421,6 +447,22 @@ WHEN MATCHED AND $del = true THEN DELETE
 WHEN MATCHED AND COALESCE($del, false) = false THEN UPDATE SET ${updateFragment(kept, toastCols, varcharCastToastCols)}
 WHEN NOT MATCHED AND COALESCE($del, false) = false THEN INSERT (${kept.map(q).mkString(",")}) VALUES (${kept.map(stg).mkString(",")})"""
     }
+  }
+
+  /** BuildMergeQueryIntoStagingTable twin (motherduck/dialect.go:245-276):
+    * DuckDB's msm accumulation merge — two arms, every column kept
+    * (markers accumulate for the final merge), no delete arm, same
+    * SELECT-prefix auto-wrap as [[buildMerge]], no trailing semicolon
+    * and no leading newline (both pinned by the reference's golden).
+    */
+  def buildMergeIntoStaging(target: String, subQuery: String, pks: Seq[String],
+                            cols: Seq[String],
+                            toastCols: Set[String] = Set.empty,
+                            varcharCastToastCols: Set[String] = Set.empty): String = {
+    val on = pks.map(k => s"${tgt(k)} = ${stg(k)}").mkString(" AND ")
+    s"""MERGE INTO $target AS tgt USING (${source(subQuery)}) AS stg ON $on
+WHEN MATCHED THEN UPDATE SET ${updateFragment(cols, toastCols, varcharCastToastCols)}
+WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(",")}) VALUES (${cols.map(stg).mkString(",")})"""
   }
 }
 

@@ -294,8 +294,14 @@ object SinkRegistry {
       (df, batchId, target) => {
         val table = emitTable.getOrElse(
           graft.functions.Converters.sanitizeName(target.split('/').last))
-        EmitSink.emitBatch(df, batchId, cfg, dialect, target, table,
-          defaults = emitDefaults)
+        // msmSteps > 1 switches the emit plan to the reference's
+        // multi-step merge statement protocol (accumulate msmSteps
+        // flushes in the reusable msm staging table, merge once)
+        if (cfg.msmSteps > 1)
+          EmitSink.emitBatchMsm(df, batchId, cfg, dialect, target, table)
+        else
+          EmitSink.emitBatch(df, batchId, cfg, dialect, target, table,
+            defaults = emitDefaults)
         ()
       }
     case "merge" | "snapshot" =>

@@ -60,17 +60,91 @@ class EmitSinkSpec extends AnyFunSuite {
       planJson.contains("MERGE INTO db.s.users"))
   }
 
-  test("schema evolution: a new column emits ADD COLUMN; a replay after the sidecar advanced emits none") {
+  test("schema evolution: a new column emits ADD COLUMN; a same-batch replay re-emits it; a later batch emits none") {
     val dir = Files.createTempDirectory("graft_emit_evo").toString
     EmitSink.emitBatch(batch0, 0L, cfg, "snowflake", dir, "db.s.users", now)
     val b1 = Seq((4L, "dan", 5L, false, 30L))
       .toDF("id", "name", "off", Constants.DeleteCol, "age")
     val Some(eb1) = EmitSink.emitBatch(b1, 1L, cfg, "snowflake", dir, "db.s.users", now)
     assert(eb1.ddl == Seq("""ALTER TABLE db.s.users ADD COLUMN IF NOT EXISTS "AGE" int"""))
-    // replay: the destination is known to have the column now — like the
-    // reference re-reading the live table config, the reconcile is a no-op
+    // crash-replay of the SAME batch: the sidecar's #plan header re-emits
+    // the consumed DDL so the plan-file overwrite cannot lose it
+    // (ADVICE r12)
     val Some(eb1r) = EmitSink.emitBatch(b1, 1L, cfg, "snowflake", dir, "db.s.users", now)
-    assert(eb1r.ddl.isEmpty && eb1r.plan.nonEmpty)
+    assert(eb1r.ddl == eb1.ddl && eb1r.plan == eb1.plan)
+    // a LATER batch: the destination is known to have the column — like
+    // the reference re-reading the live table config, the reconcile is a
+    // no-op
+    val Some(eb2) = EmitSink.emitBatch(b1, 2L, cfg, "snowflake", dir, "db.s.users", now)
+    assert(eb2.ddl.isEmpty && eb2.plan.nonEmpty)
+  }
+
+  test("multi-step merge: a 3-flush cycle plans drop+create, accumulate, final merge (reference MSM protocol)") {
+    val msmCfg = cfg.copy(msmSteps = 3)
+    for (label <- Seq("snowflake", "duckdb")) {
+      val dir = Files.createTempDirectory(s"graft_emit_msm_$label").toString
+      val msm = "db.s.__artie_users_msm"
+      // flush 0 (IsFirstFlush): DROP stale msm, CREATE msm, direct load —
+      // no temp table, no merge statement
+      val Some(f0) = EmitSink.emitBatchMsm(batch0, 0L, msmCfg, label, dir,
+        "db.s.users", now)
+      assert(f0.ddl.head.startsWith("CREATE TABLE"), f0.ddl)
+      assert(f0.plan.head == s"DROP TABLE IF EXISTS $msm")
+      assert(f0.plan(1).contains(s"TABLE") && f0.plan(1).contains(msm))
+      assert(f0.stagingTable == msm, "first flush loads DIRECTLY into the msm table")
+      assert(!f0.plan.exists(_.contains("MERGE INTO")), "no merge on the first flush")
+      // flush 1: temp staging create -> two-arm accumulation merge
+      // (keeps the __artie markers, no delete arm) -> temp drop
+      val Some(f1) = EmitSink.emitBatchMsm(batch0, 1L, msmCfg, label, dir,
+        "db.s.users", now)
+      assert(f1.ddl.isEmpty)
+      assert(f1.stagingTable.contains("___artie_b1_"))
+      val accum = f1.plan.find(_.contains(s"MERGE INTO $msm")).get
+      assert(accum.contains("WHEN MATCHED THEN UPDATE SET") &&
+        !accum.contains("THEN DELETE"), accum)
+      assert(accum.toLowerCase.contains("artie_delete"),
+        "markers must accumulate in the msm table")
+      assert(f1.plan.last == s"DROP TABLE IF EXISTS ${f1.stagingTable}")
+      // flush 2 (IsLastFlush): accumulate, then the FULL merge (delete
+      // arm) from the msm table into the target, then drop the msm table
+      val Some(f2) = EmitSink.emitBatchMsm(batch0, 2L, msmCfg, label, dir,
+        "db.s.users", now)
+      val iAccum = f2.plan.indexWhere(_.contains(s"MERGE INTO $msm"))
+      val iFinal = f2.plan.indexWhere(_.contains("MERGE INTO db.s.users"))
+      val iDropMsm = f2.plan.indexOf(s"DROP TABLE IF EXISTS $msm")
+      assert(iAccum >= 0 && iFinal > iAccum && iDropMsm == f2.plan.length - 1,
+        f2.plan.mkString("\n"))
+      assert(f2.plan(iFinal).contains("THEN DELETE"), "final merge applies deletes")
+      // crash-replay of a mid-cycle flush regenerates the identical plan
+      val Some(f1r) = EmitSink.emitBatchMsm(batch0, 1L, msmCfg, label, dir,
+        "db.s.users", now)
+      assert(f1r.plan == f1.plan && f1r.ddl == f1.ddl)
+    }
+    // non-MSM dialects fail with the reference's own contract
+    val e = intercept[IllegalArgumentException] {
+      EmitSink.emitBatchMsm(batch0, 0L, cfg.copy(msmSteps = 3), "redshift",
+        Files.createTempDirectory("graft_emit_msm_rs").toString, "db.s.users", now)
+    }
+    assert(e.getMessage.contains("not implemented"))
+  }
+
+  test("multi-step merge: a mid-cycle ADD COLUMN evolves target AND msm table; the final merge uses the accumulated set") {
+    val msmCfg = cfg.copy(msmSteps = 3)
+    val dir = Files.createTempDirectory("graft_emit_msm_evo").toString
+    val msm = "db.s.__artie_users_msm"
+    EmitSink.emitBatchMsm(batch0, 0L, msmCfg, "snowflake", dir, "db.s.users", now)
+    val widened = Seq((4L, "dan", 5L, false, 30L))
+      .toDF("id", "name", "off", Constants.DeleteCol, "age")
+    val Some(f1) = EmitSink.emitBatchMsm(widened, 1L, msmCfg, "snowflake", dir,
+      "db.s.users", now)
+    assert(f1.ddl == Seq("""ALTER TABLE db.s.users ADD COLUMN IF NOT EXISTS "AGE" int"""))
+    assert(f1.plan.head == s"""ALTER TABLE $msm ADD COLUMN IF NOT EXISTS "AGE" int""")
+    // last flush arrives WITHOUT the column: the final merge still
+    // carries the msm table's accumulated AGE column
+    val Some(f2) = EmitSink.emitBatchMsm(batch0, 2L, msmCfg, "snowflake", dir,
+      "db.s.users", now)
+    val finalMerge = f2.plan.find(_.contains("MERGE INTO db.s.users")).get
+    assert(finalMerge.contains("\"AGE\""), finalMerge)
   }
 
   test("redshift via the registry label: the ordered UPDATE -> INSERT -> DELETE plan lands in the plan file") {

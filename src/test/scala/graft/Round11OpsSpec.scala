@@ -94,6 +94,21 @@ class Round11OpsSpec extends AnyFunSuite {
         DedupOps.shingleArrayFromTokens(split(col("text"), " "), n).as("slow"))
       assert(both.filter(not(col("fast") <=> col("slow"))).count() == 0, s"n=$n")
     }
+    // the DOCUMENTED null-text divergence (expressions.scala StringShingles
+    // scaladoc, ADVICE r12): the expression is null-in → null-out, the
+    // declarative twin yields an empty array — equal again under the
+    // prescribed coalesce, and both contribute zero rows through explode()
+    // (every current call site)
+    val nullDoc = Seq(("n1", Option.empty[String])).toDF("id", "text")
+    val r = nullDoc.select(
+      DedupOps.stringShingleArrayFromText(col("text"), 2).as("fast"),
+      DedupOps.shingleArrayFromTokens(split(col("text"), " "), 2).as("slow")).head()
+    assert(r.isNullAt(0) && r.getSeq[String](1).isEmpty)
+    assert(nullDoc.select(explode(
+      DedupOps.stringShingleArrayFromText(col("text"), 2))).count() == 0)
+    assert(nullDoc.select(coalesce(
+      DedupOps.stringShingleArrayFromText(col("text"), 2), array())
+      .as("c")).head().getSeq[String](0).isEmpty)
   }
 
   test("row-local SimhashFp30Sig is bit-equal to the exploded-aggregation signing") {

@@ -122,10 +122,20 @@ class Round12OpsSpec extends AnyFunSuite {
     val iMerge = eb.plan.indexWhere(_.contains("MERGE INTO db.s.t")) // leading \n on the dialect text
     assert(iStage >= 0 && iBackfill > iStage && iMarker == iBackfill + 1 && iMerge > iMarker,
       s"backfill must sit between staging create and merge: ${eb.plan.mkString("\n")}")
-    // replay after the sidecar advanced: column is known -> no re-backfill
+    // crash-replay of the SAME batchId after the sidecar advanced must
+    // re-emit the IDENTICAL plan — the sidecar's #plan header records the
+    // consumed DDL/backfills so the plan-file overwrite cannot lose them
+    // (ADVICE r12: an external executor may not have run the original yet)
     val Some(ebr) = EmitSink.emitBatch(b1, 1L, cfg, "snowflake", dir, "db.s.t",
       now, defaults = Map("age" -> 0L))
-    assert(!ebr.plan.exists(_.startsWith("UPDATE db.s.t as t SET")))
+    assert(ebr.ddl == eb.ddl && ebr.plan == eb.plan,
+      s"replayed batch 1 must regenerate the original plan:\n${ebr.plan.mkString("\n")}")
+    // a LATER batch with the column known plans no DDL and no re-backfill
+    val b2 = Seq((3L, "c", 3L, false, 8L))
+      .toDF("id", "name", "off", Constants.DeleteCol, "age")
+    val Some(eb2) = EmitSink.emitBatch(b2, 2L, cfg, "snowflake", dir, "db.s.t",
+      now, defaults = Map("age" -> 0L))
+    assert(eb2.ddl.isEmpty && !eb2.plan.exists(_.startsWith("UPDATE db.s.t as t SET")))
   }
 
   test("backfill statement forms: redshift alias-less, bigquery OPTIONS marker, postgres/duckdb none, string defaults quote-escaped") {
@@ -135,10 +145,16 @@ class Round12OpsSpec extends AnyFunSuite {
       """UPDATE db.s.t SET "age" = 0 WHERE "age" IS NULL;""",
       """COMMENT ON COLUMN db.s.t."age" IS '{"backfilled": true}';"""))
     val bq = DdlDialects("bigquery")
+    // reference QuoteLiteral form (lib/sql/util.go:13): `\'`, not `''` —
+    // BigQuery standard SQL rejects doubled-quote escaping
     assert(bq.backfillStatements("db.s.t", "note",
       bq.defaultValueSql("n/a's", StringType)) == Seq(
-      "UPDATE db.s.t as t SET t.`note` = 'n/a''s' WHERE t.`note` IS NULL;",
+      "UPDATE db.s.t as t SET t.`note` = 'n/a\\'s' WHERE t.`note` IS NULL;",
       "ALTER TABLE db.s.t ALTER COLUMN `note` SET OPTIONS (description=`{\"backfilled\": true}`);"))
+    // ADVICE r12: backslashes double (QuoteLiteral), control chars fail loudly
+    assert(bq.defaultValueSql("a\\b", org.apache.spark.sql.types.StringType) == "'a\\\\b'")
+    intercept[IllegalArgumentException](
+      bq.defaultValueSql("a\nb", org.apache.spark.sql.types.StringType))
     assert(DdlDialects("postgres").backfillStatements("t", "c", "0").isEmpty)
     assert(DdlDialects("duckdb").backfillStatements("t", "c", "0").isEmpty)
     // Native-strategy dialects also emit nothing (default rides the DDL)
@@ -342,7 +358,12 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(eb2.ddl == Seq("""ALTER TABLE db.s.t DROP COLUMN IF EXISTS "age""""))
   }
 
-  test("a column present in a delete-only batch purges its stale drop candidate (no inherited clock)") {
+  test("delete-only batches never mutate drop candidates; evidence-batch reappearance purges (ADVICE r12, reference-faithful)") {
+    // The reference's ShouldDeleteColumn leaves columnsToDelete untouched
+    // when !containsOtherOperations — a delete-only batch whose full row
+    // image carries the column must NOT purge the standing candidate
+    // (alternating hard-delete/absence traffic would defer the drop
+    // forever), and the clock runs on uninterrupted.
     val dir = Files.createTempDirectory("graft_emit_stale").toString
     val withAge = Seq((1L, "a", 1L, false, 30L))
       .toDF("id", "name", "off", Constants.DeleteCol, "age")
@@ -350,19 +371,36 @@ class Round12OpsSpec extends AnyFunSuite {
     // absent on an evidence batch -> candidate (clock t0)
     EmitSink.emitBatch(batch((2L, "b", 2L, false)), 1L, cfg,
       "postgres", dir, "db.s.t", now)
-    // a DELETE-ONLY batch whose schema carries `age`: positive schema
-    // evidence — the stale candidate must purge even without op evidence
+    // a DELETE-ONLY batch whose schema carries `age`: NO evidence either
+    // way — the candidate and its t0 clock survive
     val delWithAge = Seq((1L, "x", 3L, true, 31L))
       .toDF("id", "name", "off", Constants.DeleteCol, "age")
     EmitSink.emitBatch(delWithAge, 2L, cfg, "postgres", dir, "db.s.t",
       now.plusSeconds(3600))
-    // absent again on an evidence batch at t0+2h: a FRESH window starts
     EmitSink.emitBatch(batch((4L, "d", 4L, false)), 3L, cfg,
       "postgres", dir, "db.s.t", now.plusSeconds(2 * 3600))
     val Some(eb4) = EmitSink.emitBatch(batch((5L, "e", 5L, false)), 4L, cfg,
       "postgres", dir, "db.s.t", now.plusSeconds(5 * 3600))
+    // 5h after the ORIGINAL clock (> 4h window): the drop FIRES
+    assert(eb4.ddl == Seq("""ALTER TABLE db.s.t DROP COLUMN IF EXISTS "age""""),
+      s"delete-only presence must not reset the drop clock: ${eb4.ddl}")
+
+    // reappearance on an EVIDENCE batch is positive schema evidence: the
+    // stale candidate purges and a later absence starts a FRESH window
+    val dir2 = Files.createTempDirectory("graft_emit_stale2").toString
+    EmitSink.emitBatch(withAge, 0L, cfg, "postgres", dir2, "db.s.t", now)
+    EmitSink.emitBatch(batch((2L, "b", 2L, false)), 1L, cfg,
+      "postgres", dir2, "db.s.t", now)
+    val liveWithAge = Seq((1L, "y", 5L, false, 32L))
+      .toDF("id", "name", "off", Constants.DeleteCol, "age")
+    EmitSink.emitBatch(liveWithAge, 2L, cfg, "postgres", dir2, "db.s.t",
+      now.plusSeconds(3600))
+    EmitSink.emitBatch(batch((4L, "d", 4L, false)), 3L, cfg,
+      "postgres", dir2, "db.s.t", now.plusSeconds(2 * 3600))
+    val Some(eb5) = EmitSink.emitBatch(batch((5L, "e", 5L, false)), 4L, cfg,
+      "postgres", dir2, "db.s.t", now.plusSeconds(5 * 3600))
     // 5h after the ORIGINAL clock, but only 3h after the fresh one: no drop
-    assert(eb4.ddl.isEmpty,
-      s"stale candidate must not survive a reappearance: ${eb4.ddl}")
+    assert(eb5.ddl.isEmpty,
+      s"stale candidate must not survive an evidence-batch reappearance: ${eb5.ddl}")
   }
 }

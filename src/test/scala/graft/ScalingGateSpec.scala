@@ -30,4 +30,24 @@ class ScalingGateSpec extends AnyFunSuite {
     assert(ScalingGate.waivers(dir.resolve("missing.md")) === Set.empty)
     assert(ScalingGate.superlinear(dir.resolve("missing.json")) === Seq.empty)
   }
+
+  test("the hi-pair list is parsed independently and gated alongside the mid pair (round 13)") {
+    val dir = java.nio.file.Files.createTempDirectory("gatehi")
+    val bench = dir.resolve("bench.json")
+    // a hi flag must not leak into the mid list (or vice versa), and a
+    // bench with an empty hi list gates nothing
+    java.nio.file.Files.write(bench,
+      ("""{"queries":{"q1":0.5},"superlinear":["q222"],""" +
+        """"scaling_hi":{"q256":1.66,"q217":1.35},"superlinear_hi":["q256","q217"]}""")
+        .getBytes("UTF-8"))
+    assert(ScalingGate.superlinear(bench) === Seq("q222"))
+    assert(ScalingGate.superlinearHi(bench) === Seq("q256", "q217"))
+    java.nio.file.Files.write(bench,
+      """{"queries":{"q1":0.5},"superlinear":[],"superlinear_hi":[]}""".getBytes("UTF-8"))
+    assert(ScalingGate.superlinear(bench).isEmpty && ScalingGate.superlinearHi(bench).isEmpty)
+    // pre-round-13 bench.json (no hi key at all) parses as no hi flags
+    java.nio.file.Files.write(bench,
+      """{"queries":{"q1":0.5},"superlinear":[]}""".getBytes("UTF-8"))
+    assert(ScalingGate.superlinearHi(bench).isEmpty)
+  }
 }

@@ -64,6 +64,23 @@ class SchemaAndSqlSpec extends AnyFunSuite {
     assert(dc.pending.isEmpty)
   }
 
+  test("drop-confidence: delete-only batches never mutate candidates (ADVICE r12)") {
+    // The reference's ShouldDeleteColumn leaves columnsToDelete untouched
+    // when !containsOtherOperations — in particular a delete-only batch
+    // whose full row image carries the column must NOT purge the standing
+    // candidate, or alternating hard-delete/absence traffic defers the
+    // drop forever.
+    val dc = new SchemaEvolution.DropConfidence(graceHours = 4)
+    val t0 = Instant.parse("2024-01-01T00:00:00Z")
+    assert(dc.observe(Set("c"), t0, containsOtherOperations = true).isEmpty)
+    // delete-only batch where the column is PRESENT (absent set empty):
+    // candidate survives, clock unchanged
+    assert(dc.observe(Set.empty, t0.plusSeconds(3600), containsOtherOperations = false).isEmpty)
+    assert(dc.pending.contains("c") && dc.pending("c") == t0)
+    // past grace with real evidence -> drops off the ORIGINAL clock
+    assert(dc.observe(Set("c"), t0.plusSeconds(5 * 3600), containsOtherOperations = true) == Seq("c"))
+  }
+
   test("hard-delete MERGE text has the reference's three arms") {
     val sql = MergeSqlBuilder.buildMerge("db.tgt", "stg_view", Seq("id"),
       Seq("id", "name", Constants.DeleteCol), softDelete = false, toastCols = Set("name"))
