@@ -36,7 +36,11 @@ object Bench {
     // hi-sweep min-of-N per side; SPARK_GRAFT_SWEEP_HI_REPS=1 halves
     // hi-sweep wall time. Parsed HERE so a typo fails before the suite
     // spends 40 minutes measuring, not at the sweep.
-    val hiRepsRaw = sys.env.getOrElse("SPARK_GRAFT_SWEEP_HI_REPS", "2")
+    // default 3 since round 13: the hi pair is GATED now, and the r12
+    // driver artifact showed 2-rep minima still carrying ~2x ambient
+    // noise (q256 1.66 vs 0.42 verified-idle) — a third interleaved rep
+    // costs ~1 min over the top-20 and halves the spurious-flag rate
+    val hiRepsRaw = sys.env.getOrElse("SPARK_GRAFT_SWEEP_HI_REPS", "3")
     val hiReps = try hiRepsRaw.toInt.max(1) catch {
       case _: NumberFormatException =>
         sys.error(s"SPARK_GRAFT_SWEEP_HI_REPS must be an integer, got '$hiRepsRaw'")

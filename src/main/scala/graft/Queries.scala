@@ -11129,7 +11129,9 @@ r$r AS (SELECT n.node, CAST(CASE WHEN n.seed THEN 150000 ELSE 0 END + COALESCE(c
     val ms = MemoryStream[(Long, Long)] // (id, off)
     val cfg = graft.streaming.CdcPipeline.Config(Seq("id"), orderCol = "off",
       flushInterval = s"$triggerMs milliseconds")
-    val q = ms.toDF().toDF("id", "off").writeStream
+    val q = ms.toDF().toDF("id", "off")
+      .withColumn(Constants.DeleteCol, lit(false))
+      .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(cfg.flushInterval))
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>

@@ -831,8 +831,11 @@ object DedupOps {
     // Intentional trade-off vs the aggregation form: no repartition(id),
     // so signing runs at SOURCE-FILE parallelism — on a single-split
     // corpus the whole pass is one task. Fine at scale (100 TB inputs
-    // are many splits); if small-corpus signing ever profiles hot,
-    // restore a repartition(col(idCol)) ahead of this projection.
+    // are many splits) — and MEASURED fine at the small end too
+    // (round 13, sf0.1 documents = ONE split, min-of-3 warm:
+    // 0.20 s row-local vs 0.34 s with repartition(id) — the shuffle
+    // costs more than the single-task signing it parallelizes).
+    // Revisit only with a measurement showing the repartition winning.
     df.select(col(idCol).as("id"),
         org.apache.spark.sql.GraftBridge.column(graft.functions.SimhashFp30Sig(
           org.apache.spark.sql.GraftBridge.expression(col(textCol)))).as("simhash"))
