@@ -11145,7 +11145,14 @@ r$r AS (SELECT n.node, CAST(CASE WHEN n.seed THEN 150000 ELSE 0 END + COALESCE(c
         val t0 = System.nanoTime()
         ms.addData(rows: _*)
         var visible = false
+        // deadline: a dead stream (exception in the batch sink) must fail
+        // the probe loudly, not hang the whole bench on an eternal poll
+        val deadlineNs = t0 + (math.max(triggerMs, 1000L) * 20 + 60000L) * 1000000L
         while (!visible) {
+          require(System.nanoTime() < deadlineNs, {
+            val cause = q.exception.map(_.toString).getOrElse("none")
+            s"freshness batch $g never became visible (stream exception: $cause)"
+          })
           // the exception arm covers the pre-first-commit window (no
           // parquet yet) and mid-overwrite file churn — both just poll on
           visible = try {

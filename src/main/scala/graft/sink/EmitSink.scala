@@ -107,10 +107,17 @@ object EmitSink {
     */
   private def writeDestSchema(df: DataFrame, sidecar: String,
                               cols: Seq[(String, DataType)], planBatch: Long,
-                              ddl: Seq[String], backfills: Seq[String]): Unit =
+                              ddl: Seq[String], backfills: Seq[String]): Unit = {
+    // '#' marks header lines in this sidecar — a column that collides
+    // with the marker would silently vanish from the recorded schema on
+    // the next read, so reject it loudly here (no wire source emits one)
+    val bad = cols.collect { case (n, _) if n.startsWith("#") => n }
+    require(bad.isEmpty,
+      s"column names may not start with '#' (sidecar header marker): ${bad.mkString(", ")}")
     writeSidecarLines(df, sidecar,
       s"#plan\t$planBatch\t${encodeStmts(ddl)}\t${encodeStmts(backfills)}" +:
         cols.map { case (n, t) => s"$n\t${t.json}" })
+  }
 
   /** Generic line-sidecar read (empty when absent) — shared by the
     * drop-confidence state, whose serialization DropConfidence owns;

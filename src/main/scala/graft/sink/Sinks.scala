@@ -297,8 +297,13 @@ object SinkRegistry {
         // msmSteps > 1 switches the emit plan to the reference's
         // multi-step merge statement protocol (accumulate msmSteps
         // flushes in the reusable msm staging table, merge once)
-        if (cfg.msmSteps > 1)
+        if (cfg.msmSteps > 1) {
+          if (emitDefaults.nonEmpty)
+            System.err.println("[graft] emit MSM mode ignores column " +
+              "defaults — the reference's MSM merge path has no backfill " +
+              s"(multi_step_merge.go:145 TODO); dropping: ${emitDefaults.keys.mkString(", ")}")
           EmitSink.emitBatchMsm(df, batchId, cfg, dialect, target, table)
+        }
         else
           EmitSink.emitBatch(df, batchId, cfg, dialect, target, table,
             defaults = emitDefaults)
