@@ -342,10 +342,10 @@ object Bench {
                 "(rows grew >= time) — auto-waived")
             (q, outputDriven)
         }.collect { case (q, false) => q }.sorted
-        val unexplainedHi = hotHi.filterNot(waived)
+        val unexplainedHi = hotHi.filterNot(waived ++ ScalingGate.waiversHi())
         if (unexplainedHi.nonEmpty)
           System.err.println("[sweep-hi] BUILD-FAILING superlinear hi-pair queries " +
-            "(fix the plan or add a SUPERLINEAR-OK waiver to SCALE.md): " +
+            "(fix the plan or add a SUPERLINEAR-OK-HI waiver to SCALE.md): " +
             unexplainedHi.mkString(", "))
         val hotHiJson = hotHi.map(q => "\"" + q + "\"").mkString("[", ",", "]")
         s""","scaling_hi_factor":$hiFactor,"scaling_hi":$hiEntries,"superlinear_hi":$hotHiJson$rowsBlock"""
@@ -374,19 +374,37 @@ object Bench {
     // trigger. Skipped in targeted dev runs (SPARK_GRAFT_ONLY) — it costs
     // ~batches × trigger wall-clock; tune with
     // SPARK_GRAFT_FRESHNESS_TRIGGER_MS or disable with SPARK_GRAFT_FRESHNESS=0.
+    // env parsing OUTSIDE the catch-all, like SPARK_GRAFT_SWEEP_HI_REPS:
+    // a typo'd value must fail the run up front, not silently drop the
+    // freshness artifact after 40 minutes of suite
+    val freshnessOn =
+      only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_FRESHNESS", "1") != "0"
+    val freshnessTriggerMs =
+      try sys.env.getOrElse("SPARK_GRAFT_FRESHNESS_TRIGGER_MS", "10000").toLong
+      catch { case _: NumberFormatException =>
+        sys.error("SPARK_GRAFT_FRESHNESS_TRIGGER_MS must be an integer, got '" +
+          sys.env("SPARK_GRAFT_FRESHNESS_TRIGGER_MS") + "'")
+      }
+    val freshnessBatches =
+      try sys.env.getOrElse("SPARK_GRAFT_FRESHNESS_BATCHES", "10").toInt
+      catch { case _: NumberFormatException =>
+        sys.error("SPARK_GRAFT_FRESHNESS_BATCHES must be an integer, got '" +
+          sys.env("SPARK_GRAFT_FRESHNESS_BATCHES") + "'")
+      }
     val freshnessBlock =
-      if (only.nonEmpty || sys.env.getOrElse("SPARK_GRAFT_FRESHNESS", "1") == "0") ""
+      if (!freshnessOn) ""
       else try {
-        val triggerMs = sys.env.getOrElse("SPARK_GRAFT_FRESHNESS_TRIGGER_MS", "10000").toLong
-        val nb = sys.env.getOrElse("SPARK_GRAFT_FRESHNESS_BATCHES", "10").toInt
-        val lat = Queries.cdcFreshness(spark, nb, rowsPerBatch = 2000, triggerMs)
+        val lat = Queries.cdcFreshness(spark, freshnessBatches,
+          rowsPerBatch = 2000, freshnessTriggerMs)
         resetStorage(spark)
         val sorted = lat.sorted
-        def pct(p: Double) =
-          sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
-        System.err.println(f"[freshness] n=$nb trigger=${triggerMs}ms " +
+        // nearest-rank percentile: ceil(p*n)-1 (the earlier (p*n).toInt
+        // read the 60th percentile as "p50" at n=10)
+        def pct(p: Double) = sorted(math.max(0,
+          math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1)))
+        System.err.println(f"[freshness] n=$freshnessBatches trigger=${freshnessTriggerMs}ms " +
           f"p50=${pct(0.50)}%.2fs p99=${pct(0.99)}%.2fs max=${sorted.last}%.2fs")
-        s""","freshness":{"trigger_ms":$triggerMs,"batches":$nb,""" +
+        s""","freshness":{"trigger_ms":$freshnessTriggerMs,"batches":$freshnessBatches,""" +
           s""""p50_s":${f2(pct(0.50))},"p99_s":${f2(pct(0.99))},"max_s":${f2(sorted.last)}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[freshness] failed: ${e.getMessage}"); ""

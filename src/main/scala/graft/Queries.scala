@@ -3486,7 +3486,10 @@ ORDER BY o_orderkey""")),
       // matching the planted literal. doc_id%6==1 plants TWO valid PANs
       // one space apart: the round-12 boundary-group regex consumed the
       // separator and shipped the second unredacted (ADVICE r12); the
-      // maximal-run extraction must redact both.
+      // maximal-run extraction must redact both. doc_id%6==4 plants the
+      // valid PAN EMBEDDED in a 20-digit trace id next to a standalone
+      // occurrence: only the standalone redacts (a literal replace fold
+      // rewrote the embedded digits too — round-13 review).
       val docs = Tables.documents(s, d)
       val dirty = docs.select(col("doc_id"),
         concat(col("text"),
@@ -3495,14 +3498,18 @@ ORDER BY o_orderkey""")),
           when(pmod(col("doc_id"), lit(6)) === 1,
             lit(" pans 4532015112830366 4556737586899855 end")).otherwise(lit("")),
           when(pmod(col("doc_id"), lit(6)) === 3,
-            lit(" ref 4532015112830367 order")).otherwise(lit(""))).as("text"))
+            lit(" ref 4532015112830367 order")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(6)) === 4,
+            lit(" trace 00453201511283036699 card 4532015112830366 end"))
+            .otherwise(lit(""))).as("text"))
       graft.operators.TextOps.scrubCards(dirty, "doc_id", "text")
         .orderBy(col("id"))
     },
       Some("""WITH dirty AS (SELECT doc_id, text
   || CASE WHEN doc_id % 6 = 0 THEN ' card 4532015112830366 on file' ELSE '' END
   || CASE WHEN doc_id % 6 = 1 THEN ' pans 4532015112830366 4556737586899855 end' ELSE '' END
-  || CASE WHEN doc_id % 6 = 3 THEN ' ref 4532015112830367 order' ELSE '' END AS text
+  || CASE WHEN doc_id % 6 = 3 THEN ' ref 4532015112830367 order' ELSE '' END
+  || CASE WHEN doc_id % 6 = 4 THEN ' trace 00453201511283036699 card 4532015112830366 end' ELSE '' END AS text
   FROM documents),
 c AS (SELECT doc_id, text, list_filter(regexp_extract_all(text, '[0-9]+', 0), s -> length(s) = 16) AS cs FROM dirty),
 v AS (SELECT doc_id, text, cs, list_filter(cs, s ->
@@ -3516,7 +3523,8 @@ v AS (SELECT doc_id, text, cs, list_filter(cs, s ->
   FROM c)
 SELECT doc_id AS id, CAST(len(cs) AS BIGINT) AS n_digit_runs,
   CAST(len(vs) AS BIGINT) AS n_valid_cards,
-  list_reduce(list_prepend(text, vs), (acc, s) -> replace(acc, s, '<CARD>')) AS clean_text
+  list_reduce(list_prepend(text, vs), (acc, s) ->
+    regexp_replace(acc, '(^|[^0-9])' || s || '([^0-9]|$)', '\1<CARD>\2', 'g')) AS clean_text
 FROM v ORDER BY id""")),
 
     ("q166_kaplan_meier", (s, d) => {

@@ -22,12 +22,28 @@ object ScalingGate {
     */
   val Threshold = 1.2
 
-  /** qNN prefixes waived in SCALE.md via `SUPERLINEAR-OK: qNN — reason`. */
+  /** qNN prefixes waived in SCALE.md via `SUPERLINEAR-OK: qNN — reason`.
+    * A plain SUPERLINEAR-OK waives BOTH sweep directions; a hi-pair-only
+    * excuse (ambient-load artifact on the upward pair while the mid pair
+    * stays healthy and gated) must use [[waiversHi]]'s tag instead —
+    * otherwise excusing a noisy hi reading would silently mute the mid
+    * gate for that query too, the exact flag-emitted-but-ignored failure
+    * this module exists to prevent.
+    */
   def waivers(scaleMd: java.nio.file.Path = java.nio.file.Paths.get("SCALE.md")): Set[String] =
+    tagged(scaleMd, "SUPERLINEAR-OK")
+
+  /** qNN prefixes waived for the UPWARD pair only, via
+    * `SUPERLINEAR-OK-HI: qNN — reason`. The mid-pair gate still applies.
+    */
+  def waiversHi(scaleMd: java.nio.file.Path = java.nio.file.Paths.get("SCALE.md")): Set[String] =
+    tagged(scaleMd, "SUPERLINEAR-OK-HI")
+
+  private def tagged(scaleMd: java.nio.file.Path, tag: String): Set[String] =
     if (!java.nio.file.Files.exists(scaleMd)) Set.empty
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(scaleMd), "UTF-8")
-      """SUPERLINEAR-OK:\s*(q\d+)""".r.findAllMatchIn(txt).map(_.group(1)).toSet
+      (tag + """:\s*(q\d+)""").r.findAllMatchIn(txt).map(_.group(1)).toSet
     }
 
   /** The `"superlinear"` list of a bench.json, empty if the file or the
@@ -57,10 +73,12 @@ object ScalingGate {
     }
 
   /** Flagged-and-unwaived queries (mid AND hi pairs) — must be empty for
-    * a green build.
+    * a green build. Mid flags honor only the global waiver tag; hi flags
+    * honor both tags (a global waiver covers the direction it subsumes).
     */
   def unexplained(): Seq[String] = {
     val w = waivers()
-    (superlinear() ++ superlinearHi()).distinct.filterNot(w)
+    val wHi = w ++ waiversHi()
+    (superlinear().filterNot(w) ++ superlinearHi().filterNot(wHi)).distinct
   }
 }

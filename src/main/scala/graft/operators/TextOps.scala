@@ -882,8 +882,17 @@ object TextOps {
       .select(col("id"),
         size(col("__cands")).cast("long").as("n_digit_runs"),
         size(col("__valid")).cast("long").as("n_valid_cards"),
+        // boundary-guarded REDACTION too: a literal replace of the PAN
+        // text would also rewrite an occurrence embedded inside a longer
+        // digit run (e.g. an 18-digit trace id sharing the PAN's digits)
+        // — exactly what the maximal-run extraction excludes. Each valid
+        // candidate appears in __valid once per maximal-run occurrence,
+        // so the adjacent-occurrence case a boundary-consuming regex can
+        // skip in one pass is covered by that occurrence's own fold step.
         aggregate(col("__valid"), col("__t"),
-          (acc, c) => replace(acc, c, lit("<CARD>"))).as("clean_text"))
+          (acc, c) => regexp_replace(acc,
+            concat(lit("(^|[^0-9])"), c, lit("([^0-9]|$)")),
+            lit("$1<CARD>$2"))).as("clean_text"))
   }
 
   /** Sliding-window passage chunking — the RAG/embedding prep step:

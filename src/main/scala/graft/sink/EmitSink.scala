@@ -383,9 +383,12 @@ object EmitSink {
 
   /** Multi-step merge in emit mode — the reference's MSM statement
     * protocol (clients/shared/multi_step_merge.go:17-204) as an ordered
-    * per-flush plan. A CYCLE is `cfg.msmSteps` flushes (the reference
-    * counts `FlushCount = msmSteps - 1` merges after the first direct
-    * load — same cycle, zero-based here as `batchId % msmSteps`):
+    * per-flush plan. A CYCLE is `cfg.msmSteps` NON-EMPTY flushes (the
+    * reference counts `FlushCount = msmSteps - 1` merges after the first
+    * direct load — same cycle; the position comes from a persisted flush
+    * counter in the `__msmflush` sidecar, the IsFirstFlush/IsLastFlush
+    * twin, so empty batches never consume a cycle slot and crash-replays
+    * re-plan at their original position):
     *
     *  - flush 0 (IsFirstFlush): DROP the msm table (stale-cycle guard,
     *    multi_step_merge.go:38-42), CREATE it (temp form, PK clause),
@@ -427,8 +430,6 @@ object EmitSink {
         "BuildMergeQueryIntoStagingTable)")
     val dialect = DdlDialects(label)
     val pks = cfg.effectivePrimaryKeys
-    val idx = (batchId % cfg.msmSteps).toInt
-    val lastFlush = idx == cfg.msmSteps - 1
     val transformed = CdcPipeline.applyRowTransforms(batch, cfg)
       .drop(Constants.OperationCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -440,7 +441,12 @@ object EmitSink {
     val flagsRow = transformed
       .agg(count(lit(1)), max(delFlag.cast("int"))).head()
     // ShouldSkipUpdate analog; the reference notes (multi_step_merge.go:23-27)
-    // that a final-flush skip leaves msm data unmerged until the next cycle
+    // that a final-flush skip leaves msm data unmerged until the next cycle.
+    // An empty batch does NOT consume a cycle position — the flush counter
+    // below only advances on planned flushes, like the reference's
+    // per-tableData flushCount (an early `batchId % msmSteps` mapping let
+    // an empty batch at a cycle's first slot skip the msm DROP+CREATE and
+    // strand the whole next cycle on a dropped table).
     if (flagsRow.getLong(0) == 0L) return None
     val containsHardDeletes =
       !flagsRow.isNullAt(1) && flagsRow.getInt(1) == 1 && !cfg.softDelete
@@ -448,7 +454,28 @@ object EmitSink {
 
     val sidecar = s"$destDir/__destschema"
     val msmSidecar = s"$destDir/__msmschema"
+    val msmFlushSidecar = s"$destDir/__msmflush"
     val msmTable = msmTableName(targetTable)
+    // The cycle position comes from a PERSISTED flush counter
+    // (IsFirstFlush/IsLastFlush twin, table_data.go:18-28), replay-safe:
+    // the sidecar records `lastBatchId<TAB>flushesAfterIt`; a replay of
+    // the recorded batchId re-plans at its ORIGINAL position instead of
+    // consuming a new one, and an out-of-order older batchId fails loudly
+    // (streaming checkpoints never regress past the last committed batch).
+    val (recordedBatch, flushesSoFar) =
+      readSidecarLines(deduped, msmFlushSidecar).headOption match {
+        case Some(line) =>
+          val Array(b, n) = line.split("\t", 2)
+          (b.toLong, n.toLong)
+        case None => (-1L, 0L)
+      }
+    require(batchId >= recordedBatch,
+      s"emitBatchMsm saw batchId $batchId below the recorded last flush " +
+        s"$recordedBatch — msm cycle state cannot move backwards")
+    val isReplay = batchId == recordedBatch && flushesSoFar > 0
+    val idx = (if (isReplay) (flushesSoFar - 1) % cfg.msmSteps
+               else flushesSoFar % cfg.msmSteps).toInt
+    val lastFlush = idx == cfg.msmSteps - 1
     val batchCols: Seq[(String, DataType)] =
       deduped.schema.fields.toSeq.map(f => f.name -> f.dataType)
 
@@ -507,6 +534,13 @@ object EmitSink {
             dialect.primaryKeyClause(pks),
           temporary = true, now = now)
         val accum = MergeDialects.mergeIntoStaging(label, msmTable, temp, pks, cols, toast)
+        // the accumulated msm column set: recorded schema + this batch's
+        // additions, each column ONCE — a lost/absent __msmschema sidecar
+        // degrades to the batch's own columns (an earlier getOrElse-based
+        // concat duplicated every column in that path, which the final
+        // merge's UPDATE SET would trip on as a duplicate assignment)
+        val msmEv = msmKnown.getOrElse(Nil) ++
+          stagingCols.filterNot { case (n, _) => msmHave.contains(n) }
         val finalMerge: Seq[String] =
           if (!lastFlush) Nil
           else {
@@ -514,15 +548,12 @@ object EmitSink {
             // merge (multi_step_merge.go uses tableData's accumulated
             // cols) — a mid-cycle ADD means the msm table is wider than
             // any single flush
-            val msmCols = (msmKnown.getOrElse(stagingCols) ++
-              stagingCols.filterNot { case (n, _) => msmHave.contains(n) }).map(_._1)
+            val msmCols = msmEv.map(_._1)
             MergeDialects(label).mergeStatements(targetTable, msmTable, pks, msmCols,
               cfg.softDelete, containsHardDeletes = containsHardDeletes,
               toastCols = cfg.toastCols.filter(msmCols.contains).toSet) :+
               dialect.dropTable(msmTable)
           }
-        val msmEv = msmKnown.getOrElse(Nil) ++
-          stagingCols.filterNot { case (n, _) => msmHave.contains(n) }
         ((msmAddsOut ++ (createTemp +: accum) :+ dialect.dropTable(temp)) ++ finalMerge,
           temp, msmEv, msmAddsOut)
       }
@@ -553,6 +584,10 @@ object EmitSink {
     // still regenerate its final-merge text from the accumulated columns
     if (idx == 0 || msmDdlOut.nonEmpty)
       writeDestSchema(deduped, msmSidecar, msmEvolved, batchId, msmDdlOut, Nil)
+    // advance the flush counter LAST (after every artifact landed) and
+    // never on a replay — the replay re-planned its original position
+    if (!isReplay)
+      writeSidecarLines(deduped, msmFlushSidecar, Seq(s"$batchId\t${flushesSoFar + 1}"))
     Some(EmittedBatch(batchId, stagedPath, stagingRef, ddlOut, plan))
     } finally { transformed.unpersist(); () }
   }

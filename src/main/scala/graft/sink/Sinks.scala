@@ -291,19 +291,20 @@ object SinkRegistry {
       val dialect = l.stripPrefix("emit:")
       require(DdlDialects.registry.contains(dialect),
         s"unknown emit dialect: $dialect (known: ${DdlDialects.registry.keys.toSeq.sorted.mkString(", ")})")
+      // construction-time (not per-batch) warning: msm mode drops
+      // configured defaults — the reference's MSM merge path has no
+      // backfill (multi_step_merge.go:145 TODO)
+      if (cfg.msmSteps > 1 && emitDefaults.nonEmpty)
+        System.err.println("[graft] emit MSM mode ignores column defaults " +
+          s"(no backfill in the reference's MSM path); dropping: ${emitDefaults.keys.mkString(", ")}")
       (df, batchId, target) => {
         val table = emitTable.getOrElse(
           graft.functions.Converters.sanitizeName(target.split('/').last))
         // msmSteps > 1 switches the emit plan to the reference's
         // multi-step merge statement protocol (accumulate msmSteps
         // flushes in the reusable msm staging table, merge once)
-        if (cfg.msmSteps > 1) {
-          if (emitDefaults.nonEmpty)
-            System.err.println("[graft] emit MSM mode ignores column " +
-              "defaults — the reference's MSM merge path has no backfill " +
-              s"(multi_step_merge.go:145 TODO); dropping: ${emitDefaults.keys.mkString(", ")}")
+        if (cfg.msmSteps > 1)
           EmitSink.emitBatchMsm(df, batchId, cfg, dialect, target, table)
-        }
         else
           EmitSink.emitBatch(df, batchId, cfg, dialect, target, table,
             defaults = emitDefaults)

@@ -105,6 +105,12 @@ class EmitSinkSpec extends AnyFunSuite {
       assert(accum.toLowerCase.contains("artie_delete"),
         "markers must accumulate in the msm table")
       assert(f1.plan.last == s"DROP TABLE IF EXISTS ${f1.stagingTable}")
+      // crash-replay of the mid-cycle flush (before the next batch
+      // commits) regenerates the identical plan at its ORIGINAL cycle
+      // position — the flush counter does not advance
+      val Some(f1r) = EmitSink.emitBatchMsm(batch0, 1L, msmCfg, label, dir,
+        "db.s.users", now)
+      assert(f1r.plan == f1.plan && f1r.ddl == f1.ddl)
       // flush 2 (IsLastFlush): accumulate, then the FULL merge (delete
       // arm) from the msm table into the target, then drop the msm table
       val Some(f2) = EmitSink.emitBatchMsm(batch0, 2L, msmCfg, label, dir,
@@ -115,10 +121,6 @@ class EmitSinkSpec extends AnyFunSuite {
       assert(iAccum >= 0 && iFinal > iAccum && iDropMsm == f2.plan.length - 1,
         f2.plan.mkString("\n"))
       assert(f2.plan(iFinal).contains("THEN DELETE"), "final merge applies deletes")
-      // crash-replay of a mid-cycle flush regenerates the identical plan
-      val Some(f1r) = EmitSink.emitBatchMsm(batch0, 1L, msmCfg, label, dir,
-        "db.s.users", now)
-      assert(f1r.plan == f1.plan && f1r.ddl == f1.ddl)
     }
     // non-MSM dialects fail with the reference's own contract
     val e = intercept[IllegalArgumentException] {
@@ -126,6 +128,51 @@ class EmitSinkSpec extends AnyFunSuite {
         Files.createTempDirectory("graft_emit_msm_rs").toString, "db.s.users", now)
     }
     assert(e.getMessage.contains("not implemented"))
+  }
+
+  test("multi-step merge: empty batches never consume a cycle slot; the flush counter drives positions (round-13 review)") {
+    val msmCfg = cfg.copy(msmSteps = 3)
+    val dir = Files.createTempDirectory("graft_emit_msm_empty").toString
+    val msm = "db.s.__artie_users_msm"
+    // complete one full cycle (batches 0-2): ends with DROP msm
+    EmitSink.emitBatchMsm(batch0, 0L, msmCfg, "snowflake", dir, "db.s.users", now)
+    EmitSink.emitBatchMsm(batch0, 1L, msmCfg, "snowflake", dir, "db.s.users", now)
+    val Some(f2) = EmitSink.emitBatchMsm(batch0, 2L, msmCfg, "snowflake", dir,
+      "db.s.users", now)
+    assert(f2.plan.last == s"DROP TABLE IF EXISTS $msm")
+    // batch 3 is EMPTY: under the old batchId%msmSteps mapping it would
+    // silently consume the cycle's FIRST slot and batch 4 would merge
+    // into the dropped msm table
+    val empty = batch0.filter(org.apache.spark.sql.functions.lit(false))
+    assert(EmitSink.emitBatchMsm(empty, 3L, msmCfg, "snowflake", dir,
+      "db.s.users", now).isEmpty)
+    // batch 4 must open the NEW cycle: DROP stale msm + CREATE, no merge
+    val Some(f4) = EmitSink.emitBatchMsm(batch0, 4L, msmCfg, "snowflake", dir,
+      "db.s.users", now)
+    assert(f4.plan.head == s"DROP TABLE IF EXISTS $msm" &&
+      !f4.plan.exists(_.contains("MERGE INTO")),
+      s"empty batch must not consume the first-flush slot:\n${f4.plan.mkString("\n")}")
+    // out-of-order batch ids fail loudly (cycle state can't regress)
+    val e = intercept[IllegalArgumentException] {
+      EmitSink.emitBatchMsm(batch0, 1L, msmCfg, "snowflake", dir, "db.s.users", now)
+    }
+    assert(e.getMessage.contains("cannot move backwards"))
+  }
+
+  test("multi-step merge: a lost __msmschema sidecar degrades to the batch's columns without duplicates (round-13 review)") {
+    val msmCfg = cfg.copy(msmSteps = 2)
+    val dir = Files.createTempDirectory("graft_emit_msm_lost").toString
+    EmitSink.emitBatchMsm(batch0, 0L, msmCfg, "snowflake", dir, "db.s.users", now)
+    // simulate the sidecar loss between flushes
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/__msmschema"))
+    val Some(f1) = EmitSink.emitBatchMsm(batch0, 1L, msmCfg, "snowflake", dir,
+      "db.s.users", now)
+    val finalMerge = f1.plan.find(_.contains("MERGE INTO db.s.users")).get
+    // every column exactly once in the final merge's INSERT list (the old
+    // getOrElse concat emitted each twice -> duplicate-assignment error)
+    val insertCols = finalMerge.split("INSERT \\(")(1).split("\\)")(0).split(",")
+    assert(insertCols.length == insertCols.distinct.length,
+      s"duplicate columns in final merge: $finalMerge")
   }
 
   test("multi-step merge: a mid-cycle ADD COLUMN evolves target AND msm table; the final merge uses the accumulated set") {

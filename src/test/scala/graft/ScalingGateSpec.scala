@@ -50,4 +50,23 @@ class ScalingGateSpec extends AnyFunSuite {
       """{"queries":{"q1":0.5},"superlinear":[]}""".getBytes("UTF-8"))
     assert(ScalingGate.superlinearHi(bench).isEmpty)
   }
+
+  test("hi-only waivers do not mute the mid-pair gate (scoped tags)") {
+    val dir = java.nio.file.Files.createTempDirectory("gatescope")
+    val scale = dir.resolve("SCALE.md")
+    java.nio.file.Files.write(scale,
+      ("SUPERLINEAR-OK-HI: q256 — ambient driver-load artifact, idle reads 0.42\n" +
+        "SUPERLINEAR-OK: q999 — output itself quadratic, capped\n").getBytes("UTF-8"))
+    // the -HI tag parses into waiversHi ONLY; the plain tag into waivers ONLY
+    assert(ScalingGate.waivers(scale) === Set("q999"))
+    assert(ScalingGate.waiversHi(scale) === Set("q256"))
+    // a hi-waived query flagged on the MID pair must still be unexplained:
+    // mid flags honor only the global tag (q256 below stays hot), while a
+    // global waiver covers its hi flag too (q999 below is excused)
+    val midFlags = Seq("q256", "q999").filterNot(ScalingGate.waivers(scale))
+    assert(midFlags === Seq("q256"))
+    val hiFlags = Seq("q256", "q999")
+      .filterNot(ScalingGate.waivers(scale) ++ ScalingGate.waiversHi(scale))
+    assert(hiFlags.isEmpty)
+  }
 }
