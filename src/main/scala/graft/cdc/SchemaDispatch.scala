@@ -99,12 +99,39 @@ object SchemaDispatch {
     }
   }
 
+  /** Does a field need any logical conversion beyond its wire form?
+    * Drives the array-element dispatch below: an element with no logical
+    * type, no compression and a scalar wire form passes through, so the
+    * array needn't pay a per-element `transform`.
+    */
+  private def needsLogical(f: DbzField): Boolean =
+    f.compressed || f.dbzType.nonEmpty ||
+      (f.fieldType match {
+        case "struct" | "map" => true
+        case "array" => f.items.exists(needsLogical)
+        case _ => false
+      })
+
   /** Logical converter for a decoded wire column — the dispatch table of
     * schema.go:90-160 mapped onto the F1-F16 converter set. Unknown
     * logical types fall through to the wire type (schema.go:146-159).
     */
   def converter(f: DbzField): Column => Column = {
-    val logical: Column => Column = f.dbzType match {
+    val logical = logicalConverter(f)
+    // compressed fields are gzip(base64) on the wire and decompress before
+    // any logical parse (schema.go:61-62, types.go:156-184)
+    if (f.compressed) c => logical(Converters.gunzip(unbase64(c)).cast(StringType))
+    else logical
+  }
+
+  /** The logical half of [[converter]] WITHOUT the compressed-wire
+    * unwrap — schema-block defaults are DDL literals, not gzip+base64
+    * payload encodings, so [[defaultColumns]] must apply only this half
+    * (round-13 review: pushing a plain-text default through
+    * gunzip(unbase64(...)) nulled it).
+    */
+  private def logicalConverter(f: DbzField): Column => Column =
+    f.dbzType match {
       case "io.debezium.time.Date" | "org.apache.kafka.connect.data.Date" =>
         Converters.epochDaysToDate
       case "io.debezium.time.Time" | "org.apache.kafka.connect.data.Time" =>
@@ -131,15 +158,17 @@ object SchemaDispatch {
            "io.debezium.data.EnumSet" | "io.debezium.data.Xml" => identity
       case "io.debezium.time.Year" | "io.debezium.time.MicroDuration" => identity
       case _ => f.fieldType match {
+        // array elements convert ELEMENT-WISE through the item metadata
+        // (the reference's ToValueConverter recurses into the element
+        // converter) — without this, a date[]/decimal[] column shipped
+        // raw epoch-day ints / base64 text (round-13 review). Plain
+        // scalar elements skip the transform entirely.
+        case "array" if f.items.exists(needsLogical) =>
+          c => transform(c, e => converter(f.items.get)(e))
         case "struct" | "map" => to_json(_) // Struct kind = canonical JSON text
         case _ => identity
       }
     }
-    // compressed fields are gzip(base64) on the wire and decompress before
-    // any logical parse (schema.go:61-62, types.go:156-184)
-    if (f.compressed) c => logical(Converters.gunzip(unbase64(c)).cast(StringType))
-    else logical
-  }
 
   /** Column defaults declared by the envelope schema, keyed by field name
     * (relational_event.go:58-82) — feed these to
@@ -163,7 +192,10 @@ object SchemaDispatch {
         // no string-literal wire form — Jackson's asText() flattens them to
         // "" anyway, so emitting a cast would only fail analysis later
         case _: StructType | _: ArrayType | _: MapType => None
-        case wt => f.default.map(d => f.name -> converter(f)(lit(d).cast(wt)))
+        // logicalConverter, NOT converter: a default is a DDL literal on
+        // the schema block, never gzip+base64-encoded like a compressed
+        // column's payload
+        case wt => f.default.map(d => f.name -> logicalConverter(f)(lit(d).cast(wt)))
       }
     }.toMap
 

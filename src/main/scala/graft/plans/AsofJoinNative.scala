@@ -80,16 +80,27 @@ object AsofJoinStrategy extends SparkStrategy {
   * hygiene: a rand() conjunct must not change its draw count).
   */
 object AsofFilterPushdown
-    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
   import org.apache.spark.sql.catalyst.plans.logical.Filter
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond, asof: AsofJoinPlan) =>
       val leftOut = asof.left.outputSet
-      val (pushable, keep) =
-        splitConjunctivePredicates(cond).partition(e =>
-          e.deterministic && e.references.subsetOf(leftOut))
+      // only the DETERMINISTIC PREFIX of the conjunct list may be
+      // considered (Catalyst's own span(_.deterministic) idiom,
+      // PushPredicateThroughJoin): partition()ing the whole list could
+      // push a deterministic conjunct that sits AFTER a nondeterministic
+      // one, changing how many rows the nondeterministic expression
+      // evaluates over — with a seeded rand() the per-partition draw
+      // sequence shifts and the surviving row set silently differs from
+      // the unpushed plan (round-13 review).
+      val (candidates, nonDeterministic) =
+        splitConjunctivePredicates(cond).span(_.deterministic)
+      val (pushable, keepDet) =
+        candidates.partition(_.references.subsetOf(leftOut))
+      val keep = keepDet ++ nonDeterministic
       if (pushable.isEmpty) f
       else {
         val pushed = asof.copy(left =
@@ -97,13 +108,6 @@ object AsofFilterPushdown
         keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
       }
   }
-
-  private def splitConjunctivePredicates(e: Expression): Seq[Expression] =
-    e match {
-      case And(l, r) =>
-        splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
-      case other => Seq(other)
-    }
 }
 
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,

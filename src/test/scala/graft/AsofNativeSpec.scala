@@ -132,6 +132,41 @@ class AsofNativeSpec extends AnyFunSuite {
     assert(got === want && got.nonEmpty)
   }
 
+  test("AsofFilterPushdown pushes only the deterministic PREFIX (round-13 review)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_span").toString
+    (1 to 50).map(i => (i.toLong, (i % 5).toLong, (i % 7).toLong))
+      .toDF("id", "k", "lt").write.mode("overwrite").parquet(s"$dir/left")
+    (1 to 20).map(i => ((i % 5).toLong, (i % 6).toLong, i.toLong, s"v$i"))
+      .toDF("k", "rt", "tie", "v").write.mode("overwrite").parquet(s"$dir/right")
+    val l = spark.read.parquet(s"$dir/left")
+    val r = spark.read.parquet(s"$dir/right")
+    val joined = AsofJoinNative.asofJoin(l, r, "k", "lt", "rt", "tie", Seq("v"))
+    // deterministic conjunct AFTER a nondeterministic one: pushing it
+    // would change how many rows rand() evaluates over and shift the
+    // seeded draw sequence (Catalyst's own span(_.deterministic) rule).
+    // The comparison bound must not be foldable off rand's [0,1) range —
+    // Spark simplifies `rand >= 0.0` to true, which WOULD make the other
+    // conjunct legitimately pushable.
+    val f = joined.filter(rand(42L) < 0.9999 && col("id") > 5L)
+    val asof = f.queryExecution.optimizedPlan
+      .collect { case a: graft.plans.AsofJoinPlan => a }.head
+    // (Catalyst itself may push the INFERRED isnotnull(id) constraint —
+    // that's standard constraint propagation, not our rule; the guarded
+    // conjunct is the `> 5` comparison)
+    assert(!asof.left.toString.contains("> 5"),
+      s"conjunct after a nondeterministic one must NOT push:\n${f.queryExecution.optimizedPlan}")
+    // prefix BEFORE the nondeterministic conjunct still pushes
+    val f2 = joined.filter(col("id") > 5L && rand(42L) < 0.9999)
+    val asof2 = f2.queryExecution.optimizedPlan
+      .collect { case a: graft.plans.AsofJoinPlan => a }.head
+    assert(asof2.left.toString.contains("> 5"),
+      s"deterministic prefix should push:\n${f2.queryExecution.optimizedPlan}")
+    // both shapes execute (the draw makes exact counts seed-dependent;
+    // the plan assertions above are the contract)
+    assert(f.count() <= joined.filter(col("id") > 5L).count())
+    assert(f2.count() <= joined.filter(col("id") > 5L).count())
+  }
+
   test("native as-of API guards: missing/mistyped columns, payload collisions") {
     val left = Seq((1L, 2L, 3L)).toDF("id", "k", "lt")
     val right = Seq((2L, 3, 4L, "x")).toDF("k", "rt", "tie", "v") // rt is INT

@@ -197,6 +197,33 @@ class PipelineFeaturesSpec extends AnyFunSuite {
       java.time.LocalDate.ofEpochDay(19000))
   }
 
+  test("a compressed field's default skips the gzip unwrap; array elements convert element-wise (round-13 review)") {
+    // defaults are DDL literals — pushing one through gunzip(unbase64)
+    // nulled it
+    val fields = SchemaDispatch.parseAfterFields(
+      """{"schema":{"fields":[{"field":"after","fields":[
+         {"type":"string","field":"note","compressed":true,"default":"hello"},
+         {"type":"array","field":"ds","items":{"type":"int32","name":"io.debezium.time.Date"}}]}]}}""")
+    val defaults = SchemaDispatch.defaultColumns(fields)
+    assert(spark.range(1).select(defaults("note").as("n")).head.getString(0) == "hello")
+    // date[] decodes to an array of DATES, not raw epoch-day ints — the
+    // element converter recurses through the item metadata
+    val conv = SchemaDispatch.converter(fields.find(_.name == "ds").get)
+    val out = Seq(Tuple1(Seq(19000, 19001))).toDF("ds")
+      .select(conv(col("ds")).as("ds")).head.getSeq[java.sql.Date](0)
+    assert(out.map(_.toLocalDate) ==
+      Seq(java.time.LocalDate.ofEpochDay(19000), java.time.LocalDate.ofEpochDay(19001)))
+    // a plain scalar array stays IDENTITY (no per-element transform)
+    val plain = SchemaDispatch.parseAfterFields(
+      """{"schema":{"fields":[{"field":"after","fields":[
+         {"type":"array","field":"xs","items":{"type":"int64"}}]}]}}""")
+    val convPlain = SchemaDispatch.converter(plain.head)
+    val px = Seq(Tuple1(Seq(1L, 2L))).toDF("xs").select(convPlain(col("xs")).as("xs"))
+    assert(px.head.getSeq[Long](0) == Seq(1L, 2L))
+    assert(!px.queryExecution.analyzed.toString.contains("transform"),
+      "scalar arrays must not pay a per-element transform")
+  }
+
   test("cached snapshot schema still observes columns added by an evolving merge") {
     // drop-observation reads the snapshot schema through the TTL cache;
     // a merge that evolves the schema must invalidate it, or a later
