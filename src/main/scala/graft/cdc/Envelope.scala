@@ -63,8 +63,12 @@ object Envelope {
     // row projection and the meta projection), making every downstream
     // col("__artie_delete")/col("__artie_operation") reference ambiguous
     // — the artie marker namespace is reserved (lib/config/constants.go)
+    // OnlySetDeleteCol included (round-13 review): a data column named
+    // __artie_only_set_delete would pass decode and mergeApply would
+    // reinterpret it as the only-set-delete CONTROL flag — matched rows
+    // whose data value is true silently keep all target values
     val reservedMeta = Set(Constants.OperationCol, Constants.DeleteCol,
-      "__source_ts_ms", Constants.SourceMetadataCol)
+      Constants.OnlySetDeleteCol, "__source_ts_ms", Constants.SourceMetadataCol)
     val clashes = rowSchema.fieldNames.filter(reservedMeta.contains)
     require(clashes.isEmpty,
       s"relational decode: row schema carries reserved metadata column(s) " +

@@ -26,7 +26,14 @@ object Sinks {
       "partitionedParquet derives a `date` partition column but the frame " +
         "already carries one — rename it (or pass tsCol = \"date\" to " +
         "partition by the existing column as-is)")
-    df.withColumn("date", date_format(col(tsCol), "yyyy-MM-dd"))
+    // tsCol == "date" honors the guard message's promise and partitions
+    // by the existing column AS-IS (round-13 review: re-deriving it with
+    // date_format nulled any value not parseable as a date and silently
+    // routed those rows to __HIVE_DEFAULT_PARTITION__)
+    val keyed =
+      if (tsCol == "date") df
+      else df.withColumn("date", date_format(col(tsCol), "yyyy-MM-dd"))
+    keyed
       .write
       .mode("append")
       .option("compression", "gzip")

@@ -48,6 +48,13 @@ object CdcPipeline {
     def effectivePrimaryKeys: Seq[String] =
       if (primaryKeysOverride.nonEmpty) primaryKeysOverride else primaryKeys
 
+    // a keyless config dies at definition time with an actionable message
+    // (round-13 review: an empty PK list previously survived to the first
+    // merge and failed as an opaque empty.reduceLeft deep in mergeApply,
+    // after lastWins had already built a GLOBAL one-partition window)
+    require(effectivePrimaryKeys.nonEmpty,
+      "Config needs at least one primary key (primaryKeys or primaryKeysOverride)")
+
     // encryption is non-deterministic (AES-GCM) and would break PK joins —
     // banned on primary keys like the reference (topic.go:297-314)
     require(!effectivePrimaryKeys.exists(columnsToEncrypt.contains),
@@ -79,6 +86,17 @@ object CdcPipeline {
     * hashing, encryption, static column injection, updated-at markers.
     */
   def applyRowTransforms(df: DataFrame, cfg: Config): DataFrame = {
+    // ambiguous ordering guard (round-13 review): when the SOURCE row
+    // schema has its own `offset` column, decode renames the Kafka
+    // offset to `__kafka_offset` — the default orderCol="offset" would
+    // then bind to the DATA column and last-wins/merge would pick
+    // winners by data values instead of log order, silently and
+    // nondeterministically on ties. Fail loudly with the fix.
+    require(!(cfg.orderCol == "offset" && df.columns.contains("__kafka_offset")),
+      "orderCol=\"offset\" is ambiguous: the row schema carries its own " +
+        "`offset` column, so the Kafka offset rode through as " +
+        "`__kafka_offset` — set orderCol=\"__kafka_offset\" to order by log " +
+        "position, or rename the source column if you really mean the data")
     val skipped =
       if (cfg.skippedOperations.isEmpty) df
       else df.filter(!col(Constants.OperationCol).isin(cfg.skippedOperations.toSeq: _*))
@@ -196,8 +214,17 @@ object CdcPipeline {
     if (!fs.exists(marker)) None
     else {
       val in = fs.open(marker)
+      // corrupt marker -> LOUD (round-13 review): treating it as None let
+      // an un-bucketed merge (numBuckets=0) pass the reverse-transition
+      // guard and destroy the bucketed layout; the bucketed branch
+      // already refuses on the same corruption
       try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
-      catch { case _: Exception => None }
+      catch { case e: Exception =>
+        throw new IllegalStateException(
+          s"corrupt bucket-count marker $marker — restore it to the " +
+            "snapshot's real bucket count (or rebuild the snapshot); " +
+            "refusing to guess a layout", e)
+      }
       finally in.close()
     }
   }
@@ -222,16 +249,11 @@ object CdcPipeline {
           s"snapshot at $path was written with numBuckets=$recorded; " +
             s"refusing to merge with numBuckets=${cfg.numBuckets} (would strand rows in stale buckets)")
       case None =>
-        // distinguish ABSENT from CORRUPT: an unreadable marker must not
-        // masquerade as "snapshot exists un-bucketed" — that diagnosis
-        // sends the operator to rebuild a healthy snapshot when the fix
-        // is restoring/rewriting one tiny marker file
-        val markerPath = new Path(path + "/__nbuckets")
-        val mfs = markerPath.getFileSystem(spark0.sparkContext.hadoopConfiguration)
-        require(!mfs.exists(markerPath),
-          s"bucket-count marker $markerPath exists but is unreadable/corrupt; " +
-            "refusing to merge — restore the marker (a single integer: the " +
-            "snapshot's bucket count) instead of rebuilding the snapshot")
+        // None now means truly ABSENT: recordedNumBuckets throws on a
+        // corrupt marker (round-13 review — previously only this bucketed
+        // branch distinguished corrupt-from-absent, so the UN-bucketed
+        // reverse-transition guard read corruption as "no marker" and an
+        // numBuckets=0 merge could destroy the bucketed layout)
         // mode transition guard: an existing UN-bucketed snapshot here would
         // become invisible to bucketed reads — rows silently stranded
         require(resolveSnapshot(spark0, path).isEmpty,
@@ -384,11 +406,21 @@ object CdcPipeline {
 
   private def recordBatch(spark: SparkSession, targetPath: String, batchId: Long,
                           marker: String = "__batch"): Unit = {
+    // checked temp+rename like every other sidecar write (round-13
+    // review: this was the one marker written with a plain overwrite —
+    // a torn __batch file parses to -1 and re-opens the
+    // append-duplication window runOncePerBatch exists to narrow)
     val p = new Path(targetPath + marker)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val tmp = new Path(targetPath + marker + ".tmp")
+    val out = fs.create(tmp, true)
     out.write(batchId.toString.getBytes("UTF-8"))
     out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p),
+      s"marker rename $tmp -> $p returned false — failing loudly instead of " +
+        "losing the replay marker")
+    ()
   }
 
   /** One micro-batch flush. With msmSteps > 1, batches accumulate in a
@@ -556,12 +588,23 @@ object CdcPipeline {
       s"applyBatchByteCapped does not compose with msmSteps=${cfg.msmSteps}: " +
         "the multi-step staging flush keys on contiguous batch ids, which " +
         "synthetic sub-batch ids are not")
-    if (!batch.isEmpty)
-      observeColumnDrops(applyRowTransforms(batch, cfg), batchId, cfg, targetPath)
-    forEachByteCappedChunk(batch, cfg, maxBytes, byteEstimate) { (chunk, c) =>
-      applyBatchMarked(chunk, batchId * SubBatchStride + c, cfg, targetPath,
-        SubBatchMarker, observeDrops = false)
-    }
+    // persist across the pre-chunk probes (round-13 review): isEmpty,
+    // the drop-observation flags, and the chunker each re-scanned the
+    // un-persisted source — ~3 redundant broker reads per micro-batch on
+    // the hot flush path (applyBatchWithDeadLetter already pins its
+    // batch the same way)
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // history targets skip drop observation like the plain path does
+      // (round-13 review: observing a history dir diffs against its
+      // partition-discovery schema and emits bogus drop advice)
+      if (!cfg.historyMode && !pinned.isEmpty)
+        observeColumnDrops(applyRowTransforms(pinned, cfg), batchId, cfg, targetPath)
+      forEachByteCappedChunk(pinned, cfg, maxBytes, byteEstimate) { (chunk, c) =>
+        applyBatchMarked(chunk, batchId * SubBatchStride + c, cfg, targetPath,
+          SubBatchMarker, observeDrops = false)
+      }
+    } finally { pinned.unpersist(); () }
   }
 
   /** The byte-capped splitter generalized over the per-chunk SINK — the
@@ -579,10 +622,21 @@ object CdcPipeline {
   def applyBatchByteCappedWith(batch: DataFrame, batchId: Long, cfg: Config,
                                target: String, maxBytes: Long,
                                sink: (DataFrame, Long, String) => Unit,
-                               byteEstimate: Option[org.apache.spark.sql.Column] = None): Unit =
+                               byteEstimate: Option[org.apache.spark.sql.Column] = None): Unit = {
+    // scheme pin (round-13 review): generic sinks here receive SYNTHETIC
+    // sub-batch ids. A marker-based merge sink composed by mistake would
+    // record them into the plain __batch marker, and a later switch back
+    // to plain applyBatch would silently skip every real batch id below
+    // the huge recorded one — unbounded loss. Writing the sub-batch
+    // scheme marker BEFORE dispatch (one below this batch's first chunk
+    // id, so no chunk reads as already-applied) makes such a sink fail
+    // loudly through applyBatch's scheme guard on the next batch instead;
+    // merge sinks must come through applyBatchByteCapped, as documented.
+    recordBatch(batch.sparkSession, target, batchId * SubBatchStride - 1, SubBatchMarker)
     forEachByteCappedChunk(batch, cfg, maxBytes, byteEstimate) { (chunk, c) =>
       sink(chunk, batchId * SubBatchStride + c, target)
     }
+  }
 
   /** Shared chunk loop: split on estimated bytes in `cfg.orderCol` order
     * WITH the primary keys as tiebreakers, persist once, hand each chunk
@@ -756,7 +810,14 @@ object CdcPipeline {
     */
   private[graft] def tableDirName(t: String): String = {
     val s = Converters.sanitizeName(t)
-    if (s.matches(".*__(batch|subbatch|msm|prev|staging|dropstate|nbuckets|unrouted|destschema)$")) s + "_t" else s
+    // __execclock/__msmschema/__msmflush joined the sidecar family in
+    // rounds 12-13. Known residual (documented, round-13 review): the
+    // soft-partitioned sink's DYNAMIC `_yyyy_MM`/`_default` suffix targets
+    // cannot be enumerated here — month-shard-named sibling TABLES (an
+    // `events` table next to an `events_2024_01` table) would collide
+    // with `events`'s partition targets; route such topics to per-table
+    // roots (or non-soft-partitioned sinks) instead.
+    if (s.matches(".*__(batch|subbatch|msm|msmschema|msmflush|prev|staging|dropstate|nbuckets|unrouted|destschema|execclock)$")) s + "_t" else s
   }
 
   /** S1+demux: route one decoded stream carrying many tables into

@@ -310,12 +310,79 @@ class ReviewRegressionSpec extends AnyFunSuite {
     graft.streaming.CdcPipeline.applyBatch(b, 0L, cfg, target) // healthy bucketed snapshot
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$target/__nbuckets"),
       "not-a-number".getBytes("UTF-8")) // marker corrupts (bit rot / partial restore)
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[IllegalStateException] {
       graft.streaming.CdcPipeline.applyBatch(
         Seq((2L, "b", 2L, false)).toDF("id", "name", "off", Constants.DeleteCol),
         1L, cfg, target)
     }
     assert(e.getMessage.contains("__nbuckets") && e.getMessage.contains("corrupt"),
       s"wrong diagnosis: ${e.getMessage}")
+    // the UN-bucketed direction refuses too (round-13 review: it used to
+    // read corruption as "no marker" and run a DESTRUCTIVE flat merge
+    // over the bucketed root)
+    val e0 = intercept[IllegalStateException] {
+      graft.streaming.CdcPipeline.applyBatch(
+        Seq((3L, "c", 3L, false)).toDF("id", "name", "off", Constants.DeleteCol),
+        2L, cfg.copy(numBuckets = 0), target)
+    }
+    assert(e0.getMessage.contains("corrupt"), s"wrong diagnosis: ${e0.getMessage}")
+  }
+
+  test("byte-capped splitter over a plain merge sink fails loudly instead of poisoning the __batch marker (round-13 review)") {
+    // composing applyBatchByteCappedWith with a marker-based sink would
+    // record SYNTHETIC sub-batch ids into the plain __batch marker; the
+    // scheme pin makes the inner applyBatch refuse through its own guard
+    val target = java.nio.file.Files.createTempDirectory("graft_bcw").toString + "/t"
+    val cfg = graft.streaming.CdcPipeline.Config(Seq("id"), orderCol = "off")
+    val b = Seq((1L, "a", 1L, false)).toDF("id", "name", "off", Constants.DeleteCol)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.CdcPipeline.applyBatchByteCappedWith(b, 7L, cfg, target,
+        maxBytes = 1L << 20,
+        sink = (df, id, t) => graft.streaming.CdcPipeline.applyBatch(df, id, cfg, t))
+    }
+    assert(e.getMessage.contains("applyBatchByteCapped"), e.getMessage)
+    // the intended composition still works: emit-style sinks ignore markers
+    var seen = List.empty[Long]
+    graft.streaming.CdcPipeline.applyBatchByteCappedWith(b, 7L, cfg, target,
+      maxBytes = 1L << 20, sink = (_, id, _) => seen ::= id)
+    assert(seen == List(7L * 1000000L))
+  }
+
+  test("reserved-namespace and ambiguity guards: __artie_only_set_delete data column, shadowed Kafka offset, keyless Config (round-13 review)") {
+    import org.apache.spark.sql.types._
+    // a data column named like the only-set-delete CONTROL flag must
+    // refuse decode (mergeApply would silently reinterpret it)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField(Constants.OnlySetDeleteCol, BooleanType)))
+    val df = Seq(("{}", 0L)).toDF("value", "offset")
+    val e = intercept[IllegalArgumentException] {
+      graft.cdc.Envelope.decodeRelational(df, schema)
+    }
+    assert(e.getMessage.contains(Constants.OnlySetDeleteCol))
+    // a frame whose Kafka offset was shadow-renamed (__kafka_offset
+    // present) with the default orderCol="offset" is ambiguous ordering
+    val shadowed = Seq((1L, 5L, 9L)).toDF("id", "offset", "__kafka_offset")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.CdcPipeline.applyRowTransforms(shadowed,
+        graft.streaming.CdcPipeline.Config(Seq("id")))
+    }
+    assert(e2.getMessage.contains("__kafka_offset"))
+    // keyless configs die at definition time, not at the first merge
+    val e3 = intercept[IllegalArgumentException] {
+      graft.streaming.CdcPipeline.Config(Nil)
+    }
+    assert(e3.getMessage.contains("primary key"))
+  }
+
+  test("partitionedParquet with tsCol=date partitions by the existing column as-is (round-13 review)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pp").toString
+    // a non-date-parseable key would have been nulled into
+    // __HIVE_DEFAULT_PARTITION__ by the date_format re-derivation
+    val df = Seq((1L, "k_2024/01"), (2L, "other")).toDF("id", "date")
+    graft.sink.Sinks.partitionedParquet(df, root, "db.t", "date")
+    val back = spark.read.parquet(s"$root/db.t")
+    assert(back.count() == 2)
+    assert(back.filter(org.apache.spark.sql.functions.col("date") === "k_2024/01").count() == 1)
+    assert(back.filter(org.apache.spark.sql.functions.col("date").isNull).count() == 0)
   }
 }
