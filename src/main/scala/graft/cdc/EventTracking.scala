@@ -93,8 +93,11 @@ object EventTracking {
     */
   def decodeTrackEvents(df: DataFrame): DataFrame = {
     // the payload's own `timestamp` column wins the name; Kafka's
-    // ingestion timestamp survives as __kafka_timestamp
-    val carriedIn = Seq("offset", "partition", "timestamp").filter(df.columns.contains)
+    // ingestion timestamp survives as __kafka_timestamp. The raw Kafka
+    // KEY rides through too (round-13 review: dropping it made the
+    // reference's GetPrimaryKey — the raw key, format.go:45-49 — 
+    // unrecoverable downstream; [[trackEventsKeyId]] consumes it)
+    val carriedIn = Seq("key", "offset", "partition", "timestamp").filter(df.columns.contains)
     val carriedCols = carriedIn
       .map(c => if (c == "timestamp") col(c).as("__kafka_timestamp") else col(c))
     val carriedOut = carriedIn
@@ -174,8 +177,9 @@ object EventTracking {
     * their built-in meaning: a property with a colliding name is surfaced
     * as `<name>__property` instead of clobbering the metadata — the
     * reference escapes reserved columns the same way (EscapeName).
-    * Properties win over extraFields on shared keys ONLY when absent —
-    * maps.Copy order in GetData means extraFields overwrite properties.
+    * extraFields overwrite properties on shared keys — including with
+    * an explicit null value (maps.Copy order in GetData); a key absent
+    * from extraFields falls back to properties.
     */
   def flattenTrackEvents(decoded: DataFrame, keys: Seq[String]): DataFrame = {
     val passthroughNames = decoded.columns.toSeq
@@ -189,7 +193,13 @@ object EventTracking {
       Constants.DeleteCol, Constants.OnlySetDeleteCol, Constants.SourceMetadataCol) ++
       passthroughNames
     val propCols = keys.distinct.map { k =>
-      val raw = coalesce(element_at(col("extraFields"), k), element_at(col("properties"), k))
+      // key-PRESENCE dispatch, not coalesce (round-13 review): the
+      // reference's maps.Copy means an extraFields entry overwrites the
+      // properties entry even when its VALUE is an explicit null —
+      // coalesce would fall back to the stale properties value
+      val raw = when(map_contains_key(col("extraFields"), lit(k)),
+        element_at(col("extraFields"), k))
+        .otherwise(element_at(col("properties"), k))
       val typed = inferredType(k) match {
         case TimestampType => graft.functions.Converters.zonedTimestamp(raw)
         case _ => raw

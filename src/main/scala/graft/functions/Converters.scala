@@ -94,7 +94,12 @@ object Converters {
     */
   def timeWithTimezone(s: Column): Column = {
     val instant = to_timestamp(concat(lit("1970-01-01T"), s))
-    val off = regexp_extract(s, "([+-]\\d{2}:?\\d{2}|Z)$", 1)
+    // offset forms: +-HH, +-HH:MM, +-HHMM, +-HH:MM:SS, Z (round-13
+    // review: the hour-only Postgres timetz form `+05` fell through to
+    // the empty match and the value was silently rewritten to UTC wall
+    // time with a Z suffix — same instant, but the contract below is
+    // that the INPUT's offset is preserved verbatim)
+    val off = regexp_extract(s, "([+-]\\d{2}(?::?\\d{2})?(?::\\d{2})?|Z)$", 1)
     val zone = when(off === "Z" || off === "", "UTC").otherwise(off)
     concat(
       date_format(from_utc_timestamp(to_utc_timestamp(instant, current_timezone()), zone),

@@ -105,8 +105,18 @@ object PrivacyOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(qiCols.map(col): _*).orderBy(col("__v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // NULL-SAFE spine join (round-13 review): a NULL QI class or a NULL
+    // sensitive band is a real group out of groupBy, but the name-list
+    // equi-join dropped its cells (null != null) — every such class read
+    // as zero-mass and its EMD saturated. <=> keys match the groupBy's
+    // null semantics (the temperatureRepeats discipline).
+    val cellsR = cells.select((qiCols.map(c => col(c).as(s"__r_$c")) :+
+      col("__v").as("__r_v") :+ col("__c")): _*)
+    val cellCond = (qiCols.map(c => col(c) <=> col(s"__r_$c")) :+
+      (col("__v") <=> col("__r_v"))).reduce(_ && _)
     classes.crossJoin(broadcast(bands))
-      .join(cells, qiCols :+ "__v", "left")
+      .join(cellsR, cellCond, "left")
+      .drop((qiCols.map(c => s"__r_$c") :+ "__r_v"): _*)
       .crossJoin(broadcast(tot))
       .withColumn("__cum",
         sum(coalesce(col("__c"), lit(0L)) * col("__n") -

@@ -265,17 +265,16 @@ object SamplingOps {
       .orderBy(col("group"))
   }
 
-  /** Deterministic training-shard layout: every row is assigned
-    * shard = h(id) mod S and a stable position within its shard by
-    * ascending hash — the "global shuffle then shard" step every
-    * training-data export ends with, made reproducible (re-running the
-    * export, or running it on another engine, yields byte-identical
-    * shard files) and append-free of any global sort: one hash shuffle
-    * on the shard key, per-shard local sort via a partitioned window.
-    * The hash is the universal-hash finalizer over the rolling
-    * fingerprint (replayable externally); hash ties break by id, so the
-    * order is total. Output: input columns + (shard, pos).
+  /** The shared portable id hash: the universal-hash finalizer over the
+    * rolling fingerprint, bit-replayable by an external SQL engine.
+    * ONE definition (round-13 review: stridedInterleave and
+    * shardAssignments carried verbatim copies that had to stay
+    * bit-identical for the cross-engine replay contract).
     */
+  private def portableHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(lit(636413622L) * Converters.fingerprint64(id.cast(StringType))
+      + lit(528402381L), lit(1000000007L))
+
   /** Deterministic curriculum interleave (stride scheduling over the
     * source-mixing distribution): each group's rows are ranked by the
     * portable hash of their id (a reproducible shuffle), and row r of a
@@ -301,9 +300,7 @@ object SamplingOps {
                         weights: DataFrame): DataFrame = {
     Seq("__h", "group", "rnk", "ikey").foreach(c => require(!df.columns.contains(c),
       s"stridedInterleave: input must not contain reserved column $c"))
-    val p = 1000000007L
-    val h = pmod(lit(636413622L) * Converters.fingerprint64(col(idCol).cast(StringType))
-      + lit(528402381L), lit(p))
+    val h = portableHash(col(idCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group")).orderBy(col("__h"), col(idCol))
     df.withColumn("group", col(groupCol))
@@ -316,13 +313,22 @@ object SamplingOps {
       .drop("__h", "permille")
   }
 
+  /** Deterministic training-shard layout: every row is assigned
+    * shard = h(id) mod S and a stable position within its shard by
+    * ascending hash — the "global shuffle then shard" step every
+    * training-data export ends with, made reproducible (re-running the
+    * export, or running it on another engine, yields byte-identical
+    * shard files) and append-free of any global sort: one hash shuffle
+    * on the shard key, per-shard local sort via a partitioned window.
+    * The hash is [[portableHash]] (replayable externally); hash ties
+    * break by id, so the order is total. Output: input columns +
+    * (shard, pos).
+    */
   def shardAssignments(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     Seq("__h", "shard", "pos").foreach(c => require(!df.columns.contains(c),
       s"shardAssignments: input must not contain reserved column $c"))
-    val p = 1000000007L
-    val h = pmod(lit(636413622L) * Converters.fingerprint64(col(idCol).cast(StringType))
-      + lit(528402381L), lit(p))
+    val h = portableHash(col(idCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
     df.withColumn("__h", h)
@@ -352,8 +358,14 @@ object SamplingOps {
   def systematicPps(df: DataFrame, idCol: String, weightCol: String,
                     k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
+    // non-positive weights drop BEFORE the prefix sums (round-13 review:
+    // a corrupt negative weight made the cumulative line non-monotonic,
+    // silently shifting every later item's interval and breaking the
+    // sum(copies)==k contract; zero weights never drew anyway — same
+    // discipline as packSequences' n_tokens > 0 filter)
     val base = df.select(col(idCol).as("id"),
       col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0L)
     val (parted, offsets, total) = graft.operators.RangePrefix.withOffsets(
       base, Seq(col("id")), col("w"))
     require(total > 0L, "systematicPps needs positive total weight")
@@ -405,7 +417,15 @@ object SamplingOps {
       .withColumn("__r", row_number().over(w).cast("long"))
       .select(col(idCol), col(groupCol), col("__r"))
     val counts = ranked.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1)
+      .collect().map { r =>
+        // loud on NULL group keys (round-13 review: .toString NPE'd on the
+        // driver) — the schedule's group-name ordering and the string
+        // comparisons below have no defined place for a null group
+        require(!r.isNullAt(0),
+          s"interleaveSchedule: NULL $groupCol group — filter or bucket null " +
+            "keys before scheduling (group names order the rounds)")
+        (r.get(0).toString, r.getLong(1))
+      }.sortBy(_._1)
     require(counts.length <= 256,
       s"interleaveSchedule: groups are enum-sized by contract, got ${counts.length}")
     val offset = counts.map { case (_, n) =>

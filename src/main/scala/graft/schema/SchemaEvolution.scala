@@ -51,9 +51,14 @@ object SchemaEvolution {
         case _ => Kind.Str()
       }
       (toKind(a), toKind(b)) match {
-        // same-kind decimals with different precision: widest wins
+        // same-kind decimals: widen INTEGER-DIGIT capacity and scale
+        // independently (round-13 review: max(p),max(s) SHRANK integer
+        // capacity — DECIMAL(10,0) + DECIMAL(5,5) read as DECIMAL(10,5),
+        // 5 integer digits, so a legal 9-digit value overflowed the
+        // merged type). Capped at 38, Spark's decimal ceiling.
         case (Kind.Dec(p1, s1), Kind.Dec(p2, s2)) =>
-          DecimalType(math.max(p1, p2), math.max(s1, s2))
+          val scale = math.max(s1, s2)
+          DecimalType(math.min(38, math.max(p1 - s1, p2 - s2) + scale), scale)
         case (ka, kb) => Kind.merge(ka, kb).sparkType
       }
     }
@@ -130,7 +135,9 @@ object SchemaEvolution {
       * ancient absent-since timestamp and trigger a premature DROP.
       */
     def save(path: java.nio.file.Path): Unit = {
-      java.nio.file.Files.createDirectories(path.getParent)
+      // a bare filename has no parent (getParent == null) — createDirectories
+      // would NPE; cwd-relative sidecars are legitimate
+      Option(path.getParent).foreach(p => java.nio.file.Files.createDirectories(p))
       val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
       java.nio.file.Files.write(tmp, String.join("\n", toLines: _*).getBytes("UTF-8"))
       java.nio.file.Files.move(tmp, path,

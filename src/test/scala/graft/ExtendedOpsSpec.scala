@@ -105,6 +105,15 @@ class ExtendedOpsSpec extends AnyFunSuite {
       .select(Converters.timeWithTimezone(col("s")).as("t")).collect().map(_.getString(0))
     assert(out(0) == "10:01:02.123456+05:00") // NOT rewritten into session TZ
     assert(out(1) == "10:01:02.123456Z")
+    // hour-only and seconds-bearing offsets preserve too (round-13
+    // review: `+05` fell through the old regex and was silently
+    // rewritten to UTC wall time)
+    val out2 = Seq("12:34:56.000000+05", "12:34:56.000000-0330", "01:02:03.000000+05:30")
+      .toDF("s")
+      .select(Converters.timeWithTimezone(col("s")).as("t")).collect().map(_.getString(0))
+    assert(out2(0) == "12:34:56.000000+05", out2(0))
+    assert(out2(1) == "12:34:56.000000-0330", out2(1))
+    assert(out2(2) == "01:02:03.000000+05:30", out2(2))
   }
 
   test("aes-gcm encrypt/decrypt round-trips and is non-deterministic") {

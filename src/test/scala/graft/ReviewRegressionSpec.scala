@@ -385,4 +385,67 @@ class ReviewRegressionSpec extends AnyFunSuite {
     assert(back.filter(org.apache.spark.sql.functions.col("date") === "k_2024/01").count() == 1)
     assert(back.filter(org.apache.spark.sql.functions.col("date").isNull).count() == 0)
   }
+
+  test("decimal widening keeps integer-digit capacity (round-13 review)") {
+    import org.apache.spark.sql.types._
+    // max(p),max(s) would read DECIMAL(10,5): only 5 integer digits — a
+    // legal 9-digit DECIMAL(10,0) value overflowed the merged type
+    assert(graft.schema.SchemaEvolution.resolveType(
+      DecimalType(10, 0), DecimalType(5, 5)) == DecimalType(15, 5))
+    assert(graft.schema.SchemaEvolution.resolveType(
+      DecimalType(38, 0), DecimalType(10, 10)) == DecimalType(38, 10)) // capped
+    val a = Seq(Tuple1(BigDecimal(123456789L))).toDF("v")
+      .select(org.apache.spark.sql.functions.col("v").cast(DecimalType(10, 0)).as("v"))
+    val b = Seq(Tuple1(BigDecimal("0.12345"))).toDF("v")
+      .select(org.apache.spark.sql.functions.col("v").cast(DecimalType(5, 5)).as("v"))
+    val u = graft.schema.SchemaEvolution.unionEvolve(a, b)
+    assert(u.schema("v").dataType == DecimalType(15, 5))
+    // the 9-integer-digit value survives the align cast
+    assert(u.filter(org.apache.spark.sql.functions.col("v") >
+      BigDecimal(123456788L)).count() == 1)
+  }
+
+  test("tCloseness counts NULL QI classes and NULL sensitive bands (round-13 review)") {
+    import org.apache.spark.sql.functions._
+    // two classes with IDENTICAL distributions — one keyed by NULL — must
+    // read the same EMD; the name-list equi-join zeroed the NULL class's
+    // cell counts and saturated its EMD
+    val df = Seq(
+      (Some("a"), 1L), (Some("a"), 2L),
+      (Option.empty[String], 1L), (Option.empty[String], 2L)
+    ).toDF("zip", "v")
+    val out = graft.operators.PrivacyOps.tCloseness(df, Seq("zip"), "v", 500000L)
+      .select(col("emd_ppm")).collect().map(_.getLong(0)).toSeq
+    assert(out.distinct.size == 1,
+      s"NULL class must score like its identical twin: $out")
+  }
+
+  test("sampling guards: NULL interleave group fails loudly; negative weights drop from pps (round-13 review)") {
+    import org.apache.spark.sql.functions._
+    val withNull = Seq((1L, Some("a")), (2L, Option.empty[String])).toDF("id", "g")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.SamplingOps.interleaveSchedule(withNull, "g", "id", Seq(col("id")))
+    }
+    assert(e.getMessage.contains("NULL"))
+    // one corrupt negative weight must not shift later items' intervals
+    val w = Seq(("a", 5L), ("b", -3L), ("c", 4L)).toDF("id", "w")
+    val out = graft.operators.SamplingOps.systematicPps(w, "id", "w", 3)
+    assert(out.agg(sum(col("copies"))).head.getLong(0) == 3L,
+      "sum(copies) == k must hold with corrupt weights filtered")
+    assert(out.filter(col("id") === "b").count() == 0)
+  }
+
+  test("trackevents: extraFields' explicit null overwrites properties; the Kafka key rides through (round-13 review)") {
+    import org.apache.spark.sql.functions._
+    val payload = """{"event":"e","timestamp":"2024-01-01T00:00:00Z","messageID":"m1",""" +
+      """"properties":{"plan":"pro"},"extraFields":{"plan":null}}"""
+    val df = Seq((payload, "k1", 0L)).toDF("value", "key", "offset")
+    val dec = graft.cdc.EventTracking.decodeTrackEvents(df)
+    assert(dec.columns.contains("key"), "raw Kafka key must survive decode (GetPrimaryKey)")
+    assert(dec.select(col("key")).head.getString(0) == "k1")
+    val flat = graft.cdc.EventTracking.flattenTrackEvents(dec, Seq("plan"))
+    // maps.Copy semantics: key-present-with-null OVERWRITES, not falls back
+    assert(flat.select(col("plan")).head.isNullAt(0),
+      "explicit extraFields null must overwrite the properties value")
+  }
 }
