@@ -49,10 +49,15 @@ object FrontierOps {
     // prefix max over preceding (larger-x) partitions
     val partMax = perX.groupBy(col(RangePrefix.PidCol))
       .agg(max(col("__my")).as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .collect().map { r =>
+        // a partition whose candidate y values are ALL NULL has no max —
+        // it advances nothing but still takes the running prefix offset
+        // (round-13 review: getLong NPE'd on the driver mid-job)
+        (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+      }.sortBy(_._1)
     var acc = Long.MinValue
     val offsets = partMax.map { case (pid, t) =>
-      val entry = (pid, acc); acc = math.max(acc, t); entry
+      val entry = (pid, acc); acc = t.fold(acc)(v => math.max(acc, v)); entry
     }.toMap
     val offCol = offsets.foldLeft(lit(Long.MinValue)) { case (c, (pid, off)) =>
       when(col(RangePrefix.PidCol) === pid, lit(off)).otherwise(c)

@@ -37,6 +37,16 @@ object LinkageOps {
                 linkMin: Long): DataFrame = {
     require(fields.nonEmpty, "linkPairs needs at least one agreement field")
     require(linkMin >= possibleMin, s"need linkMin >= possibleMin, got $linkMin < $possibleMin")
+    // reserved output names fail loudly instead of silently REPLACING a
+    // caller's column (round-13 review: a right-side `score` column — a
+    // model confidence, say — was clobbered, and Agreements referencing
+    // it then compared against the linkage score)
+    val reserved = Seq("score", "cls") ++ fields.map(f => s"${f.name}_agree")
+    val carried = (left.columns ++ right.columns).toSet
+    val clash = reserved.filter(carried.contains)
+    require(clash.isEmpty,
+      s"linkPairs reserves output column(s) ${clash.mkString(", ")} — rename " +
+        "the input columns or the agreement fields")
     val joined = left.join(right, Seq(blockCol))
     val flagged = fields.foldLeft(joined) { case (acc, f) =>
       acc.withColumn(s"${f.name}_agree", coalesce(f.agree, lit(false)))
@@ -119,8 +129,12 @@ object LinkageOps {
       case Longest(srcC, out) =>
         Some(argmin(-length(col(srcC)), col(srcC)).as(out))
       case LatestBy(srcC, ordCol, tieCol, out) =>
+        // the ORD guard matters too (round-13 review): a NULL ordCol row
+        // sorts BEFORE every dated one under struct-min, so an undated
+        // stale source silently beat the freshest value — undated rows
+        // contribute no candidate, like null-valued ones
         Some(argmin(struct((-col(ordCol)).as("o"), col(tieCol).as("t")),
-          col(srcC)).as(out))
+          when(col(ordCol).isNotNull, col(srcC))).as(out))
       case _: Majority => None
     }
     val base = df.groupBy(col(clusterCol))

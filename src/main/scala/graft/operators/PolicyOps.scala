@@ -204,8 +204,13 @@ object PolicyOps {
     val ca = le.groupBy(col("__ctx"), col("__arm"))
       .agg(count(lit(1)).as("__na"), sum(col("__r")).as("__sr"))
       .join(cn, Seq("__ctx"))
+      // clamped to >= 1 ppm (round-13 review): a best arm logged fewer
+      // than once per million rows floored to 0 and every matched row's
+      // IPW/DR term went NULL through the division — the clamp is the
+      // standard IPW weight cap (here 1e6x), bounding variance instead
+      // of emitting NULL estimates
       .withColumn("__p_ppm",
-        call_function("div", lit(1000000L) * col("__na"), col("__n")))
+        greatest(lit(1L), call_function("div", lit(1000000L) * col("__na"), col("__n"))))
       .withColumn("__m_e3", call_function("div", lit(1000L) * col("__sr"), col("__na")))
     val wB = Window.partitionBy(col("__ctx"))
       .orderBy(col("__m_e3").desc, col("__arm"))

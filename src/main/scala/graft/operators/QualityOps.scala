@@ -47,8 +47,11 @@ object QualityOps {
       }: _*)).as("r")).select(col("r.rule"), col("r.n_violations"))
     } else None
     val refParts = rules.collect { case ReferentialRule(n, k, ref, rk) =>
-      df.select(col(k)).filter(col(k).isNotNull)
-        .join(ref.select(col(rk)), col(k) === col(rk), "left_anti")
+      // distinct internal aliases (round-13 review): the raw
+      // col(k) === col(rk) join was AMBIGUOUS whenever k == rk — the
+      // most common FK shape (same column name on both sides)
+      df.select(col(k).as("__fk")).filter(col("__fk").isNotNull)
+        .join(ref.select(col(rk).as("__rk")), col("__fk") === col("__rk"), "left_anti")
         .agg(count(lit(1)).as("n_violations"))
         .select(lit(n).as("rule"), col("n_violations"))
     }
@@ -486,20 +489,6 @@ object QualityOps {
       .orderBy(col("group"))
   }
 
-  /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between two
-    * categorical raters/columns, the inter-annotator metric a labeling
-    * pipeline gates on: κ = (p_o − p_e)/(1 − p_e) with p_o = agree/n and
-    * p_e = Σ_k row_k·col_k / n², computed as ONE exact integer rational
-    * κ_e6 = ⌊1e6·(n·agree − Σrc) / (n² − Σrc)⌋ (floor per the house
-    * pmod/div pattern — κ can be negative). Output one row:
-    * (n, agree, po_e6, pe_e6, kappa_e6).
-    *
-    * Scale shape: one (a, b)-keyed count aggregation over the corpus;
-    * everything after is contingency-table sized (label vocabulary —
-    * tiny by nature): marginal sums, one inner equi-join for Σrc
-    * (absent categories contribute 0 products, so no full-outer join is
-    * needed), and single-row broadcast crosses.
-    */
   /** Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED complement
     * of [[rankSumAuc]]'s Mann-Whitney: over per-unit paired differences
     * d = x − y (zeros dropped, the standard practice), |d| gets
@@ -592,6 +581,20 @@ object QualityOps {
         .otherwise(lit(0L)).as("bcubed_f1_ppm"))
   }
 
+  /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between two
+    * categorical raters/columns, the inter-annotator metric a labeling
+    * pipeline gates on: κ = (p_o − p_e)/(1 − p_e) with p_o = agree/n and
+    * p_e = Σ_k row_k·col_k / n², computed as ONE exact integer rational
+    * κ_e6 = ⌊1e6·(n·agree − Σrc) / (n² − Σrc)⌋ (floor per the house
+    * pmod/div pattern — κ can be negative). Output one row:
+    * (n, agree, po_e6, pe_e6, kappa_e6).
+    *
+    * Scale shape: one (a, b)-keyed count aggregation over the corpus;
+    * everything after is contingency-table sized (label vocabulary —
+    * tiny by nature): marginal sums, one inner equi-join for Σrc
+    * (absent categories contribute 0 products, so no full-outer join is
+    * needed), and single-row broadcast crosses.
+    */
   def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val ct = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__c"))
