@@ -206,6 +206,23 @@ object Bench {
     // derived scale) shows rows growing with time; a plan problem shows
     // time growing while rows stay ~linear.
     val scalingHiRows = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    // Fixed-work calibration probe (round 14 — mechanizing what was a
+    // narrated "ambient driver-host load" waiver): a constant CPU-bound
+    // job timed IMMEDIATELY BEFORE each hi-sweep side. Under ambient
+    // contention the probe inflates by the same load factor as the
+    // measurement next to it, so times normalized by their adjacent
+    // probe (t · probe_min/probe_adj) cancel the skew and the CALIBRATED
+    // exponent separates "the plan grew" from "the box was busy" — in
+    // the artifact, machine-checkable, instead of in SCALE.md prose.
+    def calProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(256000000L).selectExpr("sum(hash(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // per-query raw rep detail + probes: (probe_b, base, probe_h, hi)*
+    val scalingHiDetail =
+      scala.collection.mutable.Map.empty[String, Seq[(Double, Double, Double, Double)]]
+    val scalingHiCal = scala.collection.mutable.Map.empty[String, Double]
     val scalingHi: Map[String, Double] =
       if (!sweepOn || sys.env.getOrElse("SPARK_GRAFT_SWEEP_HI", "1") == "0") Map.empty
       else try {
@@ -216,6 +233,8 @@ object Bench {
         Queries.prepareSharedArtifacts(spark, hiDir)
         resetStorage(spark)
         val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+        calProbe() // untimed warmup: the first probe otherwise pays the
+                   // probe plan's codegen and reads ~2x its steady state
         top.flatMap { case (name, _, _, _) =>
           // PAIRED measurement (round 11): the exponent must divide two
           // timings taken under the SAME JVM state. The suite's min-of-N
@@ -228,15 +247,30 @@ object Bench {
           // bracket the same JVM-state window (back-to-back sides would
           // let a mid-sweep drift land entirely on one side of the ratio).
           val pairs = (1 to hiReps).map { _ =>
-            (runOnce(name, (s, _) => SparkEntry.queries(name)(s, sfDir)),
-              runOnce(name, (s, _) => SparkEntry.queries(name)(s, hiDir)))
+            val pb = calProbe()
+            val b = runOnce(name, (s, _) => SparkEntry.queries(name)(s, sfDir))
+            val ph = calProbe()
+            val h = runOnce(name, (s, _) => SparkEntry.queries(name)(s, hiDir))
+            (pb, b, ph, h)
           }
-          val bs = pairs.map(_._1).filter(_ > 0)
-          val ts = pairs.map(_._2).filter(_ > 0)
+          scalingHiDetail(name.split("_")(0)) = pairs
+          val bs = pairs.map(_._2).filter(_ > 0)
+          val ts = pairs.map(_._4).filter(_ > 0)
           if (ts.isEmpty || bs.isEmpty) None else {
             val (b, t) = (bs.min, ts.min)
             val a = math.log(t / b) / math.log(hiFactor.toDouble)
-            System.err.println(f"[sweep-hi] $name base=$b%.2f hi=$t%.2f alpha=$a%.2f")
+            // calibrated exponent: each side's times load-normalized by
+            // the probe measured next to them, minima taken AFTER the
+            // normalization (an inflated rep normalizes back into the
+            // competition instead of being discarded with its probe)
+            val pMin = pairs.flatMap(p => Seq(p._1, p._3)).filter(_ > 0).min
+            val bCal = pairs.collect { case (pb, bb, _, _) if bb > 0 && pb > 0 =>
+              bb * pMin / pb }.min
+            val tCal = pairs.collect { case (_, _, ph, hh) if hh > 0 && ph > 0 =>
+              hh * pMin / ph }.min
+            val aCal = math.log(tCal / bCal) / math.log(hiFactor.toDouble)
+            scalingHiCal(name.split("_")(0)) = aCal
+            System.err.println(f"[sweep-hi] $name base=$b%.2f hi=$t%.2f alpha=$a%.2f cal=$aCal%.2f")
             if (a > 1.0) {
               try {
                 val baseRows = SparkEntry.queries(name)(spark, sfDir).count()
@@ -340,7 +374,15 @@ object Bench {
             if (outputDriven)
               System.err.println(f"[sweep-hi] $q alpha=$a%.2f is OUTPUT-driven " +
                 "(rows grew >= time) — auto-waived")
-            (q, outputDriven)
+            // ambient-load auto-waiver (round 14): the probe-calibrated
+            // exponent clears the gate, so the raw flag was host load,
+            // not plan growth — the evidence (probe + rep detail, aCal)
+            // is in this artifact, not in SCALE.md prose
+            val calOk = !outputDriven && scalingHiCal.get(q).exists(_ <= ScalingGate.Threshold)
+            if (calOk)
+              System.err.println(f"[sweep-hi] $q alpha=$a%.2f CALIBRATED to " +
+                f"${scalingHiCal(q)}%.2f <= ${ScalingGate.Threshold} — ambient-load auto-waived")
+            (q, outputDriven || calOk)
         }.collect { case (q, false) => q }.sorted
         val unexplainedHi = hotHi.filterNot(waived ++ ScalingGate.waiversHi())
         if (unexplainedHi.nonEmpty)
@@ -348,7 +390,17 @@ object Bench {
             "(fix the plan or add a SUPERLINEAR-OK-HI waiver to SCALE.md): " +
             unexplainedHi.mkString(", "))
         val hotHiJson = hotHi.map(q => "\"" + q + "\"").mkString("[", ",", "]")
-        s""","scaling_hi_factor":$hiFactor,"scaling_hi":$hiEntries,"superlinear_hi":$hotHiJson$rowsBlock"""
+        val calEntries = scalingHiCal.toSeq.sortBy(_._1)
+          .map { case (q, a) => "\"" + q + "\":" + f2(a) }.mkString("{", ",", "}")
+        // full paired detail: [probe_base, base, probe_hi, hi] per rep —
+        // the machine-checkable record behind any calibration waiver
+        val detailEntries = scalingHiDetail.toSeq.sortBy(_._1).map { case (q, ps) =>
+          "\"" + q + "\":[" + ps.map { case (pb, b, ph, h) =>
+            s"[${f2(pb)},${f2(b)},${f2(ph)},${f2(h)}]" }.mkString(",") + "]"
+        }.mkString("{", ",", "}")
+        s""","scaling_hi_factor":$hiFactor,"scaling_hi":$hiEntries,""" +
+          s""""scaling_hi_cal":$calEntries,"scaling_hi_detail":$detailEntries,""" +
+          s""""superlinear_hi":$hotHiJson$rowsBlock"""
       }
       s""","scaling_sf":"${sfOf(sweepDir)}","scaling":$entries,"superlinear":$hot$loBlock$hiBlock"""
     }
@@ -409,8 +461,29 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[freshness] failed: ${e.getMessage}"); ""
       }
+    // the same freshness metric on the reference's ACTUAL operating loop
+    // (round 14): byte-capped chunking + the statement-emitting sink,
+    // latency measured to PLAN-FILE-DURABLE (what an external warehouse
+    // executor can act on), not merely snapshot-visible
+    val freshnessEmitBlock =
+      if (!freshnessOn) ""
+      else try {
+        val lat = Queries.cdcFreshnessEmit(spark, freshnessBatches,
+          rowsPerBatch = 2000, freshnessTriggerMs)
+        resetStorage(spark)
+        val sorted = lat.sorted
+        def pct(p: Double) = sorted(math.max(0,
+          math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1)))
+        System.err.println(f"[freshness-emit] n=$freshnessBatches trigger=${freshnessTriggerMs}ms " +
+          f"p50=${pct(0.50)}%.2fs p99=${pct(0.99)}%.2fs max=${sorted.last}%.2fs")
+        s""","freshness_emit":{"mode":"byte_capped_emit_snowflake","trigger_ms":$freshnessTriggerMs,""" +
+          s""""batches":$freshnessBatches,"p50_s":${f2(pct(0.50))},"p99_s":${f2(pct(0.99))},""" +
+          s""""max_s":${f2(sorted.last)}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[freshness-emit] failed: ${e.getMessage}"); ""
+      }
     val detailLine = line.dropRight(1) +
-      s""","reps_detail":$repsDetail,"rerun":$rerun$buildS$scalingBlock$replayBlock$freshnessBlock}"""
+      s""","reps_detail":$repsDetail,"rerun":$rerun$buildS$scalingBlock$replayBlock$freshnessBlock$freshnessEmitBlock}"""
     // belt-and-braces for the driver's tail capture: persist the full line
     // to a file, stop Spark so no late INFO noise can interleave, then
     // print JSON once more as the final stdout act.

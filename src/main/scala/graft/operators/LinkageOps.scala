@@ -61,30 +61,42 @@ object LinkageOps {
   }
 
   /** Simplified Soundex blocking key (Russell/Odell family): first
-    * letter + the first three consonant-class digits of the whole
+    * letter + the first three consonant-class digits of the REST of the
     * string, runs collapsed, vowels dropped, zero-padded — the phonetic
     * blocking key that lets [[linkPairs]] catch name typos an exact or
     * prefix block would scatter (a vowel substitution anywhere past the
-    * first letter leaves the key unchanged). Deviation from archival
-    * Soundex, applied identically on both engines: H/W are treated like
-    * vowels (run separators are not special-cased), and the first
-    * letter's own digit is not deduplicated against position two. The
-    * chain is upper → translate → collapse-runs → strip-zeros →
-    * letter+rpad, each step with an exact DuckDB twin (the q255 oracle
-    * replays it; two portability traps pinned there: DuckDB's RE2
-    * SILENTLY ignores backreferences, so run collapse must be the
-    * per-digit `d{2,}` chain — never `([0-9])\1+` — and DuckDB
-    * regexp_replace needs the 'g' flag where Spark replaces all).
+    * first letter leaves the key unchanged). Non-alpha characters are
+    * stripped FIRST (D'ARCY codes as DARCY → D620; punctuation never
+    * leaks into a key), and the first letter's digit is skipped only
+    * when the letter actually carries one — a vowel/H/W/Y initial
+    * contributes no digit, so the first consonant after it is the
+    * FIRST emitted digit, not a casualty of a blind position-2 slice
+    * (ADAM → A350, WILLIAMS → W452, matching archival Soundex).
+    * Remaining deviation, applied identically on both engines: H/W act
+    * like vowels (run separators are not special-cased). The chain is
+    * upper → strip-non-alpha → translate → collapse-runs → strip-zeros
+    * → conditional-skip → letter+rpad, each step with an exact DuckDB
+    * twin (the q255 oracle replays it; two portability traps pinned
+    * there: DuckDB's RE2 SILENTLY ignores backreferences, so run
+    * collapse must be the per-digit `d{2,}` chain — never `([0-9])\1+`
+    * — and DuckDB regexp_replace needs the 'g' flag where Spark
+    * replaces all).
     */
   def soundexKey(c: Column): Column = {
-    val u = upper(c)
+    val u = regexp_replace(upper(c), "[^A-Z]", "")
     val digits = translate(u,
       "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202")
     val collapsed = (1 to 6).foldLeft(digits) { (acc, dig) =>
       regexp_replace(acc, s"$dig{2,}", s"$dig")
     }
     val stripped = regexp_replace(collapsed, "0", "")
-    concat(substring(u, 1, 1), rpad(substring(stripped, 2, 3), 3, "0"))
+    // consonant initial: stripped[1] is the first letter's own digit
+    // (possibly merged with an adjacent equal run — PFISTER → P236), so
+    // the tail starts at 2; zero-class initial: nothing was emitted for
+    // the first letter, the tail IS the whole stripped string
+    val tail = when(substring(digits, 1, 1) === "0",
+      substring(stripped, 1, 3)).otherwise(substring(stripped, 2, 3))
+    concat(substring(u, 1, 1), rpad(tail, 3, "0"))
   }
 
   /** One survivorship rule of [[goldenRecord]]; `out` is the golden

@@ -301,20 +301,22 @@ object QualityOps {
   }
 
   /** Per-query average precision at k over an already-ranked list
-    * (`qCol`, `rankCol` 1-based, binary `relCol`), integer-exact:
-    * AP@k = (1/R)·Σ_i rel_i · P(i) with P(i) = hits_i / i becomes, after
-    * multiplying through by L = LCM(1..k), the int64 sum
-    * Σ rel_i · hits_i · (L/i) — every term exact, no per-term floor. The
-    * denominator R is the number of relevant items IN THE LIST (the
-    * list-conditional AP the retrieval fixtures here can oracle
-    * exactly; corpus-R AP divides by a recall base joined in by the
-    * caller). Output: q_id, n_rel, ap_ppm (= 10^6·Σ/(L·R), the ONLY
-    * floor, applied identically by both engines; R = 0 → 0).
+    * (`qCol`, `rankCol` 1-based, binary `relCol`), integer-exact and
+    * STANDARD AP@k: AP@k = (1/min(R, k))·Σ_{i≤k} rel_i · P(i) with
+    * P(i) = hits_i / i and R the number of relevant items in the WHOLE
+    * list (not just the top k — the round-14 repair; the two coincide
+    * only when the caller's list is already truncated at k). After
+    * multiplying through by L = LCM(1..k), the numerator is the int64
+    * sum Σ rel_i · hits_i · (L/i) — every term exact, no per-term
+    * floor. Output: q_id, n_rel (list-wide R), ap_ppm
+    * (= 10^6·Σ/(L·min(R, k)), the ONLY floor, applied identically by
+    * both engines; R = 0 → 0).
     *
-    * Scale shape: one cumulative window inside the (query, rank ≤ k)
-    * slice — k-bounded per query — then one keyed aggregation; queries
-    * are the parallel axis. Int64: Σ ≤ k²·L ≤ 10²·232792560·… fine for
-    * k ≤ 20 (envelope 10^6·k²·L < 2^63).
+    * Scale shape: the cumulative window runs inside the (query,
+    * rank ≤ k) slice — k-bounded per query — and the list-wide R is a
+    * separate plain aggregation joined back on the SAME q_id key (both
+    * shuffles co-partitioned; queries are the parallel axis). Int64:
+    * Σ ≤ k²·L fine for k ≤ 20 (envelope 10^6·k²·L < 2^63).
     */
   def averagePrecisionAtK(ranked: DataFrame, qCol: String, rankCol: String,
                           relCol: Column, k: Int): DataFrame = {
@@ -325,17 +327,21 @@ object QualityOps {
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("__rk"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    ranked.filter(col(rankCol) <= k)
-      .select(col(qCol).as("q_id"), col(rankCol).as("__rk"),
-        when(relCol, 1L).otherwise(0L).as("__rel"))
+    val base = ranked.select(col(qCol).as("q_id"), col(rankCol).as("__rk"),
+      when(relCol, 1L).otherwise(0L).as("__rel"))
+    val rTot = base.groupBy(col("q_id")).agg(sum(col("__rel")).as("n_rel"))
+    val num = base.filter(col("__rk") <= k)
       .withColumn("__hits", sum(col("__rel")).over(wq))
       .groupBy(col("q_id"))
-      .agg(sum(col("__rel")).as("n_rel"),
-        sum(col("__rel") * col("__hits") *
-          call_function("div", lit(L), col("__rk"))).as("__num"))
+      .agg(sum(col("__rel") * col("__hits") *
+        call_function("div", lit(L), col("__rk"))).as("__num"))
+    // left join: a query whose every rank sits past k still reports its
+    // list-wide R with AP 0
+    rTot.join(num, Seq("q_id"), "left")
       .select(col("q_id"), col("n_rel"),
         when(col("n_rel") > 0L,
-          call_function("div", col("__num") * 1000000L, lit(L) * col("n_rel")))
+          call_function("div", coalesce(col("__num"), lit(0L)) * 1000000L,
+            lit(L) * least(col("n_rel"), lit(k.toLong))))
           .otherwise(lit(0L)).as("ap_ppm"))
       .orderBy(col("q_id"))
   }
@@ -351,7 +357,10 @@ object QualityOps {
     * sqrt. Output: one row per cell of the DENSE margin grid (a, b, o,
     * r_tot, c_tot, contrib_ppm — empty cells appear at o = 0; they
     * carry chi-square mass) plus the table-level chi2_ppm / v2_ppm
-    * repeated on each row via a broadcast single-row join.
+    * repeated on each row via a broadcast single-row join. NULL is a
+    * first-class category: it forms its own grid row/column (null-safe
+    * spine join, null-aware category counts), matching groupBy's own
+    * null semantics.
     *
     * Scale shape: one (a,b) aggregation, two category-sized margins
     * broadcast back, a single-row total. Int64 envelope: (N·O − R·C)²
@@ -364,13 +373,27 @@ object QualityOps {
       .agg(count(lit(1)).as("__o"))
     val rTot = obs.groupBy(col("a")).agg(sum(col("__o")).as("r_tot"))
     val cTot = obs.groupBy(col("b")).agg(sum(col("__o")).as("c_tot"))
+    // NULL is a real category out of groupBy: countDistinct skips it, so
+    // the category counts add an explicit null indicator (round 14 —
+    // the same class of miss as the spine join below)
     val tot = obs.groupBy().agg(sum(col("__o")).as("__n"),
-      countDistinct(col("a")).as("__ra"), countDistinct(col("b")).as("__cb"))
+      (countDistinct(col("a")) +
+        max(when(col("a").isNull, 1L).otherwise(0L))).as("__ra"),
+      (countDistinct(col("b")) +
+        max(when(col("b").isNull, 1L).otherwise(0L))).as("__cb"))
     // the DENSE margin grid, not just observed cells — an empty cell
     // under nonzero margins contributes (R·C)²/(N·R·C), and dropping it
-    // understates chi2 exactly when association is strongest
+    // understates chi2 exactly when association is strongest. NULL-SAFE
+    // spine join (round 14, the tCloseness discipline): a NULL category
+    // is a real groupBy cell, but a name-list equi-join drops it
+    // (null != null) — its observed count read as 0 and chi2 was wrong
+    // whenever either column carried nulls
+    val obsR = obs.select(col("a").as("__oa"), col("b").as("__ob"),
+      col("__o"))
     val cells = rTot.crossJoin(broadcast(cTot))
-      .join(obs, Seq("a", "b"), "left")
+      .join(obsR, col("a") <=> col("__oa") && col("b") <=> col("__ob"),
+        "left")
+      .drop("__oa", "__ob")
       .withColumn("o", coalesce(col("__o"), lit(0L)))
     val d = col("__n") * col("o") - col("r_tot") * col("c_tot")
     val contrib = call_function("div",

@@ -55,10 +55,17 @@ object SchemaEvolution {
         // independently (round-13 review: max(p),max(s) SHRANK integer
         // capacity — DECIMAL(10,0) + DECIMAL(5,5) read as DECIMAL(10,5),
         // 5 integer digits, so a legal 9-digit value overflowed the
-        // merged type). Capped at 38, Spark's decimal ceiling.
+        // merged type). When the widened pair exceeds Spark's 38-digit
+        // ceiling, SCALE yields, never integer capacity (ADVICE r13: the
+        // earlier precision cap kept full scale, so DECIMAL(38,0) +
+        // DECIMAL(10,10) merged to DECIMAL(38,10) and a 29+ digit value
+        // that fit an INPUT type overflowed the merged type). Losing
+        // scale rounds a fraction; losing integer digits nulls the whole
+        // value under a CDC merge — rounding wins.
         case (Kind.Dec(p1, s1), Kind.Dec(p2, s2)) =>
-          val scale = math.max(s1, s2)
-          DecimalType(math.min(38, math.max(p1 - s1, p2 - s2) + scale), scale)
+          val intDigits = math.max(p1 - s1, p2 - s2)
+          val scale = math.min(math.max(s1, s2), 38 - intDigits)
+          DecimalType(intDigits + scale, scale)
         case (ka, kb) => Kind.merge(ka, kb).sparkType
       }
     }

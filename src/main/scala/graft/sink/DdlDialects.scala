@@ -98,9 +98,14 @@ trait DdlDialect {
     * `{"backfilled": true}` column-comment marker the reference writes so
     * a restart doesn't re-backfill. Empty unless [[defaultValueStrategy]]
     * is Backfill; Redshift and BigQuery override their reference-specific
-    * statement forms.
+    * statement forms. `defaultSql` is BY-NAME (ADVICE r13): rendering a
+    * literal — including [[defaultValueSql]]'s control-character guard —
+    * must only happen on the path that embeds it; a Native/NotImplemented
+    * dialect discards the literal and must not crash on a default it
+    * never quotes (the reference's QuoteLiteral is likewise only reached
+    * from the backfill builders).
     */
-  def backfillStatements(target: String, colName: String, defaultSql: String): Seq[String] =
+  def backfillStatements(target: String, colName: String, defaultSql: => String): Seq[String] =
     defaultValueStrategy match {
       case DdlDialects.Backfill =>
         val c = quote(colName)
@@ -278,7 +283,7 @@ WHERE
     /** BigQuery has no COMMENT ON: the backfilled marker is a column
       * OPTIONS description (default_value.go:136-141).
       */
-    override def backfillStatements(target: String, colName: String, defaultSql: String) = {
+    override def backfillStatements(target: String, colName: String, defaultSql: => String) = {
       val c = quote(colName)
       Seq(s"UPDATE $target as t SET t.$c = $defaultSql WHERE t.$c IS NULL;",
         s"ALTER TABLE $target ALTER COLUMN $c SET OPTIONS (description=`{\"backfilled\": true}`);")
@@ -333,7 +338,7 @@ WHERE
     /** Redshift UPDATE supports no table alias and needs none
       * (default_value.go:120-123, redshift BuildBackfillQuery).
       */
-    override def backfillStatements(target: String, colName: String, defaultSql: String) = {
+    override def backfillStatements(target: String, colName: String, defaultSql: => String) = {
       val c = quote(colName)
       Seq(s"UPDATE $target SET $c = $defaultSql WHERE $c IS NULL;",
         s"""COMMENT ON COLUMN $target.$c IS '{"backfilled": true}';""")

@@ -458,16 +458,24 @@ object EmitSink {
     val msmTable = msmTableName(targetTable)
     // The cycle position comes from a PERSISTED flush counter
     // (IsFirstFlush/IsLastFlush twin, table_data.go:18-28), replay-safe:
-    // the sidecar records `lastBatchId<TAB>flushesAfterIt`; a replay of
-    // the recorded batchId re-plans at its ORIGINAL position instead of
-    // consuming a new one, and an out-of-order older batchId fails loudly
-    // (streaming checkpoints never regress past the last committed batch).
-    val (recordedBatch, flushesSoFar) =
+    // the sidecar records `lastBatchId<TAB>flushesAfterIt<TAB>cycleHardDel`;
+    // a replay of the recorded batchId re-plans at its ORIGINAL position
+    // instead of consuming a new one, and an out-of-order older batchId
+    // fails loudly (streaming checkpoints never regress past the last
+    // committed batch). The third field is the CYCLE's hard-delete flag
+    // (ADVICE r13): the reference's containsHardDeletes is sticky across
+    // the whole msm cycle (WipeData never resets it and the final merge
+    // reads it, multi_step_merge.go:189) — delete-marked rows accumulated
+    // into the msm table by a MID-cycle flush still need the final
+    // merge's DELETE arm even when the LAST flush is delete-free. Older
+    // two-field sidecars parse with the flag absent (false).
+    val (recordedBatch, flushesSoFar, recordedHardDel) =
       readSidecarLines(deduped, msmFlushSidecar).headOption match {
         case Some(line) =>
-          val Array(b, n) = line.split("\t", 2)
-          (b.toLong, n.toLong)
-        case None => (-1L, 0L)
+          val parts = line.split("\t", 3)
+          (parts(0).toLong, parts(1).toLong,
+            parts.length > 2 && parts(2).toBoolean)
+        case None => (-1L, 0L, false)
       }
     require(batchId >= recordedBatch,
       s"emitBatchMsm saw batchId $batchId below the recorded last flush " +
@@ -476,6 +484,13 @@ object EmitSink {
     val idx = (if (isReplay) (flushesSoFar - 1) % cfg.msmSteps
                else flushesSoFar % cfg.msmSteps).toInt
     val lastFlush = idx == cfg.msmSteps - 1
+    // OR this flush into the cycle flag; flush 0 RESETS it (new cycle).
+    // On a replay the recorded flag already absorbed this batch when it
+    // first planned, so the OR is idempotent.
+    val cycleHardDel =
+      if (isReplay) recordedHardDel || containsHardDeletes
+      else if (idx == 0) containsHardDeletes
+      else recordedHardDel || containsHardDeletes
     val batchCols: Seq[(String, DataType)] =
       deduped.schema.fields.toSeq.map(f => f.name -> f.dataType)
 
@@ -550,7 +565,7 @@ object EmitSink {
             // any single flush
             val msmCols = msmEv.map(_._1)
             MergeDialects(label).mergeStatements(targetTable, msmTable, pks, msmCols,
-              cfg.softDelete, containsHardDeletes = containsHardDeletes,
+              cfg.softDelete, containsHardDeletes = cycleHardDel,
               toastCols = cfg.toastCols.filter(msmCols.contains).toSet) :+
               dialect.dropTable(msmTable)
           }
@@ -587,7 +602,8 @@ object EmitSink {
     // advance the flush counter LAST (after every artifact landed) and
     // never on a replay — the replay re-planned its original position
     if (!isReplay)
-      writeSidecarLines(deduped, msmFlushSidecar, Seq(s"$batchId\t${flushesSoFar + 1}"))
+      writeSidecarLines(deduped, msmFlushSidecar,
+        Seq(s"$batchId\t${flushesSoFar + 1}\t$cycleHardDel"))
     Some(EmittedBatch(batchId, stagedPath, stagingRef, ddlOut, plan))
     } finally { transformed.unpersist(); () }
   }

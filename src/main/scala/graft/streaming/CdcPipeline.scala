@@ -369,13 +369,22 @@ object CdcPipeline {
                                marker: String = "__batch"): Long = {
     val p = new Path(targetPath + marker)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), "UTF-8").trim.toLong
-      catch { case _: Exception => -1L }
-      finally in.close()
-    }
+    def readId(path: Path): Long =
+      if (!fs.exists(path)) -1L
+      else {
+        val in = fs.open(path)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        catch { case _: Exception => -1L }
+        finally in.close()
+      }
+    // recordBatch's delete-then-rename leaves a crash window where the
+    // main marker is ABSENT while the .tmp sibling holds the id of work
+    // that already ran (the marker is always written AFTER the batch
+    // body) — read both and take the max, else an absent marker reads
+    // as -1 and re-opens the append-duplication replay window the
+    // temp+rename scheme exists to close (ADVICE r13). A torn .tmp
+    // parses to -1 and is ignored.
+    math.max(readId(p), readId(new Path(targetPath + marker + ".tmp")))
   }
 
   /** Marker suffix for the byte-capped path's SYNTHETIC sub-batch ids.

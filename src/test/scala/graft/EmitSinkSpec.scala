@@ -194,6 +194,64 @@ class EmitSinkSpec extends AnyFunSuite {
     assert(finalMerge.contains("\"AGE\""), finalMerge)
   }
 
+  test("multi-step merge: the cycle's hard-delete flag is STICKY across flushes and resets on flush 0 (ADVICE r13)") {
+    // the reference's containsHardDeletes is set once (table_data.go:220)
+    // and WipeData never clears it, so a mid-cycle hard delete still arms
+    // the FINAL merge's flag even when the last flush is delete-free. The
+    // two MSM dialects (snowflake/duckdb) always emit the conditional
+    // DELETE arm, so the statement text can't witness the flag today
+    // (dialect.go:55: "only used for Redshift") — this test pins the
+    // PERSISTED per-cycle flag in the __msmflush sidecar, which is what
+    // the final merge consumes should a flag-sensitive dialect ever join
+    // msmLabels.
+    val msmCfg = cfg.copy(msmSteps = 3)
+    val dir = Files.createTempDirectory("graft_emit_msm_stickydel").toString
+    val noDel = Seq((5L, "eve", 6L, false), (6L, "frank", 7L, false))
+      .toDF("id", "name", "off", Constants.DeleteCol)
+    def flushState = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/__msmflush")), "UTF-8")
+    EmitSink.emitBatchMsm(noDel, 0L, msmCfg, "snowflake", dir, "db.s.users", now)
+    assert(flushState == "0\t1\tfalse")
+    // flush 1 carries the hard delete (batch0's id=3)
+    EmitSink.emitBatchMsm(batch0, 1L, msmCfg, "snowflake", dir, "db.s.users", now)
+    assert(flushState == "1\t2\ttrue")
+    // flush 2 is delete-free — the OLD code read the flag from this
+    // flush alone and built the final merge unarmed
+    EmitSink.emitBatchMsm(noDel, 2L, msmCfg, "snowflake", dir, "db.s.users", now)
+    assert(flushState == "2\t3\ttrue",
+      "a mid-cycle hard delete must stay armed through the final flush")
+    // the flag is PER-CYCLE: the next cycle's flush 0 resets it
+    EmitSink.emitBatchMsm(noDel, 3L, msmCfg, "snowflake", dir, "db.s.users", now)
+    assert(flushState == "3\t4\tfalse",
+      "a delete-free cycle must not inherit the last cycle's flag")
+  }
+
+  test("multi-step merge: a shrunken mid-cycle row image updates ONLY its own columns (documented deviation from the reference's accumulated-set UPDATE)") {
+    val msmCfg = cfg.copy(msmSteps = 3)
+    val dir = Files.createTempDirectory("graft_emit_msm_shrunk").toString
+    val widened = Seq((4L, "dan", 5L, false, 30L))
+      .toDF("id", "name", "off", Constants.DeleteCol, "age")
+    // flush 0 carries AGE (msm table created with it); flush 1's row
+    // image has SHRUNK (no AGE). The reference's mid-cycle merge updates
+    // the ACCUMULATED set, nulling AGE on matched rows; ours updates only
+    // the batch's columns so accumulated state is never destroyed. This
+    // test pins the deviation at its documented scope — it FAILS if the
+    // accumulation merge silently widens to the accumulated set.
+    EmitSink.emitBatchMsm(widened, 0L, msmCfg, "snowflake", dir, "db.s.users", now)
+    val Some(f1) = EmitSink.emitBatchMsm(batch0, 1L, msmCfg, "snowflake", dir,
+      "db.s.users", now)
+    val msm = "db.s.__artie_users_msm"
+    val accum = f1.plan.find(_.contains(s"MERGE INTO $msm")).get
+    assert(!accum.contains("\"AGE\""),
+      s"mid-cycle accumulation must not touch columns absent from the batch:\n$accum")
+    // the accumulated column still drives the FINAL merge (it lives in
+    // the msm table and the __msmschema sidecar)
+    val Some(f2) = EmitSink.emitBatchMsm(batch0, 2L, msmCfg, "snowflake", dir,
+      "db.s.users", now)
+    val finalMerge = f2.plan.find(_.contains("MERGE INTO db.s.users")).get
+    assert(finalMerge.contains("\"AGE\""), finalMerge)
+  }
+
   test("redshift via the registry label: the ordered UPDATE -> INSERT -> DELETE plan lands in the plan file") {
     val dir = Files.createTempDirectory("graft_emit_rs").toString + "/users"
     val sink = SinkRegistry.sink("emit:redshift", cfg)

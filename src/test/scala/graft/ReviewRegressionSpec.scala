@@ -392,8 +392,13 @@ class ReviewRegressionSpec extends AnyFunSuite {
     // legal 9-digit DECIMAL(10,0) value overflowed the merged type
     assert(graft.schema.SchemaEvolution.resolveType(
       DecimalType(10, 0), DecimalType(5, 5)) == DecimalType(15, 5))
+    // past the 38 ceiling SCALE yields, never integer capacity (ADVICE
+    // r13: the old precision cap kept scale 10 and left 28 integer
+    // digits — a 29-digit value that fit DECIMAL(38,0) overflowed)
     assert(graft.schema.SchemaEvolution.resolveType(
-      DecimalType(38, 0), DecimalType(10, 10)) == DecimalType(38, 10)) // capped
+      DecimalType(38, 0), DecimalType(10, 10)) == DecimalType(38, 0))
+    assert(graft.schema.SchemaEvolution.resolveType(
+      DecimalType(35, 0), DecimalType(10, 10)) == DecimalType(38, 3))
     val a = Seq(Tuple1(BigDecimal(123456789L))).toDF("v")
       .select(org.apache.spark.sql.functions.col("v").cast(DecimalType(10, 0)).as("v"))
     val b = Seq(Tuple1(BigDecimal("0.12345"))).toDF("v")

@@ -1,0 +1,143 @@
+package graft
+
+import graft.operators.{LinkageOps, QualityOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 regressions: the three oracle-coupled defects the round-13
+  * review deferred (SCALE.md "Deferred review items") — each fixture
+  * here FAILS on the pre-round-14 code.
+  */
+class Round14OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- soundexKey ----------------------------------------------------
+
+  test("soundexKey: vowel/H/W/Y initials keep their first consonant " +
+    "digit and punctuation is stripped before coding") {
+    // old code: ADAM keyed A500 (D's digit eaten by the blind
+    // position-2 slice), D'Arcy leaked the apostrophe into the key,
+    // WILLIAMS keyed W520
+    val exp = Map(
+      "ADAM" -> "A350", // archival A350, not A500
+      "D'Arcy" -> "D620", // strip-first: codes as DARCY
+      "Williams" -> "W452", // W carries no digit; L is the FIRST digit
+      "Pfister" -> "P236", // adjacent equal run merges INTO the initial
+      "Robert" -> "R163", // consonant initial: unchanged by the repair
+      "o'barlen" -> "O164") // the q255 fixture shape
+    val got = exp.keys.toSeq.toDF("n")
+      .select(col("n"), LinkageOps.soundexKey(col("n")).as("k"))
+      .as[(String, String)].collect().toMap
+    assert(got === exp)
+  }
+
+  // ---- averagePrecisionAtK -------------------------------------------
+
+  test("averagePrecisionAtK: R counts relevants LIST-WIDE and the " +
+    "denominator is min(R, k) — relevants past k lower AP") {
+    // 5-deep list graded at k=3, rel at ranks 1, 3, 5: hits(1)=1,
+    // hits(3)=2; R = 3 (the rank-5 relevant counts), min(R, 3) = 3.
+    // AP@3 = (1 + 2/3)/3 = 5/9. Old code divided by the 2 relevants
+    // inside top-3 → 5/6.
+    val rows = Seq(("q1", 1L, true), ("q1", 2L, false), ("q1", 3L, true),
+      ("q1", 4L, false), ("q1", 5L, true))
+    val got = QualityOps.averagePrecisionAtK(
+        rows.toDF("q", "r", "rel"), "q", "r", col("rel"), 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("q1", 3L, 10L * 1000000L / 18L)))
+  }
+
+  test("averagePrecisionAtK: a query whose ranks all sit past k still " +
+    "reports its list-wide R with AP 0") {
+    val rows = Seq(("q1", 4L, true), ("q1", 5L, true),
+      ("q2", 1L, true), ("q2", 2L, false))
+    val got = QualityOps.averagePrecisionAtK(
+        rows.toDF("q", "r", "rel"), "q", "r", col("rel"), 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // q2: R = 1, min(R, 3) = 1, AP = P(1) = 1
+    assert(got === Seq(("q1", 2L, 0L), ("q2", 1L, 1000000L)))
+  }
+
+  // ---- contingencyAssociation ----------------------------------------
+
+  test("contingencyAssociation: NULL is a real category — diagonal " +
+    "association through a NULL cell still reads V² = 1e6") {
+    // perfect 2x2 association where one diagonal cell is (p, NULL):
+    // old code lost the observed count at the equi-join (o read 0) and
+    // countDistinct(b) = 1 collapsed the category count, so v2_ppm = 0
+    val rows = Seq(("p", None), ("p", None),
+      ("q", Some("v")), ("q", Some("v")))
+    val got = QualityOps.contingencyAssociation(
+      rows.toDF("a", "b"), "a", "b")
+    val nullCell = got.filter(col("a") === "p" && col("b").isNull)
+      .select("o").as[Long].collect().toSeq
+    assert(nullCell === Seq(2L), "the observed NULL cell must survive")
+    val tbl = got.select("chi2_ppm", "v2_ppm").distinct()
+      .as[(Long, Long)].collect().toSeq
+    assert(tbl === Seq((4000000L, 1000000L)))
+  }
+
+  test("defaultValueSql renders lazily: a Native/NotImplemented dialect " +
+    "never evaluates (or validates) a literal it discards (ADVICE r13)") {
+    import graft.sink.DdlDialects
+    import org.apache.spark.sql.types.StringType
+    // a newline-bearing string default crashes the control-char guard IF
+    // rendered — Postgres/DuckDB (NotImplemented) and MySQL (Native)
+    // discard the literal and must pass it through untouched
+    for (label <- Seq("postgres", "duckdb", "mysql")) {
+      val d = DdlDialects(label)
+      assert(d.backfillStatements("t", "c",
+        d.defaultValueSql("a\nb", StringType)).isEmpty, label)
+    }
+    // the Backfill dialects DO embed it and must still fail loudly
+    val e = intercept[IllegalArgumentException] {
+      val bq = DdlDialects("bigquery")
+      bq.backfillStatements("t", "c", bq.defaultValueSql("a\nb", StringType))
+    }
+    assert(e.getMessage.contains("control characters"))
+  }
+
+  test("replay marker: the delete-then-rename crash window (marker " +
+    "absent, .tmp present) does not re-open the replay window (ADVICE r13)") {
+    import graft.streaming.CdcPipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft_marker").toString
+    val target = s"$dir/t"
+    // simulate the crash: recordBatch wrote the .tmp, deleted the main
+    // marker, and died before the rename
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${target}__batch.tmp"), "5")
+    var ran = 0
+    CdcPipeline.runOncePerBatch(spark, target, 5L) { ran += 1 }
+    assert(ran == 0, "batch 5 already applied — the .tmp id must be honored")
+    CdcPipeline.runOncePerBatch(spark, target, 6L) { ran += 1 }
+    assert(ran == 1, "batch 6 is new work")
+    // a TORN .tmp parses to -1 and is ignored (the main marker now
+    // records 6 from the successful run above)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${target}__batch.tmp"), "garb")
+    CdcPipeline.runOncePerBatch(spark, target, 6L) { ran += 1 }
+    assert(ran == 1, "replay of 6 stays a no-op under a torn .tmp")
+  }
+
+  test("cdcFreshnessEmit: the byte-capped emit loop reports plan-file-" +
+    "durable latencies for every probed batch") {
+    val lat = Queries.cdcFreshnessEmit(spark, batches = 2,
+      rowsPerBatch = 300, triggerMs = 500)
+    assert(lat.length == 2 && lat.forall(l => l > 0 && l < 60), lat)
+  }
+
+  test("contingencyAssociation: a NULL on the ROW side forms its own " +
+    "margin row") {
+    val rows = Seq((None, "u"), (None, "u"), (Some("x"), "w"),
+      (Some("x"), "w")): Seq[(Option[String], String)]
+    val got = QualityOps.contingencyAssociation(
+      rows.toDF("a", "b"), "a", "b")
+    val rTot = got.filter(col("a").isNull).select("r_tot")
+      .distinct().as[Long].collect().toSeq
+    assert(rTot === Seq(2L))
+    val tbl = got.select("chi2_ppm", "v2_ppm").distinct()
+      .as[(Long, Long)].collect().toSeq
+    assert(tbl === Seq((4000000L, 1000000L)))
+  }
+}
