@@ -899,8 +899,15 @@ object DedupOps {
     // upstream pair producers (simhash/minhash pipelines) are expensive
     val p = pairs.select(col("ia"), col("ib"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the frozen edge relation is joined on dst EVERY propagation step:
+    // pre-hash it on the join key before caching so the InMemoryRelation
+    // advertises HashPartitioning(dst) and each round's join skips the
+    // edge-side exchange (the labels side changes per round and must
+    // reshuffle regardless) — one saved exchange of the LARGEST relation
+    // per step, 2 steps per round
     val edges = p.select(col("ia").as("src"), col("ib").as("dst"))
       .union(p.select(col("ib").as("src"), col("ia").as("dst")))
+      .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // only nodes that appear in a pair need propagation — in a dedup
     // corpus that is a small fraction of the table; everything else is a
