@@ -377,11 +377,26 @@ object Bench {
             // ambient-load auto-waiver (round 14): the probe-calibrated
             // exponent clears the gate, so the raw flag was host load,
             // not plan growth — the evidence (probe + rep detail, aCal)
-            // is in this artifact, not in SCALE.md prose
-            val calOk = !outputDriven && scalingHiCal.get(q).exists(_ <= ScalingGate.Threshold)
+            // is in this artifact, not in SCALE.md prose. CORROBORATION
+            // REQUIRED: the hi-side probes must actually read slower
+            // (median ≥ 1.2× the base side's) — without it a single
+            // noisy probe could normalize a genuinely superlinear plan
+            // under the gate; flat probes + a hot raw alpha is a plan
+            // problem and the flag stands
+            def med(xs: Seq[Double]): Double = {
+              val s = xs.sorted; if (s.isEmpty) 0.0 else s(s.length / 2)
+            }
+            val probesCorroborate = scalingHiDetail.get(q).exists { ps =>
+              val pb = med(ps.map(_._1).filter(_ > 0))
+              val ph = med(ps.map(_._3).filter(_ > 0))
+              pb > 0 && ph >= 1.2 * pb
+            }
+            val calOk = !outputDriven && probesCorroborate &&
+              scalingHiCal.get(q).exists(_ <= ScalingGate.Threshold)
             if (calOk)
               System.err.println(f"[sweep-hi] $q alpha=$a%.2f CALIBRATED to " +
-                f"${scalingHiCal(q)}%.2f <= ${ScalingGate.Threshold} — ambient-load auto-waived")
+                f"${scalingHiCal(q)}%.2f <= ${ScalingGate.Threshold} with slower hi-side " +
+                "probes — ambient-load auto-waived")
             (q, outputDriven || calOk)
         }.collect { case (q, false) => q }.sorted
         val unexplainedHi = hotHi.filterNot(waived ++ ScalingGate.waiversHi())
