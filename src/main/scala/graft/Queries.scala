@@ -7053,7 +7053,8 @@ FROM bs WHERE rk = 1 ORDER BY event_type""")),
         "pred", "lang"),
       Some(s"""WITH pl AS ($langIdSql),
 ct AS (SELECT pred_lang AS a, labeled_lang AS b, CAST(count(*) AS BIGINT) AS c
-  FROM pl GROUP BY 1, 2),
+  FROM pl WHERE pred_lang IS NOT NULL AND labeled_lang IS NOT NULL
+  GROUP BY 1, 2),
 tt AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
   CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree FROM ct),
 sr AS (SELECT CAST(COALESCE(SUM(ra.na * cb.nb), 0) AS BIGINT) AS src FROM

@@ -585,17 +585,27 @@ object QualityOps {
       .join(gold.select(col(goldIdCol).as("__id"), col(goldCol).as("__g")),
         Seq("__id"))
       .groupBy(col("__c"), col("__g")).agg(count(lit(1)).as("__ncg"))
+    // NULL-safe size joins + null-aware cluster counts (round-14 review,
+    // the contingencyAssociation discipline): a NULL cluster label is a
+    // real groupBy cell — "the unassigned bucket" — but a name-list
+    // equi-join dropped its items from n and both sums, silently
+    // shrinking the audit's domain
     val cs = cell.groupBy(col("__c")).agg(sum(col("__ncg")).as("__nc"))
+      .select(col("__c").as("__cc"), col("__nc"))
     val gs = cell.groupBy(col("__g")).agg(sum(col("__ncg")).as("__ng"))
-    val tp = cell.join(cs, Seq("__c")).join(gs, Seq("__g"))
+      .select(col("__g").as("__gg"), col("__ng"))
+    val tp = cell.join(cs, col("__c") <=> col("__cc"))
+      .join(gs, col("__g") <=> col("__gg"))
       .agg(
         sum(call_function("div",
           lit(1000000L) * col("__ncg") * col("__ncg"), col("__nc"))).as("__sp"),
         sum(call_function("div",
           lit(1000000L) * col("__ncg") * col("__ncg"), col("__ng"))).as("__sr"),
         sum(col("__ncg")).as("n"),
-        countDistinct(col("__c")).as("n_sys_clusters"),
-        countDistinct(col("__g")).as("n_gold_clusters"))
+        (countDistinct(col("__c")) +
+          max(when(col("__c").isNull, 1L).otherwise(0L))).as("n_sys_clusters"),
+        (countDistinct(col("__g")) +
+          max(when(col("__g").isNull, 1L).otherwise(0L))).as("n_gold_clusters"))
     val p = call_function("div", col("__sp"), col("n"))
     val r = call_function("div", col("__sr"), col("n"))
     tp.select(col("n"), col("n_sys_clusters"), col("n_gold_clusters"),
@@ -617,9 +627,17 @@ object QualityOps {
     * tiny by nature): marginal sums, one inner equi-join for Σrc
     * (absent categories contribute 0 products, so no full-outer join is
     * needed), and single-row broadcast crosses.
+    *
+    * Items unrated by EITHER rater (NULL in either column) are excluded
+    * up front — the textbook kappa domain is items rated by both
+    * (round-14 review: the earlier code counted such rows in n while
+    * never counting them as agreement or in the expected-agreement
+    * marginals — neither exclusion nor category semantics, so a
+    * null-bearing input deflated kappa).
     */
   def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val ct = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+    val ct = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__c"))
     val tot = ct.agg(sum(col("__c")).as("n"),
       sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L)).as("agree"))

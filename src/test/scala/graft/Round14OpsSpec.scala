@@ -125,6 +125,32 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(ran == 1, "replay of 6 stays a no-op under a torn .tmp")
   }
 
+  test("cohensKappa: items unrated by either rater are EXCLUDED — the " +
+    "textbook kappa domain (round-14 review)") {
+    // old code counted the two null-bearing rows in n while never
+    // counting them as agreement or in the marginals: kappa read
+    // -200000 where the rated-by-both table gives exactly 0
+    val rows: Seq[(Option[String], Option[String])] = Seq(
+      (Some("x"), Some("x")), (Some("y"), Some("x")),
+      (None, Some("x")), (Some("x"), None))
+    val got = QualityOps.cohensKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got === ((2L, 1L, 500000L, 500000L, 0L)))
+  }
+
+  test("bcubedClusterAudit: a NULL system-cluster label is a real " +
+    "cluster — its items stay in the audit domain (round-14 review)") {
+    // old code dropped the NULL cell at the size equi-join: n shrank to
+    // 2 and the unassigned item silently vanished from both averages
+    val sys = Seq((1L, Some("c1")), (2L, Some("c1")), (3L, None))
+      .toDF("id", "c")
+    val gold = Seq((1L, "g1"), (2L, "g1"), (3L, "g2")).toDF("id", "g")
+    val got = QualityOps.bcubedClusterAudit(sys, "id", "c", gold, "id", "g")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // the singleton NULL cluster is pure and complete: perfect B-cubed
+    assert(got === ((3L, 2L, 2L, 1000000L, 1000000L, 1000000L)))
+  }
+
   test("cdcFreshnessEmit: the byte-capped emit loop reports plan-file-" +
     "durable latencies for every probed batch") {
     val lat = Queries.cdcFreshnessEmit(spark, batches = 2,
