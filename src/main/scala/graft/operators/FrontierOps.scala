@@ -41,7 +41,14 @@ object FrontierOps {
     require(df.schema(yCol).dataType == org.apache.spark.sql.types.LongType,
       s"paretoFrontier2D needs a BIGINT y dimension (driver offsets are int64), " +
         s"got ${df.schema(yCol).dataType.sql} — cast or quantize first")
-    val perX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("__my"))
+    // dominance is undefined on a NULL coordinate: such rows are
+    // EXCLUDED up front, explicitly (round-14 review — the old code
+    // only excluded them implicitly through desc-nulls-last partition
+    // ordering plus the null-dropping output equi-join; had the range
+    // partitioner ever placed the NULL-x cell first, its max-y would
+    // have shaded real candidates out of the skyline)
+    val clean = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val perX = clean.groupBy(col(xCol)).agg(max(col(yCol)).as("__my"))
       .repartitionByRange(col(xCol).desc)
       .withColumn(RangePrefix.PidCol, spark_partition_id())
       .localCheckpoint(false) // two consumers must agree on partition ids
@@ -71,6 +78,6 @@ object FrontierOps {
       .withColumn("__pre", greatest(coalesce(max(col("__my")).over(w), lit(Long.MinValue)), offCol))
       .filter(col("__my") > col("__pre"))
       .select(col(xCol), col("__my").as(yCol))
-    df.join(frontier, Seq(xCol, yCol))
+    clean.join(frontier, Seq(xCol, yCol))
   }
 }

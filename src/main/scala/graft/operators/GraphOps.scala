@@ -190,7 +190,14 @@ object GraphOps {
                                       stateCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(orderCols: _*)
-    df.select(col(keyCol), col(stateCol).as("from_state"),
+    // NULL states are excluded BEFORE sequencing (round-14 review): a
+    // stateless event is not a step of the chain. Previously a
+    // (NULL -> X) pair entered the counts but the row-total equi-join in
+    // transitionMatrix dropped it (null != null), so those transitions
+    // silently vanished from the matrix while to-NULL steps were
+    // filtered — neither exclusion nor category semantics.
+    df.filter(col(stateCol).isNotNull)
+      .select(col(keyCol), col(stateCol).as("from_state"),
         lead(col(stateCol), 1).over(w).as("to_state"))
       .filter(col("to_state").isNotNull)
       .groupBy(col("from_state"), col("to_state")).agg(count(lit(1)).as("n"))

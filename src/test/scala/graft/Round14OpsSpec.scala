@@ -151,6 +151,19 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(got === ((3L, 2L, 2L, 1000000L, 1000000L, 1000000L)))
   }
 
+  test("transitionMatrix: stateless (NULL) events are transparent — " +
+    "they neither form steps nor swallow them (round-14 review)") {
+    // old code let (NULL -> X) pairs into the counts and then dropped
+    // them at the row-total equi-join: the a->b journey below produced
+    // an EMPTY matrix
+    val rows = Seq(("u", 1L, Some("a")), ("u", 2L, None), ("u", 3L, Some("b")))
+      .toDF("k", "t", "s")
+    val got = graft.operators.GraphOps.transitionMatrix(
+        rows, "k", Seq(col("t")), "s")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", "b", 1L, 1000L)))
+  }
+
   test("cdcFreshnessEmit: the byte-capped emit loop reports plan-file-" +
     "durable latencies for every probed batch") {
     val lat = Queries.cdcFreshnessEmit(spark, batches = 2,
