@@ -37,6 +37,38 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("soundexKey: property — equals an independent sequential " +
+    "implementation of the documented algorithm on random strings") {
+    // reference implementation written from the CONTRACT, not the SQL
+    // chain: strip non-alpha, code the consonant classes, collapse
+    // adjacent equal digits (incl. into the initial), drop zeros, skip
+    // the initial's own digit iff it carries one, pad to 3
+    def ref(s: String): String = {
+      val u = s.toUpperCase.filter(c => c >= 'A' && c <= 'Z')
+      val code = "01230120022455012623010202"
+      val digits = u.map(c => code(c - 'A'))
+      val collapsed = digits.foldLeft("") { (acc, d) =>
+        if (acc.nonEmpty && acc.last == d) acc else acc + d
+      }
+      val stripped = collapsed.filter(_ != '0')
+      val tail =
+        if (digits.headOption.contains('0')) stripped.take(3)
+        else stripped.drop(1).take(3)
+      u.take(1) + tail.padTo(3, '0')
+    }
+    val gen = org.scalacheck.Gen.listOfN(12, org.scalacheck.Gen.frequency(
+      8 -> org.scalacheck.Gen.alphaChar,
+      1 -> org.scalacheck.Gen.oneOf('\'', '-', ' ', '.'),
+      1 -> org.scalacheck.Gen.oneOf('ä', 'é'))).map(_.mkString)
+    val names = (0 until 120).flatMap(i => gen.apply(
+      org.scalacheck.Gen.Parameters.default,
+      org.scalacheck.rng.Seed(i.toLong)))
+    val got = names.toDF("n")
+      .select(col("n"), LinkageOps.soundexKey(col("n")).as("k"))
+      .as[(String, String)].collect().toMap
+    for (n <- names) assert(got(n) === ref(n), s"input: '$n'")
+  }
+
   // ---- averagePrecisionAtK -------------------------------------------
 
   test("averagePrecisionAtK: R counts relevants LIST-WIDE and the " +
