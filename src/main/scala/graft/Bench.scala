@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import scala.jdk.CollectionConverters._
+
 object Bench {
   /** Free every block a query left behind before the next timed window.
     * `clearCache()` only drops the SQL cache — RDDs persisted directly
@@ -18,6 +20,77 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     System.gc()
   }
+
+  /** True median: mean of the two middle elements for even-length input
+    * (advisor r14: s(n/2) alone is the UPPER middle, which with 2 hi reps
+    * made the "median" probe the slower one and biased the 1.2x
+    * corroboration toward granting the waiver).
+    */
+  private def med(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  /** Parse one [[Remeasure]] stdout line — the cross-process contract
+    * between the child's emitter and this consumer (spec-pinned in
+    * ScalingGateSpec so neither side can drift silently). `alpha: null`
+    * (a side with zero successful reps) parses as None = no evidence.
+    */
+  private[graft] def parseRemeasureLine(l: String): (Seq[Double], Seq[Double], Option[Double]) = {
+    def arr(key: String): Seq[Double] =
+      ("\"" + key + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(l)
+        .map(_.group(1).split(",").toSeq.filter(_.nonEmpty).flatMap(_.toDoubleOption))
+        .getOrElse(Seq.empty)
+    val alpha = """"alpha":(-?[0-9.]+)""".r.findFirstMatchIn(l)
+      .flatMap(_.group(1).toDoubleOption)
+    (arr("base"), arr("hi"), alpha)
+  }
+
+  /** Fork [[Remeasure]] in a BRAND-NEW JVM — same classpath, module
+    * opens, heap sizing, and system properties as this bench process,
+    * none of its accumulated heap/broadcast/codegen state. Returns the
+    * child's paired readings (base reps, hi reps, alpha; alpha None when
+    * a side never succeeded), or None when the fork itself failed or
+    * timed out. stderr passes through live; stdout lands in a temp file
+    * so a chatty child can never deadlock the pipe.
+    */
+  private def forkRemeasure(qname: String, baseDir: String, hiDir: String,
+                            reps: Int, hiFactor: Int): Option[(Seq[Double], Seq[Double], Option[Double])] =
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val mx = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toVector
+      val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < mx.length) {
+        val a = mx(i)
+        if (a == "--add-opens" || a == "--add-exports") {
+          if (i + 1 < mx.length) { keep += a; keep += mx(i + 1); i += 1 }
+        } else if (a.startsWith("--add-opens=") || a.startsWith("--add-exports=") ||
+          a.startsWith("-Xmx") || a.startsWith("-Xms") || a.startsWith("-D")) keep += a
+        i += 1
+      }
+      val cmd = (Seq(javaBin) ++ keep ++ Seq("-cp", System.getProperty("java.class.path"),
+        "graft.Remeasure", qname, baseDir, hiDir, reps.toString, hiFactor.toString)).asJava
+      val outFile = java.nio.file.Files.createTempFile("graft_remeasure", ".out")
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectOutput(outFile.toFile)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val done = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { proc.destroyForcibly(); System.err.println(s"[remeasure] $qname timed out"); None }
+      else {
+        val line = java.nio.file.Files.readAllLines(outFile).asScala
+          .reverse.find(_.startsWith("{\"remeasure\""))
+        java.nio.file.Files.deleteIfExists(outFile)
+        line.map(parseRemeasureLine)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[remeasure] fork for $qname failed: ${e.getMessage}"); None
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,18 +149,34 @@ object Bench {
     require(selected.map(_._1.split("_")(0)).distinct.size == selected.size,
       "duplicate qNN prefixes among query names: " +
         selected.map(_._1).groupBy(_.split("_")(0)).filter(_._2.size > 1).values.flatten.mkString(", "))
-    // previous run's per-query minima (bench.json survives across runs —
-    // it is gitignored, not cleaned): the reference for the anomaly guard
-    // below. Regex parse is safe: we wrote the file ourselves in the exact
-    // compact format emitted at the bottom of this main.
-    val prev: Map[String, Double] = {
-      val p = java.nio.file.Paths.get("bench.json")
-      if (java.nio.file.Files.exists(p)) {
+    // previous run's per-query minima: the reference for the anomaly
+    // guard and the warmup list below. bench.json survives across runs in
+    // a working tree (gitignored, not cleaned), but a FRESH driver
+    // checkout starts without it — fall back to the newest committed
+    // BENCH_r*.json round artifact, whose size-capped `parsed.queries`
+    // block carries exactly the slowest-queries map the warmup list
+    // needs. Regex parse is safe either way: both files were written by
+    // this main in the exact compact format.
+    def queriesBlockOf(p: java.nio.file.Path): Map[String, Double] =
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         val qsBlock = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
         """"(q\d+)":(-?[0-9.]+)""".r.findAllMatchIn(qsBlock)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } else Map.empty
+      }
+    val prev: Map[String, Double] = {
+      val own = queriesBlockOf(java.nio.file.Paths.get("bench.json"))
+      if (own.nonEmpty) own
+      else {
+        val dir = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        val rounds =
+          try dir.iterator().asScala
+            .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
+            .toSeq.sortBy(_.getFileName.toString)
+          finally dir.close()
+        rounds.lastOption.map(queriesBlockOf).getOrElse(Map.empty)
+      }
     }
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -107,7 +196,30 @@ object Bench {
       elapsed
     }
     val measured = selected.map { case (name, fn) =>
-      val times = (1 to reps).map(_ => runOnce(name, fn))
+      // Untimed warmup for the heavy queries (round 15 — verdict item 3:
+      // q101-class first reps ran 20x their minima and q116 topped the
+      // cost table on variance alone). First-rep inflation is codegen +
+      // shuffle-file init + page-cache fill, which min-of-3 absorbs for
+      // cheap queries but muddies round-over-round attribution at the
+      // top of the table. Queries the previous artifact measured >= 1.5 s
+      // get one unrecorded rep first; the warmup threshold keeps the
+      // extra suite cost on the ~25 lines where the variance matters.
+      if (prev.get(name.split("_")(0)).exists(_ >= 1.5)) { runOnce(name, fn); () }
+      val first = (1 to reps).map(_ => runOnce(name, fn))
+      // Spread repair (same verdict item): if the successful reps still
+      // disagree by > 2x, the window caught a transient (GC pause, JIT,
+      // ambient spike) — buy up to 2 extra reps until the spread closes.
+      // Bounded, and only for queries slow enough (> 0.5 s) to matter.
+      def spreadBad(ts: Seq[Double]): Boolean = {
+        val ok = ts.filter(_ >= 0)
+        ok.nonEmpty && ok.min > 0.5 && ok.max / ok.min > 2.0
+      }
+      var times = first
+      var extra = 0
+      while (spreadBad(times) && extra < 2) {
+        times = times :+ runOnce(name, fn)
+        extra += 1
+      }
       // min over SUCCESSFUL reps: one transient failure shouldn't discard a
       // valid timing; the sentinel -1 is reported only when every rep failed
       val ok = times.filter(_ >= 0)
@@ -213,22 +325,43 @@ object Bench {
     // time growing while rows stay ~linear.
     val scalingHiRows = scala.collection.mutable.Map.empty[String, (Long, Long)]
     // Fixed-work calibration probe (round 14 — mechanizing what was a
-    // narrated "ambient driver-host load" waiver): a constant CPU-bound
-    // job timed IMMEDIATELY BEFORE each hi-sweep side. Under ambient
-    // contention the probe inflates by the same load factor as the
-    // measurement next to it, so times normalized by their adjacent
-    // probe (t · probe_min/probe_adj) cancel the skew and the CALIBRATED
+    // narrated "ambient driver-host load" waiver): a constant job timed
+    // IMMEDIATELY BEFORE each hi-sweep side. Under ambient contention
+    // the probe inflates by the same load factor as the measurement next
+    // to it, so times normalized by their adjacent probe
+    // (t · probe_min/probe_adj) cancel the skew and the CALIBRATED
     // exponent separates "the plan grew" from "the box was busy" — in
     // the artifact, machine-checkable, instead of in SCALE.md prose.
+    //
+    // Round 15: the probe is HEAP-VISIBLE, not pure codegen arithmetic.
+    // The round-14 probe (range→sum(hash)) allocated nothing, so the
+    // accumulated-heap/GC state that inflates a real query's larger
+    // working set late in the suite was invisible to it — q256's hi reps
+    // read 5-8x base while the probe sat flat, leaving the flag
+    // adjudicable only by SCALE.md prose (the r14 verdict's one weak).
+    // This probe allocates and churns a per-run working set (string
+    // build + hash aggregation over ~8M rows) sized to feel the same
+    // old-gen pressure and GC tax a query does, while staying fixed-work
+    // so ambient CPU load still shows as proportional inflation.
     def calProbe(): Double = {
       val t0 = System.nanoTime()
-      spark.range(256000000L).selectExpr("sum(hash(id))").collect()
+      spark.range(3000000L)
+        .selectExpr("concat('k', id % 150000) AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     // per-query raw rep detail + probes: (probe_b, base, probe_h, hi)*
     val scalingHiDetail =
       scala.collection.mutable.Map.empty[String, Seq[(Double, Double, Double, Double)]]
     val scalingHiCal = scala.collection.mutable.Map.empty[String, Double]
+    // steady-state probe reference (measured on the rebuilt session,
+    // outside any query pair), fresh-JVM re-measure evidence, and the
+    // per-candidate adjudication — all recorded into the artifact
+    var scalingHiProbe0 = -1.0
+    val scalingHiFreshEv =
+      scala.collection.mutable.Map.empty[String, (Seq[Double], Seq[Double], Option[Double])]
+    val hiVerdicts = scala.collection.mutable.Map.empty[String, ScalingGate.HiVerdict]
     val scalingHi: Map[String, Double] =
       if (!sweepOn || sys.env.getOrElse("SPARK_GRAFT_SWEEP_HI", "1") == "0") Map.empty
       else try {
@@ -251,9 +384,23 @@ object Bench {
         spark.stop()
         spark = buildSession()
         val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
-        calProbe() // untimed warmup: the first probe otherwise pays the
-                   // probe plan's codegen and reads ~2x its steady state
-        top.flatMap { case (name, _, _, _) =>
+        // Steady-state probe reference, measured OUTSIDE the query pairs
+        // on the just-rebuilt session (round 15, advisor r14: the
+        // base-SIDE probe is taken right after a base query run and can
+        // itself be inflated by that query's heap leavings, letting the
+        // calibration normalize away genuine hi-side growth — corroborate
+        // hi-side probe elevation against THIS instead). The probe needs
+        // SEVERAL runs to reach steady state on a fresh session (JIT +
+        // codegen: first reads ~10x), so warm until the last run sits
+        // within 25% of the best so far (min 4, cap 8) and take the min —
+        // a cold-contaminated reference would make the ≥1.2x elevation
+        // test unpassable and silently kill the calibration waiver.
+        val probeWarm = scala.collection.mutable.ArrayBuffer(
+          calProbe(), calProbe(), calProbe(), calProbe())
+        while (probeWarm.length < 8 && probeWarm.last > 1.25 * probeWarm.min)
+          probeWarm += calProbe()
+        val probeSteady = probeWarm.min
+        val hiMap: Map[String, Double] = top.flatMap { case (name, _, _, _) =>
           // PAIRED measurement (round 11): the exponent must divide two
           // timings taken under the SAME JVM state. The suite's min-of-N
           // base was measured ~1000 query executions earlier; by the hi
@@ -305,6 +452,65 @@ object Bench {
             Some(name.split("_")(0) -> a)
           }
         }.toMap
+        scalingHiProbe0 = probeSteady
+        // ---- adjudicate every above-threshold candidate HERE, while the
+        // hi corpus and the session are still alive (round 15). Waiver
+        // precedence is [[ScalingGate.hiVerdict]]'s: probe-corroborated
+        // calibration > output-driven rows > fresh-JVM re-measure. A
+        // candidate none of the in-suite evidence explains gets a forked
+        // BRAND-NEW JVM ([[Remeasure]]) — no inherited heap, broadcasts,
+        // or codegen cache — and its paired reading lands in the artifact
+        // as scaling_hi_fresh, replacing the SCALE.md-prose waivers the
+        // r13/r14 verdicts called out as unverifiable.
+        val fullName = top.map(t => t._1.split("_")(0) -> t._1).toMap
+        var forks = 0
+        // dev/diagnostic hook: SPARK_GRAFT_FORCE_FRESH=q256,q300 forks the
+        // fresh-JVM re-measure for the named queries even when no flag
+        // fires — exercises the fork path end-to-end and records the
+        // evidence in the artifact either way
+        val forceFresh = sys.env.get("SPARK_GRAFT_FORCE_FRESH")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+        forceFresh.intersect(hiMap.keySet).toSeq.sorted.foreach { q =>
+          System.err.println(s"[sweep-hi] $q fresh-JVM re-measure FORCED by env")
+          forkRemeasure(fullName(q), sfDir, hiDir, hiReps, hiFactor)
+            .foreach(ev => scalingHiFreshEv(q) = ev)
+        }
+        hiMap.toSeq.sortBy(_._1).foreach { case (q, a) =>
+          if (a > ScalingGate.Threshold) {
+            val probeMedHi =
+              med(scalingHiDetail.get(q).map(_.map(_._3).filter(_ > 0)).getOrElse(Seq.empty))
+            var v = ScalingGate.hiVerdict(a, hiFactor, scalingHiCal.get(q),
+              probeMedHi, probeSteady, scalingHiRows.get(q), None)
+            if (v == ScalingGate.Flagged) {
+              val ev = scalingHiFreshEv.get(q).orElse {
+                if (forks >= 4) None else {
+                  forks += 1
+                  System.err.println(f"[sweep-hi] $q alpha=$a%.2f unexplained by probe/rows " +
+                    "— forking a fresh-JVM paired re-measure")
+                  forkRemeasure(fullName(q), sfDir, hiDir, hiReps, hiFactor)
+                }
+              }
+              ev.foreach { case e @ (_, _, fa) =>
+                scalingHiFreshEv(q) = e
+                v = ScalingGate.hiVerdict(a, hiFactor, scalingHiCal.get(q),
+                  probeMedHi, probeSteady, scalingHiRows.get(q), fa)
+              }
+            }
+            hiVerdicts(q) = v
+            val msg = v match {
+              case ScalingGate.CalibrationWaived =>
+                f"CALIBRATED to ${scalingHiCal.getOrElse(q, Double.NaN)}%.2f with elevated hi-side probes — ambient-load auto-waived"
+              case ScalingGate.OutputDriven =>
+                "OUTPUT-driven (rows grew >= time) — auto-waived"
+              case ScalingGate.FreshJvmWaived =>
+                f"FRESH-JVM re-measure reads ${scalingHiFreshEv.get(q).flatMap(_._3).getOrElse(Double.NaN)}%.2f <= ${ScalingGate.Threshold} — accumulated-JVM-state auto-waived"
+              case ScalingGate.Flagged =>
+                "UNEXPLAINED — flag stands (build-failing without machine-checkable evidence)"
+            }
+            System.err.println(f"[sweep-hi] $q alpha=$a%.2f: $msg")
+          }
+        }
+        hiMap
       } catch { case e: Throwable =>
         System.err.println(s"[sweep-hi] failed: ${e.getMessage}"); Map.empty
       }
@@ -376,52 +582,22 @@ object Bench {
           }.mkString("{", ",", "}")
           s""","scaling_hi_rows":$re"""
         }
-        // GATE the upward pair too (round 13 — the round-12 artifact
-        // carried hi readings of 1.66/1.35 that nothing acted on): a
-        // paired hi exponent above the same Threshold is build-failing
-        // via ScalingGate/ScalingGateSpec unless (a) the row readout
-        // shows the OUTPUT itself grew at least as fast as the time
-        // (output-driven alpha — emitting more rows legitimately costs
-        // proportionally more) or (b) SCALE.md carries a SUPERLINEAR-OK
-        // waiver (same mechanism as the mid pair).
-        val hotHi = scalingHi.toSeq.collect {
-          case (q, a) if a > ScalingGate.Threshold =>
-            val outputDriven = scalingHiRows.get(q).exists { case (b, h) =>
-              h.toDouble / b.max(1L).toDouble >= math.pow(hiFactor.toDouble, a)
-            }
-            if (outputDriven)
-              System.err.println(f"[sweep-hi] $q alpha=$a%.2f is OUTPUT-driven " +
-                "(rows grew >= time) — auto-waived")
-            // ambient-load auto-waiver (round 14): the probe-calibrated
-            // exponent clears the gate, so the raw flag was host load,
-            // not plan growth — the evidence (probe + rep detail, aCal)
-            // is in this artifact, not in SCALE.md prose. CORROBORATION
-            // REQUIRED: the hi-side probes must actually read slower
-            // (median ≥ 1.2× the base side's) — without it a single
-            // noisy probe could normalize a genuinely superlinear plan
-            // under the gate; flat probes + a hot raw alpha is a plan
-            // problem and the flag stands
-            def med(xs: Seq[Double]): Double = {
-              val s = xs.sorted; if (s.isEmpty) 0.0 else s(s.length / 2)
-            }
-            val probesCorroborate = scalingHiDetail.get(q).exists { ps =>
-              val pb = med(ps.map(_._1).filter(_ > 0))
-              val ph = med(ps.map(_._3).filter(_ > 0))
-              pb > 0 && ph >= 1.2 * pb
-            }
-            val calOk = !outputDriven && probesCorroborate &&
-              scalingHiCal.get(q).exists(_ <= ScalingGate.Threshold)
-            if (calOk)
-              System.err.println(f"[sweep-hi] $q alpha=$a%.2f CALIBRATED to " +
-                f"${scalingHiCal(q)}%.2f <= ${ScalingGate.Threshold} with slower hi-side " +
-                "probes — ambient-load auto-waived")
-            (q, outputDriven || calOk)
-        }.collect { case (q, false) => q }.sorted
-        val unexplainedHi = hotHi.filterNot(waived ++ ScalingGate.waiversHi())
+        // GATE the upward pair too (round 13; adjudication moved INTO
+        // the sweep since round 15 — see the hiVerdicts loop above and
+        // [[ScalingGate.hiVerdict]] for the waiver precedence). Here the
+        // verdicts only serialize: a candidate still Flagged after the
+        // calibration, row-readout, AND fresh-JVM evidence lands in
+        // superlinear_hi and fails the build via ScalingGateSpec — a
+        // SUPERLINEAR-OK-HI text waiver alone no longer clears it
+        // (ScalingGate.unexplained requires in-artifact fresh evidence).
+        val hotHi = hiVerdicts.toSeq.collect {
+          case (q, ScalingGate.Flagged) => q
+        }.sorted
+        val unexplainedHi = hotHi.filterNot(waived)
         if (unexplainedHi.nonEmpty)
           System.err.println("[sweep-hi] BUILD-FAILING superlinear hi-pair queries " +
-            "(fix the plan or add a SUPERLINEAR-OK-HI waiver to SCALE.md): " +
-            unexplainedHi.mkString(", "))
+            "(no auto-waiver fired and the fresh-JVM re-measure did not clear them — " +
+            "fix the plan): " + unexplainedHi.mkString(", "))
         val hotHiJson = hotHi.map(q => "\"" + q + "\"").mkString("[", ",", "]")
         val calEntries = scalingHiCal.toSeq.sortBy(_._1)
           .map { case (q, a) => "\"" + q + "\":" + f2(a) }.mkString("{", ",", "}")
@@ -431,9 +607,21 @@ object Bench {
           "\"" + q + "\":[" + ps.map { case (pb, b, ph, h) =>
             s"[${f2(pb)},${f2(b)},${f2(ph)},${f2(h)}]" }.mkString(",") + "]"
         }.mkString("{", ",", "}")
+        // fresh-JVM paired re-measurements ([[Remeasure]]) for candidates
+        // the in-suite evidence could not explain — alpha null when a
+        // side never succeeded
+        val freshBlock = if (scalingHiFreshEv.isEmpty) "" else {
+          val fe = scalingHiFreshEv.toSeq.sortBy(_._1).map { case (q, (bs, hs, fa)) =>
+            "\"" + q + "\":{\"base\":[" + bs.map(f2).mkString(",") + "],\"hi\":[" +
+              hs.map(f2).mkString(",") + "],\"alpha\":" + fa.map(f2).getOrElse("null") + "}"
+          }.mkString("{", ",", "}")
+          s""","scaling_hi_fresh":$fe"""
+        }
+        val probe0Block =
+          if (scalingHiProbe0 <= 0) "" else s""","scaling_hi_probe0":${f2(scalingHiProbe0)}"""
         s""","scaling_hi_factor":$hiFactor,"scaling_hi":$hiEntries,""" +
           s""""scaling_hi_cal":$calEntries,"scaling_hi_detail":$detailEntries,""" +
-          s""""superlinear_hi":$hotHiJson$rowsBlock"""
+          s""""superlinear_hi":$hotHiJson$rowsBlock$freshBlock$probe0Block"""
       }
       s""","scaling_sf":"${sfOf(sweepDir)}","scaling":$entries,"superlinear":$hot$loBlock$hiBlock"""
     }

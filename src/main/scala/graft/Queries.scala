@@ -1500,7 +1500,7 @@ FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id ORDER BY id""")),
         .orderBy(col("from_state"), col("to_state")),
       Some("""WITH seq AS (SELECT user_id, event_type AS from_state,
   LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
-  FROM events),
+  FROM events WHERE event_type IS NOT NULL),
 n AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
   FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2),
 t AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS tot FROM n GROUP BY 1)

@@ -69,4 +69,120 @@ class ScalingGateSpec extends AnyFunSuite {
       .filterNot(ScalingGate.waivers(scale) ++ ScalingGate.waiversHi(scale))
     assert(hiFlags.isEmpty)
   }
+
+  // ---- round 15: the probe contract is spec-pinned (verdict item 5) ----
+
+  test("hiVerdict waiver precedence: probe-corroborated calibration > output rows > fresh JVM > flagged") {
+    import ScalingGate._
+    // probes elevated (1.3x steady) + calibrated under threshold wins even
+    // when the row readout would ALSO explain the alpha
+    assert(hiVerdict(1.5, 3, calAlpha = Some(0.9), probeMedHi = 0.39, probeSteady = 0.30,
+      rows = Some((100L, 600L)), freshAlpha = None) === CalibrationWaived)
+    // flat probes kill the calibration waiver even with cal under threshold
+    // (a noisy lone probe must not normalize a genuinely superlinear plan);
+    // the row readout then carries it
+    assert(hiVerdict(1.5, 3, calAlpha = Some(0.9), probeMedHi = 0.30, probeSteady = 0.30,
+      rows = Some((100L, 600L)), freshAlpha = None) === OutputDriven)
+    // rows must grow at least as fast as time: 3x rows at alpha 1.5
+    // (time 5.2x) is NOT output-driven; a fresh-JVM reading under the
+    // threshold is the remaining evidence
+    assert(hiVerdict(1.5, 3, calAlpha = None, probeMedHi = 0.30, probeSteady = 0.30,
+      rows = Some((100L, 300L)), freshAlpha = Some(0.57)) === FreshJvmWaived)
+    // nothing explains it — flag stands
+    assert(hiVerdict(1.5, 3, calAlpha = Some(1.4), probeMedHi = 0.30, probeSteady = 0.30,
+      rows = Some((100L, 300L)), freshAlpha = Some(1.6)) === Flagged)
+    // a fresh fork that never produced an alpha is no evidence
+    assert(hiVerdict(1.5, 3, calAlpha = None, probeMedHi = 0.30, probeSteady = 0.30,
+      rows = None, freshAlpha = None) === Flagged)
+  }
+
+  test("a hi text waiver alone no longer clears a flag — fresh-JVM evidence in the artifact is required") {
+    val dir = java.nio.file.Files.createTempDirectory("gatefresh")
+    val scale = dir.resolve("SCALE.md")
+    val bench = dir.resolve("bench.json")
+    java.nio.file.Files.write(scale,
+      "SUPERLINEAR-OK-HI: q256 — ambient story, prose only\n".getBytes("UTF-8"))
+    // flagged + text-waived + NO fresh evidence => still unexplained
+    java.nio.file.Files.write(bench,
+      ("""{"queries":{"q256":3.5},"superlinear":[],"scaling_hi":{"q256":1.55},""" +
+        """"scaling_hi_cal":{"q256":1.58},"scaling_hi_detail":{"q256":[[0.1,3.8,0.1,20.9]]},""" +
+        """"superlinear_hi":["q256"]}""").getBytes("UTF-8"))
+    assert(ScalingGate.unexplained(bench, scale) === Seq("q256"))
+    // flagged + text-waived + fresh evidence UNDER the threshold => cleared
+    java.nio.file.Files.write(bench,
+      ("""{"queries":{"q256":3.5},"superlinear":[],"scaling_hi":{"q256":1.55},""" +
+        """"scaling_hi_cal":{"q256":1.58},"scaling_hi_detail":{"q256":[[0.1,3.8,0.1,20.9]]},""" +
+        """"superlinear_hi":["q256"],""" +
+        """"scaling_hi_fresh":{"q256":{"base":[4.64,5.79],"hi":[8.73,9.10],"alpha":0.57}}}""")
+        .getBytes("UTF-8"))
+    assert(ScalingGate.scalingHiFresh(bench) === Map("q256" -> 0.57))
+    assert(ScalingGate.unexplained(bench, scale).isEmpty)
+    // fresh evidence that REFUTES the excuse (alpha still hot) => flagged
+    java.nio.file.Files.write(bench,
+      ("""{"queries":{"q256":3.5},"superlinear":[],"scaling_hi":{"q256":1.55},""" +
+        """"scaling_hi_cal":{"q256":1.58},"scaling_hi_detail":{"q256":[[0.1,3.8,0.1,20.9]]},""" +
+        """"superlinear_hi":["q256"],""" +
+        """"scaling_hi_fresh":{"q256":{"base":[4.64],"hi":[40.2],"alpha":1.96}}}""")
+        .getBytes("UTF-8"))
+    assert(ScalingGate.unexplained(bench, scale) === Seq("q256"))
+    // a PLAIN (semantic) waiver still covers its hi flag without evidence
+    java.nio.file.Files.write(scale,
+      "SUPERLINEAR-OK: q256 — output itself superlinear, capped\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(bench,
+      ("""{"queries":{"q256":3.5},"superlinear":[],"scaling_hi":{"q256":1.55},""" +
+        """"scaling_hi_cal":{"q256":1.58},"scaling_hi_detail":{"q256":[[0.1,3.8,0.1,20.9]]},""" +
+        """"superlinear_hi":["q256"]}""").getBytes("UTF-8"))
+    assert(ScalingGate.unexplained(bench, scale).isEmpty)
+  }
+
+  test("an artifact whose hi sweep ran without its calibration evidence fails wholesale") {
+    val dir = java.nio.file.Files.createTempDirectory("gateevidence")
+    val scale = dir.resolve("SCALE.md")
+    java.nio.file.Files.write(scale, "".getBytes("UTF-8"))
+    val bench = dir.resolve("bench.json")
+    // scaling_hi present but cal/detail missing — the round-14 probe
+    // machinery silently regressed; the gate must say so
+    java.nio.file.Files.write(bench,
+      """{"queries":{"q1":0.5},"superlinear":[],"scaling_hi":{"q1":0.4},"superlinear_hi":[]}"""
+        .getBytes("UTF-8"))
+    assert(!ScalingGate.hiEvidenceComplete(bench))
+    assert(ScalingGate.unexplained(bench, scale) === Seq("hi-sweep-evidence-missing"))
+    // with the evidence present the same artifact is green
+    java.nio.file.Files.write(bench,
+      ("""{"queries":{"q1":0.5},"superlinear":[],"scaling_hi":{"q1":0.4},""" +
+        """"scaling_hi_cal":{"q1":0.41},"scaling_hi_detail":{"q1":[[0.1,1.0,0.1,1.5]]},""" +
+        """"superlinear_hi":[]}""").getBytes("UTF-8"))
+    assert(ScalingGate.hiEvidenceComplete(bench))
+    assert(ScalingGate.unexplained(bench, scale).isEmpty)
+    // an artifact with NO hi sweep at all (dev run) carries no obligation
+    java.nio.file.Files.write(bench,
+      """{"queries":{"q1":0.5},"superlinear":[]}""".getBytes("UTF-8"))
+    assert(ScalingGate.hiEvidenceComplete(bench))
+  }
+
+  test("the Remeasure stdout line round-trips through Bench's parser (cross-process contract)") {
+    // exactly the line Remeasure.main prints
+    val line = """{"remeasure":"q256_temporal_reach","base":[5.60,8.94,5.31],""" +
+      """"hi":[52.55,19.33,14.89],"alpha":0.94}"""
+    assert(Bench.parseRemeasureLine(line) ===
+      ((Seq(5.60, 8.94, 5.31), Seq(52.55, 19.33, 14.89), Some(0.94))))
+    // a side that never succeeded: empty array + null alpha => no evidence
+    val failed = """{"remeasure":"q1_x","base":[],"hi":[2.00],"alpha":null}"""
+    assert(Bench.parseRemeasureLine(failed) === ((Seq.empty, Seq(2.00), None)))
+  }
+
+  test("scalingHiFresh parses multi-entry blocks and null alphas") {
+    val dir = java.nio.file.Files.createTempDirectory("gatefreshparse")
+    val bench = dir.resolve("bench.json")
+    java.nio.file.Files.write(bench,
+      ("""{"queries":{"q1":0.5},"scaling_hi_fresh":{""" +
+        """"q256":{"base":[4.64],"hi":[8.73],"alpha":0.57},""" +
+        """"q300":{"base":[],"hi":[2.0],"alpha":null},""" +
+        """"q301":{"base":[1.0],"hi":[9.0],"alpha":2.00}},"superlinear_hi":[]}""")
+        .getBytes("UTF-8"))
+    val fresh = ScalingGate.scalingHiFresh(bench)
+    // the null-alpha entry parses as absent (no evidence), the rest exact
+    assert(fresh === Map("q256" -> 0.57, "q301" -> 2.00))
+    assert(ScalingGate.scalingHiFresh(dir.resolve("missing.json")) === Map.empty)
+  }
 }
