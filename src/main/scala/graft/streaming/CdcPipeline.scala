@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.Constants
+import graft.{Constants, Heartbeats}
 import graft.functions.Converters
 import graft.operators.CdcOps
 import org.apache.hadoop.fs.Path
@@ -485,19 +485,25 @@ object CdcPipeline {
             "(set numBuckets to the recorded value or rebuild the snapshot)")
         mergeIntoSnapshot(chg, cfg, targetPath, soft)
       }
-    if (cfg.msmSteps <= 1) {
-      dispatch(changes, cfg.softDelete)
-    } else {
-      // the msm staging snapshot stays un-bucketed: it holds at most
-      // msmSteps flushes, so rewriting it whole is already O(batch)
-      val stagingPath = targetPath + "__msm"
-      mergeIntoSnapshot(changes, cfg.copy(numBuckets = 0), stagingPath, soft = true)
-      if ((batchId + 1) % cfg.msmSteps == 0) {
-        val spark = batch.sparkSession
-        val staged = spark.read.parquet(stagingPath)
-        dispatch(staged, cfg.softDelete)
-        val fs = new Path(stagingPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new Path(stagingPath), true)
+    // watchdog around the merge proper (merge.go:34-40 wraps every
+    // warehouse merge the same way): a flush that outlives the
+    // reference's 30 min initial delay logs a liveness line every 2 min
+    // — the breadcrumb that separates a deadlocked merge from a slow one
+    Heartbeats.monitored("merge", Map("table" -> targetPath)) {
+      if (cfg.msmSteps <= 1) {
+        dispatch(changes, cfg.softDelete)
+      } else {
+        // the msm staging snapshot stays un-bucketed: it holds at most
+        // msmSteps flushes, so rewriting it whole is already O(batch)
+        val stagingPath = targetPath + "__msm"
+        mergeIntoSnapshot(changes, cfg.copy(numBuckets = 0), stagingPath, soft = true)
+        if ((batchId + 1) % cfg.msmSteps == 0) {
+          val spark = batch.sparkSession
+          val staged = spark.read.parquet(stagingPath)
+          dispatch(staged, cfg.softDelete)
+          val fs = new Path(stagingPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new Path(stagingPath), true)
+        }
       }
     }
     recordBatch(batch.sparkSession, targetPath, batchId, marker)
