@@ -5065,9 +5065,14 @@ FROM c, g ORDER BY cat""")),
         // the orders side broadcasts, so without a rebalance the month
         // explode + date arithmetic inherit the SCAN's partitioning (one
         // row group locally) — pre-spread the 4-column projection before
-        // the row-multiplying generate (cheap narrow shuffle; at cluster
-        // scale the scan is already partitioned and this is a rebalance)
-        .repartition(s.sparkContext.defaultParallelism)
+        // the row-multiplying generate. HASH on lid (r15): the window
+        // below needs ClusteredDistribution(lid), so a lid-hash spread
+        // here is reused and the plan runs ONE exchange of the narrow
+        // pre-explode rows instead of round-robin + a second exchange of
+        // the EXPLODED relation; the explicit partition count keeps AQE
+        // from coalescing the spread away before the row-multiplying
+        // generate (lid is near-unique, so the hash spread is even)
+        .repartition(s.sparkContext.defaultParallelism, col("lid"))
       val wRk = Window.partitionBy(col("lid"))
         .orderBy(col("__rem").desc, col("mstart"))
       // the shortfall shares the rank's window SPEC (same partition +

@@ -530,10 +530,22 @@ class PlanSpec extends AnyFunSuite {
 
   test("q217: proration spreads before the month explode and shares ONE window") {
     val p = plan("q217_revenue_proration")
-    assert(p.contains("RoundRobinPartitioning"), p)
+    // round 15: the pre-explode spread hashes on lid so the window REUSES
+    // it — the round-robin shape paid a second exchange of the EXPLODED
+    // relation (and round-robin's sort-before-repartition pass)
+    assert(p.contains("hashpartitioning(lid"), p)
+    assert(!p.contains("RoundRobinPartitioning"), p)
     // rank + shortfall share a window SPEC: one Window operator total
     val wins = """\(\d+\) Window""".r.findAllIn(p).size
     assert(wins == 1, s"expected one shared WindowExec, got $wins:\n$p")
+    // exactly ONE data-bearing exchange before the aggregation (the lid
+    // spread); the window must not re-shuffle the exploded rows
+    val gen = p.linesIterator.indexWhere(_.matches(""".*\(\d+\) Generate.*"""))
+    assert(gen >= 0, p)
+    val winIdx = p.linesIterator.indexWhere(_.matches(""".*\(\d+\) Window.*"""))
+    assert(winIdx < gen, s"window must sit directly above the generate (no exchange between):\n$p")
+    assert(!p.linesIterator.slice(winIdx, gen).exists(_.contains("Exchange")),
+      s"no exchange between generate and window:\n$p")
   }
 
   test("simhash signing is row-local — a projection with zero exchanges or aggregates") {
