@@ -6339,7 +6339,14 @@ FROM j""")),
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
           datediff(to_date(col("o_orderdate")),
             lit(java.sql.Date.valueOf("1995-01-01"))).cast(LongType).as("day"))
+        // hash on the basket key FIRST: hash(ok) satisfies the distinct's
+        // (ok, pk, day) clustering AND both sides of the pair self-join,
+        // so the dedup aggregates in place and the self-join runs with
+        // ZERO further exchanges; the checkpoint stops the scan+join+
+        // distinct chain running once per join side (r15)
+        .repartition(col("ok"))
         .distinct()
+        .localCheckpoint(false)
       val pe = it.as("a").join(it.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
         .groupBy(col("a.pk").as("s"), col("b.pk").as("d"))
@@ -7153,11 +7160,13 @@ ${(2 to 6).map(r =>
       // threshold over- or under-merges; complements q151's pair-level
       // recall/precision audit
       val docs = Tables.documents(s, d)
-      // star contraction (identical canonical assignments to the
-      // label-prop chain — q71 pins them equal; O(log) rounds)
-      val sys = graft.operators.DedupOps.nearDupGroupsStar(
-        docs.select(col("doc_id")), "doc_id",
-        graft.operators.DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d)))
+      // the artifact's persisted components relation (r15): buildDedupGraph
+      // already materializes nearDupGroupsStar over exactly these ids and
+      // pairs (q71 pins the closure equal to label-prop; q230/q101 read
+      // the same relation) — recomputing the contraction per execution
+      // repeated work the artifact has already paid for in build_s
+      val sys = graft.operators.DedupOps.dedupGraphComponents(
+        s, dedupGraphPath(s, d))
       // partition the gold window on md5(text), PROJECTED FIRST: the
       // window exchange then carries (doc_id, 32-char hash) rows instead
       // of full document texts — the oracle groups on md5 as well
@@ -7474,7 +7483,12 @@ ORDER BY key, day""")),
       // largest basket, not the corpus)
       val it = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("bk"), col("l_partkey").as("i"))
+        // hash(bk) satisfies the (bk, i) distinct and ALL THREE self-join
+        // sides — zero further exchanges — and the checkpoint stops the
+        // scan+distinct re-running per side (r15; see q256)
+        .repartition(col("bk"))
         .distinct()
+        .localCheckpoint(false)
       it.as("a").join(it.as("b"),
           col("a.bk") === col("b.bk") && col("a.i") < col("b.i"))
         .join(it.as("c"),
@@ -7612,12 +7626,11 @@ FROM rk CROSS JOIN st WHERE r <= 5 ORDER BY rank""")),
       // FORCAST readability (q274) — rolled up per source; the oracle
       // composes the same generated fragments so none can drift
       val docs = Tables.documents(s, d)
-      // star contraction, not the label-prop chain (q71 pins the two
-      // closures to identical canonical assignments; q44 still
-      // benchmarks label-prop as the operator under test)
-      val comp = graft.operators.DedupOps.nearDupGroupsStar(
-        docs.select(col("doc_id")), "doc_id",
-        graft.operators.DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d)))
+      // the artifact's persisted components relation (r15; see q280) —
+      // q44 still benchmarks label-prop and q71 the star contraction as
+      // operators under test; this scorecard just CONSUMES the clustering
+      val comp = graft.operators.DedupOps.dedupGraphComponents(
+        s, dedupGraphPath(s, d))
       val pack = org.apache.spark.sql.GraftBridge.column(
         graft.functions.SyllablePack(
           org.apache.spark.sql.GraftBridge.expression(col("text"))))
@@ -7675,7 +7688,13 @@ FROM per GROUP BY 1 ORDER BY source""")),
       // directions emitted, min support 2, ordered by lift then rule
       val it = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("bk"), col("l_partkey").as("i"))
+        // hash(bk) satisfies the (bk, i) distinct AND both pair-join
+        // sides (zero further exchanges); the checkpoint barrier stops
+        // the scan+distinct re-running for each of the THREE consumers
+        // (nb count, singles agg, pair self-join) — see q256 (r15)
+        .repartition(col("bk"))
         .distinct()
+        .localCheckpoint(false)
       val nb = it.select(col("bk")).distinct().count()
       val single = it.groupBy(col("i")).agg(count(lit(1)).as("n1"))
       val pairs = it.as("a").join(it.as("b"),
@@ -8194,10 +8213,13 @@ FROM a WHERE n1 > 0 AND n2 > 0 ORDER BY user_id""")),
       // running min over right endpoints, a running max over left
       // starts — so the oracle replays the identical join-window plan;
       // the fit is the release-ready monotone score→rate mapping
-      val docs = Tables.documents(s, d)
-        .withColumn("__f", Converters.fingerprint64(col("text")))
-      val dup = docs.groupBy(col("__f")).agg(count(lit(1)).as("__c"))
-      val bins = docs.join(dup, Seq("__f"))
+      // ONE fingerprint pass: the dup-count attaches via a window over
+      // __f instead of a groupBy + join-back, which scanned and
+      // fingerprinted the corpus twice and shuffled it twice (r15); the
+      // window exchange carries only (__f, n_chars) — 16 bytes/row
+      val bins = Tables.documents(s, d)
+        .select(Converters.fingerprint64(col("text")).as("__f"), col("n_chars"))
+        .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__f"))))
         .select(call_function("div", col("n_chars"), lit(100L)).as("bin"),
           (col("__c") > 1L).cast("long").as("y"))
         .groupBy(col("bin"))

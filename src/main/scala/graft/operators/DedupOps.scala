@@ -1061,6 +1061,10 @@ object DedupOps {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // ONE large/small double-round per action — an r15 A/B of batching
+      // TWO double-rounds per fingerprint read q71 2.2 -> 6.4 s: the
+      // extra star rounds on the near-converged edge set cost far more
+      // than the saved fingerprint/checkpoint overhead
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nfp = fingerprint(next)
       // fingerprint equality is a candidate signal; the (rarely-run)

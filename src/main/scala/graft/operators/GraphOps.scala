@@ -36,6 +36,11 @@ object GraphOps {
     require(dampNum > 0 && dampDen > dampNum, s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
     val base = scale * (dampDen - dampNum) / dampDen
     val deg = edges.groupBy(col(srcCol).as("__src")).agg(count(lit(1)).as("__deg"))
+    // NOT pre-hashed on __src (r15, measured): the per-round join
+    // broadcasts the node-sized rank relation at bench scale, so a
+    // pre-hash would only add a build-time exchange (q88 A/B read flat
+    // 3.12 -> 3.25); at a scale where ranks stop broadcasting, add the
+    // pathThroughput-style repartition(__src) here
     val ed = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .join(deg, Seq("__src"))
       .localCheckpoint(false) // reused by every round
@@ -474,6 +479,10 @@ object GraphOps {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val ed = edges.select(col(srcCol).cast("long").as("__s"),
       col(dstCol).cast("long").as("__d"), col(tCol).cast("long").as("__t"))
+      // NOT pre-hashed on __s (r15, measured): the arrival relation
+      // broadcasts at bench scale, so a pre-hash only added an exchange
+      // (q256 A/B read 4.33 -> 4.83); see pathThroughput for the
+      // non-broadcastable case where the pre-hash pays
       .localCheckpoint(false) // reused by every round
     var arr = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .withColumn("earliest", t0.cast("long"))
@@ -677,6 +686,10 @@ object GraphOps {
     val ed = edges.select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"))
       .distinct().localCheckpoint(false) // reused by every half-round
+    // NOT pre-hashed per join key (r15, measured): the score relations
+    // broadcast at bench scale, so two extra pre-hashed edge copies only
+    // added their checkpoint materializations (q302 A/B read
+    // 2.89 -> 4.03 with them)
     val hubs = ed.select(col("__src").as("node")).distinct()
       .localCheckpoint(false)
     val auths = ed.select(col("__dst").as("node")).distinct()
@@ -789,7 +802,11 @@ object GraphOps {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val ed = edges.select(col(srcCol).cast("long").as("__s"),
         col(dstCol).cast("long").as("__d"))
-      .distinct().localCheckpoint(false) // reused by every round, both sweeps
+      .distinct()
+      // both sweeps join on __s every round — pre-hash once so only the
+      // frontier/suffix side shuffles per round (r15)
+      .repartition(col("__s"))
+      .localCheckpoint(false) // reused by every round, both sweeps
     val l0 = seeds.select(col(seedCol).cast("long").as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"), lit(1L).as("sig"))
       .localCheckpoint(false)

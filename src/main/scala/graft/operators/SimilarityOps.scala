@@ -28,6 +28,38 @@ object SimilarityOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** ROW-LOCAL k-means assignment against driver-collected centroids
+    * (r15): the centroid set is parameter-bounded (k x dim), so it rides
+    * into the plan as a literal array and the argmin is a pure projection
+    * — no broadcast fan-out, no post-fanout corpus shuffle. Arithmetic
+    * and tie-break are identical to the former
+    * `min_by(c_id, struct(d2, c_id))` form: array_min over
+    * struct(d2, c_id) compares field-by-field, (d2 asc, c_id asc).
+    * Integer (2^20 fixed-point) variant.
+    */
+  private def argminCellLong(cents: Array[(Long, Array[Long])], xs: Column): Column = {
+    val carr = array(cents.map { case (cid, cxs) =>
+      struct(lit(cid).as("c_id"), array(cxs.map(lit(_)): _*).as("cxs"))
+    }: _*)
+    array_min(transform(carr, c => struct(
+      aggregate(zip_with(xs, c.getField("cxs"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x).as("d2"),
+      c.getField("c_id").as("c_id"))))
+  }
+
+  /** [[argminCellLong]]'s double variant (the IVF build's raw-vector
+    * distance): same left-to-right aggregate fold, same tie-break.
+    */
+  private def argminCellDouble(cents: Array[(Long, Array[Double])], v: Column): Column = {
+    val carr = array(cents.map { case (cid, cv) =>
+      struct(lit(cid).as("c_id"), array(cv.map(lit(_)): _*).as("cv"))
+    }: _*)
+    array_min(transform(carr, c => struct(
+      aggregate(zip_with(v, c.getField("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("d2"),
+      c.getField("c_id").as("c_id"))))
+  }
+
   /** Brute-force cosine top-k: for every query vector (filter `queryPred`),
     * the k nearest other vectors. Similarity is rounded to `roundDigits`
     * before ranking so results are reproducible across engines; ties break
@@ -219,10 +251,13 @@ object SimilarityOps {
     * on the ORIGINAL doubles with the same left-to-right kernel and
     * floor quantization as [[cosineNearDupPairs]].
     *
-    * Scale shape: per round, one broadcast-centroid assignment (n x k
-    * rows, map-side-combinable argmin) and one (cell, pos)-keyed update
-    * shuffle; the pair join is an equi-join on the cell label. No
-    * all-pairs stage anywhere.
+    * Scale shape: per round, one ROW-LOCAL argmin assignment against the
+    * driver-collected centroid literals (k·dim longs — parameter-bounded,
+    * never data-sized) and one (cell, pos)-keyed update shuffle; the
+    * pair join is an equi-join on the cell label. No all-pairs stage
+    * anywhere, and the corpus is never shuffled for assignment (r15: the
+    * previous broadcast-fanout + groupBy(vid) argmin shuffled the full
+    * corpus — vectors and all — once per round).
     */
   def semanticNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                            tau: Double, nCentroids: Int = 16,
@@ -234,20 +269,16 @@ object SimilarityOps {
       .withColumn("xs", transform(col("v"), x => floor(x * 1048576.0).cast("long")))
       // consumed by every assignment round and the pair join
       .localCheckpoint(false)
-    var cents = base
+    // k centroid vectors to the driver: parameter-bounded (k x dim longs),
+    // the same bounded-collect class as the sketch read-outs. Identical
+    // arithmetic and (d2, c_id) tie-break to the former min_by form.
+    var cents: Array[(Long, Array[Long])] = base
       .orderBy(md5(col("vid").cast("string").cast("binary")), col("vid"))
       .limit(nCentroids)
       .select(col("vid").as("c_id"), col("xs").as("cv"))
-    def assign(c: DataFrame): DataFrame = {
-      val d2 = aggregate(zip_with(col("xs"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      base.join(broadcast(c), lit(true))
-        .withColumn("d2", d2)
-        .groupBy(col("vid"))
-        .agg(min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("cell"),
-          first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-          first(col("xs")).as("xs"))
-    }
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def assign(c: Array[(Long, Array[Long])]): DataFrame =
+      base.withColumn("cell", argminCellLong(c, col("xs")).getField("c_id"))
     for (_ <- 0 until iters) {
       val sums = assign(cents)
         .select(col("cell"), posexplode(col("xs")))
@@ -262,10 +293,7 @@ object SimilarityOps {
         .agg(sort_array(collect_list(struct(col("pos"), mean.as("c")))).as("ps"))
         .select(col("cell").as("c_id"),
           transform(col("ps"), p => p.getField("c")).as("cv"))
-        // per-round barrier (the kmeansAssignments discipline): without it
-        // round r's broadcast plan nests every earlier round's assignment
-        // + aggregation, re-running O(iters²) assignment passes
-        .localCheckpoint(false)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     }
     val fin = assign(cents).localCheckpoint(false)
     val sim = floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 10000.0) / 10000.0
@@ -364,13 +392,13 @@ object SimilarityOps {
       .orderBy(md5(col("vid").cast("string").cast("binary")), col("vid"))
       .limit(nCentroids)
       .select(col("vid").as("c_id"), col("v").as("cv"))
-    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-    val assigned = base.join(broadcast(cents), lit(true))
-      .withColumn("d2", d2)
-      .groupBy(col("vid"))
-      .agg(min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("cell"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    // row-local argmin against the driver-collected centroid literals —
+    // same arithmetic/tie-break as the former min_by form, no corpus
+    // shuffle for the assignment (r15; see kmeansAssignments)
+    val centArr: Array[(Long, Array[Double])] = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val assigned = base
+      .withColumn("cell", argminCellDouble(centArr, col("v")).getField("c_id"))
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     assigned.select(col("vid"), col("cell"), col("v"), col("nrm"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
@@ -440,19 +468,17 @@ object SimilarityOps {
         transform(asDouble(col(vecCol)),
           x => floor(x * 1048576.0).cast("long")).as("xs"))
       .localCheckpoint(false) // probed by every round
-    var cents = base
+    // driver-collected centroids (parameter-bounded, k x dim longs): the
+    // assignment is a row-local argmin projection — the former broadcast
+    // fan-out + groupBy(vid) shuffled the full corpus per round (r15)
+    var cents: Array[(Long, Array[Long])] = base
       .orderBy(md5(col("vid").cast("string").cast("binary")), col("vid"))
       .limit(k)
       .select(col("vid").as("c_id"), col("xs").as("cxs"))
-      .localCheckpoint(false)
-    val d2 = aggregate(zip_with(col("xs"), col("cxs"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-    def assign() = base.join(broadcast(cents), lit(true))
-      .withColumn("__d2", d2)
-      .groupBy(col("vid"))
-      .agg(min(struct(col("__d2"), col("c_id"))).as("__m"), first(col("xs")).as("xs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def assign() = base.withColumn("__m", argminCellLong(cents, col("xs")))
       .select(col("vid"), col("xs"), col("__m").getField("c_id").as("cell"),
-        col("__m").getField("__d2").as("d2"))
+        col("__m").getField("d2").as("d2"))
     for (_ <- 1 to rounds) {
       val assigned = assign()
       // exact element-wise floor mean (see centroidOutliers)
@@ -464,7 +490,7 @@ object SimilarityOps {
         .agg(sort_array(collect_list(struct(col("pos"), mean.as("c")))).as("ps"))
         .select(col("cell").as("c_id"),
           transform(col("ps"), p => p.getField("c")).as("cxs"))
-        .localCheckpoint(false)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     }
     assign().select(col("vid"), col("cell"), col("d2"))
   }

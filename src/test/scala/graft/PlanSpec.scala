@@ -538,13 +538,15 @@ class PlanSpec extends AnyFunSuite {
     // rank + shortfall share a window SPEC: one Window operator total
     val wins = """\(\d+\) Window""".r.findAllIn(p).size
     assert(wins == 1, s"expected one shared WindowExec, got $wins:\n$p")
-    // exactly ONE data-bearing exchange before the aggregation (the lid
-    // spread); the window must not re-shuffle the exploded rows
-    val gen = p.linesIterator.indexWhere(_.matches(""".*\(\d+\) Generate.*"""))
-    assert(gen >= 0, p)
-    val winIdx = p.linesIterator.indexWhere(_.matches(""".*\(\d+\) Window.*"""))
-    assert(winIdx < gen, s"window must sit directly above the generate (no exchange between):\n$p")
-    assert(!p.linesIterator.slice(winIdx, gen).exists(_.contains("Exchange")),
+    // the window must not re-shuffle the exploded rows: in the TREE
+    // section (operator name BEFORE its number) the Window sits above
+    // the Generate with no Exchange line between them
+    val tree = p.linesIterator.toVector
+    val gen = tree.indexWhere(_.matches(""".*[+:]- Generate \(\d+\).*"""))
+    val winIdx = tree.indexWhere(_.matches(""".*[+:]- Window \(\d+\).*"""))
+    assert(gen >= 0 && winIdx >= 0, p)
+    assert(winIdx < gen, s"window must sit above the generate in the tree:\n$p")
+    assert(!tree.slice(winIdx, gen).exists(_.contains("Exchange")),
       s"no exchange between generate and window:\n$p")
   }
 
