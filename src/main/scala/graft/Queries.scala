@@ -7823,9 +7823,9 @@ ORDER BY s1, s2""")),
       val docs = Tables.documents(s, d)
       val tok = docs.select(col("doc_id"), col("lang"),
         graft.functions.Converters.wordpieceTokens(col("text")).as("n_bpe"))
-      val comp = graft.operators.DedupOps.nearDupGroupsStar(
-        docs.select(col("doc_id")), "doc_id",
-        graft.operators.DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d)))
+      // the artifact's persisted components relation (r15; see q280)
+      val comp = graft.operators.DedupOps.dedupGraphComponents(
+        s, dedupGraphPath(s, d))
       val csz = comp.groupBy(col("canonical_id")).agg(count(lit(1)).as("__csz"))
       tok.join(comp, tok("doc_id") === comp("id"))
         .join(csz, Seq("canonical_id"))
@@ -7935,9 +7935,9 @@ ORDER BY q_id, rank""")),
       val docs = Tables.documents(s, d)
       val tok = docs.select(col("doc_id"), col("lang"),
         graft.functions.Converters.wordpieceTokens(col("text")).as("n_bpe"))
-      val comp = graft.operators.DedupOps.nearDupGroupsStar(
-        docs.select(col("doc_id")), "doc_id",
-        graft.operators.DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d)))
+      // the artifact's persisted components relation (r15; see q280)
+      val comp = graft.operators.DedupOps.dedupGraphComponents(
+        s, dedupGraphPath(s, d))
       val csz = comp.groupBy(col("canonical_id")).agg(count(lit(1)).as("__csz"))
       val per = tok.join(comp, tok("doc_id") === comp("id"))
         .join(csz, Seq("canonical_id"))
@@ -8528,15 +8528,18 @@ FROM p ORDER BY stage""")),
         ("events", Tables.events(s, d), "user_id",
           "customer", Tables.customer(s, d), "c_custkey"))
       pairs.map { case (cn, cdf, cc, pn, pdf, pc) =>
-        // ck feeds TWO consumers (the anti-join probe and the
-        // n_child_keys count): the lazy checkpoint barrier runs the
-        // corpus-sized distinct scan once per pair, not twice — the
-        // shared-frame discipline (pk has one consumer; no barrier)
-        val ck = cdf.select(col(cc).as("k")).distinct().localCheckpoint(false)
+        // ONE left join + ONE aggregation per pair (r15): the former
+        // anti-join + separate count + crossJoin consumed the child key
+        // set twice (behind a lazy checkpoint whose materialization
+        // serialized an extra job per pair); a presence marker on the
+        // parent side lets a single pass count both totals — a NULL key
+        // matches nothing either way, so it still counts as missing
+        val ck = cdf.select(col(cc).as("k")).distinct()
         val pk = pdf.select(col(pc).as("k")).distinct()
-        ck.join(pk, Seq("k"), "left_anti")
-          .agg(count(lit(1)).as("n_missing"))
-          .crossJoin(ck.agg(count(lit(1)).as("n_child_keys")))
+          .withColumn("__p", lit(1))
+        ck.join(pk, Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child_keys"),
+            sum(col("__p").isNull.cast(LongType)).as("n_missing"))
           .select(lit(s"$cn.$cc").as("child"), lit(s"$pn.$pc").as("parent"),
             col("n_child_keys"), col("n_missing"),
             (col("n_missing") === 0L).as("ind_holds"))
@@ -9192,8 +9195,8 @@ FROM per ORDER BY lang""")),
       // shared graph artifact; the rest is map-side hashing + a
       // splits-sized rollup
       val docs = Tables.documents(s, d)
-      val pairs = DedupOps.dedupGraphPairs(s, dedupGraphPath(s, d))
-      val grp = DedupOps.nearDupGroupsStar(docs.select(col("doc_id")), "doc_id", pairs)
+      // the artifact's persisted components relation (r15; see q280)
+      val grp = DedupOps.dedupGraphComponents(s, dedupGraphPath(s, d))
       def bucket(c: Column): Column =
         pmod(Converters.fingerprint64(c.cast(StringType)), lit(10L))
       def splitOf(b: Column): Column =
