@@ -443,21 +443,23 @@ case class WordpieceTokenCount(child: Expression)
   * invariant every replacement preserves.
   */
 case class BpeTokenCount(child: Expression)
-    extends RuntimeReplaceable with UnaryLike[Expression] {
-  private def str(s: String) = Literal(UTF8String.fromString(s), StringType)
-  override lazy val replacement: Expression = {
-    val encoded = Concat(Seq(str("||"),
-      RegExpReplace(child, str("(.)"), str("$1||"))))
-    val merged = BpeMerges.rules.foldLeft(encoded: Expression) { case (c, (a, b)) =>
-      StringReplace(c, str(s"|$a||$b|"), str(s"|$a$b|"))
-    }
-    // n symbols carry n+1 double-bar separators; replacing each "||" with
-    // one char shrinks the string by exactly that count — no division
-    val seps = Subtract(Length(merged),
-      Length(StringReplace(merged, str("||"), str("#"))))
-    val spaces = Subtract(Length(child), Length(StringTranslate(child, str(" "), str(""))))
-    Cast(Subtract(Subtract(seps, Literal(1)), spaces), LongType)
-  }
+    extends UnaryExpression {
+  // r15: direct evaluator instead of the unfolded ~52-pass builtin
+  // replace() chain — each pass copied the whole framed string, making
+  // the tokenizer the dominant cost of q140/q229. [[graft.functions.Bpe]]
+  // computes the identical count (the '|'/line-terminator inputs the
+  // symbol bijection cannot cover take a literal chain replay inside the
+  // helper); the q140 oracle still replays the chain in SQL, which now
+  // CROSS-checks this evaluator instead of mirroring its implementation.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bpe_tokens needs STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Bpe.countTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.Bpe.countTokens($s)")
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
     copy(child = newChild)
 }

@@ -1215,6 +1215,37 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("Bpe fast evaluator equals the literal framed-replace chain replay") {
+    // r15: BpeTokenCount moved off the unfolded builtin replace() chain
+    // to graft.functions.Bpe. The helper's slowCount IS the literal
+    // chain (same regex framing, same ordered literal replaces, same
+    // separator count), so fast == slow on every input pins the
+    // evaluator to the old semantics — including the inputs that route
+    // to the fallback ('|', line terminators) and astral pairs.
+    val rnd = new scala.util.Random(42)
+    val alphabet = "anthequrybslowjcmgkvfdipz |\n\r😀𝄞"
+    val cps = alphabet.codePoints().toArray
+    def randText(): String = {
+      val sb = new StringBuilder
+      val len = rnd.nextInt(60)
+      (0 until len).foreach(_ => sb.appendAll(Character.toChars(cps(rnd.nextInt(cps.length)))))
+      sb.toString
+    }
+    (1 to 500).foreach { _ =>
+      val s = randText()
+      val spaces = s.count(_ == ' ').toLong
+      val fast = graft.functions.Bpe.countTokens(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val slow = graft.functions.Bpe.slowCount(s, spaces)
+      assert(fast == slow, s"divergence on ${s.map(c => f"\\u$c%04x").mkString}")
+    }
+    // the decorated q229 shape explicitly
+    val astral = "😀the quick batch 𝄞the𪛖 a😀b"
+    assert(graft.functions.Bpe.countTokens(
+      org.apache.spark.unsafe.types.UTF8String.fromString(astral)) ==
+      graft.functions.Bpe.slowCount(astral, astral.count(_ == ' ').toLong))
+  }
+
   test("bloomNgramContamination equals the broadcast-exact contamination") {
     // approximate pruning + exact verify must be bit-identical to the
     // broadcast path, whatever the bloom's false-positive rate — force a

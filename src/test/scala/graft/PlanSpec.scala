@@ -402,9 +402,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"))
   }
 
-  test("q140: BPE chain inlines in the scan projection — no join, no aggregate") {
+  test("q140: BPE count inlines in the scan projection — no join, no aggregate") {
     val p = plan("q140_bpe_merge_tokens")
-    assert(p.contains("replace("))  // the unfolded merge chain
+    // r15: the unfolded ~52-pass replace() chain became the direct
+    // codegen evaluator (graft.functions.Bpe) — still a pure projection
+    assert(p.toLowerCase.contains("bpetokencount"), p)
+    assert(!p.contains("replace("), "the unfolded merge chain is back:\n" + p)
     assert(!p.contains("Join"))
     assert(!p.contains("HashAggregate"))
     // only the presentation orderBy may shuffle
