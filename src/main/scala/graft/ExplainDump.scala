@@ -27,8 +27,10 @@ object ExplainDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val wanted = qlist.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // exact qNN token match: a startsWith prefix over-selected (asking for
+    // q21 also dumped q210-q219)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
-      qlist == "all" || wanted.exists(name.startsWith)
+      qlist == "all" || wanted.contains(name.split("_")(0))
     }
     Files.createDirectories(Paths.get(outDir))
     selected.foreach { case (name, fn) =>

@@ -5072,7 +5072,15 @@ FROM c, g ORDER BY cat""")),
         // the EXPLODED relation; the explicit partition count keeps AQE
         // from coalescing the spread away before the row-multiplying
         // generate (lid is near-unique, so the hash spread is even)
-        .repartition(s.sparkContext.defaultParallelism, col("lid"))
+        // TEMP A/B toggle (r16, removed before commit): GRAFT_AB_Q217
+        //   rr = r14 round-robin spread, none = no spread (window exchange
+        //   redistributes the exploded rows), hash = lid hash w/o pinned n
+        .transform(df => sys.env.get("GRAFT_AB_Q217") match {
+          case Some("rr")   => df.repartition(s.sparkContext.defaultParallelism)
+          case Some("none") => df
+          case Some("hash") => df.repartition(col("lid"))
+          case _ => df.repartition(s.sparkContext.defaultParallelism, col("lid"))
+        })
       val wRk = Window.partitionBy(col("lid"))
         .orderBy(col("__rem").desc, col("mstart"))
       // the shortfall shares the rank's window SPEC (same partition +
@@ -8213,17 +8221,27 @@ FROM a WHERE n1 > 0 AND n2 > 0 ORDER BY user_id""")),
       // running min over right endpoints, a running max over left
       // starts — so the oracle replays the identical join-window plan;
       // the fit is the release-ready monotone score→rate mapping
-      // ONE fingerprint pass: the dup-count attaches via a window over
-      // __f instead of a groupBy + join-back, which scanned and
-      // fingerprinted the corpus twice and shuffled it twice (r15); the
-      // window exchange carries only (__f, n_chars) — 16 bytes/row
+      // ONE fingerprint pass (r15), SKEW-SAFE (r16): the r15 form counted
+      // dups via `count() over (partition by __f)` on the raw rows — no
+      // partial aggregation, so one pathological duplicate cluster (a
+      // million identical boilerplate docs at 100 TB) lands in ONE window
+      // task. Now the rows first collapse map-side into (__f, bin) counts
+      // (two-level aggregation, guide §2.5), the per-fingerprint total
+      // attaches via a window over the DISTINCT-sized aggregate, and each
+      // group contributes its count to the bin tallies — same one corpus
+      // scan, identical results (n = Σ c per bin; n_pos = Σ c over groups
+      // whose fingerprint total > 1). The isNotNull filter pins the
+      // oracle's join semantics: a NULL text row (none exist today) would
+      // drop from both forms' tallies, where the r15 window retained it.
       val bins = Tables.documents(s, d)
-        .select(Converters.fingerprint64(col("text")).as("__f"), col("n_chars"))
-        .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__f"))))
-        .select(call_function("div", col("n_chars"), lit(100L)).as("bin"),
-          (col("__c") > 1L).cast("long").as("y"))
+        .select(Converters.fingerprint64(col("text")).as("__f"),
+          call_function("div", col("n_chars"), lit(100L)).as("bin"))
+        .filter(col("__f").isNotNull)
+        .groupBy(col("__f"), col("bin")).agg(count(lit(1)).as("__c"))
+        .withColumn("__tc", sum(col("__c")).over(Window.partitionBy(col("__f"))))
         .groupBy(col("bin"))
-        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+        .agg(sum(col("__c")).as("n"),
+          sum(when(col("__tc") > 1L, col("__c")).otherwise(0L)).as("n_pos"))
       graft.operators.SketchOps.isotonicFit(bins, "bin", "n", "n_pos")
         .orderBy(col("bin"))
     },
@@ -8534,6 +8552,17 @@ FROM p ORDER BY stage""")),
         // serialized an extra job per pair); a presence marker on the
         // parent side lets a single pass count both totals — a NULL key
         // matches nothing either way, so it still counts as missing
+        // TEMP A/B toggle (r16, removed before commit): GRAFT_AB_Q316=legacy
+        if (sys.env.get("GRAFT_AB_Q316").contains("legacy")) {
+          val ck = cdf.select(col(cc).as("k")).distinct().localCheckpoint(false)
+          val pk = pdf.select(col(pc).as("k")).distinct()
+          ck.join(pk, Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("n_missing"))
+            .crossJoin(ck.agg(count(lit(1)).as("n_child_keys")))
+            .select(lit(s"$cn.$cc").as("child"), lit(s"$pn.$pc").as("parent"),
+              col("n_child_keys"), col("n_missing"),
+              (col("n_missing") === 0L).as("ind_holds"))
+        } else {
         val ck = cdf.select(col(cc).as("k")).distinct()
         val pk = pdf.select(col(pc).as("k")).distinct()
           .withColumn("__p", lit(1))
@@ -8543,6 +8572,7 @@ FROM p ORDER BY stage""")),
           .select(lit(s"$cn.$cc").as("child"), lit(s"$pn.$pc").as("parent"),
             col("n_child_keys"), col("n_missing"),
             (col("n_missing") === 0L).as("ind_holds"))
+        }
       }.reduce(_ union _).orderBy(col("child"), col("parent"))
     },
       Some {

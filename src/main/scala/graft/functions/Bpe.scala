@@ -42,6 +42,10 @@ import org.apache.spark.unsafe.types.UTF8String
 object Bpe {
   private val rules: Array[(String, String)] = BpeMerges.rules.toArray
 
+  // compiled once: every '|'/terminator-bearing document replays the
+  // framing regex, and a per-row Pattern.compile would dominate that path
+  private val FramePattern = java.util.regex.Pattern.compile("(.)")
+
   private def isLineTerminator(cp: Int): Boolean =
     cp == '\n' || cp == '\r' || cp == 0x85 || cp == 0x2028 || cp == 0x2029
 
@@ -95,8 +99,7 @@ object Bpe {
     * literal replaces, count non-overlapping "||" separators.
     */
   private[graft] def slowCount(str: String, spaces: Long): Long = {
-    var framed = "||" + java.util.regex.Pattern.compile("(.)")
-      .matcher(str).replaceAll("$1||")
+    var framed = "||" + FramePattern.matcher(str).replaceAll("$1||")
     var ruleIdx = 0
     while (ruleIdx < rules.length) {
       val (a, b) = rules(ruleIdx)

@@ -934,12 +934,21 @@ object DedupOps {
       .select(col("id"), col("id").as("lbl"))
     var labels = paired.select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
+    // FRONTIER propagation (r16, guide §2.1 shuffle less data): only nodes
+    // whose label changed since their last propagation can change a
+    // neighbor's min, so each step joins the edges against the CHANGED set
+    // instead of the full label relation. Labels per round are bit-identical
+    // to the full-step form: a non-frontier node's label is unchanged since
+    // it was last propagated, hence already folded into every neighbor's
+    // min (labels only decrease). Round 1's frontier is every paired node,
+    // so it IS the full step.
+    var frontier = labels
     var changed = 1L
     var i = 0
-    // one propagation step: min over the neighborhood, carrying any extra
-    // columns (the round-start label rides along for the change flag)
-    def step(l: DataFrame): DataFrame = {
-      val nbrMin = edges.join(l.select(col("id"), col("lbl")), col("dst") === col("id"))
+    // one propagation step against a frontier: min over the frontier
+    // neighborhood, merged into all labels (carrying any extra columns)
+    def step(l: DataFrame, f: DataFrame): DataFrame = {
+      val nbrMin = edges.join(f.select(col("id"), col("lbl")), col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
       val newLbl = least(col("lbl"), coalesce(col("nlbl"), col("lbl")))
       l.join(nbrMin, col("id") === col("src"), "left")
@@ -950,19 +959,26 @@ object DedupOps {
       // TWO propagation steps per action: at bench scale the loop cost is
       // dominated by per-round fixed overhead (job launch, checkpoint,
       // codegen), not data volume, so halving the rounds halves the loop.
-      // The change flag compares the final label to the ROUND-START label
-      // (carried through both steps — no join back); labels only decrease
-      // (least), so "no change across the double step" <=> fixpoint.
-      val updated = step(step(labels.select(col("id"), col("lbl"), col("lbl").as("__lbl0"))))
-        .select(col("id"), col("lbl"), (col("lbl") =!= col("__lbl0")).as("__chg"))
+      // Step 2's frontier is the step-1 changed set (checkpointed so the
+      // two consumers — the merge side and the filter — compute it once);
+      // the NEXT round's frontier is the step-2 changed set: step-1
+      // changes were already propagated within this round, and labels
+      // only decrease (least), so "step 2 changed nothing" <=> fixpoint.
+      val mid = step(labels.select(col("id"), col("lbl"), col("lbl").as("__lbl0")), frontier)
         .localCheckpoint(false)
-      changed = updated.filter(col("__chg")).count()
+      val f1 = mid.filter(col("lbl") =!= col("__lbl0")).select(col("id"), col("lbl"))
+      val updated = step(mid.select(col("id"), col("lbl"), col("lbl").as("__lbl1")), f1)
+        .select(col("id"), col("lbl"), (col("lbl") =!= col("__lbl1")).as("__chg"))
+        .localCheckpoint(false)
+      frontier = updated.filter(col("__chg")).select(col("id"), col("lbl"))
+      changed = frontier.count()
       labels = updated.select(col("id"), col("lbl"))
       i += 1
     }
     // wrong-but-plausible labels are worse than failing: a component whose
     // diameter exceeds the propagation budget would report an intermediate
-    // id as canonical
+    // id as canonical. `changed` counts the step-2 frontier, which is empty
+    // exactly at the full-step fixpoint (see the loop comment).
     require(changed == 0,
       s"nearDupGroups did not converge in $maxIter double-rounds (${2 * maxIter} steps) — " +
         s"raise maxIter (or use nearDupGroupsStar for deep chains)")
@@ -1227,6 +1243,12 @@ object DedupOps {
     */
   def dedupGraphComponents(spark: SparkSession, path: String): DataFrame = {
     resolveSwappedDir(spark, s"$path/components")
+    // tombstone contract (advisor r15): removed ids LEAVE the relation
+    // entirely, whereas a live recomputation over the post-takedown pair
+    // set would keep a removed doc as a singleton component. No consumer
+    // observes the difference today (takedowns mutate a separate
+    // artifact path); a reader that needs takedown-surviving singletons
+    // must union the corpus id set back in as (id, id) rows.
     spark.read.parquet(s"$path/components").distinct()
       .join(dedupGraphRemoved(spark, path), Seq("id"), "left_anti")
   }

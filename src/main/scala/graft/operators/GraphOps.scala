@@ -805,7 +805,10 @@ object GraphOps {
       .distinct()
       // both sweeps join on __s every round — pre-hash once so only the
       // frontier/suffix side shuffles per round (r15)
-      .repartition(col("__s"))
+      // TEMP A/B toggle (r16, removed before commit): GRAFT_AB_Q310=norehash
+      .transform(df =>
+        if (sys.env.get("GRAFT_AB_Q310").contains("norehash")) df
+        else df.repartition(col("__s")))
       .localCheckpoint(false) // reused by every round, both sweeps
     val l0 = seeds.select(col(seedCol).cast("long").as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"), lit(1L).as("sig"))

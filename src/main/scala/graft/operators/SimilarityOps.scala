@@ -30,35 +30,38 @@ object SimilarityOps {
 
   /** ROW-LOCAL k-means assignment against driver-collected centroids
     * (r15): the centroid set is parameter-bounded (k x dim), so it rides
-    * into the plan as a literal array and the argmin is a pure projection
-    * — no broadcast fan-out, no post-fanout corpus shuffle. Arithmetic
-    * and tie-break are identical to the former
-    * `min_by(c_id, struct(d2, c_id))` form: array_min over
-    * struct(d2, c_id) compares field-by-field, (d2 asc, c_id asc).
-    * Integer (2^20 fixed-point) variant.
+    * into the plan as expression literals and the argmin is a pure
+    * projection — no broadcast fan-out, no post-fanout corpus shuffle.
+    * r16: one codegen'd loop ([[graft.functions.KmeansArgminLong]])
+    * instead of the HOF chain (transform/aggregate/zip_with are
+    * CodegenFallback — 16 interpreted lambda folds per row per round at
+    * k=16). Arithmetic and (d2 asc, c_id asc) tie-break are identical to
+    * both prior forms (`min_by(c_id, struct(d2, c_id))`, then
+    * `array_min` over struct) — SimilaritySpec pins bit-equality with
+    * the HOF form. Integer (2^20 fixed-point) variant.
     */
-  private def argminCellLong(cents: Array[(Long, Array[Long])], xs: Column): Column = {
-    val carr = array(cents.map { case (cid, cxs) =>
-      struct(lit(cid).as("c_id"), array(cxs.map(lit(_)): _*).as("cxs"))
-    }: _*)
-    array_min(transform(carr, c => struct(
-      aggregate(zip_with(xs, c.getField("cxs"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x).as("d2"),
-      c.getField("c_id").as("c_id"))))
-  }
+  private def argminCellLong(cents: Array[(Long, Array[Long])], xs: Column): Column =
+    // TEMP A/B toggle (r16, removed before commit): GRAFT_AB_KMEANS=hof
+    if (sys.env.get("GRAFT_AB_KMEANS").contains("hof")) {
+      val carr = array(cents.map { case (cid, cxs) =>
+        struct(lit(cid).as("c_id"), array(cxs.map(lit(_)): _*).as("cxs"))
+      }: _*)
+      array_min(transform(carr, c => struct(
+        aggregate(zip_with(xs, c.getField("cxs"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"),
+        c.getField("c_id").as("c_id"))))
+    } else
+    org.apache.spark.sql.GraftBridge.column(graft.functions.KmeansArgminLong(
+      org.apache.spark.sql.GraftBridge.expression(xs),
+      cents.map(_._1).toSeq, cents.map(_._2.toSeq).toSeq))
 
   /** [[argminCellLong]]'s double variant (the IVF build's raw-vector
-    * distance): same left-to-right aggregate fold, same tie-break.
+    * distance): same left-to-right accumulation order, same tie-break.
     */
-  private def argminCellDouble(cents: Array[(Long, Array[Double])], v: Column): Column = {
-    val carr = array(cents.map { case (cid, cv) =>
-      struct(lit(cid).as("c_id"), array(cv.map(lit(_)): _*).as("cv"))
-    }: _*)
-    array_min(transform(carr, c => struct(
-      aggregate(zip_with(v, c.getField("cv"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x).as("d2"),
-      c.getField("c_id").as("c_id"))))
-  }
+  private def argminCellDouble(cents: Array[(Long, Array[Double])], v: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.KmeansArgminDouble(
+      org.apache.spark.sql.GraftBridge.expression(v),
+      cents.map(_._1).toSeq, cents.map(_._2.toSeq).toSeq))
 
   /** Brute-force cosine top-k: for every query vector (filter `queryPred`),
     * the k nearest other vectors. Similarity is rounded to `roundDigits`

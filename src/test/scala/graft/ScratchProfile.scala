@@ -60,4 +60,59 @@ class ScratchProfile extends AnyFunSuite {
       }
     }
   }
+
+  test("profile q303 dbscan stage breakdown at sf0.1") {
+    if (on) {
+      val sf = "/root/testdata/sf0.1"
+      import graft.functions.Converters
+      import org.apache.spark.sql.types.StringType
+      def coordMix(h: org.apache.spark.sql.Column) = pmod(pmod(
+        lit(636413622L) * h + lit(528402381L),
+        lit(1000000007L)), lit(1000000L))
+      for (rep <- 1 to 2) {
+        var t0 = System.nanoTime()
+        def t(label: String): Unit = {
+          println(f"[profile] rep$rep $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          t0 = System.nanoTime()
+        }
+        val pts = Tables.customer(spark, sf).select(col("c_custkey").as("id"),
+          coordMix(Converters.fingerprint64(
+            concat(lit("gx"), col("c_custkey").cast(StringType)))).as("x"),
+          coordMix(Converters.fingerprint64(
+            concat(col("c_custkey").cast(StringType), lit("gy")))).as("y"))
+        val eps = math.floor(968246.0 / math.sqrt(pts.count().toDouble)).toLong
+        t("eps count")
+        val p2 = pts.localCheckpoint(true)
+        t("pts materialize")
+        val pairs = graft.operators.SpatialOps.gridNeighborPairs(
+            p2, "id", "x", "y", eps, eps)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"[profile] pairs: ${pairs.count()}")
+        t("pairs materialize")
+        val deg = pairs.select(col("id_a").as("id"))
+          .unionAll(pairs.select(col("id_b")))
+          .groupBy(col("id")).agg(count(lit(1)).as("__nb"))
+        val core = p2.join(deg, Seq("id"), "left")
+          .filter(coalesce(col("__nb"), lit(0L)) + 1L >= 3L)
+          .select(col("id"))
+          .localCheckpoint(true)
+        t("core materialize")
+        val coreEdges = pairs
+          .join(core.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+          .join(core.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+          .select(col("id_a").as("ia"), col("id_b").as("ib"))
+        val grp = DedupOps.nearDupGroupsStar(core, "id", coreEdges)
+          .localCheckpoint(true)
+        t("star contraction")
+        val full = graft.operators.SpatialOps.dbscanGrid(p2, "id", "x", "y",
+          eps, eps, 3L).orderBy(col("id"))
+        full.write.format("noop").mode("overwrite").save()
+        t("full dbscanGrid end-to-end")
+        pairs.unpersist()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        System.gc()
+      }
+    }
+  }
 }
