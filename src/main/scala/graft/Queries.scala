@@ -5072,15 +5072,15 @@ FROM c, g ORDER BY cat""")),
         // the EXPLODED relation; the explicit partition count keeps AQE
         // from coalescing the spread away before the row-multiplying
         // generate (lid is near-unique, so the hash spread is even)
-        // TEMP A/B toggle (r16, removed before commit): GRAFT_AB_Q217
-        //   rr = r14 round-robin spread, none = no spread (window exchange
-        //   redistributes the exploded rows), hash = lid hash w/o pinned n
-        .transform(df => sys.env.get("GRAFT_AB_Q217") match {
-          case Some("rr")   => df.repartition(s.sparkContext.defaultParallelism)
-          case Some("none") => df
-          case Some("hash") => df.repartition(col("lid"))
-          case _ => df.repartition(s.sparkContext.defaultParallelism, col("lid"))
-        })
+        // SETTLED by r16 fresh-JVM A/Bs after the r15 driver run read this
+        // 0.81x and its 8-core hi sweep flagged alpha 1.30: on this box the
+        // lid-hash+pinned-count spread DOMINATES every alternative — 32-core
+        // fresh-JVM min 2.11 s vs 3.20 (r14 round-robin), 4.54 (unpinned
+        // hash: AQE coalesces the spread to 1 partition before the explode),
+        // 11.9 (no spread: single-partition explode); 8-core base/x3-hi
+        // 4.19/10.2 s vs round-robin's 6.02/13.4, alpha 0.94 cal 1.01 — under
+        // the 1.2 gate. Kept; plans/r16/q217_ab.md carries the full table.
+        .repartition(s.sparkContext.defaultParallelism, col("lid"))
       val wRk = Window.partitionBy(col("lid"))
         .orderBy(col("__rem").desc, col("mstart"))
       // the shortfall shares the rank's window SPEC (same partition +
@@ -8552,17 +8552,9 @@ FROM p ORDER BY stage""")),
         // serialized an extra job per pair); a presence marker on the
         // parent side lets a single pass count both totals — a NULL key
         // matches nothing either way, so it still counts as missing
-        // TEMP A/B toggle (r16, removed before commit): GRAFT_AB_Q316=legacy
-        if (sys.env.get("GRAFT_AB_Q316").contains("legacy")) {
-          val ck = cdf.select(col(cc).as("k")).distinct().localCheckpoint(false)
-          val pk = pdf.select(col(pc).as("k")).distinct()
-          ck.join(pk, Seq("k"), "left_anti")
-            .agg(count(lit(1)).as("n_missing"))
-            .crossJoin(ck.agg(count(lit(1)).as("n_child_keys")))
-            .select(lit(s"$cn.$cc").as("child"), lit(s"$pn.$pc").as("parent"),
-              col("n_child_keys"), col("n_missing"),
-              (col("n_missing") === 0L).as("ind_holds"))
-        } else {
+        // SETTLED by the r16 fresh-JVM A/B (the r15 driver run read 0.88x):
+        // fused 1.47-1.60 s vs legacy anti-join+count+crossJoin 2.11-2.32 s
+        // at 32 cores, 6 samples each — the fused form stays
         val ck = cdf.select(col(cc).as("k")).distinct()
         val pk = pdf.select(col(pc).as("k")).distinct()
           .withColumn("__p", lit(1))
@@ -8572,7 +8564,6 @@ FROM p ORDER BY stage""")),
           .select(lit(s"$cn.$cc").as("child"), lit(s"$pn.$pc").as("parent"),
             col("n_child_keys"), col("n_missing"),
             (col("n_missing") === 0L).as("ind_holds"))
-        }
       }.reduce(_ union _).orderBy(col("child"), col("parent"))
     },
       Some {

@@ -803,12 +803,13 @@ object GraphOps {
     val ed = edges.select(col(srcCol).cast("long").as("__s"),
         col(dstCol).cast("long").as("__d"))
       .distinct()
-      // both sweeps join on __s every round — pre-hash once so only the
-      // frontier/suffix side shuffles per round (r15)
-      // TEMP A/B toggle (r16, removed before commit): GRAFT_AB_Q310=norehash
-      .transform(df =>
-        if (sys.env.get("GRAFT_AB_Q310").contains("norehash")) df
-        else df.repartition(col("__s")))
+      // NO pre-hash on __s (r16 revert of the r15 edge pre-hash): the r15
+      // driver run read q310 0.79x, and the r16 fresh-JVM A/B confirms —
+      // 32-core min 2.13 s without vs 2.35 s with (6 samples each). Same
+      // verdict as the pageRank/temporal/HITS A/Bs (r15): the per-round
+      // probe side is small enough that the joins never shuffle the frozen
+      // edges, so the build-time exchange is pure cost. Becomes right only
+      // at a scale where the per-round join side stops broadcasting.
       .localCheckpoint(false) // reused by every round, both sweeps
     val l0 = seeds.select(col(seedCol).cast("long").as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"), lit(1L).as("sig"))

@@ -41,16 +41,6 @@ object SimilarityOps {
     * the HOF form. Integer (2^20 fixed-point) variant.
     */
   private def argminCellLong(cents: Array[(Long, Array[Long])], xs: Column): Column =
-    // TEMP A/B toggle (r16, removed before commit): GRAFT_AB_KMEANS=hof
-    if (sys.env.get("GRAFT_AB_KMEANS").contains("hof")) {
-      val carr = array(cents.map { case (cid, cxs) =>
-        struct(lit(cid).as("c_id"), array(cxs.map(lit(_)): _*).as("cxs"))
-      }: _*)
-      array_min(transform(carr, c => struct(
-        aggregate(zip_with(xs, c.getField("cxs"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d2"),
-        c.getField("c_id").as("c_id"))))
-    } else
     org.apache.spark.sql.GraftBridge.column(graft.functions.KmeansArgminLong(
       org.apache.spark.sql.GraftBridge.expression(xs),
       cents.map(_._1).toSeq, cents.map(_._2.toSeq).toSeq))
