@@ -19,11 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the full Unicode range, emoji and CJK-extension text included).
   *
   * The vocabulary is a deterministic fixture (common English + corpus
-  * subwords) compiled once into a prefix trie: a position's longest
-  * match is one walk of at most 4 array derefs, zero allocation per
-  * char (r16 — the r15 form ran up to three sorted-array binary
-  * searches per position). The oracle SQL interpolates the SAME lists
-  * ([[v2]]/[[v3]]/[[v4]]), so the two sides can never drift.
+  * subwords), one sorted packed-key array per piece length: a probe is
+  * a 7-step binary search over a long, zero allocation per char. The
+  * oracle SQL interpolates the SAME lists ([[v2]]/[[v3]]/[[v4]]), so the
+  * two sides can never drift.
   */
 object Wordpiece {
   val v2: Seq[String] = Seq(
@@ -48,72 +47,58 @@ object Wordpiece {
     "smal", "grou", "colu", "valu", "cust", "orde", "line", "tion",
     "atio", "ment", "ndow").distinct
 
-  // the per-length vocab invariants the packed-key probe used to assert
-  require(v2.forall(_.length == 2) && v3.forall(_.length == 3) &&
-    v4.forall(_.length == 4), "vocab piece with the wrong length")
-
-  /** Prefix trie over the (all-lowercase-ASCII) vocab — r16: the r15
-    * step probed up to THREE sorted arrays per position (4-, 3-, then
-    * 2-char keys, ~18 branchy compares); one trie walk reads at most 4
-    * chars with one array deref each and returns the DEEPEST terminal,
-    * which is by construction the same longest match. `trieNext(n)(c)`
-    * is the child of node n on letter c (-1 = none); `trieTerm(n)` is
-    * the piece length ending at n (0 = none). ~154 pieces → a few
-    * hundred nodes, built once.
+  /** Chars packed 16 bits each, most-significant first — unique per
+    * string within one fixed length, so each per-length array is
+    * binary-searchable.
     */
-  private val (trieNext, trieTerm): (Array[Array[Int]], Array[Int]) = {
-    val next = scala.collection.mutable.ArrayBuffer[Array[Int]](Array.fill(26)(-1))
-    val term = scala.collection.mutable.ArrayBuffer[Int](0)
-    def add(p: String): Unit = {
-      var n = 0
-      p.foreach { ch =>
-        require(ch >= 'a' && ch <= 'z', s"vocab piece '$p' is not lowercase ASCII")
-        val c = ch - 'a'
-        if (next(n)(c) < 0) {
-          next(n)(c) = next.length
-          next += Array.fill(26)(-1)
-          term += 0
-        }
-        n = next(n)(c)
-      }
-      term(n) = p.length
-    }
-    (v2 ++ v3 ++ v4).foreach(add)
-    (next.toArray, term.toArray)
+  private def pack(s: String): Long = {
+    var k = 0L
+    var i = 0
+    while (i < s.length) { k = (k << 16) | s.charAt(i); i += 1 }
+    k
   }
+  private def packedSorted(v: Seq[String], len: Int): Array[Long] = {
+    require(v.forall(_.length == len), s"vocab pieces must all be length $len")
+    require(v.distinct.size == v.size, "duplicate vocab piece")
+    v.map(pack).sorted.toArray
+  }
+  private val p2 = packedSorted(v2, 2)
+  private val p3 = packedSorted(v3, 3)
+  private val p4 = packedSorted(v4, 4)
 
   /** Greedy longest-match step length at position i of s (1 when no
-    * piece matches). `end` bounds the current word. The trie's deepest
-    * terminal within [i, min(end, i+4)) IS the r15 probe order's result:
-    * a depth-d terminal exists iff the d-char prefix is a vocab piece.
+    * piece matches). `end` bounds the current word.
+    *
+    * r16 A/B note: a prefix-trie rewrite (one walk, <= 4 child-array
+    * derefs) measured SLOWER than these three packed-key binary searches
+    * on fresh JVMs — q298 0.41 -> 0.71 s, q229 1.00 -> 1.11 s (min-of-6,
+    * 32 cores). The sorted long arrays are contiguous and branch-predict
+    * well at this vocab size (27/51/76 entries); the trie's dependent
+    * 2-D loads do not. Reverted; revisit only with a vocab 100x bigger.
     */
   private def step(s: String, i: Int, end: Int): Int = {
-    var n = 0
-    var j = i
-    var best = 1
-    val lim = math.min(end, i + 4)
-    var walking = true
-    while (walking && j < lim) {
-      val c = s.charAt(j) - 'a'
-      if (c < 0 || c >= 26) walking = false
-      else {
-        val nx = trieNext(n)(c)
-        if (nx < 0) walking = false
-        else {
-          n = nx
-          j += 1
-          if (trieTerm(n) > 0) best = j - i
-        }
-      }
+    if (i + 4 <= end) {
+      val k = pack4(s, i)
+      if (java.util.Arrays.binarySearch(p4, k) >= 0) return 4
     }
-    if (best > 1) return best
+    if (i + 3 <= end) {
+      val k = (s.charAt(i).toLong << 32) | (s.charAt(i + 1).toLong << 16) | s.charAt(i + 2)
+      if (java.util.Arrays.binarySearch(p3, k) >= 0) return 3
+    }
+    if (i + 2 <= end) {
+      val k = (s.charAt(i).toLong << 16) | s.charAt(i + 1)
+      if (java.util.Arrays.binarySearch(p2, k) >= 0) return 2
+    }
     // an astral codepoint is ONE token: consume the whole surrogate pair,
     // matching the oracle's codepoint counting (the vocab is ASCII, so a
-    // surrogate can never have matched a trie walk above)
+    // surrogate can never have matched a piece probe above)
     if (i + 2 <= end && Character.isHighSurrogate(s.charAt(i)) &&
       Character.isLowSurrogate(s.charAt(i + 1))) return 2
     1
   }
+  private def pack4(s: String, i: Int): Long =
+    (s.charAt(i).toLong << 48) | (s.charAt(i + 1).toLong << 32) |
+      (s.charAt(i + 2).toLong << 16) | s.charAt(i + 3)
 
   /** Token count of the word s[from, end). */
   def countWord(s: String, from: Int, end: Int): Long = {

@@ -407,9 +407,9 @@ object TextCodec {
 }
 
 /** Greedy wordpiece subword token count over the [[Wordpiece]] fixture
-  * vocabulary — codegen'd call into the static counter (one prefix-trie
-  * walk per position, zero allocation), so BPE-token budgeting stays
-  * inside whole-stage codegen like every other text metric.
+  * vocabulary — codegen'd call into the static counter (sorted packed-key
+  * binary search per position, zero allocation), so BPE-token budgeting
+  * stays inside whole-stage codegen like every other text metric.
   */
 case class WordpieceTokenCount(child: Expression)
     extends UnaryExpression {

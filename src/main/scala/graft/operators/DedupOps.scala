@@ -1037,9 +1037,16 @@ object DedupOps {
       .union(e.select(col("b").as("a"), col("a").as("b")))
     val mins = und.groupBy(col("a")).agg(min(col("b")).as("mb"))
       .select(col("a"), least(col("a"), col("mb")).as("m"))
+    // no distinct here (r16): [[smallStar]]'s terminal distinct dedupes
+    // the composed round's output either way (its min aggregation is
+    // duplicate-insensitive), so the per-round edge SET — and the
+    // convergence fingerprint over it — is unchanged while each round
+    // runs one exchange fewer. The star loop is stage-count-bound on
+    // near-converged edge sets (q303/q71/q44-family), so exchanges per
+    // round are the cost that matters.
     und.join(mins, "a").filter(col("b") > col("a"))
       .select(col("b").as("a"), col("m").as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b"))
   }
 
   /** Small-star round: every node rewires its smaller-or-equal neighbors
@@ -1093,6 +1100,8 @@ object DedupOps {
     }
     require(converged,
       s"nearDupGroupsStar did not converge in $maxIter rounds (pathological input?)")
+    if (sys.props.contains("graft.debug"))
+      System.err.println(s"[star] converged in $i double-rounds, ${fp._1} star edges")
     // converged edges are stars (node -> component min); everything else
     // is a singleton
     val labels = edges.select(col("a").as("id"), col("b").as("lbl"))

@@ -275,13 +275,13 @@ object SpatialOps {
           .when(col("__bcl").isNotNull, lit("border"))
           .otherwise(lit("noise")).as("role"),
         coalesce(col("__ccl"), col("__bcl"), lit(-1L)).as("cluster"))
-      // LAZY checkpoint + immediate pairs.unpersist() is a MEASURED
-      // trade, not an oversight: consumers that evaluate after the
-      // unpersist re-run the (cheap at this shape) grid join, but an
-      // eager barrier here benched ~1s SLOWER on q303 (min-of-3, same
-      // cold JVM: 7.08 vs 6.05 s) — the materialization stall costs more
-      // than the recompute it avoids. Revisit only with a measurement.
-      .localCheckpoint(false)
+      // EAGER checkpoint (r16 re-measure, flipping the r12 lazy verdict
+      // under the current plan shape): materializing `out` while `pairs`
+      // is still cached spares the final action a full grid-join recompute
+      // — fresh-JVM q303 paired mins 3.96/4.18 s eager vs 4.38/4.69 lazy.
+      // Also the scale-right choice: at corpus scale the recomputed
+      // neighbor join dwarfs any materialization stall.
+      .localCheckpoint(true)
     pairs.unpersist()
     out
   }

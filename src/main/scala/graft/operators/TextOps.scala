@@ -622,18 +622,19 @@ object TextOps {
     * `w // 1000` before the order-free integer sum), so rankings are
     * engine- and partition-order-exact.
     *
-    * Scale shape (r16 fusion, guide §2.4): the corpus is tokenized ONCE
-    * into the checkpointed (id, term, tf, dl) relation; the corpus stats
-    * (N, Σdl) are ONE bounded driver read (1 row — the centroid-collect
-    * class) instead of a per-round crossJoin subtree; each round's dfreq
-    * SEMI-FILTERS the relation by the probed terms BEFORE aggregating
-    * (the r15 form aggregated the FULL vocabulary per round — two
-    * corpus-sized exchanges for a handful of term counts); and because
-    * an original term's weight is exactly 1000 milli
-    * (div(c*1000, 1000) = c for the non-negative contributions), the
-    * final scores REUSE the checkpointed round-1 (query, id) sums and
-    * only the expansion terms are scored fresh — round 2 re-scores
-    * fbTerms·queries terms, not the whole expanded set. A production
+    * Scale shape: the corpus is tokenized ONCE into the checkpointed
+    * (id, term, tf, dl) relation both rounds share; each round is a
+    * broadcast probe of the tiny term set against that relation + one
+    * id-keyed aggregation, and the feedback harvest joins only the
+    * fbDocs·queries selected documents back. r16: each round's dfreq
+    * SEMI-FILTERS the relation by the probed terms BEFORE aggregating —
+    * the r15 form aggregated the FULL vocabulary per round, a
+    * corpus-sized exchange for a handful of term counts. (A deeper r16
+    * fusion — driver-collected corpus stats, checkpointed round-1 sums
+    * reused in the final score — measured SLOWER on fresh JVMs, 1.56 →
+    * 1.89 s: the extra driver action and checkpoint barrier serialized
+    * a pipeline whose exchanges were already tiny. Reverted to the
+    * single-DAG shape; only the semi-filter survives.) A production
     * deployment swaps the relation for the persisted postings index
     * ([[buildPostingsIndex]]) — the round structure is unchanged.
     */
@@ -655,35 +656,32 @@ object TextOps {
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       .localCheckpoint(false) // shared by both scoring rounds + harvest
-    // corpus stats: 1 row, parameter-bounded — ride the plan as literals
-    val st = docs.agg(countDistinct(col("id")), sum(col("tf"))).head
-    val nDocs = if (st.isNullAt(0)) 0L else st.getLong(0)
-    val sumdl = if (st.isNullAt(1)) 0L else st.getLong(1)
+    val stats = broadcast(docs.groupBy()
+      .agg(countDistinct(col("id")).as("__N"), sum(col("tf")).as("__sumdl")))
     def scores(qt: DataFrame): DataFrame = {
-      // dfreq over only the probed terms: the semi-join prunes map-side,
-      // so the aggregation exchanges matching rows, never the vocabulary
+      // dfreq over only the probed terms (r16): the semi-join prunes
+      // map-side, so the aggregation exchanges matching rows, never the
+      // full vocabulary
       val dfq = broadcast(
         docs.join(qt.select(col("term")).distinct(), Seq("term"), "left_semi")
           .groupBy(col("term")).agg(count(lit(1)).as("dfreq")))
-      val num = lit(scale) * col("tf") * 44L * lit(sumdl)
-      val den = col("tf") * 20L * lit(sumdl) + lit(6L) * lit(sumdl) +
-        lit(18L) * col("dl") * lit(nDocs)
+      val num = lit(scale) * col("tf") * 44L * col("__sumdl")
+      val den = col("tf") * 20L * col("__sumdl") + lit(6L) * col("__sumdl") +
+        lit(18L) * col("dl") * col("__N")
       val idf = call_function("div",
-        lit(scale) * ((lit(nDocs) - col("dfreq")) * 2L + 1L), col("dfreq") * 2L + 1L)
+        lit(scale) * ((col("__N") - col("dfreq")) * 2L + 1L), col("dfreq") * 2L + 1L)
       val contrib = call_function("div",
         idf * call_function("div", num, den), lit(scale))
       docs.join(qt, Seq("term"))
         .join(dfq, Seq("term"))
+        .crossJoin(stats)
         .select(col("query_id"), col("id"),
           call_function("div", contrib * col("w"), lit(1000L)).as("__c"))
         .groupBy(col("query_id"), col("id")).agg(sum(col("__c")).as("score"))
     }
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id"))
-    // round-1 (query, id) scores: consumed by the feedback rank AND the
-    // final sum (original-term weight 1000 makes them reusable verbatim)
-    val base = scores(qt0).localCheckpoint(false)
-    val fb = base
+    val fb = scores(qt0)
       .withColumn("rk", row_number().over(w1))
       .filter(col("rk") <= fbDocs)
       .select(col("query_id"), col("id"))
@@ -696,11 +694,8 @@ object TextOps {
       .withColumn("rk", row_number().over(we))
       .filter(col("rk") <= fbTerms)
       .select(col("query_id"), col("term"), lit(expWeightMilli).as("w"))
-    // final scores = round-1 sums + expansion-term contributions (the
-    // integer sum splits exactly; a doc matching only expansion terms
-    // enters through the union's right side)
-    base.unionByName(scores(broadcast(expansion)))
-      .groupBy(col("query_id"), col("id")).agg(sum(col("score")).as("score"))
+    val qt2 = broadcast(qt0.unionByName(expansion))
+    scores(qt2)
       .withColumn("rk", row_number().over(w1).cast("long"))
       .filter(col("rk") <= k)
   }
