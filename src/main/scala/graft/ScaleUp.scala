@@ -31,6 +31,26 @@ import org.apache.spark.sql.functions._
   * correctness is still gated on the driver's real SF dirs.
   */
 object ScaleUp {
+  /** Standalone materializer: `runMain graft.ScaleUp <srcDir> <outDir>
+    * <factor>` — used by the r16 sf1 spot bench (factor 10 over sf0.1) so
+    * optimization targets can be picked on compute, not the sf0.1
+    * fixed-overhead floor (VERDICT r15 item 9). Bench itself still
+    * materializes its own ×3 sweep corpus.
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcDir> <outDir> <factor>")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    materialize(spark, args(0), args(1), args(2).toInt)
+    spark.stop()
+  }
+
   private val Stride = 1000000000L
 
   private def shiftKeys(df: DataFrame, r: Int, keys: Seq[String]): DataFrame =
@@ -38,11 +58,26 @@ object ScaleUp {
 
   /** Per-replica text scramble: a vowel permutation (identity at r=0).
     * Deterministic, length-preserving, word-boundary-preserving.
+    *
+    * r16: TEN distinct permutations instead of `r % 3` — at factor 10 the
+    * old cycle gave every document 3-4 EXACT copies, and the near-dup
+    * family's candidate sets grow quadratically in copies-per-key (the
+    * sf1 spot bench read q105 at 313 s, ~133x for 10x input, purely from
+    * that corpus artifact). The first three entries are the r15 mappings,
+    * so factor-3 sweep corpora are bit-identical to before.
     */
-  private def scrambleText(c: org.apache.spark.sql.Column, r: Int) = r % 3 match {
-    case 0 => c
-    case 1 => translate(c, "aeiouAEIOU", "uoieaUOIEA")
-    case 2 => translate(c, "aeiouAEIOU", "eiouaEIOUA")
+  // pairwise positional distance >= 4 (every replica pair remaps at
+  // least 4 of the 5 vowels), so cross-replica text stays far apart in
+  // simhash space and the dedup graph does not chain replicas into
+  // deep components; the first three entries are the r15 mappings
+  private val VowelPerms = Array(
+    "aeiou", "uoiea", "eioua", "iuaoe", "oaiue",
+    "ieuao", "auoei", "oiaeu", "eauoi", "aouie")
+
+  private def scrambleText(c: org.apache.spark.sql.Column, r: Int) = {
+    val p = VowelPerms(r % VowelPerms.length)
+    if (p == "aeiou") c
+    else translate(c, "aeiouAEIOU", p + p.toUpperCase(java.util.Locale.ROOT))
   }
 
   private def replicate(df: DataFrame, factor: Int)(mk: (DataFrame, Int) => DataFrame): DataFrame =

@@ -727,6 +727,80 @@ object ShingleCodec {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** [[hashedShingles]] with the per-document dedup FUSED into the same
+    * pass (r16): bit-equal to `array_distinct(hashedShingles(...))` —
+    * first occurrence kept, encounter order preserved — without
+    * materializing the duplicate-bearing array and re-walking it through
+    * ArrayDistinct's per-row hash set. Open addressing over a
+    * power-of-two table; value equality is exact long equality, so no
+    * sentinel is needed for any hash value.
+    */
+  def hashedShinglesDistinct(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.split(Space, -1)
+    val cnt = toks.length - (n - 1)
+    if (cnt < 1) return Empty
+    var cap = 4
+    while (cap < cnt * 2) cap <<= 1
+    val mask = cap - 1
+    val table = new Array[Int](cap)
+    java.util.Arrays.fill(table, -1)
+    val out = new Array[Long](cnt)
+    var m = 0
+    var i = 0
+    while (i < cnt) {
+      var h = 42L
+      var j = 0
+      while (j < n) {
+        h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(toks(i + j), h)
+        j += 1
+      }
+      // finalizer-style mix so clustered xxhash outputs probe evenly
+      val mixed = h * -7046029254386353131L
+      var p = ((mixed ^ (mixed >>> 32)).toInt) & mask
+      var dup = false
+      var probing = true
+      while (probing) {
+        val slot = table(p)
+        if (slot < 0) probing = false
+        else if (out(slot) == h) { dup = true; probing = false }
+        else p = (p + 1) & mask
+      }
+      if (!dup) {
+        table(p) = m
+        out(m) = h
+        m += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (m == cnt) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  /** [[stringShingles]] with the dedup fused — bit-equal to
+    * `array_distinct(stringShingles(...))` (first occurrence, encounter
+    * order). UTF8String equality is byte equality, matching
+    * ArrayDistinct's semantics on strings.
+    */
+  def stringShinglesDistinct(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.split(Space, -1)
+    val cnt = toks.length - (n - 1)
+    if (cnt < 1) return EmptyStr
+    val seen = new java.util.HashSet[UTF8String](cnt * 2)
+    val out = new Array[AnyRef](cnt)
+    var m = 0
+    var i = 0
+    while (i < cnt) {
+      val s =
+        if (n == 1) toks(i)
+        else UTF8String.concatWs(Space,
+          java.util.Arrays.copyOfRange(toks, i, i + n): _*)
+      if (seen.add(s)) { out(m) = s; m += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (m == cnt) out else java.util.Arrays.copyOf(out, m))
+  }
 }
 
 /** Hashed word n-gram shingles of a TEXT column in one codegen'd pass.
@@ -741,18 +815,20 @@ object ShingleCodec {
   * loop inside whole-stage codegen; DedupTextSpec pins bit-equality with
   * the declarative form.
   */
-case class HashedShingles(child: Expression, n: Int)
+case class HashedShingles(child: Expression, n: Int, distinct: Boolean = false)
     extends UnaryExpression {
   require(n >= 1, s"shingle size must be >= 1, got $n")
+  private val codecFn = if (distinct) "hashedShinglesDistinct" else "hashedShingles"
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"hashed_shingles needs STRING input, got ${child.dataType.sql}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    ShingleCodec.hashedShingles(input.asInstanceOf[UTF8String], n)
+    if (distinct) ShingleCodec.hashedShinglesDistinct(input.asInstanceOf[UTF8String], n)
+    else ShingleCodec.hashedShingles(input.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, s => s"graft.functions.ShingleCodec.hashedShingles($s, $n)")
+    defineCodeGen(ctx, ev, s => s"graft.functions.ShingleCodec.$codecFn($s, $n)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -773,18 +849,20 @@ case class HashedShingles(child: Expression, n: Int)
   * to match the declarative semantics. (Same caveat applies to
   * [[HashedShingles]].)
   */
-case class StringShingles(child: Expression, n: Int)
+case class StringShingles(child: Expression, n: Int, distinct: Boolean = false)
     extends UnaryExpression {
   require(n >= 1, s"shingle size must be >= 1, got $n")
+  private val codecFn = if (distinct) "stringShinglesDistinct" else "stringShingles"
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"string_shingles needs STRING input, got ${child.dataType.sql}")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    ShingleCodec.stringShingles(input.asInstanceOf[UTF8String], n)
+    if (distinct) ShingleCodec.stringShinglesDistinct(input.asInstanceOf[UTF8String], n)
+    else ShingleCodec.stringShingles(input.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, s => s"graft.functions.ShingleCodec.stringShingles($s, $n)")
+    defineCodeGen(ctx, ev, s => s"graft.functions.ShingleCodec.$codecFn($s, $n)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

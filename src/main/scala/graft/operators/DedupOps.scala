@@ -63,6 +63,17 @@ object DedupOps {
     org.apache.spark.sql.GraftBridge.column(graft.functions.HashedShingles(
       org.apache.spark.sql.GraftBridge.expression(text), n))
 
+  /** `array_distinct(hashedShingleArrayFromText(...))` fused into the
+    * same codegen'd pass (r16) — bit-equal output (first occurrence,
+    * encounter order; DedupTextSpec pins it), one row-local hash table
+    * instead of materializing the duplicate-bearing array and re-walking
+    * it through ArrayDistinct. This is the per-document set relation the
+    * whole jaccard family (q21/q73/q105/q116/q309 machinery) builds.
+    */
+  def distinctHashedShingleArrayFromText(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.HashedShingles(
+      org.apache.spark.sql.GraftBridge.expression(text), n, distinct = true))
+
   /** [[shingleArray]] as one codegen'd pass ([[graft.functions.StringShingles]])
     * — bit-equal output for space-tokenized text. Use where the shingle
     * TEXT matters downstream (KMV/oracle hashing, jaccard verify sets);
@@ -87,7 +98,9 @@ object DedupOps {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.repartition(col(idCol))
       .select(col(idCol).as("id"),
-        explode(array_distinct(stringShingleArrayFromText(col(textCol), n))).as("shingle"))
+        explode(org.apache.spark.sql.GraftBridge.column(graft.functions.StringShingles(
+          org.apache.spark.sql.GraftBridge.expression(col(textCol)), n, distinct = true)))
+          .as("shingle"))
 
   /** Exact duplicate groups by content hash: (keep_id, n_dups). */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -368,7 +381,7 @@ object DedupOps {
     val toksCol = split(col(textCol), " ")
     val base = df.select(block.as("blk"), col(idCol).as("id"),
       array_join(slice(toksCol, 1, 5), " ").as("sk"),
-      array_distinct(hashedShingleArrayFromText(col(textCol), n)).as("hs"))
+      distinctHashedShingleArrayFromText(col(textCol), n).as("hs"))
     val w = Window.partitionBy(col("blk")).orderBy(col("sk"), col("id"))
     val withLeads = base.select(col("id") +: col("hs") +:
       (1 to windowSize).flatMap(j => Seq(
@@ -407,7 +420,7 @@ object DedupOps {
                                     n: Int): DataFrame =
     df.repartition(col(idCol))
       .select(col(idCol).as("id"),
-        array_distinct(hashedShingleArrayFromText(col(textCol), n)).as("hs"))
+        distinctHashedShingleArrayFromText(col(textCol), n).as("hs"))
       .select(col("id"), col("hs"), size(col("hs")).as("n"))
 
   /** Row-local exact verify shared by the candidate-then-verify

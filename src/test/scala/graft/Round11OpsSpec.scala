@@ -111,6 +111,30 @@ class Round11OpsSpec extends AnyFunSuite {
       .as("c")).head().getSeq[String](0).isEmpty)
   }
 
+  test("distinct-fused shingle kernels are bit-equal to array_distinct over the plain form (r16)") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.functions._
+    // real corpus + crafted edges: heavy duplication ("a a a ..."), the
+    // plain-form edge strings, and a doc whose duplicates are interleaved
+    // (first-occurrence ORDER is part of the pin — ArrayDistinct keeps it)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").cast("string").as("id"), col("text"))
+      .unionAll(Seq(("e1", "a b "), ("e2", "a  b"), ("e3", "ab"), ("e4", ""),
+        ("e5", "a a a a a a"), ("e6", "x y x z y x w"),
+        ("e7", "one two one two three one")).toDF("id", "text"))
+    for (n <- Seq(1, 3, 5)) {
+      val h = docs.select(
+        DedupOps.distinctHashedShingleArrayFromText(col("text"), n).as("fused"),
+        array_distinct(DedupOps.hashedShingleArrayFromText(col("text"), n)).as("two_pass"))
+      assert(h.filter(not(col("fused") <=> col("two_pass"))).count() == 0, s"hashed n=$n")
+      val s = docs.select(
+        org.apache.spark.sql.GraftBridge.column(graft.functions.StringShingles(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), n, distinct = true)).as("fused"),
+        array_distinct(DedupOps.stringShingleArrayFromText(col("text"), n)).as("two_pass"))
+      assert(s.filter(not(col("fused") <=> col("two_pass"))).count() == 0, s"string n=$n")
+    }
+  }
+
   test("row-local SimhashFp30Sig is bit-equal to the exploded-aggregation signing") {
     import graft.operators.DedupOps
     import org.apache.spark.sql.functions._
